@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execute + collect), the way
+a user would experience it. A warmup pass loads the session + file
+footers so we measure query time, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_topk_orders",
+    "q06_forecast_revenue",
+    "q08_cube",
+    "q10_distinct_filtered_agg",
+    "q15_left_join_distribution",
+    "q17_scalar_subquery",
+    "q18_in_subquery",
+    "q30_window_rank_topn",
+    "q40_tumble",
+    "q42_session",
+    "q43_asof_join",
+    "q50_exact_dedup",
+    "q51_text_stats",
+    "q54_knn_bruteforce",
+    "q55_minhash_lsh",
+]
+
+
+def main() -> None:
+    from calcite_spark.session import get_spark
+    from calcite_spark.queries.inventory import catalog_for, queries
+
+    spark = get_spark("calcite_spark_bench")
+    qs = queries()
+
+    # warmup: session up, parquet footers read, catalog views registered
+    cat = catalog_for(spark, SF_DIR)
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        cat.table(t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if df is not None else 0
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

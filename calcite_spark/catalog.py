@@ -1,0 +1,134 @@
+"""Catalog: schema/table registry ≈ Calcite Schema/SchemaPlus/Table
+(reference: core/src/main/java/org/apache/calcite/schema/Schema.java,
+Table.java, Statistic.java:37-65) plus the JSON model loader
+(model/JsonRoot.java, ModelHandler.java).
+
+Tables are parquet directories (or any spark.read-able source) registered
+as temp views; statistics (row counts, distinct counts) feed the rewrite
+layer's broadcast/MV decisions the way Calcite's Statistic feeds the
+Volcano cost model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough (at any realistic SF — region/nation are fixed-size
+# dimension tables in TPC-H) to always broadcast in joins.
+SMALL_DIMENSIONS = {"region", "nation"}
+
+# Parquet TIMESTAMP(NANOS) columns: Spark's reader rejects them
+# (PARQUET_TYPE_ILLEGAL); with spark.sql.legacy.parquet.nanosAsLong they
+# arrive as bigint nanos and the catalog converts to microsecond
+# timestamps (floor division — matches DuckDB's ns→us cast).
+NANOS_TS_COLS = {"events": ("ts",)}
+
+
+@dataclass
+class TableEntry:
+    """≈ schema/Table.java + Statistic.java: source + stats."""
+
+    name: str
+    path: str
+    fmt: str = "parquet"
+    row_count: int | None = None
+    options: dict = field(default_factory=dict)
+
+
+class Catalog:
+    """Named map of tables ≈ SchemaPlus; mounts parquet dirs as views."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableEntry] = {}
+        self._dfs: dict[str, DataFrame] = {}
+        self.materialized_views: dict[str, dict] = {}
+
+    # -- registration -------------------------------------------------
+    def register_parquet_dir(self, sf_dir: str, tables=TPCH_TABLES) -> "Catalog":
+        """Mount every <sf_dir>/<name>.parquet as table <name>."""
+        for name in tables:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.register(name, path)
+        return self
+
+    def register(self, name: str, path: str, fmt: str = "parquet", **options) -> None:
+        self.tables[name] = TableEntry(name=name, path=path, fmt=fmt, options=options)
+        self._dfs.pop(name, None)
+
+    def register_df(self, name: str, df: DataFrame) -> None:
+        """Register an in-memory DataFrame (≈ TransientTable / temp view)."""
+        self.tables[name] = TableEntry(name=name, path="", fmt="view")
+        self._dfs[name] = df
+        df.createOrReplaceTempView(name)
+
+    def load_model(self, model_path: str) -> "Catalog":
+        """JSON model file ≈ model/ModelHandler.java: {"tables": [{name, path,
+        format?, options?}], "materializations": [{name, path, sql}]}."""
+        with open(model_path) as f:
+            model = json.load(f)
+        for t in model.get("tables", []):
+            self.register(t["name"], t["path"], t.get("format", "parquet"), **t.get("options", {}))
+        for mv in model.get("materializations", []):
+            self.register_materialization(mv["name"], mv["path"], mv.get("sql", ""))
+        return self
+
+    def register_materialization(self, name: str, path: str, sql: str) -> None:
+        """≈ materialize/MaterializationService.defineMaterialization."""
+        self.materialized_views[name] = {"path": path, "sql": sql}
+
+    # -- access -------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name in self._dfs:
+            return self._dfs[name]
+        entry = self.tables[name]
+        if name in NANOS_TS_COLS:
+            # settable at runtime, so this also works when the caller
+            # (e.g. the verify driver) built its own SparkSession
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = self.spark.read
+        if entry.options:
+            reader = reader.options(**entry.options)
+        df = reader.format(entry.fmt).load(entry.path)
+        for col in NANOS_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        self._dfs[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_all_views(self) -> None:
+        for name in self.tables:
+            self.table(name)
+
+    def is_broadcastable(self, name: str) -> bool:
+        return name in SMALL_DIMENSIONS
+
+    # -- statistics ≈ Statistic.java / profile/ProfilerImpl.java ------
+    def row_count(self, name: str) -> int:
+        entry = self.tables[name]
+        if entry.row_count is None:
+            entry.row_count = self.table(name).count()
+        return entry.row_count
+
+
+def open_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark).register_parquet_dir(sf_dir)

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design requires:
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+  score every row with JVM-side higher-order functions
+  (aggregate/zip_with — NO Python in the loop), per-partition top-k via
+  window rank. Cost: one pass over the corpus per query batch; this is
+  the correctness baseline and already the right plan when the query set
+  is small (the scan dominates, no shuffle of the corpus).
+
+* lsh_bucketed_topk — approximate: random-hyperplane signs (deterministic
+  seeded planes via xxhash64) bucket vectors; candidates only within the
+  query's bucket (+ optional neighbor probes). Turns the all-pairs score
+  into a bucket-equi-join — the scale path when queries are many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .selectExpr(
+            query_id,
+            corpus_id,
+            f"ROUND({_cos(corpus_vec, query_vec)}, 6) AS cosine_sim",
+        )
+        .selectExpr(
+            query_id,
+            corpus_id,
+            "cosine_sim",
+            f"row_number() OVER (PARTITION BY {query_id} "
+            f"ORDER BY cosine_sim DESC, {corpus_id}) AS rk",
+        )
+        .filter(f"rk <= {k}")
+    )
+    return scored
+
+
+def _cos(a: str, b: str) -> str:
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"SQRT(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    nb = f"SQRT(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def hyperplane_bucket_expr(vec: str, n_planes: int = 8, dim: int = 16) -> str:
+    """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1):
+    plane p's weight for dimension d = a fixed pseudo-random ±1 from
+    xxhash64(p, d) — reproducible across runs and engines."""
+    # sign bit for plane p: sum_d vec[d] * (hash(p,d) bit ? +1 : -1) > 0
+    plane_bit = (
+        f"CASE WHEN aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + CAST(element_at({vec}, d + 1) AS DOUBLE) * "
+        "CASE WHEN ((xxhash64(p * 1024 + d) >> 3) & 1) = 1 THEN 1.0 ELSE -1.0 END) > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
+        f"(bacc, p) -> bacc + {plane_bit})"
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 16,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane LSH,
+    equi-join on bucket, exact cosine rerank within bucket."""
+    bexpr = hyperplane_bucket_expr("embedding", n_planes, dim)
+    qexpr = hyperplane_bucket_expr("q_vec", n_planes, dim)
+    c = corpus.selectExpr("vec_id", "embedding", f"{bexpr} AS bucket")
+    q = queries.selectExpr("q_id", "q_vec", f"{qexpr} AS bucket")
+    return (
+        c.join(F.broadcast(q), on="bucket")
+        .selectExpr("q_id", "vec_id", f"ROUND({_cos('embedding', 'q_vec')}, 6) AS cosine_sim")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            "cosine_sim",
+            "row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rk",
+        )
+        .filter(f"rk <= {k}")
+    )

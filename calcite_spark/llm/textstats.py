@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, fingerprinting. All pure Spark
+SQL expressions (JVM-side, whole-stage codegen — no Python UDFs), so
+they run at scan speed on 100 TB and are DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Whitespace tokens + a BPE-ish heuristic: ~chars/4 is the common rule of
+# thumb for subword token counts over English-like text.
+TOKENS = "size(split(trim(text), '\\\\s+'))"
+WORDS_PER_DOC = TOKENS
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats projection (narrow map, no shuffle)."""
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "length(text) AS n_chars_actual",
+        f"CAST({TOKENS} AS INT) AS n_tokens_ws",
+        "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est",
+        "CAST(length(regexp_replace(text, '[^.!?]', '')) AS INT) AS n_sentences_approx",
+        "ROUND(length(regexp_replace(text, '[a-zA-Z ]', '')) / "
+        "CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS non_alpha_ratio",
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: penalize very short docs, high
+    punctuation/symbol density, low mean word length (public-rule-based
+    filtering in the Gopher/C4 style, SQL-only)."""
+    toks = "split(trim(text), '\\\\s+')"
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"CAST(size({toks}) AS INT) AS n_words",
+        f"ROUND(length(text) / CAST(GREATEST(size({toks}), 1) AS DOUBLE), 4) AS mean_word_len",
+        "ROUND(LEAST(1.0, length(text) / 500.0) * "
+        "(1.0 - LEAST(1.0, 2.0 * length(regexp_replace(text, '[^!?#*=<>{}|\\\\\\\\]', '')) / "
+        "CAST(GREATEST(length(text), 1) AS DOUBLE))), 6) AS quality",
+    )
+
+
+# Tiny deterministic stopword lists → language-ID votes (n-gram/stopword
+# heuristic; real pipelines plug fasttext via pandas_udf — see
+# llm/multimodal.py for the gated-UDF pattern).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+}
+
+
+def lang_votes_expr() -> dict[str, str]:
+    exprs = {}
+    for lang, words in _LANG_MARKERS.items():
+        votes = " + ".join(
+            f"CASE WHEN array_contains(__toks, '{w}') THEN 1 ELSE 0 END" for w in words
+        )
+        exprs[lang] = votes
+    return exprs
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: tokenize once, count marker hits per
+    language, argmax (ties → 'und'). Narrow map only."""
+    votes = lang_votes_expr()
+    vote_cols = [f"({v}) AS votes_{lang}" for lang, v in votes.items()]
+    langs = list(votes)
+    arr = "array(" + ", ".join(f"votes_{lang}" for lang in langs) + ")"
+    names = "array(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
+    return (
+        docs.selectExpr("doc_id", "lang AS lang_true", "split(lower(text), '[^a-z]+') AS __toks")
+        .selectExpr("doc_id", "lang_true", *vote_cols)
+        .selectExpr(
+            "doc_id",
+            "lang_true",
+            f"CASE WHEN array_max({arr}) = 0 THEN 'und' "
+            f"ELSE element_at({names}, CAST(array_position({arr}, array_max({arr})) AS INT)) "
+            "END AS lang_pred",
+        )
+    )
+
+
+def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling-hash over word
+    windows (public winnowing scheme, SQL-only via higher-order fns)."""
+    toks = "split(lower(trim(text)), '\\\\s+')"
+    grams = (
+        f"CASE WHEN size({toks}) < {window} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(0, size({toks}) - {window}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {window}))) END"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"array_min(transform({grams}, g -> xxhash64(g))) AS fp_min",
+        f"array_max(transform({grams}, g -> xxhash64(g))) AS fp_max",
+    )

@@ -1,0 +1,219 @@
+"""Streaming-SQL surface queries (SURVEY.md §2.8) run in batch-TVF form —
+exactly Calcite's model: TUMBLE/HOP/SESSION are *table functions*
+(SqlStdOperatorTable TUMBLE:2606 HOP:2609 SESSION:2612) usable on any
+relation; stream-ness (Delta/Chi, rel/stream/) is orthogonal. The same
+builders run unchanged on `spark.readStream` inputs — see
+calcite_spark/streaming/tvf.py and tests/test_streaming.py.
+
+Also here: ASOF join (AsofJoin.java:34, spec core/src/test/resources/
+sql/asof.iq — DuckDB has native ASOF JOIN for the oracle) and temporal
+snapshot (Snapshot.java:53, FOR SYSTEM_TIME AS OF).
+"""
+
+from __future__ import annotations
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for, register
+from calcite_spark.streaming.tvf import hop, session, tumble
+
+
+def _b(spark, sf_dir) -> RelBuilder:
+    return RelBuilder(catalog_for(spark, sf_dir))
+
+
+@register(
+    "q40_tumble",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "tumble", "tvf"),
+)
+def q40_tumble(spark, sf_dir):
+    """TUMBLE TVF → F.window(ts, size): one aligned window per row."""
+    from pyspark.sql import functions as F
+
+    cat = catalog_for(spark, sf_dir)
+    return (
+        tumble(cat.table("events"), "ts", "1 day")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(
+            F.expr("COUNT(*)").alias("n_events"),
+            F.expr("ROUND(SUM(value), 3)").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q41_hop",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL '2 days' AS window_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 3) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '1 day', ts) - k * INTERVAL '1 day' AS ws, value
+      FROM events, (VALUES (0), (1)) AS shifts(k)
+    )
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+    tags=("streaming", "hop", "tvf"),
+)
+def q41_hop(spark, sf_dir):
+    """HOP TVF → F.window(ts, size, slide): size/slide windows per row
+    (oracle expands the same windows via a shift cross join)."""
+    from pyspark.sql import functions as F
+
+    cat = catalog_for(spark, sf_dir)
+    return (
+        hop(cat.table("events"), "ts", size="2 days", slide="1 day")
+        .groupBy("window_start", "window_end")
+        .agg(
+            F.expr("COUNT(*)").alias("n_events"),
+            F.expr("ROUND(SUM(value), 3)").alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q42_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM numbered
+    WHERE user_id <= 500
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "tvf"),
+)
+def q42_session(spark, sf_dir):
+    """SESSION TVF → F.session_window(ts, gap): gap-merged sessions.
+    Oracle reproduces gap semantics with the lag/cumsum idiom."""
+    from pyspark.sql import functions as F
+
+    cat = catalog_for(spark, sf_dir)
+    df = cat.table("events").filter("user_id <= 500")
+    return (
+        session(df, "ts", gap="30 minutes", partition_keys=("user_id",))
+        .agg(
+            F.expr("MIN(ts)").alias("session_start"),
+            F.expr("COUNT(*)").alias("n_events"),
+            F.expr("ROUND(SUM(value), 3)").alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q43_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM events WHERE user_id <= 300) e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    tags=("asof", "join"),
+)
+def q43_asof_join(spark, sf_dir):
+    """LEFT_ASOF join (JoinRelType.LEFT_ASOF:94): each event picks the
+    latest order of the same user at-or-before the event time. Lowered to
+    the union/last-value plan (ONE shuffle, no row explosion) —
+    operators/asof.py. The right side is deduplicated to one order per
+    (custkey, orderdate) on BOTH sides so tie-breaking is deterministic
+    (DuckDB's native ASOF picks an arbitrary row among equal keys).
+    """
+    from calcite_spark.operators.asof import asof_join
+
+    cat = catalog_for(spark, sf_dir)
+    events = cat.table("events").filter("user_id <= 300")
+    orders = (
+        cat.table("orders")
+        .selectExpr(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+            "row_number() OVER (PARTITION BY o_custkey, o_orderdate "
+            "ORDER BY o_orderkey DESC) AS rn",
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    return (
+        asof_join(
+            events,
+            orders,
+            on=[("user_id", "o_custkey")],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="backward",
+            strict=False,
+            join_type="LEFT_ASOF",
+        )
+        .selectExpr("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q44_snapshot",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+      WHERE o_orderdate <= TIMESTAMP '1995-06-30 00:00:00'
+    ) WHERE rn = 1 AND o_custkey <= 300
+    ORDER BY o_custkey
+    """,
+    tags=("temporal", "snapshot"),
+)
+def q44_snapshot(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF '1995-06-30' over orders-as-temporal-table
+    (key = o_custkey, version = o_orderdate): latest visible version per
+    key ≈ Snapshot.java:53 over TemporalTable.java:22."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .snapshot(
+            "TIMESTAMP '1995-06-30 00:00:00'",
+            key="o_custkey",
+            version_col="o_orderdate",
+            tiebreaker="o_orderkey DESC",
+        )
+        .filter("o_custkey <= 300")
+        .project("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .sort("o_custkey")
+        .to_df()
+    )

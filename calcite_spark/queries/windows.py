@@ -1,0 +1,250 @@
+"""Window-function queries (SURVEY.md §2.5) ≈ rel/core/Window.java:79 +
+RexOver/RexWindowBound — ranking, analytic, ROWS/RANGE frames, lead/lag.
+Every OVER clause orders by a unique key suffix so results are
+deterministic (Calcite's SqlOperatorTest does the same for RANK tests).
+"""
+
+from __future__ import annotations
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for, register
+
+
+def _b(spark, sf_dir) -> RelBuilder:
+    return RelBuilder(catalog_for(spark, sf_dir))
+
+
+@register(
+    "q30_window_rank_topn",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      FROM orders
+    ) WHERE rk <= 3 AND c_custkey <= 200
+    ORDER BY c_custkey, rk
+    """,
+    tags=("window", "rank", "topn"),
+)
+def q30_window_rank_topn(spark, sf_dir):
+    """Top-N per group: row_number OVER partition — ProjectToWindowRule
+    (RexOver → Window) then filter ≈ the classic top-K-per-key pattern."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .window(
+            [
+                "CAST(row_number() OVER (PARTITION BY o_custkey "
+                "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk"
+            ],
+            keep=("o_custkey AS c_custkey", "o_orderkey", "o_totalprice"),
+        )
+        .filter("rk <= 3 AND c_custkey <= 200")
+        .sort("c_custkey", "rk")
+        .to_df()
+    )
+
+
+@register(
+    "q31_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_total,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_count
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame", "rows"),
+)
+def q31_window_running_sum(spark, sf_dir):
+    """ROWS frame running aggregate (RexWindowBound UNBOUNDED→CURRENT)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_custkey <= 100")
+        .window(
+            [
+                "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate, o_orderkey "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_total",
+                "CAST(COUNT(*) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate, o_orderkey "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_count",
+            ],
+            keep=("o_custkey", "o_orderkey"),
+        )
+        .sort("o_custkey", "o_orderkey")
+        .to_df()
+    )
+
+
+@register(
+    "q32_window_sliding_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM lineitem WHERE l_suppkey <= 20
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+    tags=("window", "frame", "sliding"),
+)
+def q32_window_sliding_frame(spark, sf_dir):
+    """Bounded ROWS frame (3-row moving average)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .filter("l_suppkey <= 20")
+        .window(
+            [
+                "ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey "
+                "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3",
+            ],
+            keep=("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"),
+        )
+        .sort("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .project("l_suppkey", "l_orderkey", "l_linenumber", "ma3")
+        .to_df()
+    )
+
+
+@register(
+    "q33_window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                 RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS BIGINT) AS peers_within_500
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("window", "frame", "range"),
+)
+def q33_window_range_frame(spark, sf_dir):
+    """RANGE frame with numeric offsets (value-based peers)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("supplier")
+        .window(
+            [
+                "CAST(COUNT(*) OVER (ORDER BY s_acctbal "
+                "RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS BIGINT) AS peers_within_500",
+            ],
+            keep=("s_suppkey", "s_acctbal"),
+        )
+        .sort("s_suppkey")
+        .to_df()
+    )
+
+
+@register(
+    "q34_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0), 3) AS delta_prev,
+           ROUND(COALESCE(lead(o_totalprice) OVER w, 0.0), 3) AS next_price
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "lead", "lag"),
+)
+def q34_lead_lag(spark, sf_dir):
+    """LEAD :1192 / LAG :1198 (SqlStdOperatorTable)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_custkey <= 100")
+        .window(
+            [
+                "ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate, o_orderkey), 0.0), 3) AS delta_prev",
+                "ROUND(COALESCE(lead(o_totalprice) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate, o_orderkey), 0.0), 3) AS next_price",
+            ],
+            keep=("o_custkey", "o_orderkey"),
+        )
+        .sort("o_custkey", "o_orderkey")
+        .to_df()
+    )
+
+
+@register(
+    "q35_ranking_family",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+    tags=("window", "rank", "ntile"),
+)
+def q35_ranking_family(spark, sf_dir):
+    """RANK/DENSE_RANK/NTILE/PERCENT_RANK/CUME_DIST (§2.5 full family)."""
+    w = "OVER (ORDER BY s_acctbal DESC, s_suppkey)"
+    return (
+        _b(spark, sf_dir)
+        .scan("supplier")
+        .window(
+            [
+                f"CAST(rank() {w} AS INT) AS rnk",
+                f"CAST(dense_rank() {w} AS INT) AS drnk",
+                f"CAST(ntile(4) {w} AS INT) AS quartile",
+                f"ROUND(percent_rank() {w}, 6) AS pct_rank",
+                f"ROUND(cume_dist() {w}, 6) AS cdist",
+            ],
+            keep=("s_suppkey",),
+        )
+        .sort("s_suppkey")
+        .to_df()
+    )
+
+
+@register(
+    "q36_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders WHERE o_custkey <= 60
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "first_value", "nth_value"),
+)
+def q36_first_last_nth(spark, sf_dir):
+    """FIRST_VALUE :1180 / LAST_VALUE :1168 / NTH_VALUE :1186."""
+    full = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_custkey <= 60")
+        .window(
+            [
+                "first_value(o_orderkey) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate, o_orderkey) AS first_ok",
+                f"last_value(o_orderkey) {full} AS last_ok",
+                f"nth_value(o_orderkey, 2) {full} AS second_ok",
+            ],
+            keep=("o_custkey", "o_orderkey"),
+        )
+        .sort("o_custkey", "o_orderkey")
+        .to_df()
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory ≈ Calcite's CalciteConnection/DataContext
+(reference: core/src/main/java/org/apache/calcite/jdbc/, DataContext.java:43).
+
+One tuned session per process. Config choices are scale-aware defaults:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized to local cores (on a real cluster this would be
+2-3× total cores; AQE coalesces down), Arrow enabled for the Pandas-UDF
+slow path, session timezone pinned to UTC so timestamps agree with
+UTC-naive parquet readers (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Calcite TIMESTAMP is zone-less (SqlTypeName.TIMESTAMP); parquet
+    # timestamps in the testdata are instants — keep inference as-is but
+    # pin datetime arithmetic to proleptic Gregorian like DuckDB.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # 100 TB posture: broadcast only genuinely small sides; AQE converts
+    # to broadcast at runtime when post-shuffle stats allow.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.ui.explainMode": "formatted",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
+    # vectorized reader; read as long nanos, Catalog converts to
+    # timestamp (see catalog.NANOS_TS_COLS).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "calcite_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Create or reuse the process-wide SparkSession.
+
+    ``local[$SPARK_GRAFT_CPUS]`` by default; on a real cluster the caller
+    passes master via spark-submit and this builder only applies SQL conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

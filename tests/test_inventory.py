@@ -1,0 +1,36 @@
+"""Inventory correctness: every query with an oracle must match DuckDB at
+sf0.001 (the driver runs the same protocol at sf0.01) — ≈ Calcite's
+Quidem .iq scripts with DuckDB as the expected side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calcite_spark.queries.inventory import QUERIES, queries
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+queries()  # force registration
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    if q.oracle is None:
+        # rows-only: must run and produce a stable schema
+        rows = df.collect()
+        assert df.columns, f"{name}: no columns"
+        assert rows is not None
+    else:
+        assert_matches_oracle(df, duck, q.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert len(df.collect()) >= 0
+    names = set(e.queries())
+    oracles = e.oracle_sql()
+    assert set(oracles) <= names
