@@ -1,0 +1,521 @@
+"""Function-library and remaining-operator queries (SURVEY.md §2.4-2.7,
+§2.1 Correlate/RepeatUnion/Sample): statistical aggregates, LISTAGG
+WITHIN GROUP, multiset/array ops, JSON functions, LATERAL, recursive
+union, window EXCLUDE emulation, TABLESAMPLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for, register
+
+
+def _b(spark, sf_dir) -> RelBuilder:
+    return RelBuilder(catalog_for(spark, sf_dir))
+
+
+def _sql(spark, sf_dir, sql: str):
+    catalog_for(spark, sf_dir).register_all_views()
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------
+# Statistical aggregates — SqlStdOperatorTable STDDEV_POP:1222 .. VARIANCE
+# :1282, COVAR_POP:1246, REGR_SXX:1234, ARG_MAX/ARG_MIN:1126/1133,
+# EVERY:1156/SOME:1162 (bool_and/bool_or), MODE:1110
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q60_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp,
+           ROUND(STDDEV_POP(l_quantity), 6) AS sd_pop,
+           ROUND(VAR_SAMP(l_quantity), 6) AS v_samp,
+           ROUND(VAR_POP(l_quantity), 6) AS v_pop,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS cov_pop,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_samp,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS correl,
+           ROUND(REGR_SXX(l_extendedprice, l_quantity), 4) AS r_sxx,
+           ROUND(REGR_SYY(l_extendedprice, l_quantity) / 1e6, 4) AS r_syy_m,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS r_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics"),
+)
+def q60_stats_aggs(spark, sf_dir):
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp",
+                "ROUND(STDDEV_POP(l_quantity), 6) AS sd_pop",
+                "ROUND(VAR_SAMP(l_quantity), 6) AS v_samp",
+                "ROUND(VAR_POP(l_quantity), 6) AS v_pop",
+                "ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS cov_pop",
+                "ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_samp",
+                "ROUND(CORR(l_quantity, l_extendedprice), 6) AS correl",
+                "ROUND(REGR_SXX(l_extendedprice, l_quantity), 4) AS r_sxx",
+                "ROUND(REGR_SYY(l_extendedprice, l_quantity) / 1e6, 4) AS r_syy_m",
+                "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS r_count",
+            ],
+        )
+        .sort("l_returnflag")
+        .to_df()
+    )
+
+
+@register(
+    "q61_argmax_mode_bool",
+    oracle="""
+    SELECT n_name,
+           arg_max(s_name, s_acctbal) AS richest_supplier,
+           arg_min(s_name, s_acctbal) AS poorest_supplier,
+           ROUND(quantile_cont(s_acctbal, 0.5), 4) AS median_bal,
+           bool_and(s_acctbal > 0) AS all_positive,
+           bool_or(s_acctbal > 9000) AS any_rich
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("aggregate", "arg_max", "percentile", "bool"),
+)
+def q61_argmax_mode_bool(spark, sf_dir):
+    """ARG_MAX/ARG_MIN :1126/:1133 → max_by/min_by; PERCENTILE_CONT :2507
+    → percentile (exact); EVERY/SOME :1156/:1162 → bool_and/bool_or.
+    s_acctbal ties would make max_by nondeterministic — testdata has
+    unique acctbals per nation (float balances)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("supplier")
+        .scan("nation")
+        .join("s_nationkey = n_nationkey")
+        .aggregate(
+            ["n_name"],
+            [
+                "max_by(s_name, s_acctbal) AS richest_supplier",
+                "min_by(s_name, s_acctbal) AS poorest_supplier",
+                "ROUND(percentile(s_acctbal, 0.5), 4) AS median_bal",
+                "bool_and(s_acctbal > 0) AS all_positive",
+                "bool_or(s_acctbal > 9000) AS any_rich",
+            ],
+        )
+        .sort("n_name")
+        .to_df()
+    )
+
+
+@register(
+    "q62_listagg_within_group",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("aggregate", "listagg", "within_group"),
+)
+def q62_listagg_within_group(spark, sf_dir):
+    """LISTAGG :2535 + WITHIN GROUP (AggregateCall.collation :76):
+    collect_list → array_sort → concat_ws reproduces the ordered
+    concatenation deterministically."""
+    return (
+        _b(spark, sf_dir)
+        .scan("nation")
+        .scan("region")
+        .join("n_regionkey = r_regionkey")
+        .aggregate(
+            ["r_name"],
+            ["concat_ws(',', array_sort(collect_list(n_name))) AS nations"],
+        )
+        .sort("r_name")
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------
+# Multiset / array semantics — SqlStdOperatorTable MULTISET ops :143-178,
+# library ARRAY_* functions (§2.6)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q63_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT n_regionkey AS rk, list_sort(list(DISTINCT n_nationkey)) AS nations
+               FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey),
+         b AS (SELECT n_regionkey AS rk, list_sort(list(DISTINCT n_nationkey)) AS nations
+               FROM nation WHERE n_nationkey < 15 GROUP BY n_regionkey)
+    SELECT a.rk AS rk,
+           list_sort(list_intersect(a.nations, b.nations)) AS common,
+           CAST(len(a.nations) + len(b.nations) AS INT) AS union_all_card,
+           list_has_any(a.nations, b.nations) AS overlaps
+    FROM a JOIN b ON a.rk = b.rk
+    ORDER BY rk
+    """,
+    tags=("multiset", "array"),
+)
+def q63_multiset_ops(spark, sf_dir):
+    """MULTISET INTERSECT / card / MEMBER-overlap via array functions
+    (array_intersect, arrays_overlap) after Collect."""
+    cat = catalog_for(spark, sf_dir)
+    nation = cat.table("nation")
+    a = (
+        nation.filter("n_nationkey % 2 = 0")
+        .groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(F.expr("sort_array(collect_set(n_nationkey))").alias("nations_a"))
+    )
+    b = (
+        nation.filter("n_nationkey < 15")
+        .groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(F.expr("sort_array(collect_set(n_nationkey))").alias("nations_b"))
+    )
+    return (
+        a.join(b, "rk")
+        .selectExpr(
+            "rk",
+            "sort_array(array_intersect(nations_a, nations_b)) AS common",
+            "CAST(size(nations_a) + size(nations_b) AS INT) AS union_all_card",
+            "arrays_overlap(nations_a, nations_b) AS overlaps",
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------
+# JSON functions — SqlStdOperatorTable JSON_VALUE:1655 JSON_EXISTS:1653
+# JSON_QUERY:1658 (SQL/JSON path over events.props)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q64_json_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.device') = 'mobile') AS n_mobile,
+           COUNT(CAST(json_extract_string(props, '$.amount') AS DOUBLE)) AS n_with_amount,
+           ROUND(SUM(COALESCE(CAST(json_extract_string(props, '$.amount') AS DOUBLE), 0.0)), 3) AS total_amount
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json",),
+)
+def q64_json_functions(spark, sf_dir):
+    """JSON_VALUE ≈ get_json_object; lax-mode scalar extraction."""
+    return (
+        _b(spark, sf_dir)
+        .scan("events")
+        .project(
+            "event_type",
+            "get_json_object(props, '$.device') AS device",
+            "CAST(get_json_object(props, '$.amount') AS DOUBLE) AS amount",
+        )
+        .aggregate(
+            ["event_type"],
+            [
+                "COUNT(*) FILTER (WHERE device = 'mobile') AS n_mobile",
+                "COUNT(amount) AS n_with_amount",
+                "ROUND(SUM(COALESCE(amount, 0.0)), 3) AS total_amount",
+            ],
+        )
+        .sort("event_type")
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------
+# Correlate / LATERAL — rel/core/Correlate.java:74
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q65_lateral_topn",
+    oracle="""
+    SELECT n_name, t.s_name AS s_name, t.s_acctbal AS s_acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) t
+    ORDER BY n_name, s_acctbal DESC, s_name
+    """,
+    tags=("correlate", "lateral"),
+)
+def q65_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-key ORDER BY LIMIT (top-2
+    suppliers per nation) — Spark decorrelates ≈ RelDecorrelator."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, t.s_name AS s_name, t.s_acctbal AS s_acctbal
+        FROM nation, LATERAL (
+          SELECT s_name, s_acctbal FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2
+        ) t
+        ORDER BY n_name, s_acctbal DESC, s_name
+        """,
+    )
+
+
+# ---------------------------------------------------------------------
+# Recursive union — rel/core/RepeatUnion.java:57 (WITH RECURSIVE)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q66_recursive_union",
+    oracle="""
+    WITH RECURSIVE t(n, fact) AS (
+      SELECT 1, CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT n + 1, fact * (n + 1) FROM t WHERE n < 12
+    )
+    SELECT n, fact FROM t ORDER BY n
+    """,
+    tags=("recursive", "repeat_union"),
+)
+def q66_recursive_union(spark, sf_dir):
+    """WITH RECURSIVE lowered to the RepeatUnion driver loop
+    (EnumerableRepeatUnion.java:49 semantics: seed ∪ step until empty
+    delta, localCheckpoint per iteration to cut lineage)."""
+
+    def step(current, ctx):
+        return current.filter("n < 12").selectExpr("n + 1 AS n", "fact * (n + 1) AS fact")
+
+    return (
+        _b(spark, sf_dir)
+        .values([(1, 1)], "n int, fact bigint")
+        .repeat_union(step, all=True, max_iterations=20)
+        .sort("n")
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------
+# Sample — rel/core/Sample.java:38 (TABLESAMPLE BERNOULLI REPEATABLE)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q67_sample",
+    oracle=None,  # RNG streams differ per engine; driver does rows-only
+    tags=("sample",),
+)
+def q67_sample(spark, sf_dir):
+    """TABLESAMPLE BERNOULLI(10) REPEATABLE(42): seeded row-level sample.
+    Deterministic per engine (same seed → same rows across runs) but the
+    RNG stream is engine-defined, so no cross-engine oracle; the test
+    asserts determinism + fraction tolerance instead."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .sample(0.1, seed=42)
+        .aggregate([], ["COUNT(*) AS n_sampled", "ROUND(SUM(o_totalprice), 3) AS sum_price"])
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------
+# Window EXCLUDE CURRENT ROW — RexWindowExclusion (no Spark support;
+# emulated by subtracting the current row from the frame aggregate)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q68_window_exclude_current",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW), 3) AS neighbor_sum,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_count
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "exclude"),
+)
+def q68_window_exclude_current(spark, sf_dir):
+    """EXCLUDE CURRENT ROW (rel/core/Window.java:264, RexWindowExclusion)
+    — Spark has no EXCLUDE clause; emulate as frame_agg − current_row
+    (sum) / frame_count − 1 (count). DuckDB supports EXCLUDE natively →
+    exact oracle for the emulation."""
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+    )
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_custkey <= 100")
+        .window(
+            [
+                f"ROUND(SUM(o_totalprice) {frame} - o_totalprice, 3) AS neighbor_sum",
+                f"CAST(COUNT(*) {frame} - 1 AS BIGINT) AS neighbor_count",
+            ],
+            keep=("o_custkey", "o_orderkey"),
+        )
+        .sort("o_custkey", "o_orderkey")
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------
+# Scalar-function breadth: string/math/datetime (§2.6) in one projection
+# checked value-by-value against DuckDB
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q69_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS u, lower(p_type) AS l,
+           substring(p_name, 1, 8) AS sub,
+           CAST(length(p_name) AS INT) AS len,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS pos,
+           replace(p_brand, '#', '-') AS repl,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           trim(concat('  ', p_brand, '  ')) AS trimmed,
+           reverse(p_brand) AS rev,
+           ROUND(sqrt(p_retailprice), 6) AS sq,
+           ROUND(ln(p_retailprice + 1), 6) AS lg,
+           ROUND(power(p_size, 2), 1) AS pw,
+           CAST(abs(p_size - 25) AS INT) AS ab,
+           mod(p_size, 7) AS md,
+           ROUND(exp(p_size / 50.0), 6) AS ex,
+           CAST(sign(p_size - 25) AS INT) AS sg,
+           greatest(p_size, 10) AS gr,
+           least(p_size, 10) AS le,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+           CAST(floor(p_retailprice) AS BIGINT) AS fl
+    FROM part WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "scalar"),
+)
+def q69_scalar_functions(spark, sf_dir):
+    """String+math scalar library parity (§2.6; runtime ≈ Calcite
+    runtime/SqlFunctions.java 8,124 LoC — here pyspark.sql.functions)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("part")
+        .filter("p_partkey <= 100")
+        .project(
+            "p_partkey",
+            "upper(p_brand) AS u",
+            "lower(p_type) AS l",
+            "substring(p_name, 1, 8) AS sub",
+            "CAST(length(p_name) AS INT) AS len",
+            "CAST(instr(p_type, 'BRUSHED') AS INT) AS pos",
+            "replace(p_brand, '#', '-') AS repl",
+            "lpad(CAST(p_size AS STRING), 4, '0') AS padded",
+            "trim(concat('  ', p_brand, '  ')) AS trimmed",
+            "reverse(p_brand) AS rev",
+            "ROUND(sqrt(p_retailprice), 6) AS sq",
+            "ROUND(ln(p_retailprice + 1), 6) AS lg",
+            "ROUND(power(p_size, 2), 1) AS pw",
+            "CAST(abs(p_size - 25) AS INT) AS ab",
+            "mod(p_size, 7) AS md",
+            "ROUND(exp(p_size / 50.0), 6) AS ex",
+            "CAST(sign(p_size - 25) AS INT) AS sg",
+            "greatest(p_size, 10) AS gr",
+            "least(p_size, 10) AS le",
+            "CAST(ceil(p_retailprice) AS BIGINT) AS ce",
+            "CAST(floor(p_retailprice) AS BIGINT) AS fl",
+        )
+        .sort("p_partkey")
+        .to_df()
+    )
+
+
+@register(
+    "q70_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime"),
+)
+def q70_datetime_functions(spark, sf_dir):
+    """Datetime library parity: EXTRACT, FLOOR-to-month (date_trunc),
+    TIMESTAMPADD/DIFF, LAST_DAY, FORMAT_DATE (§2.6 date/time group)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_orderkey <= 200")
+        .project(
+            "o_orderkey",
+            "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y",
+            "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m",
+            "CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d",
+            "CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q",
+            "CAST(date_part('DOY', o_orderdate) AS INT) AS doy",
+            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+            "CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30",
+            "last_day(CAST(o_orderdate AS DATE)) AS eom",
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS days_since_95",
+            "date_format(o_orderdate, 'yyyy-MM') AS ym",
+        )
+        .sort("o_orderkey")
+        .to_df()
+    )
+
+
+@register(
+    "q71_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+           IF(c_acctbal > 0, 1, 0) AS is_positive,
+           ROUND(GREATEST(c_acctbal, 0.0), 3) AS bal_clamped,
+           ROUND(LEAST(c_acctbal, 1000.0), 3) AS bal_capped
+    FROM customer WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "conditional"),
+)
+def q71_conditional_functions(spark, sf_dir):
+    """CASE/COALESCE/NULLIF/IF/GREATEST/LEAST (§2.6 special group)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("customer")
+        .filter("c_custkey <= 300")
+        .project(
+            "c_custkey",
+            "COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked",
+            "CASE WHEN c_acctbal < 0 THEN 'neg' "
+            "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier",
+            "IF(c_acctbal > 0, 1, 0) AS is_positive",
+            "ROUND(GREATEST(c_acctbal, 0.0), 3) AS bal_clamped",
+            "ROUND(LEAST(c_acctbal, 1000.0), 3) AS bal_capped",
+        )
+        .sort("c_custkey")
+        .to_df()
+    )
