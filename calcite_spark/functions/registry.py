@@ -1,0 +1,311 @@
+"""Function registry ≈ Calcite's operator tables:
+sql/fun/SqlStdOperatorTable.java (333 operators) +
+sql/fun/SqlLibraryOperators.java (270 operators, gated by
+sql/fun/SqlLibrary.java:54-91 — STANDARD, BIG_QUERY, HIVE, MYSQL,
+ORACLE, POSTGRESQL, SPARK, ...).
+
+Each entry maps a Calcite operator name to a Spark SQL expression
+template ("{0}", "{1}", ... are argument slots). Most are same-name
+passthroughs — Spark's function library is itself one of Calcite's
+dialect targets (SqlLibrary.SPARK:88) — so the interesting rows are the
+renames and emulations. `translate("LEVENSHTEIN", "a", "b")` →
+"levenshtein(a, b)" ready for selectExpr/F.expr: translation happens at
+plan-build time, execution stays fully JVM-side.
+
+UDF-backed gaps are explicitly marked kind="udf_todo" (none are needed
+by the current inventory; they are the documented small fallback list).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+STANDARD = "STANDARD"
+BIG_QUERY = "BIG_QUERY"
+HIVE = "HIVE"
+MYSQL = "MYSQL"
+ORACLE = "ORACLE"
+POSTGRESQL = "POSTGRESQL"
+SPARK = "SPARK"
+ALL = "ALL"  # available without opting into a library
+
+
+@dataclass(frozen=True)
+class FnDef:
+    name: str  # Calcite operator name (upper)
+    template: str  # Spark SQL template with {0},{1},... slots; "" = same-name
+    arity: tuple = ()  # allowed arg counts; () = variadic/any
+    libraries: tuple = (STANDARD,)
+    kind: str = "scalar"  # scalar | aggregate | window | predicate | udf_todo
+    note: str = ""
+
+
+FUNCTIONS: dict[str, FnDef] = {}
+
+
+def _reg(name, template="", arity=(), libs=(STANDARD,), kind="scalar", note=""):
+    FUNCTIONS[name.upper()] = FnDef(name.upper(), template, tuple(arity), tuple(libs), kind, note)
+
+
+def _passthrough(names, libs=(STANDARD,), kind="scalar"):
+    for n in names.split():
+        _reg(n, "", (), libs, kind)
+
+
+# ---------------------------------------------------------------------
+# Comparison / boolean / predicates (SqlStdOperatorTable AND:183
+# EQUALS:389 GREATER_THAN:402 IS_DISTINCT_FROM:415 ...)
+# ---------------------------------------------------------------------
+_reg("IS DISTINCT FROM", "NOT ({0} <=> {1})", (2,), kind="predicate")
+_reg("IS NOT DISTINCT FROM", "{0} <=> {1}", (2,), kind="predicate")
+_reg("BETWEEN", "{0} BETWEEN {1} AND {2}", (3,), kind="predicate")
+_reg("LIKE", "{0} LIKE {1}", (2,), kind="predicate")
+_reg("ILIKE", "{0} ILIKE {1}", (2,), libs=(POSTGRESQL,), kind="predicate")
+_reg("RLIKE", "{0} RLIKE {1}", (2,), libs=(SPARK, HIVE, MYSQL), kind="predicate")
+_reg(
+    "SIMILAR TO",
+    "{0} RLIKE __similar_to_regex__({1})",
+    (2,),
+    kind="predicate",
+    note="pattern translated SQL-regex→Java-regex by engine/sql macro pass",
+)
+
+# ---------------------------------------------------------------------
+# Arithmetic & checked variants (DIVIDE_INTEGER:358, CHECKED_*:312 →
+# Spark try_* family per ConvertToChecked)
+# ---------------------------------------------------------------------
+_reg("DIVIDE_INTEGER", "{0} DIV {1}", (2,))
+_reg("PERCENT_REMAINDER", "{0} % {1}", (2,))
+_reg("CHECKED_ADD", "try_add({0}, {1})", (2,))
+_reg("CHECKED_SUBTRACT", "try_subtract({0}, {1})", (2,))
+_reg("CHECKED_MULTIPLY", "try_multiply({0}, {1})", (2,))
+_reg("CHECKED_DIVIDE", "try_divide({0}, {1})", (2,))
+_reg("SAFE_CAST", "try_cast({0} AS {1})", (2,), libs=(BIG_QUERY,))
+_reg("TRY_CAST", "try_cast({0} AS {1})", (2,))
+
+# ---------------------------------------------------------------------
+# Math (POWER SQRT MOD LN LOG10 ABS trig ... RAND:345 RAND_INTEGER:340)
+# ---------------------------------------------------------------------
+_passthrough(
+    "POWER SQRT MOD LN LOG10 LOG2 ABS ACOS ACOSH ASIN ASINH ATAN ATANH ATAN2 "
+    "CBRT COS COSH COT CSC DEGREES EXP FACTORIAL PI RADIANS ROUND SEC SIGN "
+    "SIN SINH TAN TANH SIGNUM E"
+)
+_reg("TRUNCATE", "CASE WHEN {1} >= 0 THEN trunc_num({0}, {1}) END", (1, 2), note="numeric truncate")
+_reg("TRUNCATE", "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})", (2,), note="HALF_DOWN emulation; prefer F.expr('trunc')")
+_reg("RAND", "rand({0})", (0, 1))
+_reg("RAND_INTEGER", "CAST(floor(rand({0}) * {1}) AS INT)", (1, 2))
+_reg("LOG", "log({0}, {1})", (1, 2), libs=(BIG_QUERY, MYSQL))
+
+# ---------------------------------------------------------------------
+# String (std: SUBSTRING REPLACE OVERLAY TRIM POSITION CHAR_LENGTH UPPER
+# LOWER INITCAP ASCII; library: the long §2.6 list)
+# ---------------------------------------------------------------------
+_passthrough(
+    "SUBSTRING REPLACE TRIM UPPER LOWER INITCAP ASCII CONCAT LPAD RPAD LTRIM "
+    "RTRIM SPLIT REPEAT SPACE SOUNDEX LEVENSHTEIN REVERSE CHR "
+    "CONCAT_WS FORMAT_NUMBER TRANSLATE LEFT RIGHT INSTR LOCATE"
+)
+_reg("CHAR_LENGTH", "length({0})", (1,))
+_reg("CHARACTER_LENGTH", "length({0})", (1,))
+_reg("POSITION", "instr({1}, {0})", (2,), note="POSITION(x IN y) arg order")
+_reg("OVERLAY", "concat(substring({0}, 1, {2} - 1), {1}, substring({0}, {2} + {3}))", (4,))
+_reg("STRPOS", "instr({0}, {1})", (2,), libs=(POSTGRESQL, BIG_QUERY))
+_reg("SPLIT_PART", "element_at(split({0}, {1}), CAST({2} AS INT))", (3,), libs=(POSTGRESQL,))
+_reg("ENDS_WITH", "endswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
+_reg("STARTS_WITH", "startswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
+_reg("STRCMP", "CASE WHEN {0} = {1} THEN 0 WHEN {0} < {1} THEN -1 ELSE 1 END", (2,), libs=(MYSQL,))
+_reg("DIFFERENCE", "4 - levenshtein(soundex({0}), soundex({1}))", (2,), libs=(POSTGRESQL,), kind="udf_todo", note="approximation")
+_reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
+_reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
+_reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
+_reg("TO_HEX", "hex({0})", (1,), libs=(BIG_QUERY,))
+_passthrough("MD5 SHA1 SHA2 CRC32", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
+_reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
+_reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
+_reg("TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE), note="datetime form")
+_reg("PARSE_URL", "parse_url({0}, {1})", (2, 3), libs=(HIVE, SPARK))
+_reg("URL_ENCODE", "url_encode({0})", (1,), libs=(BIG_QUERY,))
+_reg("URL_DECODE", "url_decode({0})", (1,), libs=(BIG_QUERY,))
+_reg("REGEXP_CONTAINS", "{0} RLIKE {1}", (2,), libs=(BIG_QUERY,), kind="predicate")
+_reg("REGEXP_EXTRACT", "regexp_extract({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, HIVE, SPARK))
+_reg("REGEXP_EXTRACT_ALL", "regexp_extract_all({0}, {1})", (2, 3), libs=(BIG_QUERY, SPARK))
+_reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
+_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(BIG_QUERY, HIVE, MYSQL, ORACLE, POSTGRESQL, SPARK))
+_reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
+_reg("REGEXP_LIKE", "{0} RLIKE {1}", (2,), libs=(MYSQL, ORACLE, SPARK), kind="predicate")
+_reg("CONTAINS_SUBSTR", "contains({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL))
+
+# ---------------------------------------------------------------------
+# Date/time (std CURRENT_* EXTRACT FLOOR/CEIL TIMESTAMP_ADD/DIFF
+# LAST_DAY; library DATE_* UNIX_* CONVERT_TIMEZONE ...)
+# ---------------------------------------------------------------------
+_passthrough(
+    "CURRENT_DATE CURRENT_TIMESTAMP LOCALTIMESTAMP EXTRACT LAST_DAY "
+    "TO_DATE TO_TIMESTAMP ADD_MONTHS NOW YEAR QUARTER MONTH DAY HOUR MINUTE "
+    "SECOND DAYOFWEEK DAYOFYEAR WEEKOFYEAR"
+)
+_reg("LOCALTIME", "current_timestamp()", (0,), note="no TIME type (SURVEY §1.2)")
+_reg("FLOOR", "CASE_DATE_OR_NUM", (1, 2), note="FLOOR(dt TO unit) → date_trunc(unit, dt); numeric → floor")
+_reg("CEIL", "CASE_DATE_OR_NUM", (1, 2), note="CEIL(dt TO unit) → date_trunc + interval")
+_reg("TIMESTAMPADD", "timestampadd({0}, {1}, {2})", (3,))
+_reg("TIMESTAMPDIFF", "timestampdiff({0}, {1}, {2})", (3,))
+_reg("DATE_ADD", "date_add({0}, {1})", (2,), libs=(SPARK, HIVE), note="Calcite DATE_ADD_SPARK models exactly this")
+_reg("DATE_SUB", "date_sub({0}, {1})", (2,), libs=(SPARK, HIVE))
+_reg("DATEDIFF", "datediff({0}, {1})", (2,), libs=(SPARK, HIVE, MYSQL))
+_reg("DATE_DIFF", "datediff({1}, {0})", (2, 3), libs=(BIG_QUERY,))
+_reg("DATE_TRUNC", "date_trunc({0}, {1})", (2,), libs=(BIG_QUERY, POSTGRESQL))
+_reg("DATE_PART", "date_part({0}, {1})", (2,), libs=(POSTGRESQL,))
+_reg("MONTHNAME", "date_format({0}, 'MMMM')", (1,), libs=(MYSQL,))
+_reg("DAYNAME", "date_format({0}, 'EEEE')", (1,), libs=(MYSQL,))
+_reg("FORMAT_DATE", "date_format({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("FORMAT_TIMESTAMP", "date_format({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("PARSE_DATE", "to_date({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("PARSE_TIMESTAMP", "to_timestamp({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("UNIX_SECONDS", "unix_seconds({0})", (1,), libs=(BIG_QUERY,))
+_reg("UNIX_MILLIS", "unix_millis({0})", (1,), libs=(BIG_QUERY,))
+_reg("UNIX_MICROS", "unix_micros({0})", (1,), libs=(BIG_QUERY,))
+_reg("UNIX_DATE", "unix_date({0})", (1,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_SECONDS", "timestamp_seconds({0})", (1,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY,))
+_reg("CONVERT_TIMEZONE", "convert_timezone({0}, {1}, {2})", (2, 3), libs=(POSTGRESQL,))
+_reg("SYSDATE", "current_timestamp()", (0,), libs=(ORACLE,))
+_reg("AGE", "make_interval(0, months_between({0}, {1}))", (2,), libs=(POSTGRESQL,), kind="udf_todo", note="approximation")
+
+# ---------------------------------------------------------------------
+# Array / map / collection (§2.6 + MULTISET std :143-178)
+# ---------------------------------------------------------------------
+_passthrough(
+    "ARRAY MAP ARRAY_APPEND ARRAY_COMPACT ARRAY_CONTAINS ARRAY_DISTINCT "
+    "ARRAY_EXCEPT ARRAY_INSERT ARRAY_INTERSECT ARRAY_JOIN ARRAY_MAX ARRAY_MIN "
+    "ARRAY_POSITION ARRAY_PREPEND ARRAY_REMOVE ARRAY_REPEAT ARRAY_SIZE "
+    "ARRAY_UNION ARRAYS_OVERLAP ARRAYS_ZIP SORT_ARRAY MAP_CONCAT MAP_ENTRIES "
+    "MAP_KEYS MAP_VALUES MAP_CONTAINS_KEY MAP_FROM_ARRAYS MAP_FROM_ENTRIES "
+    "STR_TO_MAP ELEMENT_AT FLATTEN SLICE SEQUENCE SHUFFLE",
+    libs=(BIG_QUERY, HIVE, SPARK),
+)
+_reg("ARRAY_CONCAT", "concat({0}, {1})", (), libs=(BIG_QUERY,))
+_reg("ARRAY_LENGTH", "size({0})", (1,), libs=(BIG_QUERY,))
+_reg("ARRAY_REVERSE", "reverse({0})", (1,), libs=(BIG_QUERY,))
+_reg("ARRAY_SLICE", "slice({0}, {1}, {2})", (3,), libs=(BIG_QUERY,))
+_reg("ARRAY_TO_STRING", "array_join({0}, {1})", (2, 3), libs=(BIG_QUERY,))
+_reg("CARDINALITY", "size({0})", (1,))
+_reg("ELEMENT", "CASE WHEN size({0}) = 1 THEN element_at({0}, 1) END", (1,), note="SINGLE-element multiset extract; null if not singleton (Calcite raises)")
+_reg("MEMBER OF", "array_contains({1}, {0})", (2,), kind="predicate")
+_reg("MULTISET_UNION", "concat({0}, {1})", (2,), note="bag union = concat")
+_reg(
+    "MULTISET_INTERSECT",
+    "array_remove(transform({0}, x -> CASE WHEN array_contains({1}, x) THEN x END), NULL)",
+    (2,),
+    note="bag intersect approximation (set-correct; bag counts need expr macro)",
+)
+_reg("MULTISET_EXCEPT", "array_except({0}, {1})", (2,), note="set semantics; bag variant via macro")
+_reg("ITEM", "element_at({0}, {1})", (2,))
+_reg("OFFSET", "element_at({0}, {1} + 1)", (2,), libs=(BIG_QUERY,), note="0-based")
+_reg("ORDINAL", "element_at({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_OFFSET", "try_element_at({0}, {1} + 1)", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_ORDINAL", "try_element_at({0}, {1})", (2,), libs=(BIG_QUERY,))
+
+# Higher-order lambdas (rex/RexLambda.java:35; lambda.iq)
+_passthrough("TRANSFORM FILTER EXISTS AGGREGATE REDUCE ZIP_WITH", libs=(SPARK,))
+
+# ---------------------------------------------------------------------
+# JSON (std table JSON_EXISTS:1653 .. JSON_REPLACE:1694, IS JSON :887)
+# ---------------------------------------------------------------------
+_reg("JSON_VALUE", "get_json_object({0}, {1})", (2,), note="lax scalar path")
+_reg("JSON_QUERY", "get_json_object({0}, {1})", (2,), note="fragment extraction; strict-mode shim TODO")
+_reg("JSON_EXISTS", "get_json_object({0}, {1}) IS NOT NULL", (2,), kind="predicate")
+_reg("JSON_OBJECT", "to_json(map({0}, {1}))", (), note="n-ary KEY VALUE pairs via macro")
+_reg("JSON_ARRAY", "to_json(array({0}))", ())
+_reg("JSON_LENGTH", "json_array_length({0})", (1, 2))
+_reg("JSON_KEYS", "json_object_keys({0})", (1, 2))
+_reg("JSON_TYPE", "CASE WHEN {0} IS NULL THEN NULL WHEN left(trim({0}), 1) = '{{' THEN 'OBJECT' WHEN left(trim({0}), 1) = '[' THEN 'ARRAY' ELSE 'SCALAR' END", (1,), kind="udf_todo", note="coarse")
+_reg("JSON_PRETTY", "", (1,), kind="udf_todo", note="no Spark builtin; Pandas-UDF fallback")
+_reg("JSON_DEPTH", "", (1,), kind="udf_todo")
+_reg("JSON_REMOVE", "", (), kind="udf_todo")
+_reg("JSON_STORAGE_SIZE", "length({0})", (1,), note="byte-length proxy")
+_reg("IS JSON VALUE", "get_json_object({0}, '$') IS NOT NULL OR from_json({0}, 'string') IS NOT NULL", (1,), kind="predicate", note="lax check")
+
+# ---------------------------------------------------------------------
+# Casts / special (CASE COALESCE NULLIF GREATEST LEAST DECODE NVL IF ...)
+# ---------------------------------------------------------------------
+_passthrough("COALESCE NULLIF GREATEST LEAST NVL NVL2 IF IFNULL ISNULL")
+_reg("DECODE", "decode({0})", (), libs=(ORACLE, SPARK), note="Spark decode matches Oracle DECODE chain")
+_reg("CAST", "CAST({0} AS {1})", (2,))
+_reg("FORMAT", "format_string({0}, {1})", (), libs=(MYSQL,))
+
+# ---------------------------------------------------------------------
+# Aggregates (§2.4 table) — registered for name resolution + docs; the
+# Aggregate IR node takes them as SQL strings directly
+# ---------------------------------------------------------------------
+_passthrough(
+    "COUNT SUM MIN MAX AVG STDDEV_POP STDDEV_SAMP STDDEV VAR_POP VAR_SAMP "
+    "VARIANCE COVAR_POP COVAR_SAMP CORR REGR_COUNT REGR_SXX REGR_SYY "
+    "BIT_AND BIT_OR BIT_XOR ANY_VALUE FIRST_VALUE LAST_VALUE NTH_VALUE "
+    "LEAD LAG NTILE MODE APPROX_COUNT_DISTINCT BOOL_AND BOOL_OR MAX_BY "
+    "MIN_BY COUNT_IF HISTOGRAM PERCENTILE_APPROX MEDIAN GROUPING GROUPING_ID "
+    "COLLECT_LIST COLLECT_SET KURTOSIS SKEWNESS",
+    kind="aggregate",
+)
+_reg("SUM0", "coalesce(sum({0}), 0)", (1,), kind="aggregate")
+_reg("ARG_MAX", "max_by({0}, {1})", (2,), kind="aggregate")
+_reg("ARG_MIN", "min_by({0}, {1})", (2,), kind="aggregate")
+_reg("EVERY", "bool_and({0})", (1,), kind="aggregate")
+_reg("SOME", "bool_or({0})", (1,), kind="aggregate")
+_reg("SINGLE_VALUE", "CASE WHEN count(*) = 1 THEN any_value({0}) END", (1,), kind="aggregate", note="runtime cardinality assert via macro")
+_reg("COLLECT", "collect_list({0})", (1,), kind="aggregate")
+_reg("FUSION", "flatten(collect_list({0}))", (1,), kind="aggregate")
+_reg("INTERSECTION", "aggregate(collect_list({0}), NULL, (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE array_intersect(acc, x) END)", (1,), kind="aggregate")
+_reg("LISTAGG", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), kind="aggregate", note="WITHIN GROUP default = value order")
+_reg("STRING_AGG", "concat_ws({1}, array_sort(collect_list({0})))", (2,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
+_reg("GROUP_CONCAT", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), libs=(MYSQL,), kind="aggregate")
+_reg("ARRAY_AGG", "collect_list({0})", (1,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
+_reg("ARRAY_CONCAT_AGG", "flatten(collect_list({0}))", (1,), libs=(BIG_QUERY,), kind="aggregate")
+_reg("COUNTIF", "count_if({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
+_reg("LOGICAL_AND", "bool_and({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
+_reg("LOGICAL_OR", "bool_or({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
+_reg("PERCENTILE_CONT", "percentile({0}, {1})", (2,), kind="aggregate", note="WITHIN GROUP order encoded in arg")
+_reg("PERCENTILE_DISC", "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})", (2,), kind="aggregate")
+_reg("BITAND_AGG", "bit_and({0})", (1,), libs=(ORACLE,), kind="aggregate")
+_reg("BITOR_AGG", "bit_or({0})", (1,), libs=(ORACLE,), kind="aggregate")
+_reg("JSON_OBJECTAGG", "to_json(map_from_entries(collect_list(struct({0}, {1}))))", (2,), kind="aggregate")
+_reg("JSON_ARRAYAGG", "to_json(collect_list({0}))", (1,), kind="aggregate")
+_reg("GROUP_ID", "0", (0,), kind="aggregate", note="no Spark equivalent; dedup of duplicate grouping sets at IR layer (SURVEY §2.4)")
+
+# Ranking / window-only (§2.5)
+_passthrough("RANK DENSE_RANK ROW_NUMBER PERCENT_RANK CUME_DIST", kind="window")
+
+
+# ---------------------------------------------------------------------
+# API
+# ---------------------------------------------------------------------
+
+
+def lookup(name: str, library: str | None = None) -> FnDef | None:
+    fn = FUNCTIONS.get(name.upper())
+    if fn is None:
+        return None
+    if library and library != ALL and library not in fn.libraries and STANDARD not in fn.libraries:
+        return None
+    return fn
+
+
+def libraries() -> set[str]:
+    return {lib for fn in FUNCTIONS.values() for lib in fn.libraries}
+
+
+def translate(name: str, *args: str, library: str | None = None) -> str:
+    """Calcite operator call → Spark SQL expression string."""
+    fn = lookup(name, library)
+    if fn is None:
+        raise KeyError(f"unknown function {name!r}")
+    if fn.arity and len(args) not in fn.arity:
+        raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
+    if not fn.template:
+        return f"{name.lower()}({', '.join(args)})"
+    out = fn.template
+    for i, a in enumerate(args):
+        out = out.replace("{" + str(i) + "}", a)
+    return out

@@ -1,0 +1,138 @@
+"""Function-registry tests ≈ Calcite's SqlOperatorTest (18,640 LoC,
+testkit/.../SqlOperatorTest.java): every translated operator must parse
+and evaluate in Spark; a cross-engine subset is value-checked against
+DuckDB on the same literal arguments.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from calcite_spark.functions import registry
+
+# (calcite_name, args, duckdb_expr or None) — duckdb_expr None → Spark
+# evaluation smoke only (semantics engine-specific or syntax differs).
+CASES = [
+    ("CHAR_LENGTH", ["'hello'"], "length('hello')"),
+    ("POSITION", ["'ll'", "'hello'"], "position('ll' IN 'hello')"),
+    ("OVERLAY", ["'abcdef'", "'XY'", "3", "2"], "'abXYef'"),
+    ("STRPOS", ["'hello'", "'l'"], "strpos('hello', 'l')"),
+    ("SPLIT_PART", ["'a,b,c'", "','", "2"], "split_part('a,b,c', ',', 2)"),
+    ("ENDS_WITH", ["'hello'", "'lo'"], "ends_with('hello', 'lo')"),
+    ("STARTS_WITH", ["'hello'", "'he'"], "starts_with('hello', 'he')"),
+    ("FROM_BASE64", ["'aGk='"], "CAST(from_base64('aGk=') AS BLOB)"),
+    ("TO_BASE64", ["CAST('hi' AS BINARY)"], "to_base64(CAST('hi' AS BLOB))"),
+    ("TO_HEX", ["255"], None),
+    ("MD5", ["'abc'"], "md5('abc')"),
+    ("SHA256", ["'abc'"], "sha256('abc')"),
+    ("REGEXP_REPLACE", ["'a1b2'", "'[0-9]'", "'#'"], "regexp_replace('a1b2', '[0-9]', '#', 'g')"),
+    ("REGEXP_EXTRACT", ["'a1b22'", "'([0-9]+)'", "1"], None),
+    ("REGEXP_CONTAINS", ["'a1'", "'[0-9]'"], "regexp_matches('a1', '[0-9]')"),
+    ("TRANSLATE3", ["'abc'", "'ab'", "'xy'"], "translate('abc', 'ab', 'xy')"),
+    ("REVERSE", ["'abc'"], "reverse('abc')"),
+    ("LEVENSHTEIN", ["'kitten'", "'sitting'"], "levenshtein('kitten', 'sitting')"),
+    ("DIVIDE_INTEGER", ["7", "2"], "7 // 2"),
+    ("PERCENT_REMAINDER", ["7", "3"], "7 % 3"),
+    ("CHECKED_DIVIDE", ["10", "2"], "10 / 2"),
+    ("MOD", ["7", "3"], "mod(7, 3)"),
+    ("POWER", ["2", "10"], "power(2, 10)"),
+    ("SQRT", ["16.0"], "sqrt(16.0)"),
+    ("LN", ["2.718281828459045"], "ln(2.718281828459045)"),
+    ("LOG10", ["100.0"], "log10(100.0)"),
+    ("ABS", ["-3"], "abs(-3)"),
+    ("ATAN2", ["1.0", "1.0"], "atan2(1.0, 1.0)"),
+    ("CBRT", ["27.0"], "cbrt(27.0)"),
+    ("DEGREES", ["3.141592653589793"], "degrees(3.141592653589793)"),
+    ("RADIANS", ["180.0"], "radians(180.0)"),
+    ("EXP", ["1.0"], "exp(1.0)"),
+    ("SIGN", ["-5.0"], "sign(-5.0)"),
+    ("RAND_INTEGER", ["42", "10"], None),
+    ("TIMESTAMPADD", ["DAY", "3", "TIMESTAMP '2024-01-01 00:00:00'"], None),
+    ("TIMESTAMPDIFF", ["DAY", "TIMESTAMP '2024-01-01 00:00:00'", "TIMESTAMP '2024-01-11 00:00:00'"], None),
+    ("DATE_ADD", ["DATE '2024-01-01'", "30"], "CAST(DATE '2024-01-01' + 30 AS DATE)"),
+    ("DATEDIFF", ["DATE '2024-02-01'", "DATE '2024-01-01'"], "datediff('day', DATE '2024-01-01', DATE '2024-02-01')"),
+    ("DATE_TRUNC", ["'month'", "TIMESTAMP '2024-03-15 10:30:00'"], "CAST(date_trunc('month', TIMESTAMP '2024-03-15 10:30:00') AS TIMESTAMP)"),
+    ("MONTHNAME", ["DATE '2024-03-15'"], "monthname(DATE '2024-03-15')"),
+    ("DAYNAME", ["DATE '2024-03-15'"], "dayname(DATE '2024-03-15')"),
+    ("LAST_DAY", ["DATE '2024-02-05'"], "last_day(DATE '2024-02-05')"),
+    ("UNIX_SECONDS", ["TIMESTAMP '2024-01-01 00:00:00'"], None),
+    ("TIMESTAMP_SECONDS", ["1704067200"], None),
+    ("FORMAT_DATE", ["'yyyy-MM'", "DATE '2024-03-15'"], None),
+    ("CARDINALITY", ["array(1, 2, 3)"], "len([1, 2, 3])"),
+    ("ARRAY_LENGTH", ["array(1, 2)"], "array_length([1, 2])"),
+    ("ARRAY_TO_STRING", ["array('a', 'b')", "','"], "array_to_string(['a', 'b'], ',')"),
+    ("ITEM", ["array(10, 20)", "2"], "([10, 20])[2]"),
+    ("OFFSET", ["array(10, 20)", "0"], "([10, 20])[1]"),
+    ("SAFE_OFFSET", ["array(10, 20)", "9"], "NULL"),
+    ("MEMBER OF", ["20", "array(10, 20)"], "list_contains([10, 20], 20)"),
+    ("MULTISET_UNION", ["array(1, 2)", "array(2, 3)"], "list_concat([1, 2], [2, 3])"),
+    ("MULTISET_EXCEPT", ["array(1, 2)", "array(2)"], "[1]"),
+    ("ELEMENT", ["array(7)"], "7"),
+    ("JSON_VALUE", ["'{\"a\": 5}'", "'$.a'"], "json_extract_string('{\"a\": 5}', '$.a')"),
+    ("JSON_EXISTS", ["'{\"a\": 5}'", "'$.a'"], "TRUE"),
+    ("JSON_LENGTH", ["'[1, 2, 3]'"], "json_array_length('[1, 2, 3]')"),
+    ("SAFE_CAST", ["'xx'", "INT"], "try_cast('xx' AS INT)"),
+    ("TRY_CAST", ["'12'", "INT"], "try_cast('12' AS INT)"),
+    ("NULLIF", ["3", "3"], "nullif(3, 3)"),
+    ("COALESCE", ["NULL", "7"], "coalesce(NULL, 7)"),
+    ("GREATEST", ["1", "9", "4"], "greatest(1, 9, 4)"),
+    ("LEAST", ["1", "9", "4"], "least(1, 9, 4)"),
+    ("NVL", ["NULL", "5"], "coalesce(NULL, 5)"),
+    ("IS DISTINCT FROM", ["NULL", "1"], "NULL IS DISTINCT FROM 1"),
+    ("IS NOT DISTINCT FROM", ["NULL", "NULL"], "NULL IS NOT DISTINCT FROM NULL"),
+    ("STRCMP", ["'a'", "'b'"], "-1"),
+    ("INITCAP", ["'hello world'"], "'Hello World'"),
+    ("SOUNDEX", ["'Robert'"], "'R163'"),
+    ("LPAD", ["'5'", "3", "'0'"], "lpad('5', 3, '0')"),
+    ("CONCAT_WS", ["'-'", "'a'", "'b'"], "concat_ws('-', 'a', 'b')"),
+    ("CHR", ["65"], "chr(65)"),
+    ("ASCII", ["'A'"], "ascii('A')"),
+    ("REPEAT", ["'ab'", "3"], "repeat('ab', 3)"),
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9) if not math.isnan(v) else "NaN"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+@pytest.mark.parametrize("name,args,duck_expr", CASES, ids=[c[0] for c in CASES])
+def test_function_translation(name, args, duck_expr, spark, duck):
+    expr = registry.translate(name, *args)
+    row = spark.sql(f"SELECT {expr} AS v").collect()
+    assert len(row) == 1
+    if duck_expr is not None:
+        expected = duck.sql(f"SELECT {duck_expr} AS v").fetchall()[0][0]
+        assert _norm(row[0][0]) == _norm(expected), f"{name}: spark={row[0][0]!r} duck={expected!r}"
+
+
+def test_registry_coverage():
+    """The registry must cover the headline operator groups of
+    SqlStdOperatorTable + SqlLibraryOperators (SURVEY §2.4-2.6)."""
+    assert len(registry.FUNCTIONS) >= 200
+    libs = registry.libraries()
+    for lib in ("STANDARD", "BIG_QUERY", "SPARK", "POSTGRESQL", "MYSQL", "ORACLE", "HIVE"):
+        assert lib in libs
+    # dialect gating: ILIKE is POSTGRESQL-only
+    assert registry.lookup("ILIKE", "POSTGRESQL") is not None
+    assert registry.lookup("ILIKE", "BIG_QUERY") is None
+    # unknown name
+    assert registry.lookup("NO_SUCH_FN") is None
+
+
+def test_udf_todo_list_is_small():
+    todos = [f.name for f in registry.FUNCTIONS.values() if f.kind == "udf_todo"]
+    assert len(todos) <= 10, f"UDF fallback list grew: {todos}"
