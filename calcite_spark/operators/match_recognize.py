@@ -1,0 +1,359 @@
+"""MATCH_RECOGNIZE ≈ rel/core/Match.java:62 + EnumerableMatch.java:68
+(pattern :66, patternDefinitions :71, measures :65, after :70,
+partitionKeys :75, orderKeys :76; spec tests core/src/test/resources/
+sql/match.iq).
+
+Spark has no row-pattern matching, so this is the §7.4 "custom" tier:
+
+1. **Symbol classification stays in Spark (JVM)**: each DEFINE
+   condition becomes a boolean column; `PREV(col, n)` / `NEXT(col, n)`
+   references are rewritten to `lag/lead(col, n)` window columns over
+   (PARTITION BY keys ORDER BY order keys). 100 TB note: this is one
+   window shuffle — the same cost class as any windowed aggregate.
+2. **The NFA runs per partition-key group in `applyInPandas`**: the
+   pandas worker sees only (order keys, measure inputs, k boolean
+   symbol columns), walks a Thompson NFA with greedy quantifiers, and
+   emits one row per match (ONE ROW PER MATCH). State is bounded by the
+   pattern, rows stream in order — memory per group is O(longest
+   match), not O(group).
+
+Supported surface (v1): concatenation, alternation `|`, grouping
+`(...)`, quantifiers `* + ? {m} {m,} {m,n}` (greedy); DEFINE with
+PREV/NEXT; AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW; measures
+FIRST(S.col) LAST(S.col) COUNT(S.*) COUNT(*) and bare S.col (≡ LAST).
+Unbounded streaming patterns are out of scope v1 (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------
+# Pattern → NFA (Thompson construction)
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class _NFA:
+    # transitions: state -> list[(symbol|None, next_state)]; None = epsilon
+    transitions: dict = field(default_factory=dict)
+    start: int = 0
+    accept: int = 1
+
+
+def _tokenize(pattern: str):
+    return re.findall(r"[A-Za-z_][A-Za-z_0-9]*|\{\d*,?\d*\}|[()|*+?]", pattern)
+
+
+class _PatternParser:
+    """Recursive-descent: alt := seq ('|' seq)*; seq := rep+;
+    rep := atom ('*'|'+'|'?'|'{m,n}')?; atom := SYMBOL | '(' alt ')'."""
+
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+        self.n_states = 0
+        self.trans: dict[int, list] = {}
+
+    def _state(self):
+        s = self.n_states
+        self.n_states += 1
+        self.trans[s] = []
+        return s
+
+    def _edge(self, a, b, sym=None):
+        self.trans[a].append((sym, b))
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self, tok=None):
+        t = self.peek()
+        if tok and t != tok:
+            raise ValueError(f"pattern: expected {tok}, got {t}")
+        self.i += 1
+        return t
+
+    def parse(self):
+        s, e = self.alt()
+        if self.peek() is not None:
+            raise ValueError(f"pattern: trailing {self.peek()}")
+        nfa = _NFA(self.trans, s, e)
+        return nfa
+
+    def alt(self):
+        frags = [self.seq()]
+        while self.peek() == "|":
+            self.eat("|")
+            frags.append(self.seq())
+        if len(frags) == 1:
+            return frags[0]
+        s, e = self._state(), self._state()
+        for fs, fe in frags:
+            self._edge(s, fs)
+            self._edge(fe, e)
+        return s, e
+
+    def seq(self):
+        frags = []
+        while self.peek() is not None and self.peek() not in ")|":
+            frags.append(self.rep())
+        if not frags:
+            s = self._state()
+            return s, s
+        for (a_s, a_e), (b_s, b_e) in zip(frags, frags[1:]):
+            self._edge(a_e, b_s)
+        return frags[0][0], frags[-1][1]
+
+    def rep(self):
+        frag = self.atom()
+        t = self.peek()
+        if t in ("*", "+", "?"):
+            self.eat()
+            s, e = self._state(), self._state()
+            fs, fe = frag
+            self._edge(s, fs)
+            self._edge(fe, e)
+            if t in ("*", "?"):
+                self._edge(s, e)
+            if t in ("*", "+"):
+                self._edge(fe, fs)
+            return s, e
+        if t and t.startswith("{"):
+            self.eat()
+            m = re.match(r"\{(\d*)(,)?(\d*)\}", t)
+            lo = int(m.group(1) or 0)
+            hi = int(m.group(3)) if m.group(3) else (lo if not m.group(2) else None)
+            return self._repeat(frag, lo, hi)
+        return frag
+
+    def _clone(self, frag):
+        (fs, fe) = frag
+        mapping = {}
+
+        def get(s):
+            if s not in mapping:
+                mapping[s] = self._state()
+            return mapping[s]
+
+        stack, seen = [fs], set()
+        while stack:
+            s = stack.pop()
+            if s in seen:
+                continue
+            seen.add(s)
+            for sym, nxt in list(self.trans[s]):
+                self._edge(get(s), get(nxt), sym)
+                stack.append(nxt)
+        return get(fs), get(fe)
+
+    def _repeat(self, frag, lo, hi):
+        s = self._state()
+        cur = s
+        for _ in range(lo):
+            fs, fe = self._clone(frag)
+            self._edge(cur, fs)
+            cur = fe
+        e = self._state()
+        if hi is None:  # {m,} — loop on last clone
+            fs, fe = self._clone(frag)
+            self._edge(cur, fs)
+            self._edge(fe, fs)
+            self._edge(fe, e)
+            self._edge(cur, e)
+        else:
+            self._edge(cur, e)
+            for _ in range(hi - lo):
+                fs, fe = self._clone(frag)
+                self._edge(cur, fs)
+                cur = fe
+                self._edge(cur, e)
+        return s, e
+
+    def atom(self):
+        t = self.peek()
+        if t == "(":
+            self.eat("(")
+            frag = self.alt()
+            self.eat(")")
+            return frag
+        if t and re.match(r"^[A-Za-z_]", t):
+            self.eat()
+            s, e = self._state(), self._state()
+            self._edge(s, e, t.upper())
+            return s, e
+        raise ValueError(f"pattern: unexpected {t}")
+
+
+def compile_pattern(pattern: str) -> tuple[_NFA, list[str]]:
+    toks = _tokenize(pattern)
+    symbols = sorted({t.upper() for t in toks if re.match(r"^[A-Za-z_]", t)})
+    return _PatternParser(toks).parse(), symbols
+
+
+# ---------------------------------------------------------------------
+# Greedy longest-match walk over a boolean symbol matrix
+# ---------------------------------------------------------------------
+
+
+def _eps_closure(nfa: _NFA, states: set) -> set:
+    out = set(states)
+    stack = list(states)
+    while stack:
+        s = stack.pop()
+        for sym, nxt in nfa.transitions.get(s, ()):
+            if sym is None and nxt not in out:
+                out.add(nxt)
+                stack.append(nxt)
+    return out
+
+
+def _longest_match(nfa: _NFA, rows_syms, start: int):
+    """Greedy: longest match starting at `start`; returns (end_exclusive,
+    classifier list) or None. rows_syms[i] = set of symbols true on row i."""
+    states = _eps_closure(nfa, {nfa.start})
+    best = None
+    path: list[str] = []
+    # track per-state the classifier path (first-come wins — adequate for
+    # deterministic DEFINE predicates)
+    state_paths = {s: [] for s in states}
+    if nfa.accept in states and best is None:
+        best = (start, [])
+    i = start
+    while i < len(rows_syms) and states:
+        nxt_paths: dict[int, list] = {}
+        for s in states:
+            for sym, nxt in nfa.transitions.get(s, ()):
+                if sym is not None and sym in rows_syms[i]:
+                    cand = state_paths[s] + [sym]
+                    for t in _eps_closure(nfa, {nxt}):
+                        if t not in nxt_paths:
+                            nxt_paths[t] = cand
+        states = set(nxt_paths)
+        state_paths = nxt_paths
+        i += 1
+        if nfa.accept in states:
+            best = (i, state_paths[nfa.accept])
+    return best
+
+
+# ---------------------------------------------------------------------
+# Public operator
+# ---------------------------------------------------------------------
+
+_PREV_RE = re.compile(r"(PREV|NEXT)\s*\(\s*(?:[A-Za-z_]\w*\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)", re.I)
+_MEASURE_RE = re.compile(
+    r"^(?:(FIRST|LAST|COUNT)\s*\(\s*)?(?:([A-Za-z_]\w*)\.)?(\w+|\*)\s*\)?\s*$", re.I
+)
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: str,
+    define: dict[str, str],
+    measures: dict[str, str],
+    after_match: str = "SKIP PAST LAST ROW",
+    schema_hints: dict[str, str] | None = None,
+) -> DataFrame:
+    """One row per match. measures: out_name -> measure expr (FIRST/LAST/
+    COUNT over symbol columns or bare col). DEFINE exprs are Spark SQL
+    over the row, PREV(col[, n]) / NEXT(col[, n]) allowed."""
+    nfa, symbols = compile_pattern(pattern)
+    for s in symbols:
+        if s not in {k.upper() for k in define}:
+            define = {**define, s: "true"}  # undefined symbol matches any row
+
+    # 1) rewrite PREV/NEXT to lag/lead helper columns, classify in Spark
+    over = (
+        f"OVER (PARTITION BY {', '.join(partition_by)} ORDER BY {', '.join(order_by)})"
+        if partition_by
+        else f"OVER (ORDER BY {', '.join(order_by)})"
+    )
+    helper_cols: dict[str, str] = {}
+
+    def rewrite(cond: str) -> str:
+        def sub(m):
+            fn, col, off = m.group(1).lower(), m.group(2), m.group(3) or "1"
+            fn = "lag" if fn == "prev" else "lead"
+            name = f"__{fn}_{col}_{off}"
+            helper_cols[name] = f"{fn}({col}, {off}) {over}"
+            return name
+
+        return _PREV_RE.sub(sub, cond)
+
+    sym_exprs = {s.upper(): rewrite(c) for s, c in define.items()}
+    work = df
+    for name, expr in helper_cols.items():
+        work = work.selectExpr("*", f"{expr} AS {name}")
+    for s in symbols:
+        work = work.selectExpr("*", f"coalesce(CAST(({sym_exprs[s]}) AS BOOLEAN), false) AS __sym_{s}")
+
+    # 2) parse measures
+    parsed = []
+    in_dtypes = dict(df.dtypes)
+    out_fields = []
+    for out_name, mexpr in measures.items():
+        m = _MEASURE_RE.match(mexpr.strip())
+        if not m:
+            raise ValueError(f"unsupported measure: {mexpr}")
+        fn = (m.group(1) or "LAST").upper()
+        sym = m.group(2).upper() if m.group(2) else None
+        col = m.group(3)
+        parsed.append((out_name, fn, sym, col))
+        if fn == "COUNT":
+            out_fields.append(f"{out_name} bigint")
+        else:
+            out_fields.append(f"{out_name} {in_dtypes[col]}")
+    part_fields = ", ".join(f"{k} {in_dtypes[k]}" for k in partition_by)
+    out_schema = (part_fields + ", " if part_fields else "") + ", ".join(
+        ["match_seq bigint"] + out_fields
+    )
+    skip_past = "PAST" in after_match.upper()
+    order_cols = [o.split()[0] for o in order_by]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        syms_per_row = [
+            {s for s in symbols if row[f"__sym_{s}"]} for _, row in pdf.iterrows()
+        ]
+        out_rows = []
+        i, seq = 0, 0
+        n = len(pdf)
+        while i < n:
+            hit = _longest_match(nfa, syms_per_row, i)
+            if hit is None or hit[0] == i:  # no/empty match here
+                i += 1
+                continue
+            end, classifiers = hit
+            seq += 1
+            rows = pdf.iloc[i:end]
+            rec = {k: pdf.iloc[i][k] for k in partition_by}
+            rec["match_seq"] = seq
+            for out_name, fn, sym, col in parsed:
+                idxs = (
+                    [j for j, c in enumerate(classifiers) if c == sym]
+                    if sym
+                    else list(range(len(rows)))
+                )
+                if fn == "COUNT":
+                    rec[out_name] = len(idxs)
+                elif not idxs:
+                    rec[out_name] = None
+                elif fn == "FIRST":
+                    rec[out_name] = rows.iloc[idxs[0]][col]
+                else:  # LAST / bare
+                    rec[out_name] = rows.iloc[idxs[-1]][col]
+            out_rows.append(rec)
+            i = end if skip_past else i + 1
+        cols = [c.split()[0] for c in out_schema.split(", ")]
+        return pd.DataFrame(out_rows, columns=cols)
+
+    grouped = work.groupBy(*partition_by) if partition_by else work.groupBy(F.lit(1))
+    return grouped.applyInPandas(run_group, schema=out_schema)

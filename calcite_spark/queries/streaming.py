@@ -217,3 +217,38 @@ def q44_snapshot(spark, sf_dir):
         .sort("o_custkey")
         .to_df()
     )
+
+
+@register(
+    "q45_match_recognize",
+    oracle=None,  # row-pattern NFA semantics aren't SQL-expressible in DuckDB
+    tags=("match_recognize",),
+)
+def q45_match_recognize(spark, sf_dir):
+    """MATCH_RECOGNIZE (rel/core/Match.java:62): per-user V-shape on
+    event value (STRT DOWN+ UP+ over ts order) — symbol classification
+    in JVM window exprs, NFA per user via applyInPandas
+    (operators/match_recognize.py)."""
+    from calcite_spark.operators.match_recognize import match_recognize
+
+    cat = catalog_for(spark, sf_dir)
+    events = cat.table("events").filter("user_id <= 200").selectExpr(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="STRT DOWN{2,} UP{2,}",
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        measures={
+            "start_event": "FIRST(STRT.event_id)",
+            "bottom_value": "LAST(DOWN.value)",
+            "end_event": "LAST(UP.event_id)",
+            "n_rows": "COUNT(*)",
+        },
+    )
+    return out.orderBy("user_id", "match_seq")
