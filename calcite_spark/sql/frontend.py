@@ -1,0 +1,221 @@
+"""SQL front end ≈ the §3.1 lifecycle: Calcite parses SQL with a 9,833-
+line JavaCC grammar (core/src/main/codegen/templates/Parser.jj) into
+SqlNode, validates (SqlValidatorImpl.java:1158) and converts
+(SqlToRelConverter.java:622). Spark's parser+analyzer already does all
+of that for standard SQL — so our front end is a *macro-expansion pass*:
+Calcite-only syntax is rewritten into plain Spark SQL (or routed to the
+custom operators), then `spark.sql` runs the result. Stages are exposed
+like Calcite's Hook points: `parse()` returns the expanded text,
+`sql()` executes it.
+
+Handled constructs (each cites the reference grammar feature):
+  * SELECT STREAM ...            → streaming scan (rel/stream/Delta.java:38):
+                                    table refs become readStream sources
+  * FOR SYSTEM_TIME AS OF t      → Snapshot (rel/core/Snapshot.java:53)
+                                    over a registered temporal table
+  * TABLE(TUMBLE/HOP/SESSION(...)) → window TVFs (SqlTumbleTableFunction
+                                    etc.) → streaming/tvf.py column form
+  * x SIMILAR TO p               → SQL-regex → Java-regex RLIKE
+                                    (runtime/SqlFunctions.similar)
+  * Library function names       → functions/registry translation is
+                                    available to callers via translate()
+Everything else passes through verbatim to Spark SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------
+# SIMILAR TO — SQL regex to Java regex (≈ runtime/SqlFunctions.java
+# similar(); SQL spec: % = any string, _ = any char, full regex syntax
+# for the rest with [], |, *, +, ?, {n,m})
+# ---------------------------------------------------------------------
+
+
+def similar_to_regex(pattern: str) -> str:
+    out = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            out.append(c)
+            in_class = True
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in ".\\^$":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^(" + "".join(out) + ")$"
+
+
+_SIMILAR_RE = re.compile(r"(\S+)\s+SIMILAR\s+TO\s+'([^']*)'", re.I)
+
+# FROM <tbl> FOR SYSTEM_TIME AS OF <ts-literal/expr-until-whitespace|quoted>
+_SYSTIME_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(TIMESTAMP\s+'[^']*'|DATE\s+'[^']*'|'[^']*'|\S+)",
+    re.I,
+)
+
+_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*(?:TABLE\s+)?(\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*([^()]*?(?:\([^)]*\))?[^()]*?)\)\s*\)",
+    re.I,
+)
+
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'?\s*(DAY|HOUR|MINUTE|SECOND)S?", re.I)
+_INTERVAL_RE2 = re.compile(r"INTERVAL\s+'(\d+)\s+(DAY|HOUR|MINUTE|SECOND)S?'", re.I)
+
+_SECONDS = {"DAY": 86400, "HOUR": 3600, "MINUTE": 60, "SECOND": 1}
+
+
+def _parse_intervals(arg_text: str) -> list[int]:
+    out = []
+    for m in list(_INTERVAL_RE.finditer(arg_text)) + list(_INTERVAL_RE2.finditer(arg_text)):
+        out.append(int(m.group(1)) * _SECONDS[m.group(2).upper()])
+    return out
+
+
+class SqlFrontend:
+    """parse() = macro expansion (inspect like Hook.PARSE_TREE);
+    sql() = expansion + execution via spark.sql."""
+
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self.spark: SparkSession = catalog.spark
+        # temporal table registry ≈ schema/TemporalTable.java:
+        # name -> (key, version_col, tiebreaker)
+        self.temporal_tables: dict[str, tuple] = {}
+
+    def register_temporal(self, table: str, key: str, version_col: str, tiebreaker: str = ""):
+        self.temporal_tables[table] = (key, version_col, tiebreaker)
+
+    # -- macro passes -------------------------------------------------
+
+    def _expand_similar_to(self, text: str) -> str:
+        def sub(m):
+            return f"{m.group(1)} RLIKE '{similar_to_regex(m.group(2))}'"
+
+        return _SIMILAR_RE.sub(sub, text)
+
+    def _expand_system_time(self, text: str) -> str:
+        def sub(m):
+            kw, table, ts = m.group(1), m.group(2), m.group(3)
+            if table not in self.temporal_tables:
+                raise ValueError(
+                    f"{table} is not a registered temporal table "
+                    f"(SqlFrontend.register_temporal)"
+                )
+            key, ver, tb = self.temporal_tables[table]
+            order = f"{ver} DESC" + (f", {tb}" if tb else "")
+            return (
+                f"{kw} (SELECT * FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {key} ORDER BY {order}) AS __ver_rn FROM {table} "
+                f"WHERE {ver} <= {ts}) WHERE __ver_rn = 1) AS {table}"
+            )
+
+        return _SYSTIME_RE.sub(sub, text)
+
+    def _expand_window_tvfs(self, text: str) -> str:
+        def sub(m):
+            kind, table, ts, args = (
+                m.group(1).upper(),
+                m.group(2),
+                m.group(3),
+                m.group(4),
+            )
+            secs = _parse_intervals(args)
+            if kind == "TUMBLE":
+                (size,) = secs[:1]
+                slide = size
+            elif kind == "HOP":
+                slide, size = secs[0], secs[1]
+            else:  # SESSION — gap-based; needs stateful grouping, use
+                # the session_window expression form
+                (gap,) = secs[:1]
+                return (
+                    f"(SELECT *, session_window({ts}, '{gap} seconds').start AS window_start, "
+                    f"session_window({ts}, '{gap} seconds').end AS window_end FROM {table})"
+                )
+            # window_start = biggest slide-aligned point <= ts - (size - slide)
+            # (standard hop expansion: emit one row per covering window)
+            n_windows = max(1, size // slide)
+            return (
+                f"(SELECT t.*, "
+                f"timestamp_seconds(CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} "
+                f"- k.k * {slide}) AS window_start, "
+                f"timestamp_seconds(CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} "
+                f"- k.k * {slide} + {size}) AS window_end "
+                f"FROM {table} t CROSS JOIN "
+                f"(SELECT explode(sequence(0, {n_windows - 1})) AS k) k "
+                f"WHERE unix_micros({ts}) / 1e6 >= "
+                f"CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} "
+                f"AND unix_micros({ts}) / 1e6 < "
+                f"CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} + {size})"
+            )
+
+        return _TVF_RE.sub(sub, text)
+
+    _STREAM_RE = re.compile(r"\bSELECT\s+STREAM\s+", re.I)
+
+    def parse(self, text: str) -> tuple[str, bool]:
+        """Macro-expand; returns (spark_sql_text, is_stream)."""
+        is_stream = bool(self._STREAM_RE.search(text))
+        text = self._STREAM_RE.sub("SELECT ", text)
+        text = self._expand_similar_to(text)
+        text = self._expand_system_time(text)
+        text = self._expand_window_tvfs(text)
+        return text, is_stream
+
+    def sql(self, text: str) -> DataFrame:
+        expanded, is_stream = self.parse(text)
+        if is_stream:
+            return self._run_streaming(expanded)
+        self.catalog.register_all_views()
+        return self.spark.sql(expanded)
+
+    def _run_streaming(self, expanded: str) -> DataFrame:
+        """SELECT STREAM: re-register every referenced table as a
+        readStream source (Delta pushdown ≈ StreamRules), return the
+        unbounded DataFrame — the caller attaches writeStream (Chi)."""
+        self.catalog.register_all_views()
+        referenced = [t for t in self.catalog.tables if re.search(rf"\b{t}\b", expanded)]
+        originals = {}
+        for t in referenced:
+            batch = self.catalog.table(t)
+            entry = self.catalog.tables[t]
+            if entry.fmt != "parquet" or not entry.path:
+                continue
+            import os
+
+            stream = (
+                self.spark.readStream.schema(self.spark.read.parquet(entry.path).schema)
+                .option("pathGlobFilter", os.path.basename(entry.path))
+                .parquet(os.path.dirname(entry.path))
+            )
+            from calcite_spark.catalog import NANOS_TS_COLS
+            from pyspark.sql import functions as F
+
+            for col in NANOS_TS_COLS.get(t, ()):
+                if dict(stream.dtypes).get(col) == "bigint":
+                    stream = stream.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+            originals[t] = batch
+            stream.createOrReplaceTempView(t)
+        try:
+            return self.spark.sql(expanded)
+        finally:
+            for t, batch in originals.items():
+                batch.createOrReplaceTempView(t)

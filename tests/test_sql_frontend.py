@@ -1,0 +1,119 @@
+"""SQL front end tests: Calcite-only syntax → Spark SQL macro expansion
+(SELECT STREAM, FOR SYSTEM_TIME AS OF, windowing TVFs, SIMILAR TO) —
+each checked end-to-end against the equivalent batch/DuckDB answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calcite_spark.queries.inventory import catalog_for
+from calcite_spark.sql.frontend import SqlFrontend, similar_to_regex
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def fe(spark):
+    cat = catalog_for(spark, SF_DIR)
+    fe = SqlFrontend(cat)
+    fe.register_temporal("orders", key="o_custkey", version_col="o_orderdate",
+                         tiebreaker="o_orderkey DESC")
+    return fe
+
+
+def test_similar_to_regex():
+    assert similar_to_regex("ab%") == "^(ab.*)$"
+    assert similar_to_regex("a_c") == "^(a.c)$"
+    assert similar_to_regex("x[0-9]+") == "^(x[0-9]+)$"
+    assert similar_to_regex("a.b") == "^(a\\.b)$"
+    assert similar_to_regex("(ab|cd)%") == "^((ab|cd).*)$"
+
+
+def test_similar_to_e2e(fe, duck):
+    df = fe.sql(
+        "SELECT p_partkey FROM part "
+        "WHERE p_brand SIMILAR TO 'Brand#(1|2)_' ORDER BY p_partkey"
+    )
+    # DuckDB's SIMILAR TO is raw regex (`_` literal); SQL standard (and
+    # Calcite, runtime/SqlFunctions.similar) treats `_` as any-char —
+    # oracle uses the explicitly translated regex.
+    assert_matches_oracle(
+        df,
+        duck,
+        "SELECT p_partkey FROM part "
+        "WHERE regexp_matches(p_brand, '^(Brand#(1|2).)$') ORDER BY p_partkey",
+    )
+
+
+def test_system_time_as_of(fe, duck):
+    df = fe.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice "
+        "FROM orders FOR SYSTEM_TIME AS OF TIMESTAMP '1995-06-30 00:00:00' "
+        "WHERE o_custkey <= 100 ORDER BY o_custkey"
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-30 00:00:00'
+        ) WHERE rn = 1 AND o_custkey <= 100 ORDER BY o_custkey
+        """,
+    )
+
+
+def test_tumble_tvf_sql(fe, duck):
+    df = fe.sql(
+        "SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 3) AS v "
+        "FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY)) "
+        "GROUP BY window_start ORDER BY window_start"
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               COUNT(*) AS n, ROUND(SUM(value), 3) AS v
+        FROM events GROUP BY window_start ORDER BY window_start
+        """,
+    )
+
+
+def test_hop_tvf_sql(fe, duck):
+    df = fe.sql(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '1' DAY, INTERVAL '2' DAY)) "
+        "GROUP BY window_start ORDER BY window_start"
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT ws AS window_start, COUNT(*) AS n FROM (
+          SELECT time_bucket(INTERVAL '1 day', ts) - k * INTERVAL '1 day' AS ws
+          FROM events, (VALUES (0), (1)) AS shifts(k)
+        ) GROUP BY ws ORDER BY window_start
+        """,
+    )
+
+
+def test_select_stream(fe, spark):
+    """SELECT STREAM returns an unbounded DataFrame (Delta semantics);
+    driving it through a memory sink must reproduce the batch answer."""
+    sdf = fe.sql("SELECT STREAM event_type, value FROM events WHERE value > 90")
+    assert sdf.isStreaming
+    q = sdf.writeStream.outputMode("append").format("memory").queryName("fe_stream").start()
+    try:
+        q.processAllAvailable()
+        n_stream = spark.sql("SELECT COUNT(*) AS n FROM fe_stream").collect()[0].n
+    finally:
+        q.stop()
+    n_batch = fe.sql("SELECT event_type, value FROM events WHERE value > 90").count()
+    assert n_stream == n_batch > 0
+
+
+def test_passthrough_plain_sql(fe, duck):
+    df = fe.sql("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10")
+    assert_matches_oracle(df, duck, "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10")
