@@ -1,0 +1,173 @@
+"""Materialized views + lattice tiles ≈ Calcite's materialize/ package:
+MaterializationService.java (registry), rel/rules/materialize/
+MaterializedViewRules.java + plan/SubstitutionVisitor.java (rewrite),
+Lattice.java / TileSuggester.java (star-schema pre-aggregation tiles).
+
+Catalyst has NO materialized-view rewrite — this layer runs over our IR
+before lowering (SURVEY §4.2 ❌ row). Two tiers, mirroring the reference
+rules:
+
+1. exact match (SubstitutionVisitor trivial unification): query
+   signature == MV signature → scan the MV.
+2. rollup compensation (MaterializedViewProjectAggregateRule / the
+   AGGREGATE_STAR_TABLE tile path): the query groups by a SUBSET of the
+   MV's keys and every aggregate re-aggregates (SUM→SUM, COUNT→SUM,
+   MIN→MIN, MAX→MAX) → aggregate over the MV. A filter that references
+   only MV group keys is compensated by filtering the MV.
+
+100 TB: a tile is usually 3-6 orders of magnitude smaller than the fact
+table; the rewrite turns a full-fact shuffle into a dimension-sized one.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from calcite_spark.plans import ir
+
+_AGG_RE = re.compile(r"^\s*(SUM|COUNT|MIN|MAX)\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$", re.I)
+
+# re-aggregation function when rolling a tile up to coarser keys
+_REAGG = {"SUM": "SUM", "COUNT": "SUM", "MIN": "MIN", "MAX": "MAX"}
+
+
+@dataclass
+class Materialization:
+    """≈ materialize/MaterializationService.defineMaterialization entry."""
+
+    name: str
+    table: str  # base table the MV aggregates
+    group_keys: tuple
+    agg_calls: dict  # alias -> (FN, arg_expr)
+    path: str = ""
+    filter_condition: str | None = None  # None = unfiltered MV
+
+
+def parse_agg_call(call: str):
+    m = _AGG_RE.match(call)
+    if not m:
+        return None
+    return m.group(1).upper(), re.sub(r"\s+", " ", m.group(2)), m.group(3)
+
+
+class MaterializationRegistry:
+    def __init__(self):
+        self.mvs: dict[str, Materialization] = {}
+
+    def define(self, catalog, name: str, table: str, group_keys, agg_calls, path: str):
+        """Compute + persist + register a materialization. agg_calls are
+        "FN(expr) AS alias" strings (the IR Aggregate form). Also attaches
+        this registry to the catalog so the rewrite rule finds it."""
+        catalog.mv_registry = self
+        parsed = {}
+        for call in agg_calls:
+            p = parse_agg_call(call)
+            if p is None:
+                raise ValueError(f"not a rewritable aggregate call: {call}")
+            fn, arg, alias = p
+            parsed[alias] = (fn, arg)
+        df = (
+            ir.Aggregate(tuple(group_keys), tuple(agg_calls), inputs=(ir.Scan(table),))
+        ).to_df(catalog)
+        df.write.mode("overwrite").parquet(path)
+        catalog.register(name, path)
+        mv = Materialization(name, table, tuple(group_keys), parsed, path)
+        self.mvs[name] = mv
+        return mv
+
+    # -- the rewrite rule (plugged into plans/rewrite.py) --------------
+
+    def substitute(self, node, catalog):
+        """Aggregate[, Filter](Scan(t)) → Aggregate[, Filter](Scan(mv))."""
+        if not isinstance(node, ir.Aggregate) or node.group_type != "SIMPLE":
+            return None
+        child = node.inputs[0]
+        filt = None
+        if isinstance(child, ir.Filter) and isinstance(child.inputs[0], ir.Scan):
+            filt, scan = child, child.inputs[0]
+        elif isinstance(child, ir.Scan):
+            scan = child
+        else:
+            return None
+        for mv in self.mvs.values():
+            if mv.table != scan.table:
+                continue
+            rewritten = self._try_rewrite(node, filt, mv)
+            if rewritten is not None:
+                return rewritten
+        return None
+
+    def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization):
+        # group keys must be a subset of the tile's keys
+        if not set(agg.group_keys) <= set(mv.group_keys):
+            return None
+        # filter may only reference tile group keys (identifier check)
+        if filt is not None:
+            cond_no_literals = re.sub(r"'[^']*'", "", filt.condition)
+            idents = set(re.findall(r"[A-Za-z_]\w*", cond_no_literals))
+            tokens_ok = {k for k in mv.group_keys}
+            sql_words = {
+                "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL",
+                "TRUE", "FALSE", "TIMESTAMP", "DATE", "INTERVAL", "CAST",
+                "AS", "INT", "BIGINT", "DOUBLE", "STRING",
+            }
+            if not all(i in tokens_ok or i.upper() in sql_words or i.isdigit() for i in idents):
+                return None
+        exact = tuple(agg.group_keys) == tuple(mv.group_keys) and filt is None
+        new_calls = []
+        for call in agg.agg_calls:
+            p = parse_agg_call(call)
+            if p is None:
+                return None
+            fn, arg, alias = p
+            # find the MV column computing this aggregate
+            src = next(
+                (
+                    a
+                    for a, (mfn, marg) in mv.agg_calls.items()
+                    if mfn == fn and _norm(marg) == _norm(arg)
+                ),
+                None,
+            )
+            if src is None:
+                return None
+            if exact:
+                new_calls.append(alias if src == alias else f"{src} AS {alias}")
+            else:
+                new_calls.append(f"{_REAGG[fn]}({src}) AS {alias}")
+        scan = ir.Scan(mv.name)
+        if exact:
+            # identity projection over the tile
+            return ir.Project(tuple(list(agg.group_keys) + new_calls), inputs=(scan,))
+        base = ir.Filter(filt.condition, inputs=(scan,)) if filt is not None else scan
+        return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(base,))
+
+
+def _norm(expr: str) -> str:
+    return re.sub(r"\s+", "", expr).lower()
+
+
+# ---------------------------------------------------------------------
+# Lattice-lite ≈ materialize/Lattice.java + TileSuggester: given a fact
+# table and dimension columns, build the tiles worth materializing.
+# ---------------------------------------------------------------------
+
+
+def suggest_tiles(catalog, table: str, dims: list[str], measures: list[str], max_tiles: int = 4):
+    """TileSuggester-style heuristic: estimate each single-dim tile's
+    cardinality with approx_count_distinct (≈ profile/ProfilerImpl), pick
+    the lowest-cardinality dims first (biggest compression), plus the
+    all-dims tile as the drill-down base."""
+    df = catalog.table(table)
+    cards = (
+        df.selectExpr(*[f"approx_count_distinct({d}) AS {d}" for d in dims]).collect()[0].asDict()
+    )
+    ranked = sorted(dims, key=lambda d: cards[d])
+    tiles = [tuple(ranked)]  # finest tile
+    for d in ranked:
+        if len(tiles) >= max_tiles:
+            break
+        if (d,) not in tiles:
+            tiles.append((d,))
+    return {"cardinalities": cards, "tiles": tiles, "measures": measures}

@@ -79,25 +79,14 @@ def _broadcast_small_dims(node, catalog):
 
 
 def _materialized_view_substitute(node, catalog):
-    """≈ rel/rules/materialize/MaterializedViewRules + SubstitutionVisitor
-    (exact-match tier): an Aggregate(Scan(t)) whose signature (table,
-    group keys, agg calls) equals a registered MV's recorded signature is
-    replaced by a scan of the MV table. Compensation tiers (extra
-    filters/rollup of finer tiles) come with the lattice layer."""
-    if not isinstance(node, ir.Aggregate) or catalog is None:
+    """≈ rel/rules/materialize/MaterializedViewRules + SubstitutionVisitor:
+    exact-match and rollup-compensation tiers, implemented by
+    plans/materialize.MaterializationRegistry (attached to the catalog by
+    define())."""
+    registry = getattr(catalog, "mv_registry", None)
+    if registry is None:
         return None
-    if not isinstance(node.inputs[0], ir.Scan):
-        return None
-    sig = {
-        "table": node.inputs[0].table,
-        "group_keys": sorted(node.group_keys),
-        "agg_calls": sorted(node.agg_calls),
-        "group_type": node.group_type,
-    }
-    for name, mv in catalog.materialized_views.items():
-        if mv.get("signature") == sig and name in catalog.tables:
-            return ir.Scan(name)
-    return None
+    return registry.substitute(node, catalog)
 
 
 DEFAULT_RULES = [
