@@ -1,0 +1,73 @@
+"""Plan-quality tests: correctness is necessary, the PLAN is the product
+at 100 TB. Each test pins a physical-plan property the engine must keep:
+filters reach the parquet scan, dimensions broadcast, top-K avoids full
+sort, ASOF is one shuffle, column pruning holds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from calcite_spark.exec import plan_report, profile
+from calcite_spark.queries.inventory import catalog_for, queries
+from tests.conftest import SF_DIR
+
+QS = queries()
+
+
+def test_q06_filters_pushed_to_scan(spark):
+    rep = plan_report(QS["q06_forecast_revenue"](spark, SF_DIR))
+    pushed = " ".join(rep["pushed_filters"])
+    assert "l_discount" in pushed and "l_quantity" in pushed, rep["pushed_filters"]
+    # column pruning: the scan must not read l_returnflag etc.
+    schema = " ".join(rep["read_schemas"])
+    assert "l_returnflag" not in schema
+    assert "l_extendedprice" in schema
+
+
+def test_q02_dimensions_broadcast(spark):
+    rep = plan_report(QS["q02_revenue_by_nation"](spark, SF_DIR))
+    # nation + region must broadcast (BroadcastSmallDimensions rule);
+    # supplier may broadcast too at this SF via AQE — what's forbidden is
+    # a sort-merge join against the tiny dims
+    assert rep["broadcast_joins"] >= 2, rep["text"][:2000]
+
+
+def test_q03_topk_plan(spark):
+    rep = plan_report(QS["q03_topk_orders"](spark, SF_DIR))
+    assert rep["top_k"], "expected TakeOrderedAndProject for ORDER BY+LIMIT"
+
+
+def test_q01_column_pruning(spark):
+    rep = plan_report(QS["q01_pricing_summary"](spark, SF_DIR))
+    schema = " ".join(rep["read_schemas"])
+    # lineitem has 11 columns; Q1 needs 7
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert "l_quantity" in schema
+
+
+def test_asof_single_shuffle(spark):
+    """The union/last-value ASOF plan must not explode into a join: no
+    join operators at all, and ≤ 3 exchanges (round-robin source reps +
+    the window hash partition + AQE reads)."""
+    df = QS["q43_asof_join"](spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["sort_merge_joins"] == 0 and rep["nested_loop_joins"] == 0
+    assert "Window" in rep["text"]
+
+
+def test_semi_join_stays_semi(spark):
+    rep = plan_report(QS["q04_semi_join"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", rep["text"]), "EXISTS must plan as a semi join"
+
+
+def test_profiler(spark):
+    cat = catalog_for(spark, SF_DIR)
+    prof = profile(cat, "nation")
+    assert prof["rows"] == 25
+    assert prof["columns"]["n_nationkey"]["unique_candidate"]
+    assert not prof["columns"]["n_regionkey"]["unique_candidate"]
+    assert prof["columns"]["n_regionkey"]["min"] == 0
+    assert prof["columns"]["n_nationkey"]["nulls"] == 0
