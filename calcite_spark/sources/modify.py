@@ -1,0 +1,153 @@
+"""TableModify ≈ rel/core/TableModify.java:74 (INSERT / UPDATE / DELETE /
+MERGE) + schema/ModifiableTable.java:39.
+
+Spark's native writers cover INSERT; UPDATE/DELETE/MERGE on plain
+parquet have no transactional engine in this environment (Delta/Iceberg
+jars absent — gated), so they are implemented as the standard
+copy-on-write emulation: read → transform → write-new → swap. That is
+exactly what Delta does under the hood minus the transaction log; the
+API mirrors MERGE INTO semantics so a Delta-backed implementation can
+slot in behind the same signatures.
+
+100 TB: copy-on-write over a whole table is the worst case; partition
+the table (writer `partition_by`) so modify ops rewrite only touched
+partitions (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _rewrite(catalog, table: str, df: DataFrame) -> None:
+    """Copy-on-write swap: write to a sibling path, re-register."""
+    entry = catalog.tables[table]
+    new_path = entry.path.rstrip("/") + ".new"
+    df.write.mode("overwrite").parquet(new_path)
+    catalog.register(table, new_path)
+
+
+def insert_into(
+    catalog,
+    table: str,
+    rows: DataFrame,
+    partition_by: tuple = (),
+    dynamic_overwrite: bool = False,
+) -> None:
+    """INSERT INTO (append) — df.write.insertInto semantics; with
+    partition columns + dynamic_overwrite, INSERT OVERWRITE PARTITION."""
+    entry = catalog.tables[table]
+    writer = rows.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        rows.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer.mode("overwrite").parquet(entry.path)
+    else:
+        writer.mode("append").parquet(entry.path)
+    catalog.register(table, entry.path)  # refresh cached df
+
+
+def delete_where(catalog, table: str, condition: str) -> int:
+    """DELETE FROM t WHERE cond → keep the complement. Returns #deleted."""
+    df = catalog.table(table)
+    n_before = df.count()
+    kept = df.filter(f"NOT ({condition}) OR ({condition}) IS NULL")
+    _rewrite(catalog, table, kept)
+    return n_before - catalog.table(table).count()
+
+
+def update_set(catalog, table: str, assignments: dict[str, str], condition: str) -> int:
+    """UPDATE t SET col = expr WHERE cond (copy-on-write)."""
+    df = catalog.table(table)
+    cond = F.expr(condition)
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    n = df.filter(condition).count()
+    _rewrite(catalog, table, out)
+    return n
+
+
+def merge_into(
+    catalog,
+    target: str,
+    source: DataFrame,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_not_matched_insert: bool = True,
+    when_matched_delete: bool = False,
+) -> dict:
+    """MERGE INTO target USING source ON cond — the Delta-style upsert as
+    a single FULL-outer-shaped plan:
+
+      matched+update → target rows joined to source get the assignments
+      matched+delete → drop matched target rows
+      not-matched    → insert source rows with no target match
+
+    Implemented as target⟕source (left) for the update/delete arm plus
+    source-anti-target for inserts — two hash joins on the merge key, no
+    row explosion (caller guarantees source has unique keys, as MERGE
+    requires; duplicate source keys raise like Delta does).
+    """
+    tdf = catalog.table(target)
+    # MERGE precondition: unique source keys (Delta throws
+    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET otherwise)
+    key_cols = [c.strip() for c in on.split("=")]
+    src_key = key_cols[1].strip() if len(key_cols) == 2 else None
+    if src_key and source.groupBy(src_key).count().filter("count > 1").limit(1).count():
+        raise ValueError("MERGE: multiple source rows match the same key")
+
+    cond = F.expr(on)
+    matched = tdf.join(source, cond, "left_semi")
+    n_matched = matched.count()
+
+    updated = tdf
+    if when_matched_delete:
+        updated = tdf.join(source, cond, "left_anti")
+    elif when_matched_update:
+        joined = tdf.join(source, cond, "left")
+        out_cols = []
+        src_marker = F.col(src_key).isNotNull() if src_key else F.lit(False)
+        for c in tdf.columns:
+            if c in when_matched_update:
+                out_cols.append(
+                    F.when(src_marker, F.expr(when_matched_update[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        updated = joined.select(*out_cols)
+
+    inserts = None
+    n_inserted = 0
+    if when_not_matched_insert:
+        inserts = source.join(tdf, cond, "left_anti").select(
+            *[F.col(c) if c in source.columns else F.lit(None).alias(c) for c in tdf.columns]
+        )
+        n_inserted = inserts.count()
+        updated = updated.unionByName(inserts)
+
+    _rewrite(catalog, target, updated)
+    return {"matched": n_matched, "inserted": n_inserted}
+
+
+def register_csv(catalog, name: str, path: str, **options) -> None:
+    """CSV adapter ≈ file/CsvTranslatableTable.java:48 — spark.read.csv
+    does projection+filter pushdown natively (CsvProjectTableScanRule)."""
+    catalog.register(name, path, fmt="csv", header="true", inferSchema="true", **options)
+
+
+def register_json(catalog, name: str, path: str, **options) -> None:
+    """JSON adapter ≈ file/JsonScannableTable.java."""
+    catalog.register(name, path, fmt="json", **options)
+
+
+def clone_in_memory(catalog, name: str, as_name: str | None = None):
+    """In-memory clone adapter ≈ adapter/clone/ArrayTable.java:62: cache a
+    snapshot (Spark columnar cache is the ArrayTable analog)."""
+    df = catalog.table(name).cache()
+    df.count()  # materialize
+    catalog.register_df(as_name or f"{name}_clone", df)
+    return df

@@ -1,0 +1,124 @@
+"""TableModify (INSERT/UPDATE/DELETE/MERGE) and source-adapter tests on a
+scratch copy of the testdata — ≈ JdbcAdapterTest's modify cases +
+ScannableTableTest's pushdown contracts, without touching /root/testdata.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from calcite_spark.catalog import Catalog
+from calcite_spark.sources.modify import (
+    clone_in_memory,
+    delete_where,
+    insert_into,
+    merge_into,
+    register_csv,
+    register_json,
+    update_set,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def scratch(spark, tmp_path):
+    cat = Catalog(spark)
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    path = str(tmp_path / "nation")
+    src.write.parquet(path)
+    cat.register("nation", path)
+    return cat
+
+
+def test_insert_into(spark, scratch):
+    n0 = scratch.table("nation").count()
+    new_rows = spark.createDataFrame(
+        [(90, "ATLANTIS", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    insert_into(scratch, "nation", new_rows)
+    assert scratch.table("nation").count() == n0 + 1
+    assert scratch.table("nation").filter("n_name = 'ATLANTIS'").count() == 1
+
+
+def test_delete_where(spark, scratch):
+    n0 = scratch.table("nation").count()
+    deleted = delete_where(scratch, "nation", "n_regionkey = 0")
+    assert deleted > 0
+    assert scratch.table("nation").count() == n0 - deleted
+    assert scratch.table("nation").filter("n_regionkey = 0").count() == 0
+
+
+def test_update_set(spark, scratch):
+    n = update_set(
+        scratch, "nation", {"n_name": "lower(n_name)"}, "n_regionkey = 1"
+    )
+    assert n > 0
+    got = scratch.table("nation").filter("n_regionkey = 1").select("n_name").collect()
+    assert all(r.n_name == r.n_name.lower() for r in got)
+    other = scratch.table("nation").filter("n_regionkey <> 1").select("n_name").collect()
+    assert all(r.n_name == r.n_name.upper() for r in other)
+
+
+def test_merge_into_upsert(spark, scratch):
+    source = spark.createDataFrame(
+        [(0, "RENAMED#0", 9), (91, "NEWLAND", 9)],
+        "src_key int, src_name string, src_region int",
+    )
+    stats = merge_into(
+        scratch,
+        "nation",
+        source,
+        on="n_nationkey = src_key",
+        when_matched_update={"n_name": "src_name", "n_regionkey": "src_region"},
+    )
+    assert stats == {"matched": 1, "inserted": 1}
+    t = scratch.table("nation")
+    assert t.filter("n_nationkey = 0 AND n_name = 'RENAMED#0' AND n_regionkey = 9").count() == 1
+    # inserted row carries nulls for target-only columns not in source
+    assert t.filter("n_name IS NULL AND n_nationkey IS NULL").count() == 1
+
+
+def test_merge_duplicate_source_keys_raises(spark, scratch):
+    dup = spark.createDataFrame(
+        [(1, "A", 1), (1, "B", 1)], "src_key int, src_name string, src_region int"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(scratch, "nation", dup, on="n_nationkey = src_key",
+                   when_matched_update={"n_name": "src_name"})
+
+
+def test_merge_delete(spark, scratch):
+    n0 = scratch.table("nation").count()
+    source = spark.createDataFrame([(3,)], "src_key int")
+    merge_into(
+        scratch,
+        "nation",
+        source,
+        on="n_nationkey = src_key",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert scratch.table("nation").count() == n0 - 1
+    assert scratch.table("nation").filter("n_nationkey = 3").count() == 0
+
+
+def test_csv_json_adapters(spark, scratch, tmp_path):
+    df = scratch.table("nation")
+    df.write.option("header", "true").csv(str(tmp_path / "n_csv"))
+    df.write.json(str(tmp_path / "n_json"))
+    register_csv(scratch, "nation_csv", str(tmp_path / "n_csv"))
+    register_json(scratch, "nation_json", str(tmp_path / "n_json"))
+    assert scratch.table("nation_csv").count() == df.count()
+    assert scratch.table("nation_json").count() == df.count()
+    # CSV scan honors projection pushdown: only requested col in schema
+    got = scratch.table("nation_csv").select("n_name").limit(1).collect()
+    assert got[0].n_name
+
+
+def test_clone_in_memory(spark, scratch):
+    clone = clone_in_memory(scratch, "nation")
+    assert clone.storageLevel.useMemory
+    assert scratch.table("nation_clone").count() == scratch.table("nation").count()

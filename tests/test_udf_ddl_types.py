@@ -1,0 +1,120 @@
+"""UDF surface (§2.9), DDL executor (§2.10), and type mapping (§1.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from calcite_spark import types as ct
+from calcite_spark.catalog import Catalog
+from calcite_spark.functions.udf import (
+    register_scalar_udf,
+    register_table_macro,
+    register_udaf_grouped,
+)
+from calcite_spark.sql.ddl import DdlExecutor
+from calcite_spark.sql.frontend import SqlFrontend
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def ddl(spark, tmp_path):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    return DdlExecutor(SqlFrontend(cat), str(tmp_path / "wh"))
+
+
+def test_scalar_pandas_udf(spark):
+    # local closure → cloudpickle serializes by value (workers can't
+    # import the tests package)
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    register_scalar_udf(spark, "t_double_it", double_it, "double")
+    got = spark.sql("SELECT t_double_it(21.0) AS v").collect()[0].v
+    assert got == 42.0
+
+
+def test_udaf_grouped(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "span": [pdf["v"].max() - pdf["v"].min()]})
+
+    out = {r.k: r.span for r in register_udaf_grouped(df.groupBy("k"), span, "k string, span double").collect()}
+    assert out == {"a": 2.0, "b": 0.0}
+
+
+def test_python_udtf(spark):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield t, i
+
+    from calcite_spark.functions.udf import register_table_function
+
+    register_table_function(spark, "t_tokenize", Tokenize)
+    rows = spark.sql("SELECT * FROM t_tokenize('a b c')").collect()
+    assert [(r.tok, r.pos) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_table_macro(spark, ddl):
+    def top_balance(catalog, n):
+        return catalog.table("customer").orderBy("c_acctbal", ascending=False).limit(n)
+
+    macro = register_table_macro(ddl.catalog, "top_balance", top_balance)
+    assert macro(3).count() == 3
+    assert ddl.catalog.table_macros["top_balance"] is macro
+
+
+def test_ddl_view_and_ctas(spark, ddl):
+    ddl.execute("CREATE VIEW big_orders AS SELECT * FROM orders WHERE o_totalprice > 100000")
+    assert ddl.catalog.table("big_orders").count() > 0
+    ddl.execute("CREATE TABLE region_copy AS SELECT * FROM region")
+    assert ddl.catalog.table("region_copy").count() == 5
+    got = ddl.execute("DROP TABLE region_copy")
+    assert got["dropped"] == "region_copy"
+    with pytest.raises(ValueError):
+        ddl.execute("DROP TABLE region_copy")
+
+
+def test_ddl_materialized_view_rewrites(spark, ddl):
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW mv_status AS "
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, SUM(o_totalprice) AS total "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    from calcite_spark.plans.builder import RelBuilder
+
+    df = (
+        RelBuilder(ddl.catalog)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n_orders"])
+        .to_df()
+    )
+    assert all("mv_status" in f for f in df.inputFiles())
+
+
+def test_ddl_create_function(spark, ddl):
+    ddl.execute("CREATE FUNCTION ddl_double AS 'calcite_spark.functions.udf:sample_double' RETURNS double")
+    assert spark.sql("SELECT ddl_double(4.0) AS v").collect()[0].v == 8.0
+
+
+def test_type_mapping(spark):
+    import pyspark.sql.types as T
+
+    assert ct.to_spark_type("BIGINT") == T.LongType()
+    assert ct.to_spark_type("UBIGINT") == T.DecimalType(20, 0)
+    assert ct.to_spark_type("DECIMAL", 45, 2) == T.DecimalType(38, 2)
+    assert ct.to_spark_type("TIMESTAMP") == T.TimestampNTZType()
+    assert ct.to_spark_type("TIME") == T.LongType()
+    assert ct.to_spark_type("INTERVAL_YEAR") == T.YearMonthIntervalType()
+    assert ct.to_spark_type("INTERVAL_SECOND") == T.DayTimeIntervalType()
+    with pytest.raises(TypeError):
+        ct.to_spark_type("MEASURE")
+    # TIME encoding round-trip
+    expr = ct.time_to_nanos_expr("TIMESTAMP '2024-01-01 01:02:03.5'")
+    v = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert v == ((1 * 3600 + 2 * 60 + 3) * 1_000_000 + 500_000) * 1000
