@@ -162,7 +162,7 @@ def simhash64(text_expr: str, ngram: int = 3) -> str:
         f"aggregate(transform({sh}, s -> xxhash64(s)), "
         "array_repeat(CAST(0 AS BIGINT), 64), "
         "(acc, h) -> zip_with(acc, sequence(0, 63), "
-        "(v, b) -> v + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))"
+        "(v, b) -> v + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     return (
         f"aggregate(zip_with({votes}, sequence(0, 63), "

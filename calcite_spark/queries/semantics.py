@@ -1,0 +1,249 @@
+"""Semantic edge-case queries: NULL-aware NOT IN (mark join), quantified
+comparisons, GROUPING_ID, non-equi range joins, approximate aggregates,
+explicit Exchange — the SURVEY §2.1/2.3/2.4 rows not yet in the
+inventory.
+"""
+
+from __future__ import annotations
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for, register
+
+
+def _b(spark, sf_dir) -> RelBuilder:
+    return RelBuilder(catalog_for(spark, sf_dir))
+
+
+def _sql(spark, sf_dir, sql: str):
+    catalog_for(spark, sf_dir).register_all_views()
+    return spark.sql(sql)
+
+
+@register(
+    "q72_not_in_null_aware",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+          FROM orders)) AS n_with_nulls,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_orderkey % 100 <> 0)) AS n_without_nulls
+    """,
+    tags=("subquery", "not_in", "mark_join"),
+)
+def q72_not_in_null_aware(spark, sf_dir):
+    """NOT IN with NULLs in the list → empty result (three-valued logic);
+    Catalyst plans a null-aware anti join ≈ Calcite's LEFT_MARK join +
+    MarkToSemiOrAntiJoinRule (JoinRelType.LEFT_MARK:119). The second
+    branch (null-free) must behave as a plain anti join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+              FROM orders)) AS n_with_nulls,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_orderkey % 100 <> 0)) AS n_without_nulls
+        """,
+    )
+
+
+@register(
+    "q73_quantified_all",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'
+                           AND c_acctbal IS NOT NULL)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "quantified"),
+)
+def q73_quantified_all(spark, sf_dir):
+    """`> ALL (subquery)` — Spark SQL lacks quantified comparisons; the
+    engine expands them to the MAX/MIN scalar form exactly as
+    SubQueryRemoveRule does for SOME/ALL (SubQueryRemoveRule.java)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_acctbal > (SELECT MAX(c_acctbal) FROM customer
+                           WHERE c_mktsegment = 'MACHINERY')
+        ORDER BY s_suppkey
+        """,
+    )
+
+
+@register(
+    "q74_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregate", "grouping_id"),
+)
+def q74_grouping_id(spark, sf_dir):
+    """GROUPING_ID :261 — Spark's grouping_id() bit order matches the
+    GROUPING-bit composition (most significant = first key)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag", "l_linestatus"],
+            ["CAST(grouping_id() AS BIGINT) AS gid", "COUNT(*) AS n"],
+            group_type="CUBE",
+        )
+        .sort("gid", "l_returnflag NULLS FIRST", "l_linestatus NULLS FIRST")
+        .to_df()
+    )
+
+
+@register(
+    "q75_range_join",
+    oracle="""
+    SELECT b.band AS band, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 3) AS total
+    FROM lineitem l
+    JOIN (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 30.0),
+                 ('large', 30.0, 100.0)) AS b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    ORDER BY band
+    """,
+    tags=("join", "range", "non_equi"),
+)
+def q75_range_join(spark, sf_dir):
+    """Non-equi (theta) range join ≈ EnumerableNestedLoopJoin.java:50 /
+    DateRangeRules banding: the band table is tiny → broadcast
+    nested-loop, which is the correct plan (each fact row tests 3
+    bands); at scale the alternative is precomputing the band key with
+    CASE (turns it into a hash agg — see the .project fallback)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .values(
+            [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 100.0)],
+            "band string, lo double, hi double",
+        )
+        .join("l_quantity >= lo AND l_quantity < hi", broadcast_right=True)
+        .aggregate(["band"], ["COUNT(*) AS n_items", "ROUND(SUM(l_extendedprice), 3) AS total"])
+        .sort("band")
+        .to_df()
+    )
+
+
+@register(
+    "q76_approx_aggs",
+    oracle=None,  # approximate sketches are engine-specific — rows-only
+    tags=("aggregate", "approximate"),
+)
+def q76_approx_aggs(spark, sf_dir):
+    """APPROXIMATE modifier (AggregateCall.isApproximate :187):
+    approx_count_distinct (HLL) + percentile_approx. The test suite
+    separately asserts the estimates land within 5% of exact."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus"],
+            [
+                "approx_count_distinct(o_custkey) AS approx_customers",
+                "ROUND(percentile_approx(o_totalprice, 0.5), 0) AS approx_median",
+            ],
+        )
+        .sort("o_orderstatus")
+        .to_df()
+    )
+
+
+@register(
+    "q77_exchange_repartition",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 3) AS qty
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    tags=("exchange", "distribution"),
+)
+def q77_exchange_repartition(spark, sf_dir):
+    """Explicit Exchange (rel/core/Exchange.java:45): hash-distribute by
+    the aggregation key first — the pre-partitioning is then REUSED by
+    the groupBy (no second shuffle), the pattern for aligning a chain of
+    same-key operations at 100 TB."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .exchange("hash", keys=("l_suppkey",))
+        .aggregate(["l_suppkey"], ["COUNT(*) AS n", "ROUND(SUM(l_quantity), 3) AS qty"])
+        .sort("l_suppkey")
+        .to_df()
+    )
+
+
+@register(
+    "q78_calc_fused",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice * 1.1, 3) AS taxed,
+           EXTRACT(YEAR FROM o_orderdate) AS y
+    FROM orders
+    WHERE o_totalprice * 1.1 > 220000 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+    tags=("calc", "project", "filter"),
+)
+def q78_calc_fused(spark, sf_dir):
+    """Calc ≈ rel/core/Calc.java:54 (fused project+filter over a shared
+    RexProgram): expressed as Filter+Project; Catalyst's CollapseProject/
+    combine-filters reproduces the fusion (CalcMergeRule)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_totalprice * 1.1 > 220000 AND o_orderstatus <> 'F'")
+        .project(
+            "o_orderkey",
+            "ROUND(o_totalprice * 1.1, 3) AS taxed",
+            "EXTRACT(YEAR FROM o_orderdate) AS y",
+        )
+        .sort("o_orderkey")
+        .to_df()
+    )
+
+
+@register(
+    "q79_simhash_dedup",
+    oracle=None,  # hash family is ours — rows-only
+    tags=("llm", "dedup", "simhash"),
+)
+def q79_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup groups (llm/dedup.simhash_dups)."""
+    from calcite_spark.llm.dedup import simhash_dups
+
+    cat = catalog_for(spark, sf_dir)
+    return simhash_dups(cat.table("documents")).orderBy("simhash")
+
+
+@register(
+    "q80_lsh_knn",
+    oracle=None,  # bucketing is ours — rows-only; recall vs brute force
+    # is asserted in tests/test_llm_quality.py
+    tags=("llm", "similarity", "lsh"),
+)
+def q80_lsh_knn(spark, sf_dir):
+    """Approximate top-k via hyperplane LSH buckets
+    (llm/similarity.lsh_bucketed_topk) — the scale path next to
+    q54's exact scan."""
+    from calcite_spark.llm.similarity import lsh_bucketed_topk
+
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucketed_topk(emb.select("vec_id", "embedding"), queries, k=5, dim=dim).orderBy(
+        "q_id", "rk"
+    )
