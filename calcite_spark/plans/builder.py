@@ -19,6 +19,34 @@ class RelBuilder:
     def __init__(self, catalog=None):
         self.catalog = catalog
         self._stack: list[ir.RelNode] = []
+        # SQL measures ≈ SqlTypeName.MEASURE:138 + MeasureRules.java +
+        # the library AGGREGATE() function (measure.iq): named aggregate
+        # expressions expanded in whatever grouping context uses them.
+        self._measures: dict[str, str] = dict(getattr(catalog, "measures", {}) or {})
+
+    def define_measure(self, name: str, agg_expr: str) -> "RelBuilder":
+        """col AS MEASURE — register a context-sensitive aggregate
+        expression; reference it in aggregate() calls as AGGREGATE(name)."""
+        self._measures[name] = agg_expr
+        if self.catalog is not None:
+            if not hasattr(self.catalog, "measures"):
+                self.catalog.measures = {}
+            self.catalog.measures[name] = agg_expr
+        return self
+
+    def _expand_measures(self, calls):
+        import re
+
+        out = []
+        for call in calls:
+            def sub(m):
+                name = m.group(1)
+                if name not in self._measures:
+                    raise KeyError(f"unknown measure {name!r}")
+                return f"({self._measures[name]})"
+
+            out.append(re.sub(r"AGGREGATE\s*\(\s*(\w+)\s*\)", sub, call))
+        return out
 
     # -- stack plumbing ----------------------------------------------
     def _push(self, node: ir.RelNode) -> "RelBuilder":
@@ -54,6 +82,7 @@ class RelBuilder:
 
     def aggregate(self, group_keys, agg_calls, group_type="SIMPLE", grouping_sets=()) -> "RelBuilder":
         (child,) = self._pop()
+        agg_calls = self._expand_measures(agg_calls)
         return self._push(
             ir.Aggregate(
                 tuple(group_keys),

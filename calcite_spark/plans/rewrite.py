@@ -89,9 +89,64 @@ def _materialized_view_substitute(node, catalog):
     return registry.substitute(node, catalog)
 
 
+def _date_range_canonicalize(node, catalog):
+    """≈ rel/rules/DateRangeRules.java:91 (EXTRACT conditions → Sarg
+    ranges): `EXTRACT(YEAR FROM col) = 1995` (also year(col)) becomes a
+    sargable range `col >= '1995-01-01' AND col < '1996-01-01'`.
+
+    Catalyst does NOT do this — a year()-wrapped column defeats both
+    parquet min/max row-group skipping and partition pruning; at 100 TB
+    the rewritten predicate prunes whole files. Handles =, <, <=, >, >=
+    on YEAR; equality on (YEAR, MONTH) pairs stays as a same-shape range
+    on the month."""
+    import re as _re
+
+    if not isinstance(node, ir.Filter):
+        return None
+    cond = node.condition
+
+    def year_range(col, op, y):
+        y = int(y)
+        lo, hi = f"TIMESTAMP '{y}-01-01 00:00:00'", f"TIMESTAMP '{y + 1}-01-01 00:00:00'"
+        if op == "=":
+            return f"({col} >= {lo} AND {col} < {hi})"
+        if op == "<":
+            return f"{col} < {lo}"
+        if op == "<=":
+            return f"{col} < {hi}"
+        if op == ">":
+            return f"{col} >= {hi}"
+        if op == ">=":
+            return f"{col} >= {lo}"
+        return None
+
+    pat = _re.compile(
+        r"(?:EXTRACT\s*\(\s*YEAR\s+FROM\s+(\w+)\s*\)|year\s*\(\s*(\w+)\s*\))"
+        r"\s*(=|<=|>=|<|>)\s*(\d{4})",
+        _re.I,
+    )
+
+    changed = False
+
+    def sub(m):
+        nonlocal changed
+        col = m.group(1) or m.group(2)
+        out = year_range(col, m.group(3), m.group(4))
+        if out is None:
+            return m.group(0)
+        changed = True
+        return out
+
+    new_cond = pat.sub(sub, cond)
+    if not changed:
+        return None
+    return ir.Filter(new_cond, inputs=node.inputs)
+
+
 DEFAULT_RULES = [
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
+    Rule("DateRangeCanonicalize", _date_range_canonicalize),
 ]
 
 

@@ -247,3 +247,112 @@ def q80_lsh_knn(spark, sf_dir):
     return lsh_bucketed_topk(emb.select("vec_id", "embedding"), queries, k=5, dim=dim).orderBy(
         "q_id", "rk"
     )
+
+
+@register(
+    "q81_extract_year_sarg",
+    oracle="""
+    SELECT EXTRACT(MONTH FROM o_orderdate) AS m, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY m
+    ORDER BY m
+    """,
+    tags=("rewrite", "date_range", "pushdown"),
+)
+def q81_extract_year_sarg(spark, sf_dir):
+    """EXTRACT(YEAR)=1995 canonicalized to a timestamp range by the
+    DateRangeCanonicalize rule (≈ DateRangeRules.java:91) so the
+    predicate reaches the parquet scan (min/max row-group skipping) —
+    Catalyst leaves year()-wrapped predicates unpushable."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("EXTRACT(YEAR FROM o_orderdate) = 1995")
+        .project("EXTRACT(MONTH FROM o_orderdate) AS m", "o_totalprice")
+        .aggregate(["m"], ["COUNT(*) AS n", "ROUND(SUM(o_totalprice), 3) AS total"])
+        .sort("m")
+        .to_df()
+    )
+
+
+@register(
+    "q82_within_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(t), 3) AS revenue_per_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderstatus, o_orderkey, ANY_VALUE(o_totalprice) AS t
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus, o_orderkey
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "within_distinct"),
+)
+def q82_within_distinct(spark, sf_dir):
+    """SUM(o_totalprice) WITHIN DISTINCT (o_orderkey) over orders x
+    lineitem: the fact-join repeats o_totalprice per line item; the
+    WITHIN DISTINCT expansion (AggregateExpandWithinDistinctRule →
+    operators/within_distinct.py) sums it once per order."""
+    from pyspark.sql import functions as F
+    from calcite_spark.operators.within_distinct import aggregate_within_distinct
+
+    cat = catalog_for(spark, sf_dir)
+    joined = cat.table("orders").join(
+        cat.table("lineitem"), F.expr("l_orderkey = o_orderkey")
+    )
+    out = aggregate_within_distinct(
+        joined,
+        ["o_orderstatus"],
+        [
+            ("SUM", "o_totalprice", "o_orderkey", "revenue_raw"),
+            ("COUNT", "o_orderkey", "o_orderkey", "n_orders"),
+        ],
+        assert_uniform=True,
+    )
+    return out.selectExpr(
+        "o_orderstatus",
+        "ROUND(revenue_raw, 3) AS revenue_per_order",
+        "CAST(n_orders AS BIGINT) AS n_orders",
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "q83_higher_order_lambdas",
+    oracle="""
+    SELECT l_orderkey AS okey,
+           list_sort(list_transform(prices, x -> x * 2)) AS taxed,
+           len(list_filter(prices, x -> x > 2000.0)) AS n_big,
+           ROUND(list_aggregate(prices, 'sum'), 3) AS total
+    FROM (
+      SELECT l_orderkey, list(l_extendedprice) AS prices
+      FROM lineitem WHERE l_orderkey <= 60
+      GROUP BY l_orderkey
+    )
+    ORDER BY okey
+    """,
+    tags=("lambda", "higher_order"),
+)
+def q83_higher_order_lambdas(spark, sf_dir):
+    """Higher-order lambdas ≈ rex/RexLambda.java:35 + lambda.iq:
+    transform/filter/aggregate over a collected array."""
+    from pyspark.sql import functions as F
+
+    cat = catalog_for(spark, sf_dir)
+    return (
+        cat.table("lineitem")
+        .filter("l_orderkey <= 60")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.expr("collect_list(l_extendedprice)").alias("prices"))
+        .selectExpr(
+            "okey",
+            "sort_array(transform(prices, x -> x * 2)) AS taxed",
+            "CAST(size(filter(prices, x -> x > 2000.0)) AS BIGINT) AS n_big",
+            "ROUND(aggregate(prices, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 3) AS total",
+        )
+        .orderBy("okey")
+    )

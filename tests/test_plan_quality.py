@@ -71,3 +71,36 @@ def test_profiler(spark):
     assert not prof["columns"]["n_regionkey"]["unique_candidate"]
     assert prof["columns"]["n_regionkey"]["min"] == 0
     assert prof["columns"]["n_nationkey"]["nulls"] == 0
+
+
+def test_date_range_rule_enables_pushdown(spark):
+    """The Sarg rewrite must surface o_orderdate BOUNDS (>=, <) in
+    PushedFilters — a plain range that any parquet reader row-group-skips
+    on min/max stats. (Spark 4's scan can also translate EXTRACT
+    predicates itself; the rewrite keeps the guarantee engine-side and
+    matches Calcite's DateRangeRules canonical form.)"""
+    cat = catalog_for(spark, SF_DIR)
+    rewritten = QS["q81_extract_year_sarg"](spark, SF_DIR)
+    rep = plan_report(rewritten)
+    pushed = " ".join(rep["pushed_filters"])
+    assert "GreaterThanOrEqual(o_orderdate" in pushed and "LessThan(o_orderdate" in pushed, pushed
+    # and the rewrite is semantics-preserving
+    raw = cat.table("orders").filter("EXTRACT(YEAR FROM o_orderdate) = 1995")
+    assert rewritten.selectExpr("SUM(n)").collect()[0][0] == raw.count()
+
+
+def test_date_range_rule_inequalities(spark):
+    cat = catalog_for(spark, SF_DIR)
+    b = RelBuilderQ = None
+    from calcite_spark.plans.builder import RelBuilder
+
+    for op, expect in [("<", "1996-01-01"), (">=", "1996-01-01"), ("<=", "1997-01-01"), (">", "1997-01-01")]:
+        df = (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(f"year(o_orderdate) {op} 1996")
+            .project("o_orderkey")
+            .to_df()
+        )
+        direct = cat.table("orders").filter(f"year(o_orderdate) {op} 1996")
+        assert df.count() == direct.count(), op
