@@ -96,3 +96,63 @@ def lsh_bucketed_topk(
         )
         .filter(f"rk <= {k}")
     )
+
+
+def ivf_build(corpus: DataFrame, n_clusters: int = 16, seed: int = 42):
+    """IVF index: k-means (pyspark.ml, JVM-side) partitions the corpus
+    into inverted lists. Returns (assigned_corpus, centroids) where
+    assigned_corpus has a `cluster` column — persist it partitioned by
+    cluster at scale so a probe reads only its lists' files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.withColumn("__v", array_to_vector("embedding"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cluster").fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe nearest inverted lists per query, exact cosine
+    rerank inside them. Plan: queries×centroids is driver-side tiny math
+    (the centroid table is small by construction); the corpus side is hit
+    with `cluster IN (...)` — partition pruning when the index is stored
+    partitioned by cluster."""
+    import math
+
+    q_rows = queries.collect()  # query set is small by contract (broadcast side)
+    spark = assigned.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = list(map(float, r.q_vec))
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        sims = []
+        for ci, c in enumerate(centroids):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            dot = sum(a * b for a, b in zip(qv, c))
+            sims.append((dot / (qn * cn), ci))
+        sims.sort(reverse=True)
+        for _, ci in sims[:n_probe]:
+            probe_rows.append((r.q_id, ci, qv))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id bigint, cluster int, q_vec array<double>"
+    )
+    return (
+        assigned.join(F.broadcast(probes), on="cluster")
+        .selectExpr("q_id", "vec_id", f"ROUND({_cos('embedding', 'q_vec')}, 6) AS cosine_sim")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            "cosine_sim",
+            "row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS rk",
+        )
+        .filter(f"rk <= {k}")
+    )

@@ -171,3 +171,34 @@ def suggest_tiles(catalog, table: str, dims: list[str], measures: list[str], max
         if (d,) not in tiles:
             tiles.append((d,))
     return {"cardinalities": cards, "tiles": tiles, "measures": measures}
+
+
+def build_lattice(
+    catalog,
+    registry: MaterializationRegistry,
+    table: str,
+    dims: list[str],
+    measure_calls: list[str],
+    warehouse: str,
+    max_tiles: int = 3,
+) -> list[Materialization]:
+    """≈ Lattice.java + TileSuggester end-to-end: suggest tiles, then
+    materialize each as an aggregate over the fact table. Queries
+    grouping by any subset of a tile's dims are answered from the
+    smallest matching tile via the rollup-compensation rewrite."""
+    import os
+
+    plan = suggest_tiles(catalog, table, dims, measure_calls, max_tiles=max_tiles)
+    out = []
+    for tile_dims in plan["tiles"]:
+        name = f"tile_{table}_{'_'.join(c.split('_')[-1] for c in tile_dims)}"
+        mv = registry.define(
+            catalog,
+            name,
+            table,
+            list(tile_dims),
+            measure_calls,
+            os.path.join(warehouse, name),
+        )
+        out.append(mv)
+    return out

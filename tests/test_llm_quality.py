@@ -84,3 +84,21 @@ def test_exact_dedup_finds_planted_dups(spark, cat):
         .collect()
     )
     assert len({r.t for r in texts}) == 1
+
+
+def test_ivf_topk_recall(spark, cat):
+    from calcite_spark.llm.similarity import brute_force_topk, ivf_build, ivf_topk
+
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 10").selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    assigned, centroids = ivf_build(emb, n_clusters=8)
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(assigned, centroids, queries, k=5, n_probe=4).collect()
+    }
+    # probing half the lists must recover most true neighbors, and the
+    # query vector itself (its own list is always the nearest centroid)
+    assert {(q, q) for q in range(10)} <= approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
