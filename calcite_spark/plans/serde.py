@@ -1,0 +1,74 @@
+"""Plan serialization ≈ rel/externalize/RelJson.java:114 +
+RelJsonWriter/RelJsonReader: dump the logical IR to JSON and read it
+back — used for plan diffing/golden tests (DiffRepository-style) and for
+shipping plans between processes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import fields, is_dataclass
+
+from calcite_spark.plans import ir
+from calcite_spark.operators.asof import AsofJoin
+
+_NODE_TYPES = {
+    cls.__name__: cls
+    for cls in (
+        ir.Scan,
+        ir.Values,
+        ir.Project,
+        ir.Filter,
+        ir.Aggregate,
+        ir.Window,
+        ir.Sort,
+        ir.Sample,
+        ir.Uncollect,
+        ir.Collect,
+        ir.Exchange,
+        ir.Join,
+        ir.SetOp,
+        ir.Correlate,
+        ir.Snapshot,
+        ir.Spool,
+        AsofJoin,
+    )
+}
+
+
+def to_dict(node: ir.RelNode) -> dict:
+    if not is_dataclass(node):
+        raise TypeError(f"not serializable: {type(node).__name__} (callable fields?)")
+    out = {"rel": type(node).__name__}
+    for f in fields(node):
+        if f.name == "inputs":
+            continue
+        v = getattr(node, f.name)
+        if callable(v):
+            raise TypeError(f"{type(node).__name__}.{f.name} is a callable — not serializable")
+        out[f.name] = list(v) if isinstance(v, tuple) else v
+    out["inputs"] = [to_dict(c) for c in node.inputs]
+    return out
+
+
+def from_dict(d: dict) -> ir.RelNode:
+    cls = _NODE_TYPES[d["rel"]]
+    inputs = tuple(from_dict(c) for c in d.get("inputs", []))
+    kwargs = {}
+    for f in fields(cls):
+        if f.name == "inputs":
+            continue
+        if f.name in d:
+            v = d[f.name]
+            kwargs[f.name] = tuple(tuple(x) if isinstance(x, list) else x for x in v) if isinstance(v, list) else v
+    node = cls(**kwargs)
+    node.inputs = inputs
+    return node
+
+
+def to_json(node: ir.RelNode, indent: int | None = None) -> str:
+    return json.dumps(to_dict(node), indent=indent)
+
+
+def from_json(text: str) -> ir.RelNode:
+    return from_dict(json.loads(text))

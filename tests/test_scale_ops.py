@@ -1,0 +1,111 @@
+"""Scale-mechanics tests: plan serde round-trip, salted skew join,
+bucketed co-located joins (write-side bucketing eliminates the join
+shuffle), IGNORE NULLS window modifier.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from calcite_spark.operators.skew import salted_join, skew_stats
+from calcite_spark.plans import ir
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.plans.serde import from_json, to_json
+from calcite_spark.queries.inventory import catalog_for
+from tests.conftest import SF_DIR
+
+
+def test_plan_json_roundtrip(spark):
+    cat = catalog_for(spark, SF_DIR)
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .filter("l_quantity > 10")
+        .scan("supplier")
+        .join("l_suppkey = s_suppkey")
+        .aggregate(["s_name"], ["COUNT(*) AS n"])
+        .sort_limit(["n DESC", "s_name"], fetch=5)
+        .build()
+    )
+    text = to_json(plan)
+    restored = from_json(text)
+    assert to_json(restored) == text
+    a = sorted(tuple(r) for r in restored.to_df(cat).collect())
+    b = sorted(tuple(r) for r in plan.to_df(cat).collect())
+    assert a == b and len(a) == 5
+
+
+def test_salted_join_matches_plain(spark):
+    cat = catalog_for(spark, SF_DIR)
+    li = cat.table("lineitem").select("l_suppkey", "l_quantity")
+    sup = cat.table("supplier").select("s_suppkey", "s_name")
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(li, sup, "l_suppkey", "s_suppkey", salt=4)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == sorted(
+        tuple(r) for r in salted.collect()
+    )
+
+
+def test_skew_stats(spark):
+    cat = catalog_for(spark, SF_DIR)
+    stats = skew_stats(cat.table("lineitem"), "l_returnflag")
+    assert stats["n_keys"] == 3
+    assert stats["skew_ratio"] >= 1.0
+    assert len(stats["hot_keys"]) == 3
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Write both sides bucketed on the join key → the join plans with
+    NO Exchange on either side (the 100 TB co-location pattern)."""
+    from calcite_spark.exec import plan_report
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    cat = catalog_for(spark, SF_DIR)
+    cat.table("orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    cat.table("lineitem").selectExpr("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("b_lineitem")
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"), F.expr("l_orderkey = o_orderkey")
+    )
+    rep = plan_report(joined)
+    assert rep["exchanges"] == 0, rep["text"][:1500]
+    assert joined.count() > 0
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+
+
+def test_ignore_nulls_window(spark, duck):
+    """IGNORE NULLS (AggregateCall.ignoreNulls:66) on last_value/lag —
+    gap-filling idiom; DuckDB supports the same modifier as oracle."""
+    from tests.conftest import assert_matches_oracle
+
+    cat = catalog_for(spark, SF_DIR)
+    cat.register_all_views()
+    # Spark puts IGNORE NULLS after the call, DuckDB inside the parens
+    spark_sql = """
+        SELECT o_custkey, o_orderkey,
+               last_value(CASE WHEN o_totalprice > 150000 THEN o_orderkey END) IGNORE NULLS
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS last_big_order
+        FROM orders WHERE o_custkey <= 80
+        ORDER BY o_custkey, o_orderkey
+    """
+    duck_sql = """
+        SELECT o_custkey, o_orderkey,
+               last_value(CASE WHEN o_totalprice > 150000 THEN o_orderkey END IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS last_big_order
+        FROM orders WHERE o_custkey <= 80
+        ORDER BY o_custkey, o_orderkey
+    """
+    assert_matches_oracle(spark.sql(spark_sql), duck, duck_sql)
