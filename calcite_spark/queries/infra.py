@@ -1,0 +1,151 @@
+"""Infrastructure-capability queries: materialized-view rewrite, UDTF
+table functions, MERGE INTO — driver-checkable forms of the §2.2/2.9/
+§4.2 capabilities that otherwise only live in tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from calcite_spark.queries.inventory import catalog_for, register
+
+_MV_CACHE: dict[tuple, object] = {}
+
+
+@register(
+    "q90_mv_rewrite",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("materialized_view", "rewrite"),
+)
+def q90_mv_rewrite(spark, sf_dir):
+    """Materialized-view substitution end-to-end: a (priority, status)
+    tile is defined once; this coarser group-by is answered FROM THE TILE
+    via rollup compensation (plans/materialize.py) — the oracle computes
+    from the base table, so a wrong rewrite fails the hash check."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    key = (id(spark), sf_dir)
+    if key not in _MV_CACHE:
+        cat = Catalog(spark).register_parquet_dir(sf_dir)
+        reg = MaterializationRegistry()
+        path = os.path.join(tempfile.mkdtemp(prefix="q90_mv_"), "q90_tile")
+        reg.define(
+            cat,
+            "q90_tile",
+            "orders",
+            ["o_orderpriority", "o_orderstatus"],
+            ["COUNT(*) AS n_orders", "SUM(o_totalprice) AS total_raw"],
+            path,
+        )
+        _MV_CACHE[key] = cat
+    cat = _MV_CACHE[key]
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["o_orderpriority"],
+            ["COUNT(*) AS n_orders", "SUM(o_totalprice) AS total_raw"],
+        )
+        .to_df()
+    )
+    assert all("q90_tile" in f for f in df.inputFiles()), "MV rewrite did not fire"
+    return df.selectExpr(
+        "o_orderpriority", "n_orders", "ROUND(total_raw, 3) AS total"
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q91_udtf",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey <= 20
+    ORDER BY p_partkey, word
+    """,
+    tags=("udtf", "table_function"),
+)
+def q91_udtf(spark, sf_dir):
+    """Python UDTF (TableFunctionScan ≈ rel/core/TableFunctionScan.java:57):
+    a word-splitting table function applied per row via LATERAL."""
+    from pyspark.sql.functions import udtf
+
+    if "q91_words" not in getattr(spark, "_q91_registered", set()):
+        @udtf(returnType="word string")
+        class Words:
+            def eval(self, text: str):
+                for w in (text or "").split():
+                    yield (w,)
+
+        spark.udtf.register("q91_words", Words)
+        spark._q91_registered = {"q91_words"}
+    catalog_for(spark, sf_dir).register_all_views()
+    return spark.sql(
+        """
+        SELECT p_partkey, w.word AS word
+        FROM part, LATERAL q91_words(p_name) w
+        WHERE p_partkey <= 20
+        ORDER BY p_partkey, word
+        """
+    )
+
+
+@register(
+    "q92_merge_upsert",
+    oracle="""
+    WITH source AS (
+      SELECT n_nationkey + 100 AS src_key, 'NEW_' || n_name AS src_name
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n_nationkey AS src_key, 'UPD_' || n_name AS src_name
+      FROM nation WHERE n_nationkey >= 20
+    )
+    SELECT COALESCE(t.n_nationkey, s.src_key) AS n_nationkey,
+           COALESCE(s.src_name, t.n_name) AS n_name
+    FROM nation t FULL OUTER JOIN source s ON t.n_nationkey = s.src_key
+    ORDER BY n_nationkey
+    """,
+    tags=("merge", "table_modify"),
+)
+def q92_merge_upsert(spark, sf_dir):
+    """MERGE INTO (TableModify.java:74) on a scratch copy of nation:
+    update rows >= 20, insert keys+100 — oracle reproduces the upsert
+    with a FULL OUTER join."""
+    import shutil
+
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.sources.modify import merge_into
+
+    cat = Catalog(spark)
+    scratch = tempfile.mkdtemp(prefix="q92_")
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.write.mode("overwrite").parquet(os.path.join(scratch, "nation"))
+    cat.register("q92_nation", os.path.join(scratch, "nation"))
+    source = nation.filter("n_nationkey < 5").selectExpr(
+        "n_nationkey + 100 AS src_key", "'NEW_' || n_name AS src_name"
+    ).unionAll(
+        nation.filter("n_nationkey >= 20").selectExpr(
+            "n_nationkey AS src_key", "'UPD_' || n_name AS src_name"
+        )
+    )
+    merge_into(
+        cat,
+        "q92_nation",
+        source,
+        on="n_nationkey = src_key",
+        when_matched_update={"n_name": "src_name"},
+        insert_values={"n_nationkey": "CAST(src_key AS INT)", "n_name": "src_name"},
+    )
+    merged = cat.table("q92_nation")
+    return merged.selectExpr(
+        "COALESCE(n_nationkey, CAST(NULL AS INT)) AS n_nationkey", "n_name"
+    ).orderBy("n_nationkey")

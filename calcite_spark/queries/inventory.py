@@ -78,5 +78,6 @@ def _load_all():
     import calcite_spark.queries.functions  # noqa: F401
     import calcite_spark.queries.semantics  # noqa: F401
     import calcite_spark.queries.tpch2  # noqa: F401
+    import calcite_spark.queries.infra  # noqa: F401
 
     _LOADED = True

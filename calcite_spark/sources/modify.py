@@ -77,6 +77,7 @@ def merge_into(
     when_matched_update: dict[str, str] | None = None,
     when_not_matched_insert: bool = True,
     when_matched_delete: bool = False,
+    insert_values: dict[str, str] | None = None,
 ) -> dict:
     """MERGE INTO target USING source ON cond — the Delta-style upsert as
     a single FULL-outer-shaped plan:
@@ -123,8 +124,17 @@ def merge_into(
     inserts = None
     n_inserted = 0
     if when_not_matched_insert:
+        # WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): explicit
+        # mapping target-col -> source expr; unmapped target cols default
+        # to same-name source col or NULL
+        mapping = insert_values or {}
         inserts = source.join(tdf, cond, "left_anti").select(
-            *[F.col(c) if c in source.columns else F.lit(None).alias(c) for c in tdf.columns]
+            *[
+                F.expr(mapping[c]).alias(c)
+                if c in mapping
+                else (F.col(c) if c in source.columns else F.lit(None).alias(c))
+                for c in tdf.columns
+            ]
         )
         n_inserted = inserts.count()
         updated = updated.unionByName(inserts)
