@@ -90,6 +90,9 @@ def decode_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """binary content → (width, height, n_bytes, mean_luma) via
     mapInPandas (Arrow batches; per-partition iterator keeps memory to
     one batch of payloads)."""
+    from calcite_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     # capture the codec choice at plan-build time: module globals set on
     # the driver are NOT visible inside Python workers (fresh import)
     use_fake = _FAKE_CODEC

@@ -265,6 +265,9 @@ def match_recognize(
     """One row per match. measures: out_name -> measure expr (FIRST/LAST/
     COUNT over symbol columns or bare col). DEFINE exprs are Spark SQL
     over the row, PREV(col[, n]) / NEXT(col[, n]) allowed."""
+    from calcite_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     nfa, symbols = compile_pattern(pattern)
     for s in symbols:
         if s not in {k.upper() for k in define}:

@@ -57,3 +57,35 @@ def get_spark(app_name: str = "calcite_spark", extra_conf: dict | None = None) -
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make `calcite_spark` importable inside Python workers regardless of
+    the driver's cwd (the verify driver runs from its own directory).
+
+    Pandas-UDF closures (match_recognize, multimodal decode) reference
+    module-level helpers, which cloudpickle serializes BY REFERENCE — the
+    worker then imports calcite_spark. Zip the package once and
+    sc.addPyFile it; cached per session.
+    """
+    if getattr(spark, "_calcite_spark_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "calcite_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "calcite_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._calcite_spark_shipped = True
