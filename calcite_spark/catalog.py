@@ -60,6 +60,20 @@ class Catalog:
         self.tables: dict[str, TableEntry] = {}
         self._dfs: dict[str, DataFrame] = {}
         self.materialized_views: dict[str, dict] = {}
+        # Engine-critical confs that are runtime-settable: applied here so
+        # correctness (UTC timestamp semantics vs UTC-naive parquet) and
+        # sane local parallelism hold even on a caller-built session
+        # (the verify driver constructs its own SparkSession).
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(spark.sparkContext.defaultParallelism),
+                )
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        except Exception:
+            pass  # conf locked down — proceed with session defaults
 
     # -- registration -------------------------------------------------
     def register_parquet_dir(self, sf_dir: str, tables=TPCH_TABLES) -> "Catalog":
