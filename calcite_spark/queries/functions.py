@@ -519,3 +519,97 @@ def q71_conditional_functions(spark, sf_dir):
         .sort("c_custkey")
         .to_df()
     )
+
+
+@register(
+    "q93_percentile_within_group",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_cont,
+           ROUND(quantile_disc(l_quantity, 0.5), 4) AS median_disc,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "percentile", "within_group"),
+)
+def q93_percentile_within_group(spark, sf_dir):
+    """PERCENTILE_CONT :2507 / PERCENTILE_DISC :2523 with WITHIN GROUP
+    (ORDER BY) — exact inverse-distribution aggregates (Spark >= 3.4
+    standard syntax; DuckDB quantile_cont/disc as oracle)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_cont",
+                "ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_disc",
+                "ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90",
+            ],
+        )
+        .sort("l_returnflag")
+        .to_df()
+    )
+
+
+@register(
+    "q94_bit_aggs",
+    oracle="""
+    SELECT n_regionkey,
+           bit_and(n_nationkey) AS band,
+           bit_or(n_nationkey) AS bor,
+           bit_xor(n_nationkey) AS bxor
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("aggregate", "bit"),
+)
+def q94_bit_aggs(spark, sf_dir):
+    """BIT_AND :1356 / BIT_OR :1362 / BIT_XOR :1368."""
+    return (
+        _b(spark, sf_dir)
+        .scan("nation")
+        .aggregate(
+            ["n_regionkey"],
+            [
+                "bit_and(n_nationkey) AS band",
+                "bit_or(n_nationkey) AS bor",
+                "bit_xor(n_nationkey) AS bxor",
+            ],
+        )
+        .sort("n_regionkey")
+        .to_df()
+    )
+
+
+@register(
+    "q95_checked_arithmetic",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INT) AS brand_as_int,
+           TRY_CAST(SUBSTRING(p_brand, 7) AS INT) AS brand_num,
+           CASE WHEN p_size = 0 THEN NULL ELSE CAST(p_retailprice / p_size AS DOUBLE) END AS price_per_size
+    FROM part WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    tags=("checked", "try_cast"),
+)
+def q95_checked_arithmetic(spark, sf_dir):
+    """Checked arithmetic / SAFE_CAST (ConvertToChecked → try_* family):
+    failed casts yield NULL instead of raising."""
+    return (
+        _b(spark, sf_dir)
+        .scan("part")
+        .filter("p_partkey <= 100")
+        .project(
+            "p_partkey",
+            "TRY_CAST(p_brand AS INT) AS brand_as_int",
+            "TRY_CAST(SUBSTRING(p_brand, 7) AS INT) AS brand_num",
+            "try_divide(p_retailprice, p_size) AS price_per_size",
+        )
+        .sort("p_partkey")
+        .to_df()
+    )
