@@ -143,12 +143,22 @@ class SqlFrontend:
                 slide = size
             elif kind == "HOP":
                 slide, size = secs[0], secs[1]
-            else:  # SESSION — gap-based; needs stateful grouping, use
-                # the session_window expression form
+            else:  # SESSION — gap-merged; session_window() only merges
+                # inside a groupBy, so expand the lag/cumsum sessionization
+                # idiom (global order; per-key sessions use
+                # streaming/tvf.session or PARTITION BY via q42's form)
                 (gap,) = secs[:1]
+                gap_us = gap * 1_000_000
                 return (
-                    f"(SELECT *, session_window({ts}, '{gap} seconds').start AS window_start, "
-                    f"session_window({ts}, '{gap} seconds').end AS window_end FROM {table})"
+                    f"(SELECT * EXCEPT (__sid, __newsess), "
+                    f"MIN({ts}) OVER (PARTITION BY __sid) AS window_start, "
+                    f"MAX({ts}) OVER (PARTITION BY __sid) + INTERVAL {gap} SECOND AS window_end "
+                    f"FROM (SELECT *, SUM(__newsess) OVER (ORDER BY {ts} "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid "
+                    f"FROM (SELECT *, CASE WHEN unix_micros({ts}) - "
+                    f"lag(unix_micros({ts})) OVER (ORDER BY {ts}) > {gap_us} "
+                    f"THEN 1 ELSE 0 END AS __newsess FROM {table}) "
+                    f") )"
                 )
             # window_start = biggest slide-aligned point <= ts - (size - slide)
             # (standard hop expansion: emit one row per covering window)

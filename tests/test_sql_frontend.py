@@ -117,3 +117,26 @@ def test_select_stream(fe, spark):
 def test_passthrough_plain_sql(fe, duck):
     df = fe.sql("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10")
     assert_matches_oracle(df, duck, "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10")
+
+
+def test_session_tvf_sql(fe, spark):
+    """SESSION TVF must MERGE gap-adjacent rows (the naive per-row
+    session_window projection does not — regression test)."""
+    df = fe.sql(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY window_start"
+    )
+    n_tvf = df.count()
+    correct = spark.sql(
+        """
+        SELECT MIN(ts) AS session_start, COUNT(*) AS n FROM (
+          SELECT ts, SUM(newsess) OVER (ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM (SELECT ts, CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+                OVER (ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS newsess
+                FROM events)
+        ) GROUP BY sid
+        """
+    ).count()
+    assert n_tvf == correct > 0
