@@ -356,3 +356,60 @@ def q83_higher_order_lambdas(spark, sf_dir):
         )
         .orderBy("okey")
     )
+
+
+@register(
+    "q96_intersect_all",
+    oracle="""
+    SELECT qty FROM (
+      SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+    ) ORDER BY qty
+    """,
+    tags=("setop", "intersect_all", "bag"),
+)
+def q96_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics, Intersect.java:40 all=true →
+    EnumerableIntersect): each value kept min(count_left, count_right)
+    times."""
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .filter("l_returnflag = 'A'")
+        .project("l_quantity AS qty")
+        .scan("lineitem")
+        .filter("l_returnflag = 'R'")
+        .project("l_quantity AS qty")
+        .intersect(all=True)
+        .sort("qty")
+        .to_df()
+    )
+
+
+@register(
+    "q97_except_all",
+    oracle="""
+    SELECT status FROM (
+      SELECT o_orderstatus AS status FROM orders WHERE o_custkey <= 200
+      EXCEPT ALL
+      SELECT o_orderstatus AS status FROM orders WHERE o_custkey <= 100
+    ) ORDER BY status
+    """,
+    tags=("setop", "except_all", "bag"),
+)
+def q97_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag difference, Minus.java:43 all=true): counts
+    subtract, not just membership."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("o_custkey <= 200")
+        .project("o_orderstatus AS status")
+        .scan("orders")
+        .filter("o_custkey <= 100")
+        .project("o_orderstatus AS status")
+        .minus(all=True)
+        .sort("status")
+        .to_df()
+    )
