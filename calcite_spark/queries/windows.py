@@ -248,3 +248,49 @@ def q36_first_last_nth(spark, sf_dir):
         .sort("o_custkey", "o_orderkey")
         .to_df()
     )
+
+
+@register(
+    "q37_window_exclude_group_ties",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 EXCLUDE GROUP), 3) AS sum_excl_group,
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 EXCLUDE TIES), 3) AS sum_excl_ties
+    FROM lineitem WHERE l_suppkey <= 10
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    tags=("window", "exclude_group", "exclude_ties"),
+)
+def q37_window_exclude_group_ties(spark, sf_dir):
+    """EXCLUDE GROUP / EXCLUDE TIES (RexWindowExclusion) — Spark has no
+    EXCLUDE clause; algebraic emulation over the full-partition frame:
+      peers_sum = SUM(x) OVER (... RANGE CURRENT ROW..CURRENT ROW)
+      EXCLUDE GROUP = total − peers_sum
+      EXCLUDE TIES  = total − peers_sum + x
+    DuckDB runs the native clause as the oracle."""
+    total = (
+        "SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    peers = (
+        "SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity "
+        "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+    )
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .filter("l_suppkey <= 10")
+        .window(
+            [
+                f"ROUND({total} - {peers}, 3) AS sum_excl_group",
+                f"ROUND({total} - {peers} + l_extendedprice, 3) AS sum_excl_ties",
+            ],
+            keep=("l_suppkey", "l_orderkey", "l_linenumber"),
+        )
+        .sort("l_suppkey", "l_orderkey", "l_linenumber")
+        .to_df()
+    )
