@@ -38,13 +38,16 @@ class FnDef:
     libraries: tuple = (STANDARD,)
     kind: str = "scalar"  # scalar | aggregate | window | predicate | udf_todo
     note: str = ""
+    defaults: tuple = ()  # tail defaults filling max(arity) when fewer args given
 
 
 FUNCTIONS: dict[str, FnDef] = {}
 
 
-def _reg(name, template="", arity=(), libs=(STANDARD,), kind="scalar", note=""):
-    FUNCTIONS[name.upper()] = FnDef(name.upper(), template, tuple(arity), tuple(libs), kind, note)
+def _reg(name, template="", arity=(), libs=(STANDARD,), kind="scalar", note="", defaults=()):
+    FUNCTIONS[name.upper()] = FnDef(
+        name.upper(), template, tuple(arity), tuple(libs), kind, note, tuple(defaults)
+    )
 
 
 def _passthrough(names, libs=(STANDARD,), kind="scalar"):
@@ -91,8 +94,13 @@ _passthrough(
     "CBRT COS COSH COT CSC DEGREES EXP FACTORIAL PI RADIANS ROUND SEC SIGN "
     "SIN SINH TAN TANH SIGNUM E"
 )
-_reg("TRUNCATE", "CASE WHEN {1} >= 0 THEN trunc_num({0}, {1}) END", (1, 2), note="numeric truncate")
-_reg("TRUNCATE", "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})", (2,), note="HALF_DOWN emulation; prefer F.expr('trunc')")
+_reg(
+    "TRUNCATE",
+    "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})",
+    (1, 2),
+    note="truncate-toward-zero at scale (default 0) via HALF_DOWN emulation",
+    defaults=("0",),
+)
 _reg("RAND", "rand({0})", (0, 1))
 _reg("RAND_INTEGER", "CAST(floor(rand({0}) * {1}) AS INT)", (1, 2))
 _reg("LOG", "log({0}, {1})", (1, 2), libs=(BIG_QUERY, MYSQL))
@@ -154,7 +162,15 @@ _reg("TIMESTAMPDIFF", "timestampdiff({0}, {1}, {2})", (3,))
 _reg("DATE_ADD", "date_add({0}, {1})", (2,), libs=(SPARK, HIVE), note="Calcite DATE_ADD_SPARK models exactly this")
 _reg("DATE_SUB", "date_sub({0}, {1})", (2,), libs=(SPARK, HIVE))
 _reg("DATEDIFF", "datediff({0}, {1})", (2,), libs=(SPARK, HIVE, MYSQL))
-_reg("DATE_DIFF", "datediff({1}, {0})", (2, 3), libs=(BIG_QUERY,))
+_reg(
+    "DATE_DIFF",
+    "timestampdiff({2}, {1}, {0})",
+    (3,),
+    libs=(BIG_QUERY,),
+    note="BigQuery DATE_DIFF(a, b, part) = a - b in `part` units; "
+    "timestampdiff counts full periods where BigQuery counts boundary "
+    "crossings for YEAR/MONTH — documented delta",
+)
 _reg("DATE_TRUNC", "date_trunc({0}, {1})", (2,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("DATE_PART", "date_part({0}, {1})", (2,), libs=(POSTGRESQL,))
 _reg("MONTHNAME", "date_format({0}, 'MMMM')", (1,), libs=(MYSQL,))
@@ -305,6 +321,10 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
+    if fn.defaults and fn.arity:
+        missing = max(fn.arity) - len(args)
+        if 0 < missing <= len(fn.defaults):
+            args = tuple(args) + fn.defaults[-missing:]
     out = fn.template
     for i, a in enumerate(args):
         out = out.replace("{" + str(i) + "}", a)

@@ -26,14 +26,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     lsalted = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
+    # When both sides use the same key name, rename the right key to a
+    # unique temp name BEFORE building the condition — otherwise both
+    # F.col() refs resolve to the left column and the predicate is
+    # trivially true (join degenerates to salt-only matching).
+    rkey, renamed = right_key, False
+    if left_key == right_key:
+        rkey, renamed = f"__rk_{right_key}", True
+        right = right.withColumnRenamed(right_key, rkey)
     rsalted = right.crossJoin(
         F.broadcast(right.sparkSession.range(salt).selectExpr("CAST(id AS INT) AS __salt"))
     )
-    cond = (F.col(left_key) == F.col(right_key)) & (
-        lsalted["__salt"] == rsalted["__salt"]
-    )
-    out = lsalted.join(rsalted.drop(left_key) if left_key == right_key else rsalted, on=cond, how=how)
-    return out.drop("__salt")
+    cond = (lsalted[left_key] == rsalted[rkey]) & (lsalted["__salt"] == rsalted["__salt"])
+    out = lsalted.join(rsalted, on=cond, how=how)
+    out = out.drop(lsalted["__salt"]).drop(rsalted["__salt"])
+    return out.drop(rkey) if renamed else out
 
 
 def skew_stats(df: DataFrame, key: str, top: int = 5):

@@ -247,9 +247,13 @@ class Uncollect(RelNode):
     def to_df(self, ctx) -> DataFrame:
         df = self.inputs[0].to_df(ctx)
         if self.with_ordinality:
-            ex = f"posexplode({self.array_expr}) AS (ordinality, {self.alias})"
-        else:
-            ex = f"explode({self.array_expr}) AS {self.alias}"
+            # SQL-standard / Calcite UNNEST WITH ORDINALITY is 1-based
+            # (Uncollect.java:60); posexplode is 0-based, so shift.
+            ex = f"posexplode({self.array_expr}) AS (__pos0, {self.alias})"
+            return df.selectExpr(*self.keep, ex).selectExpr(
+                *self.keep, "__pos0 + 1 AS ordinality", self.alias
+            )
+        ex = f"explode({self.array_expr}) AS {self.alias}"
         return df.selectExpr(*self.keep, ex)
 
 

@@ -121,6 +121,11 @@ class MaterializationRegistry:
             if p is None:
                 return None
             fn, arg, alias = p
+            # DISTINCT aggregates are NOT summable across finer groups
+            # (SUM of per-group distinct counts overcounts) — only the
+            # exact-match tier may rewrite them.
+            if arg.upper().startswith("DISTINCT") and not exact:
+                return None
             # find the MV column computing this aggregate
             src = next(
                 (

@@ -154,7 +154,7 @@ def q62_listagg_within_group(spark, sf_dir):
          b AS (SELECT n_regionkey AS rk, list_sort(list(DISTINCT n_nationkey)) AS nations
                FROM nation WHERE n_nationkey < 15 GROUP BY n_regionkey)
     SELECT a.rk AS rk,
-           list_sort(list_intersect(a.nations, b.nations)) AS common,
+           array_to_string(list_sort(list_intersect(a.nations, b.nations)), ',') AS common,
            CAST(len(a.nations) + len(b.nations) AS INT) AS union_all_card,
            list_has_any(a.nations, b.nations) AS overlaps
     FROM a JOIN b ON a.rk = b.rk
@@ -181,7 +181,8 @@ def q63_multiset_ops(spark, sf_dir):
         a.join(b, "rk")
         .selectExpr(
             "rk",
-            "sort_array(array_intersect(nations_a, nations_b)) AS common",
+            # CSV-serialized: list cells break the driver's pandas canonicalizer
+            "array_join(sort_array(array_intersect(nations_a, nations_b)), ',') AS common",
             "CAST(size(nations_a) + size(nations_b) AS INT) AS union_all_card",
             "arrays_overlap(nations_a, nations_b) AS overlaps",
         )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from calcite_spark.llm.dedup import exact_dedup, minhash_lsh_dups
 from calcite_spark.llm.similarity import brute_force_topk
 from calcite_spark.llm.textstats import lang_id, quality_score, text_stats
-from calcite_spark.queries.inventory import catalog_for, register
+from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
 
 
 @register(
@@ -93,14 +93,60 @@ def q52_quality_score(spark, sf_dir):
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB oracle mirroring llm/textstats.lang_id exactly: stopword
+    votes per language, argmax with first-max tie-break in marker order
+    (the cascading >= chain IS first-position argmax), 'und' when all
+    votes are zero. Generated from _LANG_MARKERS so both sides stay in
+    lock-step."""
+    from calcite_spark.llm.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    votes = {
+        lang: " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in words
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    vote_cols = ",\n             ".join(f"({v}) AS votes_{lang}" for lang, v in votes.items())
+    all_votes = ", ".join(f"votes_{lang}" for lang in langs)
+    # first-max argmax over [en, de, fr, es]: lang_i wins iff votes_i >= all later
+    argmax = " ".join(
+        f"WHEN {' AND '.join(f'votes_{a} >= votes_{b}' for b in langs[i + 1:]) or 'TRUE'}"
+        f" THEN '{a}'"
+        for i, a in enumerate(langs[:-1])
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             string_split_regex(lower(text), '[^a-z]+') AS toks
+      FROM documents
+    ), v AS (
+      SELECT doc_id, lang_true,
+             {vote_cols}
+      FROM t
+    ), p AS (
+      SELECT lang_true,
+             CASE WHEN GREATEST({all_votes}) = 0 THEN 'und'
+                  {argmax}
+                  ELSE '{langs[-1]}' END AS lang_pred
+      FROM v
+    )
+    SELECT lang_true, lang_pred, COUNT(*) AS n
+    FROM p GROUP BY lang_true, lang_pred
+    ORDER BY lang_true, lang_pred
+    """
+
+
 @register(
     "q53_lang_id",
-    oracle=None,  # heuristic argmax over stopword votes — rows-only check
+    oracle=_lang_id_oracle(),
     tags=("llm", "langid"),
 )
 def q53_lang_id(spark, sf_dir):
-    """Stopword-vote language ID accuracy rollup (no SQL oracle: the
-    argmax tie rule is engine-specific; driver does rows-only)."""
+    """Stopword-vote language ID confusion rollup — llm/textstats.lang_id.
+    Deterministic argmax (first max in marker order, ties-all-zero →
+    'und'), so the DuckDB oracle replays the identical vote logic."""
     cat = catalog_for(spark, sf_dir)
     pred = lang_id(cat.table("documents"))
     return (
@@ -145,7 +191,7 @@ def q54_knn_bruteforce(spark, sf_dir):
 
 @register(
     "q55_minhash_lsh",
-    oracle=None,  # LSH banding is defined by our hash family — rows-only
+    oracle=snapshot_oracle("q55_minhash_lsh"),  # xxhash64 band family; reviewed snapshot
     tags=("llm", "dedup", "minhash"),
 )
 def q55_minhash_lsh(spark, sf_dir):

@@ -7,7 +7,7 @@ inventory.
 from __future__ import annotations
 
 from calcite_spark.plans.builder import RelBuilder
-from calcite_spark.queries.inventory import catalog_for, register
+from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
 
 
 def _b(spark, sf_dir) -> RelBuilder:
@@ -217,7 +217,7 @@ def q78_calc_fused(spark, sf_dir):
 
 @register(
     "q79_simhash_dedup",
-    oracle=None,  # hash family is ours — rows-only
+    oracle=snapshot_oracle("q79_simhash_dedup"),  # xxhash64 simhash; reviewed snapshot
     tags=("llm", "dedup", "simhash"),
 )
 def q79_simhash_dedup(spark, sf_dir):
@@ -230,8 +230,8 @@ def q79_simhash_dedup(spark, sf_dir):
 
 @register(
     "q80_lsh_knn",
-    oracle=None,  # bucketing is ours — rows-only; recall vs brute force
-    # is asserted in tests/test_llm_quality.py
+    oracle=snapshot_oracle("q80_lsh_knn"),  # our plane family; reviewed snapshot;
+    # recall vs brute force is asserted in tests/test_llm_quality.py
     tags=("llm", "similarity", "lsh"),
 )
 def q80_lsh_knn(spark, sf_dir):

@@ -13,7 +13,7 @@ snapshot (Snapshot.java:53, FOR SYSTEM_TIME AS OF).
 from __future__ import annotations
 
 from calcite_spark.plans.builder import RelBuilder
-from calcite_spark.queries.inventory import catalog_for, register
+from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
 from calcite_spark.streaming.tvf import hop, session, tumble
 
 
@@ -221,7 +221,7 @@ def q44_snapshot(spark, sf_dir):
 
 @register(
     "q45_match_recognize",
-    oracle=None,  # row-pattern NFA semantics aren't SQL-expressible in DuckDB
+    oracle=snapshot_oracle("q45_match_recognize"),  # NFA not SQL-expressible; reviewed snapshot
     tags=("match_recognize",),
 )
 def q45_match_recognize(spark, sf_dir):

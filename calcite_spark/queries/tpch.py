@@ -482,8 +482,8 @@ def q13_except(spark, sf_dir):
     "q14_case_agg",
     oracle="""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
            ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 3) AS f_price
     FROM orders
     GROUP BY order_year
@@ -738,7 +738,7 @@ def q21_unpivot(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            unnest(string_split(p_type, ' ')) AS tok,
-           CAST(unnest(generate_series(0, len(string_split(p_type, ' ')) - 1)) AS INT) AS ordinality
+           CAST(unnest(generate_series(1, len(string_split(p_type, ' ')))) AS INT) AS ordinality
     FROM part
     WHERE p_partkey <= 30
     ORDER BY p_partkey, ordinality
@@ -746,7 +746,7 @@ def q21_unpivot(spark, sf_dir):
     tags=("uncollect", "unnest"),
 )
 def q22_unnest_ordinality(spark, sf_dir):
-    """UNNEST WITH ORDINALITY → posexplode (0-based; oracle aligned)."""
+    """UNNEST WITH ORDINALITY → posexplode + 1 (SQL-standard 1-based)."""
     return (
         _b(spark, sf_dir)
         .scan("part")
@@ -766,7 +766,8 @@ def q22_unnest_ordinality(spark, sf_dir):
 @register(
     "q23_collect_array",
     oracle="""
-    SELECT l_orderkey AS o_orderkey, list_sort(list(l_linenumber)) AS line_numbers,
+    SELECT l_orderkey AS o_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(len(list(l_linenumber)) AS INT) AS n_lines
     FROM lineitem
     WHERE l_orderkey <= 100
@@ -783,7 +784,12 @@ def q23_collect_array(spark, sf_dir):
         .selectExpr("l_orderkey AS o_orderkey", "l_linenumber")
         .groupBy("o_orderkey")
         .agg(
-            F.expr("sort_array(collect_list(l_linenumber))").alias("line_numbers"),
+            # serialized to CSV: the driver canonicalizer (pandas sort_values)
+            # cannot hash list-typed cells, so the Collect result is surfaced
+            # as a deterministic string on both sides of the compare.
+            F.expr("array_join(sort_array(collect_list(l_linenumber)), ',')").alias(
+                "line_numbers"
+            ),
             F.expr("CAST(size(collect_list(l_linenumber)) AS INT)").alias("n_lines"),
         )
         .orderBy("o_orderkey")

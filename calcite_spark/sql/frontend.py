@@ -93,12 +93,15 @@ class SqlFrontend:
     """parse() = macro expansion (inspect like Hook.PARSE_TREE);
     sql() = expansion + execution via spark.sql."""
 
-    def __init__(self, catalog):
+    def __init__(self, catalog, allow_global_session: bool = False):
         self.catalog = catalog
         self.spark: SparkSession = catalog.spark
         # temporal table registry ≈ schema/TemporalTable.java:
         # name -> (key, version_col, tiebreaker)
         self.temporal_tables: dict[str, tuple] = {}
+        # SESSION without a key DESCRIPTOR sessionizes over a GLOBAL
+        # window — one task at 100 TB. Opt-in only.
+        self.allow_global_session = allow_global_session
 
     def register_temporal(self, table: str, key: str, version_col: str, tiebreaker: str = ""):
         self.temporal_tables[table] = (key, version_col, tiebreaker)
@@ -145,18 +148,33 @@ class SqlFrontend:
                 slide, size = secs[0], secs[1]
             else:  # SESSION — gap-merged; session_window() only merges
                 # inside a groupBy, so expand the lag/cumsum sessionization
-                # idiom (global order; per-key sessions use
-                # streaming/tvf.session or PARTITION BY via q42's form)
+                # idiom. SqlSessionTableFunction.java:27-35: the 3rd
+                # operand is an OPTIONAL key descriptor — with it every
+                # window is PARTITION BY key (parallel, scale-safe);
+                # without it sessionization is a GLOBAL ordered window
+                # (one task at 100 TB) and is refused unless
+                # allow_global_session is set.
                 (gap,) = secs[:1]
                 gap_us = gap * 1_000_000
+                key_m = re.search(r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", args, re.I)
+                key = key_m.group(1) if key_m else None
+                if key is None and not self.allow_global_session:
+                    raise ValueError(
+                        "SESSION without a key DESCRIPTOR sessionizes over a "
+                        "single global window (one task at scale). Pass "
+                        "SESSION(TABLE t, DESCRIPTOR(ts), DESCRIPTOR(key), gap) "
+                        "or set SqlFrontend(allow_global_session=True)."
+                    )
+                by = f"PARTITION BY {key} " if key else ""
+                sid_part = f"{key}, __sid" if key else "__sid"
                 return (
                     f"(SELECT * EXCEPT (__sid, __newsess), "
-                    f"MIN({ts}) OVER (PARTITION BY __sid) AS window_start, "
-                    f"MAX({ts}) OVER (PARTITION BY __sid) + INTERVAL {gap} SECOND AS window_end "
-                    f"FROM (SELECT *, SUM(__newsess) OVER (ORDER BY {ts} "
+                    f"MIN({ts}) OVER (PARTITION BY {sid_part}) AS window_start, "
+                    f"MAX({ts}) OVER (PARTITION BY {sid_part}) + INTERVAL {gap} SECOND AS window_end "
+                    f"FROM (SELECT *, SUM(__newsess) OVER ({by}ORDER BY {ts} "
                     f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid "
                     f"FROM (SELECT *, CASE WHEN unix_micros({ts}) - "
-                    f"lag(unix_micros({ts})) OVER (ORDER BY {ts}) > {gap_us} "
+                    f"lag(unix_micros({ts})) OVER ({by}ORDER BY {ts}) > {gap_us} "
                     f"THEN 1 ELSE 0 END AS __newsess FROM {table}) "
                     f") )"
                 )

@@ -90,6 +90,10 @@ CASES = [
     ("CHR", ["65"], "chr(65)"),
     ("ASCII", ["'A'"], "ascii('A')"),
     ("REPEAT", ["'ab'", "3"], "repeat('ab', 3)"),
+    ("TRUNCATE", ["CAST(7.9 AS DOUBLE)"], "CAST(7.0 AS DOUBLE)"),
+    ("TRUNCATE", ["CAST(-2.718 AS DOUBLE)", "2"], "CAST(-2.71 AS DOUBLE)"),
+    ("DATE_DIFF", ["DATE '2024-02-01'", "DATE '2024-01-01'", "DAY"], "31"),
+    ("DATE_DIFF", ["DATE '2024-03-15'", "DATE '2024-01-10'", "MONTH"], "2"),
 ]
 
 

@@ -11,6 +11,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from calcite_spark.catalog import Catalog
 from calcite_spark.plans import ir
 from calcite_spark.plans.builder import RelBuilder
@@ -176,3 +178,45 @@ def test_json_model_loader(spark, tmp_path):
     cat = Catalog(spark).load_model(str(mpath))
     assert cat.table("m_nation").count() == 25
     assert cat.table("m_region").count() == 5
+
+
+def test_distinct_agg_not_rolled_up(spark, mv_catalog):
+    """COUNT(DISTINCT x) is not summable across finer groups — the
+    rollup-compensation tier must refuse it (exact match still allowed)."""
+    cat, reg = mv_catalog
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mv_distinct_")
+    reg.define(
+        cat,
+        name="mv_distinct_supp",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=["COUNT(DISTINCT l_suppkey) AS nd_supp"],
+        path=f"{tmp}/mv_distinct_supp",
+    )
+    # subset-of-keys rollup: must NOT be answered from the MV
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(["l_returnflag"], ["COUNT(DISTINCT l_suppkey) AS nd_supp"])
+        .to_df()
+    )
+    assert not any("mv_distinct_supp" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("nd_supp"))
+    )
+    assert len(_rows(df)) == direct.count()
+    # exact keys: MV answer is fine
+    exact = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag", "l_linestatus"], ["COUNT(DISTINCT l_suppkey) AS nd_supp"]
+        )
+        .to_df()
+    )
+    assert all("mv_distinct_supp" in f for f in exact.inputFiles())
+    del reg.mvs["mv_distinct_supp"]

@@ -109,3 +109,25 @@ def test_ignore_nulls_window(spark, duck):
         ORDER BY o_custkey, o_orderkey
     """
     assert_matches_oracle(spark.sql(spark_sql), duck, duck_sql)
+
+
+def test_salted_join_same_key_name(spark):
+    """Regression: identical left/right key names must not degenerate to
+    salt-only matching (the pre-fix condition resolved both sides to the
+    left column and was trivially true)."""
+    cat = catalog_for(spark, SF_DIR)
+    li = cat.table("lineitem").select("l_suppkey", "l_quantity")
+    sup = cat.table("supplier").selectExpr("s_suppkey AS l_suppkey", "s_name")
+    plain = (
+        li.join(sup.withColumnRenamed("l_suppkey", "sk"), F.col("l_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(li, sup, "l_suppkey", "l_suppkey", salt=4)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == sorted(
+        tuple(r) for r in salted.collect()
+    )

@@ -121,12 +121,15 @@ def test_passthrough_plain_sql(fe, duck):
 
 def test_session_tvf_sql(fe, spark):
     """SESSION TVF must MERGE gap-adjacent rows (the naive per-row
-    session_window projection does not — regression test)."""
+    session_window projection does not — regression test). Global
+    (key-less) form is opt-in: it is a one-task window at scale."""
+    fe.allow_global_session = True
     df = fe.sql(
         "SELECT window_start, COUNT(*) AS n "
         "FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
         "GROUP BY window_start"
     )
+    fe.allow_global_session = False
     n_tvf = df.count()
     correct = spark.sql(
         """
@@ -140,3 +143,43 @@ def test_session_tvf_sql(fe, spark):
         """
     ).count()
     assert n_tvf == correct > 0
+
+
+def test_session_tvf_partitioned(fe, spark, duck):
+    """SESSION with the optional key DESCRIPTOR
+    (SqlSessionTableFunction.java:27-35, stream.iq:248) sessionizes per
+    key; the expanded SQL must carry PARTITION BY into every window so
+    the plan parallelizes by key at scale."""
+    sql = (
+        "SELECT user_id, window_start, COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), DESCRIPTOR(user_id), "
+        "INTERVAL '30' MINUTE)) "
+        "GROUP BY user_id, window_start ORDER BY user_id, window_start"
+    )
+    expanded, _ = fe.parse(sql)
+    assert expanded.count("PARTITION BY user_id") >= 2, expanded
+    df = fe.sql(sql)
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS window_start, COUNT(*) AS n FROM (
+          SELECT user_id, ts, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM (SELECT user_id, ts, CASE WHEN ts - lag(ts)
+                OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS newsess
+                FROM events)
+        ) GROUP BY user_id, sid ORDER BY user_id, window_start
+        """,
+    )
+
+
+def test_session_tvf_global_refused(fe):
+    """Key-less SESSION without opt-in must refuse (scale guard)."""
+    assert not fe.allow_global_session
+    with pytest.raises(ValueError, match="global window"):
+        fe.parse(
+            "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), "
+            "INTERVAL '30' MINUTE))"
+        )
