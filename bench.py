@@ -64,6 +64,17 @@ def main() -> None:
                     qs[name](spark, WARMUP_SF_DIR).count()
                 except Exception:
                     pass
+    # Second warmup pass AT the bench SF: AQE replans and codegen are
+    # partly size-dependent (broadcast thresholds, skew splits), so the
+    # small-SF pass alone leaves first-run compilation in the measured
+    # numbers (q03 measured 3.1s cold vs 1.2s warm at sf0.1). One
+    # throwaway pass makes the timing steady-state.
+    for name in HEADLINE:
+        if name in qs:
+            try:
+                qs[name](spark, SF_DIR).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

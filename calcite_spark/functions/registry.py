@@ -288,7 +288,7 @@ _reg("BITAND_AGG", "bit_and({0})", (1,), libs=(ORACLE,), kind="aggregate")
 _reg("BITOR_AGG", "bit_or({0})", (1,), libs=(ORACLE,), kind="aggregate")
 _reg("JSON_OBJECTAGG", "to_json(map_from_entries(collect_list(struct({0}, {1}))))", (2,), kind="aggregate")
 _reg("JSON_ARRAYAGG", "to_json(collect_list({0}))", (1,), kind="aggregate")
-_reg("GROUP_ID", "0", (0,), kind="aggregate", note="no Spark equivalent; dedup of duplicate grouping sets at IR layer (SURVEY §2.4)")
+_reg("GROUP_ID", "GROUP_ID()", (0,), kind="aggregate", note="expanded by ir.Aggregate._to_df_group_id: UNION ALL of per-duplicate-occurrence aggregates (CALCITE-1824); literal 0 when sets are unique")
 
 # Ranking / window-only (§2.5)
 _passthrough("RANK DENSE_RANK ROW_NUMBER PERCENT_RANK CUME_DIST", kind="window")

@@ -141,6 +141,8 @@ class Aggregate(RelNode):
         if self.group_type == "CUBE":
             return df.cube(*[F.expr(k) for k in self.group_keys]).agg(*aggs)
         if self.group_type == "GROUPING_SETS":
+            if any("GROUP_ID" in c.upper() for c in self.agg_calls):
+                return self._to_df_group_id(ctx, df)
             # Lower through SQL: Spark's DataFrame API has no groupingSets
             # until groupingSets() (4.0); SQL form is stable.
             df.createOrReplaceTempView("__gs_input__")
@@ -152,6 +154,33 @@ class Aggregate(RelNode):
                 f"GROUP BY GROUPING SETS ({sets})"
             )
         raise ValueError(f"unknown group_type {self.group_type}")
+
+    def _to_df_group_id(self, ctx, df: DataFrame) -> DataFrame:
+        """GROUP_ID() over (possibly duplicate) grouping sets — Calcite
+        expands it into a UNION ALL of one aggregate per duplicate
+        occurrence (CALCITE-1824; SqlStdOperatorTable.GROUP_ID:248): the
+        i-th copy (0-based) aggregates the distinct sets occurring more
+        than i times and emits literal i. With no duplicates this is a
+        single branch with GROUP_ID() = 0."""
+        import re as _re
+
+        counts: dict[tuple, int] = {}
+        for s in self.grouping_sets:
+            counts[tuple(s)] = counts.get(tuple(s), 0) + 1
+        df.createOrReplaceTempView("__gs_input__")
+        keys = ", ".join(self.group_keys)
+        branches = []
+        for i in range(max(counts.values())):
+            sets_i = [s for s, n in counts.items() if n > i]
+            sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets_i)
+            calls = ", ".join(
+                _re.sub(r"(?i)GROUP_ID\s*\(\s*\)", str(i), c) for c in self.agg_calls
+            )
+            branches.append(
+                f"SELECT {keys}{', ' if keys else ''}{calls} FROM __gs_input__ "
+                f"GROUP BY GROUPING SETS ({sets_sql})"
+            )
+        return ctx.spark.sql(" UNION ALL ".join(branches))
 
 
 @dataclass(repr=False)

@@ -413,3 +413,78 @@ def q97_except_all(spark, sf_dir):
         .sort("status")
         .to_df()
     )
+
+
+@register(
+    "q98_group_id",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 3) AS total, 0 AS gid
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+      UNION ALL
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 3) AS total, 1 AS gid
+      FROM orders GROUP BY o_orderstatus
+    ) ORDER BY gid, o_orderstatus NULLS FIRST
+    """,
+    tags=("aggregate", "grouping_sets", "group_id"),
+)
+def q98_group_id(spark, sf_dir):
+    """GROUP_ID() over DUPLICATE grouping sets
+    (SqlStdOperatorTable.GROUP_ID:248, CALCITE-1824): the i-th copy of a
+    duplicate set gets GROUP_ID() = i; lowered as a UNION ALL of
+    per-occurrence aggregates in ir.Aggregate._to_df_group_id (the
+    oracle replays that expansion explicitly)."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus"],
+            [
+                "COUNT(*) AS n_orders",
+                "ROUND(SUM(o_totalprice), 3) AS total",
+                "GROUP_ID() AS gid",
+            ],
+            group_type="GROUPING_SETS",
+            grouping_sets=[["o_orderstatus"], ["o_orderstatus"], []],
+        )
+        .sort("gid", "o_orderstatus NULLS FIRST")
+        .to_df()
+    )
+
+
+def _q99_plan():
+    """One IR, two emissions: the Spark DataFrame (query side) and the
+    DuckDB SQL (oracle side) both come from this plan via
+    sql/rel2sql.py — structural oracle drift (the q14 bug class) is
+    impossible for queries registered this way."""
+    return (
+        RelBuilder(None)
+        .scan("customer")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .aggregate(
+            ["c_mktsegment"],
+            ["COUNT(*) AS n_orders", "ROUND(SUM(o_totalprice), 3) AS total"],
+        )
+        .sort_limit(["total DESC", "c_mktsegment"], fetch=5)
+        .build()
+    )
+
+
+def _q99_oracle() -> str:
+    from calcite_spark.sql.rel2sql import DUCKDB, to_sql
+
+    return to_sql(_q99_plan(), DUCKDB)
+
+
+@register(
+    "q99_rel2sql_oracle",
+    oracle=_q99_oracle(),
+    tags=("rel2sql", "dialect"),
+)
+def q99_rel2sql_oracle(spark, sf_dir):
+    """rel2sql demo ≈ RelToSqlConverter.java:135 + DuckDBSqlDialect:
+    query and oracle emitted from the SAME IR plan."""
+    return _q99_plan().to_df(catalog_for(spark, sf_dir))

@@ -1,0 +1,301 @@
+"""IR → SQL emitter ≈ Calcite's rel2sql
+(rel/rel2sql/RelToSqlConverter.java:135 + SqlImplementor.java) with
+pluggable dialects (sql/dialect/ — 40 of them; we start with Spark and
+DuckDB ≈ sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java).
+
+Why this exists (same reason as Calcite's):
+  * whole-query pushdown — the JDBC adapter's reusable half
+    (adapter/jdbc/JdbcRules.java:381-787 pushes Join/Project/Filter/
+    Aggregate/Sort by converting the subtree to the remote dialect's
+    SQL). Emitting SQL needs no driver jar; execution does.
+  * oracle generation — the DuckDB dialect can emit the correctness
+    oracle FROM the same IR that produces the Spark DataFrame, removing
+    hand-written-oracle drift (the q14 class of bug).
+  * plan portability/debugging — a printable, runnable form of any IR.
+
+Scalar expressions in our IR are Spark SQL strings (≈ RexNode in SQL
+form), so the Spark dialect emits them verbatim; the DuckDB dialect
+rewrites a registered set of function names and REFUSES (raises
+UnsupportedDialectExpression) on calls outside the shared surface —
+a wrong oracle is worse than no oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from calcite_spark.plans import ir
+
+
+class UnsupportedDialectExpression(Exception):
+    """An expression uses functions the target dialect cannot replay."""
+
+
+# functions spelled identically in Spark SQL and DuckDB (shared surface)
+_SHARED_FNS = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "try_cast", "extract", "year", "month", "day", "hour",
+    "minute", "second", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "covar_pop", "covar_samp", "corr", "row_number", "rank",
+    "dense_rank", "lag", "lead", "ntile", "first_value", "last_value",
+    "nth_value", "percent_rank", "cume_dist", "md5", "regexp_replace",
+    "date_trunc", "sign", "sqrt", "power", "exp", "ln", "log10", "mod",
+    "grouping", "left", "right", "repeat", "reverse", "instr",
+    "levenshtein", "pi", "date_part", "last_day", "nullif", "if",
+}
+
+# Spark name → DuckDB name (arg order/semantics must match 1:1)
+_DUCKDB_FN_MAP = {
+    "size": "len",
+    "array_join": "array_to_string",
+    "sort_array": "list_sort",
+    "collect_list": "list",
+    "array_contains": "list_contains",
+    "array_distinct": "list_distinct",
+    "array_max": "list_max",
+    "array_min": "list_min",
+    "element_at": "list_extract",
+    "startswith": "starts_with",
+    "endswith": "ends_with",
+    "ceil": "ceiling",
+    "count_if": "count_if",
+    "bool_and": "bool_and",
+    "bool_or": "bool_or",
+    "percentile": "quantile_cont",
+    "std": "stddev",
+}
+
+# tokens that look like calls but are SQL syntax, not functions
+_KEYWORDS = {
+    "in", "and", "or", "not", "when", "then", "else", "case", "end",
+    "over", "partition", "by", "as", "on", "where", "group", "order",
+    "between", "like", "rlike", "is", "null", "distinct", "filter",
+    "interval", "values", "exists", "all", "any", "some", "asc", "desc",
+    "rows", "range", "unbounded", "preceding", "following", "current",
+    "row", "nulls", "first", "last", "select", "from", "join", "union",
+    "grouping", "sets", "int", "bigint", "double", "string", "date",
+    "timestamp", "decimal", "boolean",
+}
+
+_CALL_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
+
+
+class Dialect:
+    """≈ sql/SqlDialect.java — expression + clause rendering hooks."""
+
+    name = "spark"
+    semi_join_kw = "LEFT SEMI JOIN"
+    anti_join_kw = "LEFT ANTI JOIN"
+
+    def expr(self, text: str) -> str:
+        return text
+
+    def sort_key(self, text: str) -> str:
+        return text
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"VALUES {body} AS t({', '.join(names)})"
+
+    def _row(self, row) -> str:
+        return "(" + ", ".join(self.literal(v) for v in row) + ")"
+
+    def literal(self, v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+
+class SparkDialect(Dialect):
+    name = "spark"
+
+
+class DuckDBDialect(Dialect):
+    """≈ sql/dialect/DuckDBSqlDialect.java. Expression strings are Spark
+    SQL; rewrite the registered function names and refuse anything
+    outside the shared surface."""
+
+    name = "duckdb"
+    semi_join_kw = "SEMI JOIN"
+    anti_join_kw = "ANTI JOIN"
+
+    def expr(self, text: str) -> str:
+        unknown = []
+        for m in _CALL_RE.finditer(text):
+            fn = m.group(1).lower()
+            if fn in _KEYWORDS or fn in _SHARED_FNS or fn in _DUCKDB_FN_MAP:
+                continue
+            unknown.append(fn)
+        if unknown:
+            raise UnsupportedDialectExpression(
+                f"duckdb dialect cannot replay function(s) {sorted(set(unknown))} "
+                f"in expression: {text!r}"
+            )
+
+        def sub(m):
+            fn = m.group(1)
+            mapped = _DUCKDB_FN_MAP.get(fn.lower(), fn)
+            return f"{mapped}("
+
+        return _CALL_RE.sub(sub, text)
+
+    def sort_key(self, text: str) -> str:
+        # ORDER BY items may carry ASC/DESC/NULLS — translate only the
+        # expression part
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$", text.strip()
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
+SPARK = SparkDialect()
+DUCKDB = DuckDBDialect()
+
+
+def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
+    """Emit a full SELECT statement for an IR tree ≈
+    RelToSqlConverter.visitRoot. Raises NotImplementedError for nodes
+    with no SQL form (RepeatUnion loop, Match NFA, ...) and
+    UnsupportedDialectExpression when an expression cannot be replayed
+    in the target dialect."""
+    return _Emitter(dialect).select(node)
+
+
+class _Emitter:
+    def __init__(self, dialect: Dialect):
+        self.d = dialect
+        self._n = 0
+
+    def _alias(self) -> str:
+        self._n += 1
+        return f"t{self._n}"
+
+    # a FROM-item: bare table name, or a parenthesized sub-select
+    def from_item(self, node: ir.RelNode) -> str:
+        if isinstance(node, ir.Scan):
+            return node.table
+        if isinstance(node, ir.Values):
+            names = [c.split()[0] for c in node.schema.split(",")]
+            v = self.d.values(node.rows, [n.strip() for n in names])
+            if self.d.name == "spark":
+                return v  # Spark: FROM VALUES ... AS t(...)
+            return v
+        return f"({self.select(node)}) AS {self._alias()}"
+
+    def select(self, node: ir.RelNode) -> str:
+        d = self.d
+        if isinstance(node, (ir.Scan, ir.Values)):
+            return f"SELECT * FROM {self.from_item(node)}"
+        if isinstance(node, ir.Project):
+            exprs = ", ".join(d.expr(e) for e in node.exprs)
+            return f"SELECT {exprs} FROM {self.from_item(node.inputs[0])}"
+        if isinstance(node, ir.Filter):
+            return (
+                f"SELECT * FROM {self.from_item(node.inputs[0])} "
+                f"WHERE {d.expr(node.condition)}"
+            )
+        if isinstance(node, ir.Aggregate):
+            return self._aggregate(node)
+        if isinstance(node, ir.Window):
+            keep = [k for k in node.keep]
+            cols = ", ".join(
+                [d.expr(k) if k != "*" else "*" for k in keep]
+                + [d.expr(e) for e in node.window_exprs]
+            )
+            return f"SELECT {cols} FROM {self.from_item(node.inputs[0])}"
+        if isinstance(node, ir.Join):
+            return self._join(node)
+        if isinstance(node, ir.SetOp):
+            return self._setop(node)
+        if isinstance(node, ir.Sort):
+            return self._sort(node)
+        if isinstance(node, ir.Exchange):
+            # distribution is physical-only; SQL has no Exchange —
+            # identical to Calcite dropping Exchange in RelToSqlConverter
+            return self.select(node.inputs[0])
+        raise NotImplementedError(
+            f"no SQL form for {type(node).__name__} "
+            f"(NFA/loop/runtime nodes are not SQL-expressible)"
+        )
+
+    def _aggregate(self, node: ir.Aggregate) -> str:
+        d = self.d
+        keys = [d.expr(k) for k in node.group_keys]
+        calls = [d.expr(c) for c in node.agg_calls]
+        head = ", ".join(keys + calls) or "*"
+        src = self.from_item(node.inputs[0])
+        if node.group_type == "SIMPLE":
+            tail = f" GROUP BY {', '.join(keys)}" if keys else ""
+        elif node.group_type == "ROLLUP":
+            tail = f" GROUP BY ROLLUP ({', '.join(keys)})"
+        elif node.group_type == "CUBE":
+            tail = f" GROUP BY CUBE ({', '.join(keys)})"
+        elif node.group_type == "GROUPING_SETS":
+            if any("GROUP_ID" in c.upper() for c in node.agg_calls):
+                raise NotImplementedError(
+                    "GROUP_ID expansion happens at lowering, not rel2sql"
+                )
+            sets = ", ".join(
+                "(" + ", ".join(d.expr(k) for k in s) + ")" for s in node.grouping_sets
+            )
+            tail = f" GROUP BY GROUPING SETS ({sets})"
+        else:
+            raise ValueError(node.group_type)
+        return f"SELECT {head} FROM {src}{tail}"
+
+    def _join(self, node: ir.Join) -> str:
+        d = self.d
+        left = self.from_item(node.inputs[0])
+        right = self.from_item(node.inputs[1])
+        jt = node.join_type.upper()
+        if node.condition is None or jt == "CROSS":
+            return f"SELECT * FROM {left} CROSS JOIN {right}"
+        kw = {
+            "INNER": "JOIN",
+            "LEFT": "LEFT JOIN",
+            "RIGHT": "RIGHT JOIN",
+            "FULL": "FULL JOIN",
+            "SEMI": d.semi_join_kw,
+            "ANTI": d.anti_join_kw,
+        }[jt]
+        return f"SELECT * FROM {left} {kw} {right} ON {d.expr(node.condition)}"
+
+    def _setop(self, node: ir.SetOp) -> str:
+        op = {
+            "UNION": "UNION",
+            "UNION_ALL": "UNION ALL",
+            "INTERSECT": "INTERSECT",
+            "INTERSECT_ALL": "INTERSECT ALL",
+            "EXCEPT": "EXCEPT",
+            "EXCEPT_ALL": "EXCEPT ALL",
+        }[node.kind]
+        parts = [f"({self.select(i)})" for i in node.inputs]
+        return f" {op} ".join(parts)
+
+    def _sort(self, node: ir.Sort) -> str:
+        d = self.d
+        child = node.inputs[0]
+        # merge ORDER BY into the child SELECT when it is already a
+        # plain SELECT (avoids a needless subquery level)
+        inner = self.select(child)
+        clauses = ""
+        if node.keys:
+            clauses += " ORDER BY " + ", ".join(d.sort_key(k) for k in node.keys)
+        if node.fetch is not None:
+            clauses += f" LIMIT {node.fetch}"
+        if node.offset:
+            clauses += f" OFFSET {node.offset}"
+        if isinstance(child, ir.SetOp):
+            return f"SELECT * FROM ({inner}) AS {self._alias()}{clauses}"
+        return inner + clauses

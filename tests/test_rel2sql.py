@@ -1,0 +1,220 @@
+"""rel2sql round-trip tests ≈ RelToSqlConverterTest.java: for each IR
+shape, emit Spark SQL and check spark.sql(emitted) is value-identical to
+the direct DataFrame lowering; emit DuckDB SQL for dialect-neutral
+shapes and check DuckDB returns the same values (the oracle-generation
+use case — oracle and query from ONE plan, no drift).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for
+from calcite_spark.sql.rel2sql import (
+    DUCKDB,
+    SPARK,
+    UnsupportedDialectExpression,
+    to_sql,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    c = catalog_for(spark, SF_DIR)
+    c.register_all_views()
+    return c
+
+
+def _b(cat):
+    return RelBuilder(cat)
+
+
+def _plans(cat):
+    """IR shapes covering q01–q16: scan/filter/project/agg (all group
+    types)/joins (incl. semi/anti/outer)/set-ops/sort-limit/values/
+    window."""
+    return {
+        "q01_shape": (
+            _b(cat)
+            .scan("lineitem")
+            .filter("l_shipdate <= DATE '1998-09-01'")
+            .aggregate(
+                ["l_returnflag", "l_linestatus"],
+                ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n"],
+            )
+            .sort("l_returnflag", "l_linestatus")
+            .build()
+        ),
+        "join_agg_topk": (
+            _b(cat)
+            .scan("customer")
+            .scan("orders")
+            .join("c_custkey = o_custkey")
+            .aggregate(["c_mktsegment"], ["COUNT(*) AS n", "SUM(o_totalprice) AS total"])
+            .sort_limit(["total DESC"], fetch=3)
+            .build()
+        ),
+        "left_join": (
+            _b(cat)
+            .scan("customer")
+            .scan("orders")
+            .join("c_custkey = o_custkey", join_type="LEFT")
+            .aggregate(["c_custkey"], ["COUNT(o_orderkey) AS c_count"])
+            .aggregate(["c_count"], ["COUNT(*) AS custdist"])
+            .sort("custdist DESC", "c_count DESC")
+            .build()
+        ),
+        "semi_join": (
+            _b(cat)
+            .scan("nation")
+            .scan("customer")
+            .semi_join("n_nationkey = c_nationkey")
+            .project("n_name")
+            .sort("n_name")
+            .build()
+        ),
+        "anti_join": (
+            _b(cat)
+            .scan("nation")
+            .scan("supplier")
+            .anti_join("n_nationkey = s_nationkey")
+            .project("n_name")
+            .sort("n_name")
+            .build()
+        ),
+        "rollup": (
+            _b(cat)
+            .scan("orders")
+            .aggregate(
+                ["o_orderstatus", "o_orderpriority"],
+                ["COUNT(*) AS n"],
+                group_type="ROLLUP",
+            )
+            .sort("o_orderstatus NULLS FIRST", "o_orderpriority NULLS FIRST")
+            .build()
+        ),
+        "grouping_sets": (
+            _b(cat)
+            .scan("orders")
+            .aggregate(
+                ["o_orderstatus", "o_orderpriority"],
+                ["COUNT(*) AS n"],
+                group_type="GROUPING_SETS",
+                grouping_sets=[["o_orderstatus"], ["o_orderpriority"], []],
+            )
+            .sort("o_orderstatus NULLS FIRST", "o_orderpriority NULLS FIRST")
+            .build()
+        ),
+        "union_distinct": (
+            _b(cat)
+            .scan("orders")
+            .filter("o_custkey <= 200")
+            .project("o_orderstatus AS status")
+            .scan("orders")
+            .filter("o_custkey <= 100")
+            .project("o_orderstatus AS status")
+            .union()
+            .sort("status")
+            .build()
+        ),
+        "except_all": (
+            _b(cat)
+            .scan("orders")
+            .filter("o_custkey <= 200")
+            .project("o_orderstatus AS status")
+            .scan("orders")
+            .filter("o_custkey <= 100")
+            .project("o_orderstatus AS status")
+            .minus(all=True)
+            .sort("status")
+            .build()
+        ),
+        "offset_fetch": (
+            _b(cat)
+            .scan("customer")
+            .project("c_custkey", "c_name")
+            .sort_limit(["c_custkey"], offset=5, fetch=10)
+            .build()
+        ),
+        "values_join": (
+            _b(cat)
+            .scan("region")
+            .values([(0, "amer"), (1, "emea")], "rk int, zone string")
+            .join("r_regionkey = rk")
+            .project("r_name", "zone")
+            .sort("r_name")
+            .build()
+        ),
+        "window": (
+            _b(cat)
+            .scan("supplier")
+            .window(
+                [
+                    "row_number() OVER (PARTITION BY s_nationkey "
+                    "ORDER BY s_acctbal DESC) AS rk"
+                ],
+                keep=("s_suppkey", "s_nationkey"),
+            )
+            .filter("rk <= 2")
+            .sort("s_nationkey", "rk")
+            .build()
+        ),
+    }
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+def test_spark_roundtrip(spark, cat):
+    """IR → Spark SQL → spark.sql ≡ IR → DataFrame for every shape."""
+    for name, plan in _plans(cat).items():
+        sql = to_sql(plan, SPARK)
+        direct = _rows(plan.to_df(cat))
+        via_sql = _rows(spark.sql(sql))
+        assert via_sql == direct, f"{name}: rel2sql round-trip diverged\nSQL: {sql}"
+
+
+DUCK_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "except_all",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_duckdb_oracle_generation(spark, cat, duck):
+    """The DuckDB dialect emits a runnable oracle FROM the same IR —
+    the anti-drift path for CORRECTNESS oracles."""
+    plans = _plans(cat)
+    for name in DUCK_SHAPES:
+        plan = plans[name]
+        duck_sql = to_sql(plan, DUCKDB)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, duck_sql), name
+
+
+def test_duckdb_dialect_refuses_unknown_functions(cat):
+    """A wrong oracle is worse than no oracle: Spark-only functions must
+    raise, not silently pass through."""
+    plan = (
+        _b(cat).scan("documents").project("xxhash64(text) AS h").build()
+    )
+    with pytest.raises(UnsupportedDialectExpression, match="xxhash64"):
+        to_sql(plan, DUCKDB)
+
+
+def test_unsupported_node_raises(cat):
+    plan = _b(cat).scan("lineitem").sample(0.1, seed=42).build()
+    with pytest.raises(NotImplementedError):
+        to_sql(plan, SPARK)
