@@ -17,11 +17,15 @@ Spark has no row-pattern matching, so this is the §7.4 "custom" tier:
    pattern, rows stream in order — memory per group is O(longest
    match), not O(group).
 
-Supported surface (v1): concatenation, alternation `|`, grouping
+Supported surface: concatenation, alternation `|`, grouping
 `(...)`, quantifiers `* + ? {m} {m,} {m,n}` (greedy); DEFINE with
-PREV/NEXT; AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW; measures
-FIRST(S.col) LAST(S.col) COUNT(S.*) COUNT(*) and bare S.col (≡ LAST).
-Unbounded streaming patterns are out of scope v1 (SURVEY §7.4).
+PREV/NEXT; AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO [FIRST|
+LAST] symbol (Match.java:70); ONE ROW PER MATCH and ALL ROWS PER MATCH
+(Match.java:69 `allRows`, running-measure semantics); SUBSET union
+symbols (Match.java:74 `subsets`); WITHIN duration (Match.java:77
+`interval`); measures FIRST(S.col) LAST(S.col) COUNT(S.*) COUNT(*),
+bare S.col (≡ LAST), CLASSIFIER(), MATCH_NUMBER(). Unbounded streaming
+patterns are out of scope (SURVEY §7.4).
 """
 
 from __future__ import annotations
@@ -261,14 +265,27 @@ def match_recognize(
     measures: dict[str, str],
     after_match: str = "SKIP PAST LAST ROW",
     schema_hints: dict[str, str] | None = None,
+    all_rows: bool = False,
+    subsets: dict[str, tuple] | None = None,
+    within: float | str | None = None,
 ) -> DataFrame:
-    """One row per match. measures: out_name -> measure expr (FIRST/LAST/
-    COUNT over symbol columns or bare col). DEFINE exprs are Spark SQL
-    over the row, PREV(col[, n]) / NEXT(col[, n]) allowed."""
+    """measures: out_name -> measure expr (FIRST/LAST/COUNT over symbol
+    columns, bare col, CLASSIFIER(), MATCH_NUMBER()). DEFINE exprs are
+    Spark SQL over the row, PREV(col[, n]) / NEXT(col[, n]) allowed.
+
+    all_rows=True ≈ ALL ROWS PER MATCH (Match.java:69): one output row
+    per matched input row, all input columns passed through, measures
+    RUNNING (evaluated over the match prefix up to the current row) per
+    the SQL standard's default inside ALL ROWS PER MATCH.
+    subsets ≈ SUBSET U = (A, B): union symbols usable in measures and
+    AFTER MATCH SKIP TO. within ≈ WITHIN interval: seconds (number) or
+    a pandas Timedelta string; the match's span over the first ORDER BY
+    column must fit inside it."""
     from calcite_spark.session import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
     nfa, symbols = compile_pattern(pattern)
+    subsets = {k.upper(): tuple(s.upper() for s in v) for k, v in (subsets or {}).items()}
     for s in symbols:
         if s not in {k.upper() for k in define}:
             define = {**define, s: "true"}  # undefined symbol matches any row
@@ -303,6 +320,15 @@ def match_recognize(
     in_dtypes = dict(df.dtypes)
     out_fields = []
     for out_name, mexpr in measures.items():
+        stripped = mexpr.strip().upper().replace(" ", "")
+        if stripped == "CLASSIFIER()":
+            parsed.append((out_name, "CLASSIFIER", None, None))
+            out_fields.append(f"{out_name} string")
+            continue
+        if stripped == "MATCH_NUMBER()":
+            parsed.append((out_name, "MATCH_NUMBER", None, None))
+            out_fields.append(f"{out_name} bigint")
+            continue
         m = _MEASURE_RE.match(mexpr.strip())
         if not m:
             raise ValueError(f"unsupported measure: {mexpr}")
@@ -314,12 +340,63 @@ def match_recognize(
             out_fields.append(f"{out_name} bigint")
         else:
             out_fields.append(f"{out_name} {in_dtypes[col]}")
-    part_fields = ", ".join(f"{k} {in_dtypes[k]}" for k in partition_by)
-    out_schema = (part_fields + ", " if part_fields else "") + ", ".join(
+    if all_rows:
+        # ALL ROWS PER MATCH: every input column passes through
+        passthrough = list(in_dtypes)
+        base_fields = ", ".join(f"{c} {in_dtypes[c]}" for c in passthrough)
+    else:
+        passthrough = list(partition_by)
+        base_fields = ", ".join(f"{k} {in_dtypes[k]}" for k in partition_by)
+    out_schema = (base_fields + ", " if base_fields else "") + ", ".join(
         ["match_seq bigint"] + out_fields
     )
-    skip_past = "PAST" in after_match.upper()
+
+    # AFTER MATCH SKIP ... (Match.java:70 Match.AfterOption)
+    am = after_match.upper()
+    skip_to_m = re.match(r"SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?([A-Za-z_]\w*)$", am)
+    if "PAST" in am:
+        skip = ("PAST", None, None)
+    elif "NEXT ROW" in am:
+        skip = ("NEXT", None, None)
+    elif skip_to_m and skip_to_m.group(2) != "ROW":
+        skip = ("TO", (skip_to_m.group(1) or "LAST").upper(), skip_to_m.group(2).upper())
+    else:
+        raise ValueError(f"unsupported AFTER MATCH clause: {after_match}")
+
     order_cols = [o.split()[0] for o in order_by]
+    within_td = None
+    if within is not None:
+        within_td = (
+            pd.Timedelta(seconds=within)
+            if isinstance(within, (int, float))
+            else pd.Timedelta(within)
+        )
+    time_col = order_cols[0]
+
+    def expand_sym(sym):
+        """SUBSET-aware symbol set (Match.java:74)."""
+        return set(subsets.get(sym, (sym,)))
+
+    def measure_value(fn, sym, col, rows, classifiers, upto, seq):
+        """Evaluate one measure over match rows [0, upto); RUNNING
+        semantics when upto < len(rows) (ALL ROWS PER MATCH default)."""
+        if fn == "CLASSIFIER":
+            return classifiers[upto - 1]
+        if fn == "MATCH_NUMBER":
+            return seq
+        members = expand_sym(sym) if sym else None
+        idxs = [
+            j
+            for j in range(upto)
+            if members is None or classifiers[j] in members
+        ]
+        if fn == "COUNT":
+            return len(idxs)
+        if not idxs:
+            return None
+        if fn == "FIRST":
+            return rows.iloc[idxs[0]][col]
+        return rows.iloc[idxs[-1]][col]  # LAST / bare
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
@@ -330,31 +407,58 @@ def match_recognize(
         i, seq = 0, 0
         n = len(pdf)
         while i < n:
-            hit = _longest_match(nfa, syms_per_row, i)
+            end_limit = n
+            if within_td is not None:
+                t0 = pdf.iloc[i][time_col]
+                while (
+                    end_limit > i
+                    and pdf.iloc[end_limit - 1][time_col] - t0 > within_td
+                ):
+                    end_limit -= 1
+            hit = _longest_match(nfa, syms_per_row[:end_limit], i)
             if hit is None or hit[0] == i:  # no/empty match here
                 i += 1
                 continue
             end, classifiers = hit
             seq += 1
             rows = pdf.iloc[i:end]
-            rec = {k: pdf.iloc[i][k] for k in partition_by}
-            rec["match_seq"] = seq
-            for out_name, fn, sym, col in parsed:
-                idxs = (
-                    [j for j, c in enumerate(classifiers) if c == sym]
-                    if sym
-                    else list(range(len(rows)))
-                )
-                if fn == "COUNT":
-                    rec[out_name] = len(idxs)
-                elif not idxs:
-                    rec[out_name] = None
-                elif fn == "FIRST":
-                    rec[out_name] = rows.iloc[idxs[0]][col]
-                else:  # LAST / bare
-                    rec[out_name] = rows.iloc[idxs[-1]][col]
-            out_rows.append(rec)
-            i = end if skip_past else i + 1
+            if all_rows:
+                for j in range(len(rows)):
+                    rec = {c: rows.iloc[j][c] for c in passthrough}
+                    rec["match_seq"] = seq
+                    for out_name, fn, sym, col in parsed:
+                        rec[out_name] = measure_value(
+                            fn, sym, col, rows, classifiers, j + 1, seq
+                        )
+                    out_rows.append(rec)
+            else:
+                rec = {k: pdf.iloc[i][k] for k in passthrough}
+                rec["match_seq"] = seq
+                for out_name, fn, sym, col in parsed:
+                    rec[out_name] = measure_value(
+                        fn, sym, col, rows, classifiers, len(rows), seq
+                    )
+                out_rows.append(rec)
+            # resume position (Match.java:70)
+            if skip[0] == "PAST":
+                i = end
+            elif skip[0] == "NEXT":
+                i += 1
+            else:  # SKIP TO [FIRST|LAST] symbol
+                which, target = skip[1], expand_sym(skip[2])
+                idxs = [j for j, c in enumerate(classifiers) if c in target]
+                if not idxs:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {skip[2]}: no row of the match "
+                        f"is classified as {skip[2]} (standard: runtime error)"
+                    )
+                resume = i + (idxs[0] if which == "FIRST" else idxs[-1])
+                if resume == i:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {skip[2]} resumes at the first "
+                        f"row of the match — infinite loop (standard: error)"
+                    )
+                i = resume
         cols = [c.split()[0] for c in out_schema.split(", ")]
         return pd.DataFrame(out_rows, columns=cols)
 

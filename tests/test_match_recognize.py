@@ -118,3 +118,111 @@ def test_match_recognize_alternation(spark):
     got = sorted((r.match_seq, r.n, r.first_v) for r in out.collect())
     # rows: LO HI LO? v=2 matches neither → matches [0,1], [3,4,5]
     assert got == [(1, 2, 1.0), (2, 3, 9.0)]
+
+
+def test_all_rows_per_match(spark, price_df):
+    """ALL ROWS PER MATCH (Match.java:69): one output row per matched
+    input row, running measures, CLASSIFIER()/MATCH_NUMBER()."""
+    out = match_recognize(
+        price_df,
+        partition_by=["ticker"],
+        order_by=["t"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={
+            "cls": "CLASSIFIER()",
+            "mno": "MATCH_NUMBER()",
+            "run_downs": "COUNT(DOWN.*)",
+            "run_last": "LAST(DOWN.price)",
+        },
+        all_rows=True,
+    ).orderBy("ticker", "t")
+    rows = {(r.ticker, r.t): r for r in out.collect()}
+    # X: rows 1..5 matched (10, 8, 6, 9, 11); row 6 (flat) outside
+    assert set(k for k in rows if k[0] == "X") == {("X", i) for i in range(1, 6)}
+    assert rows[("X", 1)].cls == "STRT" and rows[("X", 1)].run_downs == 0
+    assert rows[("X", 3)].cls == "DOWN" and rows[("X", 3)].run_downs == 2
+    assert rows[("X", 3)].run_last == 6.0
+    assert rows[("X", 5)].cls == "UP" and rows[("X", 5)].run_downs == 2
+    # Y: V at rows 2..4 (6, 4, 7)
+    assert set(k for k in rows if k[0] == "Y") == {("Y", 2), ("Y", 3), ("Y", 4)}
+    assert all(r.mno == 1 for r in rows.values())
+    # every input column passes through in ALL ROWS mode
+    assert {"ticker", "t", "price"} <= set(out.columns)
+
+
+def test_subset_measures(spark, price_df):
+    """SUBSET U = (DOWN, UP) (Match.java:74): union symbol in measures."""
+    out = match_recognize(
+        price_df,
+        partition_by=["ticker"],
+        order_by=["t"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={"n_moves": "COUNT(MOVE.*)", "last_move": "LAST(MOVE.price)"},
+        subsets={"MOVE": ("DOWN", "UP")},
+    ).orderBy("ticker")
+    rows = {r.ticker: r for r in out.collect()}
+    # X: DOWN 8,6 + UP 9,11 → 4 moves, last 11; Y: DOWN 4 + UP 7 → 2
+    assert rows["X"].n_moves == 4 and rows["X"].last_move == 11.0
+    assert rows["Y"].n_moves == 2 and rows["Y"].last_move == 7.0
+
+
+def test_skip_to_last_symbol(spark):
+    """AFTER MATCH SKIP TO LAST sym resumes AT that row — overlapping
+    matches the PAST-LAST-ROW mode cannot produce."""
+    rows = [("X", i, v) for i, v in enumerate([10.0, 8.0, 9.0, 7.0, 8.5, 6.0, 9.5])]
+    df = spark.createDataFrame(rows, "ticker string, t int, price double")
+    out = match_recognize(
+        df,
+        partition_by=["ticker"],
+        order_by=["t"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={"s": "FIRST(STRT.price)", "e": "LAST(UP.price)"},
+        after_match="SKIP TO LAST UP",
+    ).orderBy("match_seq")
+    got = [(r.s, r.e) for r in out.collect()]
+    # V1: 10,8,9 → resume at 9; V2: 9,7,8.5 → resume at 8.5; V3: 8.5,6,9.5
+    assert got == [(10.0, 9.0), (9.0, 8.5), (8.5, 9.5)]
+
+
+def test_skip_to_first_infinite_loop_raises(spark, price_df):
+    """SKIP TO FIRST STRT would resume at the match start — the standard
+    makes this an error, not a hang."""
+    out = match_recognize(
+        price_df,
+        partition_by=["ticker"],
+        order_by=["t"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={"n": "COUNT(*)"},
+        after_match="SKIP TO FIRST STRT",
+    )
+    with pytest.raises(Exception, match="infinite loop"):
+        out.collect()
+
+
+def test_within_duration(spark):
+    """WITHIN (Match.java:77): the match span over the time column must
+    fit the interval — the long-gap V must NOT match."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda m: base + datetime.timedelta(minutes=m)
+    rows = [
+        ("X", mk(0), 10.0), ("X", mk(1), 8.0), ("X", mk(2), 9.0),   # tight V
+        ("X", mk(100), 7.0), ("X", mk(200), 5.0), ("X", mk(300), 11.0),  # slow V
+    ]
+    df = spark.createDataFrame(rows, "ticker string, ts timestamp, price double")
+    kw = dict(
+        partition_by=["ticker"],
+        order_by=["ts"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={"n": "COUNT(*)"},
+    )
+    unbounded = match_recognize(df, **kw).count()
+    bounded = match_recognize(df, **kw, within=600).count()  # 10 minutes
+    assert unbounded == 2
+    assert bounded == 1
