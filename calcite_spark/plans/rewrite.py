@@ -89,58 +89,115 @@ def _materialized_view_substitute(node, catalog):
     return registry.substitute(node, catalog)
 
 
-def _date_range_canonicalize(node, catalog):
-    """≈ rel/rules/DateRangeRules.java:91 (EXTRACT conditions → Sarg
-    ranges): `EXTRACT(YEAR FROM col) = 1995` (also year(col)) becomes a
-    sargable range `col >= '1995-01-01' AND col < '1996-01-01'`.
+_YEARFN = r"(?:EXTRACT\s*\(\s*YEAR\s+FROM\s+(\w+)\s*\)|year\s*\(\s*(\w+)\s*\))"
 
-    Catalyst does NOT do this — a year()-wrapped column defeats both
-    parquet min/max row-group skipping and partition pruning; at 100 TB
-    the rewritten predicate prunes whole files. Handles =, <, <=, >, >=
-    on YEAR; equality on (YEAR, MONTH) pairs stays as a same-shape range
-    on the month."""
+
+def _partfn(part: str) -> str:
+    return rf"(?:EXTRACT\s*\(\s*{part}\s+FROM\s+(\w+)\s*\)|{part.lower()}\s*\(\s*(\w+)\s*\))"
+
+
+def _date_range_canonicalize(node, catalog):
+    """≈ rel/rules/DateRangeRules.java:91 + util/Sarg.java:69 (EXTRACT
+    conditions → Sarg range sets): year()-wrapped predicates become
+    sargable timestamp ranges so they reach the parquet scan (min/max
+    row-group skipping, partition pruning) — Catalyst leaves wrapped
+    columns unpushable, and at 100 TB the rewritten form prunes whole
+    files.
+
+    Handled shapes (each a pure predicate equivalence, safe under any
+    boolean context):
+      * YEAR = / < / <= / > / >= literal        → single range
+      * YEAR IN (y1, y2, ...)                   → RangeSet union with
+        adjacent-year merging (plans/sarg.py ≈ Sarg's Guava RangeSet)
+      * YEAR BETWEEN y1 AND y2                  → [y1-01-01, y2+1-01-01)
+      * YEAR = y AND MONTH = m (same column)    → one month range
+      * YEAR = y AND QUARTER = q (same column)  → one quarter range
+    Standalone MONTH/QUARTER comparisons are left alone — the value
+    repeats every year, so no contiguous range exists (same boundary
+    Calcite's DateRangeRules draws)."""
     import re as _re
+
+    from calcite_spark.plans.sarg import (
+        RangeSet,
+        month_range,
+        quarter_range,
+        render_ts,
+        year_range,
+    )
 
     if not isinstance(node, ir.Filter):
         return None
     cond = node.condition
-
-    def year_range(col, op, y):
-        y = int(y)
-        lo, hi = f"TIMESTAMP '{y}-01-01 00:00:00'", f"TIMESTAMP '{y + 1}-01-01 00:00:00'"
-        if op == "=":
-            return f"({col} >= {lo} AND {col} < {hi})"
-        if op == "<":
-            return f"{col} < {lo}"
-        if op == "<=":
-            return f"{col} < {hi}"
-        if op == ">":
-            return f"{col} >= {hi}"
-        if op == ">=":
-            return f"{col} >= {lo}"
-        return None
-
-    pat = _re.compile(
-        r"(?:EXTRACT\s*\(\s*YEAR\s+FROM\s+(\w+)\s*\)|year\s*\(\s*(\w+)\s*\))"
-        r"\s*(=|<=|>=|<|>)\s*(\d{4})",
-        _re.I,
-    )
-
     changed = False
 
-    def sub(m):
+    def mark(text):
         nonlocal changed
-        col = m.group(1) or m.group(2)
-        out = year_range(col, m.group(3), m.group(4))
-        if out is None:
-            return m.group(0)
         changed = True
-        return out
+        return text
 
-    new_cond = pat.sub(sub, cond)
+    # 1) YEAR = y AND MONTH|QUARTER = k on the SAME column → finer range
+    for part, rng in (("MONTH", month_range), ("QUARTER", quarter_range)):
+        pat = _re.compile(
+            _YEARFN + r"\s*=\s*(\d{4})\s+AND\s+" + _partfn(part) + r"\s*=\s*(\d{1,2})",
+            _re.I,
+        )
+
+        def sub_combined(m, rng=rng):
+            ycol, y = m.group(1) or m.group(2), int(m.group(3))
+            pcol, k = m.group(4) or m.group(5), int(m.group(6))
+            if ycol != pcol:
+                return m.group(0)
+            return mark(RangeSet([rng(y, k)]).to_sql(ycol, render_ts))
+
+        cond = pat.sub(sub_combined, cond)
+
+    # 2) YEAR IN (y1, y2, ...) → merged range set
+    pat_in = _re.compile(_YEARFN + r"\s+IN\s*\(\s*([\d\s,]+?)\s*\)", _re.I)
+
+    def sub_in(m):
+        col = m.group(1) or m.group(2)
+        years = [int(t) for t in _re.findall(r"\d{4}", m.group(3))]
+        if not years:
+            return m.group(0)
+        rs = RangeSet(year_range(y) for y in years)
+        return mark(rs.to_sql(col, render_ts))
+
+    cond = pat_in.sub(sub_in, cond)
+
+    # 3) YEAR BETWEEN y1 AND y2 → one closed-open range
+    pat_bt = _re.compile(_YEARFN + r"\s+BETWEEN\s+(\d{4})\s+AND\s+(\d{4})", _re.I)
+
+    def sub_between(m):
+        col = m.group(1) or m.group(2)
+        y1, y2 = int(m.group(3)), int(m.group(4))
+        rs = RangeSet(year_range(y) for y in range(y1, y2 + 1))
+        return mark(rs.to_sql(col, render_ts))
+
+    cond = pat_bt.sub(sub_between, cond)
+
+    # 4) single YEAR comparisons
+    def year_cmp(col, op, y):
+        y = int(y)
+        lo, hi = render_ts((y, 1)), render_ts((y + 1, 1))
+        return {
+            "=": f"({col} >= {lo} AND {col} < {hi})",
+            "<": f"{col} < {lo}",
+            "<=": f"{col} < {hi}",
+            ">": f"{col} >= {hi}",
+            ">=": f"{col} >= {lo}",
+        }[op]
+
+    pat_cmp = _re.compile(_YEARFN + r"\s*(=|<=|>=|<|>)\s*(\d{4})", _re.I)
+
+    def sub_cmp(m):
+        col = m.group(1) or m.group(2)
+        return mark(year_cmp(col, m.group(3), m.group(4)))
+
+    cond = pat_cmp.sub(sub_cmp, cond)
+
     if not changed:
         return None
-    return ir.Filter(new_cond, inputs=node.inputs)
+    return ir.Filter(cond, inputs=node.inputs)
 
 
 DEFAULT_RULES = [

@@ -488,3 +488,57 @@ def q99_rel2sql_oracle(spark, sf_dir):
     """rel2sql demo ≈ RelToSqlConverter.java:135 + DuckDBSqlDialect:
     query and oracle emitted from the SAME IR plan."""
     return _q99_plan().to_df(catalog_for(spark, sf_dir))
+
+
+@register(
+    "q100_sarg_year_in",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996, 1999)
+    GROUP BY y ORDER BY y
+    """,
+    tags=("rewrite", "date_range", "sarg", "pushdown"),
+)
+def q100_sarg_year_in(spark, sf_dir):
+    """YEAR IN-list → merged Sarg range set (util/Sarg.java:69,
+    DateRangeRules.java:91): 1995+1996 fuse into one contiguous range,
+    1999 stays separate; the OR-of-ranges is sargable at the parquet
+    scan."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter("EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996, 1999)")
+        .project("EXTRACT(YEAR FROM o_orderdate) AS y", "o_totalprice")
+        .aggregate(["y"], ["COUNT(*) AS n", "ROUND(SUM(o_totalprice), 3) AS total"])
+        .sort("y")
+        .to_df()
+    )
+
+
+@register(
+    "q101_sarg_month_conj",
+    oracle="""
+    SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      AND EXTRACT(MONTH FROM o_orderdate) = 6
+    """,
+    tags=("rewrite", "date_range", "sarg", "pushdown"),
+)
+def q101_sarg_month_conj(spark, sf_dir):
+    """YEAR = 1996 AND MONTH = 6 (same column) → one month-granular
+    timestamp range [1996-06-01, 1996-07-01) — the conjunction case
+    DateRangeRules canonicalizes; a bare MONTH predicate has no
+    contiguous range and is left alone."""
+    return (
+        _b(spark, sf_dir)
+        .scan("orders")
+        .filter(
+            "EXTRACT(YEAR FROM o_orderdate) = 1996 "
+            "AND EXTRACT(MONTH FROM o_orderdate) = 6"
+        )
+        .aggregate([], ["COUNT(*) AS n", "ROUND(SUM(o_totalprice), 3) AS total"])
+        .to_df()
+    )

@@ -104,3 +104,82 @@ def test_date_range_rule_inequalities(spark):
         )
         direct = cat.table("orders").filter(f"year(o_orderdate) {op} 1996")
         assert df.count() == direct.count(), op
+
+
+def test_sarg_in_list_merges_and_pushes(spark):
+    """YEAR IN (1994, 1995, 1997): adjacent years merge into ONE range
+    (Sarg RangeSet), disjoint ones stay separate, and bounds reach
+    PushedFilters; semantics equal the unrewritten predicate."""
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _date_range_canonicalize
+    from calcite_spark.plans import ir
+
+    cat = catalog_for(spark, SF_DIR)
+    node = ir.Filter(
+        "year(o_orderdate) IN (1994, 1995, 1997)", inputs=(ir.Scan("orders"),)
+    )
+    rewritten = _date_range_canonicalize(node, cat)
+    assert rewritten is not None
+    # 1994+1995 merged: exactly two ranges → two '>=' bounds
+    assert rewritten.condition.count(">=") == 2, rewritten.condition
+    assert "1996-01-01" in rewritten.condition  # merged hi bound
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("year(o_orderdate) IN (1994, 1995, 1997)")
+        .project("o_orderkey")
+        .to_df()
+    )
+    rep = plan_report(df)
+    pushed = " ".join(rep["pushed_filters"])
+    assert "o_orderdate" in pushed, pushed
+    direct = cat.table("orders").filter("year(o_orderdate) IN (1994, 1995, 1997)")
+    assert df.count() == direct.count()
+
+
+def test_sarg_between_and_month_conjunction(spark):
+    """YEAR BETWEEN → single range; YEAR = y AND MONTH = m (same col) →
+    one month range; quarter likewise; all value-preserving."""
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import _date_range_canonicalize
+
+    cat = catalog_for(spark, SF_DIR)
+    cases = [
+        ("year(o_orderdate) BETWEEN 1995 AND 1997", ["1995-01-01", "1998-01-01"]),
+        (
+            "EXTRACT(YEAR FROM o_orderdate) = 1995 AND EXTRACT(MONTH FROM o_orderdate) = 6",
+            ["1995-06-01", "1995-07-01"],
+        ),
+        (
+            "year(o_orderdate) = 1995 AND quarter(o_orderdate) = 4",
+            ["1995-10-01", "1996-01-01"],
+        ),
+        (
+            "year(o_orderdate) = 1995 AND month(o_orderdate) = 12",
+            ["1995-12-01", "1996-01-01"],
+        ),
+    ]
+    for cond, bounds in cases:
+        node = ir.Filter(cond, inputs=(ir.Scan("orders"),))
+        rewritten = _date_range_canonicalize(node, cat)
+        assert rewritten is not None, cond
+        for b in bounds:
+            assert b in rewritten.condition, (cond, rewritten.condition)
+        assert "EXTRACT" not in rewritten.condition.upper() or "MONTH" not in bounds[0]
+        df = (
+            RelBuilder(cat).scan("orders").filter(cond).project("o_orderkey").to_df()
+        )
+        direct = cat.table("orders").filter(cond)
+        assert df.count() == direct.count(), cond
+
+
+def test_sarg_standalone_month_untouched(spark):
+    """A bare MONTH predicate repeats every year — no contiguous range
+    exists, the rule must leave it alone (DateRangeRules boundary)."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import _date_range_canonicalize
+
+    cat = catalog_for(spark, SF_DIR)
+    node = ir.Filter("month(o_orderdate) = 6", inputs=(ir.Scan("orders"),))
+    assert _date_range_canonicalize(node, cat) is None
