@@ -200,7 +200,148 @@ def _date_range_canonicalize(node, catalog):
     return ir.Filter(cond, inputs=node.inputs)
 
 
+def _split_conjuncts(cond: str) -> list[str]:
+    """Split on TOP-LEVEL AND only (no parens nesting tracking needed
+    beyond depth counting; our IR conditions are plain SQL strings)."""
+    import re as _re
+
+    parts, depth, cur = [], 0, []
+    tokens = _re.split(r"(\(|\)|\bAND\b)", cond, flags=_re.I)
+    for t in tokens:
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            cur.append(t)
+        elif t.upper() == "AND" and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(t)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _join_order_greedy(node, catalog):
+    """≈ JoinToMultiJoinRule + LoptOptimizeJoinRule.java:77 (greedy
+    tier; DPhyp intentionally skipped): flatten a chain of INNER equi-
+    joins into a multi-join, then rebuild left-deep from catalog
+    statistics — largest relation first (the fact side streams), each
+    remaining relation added smallest-estimated-rows-first among those
+    connected by a now-bound condition, with broadcast hints on
+    catalog-known small dimensions.
+
+    At 100 TB the win is structural: the fact table is never the build
+    side, every dimension join is a broadcast (no fact shuffle), and
+    intermediate sizes shrink monotonically. Estimates are
+    Catalog.row_count × 0.25 per applied filter
+    (≈ RelMdUtil.guessSelectivity:504's default).
+
+    Bails (returns None) unless every leaf is Scan or Filter(Scan) with
+    resolvable columns and the join graph is connected — a wrong
+    reorder is worse than trusting the written order + AQE."""
+    if not isinstance(node, ir.Join) or catalog is None:
+        return None
+    if node.join_type != "INNER" or node.condition is None:
+        return None
+
+    # flatten the INNER-join chain
+    leaves: list = []
+    conjuncts: list[str] = []
+
+    def flatten(n):
+        if (
+            isinstance(n, ir.Join)
+            and n.join_type == "INNER"
+            and n.condition is not None
+            and not n.broadcast_left
+        ):
+            flatten(n.inputs[0])
+            flatten(n.inputs[1])
+            conjuncts.extend(_split_conjuncts(n.condition))
+        else:
+            leaves.append(n)
+
+    flatten(node)
+    if len(leaves) < 3:
+        return None
+
+    # resolve each leaf's column set + row estimate
+    import re as _re
+
+    infos = []
+    for leaf in leaves:
+        base, selectivity = leaf, 1.0
+        if isinstance(base, ir.Filter) and isinstance(base.inputs[0], ir.Scan):
+            base, selectivity = base.inputs[0], 0.25
+        if not isinstance(base, ir.Scan):
+            return None
+        try:
+            cols = set(catalog.table(base.table).columns)
+            rows = catalog.row_count(base.table) * selectivity
+        except Exception:
+            return None
+        infos.append({"node": leaf, "table": base.table, "cols": cols, "rows": rows})
+
+    # column names must be globally unique across leaves — otherwise
+    # condition-to-leaf mapping is ambiguous (self-joins) and reordering
+    # could silently rebind a predicate. Bail.
+    seen: set = set()
+    for info in infos:
+        if info["cols"] & seen:
+            return None
+        seen |= info["cols"]
+
+    # map each conjunct to the leaves it references
+    all_cols = {c for i in infos for c in i["cols"]}
+    cond_refs = []
+    for c in conjuncts:
+        idents = {t for t in _re.findall(r"[A-Za-z_]\w*", c) if t in all_cols}
+        touched = [i for i, info in enumerate(infos) if idents & info["cols"]]
+        if not idents or not touched:
+            return None  # unmappable condition — don't reorder
+        cond_refs.append((c, idents, set(touched)))
+
+    # greedy rebuild: largest leaf streams, smallest connected leaf next
+    order = sorted(range(len(infos)), key=lambda i: -infos[i]["rows"])
+    bound = {order[0]}
+    acc = infos[order[0]]["node"]
+    used = [False] * len(cond_refs)
+    remaining = set(range(len(infos))) - bound
+    while remaining:
+        candidates = [
+            i
+            for i in remaining
+            if any(refs <= bound | {i} and i in refs for _, _, refs in cond_refs)
+        ]
+        if not candidates:
+            return None  # disconnected graph — no cartesian products
+        nxt = min(candidates, key=lambda i: infos[i]["rows"])
+        bound.add(nxt)
+        join_conds = []
+        for k, (c, _, refs) in enumerate(cond_refs):
+            if not used[k] and refs <= bound:
+                used[k] = True
+                join_conds.append(c)
+        info = infos[nxt]
+        small = catalog.is_broadcastable(info["table"]) or info["rows"] <= 100_000
+        acc = ir.Join(
+            " AND ".join(join_conds) if join_conds else None,
+            "INNER" if join_conds else "CROSS",
+            broadcast_right=small,
+            inputs=(acc, info["node"]),
+        )
+        remaining.discard(nxt)
+
+    if repr(acc) == repr(node):
+        return None  # already in greedy order — fixpoint
+    return acc
+
+
 DEFAULT_RULES = [
+    Rule("JoinOrderGreedy", _join_order_greedy),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),

@@ -542,3 +542,40 @@ def q101_sarg_month_conj(spark, sf_dir):
         .aggregate([], ["COUNT(*) AS n", "ROUND(SUM(o_totalprice), 3) AS total"])
         .to_df()
     )
+
+
+@register(
+    "q102_join_order_greedy",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 3) AS qty
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "reorder", "stats"),
+)
+def q102_join_order_greedy(spark, sf_dir):
+    """Deliberately dims-first authored join tree; JoinOrderGreedy
+    (≈ LoptOptimizeJoinRule.java:77 greedy tier) rebuilds it fact-first
+    with broadcast dimensions from Catalog.row_count stats — the q84–q89
+    wave-2 shapes no longer depend on hand-ordering."""
+    return (
+        _b(spark, sf_dir)
+        .scan("region")
+        .filter("r_name = 'AMERICA'")
+        .scan("nation")
+        .join("r_regionkey = n_regionkey")
+        .scan("customer")
+        .join("n_nationkey = c_nationkey")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(["n_name"], ["COUNT(*) AS n_items", "ROUND(SUM(l_quantity), 3) AS qty"])
+        .sort("n_name")
+        .to_df()
+    )

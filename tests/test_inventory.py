@@ -17,7 +17,11 @@ queries()  # force registration
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
     df = q.fn(spark, SF_DIR)
-    if q.oracle is None:
+    # snapshot oracles (tests/expected/*.parquet) are pinned at the
+    # driver's correctness SF (0.01) — at any other SF do the rows-only
+    # check here; the driver sim covers the snapshot compare.
+    snapshot = q.oracle is not None and "tests/expected" in q.oracle
+    if q.oracle is None or (snapshot and not SF_DIR.rstrip("/").endswith("sf0.01")):
         # rows-only: must run and produce a stable schema
         rows = df.collect()
         assert df.columns, f"{name}: no columns"

@@ -183,3 +183,70 @@ def test_sarg_standalone_month_untouched(spark):
     cat = catalog_for(spark, SF_DIR)
     node = ir.Filter("month(o_orderdate) = 6", inputs=(ir.Scan("orders"),))
     assert _date_range_canonicalize(node, cat) is None
+
+
+def test_join_order_greedy_reorders_bad_plan(spark):
+    """JoinOrderGreedy (≈ LoptOptimizeJoinRule greedy tier): a
+    deliberately dim-first join tree is rebuilt fact-first with
+    broadcast dimension joins — no hand-ordering needed — and values
+    are unchanged."""
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _join_order_greedy
+
+    cat = catalog_for(spark, SF_DIR)
+    # worst-case authored order: region x nation first, lineitem LAST
+    plan = (
+        RelBuilder(cat)
+        .scan("region")
+        .scan("nation")
+        .join("r_regionkey = n_regionkey")
+        .scan("customer")
+        .join("n_nationkey = c_nationkey")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .build()
+    )
+    reordered = _join_order_greedy(plan, cat)
+    assert reordered is not None
+    # fact (lineitem) must be the leftmost/streamed leaf after reorder
+    leftmost = reordered
+    while leftmost.inputs:
+        leftmost = leftmost.inputs[0]
+    assert getattr(leftmost, "table", None) == "lineitem", reordered.explain_str()
+
+    from calcite_spark.plans import ir as _ir
+
+    df = (
+        _ir.Project(("n_name", "l_quantity"), inputs=(reordered,))
+    ).to_df(cat)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("BroadcastHashJoin") >= 2, phys
+    direct = spark.sql(
+        """SELECT n_name, l_quantity FROM region
+           JOIN nation ON r_regionkey = n_regionkey
+           JOIN customer ON n_nationkey = c_nationkey
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    cat.register_all_views()
+    assert df.count() == direct.count()
+
+
+def test_join_order_greedy_bails_on_self_join(spark):
+    """Ambiguous column ownership (nation twice) must NOT be reordered."""
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _join_order_greedy
+
+    cat = catalog_for(spark, SF_DIR)
+    plan = (
+        RelBuilder(cat)
+        .scan("nation")
+        .scan("customer")
+        .join("n_nationkey = c_nationkey")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .build()
+    )
+    assert _join_order_greedy(plan, cat) is None
