@@ -74,6 +74,11 @@ class Catalog:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         except Exception:
             pass  # conf locked down — proceed with session defaults
+        # SQL/JSON path engine (strict/lax): cs_json_* Pandas UDFs that
+        # registry templates reference (functions/json_path.py).
+        from calcite_spark.functions.json_path import register_json_udfs
+
+        register_json_udfs(spark)
 
     # -- registration -------------------------------------------------
     def register_parquet_dir(self, sf_dir: str, tables=TPCH_TABLES) -> "Catalog":

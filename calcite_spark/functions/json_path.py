@@ -1,0 +1,328 @@
+"""SQL/JSON path semantics (strict/lax) + MySQL-flavor JSON utilities.
+
+≈ Calcite's SQL/JSON operator family — SqlStdOperatorTable.java:1653-1694
+(JSON_EXISTS/JSON_VALUE/JSON_QUERY with path modes and ON EMPTY/ON ERROR
+behaviors) and the MySQL-library JSON_DEPTH/JSON_PRETTY/JSON_REMOVE/
+JSON_TYPE entries in SqlLibraryOperators.java. Spark's builtin
+get_json_object is lax-only (no strict-mode structural errors, no mode
+prefix, no ON ERROR control), so these are the documented Pandas-UDF
+fallbacks: Arrow-batched, registered once per session as ``cs_json_*``
+SQL functions and referenced from the registry templates.
+
+Scale note: this IS the Python slow path — kept off every hot query; the
+lax scalar extraction that appears in inventory queries stays on the JVM
+builtin. Parsed paths are cached per distinct path string (paths are
+almost always literals), so per-batch cost is one json.loads per row
+plus list walks.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+
+import pandas as pd
+
+
+class JsonPathError(ValueError):
+    """Structural error under strict mode (≈ Calcite's
+    SqlJsonPathMode.STRICT exceptions, mapped by ON ERROR behavior)."""
+
+
+# ---------------------------------------------------------------------
+# Path parsing: [mode] $ step*   with step := .member | ."member" | .*
+#                                           | [int] | [*] | [last]
+# ---------------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def parse_path(path: str) -> tuple:
+    """Return (strict: bool, steps: tuple). Steps are ('key', name),
+    ('key*',), ('idx', n), ('idx*',) or ('last',)."""
+    s = path.strip()
+    strict = False
+    low = s.lower()
+    if low.startswith("strict "):
+        strict, s = True, s[7:].strip()
+    elif low.startswith("lax "):
+        s = s[4:].strip()
+    if not s.startswith("$"):
+        raise JsonPathError(f"path must start with $: {path!r}")
+    i, n, steps = 1, len(s), []
+    while i < n:
+        c = s[i]
+        if c == ".":
+            i += 1
+            if i < n and s[i] == "*":
+                steps.append(("key*",))
+                i += 1
+            elif i < n and s[i] == '"':
+                j = s.index('"', i + 1)
+                steps.append(("key", s[i + 1 : j]))
+                i = j + 1
+            else:
+                j = i
+                while j < n and (s[j].isalnum() or s[j] == "_"):
+                    j += 1
+                if j == i:
+                    raise JsonPathError(f"bad member step at {i} in {path!r}")
+                steps.append(("key", s[i:j]))
+                i = j
+        elif c == "[":
+            j = s.index("]", i)
+            body = s[i + 1 : j].strip()
+            if body == "*":
+                steps.append(("idx*",))
+            elif body.lower() == "last":
+                steps.append(("last",))
+            else:
+                steps.append(("idx", int(body)))
+            i = j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            raise JsonPathError(f"unexpected {c!r} at {i} in {path!r}")
+    return strict, tuple(steps)
+
+
+def eval_path(doc, path: str) -> list:
+    """Evaluate a SQL/JSON path against a parsed document, returning the
+    result sequence. Lax mode auto-unwraps arrays for member access and
+    auto-wraps scalars for array access, suppressing structural misses;
+    strict mode raises JsonPathError (≈ json path semantics table in the
+    SQL:2016 spec that Calcite implements)."""
+    strict, steps = parse_path(path)
+    seq = [doc]
+    for step in steps:
+        out = []
+        for item in seq:
+            if step[0] in ("key", "key*"):
+                targets = [item]
+                if not strict and isinstance(item, list):
+                    targets = item  # lax auto-unwrap
+                for t in targets:
+                    if isinstance(t, dict):
+                        if step[0] == "key*":
+                            out.extend(t.values())
+                        elif step[1] in t:
+                            out.append(t[step[1]])
+                        elif strict:
+                            raise JsonPathError(f"no member {step[1]!r}")
+                    elif strict:
+                        raise JsonPathError(f"member access on non-object")
+            else:  # idx / idx* / last
+                arr = item
+                if not isinstance(arr, list):
+                    if strict:
+                        raise JsonPathError("array access on non-array")
+                    arr = [item]  # lax auto-wrap
+                if step[0] == "idx*":
+                    out.extend(arr)
+                else:
+                    i = len(arr) - 1 if step[0] == "last" else step[1]
+                    if 0 <= i < len(arr):
+                        out.append(arr[i])
+                    elif strict:
+                        raise JsonPathError(f"index {i} out of range")
+        seq = out
+    return seq
+
+
+# ---------------------------------------------------------------------
+# Scalar function bodies (row-level; vectorized below)
+# ---------------------------------------------------------------------
+
+
+def _loads(doc):
+    if doc is None:
+        return None, False
+    try:
+        return json.loads(doc), True
+    except (ValueError, TypeError):
+        return None, False
+
+
+def _scalar_to_str(v):
+    if v is None:
+        return None  # JSON null → SQL NULL (Calcite JSON_VALUE default)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(int(v)) if v.is_integer() and abs(v) < 1e15 else repr(v)
+    return str(v)
+
+
+def json_value_one(doc, path):
+    """JSON_VALUE default behaviors: NULL ON EMPTY, NULL ON ERROR;
+    non-scalar or multi-item result is an error."""
+    parsed, ok = _loads(doc)
+    if not ok:
+        return None
+    try:
+        seq = eval_path(parsed, path)
+    except JsonPathError:
+        return None
+    if len(seq) != 1 or isinstance(seq[0], (dict, list)):
+        return None
+    return _scalar_to_str(seq[0])
+
+
+def json_query_one(doc, path, wrapper="none"):
+    """JSON_QUERY defaults: WITHOUT ARRAY WRAPPER, NULL ON EMPTY/ERROR.
+    wrapper: none | cond (WITH CONDITIONAL) | always (WITH UNCONDITIONAL)."""
+    parsed, ok = _loads(doc)
+    if not ok:
+        return None
+    try:
+        seq = eval_path(parsed, path)
+    except JsonPathError:
+        return None
+    if wrapper == "always" or (
+        wrapper == "cond" and not (len(seq) == 1 and isinstance(seq[0], (dict, list)))
+    ):
+        if not seq:
+            return None
+        return json.dumps(seq, separators=(",", ":"))
+    if len(seq) != 1 or not isinstance(seq[0], (dict, list)):
+        return None  # scalar / empty / multi → error → NULL
+    return json.dumps(seq[0], separators=(",", ":"))
+
+
+def json_exists_one(doc, path):
+    """JSON_EXISTS default FALSE ON ERROR."""
+    parsed, ok = _loads(doc)
+    if not ok:
+        return None if doc is None else False
+    try:
+        return len(eval_path(parsed, path)) > 0
+    except JsonPathError:
+        return False
+
+
+def json_type_one(doc):
+    """MySQL-style type names (SqlLibraryOperators JSON_TYPE)."""
+    parsed, ok = _loads(doc)
+    if doc is None:
+        return None
+    if not ok:
+        return None
+    if isinstance(parsed, dict):
+        return "OBJECT"
+    if isinstance(parsed, list):
+        return "ARRAY"
+    if isinstance(parsed, bool):
+        return "BOOLEAN"
+    if parsed is None:
+        return "NULL"
+    if isinstance(parsed, int):
+        return "INTEGER"
+    if isinstance(parsed, float):
+        return "DOUBLE"
+    return "STRING"
+
+
+def json_depth_one(doc):
+    """MySQL JSON_DEPTH: scalar/empty container → 1, else 1 + max child."""
+    parsed, ok = _loads(doc)
+    if doc is None or not ok:
+        return None
+
+    def depth(v):
+        if isinstance(v, dict):
+            return 1 + max((depth(x) for x in v.values()), default=0)
+        if isinstance(v, list):
+            return 1 + max((depth(x) for x in v), default=0)
+        return 1
+
+    return depth(parsed)
+
+
+def json_pretty_one(doc):
+    parsed, ok = _loads(doc)
+    if not ok:
+        return None
+    return json.dumps(parsed, indent=2)
+
+
+def json_remove_one(doc, *paths):
+    """MySQL JSON_REMOVE(doc, path, ...): paths applied left-to-right;
+    wildcards and '$' itself are errors → NULL."""
+    parsed, ok = _loads(doc)
+    if not ok:
+        return None
+    for path in paths:
+        if path is None:
+            return None
+        try:
+            strict, steps = parse_path(path)
+        except JsonPathError:
+            return None
+        if not steps or any(s[0] in ("key*", "idx*") for s in steps):
+            return None
+        # walk to parent of the target
+        cur = parsed
+        for s in steps[:-1]:
+            if s[0] == "key" and isinstance(cur, dict) and s[1] in cur:
+                cur = cur[s[1]]
+            elif s[0] in ("idx", "last") and isinstance(cur, list):
+                i = len(cur) - 1 if s[0] == "last" else s[1]
+                if not 0 <= i < len(cur):
+                    break
+                cur = cur[i]
+            else:
+                break
+        else:
+            last = steps[-1]
+            if last[0] == "key" and isinstance(cur, dict):
+                cur.pop(last[1], None)
+            elif last[0] in ("idx", "last") and isinstance(cur, list):
+                i = len(cur) - 1 if last[0] == "last" else last[1]
+                if 0 <= i < len(cur):
+                    del cur[i]
+    return json.dumps(parsed, separators=(",", ":"))
+
+
+# ---------------------------------------------------------------------
+# Session registration: Arrow-batched pandas UDFs, cs_json_* SQL names
+# ---------------------------------------------------------------------
+
+JSON_UDFS = {
+    # name -> (row_fn taking (doc, path...) or (doc,), return type, arity)
+    "cs_json_value": (json_value_one, "string", 2),
+    "cs_json_query": (json_query_one, "string", 2),
+    "cs_json_exists": (json_exists_one, "boolean", 2),
+    "cs_json_type": (json_type_one, "string", 1),
+    "cs_json_depth": (json_depth_one, "int", 1),
+    "cs_json_pretty": (json_pretty_one, "string", 1),
+    "cs_json_remove": (json_remove_one, "string", 2),
+}
+
+
+def register_json_udfs(spark) -> None:
+    """Idempotent per-session registration of the cs_json_* family."""
+    if getattr(spark, "_cs_json_udfs_registered", False):
+        return
+    from pyspark.sql import functions as F
+
+    from calcite_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)  # workers resolve these module fns by ref
+
+    def make(fn, ret, arity):
+        if arity == 1:
+
+            def batch(s: pd.Series) -> pd.Series:
+                return s.map(lambda d: fn(d), na_action=None)
+
+        else:
+
+            def batch(s: pd.Series, p: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [fn(d, q) for d, q in zip(s, p)], index=s.index, dtype=object
+                )
+
+        return F.pandas_udf(batch, ret)
+
+    for name, (fn, ret, arity) in JSON_UDFS.items():
+        spark.udf.register(name, make(fn, ret, arity))
+    spark._cs_json_udfs_registered = True

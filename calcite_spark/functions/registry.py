@@ -36,7 +36,9 @@ class FnDef:
     template: str  # Spark SQL template with {0},{1},... slots; "" = same-name
     arity: tuple = ()  # allowed arg counts; () = variadic/any
     libraries: tuple = (STANDARD,)
-    kind: str = "scalar"  # scalar | aggregate | window | predicate | udf_todo
+    kind: str = "scalar"  # scalar | aggregate | window | predicate | udf | udf_todo
+    # "udf" = implemented via a registered cs_* Pandas UDF (the documented
+    # Python slow path — functions/json_path.py); "udf_todo" = not yet.
     note: str = ""
     defaults: tuple = ()  # tail defaults filling max(arity) when fewer args given
 
@@ -230,17 +232,17 @@ _passthrough("TRANSFORM FILTER EXISTS AGGREGATE REDUCE ZIP_WITH", libs=(SPARK,))
 # ---------------------------------------------------------------------
 # JSON (std table JSON_EXISTS:1653 .. JSON_REPLACE:1694, IS JSON :887)
 # ---------------------------------------------------------------------
-_reg("JSON_VALUE", "get_json_object({0}, {1})", (2,), note="lax scalar path")
-_reg("JSON_QUERY", "get_json_object({0}, {1})", (2,), note="fragment extraction; strict-mode shim TODO")
-_reg("JSON_EXISTS", "get_json_object({0}, {1}) IS NOT NULL", (2,), kind="predicate")
+_reg("JSON_VALUE", "get_json_object({0}, {1})", (2,), note="plain lax scalar path = JVM builtin; strict/wildcard paths dispatch to cs_json_value (functions/json_path.py)")
+_reg("JSON_QUERY", "cs_json_query({0}, {1})", (2,), kind="udf", note="SQL/JSON fragment semantics (scalar result → NULL, WITHOUT ARRAY WRAPPER) need the path engine")
+_reg("JSON_EXISTS", "get_json_object({0}, {1}) IS NOT NULL", (2,), kind="predicate", note="strict/wildcard paths dispatch to cs_json_exists")
 _reg("JSON_OBJECT", "to_json(map({0}, {1}))", (), note="n-ary KEY VALUE pairs via macro")
 _reg("JSON_ARRAY", "to_json(array({0}))", ())
 _reg("JSON_LENGTH", "json_array_length({0})", (1, 2))
 _reg("JSON_KEYS", "json_object_keys({0})", (1, 2))
-_reg("JSON_TYPE", "CASE WHEN {0} IS NULL THEN NULL WHEN left(trim({0}), 1) = '{{' THEN 'OBJECT' WHEN left(trim({0}), 1) = '[' THEN 'ARRAY' ELSE 'SCALAR' END", (1,), kind="udf_todo", note="coarse")
-_reg("JSON_PRETTY", "", (1,), kind="udf_todo", note="no Spark builtin; Pandas-UDF fallback")
-_reg("JSON_DEPTH", "", (1,), kind="udf_todo")
-_reg("JSON_REMOVE", "", (), kind="udf_todo")
+_reg("JSON_TYPE", "cs_json_type({0})", (1,), kind="udf", note="MySQL-style names (OBJECT/ARRAY/BOOLEAN/NULL/INTEGER/DOUBLE/STRING)")
+_reg("JSON_PRETTY", "cs_json_pretty({0})", (1,), kind="udf")
+_reg("JSON_DEPTH", "cs_json_depth({0})", (1,), kind="udf")
+_reg("JSON_REMOVE", "cs_json_remove({0}, {1})", (2,), kind="udf", note="single-path form; MySQL multi-path via nesting")
 _reg("JSON_STORAGE_SIZE", "length({0})", (1,), note="byte-length proxy")
 _reg("IS JSON VALUE", "get_json_object({0}, '$') IS NOT NULL OR from_json({0}, 'string') IS NOT NULL", (1,), kind="predicate", note="lax check")
 
@@ -312,11 +314,27 @@ def libraries() -> set[str]:
     return {lib for fn in FUNCTIONS.values() for lib in fn.libraries}
 
 
+# SQL/JSON calls whose PATH literal needs the real path engine (strict
+# mode, wildcards, last): routed to the cs_json_* Pandas UDFs; plain lax
+# member/index paths stay on the JVM builtin (the hot path).
+_JSON_PATH_DISPATCH = {"JSON_VALUE": "cs_json_value", "JSON_EXISTS": "cs_json_exists"}
+
+
+def _path_needs_engine(path_arg: str) -> bool:
+    s = path_arg.strip()
+    if not s or s[0] not in "'\"":
+        return False  # non-literal path: stays on the lax JVM builtin
+    body = s[1:-1].strip().lower()
+    return body.startswith(("strict", "lax")) or "*" in body or "last]" in body
+
+
 def translate(name: str, *args: str, library: str | None = None) -> str:
     """Calcite operator call → Spark SQL expression string."""
     fn = lookup(name, library)
     if fn is None:
         raise KeyError(f"unknown function {name!r}")
+    if fn.name in _JSON_PATH_DISPATCH and len(args) == 2 and _path_needs_engine(args[1]):
+        return f"{_JSON_PATH_DISPATCH[fn.name]}({args[0]}, {args[1]})"
     if fn.arity and len(args) not in fn.arity:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
     if not fn.template:

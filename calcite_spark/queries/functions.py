@@ -614,3 +614,68 @@ def q95_checked_arithmetic(spark, sf_dir):
         .sort("p_partkey")
         .to_df()
     )
+
+
+# ---------------------------------------------------------------------
+# SQL/JSON path engine — SqlStdOperatorTable JSON_VALUE:1655 with
+# strict/lax modes + wildcards/last (functions/json_path.py); the
+# registry dispatches mode-prefixed path literals to cs_json_*.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q103_json_path",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 3) AS qty_sum,
+           CAST(SUM(l_suppkey) AS BIGINT) AS last_elem_sum,
+           CAST(3 * COUNT(*) AS BIGINT) AS depth_sum,
+           CAST(0 AS BIGINT) AS n_missing
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("json", "json_path", "udf"),
+)
+def q103_json_path(spark, sf_dir):
+    """Strict/lax SQL/JSON paths over a constructed doc: JSON_VALUE with
+    'strict $.qty' and 'lax $.parts[last]' route through the cs_json_*
+    path engine (translate() dispatch); the oracle recomputes every
+    extracted value from the base columns, so a path-engine bug cannot
+    hide. Python UDF cost is the point under test — not a headline query.
+    """
+    from calcite_spark.functions.registry import translate
+
+    v_qty = translate("JSON_VALUE", "doc", "'strict $.qty'")
+    v_last = translate("JSON_VALUE", "doc", "'lax $.parts[last]'")
+    e_missing = translate("JSON_EXISTS", "doc", "'strict $.missing'")
+    d_depth = translate("JSON_DEPTH", "doc")
+    return (
+        _b(spark, sf_dir)
+        .scan("lineitem")
+        .project(
+            "l_returnflag",
+            "to_json(struct(l_quantity AS qty, l_returnflag AS ret, "
+            "array(l_partkey, l_suppkey) AS parts)) AS doc",
+        )
+        .project(
+            "l_returnflag",
+            f"CAST({v_qty} AS DOUBLE) AS qty",
+            f"CAST({v_last} AS BIGINT) AS last_elem",
+            f"CASE WHEN {e_missing} THEN 1 ELSE 0 END AS miss",
+            f"{d_depth} AS depth",
+        )
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "COUNT(*) AS n",
+                "ROUND(SUM(qty), 3) AS qty_sum",
+                "SUM(last_elem) AS last_elem_sum",
+                "SUM(depth) AS depth_sum",
+                "SUM(miss) AS n_missing",
+            ],
+        )
+        .sort("l_returnflag")
+        .to_df()
+    )

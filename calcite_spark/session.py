@@ -75,7 +75,19 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "calcite_spark_pkg.zip")
+    # fingerprint the source tree into the zip name: a stale cached zip
+    # (from a run before the package changed) must never be shipped
+    import zlib
+
+    stamp = 0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                key = f"{os.path.relpath(full, pkg_dir)}:{int(st.st_mtime)}:{st.st_size}"
+                stamp = zlib.crc32(key.encode(), stamp)
+    zip_path = os.path.join(tempfile.gettempdir(), f"calcite_spark_pkg_{stamp:08x}.zip")
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
