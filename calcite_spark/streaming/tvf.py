@@ -54,6 +54,22 @@ def session(df: DataFrame, ts_col: str, gap: str, partition_keys=()):
     )
 
 
+def tumble_grouped(df: DataFrame, ts_col: str, size: str, partition_keys=()):
+    """TUMBLE for streaming APPEND mode: the watermark's event-time
+    metadata lives on the `window` struct column, so append-mode
+    aggregation must group on the struct itself — extracting
+    window_start first (the batch TVF contract) severs it. Returns
+    GroupedData (grouping column `window`), mirroring `session`."""
+    return df.groupBy(F.window(F.col(ts_col), size).alias("window"), *partition_keys)
+
+
+def hop_grouped(df: DataFrame, ts_col: str, size: str, slide: str, partition_keys=()):
+    """HOP for streaming append mode — see tumble_grouped."""
+    return df.groupBy(
+        F.window(F.col(ts_col), size, slide).alias("window"), *partition_keys
+    )
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """Late-data bound for streaming inputs (no-op on batch frames)."""
     if df.isStreaming:
