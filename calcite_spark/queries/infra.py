@@ -149,3 +149,49 @@ def q92_merge_upsert(spark, sf_dir):
     return merged.selectExpr(
         "COALESCE(n_nationkey, CAST(NULL AS INT)) AS n_nationkey", "n_name"
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q104_federation",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 3) AS acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("federation", "jdbc", "rel2sql"),
+)
+def q104_federation(spark, sf_dir):
+    """Federated execution ≈ the JDBC adapter (JdbcRules.java:381-787):
+    nation+region live in an EXTERNAL DuckDB engine; their join is
+    emitted via rel2sql's DuckDB dialect, executed remotely as ONE
+    query, and joined in Spark against the local customer table. The
+    oracle runs all-local — federation must not change the answer."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.sources.federation import (
+        DuckDBEngine,
+        execute_federated,
+        register_external,
+    )
+
+    cat = Catalog(spark).register_parquet_dir(sf_dir, tables=("customer",))
+    engine = DuckDBEngine.from_parquet_dir(sf_dir, ("nation", "region"))
+    register_external(cat, "nation", engine)
+    register_external(cat, "region", engine)
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .scan("nation")
+        .scan("region")
+        .join("n_regionkey = r_regionkey")  # external⋈external: one remote query
+        .join("c_nationkey = n_nationkey")  # local fact join stays in Spark
+        .aggregate(["r_name"], ["COUNT(*) AS n_customers", "ROUND(SUM(c_acctbal), 3) AS acctbal"])
+        .sort("r_name")
+        .build()
+    )
+    df = execute_federated(plan, cat)
+    assert len(engine.queries_executed) == 1, engine.queries_executed
+    return df

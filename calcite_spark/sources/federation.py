@@ -1,0 +1,136 @@
+"""Federation / JDBC-adapter analog: whole- and partial-query pushdown
+to an external SQL engine via the rel2sql emitter.
+
+≈ Calcite's JDBC adapter split in two halves:
+  * SQL generation — adapter/jdbc/JdbcRules.java:381-787 converts
+    Filter/Project/Join/Aggregate/Sort subtrees to the remote dialect
+    (our sql/rel2sql.py, no driver jar needed);
+  * execution — JdbcToEnumerableConverter ships the generated SQL and
+    enumerates the result. Here the stand-in external engine is DuckDB
+    (the container has no JDBC jar); results return as Arrow and enter
+    Spark via createDataFrame.
+
+Scale contract (read this before pointing it at a real warehouse):
+the materialized remote result lands on the DRIVER — identical to
+Calcite's JDBC adapter, whose enumerator is also single-stream. Push
+down subtrees that REDUCE (filtered dims, pre-aggregations), never a
+fact-table scan. On a real cluster the same Catalog entry would be
+backed by spark.read.jdbc(partitionColumn=..., numPartitions=...) for
+parallel fetch; that path is gated on a driver jar being present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from calcite_spark.plans import ir
+from calcite_spark.sql.rel2sql import DUCKDB, Dialect, to_sql
+
+
+class DuckDBEngine:
+    """External engine stand-in (≈ JdbcSchema over a warehouse).
+
+    Exposes tables by name; executes dialect SQL; returns Arrow."""
+
+    def __init__(self, connection, dialect: Dialect = DUCKDB):
+        self.con = connection
+        self.dialect = dialect
+        self.queries_executed: list[str] = []  # observability for tests
+
+    @classmethod
+    def from_parquet_dir(cls, sf_dir: str, tables) -> "DuckDBEngine":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return cls(con)
+
+    def execute_arrow(self, sql: str):
+        self.queries_executed.append(sql)
+        return self.con.execute(sql).arrow()
+
+
+def register_external(catalog, name: str, engine) -> None:
+    """Mount an external table (≈ JdbcTable in the model). The remote
+    table must be visible to the engine under the same name — rel2sql
+    emits unqualified local names."""
+    ext = getattr(catalog, "external_tables", None)
+    if ext is None:
+        ext = catalog.external_tables = {}
+    ext[name] = engine
+
+
+def _external_engine_of(node: ir.RelNode, catalog):
+    """Engine if EVERY scan in this subtree is external to the same
+    engine (the pushable condition), else None."""
+    ext = getattr(catalog, "external_tables", {})
+    engines = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ir.Scan):
+            if n.table not in ext:
+                return None
+            engines.add(id(ext[n.table]))
+        stack.extend(n.inputs)
+    if len(engines) != 1:
+        return None
+    # any scan's engine (all identical)
+    for n in _scans(node):
+        return ext[n.table]
+    return None
+
+
+def _scans(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ir.Scan):
+            yield n
+        stack.extend(n.inputs)
+
+
+def _fetch(catalog, engine, sql: str) -> DataFrame:
+    tbl = engine.execute_arrow(sql)
+    return catalog.spark.createDataFrame(tbl.to_pandas())
+
+
+def federate(node: ir.RelNode, catalog) -> ir.RelNode:
+    """Replace every MAXIMAL all-external subtree with a scan of its
+    remotely-executed result (≈ JdbcRules firing bottom-up until the
+    convention boundary). A subtree the dialect cannot emit falls back
+    to pushing its children instead — worst case each external scan is
+    fetched whole (the JdbcTableScan floor)."""
+    counter = [0]
+
+    def rewrite(n: ir.RelNode) -> ir.RelNode:
+        eng = _external_engine_of(n, catalog)
+        if eng is not None:
+            try:
+                sql = to_sql(n, eng.dialect)
+            except Exception:  # non-emittable node or off-surface function
+                sql = None
+            if sql is not None:
+                name = f"__fed_{counter[0]}"
+                counter[0] += 1
+                catalog.register_df(name, _fetch(catalog, eng, sql))
+                return ir.Scan(name)
+        if not n.inputs:
+            return n
+        new_inputs = tuple(rewrite(c) for c in n.inputs)
+        if all(a is b for a, b in zip(new_inputs, n.inputs)):
+            return n
+        import dataclasses
+
+        return dataclasses.replace(n, inputs=new_inputs)
+
+    return rewrite(node)
+
+
+def execute_federated(node: ir.RelNode, catalog) -> DataFrame:
+    """Federated lowering: push maximal external subtrees, run the rest
+    in Spark."""
+    return federate(node, catalog).to_df(catalog)
