@@ -6,6 +6,8 @@ inventory.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from calcite_spark.plans.builder import RelBuilder
 from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
 
@@ -578,4 +580,46 @@ def q102_join_order_greedy(spark, sf_dir):
         .aggregate(["n_name"], ["COUNT(*) AS n_items", "ROUND(SUM(l_quantity), 3) AS qty"])
         .sort("n_name")
         .to_df()
+    )
+
+
+@register(
+    "q105_conditional_correlate",
+    oracle="""
+    SELECT mark, COUNT(*) AS n
+    FROM (
+      SELECT c_acctbal > ANY (
+               SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                           ELSE o_totalprice END
+               FROM orders WHERE o_custkey = c_custkey) AS mark
+      FROM customer) t
+    GROUP BY mark
+    ORDER BY mark NULLS FIRST
+    """,
+    tags=("subquery", "mark_join", "conditional_correlate"),
+)
+def q105_conditional_correlate(spark, sf_dir):
+    """ConditionalCorrelate (ConditionalCorrelate.java:44): `> SOME`
+    de-subquerying keeps the comparison ON the LEFT_MARK correlate —
+    3VL mark: TRUE if any urgent-masked order price compares true, NULL
+    if undecided only because of the injected NULLs, FALSE otherwise
+    (including customers with no orders). The oracle replays it with
+    DuckDB's native quantified comparison."""
+    from calcite_spark.operators.correlate import conditional_mark_correlate
+
+    cat = catalog_for(spark, sf_dir)
+    right = cat.table("orders").selectExpr(
+        "o_custkey",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_totalprice END AS amt",
+    )
+    marked = conditional_mark_correlate(
+        cat.table("customer"),
+        right,
+        on="o_custkey = c_custkey",
+        condition="c_acctbal > amt",
+    )
+    return (
+        marked.groupBy("mark")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("mark").asc_nulls_first())
     )
