@@ -118,6 +118,17 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name in self._dfs:
             return self._dfs[name]
+        if name not in self.tables and name in getattr(self, "external_tables", {}):
+            # foreign-schema table used OUTSIDE federate(): the
+            # JdbcTableScan floor — fetch the whole remote table once.
+            # (federate() replaces scans before this runs, so pushed
+            # subtrees never hit this path.)
+            engine = self.external_tables[name]
+            tbl = engine.execute_arrow(f"SELECT * FROM {name}")
+            df = self.spark.createDataFrame(tbl.to_pandas())
+            self._dfs[name] = df
+            df.createOrReplaceTempView(name.replace(".", "__"))
+            return df
         entry = self.tables[name]
         if name in NANOS_TS_COLS:
             # settable at runtime, so this also works when the caller

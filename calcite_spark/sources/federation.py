@@ -38,13 +38,20 @@ class DuckDBEngine:
         self.queries_executed: list[str] = []  # observability for tests
 
     @classmethod
-    def from_parquet_dir(cls, sf_dir: str, tables) -> "DuckDBEngine":
+    def from_parquet_dir(cls, sf_dir: str, tables, schema: str | None = None) -> "DuckDBEngine":
+        """With `schema`, views are exposed as <schema>.<table> — the
+        names a CREATE FOREIGN SCHEMA mount scans by (rel2sql emits scan
+        names verbatim, so the remote must resolve the qualified form)."""
         import duckdb
 
         con = duckdb.connect()
+        prefix = ""
+        if schema:
+            con.execute(f"CREATE SCHEMA {schema}")
+            prefix = f"{schema}."
         for t in tables:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {prefix}{t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         return cls(con)
 

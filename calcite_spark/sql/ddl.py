@@ -25,6 +25,46 @@ _DROP = re.compile(r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(IF\s+EXISTS\
 _CREATE_FUNCTION = re.compile(
     r"^\s*CREATE\s+FUNCTION\s+(\w+)\s+AS\s+'([^']+)'(?:\s+RETURNS\s+(\w+))?\s*$", re.I
 )
+_CREATE_TYPE = re.compile(r"^\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+(.+)$", re.I | re.S)
+_CREATE_TABLE_LIKE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+LIKE\s+(\w+)"
+    r"\s*((?:(?:INCLUDING|EXCLUDING)\s+(?:GENERATED|DEFAULTS|ALL)\s*)*)$",
+    re.I,
+)
+_CREATE_TABLE_COLS = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$", re.I | re.S)
+_CREATE_FOREIGN_SCHEMA = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FOREIGN\s+SCHEMA\s+(\w+)\s+"
+    r"TYPE\s+'(\w+)'\s+OPTIONS\s*\((.+)\)\s*$",
+    re.I | re.S,
+)
+_OPTION = re.compile(r"(\w+)\s+'([^']*)'")
+
+# SQL-standard attribute types → Spark DDL types (CREATE TYPE surface)
+_SQL_TO_SPARK_TYPE = {
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "INTEGER": "int",
+    "INT": "int",
+    "BIGINT": "bigint",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "DECIMAL": "decimal(10,0)",
+}
+
+
+def _spark_type(sql_type: str) -> str:
+    t = sql_type.strip()
+    m = re.match(r"(\w+)\s*\(([^)]*)\)", t)
+    if m and m.group(1).upper() == "DECIMAL":
+        return f"decimal({m.group(2)})"
+    if m and m.group(1).upper() in ("VARCHAR", "CHAR"):
+        return "string"
+    return _SQL_TO_SPARK_TYPE.get(t.upper(), t.lower())
 
 
 class DdlExecutor:
@@ -68,6 +108,20 @@ class DdlExecutor:
                 self.catalog.mv_registry.mvs.pop(name, None)
             self.catalog.spark.catalog.dropTempView(name)
             return {"dropped": name, "existed": existed}
+        m = _CREATE_TYPE.match(sql)
+        if m:
+            return self._create_type(m.group(1), m.group(2).strip())
+        m = _CREATE_TABLE_LIKE.match(sql)
+        if m:
+            return self._create_table_like(
+                m.group(2), m.group(3), bool(m.group(1)), m.group(4) or ""
+            )
+        m = _CREATE_FOREIGN_SCHEMA.match(sql)
+        if m:
+            return self._create_foreign_schema(m.group(1), m.group(2).lower(), m.group(3))
+        m = _CREATE_TABLE_COLS.match(sql)
+        if m and not re.match(r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.I):
+            return self._create_table_cols(m.group(1), m.group(2))
         m = _CREATE_FUNCTION.match(sql)
         if m:
             from calcite_spark.functions.udf import load_functions_from_model
@@ -79,6 +133,86 @@ class DdlExecutor:
             )
             return {"function": m.group(1)}
         raise ValueError(f"unsupported DDL: {sql[:80]}")
+
+    def _create_type(self, name: str, body: str):
+        """CREATE TYPE ≈ ServerDdlExecutor.execute(SqlCreateType, ...)
+        (:649): either an alias of a data type or a structured type from
+        attribute definitions. Registered in catalog.types as a Spark
+        DDL type string; the frontend expands CAST(x AS <name>)."""
+        types = getattr(self.catalog, "types", None)
+        if types is None:
+            types = self.catalog.types = {}
+        if body.startswith("("):
+            attrs = []
+            for item in _split_top_level(body.strip()[1:-1]):
+                col, _, typ = item.strip().partition(" ")
+                attrs.append(f"{col}: {_spark_type(typ)}")
+            spark_type = "struct<" + ", ".join(attrs) + ">"
+        else:
+            spark_type = _spark_type(body)
+        types[name.lower()] = spark_type
+        return {"type": name, "spark_type": spark_type}
+
+    def _create_table_like(self, name: str, source: str, if_not_exists: bool, opts: str):
+        """CREATE TABLE LIKE ≈ ServerDdlExecutor :590: new EMPTY table
+        with the source's row type. INCLUDING/EXCLUDING GENERATED|
+        DEFAULTS|ALL parse and validate; with no generated/default
+        columns in parquet-backed tables they do not change the copy."""
+        if name in self.catalog.tables:
+            if if_not_exists:
+                return {"table": name, "existed": True}
+            raise ValueError(f"table {name} already exists")
+        options = opts.upper().split()
+        schema = self.catalog.table(source).schema
+        path = os.path.join(self.warehouse, name)
+        empty = self.catalog.spark.createDataFrame([], schema)
+        empty.write.mode("errorifexists").parquet(path)
+        self.catalog.register(name, path)
+        return {"table": name, "like": source, "options": options}
+
+    def _create_table_cols(self, name: str, cols: str):
+        """CREATE TABLE with explicit columns ≈ the MutableArrayTable
+        branch (:427 populate-less path): empty parquet-backed table.
+        Registered custom types are usable as column types."""
+        types = getattr(self.catalog, "types", {})
+        fields = []
+        for item in _split_top_level(cols):
+            col, _, typ = item.strip().partition(" ")
+            typ = types.get(typ.strip().lower(), _spark_type(typ))
+            fields.append(f"{col} {typ}")
+        path = os.path.join(self.warehouse, name)
+        empty = self.catalog.spark.createDataFrame([], ", ".join(fields))
+        empty.write.mode("errorifexists").parquet(path)
+        self.catalog.register(name, path)
+        return {"table": name, "schema": ", ".join(fields)}
+
+    def _create_foreign_schema(self, name: str, engine_type: str, options: str):
+        """CREATE FOREIGN SCHEMA ≈ ServerDdlExecutor :258 — mounts every
+        table of an external engine under <schema>.<table>, backed by
+        the federation layer (sources/federation.py). TYPE 'duckdb' is
+        the warehouse stand-in available here; TYPE 'jdbc' is the real
+        Calcite path, gated on a driver jar this container lacks."""
+        if engine_type == "jdbc":
+            raise NotImplementedError(
+                "TYPE 'jdbc' needs a JDBC driver jar (absent here); "
+                "use TYPE 'duckdb' with path/tables options"
+            )
+        if engine_type != "duckdb":
+            raise ValueError(f"unknown foreign schema type {engine_type!r}")
+        opts = dict(_OPTION.findall(options))
+        tables = [t.strip() for t in opts.get("tables", "").split(",") if t.strip()]
+        if not tables or "path" not in opts:
+            raise ValueError("OPTIONS must provide path '...' and tables 'a,b'")
+        from calcite_spark.sources.federation import DuckDBEngine, register_external
+
+        engine = DuckDBEngine.from_parquet_dir(opts["path"], tables, schema=name)
+        for t in tables:
+            register_external(self.catalog, f"{name}.{t}", engine)
+        schemas = getattr(self.catalog, "foreign_schemas", None)
+        if schemas is None:
+            schemas = self.catalog.foreign_schemas = {}
+        schemas[name] = {"type": engine_type, "tables": tables, "engine": engine}
+        return {"foreign_schema": name, "tables": tables}
 
     def _create_mv(self, name: str, select_list: str, table: str, group_by: str):
         """CREATE MATERIALIZED VIEW mv AS SELECT k1, k2, FN(x) AS a...

@@ -197,6 +197,23 @@ class SqlFrontend:
 
         return _TVF_RE.sub(sub, text)
 
+    def _expand_custom_types(self, text: str) -> str:
+        """CAST(x AS <user type>) for CREATE TYPE registrations
+        (sql/ddl.py ≈ SqlCreateType): substitute the underlying Spark
+        type. Only names present in catalog.types are touched, so
+        column aliases never rewrite."""
+        types = getattr(self.catalog, "types", {})
+        if not types:
+            return text
+
+        def sub(m):
+            t = m.group(2).lower()
+            if t in types:
+                return f"{m.group(1)}{types[t]}{m.group(3)}"
+            return m.group(0)
+
+        return re.sub(r"(\bAS\s+)(\w+)(\s*\))", sub, text, flags=re.I)
+
     _STREAM_RE = re.compile(r"\bSELECT\s+STREAM\s+", re.I)
 
     def parse(self, text: str) -> tuple[str, bool]:
@@ -204,6 +221,7 @@ class SqlFrontend:
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
         text = self._expand_similar_to(text)
+        text = self._expand_custom_types(text)
         text = self._expand_system_time(text)
         text = self._expand_window_tvfs(text)
         return text, is_stream

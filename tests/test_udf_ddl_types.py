@@ -118,3 +118,78 @@ def test_type_mapping(spark):
     expr = ct.time_to_nanos_expr("TIMESTAMP '2024-01-01 01:02:03.5'")
     v = spark.sql(f"SELECT {expr} AS v").collect()[0].v
     assert v == ((1 * 3600 + 2 * 60 + 3) * 1_000_000 + 500_000) * 1000
+
+
+# -- CREATE TYPE / TABLE LIKE / FOREIGN SCHEMA (ServerDdlExecutor
+#    :649 / :590 / :258) ------------------------------------------------
+
+
+def test_create_type_alias_and_struct(ddl):
+    r = ddl.execute("CREATE TYPE money AS DECIMAL(12, 2)")
+    assert r["spark_type"] == "decimal(12, 2)"
+    r = ddl.execute("CREATE TYPE addr AS (street VARCHAR, zip INTEGER)")
+    assert r["spark_type"] == "struct<street: string, zip: int>"
+    # usable in CAST through the frontend
+    row = ddl.fe.sql(
+        "SELECT CAST(12.345 AS money) AS m, CAST(named_struct('street', 'x', 'zip', 1) AS addr) AS a"
+    ).collect()[0]
+    assert str(row.m) == "12.35" or float(row.m) == 12.35
+    assert row.a.street == "x" and row.a.zip == 1
+
+
+def test_create_table_with_custom_type_column(ddl):
+    ddl.execute("CREATE TYPE money AS DECIMAL(12, 2)")
+    r = ddl.execute("CREATE TABLE wallets (w_id BIGINT, balance money)")
+    assert "decimal" in r["schema"]
+    df = ddl.catalog.table("wallets")
+    assert df.count() == 0
+    assert dict(df.dtypes)["balance"].startswith("decimal")
+
+
+def test_create_table_like(ddl):
+    r = ddl.execute("CREATE TABLE nation2 LIKE nation")
+    assert r["like"] == "nation"
+    src = ddl.catalog.table("nation")
+    dst = ddl.catalog.table("nation2")
+    assert dst.schema == src.schema
+    assert dst.count() == 0
+    with pytest.raises(ValueError, match="already exists"):
+        ddl.execute("CREATE TABLE nation2 LIKE nation")
+    assert ddl.execute("CREATE TABLE IF NOT EXISTS nation2 LIKE nation")["existed"]
+    r = ddl.execute("CREATE TABLE nation3 LIKE nation INCLUDING ALL")
+    assert r["options"] == ["INCLUDING", "ALL"]
+
+
+def test_create_foreign_schema(ddl):
+    r = ddl.execute(
+        f"CREATE FOREIGN SCHEMA wh TYPE 'duckdb' "
+        f"OPTIONS (path '{SF_DIR}', tables 'nation,region')"
+    )
+    assert r["tables"] == ["nation", "region"]
+    # JdbcTableScan floor: whole-table fetch through Catalog.table
+    df = ddl.catalog.table("wh.nation")
+    assert df.count() == 25
+    # and the federated path pushes a join down as one remote query
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.sources.federation import execute_federated
+
+    engine = ddl.catalog.foreign_schemas["wh"]["engine"]
+    n0 = len(engine.queries_executed)
+    plan = (
+        RelBuilder(ddl.catalog)
+        .scan("wh.nation")
+        .scan("wh.region")
+        .join("n_regionkey = r_regionkey")
+        .aggregate(["r_name"], ["COUNT(*) AS n"])
+        .build()
+    )
+    out = execute_federated(plan, ddl.catalog)
+    assert len(engine.queries_executed) == n0 + 1
+    assert {r.r_name for r in out.collect()} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
+
+
+def test_create_foreign_schema_jdbc_gated(ddl):
+    with pytest.raises(NotImplementedError, match="driver jar"):
+        ddl.execute("CREATE FOREIGN SCHEMA j TYPE 'jdbc' OPTIONS (url 'x', tables 'y')")
