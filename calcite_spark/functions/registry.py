@@ -105,7 +105,31 @@ _reg(
 )
 _reg("RAND", "rand({0})", (0, 1))
 _reg("RAND_INTEGER", "CAST(floor(rand({0}) * {1}) AS INT)", (1, 2))
-_reg("LOG", "log({0}, {1})", (1, 2), libs=(BIG_QUERY, MYSQL))
+_reg(
+    "LOG",
+    "log({1}, {0})",
+    (1, 2),
+    libs=(BIG_QUERY, MYSQL),
+    note="BigQuery LOG(x[, base]); Spark log(base, x) — arg order flips. 1-arg = ln",
+    defaults=("2.718281828459045",),
+)
+_reg("LOG1P", "log1p({0})", (1,), libs=(SPARK,))
+_reg("POW", "pow({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
+
+# Bitwise (SqlStdOperatorTable BITAND/BITOR/BITXOR/BITNOT/BITCOUNT)
+_reg("BITAND", "({0} & {1})", (2,))
+_reg("BITOR", "({0} | {1})", (2,))
+_reg("BITXOR", "({0} ^ {1})", (2,))
+_reg("BITNOT", "(~{0})", (1,))
+_reg("BITCOUNT", "bit_count({0})", (1,))
+
+# BigQuery SAFE_* checked arithmetic (SqlLibraryOperators SAFE_ADD..):
+# NULL on overflow/invalid — Spark's try_* family is the exact analog
+_reg("SAFE_ADD", "try_add({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_SUBTRACT", "try_subtract({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_MULTIPLY", "try_multiply({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_DIVIDE", "try_divide({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg("SAFE_NEGATE", "try_multiply({0}, -1)", (1,), libs=(BIG_QUERY,))
 
 # ---------------------------------------------------------------------
 # String (std: SUBSTRING REPLACE OVERLAY TRIM POSITION CHAR_LENGTH UPPER
@@ -130,6 +154,10 @@ _reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
 _reg("TO_HEX", "hex({0})", (1,), libs=(BIG_QUERY,))
+_reg("HEX", "hex({0})", (1,), libs=(MYSQL, HIVE))
+_reg("BIN", "bin({0})", (1,), libs=(MYSQL, HIVE))
+_reg("BIT_LENGTH", "bit_length({0})", (1,))
+_reg("OCTET_LENGTH", "octet_length({0})", (1,))
 _passthrough("MD5 SHA1 SHA2 CRC32", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
 _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
@@ -154,8 +182,9 @@ _reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL))
 _passthrough(
     "CURRENT_DATE CURRENT_TIMESTAMP LOCALTIMESTAMP EXTRACT LAST_DAY "
     "TO_DATE TO_TIMESTAMP ADD_MONTHS NOW YEAR QUARTER MONTH DAY HOUR MINUTE "
-    "SECOND DAYOFWEEK DAYOFYEAR WEEKOFYEAR"
+    "SECOND DAYOFWEEK DAYOFYEAR WEEKOFYEAR DAYOFMONTH"
 )
+_reg("WEEK", "weekofyear({0})", (1,), libs=(MYSQL,))
 _reg("LOCALTIME", "current_timestamp()", (0,), note="no TIME type (SURVEY §1.2)")
 _reg("FLOOR", "CASE_DATE_OR_NUM", (1, 2), note="FLOOR(dt TO unit) → date_trunc(unit, dt); numeric → floor")
 _reg("CEIL", "CASE_DATE_OR_NUM", (1, 2), note="CEIL(dt TO unit) → date_trunc + interval")
@@ -250,7 +279,7 @@ _reg("IS JSON VALUE", "get_json_object({0}, '$') IS NOT NULL OR from_json({0}, '
 # Casts / special (CASE COALESCE NULLIF GREATEST LEAST DECODE NVL IF ...)
 # ---------------------------------------------------------------------
 _passthrough("COALESCE NULLIF GREATEST LEAST NVL NVL2 IF IFNULL ISNULL")
-_reg("DECODE", "decode({0})", (), libs=(ORACLE, SPARK), note="Spark decode matches Oracle DECODE chain")
+_reg("DECODE", "", (), libs=(ORACLE, SPARK), note="variadic passthrough; Spark decode implements the Oracle chain incl. NULL==NULL")
 _reg("CAST", "CAST({0} AS {1})", (2,))
 _reg("FORMAT", "format_string({0}, {1})", (), libs=(MYSQL,))
 
@@ -288,8 +317,20 @@ _reg("PERCENTILE_CONT", "percentile({0}, {1})", (2,), kind="aggregate", note="WI
 _reg("PERCENTILE_DISC", "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})", (2,), kind="aggregate")
 _reg("BITAND_AGG", "bit_and({0})", (1,), libs=(ORACLE,), kind="aggregate")
 _reg("BITOR_AGG", "bit_or({0})", (1,), libs=(ORACLE,), kind="aggregate")
-_reg("JSON_OBJECTAGG", "to_json(map_from_entries(collect_list(struct({0}, {1}))))", (2,), kind="aggregate")
-_reg("JSON_ARRAYAGG", "to_json(collect_list({0}))", (1,), kind="aggregate")
+_reg(
+    "JSON_OBJECTAGG",
+    "to_json(map_from_entries(array_sort(collect_list(struct({0}, {1})))))",
+    (2,),
+    kind="aggregate",
+    note="key-sorted: SQL leaves member order undefined; sorting makes the output a pure function of the input SET (partition-order independent)",
+)
+_reg(
+    "JSON_ARRAYAGG",
+    "to_json(array_sort(collect_list({0})))",
+    (1,),
+    kind="aggregate",
+    note="element-sorted for partition-order independence (ORDER BY clause analog)",
+)
 _reg("GROUP_ID", "GROUP_ID()", (0,), kind="aggregate", note="expanded by ir.Aggregate._to_df_group_id: UNION ALL of per-duplicate-occurrence aggregates (CALCITE-1824); literal 0 when sets are unique")
 
 # Ranking / window-only (§2.5)

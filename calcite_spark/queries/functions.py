@@ -679,3 +679,40 @@ def q103_json_path(spark, sf_dir):
         .sort("l_returnflag")
         .to_df()
     )
+
+
+@register(
+    "q106_json_agg",
+    oracle="""
+    SELECT r_name,
+           '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey),
+                             ',' ORDER BY n_name) || '}' AS nations_obj,
+           '[' || string_agg(to_json(n_name), ',' ORDER BY n_name) || ']' AS nations_arr
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("json", "aggregate", "json_objectagg"),
+)
+def q106_json_agg(spark, sf_dir):
+    """JSON_OBJECTAGG / JSON_ARRAYAGG (SqlStdOperatorTable JSON_OBJECTAGG
+    ~:1680): key-sorted so the emitted document is a pure function of the
+    input set; the oracle rebuilds the identical compact JSON with
+    ordered string_agg (DuckDB's json_group_object is a macro and cannot
+    carry ORDER BY)."""
+    from calcite_spark.functions.registry import translate
+
+    obj = translate("JSON_OBJECTAGG", "n_name", "n_nationkey")
+    arr = translate("JSON_ARRAYAGG", "n_name")
+    return (
+        _b(spark, sf_dir)
+        .scan("nation")
+        .scan("region")
+        .join("n_regionkey = r_regionkey")
+        .aggregate(
+            ["r_name"],
+            [f"{obj} AS nations_obj", f"{arr} AS nations_arr"],
+        )
+        .sort("r_name")
+        .to_df()
+    )

@@ -94,6 +94,54 @@ CASES = [
     ("TRUNCATE", ["CAST(-2.718 AS DOUBLE)", "2"], "CAST(-2.71 AS DOUBLE)"),
     ("DATE_DIFF", ["DATE '2024-02-01'", "DATE '2024-01-01'", "DAY"], "31"),
     ("DATE_DIFF", ["DATE '2024-03-15'", "DATE '2024-01-10'", "MONTH"], "2"),
+    # --- SqlOperatorTest edge-case batch (round 2) ---
+    # sign of MOD follows the DIVIDEND (SQL standard; SqlOperatorTest
+    # testModFunc): -7 % 3 = -1, 7 % -3 = 1
+    ("MOD", ["-7", "3"], "mod(-7, 3)"),
+    ("MOD", ["7", "-3"], "mod(7, -3)"),
+    ("POWER", ["-8.0", "2.0"], "64.0"),
+    ("LOG", ["8.0", "2.0"], "3.0"),  # BigQuery LOG(x, base): log2(8) = 3
+    ("LOG", ["2.718281828459045"], "1.0"),  # 1-arg = ln
+    ("LOG1P", ["0.0"], "0.0"),
+    ("POW", ["3", "4"], "81.0"),
+    ("FACTORIAL", ["5"], "120"),
+    ("COT", ["1.0"], "1.0 / tan(1.0)"),
+    ("BITAND", ["12", "10"], "8"),
+    ("BITOR", ["12", "10"], "14"),
+    ("BITXOR", ["12", "10"], "6"),
+    ("BITNOT", ["0"], "-1"),
+    ("BITCOUNT", ["255"], "8"),
+    ("SAFE_ADD", ["9223372036854775807", "1"], "NULL"),  # bigint overflow
+    ("SAFE_DIVIDE", ["1", "0"], "NULL"),
+    ("SAFE_MULTIPLY", ["2", "3"], "6"),
+    ("SAFE_NEGATE", ["5"], "-5"),
+    # substring beyond end / zero-length / negative start (testSubstringFunction)
+    ("SUBSTRING", ["'hello'", "7"], "''"),
+    ("SUBSTRING", ["'hello'", "2", "0"], "''"),
+    ("LEFT", ["'hello'", "99"], "'hello'"),
+    ("RIGHT", ["'hello'", "2"], "'lo'"),
+    ("SPACE", ["3"], "'   '"),
+    ("BIT_LENGTH", ["'abc'"], "bit_length('abc')"),
+    ("OCTET_LENGTH", ["CAST('abc' AS BINARY)"], "3"),
+    ("HEX", ["'AB'"], "'4142'"),
+    ("BIN", ["5"], "'101'"),
+    ("WEEK", ["DATE '2024-01-04'"], "1"),
+    ("DAYOFMONTH", ["DATE '2024-02-29'"], "29"),
+    ("QUARTER", ["DATE '2024-08-13'"], "3"),
+    ("DAYOFYEAR", ["DATE '2024-12-31'"], "366"),
+    ("ADD_MONTHS", ["DATE '2024-01-31'", "1"], "DATE '2024-02-29'"),  # clamp to month end
+    ("ARRAY_POSITION", ["array(10, 20, 30)", "20"], "list_position([10, 20, 30], 20)"),
+    ("ARRAY_REMOVE", ["array(1, 2, 1)", "1"], "[2]"),
+    ("ARRAY_DISTINCT", ["array(1, 2, 1)", ], "[1, 2]"),
+    ("ARRAY_EXCEPT", ["array(1, 2, 3)", "array(2)"], "[1, 3]"),
+    ("ARRAYS_OVERLAP", ["array(1, 2)", "array(2, 9)"], "TRUE"),
+    ("SORT_ARRAY", ["array(3, 1, 2)"], "[1, 2, 3]"),
+    ("SEQUENCE", ["1", "5"], "[1, 2, 3, 4, 5]"),
+    ("STR_TO_MAP", ["'a:1,b:2'", "','", "':'"], None),
+    ("IFNULL", ["NULL", "'x'"], "'x'"),
+    ("NVL2", ["NULL", "'y'", "'n'"], "'n'"),
+    ("DECODE", ["2", "1", "'one'", "2", "'two'", "'other'"], "'two'"),
+    ("IF", ["1 > 2", "'t'", "'f'"], "'f'"),
 ]
 
 
