@@ -624,7 +624,7 @@ def q95_checked_arithmetic(spark, sf_dir):
 
 
 @register(
-    "q103_json_path",
+    "qx03_json_path",
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
@@ -638,7 +638,7 @@ def q95_checked_arithmetic(spark, sf_dir):
     """,
     tags=("json", "json_path", "udf"),
 )
-def q103_json_path(spark, sf_dir):
+def qx03_json_path(spark, sf_dir):
     """Strict/lax SQL/JSON paths over a constructed doc: JSON_VALUE with
     'strict $.qty' and 'lax $.parts[last]' route through the cs_json_*
     path engine (translate() dispatch); the oracle recomputes every
@@ -682,7 +682,7 @@ def q103_json_path(spark, sf_dir):
 
 
 @register(
-    "q106_json_agg",
+    "qx06_json_agg",
     oracle="""
     SELECT r_name,
            '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey),
@@ -694,7 +694,7 @@ def q103_json_path(spark, sf_dir):
     """,
     tags=("json", "aggregate", "json_objectagg"),
 )
-def q106_json_agg(spark, sf_dir):
+def qx06_json_agg(spark, sf_dir):
     """JSON_OBJECTAGG / JSON_ARRAYAGG (SqlStdOperatorTable JSON_OBJECTAGG
     ~:1680): key-sorted so the emitted document is a pure function of the
     input set; the oracle rebuilds the identical compact JSON with

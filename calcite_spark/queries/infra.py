@@ -152,7 +152,7 @@ def q92_merge_upsert(spark, sf_dir):
 
 
 @register(
-    "q104_federation",
+    "qx04_federation",
     oracle="""
     SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 3) AS acctbal
     FROM customer
@@ -163,7 +163,7 @@ def q92_merge_upsert(spark, sf_dir):
     """,
     tags=("federation", "jdbc", "rel2sql"),
 )
-def q104_federation(spark, sf_dir):
+def qx04_federation(spark, sf_dir):
     """Federated execution ≈ the JDBC adapter (JdbcRules.java:381-787):
     nation+region live in an EXTERNAL DuckDB engine; their join is
     emitted via rel2sql's DuckDB dialect, executed remotely as ONE

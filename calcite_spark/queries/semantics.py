@@ -493,7 +493,7 @@ def q99_rel2sql_oracle(spark, sf_dir):
 
 
 @register(
-    "q100_sarg_year_in",
+    "qx00_sarg_year_in",
     oracle="""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n,
            ROUND(SUM(o_totalprice), 3) AS total
@@ -503,7 +503,7 @@ def q99_rel2sql_oracle(spark, sf_dir):
     """,
     tags=("rewrite", "date_range", "sarg", "pushdown"),
 )
-def q100_sarg_year_in(spark, sf_dir):
+def qx00_sarg_year_in(spark, sf_dir):
     """YEAR IN-list → merged Sarg range set (util/Sarg.java:69,
     DateRangeRules.java:91): 1995+1996 fuse into one contiguous range,
     1999 stays separate; the OR-of-ranges is sargable at the parquet
@@ -520,7 +520,7 @@ def q100_sarg_year_in(spark, sf_dir):
 
 
 @register(
-    "q101_sarg_month_conj",
+    "qx01_sarg_month_conj",
     oracle="""
     SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
     FROM orders
@@ -529,7 +529,7 @@ def q100_sarg_year_in(spark, sf_dir):
     """,
     tags=("rewrite", "date_range", "sarg", "pushdown"),
 )
-def q101_sarg_month_conj(spark, sf_dir):
+def qx01_sarg_month_conj(spark, sf_dir):
     """YEAR = 1996 AND MONTH = 6 (same column) → one month-granular
     timestamp range [1996-06-01, 1996-07-01) — the conjunction case
     DateRangeRules canonicalizes; a bare MONTH predicate has no
@@ -547,7 +547,7 @@ def q101_sarg_month_conj(spark, sf_dir):
 
 
 @register(
-    "q102_join_order_greedy",
+    "qx02_join_order_greedy",
     oracle="""
     SELECT n_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 3) AS qty
     FROM region
@@ -560,7 +560,7 @@ def q101_sarg_month_conj(spark, sf_dir):
     """,
     tags=("join", "reorder", "stats"),
 )
-def q102_join_order_greedy(spark, sf_dir):
+def qx02_join_order_greedy(spark, sf_dir):
     """Deliberately dims-first authored join tree; JoinOrderGreedy
     (≈ LoptOptimizeJoinRule.java:77 greedy tier) rebuilds it fact-first
     with broadcast dimensions from Catalog.row_count stats — the q84–q89
@@ -584,7 +584,7 @@ def q102_join_order_greedy(spark, sf_dir):
 
 
 @register(
-    "q105_conditional_correlate",
+    "qx05_conditional_correlate",
     oracle="""
     SELECT mark, COUNT(*) AS n
     FROM (
@@ -598,7 +598,7 @@ def q102_join_order_greedy(spark, sf_dir):
     """,
     tags=("subquery", "mark_join", "conditional_correlate"),
 )
-def q105_conditional_correlate(spark, sf_dir):
+def qx05_conditional_correlate(spark, sf_dir):
     """ConditionalCorrelate (ConditionalCorrelate.java:44): `> SOME`
     de-subquerying keeps the comparison ON the LEFT_MARK correlate —
     3VL mark: TRUE if any urgent-masked order price compares true, NULL
