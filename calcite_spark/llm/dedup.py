@@ -184,3 +184,107 @@ def simhash_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         )
         .filter("n_copies > 1")
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dups within Hamming distance k (the bit-flip banding
+    the exact-match simhash_dups defers to): split the 64-bit hash into
+    k+1 bands — two hashes within distance k must agree on at least one
+    FULL band (pigeonhole), so candidate generation is a band-bucket
+    equi-join with guaranteed recall 1.0, then the exact popcount(XOR)
+    rerank filters to true <= k pairs. Same single-exchange self-join
+    shape as minhash_lsh_dups; no all-pairs anywhere.
+
+    Output: (a_id, b_id, hamming) with a_id < b_id, hamming <= k.
+    """
+    n_bands = k + 1
+    width = 64 // n_bands
+    sigs = _parallelize(docs).selectExpr(
+        f"{id_col} AS __id",
+        f"{simhash64(normalize_text(text_col))} AS __sim",
+    )
+    # band b = bits [b*width, (b+1)*width); the LAST band absorbs the
+    # 64 % n_bands remainder so every bit is covered by some band
+    banded = sigs.selectExpr(
+        "__id",
+        "__sim",
+        f"explode(sequence(0, {n_bands - 1})) AS band_id",
+    ).selectExpr(
+        "__id",
+        "__sim",
+        "band_id",
+        f"CASE WHEN band_id = {n_bands - 1} THEN shiftright(__sim, band_id * {width}) "
+        f"ELSE shiftright(__sim, band_id * {width}) & {(1 << width) - 1} END AS band_val",
+    )
+    banded = banded.repartition("band_id", "band_val")  # ReuseExchange
+    a = banded.toDF("a_id", "a_sim", "band_id", "band_val")
+    b = banded.toDF("b_id", "b_sim", "band_id", "band_val")
+    return (
+        a.join(b, on=["band_id", "band_val"])
+        .filter("a_id < b_id")
+        .select("a_id", "b_id", F.expr("bit_count(a_sim ^ b_sim)").alias("hamming"))
+        .filter(f"hamming <= {k}")
+        .distinct()
+    )
+
+
+def embedding_cosine_dups(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= threshold).
+
+    Scale path (default): L independent hyperplane-LSH tables (explode
+    over table id; each table's planes are salted by the table index via
+    the deterministic xxhash weights) → self-join on (table, bucket) →
+    exact cosine rerank. Recall grows with n_tables (union of L bucket
+    collisions), cost stays linear-ish in rows; no all-pairs join.
+
+    exact=True runs the O(n^2) all-pairs form — the oracle/validation
+    baseline ONLY (it is the plan LSH exists to avoid at 100 TB).
+
+    Output: (a_id, b_id, cosine_sim) with a_id < b_id.
+    """
+    from calcite_spark.llm.similarity import _cos, hyperplane_bucket_expr
+
+    cos = f"ROUND({_cos('a_vec', 'b_vec')}, 6)"
+    if exact:
+        a = vectors.selectExpr(f"{id_col} AS a_id", f"{vec_col} AS a_vec")
+        b = vectors.selectExpr(f"{id_col} AS b_id", f"{vec_col} AS b_vec")
+        return (
+            a.join(b, F.expr("a_id < b_id"))
+            .selectExpr("a_id", "b_id", f"{cos} AS cosine_sim")
+            .filter(f"cosine_sim >= {threshold}")
+        )
+    # table t uses planes [t*n_planes, (t+1)*n_planes) via the p-offset
+    bexpr = hyperplane_bucket_expr(vec_col, n_planes, dim).replace(
+        "p * 1024", f"(tbl * {n_planes} + p) * 1024"
+    )
+    bucketed = _parallelize(vectors).selectExpr(
+        f"{id_col} AS __id",
+        f"{vec_col} AS __vec",
+        f"explode(sequence(0, {n_tables - 1})) AS tbl",
+    ).selectExpr("__id", "__vec", "tbl", f"{bexpr} AS bucket")
+    bucketed = bucketed.repartition("tbl", "bucket")  # ReuseExchange
+    a = bucketed.toDF("a_id", "a_vec", "tbl", "bucket")
+    b = bucketed.toDF("b_id", "b_vec", "tbl", "bucket")
+    return (
+        a.join(b, on=["tbl", "bucket"])
+        .filter("a_id < b_id")
+        .selectExpr("a_id", "b_id", f"{cos} AS cosine_sim")
+        .distinct()  # pair may collide in several tables; cosine is a
+        # pure function of the pair, so distinct on the 3 scalar
+        # columns dedups without shuffling the vectors themselves
+        .filter(f"cosine_sim >= {threshold}")
+    )
