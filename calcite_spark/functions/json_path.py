@@ -38,7 +38,22 @@ class JsonPathError(ValueError):
 @lru_cache(maxsize=512)
 def parse_path(path: str) -> tuple:
     """Return (strict: bool, steps: tuple). Steps are ('key', name),
-    ('key*',), ('idx', n), ('idx*',) or ('last',)."""
+    ('key*',), ('idx', n), ('idx*',) or ('last',).
+
+    Every parse failure — including unterminated quotes/brackets and
+    non-integer indexes, which surface from str.index/int as plain
+    ValueError — is normalized to JsonPathError so the *_one wrappers'
+    ON ERROR handling applies instead of crashing the Spark task.
+    """
+    try:
+        return _parse_path_inner(path)
+    except JsonPathError:
+        raise
+    except (ValueError, IndexError) as exc:
+        raise JsonPathError(f"malformed path {path!r}: {exc}") from exc
+
+
+def _parse_path_inner(path: str) -> tuple:
     s = path.strip()
     strict = False
     low = s.lower()

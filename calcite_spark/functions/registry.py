@@ -41,15 +41,30 @@ class FnDef:
     # Python slow path — functions/json_path.py); "udf_todo" = not yet.
     note: str = ""
     defaults: tuple = ()  # tail defaults filling max(arity) when fewer args given
+    defaults_prepend: bool = False  # fill missing args at the FRONT instead
 
 
 FUNCTIONS: dict[str, FnDef] = {}
 
 
-def _reg(name, template="", arity=(), libs=(STANDARD,), kind="scalar", note="", defaults=()):
-    FUNCTIONS[name.upper()] = FnDef(
-        name.upper(), template, tuple(arity), tuple(libs), kind, note, tuple(defaults)
+def _reg(
+    name, template="", arity=(), libs=(STANDARD,), kind="scalar", note="", defaults=(),
+    defaults_prepend=False, variant_of=None,
+):
+    """variant_of: register under '<variant_of>@<lib>' for each lib — a
+    library-specific override consulted before the plain name (≈ Calcite
+    keeping LOG and LOG_MYSQL as distinct operators in
+    SqlLibraryOperators.java when the same SQL name differs per dialect)."""
+    base = (variant_of or name).upper()
+    fn = FnDef(
+        base, template, tuple(arity), tuple(libs), kind, note, tuple(defaults),
+        defaults_prepend,
     )
+    if variant_of:
+        for lib in libs:
+            FUNCTIONS[f"{base}@{lib}"] = fn
+    else:
+        FUNCTIONS[name.upper()] = fn
 
 
 def _passthrough(names, libs=(STANDARD,), kind="scalar"):
@@ -109,9 +124,21 @@ _reg(
     "LOG",
     "log({1}, {0})",
     (1, 2),
-    libs=(BIG_QUERY, MYSQL),
+    libs=(BIG_QUERY,),
     note="BigQuery LOG(x[, base]); Spark log(base, x) — arg order flips. 1-arg = ln",
     defaults=("2.718281828459045",),
+)
+_reg(
+    "LOG",
+    "log({0}, {1})",
+    (1, 2),
+    libs=(MYSQL, HIVE, SPARK),
+    variant_of="LOG",
+    note="Calcite LOG_MYSQL (SqlLibraryOperators.java:2658): base FIRST — "
+    "LOG(b, x) = log_b(x), matching Spark's own log(base, expr); "
+    "1-arg LOG(x) = ln via prepended base e",
+    defaults=("2.718281828459045",),
+    defaults_prepend=True,
 )
 _reg("LOG1P", "log1p({0})", (1,), libs=(SPARK,))
 _reg("POW", "pow({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
@@ -343,6 +370,10 @@ _passthrough("RANK DENSE_RANK ROW_NUMBER PERCENT_RANK CUME_DIST", kind="window")
 
 
 def lookup(name: str, library: str | None = None) -> FnDef | None:
+    if library and library != ALL:
+        variant = FUNCTIONS.get(f"{name.upper()}@{library}")
+        if variant is not None:
+            return variant
     fn = FUNCTIONS.get(name.upper())
     if fn is None:
         return None
@@ -383,7 +414,10 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
     if fn.defaults and fn.arity:
         missing = max(fn.arity) - len(args)
         if 0 < missing <= len(fn.defaults):
-            args = tuple(args) + fn.defaults[-missing:]
+            if fn.defaults_prepend:
+                args = fn.defaults[:missing] + tuple(args)
+            else:
+                args = tuple(args) + fn.defaults[-missing:]
     out = fn.template
     for i, a in enumerate(args):
         out = out.replace("{" + str(i) + "}", a)

@@ -366,6 +366,11 @@ class Join(RelNode):
     broadcast_right: bool = False
     broadcast_left: bool = False
     inputs: tuple = ()
+    # True when a rewrite rule (not the caller) set the broadcast flags —
+    # rule-derived hints may be re-flattened by join reordering, caller
+    # hints are a flattening boundary (ADVICE r2). Underscore-prefixed so
+    # repr/explain_str (and plan fixpoint checks) ignore it.
+    _hint_from_rule: bool = False
 
     def to_df(self, ctx) -> DataFrame:
         left = self.inputs[0].to_df(ctx)

@@ -72,9 +72,15 @@ def _broadcast_small_dims(node, catalog):
         return isinstance(n, ir.Scan) and catalog.is_broadcastable(n.table)
 
     if small_scan(right):
-        return ir.Join(node.condition, node.join_type, True, False, inputs=node.inputs)
+        return ir.Join(
+            node.condition, node.join_type, True, False,
+            inputs=node.inputs, _hint_from_rule=True,
+        )
     if small_scan(left) and node.join_type == "INNER":
-        return ir.Join(node.condition, node.join_type, False, True, inputs=node.inputs)
+        return ir.Join(
+            node.condition, node.join_type, False, True,
+            inputs=node.inputs, _hint_from_rule=True,
+        )
     return None
 
 
@@ -135,14 +141,40 @@ def _date_range_canonicalize(node, catalog):
         changed = True
         return text
 
+    def boundary_ok(text: str, start: int, allow_not: bool) -> bool:
+        """The match must begin a predicate: preceded (after stripping
+        whitespace) by nothing, '(', AND, OR — or NOT when the rewrite is
+        a single-predicate equivalence (allow_not). This blocks the two
+        hazards the advisor found: the conjunction shape grabbing across
+        a NOT ('NOT year(d)=1996 AND month(d)=6' parses as
+        (NOT year=1996) AND month=6), and year() embedded in arithmetic
+        ('x - year(d) = 1996')."""
+        prefix = text[:start].rstrip()
+        if not prefix or prefix.endswith("("):
+            return True
+        m = _re.search(r"([A-Za-z_]\w*)$", prefix)
+        word = m.group(1).upper() if m else None
+        if word in ("AND", "OR"):
+            return True
+        if word == "NOT":
+            return allow_not
+        return False
+
     # 1) YEAR = y AND MONTH|QUARTER = k on the SAME column → finer range
+    #    NOT a predicate equivalence across a NOT/arithmetic context —
+    #    boundary-guarded (ADVICE r2).
     for part, rng in (("MONTH", month_range), ("QUARTER", quarter_range)):
         pat = _re.compile(
-            _YEARFN + r"\s*=\s*(\d{4})\s+AND\s+" + _partfn(part) + r"\s*=\s*(\d{1,2})",
+            _YEARFN
+            + r"\s*=\s*(\d{4})(?!\d)\s+AND\s+"
+            + _partfn(part)
+            + r"\s*=\s*(\d{1,2})(?!\d)",
             _re.I,
         )
 
         def sub_combined(m, rng=rng):
+            if not boundary_ok(cond, m.start(), allow_not=False):
+                return m.group(0)
             ycol, y = m.group(1) or m.group(2), int(m.group(3))
             pcol, k = m.group(4) or m.group(5), int(m.group(6))
             if ycol != pcol:
@@ -155,6 +187,8 @@ def _date_range_canonicalize(node, catalog):
     pat_in = _re.compile(_YEARFN + r"\s+IN\s*\(\s*([\d\s,]+?)\s*\)", _re.I)
 
     def sub_in(m):
+        if not boundary_ok(cond, m.start(), allow_not=True):
+            return m.group(0)
         col = m.group(1) or m.group(2)
         years = [int(t) for t in _re.findall(r"\d{4}", m.group(3))]
         if not years:
@@ -168,6 +202,8 @@ def _date_range_canonicalize(node, catalog):
     pat_bt = _re.compile(_YEARFN + r"\s+BETWEEN\s+(\d{4})\s+AND\s+(\d{4})", _re.I)
 
     def sub_between(m):
+        if not boundary_ok(cond, m.start(), allow_not=True):
+            return m.group(0)
         col = m.group(1) or m.group(2)
         y1, y2 = int(m.group(3)), int(m.group(4))
         rs = RangeSet(year_range(y) for y in range(y1, y2 + 1))
@@ -187,9 +223,11 @@ def _date_range_canonicalize(node, catalog):
             ">=": f"{col} >= {lo}",
         }[op]
 
-    pat_cmp = _re.compile(_YEARFN + r"\s*(=|<=|>=|<|>)\s*(\d{4})", _re.I)
+    pat_cmp = _re.compile(_YEARFN + r"\s*(=|<=|>=|<|>)\s*(\d{4})(?!\d)", _re.I)
 
     def sub_cmp(m):
+        if not boundary_ok(cond, m.start(), allow_not=True):
+            return m.group(0)
         col = m.group(1) or m.group(2)
         return mark(year_cmp(col, m.group(3), m.group(4)))
 
@@ -251,12 +289,22 @@ def _join_order_greedy(node, catalog):
     leaves: list = []
     conjuncts: list[str] = []
 
+    def n_has_hint(n):
+        return (n.broadcast_left or n.broadcast_right) and not n._hint_from_rule
+
+    if n_has_hint(node):
+        return None  # the root itself carries a caller hint — don't touch
+
     def flatten(n):
+        caller_hint = (n_has_hint(n) if isinstance(n, ir.Join) else False)
         if (
             isinstance(n, ir.Join)
             and n.join_type == "INNER"
             and n.condition is not None
-            and not n.broadcast_left
+            # caller-set broadcast hints (either side) are intent — treat
+            # as flattening boundaries so reordering can't drop them;
+            # rule-derived hints are re-derivable and flatten through
+            and not caller_hint
         ):
             flatten(n.inputs[0])
             flatten(n.inputs[1])
@@ -332,10 +380,13 @@ def _join_order_greedy(node, catalog):
             "INNER" if join_conds else "CROSS",
             broadcast_right=small,
             inputs=(acc, info["node"]),
+            _hint_from_rule=True,
         )
         remaining.discard(nxt)
 
-    if repr(acc) == repr(node):
+    # explain_str recurses into inputs (repr does not) — comparing reprs
+    # reported structurally different trees as unchanged and vice versa
+    if acc.explain_str() == node.explain_str():
         return None  # already in greedy order — fixpoint
     return acc
 

@@ -200,19 +200,40 @@ class SqlFrontend:
     def _expand_custom_types(self, text: str) -> str:
         """CAST(x AS <user type>) for CREATE TYPE registrations
         (sql/ddl.py ≈ SqlCreateType): substitute the underlying Spark
-        type. Only names present in catalog.types are touched, so
-        column aliases never rewrite."""
+        type. Anchored to CAST(...) via a balanced-paren scan so a column
+        alias that collides with a type name (struct(x AS money), or a
+        subquery tail '... AS money)') is never rewritten (ADVICE r2)."""
         types = getattr(self.catalog, "types", {})
         if not types:
             return text
 
-        def sub(m):
-            t = m.group(2).lower()
-            if t in types:
-                return f"{m.group(1)}{types[t]}{m.group(3)}"
-            return m.group(0)
-
-        return re.sub(r"(\bAS\s+)(\w+)(\s*\))", sub, text, flags=re.I)
+        # one replacement per CAST: the trailing type token inside its
+        # balanced paren span (nested CASTs yield distinct tokens)
+        repls = []
+        for m in re.finditer(r"\b(?:CAST|TRY_CAST)\s*\(", text, flags=re.I):
+            start = m.end()  # index just past the open paren
+            depth, i = 1, start
+            while i < len(text) and depth:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:  # unbalanced — leave the text alone
+                continue
+            body = text[start : i - 1]
+            tail = re.search(r"(\bAS\s+)(\w+)(\s*)$", body, flags=re.I)
+            if tail and tail.group(2).lower() in types:
+                repls.append(
+                    (start + tail.start(2), start + tail.end(2), types[tail.group(2).lower()])
+                )
+        out, pos = [], 0
+        for s, e, repl in sorted(repls):
+            out.append(text[pos:s])
+            out.append(repl)
+            pos = e
+        out.append(text[pos:])
+        return "".join(out)
 
     _STREAM_RE = re.compile(r"\bSELECT\s+STREAM\s+", re.I)
 

@@ -185,6 +185,22 @@ def test_registry_coverage():
     assert registry.lookup("NO_SUCH_FN") is None
 
 
+def test_log_dialect_arg_order(spark, duck):
+    """ADVICE r2 (≈ SqlLibraryOperators.java:2658 LOG_MYSQL): MySQL/Hive/
+    Spark LOG(b, x) puts the base FIRST; BigQuery LOG(x[, b]) puts it
+    LAST. Both must translate to the right Spark log() and 1-arg = ln."""
+    # MySQL: LOG(2, 8) = log2(8) = 3
+    expr = registry.translate("LOG", "2", "8", library="MYSQL")
+    assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == pytest.approx(3.0)
+    # BigQuery: LOG(8, 2) = log2(8) = 3
+    expr = registry.translate("LOG", "8", "2", library="BIG_QUERY")
+    assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == pytest.approx(3.0)
+    # 1-arg = natural log in both dialects
+    for lib in ("MYSQL", "BIG_QUERY", "HIVE"):
+        expr = registry.translate("LOG", "exp(2)", library=lib)
+        assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == pytest.approx(2.0), lib
+
+
 def test_udf_todo_list_is_small():
     todos = [f.name for f in registry.FUNCTIONS.values() if f.kind == "udf_todo"]
     assert len(todos) <= 10, f"UDF fallback list grew: {todos}"

@@ -72,6 +72,21 @@ def test_wildcard_member():
     assert sorted(eval_path(doc, "$.*")) == [1, 2]
 
 
+def test_malformed_path_is_json_path_error():
+    """ADVICE r2: int('b'), unterminated quote/bracket used to raise raw
+    ValueError past the ON ERROR handlers and crash the Spark task —
+    every parse failure must be a JsonPathError so NULL/FALSE ON ERROR
+    applies."""
+    for bad in ('$.a[b]', '$."unterminated', "$.a[1", "$.a[1.5]"):
+        with pytest.raises(JsonPathError):
+            eval_path(NESTED, bad)
+    # and the ON ERROR defaults hold end-to-end
+    assert json_value_one(DOC, "$.a[b]") is None
+    assert json_query_one(DOC, "$.a[b]") is None
+    assert json_exists_one(DOC, "$.a[b]") is False
+    assert json_remove_one(DOC, "$.a[b]") is None
+
+
 # -- JSON_VALUE / JSON_QUERY / JSON_EXISTS defaults --------------------
 
 

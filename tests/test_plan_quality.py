@@ -234,6 +234,99 @@ def test_join_order_greedy_reorders_bad_plan(spark):
     assert df.count() == direct.count()
 
 
+def test_sarg_not_and_arithmetic_contexts_untouched(spark):
+    """ADVICE r2: the YEAR=y AND MONTH=m conjunction rewrite must not
+    fire across a NOT ('NOT year=1996 AND month=6' is (NOT year) AND
+    month, not NOT(june-1996)), and year() embedded in arithmetic is not
+    a predicate at all. Both must stay unrewritten; plain shapes behind
+    AND/OR/parens still fire."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import _date_range_canonicalize
+
+    cat = catalog_for(spark, SF_DIR)
+    # arithmetic contexts: no rewrite may fire at all
+    for cond in [
+        "o_orderkey - year(o_orderdate) = 1996",
+        "o_orderkey - year(o_orderdate) = 1996 AND month(o_orderdate) = 6",
+    ]:
+        node = ir.Filter(cond, inputs=(ir.Scan("orders"),))
+        assert _date_range_canonicalize(node, cat) is None, cond
+    # NOT + conjunction: the month predicate must SURVIVE (the old bug
+    # swallowed it into NOT(june-1996)); the single year comparison may
+    # still canonicalize (true equivalence under NOT)
+    node = ir.Filter(
+        "NOT year(o_orderdate) = 1996 AND month(o_orderdate) = 6",
+        inputs=(ir.Scan("orders"),),
+    )
+    out = _date_range_canonicalize(node, cat)
+    assert out is not None
+    assert "month(o_orderdate) = 6" in out.condition, out.condition
+    assert out.condition.lstrip().upper().startswith("NOT"), out.condition
+    # NOT before a SINGLE-predicate shape is a true equivalence — still fires
+    node = ir.Filter("NOT year(o_orderdate) = 1996", inputs=(ir.Scan("orders"),))
+    out = _date_range_canonicalize(node, cat)
+    assert out is not None and "1996-01-01" in out.condition
+    from calcite_spark.plans.builder import RelBuilder
+
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("NOT year(o_orderdate) = 1996 AND month(o_orderdate) = 6")
+        .project("o_orderkey")
+        .to_df()
+    )
+    direct2 = cat.table("orders").filter(
+        "NOT year(o_orderdate) = 1996 AND month(o_orderdate) = 6"
+    )
+    assert df.count() == direct2.count()
+
+
+def test_join_order_caller_hint_is_boundary(spark):
+    """ADVICE r2: an explicit caller broadcast hint anywhere in the
+    chain must survive reordering (rule-derived hints still flatten)."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import _join_order_greedy
+
+    cat = catalog_for(spark, SF_DIR)
+    inner = ir.Join(
+        "r_regionkey = n_regionkey",
+        "INNER",
+        broadcast_right=True,  # caller intent
+        inputs=(ir.Scan("region"), ir.Scan("nation")),
+    )
+    plan = ir.Join(
+        "n_nationkey = c_nationkey",
+        "INNER",
+        inputs=(inner, ir.Scan("customer")),
+    )
+    out = _join_order_greedy(plan, cat)
+    # with the hinted join as a boundary only 2 leaves remain → no reorder
+    assert out is None
+
+    # the same shape with a rule-derived hint still flattens and reorders
+    inner2 = ir.Join(
+        "r_regionkey = n_regionkey",
+        "INNER",
+        broadcast_right=True,
+        inputs=(ir.Scan("region"), ir.Scan("nation")),
+        _hint_from_rule=True,
+    )
+    plan2 = ir.Join(
+        "c_custkey = o_custkey",
+        "INNER",
+        inputs=(
+            ir.Join(
+                "n_nationkey = c_nationkey",
+                "INNER",
+                inputs=(inner2, ir.Scan("customer")),
+            ),
+            ir.Scan("orders"),
+        ),
+    )
+    out2 = _join_order_greedy(plan2, cat)
+    assert out2 is not None
+
+
 def test_join_order_greedy_bails_on_self_join(spark):
     """Ambiguous column ownership (nation twice) must NOT be reordered."""
     from calcite_spark.plans.builder import RelBuilder

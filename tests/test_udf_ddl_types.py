@@ -137,6 +137,27 @@ def test_create_type_alias_and_struct(ddl):
     assert row.a.street == "x" and row.a.zip == 1
 
 
+def test_custom_type_alias_collision_not_rewritten(ddl):
+    """ADVICE r2: _expand_custom_types must only touch CAST targets — a
+    column alias that collides with a registered type name (and sits
+    before a closing paren) must stay a plain alias."""
+    ddl.execute("CREATE TYPE money AS DECIMAL(12, 2)")
+    # struct field alias 'money' before ')': NOT a CAST target
+    row = ddl.fe.sql("SELECT struct(1 AS money) AS s").collect()[0]
+    assert row.s.money == 1
+    # subquery tail alias: NOT a CAST target
+    row = ddl.fe.sql("SELECT m FROM (SELECT 2 AS money) t(m)").collect()[0]
+    assert row.m == 2
+    # real CAST still expands, even nested and with the alias nearby
+    row = ddl.fe.sql(
+        "SELECT CAST(CAST(1.239 AS money) AS money) AS money"
+    ).collect()[0]
+    assert float(row.money) == 1.24
+    # TRY_CAST also anchors
+    row = ddl.fe.sql("SELECT TRY_CAST('1.5' AS money) AS v").collect()[0]
+    assert float(row.v) == 1.5
+
+
 def test_create_table_with_custom_type_column(ddl):
     ddl.execute("CREATE TYPE money AS DECIMAL(12, 2)")
     r = ddl.execute("CREATE TABLE wallets (w_id BIGINT, balance money)")
