@@ -34,10 +34,16 @@ def _parallelize(df: DataFrame) -> DataFrame:
     CPU-heavy narrow stage. Small inputs often arrive as ONE file → ONE
     partition, serializing the expensive map (at 100 TB the scan gives
     natural parallelism, but a salvaged single-file dimension wouldn't).
-    Cheap insurance: only fires when the input has fewer partitions than
-    the session's default parallelism."""
+    Cheap insurance: only fires when the input reads fewer FILES than the
+    session's default parallelism — a driver-side metadata probe
+    (df.inputFiles), not the df.rdd.getNumPartitions() conversion that
+    triggered RDD plan translation per call (r1/r2 review note)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file source — treat as needing the spread
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -267,9 +273,12 @@ def embedding_cosine_dups(
             .selectExpr("a_id", "b_id", f"{cos} AS cosine_sim")
             .filter(f"cosine_sim >= {threshold}")
         )
-    # table t uses planes [t*n_planes, (t+1)*n_planes) via the p-offset
-    bexpr = hyperplane_bucket_expr(vec_col, n_planes, dim).replace(
-        "p * 1024", f"(tbl * {n_planes} + p) * 1024"
+    # table t uses planes [t*n_planes, (t+1)*n_planes): a parameterized
+    # plane_expr, not post-hoc string surgery (ADVICE r2). Buckets are
+    # computed over the RENAMED column (__vec) — the original vec_col is
+    # out of scope after the projection below.
+    bexpr = hyperplane_bucket_expr(
+        "__vec", n_planes, dim, plane_expr=f"tbl * {n_planes} + p"
     )
     bucketed = _parallelize(vectors).selectExpr(
         f"{id_col} AS __id",

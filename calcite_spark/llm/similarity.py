@@ -55,15 +55,23 @@ def _cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def hyperplane_bucket_expr(vec: str, n_planes: int = 8, dim: int = 16) -> str:
+def hyperplane_bucket_expr(
+    vec: str, n_planes: int = 8, dim: int = 16, plane_expr: str = "p"
+) -> str:
     """Deterministic random-hyperplane LSH bucket id (0..2^n_planes-1):
     plane p's weight for dimension d = a fixed pseudo-random ±1 from
-    xxhash64(p, d) — reproducible across runs and engines."""
-    # sign bit for plane p: sum_d vec[d] * (hash(p,d) bit ? +1 : -1) > 0
+    xxhash64(p, d) — reproducible across runs and engines.
+
+    plane_expr selects which GLOBAL plane index plane p maps to (default
+    the local index itself). Multi-table LSH passes e.g.
+    'tbl * n_planes + p' so each table draws an independent plane family
+    from the same hash stream — a parameter, not string surgery on the
+    returned SQL (ADVICE r2)."""
+    # sign bit for plane p: sum_d vec[d] * (hash(plane,d) bit ? +1 : -1) > 0
     plane_bit = (
         f"CASE WHEN aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE), "
         f"(acc, d) -> acc + CAST(element_at({vec}, d + 1) AS DOUBLE) * "
-        "CASE WHEN ((xxhash64(p * 1024 + d) >> 3) & 1) = 1 THEN 1.0 ELSE -1.0 END) > 0 "
+        f"CASE WHEN ((xxhash64(({plane_expr}) * 1024 + d) >> 3) & 1) = 1 THEN 1.0 ELSE -1.0 END) > 0 "
         "THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"
     )
     return (

@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from calcite_spark.llm.dedup import exact_dedup, minhash_lsh_dups
+from calcite_spark.llm.dedup import (
+    embedding_cosine_dups,
+    exact_dedup,
+    minhash_lsh_dups,
+    simhash_near_dups,
+)
 from calcite_spark.llm.similarity import brute_force_topk
 from calcite_spark.llm.textstats import lang_id, quality_score, text_stats
 from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
@@ -199,3 +204,35 @@ def q55_minhash_lsh(spark, sf_dir):
     (shingle → 16 xxhash64 minhashes → 4 bands → band-bucket self-join)."""
     cat = catalog_for(spark, sf_dir)
     return minhash_lsh_dups(cat.table("documents")).orderBy("a_id", "b_id")
+
+
+@register(
+    "qx07_simhash_neardup",
+    oracle=snapshot_oracle("qx07_simhash_neardup"),  # xxhash64 simhash; reviewed snapshot
+    tags=("llm", "dedup", "simhash", "hamming"),
+)
+def qx07_simhash_neardup(spark, sf_dir):
+    """SimHash near-dups within Hamming distance 3 via bit-flip banding —
+    llm/dedup.simhash_near_dups: 64-bit simhash split into k+1=4 bands,
+    pigeonhole guarantees any pair within distance 3 agrees on a full
+    band (recall 1.0 by construction), candidates = band-bucket
+    equi-join, exact popcount(XOR) rerank. No all-pairs anywhere."""
+    cat = catalog_for(spark, sf_dir)
+    return simhash_near_dups(cat.table("documents"), k=3).orderBy("a_id", "b_id")
+
+
+@register(
+    "qx08_cosine_dups",
+    oracle=snapshot_oracle("qx08_cosine_dups"),  # our plane family; reviewed snapshot
+    tags=("llm", "dedup", "embedding", "lsh"),
+)
+def qx08_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.45) via 8 independent
+    3-plane hyperplane-LSH tables — llm/dedup.embedding_cosine_dups.
+    Theory: P[plane agrees] = 1 - theta/pi ≈ 0.65 at cos 0.45, so
+    recall ≈ 1-(1-0.65^3)^8 ≈ 0.93 (measured 13/14 at sf0.01) with zero
+    all-pairs joins; exact=True is the quadratic oracle baseline only."""
+    cat = catalog_for(spark, sf_dir)
+    return embedding_cosine_dups(
+        cat.table("embeddings"), threshold=0.45, dim=64, n_planes=3, n_tables=8
+    ).orderBy("a_id", "b_id")

@@ -35,6 +35,8 @@ SNAPSHOT_QUERIES = [
     "q55_minhash_lsh",
     "q79_simhash_dedup",
     "q80_lsh_knn",
+    "qx07_simhash_neardup",
+    "qx08_cosine_dups",
 ]
 
 
@@ -57,7 +59,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = inventory.queries()
     os.makedirs(OUT_DIR, exist_ok=True)
-    for name in SNAPSHOT_QUERIES:
+    targets = sys.argv[1:] or SNAPSHOT_QUERIES  # argv limits regen scope
+    for name in targets:
         df = qs[name](spark, SF_DIR)
         pdf = df.toPandas()
         print(f"{name}: {len(pdf)} rows, cols={list(pdf.columns)}")

@@ -61,29 +61,109 @@ def test_minhash_candidates_are_actually_similar(spark, cat):
     assert frac_good >= 0.8, f"minhash candidate precision too low: {frac_good}"
 
 
-def test_exact_dedup_finds_planted_dups(spark, cat):
-    """documents contains driver-planted duplicates: exact dedup must
-    report fewer hashes than docs, and every multi-copy group verifies
-    as byte-identical normalized text."""
+@pytest.fixture(scope="module")
+def planted_docs(spark, cat):
+    """Driver testdata has no exact dups at small SFs (r1/r2 tests
+    silently skipped) — union locally planted duplicates so dedup
+    quality tests always exercise the positive path: doc 9001 is a
+    byte-copy of doc 1, doc 9002 a whitespace/case variant of doc 2
+    (same normalized form), doc 9003 a near-copy of doc 3 (one word
+    swapped — NOT an exact dup)."""
+    docs = cat.table("documents").select("doc_id", "text", "lang")
+    base = {r.doc_id: r for r in docs.filter("doc_id IN (1, 2, 3)").collect()}
+    near = " ".join(
+        w if i != 3 else "zzz" for i, w in enumerate(base[3].text.split(" "))
+    )
+    planted = spark.createDataFrame(
+        [
+            (9001, base[1].text, base[1].lang),
+            (9002, "  " + base[2].text.upper() + "  ", base[2].lang),
+            (9003, near, base[3].lang),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    return docs.unionByName(planted)
+
+
+def test_exact_dedup_finds_planted_dups(spark, planted_docs):
+    """Exact dedup must find the byte-copy AND the normalization variant
+    (lowercase + whitespace collapse), must NOT merge the one-word edit,
+    and every multi-copy group verifies as identical normalized text."""
     from calcite_spark.llm.dedup import exact_dedup, normalize_text
 
-    docs = cat.table("documents")
-    groups = exact_dedup(docs)
-    n_docs = docs.count()
-    n_groups = groups.count()
-    assert n_groups <= n_docs
-    dups = groups.filter("n_copies > 1")
-    if dups.count() == 0:
-        pytest.skip("no planted dups at this SF")
-    # verify one group end-to-end
-    h = dups.first().content_hash
+    groups = exact_dedup(planted_docs)
+    dups = {r.keep_id: r.n_copies for r in groups.filter("n_copies > 1").collect()}
+    assert dups.get(1) == 2, dups  # 1 + byte-copy 9001
+    assert dups.get(2) == 2, dups  # 2 + case/whitespace variant 9002
+    assert 3 not in dups  # one-word edit is NOT an exact dup
+    # verify a group end-to-end: identical normalized text
+    h = (
+        groups.filter("keep_id = 2").first().content_hash
+    )
     texts = (
-        docs.selectExpr(f"{normalize_text()} AS t", f"md5({normalize_text()}) AS h")
+        planted_docs.selectExpr(
+            f"{normalize_text()} AS t", f"md5({normalize_text()}) AS h"
+        )
         .filter(f"h = '{h}'")
-        .select("t")
         .collect()
     )
-    assert len({r.t for r in texts}) == 1
+    assert len(texts) == 2 and len({r.t for r in texts}) == 1
+
+
+def test_simhash_near_dups_planted(spark, planted_docs):
+    """simhash_near_dups must equal the brute-force answer EXACTLY:
+    banding is pigeonhole-complete (recall 1.0 for hamming <= k) and the
+    popcount rerank kills every false candidate (precision 1.0). The
+    planted byte-copies guarantee the positive path is exercised
+    (hamming 0 pairs exist by construction)."""
+    from calcite_spark.llm.dedup import normalize_text, simhash64, simhash_near_dups
+
+    k = 3
+    got = {(r.a_id, r.b_id): r.hamming for r in simhash_near_dups(planted_docs, k=k).collect()}
+    assert got.get((1, 9001)) == 0, got  # planted byte-copy found
+    assert got.get((2, 9002)) == 0, got  # planted normalization variant found
+    # brute-force oracle over all pairs, driver-side
+    hashes = [
+        (r.doc_id, r.h & ((1 << 64) - 1))
+        for r in planted_docs.selectExpr(
+            "doc_id", f"{simhash64(normalize_text('text'))} AS h"
+        ).collect()
+    ]
+    expected = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            (ia, ha), (ib, hb) = hashes[i], hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= k:
+                expected[(min(ia, ib), max(ia, ib))] = d
+    assert got == expected
+
+
+def test_embedding_cosine_dups_planted(spark, cat):
+    """embedding_cosine_dups: a planted near-identical vector pair must
+    be found by BOTH the exact baseline and the multi-table LSH path
+    (cos≈1 ⇒ per-plane agreement ≈1 ⇒ table recall ≈1), and the LSH
+    candidate set must stay a subset of the exact answer."""
+    from calcite_spark.llm.dedup import embedding_cosine_dups
+
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    first = emb.first()
+    tweaked = [float(x) + (0.001 if i == 0 else 0.0) for i, x in enumerate(first.embedding)]
+    planted = spark.createDataFrame(
+        [(99001, tweaked)], "vec_id bigint, embedding array<double>"
+    )
+    vecs = emb.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding").unionByName(
+        planted
+    )
+    kw = dict(threshold=0.9, dim=64, n_planes=3, n_tables=8)
+    lsh = {(r.a_id, r.b_id) for r in embedding_cosine_dups(vecs, **kw).collect()}
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_cosine_dups(vecs, threshold=0.9, exact=True).collect()
+    }
+    assert (first.vec_id, 99001) in exact
+    assert (first.vec_id, 99001) in lsh
+    assert lsh <= exact  # rerank keeps only true >= threshold pairs
 
 
 def test_ivf_topk_recall(spark, cat):
