@@ -176,7 +176,15 @@ _reg("SPLIT_PART", "element_at(split({0}, {1}), CAST({2} AS INT))", (3,), libs=(
 _reg("ENDS_WITH", "endswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
 _reg("STARTS_WITH", "startswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
 _reg("STRCMP", "CASE WHEN {0} = {1} THEN 0 WHEN {0} < {1} THEN -1 ELSE 1 END", (2,), libs=(MYSQL,))
-_reg("DIFFERENCE", "4 - levenshtein(soundex({0}), soundex({1}))", (2,), libs=(POSTGRESQL,), kind="udf_todo", note="approximation")
+_reg(
+    "DIFFERENCE",
+    "aggregate(sequence(1, 4), 0, (acc, i) -> acc + "
+    "IF(substr(soundex({0}), i, 1) = substr(soundex({1}), i, 1), 1, 0))",
+    (2,),
+    libs=(POSTGRESQL,),
+    note="exact PG fuzzystrmatch semantics: count of agreeing positions "
+    "(0-4) between the two 4-char soundex codes",
+)
 _reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
@@ -246,7 +254,45 @@ _reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY,))
 _reg("CONVERT_TIMEZONE", "convert_timezone({0}, {1}, {2})", (2, 3), libs=(POSTGRESQL,))
 _reg("SYSDATE", "current_timestamp()", (0,), libs=(ORACLE,))
-_reg("AGE", "make_interval(0, months_between({0}, {1}))", (2,), libs=(POSTGRESQL,), kind="udf_todo", note="approximation")
+def _age_template() -> str:
+    """Exact PostgreSQL AGE(ts1, ts2) as one SQL expression (no UDF, no
+    session registration): component-wise year/month/day/time differences
+    with PG's borrow rules (timestamp.c timestamp_age) — seconds borrow a
+    day; a negative day count borrows the LESSER timestamp's month length
+    (day(last_day(l))), repeatedly if needed, which is why
+    AGE('2001-04-10','1957-06-13') is 43y 9m 27d (June 1957 has 30 days)
+    and not 28d; negative overall results mirror via -AGE(l, g).
+    Validated in lock-step against DuckDB's age() in test_functions."""
+
+    def pos(g: str, l: str) -> str:
+        tod = lambda t: f"((unix_micros({t}) - unix_micros(date_trunc('DAY', {t}))) / 1e6)"
+        sec_diff = f"({tod(g)} - {tod(l)})"
+        bd = f"(CASE WHEN {sec_diff} < 0 THEN 1 ELSE 0 END)"
+        sec_fin = f"({sec_diff} + {bd} * 86400.0)"
+        d0 = f"(day({g}) - day({l}) - {bd})"
+        dim = f"day(last_day({l}))"
+        n = f"(CASE WHEN {d0} < 0 THEN CAST(ceil(-({d0}) / {dim}) AS INT) ELSE 0 END)"
+        d_fin = f"({d0} + {n} * {dim})"
+        mo0 = f"(month({g}) - month({l}) - {n})"
+        n2 = f"(CASE WHEN {mo0} < 0 THEN CAST(ceil(-({mo0}) / 12.0) AS INT) ELSE 0 END)"
+        mo_fin = f"({mo0} + {n2} * 12)"
+        y = f"(year({g}) - year({l}) - {n2})"
+        return (
+            f"make_interval({y}, {mo_fin}, 0, {d_fin}, 0, 0, "
+            f"CAST({sec_fin} AS DECIMAL(18, 6)))"
+        )
+
+    a, b = "CAST({0} AS TIMESTAMP)", "CAST({1} AS TIMESTAMP)"
+    return f"CASE WHEN {a} >= {b} THEN {pos(a, b)} ELSE -{pos(b, a)} END"
+
+
+_reg(
+    "AGE",
+    _age_template(),
+    (2,),
+    libs=(POSTGRESQL,),
+    note="exact PG symbolic-interval decomposition; DuckDB-cross-checked",
+)
 
 # ---------------------------------------------------------------------
 # Array / map / collection (§2.6 + MULTISET std :143-178)

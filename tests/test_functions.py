@@ -185,6 +185,88 @@ def test_registry_coverage():
     assert registry.lookup("NO_SUCH_FN") is None
 
 
+def test_difference_exact_pg_semantics(spark):
+    """DIFFERENCE = count of agreeing positions between the two soundex
+    codes (PG fuzzystrmatch documented examples) — no longer the
+    levenshtein approximation."""
+    fn = registry.lookup("DIFFERENCE", "POSTGRESQL")
+    assert fn.kind != "udf_todo"
+    cases = [
+        ("Robert", "Rupert", 4),   # R163 vs R163
+        ("Anne", "Ann", 4),        # A500 vs A500
+        ("Anne", "Andrew", 2),     # A500 vs A536: A=A, 5=5
+        ("Anne", "Margaret", 0),   # A500 vs M626
+    ]
+    exprs = [
+        registry.translate("DIFFERENCE", f"'{a}'", f"'{b}'", library="POSTGRESQL")
+        + f" AS v{i}"
+        for i, (a, b, _) in enumerate(cases)
+    ]
+    row = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+    for i, (a, b, want) in enumerate(cases):
+        assert row[i] == want, (a, b, row[i])
+
+
+def _parse_pg_interval(s: str):
+    """'43 years 9 months 27 days 06:30:15' → (y, mo, d, 'HH:MM:SS')."""
+    import re as _re
+
+    y = mo = d = 0
+    t = "00:00:00"
+    for num, unit in _re.findall(r"(-?\d+)\s+(year|mon|month|day)s?", s):
+        if unit == "year":
+            y = int(num)
+        elif unit in ("mon", "month"):
+            mo = int(num)
+        else:
+            d = int(num)
+    m = _re.search(r"(-?)(\d+):(\d+):(\d+)", s)
+    if m:
+        t = s[m.start() :]
+    return y, mo, d, t
+
+
+def test_age_matches_duckdb_lockstep(spark, duck):
+    """AGE decomposition equals DuckDB/PG age() — including the borrow
+    quirks (day underflow borrows the EARLIER month's length) — across
+    hand-picked hard cases and a generated grid."""
+    fn = registry.lookup("AGE", "POSTGRESQL")
+    assert fn.kind != "udf_todo"
+    cases = [
+        ("2001-04-10 00:00:00", "1957-06-13 00:00:00"),  # PG doc: 43y 9m 27d
+        ("2020-03-30 00:00:00", "2020-01-31 00:00:00"),  # 1 mon 30 days
+        ("2012-03-01 00:00:00", "2012-02-28 00:00:00"),  # leap: 2 days
+        ("2020-01-01 00:00:00", "2020-03-15 00:00:00"),  # negative
+        ("2001-04-10 12:30:15", "1957-06-13 06:00:00"),  # time carry
+        ("2020-03-01 00:00:00", "2020-01-31 23:59:59"),  # sec borrows day
+        ("1999-12-31 23:59:59", "2000-01-01 00:00:00"),  # -1 second
+    ] + [
+        (f"20{y1:02d}-{m1:02d}-{d1:02d} 00:00:00", "2010-06-15 00:00:00")
+        for y1 in (5, 15)
+        for m1 in (1, 6, 12)
+        for d1 in (1, 15, 28)
+    ]
+    for a, b in cases:
+        want = duck.sql(
+            f"SELECT CAST(age(TIMESTAMP '{a}', TIMESTAMP '{b}') AS VARCHAR)"
+        ).fetchall()[0][0]
+        y, mo, d, t = _parse_pg_interval(want)
+        neg = "-" in t
+        hh, mm, ss = (abs(int(x)) for x in t.replace("-", "").split(":"))
+        sign = -1 if neg else 1
+        expr = registry.translate(
+            "AGE", f"TIMESTAMP '{a}'", f"TIMESTAMP '{b}'", library="POSTGRESQL"
+        )
+        expected = (
+            f"make_interval({y}, {mo}, 0, {d}, {sign * hh}, {sign * mm}, {sign * ss})"
+        )
+        # CalendarInterval has no '=' in Spark — compare canonical strings
+        got = spark.sql(
+            f"SELECT CAST(({expr}) AS STRING) AS s, CAST({expected} AS STRING) AS e"
+        ).collect()[0]
+        assert got.s == got.e, f"age({a}, {b}): spark={got.s} duck={want} ({got.e})"
+
+
 def test_log_dialect_arg_order(spark, duck):
     """ADVICE r2 (≈ SqlLibraryOperators.java:2658 LOG_MYSQL): MySQL/Hive/
     Spark LOG(b, x) puts the base FIRST; BigQuery LOG(x[, b]) puts it
