@@ -100,9 +100,70 @@ def _scans(node):
         stack.extend(n.inputs)
 
 
+class FederationTypeError(TypeError):
+    """Remote result lost type fidelity crossing into Spark."""
+
+
+def _arrow_to_spark_type(t) -> str:
+    """Expected Spark simpleString for an Arrow field type — the
+    remote's answer schema is authoritative (≈ JdbcSchema deriving row
+    types from ResultSetMetaData)."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_spark_type(t.value_type)}>"
+    return None  # unmapped — skip the fidelity check for this column
+
+
 def _fetch(catalog, engine, sql: str) -> DataFrame:
+    """Execute remotely, land as a Spark DataFrame WITH a schema-fidelity
+    gate (r2 review): the Arrow→pandas→createDataFrame hop could silently
+    turn decimals into float64 and nanosecond timestamps into objects.
+    Spark 4 ingests pyarrow Tables directly (no pandas hop); either way
+    the resulting schema is asserted against the Arrow result schema."""
     tbl = engine.execute_arrow(sql)
-    return catalog.spark.createDataFrame(tbl.to_pandas())
+    try:
+        df = catalog.spark.createDataFrame(tbl)  # Arrow-native path
+    except Exception:
+        df = catalog.spark.createDataFrame(tbl.to_pandas())
+    got = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+    if sorted(got) != sorted(f.name.lower() for f in tbl.schema):
+        raise FederationTypeError(
+            f"remote column set {tbl.schema.names} != fetched {sorted(got)}"
+        )
+    for field in tbl.schema:
+        want = _arrow_to_spark_type(field.type)
+        if want is not None and got[field.name.lower()] != want:
+            raise FederationTypeError(
+                f"column {field.name!r}: remote type {field.type} should land "
+                f"as {want}, got {got[field.name.lower()]} — fix the ingest "
+                "path instead of silently computing on coerced values"
+            )
+    return df
 
 
 def federate(node: ir.RelNode, catalog) -> ir.RelNode:

@@ -115,3 +115,77 @@ def _scans(node):
         if isinstance(n, ir.Scan):
             yield n
         stack.extend(n.inputs)
+
+
+def test_fetch_preserves_remote_types(spark):
+    """r2 review: the Arrow ingest must keep decimal/timestamp/date/int
+    fidelity — the fetched Spark schema is checked field-by-field against
+    the remote Arrow schema."""
+    import duckdb
+
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.sources.federation import DuckDBEngine, _fetch
+
+    cat = Catalog(spark)
+    engine = DuckDBEngine(duckdb.connect())
+    df = _fetch(
+        cat,
+        engine,
+        "SELECT CAST(1.25 AS DECIMAL(12,2)) AS dec_c, "
+        "TIMESTAMP '2020-06-01 12:00:00' AS ts_c, "
+        "DATE '2020-06-01' AS d_c, "
+        "CAST(7 AS BIGINT) AS i_c, CAST(7 AS INT) AS i32_c, "
+        "'x' AS s_c, CAST(1.5 AS DOUBLE) AS f_c",
+    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["dec_c"] == "decimal(12,2)", types
+    assert types["ts_c"].startswith("timestamp"), types
+    assert types["d_c"] == "date", types
+    assert types["i_c"] == "bigint" and types["i32_c"] == "int", types
+    assert types["s_c"] == "string" and types["f_c"] == "double", types
+    row = df.collect()[0]
+    assert float(row.dec_c) == 1.25 and row.i_c == 7
+
+
+def test_fetch_schema_gate_redlines_on_drift(spark):
+    """A lossy ingest path must raise FederationTypeError, not proceed:
+    simulate by handing the gate an engine whose Arrow answer cannot map
+    losslessly through pandas (forced fallback via a monkeypatched
+    createDataFrame that downcasts)."""
+    import pyarrow as pa
+
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.sources.federation import FederationTypeError, _fetch
+
+    class FakeEngine:
+        dialect = None
+        queries_executed = []
+
+        def execute_arrow(self, sql):
+            return pa.table(
+                {"v": pa.array([1], type=pa.decimal128(10, 2))}
+            )
+
+    cat = Catalog(spark)
+
+    class LossyCatalog:
+        """Wrapper whose spark.createDataFrame coerces decimals away."""
+
+        class _S:
+            def __init__(self, spark):
+                self._spark = spark
+
+            def createDataFrame(self, tbl, *a, **kw):
+                import pandas as pd
+
+                pdf = (tbl if isinstance(tbl, pd.DataFrame) else tbl.to_pandas())
+                return self._spark.createDataFrame(pdf.astype({"v": "float64"}))
+
+        def __init__(self, spark):
+            self.spark = LossyCatalog._S(spark)
+
+    with pytest.raises(FederationTypeError, match="decimal"):
+        _fetch(LossyCatalog(spark), FakeEngine(), "SELECT ...")
+    # and the honest path passes the same gate
+    df = _fetch(cat, FakeEngine(), "SELECT ...")
+    assert df.schema.fields[0].dataType.simpleString() == "decimal(10,2)"
