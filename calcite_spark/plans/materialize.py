@@ -159,6 +159,130 @@ def _norm(expr: str) -> str:
 # ---------------------------------------------------------------------
 
 
+@dataclass
+class _ShapeStat:
+    """One observed aggregate query shape (table, keys, agg calls)."""
+
+    table: str
+    group_keys: tuple
+    agg_calls: tuple
+    count: int = 0
+
+
+class LatticeSuggester:
+    """Query-CORPUS lattice suggester ≈ materialize/LatticeSuggester.java
+    + TileSuggester.java: instead of hand-declared lattices, record every
+    substitutable aggregate shape that flows through the planner
+    (BoundProgram.run observes when a suggester is attached to the
+    catalog), then propose tiles from observation frequency — the union
+    of observed group keys per table is the finest covering tile, so any
+    recorded query (and any coarser rollup) is answerable from it via the
+    rollup-compensation rewrite. auto_build() materializes proposals,
+    making the MV layer self-tuning end-to-end.
+
+    Scale note: the tile is aggregated once per build over the fact
+    table; every subsequent matching query reads the tile (usually 3-6
+    orders of magnitude smaller). Observation itself is plan-time only —
+    zero executor cost."""
+
+    def __init__(self):
+        self.shapes: dict[tuple, _ShapeStat] = {}
+
+    def attach(self, catalog) -> "LatticeSuggester":
+        catalog.lattice_suggester = self
+        return self
+
+    # -- recording -----------------------------------------------------
+
+    def observe(self, plan: ir.RelNode) -> None:
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            stack.extend(n.inputs)
+            if not (isinstance(n, ir.Aggregate) and n.group_type == "SIMPLE"):
+                continue
+            child = n.inputs[0]
+            if isinstance(child, ir.Filter):
+                child = child.inputs[0]
+            if not isinstance(child, ir.Scan):
+                continue
+            keys = tuple(sorted(n.group_keys))
+            # plain-column keys only (an expression key would need the
+            # expression materialized in the tile — out of scope, bail)
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+                continue
+            calls = tuple(sorted(c for c in n.agg_calls if parse_agg_call(c)))
+            if not keys or not calls:
+                continue
+            key = (child.table, keys, calls)
+            st = self.shapes.setdefault(key, _ShapeStat(child.table, keys, calls))
+            st.count += 1
+
+    # -- proposing -----------------------------------------------------
+
+    def suggest(self, min_count: int = 2, max_tiles: int = 3) -> list[dict]:
+        """Per-table proposals, most-observed tables first. group_keys =
+        union of observed keys; agg_calls = union of observed aggregate
+        (fn, arg) pairs with canonical aliases (the rewrite matches on
+        (fn, normalized arg), not alias)."""
+        by_table: dict[str, list[_ShapeStat]] = {}
+        for st in self.shapes.values():
+            by_table.setdefault(st.table, []).append(st)
+        proposals = []
+        for table, stats in by_table.items():
+            total = sum(s.count for s in stats)
+            if total < min_count:
+                continue
+            keys = sorted(set().union(*[set(s.group_keys) for s in stats]))
+            seen_calls: dict[tuple, str] = {}
+            for s in stats:
+                for call in s.agg_calls:
+                    fn, arg, _alias = parse_agg_call(call)
+                    seen_calls.setdefault((fn, _norm(arg)), f"{fn}({arg})")
+            calls = [
+                f"{sql} AS m{i}" for i, sql in enumerate(sorted(seen_calls.values()))
+            ]
+            proposals.append(
+                {
+                    "table": table,
+                    "group_keys": keys,
+                    "agg_calls": calls,
+                    "observations": total,
+                }
+            )
+        proposals.sort(key=lambda p: -p["observations"])
+        return proposals[:max_tiles]
+
+    # -- building ------------------------------------------------------
+
+    def auto_build(
+        self,
+        catalog,
+        registry: MaterializationRegistry,
+        warehouse: str,
+        min_count: int = 2,
+        max_tiles: int = 3,
+    ) -> list[Materialization]:
+        import os
+
+        out = []
+        for p in self.suggest(min_count=min_count, max_tiles=max_tiles):
+            name = f"lattice_{p['table']}_{len(p['group_keys'])}d"
+            if name in registry.mvs:
+                continue
+            out.append(
+                registry.define(
+                    catalog,
+                    name,
+                    p["table"],
+                    p["group_keys"],
+                    p["agg_calls"],
+                    os.path.join(warehouse, name),
+                )
+            )
+        return out
+
+
 def suggest_tiles(catalog, table: str, dims: list[str], measures: list[str], max_tiles: int = 4):
     """TileSuggester-style heuristic: estimate each single-dim tile's
     cardinality with approx_count_distinct (≈ profile/ProfilerImpl), pick

@@ -262,30 +262,21 @@ def _split_conjuncts(cond: str) -> list[str]:
     return [p for p in parts if p]
 
 
-def _join_order_greedy(node, catalog):
-    """≈ JoinToMultiJoinRule + LoptOptimizeJoinRule.java:77 (greedy
-    tier; DPhyp intentionally skipped): flatten a chain of INNER equi-
-    joins into a multi-join, then rebuild left-deep from catalog
-    statistics — largest relation first (the fact side streams), each
-    remaining relation added smallest-estimated-rows-first among those
-    connected by a now-bound condition, with broadcast hints on
-    catalog-known small dimensions.
+def _resolve_multijoin(node, catalog):
+    """Flatten an INNER equi-join chain into (leaf infos, cond_refs) —
+    the shared front half of both reordering tiers (≈
+    JoinToMultiJoinRule building the MultiJoin that LoptOptimizeJoinRule
+    and DphypJoinReorderRule both consume).
 
-    At 100 TB the win is structural: the fact table is never the build
-    side, every dimension join is a broadcast (no fact shuffle), and
-    intermediate sizes shrink monotonically. Estimates are
-    Catalog.row_count × 0.25 per applied filter
-    (≈ RelMdUtil.guessSelectivity:504's default).
-
-    Bails (returns None) unless every leaf is Scan or Filter(Scan) with
-    resolvable columns and the join graph is connected — a wrong
-    reorder is worse than trusting the written order + AQE."""
+    Returns None (don't reorder) unless every leaf is Scan or
+    Filter(Scan) with resolvable, globally-unique columns and every
+    conjunct maps to known leaves. Caller broadcast hints are flattening
+    boundaries; rule-derived hints flatten through."""
     if not isinstance(node, ir.Join) or catalog is None:
         return None
     if node.join_type != "INNER" or node.condition is None:
         return None
 
-    # flatten the INNER-join chain
     leaves: list = []
     conjuncts: list[str] = []
 
@@ -301,9 +292,6 @@ def _join_order_greedy(node, catalog):
             isinstance(n, ir.Join)
             and n.join_type == "INNER"
             and n.condition is not None
-            # caller-set broadcast hints (either side) are intent — treat
-            # as flattening boundaries so reordering can't drop them;
-            # rule-derived hints are re-derivable and flatten through
             and not caller_hint
         ):
             flatten(n.inputs[0])
@@ -328,10 +316,23 @@ def _join_order_greedy(node, catalog):
             return None
         try:
             cols = set(catalog.table(base.table).columns)
-            rows = catalog.row_count(base.table) * selectivity
+            base_rows = catalog.row_count(base.table)
         except Exception:
             return None
-        infos.append({"node": leaf, "table": base.table, "cols": cols, "rows": rows})
+        infos.append(
+            {
+                "node": leaf,
+                "table": base.table,
+                "cols": cols,
+                "rows": base_rows * selectivity,
+                "base_rows": base_rows,
+            }
+        )
+
+    # canonical leaf order: enumeration (and therefore cost-tie breaks)
+    # must not depend on the flatten order of the incoming tree, or a
+    # rewritten plan could re-rewrite differently every Hep pass
+    infos.sort(key=lambda d: d["table"])
 
     # column names must be globally unique across leaves — otherwise
     # condition-to-leaf mapping is ambiguous (self-joins) and reordering
@@ -351,6 +352,25 @@ def _join_order_greedy(node, catalog):
         if not idents or not touched:
             return None  # unmappable condition — don't reorder
         cond_refs.append((c, idents, set(touched)))
+    return infos, cond_refs
+
+
+def _join_order_greedy(node, catalog):
+    """≈ LoptOptimizeJoinRule.java:77 (greedy tier): rebuild the
+    multi-join left-deep from catalog statistics — largest relation
+    first (the fact side streams), each remaining relation added
+    smallest-estimated-rows-first among those connected by a now-bound
+    condition, with broadcast hints on catalog-known small dimensions.
+
+    At 100 TB the win is structural: the fact table is never the build
+    side, every dimension join is a broadcast (no fact shuffle), and
+    intermediate sizes shrink monotonically. Estimates are
+    Catalog.row_count × 0.25 per applied filter
+    (≈ RelMdUtil.guessSelectivity:504's default)."""
+    resolved = _resolve_multijoin(node, catalog)
+    if resolved is None:
+        return None
+    infos, cond_refs = resolved
 
     # greedy rebuild: largest leaf streams, smallest connected leaf next
     order = sorted(range(len(infos)), key=lambda i: -infos[i]["rows"])
@@ -391,8 +411,213 @@ def _join_order_greedy(node, catalog):
     return acc
 
 
+DPHYP_MAX_RELS = 10
+
+
+def _join_order_dphyp(node, catalog):
+    """Exact join enumeration over the multi-join hypergraph
+    ≈ rel/rules/DphypJoinReorderRule.java:33 + DpHyp.java +
+    HyperGraph.java: for ≤ DPHYP_MAX_RELS relations, dynamic programming
+    over connected subgraph / complement pairs finds the cost-optimal
+    BUSHY tree — the shape the greedy left-deep tier cannot reach on
+    snowflake/cyclic graphs (e.g. TPC-H Q5's same-nation edge, where
+    joining customer⋈nation and supplier⋈nation independently before
+    crossing beats any left-deep order).
+
+    Enumeration is subset-DP (DPsub) with hyperedge-aware connectivity —
+    for n ≤ 10 it visits every csg-cmp pair DpHyp would (3^10 ≈ 59k
+    splits, microseconds at plan time) and returns the identical optimal
+    plan; DpHyp's neighborhood walk only prunes the enumeration ORDER,
+    not the result, so the larger machinery is deferred until the rel
+    cap grows. Cost model: C_out (sum of intermediate cardinalities),
+    join selectivity 1/max(larger referenced leaf) per applied conjunct
+    (≈ RelMdUtil/System-R default). Cross products are never enumerated
+    (only connected subsets combine)."""
+    resolved = _resolve_multijoin(node, catalog)
+    if resolved is None:
+        return None
+    infos, cond_refs = resolved
+    n = len(infos)
+    if n > DPHYP_MAX_RELS:
+        return None
+
+    masks_of = [1 << i for i in range(n)]
+    # single-leaf conjuncts (a filter smuggled into a join condition)
+    # never CROSS a split, so the DP would drop them — push each into a
+    # Filter on its leaf first (valid for INNER joins; greedy's
+    # refs<=bound check applies them implicitly)
+    conds = []
+    leaf_filters: dict[int, list] = {}
+    for c, _, refs in cond_refs:
+        if len(refs) == 1:
+            leaf_filters.setdefault(next(iter(refs)), []).append(c)
+            continue
+        rmask = 0
+        for i in refs:
+            rmask |= masks_of[i]
+        # selectivity 1/min(BASE rows of referenced leaves): for an FK
+        # equi-join the smaller side is the key side, so |fact ⋈ dim| ≈
+        # fact (the System-R 1/max(NDV) estimate with NDV ≈ key-side
+        # cardinality); using FILTERED rows here would wrongly claim a
+        # filtered dim annihilates the fact
+        sel = 1.0 / max(min(infos[i]["base_rows"] for i in refs), 1.0)
+        conds.append((c, rmask, sel))
+    for i, sqls in leaf_filters.items():
+        infos[i]["node"] = ir.Filter(" AND ".join(sqls), inputs=(infos[i]["node"],))
+        infos[i]["rows"] = max(infos[i]["rows"] * 0.25, 1.0)
+
+    def connected(mask) -> bool:
+        # BFS over leaves using conjuncts fully inside `mask`
+        first = mask & -mask
+        seen = first
+        frontier = first
+        while frontier:
+            grow = 0
+            for _, rmask, _ in conds:
+                if rmask & seen and rmask | mask == mask:
+                    grow |= rmask
+            grow &= mask
+            frontier = grow & ~seen
+            seen |= grow
+        return seen == mask
+
+    # best[mask] = (cost, rows, plan) ; plan = ('leaf', i) | ('join', l, r, [sql])
+    best: dict[int, tuple] = {
+        masks_of[i]: (0.0, infos[i]["rows"], ("leaf", i)) for i in range(n)
+    }
+    full = (1 << n) - 1
+    by_size = sorted(
+        (m for m in range(3, full + 1) if bin(m).count("1") >= 2),
+        key=lambda m: bin(m).count("1"),
+    )
+    for mask in by_size:
+        if not connected(mask):
+            continue
+        # conjuncts applied at the top join of `mask`
+        entry = None
+        s1 = (mask - 1) & mask
+        while s1:
+            s2 = mask ^ s1
+            if s1 < s2:  # each unordered split once
+                b1, b2 = best.get(s1), best.get(s2)
+                if b1 and b2:
+                    applied = [
+                        (c, sel)
+                        for c, rmask, sel in conds
+                        if rmask | mask == mask
+                        and rmask & s1
+                        and rmask & s2
+                    ]
+                    if applied:  # no cross products
+                        rows = b1[1] * b2[1]
+                        for _, sel in applied:
+                            rows *= sel
+                        rows = max(rows, 1.0)
+                        cost = b1[0] + b2[0] + rows
+                        if entry is None or cost < entry[0]:
+                            entry = (cost, rows, ("join", s1, s2, [c for c, _ in applied]))
+            s1 = (s1 - 1) & mask
+        if entry is not None:
+            prev = best.get(mask)
+            if prev is None or entry[0] < prev[0]:
+                best[mask] = entry
+
+    if full not in best:
+        return None  # disconnected graph
+
+    def build(mask):
+        cost, rows, plan = best[mask]
+        if plan[0] == "leaf":
+            return infos[plan[1]]["node"], rows, None
+        _, s1, s2, sqls = plan
+        left, lrows, ltab = build(s1)
+        right, rrows, rtab = build(s2)
+        # stream the larger side, build/broadcast the smaller
+        if lrows < rrows:
+            left, right = right, left
+            lrows, rrows = rrows, lrows
+            ltab, rtab = rtab, ltab
+        small = rrows <= 100_000 or (
+            rtab is not None and catalog.is_broadcastable(rtab)
+        )
+        joined = ir.Join(
+            " AND ".join(sqls),
+            "INNER",
+            broadcast_right=small,
+            inputs=(left, right),
+            _hint_from_rule=True,
+        )
+        return joined, rows, None
+
+    acc, _, _ = build(full)
+    if acc.explain_str() == node.explain_str():
+        return None  # already optimal — fixpoint
+    return acc
+
+
+def estimate_plan_cost(node, catalog) -> float:
+    """C_out of an INNER-join tree under the same model the reorder
+    rules use (leaf rows × 0.25/filter; per-conjunct selectivity
+    1/min(base rows referenced)). Used by plan tests to compare rewrite
+    tiers and exposed for EXPLAIN-style diagnostics."""
+    import re as _re
+
+    # leaf column map
+    leaf_info = {}
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ir.Scan):
+            base_rows = catalog.row_count(n.table)
+            leaf_info[n.table] = (set(catalog.table(n.table).columns), base_rows)
+        stack.extend(n.inputs)
+
+    def col_owner_rows(ident):
+        for cols, base in leaf_info.values():
+            if ident in cols:
+                yield base
+
+    total = [0.0]
+
+    def walk(n) -> float:
+        if isinstance(n, ir.Scan):
+            return float(leaf_info[n.table][1])
+        if isinstance(n, ir.Filter):
+            return max(walk(n.inputs[0]) * 0.25, 1.0)
+        if isinstance(n, ir.Join):
+            rows = walk(n.inputs[0]) * walk(n.inputs[1])
+            for c in _split_conjuncts(n.condition or "TRUE"):
+                owners = [
+                    r
+                    for t in _re.findall(r"[A-Za-z_]\w*", c)
+                    for r in col_owner_rows(t)
+                ]
+                if owners:
+                    rows /= max(min(owners), 1.0)
+            rows = max(rows, 1.0)
+            total[0] += rows
+            return rows
+        return walk(n.inputs[0]) if n.inputs else 1.0
+
+    walk(node)
+    return total[0]
+
+
+def _join_order_stats(node, catalog):
+    """Stats-driven join reordering dispatcher: exact DP (DPhyp-class)
+    for ≤ DPHYP_MAX_RELS relations, greedy left-deep above — mirroring
+    Calcite's DphypJoinReorderRule / LoptOptimizeJoinRule split."""
+    out = _join_order_dphyp(node, catalog)
+    if out is not None:
+        return out
+    resolved = _resolve_multijoin(node, catalog)
+    if resolved is not None and len(resolved[0]) > DPHYP_MAX_RELS:
+        return _join_order_greedy(node, catalog)
+    return None
+
+
 DEFAULT_RULES = [
-    Rule("JoinOrderGreedy", _join_order_greedy),
+    Rule("JoinOrderStats", _join_order_stats),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
@@ -409,4 +634,9 @@ class BoundProgram:
         self.catalog = catalog
 
     def run(self, plan: ir.RelNode) -> ir.RelNode:
+        # corpus recording for the lattice suggester (≈ LatticeSuggester
+        # hooking the planner): plan-time only, no executor cost
+        suggester = getattr(self.catalog, "lattice_suggester", None)
+        if suggester is not None:
+            suggester.observe(plan)
         return self.program.run(plan, self.catalog)

@@ -195,3 +195,62 @@ def qx04_federation(spark, sf_dir):
     df = execute_federated(plan, cat)
     assert len(engine.queries_executed) == 1, engine.queries_executed
     return df
+
+
+_LATTICE_CACHE: dict[tuple, object] = {}
+
+
+@register(
+    "qx09_lattice_suggest",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 3) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("materialized_view", "lattice", "suggester"),
+)
+def qx09_lattice_suggest(spark, sf_dir):
+    """Query-corpus lattice suggester end-to-end (plans/materialize.py
+    LatticeSuggester ≈ materialize/LatticeSuggester.java): a replayed
+    3-query workload over orders is OBSERVED inside default_program, the
+    suggester proposes the covering (priority, status) tile, auto_build
+    materializes it, and this rollup is answered FROM the auto-built
+    tile — the oracle computes from the base table, so a wrong tile or
+    wrong compensation fails the hash check."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.materialize import LatticeSuggester, MaterializationRegistry
+
+    key = (id(spark), sf_dir)
+    if key not in _LATTICE_CACHE:
+        cat = Catalog(spark).register_parquet_dir(sf_dir)
+        sug = LatticeSuggester().attach(cat)
+        workload = [
+            (["o_orderstatus"], ["COUNT(*) AS n_orders"]),
+            (["o_orderpriority"], ["SUM(o_totalprice) AS total_raw"]),
+            (["o_orderpriority", "o_orderstatus"], ["COUNT(*) AS n_orders"]),
+        ]
+        for keys, calls in workload:
+            RelBuilder(cat).scan("orders").aggregate(keys, calls).to_df()
+        reg = MaterializationRegistry()
+        warehouse = tempfile.mkdtemp(prefix="qx09_lattice_")
+        built = sug.auto_build(cat, reg, warehouse, min_count=3)
+        assert built, "suggester proposed nothing from the workload"
+        _LATTICE_CACHE[key] = cat
+    cat = _LATTICE_CACHE[key]
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus"],
+            ["COUNT(*) AS n_orders", "SUM(o_totalprice) AS total_raw"],
+        )
+        .to_df()
+    )
+    assert all("lattice_orders" in f for f in df.inputFiles()), "lattice tile not used"
+    return df.selectExpr(
+        "o_orderstatus", "n_orders", "ROUND(total_raw, 3) AS total"
+    ).orderBy("o_orderstatus")

@@ -220,3 +220,66 @@ def test_distinct_agg_not_rolled_up(spark, mv_catalog):
     )
     assert all("mv_distinct_supp" in f for f in exact.inputFiles())
     del reg.mvs["mv_distinct_supp"]
+
+
+def test_lattice_suggester_corpus_to_mv(spark, tmp_path):
+    """≈ LatticeSuggester.java end-to-end: replay a workload of
+    aggregate queries (observation happens inside default_program — no
+    manual recording), the suggester proposes a covering tile from the
+    corpus, auto_build materializes it, and the NEXT query is answered
+    from the tile (inputFiles shows the lattice parquet) with values
+    identical to direct computation."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+
+    # the replayed workload: three shapes over orders, overlapping keys
+    workload = [
+        (["o_orderstatus"], ["COUNT(*) AS n"]),
+        (["o_orderpriority"], ["SUM(o_totalprice) AS s"]),
+        (["o_orderpriority", "o_orderstatus"], ["COUNT(*) AS n"]),
+    ]
+    for keys, calls in workload:
+        RelBuilder(cat).scan("orders").aggregate(keys, calls).to_df().collect()
+
+    props = sug.suggest(min_count=3)
+    assert len(props) == 1
+    p = props[0]
+    assert p["table"] == "orders" and p["observations"] == 3
+    assert p["group_keys"] == ["o_orderpriority", "o_orderstatus"]
+    # union of (fn, arg) pairs with canonical aliases
+    assert any("COUNT(*)" in c for c in p["agg_calls"])
+    assert any("SUM(o_totalprice)" in c for c in p["agg_calls"])
+
+    reg = MaterializationRegistry()
+    built = sug.auto_build(cat, reg, str(tmp_path), min_count=3)
+    assert len(built) == 1 and built[0].name == "lattice_orders_2d"
+
+    # a coarser rollup (not even in the workload) now reads the tile
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("lattice_orders_2d" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderstatus, round(float(r.s), 4), r.n) for r in df.collect()}
+    want = {(r.o_orderstatus, round(float(r.s), 4), r.n) for r in direct.collect()}
+    assert got == want
+
+
+def test_lattice_suggester_below_threshold_silent(spark, tmp_path):
+    """One observation < min_count: no proposals, no builds."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    RelBuilder(cat).scan("orders").aggregate(["o_orderstatus"], ["COUNT(*) AS n"]).to_df()
+    assert sug.suggest(min_count=2) == []
+    assert sug.auto_build(cat, MaterializationRegistry(), str(tmp_path), min_count=2) == []

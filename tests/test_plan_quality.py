@@ -327,6 +327,112 @@ def test_join_order_caller_hint_is_boundary(spark):
     assert out2 is not None
 
 
+def _q5_shape(cat):
+    from calcite_spark.plans.builder import RelBuilder
+
+    return (
+        RelBuilder(cat)
+        .scan("region")
+        .scan("nation")
+        .join("r_regionkey = n_regionkey")
+        .scan("customer")
+        .join("n_nationkey = c_nationkey")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("supplier")
+        .join("l_suppkey = s_suppkey AND c_nationkey = s_nationkey")
+        .build()
+    )
+
+
+def test_dphyp_beats_greedy_on_snowflake(spark):
+    """Exact DP enumeration (≈ DphypJoinReorderRule/DpHyp) on the TPC-H
+    Q5 shape — cyclic via the same-nation edge. The greedy tier's
+    largest-first heuristic streams lineitem from the start and pays huge
+    intermediates; DP finds the dim-chain-first order (~100× lower C_out
+    under the shared cost model) and produces a non-left-deep tree
+    (nation⋈region reduced as its own subtree). Results must equal the
+    original plan's. (Strictly bushy-with-two-join-children trees can't
+    WIN under C_out with independent selectivities — any bushy cost is
+    matched by some linearization — so the assertion is the cost order,
+    which is what DpHyp exists to optimize.)"""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import (
+        _join_order_dphyp,
+        _join_order_greedy,
+        estimate_plan_cost,
+    )
+
+    cat = catalog_for(spark, SF_DIR)
+    plan = _q5_shape(cat)
+    dp = _join_order_dphyp(plan, cat)
+    gr = _join_order_greedy(plan, cat)
+    assert dp is not None and gr is not None
+    c_dp = estimate_plan_cost(dp, cat)
+    c_gr = estimate_plan_cost(gr, cat)
+    c_orig = estimate_plan_cost(plan, cat)
+    assert c_dp < c_gr, (c_dp, c_gr)
+    assert c_dp <= c_orig, (c_dp, c_orig)
+
+    # non-left-deep: some join has a composite (join) on its build side
+    def has_composite_build(n):
+        if isinstance(n, ir.Join):
+            if any(isinstance(c, ir.Join) for c in n.inputs[1:]) or (
+                isinstance(n.inputs[0], ir.Join) and isinstance(n.inputs[1], ir.Join)
+            ):
+                return True
+            return any(has_composite_build(c) for c in n.inputs)
+        return any(has_composite_build(c) for c in n.inputs)
+
+    assert has_composite_build(dp), dp.explain_str()
+
+    rows = lambda p: (
+        ir.Project(("n_name",), inputs=(p,)).to_df(cat).count()
+    )
+    assert rows(dp) == rows(plan) == rows(gr)
+
+
+def test_dphyp_applies_every_conjunct(spark):
+    """Single-leaf conjuncts smuggled into a join condition must survive
+    DP as leaf filters (the DP can never apply a non-crossing conjunct at
+    a join) — dropping one would silently widen results."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _join_order_dphyp
+
+    cat = catalog_for(spark, SF_DIR)
+    plan = (
+        RelBuilder(cat)
+        .scan("nation")
+        .scan("customer")
+        .join("n_nationkey = c_nationkey AND c_acctbal > 0")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .build()
+    )
+    dp = _join_order_dphyp(plan, cat)
+    assert dp is not None
+    assert "c_acctbal > 0" in dp.explain_str()
+    assert dp.to_df(cat).count() == plan.to_df(cat).count()
+
+
+def test_dphyp_fixpoint_and_dispatch(spark):
+    """Re-running DP on its own output is a no-op (fixpoint), and the
+    default rule list routes through the stats dispatcher."""
+    from calcite_spark.plans.rewrite import (
+        DEFAULT_RULES,
+        _join_order_dphyp,
+    )
+
+    cat = catalog_for(spark, SF_DIR)
+    plan = _q5_shape(cat)
+    dp = _join_order_dphyp(plan, cat)
+    assert _join_order_dphyp(dp, cat) is None
+    assert any(r.name == "JoinOrderStats" for r in DEFAULT_RULES)
+
+
 def test_join_order_greedy_bails_on_self_join(spark):
     """Ambiguous column ownership (nation twice) must NOT be reordered."""
     from calcite_spark.plans.builder import RelBuilder
