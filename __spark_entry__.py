@@ -22,7 +22,7 @@ from calcite_spark.queries import inventory as _inv
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    return _inv.queries()["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return _inv.queries()["z01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

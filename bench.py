@@ -17,24 +17,24 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_topk_orders",
-    "q06_forecast_revenue",
-    "q08_cube",
-    "q10_distinct_filtered_agg",
-    "q15_left_join_distribution",
-    "q17_scalar_subquery",
-    "q18_in_subquery",
-    "q30_window_rank_topn",
-    "q40_tumble",
-    "q42_session",
-    "q43_asof_join",
-    "q50_exact_dedup",
-    "q51_text_stats",
-    "q54_knn_bruteforce",
-    "q55_minhash_lsh",
-    "q60_stats_aggs",
+    "z01_pricing_summary",
+    "z02_revenue_by_nation",
+    "z03_topk_orders",
+    "z06_forecast_revenue",
+    "z08_cube",
+    "z10_distinct_filtered_agg",
+    "z15_left_join_distribution",
+    "z17_scalar_subquery",
+    "z18_in_subquery",
+    "z30_window_rank_topn",
+    "z40_tumble",
+    "z42_session",
+    "z43_asof_join",
+    "z50_exact_dedup",
+    "z51_text_stats",
+    "z54_knn_bruteforce",
+    "z55_minhash_lsh",
+    "z60_stats_aggs",
     "q65_lateral_topn",
     "q75_range_join",
 ]

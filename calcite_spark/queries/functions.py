@@ -29,7 +29,7 @@ def _sql(spark, sf_dir, sql: str):
 
 
 @register(
-    "q60_stats_aggs",
+    "z60_stats_aggs",
     oracle="""
     SELECT l_returnflag,
            ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp,
@@ -48,7 +48,7 @@ def _sql(spark, sf_dir, sql: str):
     """,
     tags=("aggregate", "statistics"),
 )
-def q60_stats_aggs(spark, sf_dir):
+def z60_stats_aggs(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("lineitem")
@@ -73,7 +73,7 @@ def q60_stats_aggs(spark, sf_dir):
 
 
 @register(
-    "q61_argmax_mode_bool",
+    "z61_argmax_mode_bool",
     oracle="""
     SELECT n_name,
            arg_max(s_name, s_acctbal) AS richest_supplier,
@@ -87,7 +87,7 @@ def q60_stats_aggs(spark, sf_dir):
     """,
     tags=("aggregate", "arg_max", "percentile", "bool"),
 )
-def q61_argmax_mode_bool(spark, sf_dir):
+def z61_argmax_mode_bool(spark, sf_dir):
     """ARG_MAX/ARG_MIN :1126/:1133 → max_by/min_by; PERCENTILE_CONT :2507
     → percentile (exact); EVERY/SOME :1156/:1162 → bool_and/bool_or.
     s_acctbal ties would make max_by nondeterministic — testdata has
@@ -113,7 +113,7 @@ def q61_argmax_mode_bool(spark, sf_dir):
 
 
 @register(
-    "q62_listagg_within_group",
+    "z62_listagg_within_group",
     oracle="""
     SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -122,7 +122,7 @@ def q61_argmax_mode_bool(spark, sf_dir):
     """,
     tags=("aggregate", "listagg", "within_group"),
 )
-def q62_listagg_within_group(spark, sf_dir):
+def z62_listagg_within_group(spark, sf_dir):
     """LISTAGG :2535 + WITHIN GROUP (AggregateCall.collation :76):
     collect_list → array_sort → concat_ws reproduces the ordered
     concatenation deterministically."""
@@ -147,7 +147,7 @@ def q62_listagg_within_group(spark, sf_dir):
 
 
 @register(
-    "q63_multiset_ops",
+    "z63_multiset_ops",
     oracle="""
     WITH a AS (SELECT n_regionkey AS rk, list_sort(list(DISTINCT n_nationkey)) AS nations
                FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey),
@@ -162,7 +162,7 @@ def q62_listagg_within_group(spark, sf_dir):
     """,
     tags=("multiset", "array"),
 )
-def q63_multiset_ops(spark, sf_dir):
+def z63_multiset_ops(spark, sf_dir):
     """MULTISET INTERSECT / card / MEMBER-overlap via array functions
     (array_intersect, arrays_overlap) after Collect."""
     cat = catalog_for(spark, sf_dir)
@@ -197,7 +197,7 @@ def q63_multiset_ops(spark, sf_dir):
 
 
 @register(
-    "q64_json_functions",
+    "z64_json_functions",
     oracle="""
     SELECT event_type,
            COUNT(*) FILTER (WHERE json_extract_string(props, '$.device') = 'mobile') AS n_mobile,
@@ -209,7 +209,7 @@ def q63_multiset_ops(spark, sf_dir):
     """,
     tags=("json",),
 )
-def q64_json_functions(spark, sf_dir):
+def z64_json_functions(spark, sf_dir):
     """JSON_VALUE ≈ get_json_object; lax-mode scalar extraction."""
     return (
         _b(spark, sf_dir)

@@ -21,7 +21,7 @@ from calcite_spark.queries.inventory import catalog_for, register, snapshot_orac
 
 
 @register(
-    "q50_exact_dedup",
+    "z50_exact_dedup",
     oracle="""
     SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
            MIN(doc_id) AS keep_id,
@@ -32,14 +32,14 @@ from calcite_spark.queries.inventory import catalog_for, register, snapshot_orac
     """,
     tags=("llm", "dedup", "exact"),
 )
-def q50_exact_dedup(spark, sf_dir):
+def z50_exact_dedup(spark, sf_dir):
     """Exact dedup: md5(normalized text) groupBy — llm/dedup.py."""
     cat = catalog_for(spark, sf_dir)
     return exact_dedup(cat.table("documents")).orderBy("content_hash")
 
 
 @register(
-    "q51_text_stats",
+    "z51_text_stats",
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -53,7 +53,7 @@ def q50_exact_dedup(spark, sf_dir):
     """,
     tags=("llm", "textstats"),
 )
-def q51_text_stats(spark, sf_dir):
+def z51_text_stats(spark, sf_dir):
     """Token counting + char stats rollup per language — llm/textstats.py."""
     cat = catalog_for(spark, sf_dir)
     stats = text_stats(cat.table("documents"))
@@ -70,7 +70,7 @@ def q51_text_stats(spark, sf_dir):
 
 
 @register(
-    "q52_quality_score",
+    "z52_quality_score",
     oracle="""
     SELECT lang,
            ROUND(AVG(LEAST(1.0, length(text) / 500.0) *
@@ -83,7 +83,7 @@ def q51_text_stats(spark, sf_dir):
     """,
     tags=("llm", "quality"),
 )
-def q52_quality_score(spark, sf_dir):
+def z52_quality_score(spark, sf_dir):
     """Rule-based quality scoring rollup — llm/textstats.quality_score."""
     cat = catalog_for(spark, sf_dir)
     docs = cat.table("documents")
@@ -144,11 +144,11 @@ def _lang_id_oracle() -> str:
 
 
 @register(
-    "q53_lang_id",
+    "z53_lang_id",
     oracle=_lang_id_oracle(),
     tags=("llm", "langid"),
 )
-def q53_lang_id(spark, sf_dir):
+def z53_lang_id(spark, sf_dir):
     """Stopword-vote language ID confusion rollup — llm/textstats.lang_id.
     Deterministic argmax (first max in marker order, ties-all-zero →
     'und'), so the DuckDB oracle replays the identical vote logic."""
@@ -162,7 +162,7 @@ def q53_lang_id(spark, sf_dir):
 
 
 @register(
-    "q54_knn_bruteforce",
+    "z54_knn_bruteforce",
     oracle="""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -182,7 +182,7 @@ def q53_lang_id(spark, sf_dir):
     """,
     tags=("llm", "similarity", "knn"),
 )
-def q54_knn_bruteforce(spark, sf_dir):
+def z54_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for 5 query vectors — llm/similarity.py
     (broadcast queries, JVM higher-order-fn dot products, window top-k)."""
     cat = catalog_for(spark, sf_dir)
@@ -195,11 +195,11 @@ def q54_knn_bruteforce(spark, sf_dir):
 
 
 @register(
-    "q55_minhash_lsh",
-    oracle=snapshot_oracle("q55_minhash_lsh"),  # xxhash64 band family; reviewed snapshot
+    "z55_minhash_lsh",
+    oracle=snapshot_oracle("z55_minhash_lsh"),  # xxhash64 band family; reviewed snapshot
     tags=("llm", "dedup", "minhash"),
 )
-def q55_minhash_lsh(spark, sf_dir):
+def z55_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs — llm/dedup.minhash_lsh_dups
     (shingle → 16 xxhash64 minhashes → 4 bands → band-bucket self-join)."""
     cat = catalog_for(spark, sf_dir)

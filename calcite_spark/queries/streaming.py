@@ -22,7 +22,7 @@ def _b(spark, sf_dir) -> RelBuilder:
 
 
 @register(
-    "q40_tumble",
+    "z40_tumble",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
@@ -35,7 +35,7 @@ def _b(spark, sf_dir) -> RelBuilder:
     """,
     tags=("streaming", "tumble", "tvf"),
 )
-def q40_tumble(spark, sf_dir):
+def z40_tumble(spark, sf_dir):
     """TUMBLE TVF → F.window(ts, size): one aligned window per row."""
     from pyspark.sql import functions as F
 
@@ -52,7 +52,7 @@ def q40_tumble(spark, sf_dir):
 
 
 @register(
-    "q41_hop",
+    "z41_hop",
     oracle="""
     SELECT ws AS window_start, ws + INTERVAL '2 days' AS window_end,
            COUNT(*) AS n_events, ROUND(SUM(value), 3) AS total_value
@@ -65,7 +65,7 @@ def q40_tumble(spark, sf_dir):
     """,
     tags=("streaming", "hop", "tvf"),
 )
-def q41_hop(spark, sf_dir):
+def z41_hop(spark, sf_dir):
     """HOP TVF → F.window(ts, size, slide): size/slide windows per row
     (oracle expands the same windows via a shift cross join)."""
     from pyspark.sql import functions as F
@@ -83,7 +83,7 @@ def q41_hop(spark, sf_dir):
 
 
 @register(
-    "q42_session",
+    "z42_session",
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, value,
@@ -105,7 +105,7 @@ def q41_hop(spark, sf_dir):
     """,
     tags=("streaming", "session", "tvf"),
 )
-def q42_session(spark, sf_dir):
+def z42_session(spark, sf_dir):
     """SESSION TVF → F.session_window(ts, gap): gap-merged sessions.
     Oracle reproduces gap semantics with the lag/cumsum idiom."""
     from pyspark.sql import functions as F
@@ -125,7 +125,7 @@ def q42_session(spark, sf_dir):
 
 
 @register(
-    "q43_asof_join",
+    "z43_asof_join",
     oracle="""
     WITH o AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
@@ -144,7 +144,7 @@ def q42_session(spark, sf_dir):
     """,
     tags=("asof", "join"),
 )
-def q43_asof_join(spark, sf_dir):
+def z43_asof_join(spark, sf_dir):
     """LEFT_ASOF join (JoinRelType.LEFT_ASOF:94): each event picks the
     latest order of the same user at-or-before the event time. Lowered to
     the union/last-value plan (ONE shuffle, no row explosion) —
@@ -186,7 +186,7 @@ def q43_asof_join(spark, sf_dir):
 
 
 @register(
-    "q44_snapshot",
+    "z44_snapshot",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
     FROM (
@@ -199,7 +199,7 @@ def q43_asof_join(spark, sf_dir):
     """,
     tags=("temporal", "snapshot"),
 )
-def q44_snapshot(spark, sf_dir):
+def z44_snapshot(spark, sf_dir):
     """FOR SYSTEM_TIME AS OF '1995-06-30' over orders-as-temporal-table
     (key = o_custkey, version = o_orderdate): latest visible version per
     key ≈ Snapshot.java:53 over TemporalTable.java:22."""
@@ -220,11 +220,11 @@ def q44_snapshot(spark, sf_dir):
 
 
 @register(
-    "q45_match_recognize",
-    oracle=snapshot_oracle("q45_match_recognize"),  # NFA not SQL-expressible; reviewed snapshot
+    "z45_match_recognize",
+    oracle=snapshot_oracle("z45_match_recognize"),  # NFA not SQL-expressible; reviewed snapshot
     tags=("match_recognize",),
 )
-def q45_match_recognize(spark, sf_dir):
+def z45_match_recognize(spark, sf_dir):
     """MATCH_RECOGNIZE (rel/core/Match.java:62): per-user V-shape on
     event value (STRT DOWN+ UP+ over ts order) — symbol classification
     in JVM window exprs, NFA per user via applyInPandas
@@ -255,11 +255,11 @@ def q45_match_recognize(spark, sf_dir):
 
 
 @register(
-    "q46_match_all_rows",
-    oracle=snapshot_oracle("q46_match_all_rows"),  # NFA not SQL-expressible; reviewed snapshot
+    "z46_match_all_rows",
+    oracle=snapshot_oracle("z46_match_all_rows"),  # NFA not SQL-expressible; reviewed snapshot
     tags=("match_recognize", "all_rows"),
 )
-def q46_match_all_rows(spark, sf_dir):
+def z46_match_all_rows(spark, sf_dir):
     """MATCH_RECOGNIZE ALL ROWS PER MATCH (Match.java:69 allRows=true,
     match.iq ALL ROWS cases): every matched input row is emitted with
     RUNNING measures, CLASSIFIER() and MATCH_NUMBER()."""
@@ -292,11 +292,11 @@ def q46_match_all_rows(spark, sf_dir):
 
 
 @register(
-    "q47_match_skip_subset",
-    oracle=snapshot_oracle("q47_match_skip_subset"),  # NFA not SQL-expressible; reviewed snapshot
+    "z47_match_skip_subset",
+    oracle=snapshot_oracle("z47_match_skip_subset"),  # NFA not SQL-expressible; reviewed snapshot
     tags=("match_recognize", "skip_to", "subset", "within"),
 )
-def q47_match_skip_subset(spark, sf_dir):
+def z47_match_skip_subset(spark, sf_dir):
     """AFTER MATCH SKIP TO LAST UP (Match.java:70) + SUBSET MOVE =
     (DOWN, UP) (Match.java:74) + WITHIN 7 days (Match.java:77):
     overlapping V-shapes whose span fits the interval, measured over the

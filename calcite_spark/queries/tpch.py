@@ -29,7 +29,7 @@ def _sql(spark, sf_dir, sql: str):
 
 
 @register(
-    "q01_pricing_summary",
+    "z01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 3) AS sum_qty,
@@ -47,7 +47,7 @@ def _sql(spark, sf_dir, sql: str):
     """,
     tags=("aggregate", "filter", "sort"),
 )
-def q01_pricing_summary(spark, sf_dir):
+def z01_pricing_summary(spark, sf_dir):
     """Scan→Filter→Aggregate(8 calls)→Sort ≈ TpchTest Q1."""
     return (
         _b(spark, sf_dir)
@@ -78,7 +78,7 @@ def q01_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "q02_revenue_by_nation",
+    "z02_revenue_by_nation",
     oracle="""
     SELECT r_name, n_name,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue,
@@ -92,7 +92,7 @@ def q01_pricing_summary(spark, sf_dir):
     """,
     tags=("join", "broadcast", "aggregate"),
 )
-def q02_revenue_by_nation(spark, sf_dir):
+def z02_revenue_by_nation(spark, sf_dir):
     """4-way join; nation/region broadcast by the BroadcastSmallDimensions
     rewrite rule (fact table never shuffles for dimension joins)."""
     return (
@@ -122,7 +122,7 @@ def q02_revenue_by_nation(spark, sf_dir):
 
 
 @register(
-    "q03_topk_orders",
+    "z03_topk_orders",
     oracle="""
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue,
@@ -136,7 +136,7 @@ def q02_revenue_by_nation(spark, sf_dir):
     """,
     tags=("join", "sort", "limit", "topk"),
 )
-def q03_topk_orders(spark, sf_dir):
+def z03_topk_orders(spark, sf_dir):
     """TPC-H Q3 shape: join+agg+top-K; Spark plans TakeOrderedAndProject
     (no global sort — each partition keeps 10, driver merges)."""
     return (
@@ -163,7 +163,7 @@ def q03_topk_orders(spark, sf_dir):
 
 
 @register(
-    "q04_semi_join",
+    "z04_semi_join",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
@@ -176,7 +176,7 @@ def q03_topk_orders(spark, sf_dir):
     """,
     tags=("join", "semi"),
 )
-def q04_semi_join(spark, sf_dir):
+def z04_semi_join(spark, sf_dir):
     """EXISTS → left_semi join (what SubQueryRemoveRule+SemiJoinRule do)."""
     return (
         _b(spark, sf_dir)
@@ -191,7 +191,7 @@ def q04_semi_join(spark, sf_dir):
 
 
 @register(
-    "q05_anti_join",
+    "z05_anti_join",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers,
            ROUND(SUM(c_acctbal), 3) AS total_acctbal
@@ -202,7 +202,7 @@ def q04_semi_join(spark, sf_dir):
     """,
     tags=("join", "anti"),
 )
-def q05_anti_join(spark, sf_dir):
+def z05_anti_join(spark, sf_dir):
     """NOT EXISTS → left_anti (≈ MinusToAntiJoinRule territory)."""
     return (
         _b(spark, sf_dir)
@@ -224,7 +224,7 @@ def q05_anti_join(spark, sf_dir):
 
 
 @register(
-    "q06_forecast_revenue",
+    "z06_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue,
            COUNT(*) AS n_rows
@@ -236,7 +236,7 @@ def q05_anti_join(spark, sf_dir):
     """,
     tags=("filter", "aggregate", "pushdown"),
 )
-def q06_forecast_revenue(spark, sf_dir):
+def z06_forecast_revenue(spark, sf_dir):
     """TPC-H Q6: every predicate reaches the parquet scan (PushedFilters)."""
     return (
         _b(spark, sf_dir)
@@ -264,7 +264,7 @@ def q06_forecast_revenue(spark, sf_dir):
 
 
 @register(
-    "q07_rollup",
+    "z07_rollup",
     oracle="""
     SELECT r_name, n_name,
            ROUND(SUM(s_acctbal), 3) AS total_bal,
@@ -279,7 +279,7 @@ def q06_forecast_revenue(spark, sf_dir):
     """,
     tags=("aggregate", "rollup", "grouping"),
 )
-def q07_rollup(spark, sf_dir):
+def z07_rollup(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("supplier")
@@ -303,7 +303,7 @@ def q07_rollup(spark, sf_dir):
 
 
 @register(
-    "q08_cube",
+    "z08_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 3) AS sum_qty,
@@ -314,7 +314,7 @@ def q07_rollup(spark, sf_dir):
     """,
     tags=("aggregate", "cube"),
 )
-def q08_cube(spark, sf_dir):
+def z08_cube(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("lineitem")
@@ -329,7 +329,7 @@ def q08_cube(spark, sf_dir):
 
 
 @register(
-    "q09_grouping_sets",
+    "z09_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
@@ -340,7 +340,7 @@ def q08_cube(spark, sf_dir):
     """,
     tags=("aggregate", "grouping_sets"),
 )
-def q09_grouping_sets(spark, sf_dir):
+def z09_grouping_sets(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("orders")
@@ -361,7 +361,7 @@ def q09_grouping_sets(spark, sf_dir):
 
 
 @register(
-    "q10_distinct_filtered_agg",
+    "z10_distinct_filtered_agg",
     oracle="""
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_customers,
@@ -374,7 +374,7 @@ def q09_grouping_sets(spark, sf_dir):
     """,
     tags=("aggregate", "distinct", "filter_clause"),
 )
-def q10_distinct_filtered_agg(spark, sf_dir):
+def z10_distinct_filtered_agg(spark, sf_dir):
     """DISTINCT + FILTER(WHERE) aggregate modifiers
     (AggregateExpandDistinctAggregatesRule ≈ Spark RewriteDistinctAggregates)."""
     return (
@@ -400,7 +400,7 @@ def q10_distinct_filtered_agg(spark, sf_dir):
 
 
 @register(
-    "q11_union",
+    "z11_union",
     oracle="""
     SELECT key_ AS custkey FROM (
       SELECT DISTINCT c_custkey AS key_ FROM customer WHERE c_acctbal > 9000
@@ -410,7 +410,7 @@ def q10_distinct_filtered_agg(spark, sf_dir):
     """,
     tags=("setop", "union"),
 )
-def q11_union(spark, sf_dir):
+def z11_union(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("customer")
@@ -426,7 +426,7 @@ def q11_union(spark, sf_dir):
 
 
 @register(
-    "q12_intersect",
+    "z12_intersect",
     oracle="""
     SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
     INTERSECT
@@ -435,7 +435,7 @@ def q11_union(spark, sf_dir):
     """,
     tags=("setop", "intersect"),
 )
-def q12_intersect(spark, sf_dir):
+def z12_intersect(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("customer")
@@ -451,7 +451,7 @@ def q12_intersect(spark, sf_dir):
 
 
 @register(
-    "q13_except",
+    "z13_except",
     oracle="""
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
@@ -460,7 +460,7 @@ def q12_intersect(spark, sf_dir):
     """,
     tags=("setop", "except"),
 )
-def q13_except(spark, sf_dir):
+def z13_except(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("customer")
@@ -479,7 +479,7 @@ def q13_except(spark, sf_dir):
 
 
 @register(
-    "q14_case_agg",
+    "z14_case_agg",
     oracle="""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
@@ -491,7 +491,7 @@ def q13_except(spark, sf_dir):
     """,
     tags=("aggregate", "case"),
 )
-def q14_case_agg(spark, sf_dir):
+def z14_case_agg(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("orders")
@@ -520,7 +520,7 @@ def q14_case_agg(spark, sf_dir):
 
 
 @register(
-    "q15_left_join_distribution",
+    "z15_left_join_distribution",
     oracle="""
     SELECT c_count, COUNT(*) AS custdist FROM (
       SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -531,7 +531,7 @@ def q14_case_agg(spark, sf_dir):
     """,
     tags=("join", "left", "aggregate"),
 )
-def q15_left_join_distribution(spark, sf_dir):
+def z15_left_join_distribution(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("customer")
@@ -550,7 +550,7 @@ def q15_left_join_distribution(spark, sf_dir):
 
 
 @register(
-    "q16_values_join",
+    "z16_values_join",
     oracle="""
     SELECT t.tier AS tier, COUNT(*) AS n, ROUND(SUM(c_acctbal), 3) AS bal
     FROM customer
@@ -562,7 +562,7 @@ def q15_left_join_distribution(spark, sf_dir):
     """,
     tags=("values", "join"),
 )
-def q16_values_join(spark, sf_dir):
+def z16_values_join(spark, sf_dir):
     """Inline Values relation joined to a table (broadcast: literal side)."""
     return (
         _b(spark, sf_dir)
@@ -585,7 +585,7 @@ def q16_values_join(spark, sf_dir):
 
 
 @register(
-    "q17_scalar_subquery",
+    "z17_scalar_subquery",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -596,7 +596,7 @@ def q16_values_join(spark, sf_dir):
     """,
     tags=("subquery", "scalar", "correlated"),
 )
-def q17_scalar_subquery(spark, sf_dir):
+def z17_scalar_subquery(spark, sf_dir):
     """TPC-H Q17: correlated scalar subquery (RelDecorrelator ≈ Catalyst
     DecorrelateInnerQuery turns it into an agg+join)."""
     return _sql(
@@ -614,7 +614,7 @@ def q17_scalar_subquery(spark, sf_dir):
 
 
 @register(
-    "q18_in_subquery",
+    "z18_in_subquery",
     oracle="""
     SELECT c_name, o_orderkey, o_totalprice, total_qty
     FROM orders
@@ -626,7 +626,7 @@ def q17_scalar_subquery(spark, sf_dir):
     """,
     tags=("subquery", "having", "join"),
 )
-def q18_in_subquery(spark, sf_dir):
+def z18_in_subquery(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers) with HAVING."""
     return _sql(
         spark,
@@ -644,7 +644,7 @@ def q18_in_subquery(spark, sf_dir):
 
 
 @register(
-    "q19_correlated_exists",
+    "z19_correlated_exists",
     oracle="""
     SELECT s_name, s_acctbal
     FROM supplier
@@ -655,7 +655,7 @@ def q18_in_subquery(spark, sf_dir):
     """,
     tags=("subquery", "exists"),
 )
-def q19_correlated_exists(spark, sf_dir):
+def z19_correlated_exists(spark, sf_dir):
     return _sql(
         spark,
         sf_dir,
@@ -676,7 +676,7 @@ def q19_correlated_exists(spark, sf_dir):
 
 
 @register(
-    "q20_pivot",
+    "z20_pivot",
     oracle="""
     SELECT l_returnflag,
            ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 3) AS F,
@@ -687,7 +687,7 @@ def q19_correlated_exists(spark, sf_dir):
     """,
     tags=("pivot",),
 )
-def q20_pivot(spark, sf_dir):
+def z20_pivot(spark, sf_dir):
     """PIVOT ≈ SqlToRelConverter.convertPivot:3060 → groupBy().pivot()."""
     cat = catalog_for(spark, sf_dir)
     df = (
@@ -701,7 +701,7 @@ def q20_pivot(spark, sf_dir):
 
 
 @register(
-    "q21_unpivot",
+    "z21_unpivot",
     oracle="""
     SELECT p_partkey, metric, ROUND(val, 3) AS val
     FROM (
@@ -714,7 +714,7 @@ def q20_pivot(spark, sf_dir):
     """,
     tags=("unpivot",),
 )
-def q21_unpivot(spark, sf_dir):
+def z21_unpivot(spark, sf_dir):
     """UNPIVOT ≈ SqlToRelConverter.convertUnpivot:3142 → df.unpivot."""
     cat = catalog_for(spark, sf_dir)
     df = (
@@ -734,7 +734,7 @@ def q21_unpivot(spark, sf_dir):
 
 
 @register(
-    "q22_unnest_ordinality",
+    "z22_unnest_ordinality",
     oracle="""
     SELECT p_partkey,
            unnest(string_split(p_type, ' ')) AS tok,
@@ -745,7 +745,7 @@ def q21_unpivot(spark, sf_dir):
     """,
     tags=("uncollect", "unnest"),
 )
-def q22_unnest_ordinality(spark, sf_dir):
+def z22_unnest_ordinality(spark, sf_dir):
     """UNNEST WITH ORDINALITY → posexplode + 1 (SQL-standard 1-based)."""
     return (
         _b(spark, sf_dir)
@@ -764,7 +764,7 @@ def q22_unnest_ordinality(spark, sf_dir):
 
 
 @register(
-    "q23_collect_array",
+    "z23_collect_array",
     oracle="""
     SELECT l_orderkey AS o_orderkey,
            array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
@@ -776,7 +776,7 @@ def q22_unnest_ordinality(spark, sf_dir):
     """,
     tags=("collect", "array"),
 )
-def q23_collect_array(spark, sf_dir):
+def z23_collect_array(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     return (
         cat.table("lineitem")

@@ -15,7 +15,7 @@ def _b(spark, sf_dir) -> RelBuilder:
 
 
 @register(
-    "q30_window_rank_topn",
+    "z30_window_rank_topn",
     oracle="""
     SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
@@ -27,7 +27,7 @@ def _b(spark, sf_dir) -> RelBuilder:
     """,
     tags=("window", "rank", "topn"),
 )
-def q30_window_rank_topn(spark, sf_dir):
+def z30_window_rank_topn(spark, sf_dir):
     """Top-N per group: row_number OVER partition — ProjectToWindowRule
     (RexOver → Window) then filter ≈ the classic top-K-per-key pattern."""
     return (
@@ -47,7 +47,7 @@ def q30_window_rank_topn(spark, sf_dir):
 
 
 @register(
-    "q31_window_running_sum",
+    "z31_window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
@@ -61,7 +61,7 @@ def q30_window_rank_topn(spark, sf_dir):
     """,
     tags=("window", "frame", "rows"),
 )
-def q31_window_running_sum(spark, sf_dir):
+def z31_window_running_sum(spark, sf_dir):
     """ROWS frame running aggregate (RexWindowBound UNBOUNDED→CURRENT)."""
     return (
         _b(spark, sf_dir)
@@ -84,7 +84,7 @@ def q31_window_running_sum(spark, sf_dir):
 
 
 @register(
-    "q32_window_sliding_frame",
+    "z32_window_sliding_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
@@ -95,7 +95,7 @@ def q31_window_running_sum(spark, sf_dir):
     """,
     tags=("window", "frame", "sliding"),
 )
-def q32_window_sliding_frame(spark, sf_dir):
+def z32_window_sliding_frame(spark, sf_dir):
     """Bounded ROWS frame (3-row moving average)."""
     return (
         _b(spark, sf_dir)
@@ -116,7 +116,7 @@ def q32_window_sliding_frame(spark, sf_dir):
 
 
 @register(
-    "q33_window_range_frame",
+    "z33_window_range_frame",
     oracle="""
     SELECT s_suppkey, s_acctbal,
            CAST(COUNT(*) OVER (ORDER BY s_acctbal
@@ -126,7 +126,7 @@ def q32_window_sliding_frame(spark, sf_dir):
     """,
     tags=("window", "frame", "range"),
 )
-def q33_window_range_frame(spark, sf_dir):
+def z33_window_range_frame(spark, sf_dir):
     """RANGE frame with numeric offsets (value-based peers)."""
     return (
         _b(spark, sf_dir)
@@ -144,7 +144,7 @@ def q33_window_range_frame(spark, sf_dir):
 
 
 @register(
-    "q34_lead_lag",
+    "z34_lead_lag",
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0), 3) AS delta_prev,
@@ -155,7 +155,7 @@ def q33_window_range_frame(spark, sf_dir):
     """,
     tags=("window", "lead", "lag"),
 )
-def q34_lead_lag(spark, sf_dir):
+def z34_lead_lag(spark, sf_dir):
     """LEAD :1192 / LAG :1198 (SqlStdOperatorTable)."""
     return (
         _b(spark, sf_dir)
@@ -176,7 +176,7 @@ def q34_lead_lag(spark, sf_dir):
 
 
 @register(
-    "q35_ranking_family",
+    "z35_ranking_family",
     oracle="""
     SELECT s_suppkey,
            CAST(rank() OVER w AS INT) AS rnk,
@@ -190,7 +190,7 @@ def q34_lead_lag(spark, sf_dir):
     """,
     tags=("window", "rank", "ntile"),
 )
-def q35_ranking_family(spark, sf_dir):
+def z35_ranking_family(spark, sf_dir):
     """RANK/DENSE_RANK/NTILE/PERCENT_RANK/CUME_DIST (§2.5 full family)."""
     w = "OVER (ORDER BY s_acctbal DESC, s_suppkey)"
     return (
@@ -212,7 +212,7 @@ def q35_ranking_family(spark, sf_dir):
 
 
 @register(
-    "q36_first_last_nth",
+    "z36_first_last_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,
            first_value(o_orderkey) OVER w AS first_ok,
@@ -226,7 +226,7 @@ def q35_ranking_family(spark, sf_dir):
     """,
     tags=("window", "first_value", "nth_value"),
 )
-def q36_first_last_nth(spark, sf_dir):
+def z36_first_last_nth(spark, sf_dir):
     """FIRST_VALUE :1180 / LAST_VALUE :1168 / NTH_VALUE :1186."""
     full = (
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
@@ -251,7 +251,7 @@ def q36_first_last_nth(spark, sf_dir):
 
 
 @register(
-    "q37_window_exclude_group_ties",
+    "z37_window_exclude_group_ties",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
@@ -265,7 +265,7 @@ def q36_first_last_nth(spark, sf_dir):
     """,
     tags=("window", "exclude_group", "exclude_ties"),
 )
-def q37_window_exclude_group_ties(spark, sf_dir):
+def z37_window_exclude_group_ties(spark, sf_dir):
     """EXCLUDE GROUP / EXCLUDE TIES (RexWindowExclusion) — Spark has no
     EXCLUDE clause; algebraic emulation over the full-partition frame:
       peers_sum = SUM(x) OVER (... RANGE CURRENT ROW..CURRENT ROW)

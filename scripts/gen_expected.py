@@ -29,10 +29,10 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "expected")
 
 # queries whose oracle is a checked-in snapshot (see inventory docstrings)
 SNAPSHOT_QUERIES = [
-    "q45_match_recognize",
-    "q46_match_all_rows",
-    "q47_match_skip_subset",
-    "q55_minhash_lsh",
+    "z45_match_recognize",
+    "z46_match_all_rows",
+    "z47_match_skip_subset",
+    "z55_minhash_lsh",
     "q79_simhash_dedup",
     "q80_lsh_knn",
     "qx07_simhash_neardup",

@@ -18,7 +18,7 @@ QS = queries()
 
 
 def test_q06_filters_pushed_to_scan(spark):
-    rep = plan_report(QS["q06_forecast_revenue"](spark, SF_DIR))
+    rep = plan_report(QS["z06_forecast_revenue"](spark, SF_DIR))
     pushed = " ".join(rep["pushed_filters"])
     assert "l_discount" in pushed and "l_quantity" in pushed, rep["pushed_filters"]
     # column pruning: the scan must not read l_returnflag etc.
@@ -28,7 +28,7 @@ def test_q06_filters_pushed_to_scan(spark):
 
 
 def test_q02_dimensions_broadcast(spark):
-    rep = plan_report(QS["q02_revenue_by_nation"](spark, SF_DIR))
+    rep = plan_report(QS["z02_revenue_by_nation"](spark, SF_DIR))
     # nation + region must broadcast (BroadcastSmallDimensions rule);
     # supplier may broadcast too at this SF via AQE — what's forbidden is
     # a sort-merge join against the tiny dims
@@ -36,12 +36,12 @@ def test_q02_dimensions_broadcast(spark):
 
 
 def test_q03_topk_plan(spark):
-    rep = plan_report(QS["q03_topk_orders"](spark, SF_DIR))
+    rep = plan_report(QS["z03_topk_orders"](spark, SF_DIR))
     assert rep["top_k"], "expected TakeOrderedAndProject for ORDER BY+LIMIT"
 
 
 def test_q01_column_pruning(spark):
-    rep = plan_report(QS["q01_pricing_summary"](spark, SF_DIR))
+    rep = plan_report(QS["z01_pricing_summary"](spark, SF_DIR))
     schema = " ".join(rep["read_schemas"])
     # lineitem has 11 columns; Q1 needs 7
     assert "l_orderkey" not in schema and "l_partkey" not in schema
@@ -52,14 +52,14 @@ def test_asof_single_shuffle(spark):
     """The union/last-value ASOF plan must not explode into a join: no
     join operators at all, and ≤ 3 exchanges (round-robin source reps +
     the window hash partition + AQE reads)."""
-    df = QS["q43_asof_join"](spark, SF_DIR)
+    df = QS["z43_asof_join"](spark, SF_DIR)
     rep = plan_report(df)
     assert rep["sort_merge_joins"] == 0 and rep["nested_loop_joins"] == 0
     assert "Window" in rep["text"]
 
 
 def test_semi_join_stays_semi(spark):
-    rep = plan_report(QS["q04_semi_join"](spark, SF_DIR))
+    rep = plan_report(QS["z04_semi_join"](spark, SF_DIR))
     assert re.search(r"LeftSemi", rep["text"]), "EXISTS must plan as a semi join"
 
 
