@@ -326,3 +326,57 @@ def z47_match_skip_subset(spark, sf_dir):
         within="7 days",
     )
     return out.orderBy("user_id", "match_seq")
+
+
+@register(
+    "qx10_match_stream",
+    oracle="""
+    SELECT 'a' AS k, CAST(1 AS BIGINT) AS match_seq,
+           CAST(3 AS BIGINT) AS n_rows, CAST(18.0 AS DOUBLE) AS last_v,
+           TIMESTAMP '2024-01-01 10:00:00' AS start_ts
+    """,
+    tags=("streaming", "match_recognize", "stateful"),
+)
+def qx10_match_stream(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE (streaming/match_stream.py): bounded
+    pattern A B+ WITHIN 60s over the controlled micro-batch rig — the
+    match's rows arrive in batch 1, finalization (event time passing
+    start+WITHIN) happens in batch 2, so the emitted row crosses a
+    micro-batch boundary. The run is deterministic end-to-end, so the
+    oracle is the literal expected match; a wrong NFA, wrong
+    finalization frontier, or double emission all hash-mismatch."""
+    import uuid
+
+    from calcite_spark.streaming.match_stream import match_recognize_stream
+    from calcite_spark.streaming.sources import ControlledStreamSource
+
+    src = ControlledStreamSource(spark, "ts timestamp, k string, v double")
+    sink = f"qx10_mr_{uuid.uuid4().hex[:8]}"
+    out = match_recognize_stream(
+        src.stream(),
+        partition_by=["k"],
+        ts_col="ts",
+        pattern="A B+",
+        define={"A": "v < 10", "B": "v >= 10"},
+        measures={"n_rows": "COUNT(*)", "last_v": "LAST(v)", "start_ts": "FIRST(ts)"},
+        within=60.0,
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        src.add_batch(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 5.0},
+                {"ts": "2024-01-01 10:00:10", "k": "a", "v": 15.0},
+                {"ts": "2024-01-01 10:00:20", "k": "a", "v": 18.0},
+            ]
+        )
+        q.processAllAvailable()
+        src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
+        q.processAllAvailable()
+        rows = [r.asDict() for r in spark.sql(f"SELECT * FROM {sink}").collect()]
+    finally:
+        q.stop()
+        src.close()
+    return spark.createDataFrame(
+        rows, "k string, match_seq bigint, n_rows bigint, last_v double, start_ts timestamp"
+    )

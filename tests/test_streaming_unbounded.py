@@ -223,3 +223,82 @@ def test_catalog_stream_registration(spark):
     assert stream_of(cat, "orders").isStreaming
     with pytest.raises(KeyError):
         stream_of(cat, "nope")
+
+
+def test_streaming_match_recognize_across_batches(spark):
+    """Streaming MATCH_RECOGNIZE spike (streaming/match_stream.py): a
+    bounded pattern (A B+ WITHIN 60s) over the controlled rig. The match
+    rows all arrive in batch 1 but emission happens in batch 2, when the
+    key's event time passes start+WITHIN (deterministic finalization) —
+    matches cross micro-batch boundaries, exactly once, with SKIP PAST
+    sequencing."""
+    from calcite_spark.streaming.match_stream import match_recognize_stream
+
+    src = ControlledStreamSource(spark, "ts timestamp, k string, v double")
+    out = match_recognize_stream(
+        src.stream(),
+        partition_by=["k"],
+        ts_col="ts",
+        pattern="A B+",
+        define={"A": "v < 10", "B": "v >= 10"},
+        measures={"n_rows": "COUNT(*)", "last_v": "LAST(v)", "start_ts": "FIRST(ts)"},
+        within=60.0,
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mr_out")
+        .start()
+    )
+    try:
+        # batch 1: a complete A B B run — but not yet finalizable
+        src.add_batch(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 5.0},
+                {"ts": "2024-01-01 10:00:10", "k": "a", "v": 15.0},
+                {"ts": "2024-01-01 10:00:20", "k": "a", "v": 18.0},
+            ]
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM t_mr_out").collect()[0].n == 0
+
+        # batch 2: event past 10:01:00 finalizes the match from batch 1
+        src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_mr_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.k, r.match_seq, r.n_rows, r.last_v) == ("a", 1, 3, 18.0)
+        assert str(r.start_ts) == "2024-01-01 10:00:00"
+
+        # batch 3: far-future event; the lone buffered A (10:05, v=3)
+        # never grows a B within 60s -> no second match
+        src.add_batch([{"ts": "2024-01-01 11:00:00", "k": "a", "v": 50.0}])
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM t_mr_out").collect()[0].n == 1
+        assert q.isActive
+    finally:
+        q.stop()
+        src.close()
+
+
+def test_streaming_match_recognize_guards(spark):
+    """WITHIN is mandatory (unbounded patterns are undecidable on a
+    stream) and PREV/NEXT are rejected in the spike surface."""
+    from calcite_spark.streaming.match_stream import match_recognize_stream
+
+    src = ControlledStreamSource(spark, "ts timestamp, k string, v double")
+    try:
+        with pytest.raises(ValueError, match="WITHIN"):
+            match_recognize_stream(
+                src.stream(), ["k"], "ts", "A+", {"A": "v > 0"}, {"n": "COUNT(*)"},
+                within=None,
+            )
+        with pytest.raises(NotImplementedError, match="PREV"):
+            match_recognize_stream(
+                src.stream(), ["k"], "ts", "A+", {"A": "v > PREV(v)"},
+                {"n": "COUNT(*)"}, within=60.0,
+            )
+    finally:
+        src.close()
