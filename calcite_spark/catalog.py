@@ -79,6 +79,10 @@ class Catalog:
         from calcite_spark.functions.json_path import register_json_udfs
 
         register_json_udfs(spark)
+        # WKT parse slow path for the spatial library (functions/spatial.py)
+        from calcite_spark.functions.spatial import register_spatial_udfs
+
+        register_spatial_udfs(spark)
 
     # -- registration -------------------------------------------------
     def register_parquet_dir(self, sf_dir: str, tables=TPCH_TABLES) -> "Catalog":

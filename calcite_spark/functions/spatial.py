@@ -1,0 +1,321 @@
+"""Spatial ST_ functions — planar (Euclidean) tier, pure Spark SQL.
+
+≈ runtime/SpatialTypeFunctions.java (178 operators registered under
+SqlLibrary.SPATIAL; constructors :672 ST_MakePoint, relations :997
+ST_Distance / :1037 ST_Contains, measures :1539 ST_Area). The reference
+executes these on JTS/Esri Geometry objects; the Spark-first design
+keeps geometry as a plain STRUCT column
+
+    geom = struct<kind: string, pts: array<struct<x: double, y: double>>>
+
+(POINT / LINESTRING / POLYGON single outer ring, ring NOT closed — the
+last→first edge is implicit), so every operator below is a SQL
+expression over arrays: higher-order functions inside whole-stage
+codegen, zero Python on the hot path, trivially partition-parallel at
+100 TB. The shoelace area, ray-casting containment, and point-segment
+distance folds are the classic planar algorithms expressed as
+`aggregate()` over the vertex array.
+
+WKT parse (ST_GeomFromText) is the ONE slow path — a regex-based SQL
+expression handles POINT; LINESTRING/POLYGON go through the cs_geom
+Pandas UDF registered per session (same contract as the JSON path
+engine: documented, off the hot path). ST_AsText is pure SQL.
+
+Out of scope (refused at translate time, not silently wrong): Z/M
+coordinates, multi-geometries, polygon holes, ST_Buffer/ST_Union/
+ST_Intersection constructive geometry, geodesic math. Each raises
+KeyError through the registry rather than emitting an approximation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module scope: pandas_udf type hints resolve here
+
+GEOM_TYPE = "struct<kind: string, pts: array<struct<x: double, y: double>>>"
+
+
+def _pt(g: str, i: str) -> str:
+    """1-based vertex accessor."""
+    return f"element_at({g}.pts, {i})"
+
+
+def _n(g: str) -> str:
+    return f"size({g}.pts)"
+
+
+def make_point(x: str, y: str) -> str:
+    return (
+        "named_struct('kind', 'POINT', 'pts', array(named_struct("
+        f"'x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))))"
+    )
+
+
+def make_line(*points: str) -> str:
+    """ST_MakeLine over ST_Point values: concatenates their vertices."""
+    pts = ", ".join(f"element_at({p}.pts, 1)" for p in points)
+    return f"named_struct('kind', 'LINESTRING', 'pts', array({pts}))"
+
+
+def st_x(g: str) -> str:
+    return f"CASE WHEN {g}.kind = 'POINT' THEN {_pt(g, '1')}.x END"
+
+
+def st_y(g: str) -> str:
+    return f"CASE WHEN {g}.kind = 'POINT' THEN {_pt(g, '1')}.y END"
+
+
+def _edges(g: str, closed: bool) -> str:
+    """Sequence of edge start indexes: 1..n-1 (+ closing edge n for
+    polygons, pairing vertex n with vertex 1)."""
+    n = _n(g)
+    return f"sequence(1, {n} - {'0' if closed else '1'})"
+
+
+def _edge_b(g: str, i: str) -> str:
+    """End vertex of edge i (wraps to 1 past n — the closing edge)."""
+    return f"element_at({g}.pts, CASE WHEN {i} < {_n(g)} THEN {i} + 1 ELSE 1 END)"
+
+
+def st_length(g: str, closed: bool = False) -> str:
+    """Sum of segment lengths; closed=True adds the implicit ring edge
+    (ST_Perimeter). NULL for points."""
+    i = "i"
+    a, b = _pt(g, i), _edge_b(g, i)
+    seg = f"sqrt(pow({b}.x - {a}.x, 2) + pow({b}.y - {a}.y, 2))"
+    return (
+        f"CASE WHEN {_n(g)} >= 2 THEN "
+        f"aggregate({_edges(g, closed)}, CAST(0.0 AS DOUBLE), (acc, i) -> acc + {seg}) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def st_area(g: str) -> str:
+    """Shoelace formula over the (implicitly closed) outer ring."""
+    i = "i"
+    a, b = _pt(g, i), _edge_b(g, i)
+    cross = f"({a}.x * {b}.y - {b}.x * {a}.y)"
+    return (
+        f"CASE WHEN {g}.kind = 'POLYGON' THEN "
+        f"abs(aggregate({_edges(g, True)}, CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + {cross})) / 2.0 ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def st_centroid(g: str) -> str:
+    """Vertex-mean centroid for POINT/LINESTRING; area-weighted shoelace
+    centroid for POLYGON."""
+    n = _n(g)
+    mean_x = f"aggregate({g}.pts, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.x) / {n}"
+    mean_y = f"aggregate({g}.pts, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.y) / {n}"
+    i = "i"
+    a, b = _pt(g, i), _edge_b(g, i)
+    cross = f"({a}.x * {b}.y - {b}.x * {a}.y)"
+    sa = f"aggregate({_edges(g, True)}, CAST(0.0 AS DOUBLE), (acc, i) -> acc + {cross})"
+    cx = (
+        f"aggregate({_edges(g, True)}, CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + ({a}.x + {b}.x) * {cross}) / (3.0 * {sa})"
+    )
+    cy = (
+        f"aggregate({_edges(g, True)}, CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + ({a}.y + {b}.y) * {cross}) / (3.0 * {sa})"
+    )
+    return (
+        f"CASE WHEN {g}.kind = 'POLYGON' THEN {make_point(cx, cy)} "
+        f"ELSE {make_point(mean_x, mean_y)} END"
+    )
+
+
+def st_envelope(g: str) -> str:
+    """Bounding box as a POLYGON (xmin ymin, xmax ymin, xmax ymax, xmin ymax)."""
+    lo_x = f"array_min(transform({g}.pts, p -> p.x))"
+    hi_x = f"array_max(transform({g}.pts, p -> p.x))"
+    lo_y = f"array_min(transform({g}.pts, p -> p.y))"
+    hi_y = f"array_max(transform({g}.pts, p -> p.y))"
+    mk = lambda x, y: f"named_struct('x', {x}, 'y', {y})"
+    return (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        f"{mk(lo_x, lo_y)}, {mk(hi_x, lo_y)}, {mk(hi_x, hi_y)}, {mk(lo_x, hi_y)}))"
+    )
+
+
+def _point_seg_dist(px, py, ax, ay, bx, by) -> str:
+    """Distance from P to segment AB with parameter clamping."""
+    len2 = f"(pow({bx} - {ax}, 2) + pow({by} - {ay}, 2))"
+    t_raw = f"(({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * ({by} - {ay})) / ({len2} + 1e-300)"
+    t = f"greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), {t_raw}))"
+    qx = f"({ax} + {t} * ({bx} - {ax}))"
+    qy = f"({ay} + {t} * ({by} - {ay}))"
+    return f"sqrt(pow({px} - {qx}, 2) + pow({py} - {qy}, 2))"
+
+
+def _point_to_geom_dist(p: str, g: str) -> str:
+    """Distance point→geometry: 0 inside a polygon, else min distance to
+    the vertex-chain segments (ring edge included for polygons)."""
+    px, py = f"{_pt(p, '1')}.x", f"{_pt(p, '1')}.y"
+    i = "i"
+    a, b = _pt(g, i), _edge_b(g, i)
+    seg = _point_seg_dist(px, py, f"{a}.x", f"{a}.y", f"{b}.x", f"{b}.y")
+    to_chain = (
+        f"CASE WHEN {_n(g)} = 1 THEN "
+        f"sqrt(pow({px} - {_pt(g, '1')}.x, 2) + pow({py} - {_pt(g, '1')}.y, 2)) ELSE "
+        f"aggregate({_edges(g, True)}, CAST('Infinity' AS DOUBLE), "
+        f"(acc, i) -> least(acc, {seg})) END"
+    )
+    return (
+        f"CASE WHEN {g}.kind = 'POLYGON' AND {st_contains(g, p)} THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {to_chain} END"
+    )
+
+
+def st_distance(g1: str, g2: str) -> str:
+    """Planar distance; supported when at least one side is a POINT
+    (≈ SpatialTypeFunctions.ST_Distance:997 for those pairs). NULL for
+    unsupported pairs rather than an approximation."""
+    return (
+        f"CASE WHEN {g1}.kind = 'POINT' THEN {_point_to_geom_dist(g1, g2)} "
+        f"WHEN {g2}.kind = 'POINT' THEN {_point_to_geom_dist(g2, g1)} "
+        "ELSE CAST(NULL AS DOUBLE) END"
+    )
+
+
+def st_dwithin(g1: str, g2: str, r: str) -> str:
+    return f"({st_distance(g1, g2)} <= CAST({r} AS DOUBLE))"
+
+
+def st_contains(poly: str, p: str) -> str:
+    """Ray casting (odd crossings = inside) for POLYGON ∋ POINT
+    (≈ ST_Contains:1037 restricted to that pair); boundary points follow
+    the half-open edge rule. NULL for unsupported pairs."""
+    px, py = f"{_pt(p, '1')}.x", f"{_pt(p, '1')}.y"
+    i = "i"
+    a, b = _pt(poly, i), _edge_b(poly, i)
+    crosses = (
+        f"(({a}.y > {py}) != ({b}.y > {py})) AND "
+        f"({px} < ({b}.x - {a}.x) * ({py} - {a}.y) / ({b}.y - {a}.y) + {a}.x)"
+    )
+    inside = (
+        f"(aggregate({_edges(poly, True)}, 0, "
+        f"(acc, i) -> acc + IF({crosses}, 1, 0)) % 2) = 1"
+    )
+    return (
+        f"CASE WHEN {poly}.kind = 'POLYGON' AND {p}.kind = 'POINT' "
+        f"THEN {inside} END"
+    )
+
+
+def st_num_points(g: str) -> str:
+    return _n(g)
+
+
+def st_point_n(g: str, i: str) -> str:
+    return f"named_struct('kind', 'POINT', 'pts', array({_pt(g, i)}))"
+
+
+def st_as_text(g: str) -> str:
+    """WKT emit, pure SQL (≈ SpatialTypeUtils.asWkt)."""
+    one = f"concat(CAST({_pt(g, '1')}.x AS STRING), ' ', CAST({_pt(g, '1')}.y AS STRING))"
+    many = (
+        f"array_join(transform({g}.pts, p -> "
+        "concat(CAST(p.x AS STRING), ' ', CAST(p.y AS STRING))), ', ')"
+    )
+    first = f"concat(CAST({_pt(g, '1')}.x AS STRING), ' ', CAST({_pt(g, '1')}.y AS STRING))"
+    return (
+        f"CASE WHEN {g}.kind = 'POINT' THEN concat('POINT (', {one}, ')') "
+        f"WHEN {g}.kind = 'LINESTRING' THEN concat('LINESTRING (', {many}, ')') "
+        f"WHEN {g}.kind = 'POLYGON' THEN concat('POLYGON ((', {many}, ', ', {first}, '))') "
+        "END"
+    )
+
+
+# ---------------------------------------------------------------------
+# WKT parse — the documented slow path (Pandas UDF), same contract as
+# functions/json_path.py. POINT also has a pure-SQL fast path below.
+# ---------------------------------------------------------------------
+
+
+def parse_wkt_one(wkt):
+    """'POINT (1 2)' / 'LINESTRING (...)' / 'POLYGON ((...))' →
+    (kind, [(x, y), ...]) or None. Polygon outer ring only; the closing
+    vertex (first==last) is dropped (our rings are implicitly closed)."""
+    import re
+
+    if wkt is None:
+        return None
+    m = re.match(r"\s*(POINT|LINESTRING|POLYGON)\s*\(+(.*?)\)+\s*$", wkt, re.I)
+    if not m:
+        return None
+    kind = m.group(1).upper()
+    try:
+        pts = [
+            (float(a), float(b))
+            for a, b in (p.split()[:2] for p in m.group(2).split(",") if p.strip())
+        ]
+    except (ValueError, IndexError):
+        return None
+    if not pts:
+        return None
+    if kind == "POLYGON" and len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return {"kind": kind, "pts": [{"x": x, "y": y} for x, y in pts]}
+
+
+def register_spatial_udfs(spark) -> None:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(GEOM_TYPE)
+    def cs_geom_from_text(s: pd.Series) -> pd.DataFrame:
+        vals = [parse_wkt_one(v) for v in s]
+        return pd.DataFrame(
+            {
+                "kind": [v["kind"] if v else None for v in vals],
+                "pts": [v["pts"] if v else None for v in vals],
+            }
+        )
+
+    spark.udf.register("cs_geom_from_text", cs_geom_from_text)
+
+
+# ---------------------------------------------------------------------
+# Registry entries (SqlLibrary.SPATIAL analog): name → template builder
+# ---------------------------------------------------------------------
+
+
+def register_spatial_functions() -> None:
+    """Install the ST_ rows into the function registry. Templates call
+    the expression builders above with the {i} placeholders so
+    registry.translate() works identically to every other function."""
+    from calcite_spark.functions.registry import _reg
+
+    SPATIAL = "SPATIAL"
+    _reg("ST_MAKEPOINT", make_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_POINT", make_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_MAKELINE", make_line("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_X", st_x("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_Y", st_y("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_DISTANCE", st_distance("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_DWITHIN", st_dwithin("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,))
+    _reg("ST_CONTAINS", st_contains("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_WITHIN", st_contains("{1}", "{0}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_AREA", st_area("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_LENGTH", st_length("{0}", closed=False), (1,), libs=(SPATIAL,))
+    _reg("ST_PERIMETER", st_length("{0}", closed=True), (1,), libs=(SPATIAL,))
+    _reg("ST_CENTROID", st_centroid("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_ENVELOPE", st_envelope("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_NUMPOINTS", st_num_points("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_NPOINTS", st_num_points("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_POINTN", st_point_n("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_STARTPOINT", st_point_n("{0}", "1"), (1,), libs=(SPATIAL,))
+    _reg("ST_ENDPOINT", st_point_n("{0}", f"size({{0}}.pts)"), (1,), libs=(SPATIAL,))
+    _reg("ST_ASTEXT", st_as_text("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_ASWKT", st_as_text("{0}"), (1,), libs=(SPATIAL,))
+    _reg(
+        "ST_GEOMFROMTEXT",
+        "cs_geom_from_text({0})",
+        (1,),
+        libs=(SPATIAL,),
+        kind="udf",
+        note="WKT parse: Pandas UDF slow path (register_spatial_udfs)",
+    )
+
+
+register_spatial_functions()

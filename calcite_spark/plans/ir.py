@@ -169,12 +169,24 @@ class Aggregate(RelNode):
             counts[tuple(s)] = counts.get(tuple(s), 0) + 1
         df.createOrReplaceTempView("__gs_input__")
         keys = ", ".join(self.group_keys)
+
+        gid_re = _re.compile(r"(?i)GROUP_ID\s*\(\s*\)")
+        lit_re = _re.compile(r"('(?:[^']|'')*')")  # '' = escaped quote
+
+        def sub_outside_literals(text: str, repl: str) -> str:
+            # token-aware: never rewrite a GROUP_ID() that sits inside a
+            # string literal (r2 review note — textual sub would mangle it)
+            parts = lit_re.split(text)
+            return "".join(
+                p if i % 2 else gid_re.sub(repl, p) for i, p in enumerate(parts)
+            )
+
         branches = []
         for i in range(max(counts.values())):
             sets_i = [s for s, n in counts.items() if n > i]
             sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets_i)
             calls = ", ".join(
-                _re.sub(r"(?i)GROUP_ID\s*\(\s*\)", str(i), c) for c in self.agg_calls
+                sub_outside_literals(c, str(i)) for c in self.agg_calls
             )
             branches.append(
                 f"SELECT {keys}{', ' if keys else ''}{calls} FROM __gs_input__ "

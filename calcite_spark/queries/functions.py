@@ -716,3 +716,74 @@ def qx06_json_agg(spark, sf_dir):
         .sort("r_name")
         .to_df()
     )
+
+
+@register(
+    "qx11_spatial",
+    oracle="""
+    SELECT r.n_name,
+           r.n_near,
+           r.n_inside,
+           r.avg_dist
+    FROM (
+      SELECT n_name,
+             COUNT(*) FILTER (WHERE sqrt(pow(x - 5.0, 2) + pow(y - 50.0, 2)) <= 30.0)
+               AS n_near,
+             COUNT(*) FILTER (WHERE x > 0.1234567 AND x < 5.1234567 AND y > -0.5 AND y < 79.5)
+               AS n_inside,
+             ROUND(AVG(sqrt(pow(x - 5.0, 2) + pow(y - 50.0, 2))), 4) AS avg_dist
+      FROM (
+        SELECT n_name,
+               CAST(c_acctbal AS DOUBLE) / 1000.0 AS x,
+               CAST(c_custkey % 100 AS DOUBLE) AS y
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+      )
+      GROUP BY n_name
+    ) r
+    ORDER BY r.n_name
+    """,
+    tags=("spatial", "functions"),
+)
+def qx11_spatial(spark, sf_dir):
+    """Spatial ST_ tier (functions/spatial.py ≈ SpatialTypeFunctions.java)
+    under the driver gate: customers become planar points
+    (acctbal/1000, custkey%100); per nation count points ST_DWithin 30 of
+    (5,50), points ST_Contains-ed by an off-grid square (bounds chosen so no point lies on an edge - boundary rules then cannot diverge), and
+    mean ST_Distance. The oracle recomputes everything with RAW
+    ARITHMETIC (sqrt/pow/comparisons), so the geometry algorithms are
+    independently cross-checked, not echoed. All ST_ evaluation is
+    JVM-side SQL over structs (whole-stage codegen; no UDF)."""
+    from calcite_spark.functions import registry as R
+
+    cat = catalog_for(spark, sf_dir)
+    T = lambda name, *args: R.translate(name, *args, library="SPATIAL")
+    pt = T("ST_MAKEPOINT", "CAST(c_acctbal AS DOUBLE) / 1000.0", "CAST(c_custkey % 100 AS DOUBLE)")
+    anchor = T("ST_MAKEPOINT", "5.0", "50.0")
+    # bounds no data point can sit on (x has <=5 decimals, y is an
+    # integer), so ray-casting edge rules vs strict inequalities agree
+    square = (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        "named_struct('x', 0.1234567d, 'y', -0.5d), named_struct('x', 5.1234567d, 'y', -0.5d), "
+        "named_struct('x', 5.1234567d, 'y', 79.5d), named_struct('x', 0.1234567d, 'y', 79.5d)))"
+    )
+    pts = (
+        cat.table("customer")
+        .join(cat.table("nation"), F.expr("c_nationkey = n_nationkey"))
+        .selectExpr("n_name", f"{pt} AS g")
+    )
+    return (
+        pts.selectExpr(
+            "n_name",
+            f"{T('ST_DISTANCE', 'g', anchor)} AS dist",
+            f"{T('ST_DWITHIN', 'g', anchor, '30.0')} AS near",
+            f"{T('ST_CONTAINS', square, 'g')} AS inside",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr("COUNT(*) FILTER (WHERE near)").alias("n_near"),
+            F.expr("COUNT(*) FILTER (WHERE inside)").alias("n_inside"),
+            F.expr("ROUND(AVG(dist), 4)").alias("avg_dist"),
+        )
+        .select("n_name", "n_near", "n_inside", "avg_dist")
+        .orderBy("n_name")
+    )

@@ -166,6 +166,45 @@ def _fetch(catalog, engine, sql: str) -> DataFrame:
     return df
 
 
+def jdbc_parallel_scan(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+    driver: str | None = None,
+    fetchsize: int = 10_000,
+    reader=None,
+):
+    """Parallel JDBC source — the cluster-scale half of the JDBC adapter
+    (≈ JdbcSchema + a partitioned input): `num_partitions` executors each
+    issue their own bounded range query over `partition_column`, so the
+    remote table streams into the cluster in parallel instead of through
+    the driver (the `_fetch` path is for REDUCING subtrees only).
+
+    Gated on a JDBC driver jar being on the Spark classpath — absent in
+    this container, so `reader` injection lets tests pin the exact
+    option contract (names Spark's JDBC source requires) without a jar;
+    production callers omit it."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    r = (reader if reader is not None else spark.read).format("jdbc")
+    r = (
+        r.option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .option("fetchsize", str(fetchsize))
+    )
+    if driver:
+        r = r.option("driver", driver)
+    return r.load()
+
+
 def federate(node: ir.RelNode, catalog) -> ir.RelNode:
     """Replace every MAXIMAL all-external subtree with a scan of its
     remotely-executed result (≈ JdbcRules firing bottom-up until the

@@ -117,6 +117,54 @@ def _scans(node):
         stack.extend(n.inputs)
 
 
+def test_jdbc_parallel_scan_option_contract(spark):
+    """The parallel JDBC path (jar-gated in this container) is compiled
+    and its option contract pinned via an injected stub reader: Spark's
+    JDBC source needs partitionColumn/lowerBound/upperBound/numPartitions
+    together to parallelize, and that is exactly what must be set."""
+    from calcite_spark.sources.federation import jdbc_parallel_scan
+
+    class StubReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return ("loaded", self.fmt, dict(self.opts))
+
+    stub = StubReader()
+    out = jdbc_parallel_scan(
+        spark,
+        url="jdbc:postgresql://warehouse:5432/dw",
+        table="public.orders",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=6_000_000,
+        num_partitions=64,
+        driver="org.postgresql.Driver",
+        reader=stub,
+    )
+    tag, fmt, opts = out
+    assert tag == "loaded" and fmt == "jdbc"
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "6000000")
+    assert opts["numPartitions"] == "64"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["fetchsize"] == "10000"
+    with pytest.raises(ValueError, match="num_partitions"):
+        jdbc_parallel_scan(
+            spark, "u", "t", "c", 0, 1, num_partitions=0, reader=StubReader()
+        )
+
+
 def test_fetch_preserves_remote_types(spark):
     """r2 review: the Arrow ingest must keep decimal/timestamp/date/int
     fidelity — the fetched Spark schema is checked field-by-field against

@@ -1,0 +1,165 @@
+"""Spatial ST_ function tier (functions/spatial.py ≈
+runtime/SpatialTypeFunctions.java): value checks against hand-computed
+planar geometry — shoelace areas, ray-casting containment, point-segment
+distances — plus WKT round-trips through both the pure-SQL emitter and
+the Pandas-UDF parser.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from calcite_spark.functions import registry
+from calcite_spark.functions.spatial import parse_wkt_one
+
+T = lambda name, *args: registry.translate(name, *args, library="SPATIAL")
+
+
+def _one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+# geometry literals (SQL expressions)
+P12 = T("ST_MAKEPOINT", "1", "2")
+P45 = T("ST_MAKEPOINT", "4", "6")
+# unit-square polygon, implicit ring closure
+SQUARE = (
+    "named_struct('kind', 'POLYGON', 'pts', array("
+    "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d), "
+    "named_struct('x', 4.0d, 'y', 4.0d), named_struct('x', 0.0d, 'y', 4.0d)))"
+)
+LINE = (
+    "named_struct('kind', 'LINESTRING', 'pts', array("
+    "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 0.0d), "
+    "named_struct('x', 3.0d, 'y', 4.0d)))"
+)
+
+
+def test_point_accessors(spark):
+    assert _one(spark, T("ST_X", P12)) == 1.0
+    assert _one(spark, T("ST_Y", P12)) == 2.0
+    assert _one(spark, T("ST_NUMPOINTS", LINE)) == 3
+
+
+def test_distance_point_point(spark):
+    # (1,2) → (4,6): 3-4-5 triangle
+    assert _one(spark, T("ST_DISTANCE", P12, P45)) == pytest.approx(5.0)
+    assert _one(spark, T("ST_DWITHIN", P12, P45, "5.0")) is True
+    assert _one(spark, T("ST_DWITHIN", P12, P45, "4.9")) is False
+
+
+def test_distance_point_linestring(spark):
+    # point (5, 1) vs L-shaped line: nearest on vertical segment x=3 → 2.0
+    p = T("ST_MAKEPOINT", "5", "1")
+    assert _one(spark, T("ST_DISTANCE", p, LINE)) == pytest.approx(2.0)
+    # symmetric dispatch
+    assert _one(spark, T("ST_DISTANCE", LINE, p)) == pytest.approx(2.0)
+    # beyond an endpoint: clamps to the vertex (3,4): point (3,6) → 2.0
+    p2 = T("ST_MAKEPOINT", "3", "6")
+    assert _one(spark, T("ST_DISTANCE", p2, LINE)) == pytest.approx(2.0)
+
+
+def test_distance_point_polygon(spark):
+    inside = T("ST_MAKEPOINT", "2", "2")
+    outside = T("ST_MAKEPOINT", "7", "2")
+    assert _one(spark, T("ST_DISTANCE", inside, SQUARE)) == 0.0
+    assert _one(spark, T("ST_DISTANCE", outside, SQUARE)) == pytest.approx(3.0)
+    # linestring-linestring is out of scope → NULL, not an approximation
+    assert _one(spark, T("ST_DISTANCE", LINE, LINE)) is None
+
+
+def test_contains_ray_casting(spark):
+    inside = T("ST_MAKEPOINT", "1", "1")
+    outside = T("ST_MAKEPOINT", "5", "5")
+    assert _one(spark, T("ST_CONTAINS", SQUARE, inside)) is True
+    assert _one(spark, T("ST_CONTAINS", SQUARE, outside)) is False
+    assert _one(spark, T("ST_WITHIN", inside, SQUARE)) is True
+    # concave polygon (arrow): (0,0) (4,0) (4,4) (2,1.5) (0,4) — the
+    # notch point (2, 3) is OUTSIDE the polygon
+    arrow = (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d), "
+        "named_struct('x', 4.0d, 'y', 4.0d), named_struct('x', 2.0d, 'y', 1.5d), "
+        "named_struct('x', 0.0d, 'y', 4.0d)))"
+    )
+    notch = T("ST_MAKEPOINT", "2", "3")
+    low = T("ST_MAKEPOINT", "2", "1")
+    assert _one(spark, T("ST_CONTAINS", arrow, notch)) is False
+    assert _one(spark, T("ST_CONTAINS", arrow, low)) is True
+
+
+def test_area_length_perimeter_shoelace(spark):
+    assert _one(spark, T("ST_AREA", SQUARE)) == pytest.approx(16.0)
+    assert _one(spark, T("ST_LENGTH", LINE)) == pytest.approx(7.0)
+    assert _one(spark, T("ST_PERIMETER", SQUARE)) == pytest.approx(16.0)
+    # concave shoelace: triangle (0,0) (4,0) (0,3) = 6
+    tri = (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d), "
+        "named_struct('x', 0.0d, 'y', 3.0d)))"
+    )
+    assert _one(spark, T("ST_AREA", tri)) == pytest.approx(6.0)
+    assert _one(spark, T("ST_AREA", P12)) == 0.0
+
+
+def test_centroid_envelope(spark):
+    c = _one(spark, T("ST_CENTROID", SQUARE))
+    assert (c.pts[0].x, c.pts[0].y) == (2.0, 2.0)
+    env = _one(spark, T("ST_ENVELOPE", LINE))
+    assert env.kind == "POLYGON"
+    xs = sorted({p.x for p in env.pts})
+    ys = sorted({p.y for p in env.pts})
+    assert xs == [0.0, 3.0] and ys == [0.0, 4.0]
+
+
+def test_point_n_endpoints_makeline(spark):
+    assert _one(spark, T("ST_STARTPOINT", LINE)).pts[0].x == 0.0
+    assert _one(spark, T("ST_ENDPOINT", LINE)).pts[0].y == 4.0
+    assert _one(spark, T("ST_POINTN", LINE, "2")).pts[0].x == 3.0
+    ml = _one(spark, T("ST_MAKELINE", P12, P45))
+    assert ml.kind == "LINESTRING" and len(ml.pts) == 2
+
+
+def test_wkt_emit_and_parse_roundtrip(spark):
+    assert _one(spark, T("ST_ASTEXT", P12)) == "POINT (1.0 2.0)"
+    txt = _one(spark, T("ST_ASTEXT", SQUARE))
+    assert txt.startswith("POLYGON ((0.0 0.0, 4.0 0.0,")
+    assert txt.endswith("0.0 0.0))")  # ring closed in WKT output
+    # parser (pure python, used by the pandas UDF)
+    g = parse_wkt_one("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert g["kind"] == "POLYGON" and len(g["pts"]) == 4  # closing vertex dropped
+    assert parse_wkt_one("LINESTRING (0 0, 3 4)")["pts"][1] == {"x": 3.0, "y": 4.0}
+    assert parse_wkt_one("garbage") is None and parse_wkt_one(None) is None
+
+
+def test_wkt_udf_roundtrip_on_cluster(spark):
+    """cs_geom_from_text through an actual Spark plan: parse WKT, then
+    every downstream ST_ function runs JVM-side on the struct."""
+    from calcite_spark.catalog import Catalog
+
+    Catalog(spark)  # registers the UDF on this session
+    df = spark.createDataFrame(
+        [("POINT (1 2)",), ("LINESTRING (0 0, 3 0, 3 4)",), ("bad wkt",)],
+        "wkt string",
+    )
+    out = df.selectExpr(
+        f"{T('ST_GEOMFROMTEXT', 'wkt')} AS g"
+    ).selectExpr(
+        "g.kind AS kind",
+        f"{T('ST_NUMPOINTS', 'g')} AS n",
+        f"{T('ST_LENGTH', 'g')} AS len",
+    ).collect()
+    by_kind = {r.kind: r for r in out}
+    assert by_kind["POINT"].n == 1
+    assert by_kind["LINESTRING"].len == pytest.approx(7.0)
+    assert None in by_kind  # bad wkt → NULL geometry
+
+
+def test_spatial_library_gating(spark):
+    """ST_ rows live in the SPATIAL library (SqlLibrary.SPATIAL analog):
+    visible there, absent from STANDARD lookups."""
+    assert registry.lookup("ST_DISTANCE", "SPATIAL") is not None
+    assert registry.lookup("ST_DISTANCE", "BIG_QUERY") is None
+    assert "SPATIAL" in registry.libraries()
