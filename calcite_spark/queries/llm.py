@@ -236,3 +236,28 @@ def qx08_cosine_dups(spark, sf_dir):
     return embedding_cosine_dups(
         cat.table("embeddings"), threshold=0.45, dim=64, n_planes=3, n_tables=8
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "z56_fingerprint",
+    oracle=snapshot_oracle("z56_fingerprint"),  # xxhash64 grams; reviewed snapshot
+    tags=("llm", "fingerprint", "winnowing"),
+)
+def z56_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprints (llm/textstats.fingerprint):
+    min/max rolling xxhash64 over 8-word windows, pure SQL HOFs — the
+    dedup-adjacent signature column a 100 TB pipeline keys shards on.
+    Grouped per fingerprint bucket so collisions surface as n_docs > 1."""
+    from calcite_spark.llm.textstats import fingerprint
+
+    cat = catalog_for(spark, sf_dir)
+    fp = fingerprint(cat.table("documents"))
+    return (
+        fp.groupBy("fp_min")
+        .agg(
+            F.expr("COUNT(*)").alias("n_docs"),
+            F.expr("MIN(doc_id)").alias("first_doc"),
+        )
+        .filter("n_docs >= 1")
+        .orderBy("fp_min")
+    )

@@ -37,6 +37,7 @@ SNAPSHOT_QUERIES = [
     "q80_lsh_knn",
     "qx07_simhash_neardup",
     "qx08_cosine_dups",
+    "z56_fingerprint",
 ]
 
 
