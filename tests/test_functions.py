@@ -283,6 +283,8 @@ def test_log_dialect_arg_order(spark, duck):
         assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == pytest.approx(2.0), lib
 
 
-def test_udf_todo_list_is_small():
+def test_udf_todo_list_is_empty():
+    """r3: DIFFERENCE and AGE (the last two approximations) went exact —
+    every registered operator is now a real implementation."""
     todos = [f.name for f in registry.FUNCTIONS.values() if f.kind == "udf_todo"]
-    assert len(todos) <= 10, f"UDF fallback list grew: {todos}"
+    assert todos == [], f"UDF fallback list regressed: {todos}"

@@ -72,6 +72,26 @@ def test_wildcard_member():
     assert sorted(eval_path(doc, "$.*")) == [1, 2]
 
 
+def test_parse_path_is_total():
+    """Hypothesis: parse_path either succeeds or raises JsonPathError —
+    never any other exception (the ADVICE r2 crash class), for ANY
+    input string."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from calcite_spark.functions.json_path import parse_path
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def run(s):
+        try:
+            parse_path(s)
+        except JsonPathError:
+            pass
+
+    run()
+
+
 def test_malformed_path_is_json_path_error():
     """ADVICE r2: int('b'), unterminated quote/bracket used to raise raw
     ValueError past the ON ERROR handlers and crash the Spark task —

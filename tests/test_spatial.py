@@ -157,6 +157,24 @@ def test_wkt_udf_roundtrip_on_cluster(spark):
     assert None in by_kind  # bad wkt → NULL geometry
 
 
+def test_parse_wkt_is_total():
+    """Hypothesis: parse_wkt_one returns a dict or None for ANY string —
+    a malformed WKT must never crash the Pandas UDF task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=60))
+    def run(s):
+        out = parse_wkt_one(s)
+        assert out is None or (isinstance(out, dict) and out["pts"])
+
+    run()
+    # WKT-shaped prefixes with broken numerics
+    for s in ("POINT (a b)", "LINESTRING (1 2, x)", "POLYGON ((1,2))", "POINT ()"):
+        assert parse_wkt_one(s) is None, s
+
+
 def test_spatial_library_gating(spark):
     """ST_ rows live in the SPATIAL library (SqlLibrary.SPATIAL analog):
     visible there, absent from STANDARD lookups."""
