@@ -102,6 +102,10 @@ def _decode_ppm(content: bytes):
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        # 2-byte samples: reading single bytes would compute garbage luma
+        # — refuse through the codec gate instead of mis-decoding
+        raise NotImplementedError("PPM maxval > 255 (2-byte samples) not supported")
     i += 1  # single whitespace after maxval precedes the raster
     if content[:2] == b"P6":
         raster = content[i : i + width * height * 3]

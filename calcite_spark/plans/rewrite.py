@@ -141,24 +141,32 @@ def _date_range_canonicalize(node, catalog):
         changed = True
         return text
 
-    def boundary_ok(text: str, start: int, allow_not: bool) -> bool:
-        """The match must begin a predicate: preceded (after stripping
+    def boundary_ok(text: str, start: int, end: int, allow_not: bool) -> bool:
+        """The match must be a WHOLE predicate: preceded (after stripping
         whitespace) by nothing, '(', AND, OR — or NOT when the rewrite is
-        a single-predicate equivalence (allow_not). This blocks the two
-        hazards the advisor found: the conjunction shape grabbing across
-        a NOT ('NOT year(d)=1996 AND month(d)=6' parses as
-        (NOT year=1996) AND month=6), and year() embedded in arithmetic
-        ('x - year(d) = 1996')."""
+        a single-predicate equivalence (allow_not) — and followed by
+        nothing, ')', AND or OR. This blocks year() embedded in
+        arithmetic on EITHER side ('x - year(d) = 1996',
+        'year(d) = 1996 + 1' — the latter would strand '+ 1' after the
+        generated range) and the conjunction shape grabbing across a NOT
+        ('NOT year(d)=1996 AND month(d)=6' parses as
+        (NOT year=1996) AND month=6)."""
         prefix = text[:start].rstrip()
-        if not prefix or prefix.endswith("("):
-            return True
-        m = _re.search(r"([A-Za-z_]\w*)$", prefix)
-        word = m.group(1).upper() if m else None
-        if word in ("AND", "OR"):
-            return True
-        if word == "NOT":
-            return allow_not
-        return False
+        if prefix and not prefix.endswith("("):
+            m = _re.search(r"([A-Za-z_]\w*)$", prefix)
+            word = m.group(1).upper() if m else None
+            if word == "NOT":
+                if not allow_not:
+                    return False
+            elif word not in ("AND", "OR"):
+                return False
+        suffix = text[end:].lstrip()
+        if suffix and not suffix.startswith(")"):
+            m = _re.match(r"([A-Za-z_]\w*)", suffix)
+            word = m.group(1).upper() if m else None
+            if word not in ("AND", "OR"):
+                return False
+        return True
 
     # 1) YEAR = y AND MONTH|QUARTER = k on the SAME column → finer range
     #    NOT a predicate equivalence across a NOT/arithmetic context —
@@ -173,7 +181,7 @@ def _date_range_canonicalize(node, catalog):
         )
 
         def sub_combined(m, rng=rng):
-            if not boundary_ok(cond, m.start(), allow_not=False):
+            if not boundary_ok(cond, m.start(), m.end(), allow_not=False):
                 return m.group(0)
             ycol, y = m.group(1) or m.group(2), int(m.group(3))
             pcol, k = m.group(4) or m.group(5), int(m.group(6))
@@ -187,7 +195,7 @@ def _date_range_canonicalize(node, catalog):
     pat_in = _re.compile(_YEARFN + r"\s+IN\s*\(\s*([\d\s,]+?)\s*\)", _re.I)
 
     def sub_in(m):
-        if not boundary_ok(cond, m.start(), allow_not=True):
+        if not boundary_ok(cond, m.start(), m.end(), allow_not=True):
             return m.group(0)
         col = m.group(1) or m.group(2)
         years = [int(t) for t in _re.findall(r"\d{4}", m.group(3))]
@@ -202,7 +210,7 @@ def _date_range_canonicalize(node, catalog):
     pat_bt = _re.compile(_YEARFN + r"\s+BETWEEN\s+(\d{4})\s+AND\s+(\d{4})", _re.I)
 
     def sub_between(m):
-        if not boundary_ok(cond, m.start(), allow_not=True):
+        if not boundary_ok(cond, m.start(), m.end(), allow_not=True):
             return m.group(0)
         col = m.group(1) or m.group(2)
         y1, y2 = int(m.group(3)), int(m.group(4))
@@ -226,7 +234,7 @@ def _date_range_canonicalize(node, catalog):
     pat_cmp = _re.compile(_YEARFN + r"\s*(=|<=|>=|<|>)\s*(\d{4})(?!\d)", _re.I)
 
     def sub_cmp(m):
-        if not boundary_ok(cond, m.start(), allow_not=True):
+        if not boundary_ok(cond, m.start(), m.end(), allow_not=True):
             return m.group(0)
         col = m.group(1) or m.group(2)
         return mark(year_cmp(col, m.group(3), m.group(4)))
@@ -355,7 +363,7 @@ def _resolve_multijoin(node, catalog):
     return infos, cond_refs
 
 
-def _join_order_greedy(node, catalog):
+def _join_order_greedy(node, catalog, resolved=None):
     """≈ LoptOptimizeJoinRule.java:77 (greedy tier): rebuild the
     multi-join left-deep from catalog statistics — largest relation
     first (the fact side streams), each remaining relation added
@@ -367,7 +375,7 @@ def _join_order_greedy(node, catalog):
     intermediate sizes shrink monotonically. Estimates are
     Catalog.row_count × 0.25 per applied filter
     (≈ RelMdUtil.guessSelectivity:504's default)."""
-    resolved = _resolve_multijoin(node, catalog)
+    resolved = resolved if resolved is not None else _resolve_multijoin(node, catalog)
     if resolved is None:
         return None
     infos, cond_refs = resolved
@@ -414,7 +422,7 @@ def _join_order_greedy(node, catalog):
 DPHYP_MAX_RELS = 10
 
 
-def _join_order_dphyp(node, catalog):
+def _join_order_dphyp(node, catalog, resolved=None):
     """Exact join enumeration over the multi-join hypergraph
     ≈ rel/rules/DphypJoinReorderRule.java:33 + DpHyp.java +
     HyperGraph.java: for ≤ DPHYP_MAX_RELS relations, dynamic programming
@@ -430,10 +438,11 @@ def _join_order_dphyp(node, catalog):
     plan; DpHyp's neighborhood walk only prunes the enumeration ORDER,
     not the result, so the larger machinery is deferred until the rel
     cap grows. Cost model: C_out (sum of intermediate cardinalities),
-    join selectivity 1/max(larger referenced leaf) per applied conjunct
-    (≈ RelMdUtil/System-R default). Cross products are never enumerated
-    (only connected subsets combine)."""
-    resolved = _resolve_multijoin(node, catalog)
+    join selectivity 1/min(BASE rows of the referenced leaves) per
+    applied conjunct — the FK-correct System-R form (the smaller side is
+    the key side). Cross products are never enumerated (only connected
+    subsets combine)."""
+    resolved = resolved if resolved is not None else _resolve_multijoin(node, catalog)
     if resolved is None:
         return None
     infos, cond_refs = resolved
@@ -528,7 +537,7 @@ def _join_order_dphyp(node, catalog):
     def build(mask):
         cost, rows, plan = best[mask]
         if plan[0] == "leaf":
-            return infos[plan[1]]["node"], rows, None
+            return infos[plan[1]]["node"], rows, infos[plan[1]]["table"]
         _, s1, s2, sqls = plan
         left, lrows, ltab = build(s1)
         right, rrows, rtab = build(s2)
@@ -606,14 +615,15 @@ def estimate_plan_cost(node, catalog) -> float:
 def _join_order_stats(node, catalog):
     """Stats-driven join reordering dispatcher: exact DP (DPhyp-class)
     for ≤ DPHYP_MAX_RELS relations, greedy left-deep above — mirroring
-    Calcite's DphypJoinReorderRule / LoptOptimizeJoinRule split."""
-    out = _join_order_dphyp(node, catalog)
-    if out is not None:
-        return out
+    Calcite's DphypJoinReorderRule / LoptOptimizeJoinRule split. The
+    multi-join is resolved ONCE here and handed to whichever tier runs
+    (it used to be re-resolved up to three times per node per pass)."""
     resolved = _resolve_multijoin(node, catalog)
-    if resolved is not None and len(resolved[0]) > DPHYP_MAX_RELS:
-        return _join_order_greedy(node, catalog)
-    return None
+    if resolved is None:
+        return None
+    if len(resolved[0]) > DPHYP_MAX_RELS:
+        return _join_order_greedy(node, catalog, resolved=resolved)
+    return _join_order_dphyp(node, catalog, resolved=resolved)
 
 
 DEFAULT_RULES = [

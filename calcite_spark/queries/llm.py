@@ -258,6 +258,5 @@ def z56_fingerprint(spark, sf_dir):
             F.expr("COUNT(*)").alias("n_docs"),
             F.expr("MIN(doc_id)").alias("first_doc"),
         )
-        .filter("n_docs >= 1")
         .orderBy("fp_min")
     )

@@ -13,14 +13,22 @@ Spark-first mapping here:
     support is the documented next step);
   * per-key state (GroupState) holds the row buffer, the emitted match
     counter, and the per-key event-time high-water mark;
-  * a match starting at t0 is FINAL once the key has seen an event past
-    t0 + WITHIN: every row that could belong to it ([t0, t0+WITHIN]) has
-    either arrived or been dropped by the stream watermark, so emission
-    is deterministic and exactly-once per match (AFTER MATCH SKIP PAST
-    LAST ROW | TO NEXT ROW sequencing preserved across micro-batches);
-  * rows the sequential scan has passed are evicted from state — state
-    size is O(rows per key within the WITHIN horizon), the same bound a
-    stream-stream join keeps.
+  * a match starting at t0 is FINAL once t0 + WITHIN is behind the
+    finalization frontier — the max of the key's own event-time
+    high-water mark and the GLOBAL stream watermark: every row that
+    could belong to it ([t0, t0+WITHIN]) has either arrived or been
+    dropped by the watermark, so emission is deterministic and
+    exactly-once per match (AFTER MATCH SKIP PAST LAST ROW sequencing
+    preserved across micro-batches);
+  * keys that go QUIET still finalize: an event-time timeout is armed at
+    (earliest buffered row + WITHIN), so when the global watermark
+    passes it the state function fires with no input and drains the
+    buffer — without this, a completed match on a one-off key would be
+    withheld forever and its state never evicted;
+  * rows the sequential scan has passed are evicted from state (fully
+    drained keys call state.remove()) — state size is O(rows per key
+    within the WITHIN horizon), the same bound a stream-stream join
+    keeps.
 
 Scale: the only shuffle is the groupBy(partition keys) — identical to
 the batch operator's applyInPandas shape; the NFA is the documented
@@ -36,6 +44,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 _MEASURE_FNS = ("COUNT", "FIRST", "LAST")
+
+
+def _encoder_for(dtype: str):
+    """JSON-safe encode/decode pair for a Spark simpleString dtype —
+    state rows round-trip through json.dumps, so every buffered column
+    needs a total encoding (timestamps/dates → iso, decimal → str,
+    binary → base64), not just the pd.Timestamp special case."""
+    import base64
+    import decimal
+
+    if dtype.startswith("timestamp") or dtype == "date":
+        return (
+            lambda v: v.isoformat() if hasattr(v, "isoformat") else v,
+            lambda v: v,  # output conversion handled per out_schema
+        )
+    if dtype.startswith("decimal"):
+        return (lambda v: str(v), lambda v: decimal.Decimal(v))
+    if dtype == "binary":
+        return (
+            lambda v: base64.b64encode(bytes(v)).decode("ascii"),
+            lambda v: base64.b64decode(v),
+        )
+    return (lambda v: v, lambda v: v)
 
 
 def match_recognize_stream(
@@ -109,7 +140,10 @@ def match_recognize_stream(
         + out_fields
     )
     state_schema = "buf string, seq bigint, max_epoch double"
-    data_cols = keep_cols  # serialized into state (JSON; timestamps → iso)
+    # serialize ONLY the columns the output needs (keys + measure args) —
+    # each with a total JSON encoding for its dtype
+    data_cols = list(dict.fromkeys(list(partition_by) + [c for _, _, c in parsed if c]))
+    codecs = {c: _encoder_for(in_dtypes[c]) for c in data_cols}
 
     def run(key, pdfs, state):
         if state.exists:
@@ -117,17 +151,20 @@ def match_recognize_stream(
             buf = json.loads(buf_json)
         else:
             buf, seq, max_epoch = [], 0, float("-inf")
-        for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                rec = {"__epoch": float(row["__epoch"])}
-                for c in data_cols:
-                    v = row[c]
-                    rec[c] = v.isoformat() if isinstance(v, pd.Timestamp) else v
-                rec["__syms"] = [s for s in symbols if bool(row[f"__sym_{s}"])]
-                buf.append(rec)
-                max_epoch = max(max_epoch, rec["__epoch"])
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for _, row in pdf.iterrows():
+                    rec = {"__epoch": float(row["__epoch"])}
+                    for c in data_cols:
+                        rec[c] = codecs[c][0](row[c])
+                    rec["__syms"] = [s for s in symbols if bool(row[f"__sym_{s}"])]
+                    buf.append(rec)
+                    max_epoch = max(max_epoch, rec["__epoch"])
         buf.sort(key=lambda r: r["__epoch"])
-        frontier = max_epoch - within  # matches starting before this are final
+        # finalization frontier: the key's own event-time high-water mark
+        # OR the global watermark (lets quiet keys drain on timeout)
+        wm_epoch = (state.getCurrentWatermarkMs() or 0) / 1000.0
+        frontier = max(max_epoch, wm_epoch) - within
 
         syms_per_row = [set(r["__syms"]) for r in buf]
         out_rows = []
@@ -152,20 +189,31 @@ def match_recognize_stream(
                 if fn == "COUNT":
                     rec[out_name] = len(rows)
                 elif fn == "FIRST":
-                    rec[out_name] = rows[0][col]
+                    rec[out_name] = codecs[col][1](rows[0][col])
                 else:
-                    rec[out_name] = rows[-1][col]
+                    rec[out_name] = codecs[col][1](rows[-1][col])
             out_rows.append(rec)
             i = end  # AFTER MATCH SKIP PAST LAST ROW
 
         buf = buf[i:]  # evict consumed/expired prefix
-        state.update((json.dumps(buf), seq, max_epoch))
+        if buf:
+            state.update((json.dumps(buf), seq, max_epoch))
+            # arm the drain trigger: fire when the global watermark passes
+            # the earliest possible match deadline for this key
+            deadline_ms = int((buf[0]["__epoch"] + within) * 1000) + 1
+            state.setTimeoutTimestamp(max(deadline_ms, int(wm_epoch * 1000) + 1))
+        elif state.exists and seq == 0:
+            state.remove()  # nothing buffered, nothing emitted — drop key
+        else:
+            state.update((json.dumps(buf), seq, max_epoch))
         col_types = [tuple(c.split()) for c in out_schema.split(", ")]
         out = pd.DataFrame(out_rows, columns=[c for c, _ in col_types])
-        if len(out):  # timestamps were serialized as iso strings in state
+        if len(out):  # timestamps/dates were serialized as iso strings
             for c, t in col_types:
                 if t.startswith("timestamp"):
                     out[c] = pd.to_datetime(out[c])
+                elif t == "date":
+                    out[c] = pd.to_datetime(out[c]).dt.date
         yield out
 
     return work.groupBy(*partition_by).applyInPandasWithState(
@@ -173,5 +221,5 @@ def match_recognize_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

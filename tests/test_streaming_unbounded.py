@@ -283,6 +283,54 @@ def test_streaming_match_recognize_across_batches(spark):
         src.close()
 
 
+def test_streaming_match_recognize_quiet_key_drains(spark):
+    """A key whose match completed but that then goes QUIET must still
+    emit: the event-time timeout fires once the GLOBAL watermark (driven
+    by other keys) passes the match deadline. Also exercises non-JSON
+    column types (a date measure) through the typed state codec."""
+    from calcite_spark.streaming.match_stream import match_recognize_stream
+
+    src = ControlledStreamSource(spark, "ts timestamp, k string, v double, d date")
+    out = match_recognize_stream(
+        src.stream(),
+        partition_by=["k"],
+        ts_col="ts",
+        pattern="A B+",
+        define={"A": "v < 10", "B": "v >= 10"},
+        measures={"n_rows": "COUNT(*)", "first_d": "FIRST(d)"},
+        within=60.0,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mrq_out")
+        .start()
+    )
+    try:
+        # batch 1: key b completes A B B, then NEVER speaks again
+        src.add_batch(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "b", "v": 5.0, "d": "2024-02-01"},
+                {"ts": "2024-01-01 10:00:10", "k": "b", "v": 15.0, "d": "2024-02-02"},
+                {"ts": "2024-01-01 10:00:20", "k": "b", "v": 18.0, "d": "2024-02-03"},
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 99.0, "d": "2024-02-04"},
+            ]
+        )
+        q.processAllAvailable()
+        # batches 2-3: ONLY key a advances the watermark past b's deadline
+        src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 99.0, "d": "2024-02-05"}])
+        q.processAllAvailable()
+        src.add_batch([{"ts": "2024-01-01 10:06:00", "k": "a", "v": 99.0, "d": "2024-02-06"}])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_mrq_out WHERE k = 'b'").collect()
+        assert len(rows) == 1, rows
+        assert rows[0].n_rows == 3
+        assert str(rows[0].first_d) == "2024-02-01"
+    finally:
+        q.stop()
+        src.close()
+
+
 def test_streaming_match_recognize_guards(spark):
     """WITHIN is mandatory (unbounded patterns are undecidable on a
     stream) and PREV/NEXT are rejected in the spike surface."""
