@@ -262,6 +262,28 @@ def test_sarg_not_and_arithmetic_contexts_untouched(spark):
     assert out is not None
     assert "month(o_orderdate) = 6" in out.condition, out.condition
     assert out.condition.lstrip().upper().startswith("NOT"), out.condition
+    from calcite_spark.plans.builder import RelBuilder
+
+    # arithmetic on the LITERAL side (review find): 'year(d) = 1996 + 1'
+    # must not rewrite into a range with a stranded '+ 1'
+    for cond, intact in [
+        ("year(o_orderdate) = 1996 + 1", None),  # None = no rewrite at all
+        ("year(o_orderdate) < 1996 - 1", None),
+        # conjunction blocked by the suffix guard; the bare year=1995 may
+        # still canonicalize but the month arithmetic survives verbatim
+        ("year(o_orderdate) = 1995 AND month(o_orderdate) = 6 + 1", "month(o_orderdate) = 6 + 1"),
+    ]:
+        node = ir.Filter(cond, inputs=(ir.Scan("orders"),))
+        out = _date_range_canonicalize(node, cat)
+        if intact is None:
+            assert out is None, (cond, out and out.condition)
+        else:
+            assert out is None or intact in out.condition, (cond, out.condition)
+        # and the full builder path (rule applied) still evaluates right
+        df = (
+            RelBuilder(cat).scan("orders").filter(cond).project("o_orderkey").to_df()
+        )
+        assert df.count() == cat.table("orders").filter(cond).count(), cond
     # NOT before a SINGLE-predicate shape is a true equivalence — still fires
     node = ir.Filter("NOT year(o_orderdate) = 1996", inputs=(ir.Scan("orders"),))
     out = _date_range_canonicalize(node, cat)
