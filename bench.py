@@ -76,11 +76,13 @@ def main() -> None:
             except Exception:
                 pass
 
-    # timed sweep runs TWICE, keep per-query min: first-run AQE replans
-    # and stage-graph position made single-pass numbers noisy (q55 read
-    # 2.22s in r2's sweep vs 1.3s steady-state) — the min of two passes
-    # is the reproducible steady-state cost of the plan.
-    N_RUNS = 2
+    # timed sweep runs 3×, keep per-query min: first-run AQE replans,
+    # stage-graph position and local[32] scheduling jitter made
+    # single-pass numbers noisy (q55 read 2.22s in r2's sweep vs 1.2s
+    # steady-state; whole-sweep totals vary ±15% run to run) — the
+    # per-query min across passes is the reproducible steady-state cost
+    # of the plan.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for _ in range(N_RUNS):
         for name in HEADLINE:
