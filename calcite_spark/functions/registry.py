@@ -357,6 +357,76 @@ _reg("CAST", "CAST({0} AS {1})", (2,))
 _reg("FORMAT", "format_string({0}, {1})", (), libs=(MYSQL,))
 
 # ---------------------------------------------------------------------
+# r3 breadth batch — closes the remaining genuinely-new names from a
+# mechanical diff against SqlLibraryOperators.java (variants/duplicates
+# of already-registered canonical names excluded)
+# ---------------------------------------------------------------------
+# degree-argument trig (SIND COSD ... ≈ PG/Snowflake)
+_reg("SIND", "sin(radians({0}))", (1,), libs=(POSTGRESQL,))
+_reg("COSD", "cos(radians({0}))", (1,), libs=(POSTGRESQL,))
+_reg("TAND", "tan(radians({0}))", (1,), libs=(POSTGRESQL,))
+_reg("ASIND", "degrees(asin({0}))", (1,), libs=(POSTGRESQL,))
+_reg("ACOSD", "degrees(acos({0}))", (1,), libs=(POSTGRESQL,))
+_reg("ATAND", "degrees(atan({0}))", (1,), libs=(POSTGRESQL,))
+# reciprocal hyperbolics + hypot
+_reg("COTH", "(cosh({0}) / sinh({0}))", (1,))
+_reg("SECH", "(1.0 / cosh({0}))", (1,))
+_reg("CSCH", "(1.0 / sinh({0}))", (1,))
+_reg("HYPOT", "sqrt(pow({0}, 2) + pow({1}, 2))", (2,), libs=(BIG_QUERY,))
+_reg("IS_NAN", "isnan({0})", (1,), libs=(BIG_QUERY,), kind="predicate")
+_reg(
+    "IS_INF",
+    "(abs({0}) = CAST('Infinity' AS DOUBLE))",
+    (1,),
+    libs=(BIG_QUERY,),
+    kind="predicate",
+)
+_reg("RANDOM", "rand()", (0,), libs=(POSTGRESQL,))
+_reg("TRUNC", "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})", (1, 2), libs=(POSTGRESQL, ORACLE), defaults=("0",), note="numeric TRUNC alias of TRUNCATE")
+# string batch
+_reg("LEN", "length({0})", (1,), libs=(SPARK,))
+_reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, SPARK))
+_reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORACLE), defaults=("2147483647",))
+_reg("CHAR", "char({0})", (1,), libs=(MYSQL, SPARK), note="code point → string")
+_reg("FIND_IN_SET", "find_in_set({0}, {1})", (2,), libs=(MYSQL, HIVE, SPARK))
+_reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPARK))
+_reg("STRING_TO_ARRAY", "split({0}, {1})", (2,), libs=(POSTGRESQL,), note="regex-delim split; PG's NULL-delimiter char-split form not covered")
+_reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
+_reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
+_reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
+_reg("CODE_POINTS_TO_STRING", "concat_ws('', transform({0}, c -> char(c)))", (1,), libs=(BIG_QUERY,))
+_reg("BASE64", "base64({0})", (1,), libs=(MYSQL,))
+_reg("UN_BASE64", "unbase64({0})", (1,), libs=(MYSQL,))
+# predicates / operators
+_reg("REGEXP", "{0} RLIKE {1}", (2,), libs=(MYSQL,), kind="predicate")
+_reg("NOT_RLIKE", "NOT ({0} RLIKE {1})", (2,), libs=(MYSQL,), kind="predicate")
+_reg("NOT_ILIKE", "NOT ({0} ILIKE {1})", (2,), libs=(POSTGRESQL,), kind="predicate")
+_reg("NULL_SAFE_EQUAL", "{0} <=> {1}", (2,), libs=(MYSQL,), kind="predicate")
+_reg("GETBIT", "getbit({0}, {1})", (2,))
+_reg("BIT_GET", "getbit({0}, {1})", (2,))
+_reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL,))
+# datetime batch (MSSQL/Redshift DATEADD/DATEPART; BigQuery *_ADD/_SUB/
+# _DIFF/_TRUNC families over the unified timestamp type)
+_reg("DATEADD", "timestampadd({0}, {1}, {2})", (3,), libs=(MYSQL, ORACLE))
+_reg("DATEPART", "date_part({0}, {1})", (2,), libs=(MYSQL,))
+_reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
+_reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
+_reg("DATETIME_DIFF", "timestampdiff({2}, {1}, {0})", (3,), libs=(BIG_QUERY,), note="BigQuery arg order: (a, b, part) = a - b")
+_reg("TIMESTAMP_TRUNC", "date_trunc({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("DATETIME_TRUNC", "date_trunc({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("CURRENT_DATETIME", "current_timestamp()", (0,), libs=(BIG_QUERY,))
+_reg("SYSTIMESTAMP", "current_timestamp()", (0,), libs=(ORACLE,))
+_reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY,))
+_reg("DATETIME", "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})", (6,), libs=(BIG_QUERY,))
+# XML (MySQL ExtractValue / Oracle EXISTSNODE → Spark xpath builtins)
+_reg("EXTRACT_VALUE", "xpath_string({0}, {1})", (2,), libs=(MYSQL,))
+_reg("EXISTS_NODE", "CASE WHEN xpath_boolean({0}, {1}) THEN 1 ELSE 0 END", (2,), libs=(ORACLE,))
+# aggregate aliases (Snowflake/PG names over Spark bool_and/bool_or)
+_reg("BOOLAND_AGG", "bool_and({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
+_reg("BOOLOR_AGG", "bool_or({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
+
+# ---------------------------------------------------------------------
 # Aggregates (§2.4 table) — registered for name resolution + docs; the
 # Aggregate IR node takes them as SQL strings directly
 # ---------------------------------------------------------------------

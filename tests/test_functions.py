@@ -142,10 +142,52 @@ CASES = [
     ("NVL2", ["NULL", "'y'", "'n'"], "'n'"),
     ("DECODE", ["2", "1", "'one'", "2", "'two'", "'other'"], "'two'"),
     ("IF", ["1 > 2", "'t'", "'f'"], "'f'"),
+    # r3 breadth batch (SqlLibraryOperators diff)
+    ("SIND", ["30"], "sin(radians(30))"),
+    ("COSD", ["60"], "cos(radians(60))"),
+    ("TAND", ["45"], "tan(radians(45))"),
+    ("ASIND", ["0.5"], "degrees(asin(0.5))"),
+    ("ACOSD", ["0.5"], "degrees(acos(0.5))"),
+    ("ATAND", ["1.0"], "degrees(atan(1.0))"),
+    # DuckDB 1.0 lacks hyperbolics — literal expectations
+    ("COTH", ["1.5"], "1.104791392982512"),
+    ("SECH", ["1.5"], "0.4250960349422805"),
+    ("CSCH", ["1.5"], "0.46964244059522464"),
+    ("HYPOT", ["3", "4"], "5.0"),
+    ("IS_NAN", ["sqrt(-1.0)"], "TRUE"),
+    ("IS_INF", ["CAST('Infinity' AS DOUBLE)"], "TRUE"),
+    ("TRUNC", ["-1.789", "1"], "-1.7"),
+    ("LEN", ["'abc'"], "3"),
+    ("LENGTH", ["'abcd'"], "4"),
+    ("SUBSTR", ["'abcdef'", "3"], "'cdef'"),
+    ("CHAR", ["65"], "'A'"),
+    ("FIND_IN_SET", ["'b'", "'a,b,c'"], "2"),
+    ("SUBSTRING_INDEX", ["'a.b.c'", "'.'", "2"], "'a.b'"),
+    ("STRING_TO_ARRAY", ["'a,b'", "','"], "['a', 'b']"),
+    ("TO_CODE_POINTS", ["'AB'"], "[65, 66]"),
+    ("CODE_POINTS_TO_STRING", ["array(104, 105)"], "'hi'"),
+    ("REGEXP", ["'a1'", "'[0-9]'"], "TRUE"),
+    ("NOT_RLIKE", ["'abc'", "'[0-9]'"], "TRUE"),
+    ("NULL_SAFE_EQUAL", ["NULL", "NULL"], "TRUE"),
+    ("GETBIT", ["11", "1"], "1"),
+    ("BIT_COUNT", ["11"], "3"),
+    # unit is an identifier keyword for Spark's timestampadd/diff
+    ("DATEADD", ["DAY", "3", "DATE '2020-01-30'"], "TIMESTAMP '2020-02-02'"),
+    ("DATEPART", ["'YEAR'", "DATE '2020-06-01'"], "2020"),
+    ("DATETIME_DIFF", ["TIMESTAMP '2020-01-03 00:00:00'", "TIMESTAMP '2020-01-01 00:00:00'", "DAY"], "2"),
+    ("TIMESTAMP_TRUNC", ["TIMESTAMP '2020-06-15 13:45:00'", "'MONTH'"], "TIMESTAMP '2020-06-01'"),
+    ("DATE_FROM_UNIX_DATE", ["3"], "DATE '1970-01-04'"),
+    ("DATETIME", ["2020", "6", "1", "12", "30", "15"], "TIMESTAMP '2020-06-01 12:30:15'"),
+    ("EXTRACT_VALUE", ["'<a><b>x</b></a>'", "'/a/b'"], "'x'"),
+    ("EXISTS_NODE", ["'<a><b>x</b></a>'", "'/a/b'"], "1"),
 ]
 
 
 def _norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         return round(v, 9) if not math.isnan(v) else "NaN"
     if isinstance(v, bytes):
