@@ -111,9 +111,12 @@ _passthrough(
     "CBRT COS COSH COT CSC DEGREES EXP FACTORIAL PI RADIANS ROUND SEC SIGN "
     "SIN SINH TAN TANH SIGNUM E"
 )
+# shared by TRUNCATE and the TRUNC alias — ONE copy of the tricky
+# HALF_DOWN emulation
+_TRUNCATE_TEMPLATE = "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})"
 _reg(
     "TRUNCATE",
-    "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})",
+    _TRUNCATE_TEMPLATE,
     (1, 2),
     note="truncate-toward-zero at scale (default 0) via HALF_DOWN emulation",
     defaults=("0",),
@@ -382,7 +385,7 @@ _reg(
     kind="predicate",
 )
 _reg("RANDOM", "rand()", (0,), libs=(POSTGRESQL,))
-_reg("TRUNC", "round({0} - 0.5 * sign({0}) * power(0.1, {1}), {1})", (1, 2), libs=(POSTGRESQL, ORACLE), defaults=("0",), note="numeric TRUNC alias of TRUNCATE")
+_reg("TRUNC", _TRUNCATE_TEMPLATE, (1, 2), libs=(POSTGRESQL, ORACLE), defaults=("0",), note="numeric TRUNC alias of TRUNCATE (shared template)")
 # string batch
 _reg("LEN", "length({0})", (1,), libs=(SPARK,))
 _reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, SPARK))
@@ -390,7 +393,14 @@ _reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORA
 _reg("CHAR", "char({0})", (1,), libs=(MYSQL, SPARK), note="code point → string")
 _reg("FIND_IN_SET", "find_in_set({0}, {1})", (2,), libs=(MYSQL, HIVE, SPARK))
 _reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPARK))
-_reg("STRING_TO_ARRAY", "split({0}, {1})", (2,), libs=(POSTGRESQL,), note="regex-delim split; PG's NULL-delimiter char-split form not covered")
+_reg(
+    "STRING_TO_ARRAY",
+    "split({0}, concat('\\\\Q', {1}, '\\\\E'))",
+    (2,),
+    libs=(POSTGRESQL,),
+    note="PG delimiters are LITERAL — regex-quoted via \\Q..\\E so '.' or "
+    "'|' split correctly; the NULL-delimiter char-split form not covered",
+)
 _reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
 _reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
 _reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
@@ -408,13 +418,13 @@ _reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL,))
 # datetime batch (MSSQL/Redshift DATEADD/DATEPART; BigQuery *_ADD/_SUB/
 # _DIFF/_TRUNC families over the unified timestamp type)
 _reg("DATEADD", "timestampadd({0}, {1}, {2})", (3,), libs=(MYSQL, ORACLE))
-_reg("DATEPART", "date_part({0}, {1})", (2,), libs=(MYSQL,))
+_reg("DATEPART", "date_part('{0}', {1})", (2,), libs=(MYSQL,), note="unit as BARE identifier (native MSSQL form); template quotes it")
 _reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_DIFF", "timestampdiff({2}, {1}, {0})", (3,), libs=(BIG_QUERY,), note="BigQuery arg order: (a, b, part) = a - b")
-_reg("TIMESTAMP_TRUNC", "date_trunc({1}, {0})", (2,), libs=(BIG_QUERY,))
-_reg("DATETIME_TRUNC", "date_trunc({1}, {0})", (2,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier (native BigQuery form); template quotes it")
+_reg("DATETIME_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier; template quotes it")
 _reg("CURRENT_DATETIME", "current_timestamp()", (0,), libs=(BIG_QUERY,))
 _reg("SYSTIMESTAMP", "current_timestamp()", (0,), libs=(ORACLE,))
 _reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY,))

@@ -371,7 +371,11 @@ def qx10_match_stream(spark, sf_dir):
             ]
         )
         q.processAllAvailable()
+        # two control batches: the finalization frontier is the GLOBAL
+        # watermark, which lags one micro-batch behind event time
         src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
+        q.processAllAvailable()
+        src.add_batch([{"ts": "2024-01-01 10:10:00", "k": "a", "v": 2.0}])
         q.processAllAvailable()
         rows = [r.asDict() for r in spark.sql(f"SELECT * FROM {sink}").collect()]
     finally:

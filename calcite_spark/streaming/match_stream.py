@@ -14,12 +14,14 @@ Spark-first mapping here:
   * per-key state (GroupState) holds the row buffer, the emitted match
     counter, and the per-key event-time high-water mark;
   * a match starting at t0 is FINAL once t0 + WITHIN is behind the
-    finalization frontier — the max of the key's own event-time
-    high-water mark and the GLOBAL stream watermark: every row that
-    could belong to it ([t0, t0+WITHIN]) has either arrived or been
-    dropped by the watermark, so emission is deterministic and
-    exactly-once per match (AFTER MATCH SKIP PAST LAST ROW sequencing
-    preserved across micro-batches);
+    GLOBAL stream watermark: every row that could belong to it
+    ([t0, t0+WITHIN]) has either arrived or been dropped by the
+    watermark (a key-local high-water mark would NOT be safe — late
+    rows newer than the watermark are still delivered), so emission is
+    deterministic for any watermark_delay and exactly-once per match
+    (AFTER MATCH SKIP PAST LAST ROW sequencing preserved across
+    micro-batches; match_seq restarts if a fully-drained key's state is
+    evicted and the key later reappears);
   * keys that go QUIET still finalize: an event-time timeout is armed at
     (earliest buffered row + WITHIN), so when the global watermark
     passes it the state function fires with no input and drains the
@@ -161,10 +163,14 @@ def match_recognize_stream(
                     buf.append(rec)
                     max_epoch = max(max_epoch, rec["__epoch"])
         buf.sort(key=lambda r: r["__epoch"])
-        # finalization frontier: the key's own event-time high-water mark
-        # OR the global watermark (lets quiet keys drain on timeout)
+        # finalization frontier: the GLOBAL watermark ONLY. The key-local
+        # high-water mark is NOT safe — a late row newer than the
+        # watermark but older than the key's max is still delivered by
+        # Spark and may belong to a match; only rows behind the watermark
+        # are guaranteed dropped, so only watermark-passed deadlines are
+        # final (emission is then deterministic for any watermark_delay).
         wm_epoch = (state.getCurrentWatermarkMs() or 0) / 1000.0
-        frontier = max(max_epoch, wm_epoch) - within
+        frontier = wm_epoch - within
 
         syms_per_row = [set(r["__syms"]) for r in buf]
         out_rows = []
@@ -202,10 +208,12 @@ def match_recognize_stream(
             # the earliest possible match deadline for this key
             deadline_ms = int((buf[0]["__epoch"] + within) * 1000) + 1
             state.setTimeoutTimestamp(max(deadline_ms, int(wm_epoch * 1000) + 1))
-        elif state.exists and seq == 0:
-            state.remove()  # nothing buffered, nothing emitted — drop key
-        else:
-            state.update((json.dumps(buf), seq, max_epoch))
+        elif state.exists:
+            # fully drained: REMOVE the state row (a kept-but-empty entry
+            # would never time out again and leak per key forever).
+            # Trade-off, documented: if the key later reappears,
+            # match_seq restarts at 1 for its new lifetime.
+            state.remove()
         col_types = [tuple(c.split()) for c in out_schema.split(", ")]
         out = pd.DataFrame(out_rows, columns=[c for c, _ in col_types])
         if len(out):  # timestamps/dates were serialized as iso strings

@@ -164,6 +164,8 @@ CASES = [
     ("FIND_IN_SET", ["'b'", "'a,b,c'"], "2"),
     ("SUBSTRING_INDEX", ["'a.b.c'", "'.'", "2"], "'a.b'"),
     ("STRING_TO_ARRAY", ["'a,b'", "','"], "['a', 'b']"),
+    # PG delimiters are literal: '.' must not act as regex any-char
+    ("STRING_TO_ARRAY", ["'a.b'", "'.'"], "['a', 'b']"),
     ("TO_CODE_POINTS", ["'AB'"], "[65, 66]"),
     ("CODE_POINTS_TO_STRING", ["array(104, 105)"], "'hi'"),
     ("REGEXP", ["'a1'", "'[0-9]'"], "TRUE"),
@@ -173,9 +175,9 @@ CASES = [
     ("BIT_COUNT", ["11"], "3"),
     # unit is an identifier keyword for Spark's timestampadd/diff
     ("DATEADD", ["DAY", "3", "DATE '2020-01-30'"], "TIMESTAMP '2020-02-02'"),
-    ("DATEPART", ["'YEAR'", "DATE '2020-06-01'"], "2020"),
+    ("DATEPART", ["YEAR", "DATE '2020-06-01'"], "2020"),
     ("DATETIME_DIFF", ["TIMESTAMP '2020-01-03 00:00:00'", "TIMESTAMP '2020-01-01 00:00:00'", "DAY"], "2"),
-    ("TIMESTAMP_TRUNC", ["TIMESTAMP '2020-06-15 13:45:00'", "'MONTH'"], "TIMESTAMP '2020-06-01'"),
+    ("TIMESTAMP_TRUNC", ["TIMESTAMP '2020-06-15 13:45:00'", "MONTH"], "TIMESTAMP '2020-06-01'"),
     ("DATE_FROM_UNIX_DATE", ["3"], "DATE '1970-01-04'"),
     ("DATETIME", ["2020", "6", "1", "12", "30", "15"], "TIMESTAMP '2020-06-01 12:30:15'"),
     ("EXTRACT_VALUE", ["'<a><b>x</b></a>'", "'/a/b'"], "'x'"),

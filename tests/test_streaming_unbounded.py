@@ -263,8 +263,17 @@ def test_streaming_match_recognize_across_batches(spark):
         q.processAllAvailable()
         assert spark.sql("SELECT count(*) AS n FROM t_mr_out").collect()[0].n == 0
 
-        # batch 2: event past 10:01:00 finalizes the match from batch 1
+        # batch 2: event at 10:05 pushes the watermark past the match
+        # deadline (10:01). Emission happens once the WATERMARK passes —
+        # either via the armed event-time timeout (often an extra
+        # micro-batch inside this processAllAvailable) or in the next
+        # data batch; both are watermark-correct, so accept 0 or 1 here.
         src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM t_mr_out").collect()[0].n <= 1
+
+        # batch 3: watermark is definitely past 10:01:00 → match emitted
+        src.add_batch([{"ts": "2024-01-01 10:10:00", "k": "a", "v": 60.0}])
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM t_mr_out").collect()
         assert len(rows) == 1
@@ -272,9 +281,9 @@ def test_streaming_match_recognize_across_batches(spark):
         assert (r.k, r.match_seq, r.n_rows, r.last_v) == ("a", 1, 3, 18.0)
         assert str(r.start_ts) == "2024-01-01 10:00:00"
 
-        # batch 3: far-future event; the lone buffered A (10:05, v=3)
+        # batch 4: far-future event; the lone buffered A (10:05, v=3)
         # never grows a B within 60s -> no second match
-        src.add_batch([{"ts": "2024-01-01 11:00:00", "k": "a", "v": 50.0}])
+        src.add_batch([{"ts": "2024-01-01 12:00:00", "k": "a", "v": 50.0}])
         q.processAllAvailable()
         assert spark.sql("SELECT count(*) AS n FROM t_mr_out").collect()[0].n == 1
         assert q.isActive
