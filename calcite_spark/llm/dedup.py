@@ -9,9 +9,10 @@ Spark-first plans:
                       (band, band-signature). The ONLY join is on band
                       buckets, so candidate generation is linear-ish, not
                       the quadratic all-pairs: the classic scale path.
-* simhash_dups      — 64-bit SimHash; near-dups share the full hash here
-                      (bit-flip banding is a TODO; exact-hash match is the
-                      deterministic, oracle-checkable core).
+* simhash_dups      — 64-bit SimHash; exact-hash match is the
+                      deterministic, oracle-checkable core.
+* simhash_near_dups — Hamming-distance-k matching via bit-flip banding
+                      (k+1 pigeonhole bands → equi-join, recall 1.0).
 
 All hashing is built on Spark SQL's built-in `md5`/`crc32`/`xxhash64`
 (JVM-side, codegen'd — no Python in the hot path). Determinism matters:
