@@ -20,6 +20,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce by the advisory partition SIZE, not up to defaultParallelism:
+    # tiny shuffles collapse to few tasks (less scheduler overhead), huge
+    # shuffles still split by size. This is the setting Spark's AQE docs
+    # recommend for efficiency, and the right 100 TB posture — partition
+    # count follows data volume, not core count.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Calcite TIMESTAMP is zone-less (SqlTypeName.TIMESTAMP); parquet
