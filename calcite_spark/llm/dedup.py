@@ -298,3 +298,34 @@ def embedding_cosine_dups(
         # columns dedups without shuffling the vectors themselves
         .filter(f"cosine_sim >= {threshold}")
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content digest
+    passes, later copies are dropped while their digest is in state.
+
+    Same digest as the batch `exact_dedup` (md5 over normalized text) so
+    a pipeline can mix batch backfill and streaming ingest and agree on
+    what "duplicate" means.
+
+    Scale posture: `within_watermark=True` (the default) uses
+    `dropDuplicatesWithinWatermark`, whose per-key state is EVICTED once
+    the watermark passes a key's last-seen event time — state stays
+    O(distinct keys per watermark window), the only shape that survives
+    an unbounded 100 TB/day stream. `within_watermark=False` is classic
+    `dropDuplicates` (exact global dedup, state grows with total
+    distinct keys forever) — kept for bounded replay jobs, caveat
+    documented here rather than hidden.
+    """
+    hashed = stream.selectExpr(
+        "*", f"md5({normalize_text(text_col)}) AS content_hash"
+    ).withWatermark(ts_col, watermark)
+    if within_watermark:
+        return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.dropDuplicates(["content_hash"])
