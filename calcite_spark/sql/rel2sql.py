@@ -1,7 +1,8 @@
 """IR → SQL emitter ≈ Calcite's rel2sql
 (rel/rel2sql/RelToSqlConverter.java:135 + SqlImplementor.java) with
-pluggable dialects (sql/dialect/ — 40 of them; we start with Spark and
-DuckDB ≈ sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java).
+pluggable dialects (sql/dialect/ — 40 of them; we ship Spark, DuckDB
+and PostgreSQL ≈ sql/dialect/SparkSqlDialect.java,
+DuckDBSqlDialect.java, PostgresqlSqlDialect.java).
 
 Why this exists (same reason as Calcite's):
   * whole-query pushdown — the JDBC adapter's reusable half
@@ -83,6 +84,12 @@ _KEYWORDS = {
 _CALL_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
 
 
+def _outside_literal(text: str, pos: int) -> bool:
+    """True when pos is not inside a single-quoted SQL string (doubled
+    quotes toggle twice — net no-op)."""
+    return text.count("'", 0, pos) % 2 == 0
+
+
 class Dialect:
     """≈ sql/SqlDialect.java — expression + clause rendering hooks."""
 
@@ -129,6 +136,8 @@ class DuckDBDialect(Dialect):
     def expr(self, text: str) -> str:
         unknown = []
         for m in _CALL_RE.finditer(text):
+            if not _outside_literal(text, m.start()):
+                continue
             fn = m.group(1).lower()
             if fn in _KEYWORDS or fn in _SHARED_FNS or fn in _DUCKDB_FN_MAP:
                 continue
@@ -140,6 +149,8 @@ class DuckDBDialect(Dialect):
             )
 
         def sub(m):
+            if not _outside_literal(text, m.start()):
+                return m.group(0)
             fn = m.group(1)
             mapped = _DUCKDB_FN_MAP.get(fn.lower(), fn)
             return f"{mapped}("
@@ -159,8 +170,176 @@ class DuckDBDialect(Dialect):
         return f"(VALUES {body}) AS t({', '.join(names)})"
 
 
+# Spark-SQL functions that are valid PostgreSQL verbatim
+_PG_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "covar_pop", "covar_samp", "corr", "row_number", "rank",
+    "dense_rank", "lag", "lead", "ntile", "first_value", "last_value",
+    "nth_value", "percent_rank", "cume_dist", "md5", "regexp_replace",
+    "date_trunc", "sign", "sqrt", "power", "exp", "ln", "log10", "mod",
+    "left", "right", "repeat", "reverse", "pi", "date_part", "strpos",
+    "grouping",
+}
+
+# Spark name → PostgreSQL name (arg order/semantics 1:1)
+_PG_FN_MAP = {
+    "instr": "strpos",
+    "collect_list": "array_agg",
+    "array_join": "array_to_string",
+    "startswith": "starts_with",
+    "size": "cardinality",
+    "std": "stddev",
+}
+
+# Spark EXTRACT shorthands PostgreSQL lacks as functions
+_PG_EXTRACT_UNITS = re.compile(
+    r"\b(year|quarter|month|day|hour|minute|second)\s*\(", re.I
+)
+
+# Spark type name → PostgreSQL type name inside CAST targets
+_PG_TYPE_MAP = {
+    "string": "TEXT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "binary": "BYTEA",
+    "tinyint": "SMALLINT",
+    "long": "BIGINT",
+}
+
+
+def _balanced_arg(text: str, start: int) -> tuple[str, int]:
+    """Return (argument text, index of closing paren) for a call whose
+    opening paren is at start-1. Single-quoted strings are opaque
+    (doubled-quote escapes toggle twice — net no-op for depth)."""
+    depth, j, in_str = 1, start, False
+    while j < len(text):
+        ch = text[j]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return text[start:j], j
+        j += 1
+    raise UnsupportedDialectExpression(f"unbalanced parens in {text!r}")
+
+
+class PostgresDialect(Dialect):
+    """≈ sql/dialect/PostgresqlSqlDialect.java. Same refuse-over-wrong
+    contract as DuckDB; adds the structural rewrites PostgreSQL needs:
+    `year(x)` → `EXTRACT(YEAR FROM x)` (PG has no unit shorthands),
+    Spark type names inside CAST targets (STRING→TEXT, DOUBLE→DOUBLE
+    PRECISION, ...), and SEMI/ANTI joins lowered to [NOT] EXISTS
+    (PostgreSQL has no SEMI JOIN keyword — same lowering Calcite's
+    converter performs for dialects without it)."""
+
+    name = "postgres"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def _rewrite_extract(self, text: str) -> str:
+        pos = 0
+        m = _PG_EXTRACT_UNITS.search(text, pos)
+        while m:
+            if text.count("'", 0, m.start()) % 2:  # inside a string literal
+                pos = m.end()
+            else:
+                arg, close = _balanced_arg(text, m.end())
+                unit = m.group(1).upper()
+                head = (
+                    text[: m.start()]
+                    + f"EXTRACT({unit} FROM {self._rewrite_extract(arg)})"
+                )
+                text = head + text[close + 1 :]
+                pos = len(head)
+            m = _PG_EXTRACT_UNITS.search(text, pos)
+        return text
+
+    def _rewrite_cast_types(self, text: str) -> str:
+        pat = re.compile(r"\bcast\s*\(", re.I)
+        out, i = [], 0
+        while True:
+            m = pat.search(text, i)
+            if not m:
+                out.append(text[i:])
+                break
+            if text.count("'", 0, m.start()) % 2:  # inside a string literal
+                out.append(text[i : m.end()])
+                i = m.end()
+                continue
+            arg, close = _balanced_arg(text, m.end())
+            arg = self._rewrite_cast_types(arg)
+            # the cast type is the token after the LAST top-level " AS "
+            last_as = None
+            for am in re.finditer(r"(?i)\bAS\b", arg):
+                before = arg[: am.start()]
+                depth = 0
+                in_str = False
+                for ch in before:
+                    if ch == "'":
+                        in_str = not in_str
+                    elif not in_str:
+                        depth += ch == "("
+                        depth -= ch == ")"
+                if depth == 0 and not in_str:
+                    last_as = am
+            if last_as is not None:
+                head, ty = arg[: last_as.end()], arg[last_as.end() :].strip()
+                base = re.match(r"[A-Za-z_]+", ty)
+                if base and base.group(0).lower() in _PG_TYPE_MAP:
+                    mapped = _PG_TYPE_MAP[base.group(0).lower()]
+                    ty = mapped + ty[base.end() :]
+                arg = f"{head} {ty}"
+            out.append(text[i : m.start()] + "CAST(" + arg + ")")
+            i = close + 1
+        return "".join(out)
+
+    def expr(self, text: str) -> str:
+        text = self._rewrite_extract(text)
+        text = self._rewrite_cast_types(text)
+        unknown = []
+        for m in _CALL_RE.finditer(text):
+            if not _outside_literal(text, m.start()):
+                continue
+            fn = m.group(1).lower()
+            if fn in _KEYWORDS or fn in _PG_SHARED or fn in _PG_FN_MAP:
+                continue
+            unknown.append(fn)
+        if unknown:
+            raise UnsupportedDialectExpression(
+                f"postgres dialect cannot replay function(s) "
+                f"{sorted(set(unknown))} in expression: {text!r}"
+            )
+
+        def sub(m):
+            if not _outside_literal(text, m.start()):
+                return m.group(0)
+            return f"{_PG_FN_MAP.get(m.group(1).lower(), m.group(1))}("
+
+        return _CALL_RE.sub(sub, text)
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
+POSTGRES = PostgresDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -261,6 +440,16 @@ class _Emitter:
         jt = node.join_type.upper()
         if node.condition is None or jt == "CROSS":
             return f"SELECT * FROM {left} CROSS JOIN {right}"
+        if jt in ("SEMI", "ANTI") and d.semi_join_kw is None:
+            # dialect without SEMI/ANTI keywords: lower to correlated
+            # [NOT] EXISTS (what Calcite's converter does for e.g.
+            # PostgresqlSqlDialect). Column names in our IR conditions
+            # are globally unique, so the correlation resolves.
+            neg = "NOT " if jt == "ANTI" else ""
+            return (
+                f"SELECT * FROM {left} WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM {right} WHERE {d.expr(node.condition)})"
+            )
         kw = {
             "INNER": "JOIN",
             "LEFT": "LEFT JOIN",
