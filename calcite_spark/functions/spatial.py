@@ -155,10 +155,14 @@ def _point_to_geom_dist(p: str, g: str) -> str:
     i = "i"
     a, b = _pt(g, i), _edge_b(g, i)
     seg = _point_seg_dist(px, py, f"{a}.x", f"{a}.y", f"{b}.x", f"{b}.y")
+    # close the ring ONLY for polygons: a LINESTRING has no implicit
+    # last→first edge, and including one understates distances to any
+    # point near that phantom segment
+    edges = f"sequence(1, {_n(g)} - IF({g}.kind = 'POLYGON', 0, 1))"
     to_chain = (
         f"CASE WHEN {_n(g)} = 1 THEN "
         f"sqrt(pow({px} - {_pt(g, '1')}.x, 2) + pow({py} - {_pt(g, '1')}.y, 2)) ELSE "
-        f"aggregate({_edges(g, True)}, CAST('Infinity' AS DOUBLE), "
+        f"aggregate({edges}, CAST('Infinity' AS DOUBLE), "
         f"(acc, i) -> least(acc, {seg})) END"
     )
     return (

@@ -43,7 +43,15 @@ def _parallelize(df: DataFrame) -> DataFrame:
     try:
         n_files = len(df.inputFiles())
     except Exception:
-        n_files = 0  # non-file source — treat as needing the spread
+        n_files = 0
+    if n_files == 0:
+        # non-file source (in-memory, post-shuffle): the file probe says
+        # nothing, so pay the accurate RDD partition-count probe ONCE
+        # rather than inserting an unconditional full shuffle — an
+        # upstream-repartitioned input must not be reshuffled.
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     if n_files < target:
         return df.repartition(target)
     return df

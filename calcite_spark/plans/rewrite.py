@@ -247,24 +247,41 @@ def _date_range_canonicalize(node, catalog):
 
 
 def _split_conjuncts(cond: str) -> list[str]:
-    """Split on TOP-LEVEL AND only (no parens nesting tracking needed
-    beyond depth counting; our IR conditions are plain SQL strings)."""
-    import re as _re
+    """Split on TOP-LEVEL AND only: depth-counted parens, and string
+    literals are opaque (an AND or paren inside '...' neither splits nor
+    changes depth — a split there corrupts the literal when conjuncts
+    are re-joined)."""
 
-    parts, depth, cur = [], 0, []
-    tokens = _re.split(r"(\(|\)|\bAND\b)", cond, flags=_re.I)
-    for t in tokens:
-        if t == "(":
+    def _is_word(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
+
+    parts, cur = [], []
+    depth, in_str, i, n = 0, False, 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if ch == "'":
+            in_str = not in_str
+            cur.append(ch)
+        elif not in_str and ch == "(":
             depth += 1
-            cur.append(t)
-        elif t == ")":
+            cur.append(ch)
+        elif not in_str and ch == ")":
             depth -= 1
-            cur.append(t)
-        elif t.upper() == "AND" and depth == 0:
+            cur.append(ch)
+        elif (
+            not in_str
+            and depth == 0
+            and cond[i : i + 3].upper() == "AND"
+            and (i == 0 or not _is_word(cond[i - 1]))
+            and (i + 3 >= n or not _is_word(cond[i + 3]))
+        ):
             parts.append("".join(cur).strip())
             cur = []
+            i += 3
+            continue
         else:
-            cur.append(t)
+            cur.append(ch)
+        i += 1
     if "".join(cur).strip():
         parts.append("".join(cur).strip())
     return [p for p in parts if p]

@@ -59,7 +59,10 @@ def _parse_literal(text: str):
         return int(t)
     if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", t):
         return float(t)
-    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+    # a string literal must be ONE fully-quoted token ('' = escaped quote);
+    # a prefix match like "'a' OR x = 'b'" is NOT a literal — treating it
+    # as one would silently push a wrong predicate
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
         return t[1:-1].replace("''", "'")
     if t.upper() in ("TRUE", "FALSE"):
         return t.upper() == "TRUE"
@@ -188,7 +191,11 @@ def read_arrow(
 
     if not distributed:
         table = dataset.to_table(columns=columns, filter=pa_filter)
-        df = spark.createDataFrame(table.to_pandas())
+        # explicit schema: an empty filter result must not crash on
+        # schema inference, and Arrow types must not drift through pandas
+        df = spark.createDataFrame(
+            table.to_pandas(), schema=from_arrow_schema(table.schema)
+        )
     else:
         import pyarrow as pa
 

@@ -211,13 +211,19 @@ class SqlFrontend:
         # balanced paren span (nested CASTs yield distinct tokens)
         repls = []
         for m in re.finditer(r"\b(?:CAST|TRY_CAST)\s*\(", text, flags=re.I):
+            if text.count("'", 0, m.start()) % 2:
+                continue  # CAST token inside a string literal
             start = m.end()  # index just past the open paren
-            depth, i = 1, start
+            depth, i, in_str = 1, start, False
             while i < len(text) and depth:
-                if text[i] == "(":
-                    depth += 1
-                elif text[i] == ")":
-                    depth -= 1
+                ch = text[i]
+                if ch == "'":
+                    in_str = not in_str  # parens in literals are opaque
+                elif not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
                 i += 1
             if depth:  # unbalanced — leave the text alone
                 continue

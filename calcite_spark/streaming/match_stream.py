@@ -189,7 +189,9 @@ def match_recognize_stream(
             end, classifiers = hit
             seq += 1
             rows = buf[i:end]
-            rec = {k: rows[0][k] for k in partition_by}
+            # decode key values like FIRST/LAST measures do — buffered
+            # rows hold the JSON-safe encoding (decimal→str, binary→b64)
+            rec = {k: codecs[k][1](rows[0][k]) for k in partition_by}
             rec["match_seq"] = seq
             for out_name, fn, col in parsed:
                 if fn == "COUNT":

@@ -105,3 +105,43 @@ def test_missing_column_raises(spark, arrow_dir):
         read_arrow(spark, arrow_dir, columns=["nope"])
     with pytest.raises(FileNotFoundError):
         read_arrow(spark, os.path.join(arrow_dir, "missing", "*.arrow"))
+
+
+def test_or_predicate_never_pushed_as_mangled_literal(spark, tmp_path):
+    # review regression: "name = 'a' OR city = 'b'" must NOT parse the
+    # rhs as one string literal "a' OR city = 'b" and push a wrong
+    # equality — OR conjuncts stay residual (Spark-side), values correct
+    t = pa.table(
+        {
+            "name": pa.array(["a", "x", "y"]),
+            "city": pa.array(["q", "b", "q"]),
+        }
+    )
+    p = str(tmp_path / "o.arrow")
+    feather.write_feather(t, p)
+    expr, residual = translate_condition(
+        "name = 'a' OR city = 'b'", {"name", "city"}
+    )
+    assert expr is None and residual == "name = 'a' OR city = 'b'"
+    df = read_arrow(spark, p, condition="name = 'a' OR city = 'b'")
+    assert {(r.name, r.city) for r in df.collect()} == {("a", "q"), ("x", "b")}
+
+
+def test_literal_containing_and_survives_split(spark, tmp_path):
+    # review regression: a string literal containing the word AND must
+    # not be corrupted by conjunct splitting/rejoining
+    t = pa.table({"msg": pa.array(["AND", "other"]), "x": pa.array([1, 1])})
+    p = str(tmp_path / "a.arrow")
+    feather.write_feather(t, p)
+    expr, residual = translate_condition("msg = 'AND' AND x = 1", {"msg", "x"})
+    assert residual is None  # both conjuncts pushable, literal intact
+    df = read_arrow(spark, p, condition="msg = 'AND' AND x = 1")
+    assert [r.msg for r in df.collect()] == ["AND"]
+
+
+def test_empty_filter_result_keeps_schema(spark, arrow_dir):
+    # review regression: a filter matching zero rows must return an
+    # empty DataFrame with the real schema, not crash schema inference
+    df = read_arrow(spark, arrow_dir, condition="id > 100000")
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "grp", "val"}

@@ -61,6 +61,23 @@ def test_distance_point_linestring(spark):
     assert _one(spark, T("ST_DISTANCE", p2, LINE)) == pytest.approx(2.0)
 
 
+def test_linestring_has_no_implicit_closing_edge(spark):
+    # U-shaped OPEN line: (0,0)→(1,0)→(1,1)→(0,1). A point at (0,0.5)
+    # sits ON the phantom last→first edge a closed ring would add — the
+    # true distance to the open chain is 0.5, not 0.0.
+    u_line = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 1.0d, 'y', 0.0d), "
+        "named_struct('x', 1.0d, 'y', 1.0d), named_struct('x', 0.0d, 'y', 1.0d)))"
+    )
+    p = T("ST_MAKEPOINT", "0", "0.5")
+    assert _one(spark, T("ST_DISTANCE", p, u_line)) == pytest.approx(0.5)
+    # the same ring as a POLYGON keeps the closing edge: distance 0 from
+    # a boundary point (inside via containment)
+    u_poly = u_line.replace("'LINESTRING'", "'POLYGON'")
+    assert _one(spark, T("ST_DISTANCE", T("ST_MAKEPOINT", "0.5", "0.5"), u_poly)) == 0.0
+
+
 def test_distance_point_polygon(spark):
     inside = T("ST_MAKEPOINT", "2", "2")
     outside = T("ST_MAKEPOINT", "7", "2")

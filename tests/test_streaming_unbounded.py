@@ -359,3 +359,51 @@ def test_streaming_match_recognize_guards(spark):
             )
     finally:
         src.close()
+
+
+def test_streaming_match_recognize_decimal_key(spark):
+    """Review regression: partition keys needing a JSON codec (decimal
+    here) must be DECODED on emission — the buffered form is str, and an
+    un-decoded key fails the pandas→Arrow cast for the output schema."""
+    from pyspark.sql import functions as F
+
+    from calcite_spark.streaming.match_stream import match_recognize_stream
+
+    src = ControlledStreamSource(spark, "ts timestamp, k string, v double")
+    stream = src.stream().withColumn("acct", F.expr("CAST(length(k) + 0.25 AS DECIMAL(10,2))"))
+    out = match_recognize_stream(
+        stream,
+        partition_by=["acct"],
+        ts_col="ts",
+        pattern="A B+",
+        define={"A": "v < 10", "B": "v >= 10"},
+        measures={"n_rows": "COUNT(*)"},
+        within=60.0,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mr_dec")
+        .start()
+    )
+    try:
+        src.add_batch(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 5.0},
+                {"ts": "2024-01-01 10:00:10", "k": "a", "v": 15.0},
+            ]
+        )
+        q.processAllAvailable()
+        src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
+        q.processAllAvailable()
+        src.add_batch([{"ts": "2024-01-01 10:10:00", "k": "a", "v": 60.0}])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_mr_dec").collect()
+        assert len(rows) == 1
+        import decimal
+
+        assert rows[0].acct == decimal.Decimal("1.25")
+        assert rows[0].n_rows == 2
+    finally:
+        q.stop()
+        src.close()
