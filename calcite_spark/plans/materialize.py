@@ -24,6 +24,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from pyspark.sql import functions as _F
+
 from calcite_spark.plans import ir
 
 _AGG_RE = re.compile(r"^\s*(SUM|COUNT|MIN|MAX)\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$", re.I)
@@ -42,6 +44,10 @@ class Materialization:
     agg_calls: dict  # alias -> (FN, arg_expr)
     path: str = ""
     filter_condition: str | None = None  # None = unfiltered MV
+    # file snapshot of the base table at (re)build time — the change-
+    # detection anchor for incremental_refresh (≈ a lake format's
+    # snapshot id; a deployment on Delta/Iceberg would persist this)
+    base_files: tuple = ()
 
 
 def parse_agg_call(call: str):
@@ -72,9 +78,102 @@ class MaterializationRegistry:
         ).to_df(catalog)
         df.write.mode("overwrite").parquet(path)
         catalog.register(name, path)
-        mv = Materialization(name, table, tuple(group_keys), parsed, path)
+        try:
+            snapshot = tuple(sorted(catalog.table(table).inputFiles()))
+        except Exception:
+            snapshot = ()  # non-file base: incremental_refresh will refuse
+        mv = Materialization(
+            name, table, tuple(group_keys), parsed, path, base_files=snapshot
+        )
         self.mvs[name] = mv
         return mv
+
+    def incremental_refresh(self, catalog, name: str) -> dict:
+        """Refresh an MV over an APPEND-ONLY base table by aggregating
+        only the files added since the last build and merging with the
+        stored tile (≈ the incremental half of Calcite's
+        MaterializationService: the reference rebuilds tiles; lake-era
+        engines maintain them — SUM/COUNT merge by SUM, MIN/MIN,
+        MAX/MAX).
+
+        100 TB shape: the delta scan reads ONLY new files (file-list
+        change detection, the Delta/Iceberg snapshot-diff analog) and
+        the merge shuffles tile-sized data, not the fact table — a
+        refresh costs O(new data + tile), not O(history).
+
+        Refuses what cannot merge: DISTINCT aggregates (per-group
+        distinct counts are not additive), non-identifier group keys
+        (the merge re-groups by the tile's key COLUMNS), and non-file
+        base tables (no change anchor). Row deletes/updates in the base
+        are out of contract — append-only, like every log-structured
+        ingest path.
+        """
+        mv = self.mvs[name]
+        for alias, (fn, arg) in mv.agg_calls.items():
+            if arg.upper().startswith("DISTINCT"):
+                raise ValueError(
+                    f"MV {name}: {fn}(DISTINCT ...) is not incrementally "
+                    "maintainable — redefine with define() to rebuild"
+                )
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in mv.group_keys):
+            raise ValueError(
+                f"MV {name}: incremental refresh needs plain column group "
+                f"keys, got {mv.group_keys}"
+            )
+        if not mv.base_files:
+            raise ValueError(
+                f"MV {name}: base table {mv.table} has no file listing — "
+                "incremental refresh needs a file-backed base"
+            )
+        # the catalog memoizes DataFrames; a cached handle lists the
+        # files as of ITS creation — drop it so the listing is current
+        catalog._dfs.pop(mv.table, None)
+        current = tuple(sorted(catalog.table(mv.table).inputFiles()))
+        seen = set(mv.base_files)
+        delta = [f for f in current if f not in seen]
+        if not delta:
+            return {"refreshed": False, "delta_files": 0}
+
+        spark = catalog.spark
+        delta_df = spark.read.parquet(*delta)
+        calls = tuple(
+            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+        )
+        tmp = f"__mv_delta_{name}"
+        catalog.register_df(tmp, delta_df)
+        try:
+            # same IR lowering as define() — identical naming/typing
+            delta_agg = ir.Aggregate(
+                mv.group_keys, calls, inputs=(ir.Scan(tmp),)
+            ).to_df(catalog)
+            merge_calls = [
+                _F.expr(f"{_REAGG[fn]}({alias})").alias(alias)
+                for alias, (fn, _) in mv.agg_calls.items()
+            ]
+            merged = (
+                catalog.table(name)
+                .unionByName(delta_agg)
+                .groupBy(*mv.group_keys)
+                .agg(*merge_calls)
+            )
+            # pin results BEFORE overwriting the parquet being read
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(mv.path)
+        finally:
+            spark.catalog.dropTempView(tmp)
+            catalog.tables.pop(tmp, None)
+            catalog._dfs.pop(tmp, None)
+        catalog.register(name, mv.path)
+        self.mvs[name] = Materialization(
+            mv.name,
+            mv.table,
+            mv.group_keys,
+            mv.agg_calls,
+            mv.path,
+            mv.filter_condition,
+            base_files=current,
+        )
+        return {"refreshed": True, "delta_files": len(delta)}
 
     # -- the rewrite rule (plugged into plans/rewrite.py) --------------
 

@@ -283,3 +283,93 @@ def test_lattice_suggester_below_threshold_silent(spark, tmp_path):
     RelBuilder(cat).scan("orders").aggregate(["o_orderstatus"], ["COUNT(*) AS n"]).to_df()
     assert sug.suggest(min_count=2) == []
     assert sug.auto_build(cat, MaterializationRegistry(), str(tmp_path), min_count=2) == []
+
+
+def _copy_parquet_subset(spark, src_table_df, dest, frac_filter):
+    src_table_df.filter(frac_filter).write.mode("append").parquet(dest)
+
+
+def test_incremental_refresh_matches_full_rebuild(spark, tmp_path):
+    """Append-only base: refresh aggregates ONLY the new files and the
+    merged tile equals a from-scratch rebuild."""
+    base_dir = str(tmp_path / "orders_base")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("orders")
+    _copy_parquet_subset(spark, full, base_dir, "o_orderkey % 3 = 0")
+
+    cat = Catalog(spark)
+    cat.register("orders_inc", base_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="mv_inc",
+        table="orders_inc",
+        group_keys=["o_orderstatus"],
+        agg_calls=[
+            "SUM(o_totalprice) AS sum_price",
+            "COUNT(*) AS n",
+            "MIN(o_orderdate) AS first_d",
+            "MAX(o_totalprice) AS max_price",
+        ],
+        path=str(tmp_path / "mv_inc"),
+    )
+    assert len(mv.base_files) >= 1
+
+    # no new files → no-op
+    assert reg.incremental_refresh(cat, "mv_inc") == {
+        "refreshed": False,
+        "delta_files": 0,
+    }
+
+    # append a second slice of rows as new files
+    _copy_parquet_subset(spark, full, base_dir, "o_orderkey % 3 = 1")
+    stats = reg.incremental_refresh(cat, "mv_inc")
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+
+    refreshed = _rows(cat.table("mv_inc"))
+    expected = _rows(
+        cat.table("orders_inc")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("SUM(o_totalprice)").alias("sum_price"),
+            F.expr("COUNT(*)").alias("n"),
+            F.expr("MIN(o_orderdate)").alias("first_d"),
+            F.expr("MAX(o_totalprice)").alias("max_price"),
+        )
+        .select("o_orderstatus", "sum_price", "n", "first_d", "max_price")
+    )
+    assert refreshed == expected
+
+    # second refresh with nothing new: no-op again (snapshot advanced)
+    assert reg.incremental_refresh(cat, "mv_inc")["refreshed"] is False
+
+    # and the MV rewrite still fires over the refreshed tile
+    plan = (
+        RelBuilder(cat)
+        .scan("orders_inc")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    sub = reg.substitute(plan, cat)
+    assert sub is not None
+    got = {(r.o_orderstatus, r.n) for r in sub.to_df(cat).collect()}
+    want = {(r.o_orderstatus, r.n) for r in cat.table("orders_inc").groupBy("o_orderstatus").agg(F.expr("COUNT(*)").alias("n")).collect()}
+    assert got == want
+
+
+def test_incremental_refresh_refuses_distinct(spark, tmp_path):
+    base_dir = str(tmp_path / "base2")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("orders")
+    _copy_parquet_subset(spark, full, base_dir, "o_orderkey % 5 = 0")
+    cat = Catalog(spark)
+    cat.register("orders_inc2", base_dir)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat,
+        name="mv_inc2",
+        table="orders_inc2",
+        group_keys=["o_orderstatus"],
+        agg_calls=["COUNT(DISTINCT o_custkey) AS n_cust"],
+        path=str(tmp_path / "mv_inc2"),
+    )
+    with pytest.raises(ValueError, match="not incrementally"):
+        reg.incremental_refresh(cat, "mv_inc2")
