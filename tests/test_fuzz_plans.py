@@ -1,0 +1,128 @@
+"""PLAN fuzzing — the relational-tree complement to the expression
+fuzzer (≈ fuzzer/RexProgramFuzzyTest.java fuzzes expressions; Quidem
+scripts pin plan shapes). Hypothesis generates random small IR trees
+over the sf0.001 tables — scan → [filter] → [join] → [aggregate |
+project] → [sort/limit] — and every tree must agree with DuckDB running
+the rel2sql-emitted oracle of the SAME tree, and with Spark re-running
+the Spark-dialect emission. One generator exercises the IR lowering,
+both dialect emitters, and the oracle comparison protocol at once.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.queries.inventory import catalog_for
+from calcite_spark.sql.rel2sql import DUCKDB, SPARK, to_sql
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+# (table, int cols, numeric col, string col, primary key)
+TABLES = {
+    "region": (["r_regionkey"], "r_regionkey", "r_name", "r_regionkey"),
+    "nation": (["n_nationkey", "n_regionkey"], "n_nationkey", "n_name", "n_nationkey"),
+    "customer": (["c_custkey", "c_nationkey"], "c_acctbal", "c_mktsegment", "c_custkey"),
+    "supplier": (["s_suppkey", "s_nationkey"], "s_acctbal", "s_name", "s_suppkey"),
+}
+
+# FK edges usable as join conditions
+JOINS = [
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def plan_spec(draw):
+    joined = draw(st.booleans())
+    if joined:
+        left, right, cond = draw(st.sampled_from(JOINS))
+        jt = draw(st.sampled_from(["INNER", "LEFT", "SEMI", "ANTI"]))
+        tables = (left, right, cond, jt)
+        # columns from the LEFT table keep post-join references simple
+        int_cols, num_col, str_col, pk = TABLES[left]
+    else:
+        t = draw(st.sampled_from(sorted(TABLES)))
+        tables = (t,)
+        int_cols, num_col, str_col, pk = TABLES[t]
+
+    filt = None
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(int_cols))
+        op = draw(st.sampled_from(CMP))
+        lit = draw(st.integers(min_value=-2, max_value=30))
+        filt = f"{col} {op} {lit}"
+        if draw(st.booleans()):
+            col2 = draw(st.sampled_from(int_cols))
+            lit2 = draw(st.integers(min_value=-2, max_value=30))
+            filt += f" AND {col2} {draw(st.sampled_from(CMP))} {lit2}"
+
+    shape = draw(st.sampled_from(["agg", "project", "bare"]))
+    if shape == "agg":
+        fn = draw(st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]))
+        arg = "*" if fn == "COUNT" else num_col
+        gk = draw(st.sampled_from(int_cols + [str_col]))
+        head = ("agg", gk, f"{fn}({arg}) AS agg_val")
+    elif shape == "project":
+        head = ("project", int_cols[0], str_col)
+    else:
+        head = ("bare",)
+
+    limit = draw(st.one_of(st.none(), st.integers(min_value=1, max_value=20)))
+    return (tables, filt, head, limit, pk)
+
+
+def _build(cat, spec):
+    tables, filt, head, limit, pk = spec
+    b = RelBuilder(cat)
+    if len(tables) == 4:
+        left, right, cond, jt = tables
+        b = b.scan(left).scan(right)
+        if jt == "SEMI":
+            b = b.semi_join(cond)
+        elif jt == "ANTI":
+            b = b.anti_join(cond)
+        else:
+            b = b.join(cond, join_type=jt)
+    else:
+        b = b.scan(tables[0])
+    if filt:
+        b = b.filter(filt)
+    sort_key = pk
+    if head[0] == "agg":
+        _, gk, call = head
+        b = b.aggregate([gk], [call])
+        sort_key = gk
+    elif head[0] == "project":
+        b = b.project(*head[1:])
+        sort_key = head[1]
+    if limit is not None:
+        # LIMIT needs a deterministic total order for cross-engine
+        # comparison: sort by every output column
+        b = b.sort_limit([sort_key, *(["agg_val"] if head[0] == "agg" else [])], fetch=limit)
+    return b.build()
+
+
+@pytest.fixture(scope="module")
+def fuzz_cat(spark):
+    return catalog_for(spark, SF_DIR)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=plan_spec())
+def test_random_plan_agrees_with_duckdb_and_spark_sql(fuzz_cat, duck, spark, spec):
+    plan = _build(fuzz_cat, spec)
+    df = plan.to_df(fuzz_cat)
+    # differential 1: DuckDB runs the DuckDB-dialect emission of the tree
+    assert_matches_oracle(df, duck, to_sql(plan, DUCKDB))
+    # differential 2: Spark runs the Spark-dialect emission of the tree
+    df2 = spark.sql(to_sql(plan, SPARK))
+    assert sorted(map(str, df.collect())) == sorted(map(str, df2.collect()))
