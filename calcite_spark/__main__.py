@@ -43,7 +43,7 @@ def _fmt_table(cols: list[str], rows: list[tuple], max_rows: int) -> str:
 
 def _run_statement(fe, ddl, text: str, max_rows: int) -> str:
     head = text.lstrip().split(None, 1)[0].upper() if text.strip() else ""
-    if head in ("CREATE", "DROP", "INSERT", "UPDATE", "DELETE", "MERGE"):
+    if head in ("CREATE", "DROP", "INSERT", "UPDATE", "DELETE", "MERGE", "ANALYZE"):
         return str(ddl.execute(text))
     df = fe.sql(text)
     if df.isStreaming:

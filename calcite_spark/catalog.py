@@ -50,6 +50,7 @@ class TableEntry:
     fmt: str = "parquet"
     row_count: int | None = None
     options: dict = field(default_factory=dict)
+    stats: dict | None = None  # ANALYZE output (exec.profile shape)
 
 
 class Catalog:
@@ -162,6 +163,28 @@ class Catalog:
         if entry.row_count is None:
             entry.row_count = self.table(name).count()
         return entry.row_count
+
+    def analyze(self, name: str, columns=None) -> dict:
+        """ANALYZE TABLE ≈ collecting Statistic.java's contents via
+        profile/ProfilerImpl: one scan fills row count + per-column
+        ndv/nulls/min-max, cached on the TableEntry. The join-order cost
+        model upgrades equi-join selectivity to the System-R
+        1/max(NDV) form for analyzed columns (RelMdDistinctRowCount)."""
+        from calcite_spark.exec import profile
+
+        stats = profile(self, name, columns)
+        entry = self.tables[name]
+        entry.stats = stats
+        entry.row_count = stats["rows"]
+        return stats
+
+    def column_ndv(self, name: str, col: str) -> int | None:
+        entry = self.tables.get(name)
+        if entry is not None and entry.stats:
+            c = entry.stats["columns"].get(col)
+            if c is not None:
+                return c["ndv"]
+        return None
 
 
 def open_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

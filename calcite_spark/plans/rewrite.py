@@ -11,6 +11,8 @@ Catalyst does them on the lowered DataFrame plan.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -380,6 +382,31 @@ def _resolve_multijoin(node, catalog):
     return infos, cond_refs
 
 
+_EQUI_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
+
+
+def _conjunct_selectivity(conjunct, refs, infos, catalog):
+    """Join selectivity for one conjunct (≈ RelMdSelectivity +
+    RelMdDistinctRowCount). For a plain equi-join col_a = col_b where
+    BOTH columns have ANALYZE stats (Catalog.analyze), use System-R
+    1/max(NDV_a, NDV_b) — exact for FK joins and, unlike the fallback,
+    correct for non-key joins (customer⋈supplier on nationkey: NDV 25,
+    not min(base rows)). Fallback: 1/min(BASE rows of the referenced
+    leaves), the FK-correct form when the key side is unique; BASE (not
+    filtered) rows so a filtered dim doesn't annihilate the fact."""
+    m = _EQUI_RE.match(conjunct)
+    if m:
+        ndvs = []
+        for col in m.groups():
+            info = next((i for i in infos if col in i["cols"]), None)
+            ndv = catalog.column_ndv(info["table"], col) if info else None
+            if ndv:
+                ndvs.append(ndv)
+        if len(ndvs) == 2:
+            return 1.0 / max(max(ndvs), 1.0)
+    return 1.0 / max(min(infos[i]["base_rows"] for i in refs), 1.0)
+
+
 def _join_order_greedy(node, catalog, resolved=None):
     """≈ LoptOptimizeJoinRule.java:77 (greedy tier): rebuild the
     multi-join left-deep from catalog statistics — largest relation
@@ -481,12 +508,9 @@ def _join_order_dphyp(node, catalog, resolved=None):
         rmask = 0
         for i in refs:
             rmask |= masks_of[i]
-        # selectivity 1/min(BASE rows of referenced leaves): for an FK
-        # equi-join the smaller side is the key side, so |fact ⋈ dim| ≈
-        # fact (the System-R 1/max(NDV) estimate with NDV ≈ key-side
-        # cardinality); using FILTERED rows here would wrongly claim a
-        # filtered dim annihilates the fact
-        sel = 1.0 / max(min(infos[i]["base_rows"] for i in refs), 1.0)
+        # NDV-aware when ANALYZE stats exist, else 1/min(BASE rows) —
+        # see _conjunct_selectivity for why both forms are FK-correct
+        sel = _conjunct_selectivity(c, refs, infos, catalog)
         conds.append((c, rmask, sel))
     for i, sqls in leaf_filters.items():
         infos[i]["node"] = ir.Filter(" AND ".join(sqls), inputs=(infos[i]["node"],))
@@ -603,6 +627,12 @@ def estimate_plan_cost(node, catalog) -> float:
             if ident in cols:
                 yield base
 
+    def col_ndv(ident):
+        for t, (cols, _) in leaf_info.items():
+            if ident in cols:
+                return catalog.column_ndv(t, ident)
+        return None
+
     total = [0.0]
 
     def walk(n) -> float:
@@ -613,6 +643,15 @@ def estimate_plan_cost(node, catalog) -> float:
         if isinstance(n, ir.Join):
             rows = walk(n.inputs[0]) * walk(n.inputs[1])
             for c in _split_conjuncts(n.condition or "TRUE"):
+                m = _EQUI_RE.match(c)
+                ndvs = (
+                    [v for v in (col_ndv(g) for g in m.groups()) if v]
+                    if m
+                    else []
+                )
+                if len(ndvs) == 2:  # same NDV form as _conjunct_selectivity
+                    rows /= max(max(ndvs), 1.0)
+                    continue
                 owners = [
                     r
                     for t in _re.findall(r"[A-Za-z_]\w*", c)

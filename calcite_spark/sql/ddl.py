@@ -38,6 +38,11 @@ _CREATE_FOREIGN_SCHEMA = re.compile(
     re.I | re.S,
 )
 _OPTION = re.compile(r"(\w+)\s+'([^']*)'")
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*$",
+    re.I,
+)
 
 # SQL-standard attribute types → Spark DDL types (CREATE TYPE surface)
 _SQL_TO_SPARK_TYPE = {
@@ -81,6 +86,15 @@ class DdlExecutor:
 
     def execute(self, sql: str):
         sql = sql.strip().rstrip(";")
+        m = _ANALYZE.match(sql)
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            stats = self.catalog.analyze(m.group(1), cols)
+            return {
+                "analyzed": m.group(1),
+                "rows": stats["rows"],
+                "columns": sorted(stats["columns"]),
+            }
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m.group(1), m.group(2), m.group(3), m.group(4))

@@ -471,3 +471,64 @@ def test_join_order_greedy_bails_on_self_join(spark):
         .build()
     )
     assert _join_order_greedy(plan, cat) is None
+
+
+def test_analyze_collects_column_stats(spark):
+    from calcite_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    stats = cat.analyze("nation", ["n_nationkey", "n_regionkey"])
+    assert stats["rows"] == 25
+    assert 23 <= cat.column_ndv("nation", "n_nationkey") <= 27  # approx ndv of 25
+    assert 4 <= cat.column_ndv("nation", "n_regionkey") <= 6  # approx ndv of 5
+    assert cat.column_ndv("nation", "n_name") is None  # not analyzed
+    assert cat.column_ndv("region", "r_name") is None  # not analyzed
+
+
+def test_ndv_selectivity_beats_base_rows_fallback(spark):
+    """customer⋈supplier on nationkey is a NON-key join: the base-rows
+    fallback claims selectivity 1/min(|customer|,|supplier|) while the
+    true value is 1/NDV(nationkey) = 1/25. With ANALYZE stats the cost
+    model must use the NDV form (System-R / RelMdDistinctRowCount)."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.rewrite import _conjunct_selectivity
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    infos = [
+        {"table": "customer", "cols": {"c_custkey", "c_nationkey"},
+         "base_rows": cat.row_count("customer")},
+        {"table": "supplier", "cols": {"s_suppkey", "s_nationkey"},
+         "base_rows": cat.row_count("supplier")},
+    ]
+    cond = "c_nationkey = s_nationkey"
+    fallback = _conjunct_selectivity(cond, {0, 1}, infos, cat)
+    assert fallback == 1.0 / min(i["base_rows"] for i in infos)
+
+    cat.analyze("customer", ["c_nationkey"])
+    cat.analyze("supplier", ["s_nationkey"])
+    ndv_based = _conjunct_selectivity(cond, {0, 1}, infos, cat)
+    assert ndv_based == pytest.approx(1.0 / 25, rel=0.2)
+    assert ndv_based != fallback  # the NDV form took over
+
+    # non-equi conjuncts keep the fallback
+    assert _conjunct_selectivity(
+        "c_nationkey < s_nationkey", {0, 1}, infos, cat
+    ) == fallback
+
+
+def test_analyze_table_ddl(spark, tmp_path):
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.sql.ddl import DdlExecutor
+    from calcite_spark.sql.frontend import SqlFrontend
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.register_all_views()
+    ddl = DdlExecutor(SqlFrontend(cat), str(tmp_path / "wh"))
+    out = ddl.execute(
+        "ANALYZE TABLE supplier COMPUTE STATISTICS FOR COLUMNS s_nationkey"
+    )
+    assert out["analyzed"] == "supplier" and out["columns"] == ["s_nationkey"]
+    assert cat.column_ndv("supplier", "s_nationkey") is not None
