@@ -279,6 +279,136 @@ def register_spatial_udfs(spark) -> None:
     spark.udf.register("cs_geom_from_text", cs_geom_from_text)
 
 
+def _transform_pts(g: str, fx: str, fy: str) -> str:
+    """New geometry with each vertex (x,y) mapped to (fx, fy) — the
+    shared body of the affine family (≈ AffineTransformation used by
+    ST_Translate/ST_Scale/ST_Rotate, SpatialTypeFunctions.java:1356-1412)."""
+    return (
+        f"named_struct('kind', {g}.kind, 'pts', "
+        f"transform({g}.pts, p -> named_struct('x', {fx}, 'y', {fy})))"
+    )
+
+
+def st_translate(g: str, dx: str, dy: str) -> str:
+    return _transform_pts(g, f"p.x + CAST({dx} AS DOUBLE)", f"p.y + CAST({dy} AS DOUBLE)")
+
+
+def st_scale(g: str, fx: str, fy: str) -> str:
+    return _transform_pts(g, f"p.x * CAST({fx} AS DOUBLE)", f"p.y * CAST({fy} AS DOUBLE)")
+
+
+def st_rotate(g: str, angle: str) -> str:
+    """Rotate about the origin by `angle` radians (counter-clockwise),
+    ≈ ST_Rotate:1356 (origin overloads compose with ST_Translate)."""
+    c, s = f"cos(CAST({angle} AS DOUBLE))", f"sin(CAST({angle} AS DOUBLE))"
+    return _transform_pts(g, f"p.x * {c} - p.y * {s}", f"p.x * {s} + p.y * {c}")
+
+
+def st_flip_coordinates(g: str) -> str:
+    return _transform_pts(g, "p.y", "p.x")
+
+
+def st_reverse(g: str) -> str:
+    return f"named_struct('kind', {g}.kind, 'pts', reverse({g}.pts))"
+
+
+def st_geometry_type(g: str) -> str:
+    """≈ ST_GeometryType:1004 (SpatialType enum NAME — our kinds use the
+    same spelling)."""
+    return f"{g}.kind"
+
+
+def st_dimension(g: str) -> str:
+    return (
+        f"CASE {g}.kind WHEN 'POINT' THEN 0 WHEN 'LINESTRING' THEN 1 "
+        "WHEN 'POLYGON' THEN 2 END"
+    )
+
+
+def st_is_empty(g: str) -> str:
+    return f"({g}.kind IS NULL OR size({g}.pts) = 0)"
+
+
+def st_is_closed(g: str) -> str:
+    """First vertex == last vertex (POLYGON rings are implicitly closed)."""
+    first, last = _pt(g, "1"), f"element_at({g}.pts, {_n(g)})"
+    return (
+        f"CASE WHEN {g}.kind = 'POLYGON' THEN TRUE "
+        f"WHEN {g}.kind = 'LINESTRING' THEN "
+        f"({first}.x = {last}.x AND {first}.y = {last}.y) "
+        "ELSE FALSE END"
+    )
+
+
+def _xacc(g: str, agg: str, coord: str) -> str:
+    return f"array_{agg}(transform({g}.pts, p -> p.{coord}))"
+
+
+def _orient(p: str, q: str, r: str) -> str:
+    """Cross product sign of (p→q, p→r): >0 left turn, <0 right, 0 collinear."""
+    return (
+        f"(({q}.x - {p}.x) * ({r}.y - {p}.y) - "
+        f"({q}.y - {p}.y) * ({r}.x - {p}.x))"
+    )
+
+
+def _on_segment(p: str, q: str, r: str) -> str:
+    """Given collinear p,q,r: r lies within the bounding box of pq."""
+    return (
+        f"({r}.x >= least({p}.x, {q}.x) AND {r}.x <= greatest({p}.x, {q}.x) "
+        f"AND {r}.y >= least({p}.y, {q}.y) AND {r}.y <= greatest({p}.y, {q}.y))"
+    )
+
+
+def st_intersects(g1: str, g2: str) -> str:
+    """≈ ST_Intersects (SpatialTypeFunctions.java, JTS `intersects`):
+    TRUE iff the geometries share at least one point, boundary included.
+
+    Dispatch: a POINT side reduces to ST_Distance = 0 (distance is 0 on
+    a boundary, so this is boundary-inclusive, unlike ST_Contains'
+    half-open ray-cast rule). Otherwise the classic O(n·m) segment test
+    — any edge pair properly crossing or touching (orientation signs +
+    collinear bounding-box checks) — plus containment probes of one
+    vertex each way for polygon operands. Pure SQL over nested
+    `exists()` lambdas: JVM codegen, no UDF, no join."""
+    e1 = f"sequence(1, {_n(g1)} - IF({g1}.kind = 'POLYGON', 0, 1))"
+    e2 = f"sequence(1, {_n(g2)} - IF({g2}.kind = 'POLYGON', 0, 1))"
+    a1, b1 = _pt(g1, "i"), _edge_b(g1, "i")
+    a2, b2 = _pt(g2, "j"), _edge_b(g2, "j")
+    d1, d2 = _orient(a2, b2, a1), _orient(a2, b2, b1)
+    d3, d4 = _orient(a1, b1, a2), _orient(a1, b1, b2)
+    seg_hit = (
+        f"(( ({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0) ) AND "
+        f"( ({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0) )) "
+        f"OR ({d1} = 0 AND {_on_segment(a2, b2, a1)}) "
+        f"OR ({d2} = 0 AND {_on_segment(a2, b2, b1)}) "
+        f"OR ({d3} = 0 AND {_on_segment(a1, b1, a2)}) "
+        f"OR ({d4} = 0 AND {_on_segment(a1, b1, b2)})"
+    )
+    edge_cross = f"exists({e1}, i -> exists({e2}, j -> {seg_hit}))"
+    v1, v2 = _pt(g1, "1"), _pt(g2, "1")
+    contained = (
+        f"({g2}.kind = 'POLYGON' AND {st_contains(g2, make_point(f'{v1}.x', f'{v1}.y'))}) OR "
+        f"({g1}.kind = 'POLYGON' AND {st_contains(g1, make_point(f'{v2}.x', f'{v2}.y'))})"
+    )
+    return (
+        f"CASE WHEN {g1}.kind = 'POINT' OR {g2}.kind = 'POINT' "
+        f"THEN {st_distance(g1, g2)} = 0.0 "
+        f"ELSE ({edge_cross} OR {contained}) END"
+    )
+
+
+def st_disjoint(g1: str, g2: str) -> str:
+    return f"(NOT {st_intersects(g1, g2)})"
+
+
+def st_ordering_equals(g1: str, g2: str) -> str:
+    """≈ ST_OrderingEquals — same kind, same vertices in order (the
+    exactly-decidable equality; geometric ST_Equals is refused rather
+    than approximated)."""
+    return f"({g1}.kind = {g2}.kind AND {g1}.pts = {g2}.pts)"
+
+
 # ---------------------------------------------------------------------
 # Registry entries (SqlLibrary.SPATIAL analog): name → template builder
 # ---------------------------------------------------------------------
@@ -312,6 +442,24 @@ def register_spatial_functions() -> None:
     _reg("ST_ENDPOINT", st_point_n("{0}", f"size({{0}}.pts)"), (1,), libs=(SPATIAL,))
     _reg("ST_ASTEXT", st_as_text("{0}"), (1,), libs=(SPATIAL,))
     _reg("ST_ASWKT", st_as_text("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_TRANSLATE", st_translate("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,))
+    _reg("ST_SCALE", st_scale("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,))
+    _reg("ST_ROTATE", st_rotate("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_FLIPCOORDINATES", st_flip_coordinates("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_REVERSE", st_reverse("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_GEOMETRYTYPE", st_geometry_type("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_DIMENSION", st_dimension("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_COORDDIM", "2", (1,), libs=(SPATIAL,))
+    _reg("ST_NUMGEOMETRIES", f"CASE WHEN {{0}}.kind IS NOT NULL THEN 1 END", (1,), libs=(SPATIAL,))
+    _reg("ST_ISEMPTY", st_is_empty("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_ISCLOSED", st_is_closed("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_XMIN", _xacc("{0}", "min", "x"), (1,), libs=(SPATIAL,))
+    _reg("ST_XMAX", _xacc("{0}", "max", "x"), (1,), libs=(SPATIAL,))
+    _reg("ST_YMIN", _xacc("{0}", "min", "y"), (1,), libs=(SPATIAL,))
+    _reg("ST_YMAX", _xacc("{0}", "max", "y"), (1,), libs=(SPATIAL,))
+    _reg("ST_INTERSECTS", st_intersects("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_DISJOINT", st_disjoint("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_ORDERINGEQUALS", st_ordering_equals("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
     _reg(
         "ST_GEOMFROMTEXT",
         "cs_geom_from_text({0})",

@@ -198,3 +198,74 @@ def test_spatial_library_gating(spark):
     assert registry.lookup("ST_DISTANCE", "SPATIAL") is not None
     assert registry.lookup("ST_DISTANCE", "BIG_QUERY") is None
     assert "SPATIAL" in registry.libraries()
+
+
+def test_affine_family(spark):
+    # translate then scale a point
+    moved = T("ST_TRANSLATE", P12, "10", "20")
+    assert _one(spark, T("ST_X", moved)) == 11.0
+    assert _one(spark, T("ST_Y", moved)) == 22.0
+    scaled = T("ST_SCALE", P12, "2", "3")
+    assert (_one(spark, T("ST_X", scaled)), _one(spark, T("ST_Y", scaled))) == (2.0, 6.0)
+    # rotate (1,0) by pi/2 → (0,1)
+    p10 = T("ST_MAKEPOINT", "1", "0")
+    rot = T("ST_ROTATE", p10, "pi() / 2")
+    assert _one(spark, T("ST_X", rot)) == pytest.approx(0.0, abs=1e-12)
+    assert _one(spark, T("ST_Y", rot)) == pytest.approx(1.0)
+    flip = T("ST_FLIPCOORDINATES", P12)
+    assert (_one(spark, T("ST_X", flip)), _one(spark, T("ST_Y", flip))) == (2.0, 1.0)
+
+
+def test_accessors_and_predicates(spark):
+    assert _one(spark, T("ST_GEOMETRYTYPE", LINE)) == "LINESTRING"
+    assert _one(spark, T("ST_DIMENSION", SQUARE)) == 2
+    assert _one(spark, T("ST_DIMENSION", P12)) == 0
+    assert _one(spark, T("ST_XMIN", LINE)) == 0.0
+    assert _one(spark, T("ST_XMAX", LINE)) == 3.0
+    assert _one(spark, T("ST_YMAX", LINE)) == 4.0
+    assert _one(spark, T("ST_ISEMPTY", P12)) is False
+    assert _one(spark, T("ST_ISCLOSED", SQUARE)) is True
+    assert _one(spark, T("ST_ISCLOSED", LINE)) is False
+    assert _one(spark, T("ST_NUMGEOMETRIES", LINE)) == 1
+    assert _one(spark, T("ST_ORDERINGEQUALS", LINE, LINE)) is True
+    assert _one(spark, T("ST_ORDERINGEQUALS", LINE, T("ST_REVERSE", LINE))) is False
+
+
+def test_intersects(spark):
+    # point on polygon boundary: intersects (inclusive), not contained
+    edge_pt = T("ST_MAKEPOINT", "0", "2")
+    assert _one(spark, T("ST_INTERSECTS", edge_pt, SQUARE)) is True
+    inside = T("ST_MAKEPOINT", "2", "2")
+    outside = T("ST_MAKEPOINT", "9", "9")
+    assert _one(spark, T("ST_INTERSECTS", inside, SQUARE)) is True
+    assert _one(spark, T("ST_INTERSECTS", SQUARE, outside)) is False
+    assert _one(spark, T("ST_DISJOINT", SQUARE, outside)) is True
+
+    # crossing linestrings
+    l1 = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 4.0d)))"
+    )
+    l2 = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 4.0d), named_struct('x', 4.0d, 'y', 0.0d)))"
+    )
+    l3 = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 10.0d, 'y', 10.0d), named_struct('x', 11.0d, 'y', 10.0d)))"
+    )
+    assert _one(spark, T("ST_INTERSECTS", l1, l2)) is True
+    assert _one(spark, T("ST_INTERSECTS", l1, l3)) is False
+    # collinear overlap without shared endpoints
+    l4 = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 1.0d, 'y', 1.0d), named_struct('x', 2.0d, 'y', 2.0d)))"
+    )
+    assert _one(spark, T("ST_INTERSECTS", l1, l4)) is True
+    # line fully INSIDE a polygon (no edge crossing): containment probe
+    inner_line = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 1.0d, 'y', 1.0d), named_struct('x', 2.0d, 'y', 3.0d)))"
+    )
+    assert _one(spark, T("ST_INTERSECTS", inner_line, SQUARE)) is True
+    assert _one(spark, T("ST_INTERSECTS", SQUARE, inner_line)) is True
