@@ -308,11 +308,11 @@ def q66_recursive_union(spark, sf_dir):
 
 
 @register(
-    "q67_sample",
+    "z65_sample",
     oracle=None,  # RNG streams differ per engine; driver does rows-only
     tags=("sample",),
 )
-def q67_sample(spark, sf_dir):
+def z65_sample(spark, sf_dir):
     """TABLESAMPLE BERNOULLI(10) REPEATABLE(42): seeded row-level sample.
     Deterministic per engine (same seed → same rows across runs) but the
     RNG stream is engine-defined, so no cross-engine oracle; the test
@@ -381,7 +381,7 @@ def q68_window_exclude_current(spark, sf_dir):
 
 
 @register(
-    "q69_scalar_functions",
+    "z66_scalar_functions",
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS u, lower(p_type) AS l,
@@ -408,7 +408,7 @@ def q68_window_exclude_current(spark, sf_dir):
     """,
     tags=("functions", "scalar"),
 )
-def q69_scalar_functions(spark, sf_dir):
+def z66_scalar_functions(spark, sf_dir):
     """String+math scalar library parity (§2.6; runtime ≈ Calcite
     runtime/SqlFunctions.java 8,124 LoC — here pyspark.sql.functions)."""
     return (
@@ -444,7 +444,7 @@ def q69_scalar_functions(spark, sf_dir):
 
 
 @register(
-    "q70_datetime_functions",
+    "z67_datetime_functions",
     oracle="""
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
@@ -462,7 +462,7 @@ def q69_scalar_functions(spark, sf_dir):
     """,
     tags=("functions", "datetime"),
 )
-def q70_datetime_functions(spark, sf_dir):
+def z67_datetime_functions(spark, sf_dir):
     """Datetime library parity: EXTRACT, FLOOR-to-month (date_trunc),
     TIMESTAMPADD/DIFF, LAST_DAY, FORMAT_DATE (§2.6 date/time group)."""
     return (
@@ -488,7 +488,7 @@ def q70_datetime_functions(spark, sf_dir):
 
 
 @register(
-    "q71_conditional_functions",
+    "z68_conditional_functions",
     oracle="""
     SELECT c_custkey,
            COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
@@ -502,7 +502,7 @@ def q70_datetime_functions(spark, sf_dir):
     """,
     tags=("functions", "conditional"),
 )
-def q71_conditional_functions(spark, sf_dir):
+def z68_conditional_functions(spark, sf_dir):
     """CASE/COALESCE/NULLIF/IF/GREATEST/LEAST (§2.6 special group)."""
     return (
         _b(spark, sf_dir)
@@ -682,7 +682,7 @@ def qx03_json_path(spark, sf_dir):
 
 
 @register(
-    "qx06_json_agg",
+    "z74_json_agg",
     oracle="""
     SELECT r_name,
            '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey),
@@ -694,7 +694,7 @@ def qx03_json_path(spark, sf_dir):
     """,
     tags=("json", "aggregate", "json_objectagg"),
 )
-def qx06_json_agg(spark, sf_dir):
+def z74_json_agg(spark, sf_dir):
     """JSON_OBJECTAGG / JSON_ARRAYAGG (SqlStdOperatorTable JSON_OBJECTAGG
     ~:1680): key-sorted so the emitted document is a pure function of the
     input set; the oracle rebuilds the identical compact JSON with

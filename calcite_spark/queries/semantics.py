@@ -140,11 +140,11 @@ def q75_range_join(spark, sf_dir):
 
 
 @register(
-    "q76_approx_aggs",
+    "z69_approx_aggs",
     oracle=None,  # approximate sketches are engine-specific — rows-only
     tags=("aggregate", "approximate"),
 )
-def q76_approx_aggs(spark, sf_dir):
+def z69_approx_aggs(spark, sf_dir):
     """APPROXIMATE modifier (AggregateCall.isApproximate :187):
     approx_count_distinct (HLL) + percentile_approx. The test suite
     separately asserts the estimates land within 5% of exact."""
@@ -164,7 +164,7 @@ def q76_approx_aggs(spark, sf_dir):
 
 
 @register(
-    "q77_exchange_repartition",
+    "z70_exchange_repartition",
     oracle="""
     SELECT l_suppkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 3) AS qty
     FROM lineitem GROUP BY l_suppkey
@@ -172,7 +172,7 @@ def q76_approx_aggs(spark, sf_dir):
     """,
     tags=("exchange", "distribution"),
 )
-def q77_exchange_repartition(spark, sf_dir):
+def z70_exchange_repartition(spark, sf_dir):
     """Explicit Exchange (rel/core/Exchange.java:45): hash-distribute by
     the aggregation key first — the pre-partitioning is then REUSED by
     the groupBy (no second shuffle), the pattern for aligning a chain of
@@ -188,7 +188,7 @@ def q77_exchange_repartition(spark, sf_dir):
 
 
 @register(
-    "q78_calc_fused",
+    "z71_calc_fused",
     oracle="""
     SELECT o_orderkey,
            ROUND(o_totalprice * 1.1, 3) AS taxed,
@@ -199,7 +199,7 @@ def q77_exchange_repartition(spark, sf_dir):
     """,
     tags=("calc", "project", "filter"),
 )
-def q78_calc_fused(spark, sf_dir):
+def z71_calc_fused(spark, sf_dir):
     """Calc ≈ rel/core/Calc.java:54 (fused project+filter over a shared
     RexProgram): expressed as Filter+Project; Catalyst's CollapseProject/
     combine-filters reproduces the fusion (CalcMergeRule)."""
@@ -493,7 +493,7 @@ def q99_rel2sql_oracle(spark, sf_dir):
 
 
 @register(
-    "qx00_sarg_year_in",
+    "z72_sarg_year_in",
     oracle="""
     SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n,
            ROUND(SUM(o_totalprice), 3) AS total
@@ -503,7 +503,7 @@ def q99_rel2sql_oracle(spark, sf_dir):
     """,
     tags=("rewrite", "date_range", "sarg", "pushdown"),
 )
-def qx00_sarg_year_in(spark, sf_dir):
+def z72_sarg_year_in(spark, sf_dir):
     """YEAR IN-list → merged Sarg range set (util/Sarg.java:69,
     DateRangeRules.java:91): 1995+1996 fuse into one contiguous range,
     1999 stays separate; the OR-of-ranges is sargable at the parquet
@@ -520,7 +520,7 @@ def qx00_sarg_year_in(spark, sf_dir):
 
 
 @register(
-    "qx01_sarg_month_conj",
+    "z73_sarg_month_conj",
     oracle="""
     SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
     FROM orders
@@ -529,7 +529,7 @@ def qx00_sarg_year_in(spark, sf_dir):
     """,
     tags=("rewrite", "date_range", "sarg", "pushdown"),
 )
-def qx01_sarg_month_conj(spark, sf_dir):
+def z73_sarg_month_conj(spark, sf_dir):
     """YEAR = 1996 AND MONTH = 6 (same column) → one month-granular
     timestamp range [1996-06-01, 1996-07-01) — the conjunction case
     DateRangeRules canonicalizes; a bare MONTH predicate has no

@@ -117,8 +117,8 @@ _QX15 = """
 """
 
 
-@register("qx15_tpch11_important_stock", oracle=_QX15, tags=("tpch", "having_subquery"))
-def qx15_tpch11_important_stock(spark, sf_dir):
+@register("q67_tpch11_important_stock", oracle=_QX15, tags=("tpch", "having_subquery"))
+def q67_tpch11_important_stock(spark, sf_dir):
     """TPC-H Q11: HAVING > scalar-subquery-fraction-of-total (lineitem
     value substitutes partsupp stock value)."""
     return _sql(spark, sf_dir, _QX15)
@@ -139,8 +139,8 @@ _QX16 = """
 """
 
 
-@register("qx16_tpch12_shipmode_priority", oracle=_QX16, tags=("tpch", "conditional_agg"))
-def qx16_tpch12_shipmode_priority(spark, sf_dir):
+@register("q69_tpch12_shipmode_priority", oracle=_QX16, tags=("tpch", "conditional_agg"))
+def q69_tpch12_shipmode_priority(spark, sf_dir):
     """TPC-H Q12: conditional priority counts per group (returnflag
     substitutes ship mode)."""
     return _sql(spark, sf_dir, _QX16)
@@ -160,8 +160,8 @@ _QX17 = """
 """
 
 
-@register("qx17_tpch13_customer_distribution", oracle=_QX17, tags=("tpch", "double_agg"))
-def qx17_tpch13_customer_distribution(spark, sf_dir):
+@register("q70_tpch13_customer_distribution", oracle=_QX17, tags=("tpch", "double_agg"))
+def q70_tpch13_customer_distribution(spark, sf_dir):
     """TPC-H Q13: LEFT JOIN with join-level filter, two-level aggregate
     (count-of-counts distribution)."""
     return _sql(spark, sf_dir, _QX17)
@@ -179,8 +179,8 @@ _QX18 = """
 """
 
 
-@register("qx18_tpch14_promo_revenue", oracle=_QX18, tags=("tpch", "ratio"))
-def qx18_tpch14_promo_revenue(spark, sf_dir):
+@register("q71_tpch14_promo_revenue", oracle=_QX18, tags=("tpch", "ratio"))
+def q71_tpch14_promo_revenue(spark, sf_dir):
     """TPC-H Q14: promo revenue share (p_type = 'PROMO' is a literal
     value in the synthetic dims)."""
     return _sql(spark, sf_dir, _QX18)
@@ -203,8 +203,8 @@ _QX19 = """
 """
 
 
-@register("qx19_tpch15_top_supplier", oracle=_QX19, tags=("tpch", "cte", "scalar_max"))
-def qx19_tpch15_top_supplier(spark, sf_dir):
+@register("q76_tpch15_top_supplier", oracle=_QX19, tags=("tpch", "cte", "scalar_max"))
+def q76_tpch15_top_supplier(spark, sf_dir):
     """TPC-H Q15: revenue CTE (the original's view) + scalar MAX
     selection of the top supplier."""
     return _sql(spark, sf_dir, _QX19)
@@ -223,8 +223,8 @@ _QX20 = """
 """
 
 
-@register("qx20_tpch16_parts_suppliers", oracle=_QX20, tags=("tpch", "not_in", "count_distinct"))
-def qx20_tpch16_parts_suppliers(spark, sf_dir):
+@register("q77_tpch16_parts_suppliers", oracle=_QX20, tags=("tpch", "not_in", "count_distinct"))
+def q77_tpch16_parts_suppliers(spark, sf_dir):
     """TPC-H Q16: NOT IN exclusion subquery + COUNT(DISTINCT) rollup
     (negative-acctbal suppliers substitute the complaints filter)."""
     return _sql(spark, sf_dir, _QX20)
@@ -240,8 +240,8 @@ _QX21 = """
 """
 
 
-@register("qx21_tpch17_small_quantity", oracle=_QX21, tags=("tpch", "correlated_avg"))
-def qx21_tpch17_small_quantity(spark, sf_dir):
+@register("q78_tpch17_small_quantity", oracle=_QX21, tags=("tpch", "correlated_avg"))
+def q78_tpch17_small_quantity(spark, sf_dir):
     """TPC-H Q17: correlated per-part AVG threshold (0.5× instead of
     0.2× so the synthetic uniform quantities keep rows at small SF)."""
     return _sql(spark, sf_dir, _QX21)
@@ -262,8 +262,8 @@ _QX22 = """
 """
 
 
-@register("qx22_tpch18_large_volume", oracle=_QX22, tags=("tpch", "in_groupby_having"))
-def qx22_tpch18_large_volume(spark, sf_dir):
+@register("qx00_tpch18_large_volume", oracle=_QX22, tags=("tpch", "in_groupby_having"))
+def qx00_tpch18_large_volume(spark, sf_dir):
     """TPC-H Q18: IN over a GROUP BY ... HAVING subquery, top-100 by
     price."""
     return _sql(spark, sf_dir, _QX22)
@@ -287,8 +287,8 @@ _QX23 = """
 """
 
 
-@register("qx23_tpch20_potential_promotion", oracle=_QX23, tags=("tpch", "nested_in"))
-def qx23_tpch20_potential_promotion(spark, sf_dir):
+@register("qx01_tpch20_potential_promotion", oracle=_QX23, tags=("tpch", "nested_in"))
+def qx01_tpch20_potential_promotion(spark, sf_dir):
     """TPC-H Q20: nested IN chains — suppliers of red parts with enough
     shipped volume (lineitem substitutes partsupp availability)."""
     return _sql(spark, sf_dir, _QX23)
@@ -315,8 +315,8 @@ _QX24 = """
 """
 
 
-@register("qx24_tpch21_waiting_supplier", oracle=_QX24, tags=("tpch", "exists", "not_exists"))
-def qx24_tpch21_waiting_supplier(spark, sf_dir):
+@register("qx06_tpch21_waiting_supplier", oracle=_QX24, tags=("tpch", "exists", "not_exists"))
+def qx06_tpch21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21: the decorrelation stress query — EXISTS + NOT EXISTS
     both correlated on the same fact table (late-shipping supplier is
     the only one in a multi-supplier order; ship-vs-order dates
