@@ -22,9 +22,11 @@ Pandas UDF registered per session (same contract as the JSON path
 engine: documented, off the hot path). ST_AsText is pure SQL.
 
 Out of scope (refused at translate time, not silently wrong): Z/M
-coordinates, multi-geometries, polygon holes, ST_Buffer/ST_Union/
-ST_Intersection constructive geometry, geodesic math. Each raises
-KeyError through the registry rather than emitting an approximation.
+coordinates, multi-geometries, polygon holes, ST_Union/ST_Intersection
+constructive geometry (ST_Buffer supports the POINT case — JTS's own
+n-gon discretization — and returns NULL for line/polygon buffers),
+geodesic math. Each raises KeyError through the registry rather than
+emitting an approximation.
 """
 
 from __future__ import annotations
@@ -409,6 +411,243 @@ def st_ordering_equals(g1: str, g2: str) -> str:
     return f"({g1}.kind = {g2}.kind AND {g1}.pts = {g2}.pts)"
 
 
+def st_buffer(g: str, r: str, segs: int = 8) -> str:
+    """≈ ST_Buffer (JTS BufferOp, default 8 segments per quadrant): the
+    POINT case — a regular 4*segs-gon inscribed approximation, exactly
+    JTS's discretization for an isolated point. LINESTRING/POLYGON
+    buffers need full offset-curve construction; NULL rather than a
+    wrong shape (refuse-over-wrong, module policy)."""
+    n = 4 * segs
+    cx, cy = f"{_pt(g, '1')}.x", f"{_pt(g, '1')}.y"
+    rr = f"CAST({r} AS DOUBLE)"
+    ang = f"2.0 * pi() * (k - 1) / {n}.0"
+    ring = (
+        f"transform(sequence(1, {n}), k -> named_struct("
+        f"'x', {cx} + {rr} * cos({ang}), 'y', {cy} + {rr} * sin({ang})))"
+    )
+    return (
+        f"CASE WHEN {g}.kind = 'POINT' THEN "
+        f"named_struct('kind', 'POLYGON', 'pts', {ring}) END"
+    )
+
+
+def st_make_envelope(xmin: str, ymin: str, xmax: str, ymax: str) -> str:
+    mk = lambda x, y: f"named_struct('x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))"
+    return (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        f"{mk(xmin, ymin)}, {mk(xmax, ymin)}, {mk(xmax, ymax)}, {mk(xmin, ymax)}))"
+    )
+
+
+def st_expand(g: str, d: str) -> str:
+    """≈ ST_Expand — envelope grown by d on every side (a POLYGON)."""
+    dd = f"CAST({d} AS DOUBLE)"
+    return st_make_envelope(
+        f"{_xacc(g, 'min', 'x')} - {dd}",
+        f"{_xacc(g, 'min', 'y')} - {dd}",
+        f"{_xacc(g, 'max', 'x')} + {dd}",
+        f"{_xacc(g, 'max', 'y')} + {dd}",
+    )
+
+
+def st_envelopes_intersect(g1: str, g2: str) -> str:
+    """≈ ST_EnvelopesIntersect — closed-interval bbox overlap. The cheap
+    prefilter for spatial joins (operators/spatial_join.py pairs it with
+    grid-cell bucketing so the exact predicate only runs on candidates)."""
+    return (
+        f"({_xacc(g1, 'min', 'x')} <= {_xacc(g2, 'max', 'x')} AND "
+        f"{_xacc(g2, 'min', 'x')} <= {_xacc(g1, 'max', 'x')} AND "
+        f"{_xacc(g1, 'min', 'y')} <= {_xacc(g2, 'max', 'y')} AND "
+        f"{_xacc(g2, 'min', 'y')} <= {_xacc(g1, 'max', 'y')})"
+    )
+
+
+def st_max_distance(g1: str, g2: str) -> str:
+    """≈ ST_MaxDistance — max over vertex pairs (exact for convex
+    vertex-defined geometries; vertex-chain semantics like the
+    reference's H2GIS analog)."""
+    d = "sqrt(pow(p.x - q.x, 2) + pow(p.y - q.y, 2))"
+    return (
+        f"array_max(flatten(transform({g1}.pts, p -> "
+        f"transform({g2}.pts, q -> {d}))))"
+    )
+
+
+def st_is_rectangle(g: str) -> str:
+    """≈ ST_IsRectangle — 4-vertex polygon whose vertex set equals its
+    envelope's (axis-aligned rectangle)."""
+    return (
+        f"({g}.kind = 'POLYGON' AND {_n(g)} = 4 AND "
+        f"array_sort({g}.pts) = array_sort({st_envelope(g)}.pts))"
+    )
+
+
+def _self_cross(g: str) -> str:
+    """TRUE iff any two NON-adjacent edges of the vertex chain intersect
+    (adjacency wraps for polygons: edge 1 and the closing edge share a
+    vertex). The O(n^2) pair scan is per-row over small vertex arrays —
+    JVM lambdas, no join."""
+    closed = f"({g}.kind = 'POLYGON')"
+    n_edges = f"({_n(g)} - IF({closed}, 0, 1))"
+    # the first/last edge pair is also adjacent when the chain closes on
+    # itself — a POLYGON's implicit wrap edge, or a LINESTRING whose
+    # first vertex coincides with its last (JTS allows that shared point)
+    ring_like = f"({closed} OR {_pt(g, '1')} = element_at({g}.pts, {_n(g)}))"
+    a1, b1 = _pt(g, "i"), _edge_b(g, "i")
+    a2, b2 = _pt(g, "j"), _edge_b(g, "j")
+    d1, d2 = _orient(a2, b2, a1), _orient(a2, b2, b1)
+    d3, d4 = _orient(a1, b1, a2), _orient(a1, b1, b2)
+    hit = (
+        f"(( ({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0) ) AND "
+        f"( ({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0) )) "
+        f"OR ({d1} = 0 AND {_on_segment(a2, b2, a1)}) "
+        f"OR ({d2} = 0 AND {_on_segment(a2, b2, b1)}) "
+        f"OR ({d3} = 0 AND {_on_segment(a1, b1, a2)}) "
+        f"OR ({d4} = 0 AND {_on_segment(a1, b1, b2)})"
+    )
+    non_adjacent = f"(j > i + 1 AND NOT ({ring_like} AND i = 1 AND j = {n_edges}))"
+    return (
+        f"exists(sequence(1, {n_edges}), i -> "
+        f"exists(sequence(1, {n_edges}), j -> {non_adjacent} AND ({hit})))"
+    )
+
+
+def st_is_simple(g: str) -> str:
+    """≈ ST_IsSimple (JTS IsSimpleOp): no self-intersection between
+    non-adjacent segments. POINTs are always simple."""
+    return (
+        f"CASE WHEN {g}.kind = 'POINT' THEN TRUE "
+        f"WHEN {_n(g)} < 3 THEN TRUE "
+        f"ELSE NOT {_self_cross(g)} END"
+    )
+
+
+def st_is_ring(g: str) -> str:
+    """≈ ST_IsRing — closed AND simple LINESTRING."""
+    return (
+        f"CASE WHEN {g}.kind = 'LINESTRING' THEN "
+        f"({st_is_closed(g)} AND {st_is_simple(g)}) ELSE FALSE END"
+    )
+
+
+def st_is_valid(g: str) -> str:
+    """≈ ST_IsValid for this module's surface: known kind, enough
+    vertices (1/2/3), and a polygon ring free of self-intersection."""
+    return (
+        f"CASE {g}.kind WHEN 'POINT' THEN {_n(g)} = 1 "
+        f"WHEN 'LINESTRING' THEN {_n(g)} >= 2 "
+        f"WHEN 'POLYGON' THEN ({_n(g)} >= 3 AND NOT {_self_cross(g)}) "
+        "ELSE FALSE END"
+    )
+
+
+def st_add_point(g: str, p: str, idx: str = "-1") -> str:
+    """≈ ST_AddPoint — insert p's vertex BEFORE 0-based index idx
+    (PostGIS positions, like the reference); idx = -1 (the 2-arg
+    default) appends."""
+    k = f"IF(CAST({idx} AS INT) < 0, {_n(g)}, CAST({idx} AS INT))"
+    return (
+        f"CASE WHEN {g}.kind = 'LINESTRING' AND {k} <= {_n(g)} THEN "
+        f"named_struct('kind', 'LINESTRING', 'pts', concat("
+        f"slice({g}.pts, 1, {k}), array({_pt(p, '1')}), "
+        f"slice({g}.pts, {k} + 1, {_n(g)} - {k}))) END"
+    )
+
+
+def st_remove_point(g: str, idx: str) -> str:
+    """≈ ST_RemovePoint — drop the 0-based idx-th vertex of a LINESTRING."""
+    k = f"CAST({idx} AS INT)"
+    return (
+        f"CASE WHEN {g}.kind = 'LINESTRING' AND {k} >= 0 AND {k} < {_n(g)} THEN "
+        f"named_struct('kind', 'LINESTRING', 'pts', concat("
+        f"slice({g}.pts, 1, {k}), slice({g}.pts, {k} + 2, {_n(g)} - {k} - 1))) END"
+    )
+
+
+def st_remove_repeated_points(g: str) -> str:
+    """≈ ST_RemoveRepeatedPoints — drop consecutive duplicate vertices
+    (array fold; keeps first occurrence of each run)."""
+    step = (
+        f"aggregate(slice({g}.pts, 2, {_n(g)} - 1), array({_pt(g, '1')}), "
+        "(acc, p) -> IF(element_at(acc, -1) = p, acc, concat(acc, array(p))))"
+    )
+    return (
+        f"CASE WHEN {_n(g)} <= 1 THEN {g} "
+        f"ELSE named_struct('kind', {g}.kind, 'pts', {step}) END"
+    )
+
+
+def st_project_point(p: str, line: str) -> str:
+    """≈ ST_ProjectPoint — closest point on a LINESTRING to p: clamp the
+    per-segment projection parameter, pick the min-distance candidate
+    (struct ordering: first field = distance)."""
+    px, py = f"{_pt(p, '1')}.x", f"{_pt(p, '1')}.y"
+    a, b = _pt(line, "i"), _edge_b(line, "i")
+    ax, ay, bx, by = f"{a}.x", f"{a}.y", f"{b}.x", f"{b}.y"
+    len2 = f"(pow({bx} - {ax}, 2) + pow({by} - {ay}, 2))"
+    t_raw = f"(({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * ({by} - {ay})) / ({len2} + 1e-300)"
+    t = f"greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), {t_raw}))"
+    qx = f"({ax} + {t} * ({bx} - {ax}))"
+    qy = f"({ay} + {t} * ({by} - {ay}))"
+    cand = (
+        f"array_min(transform(sequence(1, {_n(line)} - 1), i -> named_struct("
+        f"'d', sqrt(pow({px} - {qx}, 2) + pow({py} - {qy}, 2)), 'x', {qx}, 'y', {qy})))"
+    )
+    best = cand
+    return (
+        f"CASE WHEN {p}.kind = 'POINT' AND {line}.kind = 'LINESTRING' AND {_n(line)} >= 2 "
+        f"THEN named_struct('kind', 'POINT', 'pts', array(named_struct("
+        f"'x', {best}.x, 'y', {best}.y))) END"
+    )
+
+
+def st_as_geojson(g: str) -> str:
+    """GeoJSON emit, pure SQL (≈ SpatialTypeUtils.asGeoJson). Kind names
+    map POINT→Point etc.; polygon emits the closed outer ring."""
+    pair = "concat('[', CAST(p.x AS STRING), ',', CAST(p.y AS STRING), ']')"
+    many = f"array_join(transform({g}.pts, p -> {pair}), ',')"
+    one = (
+        f"concat('[', CAST({_pt(g, '1')}.x AS STRING), ',', "
+        f"CAST({_pt(g, '1')}.y AS STRING), ']')"
+    )
+    return (
+        f"CASE WHEN {g}.kind = 'POINT' THEN "
+        f"concat('{{\"type\":\"Point\",\"coordinates\":', {one}, '}}') "
+        f"WHEN {g}.kind = 'LINESTRING' THEN "
+        f"concat('{{\"type\":\"LineString\",\"coordinates\":[', {many}, ']}}') "
+        f"WHEN {g}.kind = 'POLYGON' THEN "
+        f"concat('{{\"type\":\"Polygon\",\"coordinates\":[[', {many}, ',', {one}, ']]}}') "
+        "END"
+    )
+
+
+def st_geom_from_geojson(gj: str) -> str:
+    """≈ ST_GeomFromGeoJSON — pure-JVM parse: dispatch on $.type, then
+    from_json the coordinates array at the kind's nesting depth (the
+    heterogeneous-schema trick; no Python). Polygon keeps the outer ring
+    and drops the closing vertex (our rings are implicitly closed)."""
+    typ = f"get_json_object({gj}, '$.type')"
+    coords = f"get_json_object({gj}, '$.coordinates')"
+    pt = f"from_json({coords}, 'array<double>')"
+    line = f"from_json({coords}, 'array<array<double>>')"
+    ring = f"element_at(from_json({coords}, 'array<array<array<double>>>'), 1)"
+    as_pts = lambda arr: (
+        f"transform({arr}, c -> named_struct('x', element_at(c, 1), 'y', element_at(c, 2)))"
+    )
+    ring_pts = as_pts(ring)
+    ring_trim = (
+        f"IF(size({ring_pts}) > 1 AND element_at({ring_pts}, 1) = element_at({ring_pts}, -1), "
+        f"slice({ring_pts}, 1, size({ring_pts}) - 1), {ring_pts})"
+    )
+    return (
+        f"CASE WHEN {typ} = 'Point' THEN named_struct('kind', 'POINT', 'pts', "
+        f"array(named_struct('x', element_at({pt}, 1), 'y', element_at({pt}, 2)))) "
+        f"WHEN {typ} = 'LineString' THEN named_struct('kind', 'LINESTRING', 'pts', {as_pts(line)}) "
+        f"WHEN {typ} = 'Polygon' THEN named_struct('kind', 'POLYGON', 'pts', {ring_trim}) "
+        "END"
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry entries (SqlLibrary.SPATIAL analog): name → template builder
 # ---------------------------------------------------------------------
@@ -460,6 +699,37 @@ def register_spatial_functions() -> None:
     _reg("ST_INTERSECTS", st_intersects("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
     _reg("ST_DISJOINT", st_disjoint("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
     _reg("ST_ORDERINGEQUALS", st_ordering_equals("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_BUFFER", st_buffer("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_MAKEENVELOPE", st_make_envelope("{0}", "{1}", "{2}", "{3}"), (4,), libs=(SPATIAL,))
+    _reg("ST_EXPAND", st_expand("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg(
+        "ST_ENVELOPESINTERSECT",
+        st_envelopes_intersect("{0}", "{1}"),
+        (2,),
+        libs=(SPATIAL,),
+        kind="predicate",
+    )
+    _reg("ST_MAXDISTANCE", st_max_distance("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_ISRECTANGLE", st_is_rectangle("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_ISSIMPLE", st_is_simple("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_ISRING", st_is_ring("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_ISVALID", st_is_valid("{0}"), (1,), libs=(SPATIAL,), kind="predicate")
+    _reg(
+        "ST_ADDPOINT",
+        st_add_point("{0}", "{1}", "{2}"),
+        (2, 3),
+        libs=(SPATIAL,),
+        defaults=("-1",),
+    )
+    _reg("ST_REMOVEPOINT", st_remove_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_REMOVEREPEATEDPOINTS", st_remove_repeated_points("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_PROJECTPOINT", st_project_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_ASGEOJSON", st_as_geojson("{0}"), (1,), libs=(SPATIAL,))
+    _reg("ST_GEOMFROMGEOJSON", st_geom_from_geojson("{0}"), (1,), libs=(SPATIAL,))
+    # our geometries carry no SRID; 0 is the unset-SRID convention the
+    # reference uses for geometries built without one (ST_SetSRID is
+    # refused rather than a lying no-op)
+    _reg("ST_SRID", "0", (1,), libs=(SPATIAL,))
     _reg(
         "ST_GEOMFROMTEXT",
         "cs_geom_from_text({0})",

@@ -787,3 +787,54 @@ def qx11_spatial(spark, sf_dir):
         .select("n_name", "n_near", "n_inside", "avg_dist")
         .orderBy("n_name")
     )
+
+
+@register(
+    "qx25_spatial_join",
+    oracle="""
+    SELECT s_suppkey, c_custkey,
+           ROUND(sqrt(pow(sx - cx, 2) + pow(sy - cy, 2)), 6) AS dist
+    FROM (SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) / 1000.0 AS sx,
+                 CAST(s_suppkey % 100 AS DOUBLE) AS sy FROM supplier) s,
+         (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) / 1000.0 AS cx,
+                 CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer) c
+    WHERE sqrt(pow(sx - cx, 2) + pow(sy - cy, 2)) <= 1.512345
+    ORDER BY s_suppkey, c_custkey
+    """,
+    tags=("spatial", "join", "scale"),
+)
+def qx25_spatial_join(spark, sf_dir):
+    """Grid-cell distributed spatial join (operators/spatial_join.py ≈
+    SpatialRules.java's grid rewrite of ST_DWithin joins): suppliers and
+    customers become planar points, pairs within distance 1.512345 are
+    found via cell-bucket equi-join + reference-point dedup — ONE hash
+    shuffle, never all-pairs. The oracle IS the all-pairs cross join
+    (raw arithmetic, feasible at the driver's sf0.01), so candidate
+    generation, dedup, and the exact predicate are all cross-checked.
+    The threshold's trailing digits keep every pair distance strictly
+    off the boundary, so float rounding cannot flip membership."""
+    from calcite_spark.functions import spatial as S
+    from calcite_spark.operators.spatial_join import spatial_join
+
+    cat = catalog_for(spark, sf_dir)
+    sup = cat.table("supplier").selectExpr(
+        "s_suppkey",
+        S.make_point("CAST(s_acctbal AS DOUBLE) / 1000.0", "CAST(s_suppkey % 100 AS DOUBLE)")
+        + " AS sg",
+    )
+    cus = cat.table("customer").selectExpr(
+        "c_custkey",
+        S.make_point("CAST(c_acctbal AS DOUBLE) / 1000.0", "CAST(c_custkey % 100 AS DOUBLE)")
+        + " AS cg",
+    )
+    pairs = spatial_join(
+        sup, cus, "sg", "cg", cell_size=5.0, predicate="dwithin", distance=1.512345
+    )
+    return (
+        pairs.selectExpr(
+            "s_suppkey",
+            "c_custkey",
+            f"ROUND({S.st_distance('__lg', '__rg')}, 6) AS dist",
+        )
+        .orderBy("s_suppkey", "c_custkey")
+    )

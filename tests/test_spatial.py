@@ -269,3 +269,124 @@ def test_intersects(spark):
     )
     assert _one(spark, T("ST_INTERSECTS", inner_line, SQUARE)) is True
     assert _one(spark, T("ST_INTERSECTS", SQUARE, inner_line)) is True
+
+
+def test_buffer_envelope_expand(spark):
+    buf = T("ST_BUFFER", P12, "2")
+    # 32-gon around (1,2) radius 2: envelope is [-1,3]x[0,4]; area close
+    # to (but below) pi*r^2 for the inscribed polygon
+    assert _one(spark, T("ST_XMIN", buf)) == pytest.approx(-1.0)
+    assert _one(spark, T("ST_YMAX", buf)) == pytest.approx(4.0)
+    area = _one(spark, T("ST_AREA", buf))
+    assert 0.99 * math.pi * 4 < area < math.pi * 4
+    assert _one(spark, T("ST_NUMPOINTS", buf)) == 32
+    # non-point buffers refuse via NULL
+    assert _one(spark, T("ST_BUFFER", LINE, "1")) is None
+
+    env = T("ST_MAKEENVELOPE", "0", "0", "4", "4")
+    assert _one(spark, T("ST_AREA", env)) == 16.0
+    assert _one(spark, T("ST_ORDERINGEQUALS", env, SQUARE)) is True
+
+    grown = T("ST_EXPAND", P12, "3")
+    assert _one(spark, T("ST_XMIN", grown)) == -2.0
+    assert _one(spark, T("ST_YMAX", grown)) == 5.0
+    assert _one(spark, T("ST_AREA", grown)) == 36.0
+
+
+def test_envelopes_intersect_maxdistance(spark):
+    near = T("ST_MAKEPOINT", "5", "5")
+    far = T("ST_MAKEPOINT", "50", "50")
+    assert _one(spark, T("ST_ENVELOPESINTERSECT", SQUARE, SQUARE)) is True
+    assert _one(spark, T("ST_ENVELOPESINTERSECT", SQUARE, near)) is False
+    assert _one(spark, T("ST_ENVELOPESINTERSECT", SQUARE, T("ST_EXPAND", near, "1"))) is True
+    assert _one(spark, T("ST_ENVELOPESINTERSECT", SQUARE, far)) is False
+    # max distance point→square: to corner (4,4) from origin-ish point
+    assert _one(spark, T("ST_MAXDISTANCE", T("ST_MAKEPOINT", "0", "0"), SQUARE)) == (
+        pytest.approx(math.sqrt(32))
+    )
+
+
+def test_validity_predicates(spark):
+    assert _one(spark, T("ST_ISRECTANGLE", SQUARE)) is True
+    tri = (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d), "
+        "named_struct('x', 2.0d, 'y', 3.0d)))"
+    )
+    assert _one(spark, T("ST_ISRECTANGLE", tri)) is False
+    assert _one(spark, T("ST_ISVALID", tri)) is True
+    assert _one(spark, T("ST_ISSIMPLE", LINE)) is True
+    # bowtie: self-crossing ring
+    bowtie = (
+        "named_struct('kind', 'POLYGON', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 4.0d), "
+        "named_struct('x', 4.0d, 'y', 0.0d), named_struct('x', 0.0d, 'y', 4.0d)))"
+    )
+    assert _one(spark, T("ST_ISVALID", bowtie)) is False
+    assert _one(spark, T("ST_ISSIMPLE", bowtie)) is False
+    # self-crossing open linestring
+    zig = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d), "
+        "named_struct('x', 2.0d, 'y', 2.0d), named_struct('x', 2.0d, 'y', -2.0d)))"
+    )
+    assert _one(spark, T("ST_ISSIMPLE", zig)) is False
+    # ring: closed + simple
+    closed_square_line = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 1.0d, 'y', 0.0d), "
+        "named_struct('x', 1.0d, 'y', 1.0d), named_struct('x', 0.0d, 'y', 1.0d), "
+        "named_struct('x', 0.0d, 'y', 0.0d)))"
+    )
+    assert _one(spark, T("ST_ISRING", closed_square_line)) is True
+    assert _one(spark, T("ST_ISRING", LINE)) is False
+
+
+def test_point_surgery(spark):
+    added = T("ST_ADDPOINT", LINE, T("ST_MAKEPOINT", "7", "8"))
+    assert _one(spark, T("ST_NUMPOINTS", added)) == 4
+    assert _one(spark, T("ST_X", T("ST_ENDPOINT", added))) == 7.0
+    # 3-arg insert at 0-based position 0 → new start point
+    pre = T("ST_ADDPOINT", LINE, T("ST_MAKEPOINT", "-1", "-1"), "0")
+    assert _one(spark, T("ST_X", T("ST_STARTPOINT", pre))) == -1.0
+    assert _one(spark, T("ST_NUMPOINTS", pre)) == 4
+    removed = T("ST_REMOVEPOINT", LINE, "1")
+    assert _one(spark, T("ST_NUMPOINTS", removed)) == 2
+    assert _one(spark, T("ST_Y", T("ST_ENDPOINT", removed))) == 4.0
+    dup_line = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 0.0d, 'y', 0.0d), "
+        "named_struct('x', 3.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 0.0d), "
+        "named_struct('x', 3.0d, 'y', 4.0d)))"
+    )
+    slim = T("ST_REMOVEREPEATEDPOINTS", dup_line)
+    assert _one(spark, T("ST_NUMPOINTS", slim)) == 3
+    assert _one(spark, T("ST_ORDERINGEQUALS", slim, LINE)) is True
+
+
+def test_project_point(spark):
+    # (5,1) projects onto the vertical segment x=3 at (3,1)
+    p = T("ST_MAKEPOINT", "5", "1")
+    proj = T("ST_PROJECTPOINT", p, LINE)
+    assert _one(spark, T("ST_X", proj)) == pytest.approx(3.0)
+    assert _one(spark, T("ST_Y", proj)) == pytest.approx(1.0)
+    # beyond the end: clamps to vertex (3,4)
+    p2 = T("ST_MAKEPOINT", "4", "9")
+    proj2 = T("ST_PROJECTPOINT", p2, LINE)
+    assert _one(spark, T("ST_X", proj2)) == pytest.approx(3.0)
+    assert _one(spark, T("ST_Y", proj2)) == pytest.approx(4.0)
+
+
+def test_geojson_round_trip(spark):
+    gj = _one(spark, T("ST_ASGEOJSON", P12))
+    assert gj == '{"type":"Point","coordinates":[1.0,2.0]}'
+    back = T("ST_GEOMFROMGEOJSON", f"'{gj}'")
+    assert _one(spark, T("ST_ORDERINGEQUALS", back, P12)) is True
+    for g in (LINE, SQUARE):
+        gj = _one(spark, T("ST_ASGEOJSON", g))
+        back = T("ST_GEOMFROMGEOJSON", f"'{gj}'")
+        assert _one(spark, T("ST_ORDERINGEQUALS", back, g)) is True
+    # external GeoJSON with a closed polygon ring parses to our open form
+    ext = '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'
+    assert _one(spark, T("ST_ORDERINGEQUALS", T("ST_GEOMFROMGEOJSON", f"'{ext}'"), SQUARE)) is True
+    assert _one(spark, T("ST_SRID", P12)) == 0
