@@ -57,8 +57,9 @@ def test_stream_static_join(spark):
         spark.readStream.schema(spark.read.parquet(f"{SF_DIR}/events.parquet").schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     cust = cat.table("customer")
     enriched = stream.join(cust, stream.user_id == cust.c_custkey, "inner").select(
         "event_id", "c_mktsegment", "value"
