@@ -39,9 +39,10 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
-def profile(catalog, table: str, columns=None) -> dict:
-    """One-pass column profile ≈ ProfilerImpl: count, ndv (approx),
-    nulls, min/max per column. Single aggregation → single scan."""
+def profile_relation(catalog, table: str, columns=None, exact: bool = False) -> DataFrame:
+    """Lazy single-aggregation profile relation: one wide row with
+    __rows plus __ndv_/__nulls_/__min_/__max_ per column. One full scan,
+    map-side-combinable (HLL sketches unless exact)."""
     df = catalog.table(table)
     columns = columns or df.columns
     exprs = ["COUNT(*) AS __rows"]
@@ -51,12 +52,26 @@ def profile(catalog, table: str, columns=None) -> dict:
         if t in ("int", "bigint", "double", "float", "smallint", "date") or t.startswith("decimal")
     }
     for c in columns:
-        exprs.append(f"approx_count_distinct({c}) AS __ndv_{c}")
+        exprs.append(f"{_ndv_expr((c,), exact)} AS __ndv_{c}")
         exprs.append(f"COUNT(*) - COUNT({c}) AS __nulls_{c}")
         if c in numeric:
             exprs.append(f"MIN({c}) AS __min_{c}")
             exprs.append(f"MAX({c}) AS __max_{c}")
-    row = df.selectExpr(*exprs).collect()[0].asDict()
+    return df.selectExpr(*exprs)
+
+
+def profile(catalog, table: str, columns=None, exact: bool = False) -> dict:
+    """One-pass column profile ≈ ProfilerImpl: count, ndv (approx by
+    default; exact for oracle-tier checks at small SF), nulls, min/max
+    per column. Single aggregation → single scan."""
+    df = catalog.table(table)
+    columns = columns or df.columns
+    numeric = {
+        c: t
+        for c, t in df.dtypes
+        if t in ("int", "bigint", "double", "float", "smallint", "date") or t.startswith("decimal")
+    }
+    row = profile_relation(catalog, table, columns, exact=exact).collect()[0].asDict()
     out = {"table": table, "rows": row["__rows"], "columns": {}}
     for c in columns:
         col = {
@@ -69,6 +84,72 @@ def profile(catalog, table: str, columns=None) -> dict:
         # functional-dependency hint à la Profiler: unique key candidate
         col["unique_candidate"] = row[f"__ndv_{c}"] >= 0.98 * max(row["__rows"], 1)
         out["columns"][c] = col
+    return out
+
+
+def _ndv_expr(cols: tuple[str, ...], exact: bool) -> str:
+    """Cardinality expression for a column tuple. struct() keeps the
+    count row-wise (a struct with null fields is still non-null), which
+    matches DuckDB's COUNT(DISTINCT (a, b)) row semantics — unlike
+    Spark's multi-arg COUNT(DISTINCT a, b), which drops any-null rows."""
+    inner = cols[0] if len(cols) == 1 else f"struct({', '.join(cols)})"
+    fn = "count(DISTINCT {0})" if exact else "approx_count_distinct({0})"
+    return fn.format(inner)
+
+
+def profile_deep(
+    catalog,
+    table: str,
+    columns=None,
+    exact: bool = False,
+    max_pairs: int = 64,
+    fd_tolerance: float = 0.02,
+) -> dict:
+    """Depth-2 profile ≈ profile/ProfilerImpl.java: explore the lattice
+    of column subsets (here: singletons + pairs, bounded by a sketch
+    budget like ProfilerImpl's `budget`) and derive what Statistic.java
+    exposes — unique keys and functional dependencies.
+
+    Scale shape: TWO aggregation jobs total, each a single full scan
+    with map-side-combinable HLL sketches (exact=True switches to
+    count(DISTINCT ...) for oracle-tier verification at small SF; the
+    100 TB path is the sketch mode). No per-column jobs, no collects
+    beyond the two 1-row aggregate results.
+
+    FD rule: x → y holds iff ndv(x, y) <= ndv(x) * (1 + tolerance) —
+    each determinant value maps to (approximately) one dependent value.
+    Composite key rule: ndv(x, y) >= 98% of row count.
+    """
+    base = profile(catalog, table, columns, exact=exact)  # pass 1 (singles)
+    df = catalog.table(table)
+    columns = list(columns or df.columns)
+    rows = max(base["rows"], 1)
+
+    pairs = [
+        (x, y) for i, x in enumerate(columns) for y in columns[i + 1 :]
+    ][:max_pairs]
+    out = {**base, "pair_ndv": {}, "functional_dependencies": [], "unique_keys": []}
+    for c, st in base["columns"].items():
+        if st["unique_candidate"]:
+            out["unique_keys"].append((c,))
+    if pairs:
+        exprs = [
+            f"{_ndv_expr((x, y), exact)} AS `__pair_{i}`" for i, (x, y) in enumerate(pairs)
+        ]
+        row = df.selectExpr(*exprs).collect()[0]  # pass 2 (pairs)
+        for i, (x, y) in enumerate(pairs):
+            ndv_xy = row[i]
+            out["pair_ndv"][(x, y)] = ndv_xy
+            for det, dep in ((x, y), (y, x)):
+                ndv_det = base["columns"][det]["ndv"]
+                if ndv_det and ndv_xy <= ndv_det * (1 + fd_tolerance):
+                    out["functional_dependencies"].append(
+                        {"determinant": det, "dependent": dep, "ndv_det": ndv_det, "ndv_pair": ndv_xy}
+                    )
+            if ndv_xy >= 0.98 * rows and not any(
+                set(k) <= {x, y} for k in out["unique_keys"]
+            ):
+                out["unique_keys"].append((x, y))
     return out
 
 

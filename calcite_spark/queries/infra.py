@@ -254,3 +254,93 @@ def qx09_lattice_suggest(spark, sf_dir):
     return df.selectExpr(
         "o_orderstatus", "n_orders", "ROUND(total_raw, 3) AS total"
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "qx15_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS ndv, COUNT(*) - COUNT(o_custkey) AS n_nulls
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           COUNT(*) - COUNT(o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           COUNT(*) - COUNT(o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+           COUNT(*) - COUNT(o_orderdate) FROM orders
+    ORDER BY col_name
+    """,
+    tags=("profiler", "statistics"),
+)
+def qx15_profile(spark, sf_dir):
+    """Data profiler (≈ profile/Profiler.java / ProfilerImpl.java): the
+    single-pass profile relation (exec.profile_relation — one scan, one
+    aggregate) unpivoted to a row per column. Exact ndv here so DuckDB
+    can verify values; the 100 TB path is the same plan with HLL
+    sketches (exact=False)."""
+    from calcite_spark.exec import profile_relation
+
+    cat = catalog_for(spark, sf_dir)
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+    wide = profile_relation(cat, "orders", cols, exact=True)
+    stack = ", ".join(
+        f"'{c}', __rows - __nulls_{c}, __ndv_{c}, __nulls_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, ndv, n_nulls)"
+    ).orderBy("col_name")
+
+
+@register(
+    "qx16_functional_deps",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(DISTINCT n_nationkey) AS ndv_nk,
+             COUNT(DISTINCT n_name) AS ndv_nm,
+             COUNT(DISTINCT n_regionkey) AS ndv_rk,
+             COUNT(DISTINCT (n_nationkey, n_name)) AS p_nk_nm,
+             COUNT(DISTINCT (n_nationkey, n_regionkey)) AS p_nk_rk,
+             COUNT(DISTINCT (n_name, n_regionkey)) AS p_nm_rk
+      FROM nation
+    )
+    SELECT * FROM (
+      SELECT 'n_nationkey' AS determinant, 'n_name' AS dependent,
+             ndv_nk AS ndv_det, p_nk_nm AS ndv_pair, p_nk_nm <= ndv_nk AS holds FROM s
+      UNION ALL
+      SELECT 'n_name', 'n_nationkey', ndv_nm, p_nk_nm, p_nk_nm <= ndv_nm FROM s
+      UNION ALL
+      SELECT 'n_nationkey', 'n_regionkey', ndv_nk, p_nk_rk, p_nk_rk <= ndv_nk FROM s
+      UNION ALL
+      SELECT 'n_regionkey', 'n_nationkey', ndv_rk, p_nk_rk, p_nk_rk <= ndv_rk FROM s
+      UNION ALL
+      SELECT 'n_name', 'n_regionkey', ndv_nm, p_nm_rk, p_nm_rk <= ndv_nm FROM s
+      UNION ALL
+      SELECT 'n_regionkey', 'n_name', ndv_rk, p_nm_rk, p_nm_rk <= ndv_rk FROM s
+    ) ORDER BY determinant, dependent
+    """,
+    tags=("profiler", "functional_dependency"),
+)
+def qx16_functional_deps(spark, sf_dir):
+    """Functional-dependency discovery (≈ ProfilerImpl's depth-2 lattice
+    walk deriving Statistic.java's keys/dependencies): exec.profile_deep
+    computes singleton + pair cardinalities in two sketch passes (exact
+    here for the oracle) and the FD rule ndv(pair) <= ndv(det) decides
+    direction. n_regionkey determines nothing; n_nationkey determines
+    everything — a wrong pair count or rule flips `holds`."""
+    from calcite_spark.exec import profile_deep
+
+    cat = catalog_for(spark, sf_dir)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    prof = profile_deep(cat, "nation", cols, exact=True, fd_tolerance=0.0)
+    rows = []
+    for (x, y), ndv_pair in prof["pair_ndv"].items():
+        for det, dep in ((x, y), (y, x)):
+            ndv_det = prof["columns"][det]["ndv"]
+            rows.append((det, dep, ndv_det, ndv_pair, bool(ndv_pair <= ndv_det)))
+    sdf = spark.createDataFrame(
+        rows, "determinant string, dependent string, ndv_det bigint, ndv_pair bigint, holds boolean"
+    )
+    return sdf.orderBy("determinant", "dependent")
