@@ -335,6 +335,26 @@ _reg("SAFE_ORDINAL", "try_element_at({0}, {1})", (2,), libs=(BIG_QUERY,))
 _passthrough("TRANSFORM FILTER EXISTS AGGREGATE REDUCE ZIP_WITH", libs=(SPARK,))
 
 # ---------------------------------------------------------------------
+# VARIANT (SqlTypeName.VARIANT:144; TYPEOF SqlStdOperatorTable.java:2057,
+# VARIANTNULL :2062; semantics spec core/src/test/resources/sql/variant.iq)
+# Spark 4 VariantType is the native carrier: parse_json/variant_get/
+# schema_of_variant are JVM-side, codegen-friendly.
+# ---------------------------------------------------------------------
+_reg(
+    "TYPEOF",
+    "schema_of_variant({0})",
+    (1,),
+    note="variant.iq expects TINYINT fidelity; Spark variants store one "
+    "int64 class so small ints report BIGINT (disclosed divergence)",
+)
+_reg("VARIANTNULL", "parse_json('null')", (0,), note="variant null ≠ SQL NULL; test with is_variant_null")
+_reg("IS_VARIANT_NULL", "is_variant_null({0})", (1,), kind="predicate")
+_reg("PARSE_JSON", "parse_json({0})", (1,), libs=(SPARK,), note="VARIANT constructor (CAST(x AS VARIANT) macro lowers here for strings)")
+_reg("TRY_PARSE_JSON", "try_parse_json({0})", (1,), libs=(SPARK,))
+_reg("VARIANT_GET", "variant_get({0}, {1}, {2})", (2, 3), defaults=("'string'",), libs=(SPARK,), note="typed path extraction; ITEM on a VARIANT lowers here")
+_reg("TRY_VARIANT_GET", "try_variant_get({0}, {1}, {2})", (2, 3), defaults=("'string'",), libs=(SPARK,))
+
+# ---------------------------------------------------------------------
 # JSON (std table JSON_EXISTS:1653 .. JSON_REPLACE:1694, IS JSON :887)
 # ---------------------------------------------------------------------
 _reg("JSON_VALUE", "get_json_object({0}, {1})", (2,), note="plain lax scalar path = JVM builtin; strict/wildcard paths dispatch to cs_json_value (functions/json_path.py)")

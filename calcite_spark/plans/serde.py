@@ -72,3 +72,54 @@ def to_json(node: ir.RelNode, indent: int | None = None) -> str:
 
 def from_json(text: str) -> ir.RelNode:
     return from_dict(json.loads(text))
+
+
+def _attr_items(d: dict) -> list[tuple[str, str]]:
+    return [
+        (k, str(v))
+        for k, v in d.items()
+        if k not in ("rel", "inputs") and v not in (None, (), [], "")
+    ]
+
+
+def to_dot(node: ir.RelNode) -> str:
+    """EXPLAIN format: Graphviz digraph ≈ rel/externalize/RelDotWriter.java
+    — one box per RelNode labeled with its type + key attributes, edges
+    child → parent (data-flow direction, as RelDotWriter draws them)."""
+    lines = ["digraph plan {", '  node [shape=box, fontname="monospace"];']
+    counter = [0]
+
+    def walk(d: dict) -> int:
+        my = counter[0]
+        counter[0] += 1
+        attrs = ", ".join(f"{k}={v}" for k, v in _attr_items(d)[:3])
+        label = d["rel"] + (f"\\n{attrs}" if attrs else "")
+        label = label.replace('"', "'")
+        lines.append(f'  n{my} [label="{label}"];')
+        for child in d.get("inputs", []):
+            lines.append(f"  n{walk(child)} -> n{my};")
+        return my
+
+    walk(to_dict(node))
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def to_xml(node: ir.RelNode) -> str:
+    """EXPLAIN format: nested-element XML ≈ rel/externalize/RelXmlWriter.java
+    (<RelNode type=...><Property name=...>value</Property>...)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    out: list[str] = []
+
+    def walk(d: dict, depth: int) -> None:
+        pad = "\t" * depth
+        out.append(f"{pad}<RelNode type={quoteattr(d['rel'])}>")
+        for k, v in _attr_items(d):
+            out.append(f"{pad}\t<Property name={quoteattr(k)}>{escape(v)}</Property>")
+        for child in d.get("inputs", []):
+            walk(child, depth + 1)
+        out.append(f"{pad}</RelNode>")
+
+    walk(to_dict(node), 0)
+    return "\n".join(out)

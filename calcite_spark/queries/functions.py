@@ -838,3 +838,41 @@ def qx25_spatial_join(spark, sf_dir):
         )
         .orderBy("s_suppkey", "c_custkey")
     )
+
+
+@register(
+    "z75_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("variant", "semi_structured"),
+)
+def z75_variant(spark, sf_dir):
+    """VARIANT type surface (SqlTypeName.VARIANT:144, TYPEOF/VARIANTNULL
+    SqlStdOperatorTable.java:2057-2062, variant.iq): the props JSON
+    column is parsed ONCE into a native Spark VariantType value and
+    fields are extracted with typed variant_get — the Spark-4 analog of
+    Calcite's binary-encoded variant runtime. Entirely JVM-side; the
+    oracle extracts the same field with DuckDB's JSON operators."""
+    from calcite_spark.functions.registry import translate
+
+    v = translate("PARSE_JSON", "props", library="SPARK")
+    k = translate("VARIANT_GET", "v", "'$.k'", "'bigint'", library="SPARK")
+    return (
+        _b(spark, sf_dir)
+        .scan("events")
+        .project([f"{v} AS v", "event_type"])
+        .project([f"{k} AS k", "event_type"])
+        .aggregate(
+            ["event_type"],
+            ["COUNT(*) AS n_events", "SUM(k) AS sum_k", "MAX(k) AS max_k"],
+        )
+        .sort("event_type")
+        .to_df()
+    )

@@ -40,7 +40,9 @@ _SIMPLE = {
     "NULL": T.NullType(),  # :117
     "UUID": T.StringType(),  # :141 canonical form
     "GEOMETRY": T.BinaryType(),  # :137 WKB encoding
-    "VARIANT": T.StringType(),  # :144 JSON string (VariantType where available)
+    # :144 — Spark 4 native VariantType (parse_json carrier); JSON-string
+    # fallback only on older runtimes without the type
+    "VARIANT": T.VariantType() if hasattr(T, "VariantType") else T.StringType(),
     "INTERVAL_YEAR_MONTH": T.YearMonthIntervalType(),
     "INTERVAL_DAY_TIME": T.DayTimeIntervalType(),
 }

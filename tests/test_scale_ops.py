@@ -131,3 +131,35 @@ def test_salted_join_same_key_name(spark):
     assert sorted(tuple(r) for r in plain.collect()) == sorted(
         tuple(r) for r in salted.collect()
     )
+
+
+def test_plan_dot_and_xml_writers(spark):
+    """EXPLAIN formats ≈ RelDotWriter.java / RelXmlWriter.java: the same
+    plan rendered as a Graphviz digraph and nested XML."""
+    import xml.etree.ElementTree as ET
+
+    from calcite_spark.plans.serde import to_dot, to_xml
+
+    cat = catalog_for(spark, SF_DIR)
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_totalprice > 100")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    dot = to_dot(plan)
+    assert dot.startswith("digraph plan {") and dot.rstrip().endswith("}")
+    for rel in ("Scan", "Filter", "Aggregate"):
+        assert rel in dot
+    # child -> parent edges: scan feeds filter feeds aggregate
+    assert dot.count("->") == 2
+
+    xml = to_xml(plan)
+    root = ET.fromstring(xml)  # well-formed
+    assert root.get("type") == "Aggregate"
+    child = root.find("RelNode")
+    assert child is not None and child.get("type") == "Filter"
+    grandchild = child.find("RelNode")
+    assert grandchild is not None and grandchild.get("type") == "Scan"
+    assert any(p.get("name") == "table" for p in grandchild.findall("Property"))
