@@ -653,6 +653,192 @@ def st_geom_from_geojson(gj: str) -> str:
 # ---------------------------------------------------------------------
 
 
+
+# ---------------------------------------------------------------------
+# Batch 3: grids, ellipse, closest/furthest coordinates, line relations
+# ---------------------------------------------------------------------
+
+
+def st_make_ellipse(p: str, w: str, h: str, segs: int = 32) -> str:
+    """~ ST_MakeEllipse(point, width, height) (SpatialTypeFunctions.java:420,
+    JTS GeometricShapeFactory.createEllipse): axis-aligned ellipse centred
+    on p with full width w / height h, discretized as a `segs`-gon (JTS
+    defaults to 100 vertices; 32 here, same inscribed-polygon contract as
+    ST_Buffer). NULL for non-POINT input, as the reference returns null."""
+    cx, cy = f"{_pt(p, '1')}.x", f"{_pt(p, '1')}.y"
+    ang = f"2.0 * pi() * (k - 1) / {segs}.0"
+    ring = (
+        f"transform(sequence(1, {segs}), k -> named_struct("
+        f"'x', {cx} + CAST({w} AS DOUBLE) / 2.0 * cos({ang}), "
+        f"'y', {cy} + CAST({h} AS DOUBLE) / 2.0 * sin({ang})))"
+    )
+    return (
+        f"CASE WHEN {p}.kind = 'POINT' THEN "
+        f"named_struct('kind', 'POLYGON', 'pts', {ring}) END"
+    )
+
+
+def _grid_parts(g: str, dx: str, dy: str):
+    """Shared cell math of GridEnumerable (SpatialTypeFunctions.java:1815-1828):
+    base = floor(min/delta), span = floor((max-min)/delta) + 1."""
+    ddx, ddy = f"CAST({dx} AS DOUBLE)", f"CAST({dy} AS DOUBLE)"
+    min_x = f"({ddx} * floor({_xacc(g, 'min', 'x')} / {ddx}))"
+    min_y = f"({ddy} * floor({_xacc(g, 'min', 'y')} / {ddy}))"
+    span_x = f"(CAST(floor(({_xacc(g, 'max', 'x')} - {_xacc(g, 'min', 'x')}) / {ddx}) AS INT) + 1)"
+    span_y = f"(CAST(floor(({_xacc(g, 'max', 'y')} - {_xacc(g, 'min', 'y')}) / {ddy}) AS INT) + 1)"
+    return ddx, ddy, min_x, min_y, span_x, span_y
+
+
+def st_make_grid(g: str, dx: str, dy: str) -> str:
+    """~ ST_MakeGrid (SqlSpatialTypeFunctions.java:67 + GridEnumerable,
+    SpatialTypeFunctions.java:1803): regular grid of deltaX x deltaY cells
+    covering the envelope of g, aligned to multiples of the deltas. The
+    reference exposes it as a table function; here it returns
+    array<geom> - `explode()` recovers the table form. Each cell is the
+    reference's (left,bottom)-(right,top) rectangle ring."""
+    ddx, ddy, min_x, min_y, span_x, span_y = _grid_parts(g, dx, dy)
+    left = f"({min_x} + xi * {ddx})"
+    bottom = f"({min_y} + yi * {ddy})"
+    mk = lambda x, y: f"named_struct('x', {x}, 'y', {y})"
+    cell = (
+        f"named_struct('kind', 'POLYGON', 'pts', array("
+        f"{mk(left, bottom)}, {mk(f'{left} + {ddx}', bottom)}, "
+        f"{mk(f'{left} + {ddx}', f'{bottom} + {ddy}')}, {mk(left, f'{bottom} + {ddy}')}))"
+    )
+    return (
+        f"flatten(transform(sequence(0, {span_y} - 1), yi -> "
+        f"transform(sequence(0, {span_x} - 1), xi -> {cell})))"
+    )
+
+
+def st_make_grid_points(g: str, dx: str, dy: str) -> str:
+    """~ ST_MakeGridPoints: the same grid's cell centres
+    ((x + 0.5) * deltaX, SpatialTypeFunctions.java:1840-1841)."""
+    ddx, ddy, min_x, min_y, span_x, span_y = _grid_parts(g, dx, dy)
+    px = f"{min_x} + (xi + 0.5D) * {ddx}"
+    py = f"{min_y} + (yi + 0.5D) * {ddy}"
+    return (
+        f"flatten(transform(sequence(0, {span_y} - 1), yi -> "
+        f"transform(sequence(0, {span_x} - 1), xi -> {make_point(px, py)})))"
+    )
+
+
+def _extreme_coordinate(p: str, g: str, op: str) -> str:
+    """argmin/argmax vertex of g by distance to point p, as a POINT.
+    ~ ST_ClosestCoordinate / ST_FurthestCoordinate
+    (SpatialTypeFunctions.java:1546,1577). Divergence (disclosed): on
+    ties the reference returns a MULTIPOINT of all extremes; the struct
+    model has no multi kind, so the lowest-index extreme wins."""
+    px, py = f"{_pt(p, '1')}.x", f"{_pt(p, '1')}.y"
+    d = lambda q: f"(pow({q}.x - {px}, 2) + pow({q}.y - {py}, 2))"
+    acc_t = "CAST(NULL AS struct<x: double, y: double>)"
+    fold = (
+        f"aggregate({g}.pts, {acc_t}, (acc, q) -> "
+        f"CASE WHEN acc IS NULL OR {d('q')} {op} {d('acc')} THEN q ELSE acc END)"
+    )
+    return (
+        f"CASE WHEN {p}.kind = 'POINT' THEN "
+        f"named_struct('kind', 'POINT', 'pts', array({fold})) END"
+    )
+
+
+def st_closest_coordinate(p: str, g: str) -> str:
+    return _extreme_coordinate(p, g, "<")
+
+
+def st_furthest_coordinate(p: str, g: str) -> str:
+    return _extreme_coordinate(p, g, ">")
+
+
+def st_closest_point(g1: str, g2: str) -> str:
+    """~ ST_ClosestPoint(geom1, geom2) (SpatialTypeFunctions.java:1569,
+    JTS DistanceOp.nearestPoints[0]): the point OF g1 nearest to g2.
+    Supported operand shapes: g2 POINT with g1 POINT (itself), g1
+    POLYGON containing g2 (g2 itself - distance 0), or g1 chain edges
+    (clamped per-segment projection, min-distance candidate). Other
+    combinations NULL (refuse-over-wrong)."""
+    px, py = f"{_pt(g2, '1')}.x", f"{_pt(g2, '1')}.y"
+    a, b = _pt(g1, "i"), _edge_b(g1, "i")
+    ax, ay, bx, by = f"{a}.x", f"{a}.y", f"{b}.x", f"{b}.y"
+    len2 = f"(pow({bx} - {ax}, 2) + pow({by} - {ay}, 2))"
+    t_raw = f"(({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * ({by} - {ay})) / ({len2} + 1e-300)"
+    t = f"greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), {t_raw}))"
+    qx = f"({ax} + {t} * ({bx} - {ax}))"
+    qy = f"({ay} + {t} * ({by} - {ay}))"
+    n_edges = f"({_n(g1)} - IF({g1}.kind = 'POLYGON', 0, 1))"
+    best = (
+        f"array_min(transform(sequence(1, {n_edges}), i -> named_struct("
+        f"'d', sqrt(pow({px} - {qx}, 2) + pow({py} - {qy}, 2)), 'x', {qx}, 'y', {qy})))"
+    )
+    return (
+        f"CASE WHEN {g2}.kind <> 'POINT' THEN CAST(NULL AS {GEOM_TYPE}) "
+        f"WHEN {g1}.kind = 'POINT' THEN {g1} "
+        f"WHEN {g1}.kind = 'POLYGON' AND {st_contains(g1, g2)} THEN {g2} "
+        f"WHEN {_n(g1)} >= 2 THEN named_struct('kind', 'POINT', 'pts', "
+        f"array(named_struct('x', {best}.x, 'y', {best}.y))) END"
+    )
+
+
+def st_crosses(g1: str, g2: str) -> str:
+    """~ ST_Crosses (SpatialTypeFunctions.java:1066, JTS `crosses`) for
+    LINESTRING x LINESTRING: TRUE iff some edge pair crosses properly
+    (strictly opposite orientations both ways - an interior/interior
+    0-dimensional intersection). Other kind combinations NULL; crossings
+    that coincide exactly with a vertex are reported FALSE (the strict
+    test sees a collinear touch - disclosed)."""
+    e1 = f"sequence(1, {_n(g1)} - 1)"
+    e2 = f"sequence(1, {_n(g2)} - 1)"
+    a1, b1 = _pt(g1, "i"), _edge_b(g1, "i")
+    a2, b2 = _pt(g2, "j"), _edge_b(g2, "j")
+    d1, d2 = _orient(a2, b2, a1), _orient(a2, b2, b1)
+    d3, d4 = _orient(a1, b1, a2), _orient(a1, b1, b2)
+    proper = (
+        f"(( ({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0) ) AND "
+        f"( ({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0) ))"
+    )
+    return (
+        f"CASE WHEN {g1}.kind = 'LINESTRING' AND {g2}.kind = 'LINESTRING' "
+        f"THEN exists({e1}, i -> exists({e2}, j -> {proper})) END"
+    )
+
+
+def _on_boundary(g: str, p: str) -> str:
+    """Point p lies on the vertex-chain boundary of g (ring closed for
+    polygons): some edge has p collinear and inside its bounding box."""
+    edges = f"sequence(1, {_n(g)} - IF({g}.kind = 'POLYGON', 0, 1))"
+    a, b = _pt(g, "i"), _edge_b(g, "i")
+    q = _pt(p, "1")
+    return (
+        f"exists({edges}, i -> {_orient(a, b, q)} = 0 AND {_on_segment(a, b, q)})"
+    )
+
+
+def st_touches(g1: str, g2: str) -> str:
+    """~ ST_Touches (SpatialTypeFunctions.java:1128, JTS `touches`):
+    boundaries intersect, interiors do not. Supported shapes - POINT vs
+    LINESTRING (point at an endpoint), POINT vs POLYGON (point on the
+    ring); symmetric. Line/polygon pairs NULL (DE-9IM interior tests on
+    chains are out of the pure-SQL tier's scope)."""
+
+    def point_touch(p, g):
+        first, last = _pt(g, "1"), _pt(g, _n(g))
+        q = _pt(p, "1")
+        at_end = (
+            f"(({q}.x = {first}.x AND {q}.y = {first}.y) OR "
+            f"({q}.x = {last}.x AND {q}.y = {last}.y))"
+        )
+        return (
+            f"CASE WHEN {g}.kind = 'LINESTRING' THEN {at_end} "
+            f"WHEN {g}.kind = 'POLYGON' THEN {_on_boundary(g, p)} "
+            f"WHEN {g}.kind = 'POINT' THEN false END"
+        )
+
+    return (
+        f"CASE WHEN {g1}.kind = 'POINT' THEN {point_touch(g1, g2)} "
+        f"WHEN {g2}.kind = 'POINT' THEN {point_touch(g2, g1)} END"
+    )
+
+
 def register_spatial_functions() -> None:
     """Install the ST_ rows into the function registry. Templates call
     the expression builders above with the {i} placeholders so
@@ -738,6 +924,18 @@ def register_spatial_functions() -> None:
         kind="udf",
         note="WKT parse: Pandas UDF slow path (register_spatial_udfs)",
     )
+    # batch 3
+    _reg("ST_EXTENT", st_envelope("{0}"), (1,), libs=(SPATIAL,),
+         note="unary form per SpatialTypeFunctions.java:709 (= envelope)")
+    _reg("ST_MAKEELLIPSE", st_make_ellipse("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,))
+    _reg("ST_MAKEGRID", st_make_grid("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,),
+         note="array<geom> form of the reference's table function; explode() recovers rows")
+    _reg("ST_MAKEGRIDPOINTS", st_make_grid_points("{0}", "{1}", "{2}"), (3,), libs=(SPATIAL,))
+    _reg("ST_CLOSESTCOORDINATE", st_closest_coordinate("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_FURTHESTCOORDINATE", st_furthest_coordinate("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_CLOSESTPOINT", st_closest_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
+    _reg("ST_CROSSES", st_crosses("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    _reg("ST_TOUCHES", st_touches("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
 
 
 register_spatial_functions()

@@ -390,3 +390,89 @@ def test_geojson_round_trip(spark):
     ext = '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'
     assert _one(spark, T("ST_ORDERINGEQUALS", T("ST_GEOMFROMGEOJSON", f"'{ext}'"), SQUARE)) is True
     assert _one(spark, T("ST_SRID", P12)) == 0
+
+
+# -- batch 3 ----------------------------------------------------------
+
+
+def test_extent_alias(spark):
+    """ST_Extent (unary, SpatialTypeFunctions.java:709) = envelope."""
+    env = _one(spark, T("ST_EXTENT", LINE))
+    assert env.kind == "POLYGON"
+    xs = [p.x for p in env.pts]
+    ys = [p.y for p in env.pts]
+    assert (min(xs), max(xs), min(ys), max(ys)) == (0.0, 3.0, 0.0, 4.0)
+
+
+def test_make_ellipse(spark):
+    e = _one(spark, T("ST_MAKEELLIPSE", P12, "6", "4"))
+    assert e.kind == "POLYGON" and len(e.pts) == 32
+    # vertices satisfy the ellipse equation around (1,2), a=3 b=2
+    for p in e.pts:
+        assert ((p.x - 1) / 3.0) ** 2 + ((p.y - 2) / 2.0) ** 2 == pytest.approx(1.0)
+    # non-point input -> NULL, like the reference
+    assert _one(spark, T("ST_MAKEELLIPSE", LINE, "6", "4")) is None
+
+
+def test_make_grid_matches_reference_cell_math(spark):
+    """GridEnumerable (SpatialTypeFunctions.java:1815-1828): base =
+    floor(min/delta), span = floor((max-min)/delta)+1 — the unit square
+    [0,4]x[0,4] with delta 2 spans 3x3 cells aligned at 0."""
+    cells = _one(spark, T("ST_MAKEGRID", SQUARE, "2", "2"))
+    assert len(cells) == 9
+    assert all(c.kind == "POLYGON" and len(c.pts) == 4 for c in cells)
+    first = cells[0].pts
+    assert (first[0].x, first[0].y) == (0.0, 0.0)
+    assert (first[2].x, first[2].y) == (2.0, 2.0)
+    pts = _one(spark, T("ST_MAKEGRIDPOINTS", SQUARE, "2", "2"))
+    assert len(pts) == 9
+    assert (pts[0].pts[0].x, pts[0].pts[0].y) == (1.0, 1.0)  # cell centre
+
+
+def test_closest_furthest_coordinate(spark):
+    c = _one(spark, T("ST_CLOSESTCOORDINATE", P12, LINE))
+    assert (c.pts[0].x, c.pts[0].y) == (0.0, 0.0)
+    f = _one(spark, T("ST_FURTHESTCOORDINATE", P12, LINE))
+    assert (f.pts[0].x, f.pts[0].y) == (3.0, 4.0)
+
+
+def test_closest_point(spark):
+    # point of LINE closest to (1,2): foot on the vertical segment x=3
+    # vs clamped (1,0) on the horizontal — (1,0) at distance 2 wins
+    p = _one(spark, T("ST_CLOSESTPOINT", LINE, P12))
+    assert (p.pts[0].x, p.pts[0].y) == (1.0, 0.0)
+    # polygon containing the point -> the point itself (distance 0)
+    p = _one(spark, T("ST_CLOSESTPOINT", SQUARE, P12))
+    assert (p.pts[0].x, p.pts[0].y) == (1.0, 2.0)
+    # non-point second operand refused -> NULL
+    assert _one(spark, T("ST_CLOSESTPOINT", LINE, SQUARE)) is None
+
+
+def test_crosses(spark):
+    x_line = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 1.0d, 'y', -1.0d), named_struct('x', 1.0d, 'y', 1.0d)))"
+    )
+    flat = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 3.0d, 'y', 0.0d)))"
+    )
+    assert _one(spark, T("ST_CROSSES", x_line, flat)) is True
+    # parallel lines do not cross
+    shifted = x_line.replace("'x', 1.0d", "'x', 9.0d")
+    assert _one(spark, T("ST_CROSSES", shifted, flat)) is False
+    # non-line operands -> NULL (refused shape)
+    assert _one(spark, T("ST_CROSSES", P12, flat)) is None
+
+
+def test_touches(spark):
+    end = T("ST_MAKEPOINT", "3", "4")  # endpoint of LINE
+    mid = T("ST_MAKEPOINT", "1", "0")  # interior of LINE
+    assert _one(spark, T("ST_TOUCHES", end, LINE)) is True
+    assert _one(spark, T("ST_TOUCHES", mid, LINE)) is False
+    on_ring = T("ST_MAKEPOINT", "2", "0")  # on SQUARE's bottom edge
+    inside = P12
+    assert _one(spark, T("ST_TOUCHES", on_ring, SQUARE)) is True
+    assert _one(spark, T("ST_TOUCHES", inside, SQUARE)) is False
+    # symmetric dispatch
+    assert _one(spark, T("ST_TOUCHES", SQUARE, on_ring)) is True
