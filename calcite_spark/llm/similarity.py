@@ -106,6 +106,49 @@ def lsh_bucketed_topk(
     )
 
 
+def _centroid_argmax_expr(vec: str, centroids: list) -> str:
+    """SQL expression assigning a row's vector to its nearest centroid by
+    cosine — a pure narrow map (centroids inlined as literals), so IVF
+    assignment costs ZERO shuffle at any scale. Ties break to the lowest
+    cluster index (strict > keeps the first maximum)."""
+    arr = (
+        "array("
+        + ",".join(
+            "named_struct('i', %d, 'v', array(%s))"
+            % (i, ",".join(f"CAST({x} AS DOUBLE)" for x in c))
+            for i, c in enumerate(centroids)
+        )
+        + ")"
+    )
+    sim = _cos(vec, "c.v")
+    return (
+        f"aggregate({arr}, named_struct('i', -1, 's', CAST(-2.0 AS DOUBLE)), "
+        f"(acc, c) -> IF({sim} > acc.s, named_struct('i', c.i, 's', {sim}), acc)).i"
+    )
+
+
+def ivf_build_deterministic(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+):
+    """IVF index with DETERMINISTIC seed centroids: the first n_clusters
+    corpus vectors (by id) are the centroids and rows Voronoi-assign to
+    the nearest one — i.e. k-means with zero Lloyd iterations. Unlike
+    `ivf_build` (pyspark.ml KMeans), results are bit-stable across
+    session configs/partitionings (each row's assignment is an
+    independent row-local computation — no cross-partition float
+    accumulation), which the snapshot-oracle evidence path requires.
+    Returns (assigned_corpus, centroids); same contract as ivf_build."""
+    seeds = corpus.filter(f"{corpus_id} < {n_clusters}").orderBy(corpus_id).collect()
+    centroids = [list(map(float, r[corpus_vec])) for r in seeds]  # bounded: n_clusters rows
+    assigned = corpus.selectExpr(
+        corpus_id, corpus_vec, f"{_centroid_argmax_expr(corpus_vec, centroids)} AS cluster"
+    )
+    return assigned, centroids
+
+
 def ivf_build(corpus: DataFrame, n_clusters: int = 16, seed: int = 42):
     """IVF index: k-means (pyspark.ml, JVM-side) partitions the corpus
     into inverted lists. Returns (assigned_corpus, centroids) where

@@ -452,9 +452,9 @@ def z66_scalar_functions(spark, sf_dir):
            CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d,
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
            CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
            strftime(o_orderdate, '%Y-%m') AS ym
     FROM orders WHERE o_orderkey <= 200
@@ -476,9 +476,13 @@ def z67_datetime_functions(spark, sf_dir):
             "CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d",
             "CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q",
             "CAST(date_part('DOY', o_orderdate) AS INT) AS doy",
-            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
-            "CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30",
-            "last_day(CAST(o_orderdate AS DATE)) AS eom",
+            # serialized as ISO strings on BOTH sides: Spark DATE cells
+            # arrive as datetime.date objects while DuckDB yields
+            # datetime64 — an untested representation in the driver
+            # canonicalizer (no r4-green query returned a DATE column)
+            "date_format(CAST(date_trunc('month', o_orderdate) AS DATE), 'yyyy-MM-dd') AS month_start",
+            "date_format(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), 'yyyy-MM-dd') AS plus30",
+            "date_format(last_day(CAST(o_orderdate AS DATE)), 'yyyy-MM-dd') AS eom",
             "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS days_since_95",
             "date_format(o_orderdate, 'yyyy-MM') AS ym",
         )

@@ -15,7 +15,11 @@ from calcite_spark.llm.dedup import (
     minhash_lsh_dups,
     simhash_near_dups,
 )
-from calcite_spark.llm.similarity import brute_force_topk
+from calcite_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_build_deterministic,
+    ivf_topk,
+)
 from calcite_spark.llm.textstats import lang_id, quality_score, text_stats
 from calcite_spark.queries.inventory import catalog_for, register, snapshot_oracle
 
@@ -189,6 +193,28 @@ def z54_knn_bruteforce(spark, sf_dir):
     emb = cat.table("embeddings")
     queries = emb.filter("vec_id < 5").selectExpr("vec_id AS q_id", "embedding AS q_vec")
     out = brute_force_topk(emb.select("vec_id", "embedding"), queries, k=5)
+    return out.selectExpr("q_id", "vec_id", "cosine_sim", "CAST(rk AS INT) AS rk").orderBy(
+        "q_id", "rk"
+    )
+
+
+@register(
+    "qx17_ivf_ann",
+    oracle=snapshot_oracle("qx17_ivf_ann"),  # engine-specific index; reviewed snapshot
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def qx17_ivf_ann(spark, sf_dir):
+    """IVF ANN — llm/similarity.ivf_build_deterministic + ivf_topk:
+    Voronoi inverted lists over deterministic seed centroids (assignment
+    is a shuffle-free narrow map; at scale the index persists partitioned
+    by cluster for partition pruning), probe the 4 nearest lists per
+    query, exact cosine rerank inside them. Recall vs z54 brute force is
+    pinned by tests/test_scale_ops.py; driver evidence via snapshot."""
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 5").selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    assigned, centroids = ivf_build_deterministic(emb, n_clusters=16)
+    out = ivf_topk(assigned, centroids, queries, k=5, n_probe=4)
     return out.selectExpr("q_id", "vec_id", "cosine_sim", "CAST(rk AS INT) AS rk").orderBy(
         "q_id", "rk"
     )

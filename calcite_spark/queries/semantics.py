@@ -327,7 +327,8 @@ def q82_within_distinct(spark, sf_dir):
     "q83_higher_order_lambdas",
     oracle="""
     SELECT l_orderkey AS okey,
-           list_sort(list_transform(prices, x -> x * 2)) AS taxed,
+           array_to_string(list_transform(list_sort(list_transform(prices, x -> x * 2)),
+                           v -> CAST(CAST(v AS DECIMAL(18,3)) AS VARCHAR)), ',') AS taxed,
            len(list_filter(prices, x -> x > 2000.0)) AS n_big,
            ROUND(list_aggregate(prices, 'sum'), 3) AS total
     FROM (
@@ -352,7 +353,12 @@ def q83_higher_order_lambdas(spark, sf_dir):
         .agg(F.expr("collect_list(l_extendedprice)").alias("prices"))
         .selectExpr(
             "okey",
-            "sort_array(transform(prices, x -> x * 2)) AS taxed",
+            # serialized (not raw ARRAY<DOUBLE>): the driver canonicalizer
+            # sorts cells with pandas and lists are unhashable (same fix
+            # as q23 in r2). DECIMAL(18,3) string form is deterministic in
+            # both engines; raw doubles would diverge in shortest-repr.
+            "concat_ws(',', transform(sort_array(transform(prices, x -> x * 2)), "
+            "v -> CAST(CAST(v AS DECIMAL(18,3)) AS STRING))) AS taxed",
             "CAST(size(filter(prices, x -> x > 2000.0)) AS BIGINT) AS n_big",
             "ROUND(aggregate(prices, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 3) AS total",
         )

@@ -141,6 +141,12 @@ class SqlFrontend:
                 m.group(4),
             )
             secs = _parse_intervals(args)
+            # NTZ-safe epoch micros: Spark 4.1 infers parquet timestamp[us]
+            # as TIMESTAMP_NTZ (inferTimestampNTZ default), and unix_micros
+            # rejects NTZ. Session TZ is pinned UTC (session.py) so
+            # NTZ→LTZ cast is value-preserving; on an LTZ column the cast
+            # is a no-op. Pinned by tests/test_sql_frontend.py NTZ fixture.
+            us = f"unix_micros(CAST({ts} AS TIMESTAMP_LTZ))"
             if kind == "TUMBLE":
                 (size,) = secs[:1]
                 slide = size
@@ -173,8 +179,8 @@ class SqlFrontend:
                     f"MAX({ts}) OVER (PARTITION BY {sid_part}) + INTERVAL {gap} SECOND AS window_end "
                     f"FROM (SELECT *, SUM(__newsess) OVER ({by}ORDER BY {ts} "
                     f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid "
-                    f"FROM (SELECT *, CASE WHEN unix_micros({ts}) - "
-                    f"lag(unix_micros({ts})) OVER ({by}ORDER BY {ts}) > {gap_us} "
+                    f"FROM (SELECT *, CASE WHEN {us} - "
+                    f"lag({us}) OVER ({by}ORDER BY {ts}) > {gap_us} "
                     f"THEN 1 ELSE 0 END AS __newsess FROM {table}) "
                     f") )"
                 )
@@ -183,16 +189,16 @@ class SqlFrontend:
             n_windows = max(1, size // slide)
             return (
                 f"(SELECT t.*, "
-                f"timestamp_seconds(CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} "
+                f"timestamp_seconds(CAST(floor({us} / 1e6 / {slide}) AS BIGINT) * {slide} "
                 f"- k.k * {slide}) AS window_start, "
-                f"timestamp_seconds(CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} "
+                f"timestamp_seconds(CAST(floor({us} / 1e6 / {slide}) AS BIGINT) * {slide} "
                 f"- k.k * {slide} + {size}) AS window_end "
                 f"FROM {table} t CROSS JOIN "
                 f"(SELECT explode(sequence(0, {n_windows - 1})) AS k) k "
-                f"WHERE unix_micros({ts}) / 1e6 >= "
-                f"CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} "
-                f"AND unix_micros({ts}) / 1e6 < "
-                f"CAST(floor(unix_micros({ts}) / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} + {size})"
+                f"WHERE {us} / 1e6 >= "
+                f"CAST(floor({us} / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} "
+                f"AND {us} / 1e6 < "
+                f"CAST(floor({us} / 1e6 / {slide}) AS BIGINT) * {slide} - k.k * {slide} + {size})"
             )
 
         return _TVF_RE.sub(sub, text)

@@ -71,7 +71,15 @@ def hop_grouped(df: DataFrame, ts_col: str, size: str, slide: str, partition_key
 
 
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
-    """Late-data bound for streaming inputs (no-op on batch frames)."""
+    """Late-data bound for streaming inputs (no-op on batch frames).
+
+    Spark's watermark machinery requires TIMESTAMP (LTZ) event time and
+    rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — and
+    Spark 4.1 infers parquet timestamp[us] as NTZ by default. Session TZ
+    is pinned UTC (session.py), so the NTZ→LTZ cast is value-preserving.
+    """
     if df.isStreaming:
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
         return df.withWatermark(ts_col, delay)
     return df

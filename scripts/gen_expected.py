@@ -38,6 +38,7 @@ SNAPSHOT_QUERIES = [
     "qx07_simhash_neardup",
     "qx08_cosine_dups",
     "z56_fingerprint",
+    "qx17_ivf_ann",
 ]
 
 

@@ -182,3 +182,37 @@ def test_ivf_topk_recall(spark, cat):
     assert {(q, q) for q in range(10)} <= approx
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic_recall_and_stability(spark, cat):
+    """The snapshot-oracle tier (qx17): deterministic seed-centroid IVF
+    must (a) recover most true neighbors at n_probe=4/16, (b) always find
+    the query itself, and (c) be run-to-run identical — the property the
+    driver snapshot relies on."""
+    from calcite_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_build_deterministic,
+        ivf_topk,
+    )
+
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 10").selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    assigned, centroids = ivf_build_deterministic(emb, n_clusters=16)
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    run1 = sorted(
+        (r.q_id, r.vec_id, r.cosine_sim, r.rk)
+        for r in ivf_topk(assigned, centroids, queries, k=5, n_probe=4).collect()
+    )
+    approx = {(q, v) for q, v, _, _ in run1}
+    assert {(q, q) for q in range(10)} <= approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"deterministic IVF recall too low: {recall}"
+    assigned2, centroids2 = ivf_build_deterministic(
+        emb.repartition(7), n_clusters=16
+    )
+    assert centroids2 == centroids
+    run2 = sorted(
+        (r.q_id, r.vec_id, r.cosine_sim, r.rk)
+        for r in ivf_topk(assigned2, centroids2, queries, k=5, n_probe=4).collect()
+    )
+    assert run1 == run2  # bit-stable under a different partitioning

@@ -430,10 +430,20 @@ def test_make_grid_matches_reference_cell_math(spark):
 
 
 def test_closest_furthest_coordinate(spark):
-    c = _one(spark, T("ST_CLOSESTCOORDINATE", P12, LINE))
+    # from (1,1): (0,0) d²=2 closest, (3,4) d²=13 uniquely furthest
+    p11 = T("ST_MAKEPOINT", "1", "1")
+    c = _one(spark, T("ST_CLOSESTCOORDINATE", p11, LINE))
     assert (c.pts[0].x, c.pts[0].y) == (0.0, 0.0)
-    f = _one(spark, T("ST_FURTHESTCOORDINATE", P12, LINE))
+    f = _one(spark, T("ST_FURTHESTCOORDINATE", p11, LINE))
     assert (f.pts[0].x, f.pts[0].y) == (3.0, 4.0)
+
+
+def test_furthest_coordinate_tie_break(spark):
+    # documented divergence (functions/spatial.py): on exact ties the
+    # LOWEST-INDEX extreme wins. From (1,2), LINE's (3,0) and (3,4) are
+    # both at d²=8 — (3,0) comes first in the coordinate list.
+    f = _one(spark, T("ST_FURTHESTCOORDINATE", P12, LINE))
+    assert (f.pts[0].x, f.pts[0].y) == (3.0, 0.0)
 
 
 def test_closest_point(spark):

@@ -99,6 +99,30 @@ def test_hop_tvf_sql(fe, duck):
     )
 
 
+def test_tvf_ntz_column_pinned(fe, spark, tmp_path):
+    """Regression pin for the r4 break: Spark 4.1 infers parquet
+    timestamp[us] as TIMESTAMP_NTZ (inferTimestampNTZ default) and
+    unix_micros() rejects NTZ — the TVF macros must lower NTZ-safely.
+    Assert events.ts IS NTZ (so the other TVF tests genuinely exercise
+    the NTZ path on this Spark), then run TUMBLE over an explicitly
+    NTZ-typed parquet fixture so version drift can't silently re-break."""
+    ts_type = dict(spark.table("events").dtypes)["ts"]
+    assert ts_type == "timestamp_ntz", ts_type
+    p = str(tmp_path / "ntz_events")
+    spark.sql(
+        "SELECT CAST(ts AS TIMESTAMP_NTZ) AS ts, value FROM events"
+    ).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("ntz_events")
+    df = fe.sql(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE ntz_events, DESCRIPTOR(ts), INTERVAL '1' DAY)) "
+        "GROUP BY window_start"
+    )
+    assert df.count() == spark.sql(
+        "SELECT COUNT(DISTINCT date_trunc('DAY', ts)) AS n FROM ntz_events"
+    ).collect()[0].n
+
+
 def test_select_stream(fe, spark):
     """SELECT STREAM returns an unbounded DataFrame (Delta semantics);
     driving it through a memory sink must reproduce the batch answer."""
@@ -136,8 +160,8 @@ def test_session_tvf_sql(fe, spark):
         SELECT MIN(ts) AS session_start, COUNT(*) AS n FROM (
           SELECT ts, SUM(newsess) OVER (ORDER BY ts
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-          FROM (SELECT ts, CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
-                OVER (ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS newsess
+          FROM (SELECT ts, CASE WHEN ts - lag(ts)
+                OVER (ORDER BY ts) > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS newsess
                 FROM events)
         ) GROUP BY sid
         """
