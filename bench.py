@@ -82,17 +82,30 @@ def main() -> None:
     # steady-state; whole-sweep totals vary ±15% run to run) — the
     # per-query min across passes is the reproducible steady-state cost
     # of the plan.
+    # Per-query build/execute split (r4 verdict item 7): "build" is the
+    # Python-side plan construction (the queries() callable returning a
+    # DataFrame — catalog lookups, expression assembly), "exec" is
+    # count() (Catalyst optimize + run). If totals drift with no
+    # bench-query code change, the split shows whether the growing
+    # registry is leaking into plan build or execution got slower.
     N_RUNS = 3
     timings: dict[str, float] = {}
+    build_t: dict[str, float] = {}
+    exec_t: dict[str, float] = {}
     for _ in range(N_RUNS):
         for name in HEADLINE:
             if name not in qs:
                 continue
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
+            t1 = time.perf_counter()
             n = df.count() if df is not None else 0
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+            t2 = time.perf_counter()
+            dt = round(t2 - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+                build_t[name] = round(t1 - t0, 4)
+                exec_t[name] = round(t2 - t1, 4)
     total = round(sum(timings.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +116,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build_sec": build_t,
+                "exec_sec": exec_t,
                 "runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
