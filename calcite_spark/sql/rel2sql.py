@@ -90,6 +90,31 @@ def _outside_literal(text: str, pos: int) -> bool:
     return text.count("'", 0, pos) % 2 == 0
 
 
+def _check_and_map_calls(text: str, shared: set, fn_map: dict, dialect: str) -> str:
+    """Shared refuse-over-wrong core: every function call outside the
+    dialect's known surface raises; known calls are renamed via fn_map."""
+    unknown = []
+    for m in _CALL_RE.finditer(text):
+        if not _outside_literal(text, m.start()):
+            continue
+        fn = m.group(1).lower()
+        if fn in _KEYWORDS or fn in shared or fn in fn_map:
+            continue
+        unknown.append(fn)
+    if unknown:
+        raise UnsupportedDialectExpression(
+            f"{dialect} dialect cannot replay function(s) {sorted(set(unknown))} "
+            f"in expression: {text!r}"
+        )
+
+    def sub(m):
+        if not _outside_literal(text, m.start()):
+            return m.group(0)
+        return f"{fn_map.get(m.group(1).lower(), m.group(1))}("
+
+    return _CALL_RE.sub(sub, text)
+
+
 class Dialect:
     """≈ sql/SqlDialect.java — expression + clause rendering hooks."""
 
@@ -102,6 +127,25 @@ class Dialect:
 
     def sort_key(self, text: str) -> str:
         return text
+
+    def setop_kw(self, kind: str) -> str:
+        return {
+            "UNION": "UNION",
+            "UNION_ALL": "UNION ALL",
+            "INTERSECT": "INTERSECT",
+            "INTERSECT_ALL": "INTERSECT ALL",
+            "EXCEPT": "EXCEPT",
+            "EXCEPT_ALL": "EXCEPT ALL",
+        }[kind]
+
+    def rollup_clause(self, keys: list[str]) -> str:
+        return f" GROUP BY ROLLUP ({', '.join(keys)})"
+
+    def cube_clause(self, keys: list[str]) -> str:
+        return f" GROUP BY CUBE ({', '.join(keys)})"
+
+    def grouping_sets_clause(self, sets_sql: str) -> str:
+        return f" GROUP BY GROUPING SETS ({sets_sql})"
 
     def values(self, rows, names) -> str:
         body = ", ".join(self._row(r) for r in rows)
@@ -118,6 +162,23 @@ class Dialect:
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         return str(v)
+
+    def _values_as_union(self, rows, names) -> str:
+        """VALUES emulation for dialects without a FROM-position VALUES
+        clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward): the
+        SELECT ... UNION ALL SELECT form Calcite's BigQuerySqlDialect
+        unparses."""
+        selects = []
+        for i, row in enumerate(rows):
+            cols = (
+                ", ".join(
+                    f"{self.literal(v)} AS {n}" for v, n in zip(row, names)
+                )
+                if i == 0
+                else ", ".join(self.literal(v) for v in row)
+            )
+            selects.append(f"SELECT {cols}")
+        return f"({' UNION ALL '.join(selects)}) AS t"
 
 
 class SparkDialect(Dialect):
@@ -231,6 +292,48 @@ def _balanced_arg(text: str, start: int) -> tuple[str, int]:
     raise UnsupportedDialectExpression(f"unbalanced parens in {text!r}")
 
 
+def _rewrite_cast_types(text: str, type_map: dict) -> str:
+    """Rewrite Spark type names inside CAST(... AS <type>) targets using
+    type_map; nested CASTs recurse. String literals are opaque."""
+    pat = re.compile(r"\bcast\s*\(", re.I)
+    out, i = [], 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        if text.count("'", 0, m.start()) % 2:  # inside a string literal
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        arg, close = _balanced_arg(text, m.end())
+        arg = _rewrite_cast_types(arg, type_map)
+        # the cast type is the token after the LAST top-level " AS "
+        last_as = None
+        for am in re.finditer(r"(?i)\bAS\b", arg):
+            before = arg[: am.start()]
+            depth = 0
+            in_str = False
+            for ch in before:
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    depth += ch == "("
+                    depth -= ch == ")"
+            if depth == 0 and not in_str:
+                last_as = am
+        if last_as is not None:
+            head, ty = arg[: last_as.end()], arg[last_as.end() :].strip()
+            base = re.match(r"[A-Za-z_]+", ty)
+            if base and base.group(0).lower() in type_map:
+                mapped = type_map[base.group(0).lower()]
+                ty = mapped + ty[base.end() :]
+            arg = f"{head} {ty}"
+        out.append(text[i : m.start()] + "CAST(" + arg + ")")
+        i = close + 1
+    return "".join(out)
+
+
 class PostgresDialect(Dialect):
     """≈ sql/dialect/PostgresqlSqlDialect.java. Same refuse-over-wrong
     contract as DuckDB; adds the structural rewrites PostgreSQL needs:
@@ -263,43 +366,7 @@ class PostgresDialect(Dialect):
         return text
 
     def _rewrite_cast_types(self, text: str) -> str:
-        pat = re.compile(r"\bcast\s*\(", re.I)
-        out, i = [], 0
-        while True:
-            m = pat.search(text, i)
-            if not m:
-                out.append(text[i:])
-                break
-            if text.count("'", 0, m.start()) % 2:  # inside a string literal
-                out.append(text[i : m.end()])
-                i = m.end()
-                continue
-            arg, close = _balanced_arg(text, m.end())
-            arg = self._rewrite_cast_types(arg)
-            # the cast type is the token after the LAST top-level " AS "
-            last_as = None
-            for am in re.finditer(r"(?i)\bAS\b", arg):
-                before = arg[: am.start()]
-                depth = 0
-                in_str = False
-                for ch in before:
-                    if ch == "'":
-                        in_str = not in_str
-                    elif not in_str:
-                        depth += ch == "("
-                        depth -= ch == ")"
-                if depth == 0 and not in_str:
-                    last_as = am
-            if last_as is not None:
-                head, ty = arg[: last_as.end()], arg[last_as.end() :].strip()
-                base = re.match(r"[A-Za-z_]+", ty)
-                if base and base.group(0).lower() in _PG_TYPE_MAP:
-                    mapped = _PG_TYPE_MAP[base.group(0).lower()]
-                    ty = mapped + ty[base.end() :]
-                arg = f"{head} {ty}"
-            out.append(text[i : m.start()] + "CAST(" + arg + ")")
-            i = close + 1
-        return "".join(out)
+        return _rewrite_cast_types(text, _PG_TYPE_MAP)
 
     def expr(self, text: str) -> str:
         text = self._rewrite_extract(text)
@@ -337,9 +404,236 @@ class PostgresDialect(Dialect):
         return f"(VALUES {body}) AS t({', '.join(names)})"
 
 
+# Spark-SQL functions that are valid MySQL 8.0 verbatim. Deliberately
+# excluded (refuse-over-wrong): date_trunc/date_part (MySQL has neither),
+# covar_*/corr (no MySQL equivalents), array/list functions (no arrays).
+_MYSQL_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "year", "quarter", "month", "day", "hour",
+    "minute", "second", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "row_number", "rank", "dense_rank", "lag", "lead",
+    "ntile", "first_value", "last_value", "nth_value", "percent_rank",
+    "cume_dist", "md5", "regexp_replace", "sign", "sqrt", "power",
+    "exp", "ln", "log10", "mod", "left", "right", "repeat", "reverse",
+    "instr", "pi", "last_day", "if", "isnull",
+}
+
+_MYSQL_FN_MAP = {
+    "std": "stddev",
+}
+
+# MySQL CAST targets are a closed list (CHAR, SIGNED, UNSIGNED, DECIMAL,
+# DATE, DATETIME, TIME, DOUBLE, FLOAT, JSON, BINARY) — MysqlSqlDialect
+# castSpec(): BOOLEAN/TIMESTAMP have no cast form and refuse via the
+# unknown-type passthrough staying as-is (MySQL errors at execution).
+_MYSQL_TYPE_MAP = {
+    "string": "CHAR",
+    "int": "SIGNED",
+    "integer": "SIGNED",
+    "bigint": "SIGNED",
+    "smallint": "SIGNED",
+    "tinyint": "SIGNED",
+    "long": "SIGNED",
+    "timestamp": "DATETIME",
+}
+
+
+class MySQLDialect(Dialect):
+    """≈ sql/dialect/MysqlSqlDialect.java. Refuse-over-wrong like the
+    other remote dialects; the MySQL-specific structural forms:
+      * SEMI/ANTI → [NOT] EXISTS (no SEMI JOIN keyword),
+      * ROLLUP → `GROUP BY ... WITH ROLLUP` (supportsGroupByWithRollup);
+        CUBE / GROUPING SETS refused (MySQL 8.0 has neither),
+      * NULLS FIRST/LAST → ISNULL(x) prefix key
+        (MysqlSqlDialect.emulateNullDirection — MySQL lacks the syntax),
+      * VALUES in FROM → SELECT ... UNION ALL emulation,
+      * CAST targets restricted to MySQL's closed type list."""
+
+    name = "mysql"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _MYSQL_TYPE_MAP)
+        return _check_and_map_calls(text, _MYSQL_SHARED, _MYSQL_FN_MAP, self.name)
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)(\s+(?:ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            text.strip(),
+        )
+        expr = self.expr(m.group(1))
+        direction = (m.group(2) or "").strip()
+        nulls = m.group(3)
+        if not nulls:
+            return f"{expr} {direction}".strip()
+        # ISNULL(x) DESC sorts nulls first, ASC sorts them last
+        isnull_dir = "DESC" if nulls.upper() == "FIRST" else "ASC"
+        key = f"ISNULL({expr}) {isnull_dir}, {expr}"
+        return f"{key} {direction}".strip()
+
+    def rollup_clause(self, keys: list[str]) -> str:
+        return f" GROUP BY {', '.join(keys)} WITH ROLLUP"
+
+    def cube_clause(self, keys: list[str]) -> str:
+        raise UnsupportedDialectExpression("MySQL has no GROUP BY CUBE")
+
+    def grouping_sets_clause(self, sets_sql: str) -> str:
+        raise UnsupportedDialectExpression("MySQL has no GROUPING SETS")
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+
+# Spark-SQL functions that are valid BigQuery (GoogleSQL) verbatim.
+# Deliberately excluded: md5 (BQ returns BYTES, Spark hex STRING —
+# silently different values), log10 (BQ spells it LOG(x, 10)),
+# date_part (BQ EXTRACT only).
+_BQ_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "substring", "substr",
+    "replace", "greatest", "least", "nullif", "stddev", "stddev_pop",
+    "stddev_samp", "var_pop", "var_samp", "variance", "covar_pop",
+    "covar_samp", "corr", "row_number", "rank", "dense_rank", "lag",
+    "lead", "ntile", "first_value", "last_value", "nth_value",
+    "percent_rank", "cume_dist", "regexp_replace", "sign", "sqrt",
+    "exp", "ln", "mod", "left", "right", "repeat", "reverse",
+    "last_day", "if", "grouping",
+}
+
+_BQ_FN_MAP = {
+    "instr": "strpos",
+    "power": "pow",
+    "collect_list": "array_agg",
+    "size": "array_length",
+    "startswith": "starts_with",
+    "endswith": "ends_with",
+    "std": "stddev",
+}
+
+_BQ_TYPE_MAP = {
+    "string": "STRING",
+    "double": "FLOAT64",
+    "float": "FLOAT64",
+    "int": "INT64",
+    "integer": "INT64",
+    "bigint": "INT64",
+    "smallint": "INT64",
+    "tinyint": "INT64",
+    "long": "INT64",
+    "decimal": "NUMERIC",
+    "boolean": "BOOL",
+    "binary": "BYTES",
+}
+
+_BQ_TRUNC_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    # Spark date_trunc aliases
+    "yyyy", "yy", "mon", "mm", "dd",
+}
+_BQ_UNIT_CANON = {
+    "yyyy": "YEAR", "yy": "YEAR", "mon": "MONTH", "mm": "MONTH", "dd": "DAY",
+}
+
+
+class BigQueryDialect(Dialect):
+    """≈ sql/dialect/BigQuerySqlDialect.java. BigQuery-specific forms:
+      * bare UNION/INTERSECT/EXCEPT are invalid — GoogleSQL requires the
+        DISTINCT keyword; INTERSECT ALL / EXCEPT ALL do not exist and
+        refuse,
+      * SEMI/ANTI → [NOT] EXISTS,
+      * VALUES in FROM → SELECT ... UNION ALL emulation (BQ has no
+        FROM-position VALUES),
+      * Spark `date_trunc('unit', x)` → `TIMESTAMP_TRUNC(x, UNIT)`
+        (argument order flips, unit becomes a bare keyword),
+      * `year(x)`-style shorthands → EXTRACT (GoogleSQL has none),
+      * Spark type names → GoogleSQL (STRING/FLOAT64/INT64/NUMERIC/...)."""
+
+    name = "bigquery"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def _rewrite_extract(self, text: str) -> str:
+        pos = 0
+        m = _PG_EXTRACT_UNITS.search(text, pos)
+        while m:
+            if text.count("'", 0, m.start()) % 2:
+                pos = m.end()
+            else:
+                arg, close = _balanced_arg(text, m.end())
+                unit = m.group(1).upper()
+                head = (
+                    text[: m.start()]
+                    + f"EXTRACT({unit} FROM {self._rewrite_extract(arg)})"
+                )
+                text = head + text[close + 1 :]
+                pos = len(head)
+            m = _PG_EXTRACT_UNITS.search(text, pos)
+        return text
+
+    def _rewrite_date_trunc(self, text: str) -> str:
+        pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
+        while True:
+            m = pat.search(text)
+            if not m:
+                return text
+            if text.count("'", 0, m.start()) % 2:
+                # literal containing "date_trunc('..." — give up rewriting
+                # past it rather than corrupt (refusal net catches it)
+                return text
+            unit = m.group(1).lower()
+            if unit not in _BQ_TRUNC_UNITS:
+                raise UnsupportedDialectExpression(
+                    f"bigquery TIMESTAMP_TRUNC has no unit {unit!r}"
+                )
+            canon = _BQ_UNIT_CANON.get(unit, unit.upper())
+            arg, close = _balanced_arg(text, m.end())
+            text = (
+                text[: m.start()]
+                + f"TIMESTAMP_TRUNC({self._rewrite_date_trunc(arg)}, {canon})"
+                + text[close + 1 :]
+            )
+
+    def expr(self, text: str) -> str:
+        text = self._rewrite_date_trunc(text)
+        text = self._rewrite_extract(text)
+        text = _rewrite_cast_types(text, _BQ_TYPE_MAP)
+        return _check_and_map_calls(
+            text, _BQ_SHARED | {"timestamp_trunc"}, _BQ_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def setop_kw(self, kind: str) -> str:
+        if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
+            raise UnsupportedDialectExpression(
+                f"bigquery has no {kind.replace('_', ' ')}"
+            )
+        return {
+            "UNION": "UNION DISTINCT",
+            "UNION_ALL": "UNION ALL",
+            "INTERSECT": "INTERSECT DISTINCT",
+            "EXCEPT": "EXCEPT DISTINCT",
+        }[kind]
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
+MYSQL = MySQLDialect()
+BIGQUERY = BigQueryDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -417,9 +711,9 @@ class _Emitter:
         if node.group_type == "SIMPLE":
             tail = f" GROUP BY {', '.join(keys)}" if keys else ""
         elif node.group_type == "ROLLUP":
-            tail = f" GROUP BY ROLLUP ({', '.join(keys)})"
+            tail = d.rollup_clause(keys)
         elif node.group_type == "CUBE":
-            tail = f" GROUP BY CUBE ({', '.join(keys)})"
+            tail = d.cube_clause(keys)
         elif node.group_type == "GROUPING_SETS":
             if any("GROUP_ID" in c.upper() for c in node.agg_calls):
                 raise NotImplementedError(
@@ -428,7 +722,7 @@ class _Emitter:
             sets = ", ".join(
                 "(" + ", ".join(d.expr(k) for k in s) + ")" for s in node.grouping_sets
             )
-            tail = f" GROUP BY GROUPING SETS ({sets})"
+            tail = d.grouping_sets_clause(sets)
         else:
             raise ValueError(node.group_type)
         return f"SELECT {head} FROM {src}{tail}"
@@ -461,14 +755,7 @@ class _Emitter:
         return f"SELECT * FROM {left} {kw} {right} ON {d.expr(node.condition)}"
 
     def _setop(self, node: ir.SetOp) -> str:
-        op = {
-            "UNION": "UNION",
-            "UNION_ALL": "UNION ALL",
-            "INTERSECT": "INTERSECT",
-            "INTERSECT_ALL": "INTERSECT ALL",
-            "EXCEPT": "EXCEPT",
-            "EXCEPT_ALL": "EXCEPT ALL",
-        }[node.kind]
+        op = self.d.setop_kw(node.kind)
         parts = [f"({self.select(i)})" for i in node.inputs]
         return f" {op} ".join(parts)
 

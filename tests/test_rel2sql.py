@@ -293,3 +293,158 @@ def test_postgres_fn_map_and_refusal(cat):
     plan = _b(cat).scan("documents").project("xxhash64(text) AS h").build()
     with pytest.raises(UnsupportedDialectExpression, match="xxhash64"):
         to_sql(plan, POSTGRES)
+
+
+# MySQL dialect ≈ MysqlSqlDialect.java. Same coverage strategy as PG:
+# DuckDB executes the emitted forms that are dialect-neutral (the EXISTS
+# lowering, the VALUES→UNION ALL emulation, set ops, offset/fetch);
+# MySQL-only surface (WITH ROLLUP, ISNULL null-direction emulation,
+# closed CAST list) is checked textually against expected strings.
+MYSQL_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "union_distinct",
+    "except_all",
+    "offset_fetch",
+    "values_join",  # exercises the SELECT ... UNION ALL VALUES emulation
+    "window",
+]
+
+
+def test_mysql_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    plans = _plans(cat)
+    for name in MYSQL_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        my_sql = to_sql(plan, MYSQL)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, my_sql), name
+
+
+def test_mysql_rollup_and_null_direction(cat):
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    plans = _plans(cat)
+    sql = to_sql(plans["rollup"], MYSQL)
+    assert "WITH ROLLUP" in sql and "ROLLUP (" not in sql
+    # NULLS FIRST has no MySQL syntax: emulated with an ISNULL prefix key
+    assert "ISNULL(o_orderstatus) DESC, o_orderstatus" in sql
+    assert "NULLS" not in sql.upper()
+
+
+def test_mysql_cube_and_grouping_sets_refused(cat):
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    plans = _plans(cat)
+    with pytest.raises(UnsupportedDialectExpression, match="GROUPING SETS"):
+        to_sql(plans["grouping_sets"], MYSQL)
+    cube = (
+        _b(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"], group_type="CUBE")
+        .build()
+    )
+    with pytest.raises(UnsupportedDialectExpression, match="CUBE"):
+        to_sql(cube, MYSQL)
+
+
+def test_mysql_cast_types_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    assert (
+        MYSQL.expr("CAST(o_custkey AS STRING)") == "CAST(o_custkey AS CHAR)"
+    )
+    assert MYSQL.expr("CAST(x AS BIGINT)") == "CAST(x AS SIGNED)"
+    # date_trunc has no MySQL form — refuse, never emit wrong SQL
+    with pytest.raises(UnsupportedDialectExpression, match="date_trunc"):
+        MYSQL.expr("date_trunc('month', o_orderdate)")
+    with pytest.raises(UnsupportedDialectExpression, match="xxhash64"):
+        MYSQL.expr("xxhash64(text)")
+
+
+def test_mysql_semi_anti_lowered_to_exists(cat):
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    plans = _plans(cat)
+    semi = to_sql(plans["semi_join"], MYSQL)
+    anti = to_sql(plans["anti_join"], MYSQL)
+    assert "EXISTS (SELECT 1 FROM" in semi and "SEMI" not in semi.upper()
+    assert "NOT EXISTS (SELECT 1 FROM" in anti
+
+
+# BigQuery dialect ≈ BigQuerySqlDialect.java. GoogleSQL's set-op
+# DISTINCT keyword and the VALUES emulation happen to be DuckDB-valid,
+# so almost every shape value-verifies; TIMESTAMP_TRUNC and the type
+# map are textual.
+BQ_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",  # emitted as UNION DISTINCT (bare UNION is invalid BQ)
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_bigquery_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import BIGQUERY
+
+    plans = _plans(cat)
+    for name in BQ_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        bq_sql = to_sql(plan, BIGQUERY)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, bq_sql), name
+
+
+def test_bigquery_setop_keywords(cat):
+    from calcite_spark.sql.rel2sql import BIGQUERY
+
+    plans = _plans(cat)
+    sql = to_sql(plans["union_distinct"], BIGQUERY)
+    assert "UNION DISTINCT" in sql
+    with pytest.raises(UnsupportedDialectExpression, match="EXCEPT ALL"):
+        to_sql(plans["except_all"], BIGQUERY)
+
+
+def test_bigquery_rewrites_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import BIGQUERY
+
+    assert (
+        BIGQUERY.expr("date_trunc('month', o_orderdate)")
+        == "TIMESTAMP_TRUNC(o_orderdate, MONTH)"
+    )
+    assert (
+        BIGQUERY.expr("year(o_orderdate) + 1")
+        == "EXTRACT(YEAR FROM o_orderdate) + 1"
+    )
+    assert (
+        BIGQUERY.expr("CAST(o_custkey AS STRING)")
+        == "CAST(o_custkey AS STRING)"
+    )
+    assert BIGQUERY.expr("CAST(x AS DOUBLE)") == "CAST(x AS FLOAT64)"
+    assert BIGQUERY.expr("power(x, 2)") == "pow(x, 2)"
+    # md5: BQ returns BYTES where Spark returns a hex STRING — silently
+    # different values, so the contract refuses rather than translates
+    with pytest.raises(UnsupportedDialectExpression, match="md5"):
+        BIGQUERY.expr("md5(text)")
+    with pytest.raises(UnsupportedDialectExpression, match="no unit"):
+        BIGQUERY.expr("date_trunc('millennium', o_orderdate)")
+
+
+def test_bigquery_values_emulated_as_union(cat):
+    from calcite_spark.sql.rel2sql import BIGQUERY
+
+    plans = _plans(cat)
+    sql = to_sql(plans["values_join"], BIGQUERY)
+    assert "VALUES" not in sql.upper()
+    assert "SELECT 0 AS rk, 'amer' AS zone UNION ALL SELECT 1, 'emea'" in sql
