@@ -51,6 +51,10 @@ class TableEntry:
     row_count: int | None = None
     options: dict = field(default_factory=dict)
     stats: dict | None = None  # ANALYZE output (exec.profile shape)
+    # discovered by analyze_deep (exec.profile_deep) ≈ what Statistic.java
+    # exposes via getKeys() / RelMdColumnUniqueness
+    unique_keys: list[tuple] = field(default_factory=list)
+    fds: list[tuple] = field(default_factory=list)  # (determinant, dependent)
 
 
 class Catalog:
@@ -155,7 +159,15 @@ class Catalog:
             self.table(name)
 
     def is_broadcastable(self, name: str) -> bool:
-        return name in SMALL_DIMENSIONS
+        """Statically small dimensions always broadcast; an ANALYZEd (or
+        profiler-discovered) row count under 100k also qualifies —
+        discovered statistics widen the broadcast net beyond the static
+        list the same way RelMdRowCount feeds Calcite's cost model.
+        Never triggers a scan: unknown row counts stay non-broadcast."""
+        if name in SMALL_DIMENSIONS:
+            return True
+        entry = self.tables.get(name)
+        return entry is not None and entry.row_count is not None and entry.row_count <= 100_000
 
     # -- statistics ≈ Statistic.java / profile/ProfilerImpl.java ------
     def row_count(self, name: str) -> int:
@@ -178,12 +190,46 @@ class Catalog:
         entry.row_count = stats["rows"]
         return stats
 
+    def analyze_deep(self, name: str, columns=None, max_pairs: int = 64) -> dict:
+        """Depth-2 ANALYZE ≈ ProfilerImpl's lattice walk feeding
+        Statistic.getKeys() / RelMdColumnUniqueness: beyond per-column
+        ndv/nulls/min-max, DISCOVERS unique keys (singleton + composite)
+        and functional dependencies and registers them on the TableEntry
+        so the join-order cost model and broadcast decisions consume
+        discovered — not just declared — structure. Two scans total
+        (sketch mode), same as profile_deep."""
+        from calcite_spark.exec import profile_deep
+
+        stats = profile_deep(self, name, columns, max_pairs=max_pairs)
+        entry = self.tables[name]
+        entry.stats = stats
+        entry.row_count = stats["rows"]
+        entry.unique_keys = [tuple(k) for k in stats["unique_keys"]]
+        entry.fds = [
+            (d["determinant"], d["dependent"])
+            for d in stats["functional_dependencies"]
+        ]
+        return stats
+
+    def is_unique_key(self, name: str, col: str) -> bool:
+        """Is col a (discovered or declared) singleton unique key?"""
+        entry = self.tables.get(name)
+        return entry is not None and (col,) in entry.unique_keys
+
+    def functional_deps(self, name: str) -> list[tuple]:
+        entry = self.tables.get(name)
+        return list(entry.fds) if entry is not None else []
+
     def column_ndv(self, name: str, col: str) -> int | None:
         entry = self.tables.get(name)
         if entry is not None and entry.stats:
             c = entry.stats["columns"].get(col)
             if c is not None:
                 return c["ndv"]
+        # no per-column stats, but a discovered unique key pins ndv = rows
+        # (RelMdDistinctRowCount via RelMdColumnUniqueness)
+        if entry is not None and (col,) in entry.unique_keys and entry.row_count:
+            return entry.row_count
         return None
 
 

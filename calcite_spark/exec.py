@@ -82,7 +82,9 @@ def profile(catalog, table: str, columns=None, exact: bool = False) -> dict:
             col["min"] = row[f"__min_{c}"]
             col["max"] = row[f"__max_{c}"]
         # functional-dependency hint à la Profiler: unique key candidate
-        col["unique_candidate"] = row[f"__ndv_{c}"] >= 0.98 * max(row["__rows"], 1)
+        col["unique_candidate"] = (
+            row[f"__ndv_{c}"] >= _unique_threshold(exact) * max(row["__rows"], 1)
+        )
         out["columns"][c] = col
     return out
 
@@ -93,8 +95,17 @@ def _ndv_expr(cols: tuple[str, ...], exact: bool) -> str:
     matches DuckDB's COUNT(DISTINCT (a, b)) row semantics — unlike
     Spark's multi-arg COUNT(DISTINCT a, b), which drops any-null rows."""
     inner = cols[0] if len(cols) == 1 else f"struct({', '.join(cols)})"
-    fn = "count(DISTINCT {0})" if exact else "approx_count_distinct({0})"
+    # sketch rsd pinned to 1% (default 5% is too loose for the 0.95
+    # uniqueness threshold below); still a map-side-combinable HLL
+    fn = "count(DISTINCT {0})" if exact else "approx_count_distinct({0}, 0.01)"
     return fn.format(inner)
+
+
+def _unique_threshold(exact: bool) -> float:
+    """ndv/rows cutoff above which a column (set) counts as a unique
+    key: 0.98 for exact counts; 0.95 in sketch mode (rsd=0.01 → ±5σ
+    margin) so HLL noise doesn't hide a genuinely-unique key."""
+    return 0.98 if exact else 0.95
 
 
 def profile_deep(
@@ -110,15 +121,27 @@ def profile_deep(
     budget like ProfilerImpl's `budget`) and derive what Statistic.java
     exposes — unique keys and functional dependencies.
 
-    Scale shape: TWO aggregation jobs total, each a single full scan
-    with map-side-combinable HLL sketches (exact=True switches to
-    count(DISTINCT ...) for oracle-tier verification at small SF; the
-    100 TB path is the sketch mode). No per-column jobs, no collects
-    beyond the two 1-row aggregate results.
+    Scale shape: TWO aggregation jobs total, each a single full scan.
+    In sketch mode (the 100 TB path) both passes are map-side-combinable
+    HLL sketches. exact=True switches to count(DISTINCT ...) for
+    oracle-tier verification at small SF — N distinct-count expressions
+    make Spark plan an Expand with N-fold row multiplication, so exact
+    mode is NOT single-scan-cheap and is only for small-SF checks. No
+    per-column jobs, no collects beyond the two 1-row aggregate results.
 
     FD rule: x → y holds iff ndv(x, y) <= ndv(x) * (1 + tolerance) —
     each determinant value maps to (approximately) one dependent value.
-    Composite key rule: ndv(x, y) >= 98% of row count.
+    Composite key rule: ndv(x, y) >= ~98% of row count (0.95 in sketch
+    mode — see _unique_threshold).
+
+    NULL convention: singleton ndv (count/approx_count_distinct on the
+    bare column) EXCLUDES rows where the column is NULL, while the pair
+    ndv uses struct(x, y), which still counts rows where either field is
+    NULL. For a determinant column containing NULLs, ndv(pair) can
+    therefore exceed ndv(det) purely from NULL fan-out and reject a real
+    FD — i.e. the rule treats NULL as a distinct determinant value that
+    must also map uniquely (the strict reading of x → y). The qx16
+    oracle shares this convention.
     """
     base = profile(catalog, table, columns, exact=exact)  # pass 1 (singles)
     df = catalog.table(table)
@@ -146,7 +169,7 @@ def profile_deep(
                     out["functional_dependencies"].append(
                         {"determinant": det, "dependent": dep, "ndv_det": ndv_det, "ndv_pair": ndv_xy}
                     )
-            if ndv_xy >= 0.98 * rows and not any(
+            if ndv_xy >= _unique_threshold(exact) * rows and not any(
                 set(k) <= {x, y} for k in out["unique_keys"]
             ):
                 out["unique_keys"].append((x, y))

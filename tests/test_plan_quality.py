@@ -532,3 +532,91 @@ def test_analyze_table_ddl(spark, tmp_path):
     )
     assert out["analyzed"] == "supplier" and out["columns"] == ["s_nationkey"]
     assert cat.column_ndv("supplier", "s_nationkey") is not None
+
+
+def test_discovered_unique_key_pins_ndv(spark):
+    """analyze_deep (ProfilerImpl lattice walk) registers discovered
+    unique keys; column_ndv answers rows for a key column even with no
+    per-column stats recorded (≈ RelMdColumnUniqueness →
+    RelMdDistinctRowCount), and is_broadcastable consumes the
+    discovered row count."""
+    from calcite_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    df = spark.range(0, 500).selectExpr("id AS k_key", "id % 7 AS k_grp")
+    cat.register_df("keytab", df)
+    # declared-key path: no stats at all, just key + rowcount knowledge
+    cat.tables["keytab"].unique_keys = [("k_key",)]
+    cat.tables["keytab"].row_count = 500
+    assert cat.column_ndv("keytab", "k_key") == 500
+    assert cat.column_ndv("keytab", "k_grp") is None
+    assert cat.is_unique_key("keytab", "k_key")
+    assert cat.is_broadcastable("keytab")  # discovered rowcount <= 100k
+    # discovered path: analyze_deep fills keys + FDs from the data
+    cat.tables["keytab"].unique_keys = []
+    cat.tables["keytab"].stats = None
+    stats = cat.analyze_deep("keytab")
+    assert ("k_key",) in cat.tables["keytab"].unique_keys
+    assert stats["rows"] == 500
+
+
+def test_fd_discovered_key_flips_join_order(spark):
+    """The r5 wiring: profiler-DISCOVERED statistics change the DPhyp
+    join order. Three synthetic tables: A(1000) joins B(500) on a 5-value
+    column x, and A joins C(2000) on C's unique key. The stats-less
+    fallback (1/min base rows) prices A⋈B at 1000 rows and A⋈C at 2000,
+    so DP starts with A⋈B — but the x-join really explodes (ndv 5 →
+    100k rows). After analyze_deep discovers ndv(x)=5 and C's unique
+    key, DP starts with the FK join A⋈C instead."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _join_order_stats
+
+    cat = Catalog(spark)
+    cat.register_df(
+        "ta", spark.range(0, 1000).selectExpr("id % 2000 AS a_fk", "id % 5 AS a_x")
+    )
+    cat.register_df("tb", spark.range(0, 500).selectExpr("id % 5 AS b_x"))
+    cat.register_df("tc", spark.range(0, 2000).selectExpr("id AS c_key"))
+
+    def first_leaf_join_tables(node):
+        # the deepest join whose inputs are both scans = the join DP
+        # chose to execute first
+        found = []
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, ir.Join) and all(
+                isinstance(i, ir.Scan) for i in n.inputs
+            ):
+                found.append({i.table for i in n.inputs})
+            stack.extend(n.inputs)
+        return found
+
+    def build():
+        return (
+            RelBuilder(cat)
+            .scan("ta")
+            .scan("tb")
+            .join("a_x = b_x")
+            .scan("tc")
+            .join("a_fk = c_key")
+            .build()
+        )
+
+    before = _join_order_stats(build(), cat)
+    shape_before = first_leaf_join_tables(before if before is not None else build())
+    assert {"ta", "tb"} in shape_before, shape_before
+
+    for t in ("ta", "tb", "tc"):
+        cat.analyze_deep(t)
+    assert cat.is_unique_key("tc", "c_key")  # discovered, not declared
+    after = _join_order_stats(build(), cat)
+    assert after is not None
+    shape_after = first_leaf_join_tables(after)
+    assert {"ta", "tc"} in shape_after, shape_after
+    # values unchanged by the reorder
+    n_direct = ir.Project(("a_fk",), inputs=(build(),)).to_df(cat).count()
+    n_reordered = ir.Project(("a_fk",), inputs=(after,)).to_df(cat).count()
+    assert n_direct == n_reordered > 0
