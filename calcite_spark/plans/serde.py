@@ -92,9 +92,15 @@ def to_dot(node: ir.RelNode) -> str:
     def walk(d: dict) -> int:
         my = counter[0]
         counter[0] += 1
+        # DOT label escaping (as RelDotWriter does): backslashes first,
+        # then quotes and literal newlines — a filter condition containing
+        # '\n' or '\\' must not produce invalid DOT. Content is escaped
+        # BEFORE the intentional \n separator is added.
+        def esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace('"', "'").replace("\n", "\\n")
+
         attrs = ", ".join(f"{k}={v}" for k, v in _attr_items(d)[:3])
-        label = d["rel"] + (f"\\n{attrs}" if attrs else "")
-        label = label.replace('"', "'")
+        label = esc(d["rel"]) + (f"\\n{esc(attrs)}" if attrs else "")
         lines.append(f'  n{my} [label="{label}"];')
         for child in d.get("inputs", []):
             lines.append(f"  n{walk(child)} -> n{my};")

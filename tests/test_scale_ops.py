@@ -163,3 +163,21 @@ def test_plan_dot_and_xml_writers(spark):
     grandchild = child.find("RelNode")
     assert grandchild is not None and grandchild.get("type") == "Scan"
     assert any(p.get("name") == "table" for p in grandchild.findall("Property"))
+
+
+def test_plan_dot_escapes_hostile_labels(spark):
+    """RelDotWriter-style escaping: conditions containing backslashes,
+    quotes, or literal newlines must yield valid DOT (ADVICE r4)."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.serde import to_dot
+
+    cond = 'c_name LIKE \'a\\nb"c\' AND c_comment != \'x\ny\''
+    plan = ir.Filter(cond, inputs=(ir.Scan("customer"),))
+    dot = to_dot(plan)
+    for line in dot.splitlines():
+        assert "\n" not in line[1:-1] or not line.strip().startswith('n')
+    # every label is a single quoted token with no raw quotes inside
+    import re as _re
+    for m in _re.finditer(r'label="([^"]*)"', dot):
+        assert '"' not in m.group(1)
+    assert "\\\\n" in dot or "\\n" in dot  # newline survived as escape
