@@ -33,7 +33,10 @@ ALL = "ALL"  # available without opting into a library
 @dataclass(frozen=True)
 class FnDef:
     name: str  # Calcite operator name (upper)
-    template: str  # Spark SQL template with {0},{1},... slots; "" = same-name
+    # Spark SQL template with {0},{1},... slots; "" = same-name
+    # passthrough; a dict maps arity -> template when the lowering
+    # differs by argument count (FLOOR(x) vs FLOOR(dt TO unit))
+    template: str | dict
     arity: tuple = ()  # allowed arg counts; () = variadic/any
     libraries: tuple = (STANDARD,)
     kind: str = "scalar"  # scalar | aggregate | window | predicate | udf | udf_todo
@@ -121,8 +124,13 @@ _reg(
     note="truncate-toward-zero at scale (default 0) via HALF_DOWN emulation",
     defaults=("0",),
 )
-_reg("RAND", "rand({0})", (0, 1))
-_reg("RAND_INTEGER", "CAST(floor(rand({0}) * {1}) AS INT)", (1, 2))
+_reg("RAND", {0: "rand()", 1: "rand({0})"}, (0, 1))
+_reg(
+    "RAND_INTEGER",
+    {1: "CAST(floor(rand() * {0}) AS INT)", 2: "CAST(floor(rand({0}) * {1}) AS INT)"},
+    (1, 2),
+    note="1-arg = bound, 2-arg = (seed, bound) — RAND_INTEGER:340",
+)
 _reg(
     "LOG",
     "log({1}, {0})",
@@ -188,6 +196,18 @@ _reg(
     note="exact PG fuzzystrmatch semantics: count of agreeing positions "
     "(0-4) between the two 4-char soundex codes",
 )
+# SOUNDEX dialect variants (SqlLibraryOperators.java:1128-1138): the
+# BQ/MySQL/PG/Oracle/Hive operator contracts VARCHAR(4); SOUNDEX_SPARK
+# is VARCHAR because Spark's soundex returns the INPUT UNCHANGED when
+# the leading character has no soundex mapping (digits, CJK). Same
+# runtime function here — the variant rows carry the disclosed contract.
+_reg(
+    "SOUNDEX", "soundex({0})", (1,),
+    libs=(BIG_QUERY, MYSQL, POSTGRESQL, ORACLE, HIVE),
+    variant_of="SOUNDEX",
+    note="VARCHAR(4) contract; non-mappable input diverges (returns "
+    "input, not NULL/'0000') — SOUNDEX_SPARK behavior, disclosed",
+)
 _reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
@@ -200,12 +220,20 @@ _passthrough("MD5 SHA1 SHA2 CRC32", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
 _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE), note="datetime form")
-_reg("PARSE_URL", "parse_url({0}, {1})", (2, 3), libs=(HIVE, SPARK))
+_reg(
+    "PARSE_URL", "", (2, 3), libs=(HIVE, SPARK),
+    note="same-name passthrough so the 3-arg QUERY-key mode "
+    "(PARSE_URL(url,'QUERY','k')) keeps its key argument",
+)
 _reg("URL_ENCODE", "url_encode({0})", (1,), libs=(BIG_QUERY,))
 _reg("URL_DECODE", "url_decode({0})", (1,), libs=(BIG_QUERY,))
 _reg("REGEXP_CONTAINS", "{0} RLIKE {1}", (2,), libs=(BIG_QUERY,), kind="predicate")
-_reg("REGEXP_EXTRACT", "regexp_extract({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, HIVE, SPARK))
-_reg("REGEXP_EXTRACT_ALL", "regexp_extract_all({0}, {1})", (2, 3), libs=(BIG_QUERY, SPARK))
+_reg(
+    "REGEXP_EXTRACT", "", (2, 3), libs=(BIG_QUERY, HIVE, SPARK),
+    note="passthrough: Spark's 2-arg default group (1) matches BigQuery's "
+    "single-capture convention; 3-arg keeps its group index",
+)
+_reg("REGEXP_EXTRACT_ALL", "", (2, 3), libs=(BIG_QUERY, SPARK))
 _reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
 _reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(BIG_QUERY, HIVE, MYSQL, ORACLE, POSTGRESQL, SPARK))
 _reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
@@ -224,8 +252,36 @@ _passthrough(
 )
 _reg("WEEK", "weekofyear({0})", (1,), libs=(MYSQL,))
 _reg("LOCALTIME", "current_timestamp()", (0,), note="no TIME type (SURVEY §1.2)")
-_reg("FLOOR", "CASE_DATE_OR_NUM", (1, 2), note="FLOOR(dt TO unit) → date_trunc(unit, dt); numeric → floor")
-_reg("CEIL", "CASE_DATE_OR_NUM", (1, 2), note="CEIL(dt TO unit) → date_trunc + interval")
+# FLOOR/CEIL(dt TO unit): 2-arg form takes the unit as a quoted string
+# ('MONTH'). CEIL rounds UP to the next boundary unless already on one;
+# month-family units go through add_months (variable length), day-time
+# units through fixed intervals — a CASE can't mix the two interval
+# families, hence the split.
+_reg(
+    "FLOOR",
+    {1: "floor({0})", 2: "date_trunc({1}, {0})"},
+    (1, 2),
+    note="FLOOR(dt TO unit) → date_trunc(unit, dt); numeric → floor",
+)
+_reg(
+    "CEIL",
+    {
+        1: "ceil({0})",
+        2: (
+            "CASE WHEN date_trunc({1}, {0}) = CAST({0} AS TIMESTAMP) "
+            "THEN date_trunc({1}, {0}) "
+            "WHEN upper({1}) IN ('YEAR', 'QUARTER', 'MONTH') "
+            "THEN CAST(add_months(date_trunc({1}, {0}), "
+            "CASE upper({1}) WHEN 'YEAR' THEN 12 WHEN 'QUARTER' THEN 3 ELSE 1 END) AS TIMESTAMP) "
+            "ELSE date_trunc({1}, {0}) + "
+            "CASE upper({1}) WHEN 'WEEK' THEN INTERVAL 7 DAY "
+            "WHEN 'DAY' THEN INTERVAL 1 DAY WHEN 'HOUR' THEN INTERVAL 1 HOUR "
+            "WHEN 'MINUTE' THEN INTERVAL 1 MINUTE ELSE INTERVAL 1 SECOND END END"
+        ),
+    },
+    (1, 2),
+    note="CEIL(dt TO unit) → next boundary (identity on a boundary)",
+)
 _reg("TIMESTAMPADD", "timestampadd({0}, {1}, {2})", (3,))
 _reg("TIMESTAMPDIFF", "timestampdiff({0}, {1}, {2})", (3,))
 _reg("DATE_ADD", "date_add({0}, {1})", (2,), libs=(SPARK, HIVE), note="Calcite DATE_ADD_SPARK models exactly this")
@@ -255,7 +311,10 @@ _reg("UNIX_DATE", "unix_date({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_SECONDS", "timestamp_seconds({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY,))
-_reg("CONVERT_TIMEZONE", "convert_timezone({0}, {1}, {2})", (2, 3), libs=(POSTGRESQL,))
+_reg(
+    "CONVERT_TIMEZONE", "", (2, 3), libs=(POSTGRESQL,),
+    note="passthrough: Spark accepts both (tz, ts) and (src, dst, ts)",
+)
 _reg("SYSDATE", "current_timestamp()", (0,), libs=(ORACLE,))
 def _age_template() -> str:
     """Exact PostgreSQL AGE(ts1, ts2) as one SQL expression (no UDF, no
@@ -313,7 +372,14 @@ _reg("ARRAY_CONCAT", "concat({0}, {1})", (), libs=(BIG_QUERY,))
 _reg("ARRAY_LENGTH", "size({0})", (1,), libs=(BIG_QUERY,))
 _reg("ARRAY_REVERSE", "reverse({0})", (1,), libs=(BIG_QUERY,))
 _reg("ARRAY_SLICE", "slice({0}, {1}, {2})", (3,), libs=(BIG_QUERY,))
-_reg("ARRAY_TO_STRING", "array_join({0}, {1})", (2, 3), libs=(BIG_QUERY,))
+_reg(
+    "ARRAY_TO_STRING",
+    {2: "array_join({0}, {1})", 3: "array_join({0}, {1}, {2})"},
+    (2, 3),
+    libs=(BIG_QUERY,),
+    note="3-arg null_text maps to array_join's nullReplacement (exact "
+    "BigQuery semantics: 2-arg omits NULL elements)",
+)
 _reg("CARDINALITY", "size({0})", (1,))
 _reg("ELEMENT", "CASE WHEN size({0}) = 1 THEN element_at({0}, 1) END", (1,), note="SINGLE-element multiset extract; null if not singleton (Calcite raises)")
 _reg("MEMBER OF", "array_contains({1}, {0})", (2,), kind="predicate")
@@ -362,8 +428,17 @@ _reg("JSON_QUERY", "cs_json_query({0}, {1})", (2,), kind="udf", note="SQL/JSON f
 _reg("JSON_EXISTS", "get_json_object({0}, {1}) IS NOT NULL", (2,), kind="predicate", note="strict/wildcard paths dispatch to cs_json_exists")
 _reg("JSON_OBJECT", "to_json(map({0}, {1}))", (), note="n-ary KEY VALUE pairs via macro")
 _reg("JSON_ARRAY", "to_json(array({0}))", ())
-_reg("JSON_LENGTH", "json_array_length({0})", (1, 2))
-_reg("JSON_KEYS", "json_object_keys({0})", (1, 2))
+_reg(
+    "JSON_LENGTH",
+    {1: "json_array_length({0})", 2: "json_array_length(get_json_object({0}, {1}))"},
+    (1, 2),
+    note="2-arg MySQL form counts elements at the path",
+)
+_reg(
+    "JSON_KEYS",
+    {1: "json_object_keys({0})", 2: "json_object_keys(get_json_object({0}, {1}))"},
+    (1, 2),
+)
 _reg("JSON_TYPE", "cs_json_type({0})", (1,), kind="udf", note="MySQL-style names (OBJECT/ARRAY/BOOLEAN/NULL/INTEGER/DOUBLE/STRING)")
 _reg("JSON_PRETTY", "cs_json_pretty({0})", (1,), kind="udf")
 _reg("JSON_DEPTH", "cs_json_depth({0})", (1,), kind="udf")
@@ -478,9 +553,9 @@ _reg("SINGLE_VALUE", "CASE WHEN count(*) = 1 THEN any_value({0}) END", (1,), kin
 _reg("COLLECT", "collect_list({0})", (1,), kind="aggregate")
 _reg("FUSION", "flatten(collect_list({0}))", (1,), kind="aggregate")
 _reg("INTERSECTION", "aggregate(collect_list({0}), NULL, (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE array_intersect(acc, x) END)", (1,), kind="aggregate")
-_reg("LISTAGG", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), kind="aggregate", note="WITHIN GROUP default = value order")
+_reg("LISTAGG", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), kind="aggregate", defaults=("','",), note="WITHIN GROUP default = value order; 1-arg separator defaults to ','")
 _reg("STRING_AGG", "concat_ws({1}, array_sort(collect_list({0})))", (2,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
-_reg("GROUP_CONCAT", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), libs=(MYSQL,), kind="aggregate")
+_reg("GROUP_CONCAT", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), libs=(MYSQL,), kind="aggregate", defaults=("','",))
 _reg("ARRAY_AGG", "collect_list({0})", (1,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
 _reg("ARRAY_CONCAT_AGG", "flatten(collect_list({0}))", (1,), libs=(BIG_QUERY,), kind="aggregate")
 _reg("COUNTIF", "count_if({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
@@ -557,14 +632,17 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
-    if fn.defaults and fn.arity:
-        missing = max(fn.arity) - len(args)
-        if 0 < missing <= len(fn.defaults):
-            if fn.defaults_prepend:
-                args = fn.defaults[:missing] + tuple(args)
-            else:
-                args = tuple(args) + fn.defaults[-missing:]
-    out = fn.template
+    if isinstance(fn.template, dict):
+        out = fn.template[len(args)]  # per-arity lowering
+    else:
+        if fn.defaults and fn.arity:
+            missing = max(fn.arity) - len(args)
+            if 0 < missing <= len(fn.defaults):
+                if fn.defaults_prepend:
+                    args = fn.defaults[:missing] + tuple(args)
+                else:
+                    args = tuple(args) + fn.defaults[-missing:]
+        out = fn.template
     for i, a in enumerate(args):
         out = out.replace("{" + str(i) + "}", a)
     return out

@@ -249,11 +249,55 @@ class SqlFrontend:
 
     _STREAM_RE = re.compile(r"\bSELECT\s+STREAM\s+", re.I)
 
+    def _expand_cast_format(self, text: str) -> str:
+        """SQL:2016 CAST(x AS type FORMAT 'f') ≈ cast-with-format.iq:
+        lower to to_timestamp/to_date (parse direction) or date_format
+        (render direction) with the format elements translated to
+        java.time patterns (functions/format_clause.py). Balanced-paren
+        scan so nested CASTs and parens inside x are safe."""
+        from calcite_spark.functions.format_clause import lower_cast_format
+
+        pat = re.compile(r"\bCAST\s*\(", re.I)
+        while True:
+            m = None
+            for cand in pat.finditer(text):
+                if text.count("'", 0, cand.start()) % 2:
+                    continue  # inside a string literal
+                # balanced span for this CAST
+                depth, i, in_str = 1, cand.end(), False
+                while i < len(text) and depth:
+                    ch = text[i]
+                    if ch == "'":
+                        in_str = not in_str
+                    elif not in_str:
+                        depth += ch == "("
+                        depth -= ch == ")"
+                    i += 1
+                if depth:
+                    continue
+                inner = text[cand.end() : i - 1]
+                fm = re.match(
+                    r"(?is)^(.*)\s+AS\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                    r"\s+FORMAT\s+'([^']*)'\s*$",
+                    inner,
+                )
+                if fm:
+                    m = (cand.start(), i, fm)
+                    break
+            if m is None:
+                return text
+            start, end, fm = m
+            lowered = lower_cast_format(
+                self._expand_cast_format(fm.group(1)), fm.group(2), fm.group(3)
+            )
+            text = text[:start] + lowered + text[end:]
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
         text = self._expand_similar_to(text)
+        text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)
         text = self._expand_system_time(text)
         text = self._expand_window_tvfs(text)

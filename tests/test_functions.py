@@ -332,3 +332,85 @@ def test_udf_todo_list_is_empty():
     every registered operator is now a real implementation."""
     todos = [f.name for f in registry.FUNCTIONS.values() if f.kind == "udf_todo"]
     assert todos == [], f"UDF fallback list regressed: {todos}"
+
+
+def test_no_arity_template_slot_mismatch():
+    """Every allowed arity must fully fill its template's slots (via a
+    per-arity dict, defaults, or matching slot count) — the r5 scan
+    found PARSE_URL silently DROPPING its 3rd argument and 2-arg
+    REGEXP_EXTRACT emitting a literal '{2}'. Mechanical gate so the
+    class can't re-enter."""
+    import re as _re
+
+    bad = []
+    for key, fn in registry.FUNCTIONS.items():
+        if not fn.template or not fn.arity:
+            continue
+        templates = (
+            fn.template.items()
+            if isinstance(fn.template, dict)
+            else [(k, fn.template) for k in fn.arity]
+        )
+        for k, tpl in templates:
+            slots = {int(m) for m in _re.findall(r"\{(\d+)\}", tpl)}
+            n_slots = (max(slots) + 1) if slots else 0
+            filled = k + (len(fn.defaults) if not isinstance(fn.template, dict) else 0)
+            if n_slots > filled:
+                bad.append((key, k, "unfilled slots", tpl))
+            # constant templates (ST_COORDDIM -> '2') legitimately ignore
+            # args; flag only when SOME slots are used but not the last arg
+            if slots and isinstance(fn.template, dict) and k > n_slots:
+                bad.append((key, k, "args dropped", tpl))
+    assert not bad, bad
+
+
+def test_parse_url_three_arg_mode(spark):
+    expr = registry.translate(
+        "PARSE_URL", "'https://h/p?a=1&b=2'", "'QUERY'", "'b'", library="SPARK"
+    )
+    assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == "2"
+    expr = registry.translate("PARSE_URL", "'https://h/p?a=1'", "'HOST'", library="SPARK")
+    assert spark.sql(f"SELECT {expr} AS v").collect()[0][0] == "h"
+
+
+def test_floor_ceil_datetime_units(spark):
+    f = registry.translate("FLOOR", "TIMESTAMP '2012-05-10 12:34:56'", "'MONTH'")
+    assert str(spark.sql(f"SELECT {f} AS v").collect()[0][0]) == "2012-05-01 00:00:00"
+    c = registry.translate("CEIL", "TIMESTAMP '2012-05-10 12:34:56'", "'MONTH'")
+    assert str(spark.sql(f"SELECT {c} AS v").collect()[0][0]) == "2012-06-01 00:00:00"
+    # identity on a boundary (floor == input -> no bump)
+    c = registry.translate("CEIL", "TIMESTAMP '2012-05-01 00:00:00'", "'MONTH'")
+    assert str(spark.sql(f"SELECT {c} AS v").collect()[0][0]) == "2012-05-01 00:00:00"
+    c = registry.translate("CEIL", "TIMESTAMP '2012-05-10 12:34:56'", "'HOUR'")
+    assert str(spark.sql(f"SELECT {c} AS v").collect()[0][0]) == "2012-05-10 13:00:00"
+    # numeric forms unchanged
+    assert spark.sql(
+        f"SELECT {registry.translate('CEIL', '1.2')} AS v"
+    ).collect()[0][0] == 2
+
+
+def test_array_to_string_null_text(spark):
+    e = registry.translate(
+        "ARRAY_TO_STRING", "array('a', NULL, 'c')", "'-'", "'?'", library="BIG_QUERY"
+    )
+    assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == "a-?-c"
+    e = registry.translate("ARRAY_TO_STRING", "array('a', NULL, 'c')", "'-'", library="BIG_QUERY")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == "a-c"
+
+
+def test_listagg_default_separator(spark):
+    e = registry.translate("LISTAGG", "x")
+    out = spark.sql(f"SELECT {e} AS v FROM (SELECT explode(array('b','a')) AS x)")
+    assert out.collect()[0][0] == "a,b"
+
+
+def test_json_length_keys_path_mode(spark):
+    e = registry.translate("JSON_LENGTH", "'{\"a\": [1,2,3]}'", "'$.a'")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == 3
+    e = registry.translate("JSON_KEYS", "'{\"a\": {\"x\": 1, \"y\": 2}}'", "'$.a'")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == ["x", "y"]
+
+
+def test_soundex_dialect_variant(spark):
+    e = registry.translate("SOUNDEX", "'Robert'", library="ORACLE")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == "R163"

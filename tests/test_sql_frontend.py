@@ -207,3 +207,57 @@ def test_session_tvf_global_refused(fe):
             "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), "
             "INTERVAL '30' MINUTE))"
         )
+
+
+def test_cast_format_parse_direction(fe, spark):
+    """cast-with-format.iq:36 — shuffled date parsed by the FORMAT
+    clause: CAST('12-2010-05' AS TIMESTAMP FORMAT 'DD-YYYY-MM')."""
+    df = fe.sql(
+        "SELECT CAST('12-2010-05' AS TIMESTAMP FORMAT 'DD-YYYY-MM') AS ts"
+    )
+    assert str(df.collect()[0].ts) == "2010-05-12 00:00:00"
+    df = fe.sql("SELECT CAST('05/01/2017' AS DATE FORMAT 'MM/DD/YYYY') AS d")
+    assert str(df.collect()[0].d) == "2017-05-01"
+
+
+def test_cast_format_render_direction(fe, spark):
+    """cast-with-format.iq:212 — ISO-8601 render with literal T/Z:
+    CAST(ts AS VARCHAR FORMAT 'YYYY-MM-DDTHH24:MI:SSZ')."""
+    df = fe.sql(
+        "SELECT CAST(TIMESTAMP '2018-11-10 15:11:04' AS VARCHAR "
+        "FORMAT 'YYYY-MM-DDTHH24:MI:SSZ') AS s"
+    )
+    assert df.collect()[0].s == "2018-11-10T15:11:04Z"
+    df = fe.sql(
+        "SELECT CAST(TIMESTAMP '2012-11-04 14:01:59' AS VARCHAR "
+        "FORMAT 'DD-MM-YYYY HH12:MI:SS AM') AS s"
+    )
+    assert df.collect()[0].s == "04-11-2012 02:01:59 PM"
+
+
+def test_cast_format_on_table_column(fe, duck):
+    df = fe.sql(
+        "SELECT o_orderkey, CAST(o_orderdate AS VARCHAR FORMAT 'YYYY/MM') AS ym "
+        "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y/%m') AS ym "
+        "FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey",
+    )
+
+
+def test_cast_format_refuses_inexact_elements(fe):
+    """Refuse-over-wrong: elements java.time cannot reproduce exactly
+    (SSSSS seconds-past-midnight, RR century inference, TZH offsets)
+    raise instead of emitting an approximation."""
+    from calcite_spark.functions.format_clause import UnsupportedFormatElement
+    import pytest as _pytest
+
+    for fmt in ("SSSSS", "RR-MM-DD", "HH24:MI TZH:TZM"):
+        with _pytest.raises(UnsupportedFormatElement):
+            fe.parse(f"SELECT CAST(x AS VARCHAR FORMAT '{fmt}') FROM t")
+    # numeric format models refuse too
+    with _pytest.raises(UnsupportedFormatElement):
+        fe.parse("SELECT CAST(x AS DECIMAL(9,2) FORMAT '999.99') FROM t")
