@@ -1,8 +1,11 @@
 """IR → SQL emitter ≈ Calcite's rel2sql
 (rel/rel2sql/RelToSqlConverter.java:135 + SqlImplementor.java) with
-pluggable dialects (sql/dialect/ — 40 of them; we ship Spark, DuckDB
-and PostgreSQL ≈ sql/dialect/SparkSqlDialect.java,
-DuckDBSqlDialect.java, PostgresqlSqlDialect.java).
+pluggable dialects (sql/dialect/ — 40 of them; we ship EIGHT: Spark,
+DuckDB, PostgreSQL, MySQL, BigQuery, Oracle, MSSQL, Trino ≈
+sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java,
+PostgresqlSqlDialect.java, MysqlSqlDialect.java,
+BigQuerySqlDialect.java, OracleSqlDialect.java, MssqlSqlDialect.java,
+PrestoSqlDialect.java).
 
 Why this exists (same reason as Calcite's):
   * whole-query pushdown — the JDBC adapter's reusable half
@@ -79,6 +82,9 @@ _KEYWORDS = {
     "row", "nulls", "first", "last", "select", "from", "join", "union",
     "grouping", "sets", "int", "bigint", "double", "string", "date",
     "timestamp", "decimal", "boolean",
+    # parenthesized CAST target types (VARCHAR(MAX), NUMBER(10), ...)
+    # produced by dialect type maps — type tokens, not function calls
+    "varchar", "varchar2", "number", "varbinary", "char", "numeric",
 }
 
 _CALL_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
@@ -163,11 +169,23 @@ class Dialect:
             return "'" + v.replace("'", "''") + "'"
         return str(v)
 
-    def _values_as_union(self, rows, names) -> str:
+    def fetch_clause(self, offset, fetch, has_order: bool):
+        """Render OFFSET/LIMIT. Default: the LIMIT n OFFSET m form
+        (Spark/DuckDB/PG/MySQL/BigQuery all accept it). Dialects return
+        either a string clause or the tuple ("top", n) to request a
+        SELECT TOP n wrap (MSSQL without ORDER BY)."""
+        c = ""
+        if fetch is not None:
+            c += f" LIMIT {fetch}"
+        if offset:
+            c += f" OFFSET {offset}"
+        return c
+
+    def _values_as_union(self, rows, names, from_suffix: str = "") -> str:
         """VALUES emulation for dialects without a FROM-position VALUES
-        clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward): the
-        SELECT ... UNION ALL SELECT form Calcite's BigQuerySqlDialect
-        unparses."""
+        clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward; Oracle
+        needs a FROM DUAL suffix): the SELECT ... UNION ALL SELECT form
+        Calcite's BigQuerySqlDialect unparses."""
         selects = []
         for i, row in enumerate(rows):
             cols = (
@@ -177,7 +195,7 @@ class Dialect:
                 if i == 0
                 else ", ".join(self.literal(v) for v in row)
             )
-            selects.append(f"SELECT {cols}")
+            selects.append(f"SELECT {cols}{from_suffix}")
         return f"({' UNION ALL '.join(selects)}) AS t"
 
 
@@ -292,9 +310,34 @@ def _balanced_arg(text: str, start: int) -> tuple[str, int]:
     raise UnsupportedDialectExpression(f"unbalanced parens in {text!r}")
 
 
-def _rewrite_cast_types(text: str, type_map: dict) -> str:
+def _rewrite_extract_units(text: str) -> str:
+    """`year(x)`-style unit shorthands → `EXTRACT(YEAR FROM x)` for
+    dialects that lack the shorthand functions (PostgreSQL, BigQuery,
+    Oracle). Recurses into arguments; string literals are opaque."""
+    pos = 0
+    m = _PG_EXTRACT_UNITS.search(text, pos)
+    while m:
+        if text.count("'", 0, m.start()) % 2:  # inside a string literal
+            pos = m.end()
+        else:
+            arg, close = _balanced_arg(text, m.end())
+            unit = m.group(1).upper()
+            head = (
+                text[: m.start()]
+                + f"EXTRACT({unit} FROM {_rewrite_extract_units(arg)})"
+            )
+            text = head + text[close + 1 :]
+            pos = len(head)
+        m = _PG_EXTRACT_UNITS.search(text, pos)
+    return text
+
+
+def _rewrite_cast_types(text: str, type_map: dict, refuse: frozenset = frozenset()) -> str:
     """Rewrite Spark type names inside CAST(... AS <type>) targets using
-    type_map; nested CASTs recurse. String literals are opaque."""
+    type_map; nested CASTs recurse. String literals are opaque. Types in
+    `refuse` raise — the dialect has no equivalent cast target (e.g.
+    BOOLEAN on Oracle), and passing the Spark name through would emit
+    SQL the remote engine rejects or silently mis-types."""
     pat = re.compile(r"\bcast\s*\(", re.I)
     out, i = [], 0
     while True:
@@ -325,6 +368,11 @@ def _rewrite_cast_types(text: str, type_map: dict) -> str:
         if last_as is not None:
             head, ty = arg[: last_as.end()], arg[last_as.end() :].strip()
             base = re.match(r"[A-Za-z_]+", ty)
+            if base and base.group(0).lower() in refuse:
+                raise UnsupportedDialectExpression(
+                    f"dialect has no CAST target for {base.group(0)!r} "
+                    f"in expression: {text!r}"
+                )
             if base and base.group(0).lower() in type_map:
                 mapped = type_map[base.group(0).lower()]
                 ty = mapped + ty[base.end() :]
@@ -348,22 +396,7 @@ class PostgresDialect(Dialect):
     anti_join_kw = None
 
     def _rewrite_extract(self, text: str) -> str:
-        pos = 0
-        m = _PG_EXTRACT_UNITS.search(text, pos)
-        while m:
-            if text.count("'", 0, m.start()) % 2:  # inside a string literal
-                pos = m.end()
-            else:
-                arg, close = _balanced_arg(text, m.end())
-                unit = m.group(1).upper()
-                head = (
-                    text[: m.start()]
-                    + f"EXTRACT({unit} FROM {self._rewrite_extract(arg)})"
-                )
-                text = head + text[close + 1 :]
-                pos = len(head)
-            m = _PG_EXTRACT_UNITS.search(text, pos)
-        return text
+        return _rewrite_extract_units(text)
 
     def _rewrite_cast_types(self, text: str) -> str:
         return _rewrite_cast_types(text, _PG_TYPE_MAP)
@@ -558,22 +591,7 @@ class BigQueryDialect(Dialect):
     anti_join_kw = None
 
     def _rewrite_extract(self, text: str) -> str:
-        pos = 0
-        m = _PG_EXTRACT_UNITS.search(text, pos)
-        while m:
-            if text.count("'", 0, m.start()) % 2:
-                pos = m.end()
-            else:
-                arg, close = _balanced_arg(text, m.end())
-                unit = m.group(1).upper()
-                head = (
-                    text[: m.start()]
-                    + f"EXTRACT({unit} FROM {self._rewrite_extract(arg)})"
-                )
-                text = head + text[close + 1 :]
-                pos = len(head)
-            m = _PG_EXTRACT_UNITS.search(text, pos)
-        return text
+        return _rewrite_extract_units(text)
 
     def _rewrite_date_trunc(self, text: str) -> str:
         pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
@@ -629,11 +647,381 @@ class BigQueryDialect(Dialect):
         return self._values_as_union(rows, names)
 
 
+# Spark-SQL functions that are valid Oracle verbatim. Deliberately
+# excluded (refuse-over-wrong): concat / concat_ws (Oracle CONCAT is
+# strictly 2-arg and, like ||, treats NULL as '' where Spark concat
+# returns NULL — silently different values), pi (no Oracle function),
+# md5 (STANDARD_HASH returns RAW), left/right/repeat (no Oracle string
+# functions), log10 (Oracle spells it LOG(10, x) — arg reorder),
+# if / date_part (no Oracle forms).
+_ORACLE_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "floor", "ceil", "lower", "upper", "length",
+    "trim", "ltrim", "rtrim", "substr", "replace", "greatest", "least",
+    "nullif", "nvl", "stddev", "stddev_pop", "stddev_samp", "var_pop",
+    "var_samp", "variance", "covar_pop", "covar_samp", "corr",
+    "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+    "first_value", "last_value", "nth_value", "percent_rank",
+    "cume_dist", "regexp_replace", "sign", "sqrt", "power", "exp", "ln",
+    "mod", "last_day", "instr", "grouping", "sin", "cos", "tan", "asin",
+    "acos", "atan", "atan2", "sinh", "cosh", "tanh",
+}
+
+_ORACLE_FN_MAP = {
+    "substring": "SUBSTR",
+    "ceiling": "CEIL",
+    "std": "STDDEV",
+}
+
+# Oracle CAST targets ≈ OracleSqlDialect castSpec: character data is
+# VARCHAR2, integers are precision-bounded NUMBER, floating point is
+# BINARY_DOUBLE/BINARY_FLOAT. BOOLEAN/BINARY refuse: Oracle SQL (pre-
+# 23c) has no boolean type and RAW needs an explicit size.
+_ORACLE_TYPE_MAP = {
+    "string": "VARCHAR2(4000)",
+    "double": "BINARY_DOUBLE",
+    "float": "BINARY_FLOAT",
+    "int": "NUMBER(10)",
+    "integer": "NUMBER(10)",
+    "bigint": "NUMBER(19)",
+    "long": "NUMBER(19)",
+    "smallint": "NUMBER(5)",
+    "tinyint": "NUMBER(3)",
+}
+_ORACLE_TYPE_REFUSE = frozenset({"boolean", "binary"})
+
+# Spark date_trunc unit → Oracle TRUNC(date, fmt) format element. WEEK
+# maps to 'IW' (ISO week start, Monday) — the same day Spark's
+# date_trunc('week') snaps to. Sub-minute truncation has no TRUNC
+# format element and refuses.
+_ORACLE_TRUNC_FMT = {
+    "year": "YYYY", "yyyy": "YYYY", "yy": "YYYY",
+    "quarter": "Q",
+    "month": "MM", "mon": "MM", "mm": "MM",
+    "week": "IW",
+    "day": "DD", "dd": "DD",
+    "hour": "HH",
+    "minute": "MI",
+}
+
+
+class OracleDialect(Dialect):
+    """≈ sql/dialect/OracleSqlDialect.java. Oracle-specific forms:
+      * LIMIT/OFFSET → ANSI `OFFSET n ROWS FETCH NEXT m ROWS ONLY`
+        (the 12c+ row-limiting clause OracleSqlDialect emits),
+      * VALUES in FROM → `SELECT ... FROM DUAL UNION ALL ...` (Oracle
+        has no FROM-position VALUES),
+      * `year(x)` shorthands → EXTRACT,
+      * `date_trunc('unit', x)` → `TRUNC(x, 'fmt')`,
+      * SEMI/ANTI → [NOT] EXISTS,
+      * CAST targets → VARCHAR2/NUMBER(p)/BINARY_DOUBLE; BOOLEAN and
+        BINARY refuse (no Oracle SQL equivalent).
+    NULLS FIRST/LAST and ROLLUP/CUBE/GROUPING SETS are native."""
+
+    name = "oracle"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def _rewrite_date_trunc(self, text: str) -> str:
+        pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
+        while True:
+            m = pat.search(text)
+            if not m:
+                return text
+            if text.count("'", 0, m.start()) % 2:
+                return text  # inside a literal; refusal net catches it
+            unit = m.group(1).lower()
+            if unit not in _ORACLE_TRUNC_FMT:
+                raise UnsupportedDialectExpression(
+                    f"oracle TRUNC has no format element for unit {unit!r}"
+                )
+            fmt = _ORACLE_TRUNC_FMT[unit]
+            arg, close = _balanced_arg(text, m.end())
+            text = (
+                text[: m.start()]
+                + f"TRUNC({self._rewrite_date_trunc(arg)}, '{fmt}')"
+                + text[close + 1 :]
+            )
+
+    def expr(self, text: str) -> str:
+        text = self._rewrite_date_trunc(text)
+        text = _rewrite_extract_units(text)
+        text = _rewrite_cast_types(text, _ORACLE_TYPE_MAP, _ORACLE_TYPE_REFUSE)
+        return _check_and_map_calls(
+            text, _ORACLE_SHARED | {"trunc"}, _ORACLE_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def fetch_clause(self, offset, fetch, has_order):
+        c = ""
+        if offset:
+            c += f" OFFSET {offset} ROWS"
+        if fetch is not None:
+            c += f" FETCH NEXT {fetch} ROWS ONLY"
+        return c
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names, from_suffix=" FROM DUAL")
+
+
+# Spark-SQL functions that are valid T-SQL verbatim. Deliberately
+# excluded (refuse-over-wrong): concat (T-SQL CONCAT treats NULL as ''
+# where Spark returns NULL), extract / date_part (T-SQL has DATEPART
+# only; year/month/day exist and the hour/minute/second/quarter
+# shorthands are rewritten to DATEPART), mod (operator % only), instr
+# (CHARINDEX swaps the argument order), md5 (HASHBYTES returns
+# VARBINARY), nth_value / covar_* / corr (no T-SQL forms), pi is fine.
+_MSSQL_SHARED = {
+    "sum", "count", "min", "max", "avg", "abs", "coalesce", "cast",
+    "floor", "ceiling", "lower", "upper", "ltrim", "rtrim", "trim",
+    "replace", "greatest", "least", "nullif", "row_number", "rank",
+    "dense_rank", "lag", "lead", "ntile", "first_value", "last_value",
+    "percent_rank", "cume_dist", "sign", "sqrt", "power", "exp",
+    "log10", "year", "month", "day", "substring", "left", "right",
+    "reverse", "concat_ws", "pi", "iif", "datepart", "round",
+}
+
+_MSSQL_FN_MAP = {
+    "length": "LEN",
+    "ceil": "CEILING",
+    "ln": "LOG",
+    "if": "IIF",
+    "repeat": "REPLICATE",
+    "stddev": "STDEV",
+    "stddev_samp": "STDEV",
+    "std": "STDEV",
+    "stddev_pop": "STDEVP",
+    "var_samp": "VAR",
+    "variance": "VAR",
+    "var_pop": "VARP",
+}
+
+_MSSQL_TYPE_MAP = {
+    "string": "VARCHAR(MAX)",
+    "double": "FLOAT",
+    "float": "REAL",
+    "boolean": "BIT",
+    "timestamp": "DATETIME2",
+    "binary": "VARBINARY(MAX)",
+    "tinyint": "SMALLINT",  # T-SQL TINYINT is unsigned 0..255; Spark's is signed
+    "long": "BIGINT",
+}
+
+# datetime shorthands T-SQL lacks as functions (it has YEAR/MONTH/DAY
+# but not HOUR/MINUTE/SECOND/QUARTER) → DATEPART(unit, x)
+_MSSQL_DATEPART_UNITS = re.compile(r"\b(hour|minute|second|quarter)\s*\(", re.I)
+
+
+class MssqlDialect(Dialect):
+    """≈ sql/dialect/MssqlSqlDialect.java. T-SQL-specific forms:
+      * fetch with ORDER BY → `OFFSET n ROWS FETCH NEXT m ROWS ONLY`
+        (T-SQL requires an OFFSET clause before FETCH, so a bare fetch
+        emits OFFSET 0 ROWS); fetch WITHOUT ORDER BY → `SELECT TOP n`
+        wrap (MssqlSqlDialect.unparseTopN); offset without ORDER BY
+        refuses (T-SQL rejects it),
+      * NULLS FIRST/LAST → `CASE WHEN x IS NULL THEN 1 ELSE 0 END`
+        prefix key (MssqlSqlDialect.emulateNullDirectionWithIsNull);
+        T-SQL's defaults (NULL sorts lowest) already match Spark's
+        ASC NULLS FIRST / DESC NULLS LAST, so only the explicit
+        non-default directions need the emulation key,
+      * hour/minute/second/quarter → DATEPART(unit, x),
+      * 1-arg ROUND → ROUND(x, 0) (T-SQL ROUND requires the length),
+      * SEMI/ANTI → [NOT] EXISTS,
+      * INTERSECT ALL / EXCEPT ALL refuse (no T-SQL form),
+      * CAST → VARCHAR(MAX)/FLOAT/BIT/DATETIME2/...; Spark's signed
+        TINYINT widens to SMALLINT (T-SQL TINYINT is unsigned)."""
+
+    name = "mssql"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def _rewrite_datepart(self, text: str) -> str:
+        pos = 0
+        m = _MSSQL_DATEPART_UNITS.search(text, pos)
+        while m:
+            if text.count("'", 0, m.start()) % 2:
+                pos = m.end()
+            else:
+                arg, close = _balanced_arg(text, m.end())
+                unit = m.group(1).upper()
+                head = (
+                    text[: m.start()]
+                    + f"DATEPART({unit}, {self._rewrite_datepart(arg)})"
+                )
+                text = head + text[close + 1 :]
+                pos = len(head)
+            m = _MSSQL_DATEPART_UNITS.search(text, pos)
+        return text
+
+    def _rewrite_round(self, text: str) -> str:
+        """T-SQL ROUND(x) is an arity error — emit ROUND(x, 0)."""
+        pat = re.compile(r"\bround\s*\(", re.I)
+        pos = 0
+        m = pat.search(text, pos)
+        while m:
+            if text.count("'", 0, m.start()) % 2:
+                pos = m.end()
+            else:
+                arg, close = _balanced_arg(text, m.end())
+                depth, in_str, has_comma = 0, False, False
+                for ch in arg:
+                    if ch == "'":
+                        in_str = not in_str
+                    elif not in_str:
+                        if ch == "(":
+                            depth += 1
+                        elif ch == ")":
+                            depth -= 1
+                        elif ch == "," and depth == 0:
+                            has_comma = True
+                if not has_comma:
+                    text = text[:close] + ", 0" + text[close:]
+                pos = close + 1
+            m = pat.search(text, pos)
+        return text
+
+    def expr(self, text: str) -> str:
+        text = self._rewrite_datepart(text)
+        text = self._rewrite_round(text)
+        text = _rewrite_cast_types(text, _MSSQL_TYPE_MAP)
+        return _check_and_map_calls(text, _MSSQL_SHARED, _MSSQL_FN_MAP, self.name)
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)(\s+(?:ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            text.strip(),
+        )
+        expr = self.expr(m.group(1))
+        direction = (m.group(2) or "").strip()
+        nulls = m.group(3)
+        if not nulls:
+            return f"{expr} {direction}".strip()
+        null_flag_dir = "DESC" if nulls.upper() == "FIRST" else "ASC"
+        key = f"CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END {null_flag_dir}, {expr}"
+        return f"{key} {direction}".strip()
+
+    def fetch_clause(self, offset, fetch, has_order):
+        if not has_order:
+            if offset:
+                raise UnsupportedDialectExpression(
+                    "mssql OFFSET requires an ORDER BY clause"
+                )
+            if fetch is not None:
+                return ("top", fetch)
+            return ""
+        c = ""
+        if fetch is not None or offset:
+            c += f" OFFSET {offset or 0} ROWS"
+        if fetch is not None:
+            c += f" FETCH NEXT {fetch} ROWS ONLY"
+        return c
+
+    def setop_kw(self, kind: str) -> str:
+        if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
+            raise UnsupportedDialectExpression(
+                f"mssql has no {kind.replace('_', ' ')}"
+            )
+        return super().setop_kw(kind)
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
+# Spark-SQL functions that are valid Trino verbatim — Trino's surface
+# is near-ANSI and close to Spark's. Deliberately excluded
+# (refuse-over-wrong): md5 (Trino takes/returns VARBINARY, Spark hex
+# STRING), repeat (Trino's repeat(elem, n) builds an ARRAY — entirely
+# different semantics), left/right (no Trino string functions),
+# date_part (EXTRACT only), endswith (no Trino function).
+_TRINO_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "try_cast", "extract", "year", "quarter", "month", "day",
+    "hour", "minute", "second", "floor", "ceil", "ceiling", "lower",
+    "upper", "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "covar_pop", "covar_samp", "corr", "row_number",
+    "rank", "dense_rank", "lag", "lead", "ntile", "first_value",
+    "last_value", "nth_value", "percent_rank", "cume_dist",
+    "regexp_replace", "date_trunc", "sign", "sqrt", "power", "exp",
+    "ln", "log10", "mod", "pi", "if", "reverse", "element_at",
+    "array_join", "grouping",
+}
+
+_TRINO_FN_MAP = {
+    "instr": "strpos",
+    "levenshtein": "levenshtein_distance",
+    "sort_array": "array_sort",
+    "collect_list": "array_agg",
+    "size": "cardinality",
+    "startswith": "starts_with",
+    "last_day": "last_day_of_month",
+    "std": "stddev",
+}
+
+_TRINO_TYPE_MAP = {
+    "string": "VARCHAR",
+    "long": "BIGINT",
+    "int": "INTEGER",
+    "float": "REAL",
+    "binary": "VARBINARY",
+}
+
+
+class TrinoDialect(Dialect):
+    """≈ sql/dialect/PrestoSqlDialect.java (Trino is the continuation;
+    Calcite ships both Presto and Trino entries). Trino is near-ANSI so
+    this is the thinnest remote dialect: [NOT] EXISTS for SEMI/ANTI,
+    ANSI `OFFSET n ROWS FETCH NEXT m ROWS ONLY` row limiting, a small
+    rename map (strpos/levenshtein_distance/array_sort/cardinality/
+    array_agg/starts_with/last_day_of_month), and the VARCHAR/BIGINT/
+    REAL/VARBINARY type spellings. INTERSECT ALL / EXCEPT ALL are kept
+    (Trino ≥ 360 supports both); VALUES in FROM and NULLS FIRST/LAST
+    are native."""
+
+    name = "trino"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _TRINO_TYPE_MAP)
+        return _check_and_map_calls(text, _TRINO_SHARED, _TRINO_FN_MAP, self.name)
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def fetch_clause(self, offset, fetch, has_order):
+        c = ""
+        if offset:
+            c += f" OFFSET {offset} ROWS"
+        if fetch is not None:
+            c += f" FETCH NEXT {fetch} ROWS ONLY"
+        return c
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
 MYSQL = MySQLDialect()
 BIGQUERY = BigQueryDialect()
+ORACLE = OracleDialect()
+MSSQL = MssqlDialect()
+TRINO = TrinoDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -768,10 +1156,10 @@ class _Emitter:
         clauses = ""
         if node.keys:
             clauses += " ORDER BY " + ", ".join(d.sort_key(k) for k in node.keys)
-        if node.fetch is not None:
-            clauses += f" LIMIT {node.fetch}"
-        if node.offset:
-            clauses += f" OFFSET {node.offset}"
+        fc = d.fetch_clause(node.offset, node.fetch, bool(node.keys))
+        if isinstance(fc, tuple):  # ("top", n): SELECT TOP n wrap (MSSQL)
+            return f"SELECT TOP {fc[1]} * FROM ({inner}) AS {self._alias()}"
+        clauses += fc
         if isinstance(child, ir.SetOp):
             return f"SELECT * FROM ({inner}) AS {self._alias()}{clauses}"
         return inner + clauses

@@ -448,3 +448,211 @@ def test_bigquery_values_emulated_as_union(cat):
     sql = to_sql(plans["values_join"], BIGQUERY)
     assert "VALUES" not in sql.upper()
     assert "SELECT 0 AS rk, 'amer' AS zone UNION ALL SELECT 1, 'emea'" in sql
+
+
+# Oracle dialect ≈ OracleSqlDialect.java. The ANSI row-limiting clause
+# (OFFSET ... ROWS FETCH NEXT ... ROWS ONLY) and the EXISTS lowering are
+# DuckDB-valid, so most shapes value-verify; FROM DUAL, TRUNC and the
+# NUMBER/VARCHAR2 type map are textual.
+ORACLE_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",   # exercises FETCH NEXT n ROWS ONLY
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "except_all",
+    "offset_fetch",    # OFFSET n ROWS FETCH NEXT m ROWS ONLY
+    "window",
+]
+
+
+def test_oracle_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import ORACLE
+
+    plans = _plans(cat)
+    for name in ORACLE_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        ora_sql = to_sql(plan, ORACLE)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, ora_sql), name
+
+
+def test_oracle_fetch_and_dual(cat):
+    from calcite_spark.sql.rel2sql import ORACLE
+
+    plans = _plans(cat)
+    sql = to_sql(plans["offset_fetch"], ORACLE)
+    assert "OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY" in sql
+    assert "LIMIT" not in sql.upper()
+    vals = to_sql(plans["values_join"], ORACLE)
+    assert "VALUES" not in vals.upper()
+    assert "SELECT 0 AS rk, 'amer' AS zone FROM DUAL UNION ALL SELECT 1, 'emea' FROM DUAL" in vals
+
+
+def test_oracle_rewrites_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import ORACLE
+
+    assert (
+        ORACLE.expr("year(o_orderdate) + 1")
+        == "EXTRACT(YEAR FROM o_orderdate) + 1"
+    )
+    assert (
+        ORACLE.expr("date_trunc('month', o_orderdate)")
+        == "TRUNC(o_orderdate, 'MM')"
+    )
+    assert (
+        ORACLE.expr("CAST(o_custkey AS STRING)")
+        == "CAST(o_custkey AS VARCHAR2(4000))"
+    )
+    assert ORACLE.expr("CAST(x AS INT)") == "CAST(x AS NUMBER(10))"
+    assert ORACLE.expr("substring(c_name, 1, 3)") == "SUBSTR(c_name, 1, 3)"
+    # Oracle CONCAT/|| treat NULL as '' where Spark returns NULL —
+    # silently different values, so refuse rather than translate
+    with pytest.raises(UnsupportedDialectExpression, match="concat"):
+        ORACLE.expr("concat(c_name, 'x')")
+    # no boolean type in Oracle SQL: CAST must refuse, not pass through
+    with pytest.raises(UnsupportedDialectExpression, match="no CAST target"):
+        ORACLE.expr("CAST(x AS BOOLEAN)")
+    with pytest.raises(UnsupportedDialectExpression, match="no format element"):
+        ORACLE.expr("date_trunc('second', o_orderdate)")
+    with pytest.raises(UnsupportedDialectExpression, match="xxhash64"):
+        ORACLE.expr("xxhash64(text)")
+
+
+def test_oracle_semi_anti_lowered_to_exists(cat):
+    from calcite_spark.sql.rel2sql import ORACLE
+
+    plans = _plans(cat)
+    semi = to_sql(plans["semi_join"], ORACLE)
+    assert "EXISTS (SELECT 1 FROM" in semi and "SEMI" not in semi.upper()
+
+
+# MSSQL dialect ≈ MssqlSqlDialect.java. OFFSET/FETCH, the EXISTS
+# lowering, the CASE WHEN null-direction emulation and the FROM-position
+# VALUES constructor are all DuckDB-valid; TOP, LEN and the T-SQL type
+# map are textual.
+MSSQL_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",   # fetch+order → OFFSET 0 ROWS FETCH NEXT n ROWS ONLY
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",          # NULLS FIRST keys → CASE WHEN ... IS NULL emulation
+    "grouping_sets",
+    "union_distinct",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_mssql_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import MSSQL
+
+    plans = _plans(cat)
+    for name in MSSQL_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        ms_sql = to_sql(plan, MSSQL)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, ms_sql), name
+
+
+def test_mssql_top_and_offset_fetch(cat):
+    from calcite_spark.sql.rel2sql import MSSQL
+
+    plans = _plans(cat)
+    # fetch + ORDER BY: T-SQL requires OFFSET before FETCH
+    sql = to_sql(plans["join_agg_topk"], MSSQL)
+    assert "OFFSET 0 ROWS FETCH NEXT 3 ROWS ONLY" in sql
+    # fetch with NO order: SELECT TOP n wrap
+    top = (
+        _b(cat).scan("customer").project("c_custkey").sort_limit([], fetch=7).build()
+    )
+    top_sql = to_sql(top, MSSQL)
+    assert top_sql.startswith("SELECT TOP 7 * FROM (")
+    # offset with no order is a T-SQL error — refuse
+    off = (
+        _b(cat).scan("customer").project("c_custkey").sort_limit([], offset=3).build()
+    )
+    with pytest.raises(UnsupportedDialectExpression, match="ORDER BY"):
+        to_sql(off, MSSQL)
+
+
+def test_mssql_null_direction_emulation(cat):
+    from calcite_spark.sql.rel2sql import MSSQL
+
+    plans = _plans(cat)
+    sql = to_sql(plans["rollup"], MSSQL)
+    assert "CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END DESC, o_orderstatus" in sql
+    assert "NULLS" not in sql.upper()
+
+
+def test_mssql_rewrites_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import MSSQL
+
+    assert MSSQL.expr("length(c_name)") == "LEN(c_name)"
+    assert MSSQL.expr("hour(ts) + minute(ts)") == "DATEPART(HOUR, ts) + DATEPART(MINUTE, ts)"
+    assert MSSQL.expr("round(x)") == "round(x, 0)"
+    assert MSSQL.expr("round(x, 2)") == "round(x, 2)"
+    assert MSSQL.expr("stddev(x)") == "STDEV(x)"
+    assert MSSQL.expr("CAST(x AS STRING)") == "CAST(x AS VARCHAR(MAX))"
+    assert MSSQL.expr("CAST(x AS BOOLEAN)") == "CAST(x AS BIT)"
+    # T-SQL CONCAT treats NULL as '' where Spark returns NULL — refuse
+    with pytest.raises(UnsupportedDialectExpression, match="concat"):
+        MSSQL.expr("concat(a, b)")
+    with pytest.raises(UnsupportedDialectExpression, match="mod"):
+        MSSQL.expr("mod(a, b)")
+    with pytest.raises(UnsupportedDialectExpression, match="extract"):
+        MSSQL.expr("extract(YEAR FROM ts)")
+
+
+def test_mssql_intersect_except_all_refused(cat):
+    from calcite_spark.sql.rel2sql import MSSQL
+
+    plans = _plans(cat)
+    with pytest.raises(UnsupportedDialectExpression, match="EXCEPT ALL"):
+        to_sql(plans["except_all"], MSSQL)
+
+
+# Trino dialect ≈ PrestoSqlDialect.java — near-ANSI, so every shape is
+# DuckDB-executable; the rename map and type spellings are textual.
+TRINO_EXECUTABLE_SHAPES = DUCK_SHAPES  # all 12
+
+
+def test_trino_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import TRINO
+
+    plans = _plans(cat)
+    for name in TRINO_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        tr_sql = to_sql(plan, TRINO)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, tr_sql), name
+
+
+def test_trino_rewrites_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import TRINO
+
+    assert TRINO.expr("instr(c_name, 'x')") == "strpos(c_name, 'x')"
+    assert TRINO.expr("levenshtein(a, b)") == "levenshtein_distance(a, b)"
+    assert TRINO.expr("size(arr)") == "cardinality(arr)"
+    assert TRINO.expr("sort_array(arr)") == "array_sort(arr)"
+    assert TRINO.expr("CAST(x AS STRING)") == "CAST(x AS VARCHAR)"
+    assert TRINO.expr("date_trunc('month', ts)") == "date_trunc('month', ts)"
+    # Trino repeat(elem, n) builds an ARRAY — different semantics, refuse
+    with pytest.raises(UnsupportedDialectExpression, match="repeat"):
+        TRINO.expr("repeat(c_name, 2)")
+    # Trino md5 takes/returns VARBINARY where Spark returns hex STRING
+    with pytest.raises(UnsupportedDialectExpression, match="md5"):
+        TRINO.expr("md5(text)")
+
+
+def test_trino_ansi_fetch(cat):
+    from calcite_spark.sql.rel2sql import TRINO
+
+    plans = _plans(cat)
+    sql = to_sql(plans["offset_fetch"], TRINO)
+    assert "OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY" in sql
