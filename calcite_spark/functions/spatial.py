@@ -21,12 +21,20 @@ expression handles POINT; LINESTRING/POLYGON go through the cs_geom
 Pandas UDF registered per session (same contract as the JSON path
 engine: documented, off the hot path). ST_AsText is pure SQL.
 
-Out of scope (refused at translate time, not silently wrong): Z/M
-coordinates, multi-geometries, polygon holes, ST_Union/ST_Intersection
-constructive geometry (ST_Buffer supports the POINT case — JTS's own
-n-gon discretization — and returns NULL for line/polygon buffers),
-geodesic math. Each raises KeyError through the registry rather than
-emitting an approximation.
+Batch 4 adds the constructive tier: ST_Intersection (pure-SQL
+Sutherland–Hodgman clip, exact with a convex operand), ST_Union /
+ST_Difference (empty/point/disjoint/nested tiers; parts form
+`array<geom>` for multi-part results), ST_Collect / ST_GeometryN over
+the parts form, and ST_ConvexHull (monotone-chain Pandas UDF, same
+slow-path contract as WKT parse). Unsupported configurations inside
+those operators raise_error() AT RUNTIME — loud, never approximate.
+
+Out of scope (refused, not silently wrong): Z/M coordinates, polygon
+holes, concave∩concave / LINESTRING overlays, overlapping non-nested
+unions, line/polygon ST_Buffer offset curves (POINT buffers use JTS's
+own n-gon discretization), geodesic math. Each raises KeyError at
+translate time or raise_error() at runtime rather than emitting an
+approximation.
 """
 
 from __future__ import annotations
@@ -265,6 +273,43 @@ def parse_wkt_one(wkt):
     return {"kind": kind, "pts": [{"x": x, "y": y} for x, y in pts]}
 
 
+def convex_hull_one(kind, pts):
+    """Monotone chain (Andrew) over one vertex list → (kind, ring).
+    Output: POINT for a single distinct vertex, LINESTRING for
+    collinear input, else a CCW POLYGON ring (unclosed, our ring
+    convention). Exact arithmetic on the usual float grid — same
+    contract as JTS ConvexHull for non-degenerate input."""
+    if kind is None or pts is None:
+        return None
+    P = sorted({(float(p["x"]), float(p["y"])) for p in pts})
+    if not P:
+        return {"kind": kind, "pts": []}
+    if len(P) == 1:
+        return {"kind": "POINT", "pts": [{"x": P[0][0], "y": P[0][1]}]}
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while (
+                len(h) >= 2
+                and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                <= 0
+            ):
+                h.pop()
+            h.append(p)
+        return h
+
+    lower, upper = half(P), half(reversed(P))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) <= 2:  # all collinear
+        return {
+            "kind": "LINESTRING",
+            "pts": [{"x": x, "y": y} for x, y in (P[0], P[-1])],
+        }
+    return {"kind": "POLYGON", "pts": [{"x": x, "y": y} for x, y in hull]}
+
+
 def register_spatial_udfs(spark) -> None:
     from pyspark.sql.functions import pandas_udf
 
@@ -279,6 +324,20 @@ def register_spatial_udfs(spark) -> None:
         )
 
     spark.udf.register("cs_geom_from_text", cs_geom_from_text)
+
+    @pandas_udf(GEOM_TYPE)
+    def cs_convex_hull(g: pd.DataFrame) -> pd.DataFrame:
+        vals = [
+            convex_hull_one(k, p) for k, p in zip(g["kind"], g["pts"])
+        ]
+        return pd.DataFrame(
+            {
+                "kind": [v["kind"] if v else None for v in vals],
+                "pts": [v["pts"] if v else None for v in vals],
+            }
+        )
+
+    spark.udf.register("cs_convex_hull", cs_convex_hull)
 
 
 def _transform_pts(g: str, fx: str, fy: str) -> str:
@@ -839,6 +898,245 @@ def st_touches(g1: str, g2: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------
+# batch 4 — constructive geometry + geometry collections
+#
+# ≈ SpatialTypeFunctions.java ST_Intersection / ST_Union / ST_Difference
+# / ST_ConvexHull / ST_Collect / ST_GeometryN (the reference delegates
+# to JTS OverlayOp). Spark-first design:
+#   * a MULTI-geometry / GEOMETRYCOLLECTION is an `array<geom>` of
+#     simple geometries ("parts" form) — explode()/size()/element_at()
+#     are the native Spark accessors, ST_GeometryN/ST_Collect wrap them;
+#   * ST_Intersection is pure SQL: Sutherland–Hodgman polygon clipping
+#     as an aggregate() over clip edges whose accumulator is the vertex
+#     array, the per-half-plane clip a flatten(transform(...)) over
+#     subject edges — nested higher-order functions, JVM codegen, no
+#     UDF, no shuffle, embarrassingly parallel at 100 TB. Exact when
+#     the clip operand is convex (the S-H precondition);
+#   * unsupported configurations raise_error() AT RUNTIME (loud, not
+#     wrong) instead of returning an approximation: concave∩concave,
+#     overlapping non-nested unions, partial-overlap differences;
+#   * ST_ConvexHull is the documented Pandas-UDF slow path (monotone
+#     chain), same contract as ST_GeomFromText — a per-row stack
+#     algorithm that SQL lambdas cannot express (no loop-until-fixpoint).
+# ---------------------------------------------------------------------
+
+_EMPTY_PTS = "CAST(array() AS array<struct<x: double, y: double>>)"
+
+
+def _let1(val: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate `val` once and expose it as lambda
+    variable `var` inside `body` (the transform-over-one-element trick —
+    Spark SQL has no LET). Without this, operators that mention an
+    operand k times inside helpers that are themselves substituted m
+    times blow up multiplicatively: ST_Area(ST_Intersection(a, b)) was
+    a 7 MB expression by textual substitution, ~20 KB let-bound."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _signed_area2(g: str) -> str:
+    """Twice the signed shoelace area (>0 = counter-clockwise ring)."""
+    a, b = _pt(g, "i"), _edge_b(g, "i")
+    cross = f"({a}.x * {b}.y - {b}.x * {a}.y)"
+    return (
+        f"aggregate({_edges(g, True)}, CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + {cross})"
+    )
+
+
+def st_is_convex(g: str) -> str:
+    """TRUE iff the polygon's ring is convex: the cross product at every
+    vertex has one sign (collinear zeros allowed)."""
+    n = _n(g)
+    a = _pt(g, "i")
+    b = f"element_at({g}.pts, pmod(i, {n}) + 1)"
+    c = f"element_at({g}.pts, pmod(i + 1, {n}) + 1)"
+    crosses = f"transform(sequence(1, {n}), i -> {_orient(a, b, c)})"
+    return (
+        f"({g}.kind = 'POLYGON' AND {n} >= 3 AND "
+        f"(forall({crosses}, c -> c >= -1e-12) OR "
+        f"forall({crosses}, c -> c <= 1e-12)))"
+    )
+
+
+def _as_ccw(g: str) -> str:
+    """Normalize ring orientation to counter-clockwise (reverse when the
+    signed area is negative) — the S-H clip's 'inside = left of directed
+    edge' rule needs it."""
+    return (
+        f"IF({_signed_area2(g)} >= 0, {g}, "
+        f"named_struct('kind', {g}.kind, 'pts', reverse({g}.pts)))"
+    )
+
+
+def _sh_clip(subject_pts: str, clip: str) -> str:
+    """Sutherland–Hodgman core: clip the vertex array `subject_pts` by
+    every directed edge of CCW convex polygon `clip`. Outer aggregate()
+    folds over clip edges (accumulator = surviving vertex array); the
+    inner flatten(transform(...)) emits 0–2 vertices per subject edge
+    (keep Q / entering intersection+Q / leaving intersection / drop).
+    The IF(size = 0) guard matters: sequence(1, 0) is DESCENDING in
+    Spark, not empty."""
+    nc = f"size({clip}.pts)"
+    A = f"element_at({clip}.pts, j)"
+    B = f"element_at({clip}.pts, pmod(j, {nc}) + 1)"
+
+    def side(pt: str) -> str:  # >=0: on or left of A->B
+        return (
+            f"(({B}.x - {A}.x) * ({pt}.y - {A}.y) - "
+            f"({B}.y - {A}.y) * ({pt}.x - {A}.x))"
+        )
+
+    P = "element_at(pts, i)"
+    Q = "element_at(pts, pmod(i, size(pts)) + 1)"
+    sp, sq = side(P), side(Q)
+    # PQ × infinite line AB; the crossing branches below imply strictly
+    # opposite sides, so the denominator cannot be 0 there
+    denom = (
+        f"(({Q}.x - {P}.x) * ({B}.y - {A}.y) - "
+        f"({Q}.y - {P}.y) * ({B}.x - {A}.x))"
+    )
+    t = (
+        f"((({A}.x - {P}.x) * ({B}.y - {A}.y) - "
+        f"({A}.y - {P}.y) * ({B}.x - {A}.x)) / {denom})"
+    )
+    ix = (
+        f"named_struct('x', {P}.x + {t} * ({Q}.x - {P}.x), "
+        f"'y', {P}.y + {t} * ({Q}.y - {P}.y))"
+    )
+    # slice(array(Q), 1, 0) = typed empty array (bare array() won't
+    # coerce to array<struct> inside CASE)
+    step = (
+        f"CASE WHEN {sq} >= 0 AND {sp} >= 0 THEN array({Q}) "
+        f"WHEN {sq} >= 0 THEN array({ix}, {Q}) "
+        f"WHEN {sp} >= 0 THEN array({ix}) "
+        f"ELSE slice(array({Q}), 1, 0) END"
+    )
+    one_clip = f"flatten(transform(sequence(1, size(pts)), i -> {step}))"
+    return (
+        f"aggregate(sequence(1, {nc}), {subject_pts}, "
+        f"(pts, j) -> IF(size(pts) = 0, pts, {one_clip}))"
+    )
+
+
+def _contains_xy(poly: str, qx: str, qy: str) -> str:
+    """Ray-cast containment of bare coordinates (st_contains without the
+    POINT-struct wrapper, for forall() probes over vertex arrays)."""
+    a, b = _pt(poly, "i"), _edge_b(poly, "i")
+    crosses = (
+        f"(({a}.y > {qy}) != ({b}.y > {qy})) AND "
+        f"({qx} < ({b}.x - {a}.x) * ({qy} - {a}.y) / ({b}.y - {a}.y) + {a}.x)"
+    )
+    return (
+        f"((aggregate({_edges(poly, True)}, 0, "
+        f"(acc, i) -> acc + IF({crosses}, 1, 0)) % 2) = 1)"
+    )
+
+
+def _poly_covers_poly(outer: str, inner: str) -> str:
+    """Every vertex of `inner` strictly inside `outer` (ray cast). For
+    simple non-boundary-touching polygons this implies full containment
+    when combined with the st_intersects pre-check in the callers;
+    boundary-touching nests fall through to the runtime refusal."""
+    return f"forall({inner}.pts, q -> {_contains_xy(outer, 'q.x', 'q.y')})"
+
+
+def st_intersection(g1: str, g2: str) -> str:
+    """≈ ST_Intersection (JTS OverlayOp.INTERSECTION). Supported pairs:
+    POINT∩any (boundary-inclusive distance test), POLYGON∩POLYGON when
+    at least one operand is convex (that operand becomes the S-H clip —
+    exact; the subject may be concave). A degenerate clip result (< 3
+    surviving vertices: disjoint or point/edge touch) is the empty
+    POLYGON. Anything else (concave∩concave, LINESTRING overlays)
+    raises at runtime — loud, never approximate. Operands are let-bound
+    (evaluated once) to keep the expression tree linear."""
+    empty_pt = f"named_struct('kind', 'POINT', 'pts', {_EMPTY_PTS})"
+    ga, gb = "cs_ga", "cs_gb"
+
+    def poly_clip(subj: str, clip: str) -> str:
+        # let-bind the CCW-normalized clip and the S-H result array too:
+        # the clip is referenced at every edge test and the result three
+        # times in the degeneracy guard
+        pts = _let1(_as_ccw(clip), "cs_cc", _sh_clip(f"{subj}.pts", "cs_cc"))
+        return _let1(
+            pts,
+            "cs_res",
+            f"named_struct('kind', 'POLYGON', 'pts', "
+            f"IF(size(cs_res) >= 3, cs_res, {_EMPTY_PTS}))",
+        )
+
+    body = (
+        f"CASE WHEN {ga} IS NULL OR {gb} IS NULL THEN NULL "
+        f"WHEN {ga}.kind = 'POINT' AND {gb}.kind = 'POINT' THEN "
+        f"IF({ga}.pts = {gb}.pts, {ga}, {empty_pt}) "
+        f"WHEN {ga}.kind = 'POINT' THEN "
+        f"IF({st_distance(ga, gb)} = 0.0, {ga}, {empty_pt}) "
+        f"WHEN {gb}.kind = 'POINT' THEN "
+        f"IF({st_distance(ga, gb)} = 0.0, {gb}, {empty_pt}) "
+        f"WHEN {ga}.kind = 'POLYGON' AND {gb}.kind = 'POLYGON' "
+        f"AND {st_is_convex(gb)} THEN {poly_clip(ga, gb)} "
+        f"WHEN {ga}.kind = 'POLYGON' AND {gb}.kind = 'POLYGON' "
+        f"AND {st_is_convex(ga)} THEN {poly_clip(gb, ga)} "
+        f"ELSE raise_error('ST_Intersection: supported for POINT pairs "
+        f"and POLYGON/POLYGON with a convex operand; concave/concave and "
+        f"LINESTRING overlays need a general clipper (refused, not "
+        f"approximated)') END"
+    )
+    return _let1(g1, ga, _let1(g2, gb, body))
+
+
+def st_union(g1: str, g2: str) -> str:
+    """≈ ST_Union (JTS OverlayOp.UNION), returning the parts form
+    `array<geom>` (a 1-part array is a simple geometry, 2 parts a
+    MULTI-/GEOMETRYCOLLECTION — explode() recovers rows). Supported:
+    empty/POINT absorption, disjoint operands (2 parts), fully nested
+    polygons (outer wins). Overlapping non-nested boundaries need
+    boundary-walking overlay — runtime refusal. Operands are let-bound
+    (evaluated once)."""
+    ga, gb = "cs_ga", "cs_gb"
+    body = (
+        f"CASE WHEN {st_is_empty(ga)} THEN array({gb}) "
+        f"WHEN {st_is_empty(gb)} THEN array({ga}) "
+        f"WHEN {ga}.kind = 'POINT' AND {gb}.kind = 'POINT' THEN "
+        f"IF({ga}.pts = {gb}.pts, array({ga}), array({ga}, {gb})) "
+        f"WHEN {ga}.kind = 'POINT' THEN "
+        f"IF({st_distance(ga, gb)} = 0.0, array({gb}), array({ga}, {gb})) "
+        f"WHEN {gb}.kind = 'POINT' THEN "
+        f"IF({st_distance(ga, gb)} = 0.0, array({ga}), array({ga}, {gb})) "
+        f"WHEN NOT {st_intersects(ga, gb)} THEN array({ga}, {gb}) "
+        f"WHEN {ga}.kind = 'POLYGON' AND {gb}.kind = 'POLYGON' "
+        f"AND {_poly_covers_poly(ga, gb)} THEN array({ga}) "
+        f"WHEN {ga}.kind = 'POLYGON' AND {gb}.kind = 'POLYGON' "
+        f"AND {_poly_covers_poly(gb, ga)} THEN array({gb}) "
+        f"ELSE raise_error('ST_Union: overlapping non-nested union needs "
+        f"boundary-walking overlay (refused, not approximated)') END"
+    )
+    return _let1(g1, ga, _let1(g2, gb, body))
+
+
+def st_difference(g1: str, g2: str) -> str:
+    """≈ ST_Difference (JTS OverlayOp.DIFFERENCE). Supported: empty /
+    disjoint subtrahend (identity), POINT minuend (kept or emptied by
+    the boundary-inclusive distance test), minuend fully inside the
+    subtrahend (empty result). Partial polygon overlap would need the
+    general clipper — runtime refusal. Operands are let-bound
+    (evaluated once)."""
+    empty_pt = f"named_struct('kind', 'POINT', 'pts', {_EMPTY_PTS})"
+    empty_poly = f"named_struct('kind', 'POLYGON', 'pts', {_EMPTY_PTS})"
+    ga, gb = "cs_ga", "cs_gb"
+    body = (
+        f"CASE WHEN {st_is_empty(gb)} THEN {ga} "
+        f"WHEN {ga}.kind = 'POINT' THEN "
+        f"IF({st_distance(ga, gb)} = 0.0, {empty_pt}, {ga}) "
+        f"WHEN NOT {st_intersects(ga, gb)} THEN {ga} "
+        f"WHEN {ga}.kind = 'POLYGON' AND {gb}.kind = 'POLYGON' "
+        f"AND {_poly_covers_poly(gb, ga)} THEN {empty_poly} "
+        f"ELSE raise_error('ST_Difference: partial-overlap difference "
+        f"needs a general clipper (refused, not approximated)') END"
+    )
+    return _let1(g1, ga, _let1(g2, gb, body))
+
+
 def register_spatial_functions() -> None:
     """Install the ST_ rows into the function registry. Templates call
     the expression builders above with the {i} placeholders so
@@ -936,6 +1234,29 @@ def register_spatial_functions() -> None:
     _reg("ST_CLOSESTPOINT", st_closest_point("{0}", "{1}"), (2,), libs=(SPATIAL,))
     _reg("ST_CROSSES", st_crosses("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
     _reg("ST_TOUCHES", st_touches("{0}", "{1}"), (2,), libs=(SPATIAL,), kind="predicate")
+    # batch 4 — constructive geometry + collections (array<geom> parts)
+    _reg("ST_INTERSECTION", st_intersection("{0}", "{1}"), (2,), libs=(SPATIAL,),
+         note="S-H clip, exact with a convex operand; runtime refusal otherwise")
+    _reg("ST_UNION", st_union("{0}", "{1}"), (2,), libs=(SPATIAL,),
+         note="returns parts array<geom> (multi-geometry form); explode() recovers rows")
+    _reg("ST_DIFFERENCE", st_difference("{0}", "{1}"), (2,), libs=(SPATIAL,),
+         note="identity/contained/point tiers; partial overlap refuses at runtime")
+    _reg("ST_COLLECT", "array({0}, {1})", (2,), libs=(SPATIAL,),
+         note="2-arg form; the aggregate form is collect_list(geom) over array<geom>")
+    _reg("ST_GEOMETRYN", "element_at({0}, {1})", (2,), libs=(SPATIAL,),
+         note="over the parts form array<geom>; size() is the parts count")
+    _reg("ST_ISCONVEX", st_is_convex("{0}"), (1,), libs=(SPATIAL,), kind="predicate",
+         note="convexity probe backing the ST_Intersection clip-operand gate")
+    _reg(
+        "ST_CONVEXHULL",
+        "cs_convex_hull({0})",
+        (1,),
+        libs=(SPATIAL,),
+        kind="udf",
+        note="monotone chain: Pandas UDF slow path (register_spatial_udfs); "
+        "materialize as a column before lambda-based ST_ consumers — Spark "
+        "refuses Python UDFs inside SQL lambda functions",
+    )
 
 
 register_spatial_functions()

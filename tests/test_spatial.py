@@ -486,3 +486,162 @@ def test_touches(spark):
     assert _one(spark, T("ST_TOUCHES", inside, SQUARE)) is False
     # symmetric dispatch
     assert _one(spark, T("ST_TOUCHES", SQUARE, on_ring)) is True
+
+
+# ---------------------------------------------------------------------
+# batch 4 — constructive geometry + collections
+# ---------------------------------------------------------------------
+
+def _poly(*xy):
+    pts = ", ".join(f"named_struct('x', {x}d, 'y', {y}d)" for x, y in xy)
+    return f"named_struct('kind', 'POLYGON', 'pts', array({pts}))"
+
+
+# convex 2x2 square shifted to overlap SQUARE's top-right corner:
+# [3,5]x[3,5] ∩ [0,4]x[0,4] = [3,4]x[3,4], area 1
+OVERLAP = _poly((3.0, 3.0), (5.0, 3.0), (5.0, 5.0), (3.0, 5.0))
+# concave L-shape (unit thickness arms of a 2x2 square missing the
+# top-right 1x1 block)
+LSHAPE = _poly((0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+FAR = _poly((10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0))
+INNER = _poly((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0))
+
+
+def test_intersection_convex_convex(spark):
+    out = _one(spark, T("ST_AREA", T("ST_INTERSECTION", SQUARE, OVERLAP)))
+    assert out == pytest.approx(1.0)
+    # symmetric
+    out2 = _one(spark, T("ST_AREA", T("ST_INTERSECTION", OVERLAP, SQUARE)))
+    assert out2 == pytest.approx(1.0)
+
+
+def test_intersection_concave_subject_convex_clip(spark):
+    # L-shape ∩ [0,2]x[0.5,2] (convex clip): removes the y<0.5 strip of
+    # the bottom arm. Area = 3 (L) - 2*0.5 = 2.0
+    clip = _poly((0.0, 0.5), (2.0, 0.5), (2.0, 2.0), (0.0, 2.0))
+    out = _one(spark, T("ST_AREA", T("ST_INTERSECTION", LSHAPE, clip)))
+    assert out == pytest.approx(2.0)
+    # clip operand order: convex operand is picked as clip either way
+    out2 = _one(spark, T("ST_AREA", T("ST_INTERSECTION", clip, LSHAPE)))
+    assert out2 == pytest.approx(2.0)
+
+
+def test_intersection_disjoint_is_empty(spark):
+    g = T("ST_INTERSECTION", SQUARE, FAR)
+    assert _one(spark, T("ST_ISEMPTY", g)) is True
+
+
+def test_intersection_point_cases(spark):
+    inside = T("ST_INTERSECTION", SQUARE, P12)  # (1,2) in [0,4]^2
+    assert _one(spark, T("ST_ASTEXT", inside)) == "POINT (1.0 2.0)"
+    outside = T("ST_INTERSECTION", T("ST_MAKEPOINT", "9", "9"), SQUARE)
+    assert _one(spark, T("ST_ISEMPTY", outside)) is True
+
+
+def test_intersection_concave_concave_refuses_at_runtime(spark):
+    shifted_l = _poly(
+        (0.5, 0.5), (2.5, 0.5), (2.5, 1.5), (1.5, 1.5), (1.5, 2.5), (0.5, 2.5)
+    )
+    with pytest.raises(Exception, match="ST_Intersection"):
+        _one(spark, T("ST_INTERSECTION", LSHAPE, shifted_l))
+
+
+def test_union_disjoint_and_nested(spark):
+    parts = T("ST_UNION", SQUARE, FAR)
+    assert _one(spark, f"size({parts})") == 2
+    # ST_GeometryN over the parts form
+    assert _one(spark, T("ST_AREA", T("ST_GEOMETRYN", parts, "1"))) == pytest.approx(16.0)
+    assert _one(spark, T("ST_AREA", T("ST_GEOMETRYN", parts, "2"))) == pytest.approx(1.0)
+    # nested: inner square inside SQUARE -> 1 part, the outer
+    nested = T("ST_UNION", SQUARE, INNER)
+    assert _one(spark, f"size({nested})") == 1
+    assert _one(spark, T("ST_AREA", T("ST_GEOMETRYN", nested, "1"))) == pytest.approx(16.0)
+
+
+def test_union_point_absorption(spark):
+    absorbed = T("ST_UNION", P12, SQUARE)  # (1,2) inside
+    assert _one(spark, f"size({absorbed})") == 1
+    apart = T("ST_UNION", T("ST_MAKEPOINT", "9", "9"), SQUARE)
+    assert _one(spark, f"size({apart})") == 2
+    same = T("ST_UNION", P12, T("ST_MAKEPOINT", "1", "2"))
+    assert _one(spark, f"size({same})") == 1
+
+
+def test_union_overlapping_refuses_at_runtime(spark):
+    with pytest.raises(Exception, match="ST_Union"):
+        _one(spark, f"size({T('ST_UNION', SQUARE, OVERLAP)})")
+
+
+def test_difference_tiers(spark):
+    # disjoint subtrahend: identity
+    ident = T("ST_DIFFERENCE", SQUARE, FAR)
+    assert _one(spark, T("ST_AREA", ident)) == pytest.approx(16.0)
+    # minuend inside subtrahend: empty
+    gone = T("ST_DIFFERENCE", INNER, SQUARE)
+    assert _one(spark, T("ST_ISEMPTY", gone)) is True
+    # point minuend on/inside the subtrahend: empty; outside: identity
+    assert _one(spark, T("ST_ISEMPTY", T("ST_DIFFERENCE", P12, SQUARE))) is True
+    kept = T("ST_DIFFERENCE", T("ST_MAKEPOINT", "9", "9"), SQUARE)
+    assert _one(spark, T("ST_ASTEXT", kept)) == "POINT (9.0 9.0)"
+    # partial overlap: runtime refusal
+    with pytest.raises(Exception, match="ST_Difference"):
+        _one(spark, T("ST_AREA", T("ST_DIFFERENCE", SQUARE, OVERLAP)))
+
+
+def test_collect(spark):
+    parts = T("ST_COLLECT", P12, P45)
+    assert _one(spark, f"size({parts})") == 2
+    assert _one(spark, T("ST_X", T("ST_GEOMETRYN", parts, "2"))) == 4.0
+
+
+def test_is_convex(spark):
+    assert _one(spark, T("ST_ISCONVEX", SQUARE)) is True
+    assert _one(spark, T("ST_ISCONVEX", LSHAPE)) is False
+    assert _one(spark, T("ST_ISCONVEX", P12)) is False
+    # clockwise square is still convex (sign-uniform crosses)
+    cw = _poly((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0))
+    assert _one(spark, T("ST_ISCONVEX", cw)) is True
+
+
+def test_convex_hull(spark):
+    from calcite_spark.functions.spatial import register_spatial_udfs
+
+    register_spatial_udfs(spark)
+
+    # Spark refuses Python-UDF results inside SQL lambda functions, so
+    # the hull must be materialized as a column before lambda-based ST_
+    # functions (area, convexity) consume it — the documented pattern.
+    def via_column(inner, outer_name):
+        return spark.sql(
+            f"SELECT {T(outer_name, 'h')} AS v FROM (SELECT {inner} AS h)"
+        ).collect()[0].v
+
+    # hull of the concave L-shape: the 5-gon (0,0)(2,0)(2,1)(1,2)(0,2)
+    # — shoelace area 3.5 (the notch corner (1,1) drops out; (2,2) was
+    # never an input vertex, so the hull is NOT the full 2x2 square)
+    hull = T("ST_CONVEXHULL", LSHAPE)
+    assert via_column(hull, "ST_AREA") == pytest.approx(3.5)
+    assert via_column(hull, "ST_ISCONVEX") is True
+    # collinear input degrades to a LINESTRING
+    seg = (
+        "named_struct('kind', 'LINESTRING', 'pts', array("
+        "named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 1.0d, 'y', 1.0d), "
+        "named_struct('x', 2.0d, 'y', 2.0d)))"
+    )
+    assert via_column(T("ST_CONVEXHULL", seg), "ST_GEOMETRYTYPE") == "LINESTRING"
+    # single point degrades to POINT
+    assert via_column(T("ST_CONVEXHULL", P12), "ST_GEOMETRYTYPE") == "POINT"
+
+
+def test_convex_hull_unit():
+    from calcite_spark.functions.spatial import convex_hull_one
+
+    out = convex_hull_one(
+        "POLYGON",
+        [{"x": 0.0, "y": 0.0}, {"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 1.0},
+         {"x": 1.0, "y": 1.0}, {"x": 1.0, "y": 2.0}, {"x": 0.0, "y": 2.0}],
+    )
+    assert out["kind"] == "POLYGON"
+    assert {(p["x"], p["y"]) for p in out["pts"]} == {
+        (0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 2.0), (0.0, 2.0)
+    }
