@@ -286,3 +286,69 @@ def z56_fingerprint(spark, sf_dir):
         )
         .orderBy("fp_min")
     )
+
+
+@register(
+    "qx18_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    k AS (
+      SELECT doc_id,
+             substr(lower(text), 1, 40) AS k1,
+             substr(lower(text), 11, 40) AS k2
+      FROM documents
+    ),
+    e1 AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM k a JOIN k b ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+    ),
+    e2 AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM k a JOIN k b ON a.k2 = b.k2 AND a.doc_id <> b.doc_id
+    ),
+    edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2),
+    reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, COUNT(*) AS n_members
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "graph", "connected-components"),
+)
+def qx18_dedup_clusters(spark, sf_dir):
+    """Near-dup pair graph → duplicate GROUPS via distributed connected
+    components (llm/graph.connected_components: min-label propagation,
+    one shuffle join + one groupBy-min per round, rounds = component
+    diameter, localCheckpoint lineage truncation). Edges here are the
+    SQL-expressible overlap rules (shared lowercase 40-char window at
+    offsets 1 and 11) so DuckDB can replay the whole pipeline — its
+    recursive CTE computes the same reachability the Spark loop does.
+    The banded MinHash/SimHash pair generators plug into the same
+    operator in production."""
+    from calcite_spark.llm.graph import dedup_clusters
+
+    cat = catalog_for(spark, sf_dir)
+    k = cat.table("documents").selectExpr(
+        "doc_id",
+        "substr(lower(text), 1, 40) AS k1",
+        "substr(lower(text), 11, 40) AS k2",
+    )
+    e1 = (
+        k.alias("a")
+        .join(k.alias("b"), F.expr("a.k1 = b.k1 AND a.doc_id <> b.doc_id"))
+        .selectExpr("a.doc_id AS a", "b.doc_id AS b")
+    )
+    e2 = (
+        k.alias("a")
+        .join(k.alias("b"), F.expr("a.k2 = b.k2 AND a.doc_id <> b.doc_id"))
+        .selectExpr("a.doc_id AS a", "b.doc_id AS b")
+    )
+    clusters = dedup_clusters(e1.union(e2).distinct())
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.expr("COUNT(*)").alias("n_members"))
+        .orderBy("cluster_id")
+    )
