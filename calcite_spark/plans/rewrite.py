@@ -97,6 +97,190 @@ def _materialized_view_substitute(node, catalog):
     return registry.substitute(node, catalog)
 
 
+# -- transitive predicate inference ----------------------------------
+
+_JOIN_EQ_RE = re.compile(r"^\s*(\w+)\s*=\s*(\w+)\s*$")
+_SQL_LIT = r"(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?(?:[eE]-?\d+)?|DATE\s*'[^']*'|TIMESTAMP\s*'[^']*')"
+_LIT_PRED_RE = re.compile(
+    rf"^\s*(\w+)\s*(?:=|<=|>=|<|>|<>|!=)\s*{_SQL_LIT}\s*$", re.I
+)
+_IN_PRED_RE = re.compile(
+    rf"^\s*(\w+)\s+IN\s*\(\s*{_SQL_LIT}(?:\s*,\s*{_SQL_LIT})*\s*\)\s*$", re.I
+)
+
+
+def _norm_pred(p: str) -> str:
+    return re.sub(r"\s+", " ", p.strip()).lower()
+
+
+def _subtree_predicates(node) -> list[str]:
+    """Literal conjuncts guaranteed to hold on `node`'s output rows:
+    Filter conditions met while descending through column-preserving
+    nodes. Projects stop the walk (aliases could rename columns out
+    from under a predicate); join descent follows null-extension rules
+    (a LEFT join preserves its left input's predicates but NULL-extends
+    the right, so only the left side is believed, etc.)."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, ir.Filter):
+            out.extend(_split_conjuncts(n.condition))
+            walk(n.inputs[0])
+        elif isinstance(n, (ir.Exchange, ir.Sort)):
+            walk(n.inputs[0])
+        elif isinstance(n, ir.Join):
+            if n.join_type == "INNER":
+                walk(n.inputs[0])
+                walk(n.inputs[1])
+            elif n.join_type in ("LEFT", "SEMI", "ANTI"):
+                walk(n.inputs[0])
+            elif n.join_type == "RIGHT":
+                walk(n.inputs[1])
+
+    walk(node)
+    return out
+
+
+def _has_external_scan(n, catalog) -> bool:
+    ext = getattr(catalog, "external_tables", {})
+    if isinstance(n, ir.Scan) and n.table in ext:
+        return True
+    return any(_has_external_scan(c, catalog) for c in n.inputs)
+
+
+def _output_columns(n, catalog) -> set:
+    """Output schema of a join input, WITHOUT executing anything
+    remote: column-preserving chains over a Scan resolve through the
+    catalog (external tables via the engine's schema_of metadata probe
+    ≈ JDBC DatabaseMetaData — a full to_df here would fetch the whole
+    remote table just to read .columns); anything still containing an
+    external scan refuses (empty set = no inference onto that side);
+    local subtrees fall back to the lowered DataFrame's schema."""
+    base = n
+    while isinstance(base, (ir.Filter, ir.Exchange, ir.Sort)) and base.inputs:
+        base = base.inputs[0]
+    if isinstance(base, ir.Scan):
+        ext = getattr(catalog, "external_tables", {})
+        if base.table in ext:
+            schema_of = getattr(ext[base.table], "schema_of", None)
+            return set(schema_of(base.table)) if schema_of else set()
+        if base.table in getattr(catalog, "tables", {}) or base.table in getattr(
+            catalog, "_dfs", {}
+        ):
+            return set(catalog.table(base.table).columns)
+    if _has_external_scan(n, catalog):
+        return set()
+    try:
+        return set(n.to_df(catalog).columns)
+    except Exception:
+        return set()
+
+
+def _join_push_transitive_predicates(node, catalog):
+    """≈ RelMdPredicates.getPredicates + JoinPushTransitivePredicatesRule
+    (rel/rules/JoinPushTransitivePredicatesRule.java): a literal
+    predicate on one side of an equi-join implies the same predicate on
+    the other side's join key — infer it and filter that input too.
+
+    Catalyst has InferFiltersFromConstraints for plans it can see; this
+    IR-level twin matters for the subtrees Catalyst can NOT see into:
+    federation (sources/federation.federate converts the remote subtree
+    to dialect SQL BEFORE Spark plans — the inferred filter lands in the
+    remote WHERE clause and the remote engine scans less) and any rule
+    that costs plans pre-lowering (DPhyp selectivity sees the narrowed
+    input). Soundness rules:
+      * only simple `col op literal` / `col IN (literals)` conjuncts
+        move (no subqueries, no expressions — refuse-over-wrong);
+      * inference direction follows null-extension: left→right for
+        INNER/LEFT/SEMI/ANTI (a right row failing the predicate can
+        only pair with left rows that were already filtered away),
+        right→left for INNER/RIGHT;
+      * the equivalence partner must resolve in the target input's
+        output schema (probe via the lowered DataFrame's columns);
+      * a target whose input is itself a Join is skipped so the
+        inserted Filter never fragments an INNER chain mid-flattening
+        (the reorderer treats join inputs as leaves);
+      * already-present conjuncts (normalized text) are not re-added,
+        which is also the HepProgram fixpoint guarantee."""
+    if (
+        not isinstance(node, ir.Join)
+        or node.condition is None
+        or catalog is None
+        or node.join_type not in ("INNER", "LEFT", "RIGHT", "SEMI", "ANTI")
+    ):
+        return None
+    eq_pairs = [
+        m.groups()
+        for c in _split_conjuncts(node.condition)
+        if (m := _JOIN_EQ_RE.match(c))
+    ]
+    if not eq_pairs:
+        return None
+
+    # equivalence classes over join-key column names (union-find)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in eq_pairs:
+        parent[find(a)] = find(b)
+    classes: dict[str, set] = {}
+    for col in list(parent):
+        classes.setdefault(find(col), set()).add(col)
+
+    directions = []  # (source input idx, target input idx)
+    if node.join_type in ("INNER", "LEFT", "SEMI", "ANTI"):
+        directions.append((0, 1))
+    if node.join_type in ("INNER", "RIGHT"):
+        directions.append((1, 0))
+
+    cols_cache: dict[int, set] = {}
+
+    def cols_of(idx):
+        if idx not in cols_cache:
+            cols_cache[idx] = _output_columns(node.inputs[idx], catalog)
+        return cols_cache[idx]
+
+    new_inputs = list(node.inputs)
+    changed = False
+    for src_idx, tgt_idx in directions:
+        if isinstance(node.inputs[tgt_idx], ir.Join):
+            continue  # never fragment a reorderable join chain
+        tgt_have = {
+            _norm_pred(p) for p in _subtree_predicates(node.inputs[tgt_idx])
+        }
+        add = []
+        for p in _subtree_predicates(node.inputs[src_idx]):
+            m = _LIT_PRED_RE.match(p) or _IN_PRED_RE.match(p)
+            if not m:
+                continue
+            col = m.group(1)
+            if col not in parent:
+                continue
+            tail = p[m.end(1):]
+            for partner in classes[find(col)]:
+                if partner == col or partner not in cols_of(tgt_idx):
+                    continue
+                cand = f"{partner}{tail}"
+                if _norm_pred(cand) in tgt_have:
+                    continue
+                add.append(cand)
+                tgt_have.add(_norm_pred(cand))
+        if add:
+            new_inputs[tgt_idx] = ir.Filter(
+                " AND ".join(add), inputs=(new_inputs[tgt_idx],)
+            )
+            changed = True
+    if not changed:
+        return None
+    return node.with_inputs(new_inputs)
+
+
 _YEARFN = r"(?:EXTRACT\s*\(\s*YEAR\s+FROM\s+(\w+)\s*\)|year\s*\(\s*(\w+)\s*\))"
 
 
@@ -687,6 +871,8 @@ DEFAULT_RULES = [
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
+    # after DateRange so sargified ranges propagate across joins too
+    Rule("JoinPushTransitivePredicates", _join_push_transitive_predicates),
 ]
 
 

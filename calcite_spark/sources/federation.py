@@ -59,6 +59,15 @@ class DuckDBEngine:
         self.queries_executed.append(sql)
         return self.con.execute(sql).arrow()
 
+    def schema_of(self, name: str) -> list[str]:
+        """Column names via the catalog interface — a METADATA probe
+        (≈ JDBC DatabaseMetaData.getColumns in Calcite's JdbcSchema),
+        not a pushed query: it never scans data and is not recorded in
+        queries_executed. Used by plan rules (transitive-predicate
+        inference) that must resolve remote columns without lowering
+        the remote subtree."""
+        return [r[0] for r in self.con.execute(f"DESCRIBE {name}").fetchall()]
+
 
 def register_external(catalog, name: str, engine) -> None:
     """Mount an external table (≈ JdbcTable in the model). The remote
