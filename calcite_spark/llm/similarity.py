@@ -207,3 +207,63 @@ def ivf_topk(
         )
         .filter(f"rk <= {k}")
     )
+
+
+# ---------------------------------------------------------------------
+# int8 quantization tier (r5)
+# ---------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(x * 127 / max|x|),
+    stored with the per-vector scale (max|x| / 127). 4x memory and scan
+    bandwidth vs float32 — at 100 TB the embedding column IS the scan
+    cost, and the narrow-map quantize/dequantize stays in whole-stage
+    codegen (zero Python, zero shuffle).
+
+    Rounding is floor(v + 0.5) (HALF_UP) rather than round(): floor is
+    bit-identical across engines on IEEE doubles, so the DuckDB oracle
+    can replay the quantizer exactly. Cosine similarity is INVARIANT to
+    the per-vector scale (it cancels), so quantized cosine ==
+    dequantized cosine by construction.
+    """
+    mx = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"
+    )
+    return df.selectExpr(
+        id_col,
+        f"CAST({mx} / 127.0 AS DOUBLE) AS q_scale",
+        f"transform({vec_col}, x -> CAST(floor("
+        f"CAST(x AS DOUBLE) * 127.0 / greatest({mx}, 1e-30) + 0.5) "
+        f"AS TINYINT)) AS q_vec",
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, id_col: str = "vec_id", out_col: str = "embedding"
+) -> DataFrame:
+    """(id, q_scale, q_vec) -> (id, double-array embedding)."""
+    return df.selectExpr(
+        id_col,
+        f"transform(q_vec, v -> CAST(v AS DOUBLE) * q_scale) AS {out_col}",
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the int8-quantized corpus (full-precision
+    queries): quantize -> dequantize -> brute-force cosine. Same plan
+    shape as brute_force_topk; the quantization error only perturbs
+    near-ties."""
+    deq = dequantize_int8(
+        quantize_int8(corpus, corpus_vec, corpus_id), corpus_id, corpus_vec
+    )
+    return brute_force_topk(deq, queries, k=k, corpus_id=corpus_id, corpus_vec=corpus_vec)

@@ -352,3 +352,52 @@ def qx18_dedup_clusters(spark, sf_dir):
         .agg(F.expr("COUNT(*)").alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "qx19_quantized_knn",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_vec FROM base WHERE vec_id < 5),
+    quant AS (
+      SELECT vec_id,
+             list_transform(emb, x -> floor(
+               x * 127.0 / greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30)
+               + 0.5) * (list_max(list_transform(emb, y -> abs(y))) / 127.0)) AS dq
+      FROM base
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.dq, q.q_vec), 6) AS cosine_sim
+      FROM quant c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine_sim DESC, vec_id) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine_sim, rk FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def qx19_quantized_knn(spark, sf_dir):
+    """Exact top-5 cosine over the int8-QUANTIZED corpus
+    (llm/similarity.quantize_int8: symmetric per-vector scale, floor
+    HALF_UP rounding so DuckDB replays the quantizer bit-identically;
+    4x embedding scan bandwidth at 100 TB). Cosine is scale-invariant,
+    so the oracle dequantizes inline and must match to 6 decimals."""
+    from calcite_spark.llm.similarity import quantized_topk
+
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    out = quantized_topk(emb, queries, k=5)
+    return out.selectExpr(
+        "q_id", "vec_id", "cosine_sim", "CAST(rk AS INT) AS rk"
+    ).orderBy("q_id", "rk")

@@ -216,3 +216,38 @@ def test_ivf_deterministic_recall_and_stability(spark, cat):
         for r in ivf_topk(assigned2, centroids2, queries, k=5, n_probe=4).collect()
     )
     assert run1 == run2  # bit-stable under a different partitioning
+
+
+def test_int8_quantization_error_and_recall(spark, cat):
+    from calcite_spark.llm.similarity import (
+        dequantize_int8,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    emb = cat.table("embeddings").select("vec_id", "embedding")
+    quant = quantize_int8(emb)
+    # codes stay in the symmetric int8 range
+    bad = quant.selectExpr(
+        "exists(q_vec, v -> v > 127 OR v < -127) AS oob"
+    ).filter("oob").count()
+    assert bad == 0
+    # round-trip error per element is bounded by half a quantization step
+    deq = dequantize_int8(quant).withColumnRenamed("embedding", "dq")
+    joined = emb.join(deq, "vec_id").join(quant.select("vec_id", "q_scale"), "vec_id")
+    max_err = joined.selectExpr(
+        "aggregate(zip_with(embedding, dq, (x, y) -> abs(CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v)) / q_scale AS steps"
+    ).agg({"steps": "max"}).collect()[0][0]
+    assert max_err <= 0.5 + 1e-9
+
+    # top-5 recall vs exact brute force: int8 perturbs only near-ties
+    queries = emb.filter("vec_id < 10").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    quantized = {
+        (r.q_id, r.vec_id) for r in quantized_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quantized) / len(exact)
+    assert recall >= 0.8, f"int8 recall too low: {recall}"
