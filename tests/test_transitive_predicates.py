@@ -145,3 +145,33 @@ def test_inferred_predicate_reaches_remote_sql(spark):
     want = sorted(map(tuple, plan.to_df(cat).collect()))
     got = sorted(map(tuple, fed.to_df(cat).collect()))
     assert got == want
+
+
+def test_inferred_predicate_reaches_parquet_scan(spark, cat):
+    """Plan-quality check: after inference, Catalyst pushes the derived
+    conjunct all the way into the ORDERS parquet scan (PushedFilters),
+    so a 1000-executor cluster row-group-prunes the fact table instead
+    of filtering post-scan."""
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .filter("c_custkey < 100")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .aggregate([], ["COUNT(*) AS n"])
+        .build()
+    )
+    out = PROGRAM.run(plan, cat)
+    explained = out.to_df(cat)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    scans = [
+        blk
+        for blk in explained.split("FileScan parquet")
+        if "orders" in blk.split("\n")[0]
+    ]
+    assert scans, explained
+    assert any(
+        _re.search(r"PushedFilters: \[[^\]]*LessThan\(o_custkey,100\)", blk)
+        for blk in scans
+    ), scans[0][:500]
