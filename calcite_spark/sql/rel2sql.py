@@ -1,11 +1,11 @@
 """IR → SQL emitter ≈ Calcite's rel2sql
 (rel/rel2sql/RelToSqlConverter.java:135 + SqlImplementor.java) with
-pluggable dialects (sql/dialect/ — 40 of them; we ship EIGHT: Spark,
-DuckDB, PostgreSQL, MySQL, BigQuery, Oracle, MSSQL, Trino ≈
-sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java,
+pluggable dialects (sql/dialect/ — 40 of them; we ship TEN: Spark,
+DuckDB, PostgreSQL, MySQL, BigQuery, Oracle, MSSQL, Trino, Hive,
+Snowflake ≈ sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java,
 PostgresqlSqlDialect.java, MysqlSqlDialect.java,
 BigQuerySqlDialect.java, OracleSqlDialect.java, MssqlSqlDialect.java,
-PrestoSqlDialect.java).
+PrestoSqlDialect.java, HiveSqlDialect.java, SnowflakeSqlDialect.java).
 
 Why this exists (same reason as Calcite's):
   * whole-query pushdown — the JDBC adapter's reusable half
@@ -1014,6 +1014,167 @@ class TrinoDialect(Dialect):
         return f"(VALUES {body}) AS t({', '.join(names)})"
 
 
+# Spark-SQL functions valid HiveQL verbatim — Spark SQL descends from
+# HiveQL, so this is the widest shared surface of any remote dialect.
+# Deliberately excluded: date_trunc / date_part (Hive has TRUNC(x,'fmt')
+# — rewritten — and no date_part), try_cast (Hive errors instead).
+_HIVE_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "year", "quarter", "month", "day", "hour",
+    "minute", "second", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "covar_pop", "covar_samp", "corr", "row_number",
+    "rank", "dense_rank", "lag", "lead", "ntile", "first_value",
+    "last_value", "percent_rank", "cume_dist", "regexp_replace",
+    "sign", "sqrt", "power", "exp", "ln", "log10", "mod", "pi", "if",
+    "instr", "left", "right", "repeat", "reverse", "last_day",
+    "levenshtein", "grouping", "md5", "size", "sort_array",
+    "array_contains", "collect_list", "element_at",
+}
+
+_HIVE_FN_MAP = {
+    "std": "stddev",
+}
+
+# Spark date_trunc unit → Hive TRUNC(date, fmt) format string. Hive's
+# TRUNC supports year/quarter/month only — finer units refuse.
+_HIVE_TRUNC_FMT = {
+    "year": "YYYY", "yyyy": "YYYY", "yy": "YYYY",
+    "quarter": "Q",
+    "month": "MM", "mon": "MM", "mm": "MM",
+}
+
+
+class HiveDialect(Dialect):
+    """≈ sql/dialect/HiveSqlDialect.java. HiveQL is Spark SQL's
+    ancestor, so expressions pass through almost verbatim; the
+    structural differences:
+      * LEFT SEMI JOIN is native; ANTI → NOT EXISTS (no keyword),
+      * OFFSET refuses (no portable HiveQL form across versions),
+      * VALUES in FROM → SELECT ... UNION ALL emulation,
+      * `date_trunc('unit', x)` → `TRUNC(x, 'fmt')`, year/quarter/month
+        only.
+    NULLS FIRST/LAST (Hive 2.1+) and ROLLUP/CUBE/GROUPING SETS are
+    native; INTERSECT/EXCEPT [ALL] are native (Hive 2.3+)."""
+
+    name = "hive"
+    semi_join_kw = "LEFT SEMI JOIN"
+    anti_join_kw = None
+
+    def _rewrite_date_trunc(self, text: str) -> str:
+        pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
+        while True:
+            m = pat.search(text)
+            if not m:
+                return text
+            if text.count("'", 0, m.start()) % 2:
+                return text
+            unit = m.group(1).lower()
+            if unit not in _HIVE_TRUNC_FMT:
+                raise UnsupportedDialectExpression(
+                    f"hive TRUNC supports year/quarter/month, not {unit!r}"
+                )
+            fmt = _HIVE_TRUNC_FMT[unit]
+            arg, close = _balanced_arg(text, m.end())
+            text = (
+                text[: m.start()]
+                + f"TRUNC({self._rewrite_date_trunc(arg)}, '{fmt}')"
+                + text[close + 1 :]
+            )
+
+    def expr(self, text: str) -> str:
+        text = self._rewrite_date_trunc(text)
+        return _check_and_map_calls(
+            text, _HIVE_SHARED | {"trunc"}, _HIVE_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def fetch_clause(self, offset, fetch, has_order):
+        if offset:
+            raise UnsupportedDialectExpression(
+                "hive has no portable OFFSET clause"
+            )
+        return f" LIMIT {fetch}" if fetch is not None else ""
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+
+# Spark-SQL functions valid Snowflake verbatim. Deliberately excluded:
+# concat_ws (Snowflake returns NULL when ANY argument is NULL where
+# Spark skips nulls — silently different values), instr (Snowflake
+# CHARINDEX/POSITION swap the argument order), log10 (Snowflake spells
+# it LOG(10, x)), repeat (REPEAT exists but Snowflake errors on
+# negative counts differently — kept out until value-verified).
+_SNOWFLAKE_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "try_cast", "extract", "year", "quarter", "month", "day",
+    "hour", "minute", "second", "floor", "ceil", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "concat", "substring",
+    "substr", "replace", "greatest", "least", "nullif", "stddev",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
+    "covar_pop", "covar_samp", "corr", "row_number", "rank",
+    "dense_rank", "lag", "lead", "ntile", "first_value", "last_value",
+    "nth_value", "percent_rank", "cume_dist", "regexp_replace",
+    "date_trunc", "sign", "sqrt", "power", "exp", "ln", "mod", "pi",
+    "left", "right", "reverse", "last_day", "md5", "grouping",
+}
+
+_SNOWFLAKE_FN_MAP = {
+    "if": "IFF",
+    "ceiling": "CEIL",
+    "startswith": "STARTSWITH",
+    "endswith": "ENDSWITH",
+    "std": "STDDEV",
+    "collect_list": "ARRAY_AGG",
+    "size": "ARRAY_SIZE",
+}
+
+
+class SnowflakeDialect(Dialect):
+    """≈ sql/dialect/SnowflakeSqlDialect.java. Near-ANSI: LIMIT/OFFSET,
+    NULLS FIRST/LAST, FROM-position VALUES and date_trunc all pass
+    through; SEMI/ANTI lower to [NOT] EXISTS; INTERSECT ALL/EXCEPT ALL
+    refuse (Snowflake has only the DISTINCT set ops); a small rename
+    map (IFF/STARTSWITH/ARRAY_AGG/ARRAY_SIZE); Spark type names are
+    valid Snowflake aliases (STRING/DOUBLE/BIGINT), so no CAST map."""
+
+    name = "snowflake"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        return _check_and_map_calls(
+            text, _SNOWFLAKE_SHARED, _SNOWFLAKE_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def setop_kw(self, kind: str) -> str:
+        if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
+            raise UnsupportedDialectExpression(
+                f"snowflake has no {kind.replace('_', ' ')}"
+            )
+        return super().setop_kw(kind)
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
@@ -1022,6 +1183,8 @@ BIGQUERY = BigQueryDialect()
 ORACLE = OracleDialect()
 MSSQL = MssqlDialect()
 TRINO = TrinoDialect()
+HIVE = HiveDialect()
+SNOWFLAKE = SnowflakeDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -1122,11 +1285,14 @@ class _Emitter:
         jt = node.join_type.upper()
         if node.condition is None or jt == "CROSS":
             return f"SELECT * FROM {left} CROSS JOIN {right}"
-        if jt in ("SEMI", "ANTI") and d.semi_join_kw is None:
-            # dialect without SEMI/ANTI keywords: lower to correlated
+        kw_for = {"SEMI": d.semi_join_kw, "ANTI": d.anti_join_kw}
+        if jt in kw_for and kw_for[jt] is None:
+            # dialect without this join's keyword: lower to correlated
             # [NOT] EXISTS (what Calcite's converter does for e.g.
-            # PostgresqlSqlDialect). Column names in our IR conditions
-            # are globally unique, so the correlation resolves.
+            # PostgresqlSqlDialect; Hive has LEFT SEMI JOIN but no ANTI
+            # keyword, so each type is checked independently). Column
+            # names in our IR conditions are globally unique, so the
+            # correlation resolves.
             neg = "NOT " if jt == "ANTI" else ""
             return (
                 f"SELECT * FROM {left} WHERE {neg}EXISTS "

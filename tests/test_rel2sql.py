@@ -656,3 +656,102 @@ def test_trino_ansi_fetch(cat):
     plans = _plans(cat)
     sql = to_sql(plans["offset_fetch"], TRINO)
     assert "OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY" in sql
+
+
+# Hive dialect ≈ HiveSqlDialect.java. HiveQL is Spark SQL's ancestor:
+# the EXISTS lowering, VALUES→UNION ALL emulation and set ops are
+# DuckDB-valid; LEFT SEMI JOIN, TRUNC and the OFFSET refusal are
+# textual.
+HIVE_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "anti_join",       # NOT EXISTS lowering
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "except_all",
+    "values_join",     # SELECT ... UNION ALL emulation
+    "window",
+]
+
+
+def test_hive_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import HIVE
+
+    plans = _plans(cat)
+    for name in HIVE_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        hv_sql = to_sql(plan, HIVE)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, hv_sql), name
+
+
+def test_hive_semi_native_offset_refused(cat):
+    from calcite_spark.sql.rel2sql import HIVE
+
+    plans = _plans(cat)
+    semi = to_sql(plans["semi_join"], HIVE)
+    assert "LEFT SEMI JOIN" in semi
+    with pytest.raises(UnsupportedDialectExpression, match="OFFSET"):
+        to_sql(plans["offset_fetch"], HIVE)
+
+
+def test_hive_trunc_rewrite_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import HIVE
+
+    assert (
+        HIVE.expr("date_trunc('month', o_orderdate)")
+        == "TRUNC(o_orderdate, 'MM')"
+    )
+    with pytest.raises(UnsupportedDialectExpression, match="year/quarter/month"):
+        HIVE.expr("date_trunc('hour', o_orderdate)")
+    with pytest.raises(UnsupportedDialectExpression, match="xxhash64"):
+        HIVE.expr("xxhash64(text)")
+    # md5 IS shared: both engines return the hex string form
+    assert HIVE.expr("md5(text)") == "md5(text)"
+
+
+# Snowflake dialect ≈ SnowflakeSqlDialect.java — near-ANSI, everything
+# except the rename map is DuckDB-executable.
+SNOWFLAKE_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_snowflake_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import SNOWFLAKE
+
+    plans = _plans(cat)
+    for name in SNOWFLAKE_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        sf_sql = to_sql(plan, SNOWFLAKE)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, sf_sql), name
+
+
+def test_snowflake_renames_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import SNOWFLAKE
+
+    plans = _plans(cat)
+    assert SNOWFLAKE.expr("if(a > 1, 'x', 'y')") == "IFF(a > 1, 'x', 'y')"
+    assert SNOWFLAKE.expr("startswith(c_name, 'Cu')") == "STARTSWITH(c_name, 'Cu')"
+    assert SNOWFLAKE.expr("size(arr)") == "ARRAY_SIZE(arr)"
+    # concat_ws: Snowflake NULLs the whole result on any NULL argument
+    # where Spark skips nulls — silently different, refuse
+    with pytest.raises(UnsupportedDialectExpression, match="concat_ws"):
+        SNOWFLAKE.expr("concat_ws(',', a, b)")
+    with pytest.raises(UnsupportedDialectExpression, match="instr"):
+        SNOWFLAKE.expr("instr(c_name, 'x')")
+    with pytest.raises(UnsupportedDialectExpression, match="EXCEPT ALL"):
+        to_sql(plans["except_all"], SNOWFLAKE)
