@@ -335,6 +335,11 @@ def qx16_functional_deps(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     cols = ["n_nationkey", "n_name", "n_regionkey"]
     prof = profile_deep(cat, "nation", cols, exact=True, fd_tolerance=0.0)
+    # NOTE: profile_deep hides bounded .collect()s (two 1-row aggregate
+    # results), and this createDataFrame materializes the FD REPORT on
+    # the driver — fine for a ≤ C(n,2)-row metadata result whose heavy
+    # scans were distributed aggregates, but do NOT copy this pattern
+    # for data-sized results.
     rows = []
     for (x, y), ndv_pair in prof["pair_ndv"].items():
         for det, dep in ((x, y), (y, x)):

@@ -127,6 +127,8 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--flag-ratio", type=float, default=None,
                     help="flag queries whose ratio exceeds this (default repl*1.3)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional inventory query names to probe beyond bench.HEADLINE")
     args = ap.parse_args()
     flag_at = args.flag_ratio or args.repl * 1.3
 
@@ -140,7 +142,7 @@ def main() -> None:
 
     spark = get_spark("calcite_spark_scale_probe")
     qs = queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = [n for n in HEADLINE if n in qs] + [n for n in args.extra if n in qs]
 
     base = time_queries(spark, qs, names, SRC)
     scaled = time_queries(spark, qs, names, args.out)
