@@ -401,3 +401,51 @@ def qx19_quantized_knn(spark, sf_dir):
     return out.selectExpr(
         "q_id", "vec_id", "cosine_sim", "CAST(rk AS INT) AS rk"
     ).orderBy("q_id", "rk")
+
+
+@register(
+    "qx20_pii_scrub",
+    oracle="""
+    WITH scrub AS (
+      SELECT source, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[A-Za-z0-9./?=&%_#:~-]+', '<url>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<email>', 'g'),
+               '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<phone>', 'g') AS scrubbed,
+             regexp_matches(text, 'https?://[A-Za-z0-9./?=&%_#:~-]+') AS has_url,
+             regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}') AS has_email,
+             regexp_matches(text, '[+]?[0-9][0-9 ()-]{7,}[0-9]') AS has_phone
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN has_url THEN 1 ELSE 0 END) AS n_url,
+           SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS n_email,
+           SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS n_phone,
+           SUM(length(text) - length(scrubbed)) AS chars_delta
+    FROM scrub GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "pii", "scrub"),
+)
+def qx20_pii_scrub(spark, sf_dir):
+    """PII scrub pass (llm/textstats.scrub_pii): chained regexp_replace
+    redaction of URL/email/phone spans — a narrow codegen map, zero
+    shuffle, scan-speed at 100 TB. Patterns are backslash-free so the
+    RE2 (DuckDB) and java.util.regex (Spark) evaluations agree exactly;
+    the oracle replays the full scrub and compares per-source detection
+    counts and redaction char deltas."""
+    from calcite_spark.llm.textstats import scrub_pii
+
+    cat = catalog_for(spark, sf_dir)
+    s = scrub_pii(cat.table("documents"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.expr("COUNT(*)").alias("n_docs"),
+            F.expr("SUM(CASE WHEN has_url THEN 1 ELSE 0 END)").alias("n_url"),
+            F.expr("SUM(CASE WHEN has_email THEN 1 ELSE 0 END)").alias("n_email"),
+            F.expr("SUM(CASE WHEN has_phone THEN 1 ELSE 0 END)").alias("n_phone"),
+            F.expr("SUM(length(text) - length(scrubbed))").alias("chars_delta"),
+        )
+        .orderBy("source")
+    )

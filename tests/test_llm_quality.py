@@ -251,3 +251,23 @@ def test_int8_quantization_error_and_recall(spark, cat):
     }
     recall = len(exact & quantized) / len(exact)
     assert recall >= 0.8, f"int8 recall too low: {recall}"
+
+
+def test_scrub_pii_planted(spark):
+    from calcite_spark.llm.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe@example.com or +1 555 123-4567 today"),
+            (2, "see https://example.com/a?b=c#frag for details"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert "<email>" in out[1].scrubbed and "<phone>" in out[1].scrubbed
+    assert "jane.doe" not in out[1].scrubbed and "555" not in out[1].scrubbed
+    assert out[1].has_email and out[1].has_phone and not out[1].has_url
+    assert out[2].scrubbed == "see <url> for details"
+    assert out[3].scrubbed == out[3].text
+    assert not (out[3].has_email or out[3].has_url or out[3].has_phone)
