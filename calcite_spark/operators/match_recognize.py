@@ -51,7 +51,10 @@ class _NFA:
 
 
 def _tokenize(pattern: str):
-    return re.findall(r"[A-Za-z_][A-Za-z_0-9]*|\{\d*,?\d*\}|[()|*+?]", pattern)
+    # the comma token exists only for PERMUTE(...) element lists; a
+    # bare comma anywhere else is a parse error (it used to be dropped
+    # silently, which would mis-parse PERMUTE(A, B) as symbol + group)
+    return re.findall(r"[A-Za-z_][A-Za-z_0-9]*|\{\d*,?\d*\}|[()|*+?,]", pattern)
 
 
 class _PatternParser:
@@ -105,7 +108,7 @@ class _PatternParser:
 
     def seq(self):
         frags = []
-        while self.peek() is not None and self.peek() not in ")|":
+        while self.peek() is not None and self.peek() not in (")", "|", ","):
             frags.append(self.rep())
         if not frags:
             s = self._state()
@@ -186,6 +189,13 @@ class _PatternParser:
             frag = self.alt()
             self.eat(")")
             return frag
+        if (
+            t
+            and t.upper() == "PERMUTE"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == "("
+        ):
+            return self.permute()
         if t and re.match(r"^[A-Za-z_]", t):
             self.eat()
             s, e = self._state(), self._state()
@@ -193,11 +203,46 @@ class _PatternParser:
             return s, e
         raise ValueError(f"pattern: unexpected {t}")
 
+    def permute(self):
+        """PERMUTE(p1, ..., pn) ≈ SqlMatchRecognize's PERMUTE (the SQL
+        standard expands it to the alternation of all n! orderings,
+        preferred in lexicographic order of the element list — the same
+        order itertools.permutations yields). Elements may be full
+        sub-patterns, not just symbols. n > 6 refuses: a 5040-way
+        alternation is a pattern smell, not a use case."""
+        import itertools
+
+        self.eat()  # PERMUTE
+        self.eat("(")
+        items = [self.alt()]
+        while self.peek() == ",":
+            self.eat(",")
+            items.append(self.alt())
+        self.eat(")")
+        if len(items) > 6:
+            raise ValueError(
+                f"PERMUTE with {len(items)} elements refused (n! expansion)"
+            )
+        s, e = self._state(), self._state()
+        for perm in itertools.permutations(range(len(items))):
+            cur = s
+            for idx in perm:
+                fs, fe = self._clone(items[idx])
+                self._edge(cur, fs)
+                cur = fe
+            self._edge(cur, e)
+        return s, e
+
 
 def compile_pattern(pattern: str) -> tuple[_NFA, list[str]]:
     toks = _tokenize(pattern)
-    symbols = sorted({t.upper() for t in toks if re.match(r"^[A-Za-z_]", t)})
-    return _PatternParser(toks).parse(), symbols
+    nfa = _PatternParser(toks).parse()
+    # symbols from the built NFA's edges, not the raw token list — the
+    # PERMUTE operator token is not a symbol
+    symbols = sorted(
+        {sym for edges in nfa.transitions.values() for sym, _ in edges if sym}
+    )
+    return nfa, symbols
 
 
 # ---------------------------------------------------------------------

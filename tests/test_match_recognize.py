@@ -226,3 +226,44 @@ def test_within_duration(spark):
     bounded = match_recognize(df, **kw, within=600).count()  # 10 minutes
     assert unbounded == 2
     assert bounded == 1
+
+
+def test_nfa_permute():
+    A, B, C = {"A"}, {"B"}, {"C"}
+    # PERMUTE(A, B) ≡ (A B | B A)
+    assert _match_len("PERMUTE(A, B)", [A, B]) == 2
+    assert _match_len("PERMUTE(A, B)", [B, A]) == 2
+    assert _match_len("PERMUTE(A, B)", [A, A]) is None
+    # three elements, any order
+    assert _match_len("PERMUTE(A, B, C)", [C, A, B]) == 3
+    assert _match_len("PERMUTE(A, B, C)", [B, C, A]) == 3
+    assert _match_len("PERMUTE(A, B, C)", [A, B, B]) is None
+    # elements may be sub-patterns
+    assert _match_len("PERMUTE(A B, C)", [C, A, B]) == 3
+    assert _match_len("PERMUTE(A B, C)", [A, B, C]) == 3
+    # composes with quantifiers and concatenation
+    assert _match_len("PERMUTE(A, B) C", [B, A, C]) == 3
+    # symbol list excludes the operator token
+    _, syms = compile_pattern("PERMUTE(A, B)")
+    assert syms == ["A", "B"]
+    # refusal bound: 7! expansion
+    with pytest.raises(ValueError, match="PERMUTE"):
+        compile_pattern("PERMUTE(A, B, C, D, E, F, G)")
+    # a comma outside PERMUTE is a parse error, not silently dropped
+    with pytest.raises(ValueError):
+        compile_pattern("A, B")
+
+
+def test_match_recognize_permute(spark):
+    rows = [("g", 1, "b"), ("g", 2, "a"), ("g", 3, "c")]
+    df = spark.createDataFrame(rows, "grp string, t int, tag string")
+    out = match_recognize(
+        df,
+        partition_by=["grp"],
+        order_by=["t"],
+        pattern="PERMUTE(A, B) C",
+        define={"A": "tag = 'a'", "B": "tag = 'b'", "C": "tag = 'c'"},
+        measures={"first_t": "FIRST(A.t)", "n": "COUNT(*)"},
+    )
+    got = [(r.grp, r.n) for r in out.collect()]
+    assert got == [("g", 3)]
