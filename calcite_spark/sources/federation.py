@@ -21,6 +21,8 @@ parallel fetch; that path is gated on a driver jar being present.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 from calcite_spark.plans import ir
@@ -214,19 +216,107 @@ def jdbc_parallel_scan(
     return r.load()
 
 
+# node types whose column-flow the pruning analysis understands; any
+# other node (SetOp's positional matching, Window's keep="*",
+# Uncollect, ...) disables pruning for the whole plan — sound refusal
+_PRUNE_SAFE_NODES = (
+    ir.Scan,
+    ir.Values,
+    ir.Project,
+    ir.Filter,
+    ir.Join,
+    ir.Aggregate,
+    ir.Sort,
+    ir.Exchange,
+)
+
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _all_nodes_safe(root) -> bool:
+    if not isinstance(root, _PRUNE_SAFE_NODES):
+        return False
+    return all(_all_nodes_safe(c) for c in root.inputs)
+
+
+def _output_is_expression_defined(root) -> bool:
+    """True when the plan's output columns are all named by expressions
+    (a Project or Aggregate at the top, under column-preserving nodes)
+    — the condition under which 'a column referenced nowhere is dead'
+    holds. A bare Filter/Scan root outputs every column implicitly, so
+    nothing may be pruned."""
+    n = root
+    while isinstance(n, (ir.Sort, ir.Exchange, ir.Filter)) and n.inputs:
+        n = n.inputs[0]
+    return isinstance(n, (ir.Project, ir.Aggregate))
+
+
+def _referenced_identifiers(root) -> set:
+    """Every identifier token in every string attribute of every node
+    (conditions, projections, agg calls, sort keys). Over-collection
+    (function names, table names) is sound — it only KEEPS columns."""
+    out: set = set()
+
+    def walk(n):
+        for k, v in vars(n).items():
+            if k == "inputs":
+                continue
+            items = v if isinstance(v, (tuple, list)) else (v,)
+            for item in items:
+                if isinstance(item, str):
+                    out.update(t.lower() for t in _IDENT_RE.findall(item))
+                elif isinstance(item, (tuple, list)):
+                    for s in item:
+                        if isinstance(s, str):
+                            out.update(t.lower() for t in _IDENT_RE.findall(s))
+        for c in n.inputs:
+            walk(c)
+
+    walk(root)
+    return out
+
+
 def federate(node: ir.RelNode, catalog) -> ir.RelNode:
     """Replace every MAXIMAL all-external subtree with a scan of its
     remotely-executed result (≈ JdbcRules firing bottom-up until the
     convention boundary). A subtree the dialect cannot emit falls back
     to pushing its children instead — worst case each external scan is
-    fetched whole (the JdbcTableScan floor)."""
+    fetched whole (the JdbcTableScan floor).
+
+    Column pruning (≈ JdbcProjectRule narrowing the remote SELECT): a
+    pushed subtree that is a bare scan (or filter-chain over one) is
+    wrapped in a Project of only the columns the REST of the plan
+    references, so the remote engine ships 2 columns instead of all of
+    them — at warehouse scale the dominant cost. Applied only when the
+    whole plan's column flow is analyzable (safe node set) and the
+    output is expression-defined; anything else keeps SELECT *."""
     counter = [0]
+    prune_refs = None
+    if _all_nodes_safe(node) and _output_is_expression_defined(node):
+        prune_refs = _referenced_identifiers(node)
+
+    def maybe_prune(n: ir.RelNode, eng) -> ir.RelNode:
+        if prune_refs is None or n is node:  # never re-shape the root
+            return n
+        base = n
+        while isinstance(base, ir.Filter) and base.inputs:
+            base = base.inputs[0]
+        if not isinstance(base, ir.Scan):
+            return n  # subtree already narrows itself (Project/Agg)
+        schema_of = getattr(eng, "schema_of", None)
+        if schema_of is None:
+            return n
+        cols = schema_of(base.table)
+        need = [c for c in cols if c.lower() in prune_refs]
+        if not need or len(need) == len(cols):
+            return n
+        return ir.Project(tuple(need), inputs=(n,))
 
     def rewrite(n: ir.RelNode) -> ir.RelNode:
         eng = _external_engine_of(n, catalog)
         if eng is not None:
             try:
-                sql = to_sql(n, eng.dialect)
+                sql = to_sql(maybe_prune(n, eng), eng.dialect)
             except Exception:  # non-emittable node or off-surface function
                 sql = None
             if sql is not None:

@@ -237,3 +237,60 @@ def test_fetch_schema_gate_redlines_on_drift(spark):
     # and the honest path passes the same gate
     df = _fetch(cat, FakeEngine(), "SELECT ...")
     assert df.schema.fields[0].dataType.simpleString() == "decimal(10,2)"
+
+
+def test_remote_column_pruning(spark):
+    """≈ JdbcProjectRule: the pushed scan ships only the columns the
+    rest of the plan references — n_name (output) and n_nationkey
+    (join key) — never SELECT *."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR, tables=("customer",))
+    engine = DuckDBEngine.from_parquet_dir(SF_DIR, ("nation",))
+    register_external(cat, "nation", engine)
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .aggregate(["n_name"], ["COUNT(*) AS n_customers"])
+        .build()
+    )
+    fed = federate(plan, cat)
+    assert len(engine.queries_executed) == 1
+    remote = engine.queries_executed[0]
+    assert "*" not in remote
+    assert "n_name" in remote and "n_nationkey" in remote
+    assert "n_comment" not in remote and "n_regionkey" not in remote
+    # values unchanged
+    local = Catalog(cat.spark).register_parquet_dir(SF_DIR)
+    want = {
+        (r.n_name, r.n_customers)
+        for r in RelBuilder(local)
+        .scan("customer")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .aggregate(["n_name"], ["COUNT(*) AS n_customers"])
+        .build()
+        .to_df(local)
+        .collect()
+    }
+    got = {(r.n_name, r.n_customers) for r in fed.to_df(cat).collect()}
+    assert got == want
+
+
+def test_no_pruning_when_output_implicit(spark):
+    """A plan whose root outputs ALL columns (bare join, no Project)
+    must keep SELECT * — pruning there would drop output columns."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR, tables=("customer",))
+    engine = DuckDBEngine.from_parquet_dir(SF_DIR, ("nation",))
+    register_external(cat, "nation", engine)
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .build()
+    )
+    fed = federate(plan, cat)
+    remote = engine.queries_executed[0]
+    assert "SELECT * FROM nation" in remote
+    assert len(fed.to_df(cat).columns) == len(plan.to_df(Catalog(cat.spark).register_parquet_dir(SF_DIR)).columns)
