@@ -384,3 +384,58 @@ def qx10_match_stream(spark, sf_dir):
     return spark.createDataFrame(
         rows, "k string, match_seq bigint, n_rows bigint, last_v double, start_ts timestamp"
     )
+
+
+@register(
+    "qx21_interval_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           ROUND(p.value, 3) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 30 MINUTE
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+    tags=("streaming", "interval_join", "stream_stream"),
+)
+def qx21_interval_join(spark, sf_dir):
+    """Stream-stream interval join in its batch form (stream.md:812:
+    the join is legal because the time-range conjunct keeps the streams
+    a finite distance apart): view→purchase conversions within 30
+    minutes per user. The identical builder runs on readStream inputs
+    with watermark-bounded state — tests/test_stream_join.py."""
+    from pyspark.sql import functions as F
+
+    from calcite_spark.streaming.join import interval_join
+
+    ev = catalog_for(spark, sf_dir).table("events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        interval_join(
+            views,
+            purchases,
+            on="user_id",
+            left_ts="view_ts",
+            right_ts="purchase_ts",
+            upper="30 minutes",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "view_ts",
+            "purchase_id",
+            "purchase_ts",
+            F.round("purchase_value", 3).alias("purchase_value"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
