@@ -127,6 +127,9 @@ class Dialect:
     name = "spark"
     semi_join_kw = "LEFT SEMI JOIN"
     anti_join_kw = "LEFT ANTI JOIN"
+    # can a missing SEMI/ANTI keyword fall back to correlated
+    # [NOT] EXISTS? False for engines that don't decorrelate (ClickHouse)
+    supports_exists_subquery = True
 
     def expr(self, text: str) -> str:
         return text
@@ -1175,6 +1178,241 @@ class SnowflakeDialect(Dialect):
         return f"(VALUES {body}) AS t({', '.join(names)})"
 
 
+# Spark-SQL functions that are valid ClickHouse verbatim. ClickHouse
+# function names are case-SENSITIVE camelCase for the statistical
+# family — those go through the rename map, not the shared set.
+# Deliberately excluded: window/ranking functions (the reference
+# dialect declares supportsWindowFunctions() false — ClickHouse's
+# window support postdates it and is behind settings on older LTS;
+# refuse-over-wrong), md5 (ClickHouse MD5() returns FixedString(16)
+# bytes, Spark a hex string).
+_CLICKHOUSE_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "floor", "ceil", "ceiling", "lower", "upper", "length",
+    "trim", "ltrim", "rtrim", "concat", "substring", "substr",
+    "replace", "greatest", "least", "nullif", "corr", "sign", "sqrt",
+    "exp", "pi", "position", "reverse", "repeat", "date_trunc", "pow",
+    "power", "extract", "if",
+}
+
+_CLICKHOUSE_FN_MAP = {
+    # ≈ ClickHouseSqlDialect.unparseCall APPROX_COUNT_DISTINCT → UNIQ
+    "approx_count_distinct": "uniq",
+    "stddev": "stddevSamp",
+    "stddev_samp": "stddevSamp",
+    "stddev_pop": "stddevPop",
+    "std": "stddevSamp",
+    "var_samp": "varSamp",
+    "var_pop": "varPop",
+    "variance": "varSamp",
+    "instr": "position",
+    "ln": "log",
+    "log10": "log10",
+    "mod": "modulo",
+    "collect_list": "groupArray",
+    "size": "length",
+    "startswith": "startsWith",
+    "endswith": "endsWith",
+    "lcase": "lower",
+    "ucase": "upper",
+}
+
+# ≈ ClickHouseSqlDialect.getCastSpec (FixedString/Int8..Int64/
+# Float32/Float64/Date/DateTime); MULTISET throws there, binary has no
+# stable cast target → refuse
+_CLICKHOUSE_TYPE_MAP = {
+    "string": "String",
+    "varchar": "String",
+    "char": "String",
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "integer": "Int32",
+    "bigint": "Int64",
+    "long": "Int64",
+    "float": "Float32",
+    "real": "Float32",
+    "double": "Float64",
+    "date": "Date",
+    "timestamp": "DateTime",
+    "boolean": "UInt8",
+}
+
+_DATE_LIT_RE = re.compile(r"\b(DATE|TIMESTAMP)\s*'([^']*)'", re.I)
+
+
+class ClickHouseDialect(Dialect):
+    """≈ sql/dialect/ClickHouseSqlDialect.java. Refuse-over-wrong; the
+    ClickHouse-specific structural forms:
+      * DATE/TIMESTAMP literals → toDate('..')/toDateTime('..')
+        (unparseDateTimeLiteral — ClickHouse has no ANSI typed literal),
+      * LIMIT offset, fetch (unparseOffsetFetch); OFFSET without a
+        LIMIT refuses (the reference requires fetch non-null),
+      * window functions refuse (supportsWindowFunctions() = false),
+      * SEMI/ANTI refuse — the generic lowering is correlated
+        [NOT] EXISTS, which ClickHouse's planner does not decorrelate,
+      * set ops: ClickHouse INTERSECT/EXCEPT default to ALL (bag)
+        semantics, the inverse of the SQL standard — DISTINCT is
+        spelled explicitly on every set op so nothing silently drifts,
+      * VALUES in FROM → SELECT ... UNION ALL emulation
+        (supportsAliasedValues() = false),
+      * CAST targets from getCastSpec's closed list (String, Int8..64,
+        Float32/64, Date, DateTime); BINARY refuses,
+      * statistical aggregates renamed to the camelCase family
+        (stddevSamp/varPop/...), APPROX_COUNT_DISTINCT → uniq.
+    Nullable(...) wrapping is NOT emitted: the IR does not track
+    nullability, and ClickHouse implicitly widens on comparison."""
+
+    name = "clickhouse"
+    semi_join_kw = None
+    anti_join_kw = None
+    supports_exists_subquery = False
+
+    def expr(self, text: str) -> str:
+        if re.search(r"\bover\s*\(", text, re.I):
+            raise UnsupportedDialectExpression(
+                "clickhouse dialect refuses window functions "
+                "(ClickHouseSqlDialect.supportsWindowFunctions = false)"
+            )
+        if re.search(r"\bexists\s*\(", text, re.I):
+            raise UnsupportedDialectExpression(
+                "clickhouse dialect refuses correlated EXISTS"
+            )
+        text = _DATE_LIT_RE.sub(
+            lambda m: (
+                ("toDate" if m.group(1).upper() == "DATE" else "toDateTime")
+                + f"('{m.group(2)}')"
+            )
+            if not text.count("'", 0, m.start()) % 2
+            else m.group(0),
+            text,
+        )
+        text = _rewrite_cast_types(
+            text, _CLICKHOUSE_TYPE_MAP, refuse=frozenset({"binary"})
+        )
+        text = _rewrite_extract_units(text)
+        return _check_and_map_calls(
+            text,
+            _CLICKHOUSE_SHARED | {"todate", "todatetime", "uniq"},
+            _CLICKHOUSE_FN_MAP,
+            self.name,
+        )
+
+    def sort_key(self, text: str) -> str:
+        # NULLS FIRST/LAST is native ClickHouse ORDER BY syntax
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def setop_kw(self, kind: str) -> str:
+        # explicit DISTINCT everywhere: CH INTERSECT/EXCEPT are bag ops
+        # by default and UNION requires a mode when settings demand it
+        return {
+            "UNION": "UNION DISTINCT",
+            "UNION_ALL": "UNION ALL",
+            "INTERSECT": "INTERSECT DISTINCT",
+            "INTERSECT_ALL": "INTERSECT",
+            "EXCEPT": "EXCEPT DISTINCT",
+            "EXCEPT_ALL": "EXCEPT",
+        }[kind]
+
+    def rollup_clause(self, keys: list[str]) -> str:
+        return f" GROUP BY {', '.join(keys)} WITH ROLLUP"
+
+    def cube_clause(self, keys: list[str]) -> str:
+        return f" GROUP BY {', '.join(keys)} WITH CUBE"
+
+    def fetch_clause(self, offset, fetch, has_order):
+        # ≈ unparseOffsetFetch: LIMIT [offset,] fetch; requireNonNull(fetch)
+        if fetch is None:
+            if offset:
+                raise UnsupportedDialectExpression(
+                    "clickhouse LIMIT form requires a fetch count with OFFSET"
+                )
+            return ""
+        return f" LIMIT {offset}, {fetch}" if offset else f" LIMIT {fetch}"
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+    def literal(self, v) -> str:
+        if isinstance(v, bool):
+            return "1" if v else "0"  # unparseBoolLiteralToCondition analog
+        return super().literal(v)
+
+
+# Redshift is PostgreSQL-descended: start from the PG shared surface,
+# minus the array/list machinery (Redshift has no ARRAY type — SUPER
+# paths differ semantically) and minus PG-only names Redshift dropped.
+_REDSHIFT_SHARED = _PG_SHARED - {"corr", "covar_pop", "covar_samp"} | {
+    "listagg", "charindex", "dateadd", "datediff", "date_part",
+}
+
+_REDSHIFT_FN_MAP = {
+    "instr": "strpos",
+    "startswith": "starts_with",
+    "std": "stddev",
+}
+
+# ≈ RedshiftSqlDialect.getCastSpec: tinyint → int2 (no 1-byte int),
+# double → float8 (quoted-identifier-safe spelling); the rest are the
+# PG names Redshift inherits
+_REDSHIFT_TYPE_MAP = {
+    "string": "VARCHAR",
+    "tinyint": "int2",
+    "double": "float8",
+    "float": "float4",
+    "long": "BIGINT",
+    "binary": "VARBYTE",
+}
+
+
+class RedshiftDialect(Dialect):
+    """≈ sql/dialect/RedshiftSqlDialect.java. PostgreSQL-descended, so
+    the structure mirrors our PG dialect (SEMI/ANTI → [NOT] EXISTS,
+    EXTRACT shorthand rewrite, LIMIT/OFFSET row limiting per
+    unparseOffsetFetch → unparseFetchUsingLimit); the divergences:
+      * CAST targets tinyint → int2, double → float8 (getCastSpec —
+        Redshift's quoted-safe spellings), binary → VARBYTE,
+      * VALUES in FROM refuses to a UNION ALL emulation
+        (supportsAliasedValues() = false — Redshift has no FROM-position
+        VALUES at all),
+      * INTERSECT ALL / EXCEPT ALL refuse (Redshift implements only the
+        DISTINCT set ops),
+      * no ARRAY type: collect_list/array_agg/size refuse rather than
+        landing on SUPER with different semantics."""
+
+    name = "redshift"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _REDSHIFT_TYPE_MAP)
+        text = _rewrite_extract_units(text)
+        return _check_and_map_calls(
+            text, _REDSHIFT_SHARED, _REDSHIFT_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def setop_kw(self, kind: str) -> str:
+        if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
+            raise UnsupportedDialectExpression(
+                f"redshift has no {kind.replace('_', ' ')} (DISTINCT set ops only)"
+            )
+        return super().setop_kw(kind)
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
@@ -1185,6 +1423,8 @@ MSSQL = MssqlDialect()
 TRINO = TrinoDialect()
 HIVE = HiveDialect()
 SNOWFLAKE = SnowflakeDialect()
+CLICKHOUSE = ClickHouseDialect()
+REDSHIFT = RedshiftDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -1287,6 +1527,11 @@ class _Emitter:
             return f"SELECT * FROM {left} CROSS JOIN {right}"
         kw_for = {"SEMI": d.semi_join_kw, "ANTI": d.anti_join_kw}
         if jt in kw_for and kw_for[jt] is None:
+            if not d.supports_exists_subquery:
+                raise UnsupportedDialectExpression(
+                    f"{d.name} has no {jt} JOIN keyword and its planner "
+                    "does not decorrelate the [NOT] EXISTS lowering"
+                )
             # dialect without this join's keyword: lower to correlated
             # [NOT] EXISTS (what Calcite's converter does for e.g.
             # PostgresqlSqlDialect; Hive has LEFT SEMI JOIN but no ANTI

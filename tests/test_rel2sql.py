@@ -755,3 +755,139 @@ def test_snowflake_renames_and_refusals(cat):
         SNOWFLAKE.expr("instr(c_name, 'x')")
     with pytest.raises(UnsupportedDialectExpression, match="EXCEPT ALL"):
         to_sql(plans["except_all"], SNOWFLAKE)
+
+
+# ClickHouse dialect ≈ ClickHouseSqlDialect.java. The emitted SQL is
+# largely ClickHouse-only (toDate literals, LIMIT o, f; WITH ROLLUP),
+# so coverage is split: the shapes whose emission happens to be valid
+# DuckDB run with real rows, the ClickHouse-only forms are pinned
+# textually (the RelToSqlConverterTest.java method).
+CLICKHOUSE_EXECUTABLE_SHAPES = [
+    "join_agg_topk",   # plain aggregates + LIMIT n
+    "left_join",
+    "grouping_sets",   # native GROUP BY GROUPING SETS
+    "union_distinct",  # UNION DISTINCT is valid DuckDB too
+    "values_join",     # SELECT ... UNION ALL emulation
+]
+
+
+def test_clickhouse_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import CLICKHOUSE
+
+    plans = _plans(cat)
+    for name in CLICKHOUSE_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        ch_sql = to_sql(plan, CLICKHOUSE)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, ch_sql), name
+
+
+def test_clickhouse_dialect_forms(cat):
+    from calcite_spark.sql.rel2sql import CLICKHOUSE
+
+    plans = _plans(cat)
+    # typed literals → to* constructors (unparseDateTimeLiteral)
+    assert (
+        CLICKHOUSE.expr("l_shipdate <= DATE '1998-09-01'")
+        == "l_shipdate <= toDate('1998-09-01')"
+    )
+    assert (
+        CLICKHOUSE.expr("ts < TIMESTAMP '2024-01-01 00:00:00'")
+        == "ts < toDateTime('2024-01-01 00:00:00')"
+    )
+    # a literal inside a string stays a string
+    assert CLICKHOUSE.expr("x = 'DATE ''1998'''") == "x = 'DATE ''1998'''"
+    # getCastSpec closed list
+    assert CLICKHOUSE.expr("CAST(x AS double)") == "CAST(x AS Float64)"
+    assert CLICKHOUSE.expr("CAST(x AS string)") == "CAST(x AS String)"
+    assert CLICKHOUSE.expr("CAST(x AS tinyint)") == "CAST(x AS Int8)"
+    # camelCase statistical family + uniq
+    assert (
+        CLICKHOUSE.expr("stddev(x) + var_pop(y) + approx_count_distinct(z)")
+        == "stddevSamp(x) + varPop(y) + uniq(z)"
+    )
+    # LIMIT offset, fetch (unparseOffsetFetch)
+    sql = to_sql(plans["offset_fetch"], CLICKHOUSE)
+    assert "LIMIT 5, 10" in sql
+    # WITH ROLLUP / WITH CUBE group forms
+    assert "WITH ROLLUP" in to_sql(plans["rollup"], CLICKHOUSE)
+    # set-op spelling is ALWAYS explicit (CH INTERSECT/EXCEPT default
+    # to bag semantics — the inverse of the standard)
+    assert CLICKHOUSE.setop_kw("INTERSECT") == "INTERSECT DISTINCT"
+    assert CLICKHOUSE.setop_kw("INTERSECT_ALL") == "INTERSECT"
+    assert CLICKHOUSE.setop_kw("EXCEPT") == "EXCEPT DISTINCT"
+    assert CLICKHOUSE.setop_kw("EXCEPT_ALL") == "EXCEPT"
+    assert "UNION DISTINCT" in to_sql(plans["union_distinct"], CLICKHOUSE)
+    # bool literal → condition form (unparseBoolLiteralToCondition)
+    assert CLICKHOUSE.literal(True) == "1" and CLICKHOUSE.literal(False) == "0"
+
+
+def test_clickhouse_refusals(cat):
+    from calcite_spark.sql.rel2sql import CLICKHOUSE
+
+    plans = _plans(cat)
+    # supportsWindowFunctions() = false
+    with pytest.raises(UnsupportedDialectExpression, match="window"):
+        to_sql(plans["window"], CLICKHOUSE)
+    # no SEMI keyword and no decorrelated EXISTS
+    with pytest.raises(UnsupportedDialectExpression, match="SEMI"):
+        to_sql(plans["semi_join"], CLICKHOUSE)
+    # OFFSET requires a fetch count in the LIMIT o, f form
+    with pytest.raises(UnsupportedDialectExpression, match="fetch"):
+        CLICKHOUSE.fetch_clause(5, None, True)
+    # BINARY has no ClickHouse cast target
+    with pytest.raises(UnsupportedDialectExpression, match="binary"):
+        CLICKHOUSE.expr("CAST(x AS binary)")
+    # md5 returns bytes in CH, hex string in Spark — refuse
+    with pytest.raises(UnsupportedDialectExpression, match="md5"):
+        CLICKHOUSE.expr("md5(text)")
+
+
+# Redshift dialect ≈ RedshiftSqlDialect.java — PostgreSQL-descended, so
+# nearly everything lands on the DuckDB-executable surface.
+REDSHIFT_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_redshift_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import REDSHIFT
+
+    plans = _plans(cat)
+    for name in REDSHIFT_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        rs_sql = to_sql(plan, REDSHIFT)
+        df = plan.to_df(cat)
+        assert_matches_oracle(df, duck, rs_sql), name
+
+
+def test_redshift_forms_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import REDSHIFT
+
+    plans = _plans(cat)
+    # getCastSpec: the quoted-identifier-safe spellings
+    assert REDSHIFT.expr("CAST(x AS tinyint)") == "CAST(x AS int2)"
+    assert REDSHIFT.expr("CAST(x AS double)") == "CAST(x AS float8)"
+    assert REDSHIFT.expr("CAST(x AS binary)") == "CAST(x AS VARBYTE)"
+    assert REDSHIFT.expr("instr(a, 'b')") == "strpos(a, 'b')"
+    assert REDSHIFT.expr("year(d)") == "EXTRACT(YEAR FROM d)"
+    # no ARRAY type: the list machinery refuses instead of landing on
+    # SUPER with different semantics
+    with pytest.raises(UnsupportedDialectExpression, match="collect_list"):
+        REDSHIFT.expr("collect_list(x)")
+    # DISTINCT set ops only
+    with pytest.raises(UnsupportedDialectExpression, match="EXCEPT ALL"):
+        to_sql(plans["except_all"], REDSHIFT)
+    # no FROM-position VALUES (supportsAliasedValues = false)
+    assert "UNION ALL" in to_sql(plans["values_join"], REDSHIFT)
+    assert "VALUES" not in to_sql(plans["values_join"], REDSHIFT)
