@@ -1034,11 +1034,17 @@ def _contains_xy(poly: str, qx: str, qy: str) -> str:
 
 
 def _poly_covers_poly(outer: str, inner: str) -> str:
-    """Every vertex of `inner` strictly inside `outer` (ray cast). For
-    simple non-boundary-touching polygons this implies full containment
-    when combined with the st_intersects pre-check in the callers;
-    boundary-touching nests fall through to the runtime refusal."""
-    return f"forall({inner}.pts, q -> {_contains_xy(outer, 'q.x', 'q.y')})"
+    """Every vertex of `inner` strictly inside a CONVEX `outer`. The
+    convexity gate is what makes vertex containment imply full
+    containment: for a concave outer ring an inner edge can cross the
+    notch with both endpoints inside (all-vertices-in would then claim
+    a nest that isn't one — review finding r5). Concave-outer nests
+    therefore fall through to the callers' runtime refusal, matching
+    the refuse-over-wrong contract; boundary-touching nests likewise."""
+    return (
+        f"({st_is_convex(outer)} AND "
+        f"forall({inner}.pts, q -> {_contains_xy(outer, 'q.x', 'q.y')}))"
+    )
 
 
 def st_intersection(g1: str, g2: str) -> str:

@@ -141,7 +141,10 @@ def ivf_build_deterministic(
     independent row-local computation — no cross-partition float
     accumulation), which the snapshot-oracle evidence path requires.
     Returns (assigned_corpus, centroids); same contract as ivf_build."""
-    seeds = corpus.filter(f"{corpus_id} < {n_clusters}").orderBy(corpus_id).collect()
+    # first-by-id via sort+limit: ids may be sparse or offset (post-dedup
+    # corpora rarely stay dense 0-based) — a `< n_clusters` filter would
+    # silently yield an undersized or empty centroid list
+    seeds = corpus.orderBy(corpus_id).limit(n_clusters).collect()
     centroids = [list(map(float, r[corpus_vec])) for r in seeds]  # bounded: n_clusters rows
     assigned = corpus.selectExpr(
         corpus_id, corpus_vec, f"{_centroid_argmax_expr(corpus_vec, centroids)} AS cluster"

@@ -116,11 +116,76 @@ def column_origins(node: ir.RelNode, column: str, catalog) -> frozenset | None:
 
 def lineage_report(node: ir.RelNode, catalog) -> dict:
     """{output column -> frozenset[Origin] | None} for every output
-    column of the plan. Column list comes from the analyzed (not
-    executed) DataFrame schema."""
-    return {
-        c: column_origins(node, c, catalog) for c in node.to_df(catalog).columns
-    }
+    column of the plan. The column list is computed STRUCTURALLY
+    (schema probes only — a federated scan must never be fetched just
+    to read its column names); plans containing unmodeled nodes fall
+    back to the analyzed DataFrame schema, which for an all-local plan
+    is still analysis-only."""
+    cols = _output_columns(node, catalog)
+    if cols is None:
+        cols = node.to_df(catalog).columns
+    return {c: column_origins(node, c, catalog) for c in cols}
+
+
+def _output_columns(node: ir.RelNode, catalog) -> list | None:
+    """Structural output column list; None when a node's output shape
+    isn't modeled (callers fall back or treat as unknown)."""
+    if isinstance(node, ir.Scan):
+        return _scan_columns(node.table, catalog)
+    if isinstance(node, ir.Values):
+        return [c.strip().split()[0] for c in node.schema.split(",")]
+    if isinstance(node, ir.Project):
+        child = None
+        out = []
+        for e in node.exprs:
+            body, alias = _split_alias(e)
+            if (alias or body) == "*":
+                if child is None:
+                    child = _output_columns(node.inputs[0], catalog)
+                    if child is None:
+                        return None
+                out.extend(child)
+            else:
+                out.append(alias or body)
+        return out
+    if isinstance(node, ir.Aggregate):
+        out = []
+        for k in node.group_keys:
+            body, alias = _split_alias(k)
+            out.append(alias or body)
+        for c in node.agg_calls:
+            body, alias = _split_alias(c)
+            out.append(alias or body)
+        return out
+    if isinstance(node, ir.Window):
+        out = []
+        for k in node.keep:
+            if k == "*":
+                child = _output_columns(node.inputs[0], catalog)
+                if child is None:
+                    return None
+                out.extend(child)
+            else:
+                body, alias = _split_alias(k)
+                out.append(alias or body)
+        for e in node.window_exprs:
+            body, alias = _split_alias(e)
+            out.append(alias or body)
+        return out
+    if isinstance(node, ir.Join):
+        l = _output_columns(node.inputs[0], catalog)
+        if node.join_type.upper() in ("SEMI", "ANTI"):
+            return l
+        r = _output_columns(node.inputs[1], catalog)
+        return None if l is None or r is None else l + r
+    if isinstance(node, ir.SetOp):
+        return _output_columns(node.inputs[0], catalog)
+    if isinstance(
+        node,
+        (ir.Filter, ir.Sort, ir.Sample, ir.Exchange, ir.Snapshot, ir.Spool),
+    ):
+        return _output_columns(node.inputs[0], catalog)
+    return None
 
 
 def _scan_columns(table: str, catalog) -> list[str]:
@@ -162,16 +227,20 @@ def _origins(node: ir.RelNode, column: str, catalog) -> set:
                 return _derive_from_expr(body, node.inputs[0], catalog)
         for c in node.agg_calls:
             body, alias = _split_alias(c)
-            if alias is not None and alias.lower() == column.lower():
+            # unaliased calls surface under their expression text
+            # ("sum(salary)") — still derived, never "no origin"
+            name = alias or body
+            if name.lower() == column.lower():
                 # ≈ createDerivedColumnOrigins for aggregate calls
                 return _derive_from_expr(body, node.inputs[0], catalog)
-        # GROUPING()/grouping_id pseudo columns etc.: no base origin
-        return set()
+        # column isn't a key or a call output: unknown, NOT provably
+        # origin-free (empty would falsely clear a PII audit)
+        raise _Unknown(f"Aggregate output {column!r} unresolved")
 
     if isinstance(node, ir.Window):
         for e in node.window_exprs:
             body, alias = _split_alias(e)
-            if alias is not None and alias.lower() == column.lower():
+            if (alias or body).lower() == column.lower():
                 return _derive_from_expr(body, node.inputs[0], catalog)
         return _origins(node.inputs[0], column, catalog)
 
@@ -191,15 +260,21 @@ def _origins(node: ir.RelNode, column: str, catalog) -> set:
 
     if isinstance(node, ir.SetOp):
         # positional union ≈ getColumnOrigins(SetOp ...): resolve the
-        # output ordinal, then that ordinal in EVERY input
-        first_cols = node.inputs[0].to_df(catalog).columns
+        # output ordinal, then that ordinal in EVERY input. Structural
+        # column lists only — never to_df, which would fetch a
+        # federated scan just to read names
+        first_cols = _output_columns(node.inputs[0], catalog)
+        if first_cols is None:
+            raise _Unknown("SetOp input shape unresolved")
         lowered = [c.lower() for c in first_cols]
         if column.lower() not in lowered:
             return set()
         pos = lowered.index(column.lower())
         out: set = set()
         for inp in node.inputs:
-            cols = inp.to_df(catalog).columns
+            cols = _output_columns(inp, catalog)
+            if cols is None:
+                raise _Unknown("SetOp input shape unresolved")
             out |= _origins(inp, cols[pos], catalog)
         return out
 

@@ -436,10 +436,37 @@ def _split_conjuncts(cond: str) -> list[str]:
     """Split on TOP-LEVEL AND only: depth-counted parens, and string
     literals are opaque (an AND or paren inside '...' neither splits nor
     changes depth — a split there corrupts the literal when conjuncts
-    are re-joined)."""
+    are re-joined).
+
+    A top-level OR anywhere makes the WHOLE expression one disjunction
+    (AND binds tighter: "x AND y OR z" is "(x AND y) OR z", so no
+    AND-split piece is individually guaranteed) — return it unsplit.
+    Every caller treats the returned pieces as independently-held
+    conjuncts; splitting across a disjunction would let transitive
+    predicate inference push a filter that drops valid rows."""
 
     def _is_word(ch: str) -> bool:
         return ch.isalnum() or ch == "_"
+
+    # pre-scan: top-level OR → single conjunct
+    depth, in_str, i, n = 0, False, 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        elif (
+            not in_str
+            and depth == 0
+            and cond[i : i + 2].upper() == "OR"
+            and (i == 0 or not _is_word(cond[i - 1]))
+            and (i + 2 >= n or not _is_word(cond[i + 2]))
+        ):
+            return [cond.strip()]
+        i += 1
 
     parts, cur = [], []
     depth, in_str, i, n = 0, False, 0, len(cond)

@@ -184,6 +184,12 @@ class Dialect:
             c += f" OFFSET {offset}"
         return c
 
+    def derived_table(self, body: str, alias: str) -> str:
+        """Render a parenthesized sub-select with its alias. ANSI allows
+        the AS keyword; Oracle rejects it before table aliases
+        (ORA-00933) — OracleSqlDialect omits it for the same reason."""
+        return f"{body} AS {alias}"
+
     def _values_as_union(self, rows, names, from_suffix: str = "") -> str:
         """VALUES emulation for dialects without a FROM-position VALUES
         clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward; Oracle
@@ -199,7 +205,7 @@ class Dialect:
                 else ", ".join(self.literal(v) for v in row)
             )
             selects.append(f"SELECT {cols}{from_suffix}")
-        return f"({' UNION ALL '.join(selects)}) AS t"
+        return self.derived_table(f"({' UNION ALL '.join(selects)})", "t")
 
 
 class SparkDialect(Dialect):
@@ -353,7 +359,7 @@ def _rewrite_cast_types(text: str, type_map: dict, refuse: frozenset = frozenset
             i = m.end()
             continue
         arg, close = _balanced_arg(text, m.end())
-        arg = _rewrite_cast_types(arg, type_map)
+        arg = _rewrite_cast_types(arg, type_map, refuse)  # nested CASTs keep the refusal list
         # the cast type is the token after the LAST top-level " AS "
         last_as = None
         for am in re.finditer(r"(?i)\bAS\b", arg):
@@ -573,6 +579,10 @@ _BQ_TRUNC_UNITS = {
 }
 _BQ_UNIT_CANON = {
     "yyyy": "YEAR", "yy": "YEAR", "mon": "MONTH", "mm": "MONTH", "dd": "DAY",
+    # Spark date_trunc('week') snaps to MONDAY (ISO); bare BigQuery
+    # WEEK is WEEK(SUNDAY) — a silent one-day divergence. ISOWEEK is
+    # the Monday-anchored unit.
+    "week": "ISOWEEK",
 }
 
 
@@ -724,6 +734,11 @@ class OracleDialect(Dialect):
     name = "oracle"
     semi_join_kw = None
     anti_join_kw = None
+
+    def derived_table(self, body: str, alias: str) -> str:
+        # Oracle rejects AS before table aliases (ORA-00933);
+        # OracleSqlDialect likewise unparses bare "(...) alias"
+        return f"{body} {alias}"
 
     def _rewrite_date_trunc(self, text: str) -> str:
         pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
@@ -1455,7 +1470,7 @@ class _Emitter:
             if self.d.name == "spark":
                 return v  # Spark: FROM VALUES ... AS t(...)
             return v
-        return f"({self.select(node)}) AS {self._alias()}"
+        return self.d.derived_table(f"({self.select(node)})", self._alias())
 
     def select(self, node: ir.RelNode) -> str:
         d = self.d
@@ -1569,8 +1584,14 @@ class _Emitter:
             clauses += " ORDER BY " + ", ".join(d.sort_key(k) for k in node.keys)
         fc = d.fetch_clause(node.offset, node.fetch, bool(node.keys))
         if isinstance(fc, tuple):  # ("top", n): SELECT TOP n wrap (MSSQL)
-            return f"SELECT TOP {fc[1]} * FROM ({inner}) AS {self._alias()}"
+            return (
+                f"SELECT TOP {fc[1]} * FROM "
+                f"{d.derived_table(f'({inner})', self._alias())}"
+            )
         clauses += fc
         if isinstance(child, ir.SetOp):
-            return f"SELECT * FROM ({inner}) AS {self._alias()}{clauses}"
+            return (
+                f"SELECT * FROM "
+                f"{d.derived_table(f'({inner})', self._alias())}{clauses}"
+            )
         return inner + clauses

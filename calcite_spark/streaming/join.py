@@ -101,10 +101,15 @@ def interval_join(
                 "(they bound the state store; Calcite's 'finite distance' "
                 "condition, stream.md:814)"
             )
+    # with_watermark handles the Spark-4.1 parquet NTZ surface
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) the same way the TVF
+    # builders do — one shared implementation, not a re-derivation
+    from calcite_spark.streaming.tvf import with_watermark
+
     if left_watermark is not None:
-        left = left.withWatermark(left_ts, left_watermark)
+        left = with_watermark(left, left_ts, left_watermark)
     if right_watermark is not None:
-        right = right.withWatermark(right_ts, right_watermark)
+        right = with_watermark(right, right_ts, right_watermark)
 
     # collision policy: keys merge (left's copy wins), the right
     # timestamp is auto-prefixed, anything else is refused
@@ -136,7 +141,15 @@ def interval_join(
     cond = cond & (rt <= lt + F.expr(f"INTERVAL {hi} SECOND"))
 
     joined = l.join(r, cond, how_l)
-    out = [F.col(f"__l.{c}").alias(c) for c in lcols]
+    # key columns: a RIGHT/FULL join null-extends the LEFT side, so an
+    # unmatched right row's key only exists on __r — coalesce, or every
+    # unmatched row lands in one NULL key group downstream
+    def _out_left(c):
+        if c in keys and how_l in ("right", "full"):
+            return F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{c}")).alias(c)
+        return F.col(f"__l.{c}").alias(c)
+
+    out = [_out_left(c) for c in lcols]
     out.append(F.col(f"__r.{right_ts}").alias(out_right_ts))
     out.extend(
         F.col(f"__r.{c}").alias(c)

@@ -7,6 +7,8 @@ use case — oracle and query from ONE plan, no drift).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from calcite_spark.plans.builder import RelBuilder
@@ -891,3 +893,23 @@ def test_redshift_forms_and_refusals(cat):
     # no FROM-position VALUES (supportsAliasedValues = false)
     assert "UNION ALL" in to_sql(plans["values_join"], REDSHIFT)
     assert "VALUES" not in to_sql(plans["values_join"], REDSHIFT)
+
+
+def test_review_r5_regressions(cat):
+    """Pins for the round-5 self-review findings."""
+    from calcite_spark.sql.rel2sql import BIGQUERY, CLICKHOUSE, ORACLE
+
+    plans = _plans(cat)
+    # Oracle rejects AS before table aliases (ORA-00933): derived
+    # tables and the VALUES emulation must emit bare "(...) t"
+    ora = to_sql(plans["values_join"], ORACLE)
+    assert " AS t" not in ora.replace("AS t(", "(")  # column aliases still use AS
+    assert re.search(r"\) t\b", ora), ora
+    # Spark date_trunc('week') is Monday-anchored; bare BigQuery WEEK
+    # is WEEK(SUNDAY) — the unit must be ISOWEEK
+    assert (
+        BIGQUERY.expr("date_trunc('week', ts)") == "TIMESTAMP_TRUNC(ts, ISOWEEK)"
+    )
+    # refused cast targets survive into nested CASTs
+    with pytest.raises(UnsupportedDialectExpression, match="binary"):
+        CLICKHOUSE.expr("CAST(CAST(x AS binary) AS string)")

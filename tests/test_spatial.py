@@ -645,3 +645,20 @@ def test_convex_hull_unit():
     assert {(p["x"], p["y"]) for p in out["pts"]} == {
         (0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 2.0), (0.0, 2.0)
     }
+
+
+def test_union_concave_outer_vertex_trap_refuses(spark):
+    """All vertices of the second polygon sit inside the U's arms, but
+    its bottom edge crosses the notch — vertex containment alone would
+    claim a nest (review finding r5). The convexity gate on
+    _poly_covers_poly must push this to the runtime refusal instead of
+    returning the outer ring."""
+    u_shape = _poly(
+        (0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0),
+        (2.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0),
+    )
+    spanner = _poly((0.5, 2.5), (2.5, 2.5), (2.5, 2.8), (0.5, 2.8))
+    with pytest.raises(Exception, match="ST_Union"):
+        _one(spark, f"size({T('ST_UNION', u_shape, spanner)})")
+    with pytest.raises(Exception, match="ST_Difference"):
+        _one(spark, T("ST_AREA", T("ST_DIFFERENCE", spanner, u_shape)))

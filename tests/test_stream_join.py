@@ -224,6 +224,22 @@ def test_validation_surface(spark):
         )
 
 
+def test_full_outer_batch_keys_coalesced(spark):
+    """RIGHT/FULL joins null-extend the LEFT side: an unmatched right
+    row must surface its own key, not NULL (review finding r5)."""
+    o = _batch(spark, ORDERS, O_ROWS)
+    s = _batch(spark, SHIPS, S_ROWS)
+    got = interval_join(
+        o, s, on="order_id", left_ts="ts", right_ts="ship_ts",
+        upper="1 hour", how="full",
+    )
+    rows = got.collect()
+    # the orphan shipment (order 99) keeps its key
+    orphan = [r for r in rows if r.carrier == "dhl" and r.product is None]
+    assert any(r.order_id == 99 for r in orphan)
+    assert all(r.order_id is not None for r in rows)
+
+
 def test_ts_collision_prefixes(spark):
     """Same timestamp column name on both sides → right side lands as
     right_<name>, no silent overwrite."""

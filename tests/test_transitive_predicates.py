@@ -175,3 +175,21 @@ def test_inferred_predicate_reaches_parquet_scan(spark, cat):
         _re.search(r"PushedFilters: \[[^\]]*LessThan\(o_custkey,100\)", blk)
         for blk in scans
     ), scans[0][:500]
+
+
+def test_top_level_or_blocks_inference(spark, cat):
+    """SQL precedence: "x AND y OR z" is "(x AND y) OR z", so no
+    AND-split piece is individually guaranteed — the rule must not
+    push "c_custkey < 100" across the join (review finding r5)."""
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .filter("c_custkey < 100 AND c_mktsegment = 'BUILDING' OR c_custkey > 140")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .aggregate([], ["COUNT(*) AS n"])
+        .build()
+    )
+    out = PROGRAM.run(plan, cat)
+    assert not any("o_custkey < 100" in f for f in _filters(out))
+    assert out.to_df(cat).collect() == plan.to_df(cat).collect()
