@@ -20,10 +20,11 @@ Scale shape (the 100 TB story):
     the join key, AQE handles skewed hub vertices;
   * rounds = graph DIAMETER. Near-dup graphs have tiny components
     (transitive near-duplicates of one document), diameter ≲ 5, so
-    min-propagation beats the O(log n) large-star/small-star scheme
+    min-propagation beats the O(log²) large-star/small-star scheme
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) which pays ~2 shuffles per round; that scheme is the
-    documented upgrade path for adversarial long-chain graphs;
+    SoCC'14) which pays ~2 shuffles per phase; that scheme IS
+    implemented (algorithm="star") for adversarial long-chain graphs
+    where diameter rounds would exhaust the iteration bound;
   * lineage is truncated per round with localCheckpoint (the same
     driver-loop pattern as ir.RepeatUnion / WITH RECURSIVE), so plans
     stay O(1) instead of O(rounds);
@@ -43,6 +44,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components of an edge list.
 
@@ -50,8 +53,26 @@ def connected_components(
     of the component. Only vertices that appear in `edges` are emitted
     (isolated documents have no dup pair — left-join them back if a
     total labelling is needed). `max_iter` bounds runaway graphs; the
-    loop exits early at the fixpoint (diameter rounds).
+    loop exits early at the fixpoint.
+
+    algorithm:
+      * "propagation" (default) — min-label propagation, 1 join + 1
+        groupBy-min shuffle per round, rounds = component DIAMETER.
+        The right choice for dup graphs (diameter ≲ 5).
+      * "star" — alternating large-star/small-star (Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", SoCC'14),
+        ~2 shuffles per phase but O(log²) rounds worst-case: the
+        upgrade path for adversarial long-chain graphs where
+        propagation's diameter-bounded loop would exhaust max_iter
+        and return a NON-fixpoint labelling.
+
+    `stats`, if given, receives {"rounds": n, "converged": bool} so
+    callers (and tests) can see which regime the graph was in.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter, stats)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     sym = fwd.union(rev).where("u IS NOT NULL AND v IS NOT NULL")
@@ -82,8 +103,100 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]  # 1-row probe
         if cur_sum == prev_sum:
-            break
+            if stats is not None:
+                stats["rounds"] = _ + 1
+                stats["converged"] = True
+            return labels
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = max_iter
+        stats["converged"] = False
+    return labels
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star ≈ Kiveris et al. SoCC'14 §3.
+
+    Per alternation the edge set contracts toward a forest of STARS
+    whose centers are component minima:
+      * large-star: every node hooks its strictly-LARGER neighbours to
+        the minimum of its closed neighbourhood — long tails shortcut
+        toward small ids without ever increasing edge count;
+      * small-star: every node folds itself and its ≤-neighbours onto
+        that minimum — the contraction step.
+    Both phases are a groupBy-min plus an edge re-map (2 shuffles), all
+    hash-partitioned on the node key; rounds are O(log²) in the worst
+    case vs propagation's O(diameter). Fixpoint test: the (count,
+    sum(u), sum(v)) checksum of the normalized edge set is invariant
+    exactly at convergence (each phase only ever lowers labels)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where("u IS NOT NULL AND v IS NOT NULL AND u != v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed):
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where("v > u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed):
+        norm = ed.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        ).where("hi != lo")
+        mins = norm.groupBy("hi").agg(F.min("lo").alias("m"))
+        folded = (
+            norm.join(mins, "hi")
+            .where("lo != m")
+            .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+        return folded.union(centers).distinct()
+
+    prev_sig = None
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_iter + 1):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(
+            e.select(
+                F.count(F.lit(1)),
+                F.sum(F.greatest("u", "v")),
+                F.sum(F.least("u", "v")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    # at the fixpoint e is a star forest: (node → component min) for
+    # every non-center; centers label themselves via the left join
+    labels = (
+        all_nodes.join(e.select(F.col("u").alias("id"), "v"), "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce("v", F.col("id"))).alias("comp"))
+    )
     return labels
 
 

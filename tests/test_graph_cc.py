@@ -53,3 +53,47 @@ def test_max_iter_bounds_runaway(spark):
     assert len(got) == 12  # all vertices labelled
     full = _cc_map(connected_components(edges))
     assert set(full.values()) == {1}
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "src INT, dst INT"
+    )
+    prop = _cc_map(connected_components(df))
+    star = _cc_map(connected_components(df, algorithm="star"))
+    assert star == prop
+
+
+def test_star_converges_on_long_chain_where_propagation_cannot(spark):
+    """64-vertex chain, max_iter=12: propagation needs diameter (63)
+    rounds and must report non-convergence; large-star/small-star
+    converges in O(log^2) alternations and labels the whole chain with
+    its minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src INT, dst INT"
+    )
+    pstats: dict = {}
+    prop = _cc_map(connected_components(edges, max_iter=12, stats=pstats))
+    assert pstats["converged"] is False
+    assert set(prop.values()) != {0}  # honest: not a fixpoint
+
+    sstats: dict = {}
+    star = _cc_map(
+        connected_components(edges, max_iter=12, algorithm="star", stats=sstats)
+    )
+    assert sstats["converged"] is True
+    assert sstats["rounds"] <= 10
+    assert set(star.values()) == {0} and len(star) == 64
+
+
+def test_star_keeper_semantics(spark):
+    """cluster_id is still the component minimum under the star path."""
+    edges = spark.createDataFrame(
+        [(9, 4), (4, 13), (40, 41)], "src INT, dst INT"
+    )
+    got = _cc_map(connected_components(edges, algorithm="star"))
+    assert got == {9: 4, 4: 4, 13: 4, 40: 40, 41: 40}
