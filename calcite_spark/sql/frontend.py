@@ -292,10 +292,171 @@ class SqlFrontend:
             )
             text = text[:start] + lowered + text[end:]
 
+    # -- MATCH_RECOGNIZE clause ---------------------------------------
+
+    _MR_RE = re.compile(r"\b([A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(", re.I)
+    _MR_CLAUSES = re.compile(
+        r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+        r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|SUBSET|DEFINE)\b",
+        re.I,
+    )
+    _MR_INTERVAL = re.compile(
+        r"INTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY)S?", re.I
+    )
+
+    @staticmethod
+    def _balanced_span(text: str, start: int) -> tuple[str, int]:
+        """(inner text, index of closing paren) for an open paren just
+        before `start`; single-quoted strings are opaque."""
+        depth, i, in_str = 1, start, False
+        while i < len(text):
+            ch = text[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return text[start:i], i
+            i += 1
+        raise ValueError("unbalanced parens in MATCH_RECOGNIZE clause")
+
+    @staticmethod
+    def _split_top_commas(text: str) -> list[str]:
+        parts, cur, depth, in_str = [], [], 0, False
+        for ch in text:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(cur).strip())
+                    cur = []
+                    continue
+            cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur).strip())
+        return parts
+
+    def _parse_mr_spec(self, inner: str) -> dict:
+        """MATCH_RECOGNIZE clause list → match_recognize() kwargs ≈
+        SqlMatchRecognize's operand order (sql/SqlMatchRecognize.java)."""
+        marks = list(self._MR_CLAUSES.finditer(inner))
+        if not marks:
+            raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
+        segs: dict[str, str] = {}
+        for i, mk in enumerate(marks):
+            end = marks[i + 1].start() if i + 1 < len(marks) else len(inner)
+            key = re.sub(r"\s+", " ", mk.group(1).upper())
+            segs[key] = inner[mk.end() : end].strip()
+
+        spec: dict = {}
+        spec["partition_by"] = (
+            [s.strip() for s in segs["PARTITION BY"].split(",")]
+            if "PARTITION BY" in segs
+            else []
+        )
+        spec["order_by"] = (
+            [s.strip() for s in segs["ORDER BY"].split(",")]
+            if "ORDER BY" in segs
+            else []
+        )
+        spec["all_rows"] = "ALL ROWS PER MATCH" in segs
+        if "AFTER MATCH" in segs:
+            spec["after_match"] = segs["AFTER MATCH"].strip()
+        pat = segs.get("PATTERN", "")
+        pm = re.match(r"\s*\(", pat)
+        if not pm:
+            raise ValueError("PATTERN clause must be parenthesized")
+        pattern, _ = self._balanced_span(pat, pm.end())
+        spec["pattern"] = pattern.strip()
+        if "WITHIN" in segs:
+            im = self._MR_INTERVAL.match(segs["WITHIN"].strip())
+            if not im:
+                raise ValueError(
+                    f"unsupported WITHIN interval: {segs['WITHIN']!r}"
+                )
+            mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+            spec["within"] = int(im.group(1)) * mult[im.group(2).upper()]
+        subsets = {}
+        if "SUBSET" in segs:
+            for ent in self._split_top_commas(segs["SUBSET"]):
+                sm = re.match(r"(\w+)\s*=\s*\(([^)]*)\)\s*$", ent.strip())
+                if not sm:
+                    raise ValueError(f"unsupported SUBSET entry: {ent!r}")
+                subsets[sm.group(1)] = tuple(
+                    s.strip() for s in sm.group(2).split(",")
+                )
+            spec["subsets"] = subsets
+        define = {}
+        sym_names = set()
+        for ent in self._split_top_commas(segs.get("DEFINE", "")):
+            dm = re.match(r"(?is)^(\w+)\s+AS\s+(.*)$", ent.strip())
+            if not dm:
+                raise ValueError(f"unsupported DEFINE entry: {ent!r}")
+            define[dm.group(1)] = dm.group(2).strip()
+            sym_names.add(dm.group(1).upper())
+        sym_names |= {s.upper() for s in subsets}
+        # DEFINE conditions reference rows bare (our operator's
+        # convention); strip symbol qualifiers: DOWN.price -> price
+        qual = re.compile(
+            r"\b(" + "|".join(map(re.escape, sym_names)) + r")\.", re.I
+        ) if sym_names else None
+
+        def unqual(expr: str) -> str:
+            return qual.sub("", expr) if qual else expr
+
+        spec["define"] = {k: unqual(v) for k, v in define.items()}
+        measures = {}
+        for ent in self._split_top_commas(segs.get("MEASURES", "")):
+            mm = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", ent.strip())
+            if not mm:
+                raise ValueError(f"unsupported MEASURES entry: {ent!r}")
+            mexpr = re.sub(r"(?i)^\s*(FINAL|RUNNING)\s+", "", mm.group(1).strip())
+            measures[mm.group(2)] = mexpr
+        spec["measures"] = measures
+        return spec
+
+    def _expand_match_recognize(self, text: str):
+        """`FROM t MATCH_RECOGNIZE (...)` ≈ SqlMatchRecognize →
+        rel/core/Match: parse the clause list, run the NFA operator,
+        register the result as a temp view, splice the view name into
+        the surrounding SQL. Batch surface only — streaming pattern
+        matching goes through streaming/match_stream (WITHIN-bounded
+        state, a different execution contract)."""
+        from calcite_spark.operators.match_recognize import match_recognize
+
+        n = 0
+        while True:
+            m = self._MR_RE.search(text)
+            if not m:
+                return text
+            table = m.group(1)
+            inner, close = self._balanced_span(text, m.end())
+            spec = self._parse_mr_spec(inner)
+            df = match_recognize(self.catalog.table(table), **spec)
+            name = f"__mr_{n}"
+            n += 1
+            df.createOrReplaceTempView(name)
+            text = text[: m.start()] + name + text[close + 1 :]
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
+        if re.search(r"\bMATCH_RECOGNIZE\b", text, re.I):
+            if is_stream:
+                raise ValueError(
+                    "SELECT STREAM ... MATCH_RECOGNIZE: use "
+                    "streaming/match_stream.py (WITHIN-bounded state); the "
+                    "SQL surface is batch-only"
+                )
+            text = self._expand_match_recognize(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)

@@ -261,3 +261,82 @@ def test_cast_format_refuses_inexact_elements(fe):
     # numeric format models refuse too
     with _pytest.raises(UnsupportedFormatElement):
         fe.parse("SELECT CAST(x AS DECIMAL(9,2) FORMAT '999.99') FROM t")
+
+
+# -- MATCH_RECOGNIZE SQL surface (≈ SqlMatchRecognize → rel/core/Match,
+# spec core/src/test/resources/sql/match.iq) --------------------------
+
+MR_SQL = """
+SELECT user_id, mn, n_down, bottom
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES MATCH_NUMBER() AS mn,
+           COUNT(DOWN.*) AS n_down,
+           FINAL LAST(DOWN.value) AS bottom
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+         UP AS UP.value > PREV(UP.value)
+)
+WHERE user_id <= 10
+ORDER BY user_id, mn
+"""
+
+
+def test_match_recognize_sql_equals_operator_api(fe, spark):
+    from calcite_spark.operators.match_recognize import match_recognize
+
+    got = fe.sql(MR_SQL).collect()
+    api = (
+        match_recognize(
+            fe.catalog.table("events"),
+            partition_by=["user_id"],
+            order_by=["ts"],
+            pattern="STRT DOWN+ UP+",
+            define={
+                "DOWN": "value < PREV(value)",
+                "UP": "value > PREV(value)",
+            },
+            measures={
+                "mn": "MATCH_NUMBER()",
+                "n_down": "COUNT(DOWN.*)",
+                "bottom": "LAST(DOWN.value)",
+            },
+        )
+        .where("user_id <= 10")
+        .selectExpr("user_id", "mn", "n_down", "bottom")
+        .orderBy("user_id", "mn")
+        .collect()
+    )
+    assert got == api and len(got) > 0
+
+
+def test_match_recognize_sql_subset_and_within(fe):
+    df = fe.sql("""
+    SELECT user_id, span_rows
+    FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES COUNT(U.*) AS span_rows
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      WITHIN INTERVAL '2' DAY
+      SUBSET U = (A, B)
+      DEFINE A AS A.value > 100, B AS B.value > 100
+    )
+    WHERE user_id <= 5
+    """)
+    rows = df.collect()
+    assert all(r.span_rows == 2 for r in rows)
+
+
+def test_match_recognize_stream_refused(fe):
+    with pytest.raises(ValueError, match="batch-only"):
+        fe.sql("SELECT STREAM * FROM events MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS true)")
+
+
+def test_match_recognize_malformed_refused(fe):
+    with pytest.raises(ValueError, match="PATTERN"):
+        fe.sql("SELECT * FROM events MATCH_RECOGNIZE (DEFINE A AS true)")
