@@ -445,10 +445,123 @@ class SqlFrontend:
             df.createOrReplaceTempView(name)
             text = text[: m.start()] + name + text[close + 1 :]
 
+    # -- ASOF JOIN clause (Calcite 1.42 SQL surface) ------------------
+
+    _ASOF_RE = re.compile(
+        r"\b([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b|LEFT\b)([A-Za-z_]\w*))?"
+        r"\s+(LEFT\s+)?ASOF\s+JOIN\s+"
+        r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!MATCH_CONDITION\b)([A-Za-z_]\w*))?"
+        r"\s+MATCH_CONDITION\s+(.*?)\s+ON\s+(.*?)"
+        r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|INTERSECT|EXCEPT)\b|\s*;|\s*$)",
+        re.I | re.S,
+    )
+    _CMP_RE = re.compile(
+        r"^\s*([A-Za-z_]\w*(?:\.\w+)?)\s*(<=|>=|<|>)\s*([A-Za-z_]\w*(?:\.\w+)?)\s*$"
+    )
+
+    def _expand_asof_join(self, text: str) -> str:
+        """`t1 ASOF JOIN t2 MATCH_CONDITION c ON e` ≈ the SQL surface
+        added for AsofJoin (core/src/test/resources/sql/asof.iq;
+        SqlAsofJoin): resolve the match-condition's direction and
+        strictness, run operators/asof.py (one-shuffle union +
+        last-value plan), splice the result view in. Operands must be
+        catalog tables; alias qualifiers are stripped from the rest of
+        the statement afterward (column names are globally unique, the
+        same convention as the IR). Collided right columns surface with
+        an `_r` suffix (documented divergence from Calcite's `0`
+        suffix)."""
+        from calcite_spark.operators.asof import asof_join
+
+        n = 0
+        while True:
+            m = self._ASOF_RE.search(text)
+            if not m:
+                return text
+            lt, la, left_kw, rt, ra, cond, on = m.groups()
+            ldf, rdf = self.catalog.table(lt), self.catalog.table(rt)
+            lcols, rcols = set(ldf.columns), set(rdf.columns)
+            aliases = {a.lower() for a in (la, ra, lt, rt) if a}
+
+            def side_of(ref: str) -> tuple[str, str]:
+                if "." in ref:
+                    q, c = ref.split(".", 1)
+                    if q.lower() in {x.lower() for x in (la or lt, lt)}:
+                        return "L", c
+                    if q.lower() in {x.lower() for x in (ra or rt, rt)}:
+                        return "R", c
+                    raise ValueError(f"ASOF JOIN: unknown qualifier {q!r}")
+                amb = ref in lcols and ref in rcols
+                if amb:
+                    raise ValueError(
+                        f"ASOF JOIN: column {ref!r} exists on both sides — qualify it"
+                    )
+                if ref in lcols:
+                    return "L", ref
+                if ref in rcols:
+                    return "R", ref
+                raise ValueError(f"ASOF JOIN: unknown column {ref!r}")
+
+            cm = self._CMP_RE.match(cond)
+            if not cm:
+                raise ValueError(
+                    f"ASOF JOIN MATCH_CONDITION must be '<col> <|<=|>|>= <col>', got {cond!r}"
+                )
+            a_side, a_col = side_of(cm.group(1))
+            b_side, b_col = side_of(cm.group(3))
+            op = cm.group(2)
+            if {a_side, b_side} != {"L", "R"}:
+                raise ValueError("MATCH_CONDITION must compare one column per side")
+            # normalize to: right_ts OP' left_ts
+            if a_side == "R":
+                right_ts, left_ts, rop = a_col, b_col, op
+            else:
+                flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+                right_ts, left_ts, rop = b_col, a_col, flip[op]
+            direction = "backward" if rop in ("<", "<=") else "forward"
+            strict = rop in ("<", ">")
+
+            pairs = []
+            for conj in re.split(r"(?i)\bAND\b", on):
+                em = re.match(
+                    r"^\s*([A-Za-z_]\w*(?:\.\w+)?)\s*=\s*([A-Za-z_]\w*(?:\.\w+)?)\s*$",
+                    conj,
+                )
+                if not em:
+                    raise ValueError(f"ASOF JOIN ON supports equi conjuncts only: {conj!r}")
+                s1, c1 = side_of(em.group(1))
+                s2, c2 = side_of(em.group(2))
+                if {s1, s2} != {"L", "R"}:
+                    raise ValueError("ON conjunct must pair one column per side")
+                pairs.append((c1, c2) if s1 == "L" else (c2, c1))
+
+            df = asof_join(
+                ldf,
+                rdf,
+                on=pairs,
+                left_ts=left_ts,
+                right_ts=right_ts,
+                direction=direction,
+                strict=strict,
+                join_type="LEFT_ASOF" if left_kw else "ASOF",
+            )
+            name = f"__asof_{n}"
+            n += 1
+            df.createOrReplaceTempView(name)
+            text = text[: m.start(1)] + name + text[m.end():]
+            # strip now-dangling alias qualifiers (outside string literals)
+            for q in aliases:
+                qpat = re.compile(rf"\b{re.escape(q)}\.", re.I)
+                text = qpat.sub(
+                    lambda mm: "" if text.count("'", 0, mm.start()) % 2 == 0 else mm.group(0),
+                    text,
+                )
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
+        if re.search(r"\bASOF\s+JOIN\b", text, re.I):
+            text = self._expand_asof_join(text)
         if re.search(r"\bMATCH_RECOGNIZE\b", text, re.I):
             if is_stream:
                 raise ValueError(

@@ -340,3 +340,81 @@ def test_match_recognize_stream_refused(fe):
 def test_match_recognize_malformed_refused(fe):
     with pytest.raises(ValueError, match="PATTERN"):
         fe.sql("SELECT * FROM events MATCH_RECOGNIZE (DEFINE A AS true)")
+
+
+# -- ASOF JOIN SQL surface (≈ SqlAsofJoin, asof.iq) --------------------
+
+
+def test_asof_join_sql_equals_operator_api(fe, spark):
+    from calcite_spark.operators.asof import asof_join
+
+    got = fe.sql("""
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+    FROM events e LEFT ASOF JOIN orders o
+    MATCH_CONDITION o.o_orderdate <= e.ts
+    ON e.user_id = o.o_custkey
+    WHERE user_id <= 5
+    ORDER BY event_id
+    """).collect()
+    api = (
+        asof_join(
+            fe.catalog.table("events"),
+            fe.catalog.table("orders"),
+            on=[("user_id", "o_custkey")],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="backward",
+            strict=False,
+            join_type="LEFT_ASOF",
+        )
+        .where("user_id <= 5")
+        .selectExpr("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert got == api and len(got) > 0
+
+
+def test_asof_join_sql_flipped_condition_is_forward_strict(fe):
+    """`o.o_orderdate < e.ts` with orders on the LEFT normalizes to
+    right > left: FORWARD and STRICT — the first event strictly after
+    each order (all events postdate the TPC-H order dates, so matches
+    exist)."""
+    rows = fe.sql("""
+    SELECT o_orderkey, o_orderdate, ts
+    FROM orders o ASOF JOIN events e
+    MATCH_CONDITION o.o_orderdate < e.ts
+    ON o.o_custkey = e.user_id
+    WHERE o_custkey <= 3
+    ORDER BY o_orderkey LIMIT 20
+    """).collect()
+    assert rows, "forward asof produced no rows"
+    assert all(r.ts > r.o_orderdate for r in rows)
+    # forward picks the EARLIEST qualifying event per order
+    first_ev = fe.sql(
+        "SELECT user_id, MIN(ts) AS first_ts FROM events WHERE user_id <= 3 GROUP BY user_id"
+    ).collect()
+    first_by_user = {r.user_id: r.first_ts for r in first_ev}
+    got = fe.sql("""
+    SELECT o_custkey, ts
+    FROM orders o ASOF JOIN events e
+    MATCH_CONDITION o.o_orderdate < e.ts
+    ON o.o_custkey = e.user_id
+    WHERE o_custkey <= 3
+    """).collect()
+    assert got and all(r.ts == first_by_user[r.o_custkey] for r in got)
+
+
+def test_asof_join_sql_refusals(fe):
+    with pytest.raises(ValueError, match="MATCH_CONDITION"):
+        fe.sql("""
+        SELECT * FROM events e ASOF JOIN orders o
+        MATCH_CONDITION o.o_orderdate + 1 <= e.ts
+        ON e.user_id = o.o_custkey
+        """)
+    with pytest.raises(ValueError, match="equi conjuncts"):
+        fe.sql("""
+        SELECT * FROM events e ASOF JOIN orders o
+        MATCH_CONDITION o.o_orderdate <= e.ts
+        ON e.user_id < o.o_custkey
+        """)
