@@ -26,7 +26,7 @@ import re
 from pyspark.sql import DataFrame
 
 from calcite_spark.plans import ir
-from calcite_spark.sql.rel2sql import DUCKDB, Dialect, to_sql
+from calcite_spark.sql.rel2sql import DUCKDB, SQLITE, Dialect, to_sql
 
 
 class DuckDBEngine:
@@ -69,6 +69,119 @@ class DuckDBEngine:
         inference) that must resolve remote columns without lowering
         the remote subtree."""
         return [r[0] for r in self.con.execute(f"DESCRIBE {name}").fetchall()]
+
+
+class SQLiteEngine:
+    """A REAL second engine, not a stand-in: Python's stdlib sqlite3
+    (SQLite 3.40 in this container — no driver jar needed, unlike JDBC).
+    Implements the same engine protocol as DuckDBEngine
+    (execute_arrow / schema_of / dialect / queries_executed), so
+    federate() pushes maximal subtrees to it through the SQLITE rel2sql
+    dialect and every pushed query executes on an engine with genuinely
+    different SQL semantics (dynamic typing, integer division,
+    case-insensitive LIKE) — the dialect's rewrites and refusals are
+    what keep the answers identical.
+
+    Connect-time contract:
+      * PRAGMA case_sensitive_like=ON — the SQLITE dialect emits LIKE
+        assuming Spark's case-sensitive semantics;
+      * math-function probe — CPython's bundled SQLite enables
+        SQLITE_ENABLE_MATH_FUNCTIONS; a build without it would make
+        sqrt/ln/... fail at execution, so we fail fast at connect.
+
+    Temporal columns land as ISO-8601 TEXT (SQLite's native datetime
+    storage — https://sqlite.org/datatype3.html); lexicographic
+    comparison on ISO text is chronological, which is what makes the
+    dialect's DATE-literal → TEXT-literal rewrite sound."""
+
+    def __init__(self, connection, dialect: Dialect = SQLITE):
+        self.con = connection
+        self.dialect = dialect
+        self.queries_executed: list[str] = []
+        self.con.execute("PRAGMA case_sensitive_like=ON")
+        try:
+            self.con.execute("SELECT sqrt(2), ln(2), pow(2, 3)")
+        except Exception as e:  # pragma: no cover — stdlib builds have it
+            raise RuntimeError(
+                "this SQLite build lacks SQLITE_ENABLE_MATH_FUNCTIONS; "
+                "the SQLITE dialect's math surface would fail at "
+                f"execution: {e}"
+            ) from e
+
+    @classmethod
+    def from_parquet_dir(cls, sf_dir: str, tables) -> "SQLiteEngine":
+        import datetime
+        import sqlite3
+
+        import pandas as pd
+
+        import pyarrow.parquet as pq
+
+        con = sqlite3.connect(":memory:")
+        eng = cls(con)
+        for t in tables:
+            # date_as_object keeps parquet date32 as datetime.date (the
+            # default converts to midnight datetime64, whose rendered
+            # ' 00:00:00' suffix breaks ISO-TEXT boundary comparisons)
+            df = pq.read_table(f"{sf_dir}/{t}.parquet").to_pandas(
+                date_as_object=True
+            )
+            # ONE canonical temporal rendering, 'YYYY-MM-DD HH:MM:SS' —
+            # the same form the SQLITE dialect rewrites DATE/TIMESTAMP
+            # literals into; mixing date-only and suffixed forms breaks
+            # lexicographic(=chronological) boundary comparisons
+            for c in df.columns:
+                if pd.api.types.is_datetime64_any_dtype(df[c]):
+                    df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S")
+                elif df[c].dtype == object:
+                    nn = df[c].dropna()
+                    if len(nn) and isinstance(nn.iloc[0], datetime.datetime):
+                        df[c] = df[c].map(
+                            lambda v: None if v is None
+                            else v.strftime("%Y-%m-%d %H:%M:%S")
+                        )
+                    elif len(nn) and isinstance(nn.iloc[0], datetime.date):
+                        df[c] = df[c].map(
+                            lambda v: None if v is None
+                            else f"{v} 00:00:00"
+                        )
+            df.to_sql(t, con, index=False)
+        return eng
+
+    def execute_arrow(self, sql: str):
+        import pyarrow as pa
+
+        self.queries_executed.append(sql)
+        cur = self.con.execute(sql)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        arrays = []
+        for idx in range(len(names)):
+            vals = [r[idx] for r in rows]
+            try:
+                arr = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+                # SQLite columns are dynamically typed; a column mixing
+                # storage classes has no faithful Arrow type — refuse
+                # rather than coerce (same posture as the type-fidelity
+                # gate in _fetch).
+                raise FederationTypeError(
+                    f"sqlite column {names[idx]!r} mixes storage classes "
+                    f"and cannot land in Arrow faithfully: {e}"
+                ) from e
+            if pa.types.is_null(arr.type):
+                arr = arr.cast(pa.string())
+            arrays.append(arr)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def schema_of(self, name: str) -> list[str]:
+        """Column names via PRAGMA table_info — the metadata probe
+        (≈ JDBC DatabaseMetaData.getColumns), never a data scan; not
+        recorded in queries_executed."""
+        rows = self.con.execute(f"PRAGMA table_info({name})").fetchall()
+        if not rows:
+            raise KeyError(f"sqlite table {name!r} not found")
+        return [r[1] for r in rows]
 
 
 def register_external(catalog, name: str, engine) -> None:

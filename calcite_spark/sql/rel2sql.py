@@ -190,6 +190,12 @@ class Dialect:
         (ORA-00933) — OracleSqlDialect omits it for the same reason."""
         return f"{body} AS {alias}"
 
+    def setop_part(self, sql: str, alias: str) -> str:
+        """One operand of a compound SELECT. ANSI engines accept the
+        parenthesized form; SQLite rejects it and overrides this to a
+        derived-table wrap."""
+        return f"({sql})"
+
     def _values_as_union(self, rows, names, from_suffix: str = "") -> str:
         """VALUES emulation for dialects without a FROM-position VALUES
         clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward; Oracle
@@ -1428,6 +1434,300 @@ class RedshiftDialect(Dialect):
         return self._values_as_union(rows, names)
 
 
+# Spark-SQL functions valid SQLite 3.40 verbatim. The math tier
+# (sqrt/exp/ln/...) requires SQLITE_ENABLE_MATH_FUNCTIONS, which
+# CPython's bundled library enables; SQLiteEngine (sources/federation.py)
+# probes it at connect. Deliberately excluded (refuse-over-wrong):
+# stddev/variance family (no SQLite equivalents), md5 (none), greatest/
+# least (SQLite's scalar max/min return NULL when ANY argument is NULL;
+# Spark's greatest/least skip NULLs), concat_ws (3.44+ only),
+# date_trunc/date_part (none).
+_SQLITE_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "floor", "ceil", "ceiling", "lower", "upper", "length",
+    "trim", "ltrim", "rtrim", "replace", "substr", "instr", "nullif",
+    "sign", "sqrt", "power", "exp", "ln", "log10", "mod", "pi",
+    "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+    "first_value", "last_value", "nth_value", "percent_rank",
+    "cume_dist", "iif", "strftime", "julianday", "date", "datetime",
+    "group_concat",
+}
+
+_SQLITE_FN_MAP = {
+    # SqliteSqlDialect.java:51-56 creates plain INSTR/SUBSTR nodes for
+    # the POSITION/SUBSTRING rewrites; our expression surface already
+    # spells them as functions, so these are pure renames.
+    "substring": "substr",
+    "char_length": "length",
+    "if": "iif",
+    "listagg": "group_concat",
+}
+
+# Spark type → SQLite CAST target (storage-class affinities,
+# https://sqlite.org/datatype3.html). DECIMAL refuses: SQLite's NUMERIC
+# affinity silently degrades to float beyond 15 significant digits.
+# BOOLEAN/DATE/TIMESTAMP refuse: no such storage classes — a cast would
+# apply NUMERIC affinity and mangle the value.
+_SQLITE_TYPE_MAP = {
+    "string": "TEXT",
+    "varchar": "TEXT",
+    "char": "TEXT",
+    "double": "REAL",
+    "float": "REAL",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "bigint": "INTEGER",
+    "smallint": "INTEGER",
+    "tinyint": "INTEGER",
+    "long": "INTEGER",
+}
+_SQLITE_TYPE_REFUSE = frozenset(
+    {"decimal", "numeric", "boolean", "date", "timestamp", "binary"}
+)
+
+_SQLITE_STRFTIME = {
+    "year": "%Y", "month": "%m", "day": "%d",
+    "hour": "%H", "minute": "%M", "second": "%S",
+}
+
+_UNIT_SHORTHAND_RE = re.compile(
+    r"\b(year|quarter|month|day|hour|minute|second)\s*\(", re.I
+)
+_EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(", re.I)
+_TYPED_LITERAL_RE = re.compile(r"\b(?:DATE|TIMESTAMP)\s*('[^']*')", re.I)
+_FLOAT_LIT_RE = re.compile(r"\d\.\d|\.\d")
+
+
+def _sqlite_units_to_strftime(text: str) -> str:
+    """year(x) / EXTRACT(YEAR FROM x) → CAST(strftime('%Y', x) AS
+    INTEGER): SQLite has neither EXTRACT nor unit shorthands; strftime
+    over ISO-8601 TEXT is its native datetime access path
+    (https://sqlite.org/lang_datefunc.html). QUARTER (no strftime code)
+    expands to (month + 2) / 3 — intentional integer division, emitted
+    after the division guard has run."""
+
+    def unit_sql(unit: str, arg: str) -> str:
+        if unit == "quarter":
+            return f"((CAST(strftime('%m', {arg}) AS INTEGER) + 2) / 3)"
+        return f"CAST(strftime('{_SQLITE_STRFTIME[unit]}', {arg}) AS INTEGER)"
+
+    # EXTRACT(unit FROM x) first (its arg may hold shorthands; recurse)
+    pos = 0
+    m = _EXTRACT_RE.search(text, pos)
+    while m:
+        if not _outside_literal(text, m.start()):
+            pos = m.end()
+        else:
+            arg, close = _balanced_arg(text, m.end())
+            um = re.match(r"\s*(\w+)\s+FROM\s+(.*)$", arg, re.I | re.S)
+            if not um or um.group(1).lower() not in (
+                *_SQLITE_STRFTIME, "quarter"
+            ):
+                raise UnsupportedDialectExpression(
+                    f"sqlite cannot extract {arg!r} (strftime units only)"
+                )
+            head = text[: m.start()] + unit_sql(
+                um.group(1).lower(), _sqlite_units_to_strftime(um.group(2))
+            )
+            text = head + text[close + 1 :]
+            pos = len(head)
+        m = _EXTRACT_RE.search(text, pos)
+    pos = 0
+    m = _UNIT_SHORTHAND_RE.search(text, pos)
+    while m:
+        if not _outside_literal(text, m.start()):
+            pos = m.end()
+        else:
+            arg, close = _balanced_arg(text, m.end())
+            head = text[: m.start()] + unit_sql(
+                m.group(1).lower(), _sqlite_units_to_strftime(arg)
+            )
+            text = head + text[close + 1 :]
+            pos = len(head)
+        m = _UNIT_SHORTHAND_RE.search(text, pos)
+    return text
+
+
+def _sqlite_concat_to_pipes(text: str) -> str:
+    """concat(a, b, ...) → (a || b || ...). NULL semantics MATCH: both
+    Spark's concat and SQLite's || propagate NULL from any argument
+    (unlike concat_ws, which skips NULLs and therefore refuses)."""
+    pat = re.compile(r"\bconcat\s*\(", re.I)
+    while True:
+        m = None
+        for cand in pat.finditer(text):
+            if _outside_literal(text, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return text
+        arg, close = _balanced_arg(text, m.end())
+        # split top-level commas
+        parts, depth, in_str, start = [], 0, False, 0
+        for i, ch in enumerate(arg):
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(arg[start:i])
+                    start = i + 1
+        parts.append(arg[start:])
+        joined = " || ".join(p.strip() for p in parts)
+        text = text[: m.start()] + f"({joined})" + text[close + 1 :]
+
+
+def _sqlite_division_guard(text: str) -> None:
+    """SQLite `/` on two INTEGER operands is integer division (1/2 = 0);
+    Spark `/` always yields DOUBLE. Refuse-over-wrong: every `/` must
+    have a provably-REAL direct operand — a float literal, a CAST to
+    DOUBLE/FLOAT/REAL, or a REAL-returning function — else raise and
+    tell the caller to cast explicitly. (Checking the DIRECT operand is
+    sound: one REAL operand makes SQLite divide in REAL.)"""
+    real_fns = (
+        "avg", "sqrt", "exp", "ln", "log10", "pi", "power",
+        "julianday", "cume_dist", "percent_rank", "round",
+    )
+    for i, ch in enumerate(text):
+        if ch != "/" or not _outside_literal(text, i):
+            continue
+        # left operand: token ending at i-1
+        j = i - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        left_ok = False
+        if j >= 0 and text[j] == ")":
+            # reverse balanced scan to the matching open paren
+            depth, k = 1, j - 1
+            while k >= 0 and depth:
+                depth += text[k] == ")"
+                depth -= text[k] == "("
+                if depth == 0:
+                    break
+                k -= 1
+            inner = text[k + 1 : j]
+            fnm = re.search(r"([A-Za-z_]\w*)\s*$", text[:k])
+            fn = fnm.group(1).lower() if fnm else ""
+            left_ok = (
+                fn in real_fns
+                or bool(re.search(r"(?i)\bAS\s+(REAL|DOUBLE|FLOAT)\b", inner))
+                or bool(_FLOAT_LIT_RE.search(inner))
+            )
+        elif j >= 0 and (text[j].isdigit() or text[j] == "."):
+            num = re.search(r"[\d.]+$", text[: j + 1])
+            left_ok = num is not None and "." in num.group(0)
+        # right operand
+        k = i + 1
+        while k < len(text) and text[k].isspace():
+            k += 1
+        right = text[k:]
+        right_ok = bool(re.match(r"\d+\.\d", right)) or bool(
+            re.match(r"(?i)CAST\s*\(.*?AS\s+(REAL|DOUBLE|FLOAT)\b", right)
+        )
+        if not (left_ok or right_ok):
+            raise UnsupportedDialectExpression(
+                "sqlite `/` on INTEGER operands is integer division "
+                "(Spark yields DOUBLE) — cast one operand to DOUBLE "
+                f"explicitly in expression: {text!r}"
+            )
+
+
+class SqliteDialect(Dialect):
+    """≈ sql/dialect/SqliteSqlDialect.java. The one dialect this repo can
+    verify against the REAL engine: Python's stdlib sqlite3 module
+    (tests/test_sqlite_real_engine.py executes every emitted shape on
+    SQLite 3.40 and compares values with the Spark lowering — no DuckDB
+    proxy). Reference-mirrored behaviors:
+      * LIMIT -1 OFFSET n when OFFSET has no FETCH — SQLite has no
+        OFFSET-only syntax (SqliteSqlDialect.unparseOffsetFetch);
+      * supportsAliasedValues() = false → VALUES lowers to the
+        SELECT ... UNION ALL emulation;
+      * SUBSTRING/POSITION land as SUBSTR/INSTR (SqliteSqlDialect.java:
+        44-56);
+      * NULLS sort LOW by default (withNullCollation(LOW)) — identical
+        to Spark's default (ASC nulls first / DESC nulls last), so no
+        emulation is needed and explicit NULLS FIRST/LAST (3.30+)
+        passes through;
+      * RIGHT/FULL JOIN require 3.39+ (supportsJoinType) — stdlib
+        ships 3.40, so they pass through.
+    Our refusals beyond the reference: integer `/` (see
+    _sqlite_division_guard), DECIMAL/BOOLEAN/DATE casts (affinity would
+    mangle values), parenthesized compound-SELECT operands are invalid
+    SQLite, so set-op parts wrap as SELECT * FROM (...) — see
+    setop_part. Emitted LIKE assumes the executing connection has
+    PRAGMA case_sensitive_like=ON (SQLite's default LIKE is
+    case-insensitive for ASCII; Spark's is case-sensitive) —
+    SQLiteEngine sets it at connect."""
+
+    name = "sqlite"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        # DATE '...'/TIMESTAMP '...' typed literals → plain TEXT
+        # literals in the CANONICAL form 'YYYY-MM-DD HH:MM:SS': SQLite
+        # compares ISO-8601 TEXT lexicographically (= chronologically),
+        # but only when every temporal value uses ONE rendering —
+        # '1998-09-01' vs '1998-09-01 00:00:00' breaks boundary
+        # comparisons in either direction. SQLiteEngine stores all
+        # temporal columns in the same 19-char form.
+        def canon(m):
+            lit = m.group(1)
+            if re.fullmatch(r"'\d{4}-\d{2}-\d{2}'", lit):
+                return lit[:-1] + " 00:00:00'"
+            return lit
+
+        text = _TYPED_LITERAL_RE.sub(canon, text)
+        _sqlite_division_guard(text)
+        text = _sqlite_units_to_strftime(text)
+        text = _sqlite_concat_to_pipes(text)
+        text = _rewrite_cast_types(text, _SQLITE_TYPE_MAP, _SQLITE_TYPE_REFUSE)
+        return _check_and_map_calls(
+            text, _SQLITE_SHARED, _SQLITE_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def setop_kw(self, kind: str) -> str:
+        if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
+            raise UnsupportedDialectExpression(
+                f"sqlite has no {kind.replace('_', ' ')} (DISTINCT set ops only)"
+            )
+        return super().setop_kw(kind)
+
+    def setop_part(self, sql: str, alias: str) -> str:
+        # `(SELECT ...) UNION (SELECT ...)` is a SQLite syntax error —
+        # compound-SELECT operands cannot be parenthesized. Wrap each
+        # part as a derived-table scan instead.
+        return f"SELECT * FROM ({sql}) AS {alias}"
+
+    def rollup_clause(self, keys):
+        raise UnsupportedDialectExpression("sqlite has no ROLLUP")
+
+    def cube_clause(self, keys):
+        raise UnsupportedDialectExpression("sqlite has no CUBE")
+
+    def grouping_sets_clause(self, sets_sql):
+        raise UnsupportedDialectExpression("sqlite has no GROUPING SETS")
+
+    def fetch_clause(self, offset, fetch, has_order):
+        if offset and fetch is None:
+            # SqliteSqlDialect.unparseOffsetFetch: LIMIT -1 = unbounded
+            return f" LIMIT -1 OFFSET {offset}"
+        return super().fetch_clause(offset, fetch, has_order)
+
+    def values(self, rows, names) -> str:
+        return self._values_as_union(rows, names)
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
@@ -1440,6 +1740,7 @@ HIVE = HiveDialect()
 SNOWFLAKE = SnowflakeDialect()
 CLICKHOUSE = ClickHouseDialect()
 REDSHIFT = RedshiftDialect()
+SQLITE = SqliteDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -1570,7 +1871,10 @@ class _Emitter:
 
     def _setop(self, node: ir.SetOp) -> str:
         op = self.d.setop_kw(node.kind)
-        parts = [f"({self.select(i)})" for i in node.inputs]
+        parts = [
+            self.d.setop_part(self.select(i), self._alias())
+            for i in node.inputs
+        ]
         return f" {op} ".join(parts)
 
     def _sort(self, node: ir.Sort) -> str:
