@@ -1,0 +1,69 @@
+"""Benchmark decontamination: flag training documents sharing word
+n-grams with an evaluation/benchmark set — the standard pre-training
+hygiene pass (public method: GPT-3 appendix C 13-gram filtering; the
+Dolma/RedPajama decontamination recipes). Not a reference-repo
+operator: part of this repo's LLM-pipeline tier.
+
+Scale shape (the part that matters at 100 TB):
+  * the BENCHMARK side is small (eval suites are MBs) — its distinct
+    n-gram digests broadcast, so the probe join is map-side with zero
+    shuffle of the corpus;
+  * the corpus side is a narrow map (split → slide → digest) + explode,
+    then ONE groupBy(doc_id) shuffle for the per-doc overlap count —
+    and that shuffle carries only MATCHED (doc_id, digest) pairs, which
+    decontamination keeps rare by construction;
+  * digests are md5 strings rather than raw n-grams so shuffled rows
+    stay fixed-width — and md5 exists in BOTH engines, keeping the
+    whole pipeline DuckDB-oracle-exact (xxhash64 would be faster but
+    is Spark-only; swap it in when oracle parity is not needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _gram_expr(text_col: str, n: int) -> str:
+    """Word n-gram md5 digests of `text_col` as an array expression.
+    Tokenization (lower, trim, whitespace-split, drop empties) matches
+    textstats; a doc with fewer than n words yields an empty array."""
+    words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> w != '')"
+    return (
+        f"CASE WHEN size({words}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({words}) - {n}), "
+        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {n})))) END"
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per training document: how many of its DISTINCT word n-grams
+    appear anywhere in `benchmark`, and a contaminated flag when that
+    count reaches `min_overlap`. Documents with no overlapping n-grams
+    are kept (flag false, n_overlap 0) via the left join — filtering is
+    the caller's `.filter(~contaminated)`."""
+    bench_grams = (
+        benchmark.selectExpr(f"explode({_gram_expr(text_col, n)}) AS g")
+        .distinct()
+    )
+    doc_grams = docs.selectExpr(
+        id_col, f"explode_outer(array_distinct({_gram_expr(text_col, n)})) AS g"
+    )
+    overlap = (
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "g", "left"
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"))
+    )
+    return overlap.selectExpr(
+        id_col,
+        "CAST(n_overlap AS BIGINT) AS n_overlap",
+        f"n_overlap >= {min_overlap} AS contaminated",
+    )

@@ -117,6 +117,69 @@ PII_PATTERNS = (
 )
 
 
+def repetition_stats(docs: DataFrame, ngram: int = 2) -> DataFrame:
+    """Gopher-style intra-document repetition signals (public rules from
+    Rae et al. 2021 'Scaling Language Models', Table A1; also the
+    RefinedWeb line-dedup filters) — the standard pre-training filters
+    for boilerplate and degenerate repetition:
+
+      * dup_line_frac       — fraction of non-empty lines that repeat an
+                              earlier line;
+      * dup_line_char_frac  — characters in those repeat occurrences
+                              (each occurrence beyond a line's first) /
+                              total line characters;
+      * top_ngram_char_frac — characters covered by the MOST frequent
+                              word n-gram / total characters;
+      * dup_ngram_frac      — fraction of n-gram occurrences that are
+                              repeats of an earlier n-gram.
+
+    Pure SQL higher-order functions (whole-stage codegen, zero Python,
+    zero shuffle — a narrow map at scan speed on 100 TB). The
+    per-distinct-value counting is O(k²) in the per-DOC line/n-gram
+    count — bounded by document length, never by corpus size, so it
+    does not change the scale story. Delimiters are chr(10)-literal
+    (not regex) so the DuckDB oracle's string_split matches exactly."""
+    lines = "filter(split(text, chr(10)), x -> length(trim(x)) > 0)"
+    words = "filter(split(lower(trim(text)), '\\\\s+'), w -> w != '')"
+    grams = (
+        f"CASE WHEN size({words}) < {ngram} THEN array() "
+        f"ELSE transform(sequence(0, size({words}) - {ngram}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {ngram}))) END"
+    )
+
+    def _dup_char_sum(arr: str) -> str:
+        # sum over distinct values of (occurrences - 1) * length
+        return (
+            f"aggregate(transform(array_distinct({arr}), "
+            f"d -> (size(filter({arr}, x -> x = d)) - 1) * length(d)), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    def _char_sum(arr: str) -> str:
+        return (
+            f"aggregate(transform({arr}, l -> CAST(length(l) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    top_gram_chars = (
+        f"CASE WHEN size({grams}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"array_max(transform(array_distinct({grams}), "
+        f"d -> CAST(size(filter({grams}, x -> x = d)) * length(d) AS BIGINT))) END"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({lines}) AS INT) AS n_lines",
+        f"ROUND((size({lines}) - size(array_distinct({lines}))) / "
+        f"CAST(GREATEST(size({lines}), 1) AS DOUBLE), 6) AS dup_line_frac",
+        f"ROUND({_dup_char_sum(lines)} / "
+        f"CAST(GREATEST({_char_sum(lines)}, 1) AS DOUBLE), 6) AS dup_line_char_frac",
+        f"ROUND({top_gram_chars} / "
+        f"CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS top_ngram_char_frac",
+        f"ROUND((size({grams}) - size(array_distinct({grams}))) / "
+        f"CAST(GREATEST(size({grams}), 1) AS DOUBLE), 6) AS dup_ngram_frac",
+    )
+
+
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails/URLs/phone-shaped spans to <kind> tokens — the
     standard pre-training scrub pass. Pure chained regexp_replace: a

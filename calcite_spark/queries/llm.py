@@ -449,3 +449,107 @@ def qx20_pii_scrub(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "qx22_repetition_filter",
+    oracle="""
+    WITH rep AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(trim(x)) > 0) AS lines,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         w -> w != '') AS words,
+             length(text) AS n_chars
+      FROM documents WHERE doc_id < 30
+    ), g AS (
+      SELECT doc_id, lines, n_chars,
+             CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(words) - 1),
+                                      i -> array_to_string(words[i:i+1], ' '))
+             END AS grams
+      FROM rep
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           ROUND((len(lines) - len(list_distinct(lines))) /
+                 GREATEST(len(lines), 1), 6) AS dup_line_frac,
+           ROUND(COALESCE(list_sum(list_transform(list_distinct(lines),
+                   d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0) /
+                 GREATEST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0), 1),
+                 6) AS dup_line_char_frac,
+           ROUND(CASE WHEN len(grams) = 0 THEN 0
+                      ELSE list_max(list_transform(list_distinct(grams),
+                             d -> len(list_filter(grams, x -> x = d)) * length(d)))
+                 END / GREATEST(n_chars, 1), 6) AS top_ngram_char_frac,
+           ROUND((len(grams) - len(list_distinct(grams))) /
+                 GREATEST(len(grams), 1), 6) AS dup_ngram_frac
+    FROM g ORDER BY doc_id
+    """,
+    tags=("llm", "text", "repetition", "gopher"),
+)
+def qx22_repetition_filter(spark, sf_dir):
+    """Intra-document repetition filters (llm/textstats.repetition_stats
+    — Gopher Table-A1 rules): duplicate-line fractions and top/duplicate
+    word-n-gram character fractions, all SQL higher-order functions in
+    one narrow codegen map (zero shuffle, zero Python — scan speed at
+    100 TB; the per-distinct counting is O(k²) only in per-DOC n-gram
+    count). The oracle replays every formula in DuckDB list functions."""
+    from calcite_spark.llm.textstats import repetition_stats
+
+    cat = catalog_for(spark, sf_dir)
+    return repetition_stats(
+        cat.table("documents").filter("doc_id < 30"), ngram=2
+    ).orderBy("doc_id")
+
+
+@register(
+    "qx23_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         w -> w != '') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(words) - 4),
+                         i -> md5(array_to_string(words[i:i+4], ' ')))
+             END AS gs
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT dg.doc_id, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g
+            FROM grams WHERE doc_id % 20 <> 0) dg
+      JOIN bench USING (g)
+      GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n, 0) >= 3 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "decontamination", "ngram"),
+)
+def qx23_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llm/decontam.ngram_decontaminate):
+    5-gram md5 overlap of the corpus (doc_id % 20 != 0) against a
+    benchmark split (doc_id % 20 = 0), flag at >= 3 shared distinct
+    grams. Broadcast benchmark digest set -> map-side probe join ->
+    ONE groupBy(doc_id) shuffle carrying only matches; md5 keeps the
+    digest pipeline DuckDB-replayable end to end."""
+    from calcite_spark.llm.decontam import ngram_decontaminate
+
+    cat = catalog_for(spark, sf_dir)
+    d = cat.table("documents")
+    return ngram_decontaminate(
+        d.filter("doc_id % 20 != 0"),
+        d.filter("doc_id % 20 = 0"),
+        n=5,
+        min_overlap=3,
+    ).orderBy("doc_id")

@@ -271,3 +271,70 @@ def test_scrub_pii_planted(spark):
     assert out[2].scrubbed == "see <url> for details"
     assert out[3].scrubbed == out[3].text
     assert not (out[3].has_email or out[3].has_url or out[3].has_phone)
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed Gopher repetition fractions on planted docs."""
+    from calcite_spark.llm.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup line' repeats 3x: dup_line_frac = 2/4;
+            # repeat chars = 2*8, line chars = 3*8 + 6 = 30
+            (1, "dup line\ndup line\ndup line\nunique"),
+            # all lines distinct, but 'a b' bigram dominates:
+            # words = a b a b a -> bigrams [a b, b a, a b, b a]
+            # top gram 'a b' 2 occurrences * 3 chars = 6 over 9 chars;
+            # dup_ngram_frac = (4 - 2) / 4
+            (2, "a b a b a"),
+            # degenerate: single word, no bigrams, one line
+            (3, "solo"),
+            # empty-ish: whitespace only -> zero lines, all fracs 0
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, ngram=2).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == pytest.approx(0.5)
+    assert r1.dup_line_char_frac == pytest.approx(16 / 30, abs=1e-6)
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.0
+    assert r2.top_ngram_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    assert r2.dup_ngram_frac == pytest.approx(0.5)
+    r3 = rows[3]
+    assert (r3.n_lines, r3.dup_ngram_frac, r3.top_ngram_char_frac) == (1, 0.0, 0.0)
+    r4 = rows[4]
+    assert (r4.n_lines, r4.dup_line_frac, r4.dup_line_char_frac) == (0, 0.0, 0.0)
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A doc sharing a 5-gram run with the benchmark is flagged; the
+    overlap count equals the number of DISTINCT shared 5-grams; clean
+    docs survive with n_overlap 0."""
+    from calcite_spark.llm.decontam import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains 'quick brown fox jumps over' and the next two
+            # shifted 5-grams -> 3 distinct shared grams
+            (1, "he said quick brown fox jumps over the lazy cat"),
+            # no 5-gram in common
+            (2, "completely different words in this training document"),
+            # shorter than 5 words -> empty gram set, kept
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_decontaminate(docs, bench, n=5, min_overlap=2).collect()
+    }
+    assert out[1].n_overlap == 3 and out[1].contaminated
+    assert out[2].n_overlap == 0 and not out[2].contaminated
+    assert out[3].n_overlap == 0 and not out[3].contaminated
