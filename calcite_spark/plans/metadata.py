@@ -1,0 +1,513 @@
+"""Relational metadata facade over IR plans ≈ Calcite's
+rel/metadata/RelMetadataQuery.java:82 — ONE query surface unifying the
+per-node derivation handlers the optimizer consumes:
+
+  row_count            ≈ RelMdRowCount.java:52
+  max/min_row_count    ≈ RelMdMaxRowCount.java / RelMdMinRowCount.java
+  selectivity          ≈ RelMdSelectivity + RelMdUtil.guessSelectivity:504
+  distinct_row_count   ≈ RelMdDistinctRowCount (via expression lineage)
+  unique_keys          ≈ RelMdUniqueKeys / RelMdColumnUniqueness
+  column_origins       ≈ RelMdColumnOrigins (delegates plans/lineage.py)
+  pulled_up_predicates ≈ RelMdPredicates
+  collation            ≈ RelMdCollation
+
+Design contract, different from Calcite in one deliberate way: every
+handler is METADATA-ONLY — derivations read catalog statistics
+(ANALYZE / profiler-discovered keys, cached row counts) and the plan
+shape; no handler runs a query. Where Calcite returns a guess, we
+return the guess under the same constants (guessSelectivity: 0.15 for
+equality, 0.5 for comparisons, 0.9 for IS NOT NULL, 0.25 otherwise)
+and additionally report whether an estimate is GROUNDED (every factor
+backed by a real statistic) so consumers like the broadcast rule can
+act only on evidence — a guess must never force a 100 TB broadcast.
+
+Unknown is an answer: handlers return None for nodes they cannot
+reason about (NFA/loop/runtime nodes), never a fabricated number —
+the same posture as Calcite handlers returning null to fall through.
+"""
+
+from __future__ import annotations
+
+import re
+
+from calcite_spark.plans import ir
+
+_EQUI = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$")
+_EQ_LITERAL = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*=\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+)
+_CMP_LITERAL = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(<=|>=|<|>|<>|!=)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+)
+_IS_NOT_NULL = re.compile(r"^\s*[A-Za-z_]\w*\s+IS\s+NOT\s+NULL\s*$", re.I)
+_BARE_COL = re.compile(r"^\s*[A-Za-z_]\w*\s*$")
+
+
+def _split_alias(expr: str) -> tuple[str, str | None]:
+    m = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", expr.strip(), re.I | re.S)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return expr.strip(), None
+
+
+class MetadataQuery:
+    """≈ RelMetadataQuery: construct once per catalog, ask per node.
+    Results are cached per (handler, node id) — IR nodes are immutable
+    dataclasses, so identity caching is sound within a planning pass."""
+
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self._cache: dict = {}
+        # id()-keyed caching requires the keyed nodes to stay alive —
+        # a collected node's id can be reused by a NEW node and hit a
+        # stale entry. Pinning is the standard fix (Calcite's cache is
+        # keyed on live RelNode references for the same reason).
+        self._pinned: list = []
+
+    def _cached(self, key, fn, node):
+        if key not in self._cache:
+            self._pinned.append(node)
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    # -- row counts --------------------------------------------------
+
+    def row_count(self, node: ir.RelNode) -> float | None:
+        """Estimated output rows; None = cannot reason about this node."""
+        return self._cached(("rc", id(node)), lambda: self._row_count(node), node)
+
+    def _base_rows(self, table: str) -> float | None:
+        entry = self.catalog.tables.get(table)
+        if entry is not None and entry.row_count is not None:
+            return float(entry.row_count)
+        # cached-count fallback: one count() per table per session, the
+        # same probe the join-order rules already rely on
+        try:
+            return float(self.catalog.row_count(table))
+        except Exception:
+            return None
+
+    def _row_count(self, node) -> float | None:
+        if isinstance(node, ir.Scan):
+            return self._base_rows(node.table)
+        if isinstance(node, ir.Values):
+            return float(len(node.rows))
+        if isinstance(node, ir.Filter):
+            child = self.row_count(node.inputs[0])
+            if child is None:
+                return None
+            sel, _ = self._selectivity_detail(node.inputs[0], node.condition)
+            return max(child * sel, 1.0)
+        if isinstance(node, ir.Sample):
+            child = self.row_count(node.inputs[0])
+            return None if child is None else child * node.fraction
+        if isinstance(node, ir.Sort):
+            child = self.row_count(node.inputs[0])
+            if child is None:
+                return None
+            child = max(child - node.offset, 0.0)
+            return min(child, node.fetch) if node.fetch is not None else child
+        if isinstance(node, ir.Aggregate):
+            return self._agg_row_count(node)
+        if isinstance(node, ir.Join):
+            return self._join_row_count(node)
+        if isinstance(node, ir.SetOp):
+            counts = [self.row_count(i) for i in node.inputs]
+            if any(c is None for c in counts):
+                return None
+            if node.kind in ("UNION", "UNION_ALL"):
+                return float(sum(counts))  # UNION dedups; sum is the bound
+            if node.kind.startswith("INTERSECT"):
+                return min(counts) / 2.0
+            return counts[0] / 2.0  # EXCEPT[_ALL]
+        if isinstance(node, (ir.Project, ir.Window, ir.Exchange, ir.Spool)):
+            return self.row_count(node.inputs[0])
+        if isinstance(node, ir.Snapshot):
+            # latest-version-per-key: distinct keys of the input
+            ndv = self.distinct_row_count(node.inputs[0], node.key)
+            return ndv if ndv is not None else self.row_count(node.inputs[0])
+        return None  # Match/RepeatUnion/Correlate/Uncollect: unknown
+
+    def _agg_row_count(self, node: ir.Aggregate) -> float | None:
+        child = self.row_count(node.inputs[0])
+        if not node.group_keys:
+            return 1.0
+        if child is None:
+            return None
+        groups = 1.0
+        for k in node.group_keys:
+            base, _ = _split_alias(k)
+            ndv = (
+                self.distinct_row_count(node.inputs[0], base)
+                if _BARE_COL.match(base)
+                else None
+            )
+            # unknown-NDV key: Calcite's default Aggregate estimate is a
+            # fixed child fraction; we fold the same 10% per unknown key
+            groups *= ndv if ndv is not None else max(child * 0.1, 1.0)
+        if node.group_type == "GROUPING_SETS":
+            groups *= max(len(node.grouping_sets), 1)
+        elif node.group_type == "CUBE":
+            groups *= 2 ** len(node.group_keys)
+        elif node.group_type == "ROLLUP":
+            groups *= len(node.group_keys) + 1
+        return min(groups, child) if node.group_type == "SIMPLE" else groups
+
+    def _join_row_count(self, node: ir.Join) -> float | None:
+        l = self.row_count(node.inputs[0])
+        r = self.row_count(node.inputs[1])
+        if l is None or r is None:
+            return None
+        jt = node.join_type.upper()
+        if jt in ("SEMI", "ANTI"):
+            return max(l * 0.5, 1.0)
+        if node.condition is None or jt == "CROSS":
+            return l * r
+        rows = l * r
+        for c in _conjuncts(node.condition):
+            m = _EQUI.match(c)
+            if m:
+                ndvs = [
+                    v
+                    for v in (
+                        self.distinct_row_count(node.inputs[0], m.group(1))
+                        or self.distinct_row_count(node.inputs[1], m.group(1)),
+                        self.distinct_row_count(node.inputs[0], m.group(2))
+                        or self.distinct_row_count(node.inputs[1], m.group(2)),
+                    )
+                    if v
+                ]
+                rows /= max(max(ndvs), 1.0) if ndvs else max(min(l, r), 1.0)
+            else:
+                rows *= 0.25
+        rows = max(rows, 1.0)
+        if jt == "LEFT":
+            rows = max(rows, l)
+        elif jt == "RIGHT":
+            rows = max(rows, r)
+        elif jt == "FULL":
+            rows = max(rows, l + r)
+        return rows
+
+    def max_row_count(self, node: ir.RelNode) -> float | None:
+        """HARD upper bound on output rows; None = unbounded/unknown.
+        Unlike row_count this never uses statistics — only plan shape —
+        so it is safe for correctness-bearing rewrites (Calcite uses it
+        to e.g. drop sorts under a known-single-row input)."""
+        return self._cached(("maxrc", id(node)), lambda: self._max_row_count(node), node)
+
+    def _max_row_count(self, node) -> float | None:
+        if isinstance(node, ir.Values):
+            return float(len(node.rows))
+        if isinstance(node, (ir.Filter, ir.Sample)):
+            return self.max_row_count(node.inputs[0])
+        if isinstance(node, ir.Sort):
+            child = self.max_row_count(node.inputs[0])
+            if node.fetch is not None:
+                return (
+                    float(node.fetch)
+                    if child is None
+                    else min(child, float(node.fetch))
+                )
+            return child
+        if isinstance(node, ir.Aggregate):
+            if not node.group_keys:
+                return 1.0
+            child = self.max_row_count(node.inputs[0])
+            if child is None:
+                return None
+            if node.group_type == "GROUPING_SETS":
+                return child * max(len(node.grouping_sets), 1)
+            if node.group_type == "CUBE":
+                return child * 2 ** len(node.group_keys)
+            if node.group_type == "ROLLUP":
+                return child * (len(node.group_keys) + 1)
+            return child
+        if isinstance(node, ir.Join):
+            l = self.max_row_count(node.inputs[0])
+            r = self.max_row_count(node.inputs[1])
+            jt = node.join_type.upper()
+            if jt in ("SEMI", "ANTI"):
+                return l
+            if l is None or r is None:
+                return None
+            bound = l * r
+            if jt == "FULL":
+                bound += l + r
+            return bound
+        if isinstance(node, ir.SetOp):
+            bounds = [self.max_row_count(i) for i in node.inputs]
+            if node.kind in ("UNION", "UNION_ALL"):
+                return None if any(b is None for b in bounds) else float(sum(bounds))
+            known = [b for b in bounds if b is not None]
+            if node.kind.startswith("INTERSECT"):
+                return min(known) if known else None
+            return bounds[0]  # EXCEPT[_ALL]
+        if isinstance(node, (ir.Project, ir.Window, ir.Exchange, ir.Spool)):
+            return self.max_row_count(node.inputs[0])
+        return None  # Scan (stats are estimates, not bounds), others
+
+    def min_row_count(self, node: ir.RelNode) -> float:
+        """Guaranteed minimum output rows (0 unless provable)."""
+        if isinstance(node, ir.Values):
+            return float(len(node.rows))
+        if isinstance(node, ir.Aggregate) and not node.group_keys:
+            return 1.0  # global aggregate yields one row even on empty input
+        if isinstance(node, ir.Sort):
+            inner = self.min_row_count(node.inputs[0])
+            inner = max(inner - node.offset, 0.0)
+            return min(inner, node.fetch) if node.fetch is not None else inner
+        if isinstance(node, (ir.Project, ir.Window, ir.Exchange, ir.Spool)):
+            return self.min_row_count(node.inputs[0])
+        if isinstance(node, ir.SetOp) and node.kind in ("UNION", "UNION_ALL"):
+            mins = [self.min_row_count(i) for i in node.inputs]
+            return max(mins) if node.kind == "UNION" else float(sum(mins))
+        if isinstance(node, ir.Join) and node.join_type.upper() == "FULL":
+            return max(
+                self.min_row_count(node.inputs[0]),
+                self.min_row_count(node.inputs[1]),
+            )
+        return 0.0
+
+    # -- selectivity --------------------------------------------------
+
+    def selectivity(self, node: ir.RelNode | None, condition: str) -> float:
+        """Fraction of `node`'s rows satisfying `condition`
+        ≈ RelMdSelectivity with RelMdUtil.guessSelectivity's constants,
+        upgraded to 1/NDV for equality on a statistics-backed column."""
+        return self._selectivity_detail(node, condition)[0]
+
+    def _selectivity_detail(
+        self, node: ir.RelNode | None, condition: str
+    ) -> tuple[float, bool]:
+        """(selectivity, grounded): grounded only when EVERY conjunct's
+        factor came from a real statistic rather than a guess constant."""
+        sel, grounded = 1.0, True
+        for c in _conjuncts(condition):
+            m = _EQ_LITERAL.match(c)
+            if m:
+                ndv = (
+                    self.distinct_row_count(node, m.group(1))
+                    if node is not None
+                    else None
+                )
+                if ndv:
+                    sel *= 1.0 / ndv
+                    continue
+                sel *= 0.15  # guessSelectivity: equality
+                grounded = False
+                continue
+            if _CMP_LITERAL.match(c):
+                sel *= 0.5  # guessSelectivity: comparison
+                grounded = False
+                continue
+            if _IS_NOT_NULL.match(c):
+                sel *= 0.9  # guessSelectivity: IS NOT NULL
+                grounded = False
+                continue
+            sel *= 0.25  # guessSelectivity: default
+            grounded = False
+        return sel, grounded
+
+    # -- distinct values ----------------------------------------------
+
+    def distinct_row_count(self, node: ir.RelNode, column: str) -> float | None:
+        """NDV of `column` at `node` ≈ RelMdDistinctRowCount: resolve
+        the column to its base-table origin through expression lineage
+        (RelMdExpressionLineage's role), read the ANALYZE/profiler NDV
+        there, cap by this node's estimated row count. Derived columns
+        and multi-origin columns answer None."""
+        return self._cached(
+            ("ndv", id(node), column),
+            lambda: self._distinct_row_count(node, column),
+            node,
+        )
+
+    def _distinct_row_count(self, node, column) -> float | None:
+        from calcite_spark.plans.lineage import column_origins
+
+        try:
+            origins = column_origins(node, column, self.catalog)
+        except Exception:
+            return None
+        if origins is None or len(origins) != 1:
+            return None
+        (o,) = origins
+        if o.derived:
+            return None
+        ndv = self.catalog.column_ndv(o.table, o.column)
+        if ndv is None:
+            return None
+        rc = self.row_count(node)
+        return float(min(ndv, rc)) if rc is not None else float(ndv)
+
+    # -- unique keys --------------------------------------------------
+
+    def unique_keys(self, node: ir.RelNode) -> set[tuple[str, ...]]:
+        """Column sets guaranteed unique on node's output
+        ≈ RelMdUniqueKeys. Sources: declared/discovered table keys
+        (profiler lattice walk), Aggregate group keys, Snapshot's
+        latest-per-key contract, and FK-join preservation (joining on
+        the OTHER side's unique key keeps this side's keys unique)."""
+        return self._cached(("uk", id(node)), lambda: self._unique_keys(node), node)
+
+    def _unique_keys(self, node) -> set:
+        if isinstance(node, ir.Scan):
+            entry = self.catalog.tables.get(node.table)
+            return {tuple(k) for k in entry.unique_keys} if entry else set()
+        if isinstance(node, (ir.Filter, ir.Sort, ir.Exchange, ir.Sample, ir.Spool)):
+            return self.unique_keys(node.inputs[0])
+        if isinstance(node, ir.Snapshot):
+            return self.unique_keys(node.inputs[0]) | {(node.key,)}
+        if isinstance(node, ir.Project):
+            renames, passed = {}, set()
+            for e in node.exprs:
+                if e == "*":
+                    return self.unique_keys(node.inputs[0])
+                body, alias = _split_alias(e)
+                if _BARE_COL.match(body):
+                    out_name = alias or body
+                    renames[body] = out_name
+                    passed.add(body)
+            out = set()
+            for key in self.unique_keys(node.inputs[0]):
+                if all(c in passed for c in key):
+                    out.add(tuple(renames[c] for c in key))
+            return out
+        if isinstance(node, ir.Aggregate):
+            if node.group_type != "SIMPLE" or not node.group_keys:
+                return set()
+            names = tuple(
+                (_split_alias(k)[1] or _split_alias(k)[0])
+                for k in node.group_keys
+            )
+            return {names}
+        if isinstance(node, ir.Join):
+            jt = node.join_type.upper()
+            lk = self.unique_keys(node.inputs[0])
+            rk = self.unique_keys(node.inputs[1])
+            if jt in ("SEMI", "ANTI"):
+                return lk
+            if node.condition is None or jt not in ("INNER", "LEFT", "RIGHT"):
+                return set()
+            eq_cols = set()
+            for c in _conjuncts(node.condition):
+                m = _EQUI.match(c)
+                if m:
+                    eq_cols.update(m.groups())
+            out = set()
+            # right side joined on one of ITS unique keys → ≤1 match per
+            # left row → left keys stay unique (and vice versa)
+            if any(set(k) <= eq_cols for k in rk) and jt in ("INNER", "LEFT"):
+                out |= lk
+            if any(set(k) <= eq_cols for k in lk) and jt in ("INNER", "RIGHT"):
+                out |= rk
+            return out
+        return set()
+
+    # -- column origins (delegates the lineage walker) ----------------
+
+    def column_origins(self, node: ir.RelNode, column: str):
+        from calcite_spark.plans.lineage import column_origins
+
+        return column_origins(node, column, self.catalog)
+
+    # -- pulled-up predicates -----------------------------------------
+
+    def pulled_up_predicates(self, node: ir.RelNode) -> list[str]:
+        """Conjuncts guaranteed true on every output row
+        ≈ RelMdPredicates. Null-extension gates the join cases exactly
+        as the transitive-inference rule does: only the non-null-
+        extended side's predicates survive an outer join."""
+        return self._cached(("preds", id(node)), lambda: self._preds(node), node)
+
+    def _preds(self, node) -> list:
+        def uniq(seq):
+            seen, out = set(), []
+            for p in seq:
+                k = re.sub(r"\s+", " ", p.strip())
+                if k not in seen:
+                    seen.add(k)
+                    out.append(p.strip())
+            return out
+
+        if isinstance(node, ir.Filter):
+            return uniq(
+                _conjuncts(node.condition) + self._preds(node.inputs[0])
+            )
+        if isinstance(node, (ir.Sort, ir.Exchange, ir.Sample, ir.Spool, ir.Window)):
+            return self._preds(node.inputs[0])
+        if isinstance(node, ir.Project):
+            out_names = set()
+            for e in node.exprs:
+                if e == "*":
+                    return self._preds(node.inputs[0])
+                body, alias = _split_alias(e)
+                if _BARE_COL.match(body) and alias is None:
+                    out_names.add(body)
+            return uniq(
+                p
+                for p in self._preds(node.inputs[0])
+                if _pred_columns(p) <= {c.lower() for c in out_names}
+            )
+        if isinstance(node, ir.Join):
+            jt = node.join_type.upper()
+            if jt == "INNER":
+                return uniq(
+                    self._preds(node.inputs[0])
+                    + self._preds(node.inputs[1])
+                    + (_conjuncts(node.condition) if node.condition else [])
+                )
+            if jt in ("LEFT", "SEMI", "ANTI"):
+                return self._preds(node.inputs[0])
+            if jt == "RIGHT":
+                return self._preds(node.inputs[1])
+            return []
+        if isinstance(node, ir.Aggregate):
+            keys = {
+                (_split_alias(k)[1] or _split_alias(k)[0])
+                for k in node.group_keys
+            }
+            return uniq(
+                p
+                for p in self._preds(node.inputs[0])
+                if _pred_columns(p) <= {c.lower() for c in keys}
+            )
+        return []
+
+    # -- collation ----------------------------------------------------
+
+    def collation(self, node: ir.RelNode) -> tuple[str, ...]:
+        """Output ordering as a trait ≈ RelMdCollation: established by
+        Sort, preserved by order-preserving unary nodes. A TRAIT, not a
+        physical guarantee across exchanges — Spark re-establishes
+        ordering at the root Sort; consumers use this for sort-removal
+        style reasoning only."""
+        if isinstance(node, ir.Sort):
+            return tuple(node.keys)
+        if isinstance(node, (ir.Filter, ir.Project, ir.Sample, ir.Spool)):
+            return self.collation(node.inputs[0])
+        if isinstance(node, ir.Exchange):
+            return tuple(node.keys) if node.distribution == "range" else ()
+        return ()
+
+
+_SQL_WORDS = frozenset(
+    "and or not in is null true false between like case when then "
+    "else end cast as date timestamp interval exists".split()
+)
+
+
+def _pred_columns(pred: str) -> set:
+    """Lower-cased identifier tokens of a predicate — SQL keywords out,
+    string-literal contents out (a token inside '...' is a value)."""
+    return {
+        t.lower()
+        for t in re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "''", pred))
+    } - _SQL_WORDS
+
+
+def _conjuncts(condition: str) -> list[str]:
+    from calcite_spark.plans.rewrite import _split_conjuncts
+
+    return _split_conjuncts(condition)

@@ -59,11 +59,39 @@ class HepProgram:
 # ---------------------------------------------------------------------
 
 
+_BROADCAST_EST_ROWS = 100_000
+
+
+def _grounded_filter_estimate(n, mq):
+    """Row estimate for a Filter chain over a Scan, or None unless EVERY
+    factor is statistics-backed: the base count is exact (cached) and
+    each filter's selectivity must come from a real NDV, never from a
+    guessSelectivity constant — a guess must not force a broadcast that
+    would OOM 1000 executors at 100 TB."""
+    if isinstance(n, ir.Scan):
+        return mq.row_count(n)
+    if isinstance(n, ir.Filter):
+        child = _grounded_filter_estimate(n.inputs[0], mq)
+        if child is None:
+            return None
+        sel, grounded = mq._selectivity_detail(n.inputs[0], n.condition)
+        return child * sel if grounded else None
+    return None
+
+
 def _broadcast_small_dims(node, catalog):
     """Statistics-driven broadcast hint ≈ Calcite's cost-based join choice
     (EnumerableJoinRule + VolcanoCost rowCount): if one join side scans a
     known-small dimension (region/nation at any SF), force broadcast so a
-    1000-executor cluster never shuffles the fact table for it."""
+    1000-executor cluster never shuffles the fact table for it.
+
+    r5 metadata tier (RelMdRowCount as consumer evidence): a FILTERED
+    scan qualifies when either its base table is broadcastable anyway,
+    or the MetadataQuery estimate of the filtered side is GROUNDED
+    (ANALYZE-backed 1/NDV selectivity — see _grounded_filter_estimate)
+    and lands under the broadcast threshold. A big table filtered to a
+    provably-small slice broadcasts; the same filter without statistics
+    does not."""
     if not isinstance(node, ir.Join) or catalog is None:
         return None
     if node.broadcast_left or node.broadcast_right:
@@ -71,7 +99,19 @@ def _broadcast_small_dims(node, catalog):
     left, right = node.inputs
 
     def small_scan(n):
-        return isinstance(n, ir.Scan) and catalog.is_broadcastable(n.table)
+        base = n
+        while isinstance(base, ir.Filter) and base.inputs:
+            base = base.inputs[0]
+        if not isinstance(base, ir.Scan):
+            return False
+        if catalog.is_broadcastable(base.table):
+            return True
+        if isinstance(n, ir.Filter):
+            from calcite_spark.plans.metadata import MetadataQuery
+
+            est = _grounded_filter_estimate(n, MetadataQuery(catalog))
+            return est is not None and est <= _BROADCAST_EST_ROWS
+        return False
 
     if small_scan(right):
         return ir.Join(

@@ -1,0 +1,316 @@
+"""MetadataQuery facade tests ≈ Calcite's RelMetadataTest.java: per-node
+derivation of row counts, bounds, selectivity, NDV, unique keys,
+predicates, and collation over IR plans — metadata-only (no handler may
+run a query), with the broadcast rule as a live consumer."""
+
+from __future__ import annotations
+
+import pytest
+
+from calcite_spark.catalog import Catalog
+from calcite_spark.plans import ir
+from calcite_spark.plans.builder import RelBuilder
+from calcite_spark.plans.metadata import MetadataQuery
+from calcite_spark.plans.rewrite import default_program
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    c = Catalog(spark).register_parquet_dir(SF_DIR)
+    # ANALYZE gives the facade real NDVs for orders/customer
+    c.analyze("orders", columns=["o_orderstatus", "o_custkey", "o_orderkey"])
+    c.analyze("customer", columns=["c_mktsegment", "c_custkey"])
+    return c
+
+
+@pytest.fixture(scope="module")
+def mq(cat):
+    return MetadataQuery(cat)
+
+
+def _b(cat):
+    return RelBuilder(cat)
+
+
+def test_row_count_scan_values_sample_sort(cat, mq):
+    scan = _b(cat).scan("orders").build()
+    exact = cat.row_count("orders")
+    assert mq.row_count(scan) == exact
+
+    vals = ir.Values([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    assert mq.row_count(vals) == 3.0
+    assert mq.max_row_count(vals) == 3.0
+    assert mq.min_row_count(vals) == 3.0
+
+    samp = ir.Sample(0.1, seed=7, inputs=(scan,))
+    assert mq.row_count(samp) == pytest.approx(exact * 0.1)
+
+    top = ir.Sort(keys=("o_orderkey",), fetch=10, inputs=(scan,))
+    assert mq.row_count(top) == 10.0
+    assert mq.max_row_count(top) == 10.0
+
+
+def test_filter_selectivity_ndv_backed_vs_guess(cat, mq):
+    scan = _b(cat).scan("orders").build()
+    # o_orderstatus is ANALYZEd: equality uses 1/NDV, and the combined
+    # estimate is exact-count * exact-fraction class, not 0.15
+    ndv = cat.column_ndv("orders", "o_orderstatus")
+    sel = mq.selectivity(scan, "o_orderstatus = 'F'")
+    assert sel == pytest.approx(1.0 / ndv)
+    # un-ANALYZEd column on an un-ANALYZEd table: guess constants
+    lscan = _b(cat).scan("lineitem").build()
+    assert mq.selectivity(lscan, "l_shipmode = 'AIR'") == pytest.approx(0.15)
+    assert mq.selectivity(lscan, "l_quantity < 10") == pytest.approx(0.5)
+    assert mq.selectivity(lscan, "l_comment IS NOT NULL") == pytest.approx(0.9)
+    assert mq.selectivity(lscan, "l_quantity + 1 > l_tax") == pytest.approx(0.25)
+    # conjunction multiplies
+    assert mq.selectivity(
+        lscan, "l_shipmode = 'AIR' AND l_quantity < 10"
+    ) == pytest.approx(0.15 * 0.5)
+
+
+def test_aggregate_row_counts_and_bounds(cat, mq):
+    plan = (
+        _b(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    # group-key NDV is known → the estimate IS the NDV
+    assert mq.row_count(plan) == float(cat.column_ndv("orders", "o_orderstatus"))
+
+    global_agg = _b(cat).scan("orders").aggregate([], ["COUNT(*) AS n"]).build()
+    assert mq.row_count(global_agg) == 1.0
+    assert mq.max_row_count(global_agg) == 1.0
+    assert mq.min_row_count(global_agg) == 1.0  # one row even on empty input
+
+    rollup = (
+        _b(cat)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus", "o_orderpriority"],
+            ["COUNT(*) AS n"],
+            group_type="ROLLUP",
+        )
+        .build()
+    )
+    assert mq.min_row_count(rollup) == 0.0
+    assert mq.max_row_count(rollup) is None  # scan has no hard bound
+
+
+def test_join_row_count_uses_ndv(cat, mq):
+    plan = (
+        _b(cat)
+        .scan("customer")
+        .scan("orders")
+        .join("c_custkey = o_custkey")
+        .build()
+    )
+    l = cat.row_count("customer")
+    r = cat.row_count("orders")
+    ndv = max(
+        cat.column_ndv("customer", "c_custkey"),
+        cat.column_ndv("orders", "o_custkey"),
+    )
+    assert mq.row_count(plan) == pytest.approx(l * r / ndv)
+    # hard bound: product (no stats involved)
+    assert mq.max_row_count(plan) is None  # scans are unbounded statically
+
+    semi = (
+        _b(cat).scan("customer").scan("orders").semi_join("c_custkey = o_custkey").build()
+    )
+    assert mq.row_count(semi) == pytest.approx(l * 0.5)
+
+
+def test_setop_counts(cat, mq):
+    a = ir.Values([(1,), (2,)], "x int")
+    b = ir.Values([(2,), (3,), (4,)], "x int")
+    assert mq.row_count(ir.SetOp("UNION_ALL", inputs=(a, b))) == 5.0
+    assert mq.max_row_count(ir.SetOp("UNION", inputs=(a, b))) == 5.0
+    assert mq.max_row_count(ir.SetOp("INTERSECT", inputs=(a, b))) == 2.0
+    assert mq.max_row_count(ir.SetOp("EXCEPT", inputs=(a, b))) == 2.0
+    assert mq.min_row_count(ir.SetOp("UNION_ALL", inputs=(a, b))) == 5.0
+    assert mq.min_row_count(ir.SetOp("UNION", inputs=(a, b))) == 3.0
+
+
+def test_distinct_row_count_through_lineage(cat, mq):
+    # projection renames the column; lineage resolves it to the base NDV
+    plan = (
+        _b(cat)
+        .scan("orders")
+        .project("o_orderstatus AS status", "o_totalprice")
+        .build()
+    )
+    assert mq.distinct_row_count(plan, "status") == float(
+        cat.column_ndv("orders", "o_orderstatus")
+    )
+    # derived column: no NDV claim
+    derived = (
+        _b(cat).scan("orders").project("o_totalprice * 2 AS dbl").build()
+    )
+    assert mq.distinct_row_count(derived, "dbl") is None
+    # NDV capped by the node's own row estimate
+    top = ir.Sort(keys=("o_orderkey",), fetch=3, inputs=(_b(cat).scan("orders").build(),))
+    assert mq.distinct_row_count(top, "o_orderstatus") <= 3.0
+
+
+def test_unique_keys_scan_project_agg_join(cat, mq):
+    cat.analyze_deep("region")
+    scan = _b(cat).scan("region").build()
+    assert ("r_regionkey",) in mq.unique_keys(scan)
+
+    # rename survives; dropping a key column kills the key
+    proj = _b(cat).scan("region").project("r_regionkey AS rk", "r_name").build()
+    assert ("rk",) in mq.unique_keys(proj)
+    dropped = _b(cat).scan("region").project("r_name").build()
+    assert ("r_regionkey",) not in {
+        k for k in mq.unique_keys(dropped)
+    } and ("rk",) not in mq.unique_keys(dropped)
+
+    agg = (
+        _b(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert ("o_orderstatus",) in mq.unique_keys(agg)
+
+    # FK join on region's unique key preserves nothing for nation (it
+    # has no discovered keys yet) but preserves region's key when the
+    # OTHER side (nation) is joined on ITS unique key
+    cat.analyze_deep("nation")
+    j = (
+        _b(cat)
+        .scan("nation")
+        .scan("region")
+        .join("n_regionkey = r_regionkey")
+        .build()
+    )
+    # region joined on r_regionkey (its unique key) → nation keys survive
+    assert ("n_nationkey",) in mq.unique_keys(j)
+
+
+def test_snapshot_key_is_unique(cat, mq):
+    snap = ir.Snapshot(
+        as_of="TIMESTAMP '2020-01-01'",
+        key="o_orderkey",
+        version_col="o_orderdate",
+        inputs=(_b(cat).scan("orders").build(),),
+    )
+    assert ("o_orderkey",) in mq.unique_keys(snap)
+
+
+def test_pulled_up_predicates(cat, mq):
+    plan = (
+        _b(cat)
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .filter("o_totalprice > 1000")
+        .build()
+    )
+    preds = mq.pulled_up_predicates(plan)
+    assert "o_orderstatus = 'F'" in preds and "o_totalprice > 1000" in preds
+
+    # inner join pulls both sides + the condition
+    j = (
+        _b(cat)
+        .scan("customer")
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .join("c_custkey = o_custkey")
+        .build()
+    )
+    jp = mq.pulled_up_predicates(j)
+    assert "o_orderstatus = 'F'" in jp and "c_custkey = o_custkey" in jp
+
+    # LEFT join: null-extended right side's predicate must NOT survive
+    lj = (
+        _b(cat)
+        .scan("customer")
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .join("c_custkey = o_custkey", join_type="LEFT")
+        .build()
+    )
+    assert "o_orderstatus = 'F'" not in mq.pulled_up_predicates(lj)
+
+    # projection keeps predicates only for surviving columns
+    pj = (
+        _b(cat)
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .project("o_orderstatus", "o_custkey")
+        .build()
+    )
+    assert "o_orderstatus = 'F'" in mq.pulled_up_predicates(pj)
+    pj2 = (
+        _b(cat)
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .project("o_custkey")
+        .build()
+    )
+    assert mq.pulled_up_predicates(pj2) == []
+
+    # aggregate keeps group-key predicates
+    ag = (
+        _b(cat)
+        .scan("orders")
+        .filter("o_orderstatus = 'F'")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert "o_orderstatus = 'F'" in mq.pulled_up_predicates(ag)
+
+
+def test_collation(cat, mq):
+    plan = (
+        _b(cat)
+        .scan("orders")
+        .sort("o_totalprice DESC", "o_orderkey")
+        .build()
+    )
+    assert mq.collation(plan) == ("o_totalprice DESC", "o_orderkey")
+    filt = ir.Filter("o_totalprice > 0", inputs=(plan,))
+    assert mq.collation(filt) == ("o_totalprice DESC", "o_orderkey")
+    ex = ir.Exchange("hash", ("o_custkey",), inputs=(plan,))
+    assert mq.collation(ex) == ()
+
+
+def test_broadcast_rule_consumes_grounded_estimate(spark):
+    """The live consumer: a FILTERED big-side join broadcasts only when
+    the metadata estimate is statistics-grounded and small."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    # make orders look big so the base table is NOT broadcastable
+    cat.tables["orders"].row_count = 10_000_000
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .scan("orders")
+        .filter("o_orderkey = 42")
+        .join("l_orderkey = o_orderkey")
+        .build()
+    )
+    # no statistics → guess-only estimate → NO broadcast hint
+    out = default_program(cat).run(plan)
+
+    def find_join(n):
+        if isinstance(n, ir.Join):
+            return n
+        for c in n.inputs:
+            j = find_join(c)
+            if j is not None:
+                return j
+        return None
+
+    j = find_join(out)
+    assert not (j.broadcast_left or j.broadcast_right)
+
+    # ANALYZE pins o_orderkey NDV == rows → grounded est ~1 row → hint
+    cat.analyze("orders", columns=["o_orderkey"])
+    cat.tables["orders"].row_count = 10_000_000
+    cat.tables["orders"].stats["columns"]["o_orderkey"]["ndv"] = 10_000_000
+    out2 = default_program(cat).run(plan)
+    j2 = find_join(out2)
+    assert j2.broadcast_right and j2._hint_from_rule
