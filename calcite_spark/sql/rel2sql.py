@@ -1434,6 +1434,295 @@ class RedshiftDialect(Dialect):
         return self._values_as_union(rows, names)
 
 
+# Presto's supported aggregate set is RESTRICTED relative to Trino
+# (PrestoSqlDialect.supportsAggregateFunction lists only AVG/COUNT/CUBE/
+# ROLLUP/SUM/MIN/MAX) — the stddev/variance/covar family refuses.
+_PRESTO_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "try_cast", "extract", "floor", "ceil", "ceiling", "lower",
+    "upper", "length", "trim", "ltrim", "rtrim", "concat", "concat_ws",
+    "substring", "substr", "replace", "greatest", "least", "nullif",
+    "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+    "first_value", "last_value", "nth_value", "percent_rank",
+    "cume_dist", "regexp_replace", "date_trunc", "sign", "sqrt",
+    "power", "exp", "ln", "log10", "mod", "pi", "md5", "repeat",
+    "reverse", "grouping", "approx_count_distinct",
+}
+
+_PRESTO_FN_MAP = {
+    "instr": "strpos",
+    "levenshtein": "levenshtein_distance",
+    "sort_array": "array_sort",
+    "size": "cardinality",
+    "collect_list": "array_agg",
+    "startswith": "starts_with",
+    "approx_distinct": "approx_distinct",
+}
+
+
+class PrestoDialect(TrinoDialect):
+    """≈ sql/dialect/PrestoSqlDialect.java (the ancestor entry; our
+    Trino dialect mirrors the continuation project). Divergences the
+    reference encodes, mirrored here:
+      * row limiting is `OFFSET n LIMIT m` — unparseOffsetFetch →
+        unparseUsingLimit writes OFFSET first, then LIMIT (not the
+        ANSI OFFSET/FETCH the Trino entry emits);
+      * NULL ordering: withNullCollation(LAST), with explicit
+        directions emulated via IS-NULL prefix keys
+        (emulateNullDirectionWithIsNull) — Spark's default is
+        low-nulls (ASC ⇒ NULLS FIRST), so an un-annotated ASC key
+        ALSO gets the prefix or Presto would silently sort nulls last;
+      * supportsApproxCountDistinct() → approx_count_distinct allowed;
+      * the aggregate set is restricted (no stddev/variance/covar —
+        supportsAggregateFunction's closed list)."""
+
+    name = "presto"
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _TRINO_TYPE_MAP)
+        return _check_and_map_calls(
+            text, _PRESTO_SHARED, _PRESTO_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)(\s+(?:ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            text.strip(),
+        )
+        expr = self.expr(m.group(1))
+        direction = (m.group(2) or "").strip()
+        nulls = (m.group(3) or "").upper()
+        # Spark semantics of the INPUT key: default ASC ⇒ nulls first,
+        # DESC ⇒ nulls last. Presto default: nulls LAST always.
+        nulls_first = nulls == "FIRST" or (not nulls and direction != "DESC")
+        prefix = f"({expr} IS NULL) DESC, " if nulls_first else ""
+        return f"{prefix}{expr} {direction}".strip()
+
+    def fetch_clause(self, offset, fetch, has_order):
+        c = ""
+        if offset:
+            c += f" OFFSET {offset}"
+        if fetch is not None:
+            c += f" LIMIT {fetch}"
+        return c
+
+
+# Vertica is PostgreSQL-descended: PG-flavored function surface, LIMIT/
+# OFFSET row limiting (VerticaSqlDialect.unparseOffsetFetch →
+# unparseFetchUsingLimit), EXISTS lowering for SEMI/ANTI.
+_VERTICA_SHARED = frozenset(_PG_SHARED)
+
+_VERTICA_FN_MAP = dict(_PG_FN_MAP)
+
+
+class VerticaDialect(Dialect):
+    """≈ sql/dialect/VerticaSqlDialect.java. PostgreSQL-descended, so
+    the structure mirrors our PG dialect: [NOT] EXISTS lowering,
+    EXTRACT shorthand rewrite, PG type spellings in CAST targets.
+    Reference-encoded divergences: LIMIT/OFFSET row limiting
+    (unparseFetchUsingLimit) and LIKE's ESCAPE clause unsupported
+    (supportsFunction case LIKE — we never emit ESCAPE, so nothing to
+    refuse at this surface)."""
+
+    name = "vertica"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_extract_units(text)
+        text = _rewrite_cast_types(text, _PG_TYPE_MAP)
+        return _check_and_map_calls(
+            text, _VERTICA_SHARED, _VERTICA_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
+# Teradata: the REFERENCE dialect is a product-tag stub (
+# TeradataSqlDialect.java defines only DatabaseProduct.TERADATA + the
+# quote string and inherits every ANSI default). We keep the inherited
+# ANSI surface and add the two public-doc Teradata facts that would
+# otherwise produce SQL the engine rejects: row limiting is TOP n (no
+# LIMIT; OFFSET has no syntax at all → refuse), and the ANSI function
+# surface is conservative.
+_TERADATA_SHARED = {
+    "sum", "count", "min", "max", "avg", "round", "abs", "coalesce",
+    "cast", "extract", "floor", "ceil", "ceiling", "lower", "upper",
+    "length", "trim", "ltrim", "rtrim", "substring", "substr",
+    "replace", "greatest", "least", "nullif", "stddev_pop",
+    "stddev_samp", "var_pop", "var_samp", "row_number", "rank",
+    "dense_rank", "lag", "lead", "first_value", "last_value",
+    "percent_rank", "cume_dist", "sign", "sqrt", "exp", "ln", "mod",
+    "grouping", "concat",
+}
+
+_TERADATA_FN_MAP = {
+    "stddev": "stddev_samp",
+    "variance": "var_samp",
+    "std": "stddev_samp",
+}
+
+
+class TeradataDialect(Dialect):
+    """≈ sql/dialect/TeradataSqlDialect.java — which is deliberately a
+    stub (product tag + identifier quote, all behavior inherited from
+    SqlDialect's ANSI defaults), so most of this dialect IS the ANSI
+    base class. Additions from public Teradata documentation where the
+    inherited default would emit rejected SQL: SELECT TOP n replaces
+    LIMIT (OFFSET refuses — Teradata has no OFFSET clause; pagination
+    is QUALIFY ROW_NUMBER(), which our emitter does not synthesize),
+    and SEMI/ANTI lower to [NOT] EXISTS."""
+
+    name = "teradata"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_extract_units(text)
+        return _check_and_map_calls(
+            text, _TERADATA_SHARED, _TERADATA_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def fetch_clause(self, offset, fetch, has_order):
+        if offset:
+            raise UnsupportedDialectExpression(
+                "teradata has no OFFSET clause (use QUALIFY ROW_NUMBER() "
+                "pagination upstream)"
+            )
+        if fetch is not None and has_order:
+            # ordered top-K is QUALIFY ROW_NUMBER() OVER (ORDER BY ...)
+            # <= n in Teradata; the TOP wrap would DROP the ordering —
+            # refuse rather than silently return arbitrary rows
+            raise UnsupportedDialectExpression(
+                "teradata ordered FETCH needs QUALIFY ROW_NUMBER() — "
+                "TOP n does not compose with the subquery ORDER BY"
+            )
+        if fetch is not None:
+            return ("top", fetch)
+        return ""
+
+
+# Derby: near-stub in the reference too (DerbySqlDialect.java's single
+# override maps CHAR_LENGTH → LENGTH). Derby's engine surface is thin:
+# ANSI OFFSET/FETCH row limiting, no SEMI keyword, ROW_NUMBER is the
+# only window function, tiny function library.
+_DERBY_SHARED = {
+    "sum", "count", "min", "max", "avg", "abs", "coalesce", "cast",
+    "floor", "ceil", "ceiling", "lower", "upper", "length", "trim",
+    "ltrim", "rtrim", "substr", "nullif", "sqrt", "exp", "ln", "mod",
+    "row_number",
+}
+
+_DERBY_FN_MAP = {
+    "char_length": "length",  # DerbySqlDialect.java:40-46, its one rule
+    "substring": "substr",
+}
+
+_DERBY_TYPE_MAP = {
+    "string": "VARCHAR(32672)",  # Derby's max VARCHAR length
+    "double": "DOUBLE",
+    "float": "REAL",
+    "long": "BIGINT",
+    "binary": "VARCHAR (32672) FOR BIT DATA",
+}
+
+
+class DerbyDialect(Dialect):
+    """≈ sql/dialect/DerbySqlDialect.java, whose single override is
+    CHAR_LENGTH → LENGTH; everything else inherits ANSI defaults, which
+    suits Derby's close-to-standard surface: OFFSET n ROWS FETCH NEXT m
+    ROWS ONLY row limiting, FROM-position VALUES with alias, NULLS
+    FIRST/LAST native. Refusals where Derby genuinely lacks the
+    feature: SEMI/ANTI keywords (→ [NOT] EXISTS), every window function
+    except ROW_NUMBER, regex/hash functions, grouping extensions."""
+
+    name = "derby"
+    semi_join_kw = None
+    anti_join_kw = None
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _DERBY_TYPE_MAP)
+        return _check_and_map_calls(
+            text, _DERBY_SHARED, _DERBY_FN_MAP, self.name
+        )
+
+    def sort_key(self, text: str) -> str:
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            text.strip(),
+        )
+        return self.expr(m.group(1)) + m.group(2)
+
+    def rollup_clause(self, keys):
+        raise UnsupportedDialectExpression("derby has no ROLLUP")
+
+    def cube_clause(self, keys):
+        raise UnsupportedDialectExpression("derby has no CUBE")
+
+    def grouping_sets_clause(self, sets_sql):
+        raise UnsupportedDialectExpression("derby has no GROUPING SETS")
+
+    def fetch_clause(self, offset, fetch, has_order):
+        c = ""
+        if offset:
+            c += f" OFFSET {offset} ROWS"
+        if fetch is not None:
+            c += f" FETCH NEXT {fetch} ROWS ONLY"
+        return c
+
+    def values(self, rows, names) -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS t({', '.join(names)})"
+
+
+class StarRocksDialect(MySQLDialect):
+    """≈ sql/dialect/StarRocksSqlDialect.java, which extends
+    MysqlSqlDialect — so does this class. Reference-encoded additions
+    over MySQL: supportsApproxCountDistinct() and a native date_trunc
+    (plus Spark-style ARRAY/MAP constructors and Hive TRIM unparsing,
+    neither of which our expression surface emits for MySQL-family
+    targets). NullCollation.LOW matches MySQL's, so the inherited
+    ISNULL-prefix null-direction emulation stands."""
+
+    name = "starrocks"
+
+    _EXTRA = {"approx_count_distinct", "date_trunc"}
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_cast_types(text, _MYSQL_TYPE_MAP)
+        return _check_and_map_calls(
+            text, _MYSQL_SHARED | self._EXTRA, _MYSQL_FN_MAP, self.name
+        )
+
+
+class DorisDialect(StarRocksDialect):
+    """≈ sql/dialect/DorisSqlDialect.java (the StarRocks sibling —
+    both descend from MySQL; Doris adds DATE_TRUNC-based FLOOR
+    unparsing and Spark-style array/map constructors via
+    unparseSparkArrayAndMap, neither reached by our MySQL-family
+    expression surface). Emission differences from StarRocks are nil
+    at this surface; the entry exists so federation targets can
+    declare the correct product and pick up future divergences."""
+
+    name = "doris"
+
+
 # Spark-SQL functions valid SQLite 3.40 verbatim. The math tier
 # (sqrt/exp/ln/...) requires SQLITE_ENABLE_MATH_FUNCTIONS, which
 # CPython's bundled library enables; SQLiteEngine (sources/federation.py)
@@ -1741,6 +2030,12 @@ SNOWFLAKE = SnowflakeDialect()
 CLICKHOUSE = ClickHouseDialect()
 REDSHIFT = RedshiftDialect()
 SQLITE = SqliteDialect()
+PRESTO = PrestoDialect()
+VERTICA = VerticaDialect()
+TERADATA = TeradataDialect()
+DERBY = DerbyDialect()
+STARROCKS = StarRocksDialect()
+DORIS = DorisDialect()
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:

@@ -913,3 +913,174 @@ def test_review_r5_regressions(cat):
     # refused cast targets survive into nested CASTs
     with pytest.raises(UnsupportedDialectExpression, match="binary"):
         CLICKHOUSE.expr("CAST(CAST(x AS binary) AS string)")
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 2: Presto, Vertica, Teradata, Derby, StarRocks, Doris
+
+
+PRESTO_EXECUTABLE_SHAPES = DUCK_SHAPES  # near-ANSI: all 12 run on DuckDB
+
+
+def test_presto_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import PRESTO
+
+    plans = _plans(cat)
+    for name in PRESTO_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        sql = to_sql(plan, PRESTO)
+        assert_matches_oracle(plan.to_df(cat), duck, sql), name
+
+
+def test_presto_forms_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import PRESTO
+
+    plans = _plans(cat)
+    # OFFSET n LIMIT m order (unparseUsingLimit), not ANSI OFFSET/FETCH
+    sql = to_sql(plans["offset_fetch"], PRESTO)
+    assert "OFFSET 5 LIMIT 10" in sql and "FETCH" not in sql
+    # NullCollation.LAST: un-annotated ASC gets the IS NULL prefix so
+    # Spark's nulls-first semantics survive; DESC (both nulls-last)
+    # passes through bare
+    assert PRESTO.sort_key("c_name") == "(c_name IS NULL) DESC, c_name"
+    assert PRESTO.sort_key("c_name DESC") == "c_name DESC"
+    assert (
+        PRESTO.sort_key("c_name DESC NULLS FIRST")
+        == "(c_name IS NULL) DESC, c_name DESC"
+    )
+    assert PRESTO.sort_key("c_name NULLS LAST") == "c_name"
+    # supportsApproxCountDistinct
+    assert (
+        PRESTO.expr("approx_count_distinct(x)") == "approx_count_distinct(x)"
+    )
+    # restricted aggregate set: stddev family refuses (Trino allows it)
+    with pytest.raises(UnsupportedDialectExpression, match="stddev"):
+        PRESTO.expr("stddev(x)")
+    with pytest.raises(UnsupportedDialectExpression, match="corr"):
+        PRESTO.expr("corr(x, y)")
+
+
+VERTICA_EXECUTABLE_SHAPES = [
+    s for s in DUCK_SHAPES if s != "except_all"  # Vertica: DISTINCT set ops
+]
+
+
+def test_vertica_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import VERTICA
+
+    plans = _plans(cat)
+    for name in VERTICA_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        sql = to_sql(plan, VERTICA)
+        assert_matches_oracle(plan.to_df(cat), duck, sql), name
+
+
+def test_vertica_forms(cat):
+    from calcite_spark.sql.rel2sql import VERTICA
+
+    plans = _plans(cat)
+    # unparseFetchUsingLimit: LIMIT/OFFSET, not ANSI FETCH
+    sql = to_sql(plans["offset_fetch"], VERTICA)
+    assert "LIMIT 10 OFFSET 5" in sql
+    # PG inheritance: EXISTS lowering + EXTRACT shorthand rewrite
+    semi = to_sql(plans["semi_join"], VERTICA)
+    assert "EXISTS" in semi
+    assert VERTICA.expr("year(o_orderdate)") == "EXTRACT(YEAR FROM o_orderdate)"
+    assert VERTICA.expr("CAST(x AS STRING)") == "CAST(x AS TEXT)"
+
+
+def test_teradata_top_and_refusals(cat, duck, spark):
+    from calcite_spark.sql.rel2sql import TERADATA
+
+    plans = _plans(cat)
+    # executable subset through DuckDB (EXISTS lowering, ROLLUP, VALUES
+    # emulation are dialect-neutral)
+    for name in ("q01_shape", "left_join", "semi_join", "anti_join",
+                 "rollup", "grouping_sets", "union_distinct", "values_join",
+                 "window"):
+        plan = plans[name]
+        sql = to_sql(plan, TERADATA)
+        assert_matches_oracle(plan.to_df(cat), duck, sql), name
+    # no OFFSET clause at all
+    with pytest.raises(UnsupportedDialectExpression, match="OFFSET"):
+        to_sql(plans["offset_fetch"], TERADATA)
+    # ordered fetch would drop the ORDER BY under a TOP wrap → refuse
+    with pytest.raises(UnsupportedDialectExpression, match="QUALIFY"):
+        to_sql(plans["join_agg_topk"], TERADATA)
+    # unordered fetch is SELECT TOP n
+    from calcite_spark.plans.builder import RelBuilder
+
+    plain = (
+        RelBuilder(cat).scan("customer").project("c_custkey").build()
+    )
+    from calcite_spark.plans import ir as _ir
+
+    top = _ir.Sort(keys=(), fetch=7, inputs=(plain,))
+    assert "SELECT TOP 7" in to_sql(top, TERADATA)
+    # stddev canonicalizes to the _SAMP spelling
+    assert TERADATA.expr("stddev(x)") == "stddev_samp(x)"
+
+
+DERBY_EXECUTABLE_SHAPES = [
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "union_distinct",
+    "except_all",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_derby_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import DERBY
+
+    plans = _plans(cat)
+    for name in DERBY_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        sql = to_sql(plan, DERBY)
+        assert_matches_oracle(plan.to_df(cat), duck, sql), name
+
+
+def test_derby_forms_and_refusals(cat):
+    from calcite_spark.sql.rel2sql import DERBY
+
+    plans = _plans(cat)
+    # ANSI OFFSET/FETCH row limiting
+    sql = to_sql(plans["offset_fetch"], DERBY)
+    assert "OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY" in sql
+    # DerbySqlDialect.java's one rule: CHAR_LENGTH → LENGTH
+    assert DERBY.expr("char_length(c_name)") == "length(c_name)"
+    # tiny engine surface: only ROW_NUMBER among window functions
+    with pytest.raises(UnsupportedDialectExpression, match="rank"):
+        DERBY.expr("rank() OVER (ORDER BY x)")
+    with pytest.raises(UnsupportedDialectExpression, match="regexp_replace"):
+        DERBY.expr("regexp_replace(x, 'a', 'b')")
+    with pytest.raises(UnsupportedDialectExpression, match="no ROLLUP"):
+        to_sql(plans["rollup"], DERBY)
+
+
+def test_starrocks_doris_mysql_family(cat, duck, spark):
+    from calcite_spark.sql.rel2sql import DORIS, STARROCKS
+
+    plans = _plans(cat)
+    # inherit the MySQL executable surface
+    for d in (STARROCKS, DORIS):
+        for name in ("q01_shape", "semi_join", "union_distinct", "values_join"):
+            plan = plans[name]
+            sql = to_sql(plan, d)
+            assert_matches_oracle(plan.to_df(cat), duck, sql), (d.name, name)
+        # MySQL structural inheritance: WITH ROLLUP + VALUES emulation
+        assert "WITH ROLLUP" in to_sql(plans["rollup"], d)
+        with pytest.raises(UnsupportedDialectExpression):
+            d.cube_clause(["a"])
+        # StarRocks additions over MySQL: approx_count_distinct + date_trunc
+        assert d.expr("approx_count_distinct(x)") == "approx_count_distinct(x)"
+        assert d.expr("date_trunc('month', ts)") == "date_trunc('month', ts)"
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    with pytest.raises(UnsupportedDialectExpression):
+        MYSQL.expr("approx_count_distinct(x)")  # the MySQL base refuses
