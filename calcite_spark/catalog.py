@@ -55,6 +55,10 @@ class TableEntry:
     # exposes via getKeys() / RelMdColumnUniqueness
     unique_keys: list[tuple] = field(default_factory=list)
     fds: list[tuple] = field(default_factory=list)  # (determinant, dependent)
+    # Hilbert-curve CHECK constraint ≈ SpatialRules.java:78
+    # "CHECK (h = Hilbert(order, x, y))" — set by
+    # register_hilbert_constraint, consumed by the FilterHilbert rule
+    hilbert: dict | None = None
 
 
 class Catalog:
@@ -210,6 +214,31 @@ class Catalog:
             for d in stats["functional_dependencies"]
         ]
         return stats
+
+    def register_hilbert_constraint(
+        self,
+        name: str,
+        h_col: str,
+        x_col: str,
+        y_col: str,
+        order: int,
+        bounds: tuple[float, float, float, float],
+    ) -> None:
+        """Declare that `h_col` holds the Hilbert index of (x_col, y_col)
+        ≈ the CHECK (h = Hilbert(order, x, y)) constraint SpatialRules'
+        FilterHilbertRule keys on (SpatialRules.java:78). The constraint
+        is a DECLARATION — the caller is responsible for having
+        populated the column (functions/hilbert.hilbert_sql emits the
+        exact expression) and ideally sorted/partitioned the table by
+        it; the FilterHilbert rewrite then turns ST_DWITHIN point
+        predicates into pushable index ranges."""
+        self.tables[name].hilbert = {
+            "h": h_col,
+            "x": x_col,
+            "y": y_col,
+            "order": order,
+            "bounds": tuple(bounds),
+        }
 
     def is_unique_key(self, name: str, col: str) -> bool:
         """Is col a (discovered or declared) singleton unique key?"""

@@ -39,6 +39,8 @@ approximation.
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd  # module scope: pandas_udf type hints resolve here
 
 GEOM_TYPE = "struct<kind: string, pts: array<struct<x: double, y: double>>>"
@@ -1266,3 +1268,69 @@ def register_spatial_functions() -> None:
 
 
 register_spatial_functions()
+
+
+# ---------------------------------------------------------------------------
+# compact-SQL surface: ST_*(...) macro calls inside plan expression text
+
+
+_ST_CALL_RE = _re.compile(r"\bST_[A-Za-z_]\w*\s*\(", _re.I)
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(text[start:i].strip())
+                start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+
+def expand_spatial_sql(text: str) -> str:
+    """Expand compact ST_*(...) macro calls in SQL expression text into
+    their registered struct-geometry lowerings (registry.translate) —
+    the textual twin of calling translate() programmatically, so IR
+    Filter/Project expressions can be written in the reference's
+    compact spatial SQL (spatial.iq style) and still lower to pure
+    Spark SQL. Arguments expand recursively (innermost calls first);
+    unknown ST_ names raise rather than passing through to a Spark
+    parse error far from the source."""
+    from calcite_spark.functions import registry
+
+    while True:
+        m = _ST_CALL_RE.search(text)
+        if m is None:
+            return text
+        name = text[m.start() : text.index("(", m.start())].strip()
+        depth, i, in_str = 1, m.end(), False
+        while i < len(text) and depth:
+            ch = text[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                depth += ch == "("
+                depth -= ch == ")"
+            if depth == 0:
+                break
+            i += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in spatial call: {text!r}")
+        args = [
+            expand_spatial_sql(a)
+            for a in _split_top_commas(text[m.end() : i])
+        ]
+        try:
+            lowered = registry.translate(name, *args, library="SPATIAL")
+        except KeyError:
+            raise KeyError(
+                f"unknown spatial function {name!r} in expression"
+            ) from None
+        text = text[: m.start()] + lowered + text[i + 1 :]

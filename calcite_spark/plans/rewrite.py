@@ -933,6 +933,130 @@ def _join_order_stats(node, catalog):
     return _join_order_dphyp(node, catalog, resolved=resolved)
 
 
+_NUM_LIT = r"-?\d+(?:\.\d+)?"
+_COL_ID = r"[A-Za-z_]\w*"
+# ST_DWITHIN(ST_MAKEPOINT(<litx>, <lity>), ST_MAKEPOINT(<colx>, <coly>), <d>)
+_DWITHIN_LIT_COL = re.compile(
+    rf"^\s*ST_DWITHIN\s*\(\s*ST_MAKEPOINT\s*\(\s*({_NUM_LIT})\s*,\s*({_NUM_LIT})\s*\)\s*,"
+    rf"\s*ST_MAKEPOINT\s*\(\s*({_COL_ID})\s*,\s*({_COL_ID})\s*\)\s*,\s*({_NUM_LIT})\s*\)\s*$",
+    re.I,
+)
+# mirrored operand order (column point first)
+_DWITHIN_COL_LIT = re.compile(
+    rf"^\s*ST_DWITHIN\s*\(\s*ST_MAKEPOINT\s*\(\s*({_COL_ID})\s*,\s*({_COL_ID})\s*\)\s*,"
+    rf"\s*ST_MAKEPOINT\s*\(\s*({_NUM_LIT})\s*,\s*({_NUM_LIT})\s*\)\s*,\s*({_NUM_LIT})\s*\)\s*$",
+    re.I,
+)
+
+
+def _filter_hilbert(node, catalog):
+    """≈ rel/rules/SpatialRules.java FilterHilbertRule: a conjunct
+    `ST_DWITHIN(ST_MAKEPOINT(cx, cy), ST_MAKEPOINT(x, y), d)` over a
+    scan whose table declares the CHECK (h = Hilbert(order, x, y))
+    constraint becomes
+
+        (h BETWEEN a AND b OR ...) AND <exact predicate>
+
+    — the range disjunction is plain SQL, so Catalyst pushes it into
+    the parquet scan (PushedFilters) and prunes row groups when the
+    table is laid out along the curve; the exact predicate stays (the
+    ranges admit false positives, never false negatives; the reference
+    keeps the original conjunct for the same reason). Negative
+    distance folds to FALSE (reference case -1). In the same transform
+    the matched conjunct is lowered from the compact macro to its
+    executable struct-geometry form — one-shot, which is also what
+    makes the rule idempotent under the Hep fixpoint loop."""
+    if not isinstance(node, ir.Filter) or catalog is None:
+        return None
+    base = node.inputs[0]
+    while isinstance(base, ir.Filter) and base.inputs:
+        base = base.inputs[0]
+    if not isinstance(base, ir.Scan):
+        return None
+    entry = getattr(catalog, "tables", {}).get(base.table)
+    hc = getattr(entry, "hilbert", None)
+    if hc is None:
+        return None
+    from calcite_spark.functions.hilbert import (
+        covering_ranges,
+        ranges_predicate,
+    )
+    from calcite_spark.functions.spatial import expand_spatial_sql
+
+    changed = False
+    out = []
+    for conj in _split_conjuncts(node.condition):
+        colx = coly = cx = cy = d = None
+        m = _DWITHIN_LIT_COL.match(conj)
+        if m:
+            cx, cy, colx, coly, d = m.groups()
+        else:
+            m = _DWITHIN_COL_LIT.match(conj)
+            if m:
+                colx, coly, cx, cy, d = m.groups()
+        # exact positional match — ST_MAKEPOINT(y, x) is a DIFFERENT
+        # point; a set comparison would silently accept swapped axes
+        if (
+            colx is None
+            or colx.lower() != hc["x"].lower()
+            or coly.lower() != hc["y"].lower()
+        ):
+            out.append(conj)
+            continue
+        cx, cy, d = float(cx), float(cy), float(d)
+        if d < 0:
+            out = ["FALSE"]
+            changed = True
+            break
+        ranges = covering_ranges(
+            hc["order"], hc["bounds"], cx - d, cx + d, cy - d, cy + d
+        )
+        # range prefilter FIRST (cheaper, less selective — reference
+        # inserts it before the original for the same reason), exact
+        # predicate second, lowered to executable form
+        out.append(ranges_predicate(hc["h"], ranges))
+        out.append(expand_spatial_sql(conj))
+        changed = True
+    if not changed:
+        return None
+    new_cond = " AND ".join(f"({c})" for c in out)
+    return ir.Filter(new_cond, inputs=node.inputs)
+
+
+def _expand_spatial_macros(node, catalog):
+    """Lower compact ST_*(...) macro calls left in Filter conditions or
+    Project expressions to their registered struct-geometry SQL — the
+    textual tier of the spatial surface (spatial.iq style), applied
+    after FilterHilbert so the range rewrite sees the compact form."""
+    import re as _re2
+
+    if (
+        isinstance(node, ir.Filter)
+        and isinstance(node.condition, str)
+        and _re2.search(r"\bST_[A-Za-z_]\w*\s*\(", node.condition, _re2.I)
+    ):
+        from calcite_spark.functions.spatial import expand_spatial_sql
+
+        return ir.Filter(
+            expand_spatial_sql(node.condition), inputs=node.inputs
+        )
+    if isinstance(node, ir.Project) and any(
+        isinstance(e, str)
+        and _re2.search(r"\bST_[A-Za-z_]\w*\s*\(", e, _re2.I)
+        for e in node.exprs
+    ):
+        from calcite_spark.functions.spatial import expand_spatial_sql
+
+        return ir.Project(
+            tuple(
+                expand_spatial_sql(e) if isinstance(e, str) else e
+                for e in node.exprs
+            ),
+            inputs=node.inputs,
+        )
+    return None
+
+
 DEFAULT_RULES = [
     Rule("JoinOrderStats", _join_order_stats),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
@@ -940,6 +1064,10 @@ DEFAULT_RULES = [
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
     # after DateRange so sargified ranges propagate across joins too
     Rule("JoinPushTransitivePredicates", _join_push_transitive_predicates),
+    # FilterHilbert must see the COMPACT spatial form — keep it before
+    # the macro-expansion rule
+    Rule("FilterHilbert", _filter_hilbert),
+    Rule("ExpandSpatialMacros", _expand_spatial_macros),
 ]
 
 

@@ -880,3 +880,118 @@ def z75_variant(spark, sf_dir):
         .sort("event_type")
         .to_df()
     )
+
+
+def _hilbert_oracle_fold(order: int, x0: str, y0: str) -> str:
+    """Unrolled xy2d fold as NESTED SUBSELECTS for the DuckDB oracle
+    (reads a CTE named `pts` with columns doc_key, the scaled cells).
+
+    Why unrolled: DuckDB 1.0's list_reduce returns WRONG values for
+    the equivalent struct-accumulator fold once the input has a few
+    hundred rows (a vectorization fault — the identical expression is
+    correct on small inputs and as scalar steps; pinned by
+    tests/test_hilbert.py::test_duckdb_list_reduce_fold_is_avoided).
+    One projection per bit level is the same algorithm, immune to that
+    path."""
+    inner = f"SELECT doc_key, 0::BIGINT AS d, {x0} AS x, {y0} AS y FROM pts"
+    for lev in range(order - 1, -1, -1):
+        s = 1 << lev
+        inner = f"""SELECT doc_key,
+           d + {s}::BIGINT * {s} * xor(3 * CAST((x & {s}) > 0 AS BIGINT),
+                                       CAST((y & {s}) > 0 AS BIGINT)) AS d,
+           CASE WHEN (y & {s}) > 0 THEN x
+                WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END AS x,
+           CASE WHEN (y & {s}) > 0 THEN y
+                WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END AS y
+    FROM ({inner})"""
+    return inner
+
+
+@register(
+    "qx24_hilbert_index",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS doc_key,
+             CAST(c_custkey % 64 AS BIGINT) AS xi,
+             CAST((c_custkey // 64) % 64 AS BIGINT) AS yi
+      FROM customer
+    )
+    SELECT doc_key AS c_custkey, d AS h
+    FROM ({_hilbert_oracle_fold(6, "xi", "yi")})
+    ORDER BY c_custkey
+    """,
+    tags=("spatial", "hilbert", "index"),
+)
+def qx24_hilbert_index(spark, sf_dir):
+    """Hilbert curve index ≈ runtime/HilbertCurve2D.java: the pure-SQL
+    xy2d fold (functions/hilbert.hilbert_sql — one `aggregate` over bit
+    levels, JVM codegen, zero Python/shuffle: the write-path expression
+    that lays a 100 TB table out along the curve) over deterministic
+    cells derived from c_custkey, cross-checked against the DuckDB
+    unrolled-fold oracle value-for-value."""
+    from calcite_spark.functions.hilbert import hilbert_sql
+
+    cat = catalog_for(spark, sf_dir)
+    expr = hilbert_sql(
+        "CAST(c_custkey % 64 AS DOUBLE) + 0.5",
+        "CAST(CAST(c_custkey / 64 AS BIGINT) % 64 AS DOUBLE) + 0.5",
+        6,
+        (0.0, 64.0, 0.0, 64.0),
+    )
+    return (
+        cat.table("customer")
+        .selectExpr("c_custkey", f"{expr} AS h")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "qx26_hilbert_dwithin",
+    oracle="""
+    SELECT c_custkey AS pid
+    FROM (
+      SELECT c_custkey,
+             CAST(c_custkey % 64 AS BIGINT) + 0.5 AS x,
+             CAST((c_custkey // 64) % 64 AS BIGINT) + 0.5 AS y
+      FROM customer
+    )
+    WHERE sqrt(pow(x - 22.0, 2) + pow(y - 37.0, 2)) <= 9.0
+    ORDER BY pid
+    """,
+    tags=("spatial", "hilbert", "rewrite"),
+)
+def qx26_hilbert_dwithin(spark, sf_dir):
+    """FilterHilbertRule end-to-end ≈ rel/rules/SpatialRules.java: the
+    compact ST_DWITHIN predicate over a table carrying the
+    CHECK (h = Hilbert(order, x, y)) constraint is rewritten by
+    default_program into pushable `h BETWEEN` ranges AND the exact
+    predicate; the oracle replays ONLY the exact distance filter — a
+    value match proves the range cover lost no rows and admitted no
+    extras on real data."""
+    from calcite_spark.functions.hilbert import hilbert_sql
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = catalog_for(spark, sf_dir)
+    pts = cat.table("customer").selectExpr(
+        "c_custkey AS pid",
+        "CAST(c_custkey % 64 AS DOUBLE) + 0.5 AS x",
+        "CAST(CAST(c_custkey / 64 AS BIGINT) % 64 AS DOUBLE) + 0.5 AS y",
+    )
+    pts = pts.selectExpr(
+        "pid", "x", "y",
+        f"{hilbert_sql('x', 'y', 6, (0.0, 64.0, 0.0, 64.0))} AS h",
+    )
+    cat.register_df("hilbert_pts", pts)
+    cat.register_hilbert_constraint(
+        "hilbert_pts", "h", "x", "y", 6, (0.0, 64.0, 0.0, 64.0)
+    )
+    plan = (
+        RelBuilder(cat)
+        .scan("hilbert_pts")
+        .filter("ST_DWITHIN(ST_MAKEPOINT(22.0, 37.0), ST_MAKEPOINT(x, y), 9.0)")
+        .build()
+    )
+    rewritten = default_program(cat).run(plan)
+    assert "BETWEEN" in rewritten.condition  # the ranges actually fired
+    return rewritten.to_df(cat).selectExpr("pid").orderBy("pid")
