@@ -575,6 +575,12 @@ class SqlFrontend:
         text = self._expand_custom_types(text)
         text = self._expand_system_time(text)
         text = self._expand_window_tvfs(text)
+        if re.search(r"\bST_[A-Za-z_]\w*\s*\(", text, re.I):
+            # compact spatial calls (spatial.iq surface) → the registered
+            # struct-geometry lowerings; same expander the IR rule uses
+            from calcite_spark.functions.spatial import expand_spatial_sql
+
+            text = expand_spatial_sql(text)
         return text, is_stream
 
     def sql(self, text: str) -> DataFrame:
