@@ -556,10 +556,80 @@ class SqlFrontend:
                     text,
                 )
 
+    @staticmethod
+    def _top_level_kw(text: str, word: str, start: int = 0) -> int:
+        """Index of the first occurrence of `word` at paren depth 0 and
+        outside string literals, or -1."""
+        pat = re.compile(rf"\b{word}\b", re.I)
+        depth, in_str, i = 0, False, 0
+        while i < len(text):
+            ch = text[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and i >= start:
+                    m = pat.match(text, i)
+                    if m:
+                        return i
+            i += 1
+        return -1
+
+    def _expand_qualify(self, text: str) -> str:
+        """QUALIFY ≈ the reference's SqlQualify clause (qualify.iq):
+        filter on window functions AFTER windows are computed —
+
+            SELECT <list> FROM ... [WHERE ...] QUALIFY <pred> [ORDER ...]
+
+        lowers to the standard subquery form
+
+            SELECT * EXCEPT (__q) FROM (
+              SELECT *, (<pred>) AS __q FROM (<base>)
+            ) WHERE __q [ORDER ...]
+
+        `__q` is injected into the BASE select list (not computed over
+        the base's output), so the predicate's windows see the full
+        FROM scope — qualify.iq's "without references" cases partition
+        by columns the select list DROPS, which an outer-wrap lowering
+        cannot resolve. Select-list aliases in the predicate resolve
+        via Spark's lateral column aliases ("with references" cases).
+        SELECT DISTINCT ... QUALIFY refuses: injecting the predicate
+        column would change the distinct key. Top-level QUALIFY only —
+        subqueries carry their own when routed through parse()."""
+        q = self._top_level_kw(text, "QUALIFY")
+        if q < 0:
+            return text
+        tail_start = len(text)
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            k = self._top_level_kw(text, kw, q + 7)
+            if 0 <= k < tail_start:
+                tail_start = k
+        base = text[:q].rstrip()
+        pred = text[q + len("QUALIFY") : tail_start].strip()
+        tail = text[tail_start:].strip()
+        if not pred:
+            raise ValueError("QUALIFY requires a predicate")
+        sel = self._top_level_kw(base, "SELECT")
+        frm = self._top_level_kw(base, "FROM")
+        if sel < 0 or frm < 0:
+            raise ValueError("QUALIFY requires a SELECT ... FROM query")
+        if re.match(r"\s*DISTINCT\b", base[sel + 6 :], re.I):
+            raise ValueError(
+                "QUALIFY over SELECT DISTINCT is not supported — the "
+                "injected predicate column would change the distinct key"
+            )
+        injected = f"{base[:frm]}, ({pred}) AS __q {base[frm:]}"
+        out = f"SELECT * EXCEPT (__q) FROM ({injected}) WHERE __q"
+        return f"{out} {tail}" if tail else out
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
+        text = self._expand_qualify(text)
         if re.search(r"\bASOF\s+JOIN\b", text, re.I):
             text = self._expand_asof_join(text)
         if re.search(r"\bMATCH_RECOGNIZE\b", text, re.I):

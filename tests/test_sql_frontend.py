@@ -418,3 +418,37 @@ def test_asof_join_sql_refusals(fe):
         MATCH_CONDITION o.o_orderdate <= e.ts
         ON e.user_id < o.o_custkey
         """)
+
+
+def test_qualify_lowering(spark, fe):
+    """QUALIFY ≈ SqlQualify / qualify.iq: windows over NON-projected
+    columns work (predicate injected into the base scope), select-list
+    aliases resolve, and the clause composes with WHERE/ORDER/LIMIT."""
+    rows = fe.sql(
+        "SELECT s_suppkey, s_nationkey FROM supplier "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY s_nationkey "
+        "ORDER BY s_acctbal DESC, s_suppkey) = 1 "
+        "ORDER BY s_nationkey"
+    ).collect()
+    assert rows and len({r.s_nationkey for r in rows}) == len(rows)
+    assert set(rows[0].asDict()) == {"s_suppkey", "s_nationkey"}  # no __q
+
+    # alias reference in the predicate
+    rn = fe.sql(
+        "SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders "
+        "QUALIFY rn <= 2"
+    ).collect()
+    assert rn and all(r.rn <= 2 for r in rn)
+
+
+def test_qualify_refusals(fe):
+    import pytest
+
+    with pytest.raises(Exception, match="DISTINCT"):
+        fe.sql(
+            "SELECT DISTINCT s_nationkey FROM supplier "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY s_nationkey) = 1"
+        )
+    with pytest.raises(ValueError, match="predicate"):
+        fe.parse("SELECT s_suppkey FROM supplier QUALIFY ")
