@@ -625,10 +625,108 @@ class SqlFrontend:
         out = f"SELECT * EXCEPT (__q) FROM ({injected}) WHERE __q"
         return f"{out} {tail}" if tail else out
 
+    def _expand_measures_sql(self, text: str) -> str:
+        """SQL measures ≈ SqlTypeName.MEASURE + MeasureRules.java +
+        measure.iq, the text twin of RelBuilder.define_measure:
+
+          * `<agg-expr> AS MEASURE <name>` in a select list REGISTERS
+            the measure on the catalog and lowers, in that query, to
+            `<agg-expr> OVER () AS <name>` — a measure selected outside
+            GROUP BY evaluates in each row's context, which at the top
+            grain is the whole relation (measure.iq's ungrouped case);
+          * `AGGREGATE(<name>)` (single bare identifier — Spark's
+            higher-order aggregate(arr, init, merge) never matches this
+            shape) substitutes the stored aggregate expression, exactly
+            what RelBuilder._expand_measures does for the API path.
+
+        Definitions and uses share catalog.measures, so a measure
+        defined through either surface is usable from the other."""
+        out = []
+        # definitions: scan for top-level "AS MEASURE name"
+        pat = re.compile(r"\bAS\s+MEASURE\s+([A-Za-z_]\w*)", re.I)
+        while True:
+            m = None
+            for cand in pat.finditer(text):
+                # top-level-ness: definition sites live in select lists;
+                # accept any depth (subquery select lists included) but
+                # skip string literals
+                if text.count("'", 0, cand.start()) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                break
+            name = m.group(1)
+            # expression start: walk back to the previous comma or
+            # SELECT keyword AT THE SAME paren depth as the AS MEASURE
+            depth_here = 0
+            for ch in text[: m.start()]:
+                if ch == "(":
+                    depth_here += 1
+                elif ch == ")":
+                    depth_here -= 1
+            i, depth, in_str = m.start() - 1, 0, False
+            start = 0
+            while i >= 0:
+                ch = text[i]
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == ")":
+                        depth += 1
+                    elif ch == "(":
+                        depth -= 1
+                    if depth == -1:  # opening paren of our subquery level
+                        start = i + 1
+                        break
+                    if depth == 0 and ch == ",":
+                        start = i + 1
+                        break
+                    if depth == 0 and text[max(0, i - 5) : i + 1].upper().endswith(
+                        "SELECT"
+                    ):
+                        start = i + 1
+                        break
+                i -= 1
+            expr = text[start : m.start()].strip()
+            if not expr:
+                raise ValueError(f"AS MEASURE {name}: empty expression")
+            if re.match(r"(?i)DISTINCT\b", expr):
+                raise ValueError(
+                    f"AS MEASURE {name}: define the measure in a plain "
+                    "SELECT (SELECT DISTINCT would fold the definition "
+                    "into the distinct key)"
+                )
+            if not hasattr(self.catalog, "measures"):
+                self.catalog.measures = {}
+            self.catalog.measures[name] = expr
+            text = (
+                text[:start]
+                + f" {expr} OVER () AS {name}"
+                + text[m.end() :]
+            )
+
+        # uses: AGGREGATE(name) with a registered measure name
+        measures = getattr(self.catalog, "measures", {}) or {}
+
+        def sub(u):
+            nm = u.group(1)
+            if nm not in measures:
+                raise KeyError(
+                    f"unknown measure {nm!r} in AGGREGATE() — define it "
+                    "with '<agg> AS MEASURE <name>' or "
+                    "RelBuilder.define_measure"
+                )
+            return f"({measures[nm]})"
+
+        text = re.sub(r"\bAGGREGATE\s*\(\s*([A-Za-z_]\w*)\s*\)", sub, text)
+        return text
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
         text = self._STREAM_RE.sub("SELECT ", text)
+        if re.search(r"\bMEASURE\b|\bAGGREGATE\s*\(", text, re.I):
+            text = self._expand_measures_sql(text)
         text = self._expand_qualify(text)
         if re.search(r"\bASOF\s+JOIN\b", text, re.I):
             text = self._expand_asof_join(text)
