@@ -215,8 +215,17 @@ def _origins(node: ir.RelNode, column: str, catalog) -> set:
                 if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", body):
                     return _origins(node.inputs[0], body, catalog)  # bare ref
                 return _derive_from_expr(body, node.inputs[0], catalog)
-        # '*' passthrough or untouched column
-        return _origins(node.inputs[0], column, catalog)
+        if any(isinstance(e, str) and e.strip() == "*" for e in node.exprs):
+            # '*' passthrough: every child column survives
+            return _origins(node.inputs[0], column, catalog)
+        # an explicit projection list that does NOT produce this column:
+        # the column is not part of this node's output — answering with
+        # the child's origins would attribute provenance to a column
+        # the Project dropped (r5 review)
+        raise _Unknown(
+            f"Project output has no column {column!r} (dropped by the "
+            "projection list)"
+        )
 
     if isinstance(node, ir.Aggregate):
         for k in node.group_keys:

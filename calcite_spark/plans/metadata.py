@@ -231,10 +231,16 @@ class MetadataQuery:
                 return l
             if l is None or r is None:
                 return None
-            bound = l * r
+            # outer joins emit null-extended rows even when the other
+            # side matches nothing — l*r alone UNDERSTATES the bound
+            # when a side can be empty (l*0 = 0 but LEFT still emits l)
+            if jt == "LEFT":
+                return l * max(r, 1.0)
+            if jt == "RIGHT":
+                return max(l, 1.0) * r
             if jt == "FULL":
-                bound += l + r
-            return bound
+                return l * r + l + r
+            return l * r
         if isinstance(node, ir.SetOp):
             bounds = [self.max_row_count(i) for i in node.inputs]
             if node.kind in ("UNION", "UNION_ALL"):
@@ -261,7 +267,11 @@ class MetadataQuery:
             return self.min_row_count(node.inputs[0])
         if isinstance(node, ir.SetOp) and node.kind in ("UNION", "UNION_ALL"):
             mins = [self.min_row_count(i) for i in node.inputs]
-            return max(mins) if node.kind == "UNION" else float(sum(mins))
+            if node.kind == "UNION_ALL":
+                return float(sum(mins))
+            # UNION dedups: a 3-row input can collapse to 1 — the only
+            # provable minimum is "non-empty" when any input is
+            return 1.0 if any(m >= 1 for m in mins) else 0.0
         if isinstance(node, ir.Join) and node.join_type.upper() == "FULL":
             return max(
                 self.min_row_count(node.inputs[0]),

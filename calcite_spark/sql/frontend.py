@@ -447,8 +447,12 @@ class SqlFrontend:
 
     # -- ASOF JOIN clause (Calcite 1.42 SQL surface) ------------------
 
+    # group 1 (left table) must not swallow a KEYWORD: without the
+    # lookahead, the unaliased form "FROM events ASOF JOIN ..." matched
+    # with table='FROM', alias='events' (r5 review)
     _ASOF_RE = re.compile(
-        r"\b([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b|LEFT\b)([A-Za-z_]\w*))?"
+        r"\b(?!FROM\b|JOIN\b|ON\b|WHERE\b|SELECT\b|AND\b|OR\b)"
+        r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b|LEFT\b)([A-Za-z_]\w*))?"
         r"\s+(LEFT\s+)?ASOF\s+JOIN\s+"
         r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!MATCH_CONDITION\b)([A-Za-z_]\w*))?"
         r"\s+MATCH_CONDITION\s+(.*?)\s+ON\s+(.*?)"
@@ -656,14 +660,9 @@ class SqlFrontend:
             if m is None:
                 break
             name = m.group(1)
-            # expression start: walk back to the previous comma or
-            # SELECT keyword AT THE SAME paren depth as the AS MEASURE
-            depth_here = 0
-            for ch in text[: m.start()]:
-                if ch == "(":
-                    depth_here += 1
-                elif ch == ")":
-                    depth_here -= 1
+            # expression start: walk back (tracking relative depth) to
+            # the previous same-depth comma, SELECT keyword, or the
+            # opening paren of the enclosing subquery
             i, depth, in_str = m.start() - 1, 0, False
             start = 0
             while i >= 0:

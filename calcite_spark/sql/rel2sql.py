@@ -156,9 +156,9 @@ class Dialect:
     def grouping_sets_clause(self, sets_sql: str) -> str:
         return f" GROUP BY GROUPING SETS ({sets_sql})"
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"VALUES {body} AS t({', '.join(names)})"
+        return f"VALUES {body} AS {alias}({', '.join(names)})"
 
     def _row(self, row) -> str:
         return "(" + ", ".join(self.literal(v) for v in row) + ")"
@@ -196,7 +196,7 @@ class Dialect:
         derived-table wrap."""
         return f"({sql})"
 
-    def _values_as_union(self, rows, names, from_suffix: str = "") -> str:
+    def _values_as_union(self, rows, names, from_suffix: str = "", alias: str = "t") -> str:
         """VALUES emulation for dialects without a FROM-position VALUES
         clause (BigQuery; MySQL pre-8.0.19 ROW syntax is awkward; Oracle
         needs a FROM DUAL suffix): the SELECT ... UNION ALL SELECT form
@@ -211,7 +211,7 @@ class Dialect:
                 else ", ".join(self.literal(v) for v in row)
             )
             selects.append(f"SELECT {cols}{from_suffix}")
-        return self.derived_table(f"({' UNION ALL '.join(selects)})", "t")
+        return self.derived_table(f"({' UNION ALL '.join(selects)})", alias)
 
 
 class SparkDialect(Dialect):
@@ -252,16 +252,14 @@ class DuckDBDialect(Dialect):
         return _CALL_RE.sub(sub, text)
 
     def sort_key(self, text: str) -> str:
-        # ORDER BY items may carry ASC/DESC/NULLS — translate only the
-        # expression part
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$", text.strip()
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        # DuckDB's un-annotated default (default_null_order) is NULLS
+        # LAST — the opposite of Spark on ASC keys — so the generated
+        # oracle makes Spark's effective placement explicit
+        return _sort_key_explicit_nulls(self.expr, text)
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Spark-SQL functions that are valid PostgreSQL verbatim
@@ -303,6 +301,30 @@ _PG_TYPE_MAP = {
     "tinyint": "SMALLINT",
     "long": "BIGINT",
 }
+
+
+_SORT_KEY_RE = re.compile(
+    r"(?is)^(.*?)(\s+(?:ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$"
+)
+
+
+def _sort_key_explicit_nulls(expr_fn, text: str) -> str:
+    """Sort key with Spark's EFFECTIVE null placement made explicit —
+    for engines whose un-annotated default differs from Spark's
+    low-nulls rule (ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST): the
+    PostgreSQL family and Oracle/Derby sort nulls HIGH, Snowflake/
+    Trino/ClickHouse/DuckDB default to NULLS LAST. A bare key pushed
+    to those engines silently reorders (and under LIMIT, changes WHICH
+    rows come back), so every emitted key carries NULLS FIRST/LAST —
+    syntax all of these engines accept."""
+    m = _SORT_KEY_RE.match(text.strip())
+    expr = expr_fn(m.group(1))
+    direction = (m.group(2) or "").strip().upper()
+    nulls = (m.group(3) or "").upper()
+    if not nulls:
+        nulls = "LAST" if direction == "DESC" else "FIRST"
+    d = f" {direction}" if direction else ""
+    return f"{expr}{d} NULLS {nulls}"
 
 
 def _balanced_arg(text: str, start: int) -> tuple[str, int]:
@@ -441,15 +463,11 @@ class PostgresDialect(Dialect):
         return _CALL_RE.sub(sub, text)
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Spark-SQL functions that are valid MySQL 8.0 verbatim. Deliberately
@@ -532,8 +550,8 @@ class MySQLDialect(Dialect):
     def grouping_sets_clause(self, sets_sql: str) -> str:
         raise UnsupportedDialectExpression("MySQL has no GROUPING SETS")
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
 
 # Spark-SQL functions that are valid BigQuery (GoogleSQL) verbatim.
@@ -662,8 +680,8 @@ class BigQueryDialect(Dialect):
             "EXCEPT": "EXCEPT DISTINCT",
         }[kind]
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
 
 # Spark-SQL functions that are valid Oracle verbatim. Deliberately
@@ -776,11 +794,7 @@ class OracleDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def fetch_clause(self, offset, fetch, has_order):
         c = ""
@@ -790,8 +804,8 @@ class OracleDialect(Dialect):
             c += f" FETCH NEXT {fetch} ROWS ONLY"
         return c
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names, from_suffix=" FROM DUAL")
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, from_suffix=" FROM DUAL", alias=alias)
 
 
 # Spark-SQL functions that are valid T-SQL verbatim. Deliberately
@@ -906,7 +920,9 @@ class MssqlDialect(Dialect):
                             has_comma = True
                 if not has_comma:
                     text = text[:close] + ", 0" + text[close:]
-                pos = close + 1
+                # resume INSIDE the call so nested round(round(x))
+                # also gets padded (r5 review)
+                pos = m.end()
             m = pat.search(text, pos)
         return text
 
@@ -953,9 +969,9 @@ class MssqlDialect(Dialect):
             )
         return super().setop_kw(kind)
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Spark-SQL functions that are valid Trino verbatim — Trino's surface
@@ -1019,11 +1035,7 @@ class TrinoDialect(Dialect):
         return _check_and_map_calls(text, _TRINO_SHARED, _TRINO_FN_MAP, self.name)
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def fetch_clause(self, offset, fetch, has_order):
         c = ""
@@ -1033,9 +1045,9 @@ class TrinoDialect(Dialect):
             c += f" FETCH NEXT {fetch} ROWS ONLY"
         return c
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Spark-SQL functions valid HiveQL verbatim — Spark SQL descends from
@@ -1128,8 +1140,8 @@ class HiveDialect(Dialect):
             )
         return f" LIMIT {fetch}" if fetch is not None else ""
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
 
 # Spark-SQL functions valid Snowflake verbatim. Deliberately excluded:
@@ -1181,11 +1193,7 @@ class SnowflakeDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def setop_kw(self, kind: str) -> str:
         if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
@@ -1194,9 +1202,9 @@ class SnowflakeDialect(Dialect):
             )
         return super().setop_kw(kind)
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Spark-SQL functions that are valid ClickHouse verbatim. ClickHouse
@@ -1320,12 +1328,10 @@ class ClickHouseDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        # NULLS FIRST/LAST is native ClickHouse ORDER BY syntax
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        # NULLS FIRST/LAST is native ClickHouse ORDER BY syntax, and it
+        # MUST be emitted: CH's un-annotated default is NULLS LAST,
+        # diverging from Spark's low-nulls rule on ASC keys
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def setop_kw(self, kind: str) -> str:
         # explicit DISTINCT everywhere: CH INTERSECT/EXCEPT are bag ops
@@ -1355,8 +1361,8 @@ class ClickHouseDialect(Dialect):
             return ""
         return f" LIMIT {offset}, {fetch}" if offset else f" LIMIT {fetch}"
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
     def literal(self, v) -> str:
         if isinstance(v, bool):
@@ -1417,11 +1423,7 @@ class RedshiftDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def setop_kw(self, kind: str) -> str:
         if kind in ("INTERSECT_ALL", "EXCEPT_ALL"):
@@ -1430,8 +1432,8 @@ class RedshiftDialect(Dialect):
             )
         return super().setop_kw(kind)
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
 
 # Presto's supported aggregate set is RESTRICTED relative to Trino
@@ -1536,15 +1538,11 @@ class VerticaDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 # Teradata: the REFERENCE dialect is a product-tag stub (
@@ -1663,11 +1661,7 @@ class DerbyDialect(Dialect):
         )
 
     def sort_key(self, text: str) -> str:
-        m = re.match(
-            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
-            text.strip(),
-        )
-        return self.expr(m.group(1)) + m.group(2)
+        return _sort_key_explicit_nulls(self.expr, text)
 
     def rollup_clause(self, keys):
         raise UnsupportedDialectExpression("derby has no ROLLUP")
@@ -1686,9 +1680,9 @@ class DerbyDialect(Dialect):
             c += f" FETCH NEXT {fetch} ROWS ONLY"
         return c
 
-    def values(self, rows, names) -> str:
+    def values(self, rows, names, alias: str = "t") -> str:
         body = ", ".join(self._row(r) for r in rows)
-        return f"(VALUES {body}) AS t({', '.join(names)})"
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
 
 
 class StarRocksDialect(MySQLDialect):
@@ -2013,8 +2007,8 @@ class SqliteDialect(Dialect):
             return f" LIMIT -1 OFFSET {offset}"
         return super().fetch_clause(offset, fetch, has_order)
 
-    def values(self, rows, names) -> str:
-        return self._values_as_union(rows, names)
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
 
 
 SPARK = SparkDialect()
@@ -2062,10 +2056,13 @@ class _Emitter:
             return node.table
         if isinstance(node, ir.Values):
             names = [c.split()[0] for c in node.schema.split(",")]
-            v = self.d.values(node.rows, [n.strip() for n in names])
-            if self.d.name == "spark":
-                return v  # Spark: FROM VALUES ... AS t(...)
-            return v
+            # dialect-specific rendering (bare VALUES, parenthesized,
+            # or UNION ALL emulation) happens inside d.values(); a
+            # fresh alias avoids duplicate-alias errors when one FROM
+            # scope holds two Values nodes (r5 review)
+            return self.d.values(
+                node.rows, [n.strip() for n in names], self._alias()
+            )
         return self.d.derived_table(f"({self.select(node)})", self._alias())
 
     def select(self, node: ir.RelNode) -> str:

@@ -131,7 +131,13 @@ def test_setop_counts(cat, mq):
     assert mq.max_row_count(ir.SetOp("INTERSECT", inputs=(a, b))) == 2.0
     assert mq.max_row_count(ir.SetOp("EXCEPT", inputs=(a, b))) == 2.0
     assert mq.min_row_count(ir.SetOp("UNION_ALL", inputs=(a, b))) == 5.0
-    assert mq.min_row_count(ir.SetOp("UNION", inputs=(a, b))) == 3.0
+    # UNION dedups — a non-empty input only proves "at least one row"
+    assert mq.min_row_count(ir.SetOp("UNION", inputs=(a, b))) == 1.0
+    # LEFT join with a possibly-empty right side still emits every left
+    # row null-extended: the hard bound cannot be l*r = 0
+    empty = ir.Values([], "x int")
+    lj = ir.Join("x = x", "LEFT", inputs=(a, empty))
+    assert mq.max_row_count(lj) == 2.0
 
 
 def test_distinct_row_count_through_lineage(cat, mq):

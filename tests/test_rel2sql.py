@@ -903,8 +903,10 @@ def test_review_r5_regressions(cat):
     # Oracle rejects AS before table aliases (ORA-00933): derived
     # tables and the VALUES emulation must emit bare "(...) t"
     ora = to_sql(plans["values_join"], ORACLE)
-    assert " AS t" not in ora.replace("AS t(", "(")  # column aliases still use AS
-    assert re.search(r"\) t\b", ora), ora
+    # table aliases are now FRESH (t1, t2, ... — duplicate-alias fix)
+    # but must still be the bare Oracle form, never "AS tN"
+    assert not re.search(r"\bAS t\d+\b", ora), ora
+    assert re.search(r"\) t\d+\b", ora), ora
     # Spark date_trunc('week') is Monday-anchored; bare BigQuery WEEK
     # is WEEK(SUNDAY) — the unit must be ISOWEEK
     assert (
@@ -1084,3 +1086,64 @@ def test_starrocks_doris_mysql_family(cat, duck, spark):
 
     with pytest.raises(UnsupportedDialectExpression):
         MYSQL.expr("approx_count_distinct(x)")  # the MySQL base refuses
+
+
+def test_review_r5_batch2_regressions(spark, cat, duck):
+    """Pins for the second round-5 self-review batch."""
+    from calcite_spark.plans import ir as _ir
+    from calcite_spark.sql.rel2sql import MSSQL, MYSQL, ORACLE, POSTGRES
+
+    # 1. explicit NULL placement on engines whose default diverges from
+    #    Spark: an un-annotated ASC key must carry NULLS FIRST
+    for d in (POSTGRES, ORACLE):
+        assert d.sort_key("c_name").endswith("NULLS FIRST"), d.name
+        assert d.sort_key("c_name DESC").endswith("NULLS LAST"), d.name
+        assert d.sort_key("c_name DESC NULLS FIRST").endswith("NULLS FIRST")
+    # ...and the emitted form VALUE-matches Spark through DuckDB on a
+    # genuinely NULL-bearing sort column
+    plan = (
+        _b(cat)
+        .scan("orders")
+        .project("nullif(o_orderstatus, 'F') AS s", "o_orderkey")
+        .sort("s", "o_orderkey")
+        .build()
+    )
+    from calcite_spark.sql.rel2sql import DUCKDB
+
+    assert_matches_oracle(plan.to_df(cat), duck, to_sql(plan, DUCKDB))
+
+    # 2. nested 1-arg round() both get padded for T-SQL
+    assert MSSQL.expr("round(round(o_totalprice))") == (
+        "round(round(o_totalprice, 0), 0)"
+    )
+
+    # 3. two Values nodes in one FROM scope get DISTINCT aliases
+    two_vals = _ir.Join(
+        "a = c",
+        "INNER",
+        inputs=(
+            _ir.Values([(1, 2)], "a int, b int"),
+            _ir.Values([(1, 9)], "c int, d int"),
+        ),
+    )
+    sql = to_sql(two_vals, MYSQL)
+    import re as _re
+
+    aliases = _re.findall(r"\bAS (t\d+)\b|\) (t\d+)\b", sql)
+    flat = [a or b for a, b in aliases]
+    assert len(flat) == len(set(flat)), sql
+
+
+def test_asof_join_without_alias(spark, cat):
+    """r5 review: the unaliased 't1 ASOF JOIN t2' form must not swallow
+    the FROM keyword as the table name."""
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    fe = SqlFrontend(cat)
+    df = fe.sql(
+        "SELECT user_id, event_type, o_orderkey "
+        "FROM events ASOF JOIN orders "
+        "MATCH_CONDITION o_orderdate <= ts ON user_id = o_custkey"
+    )
+    assert df.columns == ["user_id", "event_type", "o_orderkey"]
+    assert df.count() > 0
