@@ -1,11 +1,12 @@
 """IR → SQL emitter ≈ Calcite's rel2sql
 (rel/rel2sql/RelToSqlConverter.java:135 + SqlImplementor.java) with
-pluggable dialects (sql/dialect/ — 40 of them; we ship TEN: Spark,
-DuckDB, PostgreSQL, MySQL, BigQuery, Oracle, MSSQL, Trino, Hive,
-Snowflake ≈ sql/dialect/SparkSqlDialect.java, DuckDBSqlDialect.java,
-PostgresqlSqlDialect.java, MysqlSqlDialect.java,
-BigQuerySqlDialect.java, OracleSqlDialect.java, MssqlSqlDialect.java,
-PrestoSqlDialect.java, HiveSqlDialect.java, SnowflakeSqlDialect.java).
+pluggable dialects (sql/dialect/ — 39 files; we ship all THIRTY-NINE,
+one class per reference file — see the DIALECTS registry at the bottom).
+Heavyweight dialects (Spark, DuckDB, PostgreSQL, MySQL, BigQuery,
+Oracle, MSSQL, Trino, Hive, Snowflake, ClickHouse, Redshift, SQLite,
+Presto, Vertica, ...) carry full rewrite/refusal surfaces; the ANSI
+family mirrors the reference's thin tail (nine of its files are pure
+product tags with zero behavior overrides).
 
 Why this exists (same reason as Calcite's):
   * whole-query pushdown — the JDBC adapter's reusable half
@@ -190,6 +191,25 @@ class Dialect:
         (ORA-00933) — OracleSqlDialect omits it for the same reason."""
         return f"{body} AS {alias}"
 
+    def scan_item(self, table: str) -> str:
+        """A bare table in FROM position. Db2 overrides: its reference
+        context sets hasImplicitTableAlias()=false
+        (Db2SqlDialect.java:38), so every scan carries an explicit
+        alias."""
+        return table
+
+    def join_kw(self, jt: str) -> str:
+        """Keyword for a join type the dialect supports natively.
+        H2 overrides to refuse FULL (H2SqlDialect.supportsJoinType)."""
+        return {
+            "INNER": "JOIN",
+            "LEFT": "LEFT JOIN",
+            "RIGHT": "RIGHT JOIN",
+            "FULL": "FULL JOIN",
+            "SEMI": self.semi_join_kw,
+            "ANTI": self.anti_join_kw,
+        }[jt]
+
     def setop_part(self, sql: str, alias: str) -> str:
         """One operand of a compound SELECT. ANSI engines accept the
         parenthesized form; SQLite rejects it and overrides this to a
@@ -306,6 +326,33 @@ _PG_TYPE_MAP = {
 _SORT_KEY_RE = re.compile(
     r"(?is)^(.*?)(\s+(?:ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$"
 )
+
+
+def _rewrite_date_trunc_to_trunc(text: str, fmt_map: dict, dialect: str) -> str:
+    """date_trunc('unit', x) → TRUNC(x, 'fmt') for engines whose
+    datetime-floor spelling is Oracle-style TRUNC: Oracle
+    (OracleSqlDialect's FLOOR unparse via SqlFloorFunction) and HSQLDB
+    (HsqldbSqlDialect.convertTimeUnit + unparseDatetimeFunction
+    "TRUNC"). Units outside the engine's format-element list refuse."""
+    pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
+    while True:
+        m = pat.search(text)
+        if not m:
+            return text
+        if text.count("'", 0, m.start()) % 2:
+            return text  # inside a literal; refusal net catches it
+        unit = m.group(1).lower()
+        if unit not in fmt_map:
+            raise UnsupportedDialectExpression(
+                f"{dialect} TRUNC has no format element for unit {unit!r}"
+            )
+        fmt = fmt_map[unit]
+        arg, close = _balanced_arg(text, m.end())
+        text = (
+            text[: m.start()]
+            + f"TRUNC({_rewrite_date_trunc_to_trunc(arg, fmt_map, dialect)}, '{fmt}')"
+            + text[close + 1 :]
+        )
 
 
 def _sort_key_explicit_nulls(expr_fn, text: str) -> str:
@@ -765,25 +812,9 @@ class OracleDialect(Dialect):
         return f"{body} {alias}"
 
     def _rewrite_date_trunc(self, text: str) -> str:
-        pat = re.compile(r"\bdate_trunc\s*\(\s*'(\w+)'\s*,\s*", re.I)
-        while True:
-            m = pat.search(text)
-            if not m:
-                return text
-            if text.count("'", 0, m.start()) % 2:
-                return text  # inside a literal; refusal net catches it
-            unit = m.group(1).lower()
-            if unit not in _ORACLE_TRUNC_FMT:
-                raise UnsupportedDialectExpression(
-                    f"oracle TRUNC has no format element for unit {unit!r}"
-                )
-            fmt = _ORACLE_TRUNC_FMT[unit]
-            arg, close = _balanced_arg(text, m.end())
-            text = (
-                text[: m.start()]
-                + f"TRUNC({self._rewrite_date_trunc(arg)}, '{fmt}')"
-                + text[close + 1 :]
-            )
+        return _rewrite_date_trunc_to_trunc(
+            text, _ORACLE_TRUNC_FMT, self.name
+        )
 
     def expr(self, text: str) -> str:
         text = self._rewrite_date_trunc(text)
@@ -2011,6 +2042,399 @@ class SqliteDialect(Dialect):
         return self._values_as_union(rows, names, alias=alias)
 
 
+# ---------------------------------------------------------------------------
+# ANSI family (r5 batch 3) — the remaining twenty reference dialects,
+# completing sql/dialect/ parity at 39/39. The reference's tail is
+# mostly thin: nine files are pure product tags with zero behavior
+# overrides (Ansi, Calcite, Firebird, Ingres, Interbase, LucidDb,
+# Neoview, Netezza, Paraccel — each just sets DatabaseProduct and an
+# identifier quote), and the rest carry one to five capability
+# switches each. We mirror that structure: one AnsiDialect base with a
+# conservative SQL:2011 surface (refuse-over-wrong, like every other
+# dialect here), thin subclasses carrying exactly the reference's
+# documented deltas.
+
+# Functions spelled identically in Spark SQL and the ANSI standard
+# (and in DuckDB, which value-verifies this family's emissions).
+# `length` stays in the Spark spelling: ANSI says CHAR_LENGTH but every
+# engine in this family accepts LENGTH (Derby's ONE reference rule is
+# literally CHAR_LENGTH→LENGTH). octet_length deliberately absent —
+# argument typing diverges across engines.
+_ANSI_SHARED = {
+    "sum", "count", "min", "max", "avg",
+    "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "covar_pop", "covar_samp", "corr", "grouping",
+    "abs", "mod", "sqrt", "exp", "ln", "power",
+    "floor", "ceil", "ceiling", "round", "sign",
+    "upper", "lower", "substring", "trim", "ltrim", "rtrim",
+    "length", "replace", "coalesce", "nullif", "cast", "extract",
+}
+
+# SQL:2011 window functions — excluded wholesale by the dialects whose
+# reference file sets supportsWindowFunctions()=false.
+_ANSI_WINDOW = {
+    "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+    "first_value", "last_value", "nth_value", "percent_rank",
+    "cume_dist",
+}
+
+_OVER_RE = re.compile(r"(?i)\bover\s*\(")
+_AGG_FILTER_RE = re.compile(r"(?i)\bfilter\s*\(")
+
+
+def _refuse_clause(text: str, pattern: re.Pattern, dialect: str, what: str) -> None:
+    for m in pattern.finditer(text):
+        if _outside_literal(text, m.start()):
+            raise UnsupportedDialectExpression(
+                f"{dialect} does not support {what}: {text!r}"
+            )
+
+
+class AnsiDialect(Dialect):
+    """≈ sql/dialect/AnsiSqlDialect.java — "a dialect useful for
+    generating generic SQL". Emission surface: standard aggregates +
+    scalar core + SQL:2011 window functions, `year(x)` shorthands →
+    EXTRACT, ANSI `OFFSET n ROWS FETCH NEXT m ROWS ONLY` row limiting,
+    parenthesized table-value constructor `(VALUES ...) AS t(...)`,
+    SEMI/ANTI → [NOT] EXISTS (no ANSI keyword), every sort key with
+    explicit NULLS FIRST/LAST (the generic dialect can't know the
+    target's un-annotated default, so it never relies on one).
+    ROLLUP/CUBE/GROUPING SETS are SQL:1999 — inherited native."""
+
+    name = "ansi"
+    semi_join_kw = None
+    anti_join_kw = None
+    _windows = True       # supportsWindowFunctions()
+    _agg_filter = True    # supportsAggregateFunctionFilter()
+    _shared = _ANSI_SHARED | _ANSI_WINDOW
+    _fn_map: dict = {}
+    _type_map: dict = {}
+    _type_refuse: frozenset = frozenset()
+
+    def expr(self, text: str) -> str:
+        if not self._windows:
+            _refuse_clause(
+                text, _OVER_RE, self.name, "window functions (OVER)"
+            )
+        if not self._agg_filter:
+            _refuse_clause(
+                text, _AGG_FILTER_RE, self.name, "aggregate FILTER"
+            )
+        text = _rewrite_extract_units(text)
+        if self._type_map or self._type_refuse:
+            text = _rewrite_cast_types(text, self._type_map, self._type_refuse)
+        return _check_and_map_calls(text, self._shared, self._fn_map, self.name)
+
+    def sort_key(self, text: str) -> str:
+        return _sort_key_explicit_nulls(self.expr, text)
+
+    def fetch_clause(self, offset, fetch, has_order):
+        c = ""
+        if offset:
+            c += f" OFFSET {offset} ROWS"
+        if fetch is not None:
+            c += f" FETCH NEXT {fetch} ROWS ONLY"
+        return c
+
+    def values(self, rows, names, alias: str = "t") -> str:
+        body = ", ".join(self._row(r) for r in rows)
+        return f"(VALUES {body}) AS {alias}({', '.join(names)})"
+
+
+class CalciteDialect(AnsiDialect):
+    """≈ sql/dialect/CalciteSqlDialect.java — DatabaseProduct.CALCITE,
+    double-quote identifiers, zero behavior overrides: SQL the
+    reference's own parser re-reads. Pure product tag over ANSI."""
+
+    name = "calcite"
+
+
+class FirebirdDialect(AnsiDialect):
+    """≈ sql/dialect/FirebirdSqlDialect.java — pure product tag
+    (DatabaseProduct.FIREBIRD), zero overrides."""
+
+    name = "firebird"
+
+
+class IngresDialect(AnsiDialect):
+    """≈ sql/dialect/IngresSqlDialect.java — pure product tag, zero
+    overrides."""
+
+    name = "ingres"
+
+
+class InterbaseDialect(AnsiDialect):
+    """≈ sql/dialect/InterbaseSqlDialect.java — pure product tag, zero
+    overrides."""
+
+    name = "interbase"
+
+
+class LucidDbDialect(AnsiDialect):
+    """≈ sql/dialect/LucidDbSqlDialect.java — product tag with
+    double-quote identifiers, zero behavior overrides."""
+
+    name = "luciddb"
+
+
+class NeoviewDialect(AnsiDialect):
+    """≈ sql/dialect/NeoviewSqlDialect.java — pure product tag, zero
+    overrides."""
+
+    name = "neoview"
+
+
+class NetezzaDialect(AnsiDialect):
+    """≈ sql/dialect/NetezzaSqlDialect.java — product tag with
+    double-quote identifiers, zero behavior overrides."""
+
+    name = "netezza"
+
+
+class ParaccelDialect(AnsiDialect):
+    """≈ sql/dialect/ParaccelSqlDialect.java — product tag with
+    double-quote identifiers, zero behavior overrides."""
+
+    name = "paraccel"
+
+
+class AccessDialect(AnsiDialect):
+    """≈ sql/dialect/AccessSqlDialect.java — one override:
+    supportsWindowFunctions()=false. Window calls and OVER clauses
+    refuse."""
+
+    name = "access"
+    _windows = False
+    _shared = _ANSI_SHARED
+
+
+class InfobrightDialect(AnsiDialect):
+    """≈ sql/dialect/InfobrightSqlDialect.java — backtick identifiers
+    (MySQL-descended product) and supportsWindowFunctions()=false; no
+    other overrides."""
+
+    name = "infobright"
+    _windows = False
+    _shared = _ANSI_SHARED
+
+
+class Db2Dialect(AnsiDialect):
+    """≈ sql/dialect/Db2SqlDialect.java. Reference switches:
+    hasImplicitTableAlias()=false — every FROM-position table carries
+    an explicit alias (`lineitem AS lineitem`); interval literals
+    unparse as DB2 labeled durations (`INTERVAL '3' MONTH` → `3
+    MONTH`, sign prefixed, single-unit qualifiers only — compound
+    ranges like YEAR TO MONTH raise in the reference's
+    unparseSqlIntervalQualifier and refuse here); supportsCharSet
+    false (we never emit charsets)."""
+
+    name = "db2"
+
+    _INTERVAL_RE = re.compile(
+        r"(?i)\bINTERVAL\s+'(-?\d+)'\s+"
+        r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|MICROSECOND)\b"
+    )
+    _ANY_INTERVAL_RE = re.compile(r"(?i)\bINTERVAL\b")
+
+    def scan_item(self, table: str) -> str:
+        return f"{table} AS {table}"
+
+    def expr(self, text: str) -> str:
+        def repl(m):
+            if not _outside_literal(text, m.start()):
+                return m.group(0)
+            return f"{m.group(1)} {m.group(2).upper()}"
+
+        rewritten = self._INTERVAL_RE.sub(repl, text)
+        for m in self._ANY_INTERVAL_RE.finditer(rewritten):
+            if _outside_literal(rewritten, m.start()):
+                raise UnsupportedDialectExpression(
+                    "db2 labeled durations support single-unit "
+                    f"qualifiers only: {text!r}"
+                )
+        return super().expr(rewritten)
+
+
+class ExasolDialect(AnsiDialect):
+    """≈ sql/dialect/ExasolSqlDialect.java. Reference switches:
+    supportsAggregateFunction limited to AVG/COUNT/COVAR_POP/
+    COVAR_SAMP/MAX/MIN/STDDEV_POP/STDDEV_SAMP/SUM/VAR_POP/VAR_SAMP
+    (CORR refuses), supportsAggregateFunctionFilter()=false,
+    supportsNestedAggregations()=false (our emitter never nests),
+    unparseOffsetFetch → LIMIT form, unparseCall delegates to
+    PostgreSQL (so date_trunc stays native, as in PG)."""
+
+    name = "exasol"
+    _agg_filter = False
+    _shared = (_ANSI_SHARED - {"corr"}) | _ANSI_WINDOW | {"date_trunc"}
+
+    fetch_clause = Dialect.fetch_clause
+
+
+class FireboltDialect(AnsiDialect):
+    """≈ sql/dialect/FireboltSqlDialect.java. Reference switches:
+    supportsAggregateFunction limited to ANY_VALUE/AVG/COUNT/MAX/MIN/
+    STDDEV_SAMP/SUM, unparseOffsetFetch → LIMIT form,
+    NullCollation.LOW — which is exactly Spark's effective placement
+    (ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST), so bare sort keys are
+    emitted when the requested placement matches and refuse when a
+    query explicitly asks for the opposite (Firebolt has no NULLS
+    FIRST/LAST syntax to emulate with)."""
+
+    name = "firebolt"
+    _shared = (
+        _ANSI_SHARED
+        - {"stddev_pop", "var_pop", "var_samp", "covar_pop",
+           "covar_samp", "corr"}
+    ) | {"any_value"} | _ANSI_WINDOW
+
+    fetch_clause = Dialect.fetch_clause
+
+    def sort_key(self, text: str) -> str:
+        m = _SORT_KEY_RE.match(text.strip())
+        expr = self.expr(m.group(1))
+        direction = (m.group(2) or "").strip().upper()
+        nulls = (m.group(3) or "").upper()
+        low = "LAST" if direction == "DESC" else "FIRST"
+        if nulls and nulls != low:
+            raise UnsupportedDialectExpression(
+                f"firebolt sorts nulls LOW natively and cannot emulate "
+                f"NULLS {nulls} here: {text!r}"
+            )
+        return f"{expr} {direction}".strip()
+
+
+class H2Dialect(AnsiDialect):
+    """≈ sql/dialect/H2SqlDialect.java. Reference switches:
+    supportsWindowFunctions()=false, supportsJoinType excludes FULL,
+    supportsCharSet()=false (never emitted)."""
+
+    name = "h2"
+    _windows = False
+    _shared = _ANSI_SHARED
+
+    def join_kw(self, jt: str) -> str:
+        if jt == "FULL":
+            raise UnsupportedDialectExpression(
+                "h2 does not support FULL JOIN "
+                "(H2SqlDialect.supportsJoinType)"
+            )
+        return super().join_kw(jt)
+
+
+_HSQLDB_TRUNC_FMT = {
+    # HsqldbSqlDialect.convertTimeUnit — the exact element list; units
+    # outside it (quarter, millennium, ...) refuse as the reference's
+    # AssertionError does.
+    "year": "YYYY", "month": "MM", "day": "DD", "week": "WW",
+    "hour": "HH24", "minute": "MI", "second": "SS",
+}
+
+
+class HsqldbDialect(AnsiDialect):
+    """≈ sql/dialect/HsqldbSqlDialect.java. Reference switches:
+    supportsWindowFunctions()=false,
+    supportsAggregateFunctionFilter()=false, FLOOR-to-unit →
+    TRUNC(x, 'fmt') via convertTimeUnit (we rewrite the equivalent
+    date_trunc spelling), unparseOffsetFetch → LIMIT form. The
+    reference's rewriteSingleValueExpr CASE emulation guards a
+    SINGLE_VALUE node our lowering never emits (scalar subqueries are
+    executed Spark-side, not pushed)."""
+
+    name = "hsqldb"
+    _windows = False
+    _agg_filter = False
+    _shared = _ANSI_SHARED | {"trunc"}
+
+    fetch_clause = Dialect.fetch_clause
+
+    def expr(self, text: str) -> str:
+        text = _rewrite_date_trunc_to_trunc(
+            text, _HSQLDB_TRUNC_FMT, self.name
+        )
+        return super().expr(text)
+
+
+class InformixDialect(AnsiDialect):
+    """≈ sql/dialect/InformixSqlDialect.java. Reference switches:
+    supportsAliasedValues()=false → FROM-position VALUES emulated as
+    SELECT ... UNION ALL, supportsGroupByLiteral()=false (our group
+    keys are always column expressions, never ordinals/literals)."""
+
+    name = "informix"
+
+    def values(self, rows, names, alias: str = "t") -> str:
+        return self._values_as_union(rows, names, alias=alias)
+
+
+class JethroDataDialect(AnsiDialect):
+    """≈ sql/dialect/JethroDataSqlDialect.java. Reference switches:
+    supportsAggregateFunction limited to COUNT/SUM/AVG/MIN/MAX/
+    STDDEV_POP/STDDEV_SAMP/VAR_POP/VAR_SAMP, and
+    emulateNullDirection returns the bare node — i.e. Jethro cannot
+    express or emulate a null placement. The reference then emits the
+    key anyway (silently wrong ordering under LIMIT); we diverge to
+    refuse-over-wrong: keys whose requested placement differs from
+    Jethro's un-annotated default (NullCollation.HIGH — ASC ⇒ NULLS
+    LAST, DESC ⇒ NULLS FIRST) refuse instead. Spark's effective
+    default is the opposite rule, so a bare ASC key refuses unless
+    the query explicitly sorted NULLS LAST."""
+
+    name = "jethrodata"
+    _shared = (
+        _ANSI_SHARED - {"covar_pop", "covar_samp", "corr"}
+    ) | _ANSI_WINDOW
+
+    def sort_key(self, text: str) -> str:
+        m = _SORT_KEY_RE.match(text.strip())
+        expr = self.expr(m.group(1))
+        direction = (m.group(2) or "").strip().upper()
+        requested = (m.group(3) or "").upper()
+        if not requested:  # Spark's effective low-nulls placement
+            requested = "LAST" if direction == "DESC" else "FIRST"
+        native = "FIRST" if direction == "DESC" else "LAST"
+        if requested != native:
+            raise UnsupportedDialectExpression(
+                f"jethrodata cannot emulate NULLS {requested} "
+                f"(emulateNullDirection is a no-op): {text!r}"
+            )
+        return f"{expr} {direction}".strip()
+
+
+class PhoenixDialect(AnsiDialect):
+    """≈ sql/dialect/PhoenixSqlDialect.java. Reference switches:
+    supportsApproxCountDistinct()=true, getCastSpec REAL → FLOAT
+    (Phoenix's 4-byte float spelling), DECIMAL precision/scale cap 38
+    (our emitted casts never exceed it), double-quote identifiers."""
+
+    name = "phoenix"
+    _shared = AnsiDialect._shared | {"approx_count_distinct"}
+    _type_map = {"real": "FLOAT"}
+
+
+class SybaseDialect(AnsiDialect):
+    """≈ sql/dialect/SybaseSqlDialect.java. Reference switches: row
+    limiting is `SELECT TOP (n) START AT s` spliced into the SELECT
+    list (unparseTopN; unparseOffsetFetch is a no-op), parentheses for
+    MSSQL consistency. Documented divergence: Sybase START AT is
+    1-based while our IR offset is 0-based, so we emit offset+1 —
+    the reference unparses the offset literal unchanged, which drops
+    one row. START AT without TOP is not Sybase syntax → an
+    offset-only Sort refuses."""
+
+    name = "sybase"
+
+    def fetch_clause(self, offset, fetch, has_order):
+        if fetch is None and not offset:
+            return ""
+        if fetch is None:
+            raise UnsupportedDialectExpression(
+                "sybase START AT requires TOP; offset without fetch "
+                "has no Sybase form"
+            )
+        return ("top_start_at", fetch, offset or 0)
+
+
 SPARK = SparkDialect()
 DUCKDB = DuckDBDialect()
 POSTGRES = PostgresDialect()
@@ -2030,6 +2454,41 @@ TERADATA = TeradataDialect()
 DERBY = DerbyDialect()
 STARROCKS = StarRocksDialect()
 DORIS = DorisDialect()
+ANSI = AnsiDialect()
+CALCITE = CalciteDialect()
+FIREBIRD = FirebirdDialect()
+INGRES = IngresDialect()
+INTERBASE = InterbaseDialect()
+LUCIDDB = LucidDbDialect()
+NEOVIEW = NeoviewDialect()
+NETEZZA = NetezzaDialect()
+PARACCEL = ParaccelDialect()
+ACCESS = AccessDialect()
+INFOBRIGHT = InfobrightDialect()
+DB2 = Db2Dialect()
+EXASOL = ExasolDialect()
+FIREBOLT = FireboltDialect()
+H2 = H2Dialect()
+HSQLDB = HsqldbDialect()
+INFORMIX = InformixDialect()
+JETHRODATA = JethroDataDialect()
+PHOENIX = PhoenixDialect()
+SYBASE = SybaseDialect()
+
+#: every shipped dialect by name ≈ SqlDialect.DatabaseProduct — 39,
+#: one per reference sql/dialect/ file (DuckDB stands in for the
+#: reference's Calcite-adjacent DuckDBSqlDialect).
+DIALECTS = {
+    d.name: d
+    for d in (
+        SPARK, DUCKDB, POSTGRES, MYSQL, BIGQUERY, ORACLE, MSSQL, TRINO,
+        HIVE, SNOWFLAKE, CLICKHOUSE, REDSHIFT, SQLITE, PRESTO, VERTICA,
+        TERADATA, DERBY, STARROCKS, DORIS, ANSI, CALCITE, FIREBIRD,
+        INGRES, INTERBASE, LUCIDDB, NEOVIEW, NETEZZA, PARACCEL, ACCESS,
+        INFOBRIGHT, DB2, EXASOL, FIREBOLT, H2, HSQLDB, INFORMIX,
+        JETHRODATA, PHOENIX, SYBASE,
+    )
+}
 
 
 def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
@@ -2053,7 +2512,7 @@ class _Emitter:
     # a FROM-item: bare table name, or a parenthesized sub-select
     def from_item(self, node: ir.RelNode) -> str:
         if isinstance(node, ir.Scan):
-            return node.table
+            return self.d.scan_item(node.table)
         if isinstance(node, ir.Values):
             names = [c.split()[0] for c in node.schema.split(",")]
             # dialect-specific rendering (bare VALUES, parenthesized,
@@ -2151,14 +2610,7 @@ class _Emitter:
                 f"SELECT * FROM {left} WHERE {neg}EXISTS "
                 f"(SELECT 1 FROM {right} WHERE {d.expr(node.condition)})"
             )
-        kw = {
-            "INNER": "JOIN",
-            "LEFT": "LEFT JOIN",
-            "RIGHT": "RIGHT JOIN",
-            "FULL": "FULL JOIN",
-            "SEMI": d.semi_join_kw,
-            "ANTI": d.anti_join_kw,
-        }[jt]
+        kw = d.join_kw(jt)
         return f"SELECT * FROM {left} {kw} {right} ON {d.expr(node.condition)}"
 
     def _setop(self, node: ir.SetOp) -> str:
@@ -2179,11 +2631,28 @@ class _Emitter:
         if node.keys:
             clauses += " ORDER BY " + ", ".join(d.sort_key(k) for k in node.keys)
         fc = d.fetch_clause(node.offset, node.fetch, bool(node.keys))
-        if isinstance(fc, tuple):  # ("top", n): SELECT TOP n wrap (MSSQL)
+        if isinstance(fc, tuple) and fc[0] == "top":
+            # ("top", n): SELECT TOP n wrap (MSSQL without ORDER BY —
+            # fetch_clause only returns this form when there are no
+            # sort keys, so dropping `clauses` loses nothing)
             return (
                 f"SELECT TOP {fc[1]} * FROM "
                 f"{d.derived_table(f'({inner})', self._alias())}"
             )
+        if isinstance(fc, tuple) and fc[0] == "top_start_at":
+            # ("top_start_at", fetch, offset): Sybase row limiting ≈
+            # SybaseSqlDialect.unparseTopN — TOP lives in the SELECT
+            # list of the SAME query block as its ORDER BY, so splice
+            # it into the child SELECT instead of wrapping (a wrap
+            # would orphan the ORDER BY).
+            _, f_, off = fc
+            top = f"TOP ({f_})" + (f" START AT {off + 1}" if off else "")
+            if isinstance(child, ir.SetOp):
+                return (
+                    f"SELECT {top} * FROM "
+                    f"{d.derived_table(f'({inner})', self._alias())}{clauses}"
+                )
+            return f"SELECT {top} {inner[len('SELECT '):]}{clauses}"
         clauses += fc
         if isinstance(child, ir.SetOp):
             return (

@@ -1147,3 +1147,227 @@ def test_asof_join_without_alias(spark, cat):
     )
     assert df.columns == ["user_id", "event_type", "o_orderkey"]
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 3: the ANSI family — remaining 20 reference dialects
+# (sql/dialect/ parity 39/39)
+
+ANSI_EXECUTABLE_SHAPES = [
+    # every emitted form here is DuckDB-parseable: ANSI OFFSET/FETCH,
+    # parenthesized VALUES, [NOT] EXISTS semi/anti lowering, explicit
+    # NULLS FIRST/LAST sort keys
+    "q01_shape",
+    "join_agg_topk",
+    "left_join",
+    "semi_join",
+    "anti_join",
+    "rollup",
+    "grouping_sets",
+    "union_distinct",
+    "except_all",
+    "offset_fetch",
+    "values_join",
+    "window",
+]
+
+
+def test_ansi_sql_executes_with_same_values(spark, cat, duck):
+    from calcite_spark.sql.rel2sql import ANSI
+
+    plans = _plans(cat)
+    for name in ANSI_EXECUTABLE_SHAPES:
+        plan = plans[name]
+        sql = to_sql(plan, ANSI)
+        assert_matches_oracle(plan.to_df(cat), duck, sql), name
+
+
+def test_pure_product_tag_dialects_inherit_ansi(cat):
+    """Nine reference files are product tags with zero behavior
+    overrides (Firebird/Ingres/Interbase/LucidDb/Neoview/Netezza/
+    Paraccel/Calcite + Ansi itself) — their emission must be byte-equal
+    to the ANSI base's."""
+    from calcite_spark.sql.rel2sql import (
+        ANSI, CALCITE, FIREBIRD, INGRES, INTERBASE, LUCIDDB, NEOVIEW,
+        NETEZZA, PARACCEL,
+    )
+
+    plans = _plans(cat)
+    for name in ("q01_shape", "offset_fetch", "values_join", "window"):
+        base = to_sql(plans[name], ANSI)
+        for d in (CALCITE, FIREBIRD, INGRES, INTERBASE, LUCIDDB,
+                  NEOVIEW, NETEZZA, PARACCEL):
+            assert to_sql(plans[name], d) == base, (d.name, name)
+
+
+def test_access_infobright_refuse_windows(cat, duck):
+    from calcite_spark.sql.rel2sql import ACCESS, INFOBRIGHT
+
+    plans = _plans(cat)
+    for d in (ACCESS, INFOBRIGHT):
+        with pytest.raises(UnsupportedDialectExpression, match="window"):
+            to_sql(plans["window"], d)
+        # non-window surface identical to ANSI and executable
+        sql = to_sql(plans["q01_shape"], d)
+        assert_matches_oracle(plans["q01_shape"].to_df(cat), duck, sql), d.name
+
+
+def test_db2_aliases_and_intervals(cat, duck):
+    from calcite_spark.sql.rel2sql import DB2
+
+    plans = _plans(cat)
+    # hasImplicitTableAlias()=false: every scan carries an explicit alias
+    sql = to_sql(plans["q01_shape"], DB2)
+    assert "FROM lineitem AS lineitem" in sql
+    assert_matches_oracle(plans["q01_shape"].to_df(cat), duck, sql)
+    # labeled-duration rewrite (Db2SqlDialect.unparseSqlIntervalLiteral)
+    assert DB2.expr("ts + INTERVAL '3' MONTH") == "ts + 3 MONTH"
+    assert DB2.expr("ts - INTERVAL '-2' DAY") == "ts - -2 DAY"
+    # compound qualifiers raise in the reference's unparse; refuse here
+    with pytest.raises(UnsupportedDialectExpression, match="single-unit"):
+        DB2.expr("ts + INTERVAL '1-2' YEAR TO MONTH")
+
+
+def test_exasol_forms_and_refusals(cat, duck):
+    from calcite_spark.sql.rel2sql import EXASOL
+
+    plans = _plans(cat)
+    sql = to_sql(plans["join_agg_topk"], EXASOL)
+    assert "LIMIT 3" in sql  # unparseOffsetFetch → LIMIT form
+    assert_matches_oracle(plans["join_agg_topk"].to_df(cat), duck, sql)
+    assert EXASOL.expr("date_trunc('month', ts)") == "date_trunc('month', ts)"
+    with pytest.raises(UnsupportedDialectExpression, match="corr"):
+        EXASOL.expr("corr(a, b)")  # outside supportsAggregateFunction
+    with pytest.raises(UnsupportedDialectExpression, match="FILTER"):
+        EXASOL.expr("count(x) FILTER (WHERE x > 0)")
+
+
+def test_firebolt_aggs_and_null_collation(cat, duck):
+    from calcite_spark.sql.rel2sql import FIREBOLT
+
+    plans = _plans(cat)
+    sql = to_sql(plans["join_agg_topk"], FIREBOLT)
+    assert "LIMIT 3" in sql
+    # NullCollation.LOW == Spark's effective placement → bare keys
+    assert FIREBOLT.sort_key("c_name") == "c_name"
+    assert FIREBOLT.sort_key("c_name DESC") == "c_name DESC"
+    with pytest.raises(UnsupportedDialectExpression, match="NULLS LAST"):
+        FIREBOLT.sort_key("c_name ASC NULLS LAST")
+    assert FIREBOLT.expr("any_value(x)") == "any_value(x)"
+    with pytest.raises(UnsupportedDialectExpression, match="stddev_pop"):
+        FIREBOLT.expr("stddev_pop(x)")
+    # DuckDB's bare-key default diverges from LOW, so value-verify via
+    # a non-null sort column only
+    assert_matches_oracle(plans["join_agg_topk"].to_df(cat), duck, sql)
+
+
+def test_h2_refuses_full_join_and_windows(cat, duck):
+    from calcite_spark.sql.rel2sql import H2
+
+    plans = _plans(cat)
+    full = (
+        _b(cat).scan("customer").scan("orders")
+        .join("c_custkey = o_custkey", "FULL").build()
+    )
+    with pytest.raises(UnsupportedDialectExpression, match="FULL"):
+        to_sql(full, H2)
+    with pytest.raises(UnsupportedDialectExpression, match="window"):
+        to_sql(plans["window"], H2)
+    sql = to_sql(plans["left_join"], H2)
+    assert_matches_oracle(plans["left_join"].to_df(cat), duck, sql)
+
+
+def test_hsqldb_trunc_and_refusals(cat, duck):
+    from calcite_spark.sql.rel2sql import HSQLDB
+
+    plans = _plans(cat)
+    # convertTimeUnit element list, TRUNC spelling
+    assert HSQLDB.expr("date_trunc('month', ts)") == "TRUNC(ts, 'MM')"
+    assert HSQLDB.expr("date_trunc('hour', ts)") == "TRUNC(ts, 'HH24')"
+    with pytest.raises(UnsupportedDialectExpression, match="quarter"):
+        HSQLDB.expr("date_trunc('quarter', ts)")
+    with pytest.raises(UnsupportedDialectExpression, match="window"):
+        to_sql(plans["window"], HSQLDB)
+    with pytest.raises(UnsupportedDialectExpression, match="FILTER"):
+        HSQLDB.expr("count(x) FILTER (WHERE x > 0)")
+    sql = to_sql(plans["join_agg_topk"], HSQLDB)
+    assert "LIMIT 3" in sql
+    assert_matches_oracle(plans["join_agg_topk"].to_df(cat), duck, sql)
+
+
+def test_informix_values_emulated_as_union(cat, duck):
+    from calcite_spark.sql.rel2sql import INFORMIX
+
+    plans = _plans(cat)
+    sql = to_sql(plans["values_join"], INFORMIX)
+    assert "UNION ALL" in sql and "VALUES" not in sql.upper().replace(
+        "UNION ALL", ""
+    ).replace("SELECT", "")  # supportsAliasedValues()=false
+    assert_matches_oracle(plans["values_join"].to_df(cat), duck, sql)
+
+
+def test_jethrodata_sort_refusal_and_aggs(cat, duck):
+    from calcite_spark.sql.rel2sql import JETHRODATA
+
+    plans = _plans(cat)
+    # emulateNullDirection is a no-op in the reference (silently wrong
+    # order); we refuse any placement Jethro's HIGH default can't honor
+    with pytest.raises(UnsupportedDialectExpression, match="NULLS FIRST"):
+        JETHRODATA.sort_key("c_name")  # Spark-effective ASC NULLS FIRST
+    assert JETHRODATA.sort_key("c_name ASC NULLS LAST") == "c_name ASC"
+    assert JETHRODATA.sort_key("c_name DESC NULLS FIRST") == "c_name DESC"
+    with pytest.raises(UnsupportedDialectExpression, match="corr"):
+        JETHRODATA.expr("corr(a, b)")
+    # sort-free shapes execute
+    agg = (
+        _b(cat).scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"]).build()
+    )
+    assert_matches_oracle(agg.to_df(cat), duck, to_sql(agg, JETHRODATA))
+
+
+def test_phoenix_approx_and_cast(cat, duck):
+    from calcite_spark.sql.rel2sql import PHOENIX
+
+    plans = _plans(cat)
+    assert PHOENIX.expr("approx_count_distinct(x)") == "approx_count_distinct(x)"
+    # getCastSpec: REAL → FLOAT
+    assert PHOENIX.expr("CAST(x AS REAL)") == "CAST(x AS FLOAT)"
+    sql = to_sql(plans["q01_shape"], PHOENIX)
+    assert_matches_oracle(plans["q01_shape"].to_df(cat), duck, sql)
+
+
+def test_sybase_top_start_at(cat, duck):
+    from calcite_spark.sql.rel2sql import SYBASE
+
+    plans = _plans(cat)
+    # unparseTopN: TOP in the same query block as its ORDER BY
+    sql = to_sql(plans["join_agg_topk"], SYBASE)
+    assert sql.startswith("SELECT TOP (3) ") and "ORDER BY" in sql
+    # offset is 0-based in IR, 1-based in START AT (documented
+    # divergence from the reference's literal unparse)
+    sql = to_sql(plans["offset_fetch"], SYBASE)
+    assert "TOP (10) START AT 6" in sql
+    with pytest.raises(UnsupportedDialectExpression, match="START AT"):
+        SYBASE.fetch_clause(5, None, True)
+    # fetch-free shapes are plain ANSI and execute
+    sql = to_sql(plans["q01_shape"], SYBASE)
+    assert_matches_oracle(plans["q01_shape"].to_df(cat), duck, sql)
+
+
+def test_dialect_registry_covers_all_reference_dialects(cat):
+    from calcite_spark.sql.rel2sql import DIALECTS
+
+    assert len(DIALECTS) == 39  # == ls reference sql/dialect/*SqlDialect.java
+    # one entry per reference sql/dialect/ file
+    expected = {
+        "spark", "duckdb", "postgres", "mysql", "bigquery", "oracle",
+        "mssql", "trino", "hive", "snowflake", "clickhouse", "redshift",
+        "sqlite", "presto", "vertica", "teradata", "derby", "starrocks",
+        "doris", "ansi", "calcite", "firebird", "ingres", "interbase",
+        "luciddb", "neoview", "netezza", "paraccel", "access",
+        "infobright", "db2", "exasol", "firebolt", "h2", "hsqldb",
+        "informix", "jethrodata", "phoenix", "sybase",
+    }
+    missing = expected - set(DIALECTS)
+    assert not missing, missing
