@@ -553,3 +553,116 @@ def qx23_decontaminate(spark, sf_dir):
         n=5,
         min_overlap=3,
     ).orderBy("doc_id")
+
+
+@register(
+    "qx27_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w != '') AS toks
+      FROM documents WHERE doc_id < 40
+    ), n AS (
+      SELECT doc_id, toks,
+             CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT) AS last_i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(len(toks[i*48+1 : i*48+64]) AS INT) AS n_tokens
+    FROM n, LATERAL unnest(generate_series(0, last_i)) AS u(i)
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "chunking"),
+)
+def qx27_chunk_documents(spark, sf_dir):
+    """Token-aware sliding-window chunking (llm/chunking.chunk_documents):
+    64-token windows advancing by 48 (16-token overlap) over whitespace
+    tokens. One narrow codegen map + one explode per doc — zero
+    shuffle, zero Python; the oracle replays every slice in DuckDB
+    list functions (1-based inclusive slicing on both sides)."""
+    from calcite_spark.llm.chunking import chunk_documents
+
+    cat = catalog_for(spark, sf_dir)
+    return chunk_documents(
+        cat.table("documents").filter("doc_id < 40"),
+        max_tokens=64,
+        overlap=16,
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "qx28_sequence_packing",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id % 4 AS bucket, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> w != '')) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id < 40
+    ), s AS (
+      SELECT bucket, rn, doc_id, n, 0 AS pack, n AS used
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.bucket, t.rn, t.doc_id, t.n,
+             CASE WHEN s.used + t.n <= 600 THEN s.pack ELSE s.pack + 1 END,
+             CASE WHEN s.used + t.n <= 600 THEN s.used + t.n ELSE t.n END
+      FROM s JOIN t ON t.bucket = s.bucket AND t.rn = s.rn + 1
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(pack AS INT) AS pack, n AS n_tokens
+    FROM s ORDER BY doc_id
+    """,
+    tags=("llm", "packing"),
+)
+def qx28_sequence_packing(spark, sf_dir):
+    """Greedy first-fit sequence packing (llm/chunking.pack_sequences):
+    600-token packs, 4 hash buckets, docs walked in id order inside a
+    JVM aggregate() fold (one groupBy shuffle; packing is sequential
+    per bucket BY DESIGN — shard-local packing, buckets scale with the
+    corpus). The fold is deterministic, so a DuckDB recursive CTE
+    replays the exact pack assignment row for row."""
+    from calcite_spark.llm.chunking import pack_sequences
+
+    cat = catalog_for(spark, sf_dir)
+    return pack_sequences(
+        cat.table("documents").filter("doc_id < 40"),
+        budget_tokens=600,
+        buckets=4,
+    ).orderBy("doc_id")
+
+
+@register(
+    "qx29_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r5'), 1, 8) <
+          CASE lang WHEN 'en' THEN '80000000'
+                    WHEN 'de' THEN '40000000'
+                    WHEN 'fr' THEN '40000000'
+                    WHEN 'es' THEN '19999999'
+                    WHEN 'zh' THEN '19999999'
+                    ELSE '00000000' END
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def qx29_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling
+    (llm/sampling.sample_stratified): per-language mix weights decided
+    by an md5-prefix string comparison — seed-stable, partition-stable,
+    zero-shuffle narrow map, and EXACTLY replayable cross-engine (the
+    oracle evaluates the identical predicate; contrast z65_sample,
+    rows-only because engine RNG is not replayable)."""
+    from calcite_spark.llm.sampling import sample_stratified
+
+    cat = catalog_for(spark, sf_dir)
+    return sample_stratified(
+        cat.table("documents"),
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1},
+        seed="r5",
+    ).selectExpr("doc_id", "lang").orderBy("doc_id")
