@@ -955,7 +955,7 @@ def qx24_hilbert_index(spark, sf_dir):
              CAST((c_custkey // 64) % 64 AS BIGINT) + 0.5 AS y
       FROM customer
     )
-    WHERE sqrt(pow(x - 22.0, 2) + pow(y - 37.0, 2)) <= 9.0
+    WHERE sqrt(pow(x - 22.0, 2) + pow(y - 6.0, 2)) <= 9.0
     ORDER BY pid
     """,
     tags=("spatial", "hilbert", "rewrite"),
@@ -989,7 +989,7 @@ def qx26_hilbert_dwithin(spark, sf_dir):
     plan = (
         RelBuilder(cat)
         .scan("hilbert_pts")
-        .filter("ST_DWITHIN(ST_MAKEPOINT(22.0, 37.0), ST_MAKEPOINT(x, y), 9.0)")
+        .filter("ST_DWITHIN(ST_MAKEPOINT(22.0, 6.0), ST_MAKEPOINT(x, y), 9.0)")
         .build()
     )
     rewritten = default_program(cat).run(plan)
