@@ -30,8 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 # whitespace tokens with empties dropped — the same token model the
-# decontamination and repetition operators use (textstats.py)
-_TOKS = "filter(split(trim({col}), '\\\\s+'), w -> w != '')"
+# decontamination and repetition operators use (textstats.py). NULL
+# text coalesces to '' (otherwise size(NULL) = -1 poisons the chunk
+# count / token budget arithmetic).
+_TOKS = "filter(split(trim(coalesce({col}, '')), '\\\\s+'), w -> w != '')"
 
 
 def chunk_documents(

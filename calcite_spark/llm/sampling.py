@@ -66,6 +66,9 @@ def sample_stratified(
     to a quarter. Strata absent from ``fractions`` get
     ``default_fraction`` (0.0 = dropped, the explicit-allowlist
     posture)."""
+    for s in fractions:
+        if "'" in s:
+            raise ValueError(f"stratum value must not contain quotes: {s!r}")
     arms = " ".join(
         f"WHEN '{s}' THEN '{hash_threshold(f)}'" for s, f in sorted(fractions.items())
     )

@@ -198,3 +198,22 @@ def test_train_test_split_partition_and_replay(docs):
         if (_md5_prefix(r.doc_id, "sp") < thr) != (r.split == "test")
     ]
     assert not bad
+
+
+def test_null_text_handled(spark):
+    """NULL text == empty doc (size(NULL) = -1 must not poison the
+    chunk count or the pack budget arithmetic)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=4).orderBy("doc_id", "chunk_id").collect()
+    assert [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out] == [
+        (1, 0, 0, ""), (2, 0, 3, "a b c")
+    ]
+    packed = {r.doc_id: r.n_tokens for r in pack_sequences(df, 10, buckets=1).collect()}
+    assert packed == {1: 0, 2: 3}
+
+
+def test_stratum_quote_rejected(spark, docs):
+    with pytest.raises(ValueError, match="quote"):
+        sample_stratified(docs, "lang", {"e'n": 0.5})
