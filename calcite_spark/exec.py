@@ -51,12 +51,18 @@ def profile_relation(catalog, table: str, columns=None, exact: bool = False) -> 
         for c, t in df.dtypes
         if t in ("int", "bigint", "double", "float", "smallint", "date") or t.startswith("decimal")
     }
+    strings = {c for c, t in df.dtypes if t == "string"}
     for c in columns:
         exprs.append(f"{_ndv_expr((c,), exact)} AS __ndv_{c}")
         exprs.append(f"COUNT(*) - COUNT({c}) AS __nulls_{c}")
         if c in numeric:
             exprs.append(f"MIN({c}) AS __min_{c}")
             exprs.append(f"MAX({c}) AS __max_{c}")
+        if c in strings:
+            # mean UTF-8 byte width — feeds the RelMdSize analog
+            # (plans/metadata.average_column_sizes): a MEASURED width
+            # replaces the reference's min(precision*2, 100) guess
+            exprs.append(f"AVG(octet_length({c})) AS __avglen_{c}")
     return df.selectExpr(*exprs)
 
 
@@ -81,6 +87,8 @@ def profile(catalog, table: str, columns=None, exact: bool = False) -> dict:
         if c in numeric:
             col["min"] = row[f"__min_{c}"]
             col["max"] = row[f"__max_{c}"]
+        if f"__avglen_{c}" in row:
+            col["avg_len"] = row[f"__avglen_{c}"]
         # functional-dependency hint à la Profiler: unique key candidate
         col["unique_candidate"] = (
             row[f"__ndv_{c}"] >= _unique_threshold(exact) * max(row["__rows"], 1)

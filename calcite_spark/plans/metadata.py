@@ -501,6 +501,144 @@ class MetadataQuery:
             return tuple(node.keys) if node.distribution == "range" else ()
         return ()
 
+    # -- sizes ≈ RelMdSize.java ---------------------------------------
+
+    # averageTypeValueSize (RelMdSize.java:330) widths, keyed by Spark
+    # dtype strings. Strings/binary have no fixed width: the handler
+    # uses the ANALYZEd mean byte length when one exists and the
+    # reference's 100-byte cap otherwise ("even in large columns most
+    # strings are small").
+    _TYPE_BYTES = {
+        "boolean": 1.0, "tinyint": 1.0, "byte": 1.0,
+        "smallint": 2.0, "short": 2.0,
+        "int": 4.0, "float": 4.0, "date": 4.0,
+        "bigint": 8.0, "long": 8.0, "double": 8.0,
+        "timestamp": 8.0, "timestamp_ntz": 8.0,
+    }
+    _STRING_DEFAULT = 100.0  # RelMdSize VARCHAR cap
+    _EXPR_DEFAULT = 32.0     # RelMdSize.typeValueSize default arm
+
+    def average_column_sizes(self, node: ir.RelNode) -> dict | None:
+        """Per-output-column mean width in bytes ≈
+        RelMdSize.averageColumnSizes. Metadata-only up to a schema
+        probe on base tables (the same engine contact the lineage
+        walk allows — never a data scan); a column the handler cannot
+        size maps to None. Returns None for nodes with unmodeled
+        output shapes (Uncollect, Match, ...)."""
+        return self._cached(
+            ("colsz", id(node)), lambda: self._col_sizes(node), node
+        )
+
+    def _col_sizes(self, node) -> dict | None:
+        if isinstance(node, ir.Scan):
+            entry = self.catalog.tables.get(node.table)
+            try:
+                dtypes = self.catalog.table(node.table).dtypes
+            except Exception:
+                return None
+            stats = (entry.stats or {}).get("columns", {}) if entry else {}
+            out = {}
+            for c, t in dtypes:
+                if t in self._TYPE_BYTES:
+                    out[c] = self._TYPE_BYTES[t]
+                elif t.startswith("decimal"):
+                    out[c] = 4.0  # RelMdSize DECIMAL arm
+                elif t in ("string", "binary"):
+                    measured = stats.get(c, {}).get("avg_len")
+                    out[c] = (
+                        float(measured)
+                        if measured is not None
+                        else self._STRING_DEFAULT
+                    )
+                else:
+                    out[c] = None  # array/map/struct: unknown
+            return out
+        if isinstance(
+            node, (ir.Filter, ir.Sort, ir.Exchange, ir.Sample, ir.Spool,
+                   ir.Snapshot)
+        ):
+            return self.average_column_sizes(node.inputs[0])
+        if isinstance(node, ir.Project):
+            child = self.average_column_sizes(node.inputs[0]) or {}
+            out = {}
+            for e in node.exprs:
+                if e == "*":
+                    out.update(child)
+                    continue
+                body, alias = _split_alias(e)
+                if _BARE_COL.match(body):
+                    out[alias or body] = child.get(body)
+                else:
+                    out[alias or body] = self._EXPR_DEFAULT
+            return out
+        if isinstance(node, ir.Window):
+            child = self.average_column_sizes(node.inputs[0]) or {}
+            out = {}
+            for k in node.keep:
+                if k == "*":
+                    out.update(child)
+                else:
+                    out[k] = child.get(k)
+            for e in node.window_exprs:
+                _, alias = _split_alias(e)
+                if alias:
+                    out[alias] = 8.0  # ranking/offset results are longs
+            return out
+        if isinstance(node, ir.Join):
+            left = self.average_column_sizes(node.inputs[0])
+            if node.join_type.upper() in ("SEMI", "ANTI"):
+                return left
+            right = self.average_column_sizes(node.inputs[1])
+            if left is None or right is None:
+                return None
+            return {**left, **right}
+        if isinstance(node, ir.Aggregate):
+            child = self.average_column_sizes(node.inputs[0]) or {}
+            out = {}
+            for k in node.group_keys:
+                body, alias = _split_alias(k)
+                out[alias or body] = (
+                    child.get(body) if _BARE_COL.match(body) else self._EXPR_DEFAULT
+                )
+            for c in node.agg_calls:
+                _, alias = _split_alias(c)
+                if alias:
+                    # averageTypeValueSize(aggregateCall.type): the
+                    # standard aggregates are numeric → 8 bytes
+                    out[alias] = 8.0
+            return out
+        if isinstance(node, ir.Values):
+            names = [c.split()[0].strip() for c in node.schema.split(",")]
+            out = {}
+            for i, n in enumerate(names):
+                vals = [r[i] for r in node.rows if r[i] is not None]
+                if not vals:
+                    out[n] = 1.0
+                    continue
+                out[n] = sum(
+                    len(v.encode()) if isinstance(v, str)
+                    else 1.0 if isinstance(v, bool)
+                    else 8.0
+                    for v in vals
+                ) / len(vals)
+            return out
+        if isinstance(node, ir.SetOp):
+            # positional merge; first input names the output (the
+            # reference averages across inputs — first-input widths are
+            # the same columns at our surface)
+            return self.average_column_sizes(node.inputs[0])
+        return None
+
+    def average_row_size(self, node: ir.RelNode) -> float | None:
+        """Mean output-row width in bytes ≈ RelMdSize.averageRowSize:
+        the sum of the known column widths (unknown columns contribute
+        nothing, as the reference's null-skipping sum does)."""
+        sizes = self.average_column_sizes(node)
+        if not sizes:
+            return None
+        known = [v for v in sizes.values() if v is not None]
+        return sum(known) if known else None
+
 
 _SQL_WORDS = frozenset(
     "and or not in is null true false between like case when then "

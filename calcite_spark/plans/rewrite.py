@@ -60,6 +60,7 @@ class HepProgram:
 
 
 _BROADCAST_EST_ROWS = 100_000
+_BROADCAST_EST_BYTES = 10 << 20  # Spark autoBroadcastJoinThreshold default
 
 
 def _grounded_filter_estimate(n, mq):
@@ -109,8 +110,17 @@ def _broadcast_small_dims(node, catalog):
         if isinstance(n, ir.Filter):
             from calcite_spark.plans.metadata import MetadataQuery
 
-            est = _grounded_filter_estimate(n, MetadataQuery(catalog))
-            return est is not None and est <= _BROADCAST_EST_ROWS
+            mq = MetadataQuery(catalog)
+            est = _grounded_filter_estimate(n, mq)
+            if est is None or est > _BROADCAST_EST_ROWS:
+                return False
+            # byte gate ≈ Spark's autoBroadcastJoinThreshold semantics
+            # (the real threshold is BYTES): 100k rows of 2 KB documents
+            # is a 200 MB broadcast — refuse when the RelMdSize-analog
+            # width says the estimate exceeds the byte budget; unknown
+            # width falls back to the row cap alone
+            width = mq.average_row_size(n)
+            return width is None or est * width <= _BROADCAST_EST_BYTES
         return False
 
     if small_scan(right):

@@ -320,3 +320,102 @@ def test_broadcast_rule_consumes_grounded_estimate(spark):
     out2 = default_program(cat).run(plan)
     j2 = find_join(out2)
     assert j2.broadcast_right and j2._hint_from_rule
+
+
+# -- sizes ≈ RelMdSize (r5 session-3 tier) ----------------------------
+
+
+def test_average_column_sizes_scan_types(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    mq = MetadataQuery(cat)
+    sizes = mq.average_column_sizes(RelBuilder(cat).scan("lineitem").build())
+    assert sizes["l_orderkey"] == 8.0          # bigint
+    assert sizes["l_quantity"] == 8.0          # double
+    # un-ANALYZEd string: the reference's 100-byte VARCHAR cap
+    assert sizes["l_returnflag"] == 100.0
+    assert sizes["l_shipdate"] == 8.0          # timestamp
+
+
+def test_average_column_sizes_measured_strings(spark):
+    """ANALYZE upgrades string widths from the 100-byte guess to the
+    measured mean byte length."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.analyze("nation", columns=["n_name", "n_nationkey"])
+    mq = MetadataQuery(cat)
+    sizes = mq.average_column_sizes(RelBuilder(cat).scan("nation").build())
+    assert sizes["n_name"] != 100.0 and 3.0 < sizes["n_name"] < 30.0
+    # and the measured value matches a direct computation
+    expect = (
+        cat.table("nation").selectExpr("AVG(octet_length(n_name)) a").collect()[0].a
+    )
+    assert abs(sizes["n_name"] - expect) < 1e-6
+
+
+def test_average_row_size_propagation(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    mq = MetadataQuery(cat)
+    b = RelBuilder(cat)
+    scan = b.scan("customer").build()
+    full = mq.average_row_size(scan)
+    narrow = (
+        RelBuilder(cat).scan("customer").project("c_custkey", "c_nationkey").build()
+    )
+    assert mq.average_row_size(narrow) == 12.0  # bigint + int
+    assert full > mq.average_row_size(narrow)
+    # join concatenates; SEMI keeps the left width only
+    join = (
+        RelBuilder(cat).scan("customer").scan("nation")
+        .join("c_nationkey = n_nationkey").build()
+    )
+    semi = (
+        RelBuilder(cat).scan("customer").scan("nation")
+        .join("c_nationkey = n_nationkey", "SEMI").build()
+    )
+    nat = mq.average_row_size(RelBuilder(cat).scan("nation").build())
+    assert abs(mq.average_row_size(join) - (full + nat)) < 1e-6
+    assert mq.average_row_size(semi) == full
+    # aggregate: key inherits, calls are 8-byte numerics
+    agg = (
+        RelBuilder(cat).scan("customer")
+        .aggregate(["c_mktsegment"], ["SUM(c_acctbal) AS total"]).build()
+    )
+    seg = mq.average_column_sizes(agg)
+    assert seg["total"] == 8.0 and seg["c_mktsegment"] == 100.0
+
+
+def test_broadcast_byte_gate(spark):
+    """A grounded row estimate under the row cap but over the BYTE
+    budget must not broadcast: 50k rows x 2 KB documents is a 100 MB
+    broadcast (Spark's threshold semantics are bytes, not rows)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.tables["documents"].row_count = 10_000_000
+    cat.analyze("documents", columns=["source", "text"])
+    cat.tables["documents"].row_count = 10_000_000
+    st = cat.tables["documents"].stats["columns"]
+    st["source"]["ndv"] = 200  # grounded est = 10M / 200 = 50k rows
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .scan("documents")
+        .filter("source = 'web'")
+        .join("l_orderkey = doc_id")
+        .build()
+    )
+
+    def find_join(n):
+        if isinstance(n, ir.Join):
+            return n
+        for c in n.inputs:
+            j = find_join(c)
+            if j is not None:
+                return j
+        return None
+
+    # wide rows: 50k x 2KB > 10 MB -> refuse
+    st["text"]["avg_len"] = 2000.0
+    j = find_join(default_program(cat).run(plan))
+    assert not (j.broadcast_left or j.broadcast_right)
+    # narrow rows: 50k x ~60B < 10 MB -> broadcast fires
+    st["text"]["avg_len"] = 10.0
+    j2 = find_join(default_program(cat).run(plan))
+    assert j2.broadcast_right and j2._hint_from_rule
