@@ -243,7 +243,30 @@ class QuidemRunner:
             res.failed.append((sql_line, sql, f"expected error {want!r}, query ran"))
             return i + 1
 
+        if d == "!ddl":
+            # execute the statement through DdlExecutor ≈ Quidem scripts
+            # running CREATE TYPE / CREATE VIEW inline (server-side DDL
+            # tier; the reference's type.iq and view-backed scripts)
+            out_lines.append(lines[i])
+            try:
+                self._ddl(fe).execute(sql)
+                res.passed += 1
+            except Exception as e:
+                res.failed.append((sql_line, sql, f"ddl error: {e}"))
+            return i + 1
+
         raise ValueError(f"{res.path}:{i + 1}: unknown directive {d!r}")
+
+    def _ddl(self, fe):
+        if not hasattr(fe, "_testkit_ddl"):
+            import tempfile
+
+            from calcite_spark.sql.ddl import DdlExecutor
+
+            fe._testkit_ddl = DdlExecutor(
+                fe, tempfile.mkdtemp(prefix="iq_ddl_")
+            )
+        return fe._testkit_ddl
 
     @staticmethod
     def _read_ok_block(lines, start):
