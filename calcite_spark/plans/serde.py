@@ -129,3 +129,52 @@ def to_xml(node: ir.RelNode) -> str:
 
     walk(to_dict(node), 0)
     return "\n".join(out)
+
+
+def explain(node: ir.RelNode, level: str = "exppln", catalog=None) -> str:
+    """Text plan dump ≈ RelOptUtil.dumpPlan + RelWriterImpl.java:46
+    with SqlExplainLevel.java's detail tiers:
+
+      * ``"none"``   ≈ NO_ATTRIBUTES — node names only,
+      * ``"exppln"`` ≈ EXPPLAN_ATTRIBUTES (default) — name(attr=value),
+      * ``"all"``    ≈ ALL_ATTRIBUTES — adds per-node cost metadata
+        (rowcount from the RelMdRowCount analog; bytes = rowcount x
+        the RelMdSize-analog row width) when a catalog is supplied.
+
+    The "all" tier is the EXPLAIN surface the metadata facade feeds —
+    the same numbers the broadcast / join-order rules consume, shown
+    where a user can audit them.
+    """
+    if level not in ("none", "exppln", "all"):
+        raise ValueError(f"unknown explain level {level!r}")
+    mq = None
+    if level == "all" and catalog is not None:
+        from calcite_spark.plans.metadata import MetadataQuery
+
+        mq = MetadataQuery(catalog)
+
+    lines: list[str] = []
+
+    def walk(n: ir.RelNode, depth: int) -> None:
+        d = to_dict(n)
+        head = d["rel"]
+        if level != "none":
+            attrs = ", ".join(f"{k}=[{v}]" for k, v in _attr_items(d))
+            if attrs:
+                head += f"({attrs})"
+        if mq is not None:
+            rows = mq.row_count(n)
+            width = mq.average_row_size(n)
+            cost = []
+            if rows is not None:
+                cost.append(f"rowcount = {rows:.1f}")
+                if width is not None:
+                    cost.append(f"bytes = {rows * width:.0f}")
+            if cost:
+                head += ": " + ", ".join(cost)
+        lines.append("  " * depth + head)
+        for c in n.inputs:
+            walk(c, depth + 1)
+
+    walk(node, 0)
+    return "\n".join(lines) + "\n"

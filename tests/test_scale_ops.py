@@ -181,3 +181,39 @@ def test_plan_dot_escapes_hostile_labels(spark):
     for m in _re.finditer(r'label="([^"]*)"', dot):
         assert '"' not in m.group(1)
     assert "\\\\n" in dot or "\\n" in dot  # newline survived as escape
+
+
+def test_explain_levels(spark):
+    """explain() ≈ RelOptUtil.dumpPlan with SqlExplainLevel tiers; the
+    ALL tier surfaces the same rowcount/bytes the broadcast and
+    join-order rules consume."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.serde import explain
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    plan = (
+        RelBuilder(cat)
+        .scan("customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .aggregate(["c_nationkey"], ["COUNT(*) AS n"])
+        .sort_limit(["n DESC"], fetch=3)
+        .build()
+    )
+    none = explain(plan, level="none")
+    assert "Sort\n" in none and "(" not in none
+    default = explain(plan)
+    assert "Filter(condition=[c_mktsegment = 'BUILDING'])" in default
+    assert default.splitlines()[0].startswith("Sort(")
+    # indentation mirrors tree depth
+    assert default.splitlines()[3].startswith("      Scan")
+    allattrs = explain(plan, level="all", catalog=cat)
+    assert "rowcount = " in allattrs and "bytes = " in allattrs
+    # Scan rowcount equals the cached base count
+    scan_line = [l for l in allattrs.splitlines() if "Scan" in l][0]
+    assert f"rowcount = {float(cat.row_count('customer')):.1f}" in scan_line
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        explain(plan, level="verbose")
