@@ -2491,12 +2491,20 @@ DIALECTS = {
 }
 
 
-def to_sql(node: ir.RelNode, dialect: Dialect = SPARK) -> str:
+def to_sql(node: ir.RelNode, dialect: "Dialect | str" = SPARK) -> str:
     """Emit a full SELECT statement for an IR tree ≈
-    RelToSqlConverter.visitRoot. Raises NotImplementedError for nodes
-    with no SQL form (RepeatUnion loop, Match NFA, ...) and
-    UnsupportedDialectExpression when an expression cannot be replayed
-    in the target dialect."""
+    RelToSqlConverter.visitRoot. ``dialect`` is a Dialect instance or a
+    registry name (``to_sql(plan, "mysql")`` — see DIALECTS). Raises
+    NotImplementedError for nodes with no SQL form (RepeatUnion loop,
+    Match NFA, ...) and UnsupportedDialectExpression when an expression
+    cannot be replayed in the target dialect."""
+    if isinstance(dialect, str):
+        try:
+            dialect = DIALECTS[dialect.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unknown dialect {dialect!r}; known: {sorted(DIALECTS)}"
+            ) from None
     return _Emitter(dialect).select(node)
 
 

@@ -1371,3 +1371,12 @@ def test_dialect_registry_covers_all_reference_dialects(cat):
     }
     missing = expected - set(DIALECTS)
     assert not missing, missing
+
+
+def test_to_sql_accepts_registry_names(cat):
+    plans = _plans(cat)
+    from calcite_spark.sql.rel2sql import MYSQL
+
+    assert to_sql(plans["q01_shape"], "mysql") == to_sql(plans["q01_shape"], MYSQL)
+    with pytest.raises(ValueError, match="unknown dialect"):
+        to_sql(plans["q01_shape"], "mongo")
