@@ -14,8 +14,10 @@ Scale shape (the part that matters at 100 TB):
     decontamination keeps rare by construction;
   * digests are md5 strings rather than raw n-grams so shuffled rows
     stay fixed-width — and md5 exists in BOTH engines, keeping the
-    whole pipeline DuckDB-oracle-exact (xxhash64 would be faster but
-    is Spark-only; swap it in when oracle parity is not needed).
+    whole pipeline DuckDB-oracle-exact; digest="xxhash64" swaps in the
+    production hash (Spark-only, 8-byte longs on the wire) when oracle
+    parity is not needed — both digests yield identical overlap counts
+    (tested).
 """
 
 from __future__ import annotations
@@ -23,15 +25,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _gram_expr(text_col: str, n: int) -> str:
-    """Word n-gram md5 digests of `text_col` as an array expression.
+def _gram_expr(text_col: str, n: int, digest: str = "md5") -> str:
+    """Word n-gram digests of `text_col` as an array expression.
     Tokenization (lower, trim, whitespace-split, drop empties) matches
-    textstats; a doc with fewer than n words yields an empty array."""
+    textstats; a doc with fewer than n words yields an empty array.
+    digest="md5" (default) is replayable in DuckDB for the oracle path;
+    digest="xxhash64" is the production path — a JVM 64-bit hash that
+    skips hex-string materialization (~2-3x on the digest stage per the
+    SCALE.md probe note) and shuffles 8-byte longs instead of 32-char
+    strings."""
+    if digest not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown digest {digest!r}")
     words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> w != '')"
     return (
         f"CASE WHEN size({words}) < {n} THEN array() "
         f"ELSE transform(sequence(0, size({words}) - {n}), "
-        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {n})))) END"
+        f"i -> {digest}(concat_ws(' ', slice({words}, i + 1, {n})))) END"
     )
 
 
@@ -42,6 +51,7 @@ def ngram_decontaminate(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest: str = "md5",
 ) -> DataFrame:
     """Per training document: how many of its DISTINCT word n-grams
     appear anywhere in `benchmark`, and a contaminated flag when that
@@ -49,11 +59,12 @@ def ngram_decontaminate(
     are kept (flag false, n_overlap 0) via the left join — filtering is
     the caller's `.filter(~contaminated)`."""
     bench_grams = (
-        benchmark.selectExpr(f"explode({_gram_expr(text_col, n)}) AS g")
+        benchmark.selectExpr(f"explode({_gram_expr(text_col, n, digest)}) AS g")
         .distinct()
     )
     doc_grams = docs.selectExpr(
-        id_col, f"explode_outer(array_distinct({_gram_expr(text_col, n)})) AS g"
+        id_col,
+        f"explode_outer(array_distinct({_gram_expr(text_col, n, digest)})) AS g",
     )
     overlap = (
         doc_grams.join(

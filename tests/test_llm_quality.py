@@ -338,3 +338,24 @@ def test_ngram_decontaminate_planted(spark):
     assert out[1].n_overlap == 3 and out[1].contaminated
     assert out[2].n_overlap == 0 and not out[2].contaminated
     assert out[3].n_overlap == 0 and not out[3].contaminated
+
+
+def test_decontaminate_xxhash64_digest_matches_md5(spark):
+    """The production digest (xxhash64 longs) flags exactly the same
+    documents with the same overlap counts as the oracle digest (md5
+    hex): the digest only names n-grams, it never changes set
+    membership."""
+    from calcite_spark.llm.decontam import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where("doc_id % 20 != 0")
+    bench = docs.where("doc_id % 20 = 0")
+    a = ngram_decontaminate(corpus, bench, n=5, min_overlap=3).orderBy("doc_id")
+    b = ngram_decontaminate(
+        corpus, bench, n=5, min_overlap=3, digest="xxhash64"
+    ).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="digest"):
+        ngram_decontaminate(corpus, bench, digest="sha1")
