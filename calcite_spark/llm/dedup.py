@@ -62,11 +62,23 @@ def normalize_text(col: str = "text"):
     return f"regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: md5(normalized text) → keep min id per digest.
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest: str = "md5",
+) -> DataFrame:
+    """Exact dedup: digest(normalized text) → keep min id per digest.
     One hash-shuffle on the digest; at 100 TB the digest groupBy is the
-    canonical map-side-combinable pattern (partial min per partition)."""
-    digest = f"md5({normalize_text(text_col)})"
+    canonical map-side-combinable pattern (partial min per partition).
+    digest="md5" (default) keeps the pipeline DuckDB-oracle-replayable
+    (z50); digest="xxhash64" is the production path — 8-byte longs on
+    the shuffle instead of 32-char hex strings. NOTE: a 64-bit digest
+    has birthday collisions around ~4B distinct documents; at that
+    corpus size prefer md5 (128-bit) or rerank within groups."""
+    if digest not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown digest {digest!r}")
+    digest = f"{digest}({normalize_text(text_col)})"
     return (
         _parallelize(docs).selectExpr(f"{digest} AS content_hash", id_col)
         .groupBy("content_hash")

@@ -359,3 +359,17 @@ def test_decontaminate_xxhash64_digest_matches_md5(spark):
 
     with _pytest.raises(ValueError, match="digest"):
         ngram_decontaminate(corpus, bench, digest="sha1")
+
+
+def test_exact_dedup_xxhash64_digest_matches_md5(spark):
+    from calcite_spark.llm.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(
+        (r.keep_id, r.n_copies) for r in exact_dedup(docs).collect()
+    )
+    b = sorted(
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(docs, digest="xxhash64").collect()
+    )
+    assert a == b
