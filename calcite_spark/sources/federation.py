@@ -61,6 +61,15 @@ class DuckDBEngine:
         self.queries_executed.append(sql)
         return self.con.execute(sql).arrow()
 
+    def execute_modify(self, sql: str) -> int:
+        """Run a write statement emitted by rel2sql.insert_sql /
+        update_sql / delete_sql ≈ JdbcTableModify execution; returns
+        the affected-row count (DuckDB reports it as a 1-row Count
+        result)."""
+        self.queries_executed.append(sql)
+        rows = self.con.execute(sql).fetchall()
+        return int(rows[0][0]) if rows else 0
+
     def schema_of(self, name: str) -> list[str]:
         """Column names via the catalog interface — a METADATA probe
         (≈ JDBC DatabaseMetaData.getColumns in Calcite's JdbcSchema),
@@ -173,6 +182,16 @@ class SQLiteEngine:
                 arr = arr.cast(pa.string())
             arrays.append(arr)
         return pa.Table.from_arrays(arrays, names=names)
+
+    def execute_modify(self, sql: str) -> int:
+        """Run a write statement emitted by rel2sql.insert_sql /
+        update_sql / delete_sql ≈ JdbcTableModify execution on the
+        REAL engine; commits and returns sqlite3's affected-row
+        count."""
+        self.queries_executed.append(sql)
+        cur = self.con.execute(sql)
+        self.con.commit()
+        return cur.rowcount
 
     def schema_of(self, name: str) -> list[str]:
         """Column names via PRAGMA table_info — the metadata probe

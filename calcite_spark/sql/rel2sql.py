@@ -2508,6 +2508,48 @@ def to_sql(node: ir.RelNode, dialect: "Dialect | str" = SPARK) -> str:
     return _Emitter(dialect).select(node)
 
 
+def insert_sql(
+    table: str,
+    node: ir.RelNode,
+    dialect: "Dialect | str" = SPARK,
+    columns: "list[str] | None" = None,
+) -> str:
+    """INSERT statement feeding `table` from an IR subtree ≈
+    RelToSqlConverter.visit(TableModify) INSERT branch
+    (RelToSqlConverter.java:1013) — the write half of whole-query
+    pushdown (JdbcRules.JdbcTableModificationRule). The source is
+    emitted with the ordinary SELECT emitter, so every dialect rewrite
+    and refusal applies: an expression the remote cannot replay refuses
+    here exactly as it does on the read path (a wrong INSERT is worse
+    than a wrong SELECT — it persists)."""
+    body = to_sql(node, dialect)
+    cols = f" ({', '.join(columns)})" if columns else ""
+    return f"INSERT INTO {table}{cols} {body}"
+
+
+def delete_sql(table: str, condition: str, dialect: "Dialect | str" = SPARK) -> str:
+    """DELETE statement ≈ the TableModify DELETE branch: the predicate
+    goes through the dialect's expression pipeline (rewrites + refuse-
+    over-wrong), never verbatim."""
+    if isinstance(dialect, str):
+        dialect = DIALECTS[dialect.lower()]
+    return f"DELETE FROM {table} WHERE {dialect.expr(condition)}"
+
+
+def update_sql(
+    table: str,
+    assignments: "dict[str, str]",
+    condition: str,
+    dialect: "Dialect | str" = SPARK,
+) -> str:
+    """UPDATE statement ≈ the TableModify UPDATE branch; both the SET
+    expressions and the predicate are dialect-checked."""
+    if isinstance(dialect, str):
+        dialect = DIALECTS[dialect.lower()]
+    sets = ", ".join(f"{c} = {dialect.expr(e)}" for c, e in assignments.items())
+    return f"UPDATE {table} SET {sets} WHERE {dialect.expr(condition)}"
+
+
 class _Emitter:
     def __init__(self, dialect: Dialect):
         self.d = dialect

@@ -294,3 +294,22 @@ def test_no_pruning_when_output_implicit(spark):
     remote = engine.queries_executed[0]
     assert "SELECT * FROM nation" in remote
     assert len(fed.to_df(cat).columns) == len(plan.to_df(Catalog(cat.spark).register_parquet_dir(SF_DIR)).columns)
+
+
+def test_duckdb_engine_execute_modify(tmp_path):
+    """The write half of the engine protocol ≈ JdbcTableModify: INSERT
+    emitted by rel2sql executes on the engine and reports the affected
+    count."""
+    import duckdb
+
+    from calcite_spark.plans import ir
+    from calcite_spark.sources.federation import DuckDBEngine
+    from calcite_spark.sql.rel2sql import DUCKDB, insert_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a INT, b VARCHAR)")
+    eng = DuckDBEngine(con)
+    vals = ir.Values([(1, "x"), (2, "y")], "a int, b string")
+    n = eng.execute_modify(insert_sql("t", vals, DUCKDB, columns=["a", "b"]))
+    assert n == 2
+    assert eng.execute_arrow("SELECT COUNT(*) c FROM t").column("c")[0].as_py() == 2

@@ -442,3 +442,76 @@ def test_sqlite_schema_of_is_metadata_probe(fed):
     assert engine.queries_executed == []  # probe, not a pushed query
     with pytest.raises(KeyError):
         engine.schema_of("no_such_table")
+
+
+# -- federation WRITE-back ≈ JdbcTableModificationRule (r5 session 3) --
+
+
+def test_sqlite_insert_pushdown_roundtrip(spark, cat):
+    """insert_sql emits through the dialect pipeline and executes on the
+    real engine; the inserted rows come back through a federated read."""
+    from calcite_spark.plans import ir
+    from calcite_spark.sql.rel2sql import insert_sql
+
+    lite = SQLiteEngine.from_parquet_dir(SF_DIR, ["nation"])
+    vals = ir.Values(
+        [(901, "ATLANTIS", 0), (902, "LEMURIA", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    sql = insert_sql(
+        "nation", vals, SQLITE, columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    # the SQLite dialect renders VALUES as UNION ALL selects
+    assert "UNION ALL" in sql and sql.startswith("INSERT INTO nation ")
+    assert lite.execute_modify(sql) == 2
+    got = lite.execute_arrow(
+        "SELECT n_name FROM nation WHERE n_nationkey >= 900 ORDER BY n_nationkey"
+    )
+    assert got.column("n_name").to_pylist() == ["ATLANTIS", "LEMURIA"]
+
+
+def test_sqlite_insert_select_and_delete_update(spark, cat):
+    from calcite_spark.sql.rel2sql import delete_sql, insert_sql, update_sql
+
+    lite = SQLiteEngine.from_parquet_dir(SF_DIR, ["nation", "region"])
+    base = lite.execute_arrow("SELECT COUNT(*) c FROM nation").column("c")[0].as_py()
+    # INSERT ... SELECT: re-insert a filtered slice shifted by 1000
+    plan = (
+        RelBuilder(cat)
+        .scan("nation")
+        .filter("n_regionkey = 0")
+        .project("n_nationkey + 1000 AS n_nationkey", "n_name", "n_regionkey")
+        .build()
+    )
+    n_slice = lite.execute_modify(
+        insert_sql("nation", plan, SQLITE,
+                   columns=["n_nationkey", "n_name", "n_regionkey"])
+    )
+    assert n_slice > 0
+    after = lite.execute_arrow("SELECT COUNT(*) c FROM nation").column("c")[0].as_py()
+    assert after == base + n_slice
+    # UPDATE through the dialect expression pipeline
+    assert lite.execute_modify(
+        update_sql("nation", {"n_name": "lower(n_name)"},
+                   "n_nationkey >= 1000", SQLITE)
+    ) == n_slice
+    low = lite.execute_arrow(
+        "SELECT n_name FROM nation WHERE n_nationkey >= 1000 LIMIT 1"
+    ).column("n_name")[0].as_py()
+    assert low == low.lower()
+    # DELETE restores the original contents
+    assert lite.execute_modify(
+        delete_sql("nation", "n_nationkey >= 1000", SQLITE)
+    ) == n_slice
+    assert lite.execute_arrow("SELECT COUNT(*) c FROM nation").column("c")[0].as_py() == base
+
+
+def test_sqlite_write_refuses_unreplayable_expressions(cat):
+    """A wrong INSERT persists — the write path refuses exactly like the
+    read path (md5 has no SQLite form)."""
+    from calcite_spark.sql.rel2sql import delete_sql, update_sql
+
+    with pytest.raises(UnsupportedDialectExpression, match="md5"):
+        delete_sql("nation", "md5(n_name) = 'x'", SQLITE)
+    with pytest.raises(UnsupportedDialectExpression):
+        update_sql("nation", {"n_name": "greatest(n_name, 'a')"}, "1 = 1", SQLITE)
