@@ -501,6 +501,59 @@ class MetadataQuery:
             return tuple(node.keys) if node.distribution == "range" else ()
         return ()
 
+    # -- population / original-row fraction ---------------------------
+
+    def population_size(self, node: ir.RelNode, columns) -> float | None:
+        """Distinct combinations of ``columns`` in the node's output ≈
+        RelMdPopulationSize: the product of the per-column NDVs capped
+        by the row count (RelMdUtil.numDistinctVals-style cap — the
+        product over-counts correlated columns, the row count is the
+        hard bound). None when any column's NDV is unknown."""
+        rows = self.row_count(node)
+        prod = 1.0
+        for c in columns:
+            ndv = self.distinct_row_count(node, c)
+            if ndv is None:
+                return None
+            prod *= max(ndv, 1.0)
+        return min(prod, rows) if rows is not None else prod
+
+    def percentage_original_rows(self, node: ir.RelNode) -> float | None:
+        """Fraction of the original base-table rows still represented ≈
+        RelMdPercentageOriginalRows: 1.0 at a Scan, multiplied down by
+        Filter selectivity, joins compose multiplicatively (each side's
+        surviving fraction), Aggregate and other row-collapsing nodes
+        pass their input's fraction through (they re-shape rows, they
+        do not discard source rows)."""
+        if isinstance(node, (ir.Scan, ir.Values)):
+            return 1.0
+        if isinstance(node, ir.Filter):
+            child = self.percentage_original_rows(node.inputs[0])
+            if child is None:
+                return None
+            sel, _ = self._selectivity_detail(node.inputs[0], node.condition)
+            return child * sel
+        if isinstance(node, ir.Sample):
+            child = self.percentage_original_rows(node.inputs[0])
+            return None if child is None else child * node.fraction
+        if isinstance(node, ir.Join):
+            l = self.percentage_original_rows(node.inputs[0])
+            r = self.percentage_original_rows(node.inputs[1])
+            if l is None or r is None:
+                return None
+            return l * r
+        if isinstance(node, ir.SetOp):
+            fracs = [self.percentage_original_rows(i) for i in node.inputs]
+            rows = [self.row_count(i) for i in node.inputs]
+            if any(f is None for f in fracs):
+                return None
+            if any(x is None for x in rows) or not sum(rows):
+                return sum(fracs) / len(fracs)
+            return sum(f * w for f, w in zip(fracs, rows)) / sum(rows)
+        if node.inputs:
+            return self.percentage_original_rows(node.inputs[0])
+        return None
+
     # -- sizes ≈ RelMdSize.java ---------------------------------------
 
     # averageTypeValueSize (RelMdSize.java:330) widths, keyed by Spark

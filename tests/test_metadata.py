@@ -419,3 +419,34 @@ def test_broadcast_byte_gate(spark):
     st["text"]["avg_len"] = 10.0
     j2 = find_join(default_program(cat).run(plan))
     assert j2.broadcast_right and j2._hint_from_rule
+
+
+def test_population_size_caps_at_row_count(cat, mq):
+    scan = _b(cat).scan("orders").build()
+    rows = mq.row_count(scan)
+    # two analyzed columns whose NDV product exceeds the row count
+    pop = mq.population_size(scan, ["o_custkey", "o_orderkey"])
+    assert pop == rows
+    single = mq.population_size(scan, ["o_orderstatus"])
+    assert single is not None and single <= 3.5
+    # unknown NDV -> None (never fabricated)
+    assert mq.population_size(scan, ["o_comment_nope"]) is None
+
+
+def test_percentage_original_rows(cat, mq):
+    scan = _b(cat).scan("orders").build()
+    assert mq.percentage_original_rows(scan) == 1.0
+    filt = _b(cat).scan("orders").filter("o_orderstatus = 'F'").build()
+    frac = mq.percentage_original_rows(filt)
+    assert frac is not None and 0.0 < frac < 1.0
+    # aggregates pass the fraction through; joins compose
+    agg = (
+        _b(cat).scan("orders").filter("o_orderstatus = 'F'")
+        .aggregate(["o_custkey"], ["COUNT(*) AS n"]).build()
+    )
+    assert mq.percentage_original_rows(agg) == pytest.approx(frac)
+    join = (
+        _b(cat).scan("customer").scan("orders")
+        .filter("o_orderstatus = 'F'").join("c_custkey = o_custkey").build()
+    )
+    assert mq.percentage_original_rows(join) == pytest.approx(frac)
