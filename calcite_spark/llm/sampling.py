@@ -95,3 +95,33 @@ def train_test_split(
         f"IF({hash_bucket_expr(key_col, seed)} < '{thr}', 'test', 'train') "
         f"AS {split_col}",
     )
+
+
+def mix_corpora(
+    corpora: "dict[str, tuple[DataFrame, float]]",
+    key_col: str = "doc_id",
+    seed: str = "",
+    tag_col: str = "mix_source",
+) -> DataFrame:
+    """Weighted corpus mixing — the data-mix recipe step (e.g. web 0.5,
+    code 0.3, books 0.2): each named corpus is hash-sampled at its rate
+    (salted with the corpus name, so the same key in two corpora draws
+    independently) and the parts union with a provenance tag.
+    Deterministic per (key, seed): re-running a 100 TB mix rebuilds the
+    exact same mixture, and unioning sampled scans keeps every input a
+    zero-shuffle narrow map."""
+    if not corpora:
+        raise ValueError("mix_corpora needs at least one corpus")
+    parts = []
+    for name, (df, frac) in sorted(corpora.items()):
+        if "'" in name:
+            raise ValueError(f"corpus name must not contain quotes: {name!r}")
+        thr = hash_threshold(frac)
+        kept = df.where(
+            f"{hash_bucket_expr(key_col, f'{seed}:{name}')} < '{thr}'"
+        )
+        parts.append(kept.selectExpr("*", f"'{name}' AS {tag_col}"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

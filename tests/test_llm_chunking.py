@@ -217,3 +217,33 @@ def test_null_text_handled(spark):
 def test_stratum_quote_rejected(spark, docs):
     with pytest.raises(ValueError, match="quote"):
         sample_stratified(docs, "lang", {"e'n": 0.5})
+
+
+def test_mix_corpora_deterministic_weighted_union(spark, docs):
+    from calcite_spark.llm.sampling import mix_corpora
+
+    web = docs.where("source = 'src1'")
+    books = docs.where("source = 'src2'")
+    mixed = mix_corpora(
+        {"web": (web, 0.5), "books": (books, 1.0)}, seed="m1"
+    ).cache()
+    # provenance tags partition the output
+    by_tag = {
+        r.mix_source: r.n
+        for r in mixed.groupBy("mix_source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_tag.get("books") == books.count()  # weight 1.0 keeps all
+    assert 0 < by_tag.get("web", 0) < web.count()
+    # exact python replay of the web side (salted with the corpus name)
+    thr = hash_threshold(0.5)
+    expect = {
+        r.doc_id for r in web.select("doc_id").collect()
+        if _md5_prefix(r.doc_id, "m1:web") < thr
+    }
+    got = {r.doc_id for r in mixed.where("mix_source = 'web'").select("doc_id").collect()}
+    assert got == expect
+    # rerun reproduces the mixture exactly
+    again = mix_corpora({"web": (web, 0.5), "books": (books, 1.0)}, seed="m1")
+    assert again.count() == mixed.count()
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpora({})
