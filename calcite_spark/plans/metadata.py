@@ -536,6 +536,17 @@ class MetadataQuery:
         if isinstance(node, ir.Sample):
             child = self.percentage_original_rows(node.inputs[0])
             return None if child is None else child * node.fraction
+        if isinstance(node, ir.Sort) and (node.fetch is not None or node.offset):
+            # LIMIT/OFFSET discard rows exactly as Filter does; scale by
+            # the surviving fraction when the child count is known
+            child = self.percentage_original_rows(node.inputs[0])
+            rows = self.row_count(node.inputs[0])
+            if child is None or rows is None or rows <= 0:
+                return None
+            kept = max(rows - node.offset, 0.0)
+            if node.fetch is not None:
+                kept = min(kept, node.fetch)
+            return child * min(kept / rows, 1.0)
         if isinstance(node, ir.Join):
             l = self.percentage_original_rows(node.inputs[0])
             r = self.percentage_original_rows(node.inputs[1])
@@ -662,6 +673,11 @@ class MetadataQuery:
             return out
         if isinstance(node, ir.Values):
             names = [c.split()[0].strip() for c in node.schema.split(",")]
+            # a parameterized type (decimal(10,2)) splits into extra
+            # bogus "names"; when the count disagrees with the row
+            # width, answer unknown rather than mis-index the rows
+            if node.rows and len(names) != len(node.rows[0]):
+                return None
             out = {}
             for i, n in enumerate(names):
                 vals = [r[i] for r in node.rows if r[i] is not None]

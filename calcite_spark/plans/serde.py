@@ -155,8 +155,11 @@ def explain(node: ir.RelNode, level: str = "exppln", catalog=None) -> str:
 
     lines: list[str] = []
 
-    def walk(n: ir.RelNode, depth: int) -> None:
-        d = to_dict(n)
+    # serialize ONCE and walk node + dict in lockstep (to_dict is
+    # recursive — calling it per visited node re-serializes each
+    # subtree depth-many times, like to_dot/to_xml this avoids it;
+    # the live node is still needed for the metadata queries)
+    def walk(n: ir.RelNode, d: dict, depth: int) -> None:
         head = d["rel"]
         if level != "none":
             attrs = ", ".join(f"{k}=[{v}]" for k, v in _attr_items(d))
@@ -173,8 +176,8 @@ def explain(node: ir.RelNode, level: str = "exppln", catalog=None) -> str:
             if cost:
                 head += ": " + ", ".join(cost)
         lines.append("  " * depth + head)
-        for c in n.inputs:
-            walk(c, depth + 1)
+        for c, cd in zip(n.inputs, d["inputs"]):
+            walk(c, cd, depth + 1)
 
-    walk(node, 0)
+    walk(node, to_dict(node), 0)
     return "\n".join(lines) + "\n"

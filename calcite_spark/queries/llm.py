@@ -560,7 +560,7 @@ def qx23_decontaminate(spark, sf_dir):
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
                          w -> w != '') AS toks
       FROM documents WHERE doc_id < 40
     ), n AS (
@@ -598,7 +598,7 @@ def qx27_chunk_documents(spark, sf_dir):
     oracle="""
     WITH RECURSIVE t AS (
       SELECT doc_id % 4 AS bucket, doc_id,
-             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
                                   w -> w != '')) AS BIGINT) AS n,
              ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
       FROM documents WHERE doc_id < 40

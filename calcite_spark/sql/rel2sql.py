@@ -2498,14 +2498,18 @@ def to_sql(node: ir.RelNode, dialect: "Dialect | str" = SPARK) -> str:
     NotImplementedError for nodes with no SQL form (RepeatUnion loop,
     Match NFA, ...) and UnsupportedDialectExpression when an expression
     cannot be replayed in the target dialect."""
+    return _Emitter(_resolve_dialect(dialect)).select(node)
+
+
+def _resolve_dialect(dialect: "Dialect | str") -> "Dialect":
     if isinstance(dialect, str):
         try:
-            dialect = DIALECTS[dialect.lower()]
+            return DIALECTS[dialect.lower()]
         except KeyError:
             raise ValueError(
                 f"unknown dialect {dialect!r}; known: {sorted(DIALECTS)}"
             ) from None
-    return _Emitter(dialect).select(node)
+    return dialect
 
 
 def insert_sql(
@@ -2531,8 +2535,7 @@ def delete_sql(table: str, condition: str, dialect: "Dialect | str" = SPARK) -> 
     """DELETE statement ≈ the TableModify DELETE branch: the predicate
     goes through the dialect's expression pipeline (rewrites + refuse-
     over-wrong), never verbatim."""
-    if isinstance(dialect, str):
-        dialect = DIALECTS[dialect.lower()]
+    dialect = _resolve_dialect(dialect)
     return f"DELETE FROM {table} WHERE {dialect.expr(condition)}"
 
 
@@ -2544,8 +2547,7 @@ def update_sql(
 ) -> str:
     """UPDATE statement ≈ the TableModify UPDATE branch; both the SET
     expressions and the predicate are dialect-checked."""
-    if isinstance(dialect, str):
-        dialect = DIALECTS[dialect.lower()]
+    dialect = _resolve_dialect(dialect)
     sets = ", ".join(f"{c} = {dialect.expr(e)}" for c, e in assignments.items())
     return f"UPDATE {table} SET {sets} WHERE {dialect.expr(condition)}"
 

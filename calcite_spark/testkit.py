@@ -263,9 +263,13 @@ class QuidemRunner:
 
             from calcite_spark.sql.ddl import DdlExecutor
 
-            fe._testkit_ddl = DdlExecutor(
-                fe, tempfile.mkdtemp(prefix="iq_ddl_")
+            # TemporaryDirectory (kept referenced on the frontend) is
+            # removed at finalization — a bare mkdtemp would leak one
+            # warehouse dir per runner
+            fe._testkit_ddl_dir = tempfile.TemporaryDirectory(
+                prefix="iq_ddl_"
             )
+            fe._testkit_ddl = DdlExecutor(fe, fe._testkit_ddl_dir.name)
         return fe._testkit_ddl
 
     @staticmethod
