@@ -511,3 +511,24 @@ class Spool(RelNode):
 
     def to_df(self, ctx) -> DataFrame:
         return self.inputs[0].to_df(ctx).cache()
+
+
+def schema_column_names(schema: str) -> list[str]:
+    """Column names from a `"name type, name type"` schema string,
+    splitting on TOP-LEVEL commas only — `"a decimal(10,2), b string"`
+    is two columns; the comma inside the parameterized type is not a
+    separator. The shared helper for every consumer of Values.schema
+    (rel2sql VALUES aliases, lineage, size metadata)."""
+    out, depth, buf = [], 0, []
+    for ch in schema:
+        if ch in "(<":  # decimal(10,2) parens, struct<...>/map<...> brackets
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [c.split()[0] for c in out if c.strip()]

@@ -133,7 +133,7 @@ def _output_columns(node: ir.RelNode, catalog) -> list | None:
     if isinstance(node, ir.Scan):
         return _scan_columns(node.table, catalog)
     if isinstance(node, ir.Values):
-        return [c.strip().split()[0] for c in node.schema.split(",")]
+        return ir.schema_column_names(node.schema)
     if isinstance(node, ir.Project):
         child = None
         out = []

@@ -672,10 +672,10 @@ class MetadataQuery:
                     out[alias] = 8.0
             return out
         if isinstance(node, ir.Values):
-            names = [c.split()[0].strip() for c in node.schema.split(",")]
-            # a parameterized type (decimal(10,2)) splits into extra
-            # bogus "names"; when the count disagrees with the row
-            # width, answer unknown rather than mis-index the rows
+            names = ir.schema_column_names(node.schema)
+            # defense in depth: if the schema string is malformed and
+            # the name count disagrees with the row width, answer
+            # unknown rather than mis-index the rows
             if node.rows and len(names) != len(node.rows[0]):
                 return None
             out = {}

@@ -2566,14 +2566,12 @@ class _Emitter:
         if isinstance(node, ir.Scan):
             return self.d.scan_item(node.table)
         if isinstance(node, ir.Values):
-            names = [c.split()[0] for c in node.schema.split(",")]
+            names = ir.schema_column_names(node.schema)
             # dialect-specific rendering (bare VALUES, parenthesized,
             # or UNION ALL emulation) happens inside d.values(); a
             # fresh alias avoids duplicate-alias errors when one FROM
             # scope holds two Values nodes (r5 review)
-            return self.d.values(
-                node.rows, [n.strip() for n in names], self._alias()
-            )
+            return self.d.values(node.rows, names, self._alias())
         return self.d.derived_table(f"({self.select(node)})", self._alias())
 
     def select(self, node: ir.RelNode) -> str:

@@ -217,3 +217,22 @@ def test_explain_levels(spark):
 
     with _pytest.raises(ValueError):
         explain(plan, level="verbose")
+
+
+def test_schema_column_names_parameterized_types():
+    """Shared Values-schema splitter: commas inside decimal(p,s) and
+    struct/map type parameters are not column separators (session-3
+    review: the naive split mis-indexed size metadata and garbled
+    emitted VALUES aliases)."""
+    from calcite_spark.plans.ir import schema_column_names
+
+    assert schema_column_names("a decimal(10,2), b string") == ["a", "b"]
+    assert schema_column_names("m map<string, array<int>>, z double") == ["m", "z"]
+    # and the three consumers agree end-to-end: emitted VALUES carries
+    # exactly two aliases for a two-column decimal schema
+    from calcite_spark.plans import ir
+    from calcite_spark.sql.rel2sql import DUCKDB, to_sql
+
+    vals = ir.Values([(1.5, "x")], "a decimal(10,2), b string")
+    sql = to_sql(vals, DUCKDB)
+    assert "(a, b)" in sql
