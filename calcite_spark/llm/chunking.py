@@ -86,10 +86,11 @@ def pack_sequences(
     row per document: (id, bucket, pack, n_tokens); ``pack`` is
     0-based and contiguous within its bucket.
 
-    The driver-side ``collect_list`` per bucket is bounded by bucket
+    The per-bucket ``collect_list`` array (an executor-side groupBy
+    aggregation — no driver collect anywhere) is bounded by bucket
     sizing, not data volume — callers scale ``buckets`` with the
     corpus so each bucket's array stays small (the fold itself is a
-    JVM higher-order function; no Python, no driver collect).
+    JVM higher-order function; no Python).
     """
     from pyspark.sql import functions as F
 
@@ -98,26 +99,27 @@ def pack_sequences(
         if tokens_col
         else f"size({_TOKS.format(col=text_col)})"
     )
+    # Bucket start is "no doc emitted yet" (size(a.out) = 0), NOT
+    # used = 0: a prefix of zero-token docs leaves used at 0 while the
+    # pack is occupied, and an oversized doc arriving then must open a
+    # NEW pack — same branch the qx28 recursive-CTE oracle takes
+    # (CASE WHEN used + n <= budget), keeping Spark and DuckDB
+    # row-identical on corpora containing empty documents (ADVICE r5).
     fold = f"""
     inline(aggregate(
       arr,
       named_struct('pack', 0, 'used', CAST(0 AS BIGINT),
                    'out', CAST(array() AS
                      ARRAY<STRUCT<{id_col}: BIGINT, pack: INT, n_tokens: BIGINT>>)),
-      (a, x) -> IF(a.used > 0 AND a.used + x.n <= {budget_tokens},
+      (a, x) -> IF(size(a.out) > 0 AND a.used + x.n > {budget_tokens},
+          named_struct('pack', a.pack + 1, 'used', x.n,
+                       'out', array_append(a.out,
+                         named_struct('{id_col}', x.id, 'pack', a.pack + 1,
+                                      'n_tokens', x.n))),
           named_struct('pack', a.pack, 'used', a.used + x.n,
                        'out', array_append(a.out,
                          named_struct('{id_col}', x.id, 'pack', a.pack,
-                                      'n_tokens', x.n))),
-          IF(a.used = 0,
-             named_struct('pack', a.pack, 'used', x.n,
-                          'out', array_append(a.out,
-                            named_struct('{id_col}', x.id, 'pack', a.pack,
-                                         'n_tokens', x.n))),
-             named_struct('pack', a.pack + 1, 'used', x.n,
-                          'out', array_append(a.out,
-                            named_struct('{id_col}', x.id, 'pack', a.pack + 1,
-                                         'n_tokens', x.n))))),
+                                      'n_tokens', x.n)))),
       a -> a.out))
     """
     return (

@@ -9,9 +9,11 @@ Scale shape (the part that matters at 100 TB):
     n-gram digests broadcast, so the probe join is map-side with zero
     shuffle of the corpus;
   * the corpus side is a narrow map (split → slide → digest) + explode,
-    then ONE groupBy(doc_id) shuffle for the per-doc overlap count —
-    and that shuffle carries only MATCHED (doc_id, digest) pairs, which
-    decontamination keeps rare by construction;
+    then ONE groupBy(doc_id) shuffle for the per-doc overlap count.
+    The left join keeps every (doc_id, digest) row, but the groupBy's
+    MAP-SIDE partial aggregation collapses them to ~one row per doc
+    per partition before the exchange — the shuffle carries per-doc
+    partial counts, not the exploded gram stream;
   * digests are md5 strings rather than raw n-grams so shuffled rows
     stay fixed-width — and md5 exists in BOTH engines, keeping the
     whole pipeline DuckDB-oracle-exact; digest="xxhash64" swaps in the

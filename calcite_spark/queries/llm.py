@@ -419,10 +419,10 @@ def qx19_quantized_knn(spark, sf_dir):
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN has_url THEN 1 ELSE 0 END) AS n_url,
-           SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS n_email,
-           SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS n_phone,
-           SUM(length(text) - length(scrubbed)) AS chars_delta
+           CAST(SUM(CASE WHEN has_url THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+           CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           CAST(SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+           CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS chars_delta
     FROM scrub GROUP BY source ORDER BY source
     """,
     tags=("llm", "text", "pii", "scrub"),

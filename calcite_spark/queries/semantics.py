@@ -141,13 +141,16 @@ def q75_range_join(spark, sf_dir):
 
 @register(
     "z69_approx_aggs",
-    oracle=None,  # approximate sketches are engine-specific — rows-only
+    oracle=snapshot_oracle("z69_approx_aggs"),
     tags=("aggregate", "approximate"),
 )
 def z69_approx_aggs(spark, sf_dir):
     """APPROXIMATE modifier (AggregateCall.isApproximate :187):
-    approx_count_distinct (HLL) + percentile_approx. The test suite
-    separately asserts the estimates land within 5% of exact."""
+    approx_count_distinct (HLL) + percentile_approx. The sketches are
+    engine-specific, so the oracle is a reviewed sf0.01 snapshot
+    (scripts/gen_expected.py) pinning the deterministic per-engine
+    estimates; the test suite separately asserts they land within 5%
+    of exact."""
     return (
         _b(spark, sf_dir)
         .scan("orders")

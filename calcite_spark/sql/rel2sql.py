@@ -416,12 +416,21 @@ def _rewrite_extract_units(text: str) -> str:
     return text
 
 
-def _rewrite_cast_types(text: str, type_map: dict, refuse: frozenset = frozenset()) -> str:
+def _rewrite_cast_types(
+    text: str,
+    type_map: dict,
+    refuse: frozenset = frozenset(),
+    strip_args: frozenset = frozenset(),
+) -> str:
     """Rewrite Spark type names inside CAST(... AS <type>) targets using
     type_map; nested CASTs recurse. String literals are opaque. Types in
     `refuse` raise — the dialect has no equivalent cast target (e.g.
     BOOLEAN on Oracle), and passing the Spark name through would emit
-    SQL the remote engine rejects or silently mis-types."""
+    SQL the remote engine rejects or silently mis-types. Types in
+    `strip_args` drop a parenthesized precision suffix after mapping —
+    mirrors SqlAlienSystemTypeNameSpec cast specs that carry no
+    precision (e.g. Firebolt DECIMAL(p,s) → bare FLOAT,
+    FireboltSqlDialect.java:150-152)."""
     pat = re.compile(r"\bcast\s*\(", re.I)
     out, i = [], 0
     while True:
@@ -434,7 +443,8 @@ def _rewrite_cast_types(text: str, type_map: dict, refuse: frozenset = frozenset
             i = m.end()
             continue
         arg, close = _balanced_arg(text, m.end())
-        arg = _rewrite_cast_types(arg, type_map, refuse)  # nested CASTs keep the refusal list
+        # nested CASTs keep the refusal/strip lists
+        arg = _rewrite_cast_types(arg, type_map, refuse, strip_args)
         # the cast type is the token after the LAST top-level " AS "
         last_as = None
         for am in re.finditer(r"(?i)\bAS\b", arg):
@@ -459,7 +469,10 @@ def _rewrite_cast_types(text: str, type_map: dict, refuse: frozenset = frozenset
                 )
             if base and base.group(0).lower() in type_map:
                 mapped = type_map[base.group(0).lower()]
-                ty = mapped + ty[base.end() :]
+                suffix = ty[base.end() :]
+                if base.group(0).lower() in strip_args:
+                    suffix = re.sub(r"^\s*\([^)]*\)", "", suffix)
+                ty = mapped + suffix
             arg = f"{head} {ty}"
         out.append(text[i : m.start()] + "CAST(" + arg + ")")
         i = close + 1
@@ -2110,6 +2123,7 @@ class AnsiDialect(Dialect):
     _fn_map: dict = {}
     _type_map: dict = {}
     _type_refuse: frozenset = frozenset()
+    _type_strip_args: frozenset = frozenset()
 
     def expr(self, text: str) -> str:
         if not self._windows:
@@ -2122,7 +2136,9 @@ class AnsiDialect(Dialect):
             )
         text = _rewrite_extract_units(text)
         if self._type_map or self._type_refuse:
-            text = _rewrite_cast_types(text, self._type_map, self._type_refuse)
+            text = _rewrite_cast_types(
+                text, self._type_map, self._type_refuse, self._type_strip_args
+            )
         return _check_and_map_calls(text, self._shared, self._fn_map, self.name)
 
     def sort_key(self, text: str) -> str:
@@ -2274,19 +2290,36 @@ class ExasolDialect(AnsiDialect):
 class FireboltDialect(AnsiDialect):
     """≈ sql/dialect/FireboltSqlDialect.java. Reference switches:
     supportsAggregateFunction limited to ANY_VALUE/AVG/COUNT/MAX/MIN/
-    STDDEV_SAMP/SUM, unparseOffsetFetch → LIMIT form,
-    NullCollation.LOW — which is exactly Spark's effective placement
-    (ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST), so bare sort keys are
-    emitted when the requested placement matches and refuse when a
-    query explicitly asks for the opposite (Firebolt has no NULLS
-    FIRST/LAST syntax to emulate with)."""
+    STDDEV_SAMP/SUM, supportsAggregateFunctionFilter()=false
+    (FireboltSqlDialect.java:167 — `agg(x) FILTER (WHERE ...)` refuses
+    instead of shipping SQL Firebolt rejects), getCastSpec
+    (FireboltSqlDialect.java:129-164): TINYINT/SMALLINT → INT,
+    TIME/*_WITH_LOCAL_TIME_ZONE → TIMESTAMP, CHAR → VARCHAR,
+    DECIMAL(p,s) → bare FLOAT (precision dropped), REAL → DOUBLE,
+    unparseOffsetFetch → LIMIT form, NullCollation.LOW — which is
+    exactly Spark's effective placement (ASC ⇒ NULLS FIRST, DESC ⇒
+    NULLS LAST), so bare sort keys are emitted when the requested
+    placement matches and refuse when a query explicitly asks for the
+    opposite (Firebolt has no NULLS FIRST/LAST syntax to emulate
+    with)."""
 
     name = "firebolt"
+    _agg_filter = False
     _shared = (
         _ANSI_SHARED
         - {"stddev_pop", "var_pop", "var_samp", "covar_pop",
            "covar_samp", "corr"}
     ) | {"any_value"} | _ANSI_WINDOW
+    _type_map = {
+        "tinyint": "INT",
+        "smallint": "INT",
+        "char": "VARCHAR",
+        "decimal": "FLOAT",
+        "real": "DOUBLE",
+        "float": "DOUBLE",  # Spark FLOAT is 4-byte REAL
+        "timestamp_ltz": "TIMESTAMP",
+    }
+    _type_strip_args = frozenset({"decimal", "char"})
 
     fetch_clause = Dialect.fetch_clause
 
@@ -2697,7 +2730,17 @@ class _Emitter:
             # would orphan the ORDER BY).
             _, f_, off = fc
             top = f"TOP ({f_})" + (f" START AT {off + 1}" if off else "")
-            if isinstance(child, ir.SetOp):
+            # The splice assumes a bare 'SELECT <list>' child. A child
+            # that already carries TOP (Sort under Sort) or any other
+            # SELECT-prefix variant (DISTINCT, future forms) would
+            # yield invalid 'SELECT TOP (m) TOP (n) ...' — wrap those
+            # in a derived table instead (the inner TOP keeps its own
+            # ORDER BY legal inside the derived table) (ADVICE r5).
+            assert inner.upper().startswith("SELECT "), inner[:40]
+            head = inner[len("SELECT "):].lstrip()
+            if isinstance(child, ir.SetOp) or re.match(
+                r"(?i)(TOP|DISTINCT)\b", head
+            ):
                 return (
                     f"SELECT {top} * FROM "
                     f"{d.derived_table(f'({inner})', self._alias())}{clauses}"

@@ -27,6 +27,26 @@ def _canon(pdf):
     for c in pdf.columns:
         if pdf[c].dtype == "float64":
             pdf[c] = pdf[c].round(6)
+        # DTYPE-STRICT normalization (VERDICT r5 "what's wrong" #1): the
+        # real driver hashes dtype-sensitively, so only NORMALIZE widths
+        # within the integer family (int8/16/32 → int64, matching the
+        # driver's canonicalizer), never paper over int-vs-float: a
+        # DuckDB HUGEINT SUM surfaces as float64/object here and must
+        # FAIL against Spark's int64 until the oracle CASTs to BIGINT.
+        elif str(pdf[c].dtype) in ("int8", "int16", "int32"):
+            pdf[c] = pdf[c].astype("int64")
+        elif str(pdf[c].dtype) in ("uint8", "uint16", "uint32", "uint64"):
+            pdf[c] = pdf[c].astype("int64")
+        elif str(pdf[c].dtype).startswith("datetime64"):
+            # Spark toPandas yields ns, DuckDB fetchdf us — SAME logical
+            # type; the real driver canonicalizes timestamps before
+            # hashing (z40-z44 were green in r5 across this gap), so
+            # normalize resolution rather than flag it.
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif str(pdf[c].dtype) == "object":
+            # DuckDB HUGEINT fetches as object(Decimal)/python-int —
+            # keep as-is so the strict compare flags it.
+            pass
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf
@@ -63,7 +83,7 @@ def main():
             if ok_rows and ok_schema:
                 try:
                     pd.testing.assert_frame_equal(
-                        spdf, odf, check_dtype=False, check_exact=False, atol=1e-4
+                        spdf, odf, check_dtype=True, check_exact=False, atol=1e-4
                     )
                     ok_vals = True
                 except AssertionError as e:

@@ -39,6 +39,10 @@ SNAPSHOT_QUERIES = [
     "qx08_cosine_dups",
     "z56_fingerprint",
     "qx17_ivf_ann",
+    # r6: seeded sample + HLL/percentile sketches — deterministic per
+    # engine, so a reviewed snapshot pins them (VERDICT r5 missing #1)
+    "z65_sample",
+    "z69_approx_aggs",
 ]
 
 

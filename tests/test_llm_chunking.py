@@ -148,6 +148,39 @@ def test_pack_greedy_semantics_tiny(spark):
     assert out == {0: 0, 8: 0, 16: 1, 24: 2, 32: 3}
 
 
+def test_pack_zero_token_prefix_then_oversized(spark):
+    """A prefix of zero-token (empty) docs leaves used=0 but the pack
+    OCCUPIED: an oversized doc arriving then opens a NEW pack — the
+    same branch the qx28 recursive-CTE oracle takes (ADVICE r5). Only
+    a doc at true bucket start shares its pack with nobody by default."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 12), (3, 4)],
+        "doc_id long, n long",
+    )
+    out = {
+        r.doc_id: r.pack
+        for r in pack_sequences(
+            df, budget_tokens=10, buckets=1, tokens_col="n"
+        ).collect()
+    }
+    # empty docs hold pack 0; oversized doc 2 gets pack 1 of its own;
+    # doc 3 overflows pack 1 (12+4>10) -> pack 2
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_pack_oversized_at_true_bucket_start(spark):
+    """An oversized FIRST doc occupies pack 0 alone (never split, never
+    dropped); the next doc overflows and moves to pack 1."""
+    df = spark.createDataFrame([(0, 12), (1, 4)], "doc_id long, n long")
+    out = {
+        r.doc_id: r.pack
+        for r in pack_sequences(
+            df, budget_tokens=10, buckets=1, tokens_col="n"
+        ).collect()
+    }
+    assert out == {0: 0, 1: 1}
+
+
 # -- sampling ---------------------------------------------------------
 
 

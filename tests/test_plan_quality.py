@@ -620,3 +620,23 @@ def test_fd_discovered_key_flips_join_order(spark):
     n_direct = ir.Project(("a_fk",), inputs=(build(),)).to_df(cat).count()
     n_reordered = ir.Project(("a_fk",), inputs=(after,)).to_df(cat).count()
     assert n_direct == n_reordered > 0
+
+
+def test_decontaminate_broadcast_and_partial_agg(spark):
+    """ngram_decontaminate's physical plan (VERDICT r5 item 6): the
+    benchmark gram set BROADCASTS (the corpus is never shuffled for the
+    join), and the per-doc overlap groupBy has a MAP-SIDE partial
+    HashAggregate before its exchange — the shuffle carries ~1 row per
+    doc per partition, not the exploded gram stream."""
+    from calcite_spark.llm.decontam import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    rep = plan_report(ngram_decontaminate(docs, bench, n=5))
+    assert rep["broadcast_joins"] >= 1, rep["text"][:2000]
+    assert rep["sort_merge_joins"] == 0 and rep["shuffled_hash_joins"] == 0
+    # two HashAggregate passes around the doc_id exchange = partial+final
+    assert len(re.findall(r"HashAggregate", rep["text"])) >= 2, rep["text"][:2000]
+    # partial_merge/merge HLL isn't involved; the count agg must appear
+    # under a partial mode before the exchange
+    assert re.search(r"(?i)partial", rep["text"]), "no partial aggregation found"

@@ -1256,6 +1256,18 @@ def test_firebolt_aggs_and_null_collation(cat, duck):
     assert FIREBOLT.expr("any_value(x)") == "any_value(x)"
     with pytest.raises(UnsupportedDialectExpression, match="stddev_pop"):
         FIREBOLT.expr("stddev_pop(x)")
+    # supportsAggregateFunctionFilter()=false (FireboltSqlDialect.java:167)
+    with pytest.raises(UnsupportedDialectExpression, match="FILTER"):
+        FIREBOLT.expr("count(x) FILTER (WHERE x > 0)")
+    # getCastSpec (FireboltSqlDialect.java:129-164): TINYINT/SMALLINT →
+    # INT, CHAR → VARCHAR, DECIMAL(p,s) → bare FLOAT, REAL → DOUBLE
+    assert FIREBOLT.expr("CAST(x AS TINYINT)") == "CAST(x AS INT)"
+    assert FIREBOLT.expr("CAST(x AS SMALLINT)") == "CAST(x AS INT)"
+    assert FIREBOLT.expr("CAST(x AS DECIMAL(10,2))") == "CAST(x AS FLOAT)"
+    assert FIREBOLT.expr("CAST(x AS CHAR(5))") == "CAST(x AS VARCHAR)"
+    assert FIREBOLT.expr("CAST(x AS FLOAT)") == "CAST(x AS DOUBLE)"
+    # string literals stay opaque
+    assert FIREBOLT.expr("'CAST(x AS TINYINT)'") == "'CAST(x AS TINYINT)'"
     # DuckDB's bare-key default diverges from LOW, so value-verify via
     # a non-null sort column only
     assert_matches_oracle(plans["join_agg_topk"].to_df(cat), duck, sql)
@@ -1353,6 +1365,20 @@ def test_sybase_top_start_at(cat, duck):
     # fetch-free shapes are plain ANSI and execute
     sql = to_sql(plans["q01_shape"], SYBASE)
     assert_matches_oracle(plans["q01_shape"].to_df(cat), duck, sql)
+    # Sort under Sort: the child SELECT already carries TOP — the
+    # splice must wrap in a derived table, never emit
+    # 'SELECT TOP (m) TOP (n) ...' (ADVICE r5)
+    nested = (
+        _b(cat)
+        .scan("customer")
+        .project("c_custkey", "c_name")
+        .sort_limit(["c_custkey"], fetch=20)
+        .sort_limit(["c_name"], fetch=5)
+        .build()
+    )
+    sql = to_sql(nested, SYBASE)
+    assert "TOP (5) TOP" not in sql and "TOP (20) TOP" not in sql
+    assert sql.startswith("SELECT TOP (5) * FROM (SELECT TOP (20) ")
 
 
 def test_dialect_registry_covers_all_reference_dialects(cat):
