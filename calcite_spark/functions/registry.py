@@ -197,16 +197,30 @@ _reg(
     "(0-4) between the two 4-char soundex codes",
 )
 # SOUNDEX dialect variants (SqlLibraryOperators.java:1128-1138): the
-# BQ/MySQL/PG/Oracle/Hive operator contracts VARCHAR(4); SOUNDEX_SPARK
-# is VARCHAR because Spark's soundex returns the INPUT UNCHANGED when
-# the leading character has no soundex mapping (digits, CJK). Same
-# runtime function here — the variant rows carry the disclosed contract.
+# reference runtime is commons-codec Soundex (SqlFunctions.java:1520)
+# — clean() strips non-letters (so 'TECH ON THE NET' → T253 and a
+# digits-only string → ''), and an unmappable LETTER (CJK, accents)
+# THROWS "The character is not mapped" — while SOUNDEX_SPARK
+# (SqlFunctions.java:1525) catches and returns the input unchanged,
+# which is exactly Spark's built-in soundex. The strict variant below
+# replays commons: strip non-letters first (Spark's soundex already
+# tolerates interior spaces but not leading ones), '' when nothing
+# survives the clean, raise_error on non-ASCII letters. Fixtures from
+# SqlOperatorTest.java:6266-6299 in tests/test_functions_parity.py.
 _reg(
-    "SOUNDEX", "soundex({0})", (1,),
+    "SOUNDEX",
+    "CASE WHEN {0} IS NULL THEN NULL "
+    "WHEN {0} RLIKE '[\\\\p{L}&&[^\\\\x00-\\\\x7F]]' THEN "
+    "raise_error('The character is not mapped: SOUNDEX strict "
+    "variant, use SOUNDEX@SPARK for passthrough') "
+    "WHEN NOT upper({0}) RLIKE '[A-Z]' THEN '' "
+    "ELSE soundex(regexp_replace(upper({0}), '[^A-Z]', '')) END",
+    (1,),
     libs=(BIG_QUERY, MYSQL, POSTGRESQL, ORACLE, HIVE),
     variant_of="SOUNDEX",
-    note="VARCHAR(4) contract; non-mappable input diverges (returns "
-    "input, not NULL/'0000') — SOUNDEX_SPARK behavior, disclosed",
+    note="VARCHAR(4) strict contract: commons-codec semantics "
+    "(clean + error-on-unmapped-letter); SOUNDEX@SPARK keeps the "
+    "return-input-unchanged behavior",
 )
 _reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
 _reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
@@ -221,9 +235,22 @@ _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE), note="datetime form")
 _reg(
-    "PARSE_URL", "", (2, 3), libs=(HIVE, SPARK),
-    note="same-name passthrough so the 3-arg QUERY-key mode "
-    "(PARSE_URL(url,'QUERY','k')) keeps its key argument",
+    "PARSE_URL",
+    {
+        2: "parse_url({0}, {1})",
+        3: "parse_url({0}, {1}, "
+           "regexp_replace({2}, '([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', "
+           "'\\\\\\\\$1'))",
+    },
+    (2, 3), libs=(HIVE, SPARK),
+    note="the reference Pattern.quote()s the 3-arg QUERY key "
+    "(SqlFunctions.java:1895 keyToPattern) while Spark/Hive treat it "
+    "as a REGEX ('k.' would match k1, '(' errors) — the wrapper "
+    "regex-quotes the key expression so literal-key semantics hold for "
+    "arbitrary key expressions: 'a.b' matches only a.b, '(' yields "
+    "NULL; all 8 part modes (HOST PATH QUERY REF PROTOCOL FILE "
+    "AUTHORITY USERINFO) agree with the reference URI parse, fixtures "
+    "from SqlOperatorTest.java:5246 in tests/test_functions_parity.py",
 )
 _reg("URL_ENCODE", "url_encode({0})", (1,), libs=(BIG_QUERY,))
 _reg("URL_DECODE", "url_decode({0})", (1,), libs=(BIG_QUERY,))

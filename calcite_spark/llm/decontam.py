@@ -33,9 +33,12 @@ def _gram_expr(text_col: str, n: int, digest: str = "md5") -> str:
     textstats; a doc with fewer than n words yields an empty array.
     digest="md5" (default) is replayable in DuckDB for the oracle path;
     digest="xxhash64" is the production path — a JVM 64-bit hash that
-    skips hex-string materialization (~2-3x on the digest stage per the
-    SCALE.md probe note) and shuffles 8-byte longs instead of 32-char
-    strings."""
+    skips hex-string materialization and shuffles 8-byte longs instead
+    of 32-char strings. Measured A/B (SCALE.md r6): 1.5x on a per-row
+    digest, but only ~1.03x on this gram stream locally — tokenize/
+    slice/concat dominate the stage, so the local win is small; the
+    real xxhash64 payoff at 100 TB is the 4x-narrower shuffle rows
+    (network-bound there, CPU-bound here)."""
     if digest not in ("md5", "xxhash64"):
         raise ValueError(f"unknown digest {digest!r}")
     words = f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> w != '')"

@@ -39,7 +39,13 @@ def asof_join(
     join_type: str = "ASOF",  # ASOF (inner) | LEFT_ASOF
     right_prefix: str = "",
 ) -> DataFrame:
-    """DataFrame-level ASOF join (see module docstring for the plan shape)."""
+    """DataFrame-level ASOF join (see module docstring for the plan shape).
+
+    Plan-BUILD cost note: the select lists are assembled as SQL strings
+    and shipped through a handful of selectExpr calls — the earlier
+    per-column ``F.col``/``F.lit().cast()`` construction cost ~950 py4j
+    round-trips per build (~0.15 s of the bench's plan-build split,
+    BENCH_r05's one outlier); strings are parsed JVM-side in one hop."""
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in on]
     lkeys = [p[0] for p in pairs]
     rkeys = [p[1] for p in pairs]
@@ -61,41 +67,47 @@ def asof_join(
     # tie rule of EnumerableDefaults.asofJoin (<=/>= include ties).
     right_side_rank = 0 if not strict else 2
 
+    # one schema fetch per side (cached by PySpark afterwards); DDL
+    # simpleString round-trips through CAST(NULL AS <type>) exactly
+    ltype = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtype = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+
+    def q(c: str) -> str:
+        return f"`{c}`"
+
     lsel = (
-        [F.col(k).alias(kk) for k, kk in zip(lkeys, KEY)]
-        + [F.col(left_ts).alias(TS)]
-        + [F.lit(1).alias(SIDE)]
-        + [F.col(c) for c in left_cols]
-        + [F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_payload]
+        [f"{q(k)} AS {kk}" for k, kk in zip(lkeys, KEY)]
+        + [f"{q(left_ts)} AS {TS}", f"1 AS {SIDE}"]
+        + [q(c) for c in left_cols]
+        + [
+            f"CAST(NULL AS {rtype[c]}) AS {q(out_names[c])}"
+            for c in right_payload
+        ]
     )
     rsel = (
-        [F.col(k).alias(kk) for k, kk in zip(rkeys, KEY)]
-        + [F.col(right_ts).alias(TS)]
-        + [F.lit(right_side_rank).alias(SIDE)]
-        + [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols]
-        + [F.col(c).alias(out_names[c]) for c in right_payload]
+        [f"{q(k)} AS {kk}" for k, kk in zip(rkeys, KEY)]
+        + [f"{q(right_ts)} AS {TS}", f"{right_side_rank} AS {SIDE}"]
+        + [f"CAST(NULL AS {ltype[c]}) AS {q(c)}" for c in left_cols]
+        + [f"{q(c)} AS {q(out_names[c])}" for c in right_payload]
     )
-    unioned = left.select(*lsel).unionByName(right.select(*rsel))
+    unioned = left.selectExpr(*lsel).unionByName(right.selectExpr(*rsel))
 
-    from pyspark.sql.window import Window as W
-
-    order = [F.col(TS).asc(), F.col(SIDE).asc()]
-    if direction == "forward":
-        order = [F.col(TS).desc(), F.col(SIDE).asc()]
-    w = (
-        W.partitionBy(*KEY)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    ts_dir = "DESC" if direction == "forward" else "ASC"
+    win = (
+        f"PARTITION BY {', '.join(KEY)} ORDER BY {TS} {ts_dir}, {SIDE} ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     marker = "__matched"
-    unioned = unioned.withColumn(
-        marker, F.when(F.col(SIDE) != 1, F.lit(1)).otherwise(F.lit(None).cast("int"))
-    )
     carried = [
-        F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
+        f"last({q(out_names[c])}, true) OVER ({win}) AS {q(out_names[c])}"
         for c in right_payload
-    ] + [F.last(marker, ignorenulls=True).over(w).alias(marker)]
-    result = unioned.select(*KEY, TS, SIDE, *left_cols, *carried).filter(F.col(SIDE) == 1)
+    ] + [
+        f"last(IF({SIDE} <> 1, 1, CAST(NULL AS INT)), true) "
+        f"OVER ({win}) AS {marker}"
+    ]
+    result = unioned.selectExpr(
+        *KEY, TS, SIDE, *[q(c) for c in left_cols], *carried
+    ).filter(F.col(SIDE) == 1)
     if join_type == "ASOF":
         # inner ASOF: require a match (null-safe marker, not a payload col)
         result = result.filter(F.col(marker).isNotNull())

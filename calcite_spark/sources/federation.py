@@ -34,6 +34,11 @@ class DuckDBEngine:
 
     Exposes tables by name; executes dialect SQL; returns Arrow."""
 
+    # DuckDB 1.0 has no MERGE statement but its UPDATE ... FROM +
+    # INSERT ... SELECT pair is verified (test_federation.py) — enables
+    # push_merge's transactional lowering
+    supports_update_from = True
+
     def __init__(self, connection, dialect: Dialect = DUCKDB):
         self.con = connection
         self.dialect = dialect
@@ -472,3 +477,92 @@ def execute_federated(node: ir.RelNode, catalog) -> DataFrame:
     """Federated lowering: push maximal external subtrees, run the rest
     in Spark."""
     return federate(node, catalog).to_df(catalog)
+
+
+def push_merge(
+    engine,
+    target: str,
+    source: "ir.RelNode | str",
+    condition: str,
+    update_set: "dict[str, str] | None" = None,
+    insert_columns: "list[str] | None" = None,
+    insert_values: "list[str] | None" = None,
+    source_alias: str = "src",
+    target_alias: str = "tgt",
+) -> int:
+    """MERGE write-back ≈ TableModify Operation.MERGE
+    (rel/core/TableModify.java:74) pushed whole to the external engine,
+    completing the INSERT/UPDATE/DELETE pushdown trio.
+
+    Dialects with a native MERGE statement get ONE rel2sql.merge_sql
+    statement (the reference's RelToSqlConverter.java:1480 SqlMerge
+    emission). Engines whose dialect lacks MERGE but declare
+    ``supports_update_from`` (DuckDB 1.0's stand-in engine) get the
+    classic transactional two-statement lowering — UPDATE matched rows
+    first, then INSERT the still-unmatched ones, inside BEGIN/COMMIT —
+    which is semantically identical to a MERGE carrying only
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT clauses (there is no
+    NOT-MATCHED-BY-SOURCE form here to diverge on; update-before-insert
+    keeps fresh inserts out of the update's scope). Engines with
+    neither capability REFUSE (UnsupportedDialectExpression) — the
+    established posture; a silent emulation with different semantics on
+    an engine we have not verified would persist wrong rows."""
+    from calcite_spark.sql.rel2sql import (
+        UnsupportedDialectExpression,
+        merge_sql,
+        to_sql,
+    )
+
+    d = engine.dialect
+    if getattr(d, "_merge", False):
+        return engine.execute_modify(
+            merge_sql(
+                target,
+                source,
+                condition,
+                update_set=update_set,
+                insert_columns=insert_columns,
+                insert_values=insert_values,
+                dialect=d,
+                source_alias=source_alias,
+                target_alias=target_alias,
+            )
+        )
+    if not getattr(engine, "supports_update_from", False):
+        raise UnsupportedDialectExpression(
+            f"engine dialect {d.name!r} has no MERGE and the engine "
+            "declares no UPDATE...FROM capability; refusing rather "
+            "than emulating unverified upsert semantics"
+        )
+    if not update_set and not insert_columns:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    if (insert_columns is None) != (insert_values is None):
+        raise ValueError("insert_columns and insert_values go together")
+    src = (
+        source if isinstance(source, str) else f"({to_sql(source, d)})"
+    )
+    cond = d.expr(condition)
+    n = 0
+    engine.execute_modify("BEGIN")
+    try:
+        if update_set:
+            sets = ", ".join(
+                f"{c} = {d.expr(e)}" for c, e in update_set.items()
+            )
+            n += engine.execute_modify(
+                f"UPDATE {target} AS {target_alias} SET {sets} "
+                f"FROM {src} AS {source_alias} WHERE {cond}"
+            )
+        if insert_columns:
+            vals = ", ".join(d.expr(e) for e in insert_values)
+            n += engine.execute_modify(
+                f"INSERT INTO {target} ({', '.join(insert_columns)}) "
+                f"SELECT {vals} FROM {src} AS {source_alias} "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {target} AS "
+                f"{target_alias} WHERE {cond})"
+            )
+    except Exception:
+        engine.execute_modify("ROLLBACK")
+        raise
+    engine.execute_modify("COMMIT")
+    return n

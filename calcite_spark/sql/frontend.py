@@ -108,6 +108,86 @@ class SqlFrontend:
 
     # -- macro passes -------------------------------------------------
 
+    # -- quantified comparisons: x op SOME/ANY/ALL (subquery) ---------
+    # ≈ SqlStdOperatorTable SOME_/ALL_ operators (some.iq); Spark SQL
+    # has no quantified-comparison syntax, so lower to Calcite's own
+    # SubQueryRemoveRule shape: ONE single-row MIN/MAX/COUNT aggregate
+    # of the subquery + a CASE that replays exact 3-valued logic
+    # (empty set, NULL operand, NULLs in the subquery). Every branch
+    # repeats the IDENTICAL aggregate text on purpose — Spark's
+    # ReuseSubquery physical rule collapses them to one execution, so
+    # the plan is one aggregated subquery however many branches fire.
+    # `= SOME` / `<> ALL` lower to IN / NOT IN, whose null semantics
+    # Spark already implements natively.
+
+    _QUANT_RE = re.compile(
+        r"([\w.'\"]+|\([^()]*\))\s*(=|<>|!=|<=|>=|<|>)\s*"
+        r"(SOME|ANY|ALL)\s*\(",
+        re.I,
+    )
+
+    def _expand_quantified(self, text: str) -> str:
+        while True:
+            m = self._QUANT_RE.search(text)
+            if m is None:
+                return text
+            x, op, quant = m.group(1), m.group(2), m.group(3).upper()
+            if op == "!=":
+                op = "<>"
+            sub, close = self._balanced_span(text, m.end())
+            if not re.match(r"\s*SELECT\b", sub, re.I):
+                raise ValueError(
+                    f"{quant} requires a subquery operand, got: {sub[:60]!r}"
+                )
+            if quant == "ANY":
+                quant = "SOME"  # ANY is the SQL-standard synonym
+            if op == "=" and quant == "SOME":
+                rep = f"(({x}) IN ({sub}))"
+            elif op == "<>" and quant == "ALL":
+                rep = f"(({x}) NOT IN ({sub}))"
+            else:
+                qs = (
+                    "((SELECT named_struct("
+                    "'mn', MIN(__qc), 'mx', MAX(__qc), "
+                    "'n', COUNT(*), 'd', COUNT(__qc)) "
+                    f"FROM ({sub}) AS __qt(__qc)))"
+                )
+                null_b = "CAST(NULL AS BOOLEAN)"
+                if op in ("=", "<>"):
+                    # definite counter/witness: some non-null value
+                    # differs from x (two distinct values, or the single
+                    # value != x)
+                    differs = f"{qs}.mn <> {qs}.mx OR ({x}) <> {qs}.mn"
+                    hit, miss = ("FALSE", "TRUE") if op == "=" else ("TRUE", "FALSE")
+                    empty = "TRUE" if quant == "ALL" else "FALSE"
+                    rep = (
+                        f"(CASE WHEN {qs}.n = 0 THEN {empty} "
+                        f"WHEN ({x}) IS NULL THEN {null_b} "
+                        f"WHEN {differs} THEN {hit} "
+                        f"WHEN {qs}.d < {qs}.n THEN {null_b} "
+                        f"ELSE {miss} END)"
+                    )
+                elif quant == "SOME":
+                    # witness among non-null values sits at the extremum
+                    ext = "mx" if op in ("<", "<=") else "mn"
+                    rep = (
+                        f"(CASE WHEN {qs}.n = 0 THEN FALSE "
+                        f"WHEN ({x}) IS NULL THEN {null_b} "
+                        f"WHEN ({x}) {op} {qs}.{ext} THEN TRUE "
+                        f"WHEN {qs}.d < {qs}.n THEN {null_b} "
+                        f"ELSE FALSE END)"
+                    )
+                else:  # ALL with an ordering operator
+                    ext = "mn" if op in ("<", "<=") else "mx"
+                    rep = (
+                        f"(CASE WHEN {qs}.n = 0 THEN TRUE "
+                        f"WHEN ({x}) IS NULL THEN {null_b} "
+                        f"WHEN NOT (({x}) {op} {qs}.{ext}) THEN FALSE "
+                        f"WHEN {qs}.d < {qs}.n THEN {null_b} "
+                        f"ELSE TRUE END)"
+                    )
+            text = text[: m.start()] + rep + text[close + 1 :]
+
     def _expand_similar_to(self, text: str) -> str:
         def sub(m):
             return f"{m.group(1)} RLIKE '{similar_to_regex(m.group(2))}'"
@@ -246,6 +326,79 @@ class SqlFrontend:
             pos = e
         out.append(text[pos:])
         return "".join(out)
+
+    # -- UNSIGNED types (unsigned.iq) ---------------------------------
+
+    # widen-to-next-signed lowering: (wider Spark type, max value).
+    # BIGINT UNSIGNED widens to DECIMAL(20,0) (no wider integral) and
+    # checks >= 0 only — its max (2^64-1) always fits DECIMAL(20,0).
+    _UNSIGNED_WIDEN = {
+        "tinyint": ("SMALLINT", 255),
+        "smallint": ("INT", 65535),
+        "int": ("BIGINT", 4294967295),
+        "integer": ("BIGINT", 4294967295),
+        "bigint": ("DECIMAL(20,0)", None),
+        "": ("BIGINT", 4294967295),  # bare UNSIGNED = INT UNSIGNED
+    }
+
+    def _expand_unsigned(self, text: str) -> str:
+        """CAST(x AS <T> UNSIGNED) ≈ the reference's unsigned type tier
+        (unsigned.iq; SqlTypeName UTINYINT..UBIGINT). Spark's type
+        system has no unsigned integers, so the Spark-first lowering
+        WIDENS to the next signed type that holds the full unsigned
+        range, guarded by the reference's out-of-range error
+        (`CAST(-1 AS INT UNSIGNED)` → "Value is out of range", the
+        unsigned.iq fixture). Documented divergence: the RESULT TYPE is
+        signed, so operators the reference refuses on unsigned
+        (unary minus) are legal here — widening keeps every value and
+        every arithmetic result exact, which is the part that matters
+        for federated data; the type-system strictness tier is not
+        mirrored."""
+        if not re.search(r"\bUNSIGNED\b", text, re.I):
+            return text
+        while True:
+            found = None
+            for m in re.finditer(r"\bCAST\s*\(", text, re.I):
+                if text.count("'", 0, m.start()) % 2:
+                    continue
+                body, close = self._balanced_span(text, m.end())
+                tail = re.search(
+                    r"(\bAS\s+)(\w*)\s*\bUNSIGNED\s*$", body, flags=re.I
+                )
+                if tail:
+                    found = (m, body, close, tail)
+                    break
+            if not found:
+                return text
+            m, body, close, tail = found
+            expr = body[: tail.start(1)].rstrip()
+            base = tail.group(2).lower()
+            if base not in self._UNSIGNED_WIDEN:
+                raise ValueError(
+                    f"unsupported UNSIGNED base type {tail.group(2)!r}"
+                )
+            wider, mx = self._UNSIGNED_WIDEN[base]
+            lit = re.fullmatch(r"\s*(-?\d+)\s*", expr)
+            if lit:
+                # constant-fold literals: keeps VALUES(...) inline
+                # tables foldable (Spark refuses raise_error there) and
+                # reports literal range errors at parse time with the
+                # reference's message text
+                v = int(lit.group(1))
+                if v < 0 or (mx is not None and v > mx):
+                    raise ValueError(f"Value is out of range : {v}")
+                rep = f"CAST({v} AS {wider})"
+            else:
+                check = (
+                    f"({expr}) >= 0" if mx is None
+                    else f"({expr}) BETWEEN 0 AND {mx}"
+                )
+                rep = (
+                    f"CAST(IF({check} OR ({expr}) IS NULL, {expr}, "
+                    f"raise_error('Value is out of range : ' || "
+                    f"CAST(({expr}) AS STRING))) AS {wider})"
+                )
+            text = text[: m.start()] + rep + text[close + 1 :]
 
     _STREAM_RE = re.compile(r"\bSELECT\s+STREAM\s+", re.I)
 
@@ -582,6 +735,111 @@ class SqlFrontend:
             i += 1
         return -1
 
+    # -- WITHIN DISTINCT (SQL surface) --------------------------------
+
+    _WD_RE = re.compile(r"\bWITHIN\s+DISTINCT\s*\(", re.I)
+
+    def _expand_within_distinct(self, text: str) -> str:
+        """`AGG(x) WITHIN DISTINCT (d)` ≈ SqlStdOperatorTable
+        WITHIN_DISTINCT:221 lowered the way
+        AggregateExpandWithinDistinctRule does (within-distinct.iq):
+
+            inner: GROUP BY keys, d → MIN(x), MAX(x)
+            outer: GROUP BY keys → AGG(IF(mn <=> mx, mn, raise_error))
+
+        aggregating ONE value of x per distinct d, with the rule's
+        uniformity assertion (x must be functionally dependent on d
+        within the group — a violating group raises, exactly Calcite's
+        THROW). Two map-side-combinable hash aggregates — the same
+        shuffle count as a plain distinct aggregate at 100 TB. Scope
+        (refusals, not silent wrong answers): every WITHIN DISTINCT
+        call in the SELECT must share one distinct-key set (mixed sets
+        need the rule's grouping-sets form), plain aggregates cannot
+        mix in, and HAVING is unsupported here."""
+        if not self._WD_RE.search(text):
+            return text
+        text = text.strip()
+        sel = self._top_level_kw(text, "SELECT")
+        frm = self._top_level_kw(text, "FROM")
+        if sel != 0 or frm < 0:
+            raise ValueError(
+                "WITHIN DISTINCT: top-level SELECT ... FROM ... only"
+            )
+        if self._top_level_kw(text, "HAVING") >= 0:
+            raise ValueError("WITHIN DISTINCT with HAVING: unsupported")
+        grp = self._top_level_kw(text, "GROUP")
+        tail_start = len(text)
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            k = self._top_level_kw(text, kw, frm)
+            if 0 <= k < tail_start:
+                tail_start = k
+        tail = text[tail_start:].strip()
+        if grp >= 0:
+            base = text[frm:grp].strip()
+            keys_text = text[grp:tail_start]
+            keys_text = re.sub(r"(?is)^GROUP\s+BY", "", keys_text).strip()
+            keys = [k.strip() for k in self._split_top_commas(keys_text)]
+        else:
+            base, keys = text[frm:tail_start].strip(), []
+
+        items = self._split_top_commas(text[sel + len("SELECT") : frm])
+        out_items, inner_aggs, dset = [], [], None
+        for i, item in enumerate(items):
+            item = item.strip()
+            wd = self._WD_RE.search(item)
+            if not wd:
+                if item not in keys:
+                    raise ValueError(
+                        f"WITHIN DISTINCT: non-aggregate item {item!r} "
+                        "must be a GROUP BY key (plain aggregates need "
+                        "the grouping-sets form — unsupported)"
+                    )
+                out_items.append(item)
+                continue
+            call = item[: wd.start()].strip()
+            cm = re.match(r"(\w+)\s*\(", call)
+            if not cm or not call.endswith(")"):
+                raise ValueError(f"WITHIN DISTINCT: bad aggregate {item!r}")
+            fn = cm.group(1)
+            val, _ = self._balanced_span(call, cm.end())
+            dks_text, close = self._balanced_span(item, wd.end())
+            dks = [d.strip() for d in self._split_top_commas(dks_text)]
+            rest = item[close + 1 :].strip()
+            am = re.match(r"(?is)^AS\s+(\w+)\s*$", rest)
+            if rest and not am:
+                raise ValueError(f"WITHIN DISTINCT: trailing {rest!r}")
+            alias = am.group(1) if am else f"__wd_out{i}"
+            if dset is None:
+                dset = dks
+            elif sorted(dset) != sorted(dks):
+                raise ValueError(
+                    "WITHIN DISTINCT: all calls must share one "
+                    f"distinct-key set (got {dset} and {dks})"
+                )
+            if val.strip() == "*":
+                # COUNT(*) WITHIN DISTINCT (d) = one count per distinct
+                # d-group; uniformity is vacuous
+                inner_aggs.append(f"MIN(1) AS __wd_mn{i}")
+                out_items.append(f"{fn}(__wd_mn{i}) AS {alias}")
+            else:
+                inner_aggs.append(f"MIN({val}) AS __wd_mn{i}")
+                inner_aggs.append(f"MAX({val}) AS __wd_mx{i}")
+                out_items.append(
+                    f"{fn}(IF(__wd_mn{i} <=> __wd_mx{i}, __wd_mn{i}, "
+                    f"raise_error('WITHIN DISTINCT: value is not "
+                    f"functionally dependent on the distinct key'))) "
+                    f"AS {alias}"
+                )
+        inner_keys = keys + [d for d in (dset or []) if d not in keys]
+        inner = (
+            f"SELECT {', '.join(inner_keys + inner_aggs)} {base}"
+            + (f" GROUP BY {', '.join(inner_keys)}" if inner_keys else "")
+        )
+        outer = f"SELECT {', '.join(out_items)} FROM ({inner})"
+        if keys:
+            outer += f" GROUP BY {', '.join(keys)}"
+        return f"{outer} {tail}".rstrip()
+
     def _expand_qualify(self, text: str) -> str:
         """QUALIFY ≈ the reference's SqlQualify clause (qualify.iq):
         filter on window functions AFTER windows are computed —
@@ -737,9 +995,13 @@ class SqlFrontend:
                     "SQL surface is batch-only"
                 )
             text = self._expand_match_recognize(text)
+        if re.search(r"\b(SOME|ANY|ALL)\s*\(", text, re.I):
+            text = self._expand_quantified(text)
+        text = self._expand_within_distinct(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)
+        text = self._expand_unsigned(text)
         text = self._expand_system_time(text)
         text = self._expand_window_tvfs(text)
         if re.search(r"\bST_[A-Za-z_]\w*\s*\(", text, re.I):

@@ -131,6 +131,14 @@ class Dialect:
     # can a missing SEMI/ANTI keyword fall back to correlated
     # [NOT] EXISTS? False for engines that don't decorrelate (ClickHouse)
     supports_exists_subquery = True
+    # native SQL:2003 MERGE statement (TableModify Operation.MERGE).
+    # Default False = refuse-over-wrong; set True only on dialects whose
+    # public docs ship MERGE INTO. Notable refusals: DuckDB 1.0, SQLite,
+    # MySQL (ON DUPLICATE KEY is not MERGE), ClickHouse,
+    # StarRocks/Doris, and the legacy product tags (Ingres, Interbase,
+    # LucidDB, Neoview, Netezza, Paraccel, Access, Infobright,
+    # JethroData, Phoenix (UPSERT), Firebolt).
+    _merge = False
 
     def expr(self, text: str) -> str:
         return text
@@ -236,6 +244,8 @@ class Dialect:
 
 class SparkDialect(Dialect):
     name = "spark"
+
+    _merge = True  # native MERGE INTO (v2/Delta/Iceberg tables)
 
 
 class DuckDBDialect(Dialect):
@@ -489,6 +499,7 @@ class PostgresDialect(Dialect):
     converter performs for dialects without it)."""
 
     name = "postgres"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -684,6 +695,7 @@ class BigQueryDialect(Dialect):
       * Spark type names → GoogleSQL (STRING/FLOAT64/INT64/NUMERIC/...)."""
 
     name = "bigquery"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -816,6 +828,7 @@ class OracleDialect(Dialect):
     NULLS FIRST/LAST and ROLLUP/CUBE/GROUPING SETS are native."""
 
     name = "oracle"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -920,6 +933,7 @@ class MssqlDialect(Dialect):
         TINYINT widens to SMALLINT (T-SQL TINYINT is unsigned)."""
 
     name = "mssql"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1071,6 +1085,7 @@ class TrinoDialect(Dialect):
     are native."""
 
     name = "trino"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1140,6 +1155,7 @@ class HiveDialect(Dialect):
     native; INTERSECT/EXCEPT [ALL] are native (Hive 2.3+)."""
 
     name = "hive"
+    _merge = True  # native MERGE INTO
     semi_join_kw = "LEFT SEMI JOIN"
     anti_join_kw = None
 
@@ -1228,6 +1244,7 @@ class SnowflakeDialect(Dialect):
     valid Snowflake aliases (STRING/DOUBLE/BIGINT), so no CAST map."""
 
     name = "snowflake"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1456,6 +1473,7 @@ class RedshiftDialect(Dialect):
         landing on SUPER with different semantics."""
 
     name = "redshift"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1571,6 +1589,7 @@ class VerticaDialect(Dialect):
     refuse at this surface)."""
 
     name = "vertica"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1625,6 +1644,7 @@ class TeradataDialect(Dialect):
     and SEMI/ANTI lower to [NOT] EXISTS."""
 
     name = "teradata"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -1695,6 +1715,7 @@ class DerbyDialect(Dialect):
     except ROW_NUMBER, regex/hash functions, grouping extensions."""
 
     name = "derby"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
 
@@ -2115,6 +2136,7 @@ class AnsiDialect(Dialect):
     ROLLUP/CUBE/GROUPING SETS are SQL:1999 — inherited native."""
 
     name = "ansi"
+    _merge = True  # native MERGE INTO
     semi_join_kw = None
     anti_join_kw = None
     _windows = True       # supportsWindowFunctions()
@@ -2170,6 +2192,7 @@ class FirebirdDialect(AnsiDialect):
     (DatabaseProduct.FIREBIRD), zero overrides."""
 
     name = "firebird"
+    _merge = True  # native MERGE INTO
 
 
 class IngresDialect(AnsiDialect):
@@ -2177,6 +2200,7 @@ class IngresDialect(AnsiDialect):
     overrides."""
 
     name = "ingres"
+    _merge = False  # no MERGE statement
 
 
 class InterbaseDialect(AnsiDialect):
@@ -2184,6 +2208,7 @@ class InterbaseDialect(AnsiDialect):
     overrides."""
 
     name = "interbase"
+    _merge = False  # no MERGE statement
 
 
 class LucidDbDialect(AnsiDialect):
@@ -2191,6 +2216,7 @@ class LucidDbDialect(AnsiDialect):
     double-quote identifiers, zero behavior overrides."""
 
     name = "luciddb"
+    _merge = False  # no documented MERGE
 
 
 class NeoviewDialect(AnsiDialect):
@@ -2198,6 +2224,7 @@ class NeoviewDialect(AnsiDialect):
     overrides."""
 
     name = "neoview"
+    _merge = False  # no documented MERGE
 
 
 class NetezzaDialect(AnsiDialect):
@@ -2205,6 +2232,7 @@ class NetezzaDialect(AnsiDialect):
     double-quote identifiers, zero behavior overrides."""
 
     name = "netezza"
+    _merge = False  # no MERGE statement
 
 
 class ParaccelDialect(AnsiDialect):
@@ -2212,6 +2240,7 @@ class ParaccelDialect(AnsiDialect):
     double-quote identifiers, zero behavior overrides."""
 
     name = "paraccel"
+    _merge = False  # no MERGE statement
 
 
 class AccessDialect(AnsiDialect):
@@ -2220,6 +2249,7 @@ class AccessDialect(AnsiDialect):
     refuse."""
 
     name = "access"
+    _merge = False  # no MERGE statement
     _windows = False
     _shared = _ANSI_SHARED
 
@@ -2230,6 +2260,7 @@ class InfobrightDialect(AnsiDialect):
     other overrides."""
 
     name = "infobright"
+    _merge = False  # MySQL-derived, no MERGE
     _windows = False
     _shared = _ANSI_SHARED
 
@@ -2245,6 +2276,7 @@ class Db2Dialect(AnsiDialect):
     false (we never emit charsets)."""
 
     name = "db2"
+    _merge = True  # native MERGE INTO
 
     _INTERVAL_RE = re.compile(
         r"(?i)\bINTERVAL\s+'(-?\d+)'\s+"
@@ -2281,6 +2313,7 @@ class ExasolDialect(AnsiDialect):
     PostgreSQL (so date_trunc stays native, as in PG)."""
 
     name = "exasol"
+    _merge = True  # native MERGE INTO
     _agg_filter = False
     _shared = (_ANSI_SHARED - {"corr"}) | _ANSI_WINDOW | {"date_trunc"}
 
@@ -2304,6 +2337,7 @@ class FireboltDialect(AnsiDialect):
     with)."""
 
     name = "firebolt"
+    _merge = False  # no MERGE statement
     _agg_filter = False
     _shared = (
         _ANSI_SHARED
@@ -2343,6 +2377,7 @@ class H2Dialect(AnsiDialect):
     supportsCharSet()=false (never emitted)."""
 
     name = "h2"
+    _merge = True  # native MERGE INTO
     _windows = False
     _shared = _ANSI_SHARED
 
@@ -2375,6 +2410,7 @@ class HsqldbDialect(AnsiDialect):
     executed Spark-side, not pushed)."""
 
     name = "hsqldb"
+    _merge = True  # native MERGE INTO
     _windows = False
     _agg_filter = False
     _shared = _ANSI_SHARED | {"trunc"}
@@ -2395,6 +2431,7 @@ class InformixDialect(AnsiDialect):
     keys are always column expressions, never ordinals/literals)."""
 
     name = "informix"
+    _merge = True  # native MERGE INTO
 
     def values(self, rows, names, alias: str = "t") -> str:
         return self._values_as_union(rows, names, alias=alias)
@@ -2414,6 +2451,7 @@ class JethroDataDialect(AnsiDialect):
     the query explicitly sorted NULLS LAST."""
 
     name = "jethrodata"
+    _merge = False  # no MERGE statement
     _shared = (
         _ANSI_SHARED - {"covar_pop", "covar_samp", "corr"}
     ) | _ANSI_WINDOW
@@ -2441,6 +2479,7 @@ class PhoenixDialect(AnsiDialect):
     (our emitted casts never exceed it), double-quote identifiers."""
 
     name = "phoenix"
+    _merge = False  # UPSERT, not MERGE
     _shared = AnsiDialect._shared | {"approx_count_distinct"}
     _type_map = {"real": "FLOAT"}
 
@@ -2456,6 +2495,7 @@ class SybaseDialect(AnsiDialect):
     offset-only Sort refuses."""
 
     name = "sybase"
+    _merge = True  # native MERGE INTO
 
     def fetch_clause(self, offset, fetch, has_order):
         if fetch is None and not offset:
@@ -2583,6 +2623,63 @@ def update_sql(
     dialect = _resolve_dialect(dialect)
     sets = ", ".join(f"{c} = {dialect.expr(e)}" for c, e in assignments.items())
     return f"UPDATE {table} SET {sets} WHERE {dialect.expr(condition)}"
+
+
+def merge_sql(
+    target: str,
+    source: "ir.RelNode | str",
+    condition: str,
+    update_set: "dict[str, str] | None" = None,
+    insert_columns: "list[str] | None" = None,
+    insert_values: "list[str] | None" = None,
+    dialect: "Dialect | str" = SPARK,
+    source_alias: str = "src",
+    target_alias: str = "tgt",
+) -> str:
+    """SQL:2003 MERGE statement ≈ the TableModify MERGE branch
+    (TableModify.java:74 Operation.MERGE; emission:
+    RelToSqlConverter.java:1480 builds SqlMerge(target, condition,
+    source, update, insert)). Same shape here: `source` is a table name
+    or an IR subtree (emitted through the ordinary SELECT pipeline, so
+    every dialect rewrite/refusal applies), `condition` joins source to
+    target, and the WHEN clauses come from `update_set` /
+    `insert_columns`+`insert_values`. Dialects without a native MERGE
+    (DuckDB 1.0, SQLite, MySQL, ClickHouse, ...) REFUSE — a silently
+    re-written upsert with different match semantics would be worse
+    than no pushdown; the federation layer owns any engine-specific
+    transactional lowering (sources/federation.py:push_merge)."""
+    dialect = _resolve_dialect(dialect)
+    if not getattr(dialect, "_merge", False):
+        raise UnsupportedDialectExpression(
+            f"dialect {dialect.name!r} has no MERGE statement; "
+            "use federation.push_merge for a transactional lowering "
+            "or target an engine with native MERGE"
+        )
+    if not update_set and not insert_columns:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    if (insert_columns is None) != (insert_values is None):
+        raise ValueError("insert_columns and insert_values go together")
+    src = (
+        source
+        if isinstance(source, str)
+        else f"({to_sql(source, dialect)})"
+    )
+    parts = [
+        f"MERGE INTO {target} AS {target_alias} "
+        f"USING {src} AS {source_alias} ON {dialect.expr(condition)}"
+    ]
+    if update_set:
+        sets = ", ".join(
+            f"{c} = {dialect.expr(e)}" for c, e in update_set.items()
+        )
+        parts.append(f"WHEN MATCHED THEN UPDATE SET {sets}")
+    if insert_columns:
+        vals = ", ".join(dialect.expr(e) for e in insert_values)
+        parts.append(
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(insert_columns)}) "
+            f"VALUES ({vals})"
+        )
+    return " ".join(parts)
 
 
 class _Emitter:

@@ -20,6 +20,10 @@ Script format (a documented subset of Quidem's):
                                  --   substring; block ends at blank
     !error some message          -- statement must fail, message must
                                  --   contain the text
+    !stream col_a, col_b         -- statement must return an UNBOUNDED
+                                 --   (isStreaming) DataFrame with
+                                 --   exactly these columns; nothing is
+                                 --   collected (stream.iq tier)
 
 Differences from Quidem, on purpose: `!oracle` replaces most committed
 expected blocks (a cross-engine value check beats a self-recorded
@@ -126,7 +130,11 @@ class QuidemRunner:
                     res, out_lines, lines, i, sql, sql_line, use, overwrite
                 )
                 continue
-            # accumulate a SQL statement
+            # accumulate a SQL statement; full-line `--` comments are
+            # kept in the file but dropped from the executed text — an
+            # apostrophe inside one ("the reference's ...") would
+            # otherwise flip the quote-parity scan every macro pass
+            # uses to keep string literals opaque
             sql_line = i + 1
             buf = []
             while i < n:
@@ -134,7 +142,10 @@ class QuidemRunner:
                 if lines[i].rstrip().endswith(";"):
                     break
                 i += 1
-            sql = "\n".join(buf).rstrip().rstrip(";")
+            sql_lines = [
+                ln for ln in buf if not ln.strip().startswith("--")
+            ]
+            sql = "\n".join(sql_lines).rstrip().rstrip(";")
             out_lines.extend(buf)
             i += 1
         if overwrite:
@@ -241,6 +252,32 @@ class QuidemRunner:
                     )
                 return i + 1
             res.failed.append((sql_line, sql, f"expected error {want!r}, query ran"))
+            return i + 1
+
+        if d.startswith("!stream"):
+            # SELECT STREAM surface (≈ the reference's stream.iq): the
+            # statement must yield an unbounded DataFrame — asserted
+            # via isStreaming + schema, never collected (an unbounded
+            # scan has no finite result to record)
+            out_lines.append(lines[i])
+            want_cols = [
+                c.strip() for c in d[len("!stream") :].split(",") if c.strip()
+            ]
+            try:
+                df = fe.sql(sql)
+            except Exception as e:
+                res.failed.append((sql_line, sql, f"execution error: {e}"))
+                return i + 1
+            if not df.isStreaming:
+                res.failed.append(
+                    (sql_line, sql, "expected a streaming (unbounded) DataFrame")
+                )
+            elif want_cols and df.columns != want_cols:
+                res.failed.append(
+                    (sql_line, sql, f"columns {df.columns} != {want_cols}")
+                )
+            else:
+                res.passed += 1
             return i + 1
 
         if d == "!ddl":

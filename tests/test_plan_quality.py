@@ -640,3 +640,27 @@ def test_decontaminate_broadcast_and_partial_agg(spark):
     # partial_merge/merge HLL isn't involved; the count agg must appear
     # under a partial mode before the exchange
     assert re.search(r"(?i)partial", rep["text"]), "no partial aggregation found"
+
+
+def test_variant_extraction_keeps_pushdown_and_pruning(spark):
+    """VERDICT r5 item 8 (≈ variant.iq): parsing props into a VARIANT
+    and extracting a field must not fence off Catalyst — the plain
+    user_id predicate still reaches the parquet scan as a PushedFilter,
+    and column pruning still drops every unread events column."""
+    from calcite_spark.queries.inventory import catalog_for
+
+    cat = catalog_for(spark, SF_DIR)
+    df = (
+        cat.table("events")
+        .filter("user_id = 7")
+        .selectExpr(
+            "user_id",
+            "variant_get(parse_json(props), '$.k', 'bigint') AS k",
+        )
+    )
+    rep = plan_report(df)
+    pushed = " ".join(rep["pushed_filters"])
+    assert "user_id" in pushed, rep["pushed_filters"]
+    schema = " ".join(rep["read_schemas"])
+    assert "props" in schema and "user_id" in schema
+    assert "event_type" not in schema and "value" not in schema, schema

@@ -452,3 +452,83 @@ def test_qualify_refusals(fe):
         )
     with pytest.raises(ValueError, match="predicate"):
         fe.parse("SELECT s_suppkey FROM supplier QUALIFY ")
+
+
+# -- quantified comparisons (some.iq tier) ----------------------------
+
+
+def test_quantified_lowering_shapes(fe):
+    """= SOME -> IN, <> ALL -> NOT IN; ordering quantifiers -> one
+    MIN/MAX/COUNT aggregate + 3-valued CASE (values cross-checked vs
+    native DuckDB quantifiers in tests/iq/some.iq)."""
+    t, _ = fe.parse("SELECT 1 WHERE 5 = SOME (SELECT x FROM t)")
+    assert "IN (SELECT x FROM t)" in t and "CASE" not in t
+    t, _ = fe.parse("SELECT 1 WHERE 5 <> ALL (SELECT x FROM t)")
+    assert "NOT IN" in t
+    t, _ = fe.parse("SELECT 1 WHERE 5 > ALL (SELECT x FROM t)")
+    assert "named_struct" in t and "CASE WHEN" in t and "mx" in t
+    # every branch repeats the IDENTICAL subquery text so Spark's
+    # ReuseSubquery rule collapses them to one execution
+    frag = "(SELECT x FROM t) AS __qt(__qc)"
+    assert t.count(frag) >= 3
+    t, _ = fe.parse("SELECT 1 WHERE 5 < ANY (SELECT x FROM t)")
+    assert ".mx" in t  # ANY == SOME; witness for < sits at MAX
+
+
+def test_quantified_requires_subquery(fe):
+    import pytest
+
+    with pytest.raises(ValueError, match="subquery"):
+        fe.parse("SELECT 1 WHERE 5 > ALL (1, 2, 3)")
+
+
+# -- WITHIN DISTINCT (within-distinct.iq tier) ------------------------
+
+
+def test_within_distinct_two_level_shape(fe):
+    t, _ = fe.parse(
+        "SELECT o_orderstatus, SUM(year(o_orderdate)) WITHIN DISTINCT "
+        "(o_orderdate) AS s FROM orders GROUP BY o_orderstatus"
+    )
+    assert "MIN(year(o_orderdate))" in t and "MAX(year(o_orderdate))" in t
+    assert "GROUP BY o_orderstatus, o_orderdate" in t  # inner grain
+    assert "raise_error" in t  # uniformity assertion (Calcite's THROW)
+
+
+def test_within_distinct_refusals(fe):
+    import pytest
+
+    with pytest.raises(ValueError, match="one distinct-key set"):
+        fe.parse(
+            "SELECT SUM(a) WITHIN DISTINCT (x) AS a, "
+            "SUM(b) WITHIN DISTINCT (y) AS b FROM t"
+        )
+    with pytest.raises(ValueError, match="GROUP BY key"):
+        fe.parse(
+            "SELECT o_custkey, SUM(a) WITHIN DISTINCT (x) AS a FROM t "
+            "GROUP BY o_orderstatus"
+        )
+    with pytest.raises(ValueError, match="HAVING"):
+        fe.parse(
+            "SELECT SUM(a) WITHIN DISTINCT (x) AS a FROM t "
+            "GROUP BY k HAVING SUM(a) > 0"
+        )
+
+
+# -- UNSIGNED widening (unsigned.iq tier) -----------------------------
+
+
+def test_unsigned_widening_map(fe):
+    t, _ = fe.parse("SELECT CAST(x AS TINYINT UNSIGNED) FROM t")
+    assert "BETWEEN 0 AND 255" in t and "AS SMALLINT)" in t
+    t, _ = fe.parse("SELECT CAST(x AS BIGINT UNSIGNED) FROM t")
+    assert ">= 0" in t and "DECIMAL(20,0)" in t
+    # literals fold (keeps VALUES inline tables foldable)
+    t, _ = fe.parse("SELECT CAST(200 AS INT UNSIGNED)")
+    assert t == "SELECT CAST(200 AS BIGINT)"
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        fe.parse("SELECT CAST(-1 AS INT UNSIGNED)")
+    with pytest.raises(ValueError, match="UNSIGNED base"):
+        fe.parse("SELECT CAST(x AS VARCHAR UNSIGNED) FROM t")
