@@ -998,3 +998,64 @@ def qx26_hilbert_dwithin(spark, sf_dir):
     rewritten = default_program(cat).run(plan)
     assert "BETWEEN" in rewritten.condition  # the ranges actually fired
     return rewritten.to_df(cat).selectExpr("pid").orderBy("pid")
+
+
+@register(
+    "qx30_parse_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.example.org/' || source || '/' ||
+             CAST(doc_id AS VARCHAR) || '.html?id=' || CAST(doc_id AS VARCHAR) ||
+             '&lang=' || lang || '#s1' AS url
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?]([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS ref,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM u ORDER BY doc_id
+    """,
+    tags=("functions", "url", "text"),
+)
+def qx30_parse_url(spark, sf_dir):
+    """PARSE_URL mode tier (r6 — SqlLibraryOperators.java:478, runtime
+    SqlFunctions.java:1892 ParseUrlFunction): URLs built
+    deterministically from document columns (the synthetic corpus holds
+    no literal URLs), then split with PARSE_URL PROTOCOL/HOST/PATH/
+    QUERY/REF and the 3-arg QUERY-key mode — whose key the registry
+    regex-QUOTES to the reference's literal-key semantics
+    (SqlFunctions.java:1895 Pattern.quote; bare Spark treats the key as
+    a regex). The oracle re-derives every part with plain regexes in
+    DuckDB, value-checking the java.net URI parse cross-engine;
+    tests/test_functions_parity.py additionally replays the
+    reference's own SqlOperatorTest fixtures."""
+    from calcite_spark.functions.registry import translate
+
+    cat = catalog_for(spark, sf_dir)
+    return (
+        cat.table("documents")
+        .filter("doc_id < 50")
+        .selectExpr(
+            "doc_id",
+            "concat('https://', lang, '.example.org/', source, '/', "
+            "CAST(doc_id AS STRING), '.html?id=', CAST(doc_id AS STRING), "
+            "'&lang=', lang, '#s1') AS url",
+        )
+        .selectExpr(
+            "doc_id",
+            translate("PARSE_URL", "url", "'PROTOCOL'", library="SPARK")
+            + " AS protocol",
+            translate("PARSE_URL", "url", "'HOST'", library="SPARK") + " AS host",
+            translate("PARSE_URL", "url", "'PATH'", library="SPARK") + " AS path",
+            translate("PARSE_URL", "url", "'QUERY'", library="SPARK")
+            + " AS query",
+            translate("PARSE_URL", "url", "'REF'", library="SPARK") + " AS ref",
+            translate("PARSE_URL", "url", "'QUERY'", "'id'", library="SPARK")
+            + " AS id_param",
+        )
+        .orderBy("doc_id")
+    )
