@@ -22,6 +22,14 @@ _CREATE_MV = re.compile(
     re.I | re.S,
 )
 _DROP = re.compile(r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_CREATE_SEQUENCE = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$",
+    re.I,
+)
+_DROP_SEQUENCE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+)
 _CREATE_FUNCTION = re.compile(
     r"^\s*CREATE\s+FUNCTION\s+(\w+)\s+AS\s+'([^']+)'(?:\s+RETURNS\s+(\w+))?\s*$", re.I
 )
@@ -136,6 +144,33 @@ class DdlExecutor:
         m = _CREATE_TABLE_COLS.match(sql)
         if m and not re.match(r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.I):
             return self._create_table_cols(m.group(1), m.group(2))
+        m = _CREATE_SEQUENCE.match(sql)
+        if m:
+            # ≈ server SqlCreateSequence over SqlSequenceValueOperator
+            # (SqlStdOperatorTable.java:2554 NEXT_VALUE); the sequence
+            # object lives on the catalog, values are allocated by the
+            # frontend's NEXT VALUE FOR lowering
+            name = m.group(2)
+            seqs = self._sequences()
+            if name in seqs:
+                if m.group(1):
+                    return {"sequence": name, "existed": True}
+                raise ValueError(f"sequence {name} already exists")
+            start = int(m.group(3) or 1)
+            inc = int(m.group(4) or 1)
+            if inc == 0:
+                raise ValueError("INCREMENT BY 0 is not a sequence")
+            seqs[name] = {"next": start, "inc": inc, "current": None}
+            return {"sequence": name, "start": start, "increment": inc}
+        m = _DROP_SEQUENCE.match(sql)
+        if m:
+            name = m.group(2)
+            seqs = self._sequences()
+            existed = name in seqs
+            if not existed and not m.group(1):
+                raise ValueError(f"sequence {name} does not exist")
+            seqs.pop(name, None)
+            return {"dropped": name, "existed": existed}
         m = _CREATE_FUNCTION.match(sql)
         if m:
             from calcite_spark.functions.udf import load_functions_from_model
@@ -147,6 +182,11 @@ class DdlExecutor:
             )
             return {"function": m.group(1)}
         raise ValueError(f"unsupported DDL: {sql[:80]}")
+
+    def _sequences(self) -> dict:
+        if not hasattr(self.catalog, "sequences"):
+            self.catalog.sequences = {}
+        return self.catalog.sequences
 
     def _create_type(self, name: str, body: str):
         """CREATE TYPE ≈ ServerDdlExecutor.execute(SqlCreateType, ...)

@@ -114,9 +114,10 @@ class SqlFrontend:
     # SubQueryRemoveRule shape: ONE single-row MIN/MAX/COUNT aggregate
     # of the subquery + a CASE that replays exact 3-valued logic
     # (empty set, NULL operand, NULLs in the subquery). Every branch
-    # repeats the IDENTICAL aggregate text on purpose — Spark's
-    # ReuseSubquery physical rule collapses them to one execution, so
-    # the plan is one aggregated subquery however many branches fire.
+    # repeats the IDENTICAL aggregate text, wrapped array(struct)[0] so
+    # Catalyst cannot split per-field copies — the physical
+    # ReuseSubquery rule then collapses the branches to ONE executed
+    # subquery (plan-asserted), however many branches fire.
     # `= SOME` / `<> ALL` lower to IN / NOT IN, whose null semantics
     # Spark already implements natively.
 
@@ -146,11 +147,21 @@ class SqlFrontend:
             elif op == "<>" and quant == "ALL":
                 rep = f"(({x}) NOT IN ({sub}))"
             else:
+                # The aggregate is wrapped in array(named_struct(...))[0]
+                # ON PURPOSE: with a bare struct, Catalyst pushes each
+                # field extraction INTO its own copy of the subquery
+                # (4 distinct single-agg plans — no reuse possible, 4
+                # scans of the subquery source). The array constructor
+                # blocks that split, all CASE branches reference
+                # canonically-identical subqueries, and the physical
+                # ReuseSubquery rule collapses them to ONE execution
+                # (asserted by test_plan_quality.py::
+                # test_quantified_subquery_executes_once).
                 qs = (
-                    "((SELECT named_struct("
+                    "((SELECT array(named_struct("
                     "'mn', MIN(__qc), 'mx', MAX(__qc), "
-                    "'n', COUNT(*), 'd', COUNT(__qc)) "
-                    f"FROM ({sub}) AS __qt(__qc)))"
+                    "'n', COUNT(*), 'd', COUNT(__qc))) "
+                    f"FROM ({sub}) AS __qt(__qc))[0])"
                 )
                 null_b = "CAST(NULL AS BOOLEAN)"
                 if op in ("=", "<>"):
@@ -187,6 +198,35 @@ class SqlFrontend:
                         f"ELSE TRUE END)"
                     )
             text = text[: m.start()] + rep + text[close + 1 :]
+
+    # ROW(a, b) value constructor (SqlStdOperatorTable.ROW;
+    # row-equality.iq) → Spark struct(a, b): same field-wise equality,
+    # grouping, and ordering semantics. \bROW\s*\( cannot collide with
+    # ROWS BETWEEN / CURRENT ROW / ONE ROW PER MATCH (none are
+    # call-shaped).
+    _ROW_RE = re.compile(r"\bROW\s*\(", re.I)
+
+    def _expand_row_constructor(self, text: str) -> str:
+        out, i = [], 0
+        for m in self._ROW_RE.finditer(text):
+            if text.count("'", 0, m.start()) % 2:
+                continue
+            out.append(text[i : m.start()])
+            out.append("struct(")
+            i = m.end()
+        out.append(text[i:])
+        return "".join(out)
+
+    # FROM DUAL (dual-table-query.iq — Oracle's 1-row pseudo-table,
+    # accepted by the reference under Oracle conformance): Spark allows
+    # SELECT without FROM, so the clause is dropped; `SELECT * FROM
+    # DUAL` yields Oracle's actual DUAL shape (one DUMMY='X' row).
+    _DUAL_STAR_RE = re.compile(r"SELECT\s+\*\s+FROM\s+DUAL\b", re.I)
+    _DUAL_RE = re.compile(r"\s+FROM\s+DUAL\b", re.I)
+
+    def _expand_dual(self, text: str) -> str:
+        text = self._DUAL_STAR_RE.sub("SELECT 'X' AS DUMMY", text)
+        return self._DUAL_RE.sub("", text)
 
     def _expand_similar_to(self, text: str) -> str:
         def sub(m):
@@ -998,6 +1038,10 @@ class SqlFrontend:
         if re.search(r"\b(SOME|ANY|ALL)\s*\(", text, re.I):
             text = self._expand_quantified(text)
         text = self._expand_within_distinct(text)
+        if self._ROW_RE.search(text):
+            text = self._expand_row_constructor(text)
+        if self._DUAL_RE.search(text):
+            text = self._expand_dual(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)
@@ -1017,7 +1061,78 @@ class SqlFrontend:
         if is_stream:
             return self._run_streaming(expanded)
         self.catalog.register_all_views()
+        if re.search(r"\b(NEXT|CURRENT)\s+VALUE\s+FOR\b", expanded, re.I):
+            return self._run_with_sequences(expanded)
         return self.spark.sql(expanded)
+
+    # -- sequences (sequence.iq) --------------------------------------
+
+    _SEQ_NEXT_RE = re.compile(r"\bNEXT\s+VALUE\s+FOR\s+(\w+)", re.I)
+    _SEQ_CURR_RE = re.compile(r"\bCURRENT\s+VALUE\s+FOR\s+(\w+)", re.I)
+
+    def _run_with_sequences(self, expanded: str) -> DataFrame:
+        """NEXT/CURRENT VALUE FOR <seq> ≈ SqlSequenceValueOperator
+        (SqlStdOperatorTable.java:2554; sequence.iq) over CREATE
+        SEQUENCE objects (sql/ddl.py). Sequences are inherently
+        STATEFUL, so this is an execution-time lowering, not a pure
+        macro: each NEXT VALUE occurrence becomes
+        `base + (row_number() - 1) * inc` over an unpartitioned window,
+        the statement is counted ONCE to advance the sequence by the
+        rows it consumed, and CURRENT VALUE splices the last allocated
+        value as a literal. Scale note (disclosed, inherent): assigning
+        CONSECUTIVE values is serial by definition — the global
+        row_number runs in one task, and the count() is an extra job;
+        a distributed pipeline wanting mere uniqueness should use
+        monotonically_increasing_id() instead of a SQL sequence. Values
+        are unique and dense per statement; assignment ORDER across
+        partitions is engine-defined (sequences guarantee uniqueness,
+        not row order — same as the reference's)."""
+        seqs = getattr(self.catalog, "sequences", {})
+
+        def _seq(name):
+            if name not in seqs:
+                raise ValueError(f"unknown sequence {name!r}")
+            return seqs[name]
+
+        def curr(m):
+            s = _seq(m.group(1))
+            if s["current"] is None:
+                raise ValueError(
+                    f"sequence {m.group(1)!r} has no current value "
+                    "(NEXT VALUE has not been called)"
+                )
+            return f"CAST({s['current']} AS BIGINT)"
+
+        expanded = self._SEQ_CURR_RE.sub(curr, expanded)
+        nexts = self._SEQ_NEXT_RE.findall(expanded)
+        if len(nexts) != len({n.lower() for n in nexts}):
+            raise ValueError(
+                "multiple NEXT VALUE FOR the same sequence in one "
+                "statement: allocation order would be undefined"
+            )
+        bases = {}
+        for name in nexts:
+            s = _seq(name)
+            bases[name.lower()] = (s["next"], s["inc"])
+
+        def nxt(m):
+            base, inc = bases[m.group(1).lower()]
+            return (
+                f"(CAST({base - inc} AS BIGINT) + CAST(row_number() OVER "
+                f"(ORDER BY (SELECT NULL)) AS BIGINT) * {inc})"
+            )
+
+        expanded = self._SEQ_NEXT_RE.sub(nxt, expanded)
+        df = self.spark.sql(expanded)
+        if nexts:
+            n = df.count()  # rows consumed — advances the sequence
+            for name in nexts:
+                s = _seq(name)
+                base, inc = bases[name.lower()]
+                if n:
+                    s["next"] = base + n * inc
+                    s["current"] = base + (n - 1) * inc
+        return df
 
     def _run_streaming(self, expanded: str) -> DataFrame:
         """SELECT STREAM: re-register every referenced table as a

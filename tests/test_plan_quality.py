@@ -664,3 +664,25 @@ def test_variant_extraction_keeps_pushdown_and_pruning(spark):
     schema = " ".join(rep["read_schemas"])
     assert "props" in schema and "user_id" in schema
     assert "event_type" not in schema and "value" not in schema, schema
+
+
+def test_quantified_subquery_executes_once(spark):
+    """The quantified-comparison lowering (frontend._expand_quantified)
+    references its MIN/MAX/COUNT aggregate from several CASE branches;
+    the array(named_struct(...))[0] wrapper keeps those references
+    canonically identical so ReuseSubquery executes the subquery ONCE.
+    Without the wrapper Catalyst splits per-field copies — 4 scans of
+    the subquery source at 100 TB instead of 1."""
+    import re as _re
+
+    from calcite_spark.queries.inventory import catalog_for
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    fe = SqlFrontend(catalog_for(spark, SF_DIR))
+    df = fe.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ALL "
+        "(SELECT o_totalprice FROM orders WHERE o_custkey = 370)"
+    )
+    df.collect()  # reuse shows in the POST-execution plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"ReusedSubquery", plan)) >= 1, plan[:3000]

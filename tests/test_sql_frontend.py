@@ -467,10 +467,12 @@ def test_quantified_lowering_shapes(fe):
     assert "NOT IN" in t
     t, _ = fe.parse("SELECT 1 WHERE 5 > ALL (SELECT x FROM t)")
     assert "named_struct" in t and "CASE WHEN" in t and "mx" in t
-    # every branch repeats the IDENTICAL subquery text so Spark's
-    # ReuseSubquery rule collapses them to one execution
-    frag = "(SELECT x FROM t) AS __qt(__qc)"
-    assert t.count(frag) >= 3
+    # every branch repeats the IDENTICAL subquery text, array-wrapped
+    # so Catalyst can't split per-field subquery copies — ReuseSubquery
+    # then collapses them to one execution (plan-asserted in
+    # test_plan_quality.py)
+    frag = "(SELECT x FROM t) AS __qt(__qc))[0]"
+    assert t.count(frag) >= 3 and "array(named_struct" in t
     t, _ = fe.parse("SELECT 1 WHERE 5 < ANY (SELECT x FROM t)")
     assert ".mx" in t  # ANY == SOME; witness for < sits at MAX
 
@@ -532,3 +534,51 @@ def test_unsigned_widening_map(fe):
         fe.parse("SELECT CAST(-1 AS INT UNSIGNED)")
     with pytest.raises(ValueError, match="UNSIGNED base"):
         fe.parse("SELECT CAST(x AS VARCHAR UNSIGNED) FROM t")
+
+
+# -- sequences (sequence.iq tier) -------------------------------------
+
+
+def test_sequence_allocation_and_state(fe, spark, tmp_path):
+    from calcite_spark.sql.ddl import DdlExecutor
+
+    ddl = DdlExecutor(fe, str(tmp_path / "wh"))
+    ddl.execute("CREATE SEQUENCE fe_seq START WITH 100 INCREMENT BY 10")
+    vals = [r.c for r in fe.sql(
+        "SELECT NEXT VALUE FOR fe_seq AS c FROM (VALUES (1),(2),(3)) t(x)"
+    ).collect()]
+    assert sorted(vals) == [100, 110, 120]  # unique+dense; order engine-defined
+    assert fe.sql("SELECT CURRENT VALUE FOR fe_seq AS c").collect()[0].c == 120
+    # numbering continues across statements
+    vals2 = [r.c for r in fe.sql(
+        "SELECT NEXT VALUE FOR fe_seq AS c FROM (VALUES (1)) t(x)"
+    ).collect()]
+    assert vals2 == [130]
+    # refusals
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown sequence"):
+        fe.sql("SELECT NEXT VALUE FOR missing_seq AS c")
+    with pytest.raises(ValueError, match="already exists"):
+        ddl.execute("CREATE SEQUENCE fe_seq")
+    ddl.execute("CREATE SEQUENCE IF NOT EXISTS fe_seq")  # idempotent form
+    with pytest.raises(ValueError, match="same sequence"):
+        fe.sql("SELECT NEXT VALUE FOR fe_seq AS a, NEXT VALUE FOR fe_seq AS b")
+    ddl.execute("DROP SEQUENCE fe_seq")
+    with pytest.raises(ValueError, match="does not exist"):
+        ddl.execute("DROP SEQUENCE fe_seq")
+
+
+def test_row_constructor_and_dual(fe):
+    t, _ = fe.parse("SELECT ROW(x, y) AS r FROM t GROUP BY ROW(x, y)")
+    assert t == "SELECT struct(x, y) AS r FROM t GROUP BY struct(x, y)"
+    # ROWS BETWEEN / CURRENT ROW never rewritten (not call-shaped)
+    t, _ = fe.parse(
+        "SELECT SUM(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert "ROWS BETWEEN" in t and "CURRENT ROW" in t and "struct" not in t
+    # 'ROW(' inside a string literal stays opaque
+    t, _ = fe.parse("SELECT 'ROW(1)' AS s FROM DUAL")
+    assert t == "SELECT 'ROW(1)' AS s"
+    assert fe.sql("SELECT * FROM DUAL").collect()[0].DUMMY == "X"
+    assert fe.sql("SELECT 1 + 1 AS v FROM DUAL").collect()[0].v == 2
