@@ -779,6 +779,44 @@ class SqlFrontend:
 
     _WD_RE = re.compile(r"\bWITHIN\s+DISTINCT\s*\(", re.I)
 
+    # plain-aggregate decomposition through a two-level aggregate:
+    # how each function re-aggregates over per-(key, d) partials
+    _DECOMPOSABLE = {
+        "sum": "SUM", "count": "SUM", "min": "MIN", "max": "MAX",
+        "bool_and": "BOOL_AND", "bool_or": "BOOL_OR",
+    }
+
+    def _decompose_plain_agg(self, item: str, idx: int, inner_aggs: list) -> str:
+        out, i, n = [], 0, 0
+        while True:
+            m = self._AGG_CALL_RE.search(item, i)
+            if m is None:
+                out.append(item[i:])
+                return "".join(out)
+            if item.count("'", 0, m.start()) % 2:
+                out.append(item[i : m.end()])
+                i = m.end()
+                continue
+            fn = m.group(1).lower()
+            arg, close = self._balanced_span(item, m.end())
+            out.append(item[i : m.start()])
+            col = f"__pl{idx}_{n}"
+            if fn in self._DECOMPOSABLE:
+                inner_aggs.append(f"{fn.upper()}({arg}) AS {col}")
+                out.append(f"{self._DECOMPOSABLE[fn]}({col})")
+            elif fn in ("avg", "mean"):
+                inner_aggs.append(f"SUM({arg}) AS {col}_s")
+                inner_aggs.append(f"COUNT({arg}) AS {col}_c")
+                out.append(f"(SUM({col}_s) / SUM({col}_c))")
+            else:
+                raise ValueError(
+                    f"WITHIN DISTINCT: plain aggregate {fn.upper()} "
+                    "cannot share a query with WITHIN DISTINCT calls "
+                    "(not decomposable through the two-level rewrite)"
+                )
+            n += 1
+            i = close + 1
+
     def _expand_within_distinct(self, text: str) -> str:
         """`AGG(x) WITHIN DISTINCT (d)` ≈ SqlStdOperatorTable
         WITHIN_DISTINCT:221 lowered the way
@@ -800,10 +838,21 @@ class SqlFrontend:
             return text
         text = text.strip()
         sel = self._top_level_kw(text, "SELECT")
+        # a WITH clause may precede the top-level SELECT: keep it as a
+        # verbatim prefix and rewrite only the SELECT body
+        prefix = ""
+        if sel > 0 and re.match(r"(?is)^\s*WITH\b", text[:sel]):
+            prefix, text = text[:sel], text[sel:]
+            sel = self._top_level_kw(text, "SELECT")
         frm = self._top_level_kw(text, "FROM")
         if sel != 0 or frm < 0:
             raise ValueError(
                 "WITHIN DISTINCT: top-level SELECT ... FROM ... only"
+            )
+        if not self._WD_RE.search(text):
+            raise ValueError(
+                "WITHIN DISTINCT inside a WITH clause body: unsupported "
+                "(use it in the top-level SELECT)"
             )
         if self._top_level_kw(text, "HAVING") >= 0:
             raise ValueError("WITHIN DISTINCT with HAVING: unsupported")
@@ -828,27 +877,48 @@ class SqlFrontend:
             item = item.strip()
             wd = self._WD_RE.search(item)
             if not wd:
-                if item not in keys:
-                    raise ValueError(
-                        f"WITHIN DISTINCT: non-aggregate item {item!r} "
-                        "must be a GROUP BY key (plain aggregates need "
-                        "the grouping-sets form — unsupported)"
+                if item in keys:
+                    out_items.append(item)
+                    continue
+                if self._AGG_CALL_RE.search(item):
+                    # a PLAIN aggregate next to WITHIN DISTINCT calls
+                    # (the paper's Listing 9: weighted AVG beside a
+                    # per-distinct-key AVG): decompose it through the
+                    # two-level rewrite — SUM/COUNT/MIN/MAX re-aggregate
+                    # over per-(key, d) partials, AVG = SUM(psum) /
+                    # SUM(pcount) — so the plain agg still sees EVERY
+                    # row while WD calls see one per distinct key.
+                    out_items.append(
+                        self._decompose_plain_agg(item, i, inner_aggs)
                     )
-                out_items.append(item)
-                continue
-            call = item[: wd.start()].strip()
-            cm = re.match(r"(\w+)\s*\(", call)
-            if not cm or not call.endswith(")"):
+                    continue
+                raise ValueError(
+                    f"WITHIN DISTINCT: non-aggregate item {item!r} "
+                    "must be a GROUP BY key"
+                )
+            # the WD call may be WRAPPED in outer scalar functions
+            # (CAST(FLOOR(AVG(x) WITHIN DISTINCT (k)) AS INT) — the
+            # paper's Listing 9): anchor on the aggregate call whose
+            # closing paren abuts WITHIN, keep the wrappers verbatim
+            anchor = None
+            cm = re.match(r"\s*(\w+)\s*\(", item)
+            for am in re.finditer(r"\b(\w+)\s*\(", item[: wd.start()]):
+                if item.count("'", 0, am.start()) % 2:
+                    continue
+                try:
+                    v, aclose = self._balanced_span(item, am.end())
+                except ValueError:
+                    continue
+                if not item[aclose + 1 : wd.start()].strip():
+                    anchor = (am, v, aclose)
+            if anchor is None:
                 raise ValueError(f"WITHIN DISTINCT: bad aggregate {item!r}")
-            fn = cm.group(1)
-            val, _ = self._balanced_span(call, cm.end())
+            am, val, aclose = anchor
+            fn = am.group(1)
+            pre = item[: am.start()]
             dks_text, close = self._balanced_span(item, wd.end())
             dks = [d.strip() for d in self._split_top_commas(dks_text)]
-            rest = item[close + 1 :].strip()
-            am = re.match(r"(?is)^AS\s+(\w+)\s*$", rest)
-            if rest and not am:
-                raise ValueError(f"WITHIN DISTINCT: trailing {rest!r}")
-            alias = am.group(1) if am else f"__wd_out{i}"
+            post = item[close + 1 :]
             if dset is None:
                 dset = dks
             elif sorted(dset) != sorted(dks):
@@ -860,25 +930,50 @@ class SqlFrontend:
                 # COUNT(*) WITHIN DISTINCT (d) = one count per distinct
                 # d-group; uniformity is vacuous
                 inner_aggs.append(f"MIN(1) AS __wd_mn{i}")
-                out_items.append(f"{fn}(__wd_mn{i}) AS {alias}")
+                repl = f"{fn}(__wd_mn{i})"
             else:
                 inner_aggs.append(f"MIN({val}) AS __wd_mn{i}")
                 inner_aggs.append(f"MAX({val}) AS __wd_mx{i}")
-                out_items.append(
+                repl = (
                     f"{fn}(IF(__wd_mn{i} <=> __wd_mx{i}, __wd_mn{i}, "
                     f"raise_error('WITHIN DISTINCT: value is not "
-                    f"functionally dependent on the distinct key'))) "
-                    f"AS {alias}"
+                    f"functionally dependent on the distinct key')))"
                 )
+            rebuilt = f"{pre}{repl}{post}".strip()
+            if not re.search(r"(?is)\bAS\s+\w+\s*$", rebuilt):
+                rebuilt += f" AS __wd_out{i}"
+            out_items.append(rebuilt)
         inner_keys = keys + [d for d in (dset or []) if d not in keys]
+        # table-qualified keys (o.prodName) lose their qualifier at the
+        # inner/outer boundary: alias them to their last component in
+        # the inner select and use that name in the outer query + tail
+        last = {k: k.split(".")[-1].strip() for k in inner_keys}
+        if len(set(last.values())) != len(last):
+            raise ValueError(
+                f"WITHIN DISTINCT: key names collide after "
+                f"unqualification: {sorted(last.values())}"
+            )
+        inner_sel = [
+            f"{k} AS {last[k]}" if "." in k else k for k in inner_keys
+        ]
         inner = (
-            f"SELECT {', '.join(inner_keys + inner_aggs)} {base}"
+            f"SELECT {', '.join(inner_sel + inner_aggs)} {base}"
             + (f" GROUP BY {', '.join(inner_keys)}" if inner_keys else "")
         )
+
+        def unqual(s: str) -> str:
+            for k, lp in last.items():
+                if "." in k:
+                    s = s.replace(k, lp)
+            return s
+
+        out_items = [
+            unqual(it) if not it.startswith("__") else it for it in out_items
+        ]
         outer = f"SELECT {', '.join(out_items)} FROM ({inner})"
         if keys:
-            outer += f" GROUP BY {', '.join(keys)}"
-        return f"{outer} {tail}".rstrip()
+            outer += f" GROUP BY {', '.join(unqual(k) for k in keys)}"
+        return f"{prefix}{outer} {unqual(tail)}".rstrip()
 
     def _expand_qualify(self, text: str) -> str:
         """QUALIFY ≈ the reference's SqlQualify clause (qualify.iq):
@@ -926,6 +1021,38 @@ class SqlFrontend:
         injected = f"{base[:frm]}, ({pred}) AS __q {base[frm:]}"
         out = f"SELECT * EXCEPT (__q) FROM ({injected}) WHERE __q"
         return f"{out} {tail}" if tail else out
+
+    # aggregate calls that can anchor a measure definition; each gets
+    # its own OVER () when the measure is evaluated at row context
+    _AGG_CALL_RE = re.compile(
+        r"\b(SUM|COUNT|AVG|MIN|MAX|MEAN|STDDEV|STDDEV_SAMP|STDDEV_POP|"
+        r"VARIANCE|VAR_SAMP|VAR_POP|COUNT_IF|ANY_VALUE|FIRST|LAST|"
+        r"PERCENTILE|MEDIAN|COLLECT_LIST|COLLECT_SET|MAX_BY|MIN_BY|"
+        r"BOOL_AND|BOOL_OR)\s*\(",
+        re.I,
+    )
+
+    def _windowize(self, expr: str) -> str:
+        """Append OVER () to every top-level aggregate CALL inside a
+        measure expression — `ROUND((SUM(r) - SUM(c)) / SUM(r), 4)`
+        becomes `ROUND((SUM(r) OVER () - ...) / SUM(r) OVER (), 4)`.
+        Windowizing each call (not the whole expression) is what lets
+        COMPOUND measures — the paper's profitMargin — evaluate at row
+        context; Spark only accepts OVER on the aggregate itself."""
+        out, i = [], 0
+        while True:
+            m = self._AGG_CALL_RE.search(expr, i)
+            if m is None:
+                out.append(expr[i:])
+                return "".join(out)
+            if expr.count("'", 0, m.start()) % 2:
+                out.append(expr[i : m.end()])
+                i = m.end()
+                continue
+            _, close = self._balanced_span(expr, m.end())
+            out.append(expr[i : close + 1])
+            out.append(" OVER ()")
+            i = close + 1
 
     def _expand_measures_sql(self, text: str) -> str:
         """SQL measures ≈ SqlTypeName.MEASURE + MeasureRules.java +
@@ -998,7 +1125,7 @@ class SqlFrontend:
             self.catalog.measures[name] = expr
             text = (
                 text[:start]
-                + f" {expr} OVER () AS {name}"
+                + f" {self._windowize(expr)} AS {name}"
                 + text[m.end() :]
             )
 
