@@ -191,15 +191,26 @@ class QuidemRunner:
             try:
                 ordered = _has_top_level_order_by(sql)
                 got = format_result(fe.sql(sql), ordered)
-                odf = duck.execute(sql).df()
+                # fetchall (NOT .df()): pandas coerces DATE columns to
+                # midnight Timestamps, which format as
+                # 'YYYY-MM-DD 00:00:00' and spuriously mismatch Spark's
+                # datetime.date; raw fetch keeps python date/datetime
+                # objects whose str() matches Spark's collect() exactly
+                rel = duck.execute(sql)
+                ocols = [d[0] for d in rel.description]
                 orows = [
-                    ", ".join(_fmt_val(None if v != v else v) if isinstance(v, float) else _fmt_val(v) for v in r)
-                    for r in odf.itertuples(index=False)
+                    ", ".join(
+                        _fmt_val(None if v != v else v)
+                        if isinstance(v, float)
+                        else _fmt_val(v)
+                        for v in r
+                    )
+                    for r in rel.fetchall()
                 ]
                 if not ordered:
                     orows.sort()
                 want = [
-                    ", ".join(odf.columns),
+                    ", ".join(ocols),
                     *orows,
                     f"({len(orows)} row{'s' if len(orows) != 1 else ''})",
                 ]
