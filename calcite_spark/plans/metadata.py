@@ -501,6 +501,51 @@ class MetadataQuery:
             return tuple(node.keys) if node.distribution == "range" else ()
         return ()
 
+    # -- distribution -------------------------------------------------
+
+    def distribution(self, node: ir.RelNode) -> tuple[str, tuple]:
+        """Partitioning trait ≈ RelMdDistribution: ``(kind, keys)``
+        with kind ∈ hash | range | broadcast | singleton | any.
+        Reference rules mirrored exactly (RelMdDistribution.java):
+        Exchange reports its own distribution (:112), Values is
+        BROADCAST_DISTRIBUTED (:175), Filter/Sort/limit/Snapshot/
+        TableModify pass the input through (:126-146), Project applies
+        the column mapping — a distribution key the projection drops
+        degrades the trait to ANY (:164-171), BiRel/SetOp default to
+        ANY (:83-89). One documented Spark-side EXTENSION: Aggregate
+        reports hash(group keys) — Spark's physical hash aggregate has
+        exchanged on exactly those keys, and downstream same-key
+        operators (z70's pattern) reuse that exchange; the reference's
+        SingleRel fallthrough would claim the input's distribution,
+        which is physically wrong after a shuffle."""
+        return self._cached(("dist", id(node)), lambda: self._distribution(node), node)
+
+    def _distribution(self, node) -> tuple[str, tuple]:
+        if isinstance(node, ir.Exchange):
+            return (node.distribution, tuple(node.keys))
+        if isinstance(node, ir.Values):
+            return ("broadcast", ())
+        if isinstance(node, ir.Aggregate):
+            keys = tuple(getattr(node, "group_keys", ()) or ())
+            return ("hash", keys) if keys else ("singleton", ())
+        if isinstance(node, ir.Project):
+            kind, keys = self.distribution(node.inputs[0])
+            if not keys:
+                return (kind, keys)
+            # survive the projection under identity or aliasing
+            out = {}
+            for e in node.exprs:
+                expr, alias = _split_alias(e)
+                out[expr.strip()] = (alias or expr).strip()
+            mapped = tuple(out.get(k) for k in keys)
+            if all(m is not None for m in mapped):
+                return (kind, mapped)
+            return ("any", ())
+        if isinstance(node, (ir.Filter, ir.Sort, ir.Sample, ir.Spool,
+                             ir.Snapshot)):
+            return self.distribution(node.inputs[0])
+        return ("any", ())
+
     # -- population / original-row fraction ---------------------------
 
     def population_size(self, node: ir.RelNode, columns) -> float | None:

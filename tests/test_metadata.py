@@ -450,3 +450,37 @@ def test_percentage_original_rows(cat, mq):
         .filter("o_orderstatus = 'F'").join("c_custkey = o_custkey").build()
     )
     assert mq.percentage_original_rows(join) == pytest.approx(frac)
+
+
+def test_distribution(cat, mq):
+    """≈ RelMdDistribution.java rules + the documented Spark extension
+    for Aggregate (hash on group keys after its exchange)."""
+    scan = _b(cat).scan("orders").build()
+    assert mq.distribution(scan) == ("any", ())
+    ex = ir.Exchange("hash", ("o_custkey",), inputs=(scan,))
+    assert mq.distribution(ex) == ("hash", ("o_custkey",))
+    # Filter / Sort pass through (:126-146)
+    filt = ir.Filter("o_totalprice > 0", inputs=(ex,))
+    assert mq.distribution(filt) == ("hash", ("o_custkey",))
+    srt = ir.Sort(("o_custkey",), inputs=(filt,))
+    assert mq.distribution(srt) == ("hash", ("o_custkey",))
+    # Values is broadcast-distributed (:175)
+    vals = ir.Values([(1,)], "a int")
+    assert mq.distribution(vals) == ("broadcast", ())
+    # Project keeps the trait when the key survives (aliased or not),
+    # degrades to ANY when it is dropped (:164-171)
+    keep = ir.Project(("o_custkey", "o_totalprice"), inputs=(ex,))
+    assert mq.distribution(keep) == ("hash", ("o_custkey",))
+    ren = ir.Project(("o_custkey AS ck",), inputs=(ex,))
+    assert mq.distribution(ren) == ("hash", ("ck",))
+    drop = ir.Project(("o_totalprice",), inputs=(ex,))
+    assert mq.distribution(drop) == ("any", ())
+    # Aggregate: hash on its group keys (Spark extension, documented);
+    # global aggregate collapses to a singleton
+    agg = ir.Aggregate(("o_orderstatus",), ("COUNT(*) AS n",), inputs=(scan,))
+    assert mq.distribution(agg) == ("hash", ("o_orderstatus",))
+    glob = ir.Aggregate((), ("COUNT(*) AS n",), inputs=(scan,))
+    assert mq.distribution(glob) == ("singleton", ())
+    # joins default to ANY (BiRel :83)
+    j = _b(cat).scan("orders").scan("customer").join("o_custkey = c_custkey").build()
+    assert mq.distribution(j) == ("any", ())
