@@ -1067,7 +1067,37 @@ def _expand_spatial_macros(node, catalog):
     return None
 
 
+def _eliminate_redundant_exchange(node, catalog):
+    """≈ the distribution-trait side of ExchangeRemoveConstantKeysRule /
+    Calcite's trait-satisfaction check (an Exchange whose required
+    distribution the input ALREADY satisfies is a no-op): drop
+    Exchange(kind, keys) when mq.distribution of its input reports the
+    identical trait. At 100 TB a redundant hash Exchange is a full
+    shuffle of the dataset for nothing — the classic shape is a
+    repartition(k) stacked over a repartition(k) left behind by
+    composed pipeline stages, or over an Aggregate that already
+    exchanged on exactly k (the metadata facade's documented Spark
+    extension). Only hash/range exchanges with keys are considered:
+    broadcast/singleton exchanges carry execution-strategy intent
+    (hints, coalesce) beyond the distribution trait."""
+    if not isinstance(node, ir.Exchange):
+        return None
+    if node.distribution not in ("hash", "range") or not node.keys:
+        return None
+    if node.num_partitions is not None:
+        # an explicit partition count is a sizing request, not just a
+        # trait — keep it
+        return None
+    from calcite_spark.plans.metadata import MetadataQuery
+
+    kind, keys = MetadataQuery(catalog).distribution(node.inputs[0])
+    if kind == node.distribution and tuple(keys) == tuple(node.keys):
+        return node.inputs[0]
+    return None
+
+
 DEFAULT_RULES = [
+    Rule("EliminateRedundantExchange", _eliminate_redundant_exchange),
     Rule("JoinOrderStats", _join_order_stats),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),

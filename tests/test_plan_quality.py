@@ -686,3 +686,53 @@ def test_quantified_subquery_executes_once(spark):
     df.collect()  # reuse shows in the POST-execution plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(_re.findall(r"ReusedSubquery", plan)) >= 1, plan[:3000]
+
+
+def test_redundant_exchange_eliminated(spark):
+    """EliminateRedundantExchange: an Exchange whose input already
+    satisfies the identical distribution trait is a full shuffle for
+    nothing — stacked repartitions collapse, an exchange over an
+    Aggregate that hashed on the same keys drops, but a DIFFERENT key,
+    an explicit partition count, or a broadcast intent all survive."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import default_program
+    from calcite_spark.queries.inventory import catalog_for
+
+    cat = catalog_for(spark, SF_DIR)
+    prog = default_program(cat)
+    scan = RelBuilder(cat).scan("orders").build()
+
+    # stacked identical hash exchanges -> one
+    stacked = ir.Exchange(
+        "hash", ("o_custkey",),
+        inputs=(ir.Exchange("hash", ("o_custkey",), inputs=(scan,)),),
+    )
+    out = prog.run(stacked)
+    assert isinstance(out, ir.Exchange) and isinstance(out.inputs[0], ir.Scan)
+
+    # exchange over an aggregate that already hashed on the key -> drops
+    agg = ir.Aggregate(("o_custkey",), ("COUNT(*) AS n",), inputs=(scan,))
+    over_agg = ir.Exchange("hash", ("o_custkey",), inputs=(agg,))
+    assert isinstance(prog.run(over_agg), ir.Aggregate)
+
+    # different key survives
+    diff = ir.Exchange(
+        "hash", ("o_orderkey",),
+        inputs=(ir.Exchange("hash", ("o_custkey",), inputs=(scan,)),),
+    )
+    out = prog.run(diff)
+    assert isinstance(out, ir.Exchange) and out.keys == ("o_orderkey",)
+
+    # explicit partition count is a sizing request -> kept
+    sized = ir.Exchange(
+        "hash", ("o_custkey",), 64,
+        inputs=(ir.Exchange("hash", ("o_custkey",), inputs=(scan,)),),
+    )
+    out = prog.run(sized)
+    assert isinstance(out, ir.Exchange) and out.num_partitions == 64
+
+    # values unchanged by the elimination
+    a = stacked.to_df(cat).count()
+    b = prog.run(stacked).to_df(cat).count()
+    assert a == b > 0
