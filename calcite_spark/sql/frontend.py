@@ -121,9 +121,16 @@ class SqlFrontend:
     # `= SOME` / `<> ALL` lower to IN / NOT IN, whose null semantics
     # Spark already implements natively.
 
+    # operand: an optionally-negated simple term, one non-nested
+    # function call (CAST(NULL AS INT)), or one parenthesized
+    # expression — the documented macro scope (parenthesize anything
+    # fancier). Both extra forms were found by the hypothesis fuzz vs
+    # DuckDB's native quantifiers: without the sign, `-1 = SOME (...)`
+    # captured `1` and negated the whole predicate; without the call
+    # form, `CAST(NULL AS INT) = SOME (...)` captured `(NULL AS INT)`.
     _QUANT_RE = re.compile(
-        r"([\w.'\"]+|\([^()]*\))\s*(=|<>|!=|<=|>=|<|>)\s*"
-        r"(SOME|ANY|ALL)\s*\(",
+        r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.'\"]+|\([^()]*\))"
+        r"\s*(=|<>|!=|<=|>=|<|>)\s*(SOME|ANY|ALL)\s*\(",
         re.I,
     )
 
@@ -142,10 +149,34 @@ class SqlFrontend:
                 )
             if quant == "ANY":
                 quant = "SOME"  # ANY is the SQL-standard synonym
-            if op == "=" and quant == "SOME":
-                rep = f"(({x}) IN ({sub}))"
-            elif op == "<>" and quant == "ALL":
-                rep = f"(({x}) NOT IN ({sub}))"
+            if (op == "=" and quant == "SOME") or (
+                op == "<>" and quant == "ALL"
+            ):
+                # membership needs IN as the witness (MIN/MAX cannot
+                # decide equality), but Spark's IN-SUBQUERY collapses
+                # UNKNOWN to FALSE in projection context (fuzz-found:
+                # `SELECT 0 IN (SELECT NULL)` is false, not NULL, while
+                # the literal-list form is correct) — so IN supplies
+                # only the definite-TRUE branch and the aggregate
+                # struct restores the 3-valued cases around it.
+                qs = (
+                    "((SELECT array(named_struct("
+                    "'n', COUNT(*), 'd', COUNT(__qc))) "
+                    f"FROM ({sub}) AS __qt(__qc))[0])"
+                )
+                null_b = "CAST(NULL AS BOOLEAN)"
+                hit, miss, empty = (
+                    ("TRUE", "FALSE", "FALSE")
+                    if op == "="
+                    else ("FALSE", "TRUE", "TRUE")
+                )
+                rep = (
+                    f"(CASE WHEN {qs}.n = 0 THEN {empty} "
+                    f"WHEN ({x}) IS NULL THEN {null_b} "
+                    f"WHEN (({x}) IN ({sub})) THEN {hit} "
+                    f"WHEN {qs}.d < {qs}.n THEN {null_b} "
+                    f"ELSE {miss} END)"
+                )
             else:
                 # The aggregate is wrapped in array(named_struct(...))[0]
                 # ON PURPOSE: with a bare struct, Catalyst pushes each

@@ -1,0 +1,90 @@
+"""Property fuzz for the r6 SQL-surface lowerings.
+
+1. Quantified comparisons: frontend._expand_quantified's 3-valued CASE
+   vs DuckDB's NATIVE SOME/ANY/ALL on randomized small lists (NULLs,
+   empty sets, NULL operands, every operator) — the strongest oracle
+   available for the lowering's null semantics.
+2. pack_sequences: the JVM fold vs a 10-line Python reference of the
+   greedy first-fit contract (zero-token docs and oversized docs
+   included — the ADVICE r5 divergence class).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tests.conftest import SF_DIR
+
+OPS = ["=", "<>", "<", "<=", ">", ">="]
+QUANTS = ["SOME", "ANY", "ALL"]
+
+VALS = st.lists(st.one_of(st.none(), st.integers(-3, 3)), min_size=0, max_size=5)
+
+
+@pytest.fixture(scope="module")
+def fe(spark):
+    from calcite_spark.queries.inventory import catalog_for
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    return SqlFrontend(catalog_for(spark, SF_DIR))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _subquery(vals):
+    if not vals:
+        return "SELECT x FROM (VALUES (1)) AS t(x) WHERE x > 99"
+    rows = ", ".join(f"({'NULL' if v is None else v})" for v in vals)
+    return f"SELECT x FROM (VALUES {rows}) AS t(x)"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    x=st.one_of(st.none(), st.integers(-3, 3)),
+    op=st.sampled_from(OPS),
+    quant=st.sampled_from(QUANTS),
+    vals=VALS,
+)
+def test_quantified_matches_duckdb_native(fe, duck, x, op, quant, vals):
+    lhs = "CAST(NULL AS INT)" if x is None else str(x)
+    sql = f"SELECT ({lhs} {op} {quant} ({_subquery(vals)})) AS v"
+    got = fe.sql(sql).collect()[0].v
+    want = duck.execute(sql).fetchone()[0]
+    assert got == want, f"{sql}: spark={got} duckdb={want}"
+
+
+def _pack_reference(docs, budget):
+    """The documented contract: walk in id order; join the current pack
+    unless adding would overflow AND the pack already holds a doc."""
+    out, pack, used, started = {}, 0, 0, False
+    for doc_id, n in sorted(docs):
+        if started and used + n > budget:
+            pack, used = pack + 1, n
+        else:
+            used += n
+        started = True
+        out[doc_id] = pack
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ns=st.lists(st.integers(0, 12), min_size=1, max_size=10),
+    budget=st.integers(1, 15),
+)
+def test_pack_sequences_matches_reference(spark, ns, budget):
+    from calcite_spark.llm.chunking import pack_sequences
+
+    docs = [(i, n) for i, n in enumerate(ns)]
+    df = spark.createDataFrame(docs, "doc_id long, n long")
+    got = {
+        r.doc_id: r.pack
+        for r in pack_sequences(df, budget_tokens=budget, buckets=1,
+                                tokens_col="n").collect()
+    }
+    assert got == _pack_reference(docs, budget)

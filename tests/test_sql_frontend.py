@@ -461,10 +461,13 @@ def test_quantified_lowering_shapes(fe):
     """= SOME -> IN, <> ALL -> NOT IN; ordering quantifiers -> one
     MIN/MAX/COUNT aggregate + 3-valued CASE (values cross-checked vs
     native DuckDB quantifiers in tests/iq/some.iq)."""
+    # = SOME keeps IN as the membership witness but wraps it in the
+    # 3-valued CASE — Spark's IN-subquery collapses UNKNOWN to FALSE
+    # in projection context (fuzz-found), so bare IN would be wrong
     t, _ = fe.parse("SELECT 1 WHERE 5 = SOME (SELECT x FROM t)")
-    assert "IN (SELECT x FROM t)" in t and "CASE" not in t
+    assert "IN (SELECT x FROM t)" in t and "CASE WHEN" in t and ".d <" in t
     t, _ = fe.parse("SELECT 1 WHERE 5 <> ALL (SELECT x FROM t)")
-    assert "NOT IN" in t
+    assert "IN (SELECT x FROM t)" in t and "THEN FALSE" in t
     t, _ = fe.parse("SELECT 1 WHERE 5 > ALL (SELECT x FROM t)")
     assert "named_struct" in t and "CASE WHEN" in t and "mx" in t
     # every branch repeats the IDENTICAL subquery text, array-wrapped
