@@ -88,3 +88,42 @@ def test_pack_sequences_matches_reference(spark, ns, budget):
                                 tokens_col="n").collect()
     }
     assert got == _pack_reference(docs, budget)
+
+
+# -- UNSIGNED widening vs DuckDB's NATIVE unsigned types --------------
+
+UTYPES = {
+    "TINYINT": ("UTINYINT", 255),
+    "SMALLINT": ("USMALLINT", 65535),
+    "INT": ("UINTEGER", 4294967295),
+    "BIGINT": ("UBIGINT", 18446744073709551615),
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ty=st.sampled_from(sorted(UTYPES)),
+    v=st.one_of(
+        st.integers(-300, 300),
+        st.integers(65530, 65540),
+        st.integers(4294967290, 4294967300),
+    ),
+)
+def test_unsigned_widening_matches_duckdb_native(fe, duck, ty, v):
+    """Our CAST(x AS T UNSIGNED) widening must agree VALUE-FOR-VALUE
+    with DuckDB's native unsigned types — both the kept values and the
+    out-of-range refusals (DuckDB: Conversion Error; ours: the
+    reference's 'Value is out of range')."""
+    dtype, mx = UTYPES[ty]
+    spark_sql = f"SELECT CAST({v} AS {ty} UNSIGNED) AS u"
+    duck_sql = f"SELECT CAST({v} AS {dtype}) AS u"
+    in_range = 0 <= v <= mx
+    if in_range:
+        got = fe.sql(spark_sql).collect()[0].u
+        want = duck.execute(duck_sql).fetchone()[0]
+        assert int(got) == int(want), f"{v} AS {ty} UNSIGNED: {got} != {want}"
+    else:
+        with pytest.raises(ValueError, match="out of range"):
+            fe.sql(spark_sql)
+        with pytest.raises(Exception, match="(?i)conversion|out of range"):
+            duck.execute(duck_sql)
