@@ -1059,3 +1059,59 @@ def qx30_parse_url(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "qx33_spatial_constructive",
+    oracle="""
+    WITH boxes AS (
+      SELECT c_nationkey AS nk,
+             CAST(c_nationkey % 10 AS DOUBLE) AS x1,
+             CAST(CAST(c_nationkey / 10 AS INT) * 2 AS DOUBLE) AS y1
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT nk,
+           ROUND(GREATEST(0.0, LEAST(x1 + 4.0, x1 + 3.0 + 4.0) - GREATEST(x1, x1 + 3.0))
+               * GREATEST(0.0, LEAST(y1 + 4.0, y1 + 2.0 + 4.0) - GREATEST(y1, y1 + 2.0)), 6)
+             AS clip_area,
+           ROUND(0.5 * 32 * 2.5 * 2.5 * sin(2 * pi() / 32), 6) AS buf_area,
+           2 AS union_parts
+    FROM boxes ORDER BY nk
+    """,
+    tags=("spatial", "constructive"),
+)
+def qx33_spatial_constructive(spark, sf_dir):
+    """Constructive-geometry tier under the driver gate (r6; the
+    operators landed with spatial batch 4 — SpatialTypeFunctions.java
+    ST_Intersection/ST_Union/ST_Buffer, JTS OverlayOp/BufferOp):
+    per-nation 4x4 envelopes intersected with a (+3,+2)-shifted copy
+    (Sutherland-Hodgman with a convex clip — EXACT, so the oracle is
+    the closed-form axis-aligned overlap area), a 32-gon point buffer
+    (JTS's own discretization; oracle = the regular-polygon area
+    formula 0.5*n*r^2*sin(2*pi/n)), and a disjoint-union part count.
+    Everything is whole-stage-codegen SQL over the struct-geometry
+    encoding — zero Python, scan-parallel at any scale."""
+    from calcite_spark.functions import spatial as S
+
+    cat = catalog_for(spark, sf_dir)
+    boxes = (
+        cat.table("customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.expr("CAST(c_nationkey % 10 AS DOUBLE)").alias("x1"),
+            F.expr("CAST(CAST(c_nationkey / 10 AS INT) * 2 AS DOUBLE)").alias("y1"),
+        )
+        .selectExpr(
+            "nk",
+            f"{S.st_make_envelope('x1', 'y1', 'x1 + 4.0', 'y1 + 4.0')} AS a",
+            f"{S.st_make_envelope('x1 + 3.0', 'y1 + 2.0', 'x1 + 7.0', 'y1 + 6.0')} AS b",
+            f"{S.make_point('x1', 'y1')} AS p",
+            f"{S.st_make_envelope('x1 + 100.0', 'y1 + 100.0', 'x1 + 101.0', 'y1 + 101.0')} AS far",
+        )
+    )
+    return boxes.selectExpr(
+        "nk",
+        f"ROUND({S.st_area(S.st_intersection('a', 'b'))}, 6) AS clip_area",
+        f"ROUND({S.st_area(S.st_buffer('p', '2.5'))}, 6) AS buf_area",
+        f"size({S.st_union('a', 'far')}) AS union_parts",
+    ).orderBy("nk")
