@@ -127,3 +127,65 @@ def test_unsigned_widening_matches_duckdb_native(fe, duck, ty, v):
             fe.sql(spark_sql)
         with pytest.raises(Exception, match="(?i)conversion|out of range"):
             duck.execute(duck_sql)
+
+
+# -- WITHIN DISTINCT vs a DuckDB two-level replay ---------------------
+
+WD_AGGS = ["SUM", "COUNT", "MIN", "MAX"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4)),
+        min_size=1, max_size=12,
+    ),
+    agg=st.sampled_from(WD_AGGS),
+    mult=st.integers(1, 5),
+)
+def test_within_distinct_matches_duckdb_two_level(fe, duck, rows, agg, mult):
+    """AGG(f(d)) WITHIN DISTINCT (d) grouped by g — with f(d) = d*mult
+    the uniformity assertion holds by construction, and DuckDB replays
+    the defining semantics directly (one value per distinct (g, d))."""
+    vals = ", ".join(f"({g}, {d})" for g, d in rows)
+    spark_sql = (
+        f"SELECT g, {agg}(d * {mult}) WITHIN DISTINCT (d) AS a, "
+        f"COUNT(*) WITHIN DISTINCT (d) AS c "
+        f"FROM (VALUES {vals}) AS t(g, d) GROUP BY g ORDER BY g"
+    )
+    duck_sql = (
+        f"SELECT g, {agg}(d * {mult}) AS a, COUNT(*) AS c "
+        f"FROM (SELECT DISTINCT g, d FROM (VALUES {vals}) AS t(g, d)) "
+        f"GROUP BY g ORDER BY g"
+    )
+    got = [(r.g, int(r.a), int(r.c)) for r in fe.sql(spark_sql).collect()]
+    want = [(g, int(a), int(c)) for g, a, c in duck.execute(duck_sql).fetchall()]
+    assert got == want, f"{spark_sql}: {got} != {want}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 2)),
+        min_size=1, max_size=8,
+    ),
+)
+def test_within_distinct_uniformity_raises_or_matches(fe, rows):
+    """x NOT functionally dependent on d: either every (g, d) group is
+    accidentally uniform (query runs, per-d value well-defined) or the
+    lowering MUST raise Calcite's THROW — never return a quiet
+    arbitrary pick."""
+    vals = ", ".join(f"({g}, {d}, {g * 10 + d + i % 2})" for i, (g, d) in enumerate(rows))
+    groups = {}
+    for i, (g, d) in enumerate(rows):
+        groups.setdefault((g, d), set()).add(g * 10 + d + i % 2)
+    uniform = all(len(v) == 1 for v in groups.values())
+    sql = (
+        f"SELECT g, SUM(x) WITHIN DISTINCT (d) AS a "
+        f"FROM (VALUES {vals}) AS t(g, d, x) GROUP BY g ORDER BY g"
+    )
+    if uniform:
+        assert fe.sql(sql).collect() is not None
+    else:
+        with pytest.raises(Exception, match="functionally dependent"):
+            fe.sql(sql).collect()
