@@ -230,6 +230,33 @@ class SqlFrontend:
                     )
             text = text[: m.start()] + rep + text[close + 1 :]
 
+    # PostgreSQL `expr::type` cast shorthand ≈ the babel module's
+    # lenient-parser tier (babel/src/test/resources/sql/postgresql.iq:
+    # `123.456::decimal(8,4)`, `comm::integer`). Operand scope matches
+    # the quantifier macro: literal / [dotted] identifier / one
+    # non-nested call / one parenthesized expression — parenthesize
+    # anything fancier. Chains (a::int::text) resolve left-to-right by
+    # iterating.
+    _PG_CAST_RE = re.compile(
+        r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
+        r"\s*::\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    )
+
+    def _expand_pg_casts(self, text: str) -> str:
+        while True:
+            m = None
+            for cand in self._PG_CAST_RE.finditer(text):
+                if text.count("'", 0, cand.start(2)) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                return text
+            text = (
+                text[: m.start()]
+                + f"CAST({m.group(1)} AS {m.group(2)})"
+                + text[m.end() :]
+            )
+
     # ROW(a, b) value constructor (SqlStdOperatorTable.ROW;
     # row-equality.iq) → Spark struct(a, b): same field-wise equality,
     # grouping, and ordering semantics. \bROW\s*\( cannot collide with
@@ -1200,6 +1227,8 @@ class SqlFrontend:
             text = self._expand_row_constructor(text)
         if self._DUAL_RE.search(text):
             text = self._expand_dual(text)
+        if "::" in text:
+            text = self._expand_pg_casts(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)

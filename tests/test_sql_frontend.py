@@ -585,3 +585,16 @@ def test_row_constructor_and_dual(fe):
     assert t == "SELECT 'ROW(1)' AS s"
     assert fe.sql("SELECT * FROM DUAL").collect()[0].DUMMY == "X"
     assert fe.sql("SELECT 1 + 1 AS v FROM DUAL").collect()[0].v == 2
+
+
+def test_pg_cast_shorthand(fe):
+    """`expr::type` ≈ the babel tier (postgresql.iq fixtures)."""
+    t, _ = fe.parse("SELECT 123.456::decimal(8,4) AS d")
+    assert t == "SELECT CAST(123.456 AS decimal(8,4)) AS d"
+    t, _ = fe.parse("SELECT '5'::int::string AS s")
+    assert t == "SELECT CAST(CAST('5' AS int) AS string) AS s"
+    t, _ = fe.parse("SELECT 'a::b' AS s")  # literals stay opaque
+    assert t == "SELECT 'a::b' AS s"
+    t, _ = fe.parse("SELECT (1 + 2)::string AS s")
+    assert t == "SELECT CAST((1 + 2) AS string) AS s"
+    assert fe.sql("SELECT -1::int AS v").collect()[0].v == -1
