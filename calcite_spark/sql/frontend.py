@@ -257,6 +257,34 @@ class SqlFrontend:
                 + text[m.end() :]
             )
 
+    # PostgreSQL regex-match operators (babel tier, POSIX_REGEX_*
+    # operators in SqlStdOperatorTable): `x ~ 'p'` / `~*` (case-
+    # insensitive) / `!~` / `!~*` → [NOT] RLIKE. The RHS must be a
+    # string LITERAL — that is what disambiguates the binary match
+    # from Spark's unary bitwise NOT (`12 & ~5` has no literal RHS).
+    _PG_REGEX_RE = re.compile(
+        r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
+        r"\s*(!~\*|!~|~\*|~)\s*'([^']*)'",
+    )
+
+    def _expand_pg_regex_ops(self, text: str) -> str:
+        def sub(m):
+            lhs, op, pat = m.group(1), m.group(2), m.group(3)
+            if "*" in op:
+                pat = f"(?i){pat}"
+            neg = "NOT " if op.startswith("!") else ""
+            return f"{neg}({lhs} RLIKE '{pat}')"
+
+        out, i = [], 0
+        for m in self._PG_REGEX_RE.finditer(text):
+            if text.count("'", 0, m.start()) % 2:
+                continue
+            out.append(text[i : m.start()])
+            out.append(sub(m))
+            i = m.end()
+        out.append(text[i:])
+        return "".join(out)
+
     # ROW(a, b) value constructor (SqlStdOperatorTable.ROW;
     # row-equality.iq) → Spark struct(a, b): same field-wise equality,
     # grouping, and ordering semantics. \bROW\s*\( cannot collide with
@@ -1229,6 +1257,8 @@ class SqlFrontend:
             text = self._expand_dual(text)
         if "::" in text:
             text = self._expand_pg_casts(text)
+        if "~" in text:
+            text = self._expand_pg_regex_ops(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)

@@ -598,3 +598,15 @@ def test_pg_cast_shorthand(fe):
     t, _ = fe.parse("SELECT (1 + 2)::string AS s")
     assert t == "SELECT CAST((1 + 2) AS string) AS s"
     assert fe.sql("SELECT -1::int AS v").collect()[0].v == -1
+
+
+def test_pg_regex_operators(fe):
+    t, _ = fe.parse("SELECT x ~ 'a.c' AS m FROM t")
+    assert t == "SELECT (x RLIKE 'a.c') AS m FROM t"
+    t, _ = fe.parse("SELECT x ~* 'a.c' AS m FROM t")
+    assert t == "SELECT (x RLIKE '(?i)a.c') AS m FROM t"
+    t, _ = fe.parse("SELECT x !~ 'a' AS m FROM t")
+    assert t == "SELECT NOT (x RLIKE 'a') AS m FROM t"
+    # unary bitwise NOT untouched; literals opaque
+    t, _ = fe.parse("SELECT 12 & ~5 AS v, '~' AS tilde")
+    assert t == "SELECT 12 & ~5 AS v, '~' AS tilde"
