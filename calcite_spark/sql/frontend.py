@@ -873,6 +873,13 @@ class SqlFrontend:
     }
 
     def _decompose_plain_agg(self, item: str, idx: int, inner_aggs: list) -> str:
+        if re.search(r"(?i)\bFILTER\s*\(", item):
+            # re-aggregating partials under an outer FILTER clause
+            # filters the wrong grain — refuse, never misplace
+            raise ValueError(
+                "WITHIN DISTINCT: plain aggregate with FILTER cannot "
+                "share a query with WITHIN DISTINCT calls"
+            )
         out, i, n = [], 0, 0
         while True:
             m = self._AGG_CALL_RE.search(item, i)
@@ -885,6 +892,14 @@ class SqlFrontend:
                 continue
             fn = m.group(1).lower()
             arg, close = self._balanced_span(item, m.end())
+            if re.match(r"(?is)\s*DISTINCT\b", arg):
+                # SUM of per-(key, d) COUNT(DISTINCT x) partials
+                # overcounts values shared across d groups — refuse
+                raise ValueError(
+                    "WITHIN DISTINCT: plain DISTINCT aggregate cannot "
+                    "share a query with WITHIN DISTINCT calls (partials "
+                    "are not re-aggregable)"
+                )
             out.append(item[i : m.start()])
             col = f"__pl{idx}_{n}"
             if fn in self._DECOMPOSABLE:
@@ -1312,6 +1327,8 @@ class SqlFrontend:
             return seqs[name]
 
         def curr(m):
+            if expanded.count("'", 0, m.start()) % 2:
+                return m.group(0)  # inside a string literal — opaque
             s = _seq(m.group(1))
             if s["current"] is None:
                 raise ValueError(
@@ -1321,7 +1338,11 @@ class SqlFrontend:
             return f"CAST({s['current']} AS BIGINT)"
 
         expanded = self._SEQ_CURR_RE.sub(curr, expanded)
-        nexts = self._SEQ_NEXT_RE.findall(expanded)
+        nexts = [
+            m.group(1)
+            for m in self._SEQ_NEXT_RE.finditer(expanded)
+            if expanded.count("'", 0, m.start()) % 2 == 0
+        ]
         if len(nexts) != len({n.lower() for n in nexts}):
             raise ValueError(
                 "multiple NEXT VALUE FOR the same sequence in one "
@@ -1333,6 +1354,8 @@ class SqlFrontend:
             bases[name.lower()] = (s["next"], s["inc"])
 
         def nxt(m):
+            if expanded.count("'", 0, m.start()) % 2:
+                return m.group(0)  # inside a string literal — opaque
             base, inc = bases[m.group(1).lower()]
             return (
                 f"(CAST({base - inc} AS BIGINT) + CAST(row_number() OVER "

@@ -610,3 +610,26 @@ def test_pg_regex_operators(fe):
     # unary bitwise NOT untouched; literals opaque
     t, _ = fe.parse("SELECT 12 & ~5 AS v, '~' AS tilde")
     assert t == "SELECT 12 & ~5 AS v, '~' AS tilde"
+
+
+def test_within_distinct_plain_agg_refusals(fe):
+    """DISTINCT / FILTER plain aggregates cannot share a query with
+    WITHIN DISTINCT calls — their partials are not re-aggregable, so
+    the lowering refuses instead of silently overcounting."""
+    with pytest.raises(ValueError, match="DISTINCT aggregate"):
+        fe.parse(
+            "SELECT COUNT(DISTINCT x) AS a, SUM(y) WITHIN DISTINCT (d) AS b "
+            "FROM t GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="FILTER"):
+        fe.parse(
+            "SELECT COUNT(x) FILTER (WHERE x > 0) AS a, "
+            "SUM(y) WITHIN DISTINCT (d) AS b FROM t GROUP BY g"
+        )
+
+
+def test_sequence_keywords_opaque_in_literals(fe):
+    """'NEXT VALUE FOR x' inside a string literal is data, not a
+    sequence reference."""
+    rows = fe.sql("SELECT 'NEXT VALUE FOR my_seq' AS s").collect()
+    assert rows[0].s == "NEXT VALUE FOR my_seq"
