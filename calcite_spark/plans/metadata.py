@@ -546,6 +546,37 @@ class MetadataQuery:
             return self.distribution(node.inputs[0])
         return ("any", ())
 
+    # -- cumulative cost -----------------------------------------------
+
+    def cumulative_cost(self, node: ir.RelNode) -> float | None:
+        """≈ RelMdCumulativeCost: the cost of computing this node AND
+        its whole input subtree. Non-cumulative per-node cost is the
+        node's estimated output row count (row-oriented C_out — the
+        same model the join-reorder rules optimize, rewrite.py's
+        estimate_plan_cost); the cumulative figure sums it over the
+        tree. None propagates when any subtree's rows are unknown
+        (never fabricate — the facade convention)."""
+        return self._cached(
+            ("cumcost", id(node)), lambda: self._cumulative_cost(node), node
+        )
+
+    def _cumulative_cost(self, node) -> float | None:
+        own = self.non_cumulative_cost(node)
+        if own is None:
+            return None
+        total = own
+        for child in node.inputs:
+            c = self.cumulative_cost(child)
+            if c is None:
+                return None
+            total += c
+        return total
+
+    def non_cumulative_cost(self, node: ir.RelNode) -> float | None:
+        """≈ RelMdNonCumulativeCost: this node's own cost only — its
+        estimated output cardinality under the C_out model."""
+        return self.row_count(node)
+
     # -- population / original-row fraction ---------------------------
 
     def population_size(self, node: ir.RelNode, columns) -> float | None:

@@ -189,3 +189,27 @@ def test_within_distinct_uniformity_raises_or_matches(fe, rows):
     else:
         with pytest.raises(Exception, match="functionally dependent"):
             fe.sql(sql).collect()
+
+
+# -- PG :: casts vs DuckDB's native :: --------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    v=st.one_of(
+        st.integers(-1000, 1000),
+        st.floats(-100, 100, allow_nan=False).map(lambda f: round(f, 3)),
+    ),
+    ty=st.sampled_from(["int", "bigint", "double", "decimal(10,3)", "string"]),
+)
+def test_pg_cast_shorthand_matches_duckdb(fe, duck, v, ty):
+    """`expr::type` (babel tier) — DuckDB parses :: natively, so the
+    identical text is a live cross-engine check of the rewrite."""
+    lit = repr(v) if not isinstance(v, str) else f"'{v}'"
+    sql = f"SELECT ({lit})::{ty} AS v"
+    got = fe.sql(sql).collect()[0].v
+    want = duck.execute(sql).fetchone()[0]
+    if isinstance(got, float) or isinstance(want, float):
+        assert abs(float(got) - float(want)) < 1e-9, sql
+    else:
+        assert str(got) == str(want), f"{sql}: {got!r} != {want!r}"

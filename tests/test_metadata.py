@@ -484,3 +484,20 @@ def test_distribution(cat, mq):
     # joins default to ANY (BiRel :83)
     j = _b(cat).scan("orders").scan("customer").join("o_custkey = c_custkey").build()
     assert mq.distribution(j) == ("any", ())
+
+
+def test_cumulative_cost(cat, mq):
+    """≈ RelMdCumulativeCost/NonCumulativeCost: per-node cost = C_out
+    (output rows), cumulative = summed over the subtree; None
+    propagates instead of fabricating."""
+    scan = _b(cat).scan("orders").build()
+    rows = mq.row_count(scan)
+    assert mq.non_cumulative_cost(scan) == rows
+    assert mq.cumulative_cost(scan) == rows
+    filt = ir.Filter("o_totalprice > 0", inputs=(scan,))
+    cc = mq.cumulative_cost(filt)
+    # filter cost adds its (smaller) output to the scan's cost
+    assert cc is not None and rows < cc <= 2 * rows
+    # a deeper tree strictly accumulates
+    proj = ir.Project(("o_custkey",), inputs=(filt,))
+    assert mq.cumulative_cost(proj) > cc
