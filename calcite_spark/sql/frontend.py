@@ -236,7 +236,9 @@ class SqlFrontend:
     # the quantifier macro: literal / [dotted] identifier / one
     # non-nested call / one parenthesized expression — parenthesize
     # anything fancier. Chains (a::int::text) resolve left-to-right by
-    # iterating.
+    # iterating. Semantics note: the rewrite maps to Spark CAST, which
+    # TRUNCATES float→int where PostgreSQL rounds — CAST's own
+    # documented divergence (Hive lineage), not the shorthand's.
     _PG_CAST_RE = re.compile(
         r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
         r"\s*::\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",

@@ -204,10 +204,19 @@ def test_within_distinct_uniformity_raises_or_matches(fe, rows):
 )
 def test_pg_cast_shorthand_matches_duckdb(fe, duck, v, ty):
     """`expr::type` (babel tier) — DuckDB parses :: natively, so the
-    identical text is a live cross-engine check of the rewrite."""
+    identical text is a live cross-engine check of the rewrite.
+    Exclusion (fuzz-found, documented in the frontend): float→int CAST
+    itself diverges between the engines — Spark truncates toward zero
+    (Hive lineage) while PostgreSQL/DuckDB round — so those pairs
+    assert Spark's own truncation contract instead."""
+    import math
+
     lit = repr(v) if not isinstance(v, str) else f"'{v}'"
     sql = f"SELECT ({lit})::{ty} AS v"
     got = fe.sql(sql).collect()[0].v
+    if isinstance(v, float) and ty in ("int", "bigint"):
+        assert got == math.trunc(v), f"{sql}: {got} != trunc({v})"
+        return
     want = duck.execute(sql).fetchone()[0]
     if isinstance(got, float) or isinstance(want, float):
         assert abs(float(got) - float(want)) < 1e-9, sql
