@@ -126,3 +126,47 @@ def test_random_plan_agrees_with_duckdb_and_spark_sql(fuzz_cat, duck, spark, spe
     # differential 2: Spark runs the Spark-dialect emission of the tree
     df2 = spark.sql(to_sql(plan, SPARK))
     assert sorted(map(str, df.collect())) == sorted(map(str, df2.collect()))
+
+
+@pytest.fixture(scope="module")
+def sqlite_eng():
+    from calcite_spark.sources.federation import SQLiteEngine
+
+    return SQLiteEngine.from_parquet_dir(SF_DIR, sorted(TABLES))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=plan_spec())
+def test_random_plan_agrees_with_real_sqlite(fuzz_cat, sqlite_eng, spec):
+    """Differential 3 (r6): the SQLITE-dialect emission of the same
+    random tree executes on the REAL stdlib sqlite3 engine and must
+    produce the same multiset of rows (floats to 6dp — sqlite's REAL
+    affinity). Exercises a 3rd, independently-implemented SQL engine
+    against the IR lowering."""
+    from calcite_spark.sql.rel2sql import SQLITE, UnsupportedDialectExpression
+
+    plan = _build(fuzz_cat, spec)
+    try:
+        sql = to_sql(plan, SQLITE)
+    except UnsupportedDialectExpression:
+        return  # documented refusal (e.g. FULL join) — not a mismatch
+    got = [
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in row
+        )
+        for row in plan.to_df(fuzz_cat).collect()
+    ]
+    tab = sqlite_eng.execute_arrow(sql)
+    want = [
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in row
+        )
+        for row in zip(*(c.to_pylist() for c in tab.columns))
+    ] if tab.num_rows else []
+    assert sorted(map(str, got)) == sorted(map(str, want)), sql
