@@ -170,3 +170,29 @@ def test_random_plan_agrees_with_real_sqlite(fuzz_cat, sqlite_eng, spec):
         for row in zip(*(c.to_pylist() for c in tab.columns))
     ] if tab.num_rows else []
     assert sorted(map(str, got)) == sorted(map(str, want)), sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=plan_spec())
+def test_every_dialect_emits_or_refuses_cleanly(fuzz_cat, spec):
+    """Emitter robustness net (r6): for a random tree, every one of the
+    39 registered dialects must either produce SQL text or raise the
+    documented UnsupportedDialectExpression — an IndexError/KeyError/
+    AttributeError out of an emitter is a bug, not a refusal."""
+    from calcite_spark.sql.rel2sql import (
+        DIALECTS,
+        UnsupportedDialectExpression,
+        to_sql,
+    )
+
+    plan = _build(fuzz_cat, spec)
+    for name, d in sorted(DIALECTS.items()):
+        try:
+            sql = to_sql(plan, d)
+            assert isinstance(sql, str) and sql.upper().startswith("SELECT"), name
+        except UnsupportedDialectExpression:
+            pass  # the refusal contract
