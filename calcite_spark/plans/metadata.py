@@ -526,6 +526,13 @@ class MetadataQuery:
         if isinstance(node, ir.Values):
             return ("broadcast", ())
         if isinstance(node, ir.Aggregate):
+            if node.group_type != "SIMPLE":
+                # ROLLUP/CUBE/GROUPING SETS physically shuffle on
+                # (keys, grouping_id) and emit subtotal rows with NULL
+                # keys — claiming hash(keys) here would let the
+                # redundant-exchange rule delete a NEEDED repartition
+                # (review r6)
+                return ("any", ())
             keys = tuple(getattr(node, "group_keys", ()) or ())
             return ("hash", keys) if keys else ("singleton", ())
         if isinstance(node, ir.Project):

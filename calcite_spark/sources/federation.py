@@ -538,6 +538,29 @@ def push_merge(
         raise ValueError("MERGE requires at least one WHEN clause")
     if (insert_columns is None) != (insert_values is None):
         raise ValueError("insert_columns and insert_values go together")
+    if insert_columns is not None and (
+        not insert_columns or len(insert_columns) != len(insert_values)
+    ):
+        raise ValueError("INSERT column/value lists must be non-empty and equal length")
+    if update_set:
+        # updating a column the match condition references would make
+        # updated rows fail the later NOT EXISTS probe and be inserted
+        # AGAIN — native MERGE only updates them. Refuse the divergent
+        # shape (review r6); multi-match sources remain a documented
+        # divergence (native MERGE raises a cardinality error, the
+        # two-statement lowering follows the engine's UPDATE..FROM
+        # pick-one behavior).
+        import re as _re
+
+        cond_ids = set(_re.findall(r"[A-Za-z_]\w*", condition))
+        touched = set(update_set) & cond_ids
+        if touched:
+            raise UnsupportedDialectExpression(
+                f"two-statement MERGE lowering cannot update join-key "
+                f"columns {sorted(touched)} — updated rows would "
+                "re-match the NOT EXISTS probe; use an engine with "
+                "native MERGE"
+            )
     src = (
         source if isinstance(source, str) else f"({to_sql(source, d)})"
     )

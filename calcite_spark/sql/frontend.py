@@ -129,14 +129,21 @@ class SqlFrontend:
     # captured `1` and negated the whole predicate; without the call
     # form, `CAST(NULL AS INT) = SOME (...)` captured `(NULL AS INT)`.
     _QUANT_RE = re.compile(
-        r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.'\"]+|\([^()]*\))"
+        r"((?:-\s*)?\w+\([^()]*\)|'[^']*'|(?:-\s*)?[\w.]+|\([^()]*\))"
         r"\s*(=|<>|!=|<=|>=|<|>)\s*(SOME|ANY|ALL)\s*\(",
         re.I,
     )
 
     def _expand_quantified(self, text: str) -> str:
         while True:
-            m = self._QUANT_RE.search(text)
+            m = None
+            for cand in self._QUANT_RE.finditer(text):
+                # string literals are opaque (quote parity at the
+                # OPERATOR position — the operand itself may be a
+                # complete quoted literal)
+                if text.count("'", 0, cand.start(2)) % 2 == 0:
+                    m = cand
+                    break
             if m is None:
                 return text
             x, op, quant = m.group(1), m.group(2), m.group(3).upper()
@@ -309,12 +316,26 @@ class SqlFrontend:
     # accepted by the reference under Oracle conformance): Spark allows
     # SELECT without FROM, so the clause is dropped; `SELECT * FROM
     # DUAL` yields Oracle's actual DUAL shape (one DUMMY='X' row).
-    _DUAL_STAR_RE = re.compile(r"SELECT\s+\*\s+FROM\s+DUAL\b", re.I)
-    _DUAL_RE = re.compile(r"\s+FROM\s+DUAL\b", re.I)
+    _DUAL_STAR_RE = re.compile(r"SELECT\s+\*\s+FROM\s+DUAL\b(?!\s*,)", re.I)
+    _DUAL_RE = re.compile(r"\s+FROM\s+DUAL\b(?!\s*,)", re.I)
 
     def _expand_dual(self, text: str) -> str:
-        text = self._DUAL_STAR_RE.sub("SELECT 'X' AS DUMMY", text)
-        return self._DUAL_RE.sub("", text)
+        # quote-parity per match (a literal containing 'FROM DUAL' is
+        # data), and never when DUAL sits in a multi-table FROM list
+        # (dropping one item would leave a dangling comma) — review r6
+        def sub_star(m):
+            if text.count("'", 0, m.start()) % 2:
+                return m.group(0)
+            return "SELECT 'X' AS DUMMY"
+
+        text = self._DUAL_STAR_RE.sub(sub_star, text)
+
+        def sub_plain(m):
+            if text.count("'", 0, m.start()) % 2:
+                return m.group(0)
+            return ""
+
+        return self._DUAL_RE.sub(sub_plain, text)
 
     def _expand_similar_to(self, text: str) -> str:
         def sub(m):
@@ -513,18 +534,20 @@ class SqlFrontend:
                 # reports literal range errors at parse time with the
                 # reference's message text
                 v = int(lit.group(1))
-                if v < 0 or (mx is not None and v > mx):
+                if v < 0 or v > (mx if mx is not None else 2**64 - 1):
                     raise ValueError(f"Value is out of range : {v}")
                 rep = f"CAST({v} AS {wider})"
             else:
-                check = (
-                    f"({expr}) >= 0" if mx is None
-                    else f"({expr}) BETWEEN 0 AND {mx}"
-                )
+                # bind the operand ONCE via an array lambda: the old
+                # form repeated {expr} in check/value/message, so a
+                # NON-DETERMINISTIC operand (rand()-derived) could pass
+                # the check with one draw and emit another (review r6)
+                chk = "v >= 0" if mx is None else f"v BETWEEN 0 AND {mx}"
                 rep = (
-                    f"CAST(IF({check} OR ({expr}) IS NULL, {expr}, "
+                    f"CAST(transform(array({expr}), v -> "
+                    f"IF({chk} OR v IS NULL, v, "
                     f"raise_error('Value is out of range : ' || "
-                    f"CAST(({expr}) AS STRING))) AS {wider})"
+                    f"CAST(v AS STRING))))[0] AS {wider})"
                 )
             text = text[: m.start()] + rep + text[close + 1 :]
 
@@ -1067,7 +1090,10 @@ class SqlFrontend:
         def unqual(s: str) -> str:
             for k, lp in last.items():
                 if "." in k:
-                    s = s.replace(k, lp)
+                    # word-bounded: replace(k, lp) would also rewrite
+                    # inside longer identifiers (foo.cx for key o.c —
+                    # review r6)
+                    s = re.sub(rf"\b{re.escape(k)}\b", lp, s)
             return s
 
         out_items = [
@@ -1265,6 +1291,14 @@ class SqlFrontend:
                     "SQL surface is batch-only"
                 )
             text = self._expand_match_recognize(text)
+        # PG shorthands expand FIRST so later macros see plain CAST
+        # calls — `x::int > ALL (...)` must reach the quantifier pass
+        # as `CAST(x AS int) > ALL (...)` (review r6: the quantifier's
+        # operand grammar cannot parse ::)
+        if "::" in text:
+            text = self._expand_pg_casts(text)
+        if "~" in text:
+            text = self._expand_pg_regex_ops(text)
         if re.search(r"\b(SOME|ANY|ALL)\s*\(", text, re.I):
             text = self._expand_quantified(text)
         text = self._expand_within_distinct(text)
@@ -1272,10 +1306,6 @@ class SqlFrontend:
             text = self._expand_row_constructor(text)
         if self._DUAL_RE.search(text):
             text = self._expand_dual(text)
-        if "::" in text:
-            text = self._expand_pg_casts(text)
-        if "~" in text:
-            text = self._expand_pg_regex_ops(text)
         text = self._expand_similar_to(text)
         text = self._expand_cast_format(text)
         text = self._expand_custom_types(text)
@@ -1340,11 +1370,34 @@ class SqlFrontend:
             return f"CAST({s['current']} AS BIGINT)"
 
         expanded = self._SEQ_CURR_RE.sub(curr, expanded)
-        nexts = [
-            m.group(1)
-            for m in self._SEQ_NEXT_RE.finditer(expanded)
-            if expanded.count("'", 0, m.start()) % 2 == 0
-        ]
+        nexts = []
+        for m in self._SEQ_NEXT_RE.finditer(expanded):
+            if expanded.count("'", 0, m.start()) % 2:
+                continue
+            # Advancing by the statement's row count is only correct
+            # when every projected NEXT VALUE row reaches the output:
+            # a NEXT VALUE inside a SUBQUERY can be filtered above its
+            # projection, and LIMIT/OFFSET truncate after it — both
+            # would let later statements re-issue exposed values.
+            # Refuse those shapes rather than break uniqueness
+            # (review r6).
+            depth = (
+                expanded.count("(", 0, m.start())
+                - expanded.count(")", 0, m.start())
+            )
+            if depth > 0:
+                raise ValueError(
+                    "NEXT VALUE FOR inside a subquery: allocation "
+                    "cannot be tracked through outer filters — use it "
+                    "in the outermost SELECT list"
+                )
+            nexts.append(m.group(1))
+        if nexts and re.search(r"(?i)\b(LIMIT|OFFSET)\b", expanded):
+            raise ValueError(
+                "NEXT VALUE FOR with LIMIT/OFFSET: rows beyond the "
+                "limit would consume unexposed sequence values — "
+                "materialize first, then limit"
+            )
         if len(nexts) != len({n.lower() for n in nexts}):
             raise ValueError(
                 "multiple NEXT VALUE FOR the same sequence in one "

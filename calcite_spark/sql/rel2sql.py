@@ -2659,6 +2659,18 @@ def merge_sql(
         raise ValueError("MERGE requires at least one WHEN clause")
     if (insert_columns is None) != (insert_values is None):
         raise ValueError("insert_columns and insert_values go together")
+    if insert_columns is not None:
+        if not insert_columns:
+            raise ValueError(
+                "insert_columns is empty — pass None to omit the "
+                "WHEN NOT MATCHED clause explicitly"
+            )
+        if len(insert_columns) != len(insert_values):
+            raise ValueError(
+                f"INSERT column/value arity mismatch: "
+                f"{len(insert_columns)} columns, "
+                f"{len(insert_values)} values"
+            )
     src = (
         source
         if isinstance(source, str)
@@ -2833,7 +2845,12 @@ class _Emitter:
             # yield invalid 'SELECT TOP (m) TOP (n) ...' — wrap those
             # in a derived table instead (the inner TOP keeps its own
             # ORDER BY legal inside the derived table) (ADVICE r5).
-            assert inner.upper().startswith("SELECT "), inner[:40]
+            if not inner.upper().startswith("SELECT "):
+                # refusal contract, and survives python -O (review r6)
+                raise UnsupportedDialectExpression(
+                    "sybase TOP splice requires a bare SELECT child, "
+                    f"got: {inner[:40]!r}"
+                )
             head = inner[len("SELECT "):].lstrip()
             if isinstance(child, ir.SetOp) or re.match(
                 r"(?i)(TOP|DISTINCT)\b", head

@@ -429,3 +429,34 @@ def test_push_merge_sqlite_refusal(tmp_path):
     with pytest.raises(UnsupportedDialectExpression, match="MERGE"):
         push_merge(eng, "t", "s", "tgt.k = src.k",
                    update_set={"v": "src.v"})
+
+
+def test_push_merge_refuses_key_updates():
+    """Review r6: updating a join-key column would make updated rows
+    re-match the NOT EXISTS probe and be inserted again — refuse."""
+    import duckdb
+
+    import pytest
+
+    from calcite_spark.sources.federation import DuckDBEngine, push_merge
+    from calcite_spark.sql.rel2sql import UnsupportedDialectExpression
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, v INT)")
+    con.execute("CREATE TABLE s (k INT, v INT)")
+    eng = DuckDBEngine(con)
+    with pytest.raises(UnsupportedDialectExpression, match="join-key"):
+        push_merge(eng, "t", "s", "tgt.k = src.k", update_set={"k": "src.k + 1"})
+
+
+def test_merge_sql_arity_validation():
+    import pytest
+
+    from calcite_spark.sql.rel2sql import SPARK, merge_sql
+
+    with pytest.raises(ValueError, match="arity"):
+        merge_sql("t", "s", "tgt.k = src.k",
+                  insert_columns=["a", "b"], insert_values=["1"], dialect=SPARK)
+    with pytest.raises(ValueError, match="empty"):
+        merge_sql("t", "s", "tgt.k = src.k", update_set={"v": "src.v"},
+                  insert_columns=[], insert_values=[], dialect=SPARK)

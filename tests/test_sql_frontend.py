@@ -633,3 +633,41 @@ def test_sequence_keywords_opaque_in_literals(fe):
     sequence reference."""
     rows = fe.sql("SELECT 'NEXT VALUE FOR my_seq' AS s").collect()
     assert rows[0].s == "NEXT VALUE FOR my_seq"
+
+
+def test_review_r6_macro_regressions(fe):
+    """Pins for the round-6 review findings."""
+    # 1: quantifier-shaped text inside a literal stays data
+    t, _ = fe.parse("SELECT 'score > ALL (SELECT max(s) FROM t)' AS note FROM docs")
+    assert t == "SELECT 'score > ALL (SELECT max(s) FROM t)' AS note FROM docs"
+    # 4: :: operand on a quantified comparison expands cast-first
+    t, _ = fe.parse("SELECT o_totalprice::int > ALL (SELECT 1) AS v FROM orders")
+    assert "CAST(o_totalprice AS int)" in t and "::" not in t
+    # 6: qualified-key unqualification is word-bounded
+    t, _ = fe.parse(
+        "SELECT o.c, SUM(x.foo_c) WITHIN DISTINCT (d.k) AS s "
+        "FROM t GROUP BY o.c"
+    )
+    assert "foo_c" in t  # not corrupted by the o.c -> c rewrite
+    # 9: FROM DUAL in a literal / multi-table list stays untouched
+    t, _ = fe.parse("SELECT 'pulled FROM DUAL source' AS note")
+    assert t == "SELECT 'pulled FROM DUAL source' AS note"
+    t, _ = fe.parse("SELECT 1 FROM DUAL, t")
+    assert "DUAL, t" in t
+
+
+def test_review_r6_sequence_refusals(fe, spark, tmp_path):
+    from calcite_spark.sql.ddl import DdlExecutor
+
+    ddl = DdlExecutor(fe, str(tmp_path / "wh"))
+    ddl.execute("CREATE SEQUENCE IF NOT EXISTS rev_seq")
+    # 3: subquery / LIMIT shapes refuse instead of re-issuing values
+    with pytest.raises(ValueError, match="outermost"):
+        fe.sql(
+            "SELECT * FROM (SELECT NEXT VALUE FOR rev_seq AS id "
+            "FROM (VALUES (1),(2)) t(x)) WHERE id > 0"
+        )
+    with pytest.raises(ValueError, match="LIMIT"):
+        fe.sql(
+            "SELECT NEXT VALUE FOR rev_seq AS id FROM orders LIMIT 5"
+        )
