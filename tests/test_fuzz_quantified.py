@@ -222,3 +222,38 @@ def test_pg_cast_shorthand_matches_duckdb(fe, duck, v, ty):
         assert abs(float(got) - float(want)) < 1e-9, sql
     else:
         assert str(got) == str(want), f"{sql}: {got!r} != {want!r}"
+
+
+# -- ROW constructor grouping/equality vs DuckDB native ROW -----------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.sampled_from(["a", "b", None]),
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_row_constructor_grouping_matches_duckdb(fe, duck, rows):
+    """ROW(x, y) lowers to struct(x, y); DuckDB runs ROW natively.
+    Group-count and equality-count semantics must agree, NULL fields
+    included (GROUP BY treats NULLs as equal; ROW equality does not)."""
+    # CAST the columns: an all-NULL VALUES column types as VOID, and
+    # Spark's struct comparison refuses VOID-vs-INT coercion (real
+    # tables always carry concrete types)
+    vals = ", ".join(
+        f"(CAST({'NULL' if x is None else x} AS INT), "
+        f"CAST({'NULL' if y is None else repr(y)} AS STRING))"
+        for x, y in rows
+    )
+    base = f"(VALUES {vals}) AS t(x, y)"
+    for sql in (
+        f"SELECT COUNT(*) AS n FROM (SELECT ROW(x, y) AS r FROM {base} GROUP BY ROW(x, y))",
+        f"SELECT COUNT(*) AS n FROM {base} WHERE ROW(x, y) = ROW(1, 'a')",
+    ):
+        got = fe.sql(sql).collect()[0].n
+        want = duck.execute(sql).fetchone()[0]
+        assert int(got) == int(want), f"{sql}: {got} != {want}"
