@@ -120,6 +120,11 @@ def main() -> None:
                 "exec_sec": exec_t,
                 "runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # machine load context (1/5/15 min) so cross-round
+                # total drift can be adjudicated from data — r4-r6
+                # totals moved ±20% with no code change on the bench
+                # paths (VERDICT r6 item 8)
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -128,6 +128,10 @@ class Aggregate(RelNode):
     group_type: str = "SIMPLE"
     grouping_sets: tuple = ()  # only for GROUPING_SETS
     inputs: tuple = ()
+    # Set by AggregateJoinTranspose on the merge aggregate it emits so
+    # the rule never re-fires on its own output (underscore-prefixed:
+    # excluded from repr/explain_str and plan-fixpoint comparisons).
+    _no_transpose: bool = False
 
     def to_df(self, ctx) -> DataFrame:
         df = self.inputs[0].to_df(ctx)

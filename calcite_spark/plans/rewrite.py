@@ -1096,9 +1096,225 @@ def _eliminate_redundant_exchange(node, catalog):
     return None
 
 
+_AJT_CALL_RE = re.compile(
+    r"(?is)^\s*(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$"
+)
+_AJT_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _output_dtypes(n, catalog) -> dict:
+    """Column → Spark dtype string for a join input, same resolution
+    strategy (and the same no-remote-fetch refusal) as _output_columns."""
+    base = n
+    while isinstance(base, (ir.Filter, ir.Exchange, ir.Sort)) and base.inputs:
+        base = base.inputs[0]
+    if isinstance(base, ir.Scan):
+        if base.table in getattr(catalog, "external_tables", {}):
+            return {}
+        if base.table in getattr(catalog, "tables", {}) or base.table in getattr(
+            catalog, "_dfs", {}
+        ):
+            return dict(catalog.table(base.table).dtypes)
+    if _has_external_scan(n, catalog):
+        return {}
+    try:
+        return dict(n.to_df(catalog).dtypes)
+    except Exception:
+        return {}
+
+
+def _aggregate_join_transpose(node, catalog):
+    """≈ rel/rules/AggregateJoinTransposeRule.java (CoreRules.
+    AGGREGATE_JOIN_TRANSPOSE_EXTENDED, the allowFunctions tier):
+    Aggregate(Join(L, R)) → Aggregate_merge(Join(Aggregate_partial(P), other))
+    — pre-aggregate the side P that owns every aggregate argument, keyed
+    by (P's group keys ∪ P's join keys), then merge above the join.
+
+    Catalyst has no counterpart (this was the repo's one documented
+    optimizer absence — join-agg-transpose.iq): a rewrite that changes a
+    join input's cardinality belongs to the engine's CBO. At 100 TB this
+    turns "shuffle every fact row through the join, then aggregate" into
+    "collapse the fact side to one row per (group, join key) first" — the
+    join and final aggregate then move partial rows only.
+
+    Soundness (why single-side push with the other side RAW is exact):
+    in the original plan each P-row is replicated once per matching
+    other-side row. After the push, each partial cell (which fixes the
+    join key, so every row in it has the SAME match count m) is
+    replicated m times by the join, so
+      SUM:     sum over pairs of partial_sum  = Σ_cells m·Σx  = original;
+      COUNT:   sum over pairs of partial_cnt  = Σ_cells m·cnt = original;
+      MIN/MAX: duplication never changes them; cells with m=0 drop in
+               the INNER join exactly as their rows dropped originally;
+      AVG:     SUM/COUNT pair, merged as a division.
+    Refusals (refuse-over-wrong): non-INNER joins, non-equi or
+    non-conjunctive conditions, DISTINCT / FILTER / expression-argument
+    aggregates, group keys that are not bare columns of one side,
+    DECIMAL SUM/AVG arguments (re-summing a partial SUM widens the
+    decimal precision again — the merged dtype would differ from the
+    single-level aggregate's).
+
+    Gate (≈ the rule's cost check through RelMetadataQuery): fires only
+    when every partial group column has a GROUNDED NDV (ANALYZE-backed,
+    RelMdDistinctRowCount) and the estimated partial-group count is at
+    most half the push side's rows — a guessed reduction must not insert
+    an extra aggregation that shuffles the same volume twice."""
+    if (
+        not isinstance(node, ir.Aggregate)
+        or node.group_type != "SIMPLE"
+        or node._no_transpose
+        or not node.agg_calls
+        or catalog is None
+    ):
+        return None
+    child = node.inputs[0]
+    if (
+        not isinstance(child, ir.Join)
+        or child.join_type != "INNER"
+        or child.condition is None
+    ):
+        return None
+    conjuncts = _split_conjuncts(child.condition)
+    eq_pairs = []
+    for c in conjuncts:
+        m = _JOIN_EQ_RE.match(c)
+        if not m:
+            return None
+        eq_pairs.append(m.groups())
+    left_cols = _output_columns(child.inputs[0], catalog)
+    right_cols = _output_columns(child.inputs[1], catalog)
+    if not left_cols or not right_cols or left_cols & right_cols:
+        return None
+
+    def side_of(col):
+        if col in left_cols:
+            return 0
+        if col in right_cols:
+            return 1
+        return None
+
+    # join keys per side, in condition order
+    join_keys = ([], [])
+    for a, b in eq_pairs:
+        sa, sb = side_of(a), side_of(b)
+        if sa is None or sb is None or sa == sb:
+            return None
+        join_keys[sa].append(a)
+        join_keys[sb].append(b)
+
+    # group keys: bare columns, each resolvable to a side
+    group_sides = []
+    for k in node.group_keys:
+        if not _AJT_IDENT_RE.match(k.strip()):
+            return None
+        s = side_of(k.strip())
+        if s is None:
+            return None
+        group_sides.append((k.strip(), s))
+
+    # aggregate calls: strictly FN(col|*) AS name, args all on ONE side
+    parsed = []
+    arg_sides = set()
+    for call in node.agg_calls:
+        m = _AJT_CALL_RE.match(call)
+        if not m:
+            return None
+        fn, arg, alias = m.group(1).upper(), m.group(2), m.group(3)
+        if arg == "*":
+            if fn != "COUNT":
+                return None
+        else:
+            s = side_of(arg)
+            if s is None:
+                return None
+            arg_sides.add(s)
+        parsed.append((fn, arg, alias))
+    if len(arg_sides) > 1:
+        return None
+    # COUNT(*)-only aggregates: push to the larger (fact) side
+    from calcite_spark.plans.metadata import MetadataQuery
+
+    mq = MetadataQuery(catalog)
+    if arg_sides:
+        p = arg_sides.pop()
+    else:
+        l_rows = mq.row_count(child.inputs[0])
+        r_rows = mq.row_count(child.inputs[1])
+        if l_rows is None or r_rows is None:
+            return None
+        p = 0 if l_rows >= r_rows else 1
+    p_input = child.inputs[p]
+
+    # DECIMAL SUM/AVG refusal (dtype probe, plan-time only)
+    if any(fn in ("SUM", "AVG") for fn, _, _ in parsed):
+        dtypes = _output_dtypes(p_input, catalog)
+        for fn, arg, _ in parsed:
+            if fn in ("SUM", "AVG") and dtypes.get(arg, "").startswith("decimal"):
+                return None
+
+    # partial grouping = P-side group keys ∪ P-side join keys (deduped)
+    partial_keys = []
+    for k, s in group_sides:
+        if s == p and k not in partial_keys:
+            partial_keys.append(k)
+    for k in join_keys[p]:
+        if k not in partial_keys:
+            partial_keys.append(k)
+
+    # benefit gate: grounded NDVs only, est. groups ≤ rows(P) / 2
+    rows_p = mq.row_count(p_input)
+    if rows_p is None:
+        return None
+    groups = 1.0
+    for k in partial_keys:
+        ndv = mq.distinct_row_count(p_input, k)
+        if ndv is None:
+            return None
+        groups *= ndv
+    groups = min(groups, rows_p)
+    if groups > rows_p / 2:
+        return None
+
+    # split each call into partial call(s) + merge call
+    partial_calls, merge_calls = [], []
+    for i, (fn, arg, alias) in enumerate(parsed):
+        pc = f"__ajt{i}"
+        if fn in ("MIN", "MAX"):
+            partial_calls.append(f"{fn}({arg}) AS {pc}")
+            merge_calls.append(f"{fn}({pc}) AS {alias}")
+        elif fn == "COUNT":
+            partial_calls.append(f"COUNT({arg}) AS {pc}")
+            merge_calls.append(f"SUM({pc}) AS {alias}")
+        elif fn == "SUM":
+            partial_calls.append(f"SUM({arg}) AS {pc}")
+            merge_calls.append(f"SUM({pc}) AS {alias}")
+        else:  # AVG → SUM/COUNT pair; bigint/ or double/ division → double,
+            # matching Spark's AVG result type for non-decimal inputs
+            partial_calls.append(f"SUM({arg}) AS {pc}s")
+            partial_calls.append(f"COUNT({arg}) AS {pc}c")
+            merge_calls.append(f"SUM({pc}s) / SUM({pc}c) AS {alias}")
+    if any(c in (left_cols | right_cols) for c in
+           [f"__ajt{i}" for i in range(len(parsed))]):
+        return None  # fresh-name collision with a real column
+
+    partial = ir.Aggregate(
+        tuple(partial_keys), tuple(partial_calls), inputs=(p_input,)
+    )
+    new_inputs = list(child.inputs)
+    new_inputs[p] = partial
+    new_join = child.with_inputs(new_inputs)
+    return ir.Aggregate(
+        node.group_keys,
+        tuple(merge_calls),
+        inputs=(new_join,),
+        _no_transpose=True,
+    )
+
+
 DEFAULT_RULES = [
     Rule("EliminateRedundantExchange", _eliminate_redundant_exchange),
     Rule("JoinOrderStats", _join_order_stats),
+    Rule("AggregateJoinTranspose", _aggregate_join_transpose),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),

@@ -710,3 +710,65 @@ def qx32_within_distinct_sql(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "qx34_agg_join_transpose",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 3) AS qty,
+           MIN(l_extendedprice) AS min_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "join", "transpose", "rewrite"),
+)
+def qx34_agg_join_transpose(spark, sf_dir):
+    """AggregateJoinTranspose (r7 — closes the repo's one documented
+    optimizer absence; ≈ rel/rules/AggregateJoinTransposeRule.java,
+    CoreRules.AGGREGATE_JOIN_TRANSPOSE_EXTENDED): with ANALYZE-grounded
+    NDV on the fact side's join key, Aggregate(Join(orders, lineitem))
+    rewrites to a partial aggregate per l_orderkey BELOW the join plus a
+    merge aggregate above it — SUM/COUNT merge as SUM-of-partials, MIN
+    stays MIN, AVG splits into a SUM/COUNT pair. The oracle is the
+    PLAIN single-level aggregate: values must be invariant under the
+    transposition. A fresh catalog is opened so the ANALYZE stats never
+    leak into the shared catalog_for plans of other queries."""
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = open_catalog(spark, sf_dir)
+    cat.analyze("lineitem", ["l_orderkey"])
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_orderpriority"],
+            ["COUNT(*) AS n_items", "SUM(l_quantity) AS qty",
+             "MIN(l_extendedprice) AS min_price", "AVG(l_discount) AS avg_disc"],
+        )
+        .build()
+    )
+    plan = default_program(cat).run(plan)
+
+    def has_partial(n):
+        return (
+            isinstance(n, ir.Aggregate) and "l_orderkey" in n.group_keys
+        ) or any(has_partial(c) for c in n.inputs)
+
+    if not has_partial(plan):
+        # the driver row is EVIDENCE for the rule; a silently
+        # untransposed plan would still pass the value check
+        raise RuntimeError("AggregateJoinTranspose did not fire")
+    return (
+        plan.to_df(cat)
+        .selectExpr(
+            "o_orderpriority", "n_items", "ROUND(qty, 3) AS qty",
+            "min_price", "ROUND(avg_disc, 6) AS avg_disc",
+        )
+        .orderBy("o_orderpriority")
+    )

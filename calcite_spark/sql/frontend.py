@@ -1321,6 +1321,10 @@ class SqlFrontend:
         return text, is_stream
 
     def sql(self, text: str) -> DataFrame:
+        if self._AJT_HINT_RE.search(text):
+            return self._run_agg_join_transpose(
+                self._AJT_HINT_RE.sub("", text, count=1)
+            )
         expanded, is_stream = self.parse(text)
         if is_stream:
             return self._run_streaming(expanded)
@@ -1328,6 +1332,118 @@ class SqlFrontend:
         if re.search(r"\b(NEXT|CURRENT)\s+VALUE\s+FOR\b", expanded, re.I):
             return self._run_with_sequences(expanded)
         return self.spark.sql(expanded)
+
+    # -- /*+ AGGREGATE_JOIN_TRANSPOSE */ hint --------------------------
+    # ≈ Calcite's SQL hint surface (SqlHint / HintStrategyTable,
+    # core/src/main/java/org/apache/calcite/rel/hint/) carrying the
+    # AggregateJoinTransposeRule request: the hinted statement is lifted
+    # into the IR so plans/rewrite._aggregate_join_transpose (and the
+    # rest of the Hep program) can run — the macro tier alone cannot
+    # transpose because it never sees a relational plan. The hint is
+    # ADVISORY exactly like Calcite's: with no ANALYZE stats the rule's
+    # grounded-NDV gate refuses and the plan runs untransposed. The
+    # statement shape is strict (single equi-JOIN of two base tables,
+    # side-resolvable WHERE conjuncts, bare-column GROUP BY, plain
+    # FN(col) AS alias aggregates); anything fancier raises rather than
+    # silently dropping the hint mid-parse.
+    _AJT_HINT_RE = re.compile(r"/\*\+\s*AGGREGATE_JOIN_TRANSPOSE\s*\*/", re.I)
+    _AJT_STMT_RE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t1>\w+)\s+"
+        r"(?:INNER\s+)?JOIN\s+(?P<t2>\w+)\s+ON\s+(?P<on>.*?)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"\s+GROUP\s+BY\s+(?P<gb>.*?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?\s*;?\s*$"
+    )
+
+    def _run_agg_join_transpose(self, text: str) -> DataFrame:
+        from calcite_spark.plans.builder import RelBuilder
+        from calcite_spark.plans.rewrite import (
+            _split_conjuncts,
+            default_program,
+        )
+
+        m = self._AJT_STMT_RE.match(text)
+        if not m:
+            raise ValueError(
+                "AGGREGATE_JOIN_TRANSPOSE hint: statement must be "
+                "SELECT ... FROM t1 JOIN t2 ON ... [WHERE ...] "
+                "GROUP BY ... [ORDER BY ...]"
+            )
+        t1, t2 = m.group("t1"), m.group("t2")
+        cols1 = set(self.catalog.table(t1).columns)
+        cols2 = set(self.catalog.table(t2).columns)
+        b = RelBuilder(self.catalog)
+        b.scan(t1)
+        b.scan(t2)
+        if m.group("where"):
+            # side-resolvable conjuncts push below the join at build
+            # time (FILTER_INTO_JOIN's job — here it must happen in the
+            # IR, because a Filter between Aggregate and Join would
+            # block the transpose match)
+            filters = {t1: [], t2: []}
+            for c in _split_conjuncts(m.group("where")):
+                idents = {
+                    w
+                    for w in re.findall(r"[A-Za-z_]\w*", c)
+                    if w in cols1 or w in cols2
+                }
+                if idents and idents <= cols1:
+                    filters[t1].append(c)
+                elif idents and idents <= cols2:
+                    filters[t2].append(c)
+                else:
+                    raise ValueError(
+                        "AGGREGATE_JOIN_TRANSPOSE hint: WHERE conjunct "
+                        f"{c!r} does not resolve to one join side"
+                    )
+            # rebuild the stack with filters over the scans
+            right = b._pop()[0]
+            left = b._pop()[0]
+            from calcite_spark.plans import ir as _ir
+
+            if filters[t1]:
+                left = _ir.Filter(" AND ".join(filters[t1]), inputs=(left,))
+            if filters[t2]:
+                right = _ir.Filter(" AND ".join(filters[t2]), inputs=(right,))
+            b._push(left)
+            b._push(right)
+        b.join(m.group("on"))
+        gb = [k.strip() for k in self._split_top_commas(m.group("gb"))]
+        agg_calls, out_names = [], []
+        for item in self._split_top_commas(m.group("sel")):
+            item = item.strip()
+            if re.match(r"^[A-Za-z_]\w*$", item):
+                if item not in gb:
+                    raise ValueError(
+                        f"AGGREGATE_JOIN_TRANSPOSE hint: select item "
+                        f"{item!r} is neither a GROUP BY key nor an "
+                        "aggregate with an alias"
+                    )
+                out_names.append(item)
+                continue
+            am = re.match(
+                r"(?is)^([A-Za-z_]\w*)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+"
+                r"([A-Za-z_]\w*)$",
+                item,
+            )
+            if not am:
+                raise ValueError(
+                    "AGGREGATE_JOIN_TRANSPOSE hint: aggregate items must "
+                    f"be FN(col) AS alias, got {item!r}"
+                )
+            agg_calls.append(item)
+            out_names.append(am.group(3))
+        b.aggregate(gb, agg_calls)
+        agg_aliases = [
+            re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)$", c).group(1)
+            for c in agg_calls
+        ]
+        if out_names != gb + agg_aliases:
+            b.project(*out_names)
+        if m.group("ob"):
+            b.sort(*[k.strip() for k in self._split_top_commas(m.group("ob"))])
+        plan = default_program(self.catalog).run(b.build())
+        return plan.to_df(self.catalog)
 
     # -- sequences (sequence.iq) --------------------------------------
 

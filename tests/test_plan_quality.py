@@ -736,3 +736,81 @@ def test_redundant_exchange_eliminated(spark):
     a = stacked.to_df(cat).count()
     b = prog.run(stacked).to_df(cat).count()
     assert a == b > 0
+
+
+def test_aggregate_join_transpose(spark):
+    """AggregateJoinTranspose (≈ AggregateJoinTransposeRule, CoreRules.
+    AGGREGATE_JOIN_TRANSPOSE_EXTENDED): with grounded NDV stats showing
+    the fact side collapses, Aggregate(Join) rewrites to a partial
+    aggregate BELOW the join plus a merge aggregate above it — and the
+    values match the untransposed plan exactly."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _aggregate_join_transpose, default_program
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+
+    def build():
+        return (
+            RelBuilder(cat)
+            .scan("orders")
+            .scan("lineitem")
+            .join("o_orderkey = l_orderkey")
+            .aggregate(
+                ["o_orderpriority"],
+                ["SUM(l_quantity) AS qty", "COUNT(*) AS n",
+                 "MIN(l_extendedprice) AS mn", "AVG(l_discount) AS av"],
+            )
+            .build()
+        )
+
+    # no ANALYZE stats -> grounded-NDV gate refuses (never a guess)
+    assert _aggregate_join_transpose(build(), cat) is None
+
+    cat.analyze("lineitem", ["l_orderkey"])
+    out = default_program(cat).run(build())
+    # shape: merge Aggregate over Join over (orders, partial Aggregate)
+    assert isinstance(out, ir.Aggregate) and out._no_transpose
+    join = out.inputs[0]
+    assert isinstance(join, ir.Join)
+    partial = next(i for i in join.inputs if isinstance(i, ir.Aggregate))
+    assert "l_orderkey" in partial.group_keys
+    assert any("SUM(l_quantity)" in c for c in partial.agg_calls)
+    # AVG merged as SUM/COUNT pair
+    assert any("/" in c and c.endswith("AS av") for c in out.agg_calls)
+
+    plain = build().to_df(cat)
+    transposed = out.to_df(cat)
+    # dtypes (not full schema): merging COUNT as SUM-of-partials flips
+    # only the nullability bit, never the type
+    assert transposed.dtypes == plain.dtypes
+    a = {r["o_orderpriority"]: r for r in plain.collect()}
+    b = {r["o_orderpriority"]: r for r in transposed.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["qty"] == b[k]["qty"] and a[k]["n"] == b[k]["n"]
+        assert a[k]["mn"] == b[k]["mn"]
+        assert abs(a[k]["av"] - b[k]["av"]) < 1e-9
+
+    # refusals: non-INNER join, DISTINCT aggregate, cross-side argument
+    left = (
+        RelBuilder(cat).scan("orders").scan("lineitem")
+        .join("o_orderkey = l_orderkey", join_type="LEFT")
+        .aggregate(["o_orderpriority"], ["SUM(l_quantity) AS qty"]).build()
+    )
+    assert _aggregate_join_transpose(left, cat) is None
+    distinct = (
+        RelBuilder(cat).scan("orders").scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(["o_orderpriority"], ["COUNT(DISTINCT l_partkey) AS n"]).build()
+    )
+    assert _aggregate_join_transpose(distinct, cat) is None
+    cross_side = (
+        RelBuilder(cat).scan("orders").scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate([], ["SUM(l_quantity) AS a", "SUM(o_totalprice) AS b"]).build()
+    )
+    assert _aggregate_join_transpose(cross_side, cat) is None
+    # rule output never re-fires (loop guard)
+    assert _aggregate_join_transpose(out, cat) is None
