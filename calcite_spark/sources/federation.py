@@ -552,8 +552,18 @@ def push_merge(
         # pick-one behavior).
         import re as _re
 
-        cond_ids = set(_re.findall(r"[A-Za-z_]\w*", condition))
-        touched = set(update_set) & cond_ids
+        # Only TARGET-side references matter (ADVICE r6): a condition
+        # like `tgt.id = src.id AND src.flag` references `flag` solely
+        # on the SOURCE side, so updating target.flag is safe — refuse
+        # only columns the condition reads from the target (qualified
+        # by target_alias, or unqualified, which the engine resolves
+        # against either relation).
+        tgt_ids = set()
+        for qm in _re.finditer(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)", condition):
+            qual, col = qm.group(1), qm.group(2)
+            if qual is None or qual == target_alias:
+                tgt_ids.add(col)
+        touched = set(update_set) & tgt_ids
         if touched:
             raise UnsupportedDialectExpression(
                 f"two-statement MERGE lowering cannot update join-key "

@@ -120,6 +120,15 @@ class SqlFrontend:
     # subquery (plan-asserted), however many branches fire.
     # `= SOME` / `<> ALL` lower to IN / NOT IN, whose null semantics
     # Spark already implements natively.
+    #
+    # COST DISCLOSURE (pinned by test_quantified_membership_two_scans):
+    # the membership branch executes its subquery TWICE — once as the
+    # IN semi-join witness, once as the n/d count aggregate; the two
+    # plan shapes cannot share a ReusedSubquery. The ordering branch is
+    # single-execution (plan-asserted). A single-scan membership form
+    # would need a LEFT_MARK join restructure of the enclosing
+    # statement, which a string macro cannot do safely for arbitrary
+    # expression contexts — known 2x subquery cost, not a surprise.
 
     # operand: an optionally-negated simple term, one non-nested
     # function call (CAST(NULL AS INT)), or one parenthesized
@@ -147,6 +156,39 @@ class SqlFrontend:
             if m is None:
                 return text
             x, op, quant = m.group(1), m.group(2), m.group(3).upper()
+            # Compound-LHS guard (ADVICE r6, medium): the operand
+            # grammar captures one simple term, but comparison binds
+            # LOOSER than arithmetic/concat — in `c1 || c2 = SOME (s)`
+            # the true LHS is the whole concat, and rewriting just c2
+            # would be silently wrong (Spark coerces the boolean CASE
+            # to string for ||). If the text before the captured term
+            # ends with a binary operator, or the term's leading `-`
+            # is actually a binary minus (`3-1 = SOME`), refuse and ask
+            # for parentheses instead of rewriting the trailing term.
+            before = text[: m.start(1)].rstrip()
+            compound = before.endswith("||") or (
+                before and before[-1] in "+-*/%<>=!"
+            )
+            if not compound and x.lstrip().startswith("-") and before:
+                # a captured leading `-` is BINARY minus when the
+                # preceding token is itself an operand (identifier,
+                # number, `)`, or string literal) rather than a keyword
+                if before[-1] in ")'":
+                    compound = True
+                else:
+                    tok = re.search(r"[\w.]+$", before)
+                    compound = bool(tok) and tok.group(0).upper() not in (
+                        "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND",
+                        "OR", "NOT", "ON", "HAVING", "BY", "CASE", "IN",
+                        "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+                        "VALUES", "SET", "RETURNING", "COALESCE", "IF",
+                    )
+            if compound:
+                raise ValueError(
+                    f"quantified comparison has a compound left-hand "
+                    f"side ending at {x!r}: parenthesize the full LHS, "
+                    f"e.g. (a || b) {m.group(2)} {quant} (...)"
+                )
             if op == "!=":
                 op = "<>"
             sub, close = self._balanced_span(text, m.end())
@@ -1496,11 +1538,17 @@ class SqlFrontend:
             # projection, and LIMIT/OFFSET truncate after it — both
             # would let later statements re-issue exposed values.
             # Refuse those shapes rather than break uniqueness
-            # (review r6).
-            depth = (
-                expanded.count("(", 0, m.start())
-                - expanded.count(")", 0, m.start())
-            )
+            # (review r6). Depth is computed with a QUOTE-AWARE scan
+            # (ADVICE r6): a paren inside a preceding string literal
+            # must neither hide a real subquery nesting nor fake one.
+            depth, in_str = 0, False
+            for ch in expanded[: m.start()]:
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str and ch == "(":
+                    depth += 1
+                elif not in_str and ch == ")":
+                    depth -= 1
             if depth > 0:
                 raise ValueError(
                     "NEXT VALUE FOR inside a subquery: allocation "

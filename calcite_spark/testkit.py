@@ -142,9 +142,24 @@ class QuidemRunner:
                 if lines[i].rstrip().endswith(";"):
                     break
                 i += 1
-            sql_lines = [
-                ln for ln in buf if not ln.strip().startswith("--")
-            ]
+            # quote-parity across buffered lines (ADVICE r6): a line
+            # starting with `--` INSIDE a multi-line string literal is
+            # literal content, not a comment — dropping it would
+            # silently alter the executed SQL. Parity counting stops at
+            # a genuine (outside-string) `--` so apostrophes in trailing
+            # comments don't flip it.
+            sql_lines, in_str = [], False
+            for ln in buf:
+                if not in_str and ln.strip().startswith("--"):
+                    continue
+                sql_lines.append(ln)
+                k = 0
+                while k < len(ln):
+                    if ln[k] == "'":
+                        in_str = not in_str
+                    elif not in_str and ln[k : k + 2] == "--":
+                        break
+                    k += 1
             sql = "\n".join(sql_lines).rstrip().rstrip(";")
             out_lines.extend(buf)
             i += 1

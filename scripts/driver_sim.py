@@ -35,8 +35,18 @@ def _canon(pdf):
         # FAIL against Spark's int64 until the oracle CASTs to BIGINT.
         elif str(pdf[c].dtype) in ("int8", "int16", "int32"):
             pdf[c] = pdf[c].astype("int64")
-        elif str(pdf[c].dtype) in ("uint8", "uint16", "uint32", "uint64"):
+        elif str(pdf[c].dtype) in ("uint8", "uint16", "uint32"):
             pdf[c] = pdf[c].astype("int64")
+        elif str(pdf[c].dtype) == "uint64":
+            # ADVICE r6: astype('int64') WRAPS for values >= 2^63
+            # (numpy modular conversion) — convert only when every
+            # value fits; otherwise keep uint64 so the strict compare
+            # flags the column instead of coincidentally matching a
+            # wrapped Spark value.
+            import numpy as np
+
+            if len(pdf) == 0 or (pdf[c] <= np.iinfo("int64").max).all():
+                pdf[c] = pdf[c].astype("int64")
         elif str(pdf[c].dtype).startswith("datetime64"):
             # Spark toPandas yields ns, DuckDB fetchdf us — SAME logical
             # type; the real driver canonicalizes timestamps before

@@ -447,6 +447,39 @@ def test_push_merge_refuses_key_updates():
     eng = DuckDBEngine(con)
     with pytest.raises(UnsupportedDialectExpression, match="join-key"):
         push_merge(eng, "t", "s", "tgt.k = src.k", update_set={"k": "src.k + 1"})
+    # unqualified condition reference resolves against either relation
+    # — still refused (could be the target's column)
+    with pytest.raises(UnsupportedDialectExpression, match="join-key"):
+        push_merge(eng, "t", "s", "tgt.k = src.k AND v > 0",
+                   update_set={"v": "src.v"})
+
+
+def test_push_merge_allows_source_only_condition_columns():
+    """ADVICE r6: the guard must read the condition's QUALIFIED
+    references — `tgt.id = src.id AND src.flag = 1` touches `flag` only
+    on the SOURCE side, so updating target.flag is safe and must not be
+    refused. Values verified end-to-end."""
+    import duckdb
+
+    from calcite_spark.sources.federation import DuckDBEngine, push_merge
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, flag INT)")
+    con.execute("CREATE TABLE s (id INT, flag INT)")
+    con.execute("INSERT INTO t VALUES (1, 0), (2, 0)")
+    con.execute("INSERT INTO s VALUES (1, 1), (2, 0), (3, 1)")
+    eng = DuckDBEngine(con)
+    n = push_merge(
+        eng, "t", "s", "tgt.id = src.id AND src.flag = 1",
+        update_set={"flag": "src.flag"},
+        insert_columns=["id", "flag"], insert_values=["src.id", "src.flag"],
+    )
+    # update hits t(1,.) via s(1,1); inserts: s(3,1) is new, and s(2,0)
+    # fails the src.flag=1 condition so it counts as NOT MATCHED and
+    # inserts — exactly what native MERGE with this ON condition does
+    assert n == 3
+    rows = dict(con.execute("SELECT id, flag FROM t ORDER BY id").fetchall())
+    assert rows[1] == 1 and rows[3] == 1
 
 
 def test_merge_sql_arity_validation():

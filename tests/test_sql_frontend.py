@@ -487,6 +487,31 @@ def test_quantified_requires_subquery(fe):
         fe.parse("SELECT 1 WHERE 5 > ALL (1, 2, 3)")
 
 
+def test_quantified_compound_lhs_refused(fe):
+    """ADVICE r6 (medium): a compound LHS must refuse loudly, never
+    rewrite just the trailing term — `c1 || c2 = SOME (s)` would
+    otherwise become c1 || (CASE...), which Spark silently coerces to a
+    string concat of a boolean. Unary minus stays allowed."""
+    import pytest
+
+    for bad in (
+        "SELECT 1 WHERE 'a' || 'b' = SOME (SELECT x FROM t)",
+        "SELECT 1 WHERE a + 1 > ALL (SELECT x FROM t)",
+        "SELECT 1 WHERE 3-1 = SOME (SELECT x FROM t)",
+        "SELECT 1 WHERE a - 1 = SOME (SELECT x FROM t)",
+    ):
+        with pytest.raises(ValueError, match="parenthesize"):
+            fe.parse(bad)
+    # unary minus after a keyword or at a clause head is NOT compound
+    t, _ = fe.parse("SELECT 1 WHERE -1 = SOME (SELECT x FROM t)")
+    assert "CASE WHEN" in t
+    t, _ = fe.parse("SELECT -a = SOME (SELECT x FROM t) AS m FROM u")
+    assert "CASE WHEN" in t
+    # parenthesized compound LHS goes through
+    t, _ = fe.parse("SELECT 1 WHERE (a + 1) > ALL (SELECT x FROM t)")
+    assert "CASE WHEN" in t
+
+
 # -- WITHIN DISTINCT (within-distinct.iq tier) ------------------------
 
 
