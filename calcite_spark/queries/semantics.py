@@ -772,3 +772,35 @@ def qx34_agg_join_transpose(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "qx35_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_orderstatus, o_orderpriority)
+           o_orderstatus, o_orderpriority,
+           o_totalprice AS top_price, o_orderkey AS k
+    FROM orders
+    WHERE o_orderpriority NOTNULL
+    ORDER BY o_orderstatus, o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+    tags=("babel", "distinct_on", "sql_surface"),
+)
+def qx35_distinct_on(spark, sf_dir):
+    """PG SELECT DISTINCT ON through the babel tier (r7 batch 2;
+    ≈ babel select.iq:335, CALCITE-5406): lowers to the row_number
+    window with PG's leading-ORDER-BY rule enforced. DuckDB parses
+    DISTINCT ON (and the postfix NOTNULL) NATIVELY, so the oracle is
+    the IDENTICAL statement — the strongest cross-engine check
+    available. Tie on top_price broken by o_orderkey, so the picked
+    rows are fully deterministic."""
+    return _fe(spark, sf_dir).sql(
+        """
+        SELECT DISTINCT ON (o_orderstatus, o_orderpriority)
+               o_orderstatus, o_orderpriority,
+               o_totalprice AS top_price, o_orderkey AS k
+        FROM orders
+        WHERE o_orderpriority NOTNULL
+        ORDER BY o_orderstatus, o_orderpriority, o_totalprice DESC, o_orderkey
+        """
+    )

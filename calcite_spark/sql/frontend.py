@@ -143,6 +143,31 @@ class SqlFrontend:
         re.I,
     )
 
+    @staticmethod
+    def _lhs_is_compound(text: str, start: int, operand: str) -> bool:
+        """True when the simple term captured at `start` is really the
+        trailing piece of a compound LHS (ADVICE r6): the preceding
+        text ends with a binary operator, or the operand's leading `-`
+        is a binary minus (previous token is itself an operand rather
+        than a keyword). Callers refuse with a parenthesize-the-LHS
+        error instead of rewriting the trailing term."""
+        before = text[:start].rstrip()
+        if not before:
+            return False
+        if before.endswith("||") or before[-1] in "+-*/%<>=!":
+            return True
+        if operand.lstrip().startswith("-"):
+            if before[-1] in ")'":
+                return True
+            tok = re.search(r"[\w.]+$", before)
+            return bool(tok) and tok.group(0).upper() not in (
+                "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND",
+                "OR", "NOT", "ON", "HAVING", "BY", "CASE", "IN",
+                "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+                "VALUES", "SET", "RETURNING",
+            )
+        return False
+
     def _expand_quantified(self, text: str) -> str:
         while True:
             m = None
@@ -165,25 +190,7 @@ class SqlFrontend:
             # ends with a binary operator, or the term's leading `-`
             # is actually a binary minus (`3-1 = SOME`), refuse and ask
             # for parentheses instead of rewriting the trailing term.
-            before = text[: m.start(1)].rstrip()
-            compound = before.endswith("||") or (
-                before and before[-1] in "+-*/%<>=!"
-            )
-            if not compound and x.lstrip().startswith("-") and before:
-                # a captured leading `-` is BINARY minus when the
-                # preceding token is itself an operand (identifier,
-                # number, `)`, or string literal) rather than a keyword
-                if before[-1] in ")'":
-                    compound = True
-                else:
-                    tok = re.search(r"[\w.]+$", before)
-                    compound = bool(tok) and tok.group(0).upper() not in (
-                        "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND",
-                        "OR", "NOT", "ON", "HAVING", "BY", "CASE", "IN",
-                        "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
-                        "VALUES", "SET", "RETURNING", "COALESCE", "IF",
-                    )
-            if compound:
+            if self._lhs_is_compound(text, m.start(1), x):
                 raise ValueError(
                     f"quantified comparison has a compound left-hand "
                     f"side ending at {x!r}: parenthesize the full LHS, "
@@ -313,17 +320,23 @@ class SqlFrontend:
     # insensitive) / `!~` / `!~*` → [NOT] RLIKE. The RHS must be a
     # string LITERAL — that is what disambiguates the binary match
     # from Spark's unary bitwise NOT (`12 & ~5` has no literal RHS).
+    # r7 babel batch 2 adds the LIKE-operator aliases `~~` / `~~*` /
+    # `!~~` / `!~~*` (PG's operator names for [NOT] [I]LIKE) — longest
+    # alternatives first so `~~` never half-matches as `~`.
     _PG_REGEX_RE = re.compile(
         r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
-        r"\s*(!~\*|!~|~\*|~)\s*'([^']*)'",
+        r"\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*'([^']*)'",
     )
 
     def _expand_pg_regex_ops(self, text: str) -> str:
         def sub(m):
             lhs, op, pat = m.group(1), m.group(2), m.group(3)
+            neg = "NOT " if op.startswith("!") else ""
+            if "~~" in op:
+                kw = "ILIKE" if op.endswith("*") else "LIKE"
+                return f"{neg}({lhs} {kw} '{pat}')"
             if "*" in op:
                 pat = f"(?i){pat}"
-            neg = "NOT " if op.startswith("!") else ""
             return f"{neg}({lhs} RLIKE '{pat}')"
 
         out, i = [], 0
@@ -335,6 +348,188 @@ class SqlFrontend:
             i = m.end()
         out.append(text[i:])
         return "".join(out)
+
+    # -- babel batch 2 (r7): DISTINCT ON, ARRAY[...], @>/<@, ISNULL ---
+
+    # PostgreSQL SELECT DISTINCT ON (exprs) ≈ the babel parser's
+    # CALCITE-5406 surface (babel select.iq:335): keep the FIRST row of
+    # each distinct-exprs group in ORDER BY order. Lowered to the
+    # standard row_number window — PG's own documented equivalence.
+    # PG's validator rule is enforced: the ORDER BY must be present and
+    # its leading expressions must match the DISTINCT ON list (without
+    # it PG returns an arbitrary row per group — a nondeterminism this
+    # engine refuses). Scope: outermost SELECT only; select items are
+    # bare/qualified columns or `expr AS alias`.
+    _DISTINCT_ON_RE = re.compile(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(")
+
+    def _expand_distinct_on(self, text: str) -> str:
+        text = text.strip().rstrip(";")
+        m = self._DISTINCT_ON_RE.match(text)
+        if not m:
+            if re.search(r"(?i)\bDISTINCT\s+ON\s*\(", text):
+                raise ValueError(
+                    "DISTINCT ON is supported at the outermost SELECT "
+                    "only (rewrite inner uses as window subqueries)"
+                )
+            return text
+        on_list, close = self._balanced_span(text, m.end())
+        on_exprs = [e.strip() for e in self._split_top_commas(on_list)]
+        frm = self._top_level_kw(text, "FROM", close)
+        if frm < 0:
+            raise ValueError("DISTINCT ON requires a FROM clause")
+        sel_items = [
+            s.strip()
+            for s in self._split_top_commas(text[close + 1 : frm])
+        ]
+        ob = self._top_level_kw(text, "ORDER", frm)
+        if ob < 0:
+            raise ValueError(
+                "DISTINCT ON requires ORDER BY (PostgreSQL returns an "
+                "arbitrary row per group without it — refused); its "
+                "leading expressions must match the DISTINCT ON list"
+            )
+        body = text[frm:ob].strip()
+        order_txt = re.sub(r"(?is)^ORDER\s+BY\s+", "", text[ob:].strip())
+        order_keys = [
+            k.strip() for k in self._split_top_commas(order_txt)
+        ]
+
+        def _norm(e):
+            return re.sub(r"\s+", " ", e).strip().lower()
+
+        key_re = re.compile(
+            r"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$"
+        )
+        if len(order_keys) < len(on_exprs):
+            raise ValueError(
+                "DISTINCT ON expressions must match the initial ORDER "
+                "BY expressions (PostgreSQL's rule)"
+            )
+        lead = []
+        for i, e in enumerate(on_exprs):
+            km = key_re.match(order_keys[i])
+            if _norm(km.group(1)) != _norm(e):
+                raise ValueError(
+                    f"DISTINCT ON expression {e!r} must match ORDER BY "
+                    f"expression #{i + 1} ({order_keys[i]!r}) — "
+                    "PostgreSQL's rule"
+                )
+            lead.append((e, order_keys[i][km.end(1):].strip()))
+        out_names = []
+        for s in sel_items:
+            am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", s)
+            if am:
+                out_names.append(am.group(1))
+            elif re.match(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)?$", s):
+                out_names.append(s.split(".")[-1])
+            else:
+                raise ValueError(
+                    f"DISTINCT ON select item {s!r} needs an AS alias"
+                )
+        hidden = ", ".join(
+            f"{e} AS __don_k{i}" for i, e in enumerate(on_exprs)
+        )
+        outer_order = ", ".join(
+            f"__don_k{i}" + (f" {suffix}" if suffix else "")
+            for i, (_, suffix) in enumerate(lead)
+        )
+        inner = (
+            f"SELECT {', '.join(sel_items)}, {hidden}, "
+            f"row_number() OVER (PARTITION BY {', '.join(on_exprs)} "
+            f"ORDER BY {order_txt}) AS __don_rn {body}"
+        )
+        return (
+            f"SELECT {', '.join(out_names)} FROM ({inner}) __don_t "
+            f"WHERE __don_rn = 1 ORDER BY {outer_order}"
+        )
+
+    # ARRAY[a, b] constructor (SQL-standard / PG; Calcite's
+    # SqlArrayValueConstructor) → Spark array(a, b). Innermost-first so
+    # nesting resolves; string literals are opaque.
+    _ARRAY_LIT_RE = re.compile(r"(?is)\bARRAY\s*\[([^\[\]]*)\]")
+
+    def _expand_array_literal(self, text: str) -> str:
+        while True:
+            m = None
+            for cand in self._ARRAY_LIT_RE.finditer(text):
+                if text.count("'", 0, cand.start()) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                return text
+            text = text[: m.start()] + f"array({m.group(1)})" + text[m.end() :]
+
+    # PG array containment `a @> b` / `a <@ b` (babel tier; DuckDB runs
+    # them natively as list_has_all). Semantics follow the DuckDB twin
+    # the fuzz pins: every NON-NULL needle element appears among the
+    # haystack's non-null elements; empty needle → TRUE; NULL operand →
+    # NULL. (PostgreSQL itself diverges on NULL ELEMENTS — `ARRAY[NULL]
+    # <@ ARRAY[NULL]` is false in PG, true here — documented.) Lowered
+    # to JVM-side higher-order functions: zero Python, scan-speed.
+    # operand: identifier, call, or parenthesized expression — calls
+    # and parens allow ONE nesting level (array(CAST(x AS INT)) is the
+    # common shape after ARRAY[...] expansion); deeper nesting needs
+    # explicit parentheses around the whole operand
+    _CONTAIN_RE = re.compile(
+        r"(\w+\((?:[^()]|\([^()]*\))*\)|[\w.]+|\((?:[^()]|\([^()]*\))*\))"
+        r"\s*(@>|<@)\s*"
+        r"(\w+\((?:[^()]|\([^()]*\))*\)|[\w.]+|\((?:[^()]|\([^()]*\))*\))"
+    )
+
+    def _expand_containment(self, text: str) -> str:
+        while True:
+            m = None
+            for cand in self._CONTAIN_RE.finditer(text):
+                if text.count("'", 0, cand.start(2)) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                return text
+            a, op, b = m.group(1), m.group(2), m.group(3)
+            if self._lhs_is_compound(text, m.start(1), a):
+                raise ValueError(
+                    f"array containment has a compound left-hand side "
+                    f"ending at {a!r}: parenthesize the full LHS"
+                )
+            hay, needle = (a, b) if op == "@>" else (b, a)
+            if a.strip().upper() == "NULL" or b.strip().upper() == "NULL":
+                # a bare NULL literal is VOID-typed in Spark and cannot
+                # feed filter(); the result is NULL regardless
+                rep = "(CAST(NULL AS BOOLEAN))"
+            else:
+                rep = (
+                    f"(forall(filter({needle}, __pgn -> __pgn IS NOT NULL), "
+                    f"__pgn -> array_contains(filter({hay}, "
+                    f"__pgh -> __pgh IS NOT NULL), __pgn)))"
+                )
+            text = text[: m.start()] + rep + text[m.end() :]
+
+    # PG postfix null tests `x ISNULL` / `x NOTNULL` (babel tier) →
+    # IS [NOT] NULL. The (?!\s*\() guard keeps call-shaped ISNULL(x)
+    # (a function in other dialects) out of scope.
+    _NULL_POSTFIX_RE = re.compile(
+        r"((?:-\s*)?\w+\([^()]*\)|'[^']*'|(?:-\s*)?[\w.]+|\([^()]*\))"
+        r"\s+(ISNULL|NOTNULL)\b(?!\s*\()",
+        re.I,
+    )
+
+    def _expand_null_postfix(self, text: str) -> str:
+        while True:
+            m = None
+            for cand in self._NULL_POSTFIX_RE.finditer(text):
+                if text.count("'", 0, cand.start(2)) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                return text
+            if self._lhs_is_compound(text, m.start(1), m.group(1)):
+                raise ValueError(
+                    f"ISNULL/NOTNULL has a compound operand ending at "
+                    f"{m.group(1)!r}: parenthesize the full operand"
+                )
+            neg = "NOT " if m.group(2).upper() == "NOTNULL" else ""
+            rep = f"({m.group(1)} IS {neg}NULL)"
+            text = text[: m.start()] + rep + text[m.end() :]
 
     # ROW(a, b) value constructor (SqlStdOperatorTable.ROW;
     # row-equality.iq) → Spark struct(a, b): same field-wise equality,
@@ -1337,6 +1532,14 @@ class SqlFrontend:
         # calls — `x::int > ALL (...)` must reach the quantifier pass
         # as `CAST(x AS int) > ALL (...)` (review r6: the quantifier's
         # operand grammar cannot parse ::)
+        if re.search(r"\bDISTINCT\s+ON\s*\(", text, re.I):
+            text = self._expand_distinct_on(text)
+        if re.search(r"\bARRAY\s*\[", text, re.I):
+            text = self._expand_array_literal(text)
+        if "@>" in text or "<@" in text:
+            text = self._expand_containment(text)
+        if re.search(r"\b(ISNULL|NOTNULL)\b", text, re.I):
+            text = self._expand_null_postfix(text)
         if "::" in text:
             text = self._expand_pg_casts(text)
         if "~" in text:

@@ -257,3 +257,51 @@ def test_row_constructor_grouping_matches_duckdb(fe, duck, rows):
         got = fe.sql(sql).collect()[0].n
         want = duck.execute(sql).fetchone()[0]
         assert int(got) == int(want), f"{sql}: {got} != {want}"
+
+
+# -- r7 babel batch 2: DISTINCT ON / @> <@ containment ----------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-3, 3)),
+        min_size=1, max_size=12,
+    ),
+    desc=st.booleans(),
+)
+def test_distinct_on_matches_duckdb_native(fe, duck, rows, desc):
+    """SELECT DISTINCT ON (g) ... ORDER BY g, v [DESC], id — DuckDB
+    runs DISTINCT ON natively, so the identical text cross-checks the
+    row_number lowering, ties broken deterministically by id."""
+    vals = ", ".join(f"({g}, {v}, {i})" for i, (g, v) in enumerate(rows))
+    sql = (
+        f"SELECT DISTINCT ON (g) g, v AS vv, id AS i "
+        f"FROM (VALUES {vals}) AS t(g, v, id) "
+        f"ORDER BY g, v{' DESC' if desc else ''}, id"
+    )
+    got = [(r.g, r.vv, r.i) for r in fe.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"{sql}: {got} != {want}"
+
+
+ARR = st.lists(st.one_of(st.none(), st.integers(0, 3)), min_size=1, max_size=5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=ARR, b=ARR, op=st.sampled_from(["@>", "<@"]))
+def test_containment_matches_duckdb_native(fe, duck, a, b, op):
+    """`a @> b` / `a <@ b` — DuckDB parses the operators natively
+    (list_has_all), so the identical ARRAY[...] text cross-checks the
+    forall/filter lowering including NULL-element handling (non-null
+    needles only must match; a documented divergence from PostgreSQL,
+    which never matches NULLs)."""
+    def lit(vs):
+        return "ARRAY[" + ", ".join(
+            f"CAST({'NULL' if v is None else v} AS INT)" for v in vs
+        ) + "]"
+
+    sql = f"SELECT ({lit(a)} {op} {lit(b)}) AS v"
+    got = fe.sql(sql).collect()[0].v
+    want = duck.execute(sql).fetchone()[0]
+    assert got == want, f"{sql}: spark={got} duckdb={want}"

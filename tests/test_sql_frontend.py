@@ -696,3 +696,69 @@ def test_review_r6_sequence_refusals(fe, spark, tmp_path):
         fe.sql(
             "SELECT NEXT VALUE FOR rev_seq AS id FROM orders LIMIT 5"
         )
+
+
+# -- r7 babel batch 2 -------------------------------------------------
+
+
+def test_distinct_on_lowering_and_guards(fe):
+    """DISTINCT ON (PG; babel select.iq:335 / CALCITE-5406) lowers to
+    the row_number window; PG's leading-ORDER-BY rule is enforced."""
+    import pytest
+
+    t, _ = fe.parse(
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name AS nm "
+        "FROM nation ORDER BY n_regionkey, n_name"
+    )
+    assert "row_number() OVER (PARTITION BY n_regionkey" in t
+    assert "__don_rn = 1" in t
+    with pytest.raises(ValueError, match="ORDER BY"):
+        fe.parse("SELECT DISTINCT ON (a) a, b AS bb FROM t")
+    with pytest.raises(ValueError, match="must match"):
+        fe.parse("SELECT DISTINCT ON (a) a, b AS bb FROM t ORDER BY b")
+    with pytest.raises(ValueError, match="outermost"):
+        fe.parse(
+            "SELECT * FROM (SELECT DISTINCT ON (a) a FROM t ORDER BY a) q"
+        )
+    with pytest.raises(ValueError, match="AS alias"):
+        fe.parse(
+            "SELECT DISTINCT ON (a) a + 1 FROM t ORDER BY a"
+        )
+
+
+def test_array_literal_and_containment_lowering(fe):
+    t, _ = fe.parse("SELECT ARRAY[1, ARRAY[2, 3]] AS a")
+    assert "array(1, array(2, 3))" in t
+    t, _ = fe.parse("SELECT (ARRAY[1,2] @> ARRAY[1]) AS c")
+    assert "forall(" in t and "array_contains(" in t
+    # <@ swaps needle and haystack
+    t, _ = fe.parse("SELECT (x <@ y) AS c FROM t")
+    assert "forall(filter(x" in t and "array_contains(filter(y" in t
+    # literal 'a @> b' inside a string stays opaque
+    t, _ = fe.parse("SELECT 'x @> y' AS s")
+    assert "'x @> y'" in t
+    import pytest
+
+    with pytest.raises(ValueError, match="parenthesize"):
+        fe.parse("SELECT (a || b @> c) AS v FROM t")
+
+
+def test_null_postfix_and_like_operators(fe):
+    t, _ = fe.parse("SELECT 1 FROM t WHERE x ISNULL")
+    assert "(x IS NULL)" in t
+    t, _ = fe.parse("SELECT 1 FROM t WHERE x NOTNULL")
+    assert "(x IS NOT NULL)" in t
+    # call-shaped ISNULL(x) stays out of scope
+    t, _ = fe.parse("SELECT ISNULL(x) FROM t")
+    assert "ISNULL(x)" in t
+    t, _ = fe.parse("SELECT 1 FROM t WHERE a ~~ 'x%'")
+    assert "(a LIKE 'x%')" in t
+    t, _ = fe.parse("SELECT 1 FROM t WHERE a ~~* 'x%'")
+    assert "(a ILIKE 'x%')" in t
+    t, _ = fe.parse("SELECT 1 FROM t WHERE a !~~ 'x%'")
+    assert "NOT (a LIKE 'x%')" in t
+    t, _ = fe.parse("SELECT 1 FROM t WHERE a !~~* 'x%'")
+    assert "NOT (a ILIKE 'x%')" in t
+    # plain regex ops unaffected by the longer alternatives
+    t, _ = fe.parse("SELECT 1 FROM t WHERE a ~ 'x.*'")
+    assert "RLIKE 'x.*'" in t
