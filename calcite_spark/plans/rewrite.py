@@ -1072,14 +1072,23 @@ def _eliminate_redundant_exchange(node, catalog):
     Calcite's trait-satisfaction check (an Exchange whose required
     distribution the input ALREADY satisfies is a no-op): drop
     Exchange(kind, keys) when mq.distribution of its input reports the
-    identical trait. At 100 TB a redundant hash Exchange is a full
-    shuffle of the dataset for nothing — the classic shape is a
-    repartition(k) stacked over a repartition(k) left behind by
-    composed pipeline stages, or over an Aggregate that already
-    exchanged on exactly k (the metadata facade's documented Spark
-    extension). Only hash/range exchanges with keys are considered:
-    broadcast/singleton exchanges carry execution-strategy intent
-    (hints, coalesce) beyond the distribution trait."""
+    identical trait — the classic shape is a repartition(k) stacked
+    over a repartition(k) left behind by composed pipeline stages, or
+    over an Aggregate that already exchanged on exactly k (the metadata
+    facade's documented Spark extension). Only hash/range exchanges
+    with keys are considered: broadcast/singleton exchanges carry
+    execution-strategy intent (hints, coalesce) beyond the trait.
+
+    MEASURED SCOPE (r7 A/B, scripts/exchange_ab.py — honest downgrade
+    of the r6 'full shuffle Catalyst keeps' claim): Spark 4.1's own
+    EnsureRequirements (AQE on OR off) already elides the count-less
+    shapes this rule removes — the executed plan shows ONE exchange and
+    identical shuffle bytes with or without the rule; only an
+    EXPLICIT-count repartition survives in Spark, and this rule keeps
+    those on purpose (a sizing request is intent). The rule's value is
+    therefore an IR-LEVEL GUARANTEE independent of the executing
+    engine's version/planner (trait reasoning also feeds
+    cumulative_cost and the plan serde), not a Spark runtime win."""
     if not isinstance(node, ir.Exchange):
         return None
     if node.distribution not in ("hash", "range") or not node.keys:
