@@ -1146,16 +1146,27 @@ def _aggregate_join_transpose(node, catalog):
     "collapse the fact side to one row per (group, join key) first" — the
     join and final aggregate then move partial rows only.
 
-    Soundness (why single-side push with the other side RAW is exact):
-    in the original plan each P-row is replicated once per matching
-    other-side row. After the push, each partial cell (which fixes the
-    join key, so every row in it has the SAME match count m) is
-    replicated m times by the join, so
+    Soundness, single-side push (other side RAW): in the original plan
+    each P-row is replicated once per matching other-side row. After
+    the push, each partial cell (which fixes the join key, so every row
+    in it has the SAME match count m) is replicated m times by the
+    join, so
       SUM:     sum over pairs of partial_sum  = Σ_cells m·Σx  = original;
       COUNT:   sum over pairs of partial_cnt  = Σ_cells m·cnt = original;
       MIN/MAX: duplication never changes them; cells with m=0 drop in
                the INNER join exactly as their rows dropped originally;
       AVG:     SUM/COUNT pair, merged as a division.
+    Soundness, BOTH-side push (args split across the join — the m:n
+    case where the raw join explodes to |L_k|·|R_k| pairs per key):
+    both inputs partial-aggregate, each cell carries COUNT(*); the
+    partial⋈partial join yields ONE row per (cellL, cellR), and the
+    lost duplication is restored arithmetically —
+      SUM(x_L):  SUM(partial_sum_L · cnt_R)   (each L-cell's sum counts
+                 once per matching R-ROW = cnt_R per matching R-cell);
+      COUNT(*):  SUM(cnt_L · cnt_R);
+      COUNT(x):  SUM(partial_cnt · other cnt);
+      MIN/MAX:   duplication-free, merge as themselves;
+      AVG:       both SUM and COUNT partials scaled by the other cnt.
     Refusals (refuse-over-wrong): non-INNER joins, non-equi or
     non-conjunctive conditions, DISTINCT / FILTER / expression-argument
     aggregates, group keys that are not bare columns of one side,
@@ -1238,53 +1249,116 @@ def _aggregate_join_transpose(node, catalog):
                 return None
             arg_sides.add(s)
         parsed.append((fn, arg, alias))
-    if len(arg_sides) > 1:
-        return None
-    # COUNT(*)-only aggregates: push to the larger (fact) side
     from calcite_spark.plans.metadata import MetadataQuery
 
     mq = MetadataQuery(catalog)
+
+    def partial_group(side):
+        keys = []
+        for k, s in group_sides:
+            if s == side and k not in keys:
+                keys.append(k)
+        for k in join_keys[side]:
+            if k not in keys:
+                keys.append(k)
+        return keys
+
+    def gate(side):
+        """Benefit gate for aggregating `side`: grounded NDVs only,
+        estimated partial groups ≤ rows / 2."""
+        inp = child.inputs[side]
+        rows = mq.row_count(inp)
+        if rows is None:
+            return False
+        groups = 1.0
+        for k in partial_group(side):
+            ndv = mq.distinct_row_count(inp, k)
+            if ndv is None:
+                return False
+            groups *= ndv
+        return min(groups, rows) <= rows / 2
+
+    def decimal_refused(side):
+        """DECIMAL SUM/AVG args on `side` refuse (re-summing a partial
+        SUM widens decimal precision again — merged dtype would differ
+        from the single-level aggregate's). Plan-time probe only."""
+        args = [
+            arg for fn, arg, _ in parsed
+            if fn in ("SUM", "AVG") and arg != "*" and side_of(arg) == side
+        ]
+        if not args:
+            return False
+        dt = _output_dtypes(child.inputs[side], catalog)
+        return any(dt.get(a, "").startswith("decimal") for a in args)
+
+    fresh = [f"__ajt{i}" for i in range(len(parsed))] + [
+        "__ajtcnt0", "__ajtcnt1"
+    ]
+    if any(c in (left_cols | right_cols) for c in fresh):
+        return None  # fresh-name collision with a real column
+
+    if len(arg_sides) == 2:
+        # BOTH-side push (the full EXTENDED shape): partial-aggregate
+        # both inputs, each carrying COUNT(*); after the partial⋈partial
+        # join every pair is one row per (cellL, cellR), so duplication
+        # is restored arithmetically — SUM/COUNT merge as
+        # SUM(partial * other side's cnt), COUNT(*) as SUM(cntL * cntR),
+        # MIN/MAX are duplication-free. Fires only when BOTH sides pass
+        # the grounded-NDV gate (one wasted partial aggregation would
+        # shuffle the same volume twice).
+        if not (gate(0) and gate(1)) or decimal_refused(0) or decimal_refused(1):
+            return None
+        side_calls = {0: [], 1: []}
+        merge_calls = []
+        for i, (fn, arg, alias) in enumerate(parsed):
+            pc = f"__ajt{i}"
+            if arg == "*":
+                merge_calls.append(f"SUM(__ajtcnt0 * __ajtcnt1) AS {alias}")
+                continue
+            s = side_of(arg)
+            other_cnt = "__ajtcnt1" if s == 0 else "__ajtcnt0"
+            if fn in ("MIN", "MAX"):
+                side_calls[s].append(f"{fn}({arg}) AS {pc}")
+                merge_calls.append(f"{fn}({pc}) AS {alias}")
+            elif fn in ("SUM", "COUNT"):
+                side_calls[s].append(f"{fn}({arg}) AS {pc}")
+                merge_calls.append(f"SUM({pc} * {other_cnt}) AS {alias}")
+            else:  # AVG
+                side_calls[s].append(f"SUM({arg}) AS {pc}s")
+                side_calls[s].append(f"COUNT({arg}) AS {pc}c")
+                merge_calls.append(
+                    f"SUM({pc}s * {other_cnt}) / SUM({pc}c * {other_cnt}) "
+                    f"AS {alias}"
+                )
+        new_inputs = [
+            ir.Aggregate(
+                tuple(partial_group(s)),
+                tuple(side_calls[s] + [f"COUNT(*) AS __ajtcnt{s}"]),
+                inputs=(child.inputs[s],),
+            )
+            for s in (0, 1)
+        ]
+        return ir.Aggregate(
+            node.group_keys,
+            tuple(merge_calls),
+            inputs=(child.with_inputs(new_inputs),),
+            _no_transpose=True,
+        )
+
+    # single-side push: the raw other side restores duplication by the
+    # join itself (see docstring). COUNT(*)-only aggregates push to the
+    # larger (fact) side.
     if arg_sides:
-        p = arg_sides.pop()
+        p = next(iter(arg_sides))
     else:
         l_rows = mq.row_count(child.inputs[0])
         r_rows = mq.row_count(child.inputs[1])
         if l_rows is None or r_rows is None:
             return None
         p = 0 if l_rows >= r_rows else 1
-    p_input = child.inputs[p]
-
-    # DECIMAL SUM/AVG refusal (dtype probe, plan-time only)
-    if any(fn in ("SUM", "AVG") for fn, _, _ in parsed):
-        dtypes = _output_dtypes(p_input, catalog)
-        for fn, arg, _ in parsed:
-            if fn in ("SUM", "AVG") and dtypes.get(arg, "").startswith("decimal"):
-                return None
-
-    # partial grouping = P-side group keys ∪ P-side join keys (deduped)
-    partial_keys = []
-    for k, s in group_sides:
-        if s == p and k not in partial_keys:
-            partial_keys.append(k)
-    for k in join_keys[p]:
-        if k not in partial_keys:
-            partial_keys.append(k)
-
-    # benefit gate: grounded NDVs only, est. groups ≤ rows(P) / 2
-    rows_p = mq.row_count(p_input)
-    if rows_p is None:
-        return None
-    groups = 1.0
-    for k in partial_keys:
-        ndv = mq.distinct_row_count(p_input, k)
-        if ndv is None:
-            return None
-        groups *= ndv
-    groups = min(groups, rows_p)
-    if groups > rows_p / 2:
+    if not gate(p) or decimal_refused(p):
         return None
 
-    # split each call into partial call(s) + merge call
     partial_calls, merge_calls = [], []
     for i, (fn, arg, alias) in enumerate(parsed):
         pc = f"__ajt{i}"
@@ -1302,12 +1376,9 @@ def _aggregate_join_transpose(node, catalog):
             partial_calls.append(f"SUM({arg}) AS {pc}s")
             partial_calls.append(f"COUNT({arg}) AS {pc}c")
             merge_calls.append(f"SUM({pc}s) / SUM({pc}c) AS {alias}")
-    if any(c in (left_cols | right_cols) for c in
-           [f"__ajt{i}" for i in range(len(parsed))]):
-        return None  # fresh-name collision with a real column
 
     partial = ir.Aggregate(
-        tuple(partial_keys), tuple(partial_calls), inputs=(p_input,)
+        tuple(partial_group(p)), tuple(partial_calls), inputs=(child.inputs[p],)
     )
     new_inputs = list(child.inputs)
     new_inputs[p] = partial

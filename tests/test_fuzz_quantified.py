@@ -305,3 +305,74 @@ def test_containment_matches_duckdb_native(fe, duck, a, b, op):
     got = fe.sql(sql).collect()[0].v
     want = duck.execute(sql).fetchone()[0]
     assert got == want, f"{sql}: spark={got} duckdb={want}"
+
+
+# -- r7 AggregateJoinTranspose: transposed ≡ plain (property fuzz) ----
+
+AJT_AGG_SETS = [
+    # single-side push (args on one side)
+    ["SUM(lx) AS s", "COUNT(*) AS n", "MIN(lx) AS mn", "AVG(lx) AS av"],
+    # both-side push (args split across the join)
+    ["SUM(lx) AS s", "SUM(ry) AS t", "COUNT(*) AS n"],
+    ["AVG(lx) AS a1", "MAX(ry) AS m2", "COUNT(ry) AS c2"],
+    # COUNT(*)-only (pushes to the larger side)
+    ["COUNT(*) AS n"],
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lrows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 1)),  # join key
+                  st.integers(0, 1),                        # group key
+                  st.one_of(st.none(), st.integers(-5, 5))),  # measure
+        min_size=10, max_size=24,
+    ),
+    rrows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 1)),
+                  st.integers(0, 1),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=10, max_size=24,
+    ),
+    agg_i=st.integers(0, len(AJT_AGG_SETS) - 1),
+    group_both=st.booleans(),
+)
+def test_agg_join_transpose_matches_plain(spark, lrows, rrows, agg_i, group_both):
+    """The AggregateJoinTranspose rewrite must be value-identical to
+    the single-level aggregate on randomized tiny tables — NULL join
+    keys (drop), NULL measures (SUM/AVG skip, COUNT(col) skips,
+    COUNT(*) keeps), duplicate keys (the duplication-restoration
+    arithmetic), empty partial cells, single- AND both-side pushes."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _aggregate_join_transpose
+
+    cat = Catalog(spark)
+    cat.register_df("tl", spark.createDataFrame(
+        [(a, b, c) for a, b, c in lrows], "lk int, lg int, lx int"))
+    cat.register_df("tr", spark.createDataFrame(
+        [(a, b, float(c) if c is not None else None) for a, b, c in rrows],
+        "rk int, rg int, ry double"))
+    cat.analyze("tl")
+    cat.analyze("tr")
+    group = ["lg", "rg"] if group_both else ["lg"]
+    plan = (
+        RelBuilder(cat).scan("tl").scan("tr").join("lk = rk")
+        .aggregate(group, AJT_AGG_SETS[agg_i]).build()
+    )
+    out = _aggregate_join_transpose(plan, cat)
+    assert out is not None, "gate must fire: 2x2 partial domain over >=10 rows"
+
+    def canon(df):
+        rows = []
+        for r in df.collect():
+            vals = []
+            for c in sorted(df.columns):
+                v = r[c]
+                vals.append(round(v, 9) if isinstance(v, float) else v)
+            rows.append(tuple(vals))
+        return sorted(rows, key=repr)
+
+    plain, trans = plan.to_df(cat), out.to_df(cat)
+    assert dict(plain.dtypes) == dict(trans.dtypes)
+    assert canon(plain) == canon(trans)

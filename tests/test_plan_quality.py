@@ -849,3 +849,69 @@ def test_quantified_membership_two_scans(spark):
     ids = set(_re.findall(r"FileScan parquet \[o_custkey#(\d+)", plan))
     assert len(ids) == 2, f"expected the pinned 2-scan shape, got {len(ids)}"
     assert "ReusedSubquery" in plan  # branches of the aggregate collapse
+
+
+def test_aggregate_join_transpose_both_sides(spark):
+    """Both-side push (the full EXTENDED shape): aggregate args split
+    across the join -> BOTH inputs partial-aggregate, each carrying
+    COUNT(*), and SUM/COUNT merge as SUM(partial * other cnt). Values
+    must equal the single-level aggregate exactly."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _aggregate_join_transpose
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+
+    # the m:n join is the motivating case — both sides have many rows
+    # per key, so the raw join EXPLODES (|L_k| x |R_k| pairs per key)
+    # while partial⋈partial moves one row per (key, group) cell.
+    # Controlled in-memory tables: 40 rows per side over 4 keys.
+    cat.register_df("mn_l", spark.range(40).selectExpr(
+        "CAST(id % 4 AS INT) AS lk", "CAST(id AS DOUBLE) AS lx"))
+    cat.register_df("mn_r", spark.range(40).selectExpr(
+        "CAST(id % 4 AS INT) AS rk", "CAST(id * 2 AS DOUBLE) AS ry"))
+    cat.analyze("mn_l")
+    cat.analyze("mn_r")
+
+    def build():
+        return (
+            RelBuilder(cat)
+            .scan("mn_l")
+            .scan("mn_r")
+            .join("lk = rk")
+            .aggregate(
+                [],
+                ["SUM(lx) AS cust_bal", "SUM(ry) AS supp_bal",
+                 "COUNT(*) AS n", "MIN(ry) AS mn"],
+            )
+            .build()
+        )
+
+    out = _aggregate_join_transpose(build(), cat)
+    assert out is not None and out._no_transpose
+    join = out.inputs[0]
+    assert all(isinstance(i, ir.Aggregate) for i in join.inputs)
+    assert any("__ajtcnt0" in c for c in join.inputs[0].agg_calls)
+    assert any("__ajtcnt1" in c for c in join.inputs[1].agg_calls)
+    assert any("__ajtcnt0 * __ajtcnt1" in c for c in out.agg_calls)
+
+    # but one-side-unique shapes must REFUSE the both-side push (the
+    # unique side cannot collapse; gate does the cost check)
+    cat.analyze("orders", ["o_orderkey"])
+    cat.analyze("lineitem", ["l_orderkey"])
+    unique_side = (
+        RelBuilder(cat).scan("orders").scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate([], ["SUM(o_totalprice) AS a", "SUM(l_quantity) AS b"])
+        .build()
+    )
+    assert _aggregate_join_transpose(unique_side, cat) is None
+
+    plain = build().to_df(cat)
+    trans = out.to_df(cat)
+    assert dict(plain.dtypes) == dict(trans.dtypes)
+    a, b = plain.collect()[0], trans.collect()[0]
+    assert a["n"] == b["n"] and a["mn"] == b["mn"]
+    assert abs(a["cust_bal"] - b["cust_bal"]) < 1e-4
+    assert abs(a["supp_bal"] - b["supp_bal"]) < 1e-4
