@@ -233,7 +233,38 @@ _reg("OCTET_LENGTH", "octet_length({0})", (1,))
 _passthrough("MD5 SHA1 SHA2 CRC32", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
 _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
-_reg("TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE), note="datetime form")
+_reg(
+    "TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE),
+    note="datetime form; the PG/Oracle TEMPLATE is converted to a Java "
+    "pattern at plan time (functions/pg_format.py ≈ the reference's "
+    "PostgresqlDateTimeFormatter) — passing it through verbatim is "
+    "silently wrong ('HH24' would render as Java HH + literal 24 = "
+    "'1224'); non-literal templates and tokens Java cannot reproduce "
+    "raise (see translate())",
+)
+# PG string_to_array ≈ SqlLibraryOperators.STRING_TO_ARRAY (babel
+# postgresql.iq replays it): delimiter is a LITERAL string (Spark's
+# split takes a REGEX — quoted below); '' delimiter → whole string as
+# one element; NULL delimiter → per-character split; '' input → empty
+# array; 3-arg nullstr maps matching elements to NULL. All branches in
+# ONE JVM expression — no Python.
+_reg(
+    "STRING_TO_ARRAY",
+    "CASE WHEN {0} IS NULL THEN NULL "
+    "WHEN {0} = '' THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE transform("
+    "CASE WHEN {1} IS NULL THEN split({0}, '') "
+    "WHEN {1} = '' THEN array({0}) "
+    "ELSE split({0}, regexp_replace({1}, "
+    "'([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$1'), -1) END, "
+    "__sta -> CASE WHEN ({2}) IS NOT NULL AND __sta = ({2}) "
+    "THEN NULL ELSE __sta END) END",
+    (2, 3), libs=(POSTGRESQL,), defaults=("NULL",),
+    note="PG semantics replayed exactly (reference babel "
+    "postgresql.iq): literal delimiter, ''-delim keeps the whole "
+    "string, NULL-delim splits per character, '' input yields [], "
+    "nullstr elements become NULL",
+)
 _reg(
     "PARSE_URL",
     {
@@ -515,14 +546,9 @@ _reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORA
 _reg("CHAR", "char({0})", (1,), libs=(MYSQL, SPARK), note="code point → string")
 _reg("FIND_IN_SET", "find_in_set({0}, {1})", (2,), libs=(MYSQL, HIVE, SPARK))
 _reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPARK))
-_reg(
-    "STRING_TO_ARRAY",
-    "split({0}, concat('\\\\Q', {1}, '\\\\E'))",
-    (2,),
-    libs=(POSTGRESQL,),
-    note="PG delimiters are LITERAL — regex-quoted via \\Q..\\E so '.' or "
-    "'|' split correctly; the NULL-delimiter char-split form not covered",
-)
+# (STRING_TO_ARRAY registered above with the full PG-semantics
+# template — 3-arg nullstr, ''-delim, NULL-delim char split; the old
+# plain \\Q..\\E split form it replaces lacked those branches)
 _reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
 _reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
 _reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
@@ -655,6 +681,26 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         raise KeyError(f"unknown function {name!r}")
     if fn.name in _JSON_PATH_DISPATCH and len(args) == 2 and _path_needs_engine(args[1]):
         return f"{_JSON_PATH_DISPATCH[fn.name]}({args[0]}, {args[1]})"
+    if fn.name == "TO_CHAR" and len(args) == 2:
+        # PG/Oracle template → Java pattern at plan time; only a
+        # LITERAL template can be converted (a runtime template would
+        # need per-row conversion — refuse rather than emit the
+        # silently-wrong passthrough)
+        import re as _re
+
+        from calcite_spark.functions.pg_format import (
+            pg_datetime_format_to_spark,
+        )
+
+        m = _re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
+        if not m:
+            raise ValueError(
+                "TO_CHAR: the datetime template must be a string "
+                "literal (PG templates are converted to Spark patterns "
+                "at plan time; a column-valued template cannot be)"
+            )
+        java = pg_datetime_format_to_spark(m.group(1).replace("''", "'"))
+        return f"date_format({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
     if fn.arity and len(args) not in fn.arity:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
     if not fn.template:

@@ -115,3 +115,81 @@ def test_soundex_spark_passthrough(spark):
     assert t("'Miller'") == "M460"
     assert t("'字字'") == "字字"
     assert t("CAST(NULL AS STRING)") is None
+
+
+# -- r7: PG TO_CHAR datetime templates (babel postgresql.iq tier) -----
+# The reference converts PG templates with PostgresqlDateTimeFormatter
+# (util/format/); Spark's date_format takes JAVA patterns, so the
+# registry converts literal templates at plan time
+# (functions/pg_format.py). Passing a PG template through verbatim is
+# silently wrong: 'HH24' renders as Java HH + literal 24 = '1224'.
+
+TO_CHAR_TS = "timestamp '2022-06-03 13:15:48.678'"
+TO_CHAR_CASES = [
+    ("'YYYY-MM-DD HH24:MI:SS.MS'", "2022-06-03 13:15:48.678"),
+    ("'HH24'", "13"),
+    ("'HH12'", "01"),
+    ("'HH'", "01"),
+    ("'MI'", "15"),
+    ("'SS'", "48"),
+    ("'MS'", "678"),
+    ("'US'", "678000"),
+    ("'FF1'", "6"),
+    ("'FF3'", "678"),
+    ("'Mon DD, YYYY'", "Jun 03, 2022"),
+    ("'FMMonth FMDD, YYYY'", "June 3, 2022"),
+    ("'Dy'", "Fri"),
+    ("'AM'", "PM"),
+    ("'PM'", "PM"),
+    ("'Q'", "2"),
+    ("'DDD'", "154"),
+    ("'YY'", "22"),
+    ('\'"year:" YYYY\'', "year: 2022"),
+]
+
+
+@pytest.mark.parametrize("tmpl,expected", TO_CHAR_CASES)
+def test_to_char_pg_template(spark, tmpl, expected):
+    expr = translate("TO_CHAR", TO_CHAR_TS, tmpl, library="POSTGRESQL")
+    assert _one(spark, expr) == expected
+
+
+def test_to_char_pg_template_refusals():
+    """Tokens Java cannot reproduce exactly refuse loudly: PG's
+    blank-padded Month/Day, lowercase meridians, case-variant month
+    names, locale week numbers, Julian dates — and non-literal
+    templates (plan-time conversion only)."""
+    for bad in ("'Month'", "'Day'", "'am'", "'MON'", "'WW'", "'IW'",
+                "'J'", "'CC'", "'D'", "'TZ'"):
+        with pytest.raises(ValueError):
+            translate("TO_CHAR", TO_CHAR_TS, bad, library="POSTGRESQL")
+    with pytest.raises(ValueError, match="literal"):
+        translate("TO_CHAR", TO_CHAR_TS, "some_col", library="POSTGRESQL")
+
+
+# -- r7: PG string_to_array (babel postgresql.iq tier) ----------------
+# Fixtures replay the reference's committed behavior: 3-arg nullstr
+# maps matching elements to NULL, '' delimiter keeps the whole string,
+# NULL delimiter splits per character, '' input yields the EMPTY array,
+# and the delimiter is a LITERAL (never a regex).
+
+STA_CASES = [
+    (("'a,b,c'", "','", "'d'"), ["a", "b", "c"]),
+    (("'a,b,,d'", "','", "'d'"), ["a", "b", "", None]),
+    (("'a,b,,d'", "','", "NULL"), ["a", "b", "", "d"]),
+    (("'abc'", "''"), ["abc"]),
+    (("'abc'", "','", "'abc'"), [None]),
+    (("'calcite apache org'", "' '", "'apache'"), ["calcite", None, "org"]),
+    (("'calcite apache org'", "' '"), ["calcite", "apache", "org"]),
+    (("'a*c'", "NULL", "'*'"), ["a", None, "c"]),
+    (("NULL", "' '"), None),
+    (("''", "''"), []),
+    (("'a.b'", "'.'"), ["a", "b"]),  # literal dot — not regex any-char
+    (("'a|b'", "'|'"), ["a", "b"]),
+]
+
+
+@pytest.mark.parametrize("args,expected", STA_CASES)
+def test_string_to_array_pg_semantics(spark, args, expected):
+    expr = translate("STRING_TO_ARRAY", *args, library="POSTGRESQL")
+    assert _one(spark, f"({expr})") == expected
