@@ -198,6 +198,16 @@ def _has_external_scan(n, catalog) -> bool:
     return any(_has_external_scan(c, catalog) for c in n.inputs)
 
 
+def _unwrap_column_preserving(n):
+    """Descend through column-preserving wrappers to the underlying
+    node — the shared front half of _output_columns/_output_dtypes
+    (review r7: one resolution policy, two accessors)."""
+    base = n
+    while isinstance(base, (ir.Filter, ir.Exchange, ir.Sort)) and base.inputs:
+        base = base.inputs[0]
+    return base
+
+
 def _output_columns(n, catalog) -> set:
     """Output schema of a join input, WITHOUT executing anything
     remote: column-preserving chains over a Scan resolve through the
@@ -206,9 +216,7 @@ def _output_columns(n, catalog) -> set:
     remote table just to read .columns); anything still containing an
     external scan refuses (empty set = no inference onto that side);
     local subtrees fall back to the lowered DataFrame's schema."""
-    base = n
-    while isinstance(base, (ir.Filter, ir.Exchange, ir.Sort)) and base.inputs:
-        base = base.inputs[0]
+    base = _unwrap_column_preserving(n)
     if isinstance(base, ir.Scan):
         ext = getattr(catalog, "external_tables", {})
         if base.table in ext:
@@ -1113,10 +1121,10 @@ _AJT_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
 
 def _output_dtypes(n, catalog) -> dict:
     """Column → Spark dtype string for a join input, same resolution
-    strategy (and the same no-remote-fetch refusal) as _output_columns."""
-    base = n
-    while isinstance(base, (ir.Filter, ir.Exchange, ir.Sort)) and base.inputs:
-        base = base.inputs[0]
+    strategy (and the same no-remote-fetch refusal) as _output_columns;
+    external tables answer {} — schema_of yields names only, and
+    fetching remote dtypes would pull the table."""
+    base = _unwrap_column_preserving(n)
     if isinstance(base, ir.Scan):
         if base.table in getattr(catalog, "external_tables", {}):
             return {}
@@ -1291,9 +1299,9 @@ def _aggregate_join_transpose(node, catalog):
         dt = _output_dtypes(child.inputs[side], catalog)
         return any(dt.get(a, "").startswith("decimal") for a in args)
 
-    fresh = [f"__ajt{i}" for i in range(len(parsed))] + [
-        "__ajtcnt0", "__ajtcnt1"
-    ]
+    fresh = [
+        f"__ajt{i}{suf}" for i in range(len(parsed)) for suf in ("", "s", "c")
+    ] + ["__ajtcnt0", "__ajtcnt1"]
     if any(c in (left_cols | right_cols) for c in fresh):
         return None  # fresh-name collision with a real column
 
@@ -1313,16 +1321,27 @@ def _aggregate_join_transpose(node, catalog):
         for i, (fn, arg, alias) in enumerate(parsed):
             pc = f"__ajt{i}"
             if arg == "*":
-                merge_calls.append(f"SUM(__ajtcnt0 * __ajtcnt1) AS {alias}")
+                # COALESCE: COUNT must be 0 (never NULL) when a GLOBAL
+                # aggregate sees an empty join — SUM over zero rows is
+                # NULL (Calcite splits COUNT with $SUM0 for the same
+                # reason, SqlSplittableAggFunction.CountSplitter)
+                merge_calls.append(
+                    f"COALESCE(SUM(__ajtcnt0 * __ajtcnt1), 0) AS {alias}"
+                )
                 continue
             s = side_of(arg)
             other_cnt = "__ajtcnt1" if s == 0 else "__ajtcnt0"
             if fn in ("MIN", "MAX"):
                 side_calls[s].append(f"{fn}({arg}) AS {pc}")
                 merge_calls.append(f"{fn}({pc}) AS {alias}")
-            elif fn in ("SUM", "COUNT"):
-                side_calls[s].append(f"{fn}({arg}) AS {pc}")
+            elif fn == "SUM":
+                side_calls[s].append(f"SUM({arg}) AS {pc}")
                 merge_calls.append(f"SUM({pc} * {other_cnt}) AS {alias}")
+            elif fn == "COUNT":
+                side_calls[s].append(f"COUNT({arg}) AS {pc}")
+                merge_calls.append(
+                    f"COALESCE(SUM({pc} * {other_cnt}), 0) AS {alias}"
+                )
             else:  # AVG
                 side_calls[s].append(f"SUM({arg}) AS {pc}s")
                 side_calls[s].append(f"COUNT({arg}) AS {pc}c")
@@ -1367,7 +1386,9 @@ def _aggregate_join_transpose(node, catalog):
             merge_calls.append(f"{fn}({pc}) AS {alias}")
         elif fn == "COUNT":
             partial_calls.append(f"COUNT({arg}) AS {pc}")
-            merge_calls.append(f"SUM({pc}) AS {alias}")
+            # COALESCE ≈ $SUM0: a GLOBAL aggregate over an empty join
+            # must yield 0, not SUM-over-nothing NULL
+            merge_calls.append(f"COALESCE(SUM({pc}), 0) AS {alias}")
         elif fn == "SUM":
             partial_calls.append(f"SUM({arg}) AS {pc}")
             merge_calls.append(f"SUM({pc}) AS {alias}")

@@ -366,7 +366,17 @@ class SqlFrontend:
         text = text.strip().rstrip(";")
         m = self._DISTINCT_ON_RE.match(text)
         if not m:
-            if re.search(r"(?i)\bDISTINCT\s+ON\s*\(", text):
+            # quote-aware: the phrase inside a string literal is data,
+            # not syntax (review r7)
+            inner = next(
+                (
+                    c
+                    for c in re.finditer(r"(?i)\bDISTINCT\s+ON\s*\(", text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if inner is not None:
                 raise ValueError(
                     "DISTINCT ON is supported at the outermost SELECT "
                     "only (rewrite inner uses as window subqueries)"
@@ -390,6 +400,18 @@ class SqlFrontend:
             )
         body = text[frm:ob].strip()
         order_txt = re.sub(r"(?is)^ORDER\s+BY\s+", "", text[ob:].strip())
+        # a trailing LIMIT/OFFSET belongs to the OUTER query, not the
+        # window's ORDER BY (review r7: `DISTINCT ON ... ORDER BY ...
+        # LIMIT n` is the common report idiom)
+        tail_clause = ""
+        tm = re.search(
+            r"(?is)\s+((?:LIMIT\s+\d+)(?:\s+OFFSET\s+\d+)?"
+            r"|(?:OFFSET\s+\d+)(?:\s+LIMIT\s+\d+)?)\s*$",
+            order_txt,
+        )
+        if tm:
+            tail_clause = " " + tm.group(1)
+            order_txt = order_txt[: tm.start()].strip()
         order_keys = [
             k.strip() for k in self._split_top_commas(order_txt)
         ]
@@ -440,24 +462,43 @@ class SqlFrontend:
         )
         return (
             f"SELECT {', '.join(out_names)} FROM ({inner}) __don_t "
-            f"WHERE __don_rn = 1 ORDER BY {outer_order}"
+            f"WHERE __don_rn = 1 ORDER BY {outer_order}{tail_clause}"
         )
 
     # ARRAY[a, b] constructor (SQL-standard / PG; Calcite's
-    # SqlArrayValueConstructor) → Spark array(a, b). Innermost-first so
-    # nesting resolves; string literals are opaque.
-    _ARRAY_LIT_RE = re.compile(r"(?is)\bARRAY\s*\[([^\[\]]*)\]")
+    # SqlArrayValueConstructor) → Spark array(a, b). The bracket span is
+    # scanned quote- and depth-aware (review r7): a `]` inside an
+    # element's string literal is content, a nested `x[0]` subscript or
+    # inner ARRAY[...] nests the depth; nested constructors convert
+    # recursively.
+    _ARRAY_KW_RE = re.compile(r"(?is)\bARRAY\s*\[")
 
     def _expand_array_literal(self, text: str) -> str:
         while True:
             m = None
-            for cand in self._ARRAY_LIT_RE.finditer(text):
+            for cand in self._ARRAY_KW_RE.finditer(text):
                 if text.count("'", 0, cand.start()) % 2 == 0:
                     m = cand
                     break
             if m is None:
                 return text
-            text = text[: m.start()] + f"array({m.group(1)})" + text[m.end() :]
+            depth, i, in_str = 1, m.end(), False
+            while i < len(text):
+                ch = text[i]
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "[":
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i += 1
+            if depth != 0:
+                raise ValueError("unterminated ARRAY[ constructor")
+            inner = self._expand_array_literal(text[m.end() : i])
+            text = text[: m.start()] + f"array({inner})" + text[i + 1 :]
 
     # PG array containment `a @> b` / `a <@ b` (babel tier; DuckDB runs
     # them natively as list_has_all). Semantics follow the DuckDB twin
@@ -490,6 +531,15 @@ class SqlFrontend:
                 raise ValueError(
                     f"array containment has a compound left-hand side "
                     f"ending at {a!r}: parenthesize the full LHS"
+                )
+            # compound RHS guard (review r7): PG's || binds tighter
+            # than @>/<@, so `x @> y || z` means x @> (y || z) —
+            # rewriting just y would concat a boolean with an array
+            after = text[m.end() :].lstrip()
+            if after.startswith(("||", "+", "*", "/", "%", "-")):
+                raise ValueError(
+                    f"array containment has a compound right-hand side "
+                    f"starting at {b!r}: parenthesize the full RHS"
                 )
             hay, needle = (a, b) if op == "@>" else (b, a)
             if a.strip().upper() == "NULL" or b.strip().upper() == "NULL":
@@ -1536,14 +1586,18 @@ class SqlFrontend:
             text = self._expand_distinct_on(text)
         if re.search(r"\bARRAY\s*\[", text, re.I):
             text = self._expand_array_literal(text)
-        if "@>" in text or "<@" in text:
-            text = self._expand_containment(text)
-        if re.search(r"\b(ISNULL|NOTNULL)\b", text, re.I):
-            text = self._expand_null_postfix(text)
         if "::" in text:
             text = self._expand_pg_casts(text)
         if "~" in text:
             text = self._expand_pg_regex_ops(text)
+        # containment and the postfix null tests run AFTER :: so their
+        # operand grammars see plain CAST calls — `x::int ISNULL` must
+        # arrive as `CAST(x AS int) ISNULL`, never capture the bare
+        # type name (review r7)
+        if "@>" in text or "<@" in text:
+            text = self._expand_containment(text)
+        if re.search(r"\b(ISNULL|NOTNULL)\b", text, re.I):
+            text = self._expand_null_postfix(text)
         if re.search(r"\b(SOME|ANY|ALL)\s*\(", text, re.I):
             text = self._expand_quantified(text)
         text = self._expand_within_distinct(text)

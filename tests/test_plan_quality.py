@@ -915,3 +915,45 @@ def test_aggregate_join_transpose_both_sides(spark):
     assert a["n"] == b["n"] and a["mn"] == b["mn"]
     assert abs(a["cust_bal"] - b["cust_bal"]) < 1e-4
     assert abs(a["supp_bal"] - b["supp_bal"]) < 1e-4
+
+
+def test_aggregate_join_transpose_empty_join_count_zero(spark):
+    """Round-7 review pin (the one silent-wrong-value finding): a
+    GLOBAL COUNT over an empty join must merge to 0, not NULL — the
+    COUNT merges are COALESCE-wrapped (≈ Calcite splitting COUNT with
+    $SUM0, SqlSplittableAggFunction.CountSplitter). SUM legitimately
+    stays NULL. Covers the single-side and both-side push."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _aggregate_join_transpose
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.register_df("ej_a", spark.range(20).selectExpr(
+        "CAST(id % 2 AS INT) AS ak", "CAST(id AS DOUBLE) AS ax"))
+    cat.register_df("ej_b", spark.range(20).selectExpr(
+        "CAST(id % 2 + 10 AS INT) AS bk", "CAST(id AS DOUBLE) AS bx"))
+    cat.analyze("ej_a")
+    cat.analyze("ej_b")
+
+    single = (
+        RelBuilder(cat).scan("ej_a").scan("ej_b").join("ak = bk")
+        .aggregate([], ["COUNT(*) AS n", "COUNT(ax) AS ca", "SUM(ax) AS s"])
+        .build()
+    )
+    out = _aggregate_join_transpose(single, cat)
+    assert out is not None
+    plain, trans = single.to_df(cat).collect()[0], out.to_df(cat).collect()[0]
+    assert plain.n == trans.n == 0
+    assert plain.ca == trans.ca == 0
+    assert plain.s is None and trans.s is None
+
+    both = (
+        RelBuilder(cat).scan("ej_a").scan("ej_b").join("ak = bk")
+        .aggregate([], ["SUM(ax) AS s1", "SUM(bx) AS s2",
+                        "COUNT(*) AS n", "COUNT(bx) AS cb"])
+        .build()
+    )
+    out2 = _aggregate_join_transpose(both, cat)
+    assert out2 is not None
+    r2 = out2.to_df(cat).collect()[0]
+    assert r2.n == 0 and r2.cb == 0 and r2.s1 is None and r2.s2 is None

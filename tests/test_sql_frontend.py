@@ -762,3 +762,37 @@ def test_null_postfix_and_like_operators(fe):
     # plain regex ops unaffected by the longer alternatives
     t, _ = fe.parse("SELECT 1 FROM t WHERE a ~ 'x.*'")
     assert "RLIKE 'x.*'" in t
+
+
+def test_r7_review_babel_fixes(fe, duck):
+    """Round-7 code-review regression pins for the babel batch-2 passes:
+    (a) :: expands BEFORE ISNULL/containment so `x::int ISNULL` never
+    captures the bare type name; (b) DISTINCT ON carries a trailing
+    LIMIT/OFFSET to the OUTER query instead of corrupting the window's
+    ORDER BY; (c) the ARRAY[...] span scan is quote- and depth-aware
+    (']' in a string literal is content, subscripts nest); (d) a
+    compound containment RHS refuses (PG's || binds tighter); (e) the
+    phrase 'DISTINCT ON (' inside a string literal is data."""
+    import pytest
+
+    t, _ = fe.parse("SELECT (x::int ISNULL) AS v FROM t")
+    assert "(CAST(x AS int) IS NULL)" in t
+
+    sql = ("SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name AS nm "
+           "FROM nation ORDER BY n_regionkey, n_name LIMIT 3")
+    got = [tuple(r) for r in fe.sql(sql).collect()]
+    assert got == duck.execute(sql).fetchall() and len(got) == 3
+
+    sql = ("SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name AS nm "
+           "FROM nation ORDER BY n_regionkey, n_name LIMIT 2 OFFSET 1")
+    got = [tuple(r) for r in fe.sql(sql).collect()]
+    assert got == duck.execute(sql).fetchall() and len(got) == 2
+
+    assert fe.sql("SELECT ARRAY['a]b'][0] AS v").collect()[0].v == "a]b"
+    assert fe.sql("SELECT ARRAY[ARRAY[1,2][1], 5] AS v").collect()[0].v == [2, 5]
+
+    with pytest.raises(ValueError, match="RHS"):
+        fe.parse("SELECT (x @> y || z) AS v FROM t")
+
+    got = fe.sql("SELECT 'use DISTINCT ON (g)' AS h").collect()[0].h
+    assert got == "use DISTINCT ON (g)"
