@@ -412,6 +412,25 @@ class SqlFrontend:
         if tm:
             tail_clause = " " + tm.group(1)
             order_txt = order_txt[: tm.start()].strip()
+        # any LIMIT/OFFSET/FETCH form the tail regex did NOT consume
+        # (LIMIT ALL, FETCH FIRST n ROWS ONLY, expression limits) would
+        # otherwise fall into the window's ORDER BY text and die with
+        # the misleading "must match the initial ORDER BY" error
+        # (ADVICE r8) — refuse it by name instead
+        stray = next(
+            (
+                c
+                for c in re.finditer(r"(?i)\b(LIMIT|OFFSET|FETCH)\b", order_txt)
+                if order_txt.count("'", 0, c.start()) % 2 == 0
+            ),
+            None,
+        )
+        if stray is not None:
+            raise ValueError(
+                f"DISTINCT ON: unsupported {stray.group(1).upper()} form "
+                "after ORDER BY — only literal-integer LIMIT n [OFFSET n] "
+                "is supported"
+            )
         order_keys = [
             k.strip() for k in self._split_top_commas(order_txt)
         ]
@@ -437,17 +456,33 @@ class SqlFrontend:
                     "PostgreSQL's rule"
                 )
             lead.append((e, order_keys[i][km.end(1):].strip()))
-        out_names = []
+        out_names, alias_src = [], {}
         for s in sel_items:
             am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", s)
             if am:
                 out_names.append(am.group(1))
+                alias_src[am.group(1).lower()] = s[: am.start()].strip()
             elif re.match(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)?$", s):
                 out_names.append(s.split(".")[-1])
             else:
                 raise ValueError(
                     f"DISTINCT ON select item {s!r} needs an AS alias"
                 )
+        # PG resolves a bare identifier in ORDER BY to the OUTPUT column
+        # first; the window we build runs over the BASE table, where a
+        # select alias is out of scope (cryptic AnalysisException) or —
+        # worse — silently shadowed by a same-named input column
+        # (ADVICE r8, medium). Substitute trailing alias keys with their
+        # source expressions so the window orders by what PG orders by.
+        for i in range(len(on_exprs), len(order_keys)):
+            km = key_re.match(order_keys[i])
+            expr, suffix = km.group(1).strip(), order_keys[i][km.end(1):].strip()
+            src = alias_src.get(expr.lower()) if re.fullmatch(
+                r"[A-Za-z_]\w*", expr
+            ) else None
+            if src is not None and _norm(src) != _norm(expr):
+                order_keys[i] = f"{src}{' ' + suffix if suffix else ''}"
+        order_txt = ", ".join(order_keys)
         hidden = ", ".join(
             f"{e} AS __don_k{i}" for i, e in enumerate(on_exprs)
         )
@@ -536,7 +571,10 @@ class SqlFrontend:
             # than @>/<@, so `x @> y || z` means x @> (y || z) —
             # rewriting just y would concat a boolean with an array
             after = text[m.end() :].lstrip()
-            if after.startswith(("||", "+", "*", "/", "%", "-")):
+            # '--' starts a line comment, not a subtraction (ADVICE r8)
+            if after.startswith(("||", "+", "*", "/", "%")) or (
+                after.startswith("-") and not after.startswith("--")
+            ):
                 raise ValueError(
                     f"array containment has a compound right-hand side "
                     f"starting at {b!r}: parenthesize the full RHS"
@@ -553,6 +591,37 @@ class SqlFrontend:
                     f"__pgh -> __pgh IS NOT NULL), __pgn)))"
                 )
             text = text[: m.start()] + rep + text[m.end() :]
+
+    # 4-arg REGEXP_REPLACE whose 4th operand is a string LITERAL is the
+    # PG flags form (REGEXP_REPLACE_PG_4, SqlLibraryOperators.java:690-
+    # 700): the STANDARD 4-arg operator puts an INTEGER position there
+    # (REGEXP_REPLACE_4), so operand type disambiguates — the same
+    # operand-type dispatch the babel parser performs. Lowered via
+    # functions/pg_regex (first-occurrence without 'g', backslash group
+    # indexing, i/c/n/m/s flags). 3-arg calls are NOT touched here: the
+    # bare name defaults to replace-ALL (REGEXP_REPLACE_3 semantics =
+    # Spark's builtin); PG 3-arg first-match semantics are reached via
+    # translate(..., library="POSTGRESQL").
+    _PG_RR_RE = re.compile(r"\bREGEXP_REPLACE\s*\(", re.I)
+
+    def _expand_pg_regexp_replace(self, text: str) -> str:
+        from calcite_spark.functions.pg_regex import pg_regexp_replace
+
+        res, i = [], 0
+        for m in self._PG_RR_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            args_txt, close = self._balanced_span(text, m.end())
+            args = [a.strip() for a in self._split_top_commas(args_txt)]
+            if len(args) != 4 or not args[3].startswith("'"):
+                continue
+            # a nested call in the SOURCE operand expands first
+            args[0] = self._expand_pg_regexp_replace(args[0])
+            res.append(text[i : m.start()])
+            res.append(pg_regexp_replace(args))
+            i = close + 1
+        res.append(text[i:])
+        return "".join(res)
 
     # PG postfix null tests `x ISNULL` / `x NOTNULL` (babel tier) →
     # IS [NOT] NULL. The (?!\s*\() guard keeps call-shaped ISNULL(x)
@@ -1590,6 +1659,8 @@ class SqlFrontend:
             text = self._expand_pg_casts(text)
         if "~" in text:
             text = self._expand_pg_regex_ops(text)
+        if self._PG_RR_RE.search(text):
+            text = self._expand_pg_regexp_replace(text)
         # containment and the postfix null tests run AFTER :: so their
         # operand grammars see plain CAST calls — `x::int ISNULL` must
         # arrive as `CAST(x AS int) ISNULL`, never capture the bare
@@ -1681,9 +1752,14 @@ class SqlFrontend:
             # block the transpose match)
             filters = {t1: [], t2: []}
             for c in _split_conjuncts(m.group("where")):
+                # string-literal CONTENTS are data, not identifiers:
+                # WHERE o_comment = 'see l_quantity' must not collect
+                # l_quantity as a right-side column (ADVICE r8)
                 idents = {
                     w
-                    for w in re.findall(r"[A-Za-z_]\w*", c)
+                    for w in re.findall(
+                        r"[A-Za-z_]\w*", re.sub(r"'(?:[^']|'')*'", " ", c)
+                    )
                     if w in cols1 or w in cols2
                 }
                 if idents and idents <= cols1:

@@ -796,3 +796,93 @@ def test_r7_review_babel_fixes(fe, duck):
 
     got = fe.sql("SELECT 'use DISTINCT ON (g)' AS h").collect()[0].h
     assert got == "use DISTINCT ON (g)"
+
+
+def test_r8_advice_babel_fixes(fe, duck):
+    """Round-8 ADVICE regression pins:
+    (a, medium) a trailing ORDER BY key naming a select alias resolves
+    to the alias's SOURCE expression — PG's output-column rule — instead
+    of silently ordering by a same-named input column (the window runs
+    over the base table, where the alias is out of scope);
+    (b) non-shadowing aliases in trailing keys work too (previously a
+    cryptic LATERAL_COLUMN_ALIAS_IN_WINDOW AnalysisException);
+    (c, low) LIMIT ALL / FETCH FIRST / expression limits refuse by name;
+    (d, low) a trailing line comment after a containment RHS is not a
+    compound-RHS refusal."""
+    import pytest
+
+    vals = "(VALUES (1, 10), (1, 20), (2, 5)) AS tt(g, v)"
+    # (a) alias v shadows input column v: PG orders by -v, so the
+    # picked row per group is the LARGEST v (smallest -v). DuckDB runs
+    # DISTINCT ON natively — identical statement both sides.
+    sql = f"SELECT DISTINCT ON (g) g, -v AS v FROM {vals} ORDER BY g, v"
+    got = sorted(tuple(r) for r in fe.sql(sql).collect())
+    want = sorted(duck.execute(sql).fetchall())
+    assert got == want == [(1, -20), (2, -5)]
+    # (b) non-shadowing alias resolves instead of raising
+    sql = f"SELECT DISTINCT ON (g) g, -v AS w FROM {vals} ORDER BY g, w"
+    got = sorted(tuple(r) for r in fe.sql(sql).collect())
+    assert got == sorted(duck.execute(sql).fetchall()) == [(1, -20), (2, -5)]
+    # ASC/DESC suffix on the substituted trailing key is preserved
+    sql = f"SELECT DISTINCT ON (g) g, -v AS w FROM {vals} ORDER BY g, w DESC"
+    got = sorted(tuple(r) for r in fe.sql(sql).collect())
+    assert got == sorted(duck.execute(sql).fetchall()) == [(1, -10), (2, -5)]
+
+    # (c) unconsumed LIMIT/OFFSET/FETCH forms refuse with a named error
+    for tail in ("LIMIT ALL", "FETCH FIRST 3 ROWS ONLY", "LIMIT 1+2"):
+        with pytest.raises(ValueError, match="unsupported"):
+            fe.parse(
+                "SELECT DISTINCT ON (a) a, b AS bb FROM t "
+                f"ORDER BY a, b {tail}"
+            )
+
+    # (d) '--' starts a comment, not a subtraction
+    t, _ = fe.parse("SELECT 1 FROM t WHERE tags @> arr -- note")
+    assert "forall(" in t
+    with pytest.raises(ValueError, match="RHS"):
+        fe.parse("SELECT 1 FROM t WHERE tags @> arr - 1")
+
+
+def test_r8_pg_regexp_replace_flags_dispatch(fe, duck):
+    """4-arg REGEXP_REPLACE operand-type dispatch (r8): a string-literal
+    4th operand is PG's flags form and lowers via functions/pg_regex;
+    3-arg calls and integer 4th operands (the standard position form)
+    pass through untouched."""
+    # flags form: identical text runs natively on DuckDB
+    sql = "SELECT regexp_replace('ABC def', '[a-z]+', 'X', 'i') AS x"
+    assert fe.sql(sql).collect()[0].x == duck.execute(sql).fetchone()[0] == "X def"
+    t, _ = fe.parse(sql)
+    assert "(?i)^((?s:.*?))" in t
+    # 3-arg: untouched (Spark builtin replace-all = REGEXP_REPLACE_3)
+    t, _ = fe.parse("SELECT regexp_replace(a, 'x', 'y') FROM t")
+    assert "regexp_replace(a, 'x', 'y')" in t
+    # integer 4th operand = standard position form, not PG flags
+    t, _ = fe.parse("SELECT regexp_replace(a, 'x', 'y', 2) FROM t")
+    assert "regexp_replace(a, 'x', 'y', 2)" in t
+    # nested in the source operand expands too
+    t, _ = fe.parse(
+        "SELECT regexp_replace(regexp_replace(a, 'x', 'y', 'g'), 'z', 'w', 'g') FROM t"
+    )
+    assert t.count("regexp_replace(") == 2 and "'g'" not in t
+    # inside a string literal: data, not syntax
+    t, _ = fe.parse("SELECT 'use regexp_replace(a, b, c, ''g'')' AS h")
+    assert "''g''" in t
+
+
+def test_r8_advice_ajt_hint_literal_strip(spark):
+    """ADVICE r8 (low): a WHERE conjunct whose STRING LITERAL mentions a
+    right-side column name must still resolve to the left side —
+    identifiers are extracted from the conjunct with literals stripped."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    fe2 = SqlFrontend(cat)
+    df = fe2.sql(
+        "/*+ AGGREGATE_JOIN_TRANSPOSE */ "
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderpriority <> 'see l_quantity' "
+        "GROUP BY o_orderpriority"
+    )
+    assert df.count() > 0
