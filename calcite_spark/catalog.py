@@ -55,6 +55,9 @@ class TableEntry:
     # exposes via getKeys() / RelMdColumnUniqueness
     unique_keys: list[tuple] = field(default_factory=list)
     fds: list[tuple] = field(default_factory=list)  # (determinant, dependent)
+    # declared referential constraints ≈ Statistic.java
+    # getReferentialConstraints(): (column, ref_table, ref_column)
+    foreign_keys: list[tuple] = field(default_factory=list)
     # Hilbert-curve CHECK constraint ≈ SpatialRules.java:78
     # "CHECK (h = Hilbert(order, x, y))" — set by
     # register_hilbert_constraint, consumed by the FilterHilbert rule
@@ -271,6 +274,31 @@ class Catalog:
         """Is col a (discovered or declared) singleton unique key?"""
         entry = self.tables.get(name)
         return entry is not None and (col,) in entry.unique_keys
+
+    def declare_foreign_key(
+        self, table: str, column: str, ref_table: str, ref_column: str
+    ) -> None:
+        """Declare a referential constraint ≈ Statistic.java
+        getReferentialConstraints() / RelReferentialConstraint: every
+        non-NULL `table.column` value has a matching `ref_table.
+        ref_column` row. Like a registered unique key, a declared FK is
+        a GUARANTEE the caller vouches for — the join-MV substitution
+        tier (plans/materialize) uses it to prove an INNER join to the
+        referenced dimension neither drops nor duplicates fact rows,
+        so an MV joining extra FK-dimensions can still answer a query
+        that never mentions them (MaterializedViewJoinRule's
+        referential-constraint walk)."""
+        fks = self.tables[table].foreign_keys
+        if (column, ref_table, ref_column) not in fks:
+            fks.append((column, ref_table, ref_column))
+
+    def has_foreign_key(
+        self, table: str, column: str, ref_table: str, ref_column: str
+    ) -> bool:
+        entry = self.tables.get(table)
+        return entry is not None and (
+            (column, ref_table, ref_column) in entry.foreign_keys
+        )
 
     def functional_deps(self, name: str) -> list[tuple]:
         entry = self.tables.get(name)

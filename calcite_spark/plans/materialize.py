@@ -39,7 +39,7 @@ class Materialization:
     """≈ materialize/MaterializationService.defineMaterialization entry."""
 
     name: str
-    table: str  # base table the MV aggregates
+    table: str  # base table the MV aggregates (fact table for join MVs)
     group_keys: tuple
     agg_calls: dict  # alias -> (FN, arg_expr)
     path: str = ""
@@ -48,6 +48,13 @@ class Materialization:
     # detection anchor for incremental_refresh (≈ a lake format's
     # snapshot id; a deployment on Delta/Iceberg would persist this)
     base_files: tuple = ()
+    # join MVs (r8, ≈ rel/rules/materialize/MaterializedViewJoinRule /
+    # MaterializedViewProjectJoinRule + plan/SubstitutionVisitor): the
+    # defining plan aggregates over an INNER equi-join of these tables
+    # on these edges (normalized sorted (colA, colB) pairs). Empty =
+    # single-table MV (the r1-r6 tier).
+    tables: tuple = ()
+    join_edges: frozenset = frozenset()
 
 
 def parse_agg_call(call: str):
@@ -55,6 +62,41 @@ def parse_agg_call(call: str):
     if not m:
         return None
     return m.group(1).upper(), re.sub(r"\s+", " ", m.group(2)), m.group(3)
+
+
+_EDGE_RE = re.compile(r"^\s*(\w+)\s*=\s*(\w+)\s*$")
+
+
+def extract_join_subtree(node):
+    """IR subtree of INNER equi-joins over bare Scans → (frozenset of
+    table names, frozenset of normalized (colA, colB) edges), or None
+    when the subtree has any other shape (outer joins, non-equi or
+    non-conjunctive conditions, operators between join and scan — all
+    outside the unifiable form, ≈ SubstitutionVisitor's operand
+    checks). Join ORDER never matters: an inner equi-join tree's result
+    multiset is determined by its table set + edge set (our column
+    namespace is table-prefixed, so names are globally unambiguous)."""
+    from calcite_spark.plans.rewrite import _split_conjuncts
+
+    if isinstance(node, ir.Scan):
+        return frozenset([node.table]), frozenset()
+    if (
+        not isinstance(node, ir.Join)
+        or node.join_type != "INNER"
+        or node.condition is None
+    ):
+        return None
+    left = extract_join_subtree(node.inputs[0])
+    right = extract_join_subtree(node.inputs[1])
+    if left is None or right is None or left[0] & right[0]:
+        return None
+    edges = set()
+    for c in _split_conjuncts(node.condition):
+        m = _EDGE_RE.match(c)
+        if not m:
+            return None
+        edges.add(tuple(sorted(m.groups())))
+    return left[0] | right[0], left[1] | right[1] | frozenset(edges)
 
 
 class MaterializationRegistry:
@@ -88,6 +130,52 @@ class MaterializationRegistry:
         self.mvs[name] = mv
         return mv
 
+    def define_join(self, catalog, name: str, plan, path: str):
+        """Register a JOIN materialization from its defining IR plan —
+        Aggregate(group_keys, agg_calls) over an INNER equi-join tree
+        of base-table Scans (≈ MaterializationService holding a
+        materialization whose RelNode contains joins, the input shape
+        of MaterializedViewProjectJoinRule.java:30). The star-join tile
+        is THE high-value MV of a warehouse: at 100 TB it collapses the
+        fact⋈dims shuffle into a one-time build; every matching query
+        then reads a tile 3-6 orders of magnitude smaller."""
+        catalog.mv_registry = self
+        if not isinstance(plan, ir.Aggregate) or plan.group_type != "SIMPLE":
+            raise ValueError(
+                "define_join: the defining plan must be a SIMPLE "
+                "Aggregate over a join of base tables"
+            )
+        ext = extract_join_subtree(plan.inputs[0])
+        if ext is None or not any(True for _ in ext[1]):
+            raise ValueError(
+                "define_join: the aggregate's input must be an INNER "
+                "equi-join tree of bare table scans (use define() for "
+                "single-table MVs)"
+            )
+        tables, edges = ext
+        parsed = {}
+        for call in plan.agg_calls:
+            p = parse_agg_call(call)
+            if p is None:
+                raise ValueError(f"not a rewritable aggregate call: {call}")
+            fn, arg, alias = p
+            parsed[alias] = (fn, arg)
+        df = plan.to_df(catalog)
+        df.write.mode("overwrite").parquet(path)
+        catalog.register(name, path)
+        # fact table = the table owning the most join edges (tie: name)
+        def edge_count(t):
+            cols = set(catalog.table(t).columns)
+            return sum(1 for a, b in edges if a in cols or b in cols)
+
+        fact = max(sorted(tables), key=edge_count)
+        mv = Materialization(
+            name, fact, tuple(plan.group_keys), parsed, path,
+            tables=tuple(sorted(tables)), join_edges=frozenset(edges),
+        )
+        self.mvs[name] = mv
+        return mv
+
     def incremental_refresh(self, catalog, name: str) -> dict:
         """Refresh an MV over an APPEND-ONLY base table by aggregating
         only the files added since the last build and merging with the
@@ -109,6 +197,13 @@ class MaterializationRegistry:
         ingest path.
         """
         mv = self.mvs[name]
+        if mv.tables:
+            raise ValueError(
+                f"MV {name}: join materializations have no single "
+                "append-only base to diff — rebuild with define_join() "
+                "(incremental join-MV maintenance needs delta joins "
+                "against BOTH sides' snapshots, out of contract)"
+            )
         for alias, (fn, arg) in mv.agg_calls.items():
             if arg.upper().startswith("DISTINCT"):
                 raise ValueError(
@@ -178,24 +273,84 @@ class MaterializationRegistry:
     # -- the rewrite rule (plugged into plans/rewrite.py) --------------
 
     def substitute(self, node, catalog):
-        """Aggregate[, Filter](Scan(t)) → Aggregate[, Filter](Scan(mv))."""
+        """Aggregate[, Filter](Scan | Join-tree) → Aggregate[, Filter]
+        (Scan(mv)). Single-table MVs unify against a Scan; join MVs
+        (define_join) unify against an inner-equi-join subtree with the
+        same table set + edge set — or a SUPERSET whose extra dimension
+        tables peel away along declared FK → unique-key edges
+        (MaterializedViewJoinRule's referential-constraint walk). The
+        rollup / filter compensation tier is shared."""
         if not isinstance(node, ir.Aggregate) or node.group_type != "SIMPLE":
             return None
         child = node.inputs[0]
         filt = None
-        if isinstance(child, ir.Filter) and isinstance(child.inputs[0], ir.Scan):
-            filt, scan = child, child.inputs[0]
-        elif isinstance(child, ir.Scan):
-            scan = child
+        if isinstance(child, ir.Filter) and isinstance(
+            child.inputs[0], (ir.Scan, ir.Join)
+        ):
+            filt, base = child, child.inputs[0]
+        elif isinstance(child, (ir.Scan, ir.Join)):
+            base = child
         else:
             return None
+        ext = extract_join_subtree(base)
+        if ext is None:
+            return None
+        q_tables, q_edges = ext
         for mv in self.mvs.values():
-            if mv.table != scan.table:
+            if mv.tables:
+                ok = self._join_match(mv, q_tables, q_edges, catalog)
+            else:
+                ok = not q_edges and q_tables == frozenset([mv.table])
+            if not ok:
                 continue
             rewritten = self._try_rewrite(node, filt, mv)
             if rewritten is not None:
                 return rewritten
         return None
+
+    def _join_match(self, mv, q_tables, q_edges, catalog) -> bool:
+        """Does the query's join subtree unify with mv's? Exact: same
+        tables + same edges. FK tier: the query covers a SUBSET of the
+        MV's tables, and every MV-only table peels — it hangs off ONE
+        remaining-table edge whose MV-side column is a unique key of
+        that table AND is the target of a declared foreign key from the
+        remaining side, so the MV's extra INNER join neither dropped
+        nor duplicated the rows the query aggregates."""
+        mv_tables, mv_edges = set(mv.tables), set(mv.join_edges)
+        if q_tables == mv_tables:
+            return q_edges == mv_edges
+        if not q_tables < mv_tables:
+            return False
+        owner = {}
+        for t in mv_tables:
+            for c in catalog.table(t).columns:
+                owner[c] = t
+        remaining_t, remaining_e = mv_tables, mv_edges
+        while remaining_t != set(q_tables):
+            peeled = None
+            for t in sorted(remaining_t - q_tables):
+                incident = [
+                    e for e in remaining_e
+                    if owner.get(e[0]) == t or owner.get(e[1]) == t
+                ]
+                if len(incident) != 1:
+                    continue  # snowflake chains peel outward-in
+                a, b = incident[0]
+                t_col, o_col = (a, b) if owner.get(a) == t else (b, a)
+                o_tab = owner.get(o_col)
+                if o_tab is None or o_tab not in remaining_t or o_tab == t:
+                    continue
+                if not catalog.is_unique_key(t, t_col):
+                    continue
+                if not catalog.has_foreign_key(o_tab, o_col, t, t_col):
+                    continue
+                peeled = (t, incident[0])
+                break
+            if peeled is None:
+                return False
+            remaining_t = remaining_t - {peeled[0]}
+            remaining_e = remaining_e - {peeled[1]}
+        return remaining_e == set(q_edges)
 
     def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization):
         # group keys must be a subset of the tile's keys
@@ -399,6 +554,51 @@ def suggest_tiles(catalog, table: str, dims: list[str], measures: list[str], max
         if (d,) not in tiles:
             tiles.append((d,))
     return {"cardinalities": cards, "tiles": tiles, "measures": measures}
+
+
+def build_star_lattice(
+    catalog,
+    registry: MaterializationRegistry,
+    fact: str,
+    joins: list[tuple],
+    dims: list[str],
+    measure_calls: list[str],
+    warehouse: str,
+    declare_fks: bool = True,
+) -> Materialization:
+    """≈ Lattice.java proper: a STAR-SCHEMA model — fact table joined to
+    dimension tables on FK edges — whose tile is the denormalized
+    pre-aggregation (Lattice.Builder walks JsonLattice's sql joins;
+    TileSuggester picks the tiles). `joins` is [(dim_table, fact_col,
+    dim_col), ...]; `dims` are the tile's group-by attributes (fact or
+    dimension columns); `measure_calls` are "FN(expr) AS alias" over
+    fact columns. Builds ONE finest tile as a join MV via define_join —
+    queries grouping by any subset of `dims` over the same star (or,
+    with the FK declarations this registers, over a sub-star that drops
+    dimensions entirely) are answered from it by the substitution +
+    rollup tier.
+
+    100 TB: the tile build is the only pass over the fact table; the
+    per-dimension FK edges make the tile answer single-table fact
+    queries too (the peel tier), so one materialization serves the
+    whole drill-down family."""
+    import os
+
+    from calcite_spark.plans.builder import RelBuilder
+
+    b = RelBuilder(catalog)
+    b.scan(fact)
+    for dim_table, fact_col, dim_col in joins:
+        b.scan(dim_table)
+        b.join(f"{fact_col} = {dim_col}")
+        if declare_fks:
+            catalog.declare_foreign_key(fact, fact_col, dim_table, dim_col)
+    b.aggregate(list(dims), list(measure_calls))
+    plan = b.build()
+    name = f"star_{fact}_{len(joins)}j{len(dims)}d"
+    return registry.define_join(
+        catalog, name, plan, os.path.join(warehouse, name)
+    )
 
 
 def build_lattice(

@@ -1414,10 +1414,14 @@ def _aggregate_join_transpose(node, catalog):
 
 DEFAULT_RULES = [
     Rule("EliminateRedundantExchange", _eliminate_redundant_exchange),
+    # MV substitution runs BEFORE join reordering / agg-join transpose:
+    # an Aggregate(Join) answered by a tile must become a tile scan, not
+    # a (cheaper-but-still-live) transposed join — and the r8 join-MV
+    # tier unifies against the ORIGINAL join subtree
+    Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("JoinOrderStats", _join_order_stats),
     Rule("AggregateJoinTranspose", _aggregate_join_transpose),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
-    Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
     # after DateRange so sargified ranges propagate across joins too
     Rule("JoinPushTransitivePredicates", _join_push_transitive_predicates),

@@ -775,6 +775,79 @@ def qx34_agg_join_transpose(spark, sf_dir):
 
 
 @register(
+    "qx36_mv_join",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_extendedprice) AS min_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "join", "rewrite", "mv"),
+)
+def qx36_mv_join(spark, sf_dir):
+    """Join-MV substitution (r8 — closes the flagship differentiator's
+    biggest remaining gap; ≈ rel/rules/materialize/
+    MaterializedViewProjectJoinRule.java:30 + plan/SubstitutionVisitor):
+    a star tile defined over orders⋈lineitem by (o_orderpriority,
+    l_returnflag) answers a coarser filtered query — the rewrite
+    unifies the query's join subtree against the MV's (table set +
+    normalized edge set), compensates the l_returnflag filter on the
+    tile, and re-aggregates the rollup. The oracle is the PLAIN
+    join-aggregate: values must be invariant under substitution. The
+    plan is asserted to actually scan the tile, not the fact join."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    # fresh catalog: the MV registry must not leak into other queries'
+    # shared catalog_for plans (same isolation reasoning as qx34)
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tile_plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_orderpriority", "l_returnflag"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+             "MIN(l_extendedprice) AS min_price"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "qx36_tile", tile_plan,
+        tempfile.mkdtemp(prefix="qx36_mv_") + "/qx36_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .filter("l_returnflag = 'R'")
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+             "MIN(l_extendedprice) AS min_price"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        # the driver row is EVIDENCE for the rewrite; a silently
+        # unsubstituted plan would still pass the value check
+        raise RuntimeError("join-MV substitution did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "ROUND(sum_qty, 3) AS sum_qty",
+        "n_rows", "min_price",
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "qx35_distinct_on",
     oracle="""
     SELECT DISTINCT ON (o_orderstatus, o_orderpriority)

@@ -373,3 +373,234 @@ def test_incremental_refresh_refuses_distinct(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not incrementally"):
         reg.incremental_refresh(cat, "mv_inc2")
+
+
+# -- r8: join materializations (MaterializedViewProjectJoinRule tier) --
+
+
+@pytest.fixture(scope="module")
+def join_mv_catalog(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvj_")
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_orderpriority", "l_returnflag"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+             "MIN(l_extendedprice) AS min_price"],
+        )
+        .build()
+    )
+    reg.define_join(cat, "mv_join_tile", plan, f"{tmp}/mv_join_tile")
+    return cat, reg
+
+
+def _join_agg(cat, keys, calls, cond="o_orderkey = l_orderkey", filt=None):
+    b = RelBuilder(cat).scan("orders").scan("lineitem").join(cond)
+    if filt:
+        b = b.filter(filt)
+    return b.aggregate(keys, calls)
+
+
+def test_join_mv_exact_match_scans_mv(spark, join_mv_catalog):
+    """Same join subtree + same signature → identity projection over
+    the tile (MaterializedViewOnlyJoinRule analog)."""
+    cat, reg = join_mv_catalog
+    df = _join_agg(
+        cat,
+        ["o_orderpriority", "l_returnflag"],
+        ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+         "MIN(l_extendedprice) AS min_price"],
+    ).to_df()
+    assert df.inputFiles() and all("mv_join_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .join(cat.table("lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.count("*").alias("n_rows"),
+             F.min("l_extendedprice").alias("min_price"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_join_mv_rollup_and_filter_compensation(spark, join_mv_catalog):
+    """Coarser keys re-aggregate over the tile; a filter on tile keys
+    compensates on the tile (flipped join-input order must not matter:
+    an inner equi-join tree is its table set + edge set)."""
+    cat, reg = join_mv_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .scan("orders")
+        .join("l_orderkey = o_orderkey")  # flipped order + flipped cond
+        .filter("l_returnflag = 'R'")
+        .aggregate(["o_orderpriority"], ["SUM(l_quantity) AS sum_qty"])
+        .to_df()
+    )
+    assert df.inputFiles() and all("mv_join_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .join(cat.table("lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter("l_returnflag = 'R'")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_join_mv_negative_cases(spark, join_mv_catalog):
+    """No substitution when the join subtree does NOT unify: different
+    join keys, extra tables without FK proof, non-derivable aggregates,
+    filters on non-tile columns."""
+    cat, reg = join_mv_catalog
+    # different join keys → the MV answers a DIFFERENT join
+    df = _join_agg(
+        cat, ["o_orderpriority"], ["COUNT(*) AS n_rows"],
+        cond="o_custkey = l_suppkey",
+    ).to_df()
+    assert any("mv_join_tile" not in f for f in df.inputFiles())
+    # AVG not in tile → fact join runs
+    df = _join_agg(cat, ["l_returnflag"], ["AVG(l_quantity) AS a"]).to_df()
+    assert any("mv_join_tile" not in f for f in df.inputFiles())
+    # filter on a non-tile column
+    df = _join_agg(
+        cat, ["l_returnflag"], ["COUNT(*) AS n_rows"],
+        filt="l_quantity > 10",
+    ).to_df()
+    assert any("mv_join_tile" not in f for f in df.inputFiles())
+    # three-way join (extra table, no FK declared for it) → no match
+    df = (
+        RelBuilder(cat)
+        .scan("orders").scan("lineitem").join("o_orderkey = l_orderkey")
+        .scan("part").join("l_partkey = p_partkey")
+        .aggregate(["l_returnflag"], ["COUNT(*) AS n_rows"])
+        .to_df()
+    )
+    assert any("mv_join_tile" not in f for f in df.inputFiles())
+
+
+def test_join_mv_fk_peel_tier(spark):
+    """The referential-constraint walk (MaterializedViewJoinRule): a
+    query over the FACT TABLE ALONE is answered by the join MV when the
+    MV's extra dimension joins on a declared FK → unique-key edge
+    (row-preserving inner join) — and is NOT without the declarations."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvfk_")
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("lineitem").join("o_orderkey = l_orderkey")
+        .aggregate(["l_returnflag"],
+                   ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"])
+        .build()
+    )
+    reg.define_join(cat, "mv_fk_tile", plan, f"{tmp}/mv_fk_tile")
+
+    def fact_only():
+        return (
+            RelBuilder(cat)
+            .scan("lineitem")
+            .aggregate(["l_returnflag"], ["SUM(l_quantity) AS sum_qty"])
+            .to_df()
+        )
+
+    # no unique key / no FK declared → substitution refuses
+    assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
+    # unique key alone is not enough (INNER join could still DROP
+    # fact rows without referential integrity)
+    cat.analyze_deep("orders", ["o_orderkey"])
+    assert cat.is_unique_key("orders", "o_orderkey")
+    assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
+    # FK + unique key → the orders dimension peels; tile answers
+    cat.declare_foreign_key("lineitem", "l_orderkey", "orders", "o_orderkey")
+    df = fact_only()
+    assert df.inputFiles() and all("mv_fk_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem").groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_join_mv_define_refusals(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    # outer join in the defining plan
+    bad = (
+        RelBuilder(cat)
+        .scan("orders").scan("lineitem")
+        .join("o_orderkey = l_orderkey", join_type="LEFT")
+        .aggregate(["l_returnflag"], ["COUNT(*) AS n"])
+        .build()
+    )
+    with pytest.raises(ValueError, match="INNER equi-join"):
+        reg.define_join(cat, "bad1", bad, "/tmp/never")
+    # single table → use define()
+    single = (
+        RelBuilder(cat).scan("lineitem")
+        .aggregate(["l_returnflag"], ["COUNT(*) AS n"]).build()
+    )
+    with pytest.raises(ValueError, match="INNER equi-join"):
+        reg.define_join(cat, "bad2", single, "/tmp/never")
+    # join MVs refuse incremental refresh with a named error
+    tmp = tempfile.mkdtemp(prefix="mvr_")
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("lineitem").join("o_orderkey = l_orderkey")
+        .aggregate(["l_returnflag"], ["COUNT(*) AS n"]).build()
+    )
+    reg.define_join(cat, "mv_r", plan, f"{tmp}/mv_r")
+    with pytest.raises(ValueError, match="join materializations"):
+        reg.incremental_refresh(cat, "mv_r")
+
+
+def test_build_star_lattice_end_to_end(spark, tmp_path):
+    """Star-lattice tile (Lattice.java proper): fact⋈dims tile built
+    once; star queries AND (via the registered FKs) fact-only queries
+    are answered from it."""
+    from calcite_spark.plans.materialize import build_star_lattice
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    cat.analyze_deep("orders", ["o_orderkey"])
+    cat.analyze_deep("part", ["p_partkey"])
+    mv = build_star_lattice(
+        cat, reg, fact="lineitem",
+        joins=[("orders", "l_orderkey", "o_orderkey"),
+               ("part", "l_partkey", "p_partkey")],
+        dims=["o_orderpriority", "p_brand", "l_returnflag"],
+        measure_calls=["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"],
+        warehouse=str(tmp_path),
+    )
+    assert set(mv.tables) == {"lineitem", "orders", "part"}
+    # full-star rollup
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem").scan("orders").join("l_orderkey = o_orderkey")
+        .scan("part").join("l_partkey = p_partkey")
+        .aggregate(["p_brand"], ["SUM(l_quantity) AS sum_qty"])
+        .to_df()
+    )
+    assert df.inputFiles() and all(mv.name in f for f in df.inputFiles())
+    # sub-star: lineitem⋈part only — the orders dim peels via its FK
+    df2 = (
+        RelBuilder(cat)
+        .scan("lineitem").scan("part").join("l_partkey = p_partkey")
+        .aggregate(["p_brand", "l_returnflag"], ["COUNT(*) AS n_rows"])
+        .to_df()
+    )
+    assert df2.inputFiles() and all(mv.name in f for f in df2.inputFiles())
+    direct = (
+        cat.table("lineitem")
+        .join(cat.table("part"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    assert _rows(df2) == _rows(direct)
