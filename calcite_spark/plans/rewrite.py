@@ -1412,6 +1412,110 @@ def _aggregate_join_transpose(node, catalog):
     )
 
 
+def _aggregate_union_transpose(node, catalog, gate=True):
+    """≈ rel/rules/AggregateUnionTransposeRule.java:63 (CoreRules.
+    AGGREGATE_UNION_TRANSPOSE): Aggregate(UnionAll(b1..bn)) →
+    Aggregate_merge(UnionAll(Aggregate_partial(b1)..)) — each branch
+    pre-aggregates on the group keys, the union moves one row per
+    (branch, group), and the merge recombines: SUM/COUNT as
+    SUM-of-partials (COUNT with the $SUM0 COALESCE so a GLOBAL
+    aggregate over an all-empty union yields 0, not NULL — same
+    CountSplitter reasoning as the join transpose), MIN/MAX as
+    themselves, AVG as a SUM/COUNT pair.
+
+    Honest Spark framing (measured, scripts/union_ab.py → SCALE.md):
+    Catalyst already computes PARTIAL aggregates per partition of the
+    union's output before the exchange, so for plain scans the shuffled
+    volume is similar — the rule's real value in this engine is
+    COMPOSITION: after the push, each branch is a standalone
+    Aggregate(Scan/Filter/Join) that the OTHER rewrites can answer — a
+    branch with a matching tile becomes an MV scan (r8 join-MV tier), a
+    join branch can agg-join-transpose, and a pre-aggregated branch
+    arrives at the union already collapsed. UNION (distinct) never
+    matches: dedup before aggregation is not distributive.
+
+    Refusals mirror the join transpose: non-bare-column group keys,
+    non-splittable calls (DISTINCT / FILTER / expressions), DECIMAL
+    SUM/AVG args (partial re-sum widens precision). Gate: every branch
+    needs grounded NDVs showing the partial collapses (groups ≤
+    rows/2); `gate=False` (tests/fuzz, the SQL hint keeps it on)
+    bypasses the benefit check, never the soundness checks."""
+    if (
+        not isinstance(node, ir.Aggregate)
+        or node.group_type != "SIMPLE"
+        or node._no_transpose
+        or not node.agg_calls
+        or catalog is None
+    ):
+        return None
+    child = node.inputs[0]
+    if not isinstance(child, ir.SetOp) or child.kind != "UNION_ALL":
+        return None
+    for k in node.group_keys:
+        if not _AJT_IDENT_RE.match(k.strip()):
+            return None
+    parsed = []
+    for call in node.agg_calls:
+        m = _AJT_CALL_RE.match(call)
+        if not m:
+            return None
+        fn, arg, alias = m.group(1).upper(), m.group(2), m.group(3)
+        if arg == "*" and fn != "COUNT":
+            return None
+        parsed.append((fn, arg, alias))
+    fresh = [f"__aut{i}{s}" for i in range(len(parsed)) for s in ("", "s", "c")]
+    sum_avg_args = {
+        arg for fn, arg, _ in parsed if fn in ("SUM", "AVG") and arg != "*"
+    }
+    from calcite_spark.plans.metadata import MetadataQuery
+
+    mq = MetadataQuery(catalog)
+    for branch in child.inputs:
+        dt = _output_dtypes(branch, catalog)
+        if dt and any(c in dt for c in fresh):
+            return None  # fresh-name collision
+        if any(dt.get(a, "").startswith("decimal") for a in sum_avg_args):
+            return None  # DECIMAL partial re-sum widens precision
+        if gate:
+            rows = mq.row_count(branch)
+            if rows is None:
+                return None
+            groups = 1.0
+            for k in node.group_keys:
+                ndv = mq.distinct_row_count(branch, k.strip())
+                if ndv is None:
+                    return None
+                groups *= ndv
+            if min(groups, rows) > rows / 2:
+                return None
+    partial_calls, merge_calls = [], []
+    for i, (fn, arg, alias) in enumerate(parsed):
+        pc = f"__aut{i}"
+        if fn in ("MIN", "MAX"):
+            partial_calls.append(f"{fn}({arg}) AS {pc}")
+            merge_calls.append(f"{fn}({pc}) AS {alias}")
+        elif fn == "COUNT":
+            partial_calls.append(f"COUNT({arg}) AS {pc}")
+            merge_calls.append(f"COALESCE(SUM({pc}), 0) AS {alias}")
+        elif fn == "SUM":
+            partial_calls.append(f"SUM({arg}) AS {pc}")
+            merge_calls.append(f"SUM({pc}) AS {alias}")
+        else:  # AVG
+            partial_calls.append(f"SUM({arg}) AS {pc}s")
+            partial_calls.append(f"COUNT({arg}) AS {pc}c")
+            merge_calls.append(f"SUM({pc}s) / SUM({pc}c) AS {alias}")
+    new_branches = tuple(
+        ir.Aggregate(tuple(node.group_keys), tuple(partial_calls), inputs=(b,))
+        for b in child.inputs
+    )
+    return ir.Aggregate(
+        tuple(node.group_keys),
+        tuple(merge_calls),
+        inputs=(child.with_inputs(new_branches),),
+        _no_transpose=True,
+    )
+
+
 DEFAULT_RULES = [
     Rule("EliminateRedundantExchange", _eliminate_redundant_exchange),
     # MV substitution runs BEFORE join reordering / agg-join transpose:
@@ -1421,6 +1525,10 @@ DEFAULT_RULES = [
     Rule("MaterializedViewSubstitution", _materialized_view_substitute),
     Rule("JoinOrderStats", _join_order_stats),
     Rule("AggregateJoinTranspose", _aggregate_join_transpose),
+    # after MV substitution (an Aggregate(Union) a tile could answer
+    # whole is not split first) — its pushed per-branch aggregates then
+    # become MV/transpose candidates on the NEXT fixpoint pass
+    Rule("AggregateUnionTranspose", _aggregate_union_transpose),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
     # after DateRange so sargified ranges propagate across joins too

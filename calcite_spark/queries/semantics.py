@@ -848,6 +848,58 @@ def qx36_mv_join(spark, sf_dir):
 
 
 @register(
+    "qx37_agg_union_transpose",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL SELECT * FROM orders WHERE o_orderstatus <> 'F')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "union", "transpose", "rewrite"),
+)
+def qx37_agg_union_transpose(spark, sf_dir):
+    """AggregateUnionTranspose (r8; ≈ rel/rules/
+    AggregateUnionTransposeRule.java:63, CoreRules.
+    AGGREGATE_UNION_TRANSPOSE): with ANALYZE-grounded NDV on the group
+    key, an aggregate over a multi-corpus UNION ALL rewrites to
+    per-branch partial aggregates below the union plus a merge above —
+    COUNT merges with the $SUM0 COALESCE, AVG as a SUM/COUNT pair.
+    Reached through the /*+ AGGREGATE_UNION_TRANSPOSE */ SQL hint (same
+    advisory contract as the join-transpose hint). The oracle is the
+    PLAIN aggregate over the union: values must be invariant. The
+    partial alias __aut0 is asserted present in the physical plan —
+    a silently untransposed plan would still pass the value check.
+    Honest scale note (scripts/union_ab.py, SCALE.md): shuffle bytes
+    are IDENTICAL with/without for plain scans (Catalyst already
+    partial-aggregates below the union's exchange); the rule's value is
+    composition — pushed branches become MV-tile / join-transpose
+    candidates."""
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = open_catalog(spark, sf_dir)
+    cat.analyze("orders", ["o_orderpriority"])
+    fe = SqlFrontend(cat)
+    df = fe.sql(
+        """/*+ AGGREGATE_UNION_TRANSPOSE */
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(o_totalprice) AS sum_price, AVG(o_totalprice) AS avg_price
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL SELECT * FROM orders WHERE o_orderstatus <> 'F')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+    if "__aut0" not in df._jdf.queryExecution().executedPlan().toString():
+        raise RuntimeError("AggregateUnionTranspose did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "n", "ROUND(sum_price, 3) AS sum_price",
+        "ROUND(avg_price, 6) AS avg_price",
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "qx35_distinct_on",
     oracle="""
     SELECT DISTINCT ON (o_orderstatus, o_orderpriority)

@@ -1695,6 +1695,10 @@ class SqlFrontend:
             return self._run_agg_join_transpose(
                 self._AJT_HINT_RE.sub("", text, count=1)
             )
+        if self._AUT_HINT_RE.search(text):
+            return self._run_agg_union_transpose(
+                self._AUT_HINT_RE.sub("", text, count=1)
+            )
         expanded, is_stream = self.parse(text)
         if is_stream:
             return self._run_streaming(expanded)
@@ -1805,6 +1809,98 @@ class SqlFrontend:
                 raise ValueError(
                     "AGGREGATE_JOIN_TRANSPOSE hint: aggregate items must "
                     f"be FN(col) AS alias, got {item!r}"
+                )
+            agg_calls.append(item)
+            out_names.append(am.group(3))
+        b.aggregate(gb, agg_calls)
+        agg_aliases = [
+            re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)$", c).group(1)
+            for c in agg_calls
+        ]
+        if out_names != gb + agg_aliases:
+            b.project(*out_names)
+        if m.group("ob"):
+            b.sort(*[k.strip() for k in self._split_top_commas(m.group("ob"))])
+        plan = default_program(self.catalog).run(b.build())
+        return plan.to_df(self.catalog)
+
+    # -- /*+ AGGREGATE_UNION_TRANSPOSE */ hint -------------------------
+    # ≈ the same SqlHint surface as AGGREGATE_JOIN_TRANSPOSE, carrying
+    # CoreRules.AGGREGATE_UNION_TRANSPOSE (rel/rules/
+    # AggregateUnionTransposeRule.java:63). Strict statement shape:
+    # SELECT ... FROM (branch UNION ALL branch [...]) [alias]
+    # GROUP BY ... [ORDER BY ...], each branch SELECT *|cols FROM tbl
+    # [WHERE ...]; anything fancier raises rather than silently
+    # dropping the hint. The gate stays ON — the hint lifts the
+    # statement into the IR, it does not bypass the grounded-NDV check
+    # (ANALYZE first, exactly like the join-transpose hint).
+    _AUT_HINT_RE = re.compile(r"/\*\+\s*AGGREGATE_UNION_TRANSPOSE\s*\*/", re.I)
+    _AUT_STMT_RE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s*\(\s*(?P<branches>.*?)\s*\)"
+        r"\s*(?:AS\s+)?(?:\w+\s+)?GROUP\s+BY\s+(?P<gb>.*?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?\s*;?\s*$"
+    )
+    _AUT_BRANCH_RE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<tbl>\w+)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?\s*$"
+    )
+
+    def _run_agg_union_transpose(self, text: str) -> DataFrame:
+        from calcite_spark.plans.builder import RelBuilder
+        from calcite_spark.plans.rewrite import default_program
+
+        m = self._AUT_STMT_RE.match(text)
+        if not m:
+            raise ValueError(
+                "AGGREGATE_UNION_TRANSPOSE hint: statement must be "
+                "SELECT ... FROM (SELECT ... UNION ALL SELECT ...) "
+                "GROUP BY ... [ORDER BY ...]"
+            )
+        branches = re.split(r"(?i)\bUNION\s+ALL\b", m.group("branches"))
+        if len(branches) < 2:
+            raise ValueError(
+                "AGGREGATE_UNION_TRANSPOSE hint: the FROM subquery must "
+                "be a UNION ALL of at least two branches"
+            )
+        b = RelBuilder(self.catalog)
+        for br in branches:
+            bm = self._AUT_BRANCH_RE.match(br)
+            if not bm:
+                raise ValueError(
+                    "AGGREGATE_UNION_TRANSPOSE hint: each branch must be "
+                    f"SELECT *|cols FROM tbl [WHERE ...], got {br!r}"
+                )
+            b.scan(bm.group("tbl"))
+            if bm.group("where"):
+                b.filter(bm.group("where"))
+            cols = bm.group("cols").strip()
+            if cols != "*":
+                b.project(
+                    *[c.strip() for c in self._split_top_commas(cols)]
+                )
+        b.union(all=True, n=len(branches))
+        gb = [k.strip() for k in self._split_top_commas(m.group("gb"))]
+        agg_calls, out_names = [], []
+        for item in self._split_top_commas(m.group("sel")):
+            item = item.strip()
+            if re.match(r"^[A-Za-z_]\w*$", item):
+                if item not in gb:
+                    raise ValueError(
+                        f"AGGREGATE_UNION_TRANSPOSE hint: select item "
+                        f"{item!r} is neither a GROUP BY key nor an "
+                        "aggregate with an alias"
+                    )
+                out_names.append(item)
+                continue
+            am = re.match(
+                r"(?is)^([A-Za-z_]\w*)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)\s+AS\s+"
+                r"([A-Za-z_]\w*)$",
+                item,
+            )
+            if not am:
+                raise ValueError(
+                    "AGGREGATE_UNION_TRANSPOSE hint: aggregate items "
+                    f"must be FN(col) AS alias, got {item!r}"
                 )
             agg_calls.append(item)
             out_names.append(am.group(3))

@@ -196,3 +196,63 @@ def test_every_dialect_emits_or_refuses_cleanly(fuzz_cat, spec):
             assert isinstance(sql, str) and sql.upper().startswith("SELECT"), name
         except UnsupportedDialectExpression:
             pass  # the refusal contract
+
+
+# -- r8: AggregateUnionTranspose property fuzz ------------------------
+
+@st.composite
+def union_spec(draw):
+    """Random UNION ALL branches as inline VALUES — empty branches,
+    overlapping rows across branches, NULL group keys, NULL measures —
+    plus a random splittable aggregate set."""
+    n_branches = draw(st.integers(2, 4))
+    key = st.one_of(st.none(), st.integers(0, 3))
+    val = st.one_of(st.none(), st.integers(-5, 100))
+    branches = [
+        draw(st.lists(st.tuples(key, val), min_size=0, max_size=6))
+        for _ in range(n_branches)
+    ]
+    global_agg = draw(st.booleans())
+    calls = draw(
+        st.lists(
+            st.sampled_from([
+                "COUNT(*) AS cnt_all", "COUNT(v) AS cnt_v",
+                "SUM(v) AS sum_v", "MIN(v) AS min_v", "MAX(v) AS max_v",
+                "AVG(v) AS avg_v",
+            ]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    return branches, ([] if global_agg else ["g"]), calls
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(union_spec())
+def test_union_transpose_value_invariant(fuzz_cat, spec):
+    """The transposed plan must agree with the untransposed plan on
+    rows, values, AND dtypes for every branch/NULL/overlap combination
+    (gate bypassed: Values branches carry no ANALYZE stats; soundness
+    must not depend on the benefit gate)."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import _aggregate_union_transpose
+
+    branches, keys, calls = spec
+    union = ir.SetOp(
+        "UNION_ALL",
+        inputs=tuple(
+            ir.Values([tuple(r) for r in rows], "g int, v int")
+            if rows
+            else ir.Values([], "g int, v int")
+            for rows in branches
+        ),
+    )
+    plain = ir.Aggregate(tuple(keys), tuple(calls), inputs=(union,))
+    out = _aggregate_union_transpose(plain, fuzz_cat, gate=False)
+    assert out is not None and out._no_transpose
+    df_a, df_b = plain.to_df(fuzz_cat), out.to_df(fuzz_cat)
+    assert df_a.dtypes == df_b.dtypes
+    nones_last = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    ra = sorted((tuple(r) for r in df_a.collect()), key=nones_last)
+    rb = sorted((tuple(r) for r in df_b.collect()), key=nones_last)
+    assert ra == rb, (spec, ra, rb)

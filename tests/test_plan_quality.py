@@ -10,6 +10,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from calcite_spark.exec import plan_report, profile
 from calcite_spark.queries.inventory import catalog_for, queries
 from tests.conftest import SF_DIR
@@ -957,3 +959,120 @@ def test_aggregate_join_transpose_empty_join_count_zero(spark):
     assert out2 is not None
     r2 = out2.to_df(cat).collect()[0]
     assert r2.n == 0 and r2.cb == 0 and r2.s1 is None and r2.s2 is None
+
+
+def test_aggregate_union_transpose(spark):
+    """AggregateUnionTranspose (≈ AggregateUnionTransposeRule, CoreRules.
+    AGGREGATE_UNION_TRANSPOSE): with grounded NDV stats, Aggregate over
+    UNION ALL rewrites to per-branch partial aggregates below the union
+    plus a merge above — values and dtypes invariant."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import (
+        _aggregate_union_transpose,
+        default_program,
+    )
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+
+    def build(calls=None):
+        return (
+            RelBuilder(cat)
+            .scan("orders").filter("o_orderstatus = 'F'")
+            .scan("orders").filter("o_orderstatus <> 'F'")
+            .union(all=True, n=2)
+            .aggregate(
+                ["o_orderpriority"],
+                calls or ["COUNT(*) AS n", "SUM(o_totalprice) AS s",
+                          "AVG(o_totalprice) AS a", "MIN(o_orderdate) AS mn"],
+            )
+            .build()
+        )
+
+    # no ANALYZE stats -> grounded-NDV gate refuses (never a guess)
+    assert _aggregate_union_transpose(build(), cat) is None
+    cat.analyze("orders", ["o_orderpriority"])
+    out = default_program(cat).run(build())
+    assert isinstance(out, ir.Aggregate) and out._no_transpose
+    un = out.inputs[0]
+    assert isinstance(un, ir.SetOp) and un.kind == "UNION_ALL"
+    for b in un.inputs:
+        assert isinstance(b, ir.Aggregate)
+        assert b.group_keys == ("o_orderpriority",)
+        assert any("COUNT(*)" in c for c in b.agg_calls)
+    # COUNT merged with the $SUM0 COALESCE; AVG as a SUM/COUNT pair
+    assert any(c.startswith("COALESCE(SUM(") for c in out.agg_calls)
+    assert any("/" in c and c.endswith("AS a") for c in out.agg_calls)
+
+    plain, transposed = build().to_df(cat), out.to_df(cat)
+    assert transposed.dtypes == plain.dtypes
+    a = {r["o_orderpriority"]: r for r in plain.collect()}
+    b = {r["o_orderpriority"]: r for r in transposed.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["n"] == b[k]["n"] and a[k]["mn"] == b[k]["mn"]
+        assert abs(a[k]["s"] - b[k]["s"]) < 1e-6
+        assert abs(a[k]["a"] - b[k]["a"]) < 1e-9
+
+    # refusals: UNION distinct, DISTINCT aggregate, expression group key
+    distinct_union = (
+        RelBuilder(cat).scan("orders").scan("orders").union(all=False, n=2)
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"]).build()
+    )
+    assert _aggregate_union_transpose(distinct_union, cat, gate=False) is None
+    distinct_agg = (
+        RelBuilder(cat).scan("orders").scan("orders").union(all=True, n=2)
+        .aggregate(["o_orderpriority"], ["COUNT(DISTINCT o_custkey) AS n"])
+        .build()
+    )
+    assert _aggregate_union_transpose(distinct_agg, cat, gate=False) is None
+    expr_key = (
+        RelBuilder(cat).scan("orders").scan("orders").union(all=True, n=2)
+        .aggregate(["year(o_orderdate)"], ["COUNT(*) AS n"]).build()
+    )
+    assert _aggregate_union_transpose(expr_key, cat, gate=False) is None
+    # rule output never re-fires (loop guard)
+    assert _aggregate_union_transpose(out, cat, gate=False) is None
+
+
+def test_aggregate_union_transpose_mv_composition(spark):
+    """The rule's measured value in Spark (scripts/union_ab.py: shuffle
+    bytes IDENTICAL with/without — Catalyst already partial-aggregates
+    below the union's exchange): COMPOSITION. After the push, each
+    branch is Aggregate(Scan) and the MV tier answers it from a tile on
+    the next fixpoint pass — the union then moves tile rows, not fact
+    rows."""
+    import tempfile
+
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvu_")
+    reg.define(
+        cat, name="mv_union_tile", table="lineitem",
+        group_keys=["l_returnflag"],
+        agg_calls=["SUM(l_quantity) AS sq", "COUNT(*) AS cn"],
+        path=f"{tmp}/mv_union_tile",
+    )
+    cat.analyze("lineitem", ["l_returnflag"])
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem").scan("lineitem").union(all=True, n=2)
+        .aggregate(["l_returnflag"], ["SUM(l_quantity) AS sq"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert files and all("mv_union_tile" in f for f in files), files
+    direct = (
+        cat.table("lineitem").groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity") * 2).alias("sq"))
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert len(got) == len(want) > 0
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert gk == wk and abs(gv - wv) < 1e-6
