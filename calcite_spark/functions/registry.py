@@ -26,6 +26,7 @@ HIVE = "HIVE"
 MYSQL = "MYSQL"
 ORACLE = "ORACLE"
 POSTGRESQL = "POSTGRESQL"
+REDSHIFT = "REDSHIFT"
 SPARK = "SPARK"
 ALL = "ALL"  # available without opting into a library
 
@@ -286,10 +287,27 @@ _reg(
 _reg("URL_ENCODE", "url_encode({0})", (1,), libs=(BIG_QUERY,))
 _reg("URL_DECODE", "url_decode({0})", (1,), libs=(BIG_QUERY,))
 _reg("REGEXP_CONTAINS", "{0} RLIKE {1}", (2,), libs=(BIG_QUERY,), kind="predicate")
+# REGEXP_EXTRACT: for HIVE/SPARK the 3rd argument is a GROUP INDEX
+# (Spark's own builtin — passthrough). The BigQuery operator takes
+# (value, regexp[, position[, occurrence]]) with NULL-on-no-match and
+# an at-most-one-capturing-group rule (SqlLibraryOperators.java:588,
+# runtime SqlFunctions.java:632-673) — a silent wrong-value trap if
+# passed through (position lands in the group slot); dispatched in
+# translate() to functions/bq_regex (r8 babel batch 3).
 _reg(
-    "REGEXP_EXTRACT", "", (2, 3), libs=(BIG_QUERY, HIVE, SPARK),
-    note="passthrough: Spark's 2-arg default group (1) matches BigQuery's "
-    "single-capture convention; 3-arg keeps its group index",
+    "REGEXP_EXTRACT", "", (2, 3), libs=(HIVE, SPARK),
+    note="passthrough: 3-arg keeps Spark's group-index semantics",
+)
+_reg(
+    "REGEXP_EXTRACT", "", (2, 3, 4), libs=(BIG_QUERY,),
+    variant_of="REGEXP_EXTRACT",
+    note="BigQuery (value, regexp[, position[, occurrence]]) — "
+    "functions/bq_regex.bq_regexp_extract",
+)
+_reg(
+    "REGEXP_SUBSTR", "", (2, 3, 4), libs=(BIG_QUERY,),
+    variant_of="REGEXP_SUBSTR",
+    note="BigQuery alias of REGEXP_EXTRACT (SqlLibraryOperators.java:705)",
 )
 _reg("REGEXP_EXTRACT_ALL", "", (2, 3), libs=(BIG_QUERY, SPARK))
 _reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
@@ -300,7 +318,7 @@ _reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
 # replaces only the FIRST match, uses \n group indexing, and adds a
 # 4-arg flags form — a distinct operator, dispatched in translate() to
 # functions/pg_regex.pg_regexp_replace (r8; r7 verdict "What's wrong" #1).
-_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(BIG_QUERY, HIVE, MYSQL, ORACLE, SPARK))
+_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(HIVE, MYSQL, ORACLE, SPARK, REDSHIFT))
 _reg(
     "REGEXP_REPLACE",
     "",  # lowering is computed per-call in translate() (plan-time literal translation)
@@ -310,6 +328,24 @@ _reg(
     note="PG semantics: 3-arg = first occurrence only, \\n group "
     "indexing in the replacement; 4-arg flags g/i/c/n/m/s "
     "(SqlFunctions.regexpReplacePg) — see functions/pg_regex.py",
+)
+# BigQuery 3-arg: replace-ALL but with BACKSLASH group indexing
+# (REGEXP_REPLACE_BIG_QUERY_3 → regexpReplaceNonDollarIndexed,
+# BuiltInMethod.java:696) — r8 corpus-sweep find; see bq_regex.py
+_reg(
+    "REGEXP_REPLACE", "", (3,), libs=(BIG_QUERY,),
+    variant_of="REGEXP_REPLACE",
+    note="replace-all with \\n-indexed replacement — "
+    "functions/bq_regex.bq_regexp_replace",
+)
+# Redshift 2-arg form deletes every match (REGEXP_REPLACE_2,
+# SqlLibraryOperators.java:617)
+_reg(
+    "REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (2, 3),
+    libs=(REDSHIFT,), variant_of="REGEXP_REPLACE",
+    defaults=("''",),
+    note="2-arg deletes matches; 3-arg replace-all ($-indexed Java "
+    "replacement, the reference's shared runtime)",
 )
 _reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
 _reg("REGEXP_LIKE", "{0} RLIKE {1}", (2,), libs=(MYSQL, ORACLE, SPARK), kind="predicate")
@@ -602,6 +638,145 @@ _reg("BOOLAND_AGG", "bool_and({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
 _reg("BOOLOR_AGG", "bool_or({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
 
 # ---------------------------------------------------------------------
+# r8 babel batch 3a — BigQuery SPLIT semantics (big-query.iq:1666-1695;
+# SqlLibraryOperators.SPLIT:369). THREE divergences from Spark's split:
+# the delimiter is a LITERAL (Spark's is a regex — BQ SPLIT('abc.de.',
+# '.') keeps the dots literal where Spark's '.'-regex shreds the whole
+# string), the 1-arg form defaults to ',', and '' input yields []
+# (Spark yields ['']). One JVM CASE, the same regex-quote trick as
+# STRING_TO_ARRAY.
+# ---------------------------------------------------------------------
+_reg(
+    "SPLIT",
+    "CASE WHEN {0} IS NULL THEN NULL "
+    "WHEN {0} = '' THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE split({0}, regexp_replace({1}, "
+    "'([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$1'), -1) END",
+    (1, 2),
+    libs=(BIG_QUERY,),
+    variant_of="SPLIT",
+    defaults=("','",),
+    note="literal delimiter, ',' default, '' input → empty array — "
+    "exact BigQuery semantics (trailing empty elements KEPT via "
+    "limit=-1)",
+)
+
+# ---------------------------------------------------------------------
+# r8 babel batch 3b — REDSHIFT library tier (SqlLibrary.REDSHIFT;
+# babel/src/test/resources/sql/redshift.iq). DATEADD/DATEDIFF/
+# DATE_PART take a BARE unit identifier with Redshift's alias zoo
+# (m/mon/mons, qtr, w, h/hr, min, s/sec...) and DATEDIFF counts
+# BOUNDARY CROSSINGS (PG/DuckDB date_diff style), not full periods —
+# both handled by a translate() dispatch (unit normalization + per-unit
+# truncating lowering). The rest are direct JVM templates.
+# ---------------------------------------------------------------------
+_reg("GETDATE", "current_timestamp()", (0,), libs=(REDSHIFT,))
+_reg("SYSDATE", "current_timestamp()", (0,), libs=(REDSHIFT,), variant_of="SYSDATE")
+_reg("TIMEOFDAY", "date_format(current_timestamp(), 'EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz')", (0,), libs=(REDSHIFT,))
+_reg("DEXP", "exp({0})", (1,), libs=(REDSHIFT,))
+_reg("DLOG1", "ln({0})", (1,), libs=(REDSHIFT,))
+_reg("DLOG10", "log10({0})", (1,), libs=(REDSHIFT,))
+_reg("DATE_PART_YEAR", "year(CAST({0} AS DATE))", (1,), libs=(REDSHIFT,))
+
+
+def _cmp_template(cast: str) -> str:
+    a, b = f"CAST({{0}} AS {cast})", f"CAST({{1}} AS {cast})"
+    return (
+        f"CASE WHEN {a} < {b} THEN -1 WHEN {a} > {b} THEN 1 "
+        f"WHEN {a} = {b} THEN 0 END"
+    )
+
+
+_reg("DATE_CMP", _cmp_template("DATE"), (2,), libs=(REDSHIFT,))
+_reg("DATE_CMP_TIMESTAMP", _cmp_template("TIMESTAMP"), (2,), libs=(REDSHIFT,))
+_reg("TIMESTAMP_CMP", _cmp_template("TIMESTAMP"), (2,), libs=(REDSHIFT,))
+_reg("TIMESTAMP_CMP_DATE", _cmp_template("TIMESTAMP"), (2,), libs=(REDSHIFT,))
+_reg("MONTHS_BETWEEN", "months_between({0}, {1})", (2,), libs=(REDSHIFT, ORACLE))
+_reg(
+    "NEXT_DAY", "next_day({0}, {1})", (2,), libs=(REDSHIFT, ORACLE),
+    note="Spark accepts 2+ letter day abbreviations ('Tu','Tue',"
+    "'Tuesday'); Redshift's single-letter forms ('T') return NULL — "
+    "documented divergence",
+)
+# PG/Redshift binary accessors, 0-based offsets; GET_BIT numbers bits
+# LSB-first within each byte (PG bytea convention) — pure hex/conv
+# arithmetic, no UDF
+_reg(
+    "GET_BYTE",
+    "CAST(conv(substr(hex({0}), 2 * CAST({1} AS INT) + 1, 2), 16, 10) AS INT)",
+    (2,), libs=(REDSHIFT, POSTGRESQL),
+)
+_reg(
+    "GET_BIT",
+    "(CAST(conv(substr(hex({0}), 2 * CAST(({1}) DIV 8 AS INT) + 1, 2), "
+    "16, 10) AS INT) >> CAST(({1}) % 8 AS INT)) & 1",
+    (2,), libs=(REDSHIFT, POSTGRESQL),
+)
+# DATEADD/DATEDIFF/DATE_PART are registered for lookup; lowering is the
+# translate() dispatch (unit aliases + boundary-crossing DATEDIFF)
+_reg("DATEADD", "", (3,), libs=(REDSHIFT,), variant_of="DATEADD")
+_reg("DATEDIFF", "", (3,), libs=(REDSHIFT,), variant_of="DATEDIFF")
+_reg("DATE_PART", "", (2,), libs=(REDSHIFT,), variant_of="DATE_PART")
+
+# Redshift unit-alias zoo → Spark datetime field names
+_RS_UNITS = {}
+for _canon, _aliases in {
+    "YEAR": "y yr yrs year years",
+    "QUARTER": "qtr qtrs quarter quarters",
+    "MONTH": "m mon mons month months",
+    "WEEK": "w week weeks",
+    "DAY": "d day days dayofmonth",
+    "HOUR": "h hr hrs hour hours",
+    "MINUTE": "min mins minute minutes",
+    "SECOND": "s sec secs second seconds",
+}.items():
+    for _a in _aliases.split():
+        _RS_UNITS[_a] = _canon
+
+
+def _rs_unit(arg: str, fn: str) -> str:
+    u = arg.strip().strip("'\"").lower()
+    if u not in _RS_UNITS:
+        raise ValueError(
+            f"{fn} (REDSHIFT): unsupported datepart {arg!r} "
+            f"(supported aliases: {sorted(_RS_UNITS)})"
+        )
+    return _RS_UNITS[u]
+
+
+def _rs_datediff(unit: str, a: str, b: str) -> str:
+    """Redshift DATEDIFF counts BOUNDARY CROSSINGS (docs: 'the
+    difference between the date parts'), like PG/DuckDB date_diff and
+    UNLIKE Spark's timestampdiff (full elapsed periods): datediff(day,
+    23:00, next 01:00) = 1. Lowered per unit by truncating both sides
+    to the boundary first — fully JVM-side."""
+    A, B = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+    if unit == "YEAR":
+        return f"CAST(year({B}) - year({A}) AS BIGINT)"
+    if unit == "QUARTER":
+        return (
+            f"CAST((year({B}) * 4 + quarter({B})) - "
+            f"(year({A}) * 4 + quarter({A})) AS BIGINT)"
+        )
+    if unit == "MONTH":
+        return (
+            f"CAST((year({B}) * 12 + month({B})) - "
+            f"(year({A}) * 12 + month({A})) AS BIGINT)"
+        )
+    if unit == "WEEK":
+        return (
+            f"CAST(datediff(CAST(date_trunc('WEEK', {B}) AS DATE), "
+            f"CAST(date_trunc('WEEK', {A}) AS DATE)) / 7 AS BIGINT)"
+        )
+    if unit == "DAY":
+        return f"CAST(datediff(CAST({B} AS DATE), CAST({A} AS DATE)) AS BIGINT)"
+    micros = {"HOUR": 3_600_000_000, "MINUTE": 60_000_000, "SECOND": 1_000_000}[unit]
+    return (
+        f"CAST((unix_micros(date_trunc('{unit}', {B})) - "
+        f"unix_micros(date_trunc('{unit}', {A}))) / {micros} AS BIGINT)"
+    )
+
+# ---------------------------------------------------------------------
 # Aggregates (§2.4 table) — registered for name resolution + docs; the
 # Aggregate IR node takes them as SQL strings directly
 # ---------------------------------------------------------------------
@@ -724,6 +899,21 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         return f"date_format({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
     if fn.arity and len(args) not in fn.arity:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
+    if fn.name in ("REGEXP_EXTRACT", "REGEXP_SUBSTR") and fn.libraries == (BIG_QUERY,):
+        from calcite_spark.functions.bq_regex import bq_regexp_extract
+
+        return bq_regexp_extract(args, fn.name)
+    if fn.name == "REGEXP_REPLACE" and fn.libraries == (BIG_QUERY,):
+        from calcite_spark.functions.bq_regex import bq_regexp_replace
+
+        return bq_regexp_replace(args)
+    if fn.libraries == (REDSHIFT,) and fn.name in ("DATEADD", "DATEDIFF", "DATE_PART"):
+        unit = _rs_unit(args[0], fn.name)
+        if fn.name == "DATEADD":
+            return f"timestampadd({unit}, {args[1]}, CAST({args[2]} AS TIMESTAMP))"
+        if fn.name == "DATEDIFF":
+            return _rs_datediff(unit, args[1], args[2])
+        return f"date_part('{unit}', {args[1]})"
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
     if isinstance(fn.template, dict):

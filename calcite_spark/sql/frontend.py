@@ -623,6 +623,96 @@ class SqlFrontend:
         res.append(text[i:])
         return "".join(res)
 
+    # Redshift APPROXIMATE prefix (babel redshift.iq: `approximate
+    # count(distinct x)`, `approximate percentile_disc(f) within group
+    # (order by x)` — SqlLibrary.REDSHIFT conformance). Lowered to
+    # Spark's sketch aggregates: approx_count_distinct (HLL++) /
+    # approx_percentile (KLL) — the 100 TB-correct forms (bounded
+    # memory, one pass, no global sort). DESC percentile refused (the
+    # discrete inverse is not 1-f symmetric).
+    _APPROX_COUNT_RE = re.compile(
+        r"\bAPPROXIMATE\s+COUNT\s*\(\s*DISTINCT\s+([^()]+?)\s*\)", re.I
+    )
+    _APPROX_PCT_RE = re.compile(
+        r"\bAPPROXIMATE\s+PERCENTILE_DISC\s*\(\s*([^()]+?)\s*\)\s*"
+        r"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)",
+        re.I,
+    )
+
+    def _expand_approximate(self, text: str) -> str:
+        def in_literal(pos):
+            return text.count("'", 0, pos) % 2 == 1
+
+        while True:
+            m = self._APPROX_PCT_RE.search(text)
+            if m is None or in_literal(m.start()):
+                break
+            key = m.group(2).strip()
+            if re.search(r"(?i)\bDESC\b", key):
+                raise ValueError(
+                    "APPROXIMATE PERCENTILE_DISC: DESC ordering is not "
+                    "supported (the discrete inverse is not 1-f "
+                    "symmetric) — rewrite with the ascending fraction"
+                )
+            text = (
+                text[: m.start()]
+                + f"approx_percentile({key}, {m.group(1).strip()})"
+                + text[m.end() :]
+            )
+        while True:
+            m = self._APPROX_COUNT_RE.search(text)
+            if m is None or in_literal(m.start()):
+                break
+            text = (
+                text[: m.start()]
+                + f"approx_count_distinct({m.group(1).strip()})"
+                + text[m.end() :]
+            )
+        if re.search(r"(?i)\bAPPROXIMATE\b", text) and any(
+            text.count("'", 0, c.start()) % 2 == 0
+            for c in re.finditer(r"(?i)\bAPPROXIMATE\b", text)
+        ):
+            raise ValueError(
+                "APPROXIMATE: only COUNT(DISTINCT ...) and "
+                "PERCENTILE_DISC(...) WITHIN GROUP (...) are supported "
+                "(Redshift's own surface)"
+            )
+        return text
+
+    # Redshift RATIO_TO_REPORT(expr) OVER (spec) — a window-function
+    # babel surface with no Spark builtin: expr / SUM(expr) OVER (spec)
+    # with Redshift's NULL on zero denominator. The two window SUMs are
+    # textually identical so Catalyst computes ONE window frame.
+    _RATIO_RE = re.compile(r"\bRATIO_TO_REPORT\s*\(", re.I)
+
+    def _expand_ratio_to_report(self, text: str) -> str:
+        while True:
+            m = next(
+                (
+                    c
+                    for c in self._RATIO_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is None:
+                return text
+            e, close = self._balanced_span(text, m.end())
+            e = e.strip()
+            om = re.match(r"(?is)\s*OVER\s*\(", text[close + 1 :])
+            if om is None:
+                raise ValueError(
+                    "RATIO_TO_REPORT requires an OVER (...) clause"
+                )
+            spec_start = close + 1 + om.end()
+            spec, spec_close = self._balanced_span(text, spec_start)
+            win = f"OVER ({spec.strip()})"
+            rep = (
+                f"(CASE WHEN SUM({e}) {win} = 0 THEN NULL "
+                f"ELSE CAST({e} AS DOUBLE) / SUM({e}) {win} END)"
+            )
+            text = text[: m.start()] + rep + text[spec_close + 1 :]
+
     # PG postfix null tests `x ISNULL` / `x NOTNULL` (babel tier) →
     # IS [NOT] NULL. The (?!\s*\() guard keeps call-shaped ISNULL(x)
     # (a function in other dialects) out of scope.
@@ -1661,6 +1751,10 @@ class SqlFrontend:
             text = self._expand_pg_regex_ops(text)
         if self._PG_RR_RE.search(text):
             text = self._expand_pg_regexp_replace(text)
+        if re.search(r"\bAPPROXIMATE\b", text, re.I):
+            text = self._expand_approximate(text)
+        if self._RATIO_RE.search(text):
+            text = self._expand_ratio_to_report(text)
         # containment and the postfix null tests run AFTER :: so their
         # operand grammars see plain CAST calls — `x::int ISNULL` must
         # arrive as `CAST(x AS int) ISNULL`, never capture the bare
