@@ -1412,6 +1412,60 @@ def _aggregate_join_transpose(node, catalog):
     )
 
 
+_SORT_KEY_RE = re.compile(
+    r"(?is)^\s*([A-Za-z_]\w*)(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$"
+)
+
+
+def _sort_join_transpose(node, catalog):
+    """≈ rel/rules/SortJoinTransposeRule.java:76: a top-K Sort whose
+    keys all come from the OUTER-preserved input of a LEFT (resp.
+    RIGHT) join pushes a COPY of itself — fetch widened to
+    offset+fetch, offset zeroed — into that input; the outer Sort
+    stays. Sound because an outer join emits ≥1 output row per
+    preserved-side row, so the top-(K+offset) preserved rows dominate
+    the output's top-K under any prefix-of-keys ordering (ties resolve
+    nondeterministically, exactly as SQL already allows for the
+    unpushed plan — same contract as the reference rule). INNER joins
+    never match: an unmatched row may fall out and K input rows could
+    yield fewer than K outputs.
+
+    Measured before building (r8, scripts/sortjoin_ab.py → SCALE.md):
+    Spark's LimitPushDown pushes bare limits but NOT sort+fetch, so
+    the unpushed plan runs TakeOrderedAndProject over the FULL join;
+    pushing bounds the preserved side to K rows before its join
+    exchange — wall −13% at sf0.1 growing to −23% at the 10× replica
+    (the saving is the preserved side's sort/shuffle, which scales
+    with that table; the other side's shuffle is untouched)."""
+    if (
+        not isinstance(node, ir.Sort)
+        or node.fetch is None
+        or not node.keys
+        or catalog is None
+    ):
+        return None
+    child = node.inputs[0]
+    if not isinstance(child, ir.Join) or child.join_type not in ("LEFT", "RIGHT"):
+        return None
+    side = 0 if child.join_type == "LEFT" else 1
+    inp = child.inputs[side]
+    if isinstance(inp, ir.Sort):
+        return None  # already pushed (loop guard) / caller's own limit
+    cols = _output_columns(inp, catalog)
+    if not cols:
+        return None
+    for k in node.keys:
+        m = _SORT_KEY_RE.match(k)
+        if not m or m.group(1) not in cols:
+            return None  # expression keys / keys touching the other side
+    pushed = ir.Sort(
+        tuple(node.keys), 0, node.offset + node.fetch, inputs=(inp,)
+    )
+    new_inputs = list(child.inputs)
+    new_inputs[side] = pushed
+    return node.with_inputs([child.with_inputs(new_inputs)])
+
+
 def _aggregate_union_transpose(node, catalog, gate=True):
     """≈ rel/rules/AggregateUnionTransposeRule.java:63 (CoreRules.
     AGGREGATE_UNION_TRANSPOSE): Aggregate(UnionAll(b1..bn)) →
@@ -1529,6 +1583,7 @@ DEFAULT_RULES = [
     # whole is not split first) — its pushed per-branch aggregates then
     # become MV/transpose candidates on the NEXT fixpoint pass
     Rule("AggregateUnionTranspose", _aggregate_union_transpose),
+    Rule("SortJoinTranspose", _sort_join_transpose),
     Rule("BroadcastSmallDimensions", _broadcast_small_dims),
     Rule("DateRangeCanonicalize", _date_range_canonicalize),
     # after DateRange so sargified ranges propagate across joins too

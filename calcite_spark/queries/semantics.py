@@ -900,6 +900,48 @@ def qx37_agg_union_transpose(spark, sf_dir):
 
 
 @register(
+    "qx38_sort_join_transpose",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    tags=("sort", "join", "transpose", "rewrite", "topk"),
+)
+def qx38_sort_join_transpose(spark, sf_dir):
+    """SortJoinTranspose (r8; ≈ rel/rules/SortJoinTransposeRule.java:76
+    — A/B-measured before building, scripts/sortjoin_ab.py → SCALE.md:
+    wall −13% at sf0.1 growing to −23% at the 10× replica): a top-K
+    whose keys come from the preserved side of a LEFT join pushes a
+    widened copy of itself below the join, bounding that side to K rows
+    BEFORE its join exchange. Spark's own LimitPushDown moves bare
+    limits but never sort+fetch. This row is fully deterministic (the
+    unpushed plan's tie contract is nondeterministic in general): sort
+    keys carry the unique o_orderkey tiebreaker and the right side is
+    unique per join key, so the oracle hash must match exactly. The
+    pushed inner Sort is asserted present in the IR."""
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = catalog_for(spark, sf_dir)
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("customer")
+        .join("o_custkey = c_custkey", join_type="LEFT")
+        .sort_limit(["o_totalprice DESC", "o_orderkey"], fetch=15)
+        .build()
+    )
+    plan = default_program(cat).run(plan)
+    inner = plan.inputs[0].inputs[0]
+    if not (isinstance(inner, ir.Sort) and inner.fetch == 15):
+        # the driver row is EVIDENCE for the rule; an unpushed plan
+        # would still pass the value check
+        raise RuntimeError("SortJoinTranspose did not fire")
+    return plan.to_df(cat).select("o_orderkey", "o_totalprice", "c_name")
+
+
+@register(
     "qx35_distinct_on",
     oracle="""
     SELECT DISTINCT ON (o_orderstatus, o_orderpriority)

@@ -1076,3 +1076,69 @@ def test_aggregate_union_transpose_mv_composition(spark):
     assert len(got) == len(want) > 0
     for (gk, gv), (wk, wv) in zip(got, want):
         assert gk == wk and abs(gv - wv) < 1e-6
+
+
+def test_sort_join_transpose(spark):
+    """SortJoinTranspose (≈ SortJoinTransposeRule; A/B-measured first,
+    scripts/sortjoin_ab.py → SCALE.md): a top-K whose keys come from
+    the preserved side of an outer join pushes a widened copy below the
+    join; values identical, INNER/cross-side/no-fetch shapes refuse."""
+    from calcite_spark.catalog import Catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.builder import RelBuilder
+    from calcite_spark.plans.rewrite import _sort_join_transpose, default_program
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+
+    def build(jt="LEFT", keys=("c_acctbal DESC", "c_custkey"), fetch=7, offset=0):
+        b = (
+            RelBuilder(cat).scan("customer").scan("orders")
+            .join("c_custkey = o_custkey", join_type=jt)
+        )
+        return b.sort_limit(list(keys), offset=offset, fetch=fetch).build()
+
+    out = default_program(cat).run(build())
+    assert isinstance(out, ir.Sort) and out.fetch == 7
+    join = out.inputs[0]
+    pushed = join.inputs[0]
+    assert isinstance(pushed, ir.Sort) and pushed.fetch == 7 and pushed.offset == 0
+    assert isinstance(pushed.inputs[0], ir.Scan)
+
+    # the sort keys determine exactly the LEFT-side content of the
+    # top-K (which of one customer's ORDERS rows cross the cutoff is
+    # unspecified under left-only keys — the same tie contract as the
+    # reference rule and as the unpushed plan itself)
+    plain = build().to_df(cat).collect()
+    got = out.to_df(cat).collect()
+    assert [r.c_custkey for r in plain] == [r.c_custkey for r in got]
+    assert len(got) == 7
+
+    # offset widens the pushed fetch (offset+fetch) and stays outside
+    out2 = default_program(cat).run(build(fetch=5, offset=3))
+    assert out2.offset == 3 and out2.inputs[0].inputs[0].fetch == 8
+    plain2 = build(fetch=5, offset=3).to_df(cat).collect()
+    got2 = out2.to_df(cat).collect()
+    assert [r.c_custkey for r in plain2] == [r.c_custkey for r in got2]
+    assert len(got2) == 5
+
+    # RIGHT join pushes into the right input
+    b = (
+        RelBuilder(cat).scan("orders").scan("customer")
+        .join("o_custkey = c_custkey", join_type="RIGHT")
+        .sort_limit(["c_acctbal DESC", "c_custkey"], fetch=5)
+    )
+    out3 = default_program(cat).run(b.build())
+    assert isinstance(out3.inputs[0].inputs[1], ir.Sort)
+
+    # refusals: INNER join (K inputs may yield <K outputs), keys from
+    # the null-supplying side, expression keys, no fetch
+    assert _sort_join_transpose(build(jt="INNER"), cat) is None
+    assert _sort_join_transpose(
+        build(keys=("o_totalprice DESC",)), cat
+    ) is None
+    assert _sort_join_transpose(
+        build(keys=("abs(c_acctbal) DESC",)), cat
+    ) is None
+    assert _sort_join_transpose(build(fetch=None), cat) is None
+    # rule output never re-fires (inner Sort is the loop guard)
+    assert _sort_join_transpose(default_program(cat).run(build()), cat) is None
