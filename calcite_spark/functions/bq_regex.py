@@ -122,7 +122,11 @@ def bq_regexp_extract(args, fn_name: str = "REGEXP_EXTRACT") -> str:
         )
     pos = _int_literal(args[2], "position", fn_name) if len(args) >= 3 else 1
     occ = _int_literal(args[3], "occurrence", fn_name) if len(args) == 4 else 1
-    src = value if pos == 1 else f"substr({value}, {pos})"
+    # position beyond the value is NULL regardless of the pattern
+    # (validatePosOccurrenceParamValues: position > value.length() →
+    # NULL — even position 1 on '') — a bare substr would hand '' to
+    # the regex, which an empty-matching pattern would then match
+    src = f"CASE WHEN {pos} <= length({value}) THEN substr({value}, {pos}) END"
     return (
         f"try_element_at(regexp_extract_all({src}, {_sql_str(pat)}, "
         f"{groups}), {occ})"

@@ -129,6 +129,9 @@ def main() -> None:
                     help="flag queries whose ratio exceeds this (default repl*1.3)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="additional inventory query names to probe beyond bench.HEADLINE")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="probe EXACTLY these query names (skip the HEADLINE set) — "
+                    "the r8 100x wave uses this to target the heaviest linear queries")
     args = ap.parse_args()
     flag_at = args.flag_ratio or args.repl * 1.3
 
@@ -142,7 +145,10 @@ def main() -> None:
 
     spark = get_spark("calcite_spark_scale_probe")
     qs = queries()
-    names = [n for n in HEADLINE if n in qs] + [n for n in args.extra if n in qs]
+    if args.only is not None:
+        names = [n for n in args.only if n in qs]
+    else:
+        names = [n for n in HEADLINE if n in qs] + [n for n in args.extra if n in qs]
 
     base = time_queries(spark, qs, names, SRC)
     scaled = time_queries(spark, qs, names, args.out)
