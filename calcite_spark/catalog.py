@@ -283,11 +283,13 @@ class Catalog:
         non-NULL `table.column` value has a matching `ref_table.
         ref_column` row. Like a registered unique key, a declared FK is
         a GUARANTEE the caller vouches for — the join-MV substitution
-        tier (plans/materialize) uses it to prove an INNER join to the
-        referenced dimension neither drops nor duplicates fact rows,
-        so an MV joining extra FK-dimensions can still answer a query
-        that never mentions them (MaterializedViewJoinRule's
-        referential-constraint walk)."""
+        tier (plans/materialize) combines it with the referenced
+        column's uniqueness AND ANALYZE-grounded zero-NULL evidence on
+        `table.column` (an FK is vacuous for NULLs) to prove an INNER
+        join to the referenced dimension neither drops nor duplicates
+        fact rows, so an MV joining extra FK-dimensions can still
+        answer a query that never mentions them
+        (MaterializedViewJoinRule's referential-constraint walk)."""
         fks = self.tables[table].foreign_keys
         if (column, ref_table, ref_column) not in fks:
             fks.append((column, ref_table, ref_column))

@@ -52,16 +52,12 @@ def bq_regexp_replace(args) -> str:
     big-query.iq corpus sweep (big-query.iq:1509). Replacement must be
     a literal (plan-time \\n → $n translation); the pattern passes
     through untouched (no rewrite needed for replace-all)."""
-    from calcite_spark.functions.pg_regex import (
-        _parse_literal as _plit,
-        _sql_str as _sstr,
-        _translate_replacement,
-    )
+    from calcite_spark.functions.pg_regex import _translate_replacement
 
-    repl = _plit(args[2], "replacement")
+    repl = _parse_literal(args[2], "replacement")
     return (
         f"regexp_replace({args[0]}, {args[1]}, "
-        f"{_sstr(_translate_replacement(repl, 0))})"
+        f"{_sql_str(_translate_replacement(repl, 0))})"
     )
 
 

@@ -650,15 +650,17 @@ _reg(
     "SPLIT",
     "CASE WHEN {0} IS NULL THEN NULL "
     "WHEN {0} = '' THEN CAST(array() AS ARRAY<STRING>) "
+    "WHEN {1} = '' THEN array({0}) "
     "ELSE split({0}, regexp_replace({1}, "
     "'([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$1'), -1) END",
     (1, 2),
     libs=(BIG_QUERY,),
     variant_of="SPLIT",
     defaults=("','",),
-    note="literal delimiter, ',' default, '' input → empty array — "
-    "exact BigQuery semantics (trailing empty elements KEPT via "
-    "limit=-1)",
+    note="literal delimiter, ',' default, '' input → empty array, '' "
+    "delimiter → [value] (SqlFunctions.split:1023 'prevent mischief'; "
+    "r8 review) — exact BigQuery semantics (trailing empty elements "
+    "KEPT via limit=-1)",
 )
 
 # ---------------------------------------------------------------------

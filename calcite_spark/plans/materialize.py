@@ -146,7 +146,7 @@ class MaterializationRegistry:
                 "Aggregate over a join of base tables"
             )
         ext = extract_join_subtree(plan.inputs[0])
-        if ext is None or not any(True for _ in ext[1]):
+        if ext is None or not ext[1]:
             raise ValueError(
                 "define_join: the aggregate's input must be an INNER "
                 "equi-join tree of bare table scans (use define() for "
@@ -314,8 +314,11 @@ class MaterializationRegistry:
         MV's tables, and every MV-only table peels — it hangs off ONE
         remaining-table edge whose MV-side column is a unique key of
         that table AND is the target of a declared foreign key from the
-        remaining side, so the MV's extra INNER join neither dropped
-        nor duplicated the rows the query aggregates."""
+        remaining side AND the referencing column has ANALYZE-grounded
+        zero NULLs (SQL FKs are vacuous for NULLs — without the null
+        evidence the MV's INNER join may have dropped NULL-keyed fact
+        rows), so the extra join neither dropped nor duplicated the
+        rows the query aggregates."""
         mv_tables, mv_edges = set(mv.tables), set(mv.join_edges)
         if q_tables == mv_tables:
             return q_edges == mv_edges
@@ -343,6 +346,15 @@ class MaterializationRegistry:
                 if not catalog.is_unique_key(t, t_col):
                     continue
                 if not catalog.has_foreign_key(o_tab, o_col, t, t_col):
+                    continue
+                # SQL foreign keys are vacuous for NULL values, so a
+                # declared FK alone does NOT prove the INNER join kept
+                # every fact row — a NULL o_col row silently drops
+                # (review r8). Require grounded ANALYZE evidence of
+                # zero NULLs in the referencing column; no stats → no
+                # peel (the same refuse-over-guess posture as the
+                # transpose NDV gates).
+                if _column_nulls(catalog, o_tab, o_col) != 0:
                     continue
                 peeled = (t, incident[0])
                 break
@@ -393,6 +405,12 @@ class MaterializationRegistry:
                 return None
             if exact:
                 new_calls.append(alias if src == alias else f"{src} AS {alias}")
+            elif fn == "COUNT":
+                # $SUM0: a GLOBAL COUNT whose compensating filter
+                # matches no tile rows must yield 0, not SUM-over-
+                # nothing NULL (review r8 — same CountSplitter
+                # reasoning as the join/union transposes)
+                new_calls.append(f"COALESCE(SUM({src}), 0) AS {alias}")
             else:
                 new_calls.append(f"{_REAGG[fn]}({src}) AS {alias}")
         scan = ir.Scan(mv.name)
@@ -405,6 +423,16 @@ class MaterializationRegistry:
 
 def _norm(expr: str) -> str:
     return re.sub(r"\s+", "", expr).lower()
+
+
+def _column_nulls(catalog, table: str, col: str):
+    """ANALYZE-recorded NULL count for table.col, or None when no
+    grounded stats exist (callers treat None as 'cannot prove')."""
+    entry = catalog.tables.get(table)
+    if entry is None or not entry.stats:
+        return None
+    c = entry.stats.get("columns", {}).get(col)
+    return None if c is None else c.get("nulls")
 
 
 # ---------------------------------------------------------------------

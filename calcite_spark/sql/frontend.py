@@ -640,12 +640,22 @@ class SqlFrontend:
     )
 
     def _expand_approximate(self, text: str) -> str:
-        def in_literal(pos):
-            return text.count("'", 0, pos) % 2 == 1
+        def first_outside_literal(regex, t):
+            # a match inside a string literal is data — skip it and keep
+            # scanning; breaking on it would abandon later genuine calls
+            # (review r8)
+            return next(
+                (
+                    c
+                    for c in regex.finditer(t)
+                    if t.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
 
         while True:
-            m = self._APPROX_PCT_RE.search(text)
-            if m is None or in_literal(m.start()):
+            m = first_outside_literal(self._APPROX_PCT_RE, text)
+            if m is None:
                 break
             key = m.group(2).strip()
             if re.search(r"(?i)\bDESC\b", key):
@@ -654,14 +664,22 @@ class SqlFrontend:
                     "supported (the discrete inverse is not 1-f "
                     "symmetric) — rewrite with the ascending fraction"
                 )
+            # ASC is the default, and NULLS placement cannot affect a
+            # percentile (NULL inputs are excluded from the computation
+            # by both Redshift and approx_percentile) — strip, don't
+            # copy into the argument slot (review r8: the suffix made
+            # invalid SQL)
+            key = re.sub(
+                r"(?i)(\s+ASC)?(\s+NULLS\s+(?:FIRST|LAST))?\s*$", "", key
+            )
             text = (
                 text[: m.start()]
                 + f"approx_percentile({key}, {m.group(1).strip()})"
                 + text[m.end() :]
             )
         while True:
-            m = self._APPROX_COUNT_RE.search(text)
-            if m is None or in_literal(m.start()):
+            m = first_outside_literal(self._APPROX_COUNT_RE, text)
+            if m is None:
                 break
             text = (
                 text[: m.start()]

@@ -52,6 +52,10 @@ def test_bq_split_literal_delimiter(spark, duck):
             assert got == native, (args, got, native)
     # NULL input → NULL
     assert _bq(spark, "SPLIT", "CAST(NULL AS STRING)", "','") is None
+    # '' delimiter → [value] (SqlFunctions.split:1023 "prevent
+    # mischief"; review r8 — Spark's split would shred per character;
+    # DuckDB string_split also shreds, so no twin for this case)
+    assert _bq(spark, "SPLIT", "'abc'", "''") == ["abc"]
     # HIVE/SPARK keep the regex passthrough (their own semantics)
     e = registry.translate("SPLIT", "'a1b2c'", "'[0-9]'", library="SPARK")
     assert spark.sql(f"SELECT {e} AS v").collect()[0].v == ["a", "b", "c"]
@@ -234,6 +238,18 @@ def test_redshift_syntax_macros(spark):
     assert "approx_percentile(o_totalprice, 0.5)" in t
     with pytest.raises(ValueError, match="APPROXIMATE"):
         fe.parse("SELECT APPROXIMATE SUM(x) FROM t")
+    # a literal mention must not mask a later genuine call (review r8)
+    got = fe.sql(
+        "SELECT 'approximate count(distinct x)' AS doc, "
+        "APPROXIMATE COUNT(DISTINCT n_regionkey) AS n FROM nation"
+    ).collect()[0]
+    assert got.n == 5 and got.doc == "approximate count(distinct x)"
+    # ASC / NULLS suffixes strip instead of corrupting the argument
+    t, _ = fe.parse(
+        "SELECT APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP "
+        "(ORDER BY o_totalprice ASC NULLS LAST) FROM orders"
+    )
+    assert "approx_percentile(o_totalprice, 0.5)" in t
     # ratio_to_report: per-partition share sums to 1
     rows = fe.sql(
         "SELECT n_regionkey, RATIO_TO_REPORT(n_nationkey + 1) "

@@ -518,8 +518,15 @@ def test_join_mv_fk_peel_tier(spark):
     cat.analyze_deep("orders", ["o_orderkey"])
     assert cat.is_unique_key("orders", "o_orderkey")
     assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
-    # FK + unique key → the orders dimension peels; tile answers
+    # FK + unique key still not enough: SQL FKs are vacuous for NULLs,
+    # so without grounded zero-NULL evidence on the referencing column
+    # a NULL-keyed fact row could have been dropped by the tile's
+    # INNER join (review r8)
     cat.declare_foreign_key("lineitem", "l_orderkey", "orders", "o_orderkey")
+    assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
+    # + ANALYZE showing zero NULLs → the orders dimension peels
+    cat.analyze("lineitem", ["l_orderkey"])
+    assert cat.tables["lineitem"].stats["columns"]["l_orderkey"]["nulls"] == 0
     df = fact_only()
     assert df.inputFiles() and all("mv_fk_tile" in f for f in df.inputFiles())
     direct = (
@@ -571,6 +578,9 @@ def test_build_star_lattice_end_to_end(spark, tmp_path):
     reg = MaterializationRegistry()
     cat.analyze_deep("orders", ["o_orderkey"])
     cat.analyze_deep("part", ["p_partkey"])
+    # the FK peel needs grounded zero-NULL evidence on the fact's
+    # referencing columns (review r8)
+    cat.analyze("lineitem", ["l_orderkey", "l_partkey"])
     mv = build_star_lattice(
         cat, reg, fact="lineitem",
         joins=[("orders", "l_orderkey", "o_orderkey"),
@@ -604,3 +614,32 @@ def test_build_star_lattice_end_to_end(spark, tmp_path):
         .agg(F.count("*").alias("n_rows"))
     )
     assert _rows(df2) == _rows(direct)
+
+
+def test_mv_rollup_global_count_empty_filter(spark):
+    """Review r8: a GLOBAL COUNT rolled up from a tile whose
+    compensating filter matches nothing must be 0, not NULL ($SUM0 —
+    the same CountSplitter fix the transposes carry)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvc_")
+    reg.define(
+        cat, name="mv_count_tile", table="lineitem",
+        group_keys=["l_returnflag"], agg_calls=["COUNT(*) AS n_rows"],
+        path=f"{tmp}/mv_count_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .filter("l_returnflag = 'Z'")  # matches no tile row
+        .aggregate([], ["COUNT(*) AS n_rows"])
+        .to_df()
+    )
+    assert df.inputFiles() and all("mv_count_tile" in f for f in df.inputFiles())
+    row = df.collect()[0]
+    assert row.n_rows == 0 and row.n_rows is not None
+    # dtype unchanged vs the unrewritten aggregate
+    plain = cat.table("lineitem").filter("l_returnflag = 'Z'").agg(
+        F.count("*").alias("n_rows")
+    )
+    assert df.dtypes == plain.dtypes
