@@ -309,8 +309,23 @@ _reg(
     variant_of="REGEXP_SUBSTR",
     note="BigQuery alias of REGEXP_EXTRACT (SqlLibraryOperators.java:705)",
 )
-_reg("REGEXP_EXTRACT_ALL", "", (2, 3), libs=(BIG_QUERY, SPARK))
-_reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
+_reg("REGEXP_EXTRACT_ALL", "", (2, 3), libs=(SPARK,))
+_reg(
+    "REGEXP_EXTRACT_ALL", "", (2,), libs=(BIG_QUERY,),
+    variant_of="REGEXP_EXTRACT_ALL",
+    note="reference semantics (SqlFunctions.regexpExtractAll): at most "
+    "one capturing group, whole-match extraction for group-less "
+    "patterns (Spark's default group index 1 ERRORS on those) — "
+    "group index computed at plan time in translate()",
+)
+# REGEXP_INSTR (SqlLibraryOperators.java:605): (value, regexp
+# [, position[, occurrence[, occurrence_position]]]) — returns the
+# 1-based index of the occurrence-th match's GROUP (start, or end+1
+# with occurrence_position=1), 0 on no match. Spark's builtin lacks
+# position/occurrence AND reports whole-match position where the
+# reference reports the GROUP's — dispatched to
+# functions/std_regex.regexp_instr for literal patterns (r8 batch 3).
+_reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2, 3, 4, 5), libs=(BIG_QUERY, ORACLE))
 # REGEXP_REPLACE_3 (SqlLibraryOperators.java): occurrence=0 = replace
 # ALL (runtime SqlFunctions.java:764-766) — Spark's builtin semantics.
 # POSTGRESQL is deliberately NOT in this list: the reference's PG
@@ -318,7 +333,10 @@ _reg("REGEXP_INSTR", "regexp_instr({0}, {1})", (2,), libs=(BIG_QUERY, ORACLE))
 # replaces only the FIRST match, uses \n group indexing, and adds a
 # 4-arg flags form — a distinct operator, dispatched in translate() to
 # functions/pg_regex.pg_regexp_replace (r8; r7 verdict "What's wrong" #1).
-_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3,), libs=(HIVE, MYSQL, ORACLE, SPARK, REDSHIFT))
+# arities 4-6 are the position/occurrence/matchType tier
+# (REGEXP_REPLACE_4/_5/_6, SqlLibraryOperators.java:629-676) —
+# dispatched in translate() to functions/std_regex (r8 batch 3)
+_reg("REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (3, 4, 5, 6), libs=(HIVE, MYSQL, ORACLE, SPARK, REDSHIFT))
 _reg(
     "REGEXP_REPLACE",
     "",  # lowering is computed per-call in translate() (plan-time literal translation)
@@ -341,11 +359,12 @@ _reg(
 # Redshift 2-arg form deletes every match (REGEXP_REPLACE_2,
 # SqlLibraryOperators.java:617)
 _reg(
-    "REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (2, 3),
+    "REGEXP_REPLACE", "regexp_replace({0}, {1}, {2})", (2, 3, 4, 5, 6),
     libs=(REDSHIFT,), variant_of="REGEXP_REPLACE",
     defaults=("''",),
     note="2-arg deletes matches; 3-arg replace-all ($-indexed Java "
-    "replacement, the reference's shared runtime)",
+    "replacement, the reference's shared runtime); 4-6-arg = the "
+    "position/occurrence/matchType tier (std_regex dispatch)",
 )
 _reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
 _reg("REGEXP_LIKE", "{0} RLIKE {1}", (2,), libs=(MYSQL, ORACLE, SPARK), kind="predicate")
@@ -909,6 +928,44 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         from calcite_spark.functions.bq_regex import bq_regexp_replace
 
         return bq_regexp_replace(args)
+    if fn.name == "REGEXP_REPLACE" and len(args) > 3:
+        from calcite_spark.functions.std_regex import std_regexp_replace
+
+        return std_regexp_replace(args)
+    if fn.name == "REGEXP_INSTR":
+        import re as _re
+
+        from calcite_spark.functions.std_regex import regexp_instr
+
+        if len(args) > 2 or _re.match(r"^\s*'", args[1]):
+            # literal patterns (and every extended-arity call) take the
+            # reference-semantics lowering; a non-literal 2-arg pattern
+            # keeps the Spark builtin (whole-match position — the
+            # group-position distinction needs the literal)
+            return regexp_instr(args)
+    if fn.name == "REGEXP_EXTRACT_ALL" and fn.libraries == (BIG_QUERY,):
+        import re as _re
+
+        if _re.match(r"^\s*'", args[1]):
+            from calcite_spark.functions.bq_regex import (
+                count_capturing_groups,
+            )
+            from calcite_spark.functions.pg_regex import (
+                _parse_literal,
+                _sql_str,
+            )
+
+            pat = _parse_literal(args[1], "pattern")
+            groups = count_capturing_groups(pat)
+            if groups > 1:
+                raise ValueError(
+                    f"Multiple capturing groups (count={groups}) not "
+                    "allowed in regex input for REGEXP_EXTRACT_ALL"
+                )
+            return (
+                f"regexp_extract_all({args[0]}, {_sql_str(pat)}, {groups})"
+            )
+        return f"regexp_extract_all({args[0]}, {args[1]})"
     if fn.libraries == (REDSHIFT,) and fn.name in ("DATEADD", "DATEDIFF", "DATE_PART"):
         unit = _rs_unit(args[0], fn.name)
         if fn.name == "DATEADD":

@@ -265,3 +265,146 @@ def test_redshift_syntax_macros(spark):
     assert got == "use RATIO_TO_REPORT(x) here"
     with pytest.raises(ValueError, match="OVER"):
         fe.parse("SELECT RATIO_TO_REPORT(x) FROM t")
+
+
+# -- std extended regexp tier (r8b): REGEXP_REPLACE 4-6 args,
+#    REGEXP_INSTR 2-5 args, REGEXP_EXTRACT_ALL group convention -------
+
+
+def test_regexp_instr_corpus_fixtures(spark):
+    """big-query.iq:1402-1470 — position/occurrence/occurrence_position
+    and the GROUP-position convention (the reference reports the
+    capturing group's index, not the whole match's)."""
+    v = "'abcadcabcaecghi'"
+    assert _bq(spark, "REGEXP_INSTR", v, "'a.+c'") == 1
+    assert _bq(spark, "REGEXP_INSTR", v, "'abc(a.c)'", "4") == 10
+    assert _bq(spark, "REGEXP_INSTR", v, "'a.c'", "25") == 0
+    assert _bq(spark, "REGEXP_INSTR", v, "'a.c'", "1", "5") == 0
+    assert _bq(
+        spark, "REGEXP_INSTR", "'a9cadca5c4aecghi'", "'a[0-9]c'",
+        "1", "2", "1",
+    ) == 10
+    assert _bq(spark, "REGEXP_INSTR", "CAST(NULL AS STRING)", "'a'") is None
+    with pytest.raises(ValueError, match="Multiple capturing groups"):
+        _bq(spark, "REGEXP_INSTR", v, "'(^)a(.*)b($)'")
+    with pytest.raises(ValueError, match="Invalid position"):
+        _bq(spark, "REGEXP_INSTR", v, "'a.c'", "0")
+    with pytest.raises(ValueError, match="Invalid occurrence"):
+        _bq(spark, "REGEXP_INSTR", v, "'a.c'", "3", "-2")
+    with pytest.raises(ValueError, match="occurrence_position"):
+        _bq(spark, "REGEXP_INSTR", v, "'a.c'", "3", "2", "-2")
+
+
+def _py_regexp_instr(value, pat, pos=1, occ=1, opos=0):
+    """Python-re replay of SqlFunctions.regexpInstr (the runtime's
+    exact matcher loop) — the test oracle."""
+    import re as pyre
+
+    if pat == "" or pos > len(value):
+        return 0
+    m = None
+    it = pyre.compile(pat).finditer(value, pos - 1)
+    for i, m in enumerate(it):
+        if i == occ - 1:
+            g = pyre.compile(pat).groups
+            return (m.end(g) if opos else m.start(g)) + 1
+    return 0
+
+
+def test_regexp_instr_fuzz_vs_python_re(spark):
+    from hypothesis import given, settings, strategies as st
+
+    pats = st.sampled_from(["a.c", "[0-9]+", "b(c.)", "(a+)b", "xy"])
+    subjects = st.text(alphabet="abcxy129 ", min_size=0, max_size=14)
+
+    @settings(max_examples=60, deadline=None)
+    @given(subjects, pats, st.integers(1, 10), st.integers(1, 3),
+           st.integers(0, 1))
+    def check(s, pat, pos, occ, opos):
+        got = _bq(
+            spark, "REGEXP_INSTR", f"'{s}'", f"'{pat}'",
+            str(pos), str(occ), str(opos),
+        )
+        want = _py_regexp_instr(s, pat, pos, occ, opos)
+        assert got == want, (s, pat, pos, occ, opos, got, want)
+
+    check()
+
+
+def _my(spark, name, *args):
+    expr = registry.translate(name, *args, library="MYSQL")
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_regexp_replace_position_occurrence_forms(spark):
+    """REGEXP_REPLACE_4/5/6 (MYSQL/ORACLE/REDSHIFT tier): replace from
+    a position, the Nth occurrence only, matchType flags — $-indexed
+    Java replacement exactly like the reference's shared runtime."""
+    # 4-arg: all matches from position 5 (prefix untouched)
+    assert _my(spark, "REGEXP_REPLACE", "'a1b2c3'", "'[0-9]'", "'#'", "5") == "a1b2c#"
+    # 5-arg occurrence: only the 2nd match
+    assert _my(
+        spark, "REGEXP_REPLACE", "'a1b2c3'", "'[0-9]'", "'#'", "1", "2"
+    ) == "a1b#c3"
+    # occurrence 0 = all
+    assert _my(
+        spark, "REGEXP_REPLACE", "'a1b2c3'", "'[0-9]'", "'#'", "1", "0"
+    ) == "a#b#c#"
+    # group reference in the Nth-occurrence form ($-indexed, shifted
+    # past the repeated copies' groups at plan time)
+    assert _my(
+        spark, "REGEXP_REPLACE", "'ab ab ab'", "'a(b)'", "'[$1]'", "1", "2"
+    ) == "ab [b] ab"
+    # 5-arg matchType: case-insensitive all
+    assert _my(
+        spark, "REGEXP_REPLACE", "'AxBxC'", "'[abc]'", "'-'", "1", "'i'"
+    ) == "-x-x-"
+    # 6-arg: position + occurrence + flags
+    assert _my(
+        spark, "REGEXP_REPLACE", "'AxAxA'", "'a'", "'-'", "2", "1", "'i'"
+    ) == "Ax-xA"
+    # python-re replay across a grid (the runtime's loop semantics)
+    import re as pyre
+
+    for s, pat, rep, pos, occ in [
+        ("aaa bbb aaa", "a+", "X", 1, 2),
+        ("aaa bbb aaa", "a+", "X", 3, 1),
+        ("1a2b3c", "[a-z]", "_", 2, 2),
+        ("no match here", "zz", "X", 1, 1),
+    ]:
+        got = _my(
+            spark, "REGEXP_REPLACE", f"'{s}'", f"'{pat}'", f"'{rep}'",
+            str(pos), str(occ),
+        )
+        head, tail = s[: pos - 1], s[pos - 1 :]
+        ms = list(pyre.finditer(pat, tail))
+        if occ == 0:
+            want = head + pyre.sub(pat, rep, tail)
+        elif len(ms) >= occ:
+            m = ms[occ - 1]
+            want = head + tail[: m.start()] + rep + tail[m.end():]
+        else:
+            want = s
+        assert got == want, (s, pat, pos, occ, got, want)
+    # atomic-copy pin (fuzz-found): a greedy quantifier must not
+    # backtrack across occurrence copies — '11' has ONE [0-9]+ match
+    assert _my(
+        spark, "REGEXP_REPLACE", "'11'", "'[0-9]+'", "'#'", "1", "2"
+    ) == "11"
+    assert _my(
+        spark, "REGEXP_REPLACE", "'11 22 33'", "'[0-9]+'", "'#'", "1", "2"
+    ) == "11 # 33"
+    # refusals: backrefs inside a pattern embedded more than once
+    with pytest.raises(ValueError, match="backreference"):
+        _my(spark, "REGEXP_REPLACE", "'aab'", "'(a)\\1'", "'X'", "1", "2")
+
+
+def test_regexp_extract_all_group_convention(spark):
+    """SqlFunctions.regexpExtractAll: whole match for group-less
+    patterns (Spark's default group 1 ERRORS there), group text for
+    one-group patterns, ≤1 group enforced."""
+    assert _bq(spark, "REGEXP_EXTRACT_ALL", "'a1b22c'", "'[0-9]+'") == ["1", "22"]
+    assert _bq(spark, "REGEXP_EXTRACT_ALL", "'a1b22c'", "'([0-9])[0-9]*'") == ["1", "2"]
+    assert _bq(spark, "REGEXP_EXTRACT_ALL", "'abc'", "'z'") == []
+    with pytest.raises(ValueError, match="Multiple capturing groups"):
+        _bq(spark, "REGEXP_EXTRACT_ALL", "'ab'", "'(a)(b)'")

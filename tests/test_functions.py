@@ -526,7 +526,7 @@ def test_pg_regexp_replace_fuzz_vs_duckdb(spark, duck):
     @given(subjects, pats_repls, flags)
     def check(s, pr, fl):
         pat, repl = pr
-        if "\\0" in repl and fl is None:
+        if "\\0" in repl and (fl is None or "g" not in fl):
             return  # refused without 'g' (whole-match shift)
         got = _pg_rr(spark, s, pat, repl, fl)
         native = duck.execute(
