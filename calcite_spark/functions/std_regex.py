@@ -108,7 +108,13 @@ def _nth_prefix_pattern(pat: str, n: int) -> str:
 
 def std_regexp_replace(args, fn_name: str = "REGEXP_REPLACE") -> str:
     """REGEXP_REPLACE_4/5/6: (value, regexp, rep, pos[, occurrence |
-    matchType[, matchType]])."""
+    matchType[, matchType]]).
+
+    Documented divergence: the reference THROWS at runtime when
+    position > length(value)+1 (invalidInputForRegexpReplace); the
+    substr-based lowering cannot see the value at plan time and
+    returns the input unchanged instead — graceful where the reference
+    errors, never a different non-error value."""
     value, rx, rep = args[0], args[1], args[2]
     pos = _int_literal(args[3], "position", fn_name)
     occ, flags = 0, ""
