@@ -64,6 +64,175 @@ def parse_agg_call(call: str):
     return m.group(1).upper(), re.sub(r"\s+", " ", m.group(2)), m.group(3)
 
 
+# ---------------------------------------------------------------------
+# Single-column interval algebra for the union-compensation tier
+# (≈ the Sarg containment reasoning inside SubstitutionVisitor /
+# MaterializedViewAggregateRule's generateUnionRewriting). A bound is
+# (comparable_value, original_sql_literal); bounds produced by
+# intersection/difference only ever reuse input endpoints, so the SQL
+# text round-trips verbatim.
+# ---------------------------------------------------------------------
+
+_CMP_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*(.+?)\s*$")
+_BETWEEN_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$", re.I
+)
+_LIT_RES = (
+    ("date", re.compile(r"^(?:DATE|TIMESTAMP)\s*'([^']*)'$", re.I)),
+    ("str", re.compile(r"^'([^']*)'$")),
+    ("num", re.compile(r"^-?\d+(?:\.\d+)?$")),
+)
+
+
+def _parse_lit(text: str):
+    """→ (kind, comparable_value, sql_text) or None. ISO date/timestamp
+    and plain ASCII strings compare lexically = their SQL order; numbers
+    via Decimal (exact, no float round-trip)."""
+    text = text.strip()
+    for kind, rx in _LIT_RES:
+        m = rx.match(text)
+        if m:
+            if kind == "num":
+                from decimal import Decimal
+
+                return ("num", Decimal(text), text)
+            return (kind, m.group(1), text)
+    return None
+
+
+@dataclass(frozen=True)
+class _Interval:
+    """Bounds are (value, sql_text) or None = unbounded."""
+
+    lo: tuple | None = None
+    lo_incl: bool = True
+    hi: tuple | None = None
+    hi_incl: bool = True
+
+    def is_empty(self) -> bool:
+        if self.lo is None or self.hi is None:
+            return False
+        if self.lo[0] != self.hi[0]:
+            return self.lo[0] > self.hi[0]
+        return not (self.lo_incl and self.hi_incl)
+
+
+def _tighter_lo(a: _Interval, b: _Interval):
+    """(bound, incl) of the GREATER lower bound."""
+    if a.lo is None:
+        return b.lo, b.lo_incl
+    if b.lo is None:
+        return a.lo, a.lo_incl
+    if a.lo[0] != b.lo[0]:
+        return (a.lo, a.lo_incl) if a.lo[0] > b.lo[0] else (b.lo, b.lo_incl)
+    return a.lo, a.lo_incl and b.lo_incl
+
+
+def _tighter_hi(a: _Interval, b: _Interval):
+    if a.hi is None:
+        return b.hi, b.hi_incl
+    if b.hi is None:
+        return a.hi, a.hi_incl
+    if a.hi[0] != b.hi[0]:
+        return (a.hi, a.hi_incl) if a.hi[0] < b.hi[0] else (b.hi, b.hi_incl)
+    return a.hi, a.hi_incl and b.hi_incl
+
+
+def _interval_intersect(a: _Interval, b: _Interval) -> _Interval:
+    lo, lo_i = _tighter_lo(a, b)
+    hi, hi_i = _tighter_hi(a, b)
+    return _Interval(lo, lo_i, hi, hi_i)
+
+
+def _interval_contains(outer: _Interval, inner: _Interval) -> bool:
+    return _interval_intersect(outer, inner) == _Interval(
+        inner.lo, inner.lo_incl, inner.hi, inner.hi_incl
+    )
+
+
+def _interval_diff(q: _Interval, m: _Interval) -> list[_Interval]:
+    """q minus m as 0-2 nonempty intervals (each complement half of m,
+    clipped to q)."""
+    parts = []
+    if m.lo is not None:
+        left = _interval_intersect(q, _Interval(hi=m.lo, hi_incl=not m.lo_incl))
+        if not left.is_empty():
+            parts.append(left)
+    if m.hi is not None:
+        right = _interval_intersect(q, _Interval(lo=m.hi, lo_incl=not m.hi_incl))
+        if not right.is_empty():
+            parts.append(right)
+    return parts
+
+
+def _parse_interval(cond: str):
+    """Conjunction of range/point predicates over ONE column with
+    same-kind literals → (col, kind, _Interval), else None (the refusal
+    path — anything unparseable simply disqualifies the rewrite).
+    Column-on-the-left forms only; `<>`, OR, and mixed columns bail."""
+    from calcite_spark.plans.rewrite import _split_conjuncts
+
+    col = kind = None
+    iv = _Interval()
+    for c in _split_conjuncts(cond):
+        m = _BETWEEN_RE.match(c)
+        if m:
+            name, lits = m.group(1), (m.group(2), m.group(3))
+            bounds = [_parse_lit(t) for t in lits]
+            if None in bounds:
+                return None
+            this = _Interval(
+                (bounds[0][1], bounds[0][2]), True, (bounds[1][1], bounds[1][2]), True
+            )
+            this_kind = bounds[0][0] if bounds[0][0] == bounds[1][0] else None
+        else:
+            m = _CMP_RE.match(c)
+            if not m:
+                return None
+            name, op, lit_text = m.groups()
+            lit = _parse_lit(lit_text)
+            if lit is None:
+                return None
+            this_kind, val, sql = lit
+            b = (val, sql)
+            if op == "=":
+                this = _Interval(b, True, b, True)
+            elif op == ">=":
+                this = _Interval(lo=b, lo_incl=True)
+            elif op == ">":
+                this = _Interval(lo=b, lo_incl=False)
+            elif op == "<=":
+                this = _Interval(hi=b, hi_incl=True)
+            else:
+                this = _Interval(hi=b, hi_incl=False)
+        if this_kind is None or (kind is not None and this_kind != kind):
+            return None
+        if col is not None and name != col:
+            return None
+        col, kind = name, this_kind
+        iv = _interval_intersect(iv, this)
+    if col is None or iv.is_empty():
+        return None
+    return col, kind, iv
+
+
+def _interval_sql(col: str, iv: _Interval) -> str:
+    if (
+        iv.lo is not None
+        and iv.hi is not None
+        and iv.lo[0] == iv.hi[0]
+        and iv.lo_incl
+        and iv.hi_incl
+    ):
+        return f"{col} = {iv.lo[1]}"
+    parts = []
+    if iv.lo is not None:
+        parts.append(f"{col} {'>=' if iv.lo_incl else '>'} {iv.lo[1]}")
+    if iv.hi is not None:
+        parts.append(f"{col} {'<=' if iv.hi_incl else '<'} {iv.hi[1]}")
+    return " AND ".join(parts) if parts else "TRUE"
+
+
 _EDGE_RE = re.compile(r"^\s*(\w+)\s*=\s*(\w+)\s*$")
 
 
@@ -103,11 +272,47 @@ class MaterializationRegistry:
     def __init__(self):
         self.mvs: dict[str, Materialization] = {}
 
-    def define(self, catalog, name: str, table: str, group_keys, agg_calls, path: str):
+    def define(
+        self,
+        catalog,
+        name: str,
+        table: str,
+        group_keys,
+        agg_calls,
+        path: str,
+        filter_condition: str | None = None,
+    ):
         """Compute + persist + register a materialization. agg_calls are
         "FN(expr) AS alias" strings (the IR Aggregate form). Also attaches
-        this registry to the catalog so the rewrite rule finds it."""
+        this registry to the catalog so the rewrite rule finds it.
+
+        filter_condition (r8, ≈ MaterializedViewFilterScanRule + the
+        filtered-view inputs of generateUnionRewriting) restricts the
+        tile to a SLICE of the base table — a single-column range over a
+        group-key column (the only form the containment prover accepts;
+        anything else is refused at define time, not silently never
+        matched). A filtered tile answers queries whose range is
+        CONTAINED in the slice, and queries that OVERLAP it via the
+        union-compensation rewrite. 100 TB: the hot slice (last quarter,
+        one tenant) is the tile worth building — a fraction of the fact
+        table, still answering the historical query via union with a
+        base scan of only the COLD residual range."""
         catalog.mv_registry = self
+        if filter_condition is not None:
+            parsed_f = _parse_interval(filter_condition)
+            if parsed_f is None:
+                raise ValueError(
+                    "define: filter_condition must be a conjunction of "
+                    "range/point predicates over ONE column (the "
+                    "containment prover's unifiable form); got: "
+                    f"{filter_condition}"
+                )
+            if parsed_f[0] not in set(group_keys):
+                raise ValueError(
+                    f"define: filter_condition column {parsed_f[0]} must "
+                    "be a group key — the tile cannot be sliced by a "
+                    "column it aggregated away"
+                )
         parsed = {}
         for call in agg_calls:
             p = parse_agg_call(call)
@@ -115,8 +320,11 @@ class MaterializationRegistry:
                 raise ValueError(f"not a rewritable aggregate call: {call}")
             fn, arg, alias = p
             parsed[alias] = (fn, arg)
+        base: ir.RelNode = ir.Scan(table)
+        if filter_condition is not None:
+            base = ir.Filter(filter_condition, inputs=(base,))
         df = (
-            ir.Aggregate(tuple(group_keys), tuple(agg_calls), inputs=(ir.Scan(table),))
+            ir.Aggregate(tuple(group_keys), tuple(agg_calls), inputs=(base,))
         ).to_df(catalog)
         df.write.mode("overwrite").parquet(path)
         catalog.register(name, path)
@@ -125,7 +333,13 @@ class MaterializationRegistry:
         except Exception:
             snapshot = ()  # non-file base: incremental_refresh will refuse
         mv = Materialization(
-            name, table, tuple(group_keys), parsed, path, base_files=snapshot
+            name,
+            table,
+            tuple(group_keys),
+            parsed,
+            path,
+            filter_condition,
+            base_files=snapshot,
         )
         self.mvs[name] = mv
         return mv
@@ -238,8 +452,12 @@ class MaterializationRegistry:
         catalog.register_df(tmp, delta_df)
         try:
             # same IR lowering as define() — identical naming/typing
+            # (including the tile's slice filter, applied to the delta)
+            delta_base: ir.RelNode = ir.Scan(tmp)
+            if mv.filter_condition is not None:
+                delta_base = ir.Filter(mv.filter_condition, inputs=(delta_base,))
             delta_agg = ir.Aggregate(
-                mv.group_keys, calls, inputs=(ir.Scan(tmp),)
+                mv.group_keys, calls, inputs=(delta_base,)
             ).to_df(catalog)
             merge_calls = [
                 _F.expr(f"{_REAGG[fn]}({alias})").alias(alias)
@@ -297,13 +515,25 @@ class MaterializationRegistry:
             return None
         q_tables, q_edges = ext
         for mv in self.mvs.values():
-            if mv.tables:
-                ok = self._join_match(mv, q_tables, q_edges, catalog)
+            if mv.filter_condition is not None:
+                # filtered tiles go through the containment / union-
+                # compensation prover — NEVER the plain tier (a sliced
+                # tile silently answering an unsliced query is the
+                # wrong-value class this layer must refuse)
+                rewritten = self._filtered_substitute(
+                    node, filt, mv, q_tables, q_edges
+                )
+            elif mv.tables:
+                if self._join_match(mv, q_tables, q_edges, catalog):
+                    rewritten = self._try_rewrite(node, filt, mv)
+                else:
+                    rewritten = self._join_compensate(
+                        node, filt, mv, q_tables, q_edges, catalog
+                    )
             else:
-                ok = not q_edges and q_tables == frozenset([mv.table])
-            if not ok:
-                continue
-            rewritten = self._try_rewrite(node, filt, mv)
+                rewritten = None
+                if not q_edges and q_tables == frozenset([mv.table]):
+                    rewritten = self._try_rewrite(node, filt, mv)
             if rewritten is not None:
                 return rewritten
         return None
@@ -364,25 +594,29 @@ class MaterializationRegistry:
             remaining_e = remaining_e - {peeled[1]}
         return remaining_e == set(q_edges)
 
-    def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization):
-        # group keys must be a subset of the tile's keys
-        if not set(agg.group_keys) <= set(mv.group_keys):
-            return None
-        # filter may only reference tile group keys (identifier check)
-        if filt is not None:
-            cond_no_literals = re.sub(r"'[^']*'", "", filt.condition)
-            idents = set(re.findall(r"[A-Za-z_]\w*", cond_no_literals))
-            tokens_ok = {k for k in mv.group_keys}
-            sql_words = {
-                "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL",
-                "TRUE", "FALSE", "TIMESTAMP", "DATE", "INTERVAL", "CAST",
-                "AS", "INT", "BIGINT", "DOUBLE", "STRING",
-            }
-            if not all(i in tokens_ok or i.upper() in sql_words or i.isdigit() for i in idents):
-                return None
-        exact = tuple(agg.group_keys) == tuple(mv.group_keys) and filt is None
+    @staticmethod
+    def _filter_refs_ok(cond: str, allowed: set) -> bool:
+        """Every identifier in cond (string literals stripped) is an
+        allowed column, a SQL word, or a number."""
+        cond_no_literals = re.sub(r"'[^']*'", "", cond)
+        idents = set(re.findall(r"[A-Za-z_]\w*", cond_no_literals))
+        sql_words = {
+            "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL",
+            "TRUE", "FALSE", "TIMESTAMP", "DATE", "INTERVAL", "CAST",
+            "AS", "INT", "BIGINT", "DOUBLE", "STRING",
+        }
+        return all(
+            i in allowed or i.upper() in sql_words or i.isdigit() for i in idents
+        )
+
+    @staticmethod
+    def _map_rollup_calls(agg_calls, mv: Materialization, exact: bool):
+        """Map the query's aggregate calls onto the tile's columns:
+        exact tier = identity; rollup tier = re-aggregate (SUM→SUM,
+        COUNT→$SUM0 COALESCE, MIN/MAX idempotent). None when any call
+        has no matching tile column or is a non-exact DISTINCT."""
         new_calls = []
-        for call in agg.agg_calls:
+        for call in agg_calls:
             p = parse_agg_call(call)
             if p is None:
                 return None
@@ -413,12 +647,180 @@ class MaterializationRegistry:
                 new_calls.append(f"COALESCE(SUM({src}), 0) AS {alias}")
             else:
                 new_calls.append(f"{_REAGG[fn]}({src}) AS {alias}")
+        return new_calls
+
+    def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization):
+        # group keys must be a subset of the tile's keys
+        if not set(agg.group_keys) <= set(mv.group_keys):
+            return None
+        # filter may only reference tile group keys (identifier check)
+        if filt is not None and not self._filter_refs_ok(
+            filt.condition, set(mv.group_keys)
+        ):
+            return None
+        exact = tuple(agg.group_keys) == tuple(mv.group_keys) and filt is None
+        new_calls = self._map_rollup_calls(agg.agg_calls, mv, exact)
+        if new_calls is None:
+            return None
         scan = ir.Scan(mv.name)
         if exact:
             # identity projection over the tile
             return ir.Project(tuple(list(agg.group_keys) + new_calls), inputs=(scan,))
         base = ir.Filter(filt.condition, inputs=(scan,)) if filt is not None else scan
         return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(base,))
+
+    def _join_compensate(self, agg, filt, mv, q_tables, q_edges, catalog):
+        """Query joins a SUPERSET of the MV's tables → scan the tile,
+        re-join the extra (drill-across) tables on tile group-key
+        columns, then re-aggregate. The other direction of
+        MaterializedViewJoinRule's unification (≈ SubstitutionVisitor
+        compensating the view WITH a join, where _join_match peels one
+        AWAY).
+
+        Correct for SUM/COUNT/MIN/MAX with no uniqueness evidence
+        needed: a join value matching k extra-side rows duplicates each
+        original fact row AND the tile row k times alike (SUM/COUNT
+        scale linearly by k on both sides; MIN/MAX are duplication-
+        invariant), and k=0 drops the same rows from both. DISTINCT
+        aggregates are refused (the tier is never exact).
+
+        100 TB: this is the drill-across query — tile ⋈ small dims —
+        and the compensating joins are exactly the broadcast-able kind
+        (BroadcastSmallDimensions runs after this rule)."""
+        mv_tables = set(mv.tables)
+        if not (mv_tables and mv_tables < q_tables):
+            return None
+        owner = {}
+        for t in sorted(q_tables):
+            for c in catalog.table(t).columns:
+                if c in owner:
+                    return None  # ambiguous namespace: cannot classify edges
+                owner[c] = t
+        mv_part, extra_edges = set(), []
+        for e in q_edges:
+            ta, tb = owner.get(e[0]), owner.get(e[1])
+            if ta is None or tb is None:
+                return None
+            if ta in mv_tables and tb in mv_tables:
+                mv_part.add(e)
+                continue
+            # an MV-side endpoint must have survived into the tile
+            for col, tab in ((e[0], ta), (e[1], tb)):
+                if tab in mv_tables and col not in mv.group_keys:
+                    return None
+            extra_edges.append(e)
+        if mv_part != set(mv.join_edges):
+            return None
+        # left-deep attach: every extra table joins through columns
+        # already available (tile keys or previously attached tables) —
+        # a table that cannot attach would need a cross join, refuse.
+        # avail holds real COLUMNS only; the tile's aggregate aliases
+        # must never bind a join edge (and an extra table whose column
+        # collides with an alias would make the join output ambiguous —
+        # refuse).
+        avail = set(mv.group_keys)
+        node: ir.RelNode = ir.Scan(mv.name)
+        pending_t = sorted(q_tables - mv_tables)
+        pending_e = list(extra_edges)
+        while pending_t:
+            progress = False
+            for t in list(pending_t):
+                t_cols = set(catalog.table(t).columns)
+                if t_cols & set(mv.agg_calls):
+                    return None
+                usable = [
+                    e
+                    for e in pending_e
+                    if (e[0] in t_cols and e[1] in avail)
+                    or (e[1] in t_cols and e[0] in avail)
+                ]
+                if not usable:
+                    continue
+                cond = " AND ".join(f"{a} = {b}" for a, b in sorted(usable))
+                node = ir.Join(cond, "INNER", inputs=(node, ir.Scan(t)))
+                avail |= t_cols
+                for e in usable:
+                    pending_e.remove(e)
+                pending_t.remove(t)
+                progress = True
+            if not progress:
+                return None
+        if pending_e:
+            return None  # e.g. a same-table "edge" the extractor let through
+        if not set(agg.group_keys) <= avail:
+            return None
+        if filt is not None and not self._filter_refs_ok(filt.condition, avail):
+            return None
+        new_calls = self._map_rollup_calls(agg.agg_calls, mv, exact=False)
+        if new_calls is None:
+            return None
+        if filt is not None:
+            node = ir.Filter(filt.condition, inputs=(node,))
+        return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(node,))
+
+    def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges):
+        """Substitution against a SLICED tile (define(...,
+        filter_condition=...)), ≈ MaterializedViewAggregateRule with
+        generateUnionRewriting: prove the query's range CONTAINED in
+        the slice (→ rollup/filter compensation on the tile) or
+        OVERLAPPING it (→ tile partials for the covered range UNION ALL
+        freshly-aggregated partials over the base table's residual
+        range, merged above — the reference's union rewriting, here
+        over the same partial/merge decomposition as the r7/r8
+        transposes). Disjoint or unprovable → no rewrite, never a
+        wrong slice."""
+        if mv.tables or q_edges or q_tables != frozenset([mv.table]):
+            return None
+        if filt is None:
+            return None  # query wants ALL rows; the tile holds a slice
+        parsed_m = _parse_interval(mv.filter_condition)
+        parsed_q = _parse_interval(filt.condition)
+        if parsed_m is None or parsed_q is None:
+            return None
+        (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
+        if q_col != m_col or q_kind != m_kind or m_col not in mv.group_keys:
+            return None
+        if _interval_contains(m_iv, q_iv):
+            # the slice covers the query → plain compensation on the tile
+            return self._try_rewrite(agg, filt, mv)
+        covered = _interval_intersect(q_iv, m_iv)
+        if covered.is_empty():
+            return None  # disjoint: the tile contributes nothing
+        residual = _interval_diff(q_iv, m_iv)
+        if not residual:
+            return None
+        if not set(agg.group_keys) <= set(mv.group_keys):
+            return None
+        merged_calls = self._map_rollup_calls(agg.agg_calls, mv, exact=False)
+        if merged_calls is None:
+            return None
+        # both branches project the tile's canonical column list so the
+        # UNION ALL aligns positionally and by name
+        branch_cols = tuple(list(mv.group_keys) + list(mv.agg_calls))
+        tile_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Filter(_interval_sql(m_col, covered), inputs=(ir.Scan(mv.name),)),
+            ),
+        )
+        residual_sql = " OR ".join(f"({_interval_sql(m_col, r)})" for r in residual)
+        base_calls = tuple(
+            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+        )
+        base_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Aggregate(
+                    mv.group_keys,
+                    base_calls,
+                    inputs=(ir.Filter(residual_sql, inputs=(ir.Scan(mv.table),)),),
+                ),
+            ),
+        )
+        union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
+        return ir.Aggregate(
+            tuple(agg.group_keys), tuple(merged_calls), inputs=(union,)
+        )
 
 
 def _norm(expr: str) -> str:

@@ -971,3 +971,154 @@ def qx35_distinct_on(spark, sf_dir):
         ORDER BY o_orderstatus, o_orderpriority, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@register(
+    "qx39_mv_join_compensate",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY c_mktsegment, o_orderpriority
+    """,
+    tags=("materialize", "join", "rewrite", "mv", "drill_across"),
+)
+def qx39_mv_join_compensate(spark, sf_dir):
+    """Join-COMPENSATION MV substitution (r8, the second direction of
+    the join-MV unifier; ≈ rel/rules/materialize/
+    MaterializedViewJoinRule.java:54 compensating the view WITH a join
+    where _join_match peels one away): the tile covers orders⋈lineitem
+    keyed by (o_custkey, o_orderpriority); the query additionally joins
+    customer and groups/filters by a CUSTOMER attribute. The rewrite
+    scans the tile, re-joins customer on the tile's o_custkey group
+    key, and re-aggregates — correct without uniqueness evidence
+    because a join value matching k customer rows duplicates fact rows
+    and tile rows k times alike (SUM/COUNT scale linearly both ways,
+    MIN/MAX are duplication-invariant). The oracle is the PLAIN
+    3-table join-aggregate: values must be invariant. The plan is
+    asserted to read the tile + the customer dim and NOT the fact
+    tables. 100 TB: this is the drill-across shape — the fact⋈lineitem
+    shuffle is paid once at tile build; every segment-level query then
+    joins a tile to a broadcast-able dim."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    # fresh catalog: the MV registry must not leak into other queries'
+    # shared catalog_for plans (same isolation reasoning as qx36)
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tile_plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_custkey", "o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "qx39_tile", tile_plan,
+        tempfile.mkdtemp(prefix="qx39_mv_") + "/qx39_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .filter("c_mktsegment = 'BUILDING'")
+        .aggregate(
+            ["c_mktsegment", "o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not any(mv.name in f for f in files) or any(
+        "/orders.parquet" in f or "/lineitem.parquet" in f for f in files
+    ):
+        # the driver row is EVIDENCE for the rewrite; a silently
+        # unsubstituted plan would still pass the value check
+        raise RuntimeError("join-compensation MV substitution did not fire")
+    return df.selectExpr(
+        "c_mktsegment", "o_orderpriority",
+        "ROUND(sum_qty, 3) AS sum_qty", "n_rows",
+    ).orderBy("c_mktsegment", "o_orderpriority")
+
+
+@register(
+    "qx40_mv_union_rewrite",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "union", "rewrite", "mv", "filtered"),
+)
+def qx40_mv_union_rewrite(spark, sf_dir):
+    """UNION-compensation rewrite over a SLICED tile (r8;
+    ≈ MaterializedViewAggregateRule's generateUnionRewriting +
+    SubstitutionVisitor's range containment): the tile materializes
+    orders from 1997 onward; the query asks from 1996 onward. The
+    prover intersects the two single-column ranges, answers the
+    covered range [1997, ∞) from tile partials, aggregates only the
+    residual [1996, 1997) from the base table, and merges with the
+    same partial/merge decomposition as the transposes (COUNT via the
+    $SUM0 COALESCE). The oracle is the PLAIN filtered aggregate:
+    values must be invariant. Input files are asserted to include BOTH
+    the tile and the base table — the union shape itself. 100 TB: the
+    hot-slice tile answers the common recent-window query outright;
+    the occasional historical query scans only the COLD residual
+    range, with partition pruning bounding it."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        "qx40_tile",
+        "orders",
+        ["o_orderdate", "o_orderpriority"],
+        ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_rows"],
+        tempfile.mkdtemp(prefix="qx40_mv_") + "/qx40_tile",
+        filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'")
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_rows"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("/orders.parquet" in f for f in files)
+    ):
+        # the driver row is EVIDENCE for the rewrite; a plain base scan
+        # (or a wrong all-tile plan) would fail here before values
+        raise RuntimeError("union-compensation MV rewrite did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "ROUND(sum_price, 2) AS sum_price", "n_rows"
+    ).orderBy("o_orderpriority")

@@ -643,3 +643,314 @@ def test_mv_rollup_global_count_empty_filter(spark):
         F.count("*").alias("n_rows")
     )
     assert df.dtypes == plain.dtypes
+
+
+# ---------------------------------------------------------------------
+# r8 join-COMPENSATION tier (query ⊃ MV: scan tile, re-join extra dims)
+# ≈ MaterializedViewJoinRule compensating the view WITH a join
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def compensate_catalog(spark):
+    from calcite_spark.catalog import Catalog as _Cat
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvcomp_")
+    tile_plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_custkey", "o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+             "MIN(l_extendedprice) AS min_price"],
+        )
+        .build()
+    )
+    reg.define_join(cat, "comp_tile", tile_plan, f"{tmp}/comp_tile")
+    return cat, reg
+
+
+def test_join_compensation_drill_across(spark, compensate_catalog):
+    """Query joins customer (not in the MV) on the tile's o_custkey
+    group key → tile ⋈ customer, re-aggregated; values invariant."""
+    cat, reg = compensate_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .filter("c_mktsegment = 'BUILDING'")
+        .aggregate(
+            ["c_mktsegment", "o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows",
+             "MIN(l_extendedprice) AS min_price"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert files and any("comp_tile" in f for f in files)
+    assert not any("/orders.parquet" in f or "/lineitem.parquet" in f for f in files)
+    assert any("/customer.parquet" in f for f in files)
+    direct = (
+        cat.table("orders")
+        .join(cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .filter("c_mktsegment = 'BUILDING'")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.count("*").alias("n_rows"),
+             F.min("l_extendedprice").alias("min_price"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_join_compensation_refusals(spark, compensate_catalog):
+    """No compensation when the extra table attaches through a column
+    the tile aggregated away, when the query's MV-part edges differ,
+    or when an aggregate references an extra-table column."""
+    cat, reg = compensate_catalog
+    # attach edge o_orderkey = c_custkey? — o_orderkey is NOT a tile key
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("customer")
+        .join("o_orderkey = c_custkey")
+        .aggregate(["o_orderpriority"], ["SUM(l_quantity) AS sum_qty"])
+        .to_df()
+    )
+    assert any("/lineitem.parquet" in f for f in df.inputFiles())
+    # aggregate over a customer column — the tile has no such partial
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(["o_orderpriority"], ["SUM(c_acctbal) AS s"])
+        .to_df()
+    )
+    assert any("/lineitem.parquet" in f for f in df2.inputFiles())
+    # group key from the fact side that the tile aggregated away
+    df3 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(["o_orderstatus"], ["SUM(l_quantity) AS sum_qty"])
+        .to_df()
+    )
+    assert any("/lineitem.parquet" in f for f in df3.inputFiles())
+
+
+# ---------------------------------------------------------------------
+# r8 filtered tiles + union compensation (generateUnionRewriting analog)
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sliced_catalog(spark):
+    from calcite_spark.catalog import Catalog as _Cat
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvslice_")
+    reg.define(
+        cat,
+        "slice_tile",
+        "orders",
+        ["o_orderdate", "o_orderpriority"],
+        # SUM over BIGINT + COUNT + MIN: exact types, so the union
+        # rewrite must match the direct plan BIT-FOR-BIT
+        ["SUM(o_orderkey) AS sum_key", "COUNT(*) AS n_rows",
+         "MIN(o_totalprice) AS min_price"],
+        f"{tmp}/slice_tile",
+        filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    return cat, reg
+
+
+def _orders_agg(cat, filt):
+    b = RelBuilder(cat).scan("orders")
+    if filt:
+        b = b.filter(filt)
+    return b.aggregate(
+        ["o_orderpriority"],
+        ["SUM(o_orderkey) AS sum_key", "COUNT(*) AS n_rows",
+         "MIN(o_totalprice) AS min_price"],
+    ).to_df()
+
+
+def _orders_direct(cat, filt):
+    df = cat.table("orders")
+    if filt:
+        df = df.filter(filt)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(F.sum("o_orderkey").alias("sum_key"),
+             F.count("*").alias("n_rows"),
+             F.min("o_totalprice").alias("min_price"))
+    )
+
+
+def test_filtered_mv_containment(spark, sliced_catalog):
+    """Query range ⊆ slice → answered from the tile alone."""
+    cat, _ = sliced_catalog
+    filt = "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+    df = _orders_agg(cat, filt)
+    assert df.inputFiles() and all("slice_tile" in f for f in df.inputFiles())
+    assert _rows(df) == _rows(_orders_direct(cat, filt))
+
+
+def test_filtered_mv_union_compensation(spark, sliced_catalog):
+    """Query range OVERLAPS the slice → tile partials for the covered
+    range UNION ALL base partials for the residual, merged above —
+    values bit-identical to the direct plan (exact-typed aggregates)."""
+    cat, _ = sliced_catalog
+    filt = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    df = _orders_agg(cat, filt)
+    files = df.inputFiles()
+    assert any("slice_tile" in f for f in files)
+    assert any("/orders.parquet" in f for f in files)
+    assert _rows(df) == _rows(_orders_direct(cat, filt))
+
+
+def test_filtered_mv_bounded_overlap(spark, sliced_catalog):
+    """A BETWEEN-style window straddling the slice edge: covered part
+    [1997-01-01, 1997-06-01) from the tile, residual [1996-06-01,
+    1997-01-01) from base."""
+    cat, _ = sliced_catalog
+    filt = (
+        "o_orderdate >= TIMESTAMP '1996-06-01 00:00:00' AND "
+        "o_orderdate < TIMESTAMP '1997-06-01 00:00:00'"
+    )
+    df = _orders_agg(cat, filt)
+    files = df.inputFiles()
+    assert any("slice_tile" in f for f in files)
+    assert any("/orders.parquet" in f for f in files)
+    assert _rows(df) == _rows(_orders_direct(cat, filt))
+
+
+def test_filtered_mv_no_rewrite_cases(spark, sliced_catalog):
+    """Disjoint range, unfiltered query, or filter on a different
+    column → the sliced tile must stay OUT of the plan."""
+    cat, _ = sliced_catalog
+    for filt in (
+        "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'",  # disjoint
+        None,  # query wants all rows
+        "o_orderpriority = '1-URGENT'",  # different column
+    ):
+        df = _orders_agg(cat, filt)
+        assert all("slice_tile" not in f for f in df.inputFiles()), filt
+
+
+def test_filtered_mv_define_refusals(spark, tmp_path):
+    from calcite_spark.catalog import Catalog as _Cat
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    with pytest.raises(ValueError, match="ONE column"):
+        reg.define(
+            cat, "bad1", "orders", ["o_orderpriority"],
+            ["COUNT(*) AS n"], str(tmp_path / "bad1"),
+            filter_condition="o_orderpriority <> '1-URGENT'",
+        )
+    with pytest.raises(ValueError, match="group key"):
+        reg.define(
+            cat, "bad2", "orders", ["o_orderpriority"],
+            ["COUNT(*) AS n"], str(tmp_path / "bad2"),
+            filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+        )
+
+
+def test_filtered_mv_incremental_refresh_applies_slice(spark, tmp_path):
+    """Appended rows OUTSIDE the slice must not leak into the tile."""
+    import os
+
+    from calcite_spark.catalog import Catalog as _Cat
+
+    base = str(tmp_path / "base")
+    spark.sql(
+        "SELECT id AS k, CAST(id % 7 AS BIGINT) AS v FROM range(100)"
+    ).write.parquet(base)
+    cat = _Cat(spark)
+    cat.register("t", base)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "slice_inc", "t", ["k"], ["SUM(v) AS sv", "COUNT(*) AS n"],
+        str(tmp_path / "slice_inc"), filter_condition="k >= 50",
+    )
+    spark.sql(
+        "SELECT id + 100 AS k, CAST(1 AS BIGINT) AS v FROM range(10)"
+    ).write.mode("append").parquet(base)
+    spark.sql(
+        "SELECT id AS k, CAST(99 AS BIGINT) AS v FROM range(5)"
+    ).write.mode("append").parquet(base)  # below the slice: must be ignored
+    out = reg.incremental_refresh(cat, "slice_inc")
+    assert out["refreshed"] and out["delta_files"] >= 1
+    got = sorted(tuple(r) for r in spark.read.parquet(mv.path).collect())
+    exp = sorted(
+        tuple(r)
+        for r in spark.read.parquet(base)
+        .filter("k >= 50")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == exp
+
+
+def test_interval_partition_property():
+    """Pure-algebra fuzz: for any query/slice intervals, covered ∪
+    residual partitions the query range — every integer point in q is
+    in exactly ONE of the pieces."""
+    from calcite_spark.plans.materialize import (
+        _Interval,
+        _interval_contains,
+        _interval_diff,
+        _interval_intersect,
+    )
+
+    import itertools
+
+    vals = [None, 0, 3, 7]
+    cases = []
+    for lo, hi in itertools.product(vals, vals):
+        if lo is not None and hi is not None and lo > hi:
+            continue
+        for li, hi_i in itertools.product([True, False], repeat=2):
+            cases.append(_Interval(
+                None if lo is None else (lo, str(lo)), li,
+                None if hi is None else (hi, str(hi)), hi_i,
+            ))
+
+    def member(iv, x):
+        if iv.lo is not None and (x < iv.lo[0] or (x == iv.lo[0] and not iv.lo_incl)):
+            return False
+        if iv.hi is not None and (x > iv.hi[0] or (x == iv.hi[0] and not iv.hi_incl)):
+            return False
+        return True
+
+    for q in cases:
+        for m in cases:
+            if q.is_empty() or m.is_empty():
+                continue
+            covered = _interval_intersect(q, m)
+            pieces = ([covered] if not covered.is_empty() else []) + [
+                p for p in _interval_diff(q, m) ]
+            for x in range(-2, 10):
+                in_q = member(q, x)
+                hits = sum(1 for p in pieces if member(p, x))
+                assert hits == (1 if in_q else 0), (q, m, x, pieces)
+            if _interval_contains(m, q):
+                assert all(member(m, x) or not member(q, x) for x in range(-2, 10))
