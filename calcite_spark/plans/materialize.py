@@ -55,6 +55,16 @@ class Materialization:
     # single-table MV (the r1-r6 tier).
     tables: tuple = ()
     join_edges: frozenset = frozenset()
+    # SPF (select-project-filter) materializations (r8, ≈ server DDL's
+    # CREATE MATERIALIZED VIEW ... AS SELECT ... WHERE ... without
+    # GROUP BY + MaterializedViewFilterScanRule / OnlyFilter rules):
+    # the tile stores RAW rows of a slice, so substitution serves ANY
+    # query shape above (filters, projections, arbitrary aggregates
+    # including DISTINCT) as long as the range-containment proof holds.
+    spf: bool = False
+    spf_columns: tuple | None = None  # None = all base columns
+    # ((base_name, stored_name), ...) for DDL alias lists
+    spf_renames: tuple = ()
 
 
 def parse_agg_call(call: str):
@@ -344,6 +354,83 @@ class MaterializationRegistry:
         self.mvs[name] = mv
         return mv
 
+    def define_spf(
+        self,
+        catalog,
+        name: str,
+        table: str,
+        path: str,
+        columns=None,
+        predicate: str | None = None,
+        renames=None,
+    ):
+        """Register a SELECT-PROJECT-FILTER materialization: raw rows
+        of `table`, optionally restricted to a single-column range
+        `predicate` and/or projected to `columns` (base names; `renames`
+        maps them to stored names for DDL alias lists). ≈ the reference
+        server's non-aggregate CREATE MATERIALIZED VIEW + the
+        MaterializedViewOnlyFilter/ProjectFilter rules: because the
+        tile holds raw rows, substitution is shape-agnostic — any
+        filter, projection, or aggregate (DISTINCT included) over a
+        contained range is answered from the slice, and an overlapping
+        range unions the slice with the base residual.
+
+        100 TB: this is the hot-partition replica — last-N-days rows
+        rewritten small and sorted — serving every ad-hoc query over
+        the recent window without touching cold storage."""
+        catalog.mv_registry = self
+        if predicate is not None and _parse_interval(predicate) is None:
+            raise ValueError(
+                "define_spf: predicate must be a conjunction of "
+                "range/point predicates over ONE column (the containment "
+                f"prover's unifiable form); got: {predicate}"
+            )
+        base_cols = list(catalog.table(table).columns)
+        if columns is not None:
+            missing = [c for c in columns if c not in base_cols]
+            if missing:
+                raise ValueError(f"define_spf: unknown columns {missing}")
+        stored_from = list(columns) if columns is not None else base_cols
+        if renames is not None and len(renames) != len(stored_from):
+            raise ValueError(
+                "List of column aliases must have same degree as table; "
+                f"table has {len(stored_from)} columns "
+                f"({', '.join(repr(c) for c in stored_from)}), whereas "
+                f"alias list has {len(renames)} columns"
+            )
+        rename_pairs = (
+            tuple(zip(stored_from, renames)) if renames is not None else ()
+        )
+        node: ir.RelNode = ir.Scan(table)
+        if predicate is not None:
+            node = ir.Filter(predicate, inputs=(node,))
+        if columns is not None or rename_pairs:
+            exprs = [
+                f"{b} AS {s}" if s != b else b
+                for b, s in (rename_pairs or [(c, c) for c in stored_from])
+            ]
+            node = ir.Project(tuple(exprs), inputs=(node,))
+        node.to_df(catalog).write.mode("overwrite").parquet(path)
+        catalog.register(name, path)
+        try:
+            snapshot = tuple(sorted(catalog.table(table).inputFiles()))
+        except Exception:
+            snapshot = ()  # non-file base: incremental_refresh will refuse
+        mv = Materialization(
+            name,
+            table,
+            (),
+            {},
+            path,
+            predicate,
+            base_files=snapshot,
+            spf=True,
+            spf_columns=None if columns is None else tuple(columns),
+            spf_renames=rename_pairs,
+        )
+        self.mvs[name] = mv
+        return mv
+
     def define_join(self, catalog, name: str, plan, path: str):
         """Register a JOIN materialization from its defining IR plan —
         Aggregate(group_keys, agg_calls) over an INNER equi-join tree
@@ -418,6 +505,8 @@ class MaterializationRegistry:
                 "(incremental join-MV maintenance needs delta joins "
                 "against BOTH sides' snapshots, out of contract)"
             )
+        if mv.spf:
+            return self._spf_incremental_refresh(catalog, mv)
         for alias, (fn, arg) in mv.agg_calls.items():
             if arg.upper().startswith("DISTINCT"):
                 raise ValueError(
@@ -488,6 +577,51 @@ class MaterializationRegistry:
         )
         return {"refreshed": True, "delta_files": len(delta)}
 
+    def _spf_incremental_refresh(self, catalog, mv: Materialization) -> dict:
+        """Raw-row slices maintain by APPEND: filter/project the files
+        added since the last build and append them to the tile —
+        O(new data), no merge shuffle at all (the cheapest refresh in
+        the registry; ≈ a lake engine's incremental MV on an SPF
+        definition)."""
+        from dataclasses import replace
+
+        if not mv.base_files:
+            raise ValueError(
+                f"MV {mv.name}: base table {mv.table} has no file listing "
+                "— incremental refresh needs a file-backed base"
+            )
+        catalog._dfs.pop(mv.table, None)
+        current = tuple(sorted(catalog.table(mv.table).inputFiles()))
+        seen = set(mv.base_files)
+        delta = [f for f in current if f not in seen]
+        if not delta:
+            return {"refreshed": False, "delta_files": 0}
+        spark = catalog.spark
+        tmp = f"__mv_delta_{mv.name}"
+        catalog.register_df(tmp, spark.read.parquet(*delta))
+        try:
+            node: ir.RelNode = ir.Scan(tmp)
+            if mv.filter_condition is not None:
+                node = ir.Filter(mv.filter_condition, inputs=(node,))
+            if mv.spf_renames:
+                node = ir.Project(
+                    tuple(
+                        f"{b} AS {s}" if s != b else b
+                        for b, s in mv.spf_renames
+                    ),
+                    inputs=(node,),
+                )
+            elif mv.spf_columns is not None:
+                node = ir.Project(tuple(mv.spf_columns), inputs=(node,))
+            node.to_df(catalog).write.mode("append").parquet(mv.path)
+        finally:
+            spark.catalog.dropTempView(tmp)
+            catalog.tables.pop(tmp, None)
+            catalog._dfs.pop(tmp, None)
+        catalog.register(mv.name, mv.path)
+        self.mvs[mv.name] = replace(mv, base_files=current)
+        return {"refreshed": True, "delta_files": len(delta)}
+
     # -- the rewrite rule (plugged into plans/rewrite.py) --------------
 
     def substitute(self, node, catalog):
@@ -498,6 +632,20 @@ class MaterializationRegistry:
         tables peel away along declared FK → unique-key edges
         (MaterializedViewJoinRule's referential-constraint walk). The
         rollup / filter compensation tier is shared."""
+        # SPF tiers fire at the Filter/Project nodes themselves — being
+        # bottom-up, a rewritten slice scan then serves ANY shape above
+        # (aggregate, window, join input). Full-column SPF MVs rewrite
+        # blind at the Filter; column-subset ones only where the needed
+        # columns are visible (a Project top).
+        if isinstance(node, ir.Filter) and isinstance(node.inputs[0], ir.Scan):
+            return self._spf_filter_substitute(node, catalog)
+        if isinstance(node, ir.Project) and node.inputs:
+            pchild = node.inputs[0]
+            if isinstance(pchild, ir.Scan) or (
+                isinstance(pchild, ir.Filter)
+                and isinstance(pchild.inputs[0], ir.Scan)
+            ):
+                return self._spf_project_substitute(node, catalog)
         if not isinstance(node, ir.Aggregate) or node.group_type != "SIMPLE":
             return None
         child = node.inputs[0]
@@ -515,6 +663,8 @@ class MaterializationRegistry:
             return None
         q_tables, q_edges = ext
         for mv in self.mvs.values():
+            if mv.spf:
+                continue  # handled at the Filter/Project nodes above
             if mv.filter_condition is not None:
                 # filtered tiles go through the containment / union-
                 # compensation prover — NEVER the plain tier (a sliced
@@ -822,9 +972,139 @@ class MaterializationRegistry:
             tuple(agg.group_keys), tuple(merged_calls), inputs=(union,)
         )
 
+    # -- SPF (raw-row slice) tiers -------------------------------------
+
+    def _spf_scan(self, mv: Materialization):
+        """Scan the SPF tile, restoring BASE column names when the DDL
+        alias list renamed them (the compensating filter and everything
+        above speak base names)."""
+        scan = ir.Scan(mv.name)
+        if mv.spf_renames and any(s != b for b, s in mv.spf_renames):
+            return ir.Project(
+                tuple(
+                    f"{s} AS {b}" if s != b else b for b, s in mv.spf_renames
+                ),
+                inputs=(scan,),
+            )
+        return scan
+
+    def _spf_range_rewrite(self, cond: str, mv: Materialization, catalog):
+        """Filter(cond)(Scan(mv.table)) rewritten against the slice:
+        contained → compensate on the tile (exact range → bare tile
+        scan); overlapping → tile rows for the covered range UNION ALL
+        base rows for the residual (raw-row union: no merge aggregate
+        needed). Returns a node with the same rows AND columns as the
+        input Filter, or None."""
+        if mv.filter_condition is None:
+            return ir.Filter(cond, inputs=(self._spf_scan(mv),))
+        parsed_m = _parse_interval(mv.filter_condition)
+        parsed_q = _parse_interval(cond)
+        if parsed_m is None or parsed_q is None:
+            return None
+        (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
+        if q_col != m_col or q_kind != m_kind:
+            return None
+        if mv.spf_columns is not None and m_col not in mv.spf_columns:
+            return None
+        if _interval_contains(m_iv, q_iv):
+            if q_iv == m_iv:
+                return self._spf_scan(mv)
+            return ir.Filter(cond, inputs=(self._spf_scan(mv),))
+        covered = _interval_intersect(q_iv, m_iv)
+        if covered.is_empty():
+            return None
+        residual = _interval_diff(q_iv, m_iv)
+        if not residual:
+            return None
+        cols = tuple(
+            mv.spf_columns
+            if mv.spf_columns is not None
+            else catalog.table(mv.table).columns
+        )
+        tile = ir.Project(
+            cols,
+            inputs=(
+                ir.Filter(
+                    _interval_sql(m_col, covered), inputs=(self._spf_scan(mv),)
+                ),
+            ),
+        )
+        residual_sql = " OR ".join(f"({_interval_sql(m_col, r)})" for r in residual)
+        base = ir.Project(
+            cols,
+            inputs=(ir.Filter(residual_sql, inputs=(ir.Scan(mv.table),)),),
+        )
+        return ir.SetOp("UNION_ALL", inputs=(tile, base))
+
+    def _spf_filter_substitute(self, node, catalog):
+        """Blind Filter-node rewrite: FULL-column SPF tiles only (a
+        column subset could drop columns an unseen parent needs)."""
+        scan = node.inputs[0]
+        for mv in self.mvs.values():
+            if not mv.spf or mv.table != scan.table or mv.spf_columns is not None:
+                continue
+            repl = self._spf_range_rewrite(node.condition, mv, catalog)
+            if repl is not None:
+                return repl
+        return None
+
+    def _spf_project_substitute(self, node, catalog):
+        """Project[(Filter)](Scan) rewrite for COLUMN-SUBSET SPF tiles
+        (projection indexes): every column the projection and filter
+        reference must be stored in the tile."""
+        if not all(isinstance(e, str) for e in node.exprs):
+            return None  # structured/expression-object projections: bail
+        child = node.inputs[0]
+        filt = None
+        if isinstance(child, ir.Filter):
+            filt, scan = child, child.inputs[0]
+        else:
+            scan = child
+        for mv in self.mvs.values():
+            if not mv.spf or mv.table != scan.table or mv.spf_columns is None:
+                continue  # full-column tiles already fired at the Filter node
+            needed = set()
+            for e in node.exprs:
+                needed |= _expr_cols(e)
+            if filt is not None:
+                needed |= _expr_cols(filt.condition)
+            if not needed <= set(mv.spf_columns):
+                continue
+            if filt is None:
+                if mv.filter_condition is not None:
+                    continue  # tile misses rows the query wants
+                return node.with_inputs((self._spf_scan(mv),))
+            repl = self._spf_range_rewrite(filt.condition, mv, catalog)
+            if repl is not None:
+                return node.with_inputs((repl,))
+        return None
+
 
 def _norm(expr: str) -> str:
     return re.sub(r"\s+", "", expr).lower()
+
+
+_SQL_WORDS = {
+    "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL",
+    "TRUE", "FALSE", "TIMESTAMP", "DATE", "INTERVAL", "CAST",
+    "AS", "INT", "BIGINT", "DOUBLE", "STRING", "DECIMAL", "FLOAT",
+    "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT", "ASC", "DESC",
+}
+
+
+def _expr_cols(expr: str) -> set:
+    """Column identifiers referenced by a SQL expression string:
+    literals stripped, function-call names and a trailing output alias
+    removed, keywords excluded. Conservative — an unrecognized keyword
+    reads as a column and simply disqualifies a rewrite."""
+    s = re.sub(r"\s+AS\s+[A-Za-z_]\w*\s*$", "", expr, flags=re.I)
+    s = re.sub(r"'[^']*'", "", s)
+    s = re.sub(r"\b[A-Za-z_]\w*\s*\(", "(", s)  # drop function names
+    return {
+        i
+        for i in re.findall(r"[A-Za-z_]\w*", s)
+        if i.upper() not in _SQL_WORDS and not i.isdigit()
+    }
 
 
 def _column_nulls(catalog, table: str, col: str):

@@ -17,8 +17,16 @@ from calcite_spark.plans.materialize import MaterializationRegistry
 _CREATE_VIEW = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
 _CREATE_TABLE_AS = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
 _CREATE_MV = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+"
-    r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.*?)\s*$",
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:\(\s*([\w\s,]+?)\s*\))?\s+AS\s+"
+    r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(.*?))?\s*$",
+    re.I | re.S,
+)
+_CREATE_MV_ANY = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:\(\s*([\w\s,]+?)\s*\))?\s+AS\s+(.*)$",
     re.I | re.S,
 )
 _DROP = re.compile(r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
@@ -104,8 +112,47 @@ class DdlExecutor:
                 "columns": sorted(stats["columns"]),
             }
         m = _CREATE_MV.match(sql)
+        if (
+            m
+            and sql.upper().count("SELECT") == 1
+            and not re.search(
+                r"\b(UNION|INTERSECT|EXCEPT|JOIN|VALUES|ORDER\s+BY|LIMIT|HAVING)\b",
+                sql,
+                re.I,
+            )
+        ):
+            r = self._create_mv(*m.groups())
+            if r is not None:
+                return r
+        m = _CREATE_MV_ANY.match(sql)
         if m:
-            return self._create_mv(m.group(1), m.group(2), m.group(3), m.group(4))
+            # arbitrary defining query (UNION ALL, VALUES, ORDER BY…):
+            # materialize + register as a table, but do NOT enter the
+            # substitution registry — the rewrite prover only
+            # understands the SPF / single-table-aggregate /
+            # join-aggregate forms (≈ the reference materializes these
+            # too; substitution there likewise depends on the unifier
+            # recognizing the shape)
+            if_not_exists, name, aliases, query = m.groups()
+            if name in self.catalog.tables:
+                if if_not_exists:
+                    return {"materialized_view": name, "existed": True}
+                raise ValueError(f"Table '{name}' already exists")
+            df = self.fe.sql(query)
+            if aliases is not None:
+                alias_list = [a.strip() for a in aliases.split(",")]
+                if len(alias_list) != len(df.columns):
+                    raise ValueError(
+                        "List of column aliases must have same degree as "
+                        f"table; table has {len(df.columns)} columns "
+                        f"({', '.join(repr(c) for c in df.columns)}), "
+                        f"whereas alias list has {len(alias_list)} columns"
+                    )
+                df = df.toDF(*alias_list)
+            path = os.path.join(self.warehouse, name)
+            df.write.mode("errorifexists").parquet(path)
+            self.catalog.register(name, path)
+            return {"materialized_view": name, "substitutable": False}
         m = _CREATE_VIEW.match(sql)
         if m:
             df = self.fe.sql(m.group(3))
@@ -268,20 +315,73 @@ class DdlExecutor:
         schemas[name] = {"type": engine_type, "tables": tables, "engine": engine}
         return {"foreign_schema": name, "tables": tables}
 
-    def _create_mv(self, name: str, select_list: str, table: str, group_by: str):
-        """CREATE MATERIALIZED VIEW mv AS SELECT k1, k2, FN(x) AS a...
-        FROM t GROUP BY k1, k2 — the exact shape MaterializationRegistry
-        rewrites (ServerDdlExecutor materialized-view branch)."""
-        keys = [k.strip() for k in group_by.split(",")]
-        calls = []
-        for item in _split_top_level(select_list):
-            item = item.strip()
-            if item in keys:
-                continue
-            calls.append(item)
+    def _create_mv(self, if_not_exists, name, aliases, select_list, table, where, group_by):
+        """CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv [(aliases)] AS
+        SELECT ... FROM t [WHERE range] [GROUP BY keys] — the shapes
+        MaterializationRegistry rewrites (ServerDdlExecutor
+        materialized-view branch ≈ server materialized_view.iq):
+        GROUP BY → an aggregate tile (optionally SLICED by the WHERE
+        range); no GROUP BY → an SPF raw-row slice / projection index
+        with IF-NOT-EXISTS and alias-list arity semantics mirroring the
+        reference corpus."""
+        from calcite_spark.plans.materialize import _parse_interval, parse_agg_call
+
+        if name in self.catalog.tables:
+            if if_not_exists:
+                return {"materialized_view": name, "existed": True}
+            raise ValueError(f"Table '{name}' already exists")
+        where = where.strip() if where else None
+        if where is not None and _parse_interval(where) is None:
+            # a WHERE outside the containment prover's form is still a
+            # valid defining query — fall through to the generic
+            # (non-substitutable) materialization path
+            return None
         path = os.path.join(self.warehouse, name)
-        mv = self.catalog.mv_registry.define(self.catalog, name, table, keys, calls, path)
-        return {"materialized_view": name, "keys": keys, "aggs": list(mv.agg_calls)}
+        reg = self.catalog.mv_registry
+        if group_by is not None:
+            if aliases is not None:
+                raise ValueError(
+                    "column alias lists are not supported on aggregate "
+                    "materializations — alias the SELECT items instead"
+                )
+            keys = [k.strip() for k in group_by.split(",")]
+            calls = []
+            for item in _split_top_level(select_list):
+                item = item.strip()
+                if item in keys:
+                    continue
+                calls.append(item)
+            if any(parse_agg_call(c) is None for c in calls):
+                return None  # e.g. AVG: materializable, not rewritable
+            if where is not None and _parse_interval(where)[0] not in keys:
+                return None  # slice column aggregated away: generic path
+            mv = reg.define(
+                self.catalog, name, table, keys, calls, path,
+                filter_condition=where,
+            )
+            return {"materialized_view": name, "keys": keys, "aggs": list(mv.agg_calls)}
+        select_list = select_list.strip()
+        if select_list == "*":
+            columns = None
+        else:
+            columns = [c.strip() for c in _split_top_level(select_list)]
+            if any(not re.fullmatch(r"[A-Za-z_]\w*", c) for c in columns):
+                return None  # expression projections: generic path
+        renames = (
+            [a.strip() for a in aliases.split(",")] if aliases is not None else None
+        )
+        mv = reg.define_spf(
+            self.catalog, name, table, path,
+            columns=columns,
+            predicate=where,
+            renames=renames,
+        )
+        return {
+            "materialized_view": name,
+            "spf": True,
+            "columns": list(mv.spf_columns) if mv.spf_columns else "*",
+            "predicate": mv.filter_condition,
+        }
 
 
 def _split_top_level(text: str) -> list[str]:

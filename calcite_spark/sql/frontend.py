@@ -1817,7 +1817,88 @@ class SqlFrontend:
         self.catalog.register_all_views()
         if re.search(r"\b(NEXT|CURRENT)\s+VALUE\s+FOR\b", expanded, re.I):
             return self._run_with_sequences(expanded)
+        mv_df = self._try_mv_substituted(expanded)
+        if mv_df is not None:
+            return mv_df
         return self.spark.sql(expanded)
+
+    # -- MV substitution bridge ----------------------------------------
+    # ≈ the reference running EVERY statement through the planner where
+    # MaterializedViewRules live: when the session's catalog carries a
+    # registry with materializations, simple single-table SELECTs are
+    # lifted into the IR so plans/materialize can substitute. STRICTLY
+    # value-preserving by construction: the lift only handles shapes
+    # whose IR lowering is the identical Spark operation, and unless
+    # substitution actually FIRED the statement falls back to
+    # spark.sql(expanded) verbatim — zero behavior change for
+    # registries-off sessions or non-matching statements.
+
+    _SIMPLE_STMT_RE = re.compile(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t>\w+)"
+        r"(?:\s+WHERE\s+(?P<w>.*?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
+        r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
+        r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$"
+    )
+    _ORDER_KEY_RE = re.compile(
+        r"(?i)^[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?$"
+    )
+
+    def _try_mv_substituted(self, text: str):
+        reg = getattr(self.catalog, "mv_registry", None)
+        if reg is None or not reg.mvs:
+            return None
+        # one SELECT, no joins/set-ops/windows/etc. — the unifiable tier
+        if text.upper().count("SELECT") != 1 or re.search(
+            r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|"
+            r"QUALIFY|LATERAL|VALUES|WITH|OFFSET|FETCH)\b",
+            text,
+        ):
+            return None
+        m = self._SIMPLE_STMT_RE.match(text)
+        if m is None or m.group("t") not in self.catalog.tables:
+            return None
+        from calcite_spark.plans import ir
+        from calcite_spark.plans.builder import RelBuilder
+        from calcite_spark.plans.materialize import parse_agg_call
+        from calcite_spark.plans.rewrite import default_program
+
+        sel = [s.strip() for s in self._split_top_commas(m.group("sel"))]
+        b = RelBuilder(self.catalog)
+        b.scan(m.group("t"))
+        if m.group("w"):
+            b.filter(m.group("w").strip())
+        if m.group("gb"):
+            keys = [k.strip() for k in m.group("gb").split(",")]
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+                return None  # expression/ordinal keys: not liftable
+            calls = [s for s in sel if s not in keys]
+            if [s for s in sel if s in keys] != keys or any(
+                parse_agg_call(c) is None for c in calls
+            ):
+                return None
+            b.aggregate(keys, calls)
+        elif sel != ["*"]:
+            b.project(*sel)
+        ob = m.group("ob")
+        if ob is not None:
+            okeys = [k.strip() for k in ob.split(",")]
+            if not all(self._ORDER_KEY_RE.match(k) for k in okeys):
+                return None  # ordinals/expressions: SQL semantics differ
+            b.sort_limit(okeys, fetch=int(m.group("lim")) if m.group("lim") else None)
+        elif m.group("lim"):
+            b.limit(int(m.group("lim")))
+        plan = default_program(self.catalog).run(b.build())
+        # fall back verbatim unless a materialization actually entered
+        scans, stack = set(), [plan]
+        while stack:
+            n = stack.pop()
+            stack.extend(n.inputs)
+            if isinstance(n, ir.Scan):
+                scans.add(n.table)
+        if not scans & set(reg.mvs):
+            return None
+        return plan.to_df(self.catalog)
 
     # -- /*+ AGGREGATE_JOIN_TRANSPOSE */ hint --------------------------
     # ≈ Calcite's SQL hint surface (SqlHint / HintStrategyTable,

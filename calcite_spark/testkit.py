@@ -268,7 +268,13 @@ class QuidemRunner:
             out_lines.append(lines[i])
             want = d[len("!error") :].strip()
             try:
-                fe.sql(sql).collect()
+                # DDL statements must fail through the same executor
+                # that !ddl uses — spark.sql would raise its own parse
+                # error instead of the executor's semantic one
+                if re.match(r"\s*(CREATE|DROP|ANALYZE)\b", sql, re.I):
+                    self._ddl(fe).execute(sql)
+                else:
+                    fe.sql(sql).collect()
             except Exception as e:
                 if want.lower() in str(e).lower():
                     res.passed += 1

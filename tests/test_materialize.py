@@ -954,3 +954,166 @@ def test_interval_partition_property():
                 assert hits == (1 if in_q else 0), (q, m, x, pieces)
             if _interval_contains(m, q):
                 assert all(member(m, x) or not member(q, x) for x in range(-2, 10))
+
+
+# ---------------------------------------------------------------------
+# r8 SPF (raw-row slice / projection index) tier
+# ≈ server's non-aggregate CREATE MATERIALIZED VIEW +
+# MaterializedViewFilterScanRule / OnlyFilter / ProjectFilter rules
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spf_catalog(spark):
+    from calcite_spark.catalog import Catalog as _Cat
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mvspf_")
+    reg.define_spf(
+        cat, "spf_hot", "orders", f"{tmp}/spf_hot",
+        predicate="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    reg.define_spf(
+        cat, "spf_idx", "customer", f"{tmp}/spf_idx",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        renames=["k", "seg", "bal"],
+    )
+    return cat, reg
+
+
+def test_spf_contained_serves_any_shape(spark, spf_catalog):
+    """The slice holds RAW rows, so a contained range serves shapes the
+    aggregate tier refuses — here COUNT(DISTINCT)."""
+    cat, _ = spf_catalog
+    filt = "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(filt)
+        .aggregate(
+            ["o_orderpriority"],
+            ["COUNT(DISTINCT o_custkey) AS nd", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    assert df.inputFiles() and all("spf_hot" in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders").filter(filt).groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("nd"), F.count("*").alias("n"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_spf_union_compensation(spark, spf_catalog):
+    """Overlapping range: covered rows from the tile UNION ALL residual
+    rows from base — raw-row union, bit-identical values."""
+    cat, _ = spf_catalog
+    filt = "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'"
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(filt)
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n", "SUM(o_orderkey) AS sk"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any("spf_hot" in f for f in files)
+    assert any("/orders.parquet" in f for f in files)
+    direct = (
+        cat.table("orders").filter(filt).groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("sk"))
+    )
+    assert _rows(df) == _rows(direct)
+
+
+def test_spf_projection_index_with_renames(spark, spf_catalog):
+    """Column-subset tile with a DDL alias list: queries in BASE names
+    ride the index via the restore projection; a query needing an
+    unstored column must not."""
+    cat, _ = spf_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("customer")
+        .project("c_mktsegment", "c_acctbal * 2 AS dbl")
+        .to_df()
+    )
+    assert df.inputFiles() and all("spf_idx" in f for f in df.inputFiles())
+    direct = cat.table("customer").selectExpr("c_mktsegment", "c_acctbal * 2 AS dbl")
+    assert _rows(df) == _rows(direct)
+    df2 = (
+        RelBuilder(cat)
+        .scan("customer")
+        .project("c_mktsegment", "c_name")
+        .to_df()
+    )
+    assert all("spf_idx" not in f for f in df2.inputFiles())
+
+
+def test_spf_disjoint_and_unfiltered_no_rewrite(spark, spf_catalog):
+    cat, _ = spf_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("spf_hot" not in f for f in df.inputFiles())
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("spf_hot" not in f for f in df2.inputFiles())
+
+
+def test_spf_define_refusals(spark, tmp_path):
+    from calcite_spark.catalog import Catalog as _Cat
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    with pytest.raises(ValueError, match="ONE column"):
+        reg.define_spf(
+            cat, "spfbad", "orders", str(tmp_path / "spfbad"),
+            predicate="o_orderstatus <> 'F'",
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        reg.define_spf(
+            cat, "spfbad2", "orders", str(tmp_path / "spfbad2"),
+            columns=["nope"],
+        )
+    with pytest.raises(ValueError, match="same degree"):
+        reg.define_spf(
+            cat, "spfbad3", "orders", str(tmp_path / "spfbad3"),
+            columns=["o_orderkey", "o_custkey"], renames=["a"],
+        )
+
+
+def test_spf_incremental_refresh_appends_slice(spark, tmp_path):
+    """SPF maintenance is an APPEND of the delta's in-slice rows —
+    out-of-slice appends must not leak in."""
+    from calcite_spark.catalog import Catalog as _Cat
+
+    base = str(tmp_path / "base")
+    spark.sql(
+        "SELECT id AS k, CAST(id % 5 AS BIGINT) AS v FROM range(40)"
+    ).write.parquet(base)
+    cat = _Cat(spark)
+    cat.register("t", base)
+    reg = MaterializationRegistry()
+    mv = reg.define_spf(cat, "spf_inc", "t", str(tmp_path / "spf_inc"), predicate="k >= 20")
+    spark.sql(
+        "SELECT id + 40 AS k, CAST(7 AS BIGINT) AS v FROM range(6)"
+    ).write.mode("append").parquet(base)
+    spark.sql(
+        "SELECT id AS k, CAST(9 AS BIGINT) AS v FROM range(3)"
+    ).write.mode("append").parquet(base)  # below the slice
+    out = reg.incremental_refresh(cat, "spf_inc")
+    assert out["refreshed"] and out["delta_files"] >= 1
+    got = sorted(tuple(r) for r in spark.read.parquet(mv.path).collect())
+    exp = sorted(
+        tuple(r) for r in spark.read.parquet(base).filter("k >= 20").collect()
+    )
+    assert got == exp
