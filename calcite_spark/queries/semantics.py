@@ -1122,3 +1122,76 @@ def qx40_mv_union_rewrite(spark, sf_dir):
     return df.selectExpr(
         "o_orderpriority", "ROUND(sum_price, 2) AS sum_price", "n_rows"
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx41_mv_spf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "spf", "rewrite", "mv", "filtered"),
+)
+def qx41_mv_spf(spark, sf_dir):
+    """SPF (raw-row slice) materialization rewrite (r8; ≈ the server's
+    non-aggregate CREATE MATERIALIZED VIEW + rel/rules/materialize/
+    MaterializedViewOnlyFilterRule.java / MaterializedViewFilterScanRule
+    over a filter-only defining plan): the tile stores RAW orders rows
+    from 1997 onward — no aggregate — so substitution is shape-agnostic.
+    The query aggregates COUNT(DISTINCT o_custkey) over an OVERLAPPING
+    range (1996-07 onward): exactly the shape the aggregate-tile tier
+    must refuse (DISTINCT does not decompose into partial/merge, and a
+    customer active in both ranges must count once). The SPF rewrite
+    fires at the Filter node instead: tile rows for the covered range
+    [1997, inf) UNION ALL base rows for the residual [1996-07, 1997),
+    and the untouched aggregate above the raw-row union is exact by
+    construction. The oracle is the PLAIN filtered aggregate: values
+    must be invariant. Input files are asserted to include BOTH the
+    tile and the base table. 100 TB: this is the hot-partition replica
+    — last-N-days raw rows rewritten small — serving ad-hoc DISTINCT /
+    window / join queries over the recent window that no aggregate
+    tile can, while historical residuals stay partition-pruned."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define_spf(
+        cat,
+        "qx41_slice",
+        "orders",
+        tempfile.mkdtemp(prefix="qx41_mv_") + "/qx41_slice",
+        predicate="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(
+            ["o_orderpriority"],
+            ["COUNT(DISTINCT o_custkey) AS n_cust", "COUNT(*) AS n_rows",
+             "SUM(o_totalprice) AS sum_price"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("/orders.parquet" in f for f in files)
+    ):
+        # the driver row is EVIDENCE for the rewrite; a plain base scan
+        # (or a wrong all-tile plan) would fail here before values
+        raise RuntimeError("SPF slice substitution did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "n_cust", "n_rows",
+        "ROUND(sum_price, 2) AS sum_price",
+    ).orderBy("o_orderpriority")
