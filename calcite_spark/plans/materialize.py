@@ -84,20 +84,33 @@ def parse_agg_call(call: str):
 # ---------------------------------------------------------------------
 
 _CMP_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*(.+?)\s*$")
-_BETWEEN_RE = re.compile(
-    r"^\s*([A-Za-z_]\w*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$", re.I
+# a literal as BETWEEN's operands may contain an AND-free form only —
+# matched BEFORE conjunct splitting, which would otherwise consume
+# BETWEEN's own AND (review r8: the post-split branch was unreachable)
+_LIT_PAT = r"(?:(?:DATE|TIMESTAMP)\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)"
+_BETWEEN_SUB_RE = re.compile(
+    rf"\b([A-Za-z_]\w*)\s+BETWEEN\s+({_LIT_PAT})\s+AND\s+({_LIT_PAT})", re.I
 )
 _LIT_RES = (
     ("date", re.compile(r"^(?:DATE|TIMESTAMP)\s*'([^']*)'$", re.I)),
     ("str", re.compile(r"^'([^']*)'$")),
     ("num", re.compile(r"^-?\d+(?:\.\d+)?$")),
 )
+# lexical order == chronological order ONLY for zero-padded ISO text
+# with a uniform separator; Spark accepts DATE '1997-9-01', whose
+# lexical order is WRONG ('1997-9' > '1997-10') — a false containment
+# proof silently drops rows, so non-canonical forms refuse (review r8)
+_ISO_CANON_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}(?: \d{2}:\d{2}:\d{2}(?:\.\d+)?)?$"
+)
 
 
 def _parse_lit(text: str):
     """→ (kind, comparable_value, sql_text) or None. ISO date/timestamp
     and plain ASCII strings compare lexically = their SQL order; numbers
-    via Decimal (exact, no float round-trip)."""
+    via Decimal (exact, no float round-trip). Date/timestamp text must
+    be canonical zero-padded ISO or the lexical≡chronological premise
+    breaks — anything else returns None (disqualifies the rewrite)."""
     text = text.strip()
     for kind, rx in _LIT_RES:
         m = rx.match(text)
@@ -106,6 +119,8 @@ def _parse_lit(text: str):
                 from decimal import Decimal
 
                 return ("num", Decimal(text), text)
+            if kind == "date" and not _ISO_CANON_RE.match(m.group(1)):
+                return None
             return (kind, m.group(1), text)
     return None
 
@@ -182,39 +197,43 @@ def _parse_interval(cond: str):
     Column-on-the-left forms only; `<>`, OR, and mixed columns bail."""
     from calcite_spark.plans.rewrite import _split_conjuncts
 
+    if re.search(r"(?i)\bNOT\s+BETWEEN\b", cond):
+        return None
+    # BETWEEN expands to two comparisons BEFORE splitting — the
+    # splitter would otherwise consume BETWEEN's own AND and hand the
+    # loop unparseable halves (review r8: this branch was dead code).
+    # Quote-parity guard: a BETWEEN-shaped substring INSIDE a string
+    # literal is data; rewriting it would corrupt the literal.
+    _orig = cond
+
+    def _between_repl(m):
+        if _orig.count("'", 0, m.start()) % 2 == 1:
+            return m.group(0)
+        return f"{m.group(1)} >= {m.group(2)} AND {m.group(1)} <= {m.group(3)}"
+
+    cond = _BETWEEN_SUB_RE.sub(_between_repl, cond)
     col = kind = None
     iv = _Interval()
     for c in _split_conjuncts(cond):
-        m = _BETWEEN_RE.match(c)
-        if m:
-            name, lits = m.group(1), (m.group(2), m.group(3))
-            bounds = [_parse_lit(t) for t in lits]
-            if None in bounds:
-                return None
-            this = _Interval(
-                (bounds[0][1], bounds[0][2]), True, (bounds[1][1], bounds[1][2]), True
-            )
-            this_kind = bounds[0][0] if bounds[0][0] == bounds[1][0] else None
+        m = _CMP_RE.match(c)
+        if not m:
+            return None
+        name, op, lit_text = m.groups()
+        lit = _parse_lit(lit_text)
+        if lit is None:
+            return None
+        this_kind, val, sql = lit
+        b = (val, sql)
+        if op == "=":
+            this = _Interval(b, True, b, True)
+        elif op == ">=":
+            this = _Interval(lo=b, lo_incl=True)
+        elif op == ">":
+            this = _Interval(lo=b, lo_incl=False)
+        elif op == "<=":
+            this = _Interval(hi=b, hi_incl=True)
         else:
-            m = _CMP_RE.match(c)
-            if not m:
-                return None
-            name, op, lit_text = m.groups()
-            lit = _parse_lit(lit_text)
-            if lit is None:
-                return None
-            this_kind, val, sql = lit
-            b = (val, sql)
-            if op == "=":
-                this = _Interval(b, True, b, True)
-            elif op == ">=":
-                this = _Interval(lo=b, lo_incl=True)
-            elif op == ">":
-                this = _Interval(lo=b, lo_incl=False)
-            elif op == "<=":
-                this = _Interval(hi=b, hi_incl=True)
-            else:
-                this = _Interval(hi=b, hi_incl=False)
+            this = _Interval(hi=b, hi_incl=False)
         if this_kind is None or (kind is not None and this_kind != kind):
             return None
         if col is not None and name != col:
@@ -631,21 +650,14 @@ class MaterializationRegistry:
         same table set + edge set — or a SUPERSET whose extra dimension
         tables peel away along declared FK → unique-key edges
         (MaterializedViewJoinRule's referential-constraint walk). The
-        rollup / filter compensation tier is shared."""
-        # SPF tiers fire at the Filter/Project nodes themselves — being
-        # bottom-up, a rewritten slice scan then serves ANY shape above
-        # (aggregate, window, join input). Full-column SPF MVs rewrite
-        # blind at the Filter; column-subset ones only where the needed
-        # columns are visible (a Project top).
-        if isinstance(node, ir.Filter) and isinstance(node.inputs[0], ir.Scan):
-            return self._spf_filter_substitute(node, catalog)
-        if isinstance(node, ir.Project) and node.inputs:
-            pchild = node.inputs[0]
-            if isinstance(pchild, ir.Scan) or (
-                isinstance(pchild, ir.Filter)
-                and isinstance(pchild.inputs[0], ir.Scan)
-            ):
-                return self._spf_project_substitute(node, catalog)
+        rollup / filter compensation tier is shared.
+
+        The SPF tiers live in substitute_spf, a SEPARATE rule that runs
+        in the bottom-up visit AFTER this rule's top-down pre-pass
+        (review r8): a blind full-column slice rewrite at Filter(Scan)
+        must not preempt a 3-6-orders-smaller aggregate tile serving
+        the Aggregate above — aggregate tiers get first claim, SPF
+        serves whatever shapes remain."""
         if not isinstance(node, ir.Aggregate) or node.group_type != "SIMPLE":
             return None
         child = node.inputs[0]
@@ -686,6 +698,25 @@ class MaterializationRegistry:
                     rewritten = self._try_rewrite(node, filt, mv)
             if rewritten is not None:
                 return rewritten
+        return None
+
+    def substitute_spf(self, node, catalog):
+        """SPF tiers fire at the Filter/Project nodes themselves — a
+        rewritten slice scan then serves ANY shape above (aggregate,
+        window, join input). Full-column SPF MVs rewrite blind at the
+        Filter; column-subset ones only where the needed columns are
+        visible (a Project top). Runs as its own bottom-up rule AFTER
+        the aggregate tiers' top-down pre-pass, so it never preempts a
+        cheaper aggregate-tile rewrite (review r8)."""
+        if isinstance(node, ir.Filter) and isinstance(node.inputs[0], ir.Scan):
+            return self._spf_filter_substitute(node, catalog)
+        if isinstance(node, ir.Project) and node.inputs:
+            pchild = node.inputs[0]
+            if isinstance(pchild, ir.Scan) or (
+                isinstance(pchild, ir.Filter)
+                and isinstance(pchild.inputs[0], ir.Scan)
+            ):
+                return self._spf_project_substitute(node, catalog)
         return None
 
     def _join_match(self, mv, q_tables, q_edges, catalog) -> bool:

@@ -25,19 +25,39 @@ class Rule:
 
     name: str
     transform: Callable
+    # top_down rules run in a root-before-children pre-pass each
+    # iteration, ahead of the bottom-up visit — for rules that must
+    # claim a PARENT pattern before a child-level rule rewrites the
+    # pattern's leaves out from under it (MV aggregate tiers vs the
+    # SPF slice tier, review r8)
+    top_down: bool = False
 
 
 class HepProgram:
     """Apply rules bottom-up until fixpoint (bounded) ≈ HepPlanner with
-    HepMatchOrder.BOTTOM_UP."""
+    HepMatchOrder.BOTTOM_UP (plus a TOP_DOWN pre-pass for rules that
+    request it, ≈ HepMatchOrder.TOP_DOWN)."""
 
     def __init__(self, rules: list[Rule], max_passes: int = 10):
-        self.rules = rules
+        self.rules = [r for r in rules if not r.top_down]
+        self.td_rules = [r for r in rules if r.top_down]
         self.max_passes = max_passes
 
     def run(self, plan: ir.RelNode, catalog=None) -> ir.RelNode:
         for _ in range(self.max_passes):
             changed = False
+
+            def visit_td(node):
+                nonlocal changed
+                for rule in self.td_rules:
+                    replaced = rule.transform(node, catalog)
+                    if replaced is not None and replaced is not node:
+                        changed = True
+                        node = replaced
+                new_inputs = [visit_td(c) for c in node.inputs]
+                if list(new_inputs) != list(node.inputs):
+                    node = node.with_inputs(new_inputs)
+                return node
 
             def visit(node):
                 nonlocal changed
@@ -48,6 +68,8 @@ class HepProgram:
                         return replaced
                 return None
 
+            if self.td_rules:
+                plan = visit_td(plan)
             plan = plan.accept(visit)
             if not changed:
                 break
@@ -145,6 +167,16 @@ def _materialized_view_substitute(node, catalog):
     if registry is None:
         return None
     return registry.substitute(node, catalog)
+
+
+def _materialized_view_spf_substitute(node, catalog):
+    """The SPF (raw-row slice / projection-index) tier, split from the
+    aggregate tiers so it runs bottom-up AFTER their top-down pre-pass
+    (≈ MaterializedViewFilterScanRule / OnlyFilter / OnlyProject)."""
+    registry = getattr(catalog, "mv_registry", None)
+    if registry is None:
+        return None
+    return registry.substitute_spf(node, catalog)
 
 
 # -- transitive predicate inference ----------------------------------
@@ -1575,8 +1607,11 @@ DEFAULT_RULES = [
     # MV substitution runs BEFORE join reordering / agg-join transpose:
     # an Aggregate(Join) answered by a tile must become a tile scan, not
     # a (cheaper-but-still-live) transposed join — and the r8 join-MV
-    # tier unifies against the ORIGINAL join subtree
-    Rule("MaterializedViewSubstitution", _materialized_view_substitute),
+    # tier unifies against the ORIGINAL join subtree. TOP-DOWN so the
+    # aggregate tiers claim their Aggregate before the SPF tier's
+    # Filter-level rewrite dissolves the pattern underneath (review r8)
+    Rule("MaterializedViewSubstitution", _materialized_view_substitute, top_down=True),
+    Rule("MaterializedViewSPFSubstitution", _materialized_view_spf_substitute),
     Rule("JoinOrderStats", _join_order_stats),
     Rule("AggregateJoinTranspose", _aggregate_join_transpose),
     # after MV substitution (an Aggregate(Union) a tile could answer

@@ -340,10 +340,10 @@ class DdlExecutor:
         reg = self.catalog.mv_registry
         if group_by is not None:
             if aliases is not None:
-                raise ValueError(
-                    "column alias lists are not supported on aggregate "
-                    "materializations — alias the SELECT items instead"
-                )
+                # the generic path materializes alias lists fine via
+                # toDF(*aliases); it just isn't substitutable (review
+                # r8: raising here refused a DDL the reference accepts)
+                return None
             keys = [k.strip() for k in group_by.split(",")]
             calls = []
             for item in _split_top_level(select_list):
@@ -351,6 +351,11 @@ class DdlExecutor:
                 if item in keys:
                     continue
                 calls.append(item)
+            if not calls:
+                # pure-DISTINCT MV (GROUP BY, zero aggregate calls):
+                # valid DDL, materialize via the generic path rather
+                # than crash in define() (review r8)
+                return None
             if any(parse_agg_call(c) is None for c in calls):
                 return None  # e.g. AVG: materializable, not rewritable
             if where is not None and _parse_interval(where)[0] not in keys:

@@ -1873,11 +1873,34 @@ class SqlFrontend:
             if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
                 return None  # expression/ordinal keys: not liftable
             calls = [s for s in sel if s not in keys]
+            if not calls:
+                # zero aggregate calls (pure-DISTINCT GROUP BY): the IR
+                # Aggregate can't lower an empty call list (review r8)
+                return None
             if [s for s in sel if s in keys] != keys or any(
                 parse_agg_call(c) is None for c in calls
             ):
                 return None
             b.aggregate(keys, calls)
+            # the IR Aggregate emits keys-then-calls; restore the
+            # statement's SELECT-list order so a substituted query
+            # returns the same columns in the same positions as
+            # spark.sql would (review r8)
+            out_order = []
+            for s in sel:
+                if s in keys:
+                    out_order.append(s)
+                else:
+                    am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", s)
+                    if am is None:
+                        # unaliased aggregate: spark.sql's auto-name
+                        # differs from the IR's — fall back verbatim
+                        return None
+                    out_order.append(am.group(1))
+            if out_order != list(keys) + [
+                o for s, o in zip(sel, out_order) if s not in keys
+            ]:
+                b.project(*out_order)
         elif sel != ["*"]:
             b.project(*sel)
         ob = m.group("ob")
@@ -1888,15 +1911,23 @@ class SqlFrontend:
             b.sort_limit(okeys, fetch=int(m.group("lim")) if m.group("lim") else None)
         elif m.group("lim"):
             b.limit(int(m.group("lim")))
-        plan = default_program(self.catalog).run(b.build())
-        # fall back verbatim unless a materialization actually entered
-        scans, stack = set(), [plan]
-        while stack:
-            n = stack.pop()
-            stack.extend(n.inputs)
-            if isinstance(n, ir.Scan):
-                scans.add(n.table)
-        if not scans & set(reg.mvs):
+        def _scan_tables(root):
+            scans, stack = set(), [root]
+            while stack:
+                n = stack.pop()
+                stack.extend(n.inputs)
+                if isinstance(n, ir.Scan):
+                    scans.add(n.table)
+            return scans
+
+        built = b.build()
+        pre_scans = _scan_tables(built)
+        plan = default_program(self.catalog).run(built)
+        # fall back verbatim unless a materialization actually ENTERED
+        # the plan — an MV the statement scans by name directly is not
+        # a substitution, and routing it through the lift would expose
+        # the lift's strictness to plain SELECTs over MVs (review r8)
+        if not (_scan_tables(plan) - pre_scans) & set(reg.mvs):
             return None
         return plan.to_df(self.catalog)
 

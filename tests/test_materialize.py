@@ -1117,3 +1117,132 @@ def test_spf_incremental_refresh_appends_slice(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(base).filter("k >= 20").collect()
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------
+# r8 second-wave review regression pins: BETWEEN / literal canon in the
+# interval prover, DDL generic fallbacks, frontend-lift fidelity, and
+# SPF-vs-aggregate-tile precedence
+# ---------------------------------------------------------------------
+
+
+def test_parse_interval_between_and_literal_canon():
+    from calcite_spark.plans.materialize import _parse_interval, _parse_lit
+
+    col, kind, iv = _parse_interval(
+        "o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'"
+    )
+    assert col == "o_orderdate" and kind == "date"
+    assert iv.lo[0] == "1997-01-01" and iv.hi[0] == "1997-12-31"
+    assert iv.lo_incl and iv.hi_incl
+    assert _parse_interval("k BETWEEN 1 AND 5") is not None
+    # NOT BETWEEN is a disjunction — must refuse, not misparse
+    assert _parse_interval("k NOT BETWEEN 1 AND 5") is None
+    # BETWEEN-shaped text INSIDE a string literal is data
+    p = _parse_interval("c = 'x BETWEEN 1 AND 2'")
+    assert p is not None and p[2].lo[0] == "x BETWEEN 1 AND 2"
+    # Spark accepts non-padded date literals whose LEXICAL order lies
+    # ('1997-9' > '1997-10'): the prover must refuse them outright or a
+    # false containment proof silently drops rows
+    assert _parse_lit("DATE '1997-9-01'") is None
+    assert _parse_interval("d >= DATE '1997-9-01'") is None
+    assert _parse_lit("TIMESTAMP '1997-09-01 00:00:00'") is not None
+    assert _parse_lit("TIMESTAMP '1997-09-01T00:00:00'") is None
+
+
+def _surface(spark, tmp_path):
+    from calcite_spark.catalog import Catalog as _Cat
+    from calcite_spark.sql.ddl import DdlExecutor
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = _Cat(spark).register_parquet_dir(SF_DIR)
+    fe = SqlFrontend(cat)
+    return cat, fe, DdlExecutor(fe, str(tmp_path / "wh"))
+
+
+def test_ddl_generic_fallbacks_do_not_crash(spark, tmp_path):
+    """Pure-DISTINCT GROUP BY and alias-listed aggregate MVs are valid
+    DDL: they materialize via the generic (non-substitutable) path
+    instead of crashing / refusing (review r8)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW dk AS "
+        "SELECT c_nationkey FROM customer GROUP BY c_nationkey"
+    )
+    assert r["materialized_view"] == "dk" and r["substitutable"] is False
+    exp = cat.table("customer").select("c_nationkey").distinct().count()
+    assert cat.table("dk").count() == exp
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW m2 (k, n) AS SELECT c_nationkey, "
+        "COUNT(*) AS n FROM customer GROUP BY c_nationkey"
+    )
+    assert r["substitutable"] is False
+    assert cat.table("m2").columns == ["k", "n"]
+
+
+def test_frontend_lift_fidelity(spark, tmp_path):
+    """The simple-SELECT lift must be invisible: same columns in the
+    same order as spark.sql, no crash on zero-aggregate GROUP BY, and
+    a direct FROM <mv> scan is NOT a substitution (review r8)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW cust_tile AS SELECT c_nationkey, "
+        "SUM(c_acctbal) AS sum_bal, COUNT(*) AS n_cust "
+        "FROM customer GROUP BY c_nationkey"
+    )
+    # zero-aggregate GROUP BY: falls back verbatim, returns rows
+    df = fe.sql("SELECT c_nationkey FROM customer GROUP BY c_nationkey")
+    assert df.count() == cat.table("customer").select(
+        "c_nationkey"
+    ).distinct().count()
+    # aggregate-first SELECT order survives substitution
+    df = fe.sql(
+        "SELECT SUM(c_acctbal) AS sum_bal, c_nationkey "
+        "FROM customer GROUP BY c_nationkey"
+    )
+    assert df.columns == ["sum_bal", "c_nationkey"]
+    assert any("cust_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("customer")
+        .groupBy("c_nationkey")
+        .agg(F.sum("c_acctbal").alias("sum_bal"))
+        .select("sum_bal", "c_nationkey")
+    )
+    assert _rows(df) == _rows(direct)
+    # FROM <mv-name> directly: verbatim spark.sql, not the lift
+    df = fe.sql(
+        "SELECT SUM(n_cust) AS s, c_nationkey FROM cust_tile "
+        "GROUP BY c_nationkey"
+    )
+    assert df.columns == ["s", "c_nationkey"]
+    assert df.count() == cat.table("cust_tile").count()
+
+
+def test_spf_does_not_preempt_aggregate_tile(spark, tmp_path):
+    """A blind full-column SPF slice must not claim the Filter under an
+    Aggregate a far smaller aggregate tile can serve: the aggregate
+    tiers run in a top-down pre-pass and win (review r8)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute("CREATE MATERIALIZED VIEW ord_raw AS SELECT * FROM orders")
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW ord_agg AS SELECT o_orderdate, "
+        "o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS tot "
+        "FROM orders GROUP BY o_orderdate, o_orderpriority"
+    )
+    df = fe.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate >= DATE '1995-06-01' GROUP BY o_orderpriority"
+    )
+    files = df.inputFiles()
+    assert any("ord_agg" in f for f in files), files
+    assert not any("ord_raw" in f for f in files), files
+    ref = (
+        cat.table("orders")
+        .filter("o_orderdate >= DATE '1995-06-01'")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(df) == _rows(ref)
+    # SPF still serves the shapes the aggregate tiers cannot
+    df2 = fe.sql("SELECT * FROM orders WHERE o_orderdate >= DATE '1995-06-01'")
+    assert any("ord_raw" in f for f in df2.inputFiles())
