@@ -367,7 +367,10 @@ _reg(
     "position/occurrence/matchType tier (std_regex dispatch)",
 )
 _reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
-_reg("REGEXP_LIKE", "{0} RLIKE {1}", (2,), libs=(MYSQL, ORACLE, SPARK), kind="predicate")
+# SqlLibraryOperators.java:713-718: {SPARK, MYSQL, POSTGRESQL, ORACLE},
+# STRING_STRING_OPTIONAL_STRING — the 3-arg matchType form routes
+# through std_regex.regexp_like (makeRegexpFlags → inline-flag prefix)
+_reg("REGEXP_LIKE", "{0} RLIKE {1}", (2, 3), libs=(MYSQL, ORACLE, SPARK, POSTGRESQL), kind="predicate")
 _reg("CONTAINS_SUBSTR", "contains({0}, {1})", (2,), libs=(BIG_QUERY,))
 _reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL))
 
@@ -513,14 +516,58 @@ _reg(
 _reg("CARDINALITY", "size({0})", (1,))
 _reg("ELEMENT", "CASE WHEN size({0}) = 1 THEN element_at({0}, 1) END", (1,), note="SINGLE-element multiset extract; null if not singleton (Calcite raises)")
 _reg("MEMBER OF", "array_contains({1}, {0})", (2,), kind="predicate")
-_reg("MULTISET_UNION", "concat({0}, {1})", (2,), note="bag union = concat")
+# MULTISET set-ops: ALL is the parse default (SqlStdOperatorTable.java:
+# 140-175 — "MULTISET UNION [ALL]"); runtime semantics mirror
+# SqlFunctions.java:7463-7556. The ALL variants preserve the first
+# operand's element order and consume per-occurrence counts exactly as
+# the reference's LinkedList remove() loops do; the occurrence-indexed
+# filter ((x, i) -> count-in-prefix vs count-in-other) is the
+# order-preserving bag algebra, JVM-side. DISTINCT variants use Spark's
+# array_* builtins (first-occurrence order; the reference's HashSet
+# iteration order is unspecified, so order there is not a contract).
+_reg("MULTISET_UNION", "concat({0}, {1})", (2,), note="bag union ALL = concat (multisetUnionAll)")
+_reg("MULTISET_UNION_DISTINCT", "array_distinct(concat({0}, {1}))", (2,))
 _reg(
     "MULTISET_INTERSECT",
-    "array_remove(transform({0}, x -> CASE WHEN array_contains({1}, x) THEN x END), NULL)",
+    "IF({0} IS NULL OR {1} IS NULL, NULL, "
+    "filter({0}, (x, i) -> size(filter(slice({0}, 1, i + 1), y -> y <=> x))"
+    " <= size(filter({1}, y -> y <=> x))))",
     (2,),
-    note="bag intersect approximation (set-correct; bag counts need expr macro)",
+    note="bag intersect ALL: keep c1's first min(n1,n2) occurrences (multisetIntersectAll)",
 )
-_reg("MULTISET_EXCEPT", "array_except({0}, {1})", (2,), note="set semantics; bag variant via macro")
+_reg("MULTISET_INTERSECT_DISTINCT", "array_intersect({0}, {1})", (2,))
+_reg(
+    "MULTISET_EXCEPT",
+    "IF({0} IS NULL OR {1} IS NULL, NULL, "
+    "filter({0}, (x, i) -> size(filter(slice({0}, 1, i + 1), y -> y <=> x))"
+    " > size(filter({1}, y -> y <=> x))))",
+    (2,),
+    note="bag except ALL: remove c2's count of earliest occurrences (multisetExceptAll)",
+)
+_reg("MULTISET_EXCEPT_DISTINCT", "array_except({0}, {1})", (2,))
+# postfix IS predicates (SqlStdOperatorTable.java:851-884) — the babel
+# spark.iq corpus pins IS A SET over a NULL multiset to FALSE, so the
+# IS_* family is never-null (COALESCE false) and IS_NOT_* negates
+_reg("IS_EMPTY", "COALESCE(size({0}) = 0, FALSE)", (1,), kind="predicate")
+_reg("IS_NOT_EMPTY", "COALESCE(size({0}) <> 0, TRUE)", (1,), kind="predicate")
+_reg("IS_A_SET", "COALESCE(size({0}) = size(array_distinct({0})), FALSE)", (1,), kind="predicate")
+_reg("IS_NOT_A_SET", "COALESCE(size({0}) <> size(array_distinct({0})), TRUE)", (1,), kind="predicate")
+# SUBMULTISET OF keeps STRICT null propagation (the corpus's NULL row
+# prints blank): forall() naturally yields NULL when either side is
+_reg(
+    "SUBMULTISET_OF",
+    "forall(array_distinct({0}), e -> size(filter({0}, x -> x <=> e))"
+    " <= size(filter({1}, x -> x <=> e)))",
+    (2,),
+    kind="predicate",
+)
+_reg(
+    "NOT_SUBMULTISET_OF",
+    "NOT (forall(array_distinct({0}), e -> size(filter({0}, x -> x <=> e))"
+    " <= size(filter({1}, x -> x <=> e))))",
+    (2,),
+    kind="predicate",
+)
 _reg("ITEM", "element_at({0}, {1})", (2,))
 _reg("OFFSET", "element_at({0}, {1} + 1)", (2,), libs=(BIG_QUERY,), note="0-based")
 _reg("ORDINAL", "element_at({0}, {1})", (2,), libs=(BIG_QUERY,))
@@ -628,7 +675,10 @@ _reg("CODE_POINTS_TO_STRING", "concat_ws('', transform({0}, c -> char(c)))", (1,
 _reg("BASE64", "base64({0})", (1,), libs=(MYSQL,))
 _reg("UN_BASE64", "unbase64({0})", (1,), libs=(MYSQL,))
 # predicates / operators
-_reg("REGEXP", "{0} RLIKE {1}", (2,), libs=(MYSQL,), kind="predicate")
+# SqlLibraryOperators.java:707-711: REGEXP is {SPARK, HIVE} in the
+# reference (babel spark.iq exercises it); MYSQL's infix REGEXP
+# operator lowers to the same RLIKE
+_reg("REGEXP", "{0} RLIKE {1}", (2,), libs=(SPARK, HIVE, MYSQL), kind="predicate")
 _reg("NOT_RLIKE", "NOT ({0} RLIKE {1})", (2,), libs=(MYSQL,), kind="predicate")
 _reg("NOT_ILIKE", "NOT ({0} ILIKE {1})", (2,), libs=(POSTGRESQL,), kind="predicate")
 _reg("NULL_SAFE_EQUAL", "{0} <=> {1}", (2,), libs=(MYSQL,), kind="predicate")
@@ -932,6 +982,10 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         from calcite_spark.functions.std_regex import std_regexp_replace
 
         return std_regexp_replace(args)
+    if fn.name == "REGEXP_LIKE" and len(args) == 3:
+        from calcite_spark.functions.std_regex import regexp_like
+
+        return regexp_like(args)
     if fn.name == "REGEXP_INSTR":
         import re as _re
 

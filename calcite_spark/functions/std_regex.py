@@ -261,3 +261,27 @@ def regexp_instr(args, fn_name: str = "REGEXP_INSTR") -> str:
         f"WHEN {src} RLIKE {_sql_str(wrapped)} "
         f"THEN CAST({base} + {pos} AS INT) ELSE 0 END"
     )
+
+
+def regexp_like(args, fn_name: str = "REGEXP_LIKE") -> str:
+    """REGEXP_LIKE(value, regexp, matchType) ≈ SqlFunctions.regexpLike
+    (runtime/SqlFunctions.java:621-628): Matcher.find() under
+    makeRegexpFlags — lowered to Spark's RLIKE (also a find()) with an
+    inline-flag prefix. Flags process left-to-right with 'c'/'s'
+    canceling earlier 'i'/'n', exactly as makeRegexpFlags does; 'g' is
+    accepted and ignored (it is occurrence, meaningless for a
+    predicate). The matchType must be a literal — the prefix is built
+    at plan time."""
+    value, rx = args[0], args[1]
+    flags = _parse_literal(args[2], "matchType")
+    _g, ci, dotall, multiline = _parse_flags(flags)
+    prefix = ("(?i)" if ci else "") + ("(?s)" if dotall else "") + (
+        "(?m)" if multiline else ""
+    )
+    if not prefix:
+        return f"({value} RLIKE {rx})"
+    if re.match(r"^\s*'", rx):
+        pat = _parse_literal(rx, "pattern")
+        return f"({value} RLIKE {_sql_str(prefix + pat)})"
+    # non-literal pattern: prepend the flag prefix at runtime
+    return f"({value} RLIKE concat({_sql_str(prefix)}, {rx}))"
