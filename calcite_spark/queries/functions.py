@@ -190,6 +190,93 @@ def z63_multiset_ops(spark, sf_dir):
     )
 
 
+@register(
+    "qx42_multiset_bag",
+    oracle="""
+    WITH a AS (SELECT n_regionkey AS rk, n_nationkey % 4 AS v
+               FROM nation WHERE n_nationkey % 2 = 0),
+         b AS (SELECT n_regionkey AS rk, n_nationkey % 3 AS v
+               FROM nation WHERE n_nationkey < 20),
+         ca AS (SELECT rk, v, COUNT(*) AS c FROM a GROUP BY rk, v),
+         cb AS (SELECT rk, v, COUNT(*) AS c FROM b GROUP BY rk, v),
+         keys AS (SELECT rk, v FROM ca UNION SELECT rk, v FROM cb),
+         k2 AS (SELECT keys.rk, keys.v,
+                       COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+                FROM keys
+                LEFT JOIN ca ON keys.rk = ca.rk AND keys.v = ca.v
+                LEFT JOIN cb ON keys.rk = cb.rk AND keys.v = cb.v)
+    SELECT rk,
+           COALESCE(string_agg(
+               CASE WHEN c_a - c_b > 0
+                    THEN v || ':' || (c_a - c_b) END, ',' ORDER BY v), '')
+               AS except_all,
+           COALESCE(string_agg(
+               CASE WHEN LEAST(c_a, c_b) > 0
+                    THEN v || ':' || LEAST(c_a, c_b) END, ',' ORDER BY v), '')
+               AS intersect_all,
+           COALESCE(BOOL_AND(c_b <= c_a), TRUE) AS b_sub_a,
+           COALESCE(BOOL_AND(c_a <= 1), TRUE) AS a_is_set
+    FROM k2
+    GROUP BY rk
+    ORDER BY rk
+    """,
+    tags=("multiset", "array", "bag"),
+)
+def qx42_multiset_bag(spark, sf_dir):
+    """Exact multiset BAG algebra (r8 babel batch 4; ≈ SqlFunctions.java
+    multisetExceptAll:7486 / multisetIntersectAll:7472 / submultisetOf:
+    7522 / isASet:7505 and SqlStdOperatorTable's ALL-default parse): two
+    bags with genuine duplicate counts per region (nationkey mod
+    projections), combined through the REGISTERED templates
+    (registry.translate — the same lowering the SQL surface uses).
+    Results serialize as value:count CSV so the oracle can replay the
+    count arithmetic relationally (per-value count join + string_agg)
+    without list lambdas. 100 TB: occurrence-indexed HOF filters are
+    per-row JVM expressions over already-collected groups — no extra
+    shuffle beyond the one groupBy."""
+    from calcite_spark.functions import registry as freg
+
+    bagify = (
+        "array_join(transform(array_sort(array_distinct({x})), e -> "
+        "concat(CAST(e AS STRING), ':', "
+        "CAST(size(filter({x}, y -> y = e)) AS STRING))), ',')"
+    )
+    ex = freg.translate("MULTISET_EXCEPT", "a", "b")
+    ix = freg.translate("MULTISET_INTERSECT", "a", "b")
+    sub = freg.translate("SUBMULTISET_OF", "b", "a")
+    isset = freg.translate("IS_A_SET", "a")
+    return (
+        catalog_for(spark, sf_dir)
+        .table("nation")
+        .groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(
+            F.expr(
+                "sort_array(collect_list(CASE WHEN n_nationkey % 2 = 0 "
+                "THEN n_nationkey % 4 END))"
+            ).alias("a"),
+            F.expr(
+                "sort_array(collect_list(CASE WHEN n_nationkey < 20 "
+                "THEN n_nationkey % 3 END))"
+            ).alias("b"),
+        )
+        .selectExpr(
+            "rk",
+            f"{ex} AS ex_bag",
+            f"{ix} AS ix_bag",
+            f"{sub} AS b_sub_a",
+            f"{isset} AS a_is_set",
+        )
+        .selectExpr(
+            "rk",
+            f"{bagify.format(x='ex_bag')} AS except_all",
+            f"{bagify.format(x='ix_bag')} AS intersect_all",
+            "b_sub_a",
+            "a_is_set",
+        )
+        .orderBy("rk")
+    )
+
+
 # ---------------------------------------------------------------------
 # JSON functions — SqlStdOperatorTable JSON_VALUE:1655 JSON_EXISTS:1653
 # JSON_QUERY:1658 (SQL/JSON path over events.props)

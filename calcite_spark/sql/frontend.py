@@ -500,6 +500,92 @@ class SqlFrontend:
             f"WHERE __don_rn = 1 ORDER BY {outer_order}{tail_clause}"
         )
 
+    # SELECT * EXCLUDE(cols) — the Snowflake-ism the reference's babel
+    # parser accepts as an alias for star-EXCEPT ([CALCITE-7310],
+    # babel select.iq). Spark 4 natively parses `* EXCEPT (cols)`, so
+    # the macro is a rename — plus a dedup of the column list, because
+    # the reference tolerates `exclude(mgr, mgr)` where Spark raises
+    # EXCEPT_OVERLAPPING_COLUMNS.
+    _STAR_EXCLUDE_RE = re.compile(r"(?is)(\*\s*)EXCLUDE(\s*\()")
+
+    def _expand_star_exclude(self, text: str) -> str:
+        out = self._STAR_EXCLUDE_RE.sub(
+            lambda m: m.group(0)
+            if text.count("'", 0, m.start()) % 2 == 1
+            else f"{m.group(1)}EXCEPT{m.group(2)}",
+            text,
+        )
+        # dedup each EXCEPT list that the rewrite produced
+        def _dedup(m):
+            items = [i.strip() for i in self._split_top_commas(m.group(2))]
+            seen, keep = set(), []
+            for i in items:
+                k = re.sub(r"\s+", " ", i).lower()
+                if k not in seen:
+                    seen.add(k)
+                    keep.append(i)
+            return f"{m.group(1)}EXCEPT ({', '.join(keep)})"
+
+        return re.sub(
+            r"(?is)(\*\s*)EXCEPT\s*\(([^()]*)\)",
+            lambda m: m.group(0)
+            if out.count("'", 0, m.start()) % 2 == 1
+            else _dedup(m),
+            out,
+        )
+
+    # SELECT * REPLACE(expr AS col, ...) — Snowflake star-REPLACE, in
+    # the reference's babel select.iq sweep. Spark has no native form;
+    # the star expands against the catalog schema with the replaced
+    # columns substituted IN PLACE. Strict shape (bare `*`, single
+    # registered FROM table) — anything fancier refuses loudly rather
+    # than silently misplacing columns.
+    _STAR_REPLACE_RE = re.compile(
+        r"(?is)^(\s*SELECT\s+)\*\s+REPLACE\s*\((.*?)\)"
+        r"(\s+FROM\s+([A-Za-z_]\w*)\b.*)$"
+    )
+
+    def _expand_star_replace(self, text: str) -> str:
+        m = self._STAR_REPLACE_RE.match(text)
+        if m is None:
+            # not the anchored `SELECT * REPLACE(` shape — e.g. a
+            # multiplication by the REPLACE() function — leave it for
+            # Spark's parser (a qualified `e.* REPLACE(...)` will fail
+            # there with a parse error; only the bare-star single-table
+            # form is supported)
+            return text
+        table = m.group(4)
+        if table not in self.catalog.tables:
+            raise ValueError(
+                f"star REPLACE: FROM must name a registered table "
+                f"(got {table!r})"
+            )
+        repl = {}
+        for item in self._split_top_commas(m.group(2)):
+            im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip())
+            if im is None:
+                raise ValueError(
+                    f"star REPLACE: each item must be `expr AS column` "
+                    f"(got {item.strip()!r})"
+                )
+            col = im.group(2).lower()
+            if col in repl:
+                raise ValueError(
+                    f"star REPLACE: duplicate target column {im.group(2)!r}"
+                )
+            repl[col] = im.group(1).strip()
+        cols = list(self.catalog.table(table).columns)
+        missing = [c for c in repl if c not in {x.lower() for x in cols}]
+        if missing:
+            raise ValueError(
+                f"star REPLACE: unknown column(s) {missing} in {table!r}"
+            )
+        sel = ", ".join(
+            f"{repl[c.lower()]} AS {c}" if c.lower() in repl else c
+            for c in cols
+        )
+        return f"{m.group(1)}{sel}{m.group(3)}"
+
     # ARRAY[a, b] constructor (SQL-standard / PG; Calcite's
     # SqlArrayValueConstructor) → Spark array(a, b). The bracket span is
     # scanned quote- and depth-aware (review r7): a `]` inside an
@@ -1761,6 +1847,10 @@ class SqlFrontend:
         # operand grammar cannot parse ::)
         if re.search(r"\bDISTINCT\s+ON\s*\(", text, re.I):
             text = self._expand_distinct_on(text)
+        if re.search(r"\*\s*EXCLUDE\s*\(", text, re.I):
+            text = self._expand_star_exclude(text)
+        if re.search(r"\*\s*REPLACE\s*\(", text, re.I):
+            text = self._expand_star_replace(text)
         if re.search(r"\bARRAY\s*\[", text, re.I):
             text = self._expand_array_literal(text)
         if "::" in text:

@@ -886,3 +886,66 @@ def test_r8_advice_ajt_hint_literal_strip(spark):
         "GROUP BY o_orderpriority"
     )
     assert df.count() > 0
+
+
+# -- star EXCLUDE / REPLACE (babel select.iq sweep, r8 batch 4) --------
+
+
+def test_star_exclude(fe, duck):
+    """`* EXCLUDE(cols)` ≈ [CALCITE-7310] — an alias for star-EXCEPT
+    (Spark-native); the reference tolerates duplicate columns in the
+    list where Spark raises, so the macro dedups."""
+    df = fe.sql("SELECT * EXCLUDE(n_name) FROM nation ORDER BY n_nationkey")
+    assert df.columns == ["n_nationkey", "n_regionkey"]
+    dk = duck.execute(
+        "SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"
+    ).fetchall()
+    assert [tuple(r) for r in df.collect()] == dk
+    # duplicate column tolerated (select.iq:121 `exclude(..., mgr, mgr)`)
+    df = fe.sql(
+        "SELECT * EXCLUDE(n_name, n_name) FROM nation ORDER BY n_nationkey"
+    )
+    assert df.columns == ["n_nationkey", "n_regionkey"]
+    # qualified alias star (select.iq:141)
+    df = fe.sql(
+        "SELECT n.* EXCLUDE(n.n_name) FROM nation n ORDER BY n_nationkey"
+    )
+    assert df.columns == ["n_nationkey", "n_regionkey"]
+    # EXCLUDE-shaped text inside a string literal is data
+    df = fe.sql("SELECT ' * EXCLUDE(' AS lit FROM region LIMIT 1")
+    assert df.collect()[0].lit == " * EXCLUDE("
+
+
+def test_star_replace(fe, duck):
+    """`* REPLACE(expr AS col, ...)` (select.iq:283-300) — expands the
+    star against the catalog schema with replaced columns substituted
+    IN PLACE; strict single-table shape, loud refusals."""
+    df = fe.sql(
+        "SELECT * REPLACE(n_nationkey + 100 AS n_nationkey) FROM nation "
+        "WHERE n_nationkey = 3"
+    )
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    row = df.collect()[0]
+    base = duck.execute(
+        "SELECT n_nationkey + 100, n_name, n_regionkey FROM nation "
+        "WHERE n_nationkey = 3"
+    ).fetchone()
+    assert tuple(row) == base
+    # two replacements, order preserved (select.iq:294)
+    df = fe.sql(
+        "SELECT * REPLACE(upper(n_name) AS n_name, n_regionkey * 2 AS "
+        "n_regionkey) FROM nation WHERE n_nationkey = 3"
+    )
+    assert df.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    # multiplication by the REPLACE() FUNCTION is not star-replace
+    df = fe.sql(
+        "SELECT n_regionkey * length(REPLACE(n_name, 'A', '')) AS x "
+        "FROM nation WHERE n_nationkey = 3"
+    )
+    assert df.columns == ["x"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown column"):
+        fe.sql("SELECT * REPLACE(n_nationkey AS nope) FROM nation")
+    with _pt.raises(ValueError, match="expr AS column"):
+        fe.sql("SELECT * REPLACE(n_nationkey) FROM nation")
