@@ -47,7 +47,21 @@ _CREATE_TABLE_LIKE = re.compile(
     r"\s*((?:(?:INCLUDING|EXCLUDING)\s+(?:GENERATED|DEFAULTS|ALL)\s*)*)$",
     re.I,
 )
-_CREATE_TABLE_COLS = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$", re.I | re.S)
+_CREATE_TABLE_COLS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*$",
+    re.I | re.S,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?"
+    r"(VALUES\s*\(.+|SELECT\s+.+)$",
+    re.I | re.S,
+)
+# one column definition: name TYPE [AS (expr) VIRTUAL|STORED]
+# [DEFAULT expr] [NOT NULL] ≈ server SqlColumnDeclaration
+_COLDEF_GEN = re.compile(
+    r"(?is)^(.*?)\s+AS\s*\((.*)\)\s*(VIRTUAL|STORED)$"
+)
+_COLDEF_DEFAULT = re.compile(r"(?is)^(.*?)\s+DEFAULT\s+(.+)$")
 _CREATE_FOREIGN_SCHEMA = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FOREIGN\s+SCHEMA\s+(\w+)\s+"
     r"TYPE\s+'(\w+)'\s+OPTIONS\s*\((.+)\)\s*$",
@@ -99,6 +113,10 @@ class DdlExecutor:
         os.makedirs(warehouse_dir, exist_ok=True)
         if not hasattr(self.catalog, "mv_registry"):
             self.catalog.mv_registry = MaterializationRegistry()
+        # the frontend delegates INSERT statements back here so the
+        # column-modifier semantics (DEFAULT / generated / NOT NULL)
+        # can never be bypassed by Spark's native temp-view INSERT
+        frontend._ddl = self
 
     def execute(self, sql: str):
         sql = sql.strip().rstrip(";")
@@ -173,6 +191,7 @@ class DdlExecutor:
                 raise ValueError(f"{name} does not exist")
             self.catalog.tables.pop(name, None)
             self.catalog._dfs.pop(name, None)
+            self._table_meta().pop(name, None)
             if hasattr(self.catalog, "mv_registry"):
                 self.catalog.mv_registry.mvs.pop(name, None)
             self.catalog.spark.catalog.dropTempView(name)
@@ -190,7 +209,12 @@ class DdlExecutor:
             return self._create_foreign_schema(m.group(1), m.group(2).lower(), m.group(3))
         m = _CREATE_TABLE_COLS.match(sql)
         if m and not re.match(r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.I):
-            return self._create_table_cols(m.group(1), m.group(2))
+            return self._create_table_cols(
+                m.group(2), m.group(3), bool(m.group(1))
+            )
+        m = _INSERT.match(sql)
+        if m:
+            return self._insert_into(m.group(1), m.group(2), m.group(3))
         m = _CREATE_SEQUENCE.match(sql)
         if m:
             # ≈ server SqlCreateSequence over SqlSequenceValueOperator
@@ -269,23 +293,256 @@ class DdlExecutor:
         empty = self.catalog.spark.createDataFrame([], schema)
         empty.write.mode("errorifexists").parquet(path)
         self.catalog.register(name, path)
+        src_meta = self._table_meta().get(source)
+        if src_meta is not None:
+            # INCLUDING GENERATED/DEFAULTS/ALL copies the column
+            # modifiers (ServerDdlExecutor's LikeOption walk); the
+            # default is EXCLUDING — a plain LIKE copies the row type
+            # only (column order/types always carry, for INSERT)
+            flags = set()
+            mode = None
+            for tok in options:
+                if tok in ("INCLUDING", "EXCLUDING"):
+                    mode = tok
+                elif mode is not None:
+                    if tok == "ALL":
+                        for f in ("GENERATED", "DEFAULTS"):
+                            flags.add((mode, f))
+                    else:
+                        flags.add((mode, tok))
+            new_meta = {
+                "order": list(src_meta["order"]),
+                "types": dict(src_meta["types"]),
+                "defaults": {}, "generated": {},
+                "not_null": list(src_meta["not_null"]),
+            }
+            if ("INCLUDING", "GENERATED") in flags:
+                new_meta["generated"] = dict(src_meta["generated"])
+            if ("INCLUDING", "DEFAULTS") in flags:
+                new_meta["defaults"] = dict(src_meta["defaults"])
+            self._table_meta()[name] = new_meta
         return {"table": name, "like": source, "options": options}
 
-    def _create_table_cols(self, name: str, cols: str):
+    def _create_table_cols(self, name: str, cols: str, if_not_exists: bool = False):
         """CREATE TABLE with explicit columns ≈ the MutableArrayTable
         branch (:427 populate-less path): empty parquet-backed table.
-        Registered custom types are usable as column types."""
+        Registered custom types are usable as column types. Column
+        modifiers ≈ server SqlColumnDeclaration (server table.iq):
+        DEFAULT expr (may reference sibling columns), AS (expr)
+        VIRTUAL|STORED generated columns (both stored physically here —
+        observably identical for the deterministic expressions
+        accepted), and NOT NULL (enforced at INSERT)."""
+        if name in self.catalog.tables:
+            if if_not_exists:
+                return {"table": name, "existed": True}
+            raise ValueError(f"Table '{name}' already exists")
         types = getattr(self.catalog, "types", {})
-        fields = []
+        fields, meta = [], {
+            "order": [], "types": {}, "defaults": {},
+            "generated": {}, "not_null": [],
+        }
         for item in _split_top_level(cols):
-            col, _, typ = item.strip().partition(" ")
-            typ = types.get(typ.strip().lower(), _spark_type(typ))
+            item = item.strip()
+            col, _, rest = item.partition(" ")
+            rest = rest.strip()
+            nn = re.search(r"(?is)\s+NOT\s+NULL\s*$", rest)
+            if nn:
+                meta["not_null"].append(col)
+                rest = rest[: nn.start()].strip()
+            gm = _COLDEF_GEN.match(rest)
+            if gm:
+                rest = gm.group(1).strip()
+                meta["generated"][col] = gm.group(2).strip()
+            else:
+                dm = _COLDEF_DEFAULT.match(rest)
+                if dm:
+                    rest = dm.group(1).strip()
+                    meta["defaults"][col] = dm.group(2).strip()
+            typ = types.get(rest.lower(), _spark_type(rest))
+            meta["order"].append(col)
+            meta["types"][col] = typ
             fields.append(f"{col} {typ}")
         path = os.path.join(self.warehouse, name)
         empty = self.catalog.spark.createDataFrame([], ", ".join(fields))
         empty.write.mode("errorifexists").parquet(path)
         self.catalog.register(name, path)
+        self._table_meta()[name] = meta
         return {"table": name, "schema": ", ".join(fields)}
+
+    def _table_meta(self) -> dict:
+        if not hasattr(self.catalog, "table_meta"):
+            self.catalog.table_meta = {}
+        return self.catalog.table_meta
+
+    @staticmethod
+    def _subst_cols(expr: str, values: dict, types: dict) -> str:
+        """Substitute column references in a default/generator expr with
+        the row's provided element text (parenthesized); columns the row
+        did not provide become typed NULLs (a bare NULL is VOID-typed in
+        Spark and breaks VALUES unification)."""
+
+        def repl(m):
+            w = m.group(0)
+            if w in values:
+                return f"({values[w]})"
+            if w in types:
+                return f"CAST(NULL AS {types[w]})"
+            return w
+
+        return re.sub(r"[A-Za-z_]\w*", repl, expr)
+
+    def _insert_into(self, name: str, cols_text, body: str):
+        """INSERT INTO t [(cols)] VALUES ... | SELECT ... ≈ the server
+        tier's TableModify INSERT with column-list resolution, DEFAULT
+        filling (server table.iq): named subsets fill missing columns
+        from their DEFAULT expressions (which may reference the row's
+        provided columns), the DEFAULT keyword in VALUES does the same
+        per element, generated columns compute from the row and REFUSE
+        explicit values, and NOT NULL is enforced before the write."""
+        if name not in self.catalog.tables:
+            raise ValueError(f"Object '{name}' not found")
+        entry = self.catalog.tables[name]
+        if entry.fmt != "parquet" or not entry.path:
+            raise ValueError(f"INSERT target '{name}' is not a base table")
+        meta = self._table_meta().get(name, {})
+        phys = meta.get("order") or list(self.catalog.table(name).columns)
+        types = meta.get("types") or {}
+        generated = meta.get("generated", {})
+        defaults = meta.get("defaults", {})
+        not_null = meta.get("not_null", [])
+        lower_map = {c.lower(): c for c in phys}
+        if cols_text is not None:
+            named = []
+            for c in (x.strip() for x in cols_text.split(",")):
+                rc = lower_map.get(c.lower())
+                if rc is None:
+                    raise ValueError(f"Unknown target column '{c}'")
+                if rc in generated:
+                    raise ValueError(
+                        f"Cannot INSERT into generated column '{rc}'"
+                    )
+                named.append(rc)
+        else:
+            named = list(phys)  # full row type, generated checked per-row
+        spark = self.catalog.spark
+        if re.match(r"(?is)^VALUES\b", body):
+            tuples = self._parse_values(body)
+            out_rows = []
+            for row in tuples:
+                if len(row) != len(named):
+                    raise ValueError(
+                        f"Number of INSERT target columns ({len(named)}) "
+                        f"does not equal number of source items ({len(row)})"
+                    )
+                provided = {}
+                for c, el in zip(named, row):
+                    if re.fullmatch(r"(?is)DEFAULT", el.strip()):
+                        continue  # keyword → fall to the default expr
+                    if c in generated:
+                        raise ValueError(
+                            f"Cannot INSERT into generated column '{c}'"
+                        )
+                    provided[c] = el.strip()
+                cells = []
+                for c in phys:
+                    if c in generated:
+                        cells.append(
+                            self._subst_cols(generated[c], provided, types)
+                        )
+                    elif c in provided:
+                        cells.append(provided[c])
+                    elif c in defaults:
+                        cells.append(
+                            self._subst_cols(defaults[c], provided, types)
+                        )
+                    else:
+                        cells.append(f"CAST(NULL AS {types.get(c, 'string')})")
+                out_rows.append("(" + ", ".join(cells) + ")")
+            df = spark.sql(
+                f"SELECT * FROM (VALUES {', '.join(out_rows)}) AS "
+                f"__ins({', '.join(phys)})"
+            )
+        else:
+            src = self.fe.sql(body)
+            if len(src.columns) != len(named):
+                raise ValueError(
+                    f"Number of INSERT target columns ({len(named)}) does "
+                    f"not equal number of source items ({len(src.columns)})"
+                )
+            if cols_text is None and generated:
+                raise ValueError(
+                    "Cannot INSERT into generated column "
+                    f"'{next(iter(generated))}'"
+                )
+            src = src.toDF(*named)
+            src.createOrReplaceTempView("__ins_src")
+            exprs = []
+            for c in phys:
+                if c in generated:
+                    exprs.append(f"{generated[c]} AS {c}")
+                elif c in named:
+                    exprs.append(c)
+                elif c in defaults:
+                    exprs.append(f"{defaults[c]} AS {c}")
+                else:
+                    exprs.append(f"CAST(NULL AS {types.get(c, 'string')}) AS {c}")
+            df = spark.sql(
+                f"SELECT {', '.join(exprs)} FROM __ins_src"
+            )
+        # align to the stored schema (declared types beat VALUES
+        # literal inference), then enforce NOT NULL before any write
+        if types:
+            df = df.selectExpr(
+                *[f"CAST({c} AS {types[c]}) AS {c}" if c in types else c
+                  for c in phys]
+            )
+        for c in not_null:
+            if df.filter(f"{c} IS NULL").head(1):
+                raise ValueError(
+                    f"Column '{c}' has no default value and does not "
+                    "allow NULLs"
+                )
+        n = df.count()
+        df.write.mode("append").parquet(entry.path)
+        self.catalog.register(name, entry.path)  # drop the cached scan
+        return {"rows_modified": n}
+
+    @staticmethod
+    def _parse_values(body: str) -> list:
+        """VALUES (a, b), (c, d) → [["a","b"], ["c","d"]] — depth- and
+        quote-aware so literals containing commas/parens survive."""
+        text = re.sub(r"(?is)^VALUES\s*", "", body.strip())
+        rows, depth, in_str, cur, cells = [], 0, False, [], None
+        for ch in text:
+            if ch == "'":
+                in_str = not in_str
+            if in_str:
+                cur.append(ch)
+                continue
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cells = []
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    cells.append("".join(cur).strip())
+                    cur = []
+                    rows.append(cells)
+                    cells = None
+                    continue
+            elif ch == "," and depth == 1:
+                cells.append("".join(cur).strip())
+                cur = []
+                continue
+            elif ch == "," and depth == 0:
+                continue
+            if depth >= 1:
+                cur.append(ch)
+        if depth != 0 or in_str or (cur and "".join(cur).strip()):
+            raise ValueError("malformed VALUES list")
+        return rows
 
     def _create_foreign_schema(self, name: str, engine_type: str, options: str):
         """CREATE FOREIGN SCHEMA ≈ ServerDdlExecutor :258 — mounts every

@@ -1893,6 +1893,17 @@ class SqlFrontend:
         return text, is_stream
 
     def sql(self, text: str) -> DataFrame:
+        if re.match(r"(?is)^\s*INSERT\s+INTO\b", text) and getattr(
+            self, "_ddl", None
+        ) is not None:
+            # route through the DDL executor's TableModify INSERT so
+            # DEFAULT / generated / NOT NULL column modifiers apply —
+            # Spark's native temp-view INSERT would silently bypass
+            # them (review r8, found by the table.iq error rows)
+            r = self._ddl.execute(text)
+            return self.spark.createDataFrame(
+                [(r["rows_modified"],)], "rows_modified bigint"
+            )
         if self._AJT_HINT_RE.search(text):
             return self._run_agg_join_transpose(
                 self._AJT_HINT_RE.sub("", text, count=1)

@@ -949,3 +949,55 @@ def test_star_replace(fe, duck):
         fe.sql("SELECT * REPLACE(n_nationkey AS nope) FROM nation")
     with _pt.raises(ValueError, match="expr AS column"):
         fe.sql("SELECT * REPLACE(n_nationkey) FROM nation")
+
+
+# -- star-macro fuzz vs DuckDB NATIVE EXCLUDE/REPLACE ------------------
+# DuckDB parses the same Snowflake-style star modifiers natively, so
+# identical statement text runs on both engines — the established
+# native-twin method for every new frontend macro.
+
+_ORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority"]
+
+
+def test_star_macro_fuzz_native_twin(fe, duck):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        excl=st.sets(st.sampled_from(_ORD_COLS), min_size=1, max_size=4),
+        key=st.integers(min_value=1, max_value=50),
+    )
+    def run_exclude(excl, key):
+        cols = ", ".join(sorted(excl))
+        q = (f"SELECT * EXCLUDE({cols}) FROM orders "
+             f"WHERE o_orderkey = {key}")
+        got = [tuple(r) for r in fe.sql(q).collect()]
+        want = duck.execute(q).fetchall()
+        srt = lambda rows: sorted(
+            tuple(str(c) for c in r) for r in rows
+        )
+        assert srt(got) == srt(want), q
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        delta=st.integers(min_value=-5, max_value=5),
+        upper=st.booleans(),
+        key=st.integers(min_value=1, max_value=50),
+    )
+    def run_replace(delta, upper, key):
+        items = [f"o_custkey + {delta} AS o_custkey"]
+        if upper:
+            items.append("lower(o_orderpriority) AS o_orderpriority")
+        q = (f"SELECT * REPLACE({', '.join(items)}) FROM orders "
+             f"WHERE o_orderkey = {key}")
+        got = [tuple(r) for r in fe.sql(q).collect()]
+        want = duck.execute(q).fetchall()
+        srt = lambda rows: sorted(
+            tuple(str(c) for c in r) for r in rows
+        )
+        assert srt(got) == srt(want), q
+
+    run_exclude()
+    run_replace()
