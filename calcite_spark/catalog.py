@@ -158,7 +158,10 @@ class Catalog:
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
         self._dfs[name] = df
-        df.createOrReplaceTempView(name)
+        # schema-qualified names (CREATE SCHEMA s; s.t) mangle the dot —
+        # Spark temp-view names cannot contain one; the frontend
+        # rewrites qualified references to the mangled form
+        df.createOrReplaceTempView(name.replace(".", "__"))
         return df
 
     def register_all_views(self) -> None:

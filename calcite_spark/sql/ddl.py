@@ -15,7 +15,11 @@ import re
 from calcite_spark.plans.materialize import MaterializationRegistry
 
 _CREATE_VIEW = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
-_CREATE_TABLE_AS = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
+_CREATE_TABLE_AS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+(?:\.\w+)?)\s*"
+    r"(?:\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?AS\s+(.*)$",
+    re.I | re.S,
+)
 _CREATE_MV = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
     r"(?:\(\s*([\w\s,]+?)\s*\))?\s+AS\s+"
@@ -25,11 +29,22 @@ _CREATE_MV = re.compile(
     re.I | re.S,
 )
 _CREATE_MV_ANY = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+(?:\.\w+)?)\s*"
     r"(?:\(\s*([\w\s,]+?)\s*\))?\s+AS\s+(.*)$",
     re.I | re.S,
 )
-_DROP = re.compile(r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+_DROP = re.compile(
+    r"^\s*DROP\s+(TABLE|VIEW|MATERIALIZED\s+VIEW)\s+(IF\s+EXISTS\s+)?"
+    r"(\w+(?:\.\w+)?)\s*$",
+    re.I,
+)
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$",
+    re.I,
+)
+_DROP_SCHEMA = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+)
 _CREATE_SEQUENCE = re.compile(
     r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
     r"(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$",
@@ -52,7 +67,7 @@ _CREATE_TABLE_COLS = re.compile(
     re.I | re.S,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?"
+    r"^\s*INSERT\s+INTO\s+(\w+(?:\.\w+)?)\s*(?:\(([^)]*)\)\s*)?"
     r"(VALUES\s*\(.+|SELECT\s+.+)$",
     re.I | re.S,
 )
@@ -129,6 +144,51 @@ class DdlExecutor:
                 "rows": stats["rows"],
                 "columns": sorted(stats["columns"]),
             }
+        m = _CREATE_SCHEMA.match(sql)
+        if m:
+            # ≈ ServerDdlExecutor SqlCreateSchema (server schema.iq):
+            # a LOCAL namespace — tables live under `<schema>.<name>`
+            # catalog keys (Spark temp views mangle the dot to `__`;
+            # the frontend rewrites qualified references). OR REPLACE
+            # drops the schema's contents first.
+            or_replace, if_not_exists, name = m.groups()
+            schemas = self._schemas()
+            if name in schemas:
+                if or_replace:
+                    for t in [
+                        t for t in list(self.catalog.tables)
+                        if t.startswith(name + ".")
+                    ]:
+                        self.catalog.tables.pop(t, None)
+                        self.catalog._dfs.pop(t, None)
+                        self._table_meta().pop(t, None)
+                        self.catalog.spark.catalog.dropTempView(
+                            t.replace(".", "__")
+                        )
+                elif if_not_exists:
+                    return {"schema": name, "existed": True}
+                else:
+                    raise ValueError(f"Schema '{name}' already exists")
+            schemas.add(name)
+            return {"schema": name}
+        m = _DROP_SCHEMA.match(sql)
+        if m:
+            if_exists, name = m.groups()
+            schemas = self._schemas()
+            if name not in schemas:
+                if if_exists:
+                    return {"dropped_schema": name, "existed": False}
+                raise ValueError(f"Schema '{name}' not found")
+            for t in [
+                t for t in list(self.catalog.tables)
+                if t.startswith(name + ".")
+            ]:
+                self.catalog.tables.pop(t, None)
+                self.catalog._dfs.pop(t, None)
+                self._table_meta().pop(t, None)
+                self.catalog.spark.catalog.dropTempView(t.replace(".", "__"))
+            schemas.discard(name)
+            return {"dropped_schema": name, "existed": True}
         m = _CREATE_MV.match(sql)
         if (
             m
@@ -152,6 +212,7 @@ class DdlExecutor:
             # too; substitution there likewise depends on the unifier
             # recognizing the shape)
             if_not_exists, name, aliases, query = m.groups()
+            self._check_qualified(name)
             if name in self.catalog.tables:
                 if if_not_exists:
                     return {"materialized_view": name, "existed": True}
@@ -178,9 +239,43 @@ class DdlExecutor:
             return {"view": m.group(2)}
         m = _CREATE_TABLE_AS.match(sql)
         if m:
-            name, query = m.group(1), m.group(2)
+            if_not_exists, name, collist, query = m.groups()
+            self._check_qualified(name)
+            if name in self.catalog.tables:
+                if if_not_exists:
+                    return {"table": name, "existed": True}
+                raise ValueError(f"Table '{name}' already exists")
+            df = self.fe.sql(query)
+            if collist is not None:
+                # CTAS column list ≈ server table_as.iq: bare names are
+                # aliases (d6), `name type` pairs rename AND cast (d10);
+                # mixing the two forms is the reference's parse error (d7)
+                items = [i.strip() for i in _split_top_level(collist)]
+                if len(items) != len(df.columns):
+                    raise ValueError(
+                        "List of column aliases must have same degree as "
+                        f"table; table has {len(df.columns)} columns "
+                        f"({', '.join(repr(c) for c in df.columns)}), "
+                        f"whereas alias list has {len(items)} columns"
+                    )
+                bare = [re.fullmatch(r"[A-Za-z_]\w*", i) for i in items]
+                if all(bare):
+                    df = df.toDF(*items)
+                elif any(bare):
+                    raise ValueError(
+                        "CTAS column list must be all aliases or all "
+                        "`name type` declarations, not a mixture"
+                    )
+                else:
+                    types = getattr(self.catalog, "types", {})
+                    exprs = []
+                    for src, item in zip(df.columns, items):
+                        col, _, typ = item.partition(" ")
+                        typ = types.get(typ.strip().lower(), _spark_type(typ))
+                        exprs.append(f"CAST(`{src}` AS {typ}) AS {col}")
+                    df = df.selectExpr(*exprs)
             path = os.path.join(self.warehouse, name)
-            self.fe.sql(query).write.mode("errorifexists").parquet(path)
+            df.write.mode("errorifexists").parquet(path)
             self.catalog.register(name, path)
             return {"table": name, "path": path}
         m = _DROP.match(sql)
@@ -194,7 +289,7 @@ class DdlExecutor:
             self._table_meta().pop(name, None)
             if hasattr(self.catalog, "mv_registry"):
                 self.catalog.mv_registry.mvs.pop(name, None)
-            self.catalog.spark.catalog.dropTempView(name)
+            self.catalog.spark.catalog.dropTempView(name.replace(".", "__"))
             return {"dropped": name, "existed": existed}
         m = _CREATE_TYPE.match(sql)
         if m:
@@ -345,6 +440,11 @@ class DdlExecutor:
             item = item.strip()
             col, _, rest = item.partition(" ")
             rest = rest.strip()
+            if not rest:
+                raise ValueError(
+                    f"column declaration {item!r} needs a type "
+                    "(a bare alias list is only valid with AS query)"
+                )
             nn = re.search(r"(?is)\s+NOT\s+NULL\s*$", rest)
             if nn:
                 meta["not_null"].append(col)
@@ -373,6 +473,17 @@ class DdlExecutor:
         if not hasattr(self.catalog, "table_meta"):
             self.catalog.table_meta = {}
         return self.catalog.table_meta
+
+    def _schemas(self) -> set:
+        if not hasattr(self.catalog, "local_schemas"):
+            self.catalog.local_schemas = set()
+        return self.catalog.local_schemas
+
+    def _check_qualified(self, name: str) -> None:
+        if "." in name:
+            schema = name.split(".", 1)[0]
+            if schema not in self._schemas():
+                raise ValueError(f"Schema '{schema}' not found")
 
     @staticmethod
     def _subst_cols(expr: str, values: dict, types: dict) -> str:

@@ -1892,6 +1892,29 @@ class SqlFrontend:
             text = expand_spatial_sql(text)
         return text, is_stream
 
+    def _rewrite_schema_refs(self, text: str) -> str:
+        """`<schema>.<table>` references for LOCALLY-registered schemas
+        (CREATE SCHEMA) → the mangled temp-view name `<schema>__<table>`.
+        Only exact registered pairs rewrite, quote-aware; a table alias
+        that shadows a schema name fails loudly downstream (unresolved
+        mangled name), never silently."""
+        schemas = getattr(self.catalog, "local_schemas", None)
+        if not schemas:
+            return text
+        for t in [
+            t for t in self.catalog.tables
+            if "." in t and t.split(".", 1)[0] in schemas
+        ]:
+            self.catalog.table(t)  # ensure the mangled view exists
+            pat = re.compile(rf"\b{re.escape(t)}\b")
+            text = pat.sub(
+                lambda m: m.group(0)
+                if text.count("'", 0, m.start()) % 2 == 1
+                else t.replace(".", "__"),
+                text,
+            )
+        return text
+
     def sql(self, text: str) -> DataFrame:
         if re.match(r"(?is)^\s*INSERT\s+INTO\b", text) and getattr(
             self, "_ddl", None
@@ -1904,6 +1927,7 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 [(r["rows_modified"],)], "rows_modified bigint"
             )
+        text = self._rewrite_schema_refs(text)
         if self._AJT_HINT_RE.search(text):
             return self._run_agg_join_transpose(
                 self._AJT_HINT_RE.sub("", text, count=1)
