@@ -553,18 +553,23 @@ _reg("IS_NOT_EMPTY", "COALESCE(size({0}) <> 0, TRUE)", (1,), kind="predicate")
 _reg("IS_A_SET", "COALESCE(size({0}) = size(array_distinct({0})), FALSE)", (1,), kind="predicate")
 _reg("IS_NOT_A_SET", "COALESCE(size({0}) <> size(array_distinct({0})), TRUE)", (1,), kind="predicate")
 # SUBMULTISET OF keeps STRICT null propagation (the corpus's NULL row
-# prints blank): forall() naturally yields NULL when either side is
+# prints blank). The explicit IF guard is load-bearing for the
+# empty-first-operand corner: forall over an empty array returns TRUE
+# without evaluating the lambda, so a NULL second operand would
+# otherwise never propagate (review r8)
 _reg(
     "SUBMULTISET_OF",
+    "IF({0} IS NULL OR {1} IS NULL, CAST(NULL AS BOOLEAN), "
     "forall(array_distinct({0}), e -> size(filter({0}, x -> x <=> e))"
-    " <= size(filter({1}, x -> x <=> e)))",
+    " <= size(filter({1}, x -> x <=> e))))",
     (2,),
     kind="predicate",
 )
 _reg(
     "NOT_SUBMULTISET_OF",
+    "IF({0} IS NULL OR {1} IS NULL, CAST(NULL AS BOOLEAN), "
     "NOT (forall(array_distinct({0}), e -> size(filter({0}, x -> x <=> e))"
-    " <= size(filter({1}, x -> x <=> e))))",
+    " <= size(filter({1}, x -> x <=> e)))))",
     (2,),
     kind="predicate",
 )

@@ -159,12 +159,7 @@ class DdlExecutor:
                         t for t in list(self.catalog.tables)
                         if t.startswith(name + ".")
                     ]:
-                        self.catalog.tables.pop(t, None)
-                        self.catalog._dfs.pop(t, None)
-                        self._table_meta().pop(t, None)
-                        self.catalog.spark.catalog.dropTempView(
-                            t.replace(".", "__")
-                        )
+                        self._drop_object(t)
                 elif if_not_exists:
                     return {"schema": name, "existed": True}
                 else:
@@ -183,10 +178,7 @@ class DdlExecutor:
                 t for t in list(self.catalog.tables)
                 if t.startswith(name + ".")
             ]:
-                self.catalog.tables.pop(t, None)
-                self.catalog._dfs.pop(t, None)
-                self._table_meta().pop(t, None)
-                self.catalog.spark.catalog.dropTempView(t.replace(".", "__"))
+                self._drop_object(t)
             schemas.discard(name)
             return {"dropped_schema": name, "existed": True}
         m = _CREATE_MV.match(sql)
@@ -231,6 +223,9 @@ class DdlExecutor:
             path = os.path.join(self.warehouse, name)
             df.write.mode("errorifexists").parquet(path)
             self.catalog.register(name, path)
+            if not hasattr(self.catalog, "mv_names"):
+                self.catalog.mv_names = set()
+            self.catalog.mv_names.add(name)
             return {"materialized_view": name, "substitutable": False}
         m = _CREATE_VIEW.match(sql)
         if m:
@@ -284,12 +279,7 @@ class DdlExecutor:
             existed = name in self.catalog.tables
             if not existed and not m.group(2):
                 raise ValueError(f"{name} does not exist")
-            self.catalog.tables.pop(name, None)
-            self.catalog._dfs.pop(name, None)
-            self._table_meta().pop(name, None)
-            if hasattr(self.catalog, "mv_registry"):
-                self.catalog.mv_registry.mvs.pop(name, None)
-            self.catalog.spark.catalog.dropTempView(name.replace(".", "__"))
+            self._drop_object(name)
             return {"dropped": name, "existed": existed}
         m = _CREATE_TYPE.match(sql)
         if m:
@@ -469,6 +459,27 @@ class DdlExecutor:
         self._table_meta()[name] = meta
         return {"table": name, "schema": ", ".join(fields)}
 
+    def _drop_object(self, name: str) -> None:
+        """Remove a table/view/MV from every catalog surface AND delete
+        its warehouse-owned storage — a dropped name must be
+        re-creatable (review r8: errorifexists hit the stale dir).
+        Only paths under OUR warehouse are deleted; user-registered
+        parquet is never touched."""
+        entry = self.catalog.tables.pop(name, None)
+        self.catalog._dfs.pop(name, None)
+        self._table_meta().pop(name, None)
+        if hasattr(self.catalog, "mv_registry"):
+            self.catalog.mv_registry.mvs.pop(name, None)
+        getattr(self.catalog, "mv_names", set()).discard(name)
+        self.catalog.spark.catalog.dropTempView(name.replace(".", "__"))
+        if entry is not None and entry.path:
+            real = os.path.realpath(entry.path)
+            wh = os.path.realpath(self.warehouse)
+            if real.startswith(wh + os.sep) and os.path.isdir(real):
+                import shutil
+
+                shutil.rmtree(real, ignore_errors=True)
+
     def _table_meta(self) -> dict:
         if not hasattr(self.catalog, "table_meta"):
             self.catalog.table_meta = {}
@@ -490,9 +501,13 @@ class DdlExecutor:
         """Substitute column references in a default/generator expr with
         the row's provided element text (parenthesized); columns the row
         did not provide become typed NULLs (a bare NULL is VOID-typed in
-        Spark and breaks VALUES unification)."""
+        Spark and breaks VALUES unification). String-literal CONTENTS
+        are data, never column references (review r8: a default like
+        'i is big' must not have its i rewritten)."""
 
         def repl(m):
+            if expr.count("'", 0, m.start()) % 2 == 1:
+                return m.group(0)  # inside a string literal
             w = m.group(0)
             if w in values:
                 return f"({values[w]})"
@@ -515,6 +530,18 @@ class DdlExecutor:
         entry = self.catalog.tables[name]
         if entry.fmt != "parquet" or not entry.path:
             raise ValueError(f"INSERT target '{name}' is not a base table")
+        reg = getattr(self.catalog, "mv_registry", None)
+        if (reg is not None and name in reg.mvs) or name in getattr(
+            self.catalog, "mv_names", set()
+        ):
+            # appending rows to a materialization desynchronizes it
+            # from its defining query — substituted answers would
+            # silently diverge from the base (review r8); the
+            # reference likewise refuses TableModify on an MV
+            raise ValueError(
+                f"Cannot INSERT into materialized view '{name}' — "
+                "modify the base table and refresh"
+            )
         meta = self._table_meta().get(name, {})
         phys = meta.get("order") or list(self.catalog.table(name).columns)
         types = meta.get("types") or {}
@@ -536,6 +563,13 @@ class DdlExecutor:
         else:
             named = list(phys)  # full row type, generated checked per-row
         spark = self.catalog.spark
+        # the frontend's statement-local macros must still apply to the
+        # body — the old native path ran parse() first (review r8:
+        # `VALUES (ARRAY[1,2])`, `VALUES (1::int)`)
+        if re.search(r"(?i)\bARRAY\s*\[", body):
+            body = self.fe._expand_array_literal(body)
+        if "::" in body:
+            body = self.fe._expand_pg_casts(body)
         if re.match(r"(?is)^VALUES\b", body):
             tuples = self._parse_values(body)
             out_rows = []
@@ -607,14 +641,26 @@ class DdlExecutor:
                 *[f"CAST({c} AS {types[c]}) AS {c}" if c in types else c
                   for c in phys]
             )
-        for c in not_null:
-            if df.filter(f"{c} IS NULL").head(1):
-                raise ValueError(
-                    f"Column '{c}' has no default value and does not "
-                    "allow NULLs"
-                )
-        n = df.count()
-        df.write.mode("append").parquet(entry.path)
+        # pin the rows once (a non-deterministic SELECT source must not
+        # re-execute between the NULL check and the write), then check
+        # every NOT NULL column in ONE aggregate (review r8: the old
+        # per-column head(1) ran the source k+2 times)
+        df.persist()
+        try:
+            agg = df.selectExpr(
+                "count(*) AS __n",
+                *[f"count({c}) AS __c{i}" for i, c in enumerate(not_null)],
+            ).head()
+            n = agg["__n"]
+            for i, c in enumerate(not_null):
+                if agg[f"__c{i}"] < n:
+                    raise ValueError(
+                        f"Column '{c}' has no default value and does "
+                        "not allow NULLs"
+                    )
+            df.write.mode("append").parquet(entry.path)
+        finally:
+            df.unpersist()
         self.catalog.register(name, entry.path)  # drop the cached scan
         return {"rows_modified": n}
 

@@ -560,6 +560,18 @@ class SqlFrontend:
                 f"star REPLACE: FROM must name a registered table "
                 f"(got {table!r})"
             )
+        # multi-table FROMs would expand the star to the FIRST table's
+        # columns only — silently dropping the rest (review r8): refuse
+        tail = m.group(3)[len(re.match(r"(?is)\s+FROM\s+\w+", m.group(3)).group(0)):]
+        if re.match(
+            r"(?is)^\s*(?:,|(?:AS\s+)?\w+\s*,|(?:AS\s+\w+\s+)?"
+            r"(?:LEFT|RIGHT|FULL|CROSS|INNER|NATURAL|JOIN)\b)",
+            tail,
+        ) or re.match(r"(?is)^\s*\w+\s+(?:LEFT|RIGHT|FULL|CROSS|INNER|NATURAL|JOIN)\b", tail):
+            raise ValueError(
+                "star REPLACE: only a single-table FROM is supported — "
+                "a join would expand * to the first table's columns only"
+            )
         repl = {}
         for item in self._split_top_commas(m.group(2)):
             im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip())
@@ -1905,6 +1917,8 @@ class SqlFrontend:
             t for t in self.catalog.tables
             if "." in t and t.split(".", 1)[0] in schemas
         ]:
+            if t not in text:
+                continue  # cheap pre-check: don't materialize views
             self.catalog.table(t)  # ensure the mangled view exists
             pat = re.compile(rf"\b{re.escape(t)}\b")
             text = pat.sub(
@@ -1916,17 +1930,42 @@ class SqlFrontend:
         return text
 
     def sql(self, text: str) -> DataFrame:
-        if re.match(r"(?is)^\s*INSERT\s+INTO\b", text) and getattr(
-            self, "_ddl", None
-        ) is not None:
+        im = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+(\w+(?:\.\w+)?)\b", text
+        )
+        if im is not None and getattr(self, "_ddl", None) is not None:
             # route through the DDL executor's TableModify INSERT so
             # DEFAULT / generated / NOT NULL column modifiers apply —
             # Spark's native temp-view INSERT would silently bypass
-            # them (review r8, found by the table.iq error rows)
-            r = self._ddl.execute(text)
-            return self.spark.createDataFrame(
-                [(r["rows_modified"],)], "rows_modified bigint"
-            )
+            # them (review r8, found by the table.iq error rows).
+            # INSERT forms the executor cannot parse (TABLE src,
+            # 3-part names, backticks) keep the native path — UNLESS
+            # the target carries column modifiers, where a silent
+            # bypass is exactly the wrong-value class to refuse
+            # (review r8, second wave).
+            from calcite_spark.sql.ddl import _INSERT
+
+            target = im.group(1)
+            if _INSERT.match(text.strip().rstrip(";")) and (
+                target in self.catalog.tables
+            ):
+                r = self._ddl.execute(text)
+                return self.spark.createDataFrame(
+                    [(r["rows_modified"],)], "rows_modified bigint"
+                )
+            tm = getattr(self.catalog, "table_meta", {}).get(target)
+            if tm is not None and (
+                tm.get("defaults") or tm.get("generated") or tm.get("not_null")
+            ):
+                raise ValueError(
+                    f"unsupported INSERT form for table {target!r}, "
+                    "which has column modifiers — use INSERT INTO "
+                    "name [(cols)] VALUES ... | SELECT ..."
+                )
+            if target not in self.catalog.tables and not self.spark.catalog.tableExists(target):
+                # unknown everywhere: the reference's loud not-found,
+                # not Spark's analyzer exception
+                raise ValueError(f"Object '{target}' not found")
         text = self._rewrite_schema_refs(text)
         if self._AJT_HINT_RE.search(text):
             return self._run_agg_join_transpose(

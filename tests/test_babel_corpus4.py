@@ -274,3 +274,13 @@ def test_multiset_predicates_corpus(spark):
     # IS EMPTY also serves maps (OperandTypes.COLLECTION_OR_MAP)
     assert _sp(spark, "IS_EMPTY", "map()") is True
     assert _sp(spark, "IS_EMPTY", "map('zero', 0)") is False
+
+
+def test_submultiset_strict_null_empty_corner(spark):
+    """forall over an empty array returns TRUE without evaluating the
+    lambda — the strict-null guard must still propagate a NULL second
+    operand (review r8)."""
+    assert _sp(spark, "SUBMULTISET_OF", "array()",
+               "cast(NULL as array<int>)") is None
+    assert _sp(spark, "NOT_SUBMULTISET_OF", "array()",
+               "cast(NULL as array<int>)") is None

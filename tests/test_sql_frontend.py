@@ -1001,3 +1001,38 @@ def test_star_macro_fuzz_native_twin(fe, duck):
 
     run_exclude()
     run_replace()
+
+
+def test_star_replace_join_refused(fe):
+    """A multi-table FROM would expand * to the FIRST table's columns
+    only — refused loudly (review r8)."""
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="single-table FROM"):
+        fe.sql(
+            "SELECT * REPLACE(upper(n_name) AS n_name) FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey"
+        )
+    with _pt.raises(ValueError, match="single-table FROM"):
+        fe.sql(
+            "SELECT * REPLACE(upper(n_name) AS n_name) FROM nation n "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey"
+        )
+
+
+def test_insert_unparseable_forms_fall_back(fe, spark, tmp_path):
+    """INSERT forms the DDL executor cannot parse keep the native path
+    for modifier-less targets, and refuse loudly for tables WITH
+    column modifiers (review r8)."""
+    import pytest as _pt
+
+    from calcite_spark.sql.ddl import DdlExecutor
+
+    ddl = DdlExecutor(fe, str(tmp_path / "wh"))
+    ddl.execute("create table plainb (a int)")
+    # parenthesized-SELECT body: not _INSERT-parseable → native path
+    fe.sql("INSERT INTO plainb (SELECT CAST(5 AS INT))")
+    assert [r.a for r in fe.sql("SELECT a FROM plainb").collect()] == [5]
+    ddl.execute("create table modded (a int, b int default 9)")
+    with _pt.raises(ValueError, match="column modifiers"):
+        fe.sql("INSERT INTO modded (SELECT CAST(1 AS INT), CAST(2 AS INT))")

@@ -214,3 +214,54 @@ def test_create_foreign_schema(ddl):
 def test_create_foreign_schema_jdbc_gated(ddl):
     with pytest.raises(NotImplementedError, match="driver jar"):
         ddl.execute("CREATE FOREIGN SCHEMA j TYPE 'jdbc' OPTIONS (url 'x', tables 'y')")
+
+
+# -- r8 second-wave review pins (column-modifier / schema tier) --------
+
+
+def test_default_string_literal_not_substituted(ddl):
+    """Column names inside a default's STRING LITERAL are data — the
+    row-substitution must not rewrite them (review r8)."""
+    ddl.execute("create table tlit (i int, s varchar default 'i is big')")
+    ddl.execute("insert into tlit (i) values (7)")
+    cat = ddl.catalog
+    assert [tuple(r) for r in cat.table("tlit").collect()] == [(7, "i is big")]
+
+
+def test_insert_into_mv_refused(ddl):
+    """Appending rows to a materialization desynchronizes it from its
+    defining query — refused for both substitutable and generic MVs
+    (review r8)."""
+    import pytest as _pt
+
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW mvt AS SELECT n_regionkey, COUNT(*) AS n "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    with _pt.raises(ValueError, match="materialized view"):
+        ddl.execute("insert into mvt values (99, 99)")
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW mvg AS SELECT n_regionkey FROM nation "
+        "GROUP BY n_regionkey"
+    )
+    with _pt.raises(ValueError, match="materialized view"):
+        ddl.execute("insert into mvg values (99)")
+
+
+def test_drop_then_recreate_same_name(ddl):
+    """A dropped warehouse table must be re-creatable — the stale
+    parquet dir used to block errorifexists (review r8)."""
+    ddl.execute("create table trc as select 1 as a")
+    ddl.execute("drop table trc")
+    ddl.execute("create table trc as select 2 as a")
+    assert [r.a for r in ddl.catalog.table("trc").collect()] == [2]
+
+
+def test_insert_values_frontend_macros(ddl):
+    """ARRAY[...] literals and :: casts inside INSERT VALUES expand
+    exactly as the old native path did (review r8)."""
+    ddl.execute("create table tmac (xs array<int>, k int)")
+    ddl.execute("insert into tmac values (ARRAY[1, 2], '5'::int)")
+    assert [tuple(r) for r in ddl.catalog.table("tmac").collect()] == [
+        ([1, 2], 5)
+    ]
