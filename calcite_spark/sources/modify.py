@@ -57,13 +57,43 @@ def delete_where(catalog, table: str, condition: str) -> int:
     return n_before - catalog.table(table).count()
 
 
-def update_set(catalog, table: str, assignments: dict[str, str], condition: str) -> int:
-    """UPDATE t SET col = expr WHERE cond (copy-on-write)."""
+def update_set(
+    catalog,
+    table: str,
+    assignments: dict[str, str],
+    condition: str,
+    post_assignments: "dict[str, str] | None" = None,
+) -> int:
+    """UPDATE t SET col = expr WHERE cond (copy-on-write).
+
+    SQL's UPDATE is SIMULTANEOUS: every RHS and the condition evaluate
+    against the ORIGINAL row (so `SET a = b, b = a` swaps) — one select
+    over the original columns, never a chained withColumn (which would
+    let later assignments and the re-evaluated condition see already-
+    updated values; found by the generated-column recompute, r8).
+    `post_assignments` run in a SECOND pass whose RHS see the
+    post-update row — the generated-column recompute hook (applied to
+    every row; generator expressions are deterministic, so recomputing
+    unchanged rows is a no-op)."""
     df = catalog.table(table)
     cond = F.expr(condition)
-    out = df
-    for col, expr in assignments.items():
-        out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    out = df.select(
+        *[
+            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    if post_assignments:
+        out = out.select(
+            *[
+                F.expr(post_assignments[c]).alias(c)
+                if c in post_assignments
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
     n = df.filter(condition).count()
     _rewrite(catalog, table, out)
     return n

@@ -71,6 +71,21 @@ _INSERT = re.compile(
     r"(VALUES\s*\(.+|SELECT\s+.+)$",
     re.I | re.S,
 )
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+(?:\.\w+)?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.I | re.S,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+(?:\.\w+)?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.I | re.S,
+)
+_MERGE = re.compile(
+    r"(?is)^\s*MERGE\s+INTO\s+(\w+(?:\.\w+)?)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+"
+    r"USING\s+(\((?:[^()]|\([^()]*\))*\)|\w+(?:\.\w+)?)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+"
+    r"ON\s+(.+?)\s+(WHEN\s+.+)$"
+)
 # one column definition: name TYPE [AS (expr) VIRTUAL|STORED]
 # [DEFAULT expr] [NOT NULL] ≈ server SqlColumnDeclaration
 _COLDEF_GEN = re.compile(
@@ -300,6 +315,15 @@ class DdlExecutor:
         m = _INSERT.match(sql)
         if m:
             return self._insert_into(m.group(1), m.group(2), m.group(3))
+        m = _MERGE.match(sql)
+        if m:
+            return self._merge(*m.groups())
+        m = _UPDATE.match(sql)
+        if m:
+            return self._update(m.group(1), m.group(2), m.group(3))
+        m = _DELETE.match(sql)
+        if m:
+            return self._delete(m.group(1), m.group(2))
         m = _CREATE_SEQUENCE.match(sql)
         if m:
             # ≈ server SqlCreateSequence over SqlSequenceValueOperator
@@ -663,6 +687,189 @@ class DdlExecutor:
             df.unpersist()
         self.catalog.register(name, entry.path)  # drop the cached scan
         return {"rows_modified": n}
+
+    def _dml_target(self, name: str):
+        """Shared DML target resolution: base parquet table, never an
+        MV (a modified materialization silently desynchronizes every
+        substituted answer from its defining query)."""
+        if name not in self.catalog.tables:
+            raise ValueError(f"Object '{name}' not found")
+        entry = self.catalog.tables[name]
+        if entry.fmt != "parquet" or not entry.path:
+            raise ValueError(f"DML target '{name}' is not a base table")
+        reg = getattr(self.catalog, "mv_registry", None)
+        if (reg is not None and name in reg.mvs) or name in getattr(
+            self.catalog, "mv_names", set()
+        ):
+            raise ValueError(
+                f"Cannot modify materialized view '{name}' — modify "
+                "the base table and refresh"
+            )
+        return entry
+
+    def _update(self, name: str, set_text: str, where):
+        """UPDATE t SET col = expr[, ...] [WHERE cond] ≈ TableModify
+        Operation.UPDATE (rel/core/TableModify.java:74), lowered to the
+        copy-on-write sources/modify.update_set. Column-modifier
+        semantics carry over: generated columns refuse direct
+        assignment and RECOMPUTE after the user assignments (they see
+        the updated base columns); `SET c = DEFAULT` takes the
+        default expression; assigned NOT NULL columns pre-check on the
+        affected rows before any write."""
+        from calcite_spark.sources.modify import update_set
+
+        self._dml_target(name)
+        meta = self._table_meta().get(name, {})
+        generated = meta.get("generated", {})
+        defaults = meta.get("defaults", {})
+        types = meta.get("types", {})
+        not_null = meta.get("not_null", [])
+        assignments = {}
+        for item in _split_top_level(set_text):
+            am = re.match(r"(?is)^\s*(\w+)\s*=\s*(.+?)\s*$", item)
+            if am is None:
+                raise ValueError(f"UPDATE: malformed assignment {item!r}")
+            col, expr = am.group(1), am.group(2)
+            if col in generated:
+                raise ValueError(
+                    f"Cannot UPDATE generated column '{col}'"
+                )
+            if re.fullmatch(r"(?is)DEFAULT", expr):
+                expr = defaults.get(
+                    col, f"CAST(NULL AS {types.get(col, 'string')})"
+                )
+            assignments[col] = expr
+        cond = where.strip() if where else "TRUE"
+        df = self.catalog.table(name)
+        for c in not_null:
+            if c in assignments and df.filter(cond).filter(
+                f"({assignments[c]}) IS NULL"
+            ).head(1):
+                raise ValueError(
+                    f"Column '{c}' has no default value and does not "
+                    "allow NULLs"
+                )
+        # generated columns recompute in update_set's POST pass, whose
+        # expressions see the updated base values
+        n = update_set(
+            self.catalog, name, assignments, cond,
+            post_assignments=generated or None,
+        )
+        return {"rows_modified": n}
+
+    def _delete(self, name: str, where):
+        """DELETE FROM t [WHERE cond] ≈ TableModify Operation.DELETE →
+        sources/modify.delete_where (copy-on-write complement)."""
+        from calcite_spark.sources.modify import delete_where
+
+        self._dml_target(name)
+        n = delete_where(
+            self.catalog, name, where.strip() if where else "TRUE"
+        )
+        return {"rows_modified": n}
+
+    def _merge(self, target, talias, using, salias, on, clauses):
+        """MERGE INTO t [AS tgt] USING (src|query) [AS s] ON cond
+        WHEN [NOT] MATCHED THEN UPDATE SET ... | DELETE | INSERT ... ≈
+        TableModify Operation.MERGE → sources/modify.merge_into. The
+        source's columns are renamed to `<alias>__<col>` so the join
+        condition can never be ambiguous; qualified references rewrite
+        accordingly (target-alias refs → bare, source-alias refs → the
+        renamed form). Source references must be qualified when the
+        statement declares a source alias."""
+        from calcite_spark.sources.modify import merge_into
+
+        self._dml_target(target)
+        meta = self._table_meta().get(target, {})
+        if meta.get("generated"):
+            raise ValueError(
+                "MERGE into a table with generated columns is not "
+                "supported — use UPDATE/INSERT"
+            )
+        if using.startswith("("):
+            src = self.fe.sql(using[1:-1].strip())
+            salias = salias or "src"
+        else:
+            if using not in self.catalog.tables:
+                raise ValueError(f"Object '{using}' not found")
+            src = self.catalog.table(using)
+            salias = salias or using.split(".")[-1]
+        talias = talias or target.split(".")[-1]
+        src = src.toDF(*[f"{salias}__{c}" for c in src.columns])
+
+        def _requalify(text: str) -> str:
+            text = re.sub(
+                rf"\b{re.escape(salias)}\.(\w+)", rf"{salias}__\1", text
+            )
+            return re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"\1", text)
+
+        on = _requalify(on.strip())
+        update_map, insert_map = None, None
+        do_delete, do_insert = False, False
+        for clause in re.split(r"(?i)\bWHEN\s+", clauses)[1:]:
+            clause = clause.strip().rstrip(";")
+            um = re.match(
+                r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", clause
+            )
+            dm = re.match(r"(?is)^MATCHED\s+THEN\s+DELETE$", clause)
+            im = re.match(
+                r"(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+                r"(?:\(([^)]*)\)\s*)?VALUES\s*\((.+)\)$",
+                clause,
+            )
+            if um:
+                update_map = {}
+                for item in _split_top_level(um.group(1)):
+                    am = re.match(
+                        r"(?is)^\s*(?:\w+\.)?(\w+)\s*=\s*(.+?)\s*$", item
+                    )
+                    if am is None:
+                        raise ValueError(
+                            f"MERGE: malformed assignment {item!r}"
+                        )
+                    update_map[am.group(1)] = _requalify(am.group(2))
+            elif dm:
+                do_delete = True
+            elif im:
+                do_insert = True
+                exprs = [
+                    _requalify(e.strip())
+                    for e in _split_top_level(im.group(2))
+                ]
+                if im.group(1):
+                    cols = [
+                        c.strip().split(".")[-1]
+                        for c in im.group(1).split(",")
+                    ]
+                else:
+                    cols = list(self.catalog.table(target).columns)
+                if len(cols) != len(exprs):
+                    raise ValueError(
+                        "MERGE INSERT: column/value arity mismatch"
+                    )
+                insert_map = dict(zip(cols, exprs))
+            else:
+                raise ValueError(
+                    f"MERGE: unsupported WHEN clause {clause[:60]!r}"
+                )
+        if do_delete and update_map:
+            raise ValueError(
+                "MERGE: combining WHEN MATCHED UPDATE and DELETE is "
+                "not supported"
+            )
+        if not (update_map or do_delete or do_insert):
+            raise ValueError("MERGE requires at least one WHEN clause")
+        stats = merge_into(
+            self.catalog,
+            target,
+            src,
+            on=on,
+            when_matched_update=update_map,
+            when_not_matched_insert=do_insert,
+            when_matched_delete=do_delete,
+            insert_values=insert_map,
+        )
+        return stats
 
     @staticmethod
     def _parse_values(body: str) -> list:

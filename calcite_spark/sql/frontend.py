@@ -1930,37 +1930,49 @@ class SqlFrontend:
         return text
 
     def sql(self, text: str) -> DataFrame:
-        im = re.match(
-            r"(?is)^\s*INSERT\s+INTO\s+(\w+(?:\.\w+)?)\b", text
+        dm = re.match(
+            r"(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)"
+            r"\s+(\w+(?:\.\w+)?)\b",
+            text,
         )
-        if im is not None and getattr(self, "_ddl", None) is not None:
-            # route through the DDL executor's TableModify INSERT so
+        if dm is not None and getattr(self, "_ddl", None) is not None:
+            # route DML through the DDL executor's TableModify tier so
             # DEFAULT / generated / NOT NULL column modifiers apply —
             # Spark's native temp-view INSERT would silently bypass
-            # them (review r8, found by the table.iq error rows).
-            # INSERT forms the executor cannot parse (TABLE src,
-            # 3-part names, backticks) keep the native path — UNLESS
-            # the target carries column modifiers, where a silent
-            # bypass is exactly the wrong-value class to refuse
-            # (review r8, second wave).
-            from calcite_spark.sql.ddl import _INSERT
+            # them, and native UPDATE/DELETE/MERGE on v1 temp views
+            # fail with an unrelated UnsupportedOperationException
+            # (review r8). INSERT forms the executor cannot parse
+            # (TABLE src, 3-part names, backticks) keep the native
+            # path — UNLESS the target carries column modifiers, where
+            # a silent bypass is exactly the wrong-value class to
+            # refuse (review r8, second wave).
+            from calcite_spark.sql.ddl import _DELETE, _INSERT, _MERGE, _UPDATE
 
-            target = im.group(1)
-            if _INSERT.match(text.strip().rstrip(";")) and (
-                target in self.catalog.tables
-            ):
+            target = dm.group(2)
+            stmt = text.strip().rstrip(";")
+            parseable = (
+                _INSERT.match(stmt)
+                or _UPDATE.match(stmt)
+                or _DELETE.match(stmt)
+                or _MERGE.match(stmt)
+            )
+            if parseable and target in self.catalog.tables:
                 r = self._ddl.execute(text)
+                n = r.get(
+                    "rows_modified",
+                    r.get("matched", 0) + r.get("inserted", 0),
+                )
                 return self.spark.createDataFrame(
-                    [(r["rows_modified"],)], "rows_modified bigint"
+                    [(n,)], "rows_modified bigint"
                 )
             tm = getattr(self.catalog, "table_meta", {}).get(target)
             if tm is not None and (
                 tm.get("defaults") or tm.get("generated") or tm.get("not_null")
             ):
                 raise ValueError(
-                    f"unsupported INSERT form for table {target!r}, "
-                    "which has column modifiers — use INSERT INTO "
-                    "name [(cols)] VALUES ... | SELECT ..."
+                    f"unsupported DML form for table {target!r}, "
+                    "which has column modifiers — use the INSERT/"
+                    "UPDATE/DELETE/MERGE shapes the executor parses"
                 )
             if target not in self.catalog.tables and not self.spark.catalog.tableExists(target):
                 # unknown everywhere: the reference's loud not-found,

@@ -122,3 +122,42 @@ def test_clone_in_memory(spark, scratch):
     clone = clone_in_memory(scratch, "nation")
     assert clone.storageLevel.useMemory
     assert scratch.table("nation_clone").count() == scratch.table("nation").count()
+
+
+def test_update_simultaneous_semantics(spark, scratch):
+    """SQL UPDATE is simultaneous: every RHS evaluates against the
+    ORIGINAL row — `SET a = b, b = a` swaps (review r8: the chained
+    withColumn let later assignments see updated values); the condition
+    is likewise pinned to the original row even when an assignment
+    falsifies it."""
+    t = scratch.table("nation")
+    row = t.filter("n_nationkey = 1").collect()[0]
+    update_set(
+        scratch, "nation",
+        {"n_nationkey": "n_regionkey", "n_regionkey": "n_nationkey"},
+        "n_nationkey = 1",
+    )
+    got = scratch.table("nation").filter(
+        f"n_nationkey = {row.n_regionkey} AND n_regionkey = 1"
+    )
+    assert got.count() >= 1
+    # condition pinned: an assignment that falsifies the predicate
+    # still applies to every originally-matching row
+    n = update_set(
+        scratch, "nation", {"n_regionkey": "n_regionkey + 100"},
+        "n_regionkey = 1",
+    )
+    assert n == scratch.table("nation").filter("n_regionkey = 101").count()
+
+
+def test_update_post_assignments_see_updated_row(spark, scratch):
+    """post_assignments (the generated-column recompute hook) run in a
+    second pass over the POST-update row."""
+    update_set(
+        scratch, "nation", {"n_regionkey": "n_regionkey + 1"},
+        "n_nationkey = 2",
+        post_assignments={"n_name": "concat('R', CAST(n_regionkey AS STRING))"},
+    )
+    t = scratch.table("nation")
+    r = t.filter("n_nationkey = 2").collect()[0]
+    assert r.n_name == f"R{r.n_regionkey}"
