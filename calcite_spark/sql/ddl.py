@@ -79,6 +79,11 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+(?:\.\w+)?)(?:\s+WHERE\s+(.+))?\s*$",
     re.I | re.S,
 )
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(\w+(?:\.\w+)?)"
+    r"(?:\s+(CONTINUE|RESTART)\s+IDENTITY)?\s*$",
+    re.I,
+)
 _MERGE = re.compile(
     r"(?is)^\s*MERGE\s+INTO\s+(\w+(?:\.\w+)?)"
     r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+"
@@ -324,6 +329,22 @@ class DdlExecutor:
         m = _DELETE.match(sql)
         if m:
             return self._delete(m.group(1), m.group(2))
+        m = _TRUNCATE.match(sql)
+        if m:
+            # ≈ ServerDdlExecutor SqlTruncateTable (:378-396): erase all
+            # rows, keep the schema; RESTART IDENTITY refuses exactly as
+            # the reference does
+            from calcite_spark.sources.modify import _rewrite
+
+            name, identity = m.group(1), (m.group(2) or "CONTINUE").upper()
+            if identity == "RESTART":
+                raise NotImplementedError(
+                    "RESTART IDENTIFY is not supported"
+                )
+            self._dml_target(name)
+            n = self.catalog.table(name).count()
+            _rewrite(self.catalog, name, self.catalog.table(name).limit(0))
+            return {"rows_modified": n}
         m = _CREATE_SEQUENCE.match(sql)
         if m:
             # ≈ server SqlCreateSequence over SqlSequenceValueOperator

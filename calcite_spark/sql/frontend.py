@@ -1931,8 +1931,8 @@ class SqlFrontend:
 
     def sql(self, text: str) -> DataFrame:
         dm = re.match(
-            r"(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)"
-            r"\s+(\w+(?:\.\w+)?)\b",
+            r"(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO|"
+            r"TRUNCATE\s+TABLE)\s+(\w+(?:\.\w+)?)\b",
             text,
         )
         if dm is not None and getattr(self, "_ddl", None) is not None:
@@ -1946,7 +1946,13 @@ class SqlFrontend:
             # path — UNLESS the target carries column modifiers, where
             # a silent bypass is exactly the wrong-value class to
             # refuse (review r8, second wave).
-            from calcite_spark.sql.ddl import _DELETE, _INSERT, _MERGE, _UPDATE
+            from calcite_spark.sql.ddl import (
+                _DELETE,
+                _INSERT,
+                _MERGE,
+                _TRUNCATE,
+                _UPDATE,
+            )
 
             target = dm.group(2)
             stmt = text.strip().rstrip(";")
@@ -1955,6 +1961,7 @@ class SqlFrontend:
                 or _UPDATE.match(stmt)
                 or _DELETE.match(stmt)
                 or _MERGE.match(stmt)
+                or _TRUNCATE.match(stmt)
             )
             if parseable and target in self.catalog.tables:
                 r = self._ddl.execute(text)
