@@ -122,24 +122,32 @@ def merge_into(
     requires; duplicate source keys raise like Delta does).
     """
     tdf = catalog.table(target)
-    # MERGE precondition: unique source keys (Delta throws
-    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET otherwise)
-    key_cols = [c.strip() for c in on.split("=")]
-    src_key = key_cols[1].strip() if len(key_cols) == 2 else None
-    if src_key and source.groupBy(src_key).count().filter("count > 1").limit(1).count():
-        raise ValueError("MERGE: multiple source rows match the same key")
-
     cond = F.expr(on)
-    matched = tdf.join(source, cond, "left_semi")
-    n_matched = matched.count()
+    n_matched = tdf.join(source, cond, "left_semi").count()
+    # MERGE precondition: no target row may match MULTIPLE source rows
+    # (Delta throws DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET). The
+    # pair-count vs matched-target-count comparison is CONDITION-
+    # AGNOSTIC — the old on.split('=') key extraction silently broke on
+    # compound or reversed-operand conditions (review r8: matched>0
+    # reported while nothing updated).
+    if when_matched_update or when_matched_delete:
+        n_pairs = tdf.join(source, cond, "inner").count()
+        if n_pairs > n_matched:
+            raise ValueError(
+                "MERGE: multiple source rows match the same key"
+            )
 
     updated = tdf
     if when_matched_delete:
         updated = tdf.join(source, cond, "left_anti")
     elif when_matched_update:
-        joined = tdf.join(source, cond, "left")
+        # literal marker column: src_marker must not depend on parsing
+        # the condition (review r8) — a NULL marker after the LEFT join
+        # means "no source match" for ANY condition shape
+        marked = source.withColumn("__merge_src__", F.lit(True))
+        joined = tdf.join(marked, cond, "left")
         out_cols = []
-        src_marker = F.col(src_key).isNotNull() if src_key else F.lit(False)
+        src_marker = F.col("__merge_src__").isNotNull()
         for c in tdf.columns:
             if c in when_matched_update:
                 out_cols.append(
@@ -170,7 +178,16 @@ def merge_into(
         updated = updated.unionByName(inserts)
 
     _rewrite(catalog, target, updated)
-    return {"matched": n_matched, "inserted": n_inserted}
+    return {
+        "matched": n_matched,
+        "inserted": n_inserted,
+        # matched-but-untouched rows are NOT modifications: an
+        # insert-only MERGE must not count its matches (review r8)
+        "rows_modified": (
+            n_matched if (when_matched_update or when_matched_delete) else 0
+        )
+        + n_inserted,
+    }
 
 
 def register_csv(catalog, name: str, path: str, **options) -> None:

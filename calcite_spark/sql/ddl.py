@@ -71,8 +71,10 @@ _INSERT = re.compile(
     r"(VALUES\s*\(.+|SELECT\s+.+)$",
     re.I | re.S,
 )
+# the SET/WHERE boundary is found by a quote- and paren-aware scan in
+# _update (review r8: a 'where' inside a string literal misparsed)
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+(?:\.\w+)?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    r"^\s*UPDATE\s+(\w+(?:\.\w+)?)\s+SET\s+(.+)$",
     re.I | re.S,
 )
 _DELETE = re.compile(
@@ -325,7 +327,8 @@ class DdlExecutor:
             return self._merge(*m.groups())
         m = _UPDATE.match(sql)
         if m:
-            return self._update(m.group(1), m.group(2), m.group(3))
+            set_text, where = _split_where(m.group(2))
+            return self._update(m.group(1), set_text, where)
         m = _DELETE.match(sql)
         if m:
             return self._delete(m.group(1), m.group(2))
@@ -337,11 +340,14 @@ class DdlExecutor:
             from calcite_spark.sources.modify import _rewrite
 
             name, identity = m.group(1), (m.group(2) or "CONTINUE").upper()
+            # the reference resolves the table BEFORE the identity
+            # check (ServerDdlExecutor:383-393) — a missing table
+            # reports not-found, not the identity refusal (review r8)
+            self._dml_target(name)
             if identity == "RESTART":
                 raise NotImplementedError(
                     "RESTART IDENTIFY is not supported"
                 )
-            self._dml_target(name)
             n = self.catalog.table(name).count()
             _rewrite(self.catalog, name, self.catalog.table(name).limit(0))
             return {"rows_modified": n}
@@ -745,12 +751,21 @@ class DdlExecutor:
         defaults = meta.get("defaults", {})
         types = meta.get("types", {})
         not_null = meta.get("not_null", [])
+        df = self.catalog.table(name)
+        lower_map = {c.lower(): c for c in df.columns}
         assignments = {}
         for item in _split_top_level(set_text):
             am = re.match(r"(?is)^\s*(\w+)\s*=\s*(.+?)\s*$", item)
             if am is None:
                 raise ValueError(f"UPDATE: malformed assignment {item!r}")
             col, expr = am.group(1), am.group(2)
+            # resolve against the schema — update_set silently ignores
+            # keys that are not exact column names (review r8: unknown
+            # or differently-cased assignments were silent no-ops)
+            rc = lower_map.get(col.lower())
+            if rc is None:
+                raise ValueError(f"Unknown target column '{col}'")
+            col = rc
             if col in generated:
                 raise ValueError(
                     f"Cannot UPDATE generated column '{col}'"
@@ -761,15 +776,23 @@ class DdlExecutor:
                 )
             assignments[col] = expr
         cond = where.strip() if where else "TRUE"
-        df = self.catalog.table(name)
-        for c in not_null:
-            if c in assignments and df.filter(cond).filter(
-                f"({assignments[c]}) IS NULL"
-            ).head(1):
-                raise ValueError(
-                    f"Column '{c}' has no default value and does not "
-                    "allow NULLs"
-                )
+        # one aggregate over the affected rows for every assigned
+        # NOT NULL column (review r8: per-column head(1) jobs)
+        checked = [c for c in not_null if c in assignments]
+        if checked:
+            agg = df.filter(cond).selectExpr(
+                *[
+                    f"count(CASE WHEN ({assignments[c]}) IS NULL "
+                    f"THEN 1 END) AS __v{i}"
+                    for i, c in enumerate(checked)
+                ]
+            ).head()
+            for i, c in enumerate(checked):
+                if agg[f"__v{i}"] > 0:
+                    raise ValueError(
+                        f"Column '{c}' has no default value and does "
+                        "not allow NULLs"
+                    )
         # generated columns recompute in update_set's POST pass, whose
         # expressions see the updated base values
         n = update_set(
@@ -819,10 +842,22 @@ class DdlExecutor:
         src = src.toDF(*[f"{salias}__{c}" for c in src.columns])
 
         def _requalify(text: str) -> str:
-            text = re.sub(
-                rf"\b{re.escape(salias)}\.(\w+)", rf"{salias}__\1", text
+            # quote-parity guard: alias-qualified text inside a string
+            # literal is data — rewriting it corrupts stored values
+            # (review r8; same class as _subst_cols)
+            def _sub(pat, repl, s):
+                return re.sub(
+                    pat,
+                    lambda m: m.group(0)
+                    if s.count("'", 0, m.start()) % 2 == 1
+                    else m.expand(repl),
+                    s,
+                )
+
+            text = _sub(
+                rf"\b{re.escape(salias)}\.(\w+)", rf"{salias}__\g<1>", text
             )
-            return re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"\1", text)
+            return _sub(rf"\b{re.escape(talias)}\.(\w+)", r"\g<1>", text)
 
         on = _requalify(on.strip())
         update_map, insert_map = None, None
@@ -857,13 +892,22 @@ class DdlExecutor:
                     _requalify(e.strip())
                     for e in _split_top_level(im.group(2))
                 ]
+                tcols = list(self.catalog.table(target).columns)
+                lower_map = {c.lower(): c for c in tcols}
                 if im.group(1):
-                    cols = [
-                        c.strip().split(".")[-1]
-                        for c in im.group(1).split(",")
-                    ]
+                    cols = []
+                    for c in im.group(1).split(","):
+                        rc = lower_map.get(c.strip().split(".")[-1].lower())
+                        if rc is None:
+                            # merge_into silently drops unknown mapping
+                            # keys (review r8: a misspelled column lost
+                            # its value and the real column got NULL)
+                            raise ValueError(
+                                f"Unknown target column {c.strip()!r}"
+                            )
+                        cols.append(rc)
                 else:
-                    cols = list(self.catalog.table(target).columns)
+                    cols = tcols
                 if len(cols) != len(exprs):
                     raise ValueError(
                         "MERGE INSERT: column/value arity mismatch"
@@ -880,6 +924,46 @@ class DdlExecutor:
             )
         if not (update_map or do_delete or do_insert):
             raise ValueError("MERGE requires at least one WHEN clause")
+        if do_insert:
+            # the insert arm honors the same column modifiers as plain
+            # INSERT (review r8: unmapped NOT NULL columns slipped
+            # through as bare NULLs, and defaults never applied)
+            from pyspark.sql import functions as F
+
+            insert_map = insert_map or {}
+            defaults = meta.get("defaults", {})
+            types = meta.get("types", {})
+            not_null = meta.get("not_null", [])
+            for c in self.catalog.table(target).columns:
+                if c not in insert_map and c in defaults:
+                    insert_map[c] = self._subst_cols(
+                        defaults[c], insert_map, types
+                    )
+            if not_null:
+                probe = src.join(
+                    self.catalog.table(target), F.expr(on), "left_anti"
+                )
+                missing = [c for c in not_null if c not in insert_map]
+                checked = [c for c in not_null if c in insert_map]
+                agg = probe.selectExpr(
+                    "count(*) AS __n",
+                    *[
+                        f"count(CASE WHEN ({insert_map[c]}) IS NULL "
+                        f"THEN 1 END) AS __v{i}"
+                        for i, c in enumerate(checked)
+                    ],
+                ).head()
+                if agg["__n"] > 0 and missing:
+                    raise ValueError(
+                        f"Column '{missing[0]}' has no default value "
+                        "and does not allow NULLs"
+                    )
+                for i, c in enumerate(checked):
+                    if agg[f"__v{i}"] > 0:
+                        raise ValueError(
+                            f"Column '{c}' has no default value and "
+                            "does not allow NULLs"
+                        )
         stats = merge_into(
             self.catalog,
             target,
@@ -1031,14 +1115,48 @@ class DdlExecutor:
         }
 
 
+def _split_where(text: str):
+    """Split `<set list> WHERE <cond>` at the first TOP-LEVEL WHERE —
+    quote- and paren-aware, so a 'where' inside a string literal or a
+    parenthesized subquery never splits (review r8)."""
+    depth, in_str, i, n = 0, False, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and text[i : i + 5].upper() == "WHERE"
+                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+                and (
+                    i + 5 >= n
+                    or not (text[i + 5].isalnum() or text[i + 5] == "_")
+                )
+            ):
+                return text[:i].rstrip(), text[i + 5 :].strip()
+        i += 1
+    return text.strip(), None
+
+
 def _split_top_level(text: str) -> list[str]:
-    out, depth, cur = [], 0, []
+    """Split on top-level commas; parens nest and string-literal
+    contents are opaque (review r8: `SET s = 'a,b'` must not split
+    inside the literal)."""
+    out, depth, in_str, cur = [], 0, False, []
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             out.append("".join(cur))
             cur = []
         else:

@@ -74,7 +74,7 @@ def test_merge_into_upsert(spark, scratch):
         on="n_nationkey = src_key",
         when_matched_update={"n_name": "src_name", "n_regionkey": "src_region"},
     )
-    assert stats == {"matched": 1, "inserted": 1}
+    assert stats == {"matched": 1, "inserted": 1, "rows_modified": 2}
     t = scratch.table("nation")
     assert t.filter("n_nationkey = 0 AND n_name = 'RENAMED#0' AND n_regionkey = 9").count() == 1
     # inserted row carries nulls for target-only columns not in source
@@ -161,3 +161,46 @@ def test_update_post_assignments_see_updated_row(spark, scratch):
     t = scratch.table("nation")
     r = t.filter("n_nationkey = 2").collect()[0]
     assert r.n_name == f"R{r.n_regionkey}"
+
+
+def test_merge_compound_and_reversed_on(spark, scratch):
+    """The ON condition is handled condition-agnostically: compound
+    conjunctions and reversed operand order both match correctly
+    (review r8: the on.split('=') key extraction silently updated
+    nothing while reporting matched>0)."""
+    source = spark.createDataFrame(
+        [(0, 0, "X")], "sk int, sr int, sname string"
+    )
+    stats = merge_into(
+        scratch, "nation", source,
+        on="n_nationkey = sk AND n_regionkey = sr",
+        when_matched_update={"n_name": "sname"},
+        when_not_matched_insert=False,
+    )
+    assert stats["matched"] == 1
+    assert scratch.table("nation").filter(
+        "n_nationkey = 0 AND n_name = 'X'"
+    ).count() == 1
+    # reversed operands
+    source2 = spark.createDataFrame([(1, "Y")], "sk int, sname string")
+    merge_into(
+        scratch, "nation", source2, on="sk = n_nationkey",
+        when_matched_update={"n_name": "sname"},
+        when_not_matched_insert=False,
+    )
+    assert scratch.table("nation").filter(
+        "n_nationkey = 1 AND n_name = 'Y'"
+    ).count() == 1
+
+
+def test_merge_insert_only_rows_modified(spark, scratch):
+    """Matched-but-untouched rows are not modifications (review r8)."""
+    source = spark.createDataFrame(
+        [(0, "dup"), (90, "new")], "sk int, sname string"
+    )
+    stats = merge_into(
+        scratch, "nation", source, on="n_nationkey = sk",
+        when_matched_update=None, when_not_matched_insert=True,
+        insert_values={"n_nationkey": "sk", "n_name": "sname"},
+    )
+    assert stats["rows_modified"] == 1 and stats["inserted"] == 1

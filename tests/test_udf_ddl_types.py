@@ -265,3 +265,61 @@ def test_insert_values_frontend_macros(ddl):
     assert [tuple(r) for r in ddl.catalog.table("tmac").collect()] == [
         ([1, 2], 5)
     ]
+
+
+def test_update_unknown_column_and_literal_where(ddl):
+    """UPDATE validates assigned columns (review r8: unknown names were
+    silent no-ops) and a 'where' inside a string literal never splits
+    the statement."""
+    import pytest as _pt
+
+    ddl.execute("create table tu (i int, s varchar)")
+    ddl.execute("insert into tu values (1, 'a')")
+    with _pt.raises(ValueError, match="Unknown target column"):
+        ddl.execute("update tu set nosuchcol = 99")
+    ddl.execute("update tu set s = 'no where here' where i = 1")
+    assert [tuple(r) for r in ddl.catalog.table("tu").collect()] == [
+        (1, "no where here")
+    ]
+    ddl.execute("update tu set s = 'a,b' where i = 1")
+    assert ddl.catalog.table("tu").collect()[0].s == "a,b"
+
+
+def test_merge_modifier_enforcement(ddl):
+    """MERGE's insert arm honors NOT NULL and DEFAULT like plain INSERT,
+    validates its column list, and alias-qualified text inside string
+    literals survives requalification (review r8)."""
+    import pytest as _pt
+
+    ddl.execute("create table tm (k int, v varchar not null, d int default 7)")
+    ddl.execute("insert into tm (k, v) values (1, 'one')")
+    ddl.execute("create table sm as select CAST(2 AS INT) AS k, CAST('two' AS STRING) AS v")
+    with _pt.raises(ValueError, match="does not allow NULLs"):
+        ddl.execute(
+            "MERGE INTO tm USING sm AS s ON k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+        )
+    with _pt.raises(ValueError, match="Unknown target column"):
+        ddl.execute(
+            "MERGE INTO tm USING sm AS s ON k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (kk, v) VALUES (s.k, s.v)"
+        )
+    ddl.execute(
+        "MERGE INTO tm USING sm AS s ON k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    row = ddl.catalog.table("tm").filter("k = 2").collect()[0]
+    assert row.v == "two" and row.d == 7  # default applied in the arm
+    # string literal mentioning the alias is data, not a reference
+    ddl.execute(
+        "MERGE INTO tm USING sm AS s ON k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = 'see s.k today'"
+    )
+    assert ddl.catalog.table("tm").filter("k = 2").collect()[0].v == "see s.k today"
+
+
+def test_truncate_missing_table_reports_not_found(ddl):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not found"):
+        ddl.execute("truncate table nosuch restart identity")
