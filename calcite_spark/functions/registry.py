@@ -184,7 +184,23 @@ _reg("CHARACTER_LENGTH", "length({0})", (1,))
 _reg("POSITION", "instr({1}, {0})", (2,), note="POSITION(x IN y) arg order")
 _reg("OVERLAY", "concat(substring({0}, 1, {2} - 1), {1}, substring({0}, {2} + {3}))", (4,))
 _reg("STRPOS", "instr({0}, {1})", (2,), libs=(POSTGRESQL, BIG_QUERY))
-_reg("SPLIT_PART", "element_at(split({0}, {1}), CAST({2} AS INT))", (3,), libs=(POSTGRESQL,))
+# PG SPLIT_PART: the delimiter is a LITERAL string (Spark's split is a
+# REGEX — the old passthrough returned '' for split_part('abc.def','.',1),
+# a silent wrong value; babel postgresql.iq:69-104 sweep, r8). Runtime
+# regex-quoting idiom shared with STRING_TO_ARRAY below; '' delimiter →
+# whole string as field 1 (and -1), '' for others; negative index counts
+# from the end (PG 14); out-of-range → '' (PG), NULL operands → NULL.
+_reg(
+    "SPLIT_PART",
+    "CASE WHEN {0} IS NULL OR {1} IS NULL OR CAST({2} AS INT) IS NULL "
+    "THEN CAST(NULL AS STRING) "
+    "WHEN {1} = '' THEN IF(CAST({2} AS INT) IN (1, -1), {0}, '') "
+    "ELSE COALESCE(try_element_at(split({0}, regexp_replace({1}, "
+    "'([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$1'), -1), "
+    "CAST({2} AS INT)), '') END",
+    (3,),
+    libs=(POSTGRESQL,),
+)
 _reg("ENDS_WITH", "endswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
 _reg("STARTS_WITH", "startswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
 _reg("STRCMP", "CASE WHEN {0} = {1} THEN 0 WHEN {0} < {1} THEN -1 ELSE 1 END", (2,), libs=(MYSQL,))

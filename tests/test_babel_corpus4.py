@@ -284,3 +284,40 @@ def test_submultiset_strict_null_empty_corner(spark):
                "cast(NULL as array<int>)") is None
     assert _sp(spark, "NOT_SUBMULTISET_OF", "array()",
                "cast(NULL as array<int>)") is None
+
+
+# -- PG SPLIT_PART (postgresql.iq:69-104) ------------------------------
+
+
+def test_pg_split_part_literal_delimiter(spark, duck):
+    """PG split_part takes a LITERAL delimiter — the old Spark-split
+    passthrough treated '.' as a regex and returned '' (review r8,
+    corpus sweep). Negative index counts from the end (PG 14); ''
+    delimiter → whole string as field 1/-1 and '' otherwise;
+    out-of-range → ''; NULL operands → NULL."""
+    def _pg(*args):
+        expr = registry.translate("SPLIT_PART", *args, library="POSTGRESQL")
+        return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+    cases = [
+        (("'abc,def,ghi,jkl'", "','", "-2"), "ghi"),   # :69
+        (("'abc.def'", "'.'", "1"), "abc"),            # :74
+        (("'abc.def'", "''", "1"), "abc.def"),         # :79
+        (("'abc.def'", "''", "2"), ""),                # :84
+        (("NULL", "'.'", "1"), None),                  # :89
+        (("'abc.abc'", "'.'", "CAST(NULL AS INT)"), None),  # :99
+        (("'abc'", "NULL", "1"), None),                # :104
+        (("'a.b'", "'.'", "5"), ""),                   # out-of-range → ''
+        (("'a|b|c'", "'|'", "2"), "b"),                # regex metachar
+    ]
+    for args, want in cases:
+        assert _pg(*args) == want, (args, _pg(*args))
+    # DuckDB native twin on the overlapping semantics (literal
+    # delimiter, negative index, metachars — NOT the ''-delimiter or
+    # NULL envelope, where DuckDB diverges from PG)
+    for v, d, i in [("abc,def", ",", 2), ("a.b.c", ".", -1), ("a|b", "|", 1)]:
+        got = _pg(f"'{v}'", f"'{d}'", str(i))
+        native = duck.execute(
+            "SELECT split_part(?, ?, ?)", [v, d, i]
+        ).fetchone()[0]
+        assert got == native, (v, d, i, got, native)
