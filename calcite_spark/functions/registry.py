@@ -382,7 +382,14 @@ _reg(
     "replacement, the reference's shared runtime); 4-6-arg = the "
     "position/occurrence/matchType tier (std_regex dispatch)",
 )
-_reg("REGEXP_SUBSTR", "regexp_extract({0}, {1}, 0)", (2,), libs=(BIG_QUERY, MYSQL, ORACLE))
+# REGEXP_SUBSTR is BIG_QUERY-gated in the reference
+# (SqlLibraryOperators.java:702-705, "Returns NULL if there is no
+# match") — the former MYSQL/ORACLE registration here both
+# over-accepted vs the reference and fell through to Spark's
+# regexp_extract, which returns '' on no match (r8 verdict finding).
+# Library-less and BIG_QUERY calls route to the bq_regex NULL-envelope
+# lowering in translate(); MYSQL/ORACLE now refuse at lookup.
+_reg("REGEXP_SUBSTR", "", (2,), libs=(BIG_QUERY,))
 # SqlLibraryOperators.java:713-718: {SPARK, MYSQL, POSTGRESQL, ORACLE},
 # STRING_STRING_OPTIONAL_STRING — the 3-arg matchType form routes
 # through std_regex.regexp_like (makeRegexpFlags → inline-flag prefix)

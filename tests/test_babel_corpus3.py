@@ -139,6 +139,31 @@ def test_bq_regexp_replace_backslash_indexed(spark):
     assert _bq(spark, "REGEXP_REPLACE", "'abc'", "'b'", "'$9'") == "a$9c"
 
 
+# -- REGEXP_SUBSTR library gating (r8 verdict finding) ----------------
+
+
+def test_regexp_substr_null_on_no_match_and_gating(spark):
+    """The reference gates REGEXP_SUBSTR to BIG_QUERY only and returns
+    NULL on no match (SqlLibraryOperators.java:702-705); real MySQL 8
+    and Oracle also return NULL. The old base registration served
+    MYSQL/ORACLE via Spark's regexp_extract, which returns '' on no
+    match — a silent wrong value. Pin: NULL envelope for BIG_QUERY and
+    library-less calls, refusal (reference parity) for MYSQL/ORACLE."""
+    # no match → NULL, not '' (the bug)
+    assert _bq(spark, "REGEXP_SUBSTR", "'abc'", "'z'") is None
+    # match still works, whole-match for group-less patterns
+    assert _bq(spark, "REGEXP_SUBSTR", "'abc'", "'b.'") == "bc"
+    # library-less call takes the same NULL-envelope lowering
+    e = registry.translate("REGEXP_SUBSTR", "'abc'", "'z'")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0].v is None
+    # MYSQL / ORACLE refuse at lookup — matches the reference's
+    # BIG_QUERY-only operator gating
+    for lib in ("MYSQL", "ORACLE"):
+        assert registry.lookup("REGEXP_SUBSTR", lib) is None
+        with pytest.raises(KeyError):
+            registry.translate("REGEXP_SUBSTR", "'abc'", "'z'", library=lib)
+
+
 # -- Redshift library tier (redshift.iq) ------------------------------
 
 

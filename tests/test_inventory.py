@@ -38,3 +38,18 @@ def test_entry_smoke(spark):
     names = set(e.queries())
     oracles = e.oracle_sql()
     assert set(oracles) <= names
+
+
+def test_readme_suite_count_matches_registry():
+    """README's advertised suite size is single-sourced here: the doc
+    number must track the registry (r8 verdict found it 7 stale)."""
+    import pathlib
+    import re
+
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    m = re.search(r"`queries\(\)` \((\d+) named", readme.read_text())
+    assert m, "README no longer states the suite count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries; registry holds {len(QUERIES)} "
+        "— update README.md's driver-contract paragraph"
+    )
