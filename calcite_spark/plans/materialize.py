@@ -489,8 +489,15 @@ class MaterializationRegistry:
             return sum(1 for a, b in edges if a in cols or b in cols)
 
         fact = max(sorted(tables), key=edge_count)
+        try:
+            snapshot = tuple(
+                sorted({f for t in tables for f in catalog.table(t).inputFiles()})
+            )
+        except Exception:
+            snapshot = ()  # non-file base: no freshness anchor
         mv = Materialization(
             name, fact, tuple(plan.group_keys), parsed, path,
+            base_files=snapshot,
             tables=tuple(sorted(tables)), join_edges=frozenset(edges),
         )
         self.mvs[name] = mv
@@ -547,6 +554,35 @@ class MaterializationRegistry:
         catalog._dfs.pop(mv.table, None)
         current = tuple(sorted(catalog.table(mv.table).inputFiles()))
         seen = set(mv.base_files)
+        vanished = seen - set(current)
+        if vanished:
+            # base files were DELETED or REWRITTEN (the copy-on-write
+            # DML swap replaces every file): the stored tile no longer
+            # corresponds to any prefix of the base, so a delta merge
+            # would re-aggregate the whole rewritten base ONTO the
+            # stale tile — silent double counting (ADVICE r8). Full
+            # rebuild from the current base instead.
+            calls = tuple(
+                f"{fn}({arg}) AS {alias}"
+                for alias, (fn, arg) in mv.agg_calls.items()
+            )
+            base: ir.RelNode = ir.Scan(mv.table)
+            if mv.filter_condition is not None:
+                base = ir.Filter(mv.filter_condition, inputs=(base,))
+            ir.Aggregate(mv.group_keys, calls, inputs=(base,)).to_df(
+                catalog
+            ).write.mode("overwrite").parquet(mv.path)
+            catalog.register(mv.name, mv.path)
+            self.mvs[name] = Materialization(
+                mv.name, mv.table, mv.group_keys, mv.agg_calls, mv.path,
+                mv.filter_condition, base_files=current,
+            )
+            return {
+                "refreshed": True,
+                "rebuilt": True,
+                "vanished_files": len(vanished),
+                "delta_files": 0,
+            }
         delta = [f for f in current if f not in seen]
         if not delta:
             return {"refreshed": False, "delta_files": 0}
@@ -612,6 +648,22 @@ class MaterializationRegistry:
         catalog._dfs.pop(mv.table, None)
         current = tuple(sorted(catalog.table(mv.table).inputFiles()))
         seen = set(mv.base_files)
+        vanished = seen - set(current)
+        if vanished:
+            # rewritten/deleted base files: an APPEND of "delta" rows
+            # would re-add every row of the rewritten base to the tile
+            # (ADVICE r8) — full rebuild (overwrite) instead
+            self._spf_plan(mv, mv.table).to_df(catalog).write.mode(
+                "overwrite"
+            ).parquet(mv.path)
+            catalog.register(mv.name, mv.path)
+            self.mvs[mv.name] = replace(mv, base_files=current)
+            return {
+                "refreshed": True,
+                "rebuilt": True,
+                "vanished_files": len(vanished),
+                "delta_files": 0,
+            }
         delta = [f for f in current if f not in seen]
         if not delta:
             return {"refreshed": False, "delta_files": 0}
@@ -619,20 +671,9 @@ class MaterializationRegistry:
         tmp = f"__mv_delta_{mv.name}"
         catalog.register_df(tmp, spark.read.parquet(*delta))
         try:
-            node: ir.RelNode = ir.Scan(tmp)
-            if mv.filter_condition is not None:
-                node = ir.Filter(mv.filter_condition, inputs=(node,))
-            if mv.spf_renames:
-                node = ir.Project(
-                    tuple(
-                        f"{b} AS {s}" if s != b else b
-                        for b, s in mv.spf_renames
-                    ),
-                    inputs=(node,),
-                )
-            elif mv.spf_columns is not None:
-                node = ir.Project(tuple(mv.spf_columns), inputs=(node,))
-            node.to_df(catalog).write.mode("append").parquet(mv.path)
+            self._spf_plan(mv, tmp).to_df(catalog).write.mode(
+                "append"
+            ).parquet(mv.path)
         finally:
             spark.catalog.dropTempView(tmp)
             catalog.tables.pop(tmp, None)
@@ -641,7 +682,50 @@ class MaterializationRegistry:
         self.mvs[mv.name] = replace(mv, base_files=current)
         return {"refreshed": True, "delta_files": len(delta)}
 
+    @staticmethod
+    def _spf_plan(mv: Materialization, src: str):
+        """The SPF defining plan over `src` (the base table for a full
+        build/rebuild, the delta temp view for an append refresh) —
+        ONE lowering so the two paths can never diverge in naming or
+        typing."""
+        node: ir.RelNode = ir.Scan(src)
+        if mv.filter_condition is not None:
+            node = ir.Filter(mv.filter_condition, inputs=(node,))
+        if mv.spf_renames:
+            node = ir.Project(
+                tuple(
+                    f"{b} AS {s}" if s != b else b for b, s in mv.spf_renames
+                ),
+                inputs=(node,),
+            )
+        elif mv.spf_columns is not None:
+            node = ir.Project(tuple(mv.spf_columns), inputs=(node,))
+        return node
+
     # -- the rewrite rule (plugged into plans/rewrite.py) --------------
+
+    def _base_current(self, mv: Materialization, catalog) -> bool:
+        """Freshness gate (ADVICE r8): after DML mutates a base table
+        (copy-on-write swap, INSERT append, TRUNCATE), a tile built
+        from the OLD files must not silently answer queries — compare
+        the define/refresh-time file snapshot with the base's current
+        listing and refuse substitution on ANY difference (the caller
+        falls back to the base scan; incremental_refresh re-arms the
+        tile). Tiles with no snapshot (non-file bases) keep the legacy
+        always-fresh behavior — they have no change anchor, loudly
+        documented at define time."""
+        if not mv.base_files:
+            return True
+        try:
+            if mv.tables:
+                current = {
+                    f for t in mv.tables for f in catalog.table(t).inputFiles()
+                }
+            else:
+                current = set(catalog.table(mv.table).inputFiles())
+        except Exception:
+            return True  # listing unavailable: no evidence of staleness
+        return current == set(mv.base_files)
 
     def substitute(self, node, catalog):
         """Aggregate[, Filter](Scan | Join-tree) → Aggregate[, Filter]
@@ -677,6 +761,8 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if mv.spf:
                 continue  # handled at the Filter/Project nodes above
+            if not self._base_current(mv, catalog):
+                continue  # stale tile (base mutated since build): refuse
             if mv.filter_condition is not None:
                 # filtered tiles go through the containment / union-
                 # compensation prover — NEVER the plain tier (a sliced
@@ -1074,6 +1160,8 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if not mv.spf or mv.table != scan.table or mv.spf_columns is not None:
                 continue
+            if not self._base_current(mv, catalog):
+                continue  # stale slice: refuse, serve from base
             repl = self._spf_range_rewrite(node.condition, mv, catalog)
             if repl is not None:
                 return repl
@@ -1094,6 +1182,8 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if not mv.spf or mv.table != scan.table or mv.spf_columns is None:
                 continue  # full-column tiles already fired at the Filter node
+            if not self._base_current(mv, catalog):
+                continue  # stale slice: refuse, serve from base
             needed = set()
             for e in node.exprs:
                 needed |= _expr_cols(e)

@@ -20,11 +20,30 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _rewrite(catalog, table: str, df: DataFrame) -> None:
-    """Copy-on-write swap: write to a sibling path, re-register."""
+    """Copy-on-write swap: write to a sibling path, re-register, and
+    delete the PREVIOUS sibling. Siblings alternate between two fixed
+    names derived from the original path (`.cow-a` / `.cow-b`), so
+    repeated DML neither grows the path unboundedly nor orphans a
+    directory per statement (r8 verdict: the old `.new` suffix
+    accumulated as `x.new.new.new…`). The ORIGINAL path is never
+    deleted — we may not own it (a mounted dataset); only the cow
+    siblings this function created are cleaned up."""
+    import shutil
+
     entry = catalog.tables[table]
-    new_path = entry.path.rstrip("/") + ".new"
+    old_path = entry.path.rstrip("/")
+    if old_path.endswith(".cow-a"):
+        base, new_path = old_path[: -len(".cow-a")], old_path[: -len(".cow-a")] + ".cow-b"
+    elif old_path.endswith(".cow-b"):
+        base, new_path = old_path[: -len(".cow-b")], old_path[: -len(".cow-b")] + ".cow-a"
+    else:
+        base, new_path = old_path, old_path + ".cow-a"
+    # the write below EXECUTES the read of old_path (eager action), so
+    # after it returns the previous sibling is dead weight
     df.write.mode("overwrite").parquet(new_path)
     catalog.register(table, new_path)
+    if old_path != base:  # only ever remove a sibling we created
+        shutil.rmtree(old_path, ignore_errors=True)
 
 
 def insert_into(

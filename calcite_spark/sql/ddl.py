@@ -777,20 +777,53 @@ class DdlExecutor:
             assignments[col] = expr
         cond = where.strip() if where else "TRUE"
         # one aggregate over the affected rows for every assigned
-        # NOT NULL column (review r8: per-column head(1) jobs)
+        # NOT NULL column (review r8: per-column head(1) jobs) AND for
+        # every NOT NULL GENERATED column whose generator references an
+        # assigned column (ADVICE r8: `SET a = NULL` feeding generated
+        # `a + b` recomputed NULL in the post pass and was written
+        # without error, while INSERT checks all NOT NULL columns after
+        # computing generated values). The generated expressions are
+        # evaluated over the POST-update row: project the simultaneous
+        # assignments first (RHS see original columns), then the
+        # generators over the projected frame.
         checked = [c for c in not_null if c in assignments]
-        if checked:
-            agg = df.filter(cond).selectExpr(
+        gen_checked = [
+            g
+            for g in not_null
+            if g in generated
+            and {
+                i.lower() for i in re.findall(r"[A-Za-z_]\w*", generated[g])
+            }
+            & {a.lower() for a in assignments}
+        ]
+        if checked or gen_checked:
+            affected = df.filter(cond).selectExpr(
                 *[
-                    f"count(CASE WHEN ({assignments[c]}) IS NULL "
-                    f"THEN 1 END) AS __v{i}"
-                    for i, c in enumerate(checked)
+                    f"({assignments[c]}) AS {c}" if c in assignments else c
+                    for c in df.columns
                 ]
+            )
+            agg = affected.selectExpr(
+                *[
+                    f"count(CASE WHEN {c} IS NULL THEN 1 END) AS __v{i}"
+                    for i, c in enumerate(checked)
+                ],
+                *[
+                    f"count(CASE WHEN ({generated[g]}) IS NULL "
+                    f"THEN 1 END) AS __g{i}"
+                    for i, g in enumerate(gen_checked)
+                ],
             ).head()
             for i, c in enumerate(checked):
                 if agg[f"__v{i}"] > 0:
                     raise ValueError(
                         f"Column '{c}' has no default value and does "
+                        "not allow NULLs"
+                    )
+            for i, g in enumerate(gen_checked):
+                if agg[f"__g{i}"] > 0:
+                    raise ValueError(
+                        f"Column '{g}' has no default value and does "
                         "not allow NULLs"
                     )
         # generated columns recompute in update_set's POST pass, whose

@@ -2091,6 +2091,30 @@ class SqlFrontend:
             okeys = [k.strip() for k in ob.split(",")]
             if not all(self._ORDER_KEY_RE.match(k) for k in okeys):
                 return None  # ordinals/expressions: SQL semantics differ
+            # the IR lift builds Sort ABOVE Project, so an ORDER BY key
+            # that is not among the projected output columns would fail
+            # analysis after substitution where spark.sql succeeds
+            # (SQL may sort by an input column the SELECT drops) — bail
+            # to the verbatim path (ADVICE r8)
+            if m.group("gb"):
+                out_names = {n.lower() for n in out_order}
+            elif sel == ["*"]:
+                out_names = None  # star keeps every input column
+            else:
+                out_names = set()
+                for s in sel:
+                    am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", s)
+                    if am is not None:
+                        out_names.add(am.group(1).lower())
+                    elif re.fullmatch(r"[A-Za-z_]\w*", s):
+                        out_names.add(s.lower())
+                    # unaliased expressions contribute no sortable name
+            if out_names is not None:
+                bare = {
+                    re.split(r"\s+", k.strip())[0].lower() for k in okeys
+                }
+                if not bare <= out_names:
+                    return None
             b.sort_limit(okeys, fetch=int(m.group("lim")) if m.group("lim") else None)
         elif m.group("lim"):
             b.limit(int(m.group("lim")))

@@ -1246,3 +1246,183 @@ def test_spf_does_not_preempt_aggregate_tile(spark, tmp_path):
     # SPF still serves the shapes the aggregate tiers cannot
     df2 = fe.sql("SELECT * FROM orders WHERE o_orderdate >= DATE '1995-06-01'")
     assert any("ord_raw" in f for f in df2.inputFiles())
+
+
+# -- freshness gate + vanished-file rebuild (ADVICE r8) ----------------
+
+
+def test_mv_substitution_refuses_stale_after_dml(spark, tmp_path):
+    """A tile whose base files changed since build (copy-on-write DML
+    swap) must NOT answer queries — substitution refuses, the query
+    falls back to the base scan, and incremental_refresh rebuilds and
+    re-arms the tile (ADVICE r8: SELECT after INSERT returned pre-DML
+    values from the stale tile)."""
+    from calcite_spark.sources.modify import delete_where
+
+    base_dir = str(tmp_path / "ord_stale")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("orders")
+    full.write.parquet(base_dir)
+    cat = Catalog(spark)
+    cat.register("ord_stale", base_dir)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat,
+        name="mv_stale",
+        table="ord_stale",
+        group_keys=["o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS sp", "COUNT(*) AS n"],
+        path=str(tmp_path / "mv_stale"),
+    )
+    plan = (
+        RelBuilder(cat)
+        .scan("ord_stale")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is not None  # fresh: fires
+
+    deleted = delete_where(cat, "ord_stale", "o_orderstatus = 'F'")
+    assert deleted > 0
+    assert reg.substitute(plan, cat) is None  # stale: refuses
+
+    stats = reg.incremental_refresh(cat, "mv_stale")
+    assert stats["refreshed"] and stats.get("rebuilt") is True
+    sub = reg.substitute(plan, cat)  # re-armed
+    assert sub is not None
+    got = {(r.o_orderstatus, r.n) for r in sub.to_df(cat).collect()}
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in cat.table("ord_stale")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("COUNT(*)").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert all(s != "F" for s, _ in got)
+
+
+def test_incremental_refresh_rebuilds_not_double_counts(spark, tmp_path):
+    """After an UPDATE rewrote every base file, the old delta logic
+    re-aggregated the ENTIRE base onto the stale tile — the rebuilt
+    tile must equal a direct aggregation, not double it (ADVICE r8)."""
+    from calcite_spark.sources.modify import update_set
+
+    base_dir = str(tmp_path / "ord_dd")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("orders")
+    full.write.parquet(base_dir)
+    cat = Catalog(spark)
+    cat.register("ord_dd", base_dir)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat,
+        name="mv_dd",
+        table="ord_dd",
+        group_keys=["o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS sp", "COUNT(*) AS n"],
+        path=str(tmp_path / "mv_dd"),
+    )
+    update_set(cat, "ord_dd", {"o_totalprice": "o_totalprice * 2"}, "TRUE")
+    stats = reg.incremental_refresh(cat, "mv_dd")
+    assert stats.get("rebuilt") is True and stats["vanished_files"] >= 1
+    got = _rows(cat.table("mv_dd"))
+    want = _rows(
+        cat.table("ord_dd")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("SUM(o_totalprice)").alias("sp"),
+            F.expr("COUNT(*)").alias("n"),
+        )
+        .select("o_orderstatus", "sp", "n")
+    )
+    assert got == want
+
+
+def test_spf_refresh_rebuilds_after_rewrite(spark, tmp_path):
+    """SPF tiles maintain by APPEND — after a base rewrite that path
+    would re-append every row; the rebuild must leave exactly the base
+    rows (ADVICE r8: the SPF variant re-appended every row)."""
+    from calcite_spark.sources.modify import update_set
+
+    base_dir = str(tmp_path / "cust_spf")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("customer")
+    full.write.parquet(base_dir)
+    cat = Catalog(spark)
+    cat.register("cust_spf", base_dir)
+    reg = MaterializationRegistry()
+    reg.define_spf(
+        cat,
+        name="spf_dd",
+        table="cust_spf",
+        path=str(tmp_path / "spf_dd"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+    n0 = cat.table("spf_dd").count()
+    update_set(cat, "cust_spf", {"c_acctbal": "c_acctbal + 1"}, "TRUE")
+    stats = reg.incremental_refresh(cat, "spf_dd")
+    assert stats.get("rebuilt") is True
+    assert cat.table("spf_dd").count() == n0  # not doubled
+    got = _rows(cat.table("spf_dd"))
+    want = _rows(cat.table("cust_spf").select("c_custkey", "c_acctbal"))
+    assert got == want
+
+
+def test_sql_surface_mv_fresh_after_insert(spark, tmp_path):
+    """The ADVICE r8 end-to-end scenario: CREATE MATERIALIZED VIEW,
+    INSERT INTO the base, then a plain SELECT must see the post-insert
+    values (stale-tile substitution refused, verbatim fallback)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE TABLE ord_live AS SELECT o_orderstatus, o_totalprice "
+        "FROM orders"
+    )
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW live_tile AS SELECT o_orderstatus, "
+        "COUNT(*) AS n FROM ord_live GROUP BY o_orderstatus"
+    )
+    pre = fe.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM ord_live "
+        "GROUP BY o_orderstatus"
+    )
+    assert any("live_tile" in f for f in pre.inputFiles())
+    n_pre = {(r.o_orderstatus, r.n) for r in pre.collect()}
+    fe.sql("INSERT INTO ord_live VALUES ('Z', 1.0)")
+    post = fe.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM ord_live "
+        "GROUP BY o_orderstatus"
+    )
+    n_post = {(r.o_orderstatus, r.n) for r in post.collect()}
+    assert ("Z", 1) in n_post, n_post
+    assert n_post != n_pre
+    # refresh re-arms substitution with the new rows folded in
+    reg = cat.mv_registry
+    stats = reg.incremental_refresh(cat, "live_tile")
+    assert stats["refreshed"]
+    again = fe.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM ord_live "
+        "GROUP BY o_orderstatus"
+    )
+    assert any("live_tile" in f for f in again.inputFiles())
+    assert {(r.o_orderstatus, r.n) for r in again.collect()} == n_post
+
+
+def test_frontend_lift_order_by_dropped_column(spark, tmp_path):
+    """ORDER BY an input column the SELECT does not project is valid
+    Spark SQL; with an SPF tile registered the lift used to build Sort
+    above Project and fail analysis — it must bail to the verbatim
+    path instead (ADVICE r8)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute("CREATE MATERIALIZED VIEW cust_raw AS SELECT * FROM customer")
+    df = fe.sql(
+        "SELECT c_name FROM customer "
+        "WHERE c_acctbal >= 0 ORDER BY c_custkey LIMIT 5"
+    )
+    want = (
+        cat.table("customer")
+        .filter("c_acctbal >= 0")
+        .orderBy("c_custkey")
+        .select("c_name")
+        .limit(5)
+    )
+    assert [r.c_name for r in df.collect()] == [
+        r.c_name for r in want.collect()
+    ]

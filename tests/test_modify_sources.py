@@ -204,3 +204,27 @@ def test_merge_insert_only_rows_modified(spark, scratch):
         insert_values={"n_nationkey": "sk", "n_name": "sname"},
     )
     assert stats["rows_modified"] == 1 and stats["inserted"] == 1
+
+
+def test_repeated_dml_path_bounded(spark, scratch, tmp_path):
+    """Copy-on-write siblings alternate between two fixed paths and the
+    superseded one is deleted — repeated DML must not grow the path
+    (`x.new.new.new…`, r8 verdict) or orphan a directory per statement."""
+    import os
+
+    orig = scratch.tables["nation"].path
+    for i in range(5):
+        update_set(
+            scratch, "nation",
+            {"n_name": f"'pass {i}'"}, "n_regionkey = 1",
+        )
+    p = scratch.tables["nation"].path
+    assert p in (orig + ".cow-a", orig + ".cow-b")
+    # the other sibling (and nothing else) may linger only as the
+    # CURRENT one; the superseded sibling is gone
+    other = orig + (".cow-b" if p.endswith(".cow-a") else ".cow-a")
+    assert not os.path.exists(other)
+    assert os.path.exists(p)
+    # values survived all five rewrites
+    got = scratch.table("nation").filter("n_regionkey = 1").select("n_name").collect()
+    assert all(r.n_name == "pass 4" for r in got)

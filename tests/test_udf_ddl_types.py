@@ -323,3 +323,32 @@ def test_truncate_missing_table_reports_not_found(ddl):
 
     with _pt.raises(ValueError, match="not found"):
         ddl.execute("truncate table nosuch restart identity")
+
+
+def test_update_not_null_generated_precheck(ddl):
+    """A NOT NULL generated column recomputed in the UPDATE post pass
+    (e.g. `a + b` after SET a = NULL) must pre-check like directly
+    assigned NOT NULL columns — the old check only covered direct
+    assignments and wrote the NULL without error (ADVICE r8)."""
+    import pytest as _pt
+
+    ddl.execute(
+        "create table tg (a int, b int, g int as (a + b) virtual not null)"
+    )
+    ddl.execute("insert into tg (a, b) values (1, 2)")
+    with _pt.raises(ValueError, match="does not allow NULLs"):
+        ddl.execute("update tg set a = NULL where b = 2")
+    # nothing was written by the refused statement
+    assert [tuple(r) for r in ddl.catalog.table("tg").collect()] == [(1, 2, 3)]
+    # a non-NULL reassignment recomputes and passes
+    ddl.execute("update tg set a = 10 where b = 2")
+    assert [tuple(r) for r in ddl.catalog.table("tg").collect()] == [(10, 2, 12)]
+    # generated column NOT referencing the assigned column is untouched
+    ddl.execute(
+        "create table tg2 (a int, b int, g int as (b * 2) virtual not null)"
+    )
+    ddl.execute("insert into tg2 (a, b) values (1, 2)")
+    ddl.execute("update tg2 set a = NULL")
+    assert [tuple(r) for r in ddl.catalog.table("tg2").collect()] == [
+        (None, 2, 4)
+    ]
