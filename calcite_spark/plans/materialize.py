@@ -33,6 +33,27 @@ _AGG_RE = re.compile(r"^\s*(SUM|COUNT|MIN|MAX)\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*
 # re-aggregation function when rolling a tile up to coarser keys
 _REAGG = {"SUM": "SUM", "COUNT": "SUM", "MIN": "MIN", "MAX": "MAX"}
 
+# Derived aggregates decomposable onto a SUM/COUNT(/SUM-of-squares)
+# tile ≈ rel/rules/AggregateReduceFunctionsRule.java (the reference
+# reduces AVG/STDDEV/VAR to SUM and COUNT combinations, which
+# MaterializedViewAggregateRule then unifies against the view) — the
+# same sufficient-statistics identities, emitted directly in terms of
+# tile columns. VARIANCE/STDDEV are the sample variants, as in both
+# Calcite and Spark.
+_DERIVED_RE = re.compile(
+    r"^\s*(AVG|VAR_POP|VAR_SAMP|VARIANCE|STDDEV_POP|STDDEV_SAMP|STDDEV)"
+    r"\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$",
+    re.I,
+)
+
+# an aggregate call inside a larger expression (one paren-nesting level
+# — enough for FN((a+b)*c); deeper nesting refuses via no-match)
+_AGG_IN_EXPR_RE = re.compile(
+    r"(?is)\b(SUM|COUNT|MIN|MAX|AVG|VAR_POP|VAR_SAMP|VARIANCE|"
+    r"STDDEV_POP|STDDEV_SAMP|STDDEV)\s*(\((?:[^()]|\([^()]*\))*\))"
+)
+_CALL_ALIAS_RE = re.compile(r"(?is)^(.+)\s+AS\s+(\w+)\s*$")
+
 
 @dataclass
 class Materialization:
@@ -72,6 +93,18 @@ def parse_agg_call(call: str):
     if not m:
         return None
     return m.group(1).upper(), re.sub(r"\s+", " ", m.group(2)), m.group(3)
+
+
+def liftable_agg_call(call: str) -> bool:
+    """Is this SELECT item a form the MV call mapper could serve —
+    a plain SUM/COUNT/MIN/MAX, a derived AVG/VAR/STDDEV, or an
+    arithmetic expression over such calls (SUM(a) + SUM(b) AS x)?
+    Used by the frontend lift's gate; the lift itself stays verbatim
+    (Spark executes the raw string whether or not substitution fires)."""
+    if parse_agg_call(call) is not None or _DERIVED_RE.match(call):
+        return True
+    m = _CALL_ALIAS_RE.match(call)
+    return m is not None and _AGG_IN_EXPR_RE.search(m.group(1)) is not None
 
 
 # ---------------------------------------------------------------------
@@ -769,11 +802,11 @@ class MaterializationRegistry:
                 # tile silently answering an unsliced query is the
                 # wrong-value class this layer must refuse)
                 rewritten = self._filtered_substitute(
-                    node, filt, mv, q_tables, q_edges
+                    node, filt, mv, q_tables, q_edges, catalog
                 )
             elif mv.tables:
                 if self._join_match(mv, q_tables, q_edges, catalog):
-                    rewritten = self._try_rewrite(node, filt, mv)
+                    rewritten = self._try_rewrite(node, filt, mv, catalog)
                 else:
                     rewritten = self._join_compensate(
                         node, filt, mv, q_tables, q_edges, catalog
@@ -781,7 +814,7 @@ class MaterializationRegistry:
             else:
                 rewritten = None
                 if not q_edges and q_tables == frozenset([mv.table]):
-                    rewritten = self._try_rewrite(node, filt, mv)
+                    rewritten = self._try_rewrite(node, filt, mv, catalog)
             if rewritten is not None:
                 return rewritten
         return None
@@ -877,46 +910,198 @@ class MaterializationRegistry:
         )
 
     @staticmethod
-    def _map_rollup_calls(agg_calls, mv: Materialization, exact: bool):
+    def _tile_col(mv: Materialization, fn: str, arg: str):
+        """The tile column computing FN(arg), by normalized-arg match."""
+        return next(
+            (
+                a
+                for a, (mfn, marg) in mv.agg_calls.items()
+                if mfn == fn and _norm(marg) == _norm(arg)
+            ),
+            None,
+        )
+
+    @staticmethod
+    def _map_simple(fn: str, arg: str, mv: Materialization, exact: bool):
+        """SUM/COUNT/MIN/MAX call → bare tile expression (no alias), or
+        None. Exact tier = the tile column itself; rollup tier =
+        re-aggregate (SUM→SUM, COUNT→$SUM0 COALESCE, MIN/MAX
+        idempotent). DISTINCT only survives the exact tier (SUM of
+        per-group distinct counts overcounts)."""
+        if arg.upper().startswith("DISTINCT") and not exact:
+            return None
+        src = MaterializationRegistry._tile_col(mv, fn, arg)
+        if src is None:
+            return None
+        if exact:
+            return src
+        if fn == "COUNT":
+            # $SUM0: a GLOBAL COUNT whose compensating filter matches
+            # no tile rows must yield 0, not SUM-over-nothing NULL
+            # (review r8 — same CountSplitter reasoning as the
+            # join/union transposes)
+            return f"COALESCE(SUM({src}), 0)"
+        return f"{_REAGG[fn]}({src})"
+
+    @staticmethod
+    def _map_derived(fn: str, arg: str, mv: Materialization, exact: bool, catalog):
+        """AVG/VAR/STDDEV call → bare tile expression via the
+        sufficient-statistics identities (≈ AggregateReduceFunctionsRule
+        reducing them to SUM/COUNT, then unifying against the tile):
+
+          AVG(x)        = SUM(x) / COUNT(x)
+          VAR_POP(x)    = (SUM(x*x) - SUM(x)²/n) / n,      n = COUNT(x)
+          VAR_SAMP(x)   = (SUM(x*x) - SUM(x)²/n) / (n-1),  NULL for n<2
+          STDDEV_*      = SQRT(VAR_*)
+
+        Gates (refuse, never approximate):
+        - the tile must carry SUM(x) and COUNT(x) — COUNT(*) is accepted
+          only for a plain single-table column with ANALYZE-grounded
+          zero NULLs (the FK-peel evidence posture);
+        - VAR/STDDEV additionally need SUM(x*x);
+        - DECIMAL tile columns refuse: Spark types AVG/VAR of decimals
+          as decimals, while this lowering is double math — a silent
+          result-type change is the wrong-value class this layer must
+          never emit. (catalog=None likewise refuses — no schema to
+          check.)
+        The variance expression clamps at 0: the identity is exact in
+        real arithmetic but catastrophic cancellation can produce a
+        small negative double, and SQRT of that would be NaN where
+        Spark's Welford implementation yields 0."""
+        fn = fn.upper()
+        if arg.upper().startswith("DISTINCT") or catalog is None:
+            return None
+        tc = MaterializationRegistry._tile_col
+        s = tc(mv, "SUM", arg)
+        c = tc(mv, "COUNT", arg)
+        if c is None and not mv.tables and re.fullmatch(r"[A-Za-z_]\w*", arg):
+            star = tc(mv, "COUNT", "*") or tc(mv, "COUNT", "1")
+            if star is not None and _column_nulls(catalog, mv.table, arg) == 0:
+                c = star
+        if s is None or c is None:
+            return None
+        needed = [s, c]
+        q = None
+        if fn != "AVG":
+            q = tc(mv, "SUM", f"{arg} * {arg}")
+            if q is None:
+                return None
+            needed.append(q)
+        try:
+            dtypes = dict(catalog.table(mv.name).dtypes)
+        except Exception:
+            return None
+        if any(str(dtypes.get(col, "")).startswith("decimal") for col in needed):
+            return None
+        S = s if exact else f"SUM({s})"
+        C = c if exact else f"SUM({c})"
+        SD = f"CAST({S} AS DOUBLE)"
+        if fn == "AVG":
+            return f"CASE WHEN {C} > 0 THEN {SD} / {C} END"
+        Q = q if exact else f"SUM({q})"
+        ss = f"(CAST({Q} AS DOUBLE) - {SD} * {SD} / {C})"
+        if fn in ("VAR_POP", "STDDEV_POP"):
+            var, guard = f"GREATEST(0.0D, {ss} / {C})", f"{C} > 0"
+        else:  # VAR_SAMP / VARIANCE / STDDEV_SAMP / STDDEV (sample)
+            var, guard = f"GREATEST(0.0D, {ss} / ({C} - 1))", f"{C} > 1"
+        body = var if fn.startswith("VAR") else f"SQRT({var})"
+        return f"CASE WHEN {guard} THEN {body} END"
+
+    @staticmethod
+    def _map_expression_call(
+        call: str, mv: Materialization, exact: bool, catalog, query_keys
+    ):
+        """Expression compensation (≈ SubstitutionVisitor unifying
+        derived expressions): an arithmetic expression over aggregate
+        calls — SUM(a) + SUM(b) AS x, MAX(a) - MIN(a) AS rng,
+        SUM(a) * 2 AS d — maps each embedded call through the
+        simple/derived tiers and splices the results. Identifiers
+        OUTSIDE the calls must be the query's group keys or SQL words
+        (anything else could silently rebind against the tile)."""
+        m = _CALL_ALIAS_RE.match(call)
+        if m is None:
+            return None
+        body, alias = m.group(1).strip(), m.group(2)
+        out, last, found = [], 0, 0
+        for mt in _AGG_IN_EXPR_RE.finditer(body):
+            fn = mt.group(1).upper()
+            arg = re.sub(r"\s+", " ", mt.group(2)[1:-1].strip())
+            if fn in _REAGG:
+                sub = MaterializationRegistry._map_simple(fn, arg, mv, exact)
+            else:
+                sub = MaterializationRegistry._map_derived(
+                    fn, arg, mv, exact, catalog
+                )
+            if sub is None:
+                return None
+            out.append(body[last : mt.start()])
+            out.append(f"({sub})")
+            last = mt.end()
+            found += 1
+        if not found:
+            return None
+        out.append(body[last:])
+        residual = _AGG_IN_EXPR_RE.sub(" ", body)
+        idents = set(
+            re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", residual))
+        )
+        sql_words = {
+            "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT",
+            "NULL", "TRUE", "FALSE", "CAST", "AS", "DOUBLE", "BIGINT",
+            "INT", "COALESCE", "GREATEST", "LEAST", "SQRT", "ABS", "ROUND",
+        }
+        allowed = set(query_keys)
+        if not all(
+            i in allowed or i.upper() in sql_words or i.isdigit()
+            for i in idents
+        ):
+            return None
+        return f"{''.join(out)} AS {alias}"
+
+    @staticmethod
+    def _map_rollup_calls(
+        agg_calls, mv: Materialization, exact: bool, catalog=None, query_keys=()
+    ):
         """Map the query's aggregate calls onto the tile's columns:
-        exact tier = identity; rollup tier = re-aggregate (SUM→SUM,
-        COUNT→$SUM0 COALESCE, MIN/MAX idempotent). None when any call
-        has no matching tile column or is a non-exact DISTINCT."""
+        exact tier = identity; rollup tier = re-aggregate. Beyond the
+        plain SUM/COUNT/MIN/MAX tier (r8), calls may be derived
+        aggregates (AVG/VAR/STDDEV — decomposed onto the tile's
+        SUM/COUNT/sum-of-squares columns) or arithmetic expressions
+        over aggregate calls (r9, ≈ AggregateReduceFunctionsRule +
+        SubstitutionVisitor expression unification). None when any
+        call has no tile derivation."""
         new_calls = []
         for call in agg_calls:
+            # the tiers FALL THROUGH on refusal rather than failing the
+            # whole mapping: _AGG_RE's lazy arg can "match" a compound
+            # expression (SUM(a) + SUM(b) AS x parses as SUM with a
+            # garbage arg), which the expression tier then handles
+            mapped = None
             p = parse_agg_call(call)
-            if p is None:
+            if p is not None:
+                fn, arg, alias = p
+                sub = MaterializationRegistry._map_simple(fn, arg, mv, exact)
+                if sub is not None:
+                    mapped = sub if sub == alias else f"{sub} AS {alias}"
+            if mapped is None:
+                dm = _DERIVED_RE.match(call)
+                if dm is not None:
+                    sub = MaterializationRegistry._map_derived(
+                        dm.group(1), re.sub(r"\s+", " ", dm.group(2)), mv,
+                        exact, catalog,
+                    )
+                    if sub is not None:
+                        mapped = f"{sub} AS {dm.group(3)}"
+            if mapped is None:
+                mapped = MaterializationRegistry._map_expression_call(
+                    call, mv, exact, catalog, query_keys
+                )
+            if mapped is None:
                 return None
-            fn, arg, alias = p
-            # DISTINCT aggregates are NOT summable across finer groups
-            # (SUM of per-group distinct counts overcounts) — only the
-            # exact-match tier may rewrite them.
-            if arg.upper().startswith("DISTINCT") and not exact:
-                return None
-            # find the MV column computing this aggregate
-            src = next(
-                (
-                    a
-                    for a, (mfn, marg) in mv.agg_calls.items()
-                    if mfn == fn and _norm(marg) == _norm(arg)
-                ),
-                None,
-            )
-            if src is None:
-                return None
-            if exact:
-                new_calls.append(alias if src == alias else f"{src} AS {alias}")
-            elif fn == "COUNT":
-                # $SUM0: a GLOBAL COUNT whose compensating filter
-                # matches no tile rows must yield 0, not SUM-over-
-                # nothing NULL (review r8 — same CountSplitter
-                # reasoning as the join/union transposes)
-                new_calls.append(f"COALESCE(SUM({src}), 0) AS {alias}")
-            else:
-                new_calls.append(f"{_REAGG[fn]}({src}) AS {alias}")
+            new_calls.append(mapped)
         return new_calls
 
-    def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization):
+    def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization, catalog=None):
         # group keys must be a subset of the tile's keys
         if not set(agg.group_keys) <= set(mv.group_keys):
             return None
@@ -926,7 +1111,9 @@ class MaterializationRegistry:
         ):
             return None
         exact = tuple(agg.group_keys) == tuple(mv.group_keys) and filt is None
-        new_calls = self._map_rollup_calls(agg.agg_calls, mv, exact)
+        new_calls = self._map_rollup_calls(
+            agg.agg_calls, mv, exact, catalog, agg.group_keys
+        )
         if new_calls is None:
             return None
         scan = ir.Scan(mv.name)
@@ -1018,14 +1205,16 @@ class MaterializationRegistry:
             return None
         if filt is not None and not self._filter_refs_ok(filt.condition, avail):
             return None
-        new_calls = self._map_rollup_calls(agg.agg_calls, mv, exact=False)
+        new_calls = self._map_rollup_calls(
+            agg.agg_calls, mv, False, catalog, agg.group_keys
+        )
         if new_calls is None:
             return None
         if filt is not None:
             node = ir.Filter(filt.condition, inputs=(node,))
         return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(node,))
 
-    def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges):
+    def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges, catalog=None):
         """Substitution against a SLICED tile (define(...,
         filter_condition=...)), ≈ MaterializedViewAggregateRule with
         generateUnionRewriting: prove the query's range CONTAINED in
@@ -1049,7 +1238,7 @@ class MaterializationRegistry:
             return None
         if _interval_contains(m_iv, q_iv):
             # the slice covers the query → plain compensation on the tile
-            return self._try_rewrite(agg, filt, mv)
+            return self._try_rewrite(agg, filt, mv, catalog)
         covered = _interval_intersect(q_iv, m_iv)
         if covered.is_empty():
             return None  # disjoint: the tile contributes nothing
@@ -1058,7 +1247,9 @@ class MaterializationRegistry:
             return None
         if not set(agg.group_keys) <= set(mv.group_keys):
             return None
-        merged_calls = self._map_rollup_calls(agg.agg_calls, mv, exact=False)
+        merged_calls = self._map_rollup_calls(
+            agg.agg_calls, mv, False, catalog, agg.group_keys
+        )
         if merged_calls is None:
             return None
         # both branches project the tile's canonical column list so the

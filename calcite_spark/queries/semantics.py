@@ -1195,3 +1195,74 @@ def qx41_mv_spf(spark, sf_dir):
         "o_orderpriority", "n_cust", "n_rows",
         "ROUND(sum_price, 2) AS sum_price",
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx43_mv_avg_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(STDDEV_POP(l_quantity), 6) AS std_qty,
+           ROUND(SUM(l_extendedprice) + SUM(l_quantity), 3) AS combo
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("materialize", "rewrite", "mv", "derived-agg"),
+)
+def qx43_mv_avg_rollup(spark, sf_dir):
+    """Derived-aggregate MV decomposition (r9, verdict item 2; ≈
+    rel/rules/AggregateReduceFunctionsRule.java reducing AVG/VAR/STDDEV
+    to SUM/COUNT combinations + rel/rules/materialize/
+    MaterializedViewAggregateRule unifying them against the tile, and
+    plan/SubstitutionVisitor for the SUM(a)+SUM(b) expression
+    unification): a tile storing SUM/COUNT/sum-of-squares answers
+    AVG, VAR_SAMP, STDDEV_POP, and an arithmetic expression over
+    aggregate calls — none of which appear verbatim in the tile. The
+    oracle is the PLAIN aggregate over the fact table: values must be
+    invariant under substitution. The plan asserts the tile scan (a
+    silently unsubstituted fact scan would still pass the value
+    check)."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx43_tile",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "SUM(l_quantity) AS s_qty",
+            "COUNT(l_quantity) AS c_qty",
+            "SUM(l_quantity * l_quantity) AS sq_qty",
+            "SUM(l_extendedprice) AS s_price",
+        ],
+        path=tempfile.mkdtemp(prefix="qx43_mv_") + "/qx43_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "AVG(l_quantity) AS avg_qty",
+                "VAR_SAMP(l_quantity) AS var_qty",
+                "STDDEV_POP(l_quantity) AS std_qty",
+                "SUM(l_extendedprice) + SUM(l_quantity) AS combo",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("derived-aggregate MV substitution did not fire")
+    return df.selectExpr(
+        "l_returnflag",
+        "ROUND(avg_qty, 6) AS avg_qty",
+        "ROUND(var_qty, 6) AS var_qty",
+        "ROUND(std_qty, 6) AS std_qty",
+        "ROUND(combo, 3) AS combo",
+    ).orderBy("l_returnflag")

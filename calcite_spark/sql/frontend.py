@@ -2043,7 +2043,7 @@ class SqlFrontend:
             return None
         from calcite_spark.plans import ir
         from calcite_spark.plans.builder import RelBuilder
-        from calcite_spark.plans.materialize import parse_agg_call
+        from calcite_spark.plans.materialize import liftable_agg_call
         from calcite_spark.plans.rewrite import default_program
 
         sel = [s.strip() for s in self._split_top_commas(m.group("sel"))]
@@ -2060,8 +2060,8 @@ class SqlFrontend:
                 # zero aggregate calls (pure-DISTINCT GROUP BY): the IR
                 # Aggregate can't lower an empty call list (review r8)
                 return None
-            if [s for s in sel if s in keys] != keys or any(
-                parse_agg_call(c) is None for c in calls
+            if [s for s in sel if s in keys] != keys or not all(
+                liftable_agg_call(c) for c in calls
             ):
                 return None
             b.aggregate(keys, calls)

@@ -1426,3 +1426,239 @@ def test_frontend_lift_order_by_dropped_column(spark, tmp_path):
     assert [r.c_name for r in df.collect()] == [
         r.c_name for r in want.collect()
     ]
+
+
+# -- derived-aggregate decomposition + expression compensation (r9) ----
+# ≈ rel/rules/AggregateReduceFunctionsRule.java + SubstitutionVisitor
+# expression unification: AVG/VAR/STDDEV answered from SUM/COUNT(/sum-
+# of-squares) tiles; arithmetic over aggregate calls spliced from tile
+# columns.
+
+
+@pytest.fixture(scope="module")
+def avg_catalog(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mv_avg_")
+    reg.define(
+        cat,
+        name="mv_stats",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "SUM(l_quantity) AS s_qty",
+            "COUNT(l_quantity) AS c_qty",
+            "SUM(l_quantity * l_quantity) AS sq_qty",
+            "SUM(l_extendedprice) AS s_price",
+            "COUNT(*) AS n_rows",
+        ],
+        path=f"{tmp}/mv_stats",
+    )
+    return cat, reg
+
+
+def test_avg_decomposition_exact_and_rollup(spark, avg_catalog):
+    cat, reg = avg_catalog
+    # exact keys: AVG from tile columns, no fact scan
+    for keys in (["l_returnflag", "l_linestatus"], ["l_returnflag"]):
+        df = (
+            RelBuilder(cat)
+            .scan("lineitem")
+            .aggregate(keys, ["AVG(l_quantity) AS avg_qty"])
+            .to_df()
+        )
+        files = df.inputFiles()
+        assert files and all("mv_stats" in f for f in files), (keys, files)
+        direct = (
+            cat.table("lineitem")
+            .groupBy(*keys)
+            .agg(F.avg("l_quantity").alias("avg_qty"))
+        )
+        got = {tuple(r[:-1]) + (round(r[-1], 9),) for r in _rows(df)}
+        want = {tuple(r[:-1]) + (round(r[-1], 9),) for r in _rows(direct)}
+        assert got == want
+
+
+def test_var_stddev_decomposition(spark, avg_catalog):
+    cat, reg = avg_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "VAR_SAMP(l_quantity) AS v_s",
+                "VAR_POP(l_quantity) AS v_p",
+                "STDDEV_SAMP(l_quantity) AS d_s",
+                "STDDEV_POP(l_quantity) AS d_p",
+            ],
+        )
+        .to_df()
+    )
+    assert all("mv_stats" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_quantity").alias("v_s"),
+            F.var_pop("l_quantity").alias("v_p"),
+            F.stddev_samp("l_quantity").alias("d_s"),
+            F.stddev_pop("l_quantity").alias("d_p"),
+        )
+    )
+    got = {(r[0],) + tuple(round(x, 6) for x in r[1:]) for r in _rows(df)}
+    want = {(r[0],) + tuple(round(x, 6) for x in r[1:]) for r in _rows(direct)}
+    assert got == want
+
+
+def test_avg_via_count_star_needs_null_evidence(spark, tmp_path):
+    """AVG(x) with only COUNT(*) in the tile: allowed ONLY with
+    ANALYZE-grounded zero NULLs on x (COUNT(*) counts rows, COUNT(x)
+    counts non-NULLs — without the evidence they differ silently)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat,
+        name="mv_star",
+        table="orders",
+        group_keys=["o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS sp", "COUNT(*) AS n"],
+        path=str(tmp_path / "mv_star"),
+    )
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["AVG(o_totalprice) AS ap"])
+        .build()
+    )
+    # no stats: refuse (falls back to the fact scan)
+    assert reg.substitute(plan, cat) is None
+    cat.analyze("orders", ["o_totalprice"])
+    sub = reg.substitute(plan, cat)
+    assert sub is not None
+    got = {(r.o_orderstatus, round(r.ap, 6)) for r in sub.to_df(cat).collect()}
+    want = {
+        (r.o_orderstatus, round(r.ap, 6))
+        for r in cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("ap"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_derived_negative_cases(spark, avg_catalog, tmp_path):
+    cat, reg = avg_catalog
+    # no SUM/COUNT pair for the argument → no rewrite
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(["l_returnflag"], ["AVG(l_discount) AS a"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+    # VAR without a sum-of-squares column → no rewrite
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(["l_returnflag"], ["VAR_SAMP(l_extendedprice) AS v"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+    # AVG(DISTINCT x) → refuse
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(["l_returnflag"], ["AVG(DISTINCT l_quantity) AS a"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+    # decimal tile columns → refuse (Spark types decimal AVG as
+    # decimal; the double lowering would silently change the type)
+    dec_dir = str(tmp_path / "dec_base")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_orderstatus", "CAST(o_totalprice AS DECIMAL(18, 2)) AS price"
+    ).write.parquet(dec_dir)
+    cat2 = Catalog(spark)
+    cat2.register("dec_orders", dec_dir)
+    reg2 = MaterializationRegistry()
+    reg2.define(
+        cat2,
+        name="mv_dec",
+        table="dec_orders",
+        group_keys=["o_orderstatus"],
+        agg_calls=["SUM(price) AS sp", "COUNT(price) AS cp"],
+        path=str(tmp_path / "mv_dec"),
+    )
+    plan = (
+        RelBuilder(cat2)
+        .scan("dec_orders")
+        .aggregate(["o_orderstatus"], ["AVG(price) AS ap"])
+        .build()
+    )
+    assert reg2.substitute(plan, cat2) is None
+
+
+def test_expression_compensation(spark, avg_catalog):
+    """SUM(a) + SUM(b), MAX - MIN arithmetic, and scalar factors splice
+    from tile columns (SubstitutionVisitor expression unification)."""
+    cat, reg = avg_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "SUM(l_quantity) + SUM(l_extendedprice) AS combo",
+                "SUM(l_extendedprice) / COUNT(*) AS per_row",
+                "SUM(l_quantity) * 2 AS dbl",
+            ],
+        )
+        .to_df()
+    )
+    assert all("mv_stats" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("SUM(l_quantity) + SUM(l_extendedprice)").alias("combo"),
+            F.expr("SUM(l_extendedprice) / COUNT(*)").alias("per_row"),
+            F.expr("SUM(l_quantity) * 2").alias("dbl"),
+        )
+    )
+    got = {(r[0],) + tuple(round(float(x), 6) for x in r[1:]) for r in _rows(df)}
+    want = {(r[0],) + tuple(round(float(x), 6) for x in r[1:]) for r in _rows(direct)}
+    assert got == want
+    # an identifier outside the aggregate calls that is NOT a query
+    # group key → refuse (could silently rebind against the tile)
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            ["SUM(l_quantity) + l_linestatus AS bad"],
+        )
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+
+
+def test_avg_with_filter_compensation(spark, avg_catalog):
+    cat, reg = avg_catalog
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .filter("l_returnflag = 'R'")
+        .aggregate(["l_linestatus"], ["AVG(l_quantity) AS aq"])
+        .to_df()
+    )
+    assert all("mv_stats" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem")
+        .filter("l_returnflag = 'R'")
+        .groupBy("l_linestatus")
+        .agg(F.avg("l_quantity").alias("aq"))
+    )
+    got = {(r[0], round(r[1], 9)) for r in _rows(df)}
+    want = {(r[0], round(r[1], 9)) for r in _rows(direct)}
+    assert got == want
