@@ -483,7 +483,10 @@ class MaterializationRegistry:
         self.mvs[name] = mv
         return mv
 
-    def define_join(self, catalog, name: str, plan, path: str):
+    def define_join(
+        self, catalog, name: str, plan, path: str,
+        filter_condition: str | None = None,
+    ):
         """Register a JOIN materialization from its defining IR plan —
         Aggregate(group_keys, agg_calls) over an INNER equi-join tree
         of base-table Scans (≈ MaterializationService holding a
@@ -491,7 +494,15 @@ class MaterializationRegistry:
         of MaterializedViewProjectJoinRule.java:30). The star-join tile
         is THE high-value MV of a warehouse: at 100 TB it collapses the
         fact⋈dims shuffle into a one-time build; every matching query
-        then reads a tile 3-6 orders of magnitude smaller."""
+        then reads a tile 3-6 orders of magnitude smaller.
+
+        filter_condition (r9, verdict item 3 — the composition of the
+        r8 slice + join tiers) restricts the tile to a SLICE of the
+        joined rows: a single-column range over a group-key column,
+        exactly the form the containment prover accepts. The
+        hot-quarter star tile — slice + join — answers contained
+        queries from the tile and overlapping ones via union
+        compensation over the residual range of the SAME join."""
         catalog.mv_registry = self
         if not isinstance(plan, ir.Aggregate) or plan.group_type != "SIMPLE":
             raise ValueError(
@@ -506,6 +517,25 @@ class MaterializationRegistry:
                 "single-table MVs)"
             )
         tables, edges = ext
+        if filter_condition is not None:
+            parsed_f = _parse_interval(filter_condition)
+            if parsed_f is None:
+                raise ValueError(
+                    "define_join: filter_condition must be a conjunction "
+                    "of range/point predicates over ONE column (the "
+                    "containment prover's unifiable form); got: "
+                    f"{filter_condition}"
+                )
+            if parsed_f[0] not in set(plan.group_keys):
+                raise ValueError(
+                    f"define_join: filter_condition column {parsed_f[0]} "
+                    "must be a group key — the tile cannot be sliced by "
+                    "a column it aggregated away"
+                )
+            plan = ir.Aggregate(
+                plan.group_keys, plan.agg_calls,
+                inputs=(ir.Filter(filter_condition, inputs=(plan.inputs[0],)),),
+            )
         parsed = {}
         for call in plan.agg_calls:
             p = parse_agg_call(call)
@@ -530,6 +560,7 @@ class MaterializationRegistry:
             snapshot = ()  # non-file base: no freshness anchor
         mv = Materialization(
             name, fact, tuple(plan.group_keys), parsed, path,
+            filter_condition,
             base_files=snapshot,
             tables=tuple(sorted(tables)), join_edges=frozenset(edges),
         )
@@ -1216,16 +1247,29 @@ class MaterializationRegistry:
 
     def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges, catalog=None):
         """Substitution against a SLICED tile (define(...,
-        filter_condition=...)), ≈ MaterializedViewAggregateRule with
-        generateUnionRewriting: prove the query's range CONTAINED in
-        the slice (→ rollup/filter compensation on the tile) or
-        OVERLAPPING it (→ tile partials for the covered range UNION ALL
-        freshly-aggregated partials over the base table's residual
-        range, merged above — the reference's union rewriting, here
-        over the same partial/merge decomposition as the r7/r8
-        transposes). Disjoint or unprovable → no rewrite, never a
-        wrong slice."""
-        if mv.tables or q_edges or q_tables != frozenset([mv.table]):
+        filter_condition=...) or define_join(..., filter_condition=)),
+        ≈ MaterializedViewAggregateRule with generateUnionRewriting:
+        prove the query's range CONTAINED in the slice (→ rollup/filter
+        compensation on the tile) or OVERLAPPING it (→ tile partials
+        for the covered range UNION ALL freshly-aggregated partials
+        over the base's residual range, merged above — the reference's
+        union rewriting, here over the same partial/merge decomposition
+        as the r7/r8 transposes). For JOIN tiles (r9) the base of the
+        residual branch is the query's own join subtree; the union
+        tier therefore requires an EXACT join match (an FK-peeled
+        query's subtree lacks the peeled dims' group-key columns —
+        peel is contained-only). Disjoint or unprovable → no rewrite,
+        never a wrong slice."""
+        exact_join = False
+        if mv.tables:
+            exact_join = q_tables == set(mv.tables) and q_edges == set(
+                mv.join_edges
+            )
+            if not exact_join and not self._join_match(
+                mv, q_tables, q_edges, catalog
+            ):
+                return None
+        elif q_edges or q_tables != frozenset([mv.table]):
             return None
         if filt is None:
             return None  # query wants ALL rows; the tile holds a slice
@@ -1245,6 +1289,8 @@ class MaterializationRegistry:
         residual = _interval_diff(q_iv, m_iv)
         if not residual:
             return None
+        if mv.tables and not exact_join:
+            return None  # FK-peeled join tiles are contained-only
         if not set(agg.group_keys) <= set(mv.group_keys):
             return None
         merged_calls = self._map_rollup_calls(
@@ -1265,13 +1311,18 @@ class MaterializationRegistry:
         base_calls = tuple(
             f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
         )
+        # residual base: the query's own (exact-matched) subtree — for
+        # single-table tiles this IS Scan(mv.table); for join tiles it
+        # is the same join the tile was defined over
         base_branch = ir.Project(
             branch_cols,
             inputs=(
                 ir.Aggregate(
                     mv.group_keys,
                     base_calls,
-                    inputs=(ir.Filter(residual_sql, inputs=(ir.Scan(mv.table),)),),
+                    inputs=(
+                        ir.Filter(residual_sql, inputs=(filt.inputs[0],)),
+                    ),
                 ),
             ),
         )

@@ -1266,3 +1266,75 @@ def qx43_mv_avg_rollup(spark, sf_dir):
         "ROUND(std_qty, 6) AS std_qty",
         "ROUND(combo, 3) AS combo",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "qx44_mv_filtered_join",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "join", "rewrite", "mv", "slice"),
+)
+def qx44_mv_filtered_join(spark, sf_dir):
+    """Filtered JOIN tile (r9, verdict item 3 — the composition of the
+    r8 slice and join tiers; ≈ MaterializedViewAggregateRule's
+    generateUnionRewriting over a join materialization): the hot-range
+    star tile (orders⋈lineitem, o_orderdate >= 1997-01-01) answers an
+    OVERLAPPING query (>= 1996-07-01) as tile partials for the covered
+    range UNION ALL fresh partials over the residual range of the SAME
+    join, merged above. The oracle is the plain join-aggregate; the
+    plan asserts BOTH the tile scan (covered branch) and the base scan
+    (residual branch) — a silently unsubstituted plan fails before the
+    value check. 100 TB: the residual range is a sliver of the fact
+    table (partition-pruned), so the drill-across query reads tile +
+    sliver instead of the full history join."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tile_plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_orderpriority", "o_orderdate"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "qx44_tile", tile_plan,
+        tempfile.mkdtemp(prefix="qx44_mv_") + "/qx44_tile",
+        filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(l_quantity) AS sum_qty", "COUNT(*) AS n_rows"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("lineitem.parquet" in f for f in files)
+    ):
+        raise RuntimeError("filtered join-tile union rewrite did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "ROUND(sum_qty, 3) AS sum_qty", "n_rows"
+    ).orderBy("o_orderpriority")

@@ -1662,3 +1662,118 @@ def test_avg_with_filter_compensation(spark, avg_catalog):
     got = {(r[0], round(r[1], 9)) for r in _rows(df)}
     want = {(r[0], round(r[1], 9)) for r in _rows(direct)}
     assert got == want
+
+
+# -- filtered JOIN tiles (r9, verdict item 3) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def sliced_join_catalog(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mv_sjoin_")
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["o_orderpriority", "l_returnflag"],
+            ["SUM(l_quantity) AS s_qty", "COUNT(*) AS n_rows"],
+        )
+        .build()
+    )
+    reg.define_join(
+        cat, "sj_tile", plan, f"{tmp}/sj_tile",
+        filter_condition="l_returnflag >= 'N'",
+    )
+    return cat, reg
+
+
+def _sj_query(cat, cond):
+    b = RelBuilder(cat).scan("orders").scan("lineitem").join(
+        "o_orderkey = l_orderkey"
+    )
+    if cond:
+        b = b.filter(cond)
+    return b.aggregate(
+        ["o_orderpriority"],
+        ["SUM(l_quantity) AS s_qty", "COUNT(*) AS n_rows"],
+    )
+
+
+def test_filtered_join_tile_containment(spark, sliced_join_catalog):
+    cat, reg = sliced_join_catalog
+    df = _sj_query(cat, "l_returnflag = 'R'").to_df()
+    files = df.inputFiles()
+    assert files and all("sj_tile" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .join(cat.table("lineitem"), F.expr("o_orderkey = l_orderkey"))
+        .filter("l_returnflag = 'R'")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("SUM(l_quantity)").alias("s_qty"),
+            F.expr("COUNT(*)").alias("n_rows"),
+        )
+    )
+    assert _rows(df.select("o_orderpriority", "s_qty", "n_rows")) == _rows(direct)
+
+
+def test_filtered_join_tile_union_compensation(spark, sliced_join_catalog):
+    """Overlapping range: tile partials for the covered slice UNION ALL
+    fresh partials over the residual range of the SAME join."""
+    cat, reg = sliced_join_catalog
+    df = _sj_query(cat, "l_returnflag >= 'A'").to_df()
+    files = df.inputFiles()
+    assert any("sj_tile" in f for f in files), files
+    assert any("lineitem.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .join(cat.table("lineitem"), F.expr("o_orderkey = l_orderkey"))
+        .filter("l_returnflag >= 'A'")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("SUM(l_quantity)").alias("s_qty"),
+            F.expr("COUNT(*)").alias("n_rows"),
+        )
+    )
+    assert _rows(df.select("o_orderpriority", "s_qty", "n_rows")) == _rows(direct)
+
+
+def test_filtered_join_tile_negative_cases(spark, sliced_join_catalog, tmp_path):
+    cat, reg = sliced_join_catalog
+    # no filter: the tile holds a slice, the query wants all rows
+    assert reg.substitute(_sj_query(cat, None).build(), cat) is None
+    # disjoint range: tile contributes nothing
+    assert (
+        reg.substitute(_sj_query(cat, "l_returnflag < 'A'").build(), cat)
+        is None
+    )
+    # non-interval filter: unprovable, refuse
+    assert (
+        reg.substitute(
+            _sj_query(cat, "l_returnflag = 'R' OR o_orderpriority = '1-URGENT'").build(),
+            cat,
+        )
+        is None
+    )
+    # slice column must be a group key at define time
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("lineitem")
+        .join("o_orderkey = l_orderkey")
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    with pytest.raises(ValueError, match="must be a group key"):
+        reg.define_join(
+            cat, "bad_tile", plan, str(tmp_path / "bad_tile"),
+            filter_condition="l_returnflag >= 'N'",
+        )
+    with pytest.raises(ValueError, match="ONE column"):
+        reg.define_join(
+            cat, "bad_tile2", plan, str(tmp_path / "bad_tile2"),
+            filter_condition="l_returnflag >= 'N' OR o_orderpriority = '1'",
+        )
