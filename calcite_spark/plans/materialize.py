@@ -86,6 +86,13 @@ class Materialization:
     spf_columns: tuple | None = None  # None = all base columns
     # ((base_name, stored_name), ...) for DDL alias lists
     spf_renames: tuple = ()
+    # join MVs (r9): per-table file snapshots — the refresh contract
+    # needs to tell a FACT-side append (delta-joinable) from a DIM
+    # change (refused: the whole tile is stale) — plus the defining
+    # plan, so the delta refresh can re-run the same join with the
+    # fact scan swapped for the delta files
+    base_files_by_table: tuple = ()  # ((table, (files...)), ...)
+    defining_plan: object = None
 
 
 def parse_agg_call(call: str):
@@ -486,6 +493,7 @@ class MaterializationRegistry:
     def define_join(
         self, catalog, name: str, plan, path: str,
         filter_condition: str | None = None,
+        fact: str | None = None,
     ):
         """Register a JOIN materialization from its defining IR plan —
         Aggregate(group_keys, agg_calls) over an INNER equi-join tree
@@ -551,18 +559,34 @@ class MaterializationRegistry:
             cols = set(catalog.table(t).columns)
             return sum(1 for a, b in edges if a in cols or b in cols)
 
-        fact = max(sorted(tables), key=edge_count)
+        # the fact table anchors the refresh contract (fact-side
+        # appends delta-join static dims) — take the caller's word when
+        # given, else the edge-count heuristic (a star's hub owns every
+        # edge; for 2-table joins the tie is arbitrary, so refreshable
+        # tiles should pass fact= explicitly)
+        if fact is not None:
+            if fact not in tables:
+                raise ValueError(
+                    f"define_join: fact {fact!r} is not one of the "
+                    f"joined tables {sorted(tables)}"
+                )
+        else:
+            fact = max(sorted(tables), key=edge_count)
         try:
-            snapshot = tuple(
-                sorted({f for t in tables for f in catalog.table(t).inputFiles()})
+            by_table = tuple(
+                (t, tuple(sorted(catalog.table(t).inputFiles())))
+                for t in sorted(tables)
             )
+            snapshot = tuple(sorted({f for _, fs in by_table for f in fs}))
         except Exception:
-            snapshot = ()  # non-file base: no freshness anchor
+            by_table, snapshot = (), ()  # non-file base: no anchor
         mv = Materialization(
             name, fact, tuple(plan.group_keys), parsed, path,
             filter_condition,
             base_files=snapshot,
             tables=tuple(sorted(tables)), join_edges=frozenset(edges),
+            base_files_by_table=by_table,
+            defining_plan=plan,
         )
         self.mvs[name] = mv
         return mv
@@ -589,12 +613,7 @@ class MaterializationRegistry:
         """
         mv = self.mvs[name]
         if mv.tables:
-            raise ValueError(
-                f"MV {name}: join materializations have no single "
-                "append-only base to diff — rebuild with define_join() "
-                "(incremental join-MV maintenance needs delta joins "
-                "against BOTH sides' snapshots, out of contract)"
-            )
+            return self._join_incremental_refresh(catalog, mv)
         if mv.spf:
             return self._spf_incremental_refresh(catalog, mv)
         for alias, (fn, arg) in mv.agg_calls.items():
@@ -693,6 +712,142 @@ class MaterializationRegistry:
             mv.path,
             mv.filter_condition,
             base_files=current,
+        )
+        return {"refreshed": True, "delta_files": len(delta)}
+
+    def _join_incremental_refresh(self, catalog, mv: Materialization) -> dict:
+        """Incremental maintenance of a JOIN tile for FACT-SIDE APPENDS
+        (r9, verdict item 4 — replaces the loud refusal; ≈ the
+        lake-engine half of materialize/MaterializationService): the
+        delta fact files are joined against the CURRENT dim snapshots
+        with the tile's own defining plan (fact scan swapped for the
+        delta files — same join, same slice filter, same calls), and
+        the partials merge onto the stored tile (SUM/$SUM0/MIN/MAX).
+
+        Contract, enforced not assumed:
+        - dims are STATIC between refreshes — any dim-side file change
+          (append, delete, rewrite) refuses loudly: new fact rows would
+          join a dim state the stored tile never saw, and old tile rows
+          can silently disagree with the new dim (the reference
+          rebuilds in this case; so must the caller via define_join);
+        - a REWRITTEN fact (vanished files — the copy-on-write DML
+          swap) full-rebuilds from the stored defining plan, exactly
+          like the single-table path;
+        - DISTINCT aggregates and expression group keys refuse (not
+          additive / not re-groupable), same as the single-table tier.
+
+        100 TB: refresh reads ONLY the delta fact files plus the dims
+        (broadcast-sized by the star contract) and shuffles tile-sized
+        data — O(new data + tile), never O(fact history)."""
+        name = mv.name
+        if not mv.base_files_by_table or mv.defining_plan is None:
+            raise ValueError(
+                f"MV {name}: no per-table file snapshot — incremental "
+                "join refresh needs file-backed bases (rebuild with "
+                "define_join())"
+            )
+        for alias, (fn, arg) in mv.agg_calls.items():
+            if arg.upper().startswith("DISTINCT"):
+                raise ValueError(
+                    f"MV {name}: {fn}(DISTINCT ...) is not incrementally "
+                    "maintainable — redefine with define_join() to rebuild"
+                )
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in mv.group_keys):
+            raise ValueError(
+                f"MV {name}: incremental refresh needs plain column group "
+                f"keys, got {mv.group_keys}"
+            )
+        snaps = dict(mv.base_files_by_table)
+        current_by_table = {}
+        for t in mv.tables:
+            catalog._dfs.pop(t, None)
+            current_by_table[t] = tuple(sorted(catalog.table(t).inputFiles()))
+        for t in mv.tables:
+            if t != mv.table and current_by_table[t] != snaps.get(t):
+                raise ValueError(
+                    f"MV {name}: dimension table {t!r} changed since the "
+                    "tile was built — the static-dims contract is broken "
+                    "and a delta merge would silently disagree with the "
+                    "stored rows; rebuild with define_join()"
+                )
+        fact_seen = set(snaps.get(mv.table, ()))
+        fact_current = current_by_table[mv.table]
+        new_by_table = tuple(
+            (t, current_by_table[t]) for t in sorted(mv.tables)
+        )
+        new_flat = tuple(
+            sorted({f for _, fs in new_by_table for f in fs})
+        )
+        from dataclasses import replace
+
+        vanished = fact_seen - set(fact_current)
+        if vanished:
+            # rewritten fact: full rebuild from the stored plan
+            mv.defining_plan.to_df(catalog).write.mode("overwrite").parquet(
+                mv.path
+            )
+            catalog.register(name, mv.path)
+            self.mvs[name] = replace(
+                mv, base_files=new_flat, base_files_by_table=new_by_table
+            )
+            return {
+                "refreshed": True,
+                "rebuilt": True,
+                "vanished_files": len(vanished),
+                "delta_files": 0,
+            }
+        delta = [f for f in fact_current if f not in fact_seen]
+        if not delta:
+            return {"refreshed": False, "delta_files": 0}
+        # the fact must scan exactly once in the defining plan, or the
+        # delta substitution would under-join the self-join sides
+        n_fact_scans = 0
+        stack = [mv.defining_plan]
+        while stack:
+            node = stack.pop()
+            stack.extend(node.inputs)
+            if isinstance(node, ir.Scan) and node.table == mv.table:
+                n_fact_scans += 1
+        if n_fact_scans != 1:
+            raise ValueError(
+                f"MV {name}: fact table {mv.table!r} appears "
+                f"{n_fact_scans} times in the defining join — delta "
+                "refresh needs exactly one fact scan"
+            )
+        spark = catalog.spark
+        tmp = f"__mv_delta_{name}"
+        catalog.register_df(tmp, spark.read.parquet(*delta))
+
+        def swap_fact(node):
+            if isinstance(node, ir.Scan) and node.table == mv.table:
+                return ir.Scan(tmp)
+            if not node.inputs:
+                return node
+            return node.with_inputs(
+                tuple(swap_fact(i) for i in node.inputs)
+            )
+
+        try:
+            delta_agg = swap_fact(mv.defining_plan).to_df(catalog)
+            merge_calls = [
+                _F.expr(f"{_REAGG[fn]}({alias})").alias(alias)
+                for alias, (fn, _) in mv.agg_calls.items()
+            ]
+            merged = (
+                catalog.table(name)
+                .unionByName(delta_agg)
+                .groupBy(*mv.group_keys)
+                .agg(*merge_calls)
+            )
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(mv.path)
+        finally:
+            spark.catalog.dropTempView(tmp)
+            catalog.tables.pop(tmp, None)
+            catalog._dfs.pop(tmp, None)
+        catalog.register(name, mv.path)
+        self.mvs[name] = replace(
+            mv, base_files=new_flat, base_files_by_table=new_by_table
         )
         return {"refreshed": True, "delta_files": len(delta)}
 

@@ -556,7 +556,8 @@ def test_join_mv_define_refusals(spark):
     )
     with pytest.raises(ValueError, match="INNER equi-join"):
         reg.define_join(cat, "bad2", single, "/tmp/never")
-    # join MVs refuse incremental refresh with a named error
+    # join-MV refresh over an unchanged base is a no-op (r9: the old
+    # unconditional refusal became the fact-append maintenance path)
     tmp = tempfile.mkdtemp(prefix="mvr_")
     plan = (
         RelBuilder(cat)
@@ -564,8 +565,10 @@ def test_join_mv_define_refusals(spark):
         .aggregate(["l_returnflag"], ["COUNT(*) AS n"]).build()
     )
     reg.define_join(cat, "mv_r", plan, f"{tmp}/mv_r")
-    with pytest.raises(ValueError, match="join materializations"):
-        reg.incremental_refresh(cat, "mv_r")
+    assert reg.incremental_refresh(cat, "mv_r") == {
+        "refreshed": False,
+        "delta_files": 0,
+    }
 
 
 def test_build_star_lattice_end_to_end(spark, tmp_path):
@@ -1777,3 +1780,161 @@ def test_filtered_join_tile_negative_cases(spark, sliced_join_catalog, tmp_path)
             cat, "bad_tile2", plan, str(tmp_path / "bad_tile2"),
             filter_condition="l_returnflag >= 'N' OR o_orderpriority = '1'",
         )
+
+
+# -- incremental join-MV maintenance (r9, verdict item 4) --------------
+
+
+def _join_mv_setup(spark, tmp_path, reg):
+    """Scratch fact (orders subset) + static dim (customer); star tile
+    grouped by the dim's market segment."""
+    full = Catalog(spark).register_parquet_dir(SF_DIR)
+    fact_dir = str(tmp_path / "fact_orders")
+    _copy_parquet_subset(spark, full.table("orders"), fact_dir, "o_orderkey % 3 = 0")
+    dim_dir = str(tmp_path / "dim_customer")
+    full.table("customer").write.parquet(dim_dir)
+    cat = Catalog(spark)
+    cat.register("fact_orders", fact_dir)
+    cat.register("dim_customer", dim_dir)
+    plan = (
+        RelBuilder(cat)
+        .scan("fact_orders")
+        .scan("dim_customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(
+            ["c_mktsegment"],
+            ["SUM(o_totalprice) AS sp", "COUNT(*) AS n",
+             "MIN(o_orderdate) AS first_d"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "mv_star_inc", plan, str(tmp_path / "mv_star_inc"),
+        fact="fact_orders",
+    )
+    return cat, full, fact_dir, mv
+
+
+def _join_mv_direct(cat):
+    return _rows(
+        cat.table("fact_orders")
+        .join(cat.table("dim_customer"), F.expr("o_custkey = c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("SUM(o_totalprice)").alias("sp"),
+            F.expr("COUNT(*)").alias("n"),
+            F.expr("MIN(o_orderdate)").alias("first_d"),
+        )
+        .select("c_mktsegment", "sp", "n", "first_d")
+    )
+
+
+def test_join_mv_fact_append_refresh(spark, tmp_path):
+    """Fact-side appends maintain the star tile incrementally: ONLY the
+    delta fact files are read (inputFiles spy on the delta view), the
+    merged tile equals a from-scratch rebuild, and substitution re-arms
+    after the refresh."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    fact_before = set(dict(mv.base_files_by_table)["fact_orders"])
+
+    # unchanged: no-op
+    assert reg.incremental_refresh(cat, "mv_star_inc") == {
+        "refreshed": False,
+        "delta_files": 0,
+    }
+
+    # append a second slice of fact rows as new files (out-of-band
+    # write: drop the memoized handle so the catalog re-lists, the
+    # documented change-detection contract)
+    _copy_parquet_subset(spark, full.table("orders"), fact_dir, "o_orderkey % 3 = 1")
+    cat._dfs.pop("fact_orders", None)
+
+    # stale until refreshed: substitution must refuse
+    q = (
+        RelBuilder(cat)
+        .scan("fact_orders")
+        .scan("dim_customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(["c_mktsegment"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute(q, cat) is None
+
+    captured = {}
+    orig_register_df = cat.register_df
+
+    def spy(name, df):
+        if name.startswith("__mv_delta_"):
+            captured["files"] = df.inputFiles()
+        return orig_register_df(name, df)
+
+    cat.register_df = spy
+    try:
+        stats = reg.incremental_refresh(cat, "mv_star_inc")
+    finally:
+        del cat.register_df
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+    # the delta view read ONLY the appended files, none of the history
+    assert captured["files"], "delta view never captured"
+    assert not (set(captured["files"]) & fact_before), captured["files"]
+
+    assert _rows(cat.table("mv_star_inc")) == _join_mv_direct(cat)
+    sub = reg.substitute(q, cat)  # re-armed post-refresh
+    assert sub is not None
+    got = {(r.c_mktsegment, r.n) for r in sub.to_df(cat).collect()}
+    want = {(r[0], r[2]) for r in _join_mv_direct(cat)}
+    assert got == want
+
+
+def test_join_mv_dim_change_refuses(spark, tmp_path):
+    """Any dim-side change breaks the static-dims contract: refresh
+    refuses loudly (a delta merge would silently disagree with the
+    stored tile rows)."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    extra = full.table("customer").limit(5)
+    extra.write.mode("append").parquet(cat.tables["dim_customer"].path)
+    cat._dfs.pop("dim_customer", None)
+    with pytest.raises(ValueError, match="dimension table"):
+        reg.incremental_refresh(cat, "mv_star_inc")
+
+
+def test_join_mv_fact_rewrite_rebuilds(spark, tmp_path):
+    """A rewritten fact (copy-on-write DML swap) full-rebuilds from the
+    stored defining plan instead of double-merging."""
+    from calcite_spark.sources.modify import update_set
+
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    update_set(cat, "fact_orders", {"o_totalprice": "o_totalprice * 3"}, "TRUE")
+    stats = reg.incremental_refresh(cat, "mv_star_inc")
+    assert stats.get("rebuilt") is True and stats["vanished_files"] >= 1
+    assert _rows(cat.table("mv_star_inc")) == _join_mv_direct(cat)
+
+
+def test_join_mv_refresh_refusal_gates(spark, tmp_path):
+    """DISTINCT calls refuse; a self-joined fact refuses (the delta
+    substitution would under-join the other side)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("lineitem").join("o_orderkey = l_orderkey")
+        .aggregate(
+            ["l_returnflag"], ["COUNT(DISTINCT o_custkey) AS n"]
+        ).build()
+    )
+    mv = reg.define_join(
+        cat, "mv_jd", plan, tempfile.mkdtemp(prefix="mv_jd_") + "/mv_jd"
+    )
+    # force a fact delta so the DISTINCT gate (not the no-op path) fires
+    from dataclasses import replace as _replace
+
+    trimmed = tuple(
+        (t, fs[:-1] if t == mv.table else fs)
+        for t, fs in mv.base_files_by_table
+    )
+    reg.mvs["mv_jd"] = _replace(mv, base_files_by_table=trimmed)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        reg.incremental_refresh(cat, "mv_jd")
