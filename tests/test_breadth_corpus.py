@@ -184,6 +184,225 @@ CORPUS = [
     """SELECT COUNT(*) AS n FROM orders WHERE o_orderkey = '32'""",
 ]
 
+# Batch 2 (r9, VERDICT r8 item 6): ~40 more shapes patterned on the
+# CLASSES of query FoodMartQuerySet.java captures — Mondrian-generated
+# multi-level rollups, calculated members (arithmetic over measures),
+# top-N within group, percent-of-total, period-over-period deltas,
+# members-above-average, distinct-count measures over star joins —
+# re-expressed over OUR TPC-H-ish testdata; nothing copied.
+CORPUS2 = [
+    # 38 star join, two dims + measure (the canonical FoodMart shape)
+    """SELECT r_name, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS sales
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority""",
+    # 39 distinct-count measure over a star join
+    """SELECT n_name, COUNT(DISTINCT o_custkey) AS buyers
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    # 40 multi-level time rollup (year -> month) with ROLLUP. The
+    # range must be non-empty: over an EMPTY input Spark's ROLLUP
+    # emits zero rows while DuckDB/PG emit the grand-total row — a
+    # documented engine divergence found by this corpus (batch 2).
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+              EXTRACT(MONTH FROM o_orderdate) AS m,
+              COUNT(*) AS n
+       FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY ROLLUP (EXTRACT(YEAR FROM o_orderdate),
+                        EXTRACT(MONTH FROM o_orderdate))
+       ORDER BY y NULLS FIRST, m NULLS FIRST""",
+    # 41 calculated member: margin ratio over two measures
+    """SELECT l_returnflag,
+              ROUND((SUM(l_extendedprice) - SUM(l_extendedprice * l_discount))
+                    / SUM(l_extendedprice), 6) AS net_ratio
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 42 percent-of-total (window over aggregate)
+    """SELECT o_orderpriority,
+              ROUND(SUM(o_totalprice) * 100.0 / SUM(SUM(o_totalprice)) OVER (), 6) AS pct
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 43 top-N within group via window rank
+    """SELECT n_name, c_name, bal FROM (
+         SELECT n_name, c_name, c_acctbal AS bal,
+                row_number() OVER (PARTITION BY n_name
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+       WHERE rn <= 2 ORDER BY n_name, bal DESC""",
+    # 44 members above average (correlated against the global mean)
+    """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.8 FROM customer)
+       ORDER BY bal DESC, c_custkey LIMIT 10""",
+    # 45 period-over-period delta via FILTER measures
+    """SELECT o_orderpriority,
+              COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1994) AS y94,
+              COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995) AS y95,
+              COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+                - COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1994) AS delta
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 46 share of parent level (two-level rollup joined back)
+    """SELECT n.n_name, ROUND(n.bal / r.bal, 6) AS share FROM
+         (SELECT n_regionkey, n_name, SUM(c_acctbal) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_regionkey, n_name) n
+       JOIN (SELECT n_regionkey, SUM(c_acctbal) AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_regionkey) r
+       ON n.n_regionkey = r.n_regionkey
+       ORDER BY n.n_name""",
+    # 47 count of groups (distinct-member count of a level)
+    """SELECT COUNT(*) AS n_groups FROM (
+         SELECT DISTINCT o_custkey, o_orderpriority FROM orders) g""",
+    # 48 HAVING over a calculated member
+    """SELECT o_custkey, ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_order
+       FROM orders GROUP BY o_custkey
+       HAVING SUM(o_totalprice) / COUNT(*) > 250000
+       ORDER BY o_custkey""",
+    # 49 dim attribute IN-list + measure filter (Mondrian slicer)
+    """SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS sales
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         AND o_orderstatus = 'F'
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # 50 nested rollup: aggregate of a grouped aggregate of a join
+    """SELECT o_orderpriority, MAX(nation_sales) AS best_nation FROM (
+         SELECT o_orderpriority, n_name, SUM(o_totalprice) AS nation_sales
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY o_orderpriority, n_name) t
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 51 CUBE over two dims with GROUPING filters
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       HAVING GROUPING(o_orderstatus) = 0
+       ORDER BY o_orderstatus, o_orderpriority NULLS FIRST""",
+    # 52 QUALIFY top-1 per partition (Mondrian top-member)
+    """SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+       QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) = 1
+       ORDER BY c_nationkey""",
+    # 53 two independent subquery measures combined
+    """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS f_orders,
+              (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS o_orders""",
+    # 54 anti-join via NOT EXISTS (customers with no orders)
+    """SELECT COUNT(*) AS inactive FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    # 55 conditional aggregation matrix (status x priority pivot-ish)
+    """SELECT o_orderstatus,
+              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) AS urgent_sales,
+              SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END) AS low_sales
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 56 measure over a filtered derived dim (snowflake leg)
+    """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+              ROUND(AVG(s_acctbal), 4) AS avg_bal
+       FROM supplier WHERE s_acctbal > 0
+       GROUP BY s_nationkey HAVING COUNT(*) >= 2
+       ORDER BY s_nationkey""",
+    # 57 UNION of per-level rollups (Mondrian multi-level member list)
+    """SELECT 'region' AS lvl, r_name AS member, COUNT(*) AS n
+       FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name
+       UNION ALL
+       SELECT 'nation' AS lvl, n_name AS member, 1 AS n FROM nation
+       ORDER BY lvl, member""",
+    # 58 window moving aggregate over time buckets
+    """SELECT y, m, n, SUM(n) OVER (ORDER BY y, m
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                    EXTRACT(MONTH FROM o_orderdate) AS m, COUNT(*) AS n
+             FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+             GROUP BY 1, 2) t
+       ORDER BY y, m""",
+    # 59 LEAD/LAG period comparison
+    """SELECT y, n, n - LAG(n) OVER (ORDER BY y) AS yoy
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n
+             FROM orders GROUP BY 1) t
+       ORDER BY y""",
+    # 60 dim join with BETWEEN slicer on the measure source
+    """SELECT p_brand, COUNT(*) AS n
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_quantity BETWEEN 45 AND 50
+       GROUP BY p_brand HAVING COUNT(*) > 2
+       ORDER BY p_brand""",
+    # 61 three-way set mix with distinct union
+    """SELECT n_regionkey AS k FROM nation
+       UNION SELECT r_regionkey AS k FROM region
+       INTERSECT SELECT n_regionkey AS k FROM nation WHERE n_regionkey >= 2
+       ORDER BY k""",
+    # 62 scalar subquery per group (per-nation max vs per-customer bal)
+    """SELECT n_name,
+              (SELECT MAX(c_acctbal) FROM customer WHERE c_nationkey = n_nationkey) AS top_bal
+       FROM nation ORDER BY n_name""",
+    # 63 self-join time comparison (same customer, two status values)
+    """SELECT COUNT(*) AS both_kinds FROM (
+         SELECT DISTINCT a.o_custkey
+         FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+         WHERE a.o_orderstatus = 'F' AND b.o_orderstatus = 'O') t""",
+    # 64 null-handling measure: NULLIF guarding division
+    """SELECT o_orderstatus,
+              ROUND(SUM(o_totalprice) / NULLIF(COUNT(*) - COUNT(*), 0), 2) AS div0_is_null,
+              COUNT(*) AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 65 aggregate of window-deduped rows (latest order per customer)
+    """SELECT o_orderstatus, COUNT(*) AS n FROM (
+         SELECT o_orderstatus, row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+         FROM orders) t WHERE rn = 1
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 66 IN over a grouped-HAVING subquery (big customers' orders)
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_custkey IN (SELECT o_custkey FROM orders
+                           GROUP BY o_custkey HAVING COUNT(*) > 15)""",
+    # 67 CASE-bucketed histogram of a measure
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                   WHEN o_totalprice < 300000 THEN 'mid'
+                   ELSE 'high' END AS bucket, COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY bucket""",
+    # 68 join + aggregate + ORDER BY hidden calculated member
+    """SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       ORDER BY SUM(c_acctbal) / COUNT(*) DESC, n_name LIMIT 5""",
+    # 69 multi-column IN (row-value constructor membership)
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE (o_orderstatus, o_orderpriority) IN (('F', '1-URGENT'), ('O', '5-LOW'))""",
+    # 70 correlated aggregate comparison per row (above own nation avg)
+    """SELECT COUNT(*) AS n FROM customer c1
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c1.c_nationkey)""",
+    # 71 grouped string aggregation-ish: MIN/MAX of names per region
+    """SELECT n_regionkey, MIN(n_name) AS first_name, MAX(n_name) AS last_name
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 72 dim attribute LIKE ladder with NOT
+    """SELECT COUNT(*) AS n FROM part
+       WHERE p_type LIKE 'SMALL%' AND p_type NOT LIKE '%COPPER'""",
+    # 73 HAVING referencing an un-projected aggregate
+    """SELECT o_custkey FROM orders GROUP BY o_custkey
+       HAVING MAX(o_totalprice) > 480000 ORDER BY o_custkey""",
+    # 74 window ntile quartiles summarized
+    """SELECT q, COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo
+       FROM (SELECT o_totalprice, ntile(4) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS q FROM orders) t
+       GROUP BY q ORDER BY q""",
+    # 75 cross-level calculated member: nation share of region count
+    """SELECT n_name, cnt, SUM(cnt) OVER (PARTITION BY rk) AS region_cnt
+       FROM (SELECT n_name, n_regionkey AS rk, CAST(COUNT(c_custkey) AS BIGINT) AS cnt
+             FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+             GROUP BY n_name, n_regionkey) t
+       ORDER BY n_name""",
+    # 76 EXISTS + correlated range (customers with a recent big order)
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_totalprice > 400000
+                       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')""",
+    # 77 arithmetic on date parts (quarter computation)
+    """SELECT (EXTRACT(MONTH FROM o_orderdate) + 2) / 3 AS qtr_float,
+              COUNT(*) AS n
+       FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+       GROUP BY 1 ORDER BY qtr_float""",
+]
+
+
 
 @pytest.fixture(scope="module")
 def fe(spark):
@@ -193,4 +412,10 @@ def fe(spark):
 @pytest.mark.parametrize("i", range(len(CORPUS)))
 def test_breadth_shape(fe, duck, i):
     sql = CORPUS[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS2)))
+def test_breadth_shape_batch2(fe, duck, i):
+    sql = CORPUS2[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
