@@ -93,6 +93,13 @@ class Materialization:
     # fact scan swapped for the delta files
     base_files_by_table: tuple = ()  # ((table, (files...)), ...)
     defining_plan: object = None
+    # decomposed DDL MVs (r9): the user declared derived aggregates
+    # (AVG/VAR/STDDEV); the tile stores the sufficient statistics and a
+    # companion VIEW named view_name presents the declared shape
+    # (view_exprs are selectExpr strings over the tile). Refresh paths
+    # re-register the view so it never reads a swapped-out tile file.
+    view_name: str = ""
+    view_exprs: tuple = ()
 
 
 def parse_agg_call(call: str):
@@ -656,10 +663,10 @@ class MaterializationRegistry:
                 catalog
             ).write.mode("overwrite").parquet(mv.path)
             catalog.register(mv.name, mv.path)
-            self.mvs[name] = Materialization(
-                mv.name, mv.table, mv.group_keys, mv.agg_calls, mv.path,
-                mv.filter_condition, base_files=current,
-            )
+            from dataclasses import replace as _replace
+
+            self.mvs[name] = _replace(mv, base_files=current)
+            self._rebuild_companion(catalog, self.mvs[name])
             return {
                 "refreshed": True,
                 "rebuilt": True,
@@ -704,15 +711,10 @@ class MaterializationRegistry:
             catalog.tables.pop(tmp, None)
             catalog._dfs.pop(tmp, None)
         catalog.register(name, mv.path)
-        self.mvs[name] = Materialization(
-            mv.name,
-            mv.table,
-            mv.group_keys,
-            mv.agg_calls,
-            mv.path,
-            mv.filter_condition,
-            base_files=current,
-        )
+        from dataclasses import replace as _replace
+
+        self.mvs[name] = _replace(mv, base_files=current)
+        self._rebuild_companion(catalog, self.mvs[name])
         return {"refreshed": True, "delta_files": len(delta)}
 
     def _join_incremental_refresh(self, catalog, mv: Materialization) -> dict:
@@ -920,6 +922,16 @@ class MaterializationRegistry:
         elif mv.spf_columns is not None:
             node = ir.Project(tuple(mv.spf_columns), inputs=(node,))
         return node
+
+    def _rebuild_companion(self, catalog, mv: Materialization) -> None:
+        """Re-register a decomposed MV's user-shaped view after its
+        stats tile was rewritten (the old view DataFrame would read the
+        swapped-out parquet listing)."""
+        if mv.view_name:
+            catalog.register_df(
+                mv.view_name,
+                catalog.table(mv.name).selectExpr(*mv.view_exprs),
+            )
 
     # -- the rewrite rule (plugged into plans/rewrite.py) --------------
 

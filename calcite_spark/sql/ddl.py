@@ -519,9 +519,26 @@ class DdlExecutor:
         entry = self.catalog.tables.pop(name, None)
         self.catalog._dfs.pop(name, None)
         self._table_meta().pop(name, None)
+        dropped_mv = None
         if hasattr(self.catalog, "mv_registry"):
-            self.catalog.mv_registry.mvs.pop(name, None)
+            dropped_mv = self.catalog.mv_registry.mvs.pop(name, None)
         getattr(self.catalog, "mv_names", set()).discard(name)
+        # decomposed MVs are two objects: dropping either side removes
+        # both (the stats tile is useless without its view and vice
+        # versa — an orphaned half would silently keep substituting)
+        if dropped_mv is not None and dropped_mv.view_name:
+            self.catalog._dfs.pop(dropped_mv.view_name, None)
+            self.catalog.tables.pop(dropped_mv.view_name, None)
+            getattr(self.catalog, "mv_names", set()).discard(dropped_mv.view_name)
+            self.catalog.spark.catalog.dropTempView(dropped_mv.view_name)
+        if hasattr(self.catalog, "mv_registry"):
+            companions = [
+                m.name
+                for m in self.catalog.mv_registry.mvs.values()
+                if m.view_name == name
+            ]
+            for c in companions:
+                self._drop_object(c)
         self.catalog.spark.catalog.dropTempView(name.replace(".", "__"))
         if entry is not None and entry.path:
             real = os.path.realpath(entry.path)
@@ -579,9 +596,10 @@ class DdlExecutor:
         if name not in self.catalog.tables:
             raise ValueError(f"Object '{name}' not found")
         entry = self.catalog.tables[name]
-        if entry.fmt != "parquet" or not entry.path:
-            raise ValueError(f"INSERT target '{name}' is not a base table")
         reg = getattr(self.catalog, "mv_registry", None)
+        # the MV check runs BEFORE the format check: a decomposed MV's
+        # user-visible face is a view, and "not a base table" would
+        # hide the actionable message (r9)
         if (reg is not None and name in reg.mvs) or name in getattr(
             self.catalog, "mv_names", set()
         ):
@@ -593,6 +611,8 @@ class DdlExecutor:
                 f"Cannot INSERT into materialized view '{name}' — "
                 "modify the base table and refresh"
             )
+        if entry.fmt != "parquet" or not entry.path:
+            raise ValueError(f"INSERT target '{name}' is not a base table")
         meta = self._table_meta().get(name, {})
         phys = meta.get("order") or list(self.catalog.table(name).columns)
         types = meta.get("types") or {}
@@ -1074,6 +1094,69 @@ class DdlExecutor:
         schemas[name] = {"type": engine_type, "tables": tables, "engine": engine}
         return {"foreign_schema": name, "tables": tables}
 
+    def _create_decomposed_mv(self, name, table, keys, calls, where, path):
+        """CREATE MATERIALIZED VIEW whose SELECT contains derived
+        aggregates (AVG/VAR/STDDEV): store the sufficient statistics in
+        a SUBSTITUTABLE tile `<name>__stats` (≈ the reference applying
+        AggregateReduceFunctionsRule to the view side before
+        MaterializedViewAggregateRule unifies) and present the user's
+        declared shape through a companion view `<name>` computed from
+        the tile. Queries over the BASE table rewrite against the stats
+        tile (including the declared AVG itself, via the r9 derived
+        mapper); `SELECT * FROM <name>` shows exactly the declared
+        columns. Refresh maintains the tile incrementally and
+        re-registers the view. Returns None (→ generic, non-
+        substitutable path) for shapes decomposition cannot serve."""
+        from dataclasses import replace
+
+        from calcite_spark.plans.materialize import (
+            MaterializationRegistry,
+        )
+
+        deco = _find_decomposition(calls)
+        if deco is None:
+            return None
+        stats_calls, outputs = deco
+        reg = self.catalog.mv_registry
+        stats_name = f"{name}__stats"
+        if stats_name in self.catalog.tables:
+            raise ValueError(f"Table '{stats_name}' already exists")
+        mv = reg.define(
+            self.catalog, stats_name, table, keys, stats_calls,
+            os.path.join(self.warehouse, stats_name),
+            filter_condition=where,
+        )
+        exprs = list(keys)
+        for alias, fn, arg in outputs:
+            if fn is None:
+                exprs.append(alias)
+                continue
+            body = MaterializationRegistry._map_derived(
+                fn, arg, mv, True, self.catalog
+            )
+            if body is None:
+                # e.g. decimal stats columns: tear the tile down and
+                # fall back to the generic path rather than serve a
+                # type-changed view
+                self._drop_object(stats_name)
+                return None
+            exprs.append(f"{body} AS {alias}")
+        reg.mvs[stats_name] = replace(
+            mv, view_name=name, view_exprs=tuple(exprs)
+        )
+        reg._rebuild_companion(self.catalog, reg.mvs[stats_name])
+        if not hasattr(self.catalog, "mv_names"):
+            self.catalog.mv_names = set()
+        self.catalog.mv_names.add(name)
+        self.catalog.mv_names.add(stats_name)
+        return {
+            "materialized_view": name,
+            "keys": keys,
+            "decomposed": True,
+            "stats_tile": stats_name,
+            "aggs": [a for a, _, _ in outputs],
+        }
+
     def _create_mv(self, if_not_exists, name, aliases, select_list, table, where, group_by):
         """CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv [(aliases)] AS
         SELECT ... FROM t [WHERE range] [GROUP BY keys] — the shapes
@@ -1115,10 +1198,15 @@ class DdlExecutor:
                 # valid DDL, materialize via the generic path rather
                 # than crash in define() (review r8)
                 return None
-            if any(parse_agg_call(c) is None for c in calls):
-                return None  # e.g. AVG: materializable, not rewritable
             if where is not None and _parse_interval(where)[0] not in keys:
                 return None  # slice column aggregated away: generic path
+            if any(parse_agg_call(c) is None for c in calls):
+                # derived aggregates (AVG/VAR/STDDEV): decompose into a
+                # substitutable stats tile + a user-shaped view (r9) —
+                # anything else goes to the generic path
+                return self._create_decomposed_mv(
+                    name, table, keys, calls, where, path
+                )
             mv = reg.define(
                 self.catalog, name, table, keys, calls, path,
                 filter_condition=where,
@@ -1146,6 +1234,56 @@ class DdlExecutor:
             "columns": list(mv.spf_columns) if mv.spf_columns else "*",
             "predicate": mv.filter_condition,
         }
+
+
+def _find_decomposition(calls):
+    """Split a defining SELECT's aggregate calls into the stats calls a
+    tile should STORE and the user-shaped output expressions, or None
+    when any call is neither a plain SUM/COUNT/MIN/MAX nor a derived
+    AVG/VAR/STDDEV (≈ AggregateReduceFunctionsRule applied to the VIEW
+    side: the reference's MaterializedViewAggregateRule unifies derived
+    calls in the view definition the same way as in the query).
+    Returns (stats_calls, output_specs) where output_specs is a list of
+    (alias, fn, arg) with fn None for plain calls."""
+    from calcite_spark.plans.materialize import _DERIVED_RE, parse_agg_call
+
+    stats_calls, have, outputs = [], {}, []
+
+    def norm(a):
+        return re.sub(r"\s+", "", a).lower()
+
+    def ensure(fn, arg):
+        key = (fn, norm(arg))
+        if key not in have:
+            alias = f"__{fn[:1].lower()}{len(have)}"
+            have[key] = alias
+            stats_calls.append(f"{fn}({arg}) AS {alias}")
+        return have[key]
+
+    derived = []
+    for c in calls:
+        p = parse_agg_call(c)
+        if p is not None:
+            fn, arg, alias = p
+            have[(fn, norm(arg))] = alias
+            stats_calls.append(c)
+            outputs.append((alias, None, None))
+            continue
+        m = _DERIVED_RE.match(c)
+        if m is None:
+            return None
+        derived.append((m.group(3), m.group(1).upper(), re.sub(r"\s+", " ", m.group(2))))
+        outputs.append(derived[-1])
+    if not derived:
+        return None  # nothing to decompose: the plain path handles it
+    for alias, fn, arg in derived:
+        if arg.upper().startswith("DISTINCT"):
+            return None  # AVG(DISTINCT ...) is not decomposable
+        ensure("SUM", arg)
+        ensure("COUNT", arg)
+        if fn != "AVG":
+            ensure("SUM", f"{arg} * {arg}")
+    return stats_calls, outputs
 
 
 def _split_where(text: str):

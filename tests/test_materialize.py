@@ -1938,3 +1938,90 @@ def test_join_mv_refresh_refusal_gates(spark, tmp_path):
     reg.mvs["mv_jd"] = _replace(mv, base_files_by_table=trimmed)
     with pytest.raises(ValueError, match="DISTINCT"):
         reg.incremental_refresh(cat, "mv_jd")
+
+
+# -- decomposed DDL MVs: AVG/VAR/STDDEV in CREATE MATERIALIZED VIEW ----
+
+
+def test_ddl_decomposed_avg_mv(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW with AVG/STDDEV (r9): the executor
+    stores a substitutable stats tile and presents the declared shape
+    through a companion view — the user sees exactly the declared
+    columns, base-table queries substitute onto the tile, refresh
+    maintains both, DROP removes both (≈ the reference applying
+    AggregateReduceFunctionsRule to the view side)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE TABLE ord_avg AS SELECT o_orderstatus, o_totalprice "
+        "FROM orders"
+    )
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW avg_mv AS SELECT o_orderstatus, "
+        "AVG(o_totalprice) AS avg_price, COUNT(*) AS n, "
+        "STDDEV_SAMP(o_totalprice) AS sd "
+        "FROM ord_avg GROUP BY o_orderstatus"
+    )
+    assert r.get("decomposed") is True and r["stats_tile"] == "avg_mv__stats"
+
+    # the view shows the DECLARED shape (no stats columns leak)
+    view = fe.sql("SELECT * FROM avg_mv")
+    assert view.columns == ["o_orderstatus", "avg_price", "n", "sd"]
+    direct = (
+        cat.table("ord_avg")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.avg("o_totalprice").alias("avg_price"),
+            F.expr("COUNT(*)").alias("n"),
+            F.stddev_samp("o_totalprice").alias("sd"),
+        )
+    )
+    got = {
+        (r_.o_orderstatus, round(r_.avg_price, 6), r_.n, round(r_.sd, 6))
+        for r_ in view.collect()
+    }
+    want = {
+        (r_.o_orderstatus, round(r_.avg_price, 6), r_.n, round(r_.sd, 6))
+        for r_ in direct.collect()
+    }
+    assert got == want
+
+    # a base-table AVG query substitutes onto the stats tile
+    q = fe.sql(
+        "SELECT o_orderstatus, AVG(o_totalprice) AS avg_price "
+        "FROM ord_avg GROUP BY o_orderstatus"
+    )
+    assert any("avg_mv__stats" in f for f in q.inputFiles()), q.inputFiles()
+
+    # DML on the MV (either face) refuses
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="materialized view"):
+        fe.sql("INSERT INTO avg_mv VALUES ('X', 1.0, 1, 0.0)")
+
+    # refresh: new base rows fold into tile AND view
+    fe.sql("INSERT INTO ord_avg VALUES ('Z', 100.0)")
+    reg = cat.mv_registry
+    stats = reg.incremental_refresh(cat, "avg_mv__stats")
+    assert stats["refreshed"]
+    post = {
+        r_.o_orderstatus: r_.n
+        for r_ in fe.sql("SELECT o_orderstatus, n FROM avg_mv").collect()
+    }
+    assert post.get("Z") == 1
+
+    # drop the user-visible name: both objects vanish
+    ddl.execute("DROP MATERIALIZED VIEW avg_mv")
+    assert "avg_mv" not in cat.tables and "avg_mv__stats" not in cat.tables
+    assert "avg_mv__stats" not in reg.mvs
+
+
+def test_ddl_decomposed_mv_generic_fallback(spark, tmp_path):
+    """AVG(DISTINCT x) cannot decompose — the DDL falls through to the
+    generic (non-substitutable) materialization, same as before r9."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW davg AS SELECT o_orderstatus, "
+        "AVG(DISTINCT o_totalprice) AS a FROM orders GROUP BY o_orderstatus"
+    )
+    assert r["substitutable"] is False
+    assert cat.table("davg").columns == ["o_orderstatus", "a"]
