@@ -292,6 +292,56 @@ def _parse_interval(cond: str):
     return col, kind, iv
 
 
+def _parse_region(cond: str):
+    """Multi-column conjunctive region (r9): cond parsed as a
+    conjunction of single-column range/point predicates over ONE OR
+    MORE columns → {col: (kind, _Interval)}, else None. The
+    multi-column containment tier proves region containment
+    per-column; union compensation stays single-column (the residual
+    of a box difference is not a box — refusal, never a wrong slice)."""
+    from calcite_spark.plans.rewrite import _split_conjuncts
+
+    if re.search(r"(?i)\bNOT\s+BETWEEN\b", cond):
+        return None
+    _orig = cond
+
+    def _between_repl(m):
+        if _orig.count("'", 0, m.start()) % 2 == 1:
+            return m.group(0)
+        return f"{m.group(1)} >= {m.group(2)} AND {m.group(1)} <= {m.group(3)}"
+
+    cond = _BETWEEN_SUB_RE.sub(_between_repl, cond)
+    out: dict = {}
+    for c in _split_conjuncts(cond):
+        m = _CMP_RE.match(c)
+        if not m:
+            return None
+        name, op, lit_text = m.groups()
+        lit = _parse_lit(lit_text)
+        if lit is None:
+            return None
+        this_kind, val, sql = lit
+        b = (val, sql)
+        if op == "=":
+            this = _Interval(b, True, b, True)
+        elif op == ">=":
+            this = _Interval(lo=b, lo_incl=True)
+        elif op == ">":
+            this = _Interval(lo=b, lo_incl=False)
+        elif op == "<=":
+            this = _Interval(hi=b, hi_incl=True)
+        else:
+            this = _Interval(hi=b, hi_incl=False)
+        kind, iv = out.get(name, (this_kind, _Interval()))
+        if kind != this_kind:
+            return None
+        iv = _interval_intersect(iv, this)
+        if iv.is_empty():
+            return None
+        out[name] = (this_kind, iv)
+    return out or None
+
+
 def _interval_sql(col: str, iv: _Interval) -> str:
     if (
         iv.lo is not None
@@ -375,17 +425,18 @@ class MaterializationRegistry:
         base scan of only the COLD residual range."""
         catalog.mv_registry = self
         if filter_condition is not None:
-            parsed_f = _parse_interval(filter_condition)
-            if parsed_f is None:
+            region = _parse_region(filter_condition)
+            if region is None:
                 raise ValueError(
                     "define: filter_condition must be a conjunction of "
-                    "range/point predicates over ONE column (the "
+                    "range/point predicates, each over ONE column (the "
                     "containment prover's unifiable form); got: "
                     f"{filter_condition}"
                 )
-            if parsed_f[0] not in set(group_keys):
+            bad = [c for c in region if c not in set(group_keys)]
+            if bad:
                 raise ValueError(
-                    f"define: filter_condition column {parsed_f[0]} must "
+                    f"define: filter_condition column {bad[0]} must "
                     "be a group key — the tile cannot be sliced by a "
                     "column it aggregated away"
                 )
@@ -533,17 +584,18 @@ class MaterializationRegistry:
             )
         tables, edges = ext
         if filter_condition is not None:
-            parsed_f = _parse_interval(filter_condition)
-            if parsed_f is None:
+            region = _parse_region(filter_condition)
+            if region is None:
                 raise ValueError(
                     "define_join: filter_condition must be a conjunction "
-                    "of range/point predicates over ONE column (the "
-                    "containment prover's unifiable form); got: "
+                    "of range/point predicates, each over ONE column "
+                    "(the containment prover's unifiable form); got: "
                     f"{filter_condition}"
                 )
-            if parsed_f[0] not in set(plan.group_keys):
+            bad = [c for c in region if c not in set(plan.group_keys)]
+            if bad:
                 raise ValueError(
-                    f"define_join: filter_condition column {parsed_f[0]} "
+                    f"define_join: filter_condition column {bad[0]} "
                     "must be a group key — the tile cannot be sliced by "
                     "a column it aggregated away"
                 )
@@ -1442,10 +1494,19 @@ class MaterializationRegistry:
             return None  # query wants ALL rows; the tile holds a slice
         parsed_m = _parse_interval(mv.filter_condition)
         parsed_q = _parse_interval(filt.condition)
-        if parsed_m is None or parsed_q is None:
-            return None
+        if (
+            parsed_m is None
+            or parsed_q is None
+            or parsed_q[0] != parsed_m[0]
+            or parsed_q[1] != parsed_m[1]
+        ):
+            # multi-column conjunctive regions (r9): containment-only —
+            # per-column interval containment proves the tile covers
+            # the query; the residual of a box difference is not a box,
+            # so union compensation stays single-column
+            return self._region_contained_substitute(agg, filt, mv, catalog)
         (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
-        if q_col != m_col or q_kind != m_kind or m_col not in mv.group_keys:
+        if m_col not in mv.group_keys:
             return None
         if _interval_contains(m_iv, q_iv):
             # the slice covers the query → plain compensation on the tile
@@ -1497,6 +1558,27 @@ class MaterializationRegistry:
         return ir.Aggregate(
             tuple(agg.group_keys), tuple(merged_calls), inputs=(union,)
         )
+
+    def _region_contained_substitute(self, agg, filt, mv, catalog):
+        """Multi-column containment (r9, ≈ SubstitutionVisitor's
+        multi-conjunct Sarg reasoning): the tile's slice and the query's
+        filter both parse as conjunctive single-column regions, and for
+        EVERY tile-slice column the query's interval is contained —
+        extra query conjuncts over tile group keys are compensated on
+        the tile by _try_rewrite's filter. Overlap (any tile column
+        whose query interval escapes the slice) refuses: never a wrong
+        slice."""
+        region_m = _parse_region(mv.filter_condition)
+        region_q = _parse_region(filt.condition)
+        if region_m is None or region_q is None:
+            return None
+        if not set(region_m) <= set(mv.group_keys):
+            return None
+        for col, (kind, m_iv) in region_m.items():
+            q = region_q.get(col)
+            if q is None or q[0] != kind or not _interval_contains(m_iv, q[1]):
+                return None
+        return self._try_rewrite(agg, filt, mv, catalog)
 
     # -- SPF (raw-row slice) tiers -------------------------------------
 

@@ -2025,3 +2025,77 @@ def test_ddl_decomposed_mv_generic_fallback(spark, tmp_path):
     )
     assert r["substitutable"] is False
     assert cat.table("davg").columns == ["o_orderstatus", "a"]
+
+
+# -- multi-column containment (r9) --------------------------------------
+
+
+def test_multi_column_slice_containment(spark, tmp_path):
+    """A tile sliced on TWO columns answers queries contained in both
+    intervals; any dimension escaping the slice refuses (containment-
+    only — the residual of a box difference is not a box)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat,
+        name="mv_box",
+        table="orders",
+        group_keys=["o_orderstatus", "o_orderpriority", "o_orderdate"],
+        agg_calls=["SUM(o_totalprice) AS sp", "COUNT(*) AS n"],
+        path=str(tmp_path / "mv_box"),
+        filter_condition=(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderstatus >= 'O'"
+        ),
+    )
+
+    def q(cond):
+        return (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS sp",
+                                             "COUNT(*) AS n"])
+        )
+
+    # contained in both dims (+ an extra conjunct on a group key)
+    cond = (
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderstatus = 'O' AND o_orderpriority >= '3-MEDIUM'"
+    )
+    df = q(cond).to_df()
+    assert all("mv_box" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("SUM(o_totalprice)").alias("sp"),
+             F.expr("COUNT(*)").alias("n"))
+    )
+    got = {(r[0], round(r[1], 3), r[2]) for r in _rows(df.select("o_orderpriority", "sp", "n"))}
+    want = {(r[0], round(r[1], 3), r[2]) for r in _rows(direct)}
+    assert got == want
+
+    # one dimension escapes the slice: refuse
+    assert (
+        reg.substitute(
+            q("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+              "AND o_orderstatus = 'O'").build(),
+            cat,
+        )
+        is None
+    )
+    # a slice dimension entirely unconstrained in the query: refuse
+    assert (
+        reg.substitute(
+            q("o_orderstatus = 'O'").build(), cat
+        )
+        is None
+    )
+    # multi-column define with a non-key column refuses
+    with pytest.raises(ValueError, match="must be a group key"):
+        reg.define(
+            cat, "bad_box", "orders", ["o_orderstatus"],
+            ["COUNT(*) AS n"], str(tmp_path / "bad_box"),
+            filter_condition="o_orderstatus = 'O' AND o_custkey > 5",
+        )
