@@ -102,9 +102,38 @@ class Materialization:
     view_exprs: tuple = ()
 
 
+def _paren_balanced(text: str) -> bool:
+    """Depth never negative and zero at the end — rejects the lazy
+    _AGG_RE capture of a COMPOUND call (`MAX(a) - MIN(a) AS rng`
+    "parses" as fn=MAX, arg="a) - MIN(a"): review r9 — the mis-parse
+    let define() accept a compound call and the simple tier later
+    emitted MAX(rng) over coarser keys, max-of-ranges instead of the
+    range)."""
+    depth = 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _square_arg(arg: str) -> str:
+    """The sum-of-squares argument for VAR/STDDEV decomposition —
+    parenthesized unless a bare identifier (review r9: the naked
+    f"{arg} * {arg}" turned VAR(a + b) into SUM(a + b*a + b), a wrong
+    sufficient statistic). ONE definition shared by the DDL
+    decomposer and the query-side mapper so the stored and looked-up
+    forms can never diverge."""
+    a = arg if re.fullmatch(r"[A-Za-z_]\w*", arg) else f"({arg})"
+    return f"{a} * {a}"
+
+
 def parse_agg_call(call: str):
     m = _AGG_RE.match(call)
-    if not m:
+    if not m or not _paren_balanced(m.group(2)):
         return None
     return m.group(1).upper(), re.sub(r"\s+", " ", m.group(2)), m.group(3)
 
@@ -238,57 +267,14 @@ def _interval_diff(q: _Interval, m: _Interval) -> list[_Interval]:
 
 
 def _parse_interval(cond: str):
-    """Conjunction of range/point predicates over ONE column with
-    same-kind literals → (col, kind, _Interval), else None (the refusal
-    path — anything unparseable simply disqualifies the rewrite).
-    Column-on-the-left forms only; `<>`, OR, and mixed columns bail."""
-    from calcite_spark.plans.rewrite import _split_conjuncts
-
-    if re.search(r"(?i)\bNOT\s+BETWEEN\b", cond):
+    """Conjunction of range/point predicates over EXACTLY ONE column →
+    (col, kind, _Interval), else None — a thin wrapper over
+    _parse_region (review r9: the two provers were 45 duplicated lines
+    apart and would have drifted)."""
+    region = _parse_region(cond)
+    if region is None or len(region) != 1:
         return None
-    # BETWEEN expands to two comparisons BEFORE splitting — the
-    # splitter would otherwise consume BETWEEN's own AND and hand the
-    # loop unparseable halves (review r8: this branch was dead code).
-    # Quote-parity guard: a BETWEEN-shaped substring INSIDE a string
-    # literal is data; rewriting it would corrupt the literal.
-    _orig = cond
-
-    def _between_repl(m):
-        if _orig.count("'", 0, m.start()) % 2 == 1:
-            return m.group(0)
-        return f"{m.group(1)} >= {m.group(2)} AND {m.group(1)} <= {m.group(3)}"
-
-    cond = _BETWEEN_SUB_RE.sub(_between_repl, cond)
-    col = kind = None
-    iv = _Interval()
-    for c in _split_conjuncts(cond):
-        m = _CMP_RE.match(c)
-        if not m:
-            return None
-        name, op, lit_text = m.groups()
-        lit = _parse_lit(lit_text)
-        if lit is None:
-            return None
-        this_kind, val, sql = lit
-        b = (val, sql)
-        if op == "=":
-            this = _Interval(b, True, b, True)
-        elif op == ">=":
-            this = _Interval(lo=b, lo_incl=True)
-        elif op == ">":
-            this = _Interval(lo=b, lo_incl=False)
-        elif op == "<=":
-            this = _Interval(hi=b, hi_incl=True)
-        else:
-            this = _Interval(hi=b, hi_incl=False)
-        if this_kind is None or (kind is not None and this_kind != kind):
-            return None
-        if col is not None and name != col:
-            return None
-        col, kind = name, this_kind
-        iv = _interval_intersect(iv, this)
-    if col is None or iv.is_empty():
-        return None
+    col, (kind, iv) = next(iter(region.items()))
     return col, kind, iv
 
 
@@ -1044,8 +1030,6 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if mv.spf:
                 continue  # handled at the Filter/Project nodes above
-            if not self._base_current(mv, catalog):
-                continue  # stale tile (base mutated since build): refuse
             if mv.filter_condition is not None:
                 # filtered tiles go through the containment / union-
                 # compensation prover — NEVER the plain tier (a sliced
@@ -1066,6 +1050,11 @@ class MaterializationRegistry:
                 if not q_edges and q_tables == frozenset([mv.table]):
                     rewritten = self._try_rewrite(node, filt, mv, catalog)
             if rewritten is not None:
+                # freshness gate LAST (review r9: running it before the
+                # shape match listed every registered MV's base files —
+                # planning-time I/O over tables the query never touches)
+                if not self._base_current(mv, catalog):
+                    continue  # stale tile (base mutated): refuse
                 return rewritten
         return None
 
@@ -1233,7 +1222,7 @@ class MaterializationRegistry:
         needed = [s, c]
         q = None
         if fn != "AVG":
-            q = tc(mv, "SUM", f"{arg} * {arg}")
+            q = tc(mv, "SUM", _square_arg(arg))
             if q is None:
                 return None
             needed.append(q)
@@ -1274,6 +1263,10 @@ class MaterializationRegistry:
         body, alias = m.group(1).strip(), m.group(2)
         out, last, found = [], 0, 0
         for mt in _AGG_IN_EXPR_RE.finditer(body):
+            if body.count("'", 0, mt.start()) % 2 == 1:
+                continue  # aggregate-SHAPED text inside a string
+                # literal is data, not a call (review r9: splicing it
+                # rewrote the literal)
             fn = mt.group(1).upper()
             arg = re.sub(r"\s+", " ", mt.group(2)[1:-1].strip())
             if fn in _REAGG:
@@ -1651,10 +1644,10 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if not mv.spf or mv.table != scan.table or mv.spf_columns is not None:
                 continue
-            if not self._base_current(mv, catalog):
-                continue  # stale slice: refuse, serve from base
             repl = self._spf_range_rewrite(node.condition, mv, catalog)
             if repl is not None:
+                if not self._base_current(mv, catalog):
+                    continue  # stale slice: refuse, serve from base
                 return repl
         return None
 
@@ -1673,8 +1666,6 @@ class MaterializationRegistry:
         for mv in self.mvs.values():
             if not mv.spf or mv.table != scan.table or mv.spf_columns is None:
                 continue  # full-column tiles already fired at the Filter node
-            if not self._base_current(mv, catalog):
-                continue  # stale slice: refuse, serve from base
             needed = set()
             for e in node.exprs:
                 needed |= _expr_cols(e)
@@ -1685,9 +1676,13 @@ class MaterializationRegistry:
             if filt is None:
                 if mv.filter_condition is not None:
                     continue  # tile misses rows the query wants
+                if not self._base_current(mv, catalog):
+                    continue  # stale slice: refuse, serve from base
                 return node.with_inputs((self._spf_scan(mv),))
             repl = self._spf_range_rewrite(filt.condition, mv, catalog)
             if repl is not None:
+                if not self._base_current(mv, catalog):
+                    continue  # stale slice: refuse, serve from base
                 return node.with_inputs((repl,))
         return None
 

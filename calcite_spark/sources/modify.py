@@ -32,18 +32,32 @@ def _rewrite(catalog, table: str, df: DataFrame) -> None:
 
     entry = catalog.tables[table]
     old_path = entry.path.rstrip("/")
-    if old_path.endswith(".cow-a"):
-        base, new_path = old_path[: -len(".cow-a")], old_path[: -len(".cow-a")] + ".cow-b"
-    elif old_path.endswith(".cow-b"):
-        base, new_path = old_path[: -len(".cow-b")], old_path[: -len(".cow-b")] + ".cow-a"
+    # ownership is tracked EXPLICITLY, not inferred from the suffix: a
+    # user-registered path that happens to end in .cow-a must never be
+    # written over OR rmtree'd (review r9 — suffix inference deleted
+    # the user's source data, and suffix ALTERNATION would have written
+    # into it one swap later). Only a sibling THIS function created
+    # alternates and gets cleaned; an unowned path — whatever its name
+    # — is treated as the user's original and only ever read. The set
+    # is session-local; at worst one sibling directory survives a
+    # restart.
+    owned = getattr(catalog, "_cow_owned", None)
+    if owned is None:
+        owned = catalog._cow_owned = set()
+    if old_path in owned and old_path.endswith(".cow-a"):
+        new_path = old_path[: -len(".cow-a")] + ".cow-b"
+    elif old_path in owned and old_path.endswith(".cow-b"):
+        new_path = old_path[: -len(".cow-b")] + ".cow-a"
     else:
-        base, new_path = old_path, old_path + ".cow-a"
+        new_path = old_path + ".cow-a"
     # the write below EXECUTES the read of old_path (eager action), so
     # after it returns the previous sibling is dead weight
     df.write.mode("overwrite").parquet(new_path)
     catalog.register(table, new_path)
-    if old_path != base:  # only ever remove a sibling we created
+    owned.add(new_path)
+    if old_path != new_path and old_path in owned:
         shutil.rmtree(old_path, ignore_errors=True)
+        owned.discard(old_path)
 
 
 def insert_into(

@@ -1094,7 +1094,7 @@ class DdlExecutor:
         schemas[name] = {"type": engine_type, "tables": tables, "engine": engine}
         return {"foreign_schema": name, "tables": tables}
 
-    def _create_decomposed_mv(self, name, table, keys, calls, where, path):
+    def _create_decomposed_mv(self, name, table, keys, calls, where):
         """CREATE MATERIALIZED VIEW whose SELECT contains derived
         aggregates (AVG/VAR/STDDEV): store the sufficient statistics in
         a SUBSTITUTABLE tile `<name>__stats` (≈ the reference applying
@@ -1120,7 +1120,9 @@ class DdlExecutor:
         reg = self.catalog.mv_registry
         stats_name = f"{name}__stats"
         if stats_name in self.catalog.tables:
-            raise ValueError(f"Table '{stats_name}' already exists")
+            return None  # internal-name collision: the generic path
+            # materializes the DDL fine; erroring about a name the
+            # user never wrote is wrong (review r9)
         mv = reg.define(
             self.catalog, stats_name, table, keys, stats_calls,
             os.path.join(self.warehouse, stats_name),
@@ -1205,7 +1207,7 @@ class DdlExecutor:
                 # substitutable stats tile + a user-shaped view (r9) —
                 # anything else goes to the generic path
                 return self._create_decomposed_mv(
-                    name, table, keys, calls, where, path
+                    name, table, keys, calls, where
                 )
             mv = reg.define(
                 self.catalog, name, table, keys, calls, path,
@@ -1276,13 +1278,22 @@ def _find_decomposition(calls):
         outputs.append(derived[-1])
     if not derived:
         return None  # nothing to decompose: the plain path handles it
+    from calcite_spark.plans.materialize import _paren_balanced, _square_arg
+
     for alias, fn, arg in derived:
         if arg.upper().startswith("DISTINCT"):
             return None  # AVG(DISTINCT ...) is not decomposable
+        if not _paren_balanced(arg):
+            return None  # lazy-regex mis-capture (AVG(a) + AVG(b)):
+            # generic path, never a garbage stat
         ensure("SUM", arg)
         ensure("COUNT", arg)
         if fn != "AVG":
-            ensure("SUM", f"{arg} * {arg}")
+            # parenthesized square (review r9: the naked arg * arg
+            # turned VAR(a + b) into SUM(a + b*a + b) — a silently
+            # wrong sufficient statistic); shared helper keeps the
+            # stored and looked-up forms identical
+            ensure("SUM", _square_arg(arg))
     return stats_calls, outputs
 
 

@@ -2099,3 +2099,131 @@ def test_multi_column_slice_containment(spark, tmp_path):
             ["COUNT(*) AS n"], str(tmp_path / "bad_box"),
             filter_condition="o_orderstatus = 'O' AND o_custkey > 5",
         )
+
+
+# -- r9 round-end review regression pins --------------------------------
+
+
+def test_review_var_expression_arg_parenthesized(spark, tmp_path):
+    """Review r9 #1: VAR_SAMP(a + b) in a decomposed DDL MV must store
+    SUM((a+b)*(a+b)), not SUM(a + b*a + b) — the naked square was a
+    silently wrong sufficient statistic."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute("CREATE TABLE tv9 (k int, a int, b int)")
+    ddl.execute("INSERT INTO tv9 VALUES (1, 1, 1), (1, 3, 1)")
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW v9 AS SELECT k, VAR_SAMP(a + b) AS v "
+        "FROM tv9 GROUP BY k"
+    )
+    got = fe.sql("SELECT v FROM v9").collect()[0].v
+    assert abs(got - 2.0) < 1e-9, got  # var_samp of (2, 4) = 2.0
+    # and a base query substitutes with the same (correct) value
+    q = fe.sql("SELECT k, VAR_SAMP(a + b) AS v FROM tv9 GROUP BY k")
+    assert any("v9__stats" in f for f in q.inputFiles())
+    assert abs(q.collect()[0].v - 2.0) < 1e-9
+
+
+def test_review_compound_call_not_misparsed(spark, tmp_path):
+    """Review r9 #2: `MAX(a) - MIN(a) AS rng` must not 'parse' as a
+    single MAX call — define() refuses it and the query-side mapping
+    serves it through the EXPRESSION tier (range of the group, never
+    max-of-subgroup-ranges)."""
+    from calcite_spark.plans.materialize import parse_agg_call
+
+    assert parse_agg_call("MAX(a) - MIN(a) AS rng") is None
+    assert parse_agg_call("SUM((a+b)*(a+b)) AS q") is not None
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    with pytest.raises(ValueError, match="not a rewritable"):
+        reg.define(
+            cat, "bad_rng", "orders", ["o_orderstatus"],
+            ["MAX(o_totalprice) - MIN(o_totalprice) AS rng"],
+            str(tmp_path / "bad_rng"),
+        )
+    # expression tier serves it from MIN/MAX tile columns, correctly
+    reg.define(
+        cat, "mm_tile", "orders",
+        ["o_orderstatus", "o_orderpriority"],
+        ["MAX(o_totalprice) AS mx", "MIN(o_totalprice) AS mn"],
+        str(tmp_path / "mm_tile"),
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus"],
+            ["MAX(o_totalprice) - MIN(o_totalprice) AS rng"],
+        )
+        .to_df()
+    )
+    assert all("mm_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("MAX(o_totalprice) - MIN(o_totalprice)").alias("rng"))
+    )
+    got = {(r[0], round(r[1], 6)) for r in _rows(df)}
+    want = {(r[0], round(r[1], 6)) for r in _rows(direct)}
+    assert got == want
+
+
+def test_review_expression_tier_ignores_literals(spark, tmp_path):
+    """Review r9 #3: aggregate-SHAPED text inside a string literal is
+    data — the expression tier must not splice tile columns into it."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "lit_tile", "orders",
+        ["o_orderstatus", "o_orderpriority"],
+        ["SUM(o_totalprice) AS sp", "MAX(o_totalprice) AS mx"],
+        str(tmp_path / "lit_tile"),
+    )
+    call = (
+        "SUM(o_totalprice) + CASE WHEN o_orderstatus = 'MAX(o_totalprice)' "
+        "THEN 1 ELSE 0 END AS x"
+    )
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], [call])
+        .build()
+    )
+    sub = reg.substitute(plan, cat)
+    if sub is not None:  # substitution may fire; values must be identical
+        got = {(r.o_orderstatus, round(r.x, 6)) for r in sub.to_df(cat).collect()}
+        want = {
+            (r.o_orderstatus, round(r.x, 6))
+            for r in cat.table("orders")
+            .groupBy("o_orderstatus")
+            .agg(F.expr(call.rsplit(" AS ", 1)[0]).alias("x"))
+            .collect()
+        }
+        assert got == want
+
+
+def test_review_cow_ownership_not_suffix_inferred(spark, tmp_path):
+    """Review r9 #4: a USER-registered path that happens to end in
+    .cow-a must never be deleted by the swap."""
+    import os
+
+    from calcite_spark.sources.modify import update_set
+
+    user_dir = str(tmp_path / "data.cow-a")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.parquet(user_dir)
+    cat = Catalog(spark)
+    cat.register("nat9", user_dir)
+    update_set(cat, "nat9", {"n_name": "lower(n_name)"}, "TRUE")
+    assert os.path.exists(user_dir), "user's source directory was deleted"
+    # an UNOWNED path never alternates — the sibling chain roots at it
+    assert cat.tables["nat9"].path == user_dir + ".cow-a"
+    # second swap: the first OWNED sibling alternates and is cleaned;
+    # the user directory is never written over (the suffix-alternation
+    # bug would have targeted it here)
+    update_set(cat, "nat9", {"n_name": "upper(n_name)"}, "TRUE")
+    assert cat.tables["nat9"].path == user_dir + ".cow-b"
+    assert not os.path.exists(user_dir + ".cow-a")
+    assert os.path.exists(user_dir)
+    orig = spark.read.parquet(user_dir).select("n_name").collect()
+    assert any(r.n_name != r.n_name.lower() for r in orig), (
+        "user's source data was overwritten"
+    )
