@@ -1782,7 +1782,27 @@ class LatticeSuggester:
             # expression materialized in the tile — out of scope, bail)
             if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
                 continue
-            calls = tuple(sorted(c for c in n.agg_calls if parse_agg_call(c)))
+            norm_calls = []
+            for c in n.agg_calls:
+                if parse_agg_call(c):
+                    norm_calls.append(c)
+                    continue
+                dm = _DERIVED_RE.match(c)
+                if dm is None:
+                    continue  # unrecordable call: skip it, keep the rest
+                # derived aggregates record as their SUFFICIENT
+                # STATISTICS (r9): a corpus full of AVG queries then
+                # suggests a SUM+COUNT tile the derived mapper can
+                # serve — the self-tuning loop closes end-to-end
+                fn = dm.group(1).upper()
+                arg = re.sub(r"\s+", " ", dm.group(2))
+                if arg.upper().startswith("DISTINCT") or not _paren_balanced(arg):
+                    continue
+                norm_calls.append(f"SUM({arg}) AS s")
+                norm_calls.append(f"COUNT({arg}) AS c")
+                if fn != "AVG":
+                    norm_calls.append(f"SUM({_square_arg(arg)}) AS q")
+            calls = tuple(sorted(set(norm_calls)))
             if not keys or not calls:
                 continue
             key = (child.table, keys, calls)

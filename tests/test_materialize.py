@@ -2227,3 +2227,49 @@ def test_review_cow_ownership_not_suffix_inferred(spark, tmp_path):
     assert any(r.n_name != r.n_name.lower() for r in orig), (
         "user's source data was overwritten"
     )
+
+
+def test_suggester_decomposes_derived_calls(spark, tmp_path):
+    """A corpus of AVG/STDDEV queries suggests a SUM/COUNT/sum-of-
+    squares tile the derived mapper can serve — the self-tuning loop
+    closes for derived aggregates (r9)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["o_orderstatus"],
+            ["AVG(o_totalprice) AS ap", "STDDEV_SAMP(o_totalprice) AS sd"],
+        )
+        .build()
+    )
+    default_program(cat).run(plan)
+    default_program(cat).run(plan)  # min_count=2
+    props = sug.suggest()
+    assert props, "no proposal from the AVG corpus"
+    fns = {c.split("(")[0] for c in props[0]["agg_calls"]}
+    assert "SUM" in fns and "COUNT" in fns
+    reg = MaterializationRegistry()
+    built = sug.auto_build(cat, reg, str(tmp_path / "tiles"))
+    assert built
+    # the AVG query now substitutes onto the auto-built tile
+    df = plan.to_df(cat)  # re-plan through the program
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["AVG(o_totalprice) AS ap"])
+        .to_df()
+    )
+    assert any("tiles" in f for f in df2.inputFiles()), df2.inputFiles()
+    direct = (
+        cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("ap"))
+    )
+    got = {(r.o_orderstatus, round(r.ap, 6)) for r in df2.collect()}
+    want = {(r.o_orderstatus, round(r.ap, 6)) for r in direct.collect()}
+    assert got == want
