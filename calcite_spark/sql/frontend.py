@@ -2020,6 +2020,7 @@ class SqlFrontend:
         r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t>\w+)"
         r"(?:\s+WHERE\s+(?P<w>.*?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
+        r"(?:\s+HAVING\s+(?P<hv>.*?))?"
         r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
         r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$"
     )
@@ -2033,7 +2034,7 @@ class SqlFrontend:
             return None
         # one SELECT, no joins/set-ops/windows/etc. — the unifiable tier
         if text.upper().count("SELECT") != 1 or re.search(
-            r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|DISTINCT|OVER|"
+            r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|"
             r"QUALIFY|LATERAL|VALUES|WITH|OFFSET|FETCH)\b",
             text,
         ):
@@ -2041,6 +2042,8 @@ class SqlFrontend:
         m = self._SIMPLE_STMT_RE.match(text)
         if m is None or m.group("t") not in self.catalog.tables:
             return None
+        if m.group("hv") is not None and not m.group("gb"):
+            return None  # HAVING without GROUP BY: verbatim path
         from calcite_spark.plans import ir
         from calcite_spark.plans.builder import RelBuilder
         from calcite_spark.plans.materialize import liftable_agg_call
@@ -2080,6 +2083,25 @@ class SqlFrontend:
                         # differs from the IR's — fall back verbatim
                         return None
                     out_order.append(am.group(1))
+            hv = m.group("hv")
+            if hv is not None:
+                # HAVING over OUTPUT names only (aliases + keys): a
+                # raw aggregate in HAVING (COUNT(*) > 5) has no output
+                # name here — its idents fail this check and the
+                # statement falls back verbatim (r9)
+                hv_idents = {
+                    i.lower()
+                    for i in re.findall(
+                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", hv)
+                    )
+                }
+                allowed = {n.lower() for n in out_order} | {
+                    "and", "or", "not", "in", "between", "like", "is",
+                    "null", "true", "false",
+                }
+                if not hv_idents <= allowed:
+                    return None
+                b.filter(hv.strip())
             if out_order != list(keys) + [
                 o for s, o in zip(sel, out_order) if s not in keys
             ]:

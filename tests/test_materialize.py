@@ -2273,3 +2273,42 @@ def test_suggester_decomposes_derived_calls(spark, tmp_path):
     got = {(r.o_orderstatus, round(r.ap, 6)) for r in df2.collect()}
     want = {(r.o_orderstatus, round(r.ap, 6)) for r in direct.collect()}
     assert got == want
+
+
+def test_frontend_lift_having(spark, tmp_path):
+    """HAVING over output aliases participates in the lift: the tile
+    answers the aggregate and the HAVING filters above it; raw
+    aggregates in HAVING (no output name) fall back verbatim (r9)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW cust_h AS SELECT c_nationkey, "
+        "SUM(c_acctbal) AS bal, COUNT(*) AS n FROM customer "
+        "GROUP BY c_nationkey"
+    )
+    df = fe.sql(
+        "SELECT c_nationkey, SUM(c_acctbal) AS bal FROM customer "
+        "GROUP BY c_nationkey HAVING bal > 10000 ORDER BY c_nationkey"
+    )
+    assert any("cust_h" in f for f in df.inputFiles()), df.inputFiles()
+    direct = spark.sql(
+        "SELECT c_nationkey, SUM(c_acctbal) AS bal FROM customer "
+        "GROUP BY c_nationkey HAVING bal > 10000 ORDER BY c_nationkey"
+    )
+    got = [(r.c_nationkey, round(r.bal, 2)) for r in df.collect()]
+    want = [(r.c_nationkey, round(r.bal, 2)) for r in direct.collect()]
+    assert got == want
+    # raw aggregate in HAVING: verbatim fallback, still correct
+    df2 = fe.sql(
+        "SELECT c_nationkey, SUM(c_acctbal) AS bal FROM customer "
+        "GROUP BY c_nationkey HAVING COUNT(*) > 20 ORDER BY c_nationkey"
+    )
+    direct2 = spark.sql(
+        "SELECT c_nationkey, SUM(c_acctbal) AS bal FROM customer "
+        "GROUP BY c_nationkey HAVING COUNT(*) > 20 ORDER BY c_nationkey"
+    )
+    assert [tuple(r) for r in df2.collect()] == [
+        tuple(r) for r in direct2.collect()
+    ]
+    # HAVING without GROUP BY: verbatim path, no crash
+    df3 = fe.sql("SELECT COUNT(*) AS n FROM customer HAVING COUNT(*) > 0")
+    assert df3.collect()[0].n > 0
