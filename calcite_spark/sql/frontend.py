@@ -2017,7 +2017,7 @@ class SqlFrontend:
     # registries-off sessions or non-matching statements.
 
     _SIMPLE_STMT_RE = re.compile(
-        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t>\w+)"
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)"
         r"(?:\s+WHERE\s+(?P<w>.*?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
         r"(?:\s+HAVING\s+(?P<hv>.*?))?"
@@ -2032,15 +2032,18 @@ class SqlFrontend:
         reg = getattr(self.catalog, "mv_registry", None)
         if reg is None or not reg.mvs:
             return None
-        # one SELECT, no joins/set-ops/windows/etc. — the unifiable tier
+        # one SELECT, no set-ops/windows/outer-joins — the unifiable
+        # tier (INNER JOIN chains lift since r9 so join tiles are
+        # reachable from plain SQL)
         if text.upper().count("SELECT") != 1 or re.search(
-            r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|"
+            r"(?i)\b(UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LEFT|RIGHT|"
+            r"FULL|CROSS|OUTER|SEMI|ANTI|NATURAL|USING|"
             r"QUALIFY|LATERAL|VALUES|WITH|OFFSET|FETCH)\b",
             text,
         ):
             return None
         m = self._SIMPLE_STMT_RE.match(text)
-        if m is None or m.group("t") not in self.catalog.tables:
+        if m is None:
             return None
         if m.group("hv") is not None and not m.group("gb"):
             return None  # HAVING without GROUP BY: verbatim path
@@ -2051,7 +2054,19 @@ class SqlFrontend:
 
         sel = [s.strip() for s in self._split_top_commas(m.group("sel"))]
         b = RelBuilder(self.catalog)
-        b.scan(m.group("t"))
+        fr = m.group("from").strip()
+        if "'" in fr or "(" in fr:
+            return None  # literals/subqueries in FROM: verbatim path
+        parts = re.split(r"(?i)\s+(?:INNER\s+)?JOIN\s+", fr)
+        if not re.fullmatch(r"\w+", parts[0]) or parts[0] not in self.catalog.tables:
+            return None
+        b.scan(parts[0])
+        for seg in parts[1:]:
+            jm = re.match(r"(?is)^(\w+)\s+ON\s+(.+)$", seg)
+            if jm is None or jm.group(1) not in self.catalog.tables:
+                return None  # aliases / USING / odd shapes: verbatim
+            b.scan(jm.group(1))
+            b.join(jm.group(2).strip())
         if m.group("w"):
             b.filter(m.group("w").strip())
         if m.group("gb"):

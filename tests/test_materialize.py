@@ -2312,3 +2312,60 @@ def test_frontend_lift_having(spark, tmp_path):
     # HAVING without GROUP BY: verbatim path, no crash
     df3 = fe.sql("SELECT COUNT(*) AS n FROM customer HAVING COUNT(*) > 0")
     assert df3.collect()[0].n > 0
+
+
+def test_frontend_lift_join_tile_from_sql(spark, tmp_path):
+    """Join tiles are reachable from plain SQL (r9): a star SELECT with
+    an INNER JOIN chain lifts into the IR and substitutes against the
+    join MV; outer joins and aliased tables fall back verbatim."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    reg = cat.mv_registry
+    from calcite_spark.plans.builder import RelBuilder as _RB
+
+    tile_plan = (
+        _RB(cat)
+        .scan("orders")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(
+            ["c_mktsegment"],
+            ["SUM(o_totalprice) AS sales", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    reg.define_join(
+        cat, "seg_tile", tile_plan, str(tmp_path / "seg_tile"),
+        fact="orders",
+    )
+    df = fe.sql(
+        "SELECT c_mktsegment, SUM(o_totalprice) AS sales FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    assert any("seg_tile" in f for f in df.inputFiles()), df.inputFiles()
+    direct = spark.sql(
+        "SELECT c_mktsegment, SUM(o_totalprice) AS sales FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    got = [(r.c_mktsegment, round(r.sales, 2)) for r in df.collect()]
+    want = [(r.c_mktsegment, round(r.sales, 2)) for r in direct.collect()]
+    assert got == want
+    # LEFT JOIN: verbatim path (no lift), identical to spark.sql
+    q = (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    assert [tuple(r) for r in fe.sql(q).collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
+    # aliased join: verbatim path, still correct
+    q2 = (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    assert [tuple(r) for r in fe.sql(q2).collect()] == [
+        tuple(r) for r in spark.sql(q2).collect()
+    ]
