@@ -482,11 +482,11 @@ class MaterializationRegistry:
         rewritten small and sorted — serving every ad-hoc query over
         the recent window without touching cold storage."""
         catalog.mv_registry = self
-        if predicate is not None and _parse_interval(predicate) is None:
+        if predicate is not None and _parse_region(predicate) is None:
             raise ValueError(
                 "define_spf: predicate must be a conjunction of "
-                "range/point predicates over ONE column (the containment "
-                f"prover's unifiable form); got: {predicate}"
+                "range/point predicates, each over ONE column (the "
+                f"containment prover's unifiable form); got: {predicate}"
             )
         base_cols = list(catalog.table(table).columns)
         if columns is not None:
@@ -1600,8 +1600,35 @@ class MaterializationRegistry:
             return ir.Filter(cond, inputs=(self._spf_scan(mv),))
         parsed_m = _parse_interval(mv.filter_condition)
         parsed_q = _parse_interval(cond)
-        if parsed_m is None or parsed_q is None:
-            return None
+        if (
+            parsed_m is None
+            or parsed_q is None
+            or parsed_q[0] != parsed_m[0]
+            or parsed_q[1] != parsed_m[1]
+        ):
+            # multi-column conjunctive regions (r9): containment-only,
+            # same refusal posture as the aggregate tier — the query's
+            # region must pin EVERY slice column inside the slice, and
+            # the compensating filter (which the tile must be able to
+            # evaluate) re-applies the full condition
+            region_m = _parse_region(mv.filter_condition)
+            region_q = _parse_region(cond)
+            if region_m is None or region_q is None:
+                return None
+            stored = (
+                set(mv.spf_columns)
+                if mv.spf_columns is not None
+                else None
+            )
+            if stored is not None and not set(region_q) <= stored:
+                return None
+            for col, (kind, m_iv) in region_m.items():
+                q = region_q.get(col)
+                if q is None or q[0] != kind or not _interval_contains(
+                    m_iv, q[1]
+                ):
+                    return None
+            return ir.Filter(cond, inputs=(self._spf_scan(mv),))
         (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
         if q_col != m_col or q_kind != m_kind:
             return None

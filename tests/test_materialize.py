@@ -2369,3 +2369,57 @@ def test_frontend_lift_join_tile_from_sql(spark, tmp_path):
     assert [tuple(r) for r in fe.sql(q2).collect()] == [
         tuple(r) for r in spark.sql(q2).collect()
     ]
+
+
+def test_spf_multi_column_containment(spark, tmp_path):
+    """An SPF slice over two columns serves contained queries; any
+    escaping or unpinned slice dimension refuses (r9)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define_spf(
+        cat, "spf_box", "orders", str(tmp_path / "spf_box"),
+        predicate=(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderstatus >= 'O'"
+        ),
+    )
+    cond = (
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderstatus = 'O'"
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("spf_box" in f for f in df.inputFiles()), df.inputFiles()
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in cat.table("orders")
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("COUNT(*)").alias("n"))
+        .collect()
+    }
+    assert {(r.o_orderpriority, r.n) for r in df.collect()} == want
+    # escaping one dimension refuses
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+                "AND o_orderstatus = 'O'")
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute_spf(plan.inputs[0], cat) is None
+    # leaving a slice dimension unpinned refuses
+    plan2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderstatus = 'O'")
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute_spf(plan2.inputs[0], cat) is None
