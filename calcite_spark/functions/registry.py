@@ -28,6 +28,10 @@ ORACLE = "ORACLE"
 POSTGRESQL = "POSTGRESQL"
 REDSHIFT = "REDSHIFT"
 SPARK = "SPARK"
+MSSQL = "MSSQL"
+SNOWFLAKE = "SNOWFLAKE"
+CLICKHOUSE = "CLICKHOUSE"
+CALCITE = "CALCITE"  # Calcite-specific extensions (SqlLibrary.CALCITE:66)
 ALL = "ALL"  # available without opting into a library
 
 
@@ -105,7 +109,11 @@ _reg("CHECKED_SUBTRACT", "try_subtract({0}, {1})", (2,))
 _reg("CHECKED_MULTIPLY", "try_multiply({0}, {1})", (2,))
 _reg("CHECKED_DIVIDE", "try_divide({0}, {1})", (2,))
 _reg("SAFE_CAST", "try_cast({0} AS {1})", (2,), libs=(BIG_QUERY,))
-_reg("TRY_CAST", "try_cast({0} AS {1})", (2,))
+_reg(
+    "TRY_CAST", "try_cast({0} AS {1})", (2,), libs=(MSSQL,),
+    note="MSSQL-gated per SqlLibraryOperators.java:2729 (BQ spells it "
+    "SAFE_CAST); library-less lookups still resolve",
+)
 
 # ---------------------------------------------------------------------
 # Math (POWER SQRT MOD LN LOG10 ABS trig ... RAND:345 RAND_INTEGER:340)
@@ -201,8 +209,13 @@ _reg(
     (3,),
     libs=(POSTGRESQL,),
 )
-_reg("ENDS_WITH", "endswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
-_reg("STARTS_WITH", "startswith({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
+_reg("ENDS_WITH", "endswith({0}, {1})", (2,), libs=(BIG_QUERY,))
+_reg(
+    "STARTS_WITH", "startswith({0}, {1})", (2,), libs=(BIG_QUERY, POSTGRESQL),
+    note="SqlLibraryOperators.java:433 gates {BIG_QUERY, POSTGRESQL} "
+    "exceptLibraries={REDSHIFT}; Snowflake/Spark/ClickHouse spell it "
+    "STARTSWITH (separate entry)",
+)
 _reg("STRCMP", "CASE WHEN {0} = {1} THEN 0 WHEN {0} < {1} THEN -1 ELSE 1 END", (2,), libs=(MYSQL,))
 _reg(
     "DIFFERENCE",
@@ -675,7 +688,12 @@ _reg("ATAND", "degrees(atan({0}))", (1,), libs=(POSTGRESQL,))
 _reg("COTH", "(cosh({0}) / sinh({0}))", (1,))
 _reg("SECH", "(1.0 / cosh({0}))", (1,))
 _reg("CSCH", "(1.0 / sinh({0}))", (1,))
-_reg("HYPOT", "sqrt(pow({0}, 2) + pow({1}, 2))", (2,), libs=(BIG_QUERY,))
+_reg(
+    "HYPOT", "hypot({0}, {1})", (2,), libs=(SPARK, CLICKHOUSE),
+    note="SqlLibraryOperators.java:2588 gates {SPARK, CLICKHOUSE}; "
+    "Spark's native hypot honors the 'without intermediate overflow' "
+    "contract the old sqrt(pow+pow) lowering violated at |x| > ~1e154",
+)
 _reg("IS_NAN", "isnan({0})", (1,), libs=(BIG_QUERY,), kind="predicate")
 _reg(
     "IS_INF",
@@ -687,8 +705,8 @@ _reg(
 _reg("RANDOM", "rand()", (0,), libs=(POSTGRESQL,))
 _reg("TRUNC", _TRUNCATE_TEMPLATE, (1, 2), libs=(POSTGRESQL, ORACLE), defaults=("0",), note="numeric TRUNC alias of TRUNCATE (shared template)")
 # string batch
-_reg("LEN", "length({0})", (1,), libs=(SPARK,))
-_reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, SPARK))
+_reg("LEN", "length({0})", (1,), libs=(REDSHIFT, SNOWFLAKE, SPARK))
+_reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, SNOWFLAKE, SPARK))
 _reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORACLE), defaults=("2147483647",))
 _reg("CHAR", "char({0})", (1,), libs=(MYSQL, SPARK), note="code point → string")
 _reg("FIND_IN_SET", "find_in_set({0}, {1})", (2,), libs=(MYSQL, HIVE, SPARK))
@@ -696,8 +714,8 @@ _reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPA
 # (STRING_TO_ARRAY registered above with the full PG-semantics
 # template — 3-arg nullstr, ''-delim, NULL-delim char split; the old
 # plain \\Q..\\E split form it replaces lacked those branches)
-_reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
-_reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SPARK,), kind="predicate")
+_reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHOUSE), kind="predicate")
+_reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHOUSE), kind="predicate")
 _reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
 _reg("CODE_POINTS_TO_STRING", "concat_ws('', transform({0}, c -> char(c)))", (1,), libs=(BIG_QUERY,))
 _reg("BASE64", "base64({0})", (1,), libs=(MYSQL,))
@@ -716,7 +734,12 @@ _reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL,))
 # datetime batch (MSSQL/Redshift DATEADD/DATEPART; BigQuery *_ADD/_SUB/
 # _DIFF/_TRUNC families over the unified timestamp type)
 _reg("DATEADD", "timestampadd({0}, {1}, {2})", (3,), libs=(MYSQL, ORACLE))
-_reg("DATEPART", "date_part('{0}', {1})", (2,), libs=(MYSQL,), note="unit as BARE identifier (native MSSQL form); template quotes it")
+_reg(
+    "DATEPART", "date_part('{0}', {1})", (2,), libs=(MSSQL,),
+    note="MSSQL-gated per SqlLibraryOperators.java:237 (was mis-gated "
+    "MYSQL — MySQL has no DATEPART); unit as BARE identifier, template "
+    "quotes it",
+)
 _reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
@@ -730,9 +753,12 @@ _reg("DATETIME", "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})", (6,), libs=(BIG
 # XML (MySQL ExtractValue / Oracle EXISTSNODE → Spark xpath builtins)
 _reg("EXTRACT_VALUE", "xpath_string({0}, {1})", (2,), libs=(MYSQL,))
 _reg("EXISTS_NODE", "CASE WHEN xpath_boolean({0}, {1}) THEN 1 ELSE 0 END", (2,), libs=(ORACLE,))
-# aggregate aliases (Snowflake/PG names over Spark bool_and/bool_or)
-_reg("BOOLAND_AGG", "bool_and({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
-_reg("BOOLOR_AGG", "bool_or({0})", (1,), libs=(POSTGRESQL,), kind="aggregate")
+# aggregate aliases: Snowflake's EVERY/SOME equivalents over Spark
+# bool_and/bool_or. SqlLibraryOperators.java:785,791 gates BOTH to
+# {SNOWFLAKE} only (was mis-gated POSTGRESQL — PG spells them
+# BOOL_AND/BOOL_OR, which stay as standard passthroughs)
+_reg("BOOLAND_AGG", "bool_and({0})", (1,), libs=(SNOWFLAKE,), kind="aggregate")
+_reg("BOOLOR_AGG", "bool_or({0})", (1,), libs=(SNOWFLAKE,), kind="aggregate")
 
 # ---------------------------------------------------------------------
 # r8 babel batch 3a — BigQuery SPLIT semantics (big-query.iq:1666-1695;
@@ -876,6 +902,98 @@ def _rs_datediff(unit: str, a: str, b: str) -> str:
     )
 
 # ---------------------------------------------------------------------
+# r9 library batch — MSSQL / SNOWFLAKE / CLICKHOUSE / CALCITE tiers
+# (SqlLibrary.java:72,85,91,66 — the four enum members the registry did
+# not yet cover). No babel .iq corpus exists for these dialects, so the
+# evidence is unit parity + DuckDB twins (tests/test_library_tiers.py).
+# ---------------------------------------------------------------------
+# CONVERT(type, expr[, style]) ≡ CAST(expr AS type); the style operand
+# is ignored, exactly as the reference's transformConvert delegation
+# (SqlLibraryOperators.java:180-215). Registered as a variant so plain
+# CONVERT (the standard charset-translation operator, unsupported)
+# stays unknown rather than silently casting.
+_reg(
+    "CONVERT", "CAST({1} AS {0})", (2, 3), libs=(MSSQL,),
+    variant_of="CONVERT",
+    note="MSSQL_CONVERT: arg order (type, value[, style]); style ignored",
+)
+# DATEADD/DATEDIFF are shared {MSSQL, REDSHIFT, SNOWFLAKE}
+# (SqlLibraryOperators.java:132,166): same boundary-crossing DATEDIFF
+# lowering as the REDSHIFT tier above, but the unit vocabulary here is
+# the canonical TimeFrameSet names only — the Redshift alias zoo is
+# corpus-pinned to redshift.iq, and MSSQL's single-letter forms
+# genuinely diverge (T-SQL 'w' = weekday, 'y' = dayofyear, and DATEADD
+# treats both as DAY), so anything non-canonical refuses loudly rather
+# than risking a silent remap.
+_reg("DATEADD", "", (3,), libs=(MSSQL, SNOWFLAKE), variant_of="DATEADD")
+_reg("DATEDIFF", "", (3,), libs=(MSSQL, SNOWFLAKE), variant_of="DATEDIFF")
+
+_CANON_UNITS: dict[str, str] = {}
+for _canon in ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND"):
+    _CANON_UNITS[_canon.lower()] = _canon
+    _CANON_UNITS[_canon.lower() + "s"] = _canon
+
+
+def _canon_unit(arg: str, fn_name: str, lib_tag: str) -> str:
+    u = arg.strip().strip("'\"").lower()
+    if u not in _CANON_UNITS:
+        raise ValueError(
+            f"{fn_name} ({lib_tag}): unsupported datepart {arg!r} — only "
+            "canonical unit names are accepted under this library "
+            "(dialect abbreviations diverge: T-SQL 'w'=weekday, "
+            f"'y'=dayofyear); use one of {sorted(set(_CANON_UNITS.values()))}"
+        )
+    return _CANON_UNITS[u]
+
+
+# CONCAT_FUNCTION_WITH_NULL (SqlLibraryOperators.java:1219, {MSSQL,
+# POSTGRESQL} exceptLibraries={REDSHIFT}): NULL args become empty
+# string, the result is NEVER NULL — Spark's concat NULL-propagates, so
+# the lowering coalesces each argument (variadic: translate() dispatch)
+_reg(
+    "CONCAT", "", (), libs=(MSSQL, POSTGRESQL), variant_of="CONCAT",
+    note="null-ignoring CONCAT: CONCAT(NULL, NULL) = '' — see translate()",
+)
+# CONCAT2 (SqlLibraryOperators.java:1240, {ORACLE, REDSHIFT}): 2-arg,
+# NULL treated as '', but ALL-NULL inputs return NULL (unlike the
+# MSSQL/PG variant above)
+_reg(
+    "CONCAT",
+    "CASE WHEN {0} IS NULL AND {1} IS NULL THEN NULL "
+    "ELSE concat(coalesce(CAST({0} AS STRING), ''), "
+    "coalesce(CAST({1} AS STRING), '')) END",
+    (2,), libs=(ORACLE, REDSHIFT), variant_of="CONCAT",
+    note="CONCAT2 semantics, keyed CONCAT@ORACLE/@REDSHIFT so library "
+    "lookups of CONCAT take it over the standard passthrough",
+)
+# CONCAT_WS_MSSQL (SqlLibraryOperators.java:1304): 3..254 args, never
+# returns NULL — a NULL separator is treated as '' (MySQL/PG/Spark
+# return NULL there); NULL string args are skipped (Spark native)
+_reg(
+    "CONCAT_WS", "", (), libs=(MSSQL,), variant_of="CONCAT_WS",
+    note="3..254 args; NULL separator → '' — see translate()",
+)
+# CONCAT_WS_POSTGRESQL (SqlLibraryOperators.java:1280): like MySQL's
+# but args may be ANY type — each non-separator arg is cast to string
+# (NULLs still skipped; NULL separator still returns NULL)
+_reg(
+    "CONCAT_WS", "", (), libs=(POSTGRESQL,), variant_of="CONCAT_WS",
+    note="any-type args cast to string — see translate()",
+)
+# Snowflake aggregate aliases land above with their re-gated entries
+# (BOOLAND_AGG/BOOLOR_AGG/BITAND_AGG/BITOR_AGG); LEN/LENGTH/STARTSWITH/
+# ENDSWITH/HYPOT lib lists extended in place.
+# CALCITE library: AGGREGATE(m) — the measure-rollup function
+# (SqlLibraryOperators.java:101). It has no scalar lowering: the
+# measure layer (plans/builder.py, measure.iq tier) expands it at
+# plan-build time; a direct translate() is a documented refusal.
+_reg(
+    "AGGREGATE", "", (1,), libs=(CALCITE,), variant_of="AGGREGATE",
+    kind="aggregate",
+    note="expanded by the measure layer (plans/builder.py); translate() refuses",
+)
+
+# ---------------------------------------------------------------------
 # Aggregates (§2.4 table) — registered for name resolution + docs; the
 # Aggregate IR node takes them as SQL strings directly
 # ---------------------------------------------------------------------
@@ -907,8 +1025,10 @@ _reg("LOGICAL_AND", "bool_and({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
 _reg("LOGICAL_OR", "bool_or({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
 _reg("PERCENTILE_CONT", "percentile({0}, {1})", (2,), kind="aggregate", note="WITHIN GROUP order encoded in arg")
 _reg("PERCENTILE_DISC", "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})", (2,), kind="aggregate")
-_reg("BITAND_AGG", "bit_and({0})", (1,), libs=(ORACLE,), kind="aggregate")
-_reg("BITOR_AGG", "bit_or({0})", (1,), libs=(ORACLE,), kind="aggregate")
+# SqlLibraryOperators.java:2772,2778 gates both to {SNOWFLAKE} only
+# (was mis-gated ORACLE — Oracle spells them BIT_AND_AGG/BIT_OR_AGG)
+_reg("BITAND_AGG", "bit_and({0})", (1,), libs=(SNOWFLAKE,), kind="aggregate")
+_reg("BITOR_AGG", "bit_or({0})", (1,), libs=(SNOWFLAKE,), kind="aggregate")
 _reg(
     "JSON_OBJECTAGG",
     "to_json(map_from_entries(array_sort(collect_list(struct({0}, {1})))))",
@@ -1048,13 +1168,49 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 f"regexp_extract_all({args[0]}, {_sql_str(pat)}, {groups})"
             )
         return f"regexp_extract_all({args[0]}, {args[1]})"
-    if fn.libraries == (REDSHIFT,) and fn.name in ("DATEADD", "DATEDIFF", "DATE_PART"):
-        unit = _rs_unit(args[0], fn.name)
+    if (
+        fn.name in ("DATEADD", "DATEDIFF", "DATE_PART")
+        and not fn.template
+        and set(fn.libraries) & {REDSHIFT, MSSQL, SNOWFLAKE}
+    ):
+        # REDSHIFT keeps its corpus-pinned alias zoo; the MSSQL and
+        # SNOWFLAKE variants accept canonical unit names only (their
+        # single-letter abbreviations genuinely diverge — refuse loudly)
+        if REDSHIFT in fn.libraries:
+            unit = _rs_unit(args[0], fn.name)
+        else:
+            unit = _canon_unit(args[0], fn.name, "/".join(fn.libraries))
         if fn.name == "DATEADD":
             return f"timestampadd({unit}, {args[1]}, CAST({args[2]} AS TIMESTAMP))"
         if fn.name == "DATEDIFF":
             return _rs_datediff(unit, args[1], args[2])
         return f"date_part('{unit}', {args[1]})"
+    if fn.name == "CONCAT" and not fn.template and MSSQL in fn.libraries:
+        # null-ignoring CONCAT ({MSSQL, POSTGRESQL}): result never NULL
+        if not args:
+            raise ValueError("CONCAT requires at least 1 argument")
+        parts = ", ".join(f"coalesce(CAST({a} AS STRING), '')" for a in args)
+        return f"concat({parts})"
+    if fn.name == "CONCAT_WS" and not fn.template and MSSQL in fn.libraries:
+        # CONCAT_WS_MSSQL: 3..254 operands, NULL separator treated as ''
+        if not 3 <= len(args) <= 254:
+            raise ValueError(
+                f"CONCAT_WS (MSSQL): between 3 and 254 arguments required, "
+                f"got {len(args)}"
+            )
+        return f"concat_ws(coalesce({args[0]}, ''), {', '.join(args[1:])})"
+    if fn.name == "CONCAT_WS" and not fn.template and fn.libraries == (POSTGRESQL,):
+        # CONCAT_WS_POSTGRESQL: any-type args cast to string (NULLs
+        # skipped by Spark's native concat_ws; NULL separator → NULL)
+        if len(args) < 2:
+            raise ValueError("CONCAT_WS requires a separator and at least 1 argument")
+        parts = ", ".join(f"CAST({a} AS STRING)" for a in args[1:])
+        return f"concat_ws({args[0]}, {parts})"
+    if fn.name == "AGGREGATE" and CALCITE in fn.libraries:
+        raise ValueError(
+            "AGGREGATE(measure) is expanded at plan-build time by the "
+            "measure layer (plans/builder.py); it has no scalar lowering"
+        )
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
     if isinstance(fn.template, dict):
