@@ -403,6 +403,248 @@ CORPUS2 = [
 ]
 
 
+# Batch 3 (r9 continuation): 40 more shapes in classes batches 1-2 do
+# not cover — CTEs (single, reused, chained), window FRAMES (running
+# totals, moving averages, RANGE), FIRST/LAST_VALUE, PERCENT_RANK/
+# CUME_DIST, FULL OUTER JOIN null-key algebra, expression joins,
+# nested (two-level) correlation, scalar-subquery arithmetic,
+# conditional-DISTINCT measures, aggregate-over-UNION, pagination.
+CORPUS3 = [
+    # 78 single CTE feeding a join
+    """WITH big AS (SELECT o_custkey, SUM(o_totalprice) AS spend
+                    FROM orders GROUP BY o_custkey)
+       SELECT n_name, COUNT(*) AS whales
+       FROM big JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE spend > 1000000 GROUP BY n_name ORDER BY n_name""",
+    # 79 CTE referenced TWICE (shared subplan)
+    """WITH pr AS (SELECT o_orderpriority AS p, COUNT(*) AS n
+                   FROM orders GROUP BY o_orderpriority)
+       SELECT a.p, ROUND(a.n * 1.0 / (SELECT SUM(n) FROM pr), 6) AS share
+       FROM pr a ORDER BY a.p""",
+    # 80 chained CTEs (second references the first)
+    """WITH lvl1 AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+            lvl2 AS (SELECT n, COUNT(*) AS custs FROM lvl1 GROUP BY n)
+       SELECT n AS orders_per_cust, custs FROM lvl2 ORDER BY n""",
+    # 81 running cumulative total (ROWS UNBOUNDED PRECEDING)
+    """SELECT y, n, SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t
+       ORDER BY y""",
+    # 82 moving average with a bounded ROWS frame
+    """SELECT y, ROUND(AVG(s) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING
+                                    AND CURRENT ROW), 2) AS ma3
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                    SUM(o_totalprice) AS s
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t
+       ORDER BY y""",
+    # 83 RANGE frame over a numeric ordering
+    """SELECT n_nationkey, cnt,
+              SUM(cnt) OVER (ORDER BY n_nationkey
+                             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neigh
+       FROM (SELECT n_nationkey, COUNT(*) AS cnt
+             FROM nation JOIN customer ON c_nationkey = n_nationkey
+             GROUP BY n_nationkey) t
+       ORDER BY n_nationkey""",
+    # 84 FIRST_VALUE / LAST_VALUE with a full frame
+    """SELECT DISTINCT o_orderpriority,
+              FIRST_VALUE(o_orderkey) OVER w AS first_k,
+              LAST_VALUE(o_orderkey) OVER w AS last_k
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_orderpriority""",
+    # 85 PERCENT_RANK and CUME_DIST together
+    """SELECT n_name, ROUND(PERCENT_RANK() OVER (ORDER BY bal), 6) AS pr,
+              ROUND(CUME_DIST() OVER (ORDER BY bal), 6) AS cd
+       FROM (SELECT n_name, SUM(c_acctbal) AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name) t
+       ORDER BY n_name""",
+    # 86 two windows with DIFFERENT partitions in one SELECT
+    """SELECT o_orderkey, o_totalprice,
+              RANK() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey) AS r_status,
+              RANK() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS r_prio
+       FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey""",
+    # 87 FULL OUTER JOIN with COALESCE'd keys (null-key algebra)
+    """SELECT COALESCE(a.k, b.k) AS k, a.n AS from_f, b.n AS from_o
+       FROM (SELECT o_custkey % 7 AS k, COUNT(*) AS n FROM orders
+             WHERE o_orderstatus = 'F' GROUP BY o_custkey % 7) a
+       FULL OUTER JOIN
+            (SELECT o_custkey % 5 AS k, COUNT(*) AS n FROM orders
+             WHERE o_orderstatus = 'O' GROUP BY o_custkey % 5) b
+       ON a.k = b.k
+       ORDER BY k""",
+    # 88 join on an EXPRESSION (year equality)
+    """SELECT EXTRACT(YEAR FROM a.o_orderdate) AS y, COUNT(*) AS pairs
+       FROM orders a JOIN orders b
+         ON EXTRACT(YEAR FROM a.o_orderdate) = EXTRACT(YEAR FROM b.o_orderdate)
+        AND a.o_orderkey = b.o_orderkey
+       GROUP BY EXTRACT(YEAR FROM a.o_orderdate) ORDER BY y""",
+    # 89 COUNT(*) vs COUNT(col) over LEFT JOIN (null-counting contract)
+    """SELECT n_name, COUNT(*) AS rows_out, COUNT(c_custkey) AS matched
+       FROM nation LEFT JOIN customer
+         ON c_nationkey = n_nationkey AND c_acctbal > 9990
+       GROUP BY n_name ORDER BY n_name""",
+    # 90 conditional DISTINCT count (COUNT(DISTINCT CASE ...))
+    """SELECT COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                                  THEN o_custkey END) AS f_custs,
+              COUNT(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                  THEN o_custkey END) AS o_custs
+       FROM orders""",
+    # 91 weighted average (SUM(x*w)/SUM(w)) vs plain AVG
+    """SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg,
+              ROUND(AVG(l_extendedprice), 4) AS avg_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 92 NULLIF guard against divide-by-zero
+    """SELECT o_orderstatus,
+              ROUND(SUM(o_totalprice) /
+                    NULLIF(COUNT(*) FILTER (WHERE o_totalprice > 100000), 0), 2)
+                AS avg_big
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 93 TWO scalar subqueries compared in one predicate
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_totalprice BETWEEN (SELECT AVG(o_totalprice) FROM orders)
+                              AND (SELECT AVG(o_totalprice) * 2 FROM orders)""",
+    # 94 arithmetic ON scalar subqueries in the projection
+    """SELECT (SELECT MAX(o_totalprice) FROM orders)
+            - (SELECT MIN(o_totalprice) FROM orders) AS price_spread""",
+    # 95 nested correlation: EXISTS containing a correlated EXISTS
+    """SELECT COUNT(*) AS n FROM nation n1
+       WHERE EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_nationkey = n1.n_nationkey
+                       AND EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 500000))""",
+    # 96 NOT IN over a provably non-null subquery
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                 WHERE n_regionkey <= 1)""",
+    # 97 three-level nested derived tables
+    """SELECT AVG(per_nation) AS overall FROM (
+         SELECT rk, AVG(cnt) AS per_nation FROM (
+           SELECT n_regionkey AS rk, n_nationkey, COUNT(c_custkey) AS cnt
+           FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+           GROUP BY n_regionkey, n_nationkey) x
+         GROUP BY rk) y""",
+    # 98 latest-row-per-key via max-date equality join (no window)
+    """SELECT c.c_custkey, o.o_totalprice AS last_price
+       FROM orders o
+       JOIN (SELECT o_custkey, MAX(o_orderdate) AS d, MAX(o_orderkey) AS k
+             FROM orders GROUP BY o_custkey) m
+         ON o.o_custkey = m.o_custkey AND o.o_orderkey = m.k
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       WHERE c.c_acctbal > 9980
+       ORDER BY c.c_custkey""",
+    # 99 UNION DISTINCT of three branches
+    """SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 5
+       UNION
+       SELECT n_regionkey AS k FROM nation WHERE n_nationkey >= 20
+       UNION
+       SELECT r_regionkey AS k FROM region WHERE r_regionkey = 2
+       ORDER BY k""",
+    # 100 aggregate over a UNION ALL of two sources
+    """SELECT src, COUNT(*) AS n FROM (
+         SELECT 'cust' AS src, c_nationkey AS k FROM customer
+         UNION ALL
+         SELECT 'supp' AS src, s_nationkey AS k FROM supplier) u
+       GROUP BY src ORDER BY src""",
+    # 101 HAVING with BETWEEN over an aggregate
+    """SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+       HAVING COUNT(*) BETWEEN 14 AND 20 ORDER BY o_custkey""",
+    # 102 LIMIT/OFFSET pagination (deterministic full ordering)
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10""",
+    # 103 ORDER BY an aggregate that is NOT in the SELECT list
+    """SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+       ORDER BY SUM(o_totalprice) DESC""",
+    # 104 string MIN/MAX measures with a LIKE-filtered group
+    """SELECT o_orderstatus, MIN(o_orderpriority) AS lo, MAX(o_orderpriority) AS hi
+       FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 105 nested CASE bucketing in GROUP BY
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'S'
+                   ELSE CASE WHEN o_totalprice < 300000 THEN 'M' ELSE 'L' END
+              END AS bucket,
+              COUNT(*) AS n
+       FROM orders GROUP BY CASE WHEN o_totalprice < 100000 THEN 'S'
+                   ELSE CASE WHEN o_totalprice < 300000 THEN 'M' ELSE 'L' END END
+       ORDER BY bucket""",
+    # 106 correlated scalar subquery computing an aggregate over a JOIN
+    """SELECT r_name,
+              (SELECT COUNT(*) FROM nation JOIN customer
+                 ON c_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey) AS custs
+       FROM region ORDER BY r_name""",
+    # 107 IN-list literals + OR chain (sarg shape)
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          OR o_orderstatus = 'P' OR o_totalprice > 500000""",
+    # 108 date BETWEEN + quarter grouping
+    """SELECT EXTRACT(QUARTER FROM o_orderdate) AS q, COUNT(*) AS n
+       FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                             AND TIMESTAMP '1994-12-31 23:59:59'
+       GROUP BY EXTRACT(QUARTER FROM o_orderdate) ORDER BY q""",
+    # 109 EXISTS OR EXISTS disjunction
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_totalprice > 520000)
+          OR EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey
+                       AND n_regionkey = 4 AND c_acctbal > 9990)""",
+    # 110 AVG of a per-key window max (window inside, agg outside)
+    """SELECT ROUND(AVG(mx), 2) AS avg_peak FROM (
+         SELECT DISTINCT o_custkey,
+                MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+         FROM orders) t""",
+    # 111 self-join co-occurrence counts (pairs sharing a region)
+    """SELECT a.n_regionkey AS rk, COUNT(*) AS pairs
+       FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+       WHERE a.n_nationkey < b.n_nationkey
+       GROUP BY a.n_regionkey ORDER BY rk""",
+    # 112 standard-SQL "DISTINCT ON" emulation via tie-break join
+    """SELECT t.o_orderstatus, o.o_orderkey AS cheapest_key
+       FROM (SELECT o_orderstatus, MIN(o_totalprice) AS mn
+             FROM orders GROUP BY o_orderstatus) t
+       JOIN (SELECT o_orderstatus, o_totalprice, MIN(o_orderkey) AS o_orderkey
+             FROM orders GROUP BY o_orderstatus, o_totalprice) o
+         ON o.o_orderstatus = t.o_orderstatus AND o.o_totalprice = t.mn
+       ORDER BY t.o_orderstatus""",
+    # 113 multi-column conditional pivot + ratio of two pivoted cells
+    """SELECT n_name,
+              SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS f_amt,
+              SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) AS o_amt,
+              ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)
+                    / NULLIF(SUM(CASE WHEN o_orderstatus = 'O'
+                                      THEN o_totalprice ELSE 0 END), 0), 6) AS f_to_o
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    # 114 scalar subquery inside CASE WHEN
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > (SELECT AVG(o_totalprice) * 2.5 FROM orders)
+                   THEN 'outlier' ELSE 'normal' END AS tag
+       FROM orders WHERE o_totalprice > 530000 ORDER BY o_orderkey""",
+    # 115 dense_rank with real ties (expression with collisions)
+    """SELECT bucket, n, DENSE_RANK() OVER (ORDER BY n DESC) AS dr
+       FROM (SELECT o_custkey % 10 AS bucket, COUNT(*) AS n
+             FROM orders GROUP BY o_custkey % 10) t
+       ORDER BY bucket""",
+    # 116 anti-join via LEFT JOIN ... IS NULL (the classic spelling)
+    """SELECT COUNT(*) AS n
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       WHERE o_orderkey IS NULL""",
+    # 117 grouped aggregate compared to ungrouped scalar in HAVING
+    """SELECT c_nationkey, ROUND(AVG(c_acctbal), 2) AS nat_avg
+       FROM customer GROUP BY c_nationkey
+       HAVING AVG(c_acctbal) > (SELECT AVG(c_acctbal) FROM customer)
+       ORDER BY c_nationkey""",
+]
+
 
 @pytest.fixture(scope="module")
 def fe(spark):
@@ -418,4 +660,10 @@ def test_breadth_shape(fe, duck, i):
 @pytest.mark.parametrize("i", range(len(CORPUS2)))
 def test_breadth_shape_batch2(fe, duck, i):
     sql = CORPUS2[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS3)))
+def test_breadth_shape_batch3(fe, duck, i):
+    sql = CORPUS3[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
