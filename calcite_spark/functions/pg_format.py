@@ -134,3 +134,164 @@ def pg_datetime_format_to_spark(pattern: str) -> str:
             f"position {i} (wrap literal text in double quotes)"
         )
     return "".join(out)
+
+
+# ---------------------------------------------------------------------
+# r9: full-corpus TO_CHAR compiler. The reference runs TO_CHAR through
+# a runtime per-token formatter (util/format/postgresql/
+# PostgresqlDateTimeFormatter.java, semantics pinned by
+# PostgresqlDateTimeFormatterTest.java's 810 assertions; the corpus is
+# core/src/test/resources/pg_to_char_queries.sql). Tokens Java patterns
+# cannot render (blank-padded names, PG week numbers, Julian day,
+# century, ISO-year family, roman months, lowercase meridians) compile
+# here into composed JVM expressions; templates that ARE pure-Java
+# still take the single date_format fast path in the registry dispatch.
+# ---------------------------------------------------------------------
+
+# ISO day-of-week (Mon=1..Sun=7) and ISO week-year (year of the week's
+# Thursday) over Spark's dayofweek (Sun=1..Sat=7)
+_IDOW = "((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)"
+_ISOY = (
+    "year(date_add(CAST({x} AS DATE), "
+    "4 - ((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)))"
+)
+_ROMAN = "'I','II','III','IV','V','VI','VII','VIII','IX','X','XI','XII'"
+
+# token → Spark SQL expression template ({x} = input). Semantics and
+# padding follow PostgresqlDateTimeFormatterTest exactly: MONTH/DAY
+# blank-pad to 9; DDD/IDDD zero-pad 3; IW/CC zero-pad 2; WW/W/D/Q/J/
+# SSSS unpadded; RM unpadded; AD/BC render the era of the actual year.
+_EXPR_TOKENS: dict[str, str] = {
+    "Y,YYY": (
+        "concat(CAST(year({x}) DIV 1000 AS STRING), ',', "
+        "lpad(CAST(year({x}) % 1000 AS STRING), 3, '0'))"
+    ),
+    "YYY": "lpad(CAST(year({x}) % 1000 AS STRING), 3, '0')",
+    "Y": "CAST(year({x}) % 10 AS STRING)",
+    "IYYY": f"lpad(CAST({_ISOY} AS STRING), 4, '0')",
+    "IYY": f"lpad(CAST({_ISOY} % 1000 AS STRING), 3, '0')",
+    "IY": f"lpad(CAST({_ISOY} % 100 AS STRING), 2, '0')",
+    "IDDD": f"lpad(CAST((weekofyear({{x}}) - 1) * 7 + {_IDOW} AS STRING), 3, '0')",
+    "ID": f"CAST({_IDOW} AS STRING)",
+    "IW": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
+    "I": f"CAST({_ISOY} % 10 AS STRING)",
+    "MONTH": "rpad(upper(date_format({x}, 'MMMM')), 9, ' ')",
+    "Month": "rpad(date_format({x}, 'MMMM'), 9, ' ')",
+    "month": "rpad(lower(date_format({x}, 'MMMM')), 9, ' ')",
+    "MON": "upper(date_format({x}, 'MMM'))",
+    "mon": "lower(date_format({x}, 'MMM'))",
+    "DAY": "rpad(upper(date_format({x}, 'EEEE')), 9, ' ')",
+    "Day": "rpad(date_format({x}, 'EEEE'), 9, ' ')",
+    "day": "rpad(lower(date_format({x}, 'EEEE')), 9, ' ')",
+    "DY": "upper(date_format({x}, 'E'))",
+    "dy": "lower(date_format({x}, 'E'))",
+    "am": "lower(date_format({x}, 'a'))",
+    "pm": "lower(date_format({x}, 'a'))",
+    "A.M.": "IF(hour({x}) < 12, 'A.M.', 'P.M.')",
+    "P.M.": "IF(hour({x}) < 12, 'A.M.', 'P.M.')",
+    "a.m.": "IF(hour({x}) < 12, 'a.m.', 'p.m.')",
+    "p.m.": "IF(hour({x}) < 12, 'a.m.', 'p.m.')",
+    "AD": "IF(year({x}) >= 1, 'AD', 'BC')",
+    "BC": "IF(year({x}) >= 1, 'AD', 'BC')",
+    "ad": "IF(year({x}) >= 1, 'ad', 'bc')",
+    "bc": "IF(year({x}) >= 1, 'ad', 'bc')",
+    "A.D.": "IF(year({x}) >= 1, 'A.D.', 'B.C.')",
+    "B.C.": "IF(year({x}) >= 1, 'A.D.', 'B.C.')",
+    "a.d.": "IF(year({x}) >= 1, 'a.d.', 'b.c.')",
+    "b.c.": "IF(year({x}) >= 1, 'a.d.', 'b.c.')",
+    "SSSSS": "CAST(hour({x}) * 3600 + minute({x}) * 60 + second({x}) AS STRING)",
+    "SSSS": "CAST(hour({x}) * 3600 + minute({x}) * 60 + second({x}) AS STRING)",
+    "WW": "CAST((dayofyear({x}) - 1) DIV 7 + 1 AS STRING)",
+    "W": "CAST((day({x}) - 1) DIV 7 + 1 AS STRING)",
+    "D": "CAST(dayofweek(CAST({x} AS DATE)) AS STRING)",
+    "CC": "lpad(CAST((year({x}) + 99) DIV 100 AS STRING), 2, '0')",
+    "J": "CAST(datediff(CAST({x} AS DATE), DATE '2000-01-01') + 2451545 AS STRING)",
+    "Q": "CAST(quarter({x}) AS STRING)",
+    "RM": f"element_at(array({_ROMAN}), month({{x}}))",
+    "rm": f"lower(element_at(array({_ROMAN}), month({{x}})))",
+    # FM (no-fill) variants of the padded name/number tokens
+    "FMMONTH": "upper(date_format({x}, 'MMMM'))",
+    "FMmonth": "lower(date_format({x}, 'MMMM'))",
+    "FMDAY": "upper(date_format({x}, 'EEEE'))",
+    "FMday": "lower(date_format({x}, 'EEEE'))",
+}
+
+# longest-first over BOTH tables so e.g. IDDD wins over ID over I, and
+# MONTH over MON over MM
+_ALL_TOKENS = sorted(
+    {t for t in _EXPR_TOKENS} | {t for t, j in _TOKENS if j is not None},
+    key=len,
+    reverse=True,
+)
+_JAVA = {t: j for t, j in _TOKENS if j is not None}
+
+
+def pg_to_char_expr(x: str, template: str) -> str:
+    """Compile a PG TO_CHAR datetime template into a composed Spark SQL
+    expression: consecutive Java-renderable tokens/separators batch into
+    date_format runs; the rest become per-token JVM expressions, all
+    concat()ed. Raises ValueError for genuinely unsupported tokens
+    (TZ/OF session-zone rendering, TH/th ordinal suffixes)."""
+    frags: list[str] = []  # SQL expression fragments
+    java_buf: list[str] = []  # pending Java-pattern content
+    java_has_token = False
+
+    def flush():
+        nonlocal java_has_token
+        if not java_buf:
+            return
+        # a token-less run (separators / quoted literals) still goes
+        # through date_format — Java renders pattern literals verbatim,
+        # which sidesteps re-unescaping the buffered Java quoting
+        pat = "".join(java_buf).replace("'", "''")  # SQL-literal escaping
+        frags.append(f"date_format({x}, '{pat}')")
+        java_buf.clear()
+        java_has_token = False
+
+    i, n = 0, len(template)
+    while i < n:
+        ch = template[i]
+        if template.startswith(("TH", "th"), i) and (frags or java_buf):
+            raise ValueError(
+                "TO_CHAR template: ordinal suffix TH/th is not supported"
+            )
+        if ch == '"':
+            j = template.find('"', i + 1)
+            if j < 0:
+                raise ValueError("TO_CHAR template: unterminated quoted literal")
+            java_buf.append("'" + template[i + 1 : j].replace("'", "''") + "'")
+            i = j + 1
+            continue
+        matched = False
+        for tok in _ALL_TOKENS:
+            if template.startswith(tok, i):
+                if tok in _EXPR_TOKENS:
+                    flush()
+                    frags.append(_EXPR_TOKENS[tok].replace("{x}", x))
+                else:
+                    java_buf.append(_JAVA[tok])
+                    java_has_token = True
+                i += len(tok)
+                matched = True
+                break
+        if matched:
+            continue
+        if ch in _SEPARATORS:
+            java_buf.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            java_buf.append("''")
+            i += 1
+            continue
+        raise ValueError(
+            f"TO_CHAR template: unsupported token at position {i} "
+            f"({template[i:i + 4]!r}) — session-zone tokens (TZ/OF) and "
+            "ordinal suffixes (TH/th) have no plan-time lowering"
+        )
+    flush()
+    if not frags:
+        return "''"
+    if len(frags) == 1:
+        return frags[0]
+    return f"concat({', '.join(frags)})"

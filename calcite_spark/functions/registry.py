@@ -1114,8 +1114,18 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 "literal (PG templates are converted to Spark patterns "
                 "at plan time; a column-valued template cannot be)"
             )
-        java = pg_datetime_format_to_spark(m.group(1).replace("''", "'"))
-        return f"date_format({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+        template = m.group(1).replace("''", "'")
+        try:
+            java = pg_datetime_format_to_spark(template)
+            return f"date_format({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+        except ValueError:
+            # tokens Java patterns cannot render (padded names, PG week
+            # numbers, Julian day, ISO-year family, roman months, ...)
+            # compile into a composed JVM expression instead; genuinely
+            # unsupported tokens (TZ/OF, TH) re-raise from the compiler
+            from calcite_spark.functions.pg_format import pg_to_char_expr
+
+            return pg_to_char_expr(args[0], template)
     if fn.arity and len(args) not in fn.arity:
         raise ValueError(f"{name}: arity {len(args)} not in {fn.arity}")
     if fn.name in ("REGEXP_EXTRACT", "REGEXP_SUBSTR") and fn.libraries == (BIG_QUERY,):

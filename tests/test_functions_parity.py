@@ -155,12 +155,17 @@ def test_to_char_pg_template(spark, tmpl, expected):
 
 
 def test_to_char_pg_template_refusals():
-    """Tokens Java cannot reproduce exactly refuse loudly: PG's
-    blank-padded Month/Day, lowercase meridians, case-variant month
-    names, locale week numbers, Julian dates — and non-literal
-    templates (plan-time conversion only)."""
-    for bad in ("'Month'", "'Day'", "'am'", "'MON'", "'WW'", "'IW'",
-                "'J'", "'CC'", "'D'", "'TZ'"):
+    """r9: tokens Java patterns cannot render (blank-padded Month/Day,
+    lowercase meridians, locale week numbers, Julian dates, century)
+    now COMPILE into composed JVM expressions (pg_format.
+    pg_to_char_expr — corpus-verified in test_pg_to_char_corpus.py)
+    instead of refusing; only session-zone tokens, ordinal suffixes,
+    and non-literal templates still refuse."""
+    for now_ok in ("'Month'", "'Day'", "'am'", "'MON'", "'WW'", "'IW'",
+                   "'J'", "'CC'", "'D'"):
+        expr = translate("TO_CHAR", TO_CHAR_TS, now_ok, library="POSTGRESQL")
+        assert "date_format" in expr or "CAST" in expr or "rpad" in expr
+    for bad in ("'TZ'", "'OF'", "'DDth'"):
         with pytest.raises(ValueError):
             translate("TO_CHAR", TO_CHAR_TS, bad, library="POSTGRESQL")
     with pytest.raises(ValueError, match="literal"):

@@ -1,0 +1,150 @@
+"""Replay of the reference's PG TO_CHAR corpus
+(core/src/test/resources/pg_to_char_queries.sql — 68 queries the
+reference validates against a live PostgreSQL via
+to_char_generate_iq.py). Expected values here are derived from the
+reference's own pinned formatter semantics
+(core/src/test/java/org/apache/calcite/util/format/postgresql/
+PostgresqlDateTimeFormatterTest.java, 810 assertions): MONTH/DAY
+blank-pad to 9, DDD/IDDD zero-pad 3, IW/CC zero-pad 2, WW/W/D/Q/J/SSSS
+unpadded, RM unpadded roman numerals, AM/PM render the actual meridiem,
+BC/AD the actual era, J counts from the Julian epoch (J(2024-01-01) =
+2460311 per testJ).
+
+r9: TO_CHAR templates whose tokens Java patterns cannot render now
+compile to composed JVM expressions (pg_format.pg_to_char_expr) instead
+of refusing — this corpus is the acceptance gate for that tier.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calcite_spark.functions.registry import translate
+
+A = "TIMESTAMP '2022-06-03 12:15:48.678'"  # Friday, DOY 154, ISO wk 22
+B = "TIMESTAMP '2022-06-03 13:15:48.678'"
+C = "TIMESTAMP '2022-06-03 02:15:48.678'"
+D = "TIMESTAMP '2023-01-01 12:15:48.678'"  # Sunday, ISO year 2022
+E = "TIMESTAMP '0001-01-01 00:00:00'"      # proleptic Monday
+
+# (input, template, expected) — one row per corpus query, same order
+CORPUS = [
+    (A, "YYYY-MM-DD HH24:MI:SS.MS", "2022-06-03 12:15:48.678"),
+    (A, "HH", "12"),
+    (B, "HH12", "01"),
+    (B, "HH24", "13"),
+    (B, "MI", "15"),
+    (B, "SS", "48"),
+    (B, "MS", "678"),
+    (A, "US", "678000"),
+    (A, "FF1", "6"),
+    (A, "FF2", "67"),
+    (A, "FF3", "678"),
+    (A, "FF4", "6780"),
+    (A, "FF5", "67800"),
+    (A, "FF6", "678000"),
+    (A, "SSSS", "44148"),
+    (A, "SSSSS", "44148"),
+    (A, "AM", "PM"),
+    (A, "am", "pm"),
+    (C, "PM", "AM"),
+    (C, "pm", "am"),
+    (A, "A.M.", "P.M."),
+    (A, "a.m.", "p.m."),
+    (C, "P.M.", "A.M."),
+    (C, "p.m.", "a.m."),
+    (A, "Y,YYY", "2,022"),
+    (A, "YYYY", "2022"),
+    (A, "YYY", "022"),
+    (A, "YY", "22"),
+    (A, "Y", "2"),
+    (D, "IYYY", "2022"),
+    (D, "IYY", "022"),
+    (D, "IY", "22"),
+    (D, "I", "2"),
+    (A, "BC", "AD"),
+    (A, "bc", "ad"),
+    (A, "AD", "AD"),
+    (A, "ad", "ad"),
+    (A, "B.C.", "A.D."),
+    (A, "b.c.", "a.d."),
+    (A, "A.D.", "A.D."),
+    (A, "a.d.", "a.d."),
+    (A, "MONTH", "JUNE     "),
+    (A, "Month", "June     "),
+    (A, "month", "june     "),
+    (A, "MON", "JUN"),
+    (A, "Mon", "Jun"),
+    (A, "mon", "jun"),
+    (A, "DAY", "FRIDAY   "),
+    (A, "Day", "Friday   "),
+    (A, "day", "friday   "),
+    (A, "DY", "FRI"),
+    (E, "DY", "MON"),
+    (A, "Dy", "Fri"),
+    (A, "dy", "fri"),
+    (A, "DDD", "154"),
+    (A, "IDDD", "152"),
+    (A, "DD", "03"),
+    (A, "D", "6"),
+    (A, "ID", "5"),
+    (A, "W", "1"),
+    (A, "WW", "22"),
+    (B, "IW", "22"),
+    (A, "CC", "21"),
+    (A, "J", "2459734"),
+    (B, "Q", "2"),
+    (B, "RM", "VI"),
+    (B, "rm", "vi"),
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS)))
+def test_pg_to_char_corpus(spark, i):
+    arg, template, expected = CORPUS[i]
+    expr = translate("TO_CHAR", arg, f"'{template}'")
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert got == expected, (template, expr, got, expected)
+
+
+def test_composed_template_mixing_tiers(spark):
+    """A template mixing Java-renderable runs, expression tokens, and a
+    quoted literal composes correctly."""
+    expr = translate("TO_CHAR", A, "'\"week \"IW\" of \"YYYY (Q)'")
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert got == "week 22 of 2022 (2)"
+
+
+def test_reference_formatter_pinned_edges(spark):
+    """Extra edges pinned straight from PostgresqlDateTimeFormatterTest:
+    Y,YYY zero-pads the post-comma group (year 100 -> 0,100), WW/W are
+    UNpadded, CC zero-pads to 2, J matches testJ's epoch anchor."""
+    cases = [
+        ("TIMESTAMP '0100-06-01 00:00:00'", "Y,YYY", "0,100"),
+        ("TIMESTAMP '2024-01-01 00:00:00'", "WW", "1"),
+        ("TIMESTAMP '2024-01-01 00:00:00'", "W", "1"),
+        ("TIMESTAMP '0001-06-01 00:00:00'", "CC", "01"),
+        ("TIMESTAMP '2024-01-01 00:00:00'", "J", "2460311"),
+        ("TIMESTAMP '2024-01-01 00:00:00'", "SSSS", "0"),
+        ("TIMESTAMP '2024-01-01 23:59:59'", "SSSSS", "86399"),
+        ("TIMESTAMP '2019-12-29 00:00:00'", "IYYY", "2019"),  # testIYYY date1
+        ("TIMESTAMP '2019-12-30 00:00:00'", "IYYY", "2020"),  # testIYYY date2
+        ("TIMESTAMP '2019-12-29 00:00:00'", "IDDD", "364"),   # testIDDD date1
+        ("TIMESTAMP '2019-12-30 00:00:00'", "IDDD", "001"),   # testIDDD date2
+        ("TIMESTAMP '2024-01-01 00:00:00'", "RM", "I"),
+        ("TIMESTAMP '2024-08-01 00:00:00'", "RM", "VIII"),
+        ("TIMESTAMP '2024-12-01 00:00:00'", "rm", "xii"),
+    ]
+    for arg, template, expected in cases:
+        expr = translate("TO_CHAR", arg, f"'{template}'")
+        got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        assert got == expected, (template, expr, got, expected)
+
+
+def test_unsupported_tokens_still_refuse():
+    for template in ("TZ", "OF", "DDTH"):
+        with pytest.raises(ValueError):
+            translate("TO_CHAR", A, f"'{template}'")
+    # non-literal template still refuses (plan-time conversion contract)
+    with pytest.raises(ValueError, match="string literal"):
+        translate("TO_CHAR", A, "some_col")
