@@ -983,6 +983,20 @@ _reg(
 # Snowflake aggregate aliases land above with their re-gated entries
 # (BOOLAND_AGG/BOOLOR_AGG/BITAND_AGG/BITOR_AGG); LEN/LENGTH/STARTSWITH/
 # ENDSWITH/HYPOT lib lists extended in place.
+# TO_DATE/TO_TIMESTAMP with a PG/Oracle template (TO_DATE
+# {ORACLE, REDSHIFT, HIVE} + TO_DATE_PG; TO_TIMESTAMP {ORACLE,
+# REDSHIFT} + TO_TIMESTAMP_PG — SqlLibraryOperators.java:2015-2046):
+# the base passthrough hands the template to Spark's JAVA-pattern
+# parser, where 'YYYY' (week-based year) is banned and 'DD' means
+# day-of-YEAR — loud breakage at best, silently wrong dates at worst.
+# These variants convert the literal template at plan time with the
+# same token map TO_CHAR uses (rendering and parsing share Java
+# letters); library-less calls keep the Spark-native passthrough.
+# Divergences (documented, tested): parse failure raises under Spark
+# ANSI (matching PG) but yields NULL under non-ANSI sessions; month/
+# day NAMES parse exact-case.
+_reg("TO_DATE", "", (2,), libs=(POSTGRESQL, ORACLE, REDSHIFT, HIVE), variant_of="TO_DATE")
+_reg("TO_TIMESTAMP", "", (2,), libs=(POSTGRESQL, ORACLE, REDSHIFT), variant_of="TO_TIMESTAMP")
 # CALCITE library: AGGREGATE(m) — the measure-rollup function
 # (SqlLibraryOperators.java:101). It has no scalar lowering: the
 # measure layer (plans/builder.py, measure.iq tier) expands it at
@@ -1221,6 +1235,27 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
             "AGGREGATE(measure) is expanded at plan-build time by the "
             "measure layer (plans/builder.py); it has no scalar lowering"
         )
+    if (
+        fn.name in ("TO_DATE", "TO_TIMESTAMP")
+        and not fn.template
+        and POSTGRESQL in fn.libraries
+    ):
+        import re as _re
+
+        from calcite_spark.functions.pg_format import (
+            pg_datetime_format_to_spark,
+        )
+
+        m = _re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
+        if not m:
+            raise ValueError(
+                f"{fn.name}: the template must be a string literal "
+                "(PG/Oracle templates are converted to Spark parse "
+                "patterns at plan time; a column-valued template cannot be)"
+            )
+        java = pg_datetime_format_to_spark(m.group(1).replace("''", "'"))
+        spark_fn = "to_date" if fn.name == "TO_DATE" else "to_timestamp"
+        return f"{spark_fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
     if isinstance(fn.template, dict):

@@ -172,6 +172,43 @@ def test_to_char_pg_template_refusals():
         translate("TO_CHAR", TO_CHAR_TS, "some_col", library="POSTGRESQL")
 
 
+def test_to_date_to_timestamp_pg_template_parse(spark):
+    """r9: TO_DATE/TO_TIMESTAMP under PG/Oracle/Redshift/Hive convert
+    the template at plan time (SqlLibraryOperators.java:2015-2046 —
+    TO_DATE_PG / TO_TIMESTAMP_PG). The old passthrough handed the PG
+    template to Spark's Java-pattern parser, where 'YYYY' is the banned
+    week-based year and 'DD' means day-of-YEAR."""
+    for lib in ("POSTGRESQL", "ORACLE", "REDSHIFT", "HIVE"):
+        expr = translate("TO_DATE", "'2022-06-03'", "'YYYY-MM-DD'", library=lib)
+        assert expr == "to_date('2022-06-03', 'yyyy-MM-dd')"
+        got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        assert str(got) == "2022-06-03"
+    expr = translate(
+        "TO_TIMESTAMP", "'03/06/2022 13:15:48'", "'DD/MM/YYYY HH24:MI:SS'",
+        library="POSTGRESQL",
+    )
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert str(got) == "2022-06-03 13:15:48"
+    # the raw passthrough these replace fails outright on PG templates
+    # (Spark bans the 'Y' week-based-year pattern letter)
+    with pytest.raises(Exception):
+        spark.sql("SELECT to_date('2022-06-03', 'YYYY-MM-DD')").collect()
+    # library-less calls keep Spark-native Java patterns
+    assert (
+        translate("TO_DATE", "x", "'yyyy-MM-dd'")
+        == "to_date(x, 'yyyy-MM-dd')"
+    )
+    # non-literal template refuses (plan-time conversion contract)
+    with pytest.raises(ValueError, match="literal"):
+        translate("TO_DATE", "x", "fmt_col", library="POSTGRESQL")
+    # malformed input RAISES under Spark ANSI (the session default),
+    # matching PG's error behavior; non-ANSI sessions would yield NULL
+    # instead (documented divergence, not silent-wrong)
+    expr = translate("TO_DATE", "'not-a-date'", "'YYYY-MM-DD'", library="POSTGRESQL")
+    with pytest.raises(Exception, match="CANNOT_PARSE|not-a-date"):
+        spark.sql(f"SELECT {expr} AS v").collect()
+
+
 # -- r7: PG string_to_array (babel postgresql.iq tier) ----------------
 # Fixtures replay the reference's committed behavior: 3-arg nullstr
 # maps matching elements to NULL, '' delimiter keeps the whole string,
