@@ -469,10 +469,27 @@ _reg("DATE_TRUNC", "date_trunc({0}, {1})", (2,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("DATE_PART", "date_part({0}, {1})", (2,), libs=(POSTGRESQL,))
 _reg("MONTHNAME", "date_format({0}, 'MMMM')", (1,), libs=(MYSQL,))
 _reg("DAYNAME", "date_format({0}, 'EEEE')", (1,), libs=(MYSQL,))
-_reg("FORMAT_DATE", "date_format({1}, {0})", (2,), libs=(BIG_QUERY,))
-_reg("FORMAT_TIMESTAMP", "date_format({1}, {0})", (2,), libs=(BIG_QUERY,))
-_reg("PARSE_DATE", "to_date({1}, {0})", (2,), libs=(BIG_QUERY,))
-_reg("PARSE_TIMESTAMP", "to_timestamp({1}, {0})", (2,), libs=(BIG_QUERY,))
+# BQ FORMAT_*/PARSE_* take %-style format elements (FormatModels.java
+# BIG_QUERY map; big-query.iq:4289-4490) — converted at plan time by
+# functions/bq_format.py in the translate() dispatch (the old
+# "date_format({1}, {0})" templates fed %-codes to Spark's JAVA
+# pattern reader: '%m' formatted the MINUTE). FORMAT_TIMESTAMP's
+# optional 3rd arg is a timezone; only literal UTC is accepted (the
+# engine's session zone), anything else refuses loudly.
+_reg("FORMAT_DATE", "", (2,), libs=(BIG_QUERY,))
+_reg("FORMAT_DATETIME", "", (2,), libs=(BIG_QUERY,))
+_reg("FORMAT_TIMESTAMP", "", (2, 3), libs=(BIG_QUERY,))
+_reg("PARSE_DATE", "", (2,), libs=(BIG_QUERY,))
+_reg("PARSE_DATETIME", "", (2,), libs=(BIG_QUERY,))
+_reg("PARSE_TIMESTAMP", "", (2, 3), libs=(BIG_QUERY,))
+_reg(
+    "FORMAT_TIME", "", (2,), libs=(BIG_QUERY,),
+    note="TIME type unsupported (SURVEY §1.2) — translate() refuses loudly",
+)
+_reg(
+    "PARSE_TIME", "", (2,), libs=(BIG_QUERY,),
+    note="TIME type unsupported (SURVEY §1.2) — translate() refuses loudly",
+)
 _reg("UNIX_SECONDS", "unix_seconds({0})", (1,), libs=(BIG_QUERY,))
 _reg("UNIX_MILLIS", "unix_millis({0})", (1,), libs=(BIG_QUERY,))
 _reg("UNIX_MICROS", "unix_micros({0})", (1,), libs=(BIG_QUERY,))
@@ -1235,6 +1252,43 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
             "AGGREGATE(measure) is expanded at plan-build time by the "
             "measure layer (plans/builder.py); it has no scalar lowering"
         )
+    if fn.name in ("FORMAT_TIME", "PARSE_TIME"):
+        raise ValueError(
+            f"{fn.name}: no TIME type in Spark (SURVEY §1.2) — "
+            "FORMAT_DATETIME/PARSE_DATETIME cover the timestamp forms"
+        )
+    if fn.name in (
+        "FORMAT_DATE", "FORMAT_DATETIME", "FORMAT_TIMESTAMP",
+        "PARSE_DATE", "PARSE_DATETIME", "PARSE_TIMESTAMP",
+    ) and not fn.template:
+        import re as _re
+
+        from calcite_spark.functions.bq_format import (
+            bq_format_expr,
+            bq_parse_pattern,
+        )
+
+        if len(args) == 3:
+            tz = args[2].strip().strip("'\"")
+            if tz.upper() != "UTC":
+                raise ValueError(
+                    f"{fn.name}: only the literal 'UTC' timezone operand "
+                    "is supported (the engine session runs in UTC; other "
+                    "zones would silently shift values)"
+                )
+        m = _re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[0])
+        if not m:
+            raise ValueError(
+                f"{fn.name}: the format string must be a literal "
+                "(BQ %-elements are converted to Spark patterns at plan "
+                "time; a column-valued format cannot be)"
+            )
+        fmt = m.group(1).replace("''", "'")
+        if fn.name.startswith("FORMAT_"):
+            return bq_format_expr(args[1], fmt)
+        java = bq_parse_pattern(fmt).replace("'", "''")
+        spark_fn = "to_date" if fn.name == "PARSE_DATE" else "to_timestamp"
+        return f"{spark_fn}({args[1]}, '{java}')"
     if (
         fn.name in ("TO_DATE", "TO_TIMESTAMP")
         and not fn.template

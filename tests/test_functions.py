@@ -59,7 +59,7 @@ CASES = [
     ("LAST_DAY", ["DATE '2024-02-05'"], "last_day(DATE '2024-02-05')"),
     ("UNIX_SECONDS", ["TIMESTAMP '2024-01-01 00:00:00'"], None),
     ("TIMESTAMP_SECONDS", ["1704067200"], None),
-    ("FORMAT_DATE", ["'yyyy-MM'", "DATE '2024-03-15'"], None),
+    ("FORMAT_DATE", ["'%Y-%m'", "DATE '2024-03-15'"], "strftime(DATE '2024-03-15', '%Y-%m')"),
     ("CARDINALITY", ["array(1, 2, 3)"], "len([1, 2, 3])"),
     ("ARRAY_LENGTH", ["array(1, 2)"], "array_length([1, 2])"),
     ("ARRAY_TO_STRING", ["array('a', 'b')", "','"], "array_to_string(['a', 'b'], ',')"),
