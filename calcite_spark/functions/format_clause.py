@@ -5,15 +5,31 @@ semantics spec core/src/test/resources/sql/cast-with-format.iq).
 Spark has no FORMAT clause; the frontend lowers
   CAST(x AS TIMESTAMP FORMAT 'DD-YYYY-MM') -> to_timestamp(x, 'dd-yyyy-MM')
   CAST(ts AS VARCHAR  FORMAT 'YYYY/MM/DD') -> date_format(ts, 'yyyy/MM/dd')
-by translating SQL/Oracle format elements into java.time patterns —
-pure JVM datetime functions, no Python anywhere.
+by translating SQL/Oracle format elements into java.time patterns.
 
-Refuse-over-wrong: elements whose semantics Spark's pattern language
-cannot reproduce exactly (FX, TZH/TZM offsets split across the string,
-RR 2-digit century inference, spelled-out numbers) raise instead of
-emitting an approximation. The iq's separator-insensitive parse
-("--2017----05-01-" vs '-YYYY--MM---DD---') is Oracle leniency that
-java.time does not offer; strict-separator inputs behave identically.
+r9 upgrade (cast-with-format.iq parity):
+  * NAME elements are CASE-SENSITIVE and each case renders its own way
+    — 'DAY Day day DY Dy dy' renders "WEDNESDAY Wednesday wednesday
+    WED Wed wed" (iq:1195-1224, unpadded, unlike PG TO_CHAR's 9-char
+    blank pad). The old case-insensitive matcher rendered "Wednesday"
+    for all six — a silent wrong value.
+  * Render-direction tokens Java patterns cannot produce (upper/lower
+    names, SSSSS seconds-past-midnight, dotted meridians, D, YYY,
+    ISO-week family) compile into composed JVM expressions, same
+    technique as pg_format.pg_to_char_expr.
+  * Month-name PARSE is case-insensitive in the reference (iq:413-465
+    parses 'APRIL', 'march'); Spark's formatter is exact-case, so the
+    input is initcap()'d when the pattern contains month names and no
+    case-sensitive quoted literal would be disturbed.
+  * FX (exact matching) is a no-op — java.time is already strict; FM
+    maps the NEXT numeric element to its unpadded single-letter form.
+
+Refuse-over-wrong still holds for the rest: weekday-name PARSE (Spark
+rejects E letters in parse), TZH/TZM split offsets, RR century
+inference, W/WW (the reference's own iq keeps their scenarios behind
+the disabled CALCITE-6375 flag and the Sunday-first semantics are
+unpinned), and lowercase-meridian parse all raise instead of
+approximating.
 """
 
 from __future__ import annotations
@@ -23,95 +39,178 @@ class UnsupportedFormatElement(Exception):
     """A FORMAT element with no exact java.time equivalent."""
 
 
-# SQL/Oracle element -> java.time pattern. Ordered longest-first so the
-# greedy tokenizer matches MONTH before MON before MM.
-_ELEMENTS = [
-    ("YYYY", "yyyy"),
-    ("YYY", None),  # 3-digit year: no java.time form
-    ("YY", "yy"),
-    ("RRRR", "yyyy"),
-    ("RR", None),  # Oracle century-inference rules differ from yy
-    ("MONTH", "MMMM"),
-    ("MON", "MMM"),
-    ("MM", "MM"),
-    ("DDD", "DDD"),
-    ("DD", "dd"),
-    ("DY", "EEE"),
-    ("DAY", "EEEE"),
-    ("D", None),  # Oracle day-of-week 1-7 locale-dependent
-    ("HH24", "HH"),
-    ("HH12", "hh"),
-    ("HH", "hh"),
-    ("MI", "mm"),
-    ("SSSSS", None),  # seconds-past-midnight: no single pattern letter
-    ("SS", "ss"),
-    ("FF1", "S"),
-    ("FF2", "SS"),
-    ("FF3", "SSS"),
-    ("FF4", "SSSS"),
-    ("FF5", "SSSSS"),
-    ("FF6", "SSSSSS"),
-    ("FF7", "SSSSSSS"),
-    ("FF8", "SSSSSSSS"),
-    ("FF9", "SSSSSSSSS"),
-    ("FF", "SSSSSS"),
-    ("A.M.", None),  # dotted meridian renders 'A.M.' — no pattern form
-    ("P.M.", None),
-    ("AM", "a"),
-    ("PM", "a"),
-    ("TZH", None),  # offset split into separate H/M elements
-    ("TZM", None),
-    ("TZD", None),
-    ("FX", None),  # exact-match modifier — java.time is already strict
-    ("Q", "Q"),
-    ("WW", None),  # Oracle week-of-year (1st day anchored) != 'ww'
-    ("W", None),
+_IDOW = "((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)"
+_ISOY = (
+    "year(date_add(CAST({x} AS DATE), "
+    "4 - ((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)))"
+)
+
+# CASE-SENSITIVE name/meridian elements, matched before the numeric
+# table. Each entry: (java_render, java_parse, expr_render) — java_*
+# None means that direction needs expr_render (render) or is refused
+# (parse). Names render UNPADDED (FormatElementEnum semantics;
+# iq:1195-1224) — PG TO_CHAR's 9-char blank pad does NOT apply here.
+_NAME_ELEMENTS: dict[str, tuple] = {
+    "MONTH": (None, "MMMM", "upper(date_format({x}, 'MMMM'))"),
+    "Month": ("MMMM", "MMMM", None),
+    "month": (None, "MMMM", "lower(date_format({x}, 'MMMM'))"),
+    "MON": (None, "MMM", "upper(date_format({x}, 'MMM'))"),
+    "Mon": ("MMM", "MMM", None),
+    "mon": (None, "MMM", "lower(date_format({x}, 'MMM'))"),
+    "DAY": (None, None, "upper(date_format({x}, 'EEEE'))"),
+    "Day": ("EEEE", None, None),
+    "day": (None, None, "lower(date_format({x}, 'EEEE'))"),
+    "DY": (None, None, "upper(date_format({x}, 'E'))"),
+    "Dy": ("E", None, None),
+    "dy": (None, None, "lower(date_format({x}, 'E'))"),
+    "A.M.": (None, None, "IF(hour({x}) < 12, 'A.M.', 'P.M.')"),
+    "P.M.": (None, None, "IF(hour({x}) < 12, 'A.M.', 'P.M.')"),
+    "a.m.": (None, None, "IF(hour({x}) < 12, 'a.m.', 'p.m.')"),
+    "p.m.": (None, None, "IF(hour({x}) < 12, 'a.m.', 'p.m.')"),
+    "AM": ("a", "a", None),
+    "PM": ("a", "a", None),
+    "am": (None, None, "lower(date_format({x}, 'a'))"),
+    "pm": (None, None, "lower(date_format({x}, 'a'))"),
+}
+_MONTH_NAME_PARSE = {"MONTH", "Month", "month", "MON", "Mon", "mon"}
+
+# case-INSENSITIVE elements (matched on the uppercased template —
+# 'yyyy-mm-dd sssss' is valid in the iq). Entries as above; FM column
+# is the unpadded java form the FM modifier switches to.
+_ELEMENTS: list[tuple] = [
+    # el, java_render, java_parse, expr_render, fm_java
+    ("YYYY", "yyyy", "yyyy", None, "y"),
+    ("YYY", None, None, "lpad(CAST(year({x}) % 1000 AS STRING), 3, '0')", None),
+    ("YY", "yy", "yy", None, None),
+    ("Y", None, None, "CAST(year({x}) % 10 AS STRING)", None),
+    ("RRRR", "yyyy", "yyyy", None, None),
+    ("RR", "yy", None, None, None),  # parse = Oracle century inference
+    ("IYYY", None, None, f"lpad(CAST({_ISOY} AS STRING), 4, '0')", None),
+    ("IYY", None, None, f"lpad(CAST({_ISOY} % 1000 AS STRING), 3, '0')", None),
+    ("IY", None, None, f"lpad(CAST({_ISOY} % 100 AS STRING), 2, '0')", None),
+    ("IW", None, None, "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')", None),
+    # ID zero-pads to 2 here (iq:2081-2084 pins '0001/01/01'); the PG
+    # model's ID is a single digit — correctly divergent per model
+    ("ID", None, None, f"lpad(CAST({_IDOW} AS STRING), 2, '0')", None),
+    ("I", None, None, f"CAST({_ISOY} % 10 AS STRING)", None),
+    ("MM", "MM", "MM", None, "M"),
+    ("DDD", "DDD", "DDD", None, None),
+    ("DD", "dd", "dd", None, "d"),
+    ("D", None, None, "CAST(dayofweek(CAST({x} AS DATE)) AS STRING)", None),
+    ("HH24", "HH", "HH", None, "H"),
+    ("HH12", "hh", "hh", None, "h"),
+    ("HH", "hh", "hh", None, "h"),
+    ("MI", "mm", "mm", None, "m"),
+    ("SSSSS", None, None,
+     "CAST(hour({x}) * 3600 + minute({x}) * 60 + second({x}) AS STRING)", None),
+    ("SS", "ss", "ss", None, "s"),
+    ("FF1", "S", "S", None, None),
+    ("FF2", "SS", "SS", None, None),
+    ("FF3", "SSS", "SSS", None, None),
+    ("FF4", "SSSS", "SSSS", None, None),
+    ("FF5", "SSSSS", "SSSSS", None, None),
+    ("FF6", "SSSSSS", "SSSSSS", None, None),
+    ("FF7", "SSSSSSS", "SSSSSSS", None, None),
+    ("FF8", "SSSSSSSS", "SSSSSSSS", None, None),
+    ("FF9", "SSSSSSSSS", "SSSSSSSSS", None, None),
+    ("FF", "SSSSSS", "SSSSSS", None, None),
+    ("TZH", None, None, None, None),  # split zone offsets: refused
+    ("TZM", None, None, None, None),
+    ("TZD", None, None, None, None),
+    ("Q", "Q", "Q", None, None),
+    ("WW", None, None, None, None),  # Sunday-first semantics unpinned
+    ("W", None, None, None, None),   # (reference iq keeps both disabled)
 ]
 
 _SEPARATORS = set("-/.,;: ")
 
 
-def sql_format_to_spark(fmt: str) -> str:
-    """Translate a FORMAT clause string into a Spark datetime pattern.
-    Raises UnsupportedFormatElement on anything outside the supported
-    element set (including bare literal letters, which Oracle would
-    require double-quoting anyway)."""
-    out = []
-    i = 0
-    n = len(fmt)
+def _tokenize(fmt: str):
+    """Yield ('el', name_or_upper_element, fm_active) and
+    ('lit', text) tokens. FX is dropped (java.time is already exact);
+    FM arms the next element."""
+    i, n = 0, len(fmt)
+    fm = False
     while i < n:
         ch = fmt[i]
         if ch in _SEPARATORS:
-            out.append(ch)
+            yield ("lit", ch)
             i += 1
             continue
-        if ch == '"':  # quoted literal text -> java.time 'literal'
+        if ch == '"':
             j = fmt.find('"', i + 1)
             if j < 0:
                 raise UnsupportedFormatElement(f"unterminated quote in {fmt!r}")
-            lit = fmt[i + 1 : j].replace("'", "''")
-            out.append(f"'{lit}'")
+            yield ("lit", fmt[i + 1 : j])
             i = j + 1
             continue
-        for el, repl in _ELEMENTS:
-            if fmt.upper().startswith(el, i):
-                if repl is None:
-                    raise UnsupportedFormatElement(
-                        f"FORMAT element {el!r} has no exact Spark pattern "
-                        f"(refused rather than approximated)"
-                    )
-                out.append(repl)
+        matched = False
+        for el in _NAME_ELEMENTS:
+            if fmt.startswith(el, i):
+                yield ("el", el, fm)
+                fm = False
                 i += len(el)
+                matched = True
                 break
-        else:
-            if ch == "T" or ch == "Z":
-                # common ISO-8601 literals (cast-with-format.iq:212)
-                out.append(f"'{ch}'")
-                i += 1
-            else:
-                raise UnsupportedFormatElement(
-                    f"unrecognized FORMAT element at {fmt[i:]!r}"
-                )
+        if matched:
+            continue
+        up = fmt.upper()
+        if up.startswith("FX", i):
+            i += 2
+            continue
+        if up.startswith("FM", i):
+            fm = True
+            i += 2
+            continue
+        for el, *_ in _ELEMENTS:
+            if up.startswith(el, i):
+                yield ("el", el, fm)
+                fm = False
+                i += len(el)
+                matched = True
+                break
+        if matched:
+            continue
+        if ch in ("T", "Z"):
+            # common ISO-8601 literals (cast-with-format.iq:212)
+            yield ("lit", ch)
+            i += 1
+            continue
+        raise UnsupportedFormatElement(f"unrecognized FORMAT element at {fmt[i:]!r}")
+
+
+_CI = {el: (jr, jp, er, fmj) for el, jr, jp, er, fmj in _ELEMENTS}
+
+
+def _lookup(el: str):
+    """-> (java_render, java_parse, expr_render, fm_java)."""
+    if el in _NAME_ELEMENTS:
+        jr, jp, er = _NAME_ELEMENTS[el]
+        return jr, jp, er, None
+    return _CI[el]
+
+
+def _java_lit(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'" if text else ""
+
+
+def sql_format_to_spark(fmt: str) -> str:
+    """Translate a FORMAT clause string into a single Spark datetime
+    PARSE pattern (the string→datetime direction). Raises
+    UnsupportedFormatElement for elements Spark cannot parse."""
+    out = []
+    for tok in _tokenize(fmt):
+        if tok[0] == "lit":
+            out.append(tok[1] if tok[1] in _SEPARATORS else _java_lit(tok[1]))
+            continue
+        _, el, fm = tok
+        jr, jp, er, fmj = _lookup(el)
+        if jp is None:
+            raise UnsupportedFormatElement(
+                f"FORMAT element {el!r} has no exact Spark parse pattern "
+                "(refused rather than approximated)"
+            )
+        out.append(fmj if fm and fmj else jp)
     return "".join(out)
 
 
@@ -119,19 +218,67 @@ _TO_STRING_TYPES = {"VARCHAR", "CHAR", "STRING", "TEXT"}
 _TO_DATETIME = {"TIMESTAMP": "to_timestamp", "DATE": "to_date"}
 
 
+def _render_expr(expr: str, fmt: str) -> str:
+    """datetime→string: compose date_format runs + expression tokens."""
+    frags: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if buf:
+            pat = "".join(buf).replace("'", "''")
+            frags.append(f"date_format({expr}, '{pat}')")
+            buf.clear()
+
+    for tok in _tokenize(fmt):
+        if tok[0] == "lit":
+            buf.append(tok[1] if tok[1] in _SEPARATORS else _java_lit(tok[1]))
+            continue
+        _, el, fm = tok
+        jr, jp, er, fmj = _lookup(el)
+        if fm and fmj:
+            buf.append(fmj)
+        elif jr is not None:
+            buf.append(jr)
+        elif er is not None:
+            flush()
+            frags.append(er.replace("{x}", expr))
+        else:
+            raise UnsupportedFormatElement(
+                f"FORMAT element {el!r} has no exact Spark rendering "
+                "(refused rather than approximated)"
+            )
+    flush()
+    if not frags:
+        return "''"
+    if len(frags) == 1:
+        return frags[0]
+    return f"concat({', '.join(frags)})"
+
+
 def lower_cast_format(expr: str, target_type: str, fmt: str) -> str:
     """CAST(expr AS target FORMAT fmt) -> Spark SQL. Datetime targets
     parse strings; string targets render datetimes; anything else
     (numeric format models '999V99' etc.) is refused."""
     t = target_type.strip().upper().split("(")[0]
-    pattern = sql_format_to_spark(fmt)
-    # the pattern itself becomes a SQL string literal: embedded quotes
-    # (java.time 'literal' text) must double for the SQL parser
-    lit = pattern.replace("'", "''")
     if t in _TO_DATETIME:
-        return f"{_TO_DATETIME[t]}({expr}, '{lit}')"
+        pattern = sql_format_to_spark(fmt)
+        lit = pattern.replace("'", "''")
+        src = expr
+        toks = list(_tokenize(fmt))
+        has_name = any(tok[0] == "el" and tok[1] in _MONTH_NAME_PARSE for tok in toks)
+        has_alpha_lit = any(
+            tok[0] == "lit" and any(c.isalpha() for c in tok[1]) for tok in toks
+        )
+        if has_name and not has_alpha_lit:
+            # the reference parses month names case-insensitively
+            # ('APRIL', 'march' — iq:413-465); Spark's formatter is
+            # exact-case, so normalize the input. Skipped when the
+            # pattern carries an alphabetic quoted literal that
+            # initcap would re-case.
+            src = f"initcap({expr})"
+        return f"{_TO_DATETIME[t]}({src}, '{lit}')"
     if t in _TO_STRING_TYPES:
-        return f"date_format({expr}, '{lit}')"
+        return _render_expr(expr, fmt)
     raise UnsupportedFormatElement(
         f"CAST FORMAT to {target_type!r} not supported (datetime/string only)"
     )

@@ -250,17 +250,76 @@ def test_cast_format_on_table_column(fe, duck):
 
 def test_cast_format_refuses_inexact_elements(fe):
     """Refuse-over-wrong: elements java.time cannot reproduce exactly
-    (SSSSS seconds-past-midnight, RR century inference, TZH offsets)
-    raise instead of emitting an approximation."""
+    raise instead of emitting an approximation. r9 narrowed the refusal
+    set: SSSSS/RR/D/name-case variants now RENDER via composed
+    expressions (cast-with-format.iq:1195-1224,1378 — see
+    test_cast_format_iq_parity), so the remaining refusals are zone
+    offsets, W/WW (semantics unpinned, reference keeps them behind the
+    disabled CALCITE-6375 flag), weekday-name parse, and numerics."""
     from calcite_spark.functions.format_clause import UnsupportedFormatElement
     import pytest as _pytest
 
-    for fmt in ("SSSSS", "RR-MM-DD", "HH24:MI TZH:TZM"):
+    # render-side refusals
+    for fmt in ("HH24:MI TZH:TZM", "YYYY-WW-DD", "YYYY-W-DD"):
         with _pytest.raises(UnsupportedFormatElement):
             fe.parse(f"SELECT CAST(x AS VARCHAR FORMAT '{fmt}') FROM t")
+    # parse-side refusals (render-only expressions can't run backwards;
+    # Spark's parser rejects weekday-name letters)
+    for fmt in ("SSSSS", "RR-MM-DD", "YYYY-DAY-MM", "IYYY/IW/ID"):
+        with _pytest.raises(UnsupportedFormatElement):
+            fe.parse(f"SELECT CAST(x AS TIMESTAMP FORMAT '{fmt}') FROM t")
     # numeric format models refuse too
     with _pytest.raises(UnsupportedFormatElement):
         fe.parse("SELECT CAST(x AS DECIMAL(9,2) FORMAT '999.99') FROM t")
+
+
+def test_cast_format_iq_parity(fe):
+    """cast-with-format.iq value parity (r9): name-case rendering,
+    SSSSS, the big composite row, case-insensitive month-name parse,
+    dotted-meridian case, ISO-week rendering. Line cites are the
+    reference iq; the DAY-case row was a silent wrong value before r9
+    (the case-insensitive matcher rendered 'Wednesday' for all six)."""
+    one = lambda sql: fe.sql(sql).collect()[0][0]
+    # iq:1195-1199
+    got = one("SELECT CAST(DATE '2019-11-13' AS VARCHAR FORMAT 'DAY Day day DY Dy dy') AS s")
+    assert got == "WEDNESDAY Wednesday wednesday WED Wed wed"
+    # iq:152-156 (composite render incl. A.M./FF9/DDD/SSSSS)
+    got = one(
+        "SELECT CAST(CAST('2012-11-04 13:02:59.123456' AS TIMESTAMP) AS VARCHAR "
+        "FORMAT 'DD-MM-YYYY MI:HH12:SS A.M. FF9 DDD SSSSS HH12 HH24') AS s"
+    )
+    assert got == "04-11-2012 02:01:59 P.M. 123456000 309 46979 01 13"
+    # iq:413-465 — month-name parse is case-insensitive
+    for lit, fmt, want in [
+        ("2010-February-11", "YYYY-MONTH-DD", "2010-02-11"),
+        ("2010-march-12", "YYYY-MONTH-DD", "2010-03-12"),
+        ("APRIL 13 2010", "MONTH DD YYYY", "2010-04-13"),
+        ("2010 14 NOVEMBER", "YYYY DD month", "2010-11-14"),
+    ]:
+        got = one(f"SELECT CAST('{lit}' AS DATE FORMAT '{fmt}') AS d")
+        assert str(got) == want, (lit, fmt, got)
+    # iq:1570-1591 — meridian case follows the ELEMENT's case
+    got = one(
+        "SELECT CAST(CAST('2019-01-01 00:15:10' AS TIMESTAMP) AS VARCHAR "
+        "FORMAT 'HH12 P.M.') AS s"
+    )
+    assert got == "12 A.M."
+    got = one(
+        "SELECT CAST(CAST('2019-01-01 13:15:10' AS TIMESTAMP) AS VARCHAR "
+        "FORMAT 'HH12 a.m.') AS s"
+    )
+    assert got == "01 p.m."
+    # iq:2081-2084 — ISO-week rendering at the calendar extremes
+    got = one("SELECT CAST(DATE '0001-01-01' AS VARCHAR FORMAT 'IYYY/IW/ID') AS s")
+    assert got == "0001/01/01"
+    got = one("SELECT CAST(DATE '9999-12-31' AS VARCHAR FORMAT 'IYYY/IW/ID') AS s")
+    assert got == "9999/52/05"
+    # FM modifier: unpadded numeric forms (iq FM blocks)
+    got = one(
+        "SELECT CAST(CAST('2012-03-04 05:06:07' AS TIMESTAMP) AS VARCHAR "
+        "FORMAT 'FMDD-FMMM-YYYY FMHH24:FMMI:FMSS') AS s"
+    )
+    assert got == "4-3-2012 5:6:7"
 
 
 # -- MATCH_RECOGNIZE SQL surface (≈ SqlMatchRecognize → rel/core/Match,
