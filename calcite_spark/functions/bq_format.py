@@ -18,10 +18,11 @@ into composed JVM expressions (same technique as pg_format.
 pg_to_char_expr). Parse path: only Java-parseable codes are accepted —
 an expression cannot run backwards, so %G-family parsing refuses.
 
-Documented divergences: BQ parses month/day NAMES case-insensitively
-("THURSDAY"), Spark's parser wants exact case ("Thursday"); %Z renders
-the session zone name. %s (epoch seconds) and %C are session-zone/
-century edge codes the reference's model also omits — refused.
+Documented divergences: weekday-name parsing (%A/%a) refuses — Spark's
+parser rejects the E pattern letters outright (month names parse fine,
+and case-insensitively, matching BQ); %Z renders the session zone
+name. %s (epoch seconds) and %C are session-zone/century edge codes
+the reference's model also omits — refused.
 """
 
 from __future__ import annotations
@@ -61,17 +62,19 @@ _JAVA_CODES: dict[str, str] = {
     "%Z": "z",  # time zone name — format-only
 }
 # format-only Java codes: Spark's parser rejects weekday-name letters
-# (E*) outright — the reference PARSES "%A Thursday"; we refuse loudly
-# rather than emit a pattern Spark will reject at runtime — and %Z
-# zone names are render-only
-_FORMAT_ONLY_JAVA = {"%Z", "%A", "%a", "%c"}
+# (E*) and quarter 'Q' outright — the reference PARSES "%A Thursday";
+# we refuse loudly rather than emit a pattern Spark will reject at
+# runtime — and %Z zone names are render-only
+_FORMAT_ONLY_JAVA = {"%Z", "%A", "%a", "%c", "%Q"}
 
 # format-only composed expressions ({x} = input) — ISO-year family and
 # week numbers Spark's Java patterns cannot render ('Y'/'w'/'u' banned)
-_IDOW = "((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)"
-_ISOY = (
-    "year(date_add(CAST({x} AS DATE), "
-    "4 - ((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)))"
+from calcite_spark.functions.dt_compile import (  # noqa: E402
+    ISO_DOW as _IDOW,
+    ISO_YEAR as _ISOY,
+    RenderComposer,
+    check_parse_pattern,
+    java_quote as _java_quote,
 )
 _EXPR_CODES: dict[str, str] = {
     "%G": f"lpad(CAST({_ISOY} AS STRING), 4, '0')",
@@ -123,41 +126,18 @@ def _tokenize(fmt: str):
             continue
 
 
-def _java_quote(text: str) -> str:
-    """Quote literal text for inclusion in a Java datetime pattern."""
-    if not text:
-        return ""
-    if any(c.isalpha() or c == "'" for c in text):
-        return "'" + text.replace("'", "''") + "'"
-    return text
-
-
 def bq_format_expr(x: str, fmt: str) -> str:
     """FORMAT_DATE/DATETIME/TIMESTAMP: compile the %-format into a
     Spark expression (date_format runs + composed fragments)."""
-    frags: list[str] = []
-    buf: list[str] = []
-
-    def flush():
-        if buf:
-            pat = "".join(buf).replace("'", "''")
-            frags.append(f"date_format({x}, '{pat}')")
-            buf.clear()
-
+    comp = RenderComposer(x)
     for tok in _tokenize(fmt):
         if tok[0] == "java":
-            buf.append(tok[1])
+            comp.java(tok[1])
         elif tok[0] == "lit":
-            buf.append(_java_quote(tok[1]))
+            comp.literal(tok[1])
         else:
-            flush()
-            frags.append(tok[1].replace("{x}", x))
-    flush()
-    if not frags:
-        return "''"
-    if len(frags) == 1:
-        return frags[0]
-    return f"concat({', '.join(frags)})"
+            comp.expr(tok[1])
+    return comp.result()
 
 
 def bq_parse_pattern(fmt: str) -> str:
@@ -174,4 +154,6 @@ def bq_parse_pattern(fmt: str) -> str:
                 "and zone-name %Z are unparseable by Spark's formatter)"
             )
         out.append(tok[1] if tok[0] == "java" else _java_quote(tok[1]))
-    return "".join(out)
+    # defense in depth: no format-only pattern letter may survive into
+    # a parse pattern (quoted literal sections are exempt)
+    return check_parse_pattern("".join(out), "BigQuery parse format")

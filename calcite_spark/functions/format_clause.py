@@ -18,9 +18,9 @@ r9 upgrade (cast-with-format.iq parity):
     ISO-week family) compile into composed JVM expressions, same
     technique as pg_format.pg_to_char_expr.
   * Month-name PARSE is case-insensitive in the reference (iq:413-465
-    parses 'APRIL', 'march'); Spark's formatter is exact-case, so the
-    input is initcap()'d when the pattern contains month names and no
-    case-sensitive quoted literal would be disturbed.
+    parses 'APRIL', 'march') — and Spark's parser is built with
+    parseCaseInsensitive, so MMMM/MMM match any case natively; no
+    input rewriting is needed (verified in the r9 review).
   * FX (exact matching) is a no-op — java.time is already strict; FM
     maps the NEXT numeric element to its unpadded single-letter form.
 
@@ -39,10 +39,10 @@ class UnsupportedFormatElement(Exception):
     """A FORMAT element with no exact java.time equivalent."""
 
 
-_IDOW = "((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)"
-_ISOY = (
-    "year(date_add(CAST({x} AS DATE), "
-    "4 - ((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)))"
+from calcite_spark.functions.dt_compile import (  # noqa: E402
+    ISO_DOW as _IDOW,
+    ISO_YEAR as _ISOY,
+    RenderComposer,
 )
 
 # CASE-SENSITIVE name/meridian elements, matched before the numeric
@@ -72,8 +72,6 @@ _NAME_ELEMENTS: dict[str, tuple] = {
     "am": (None, None, "lower(date_format({x}, 'a'))"),
     "pm": (None, None, "lower(date_format({x}, 'a'))"),
 }
-_MONTH_NAME_PARSE = {"MONTH", "Month", "month", "MON", "Mon", "mon"}
-
 # case-INSENSITIVE elements (matched on the uppercased template —
 # 'yyyy-mm-dd sssss' is valid in the iq). Entries as above; FM column
 # is the unpadded java form the FM modifier switches to.
@@ -117,7 +115,8 @@ _ELEMENTS: list[tuple] = [
     ("TZH", None, None, None, None),  # split zone offsets: refused
     ("TZM", None, None, None, None),
     ("TZD", None, None, None, None),
-    ("Q", "Q", "Q", None, None),
+    # Q parses nowhere: Spark rejects the letter in parse patterns
+    ("Q", "Q", None, None, None),
     ("WW", None, None, None, None),  # Sunday-first semantics unpinned
     ("W", None, None, None, None),   # (reference iq keeps both disabled)
 ]
@@ -191,6 +190,9 @@ def _lookup(el: str):
 
 
 def _java_lit(text: str) -> str:
+    # always pattern-quoted (even pure separators arrive here only from
+    # quoted "literal" spans or the T/Z shorthand, where quoting is
+    # both safe and bracket-proof)
     return "'" + text.replace("'", "''") + "'" if text else ""
 
 
@@ -220,63 +222,38 @@ _TO_DATETIME = {"TIMESTAMP": "to_timestamp", "DATE": "to_date"}
 
 def _render_expr(expr: str, fmt: str) -> str:
     """datetime→string: compose date_format runs + expression tokens."""
-    frags: list[str] = []
-    buf: list[str] = []
-
-    def flush():
-        if buf:
-            pat = "".join(buf).replace("'", "''")
-            frags.append(f"date_format({expr}, '{pat}')")
-            buf.clear()
-
+    comp = RenderComposer(expr)
     for tok in _tokenize(fmt):
         if tok[0] == "lit":
-            buf.append(tok[1] if tok[1] in _SEPARATORS else _java_lit(tok[1]))
+            comp.literal(tok[1])
             continue
         _, el, fm = tok
         jr, jp, er, fmj = _lookup(el)
         if fm and fmj:
-            buf.append(fmj)
+            comp.java(fmj)
         elif jr is not None:
-            buf.append(jr)
+            comp.java(jr)
         elif er is not None:
-            flush()
-            frags.append(er.replace("{x}", expr))
+            comp.expr(er)
         else:
             raise UnsupportedFormatElement(
                 f"FORMAT element {el!r} has no exact Spark rendering "
                 "(refused rather than approximated)"
             )
-    flush()
-    if not frags:
-        return "''"
-    if len(frags) == 1:
-        return frags[0]
-    return f"concat({', '.join(frags)})"
+    return comp.result()
 
 
 def lower_cast_format(expr: str, target_type: str, fmt: str) -> str:
     """CAST(expr AS target FORMAT fmt) -> Spark SQL. Datetime targets
-    parse strings; string targets render datetimes; anything else
-    (numeric format models '999V99' etc.) is refused."""
+    parse strings (Spark's parser is natively case-insensitive for
+    month names, matching the reference's month_name scenarios);
+    string targets render datetimes; anything else (numeric format
+    models '999V99' etc.) is refused."""
     t = target_type.strip().upper().split("(")[0]
     if t in _TO_DATETIME:
         pattern = sql_format_to_spark(fmt)
         lit = pattern.replace("'", "''")
-        src = expr
-        toks = list(_tokenize(fmt))
-        has_name = any(tok[0] == "el" and tok[1] in _MONTH_NAME_PARSE for tok in toks)
-        has_alpha_lit = any(
-            tok[0] == "lit" and any(c.isalpha() for c in tok[1]) for tok in toks
-        )
-        if has_name and not has_alpha_lit:
-            # the reference parses month names case-insensitively
-            # ('APRIL', 'march' — iq:413-465); Spark's formatter is
-            # exact-case, so normalize the input. Skipped when the
-            # pattern carries an alphabetic quoted literal that
-            # initcap would re-case.
-            src = f"initcap({expr})"
-        return f"{_TO_DATETIME[t]}({src}, '{lit}')"
+        return f"{_TO_DATETIME[t]}({expr}, '{lit}')"
     if t in _TO_STRING_TYPES:
         return _render_expr(expr, fmt)
     raise UnsupportedFormatElement(

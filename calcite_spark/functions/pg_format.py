@@ -87,9 +87,22 @@ _TOKENS = [
 _SEPARATORS = set(" -/,.:;()[]")
 
 
-def pg_datetime_format_to_spark(pattern: str) -> str:
+# parse-direction overrides: Spark's PARSER is case-insensitive for
+# names and meridians, so the case-variant tokens that REFUSE on the
+# render side (PG renders 'MON' uppercase, which Java cannot) all map
+# to the same parse pattern
+_PARSE_OVERRIDES = [
+    ("MONTH", "MMMM"), ("Month", "MMMM"), ("month", "MMMM"),
+    ("MON", "MMM"), ("Mon", "MMM"), ("mon", "MMM"),
+    ("AM", "a"), ("PM", "a"), ("am", "a"), ("pm", "a"),
+]
+
+
+def pg_datetime_format_to_spark(pattern: str, parse: bool = False) -> str:
     """Convert a PG TO_CHAR datetime template to a Spark date_format
-    pattern, or raise ValueError for tokens Java cannot reproduce."""
+    pattern, or raise ValueError for tokens Java cannot reproduce.
+    parse=True applies the parse-direction name/meridian overrides
+    (Spark parses names case-insensitively)."""
     out = []
     i, n = 0, len(pattern)
     while i < n:
@@ -103,6 +116,15 @@ def pg_datetime_format_to_spark(pattern: str) -> str:
             i = j + 1
             continue
         matched = False
+        if parse:
+            for tok, java in _PARSE_OVERRIDES:
+                if pattern.startswith(tok, i):
+                    out.append(java)
+                    i += len(tok)
+                    matched = True
+                    break
+            if matched:
+                continue
         for tok, java in _TOKENS:
             if pattern.startswith(tok, i):
                 if java is None:
@@ -122,7 +144,9 @@ def pg_datetime_format_to_spark(pattern: str) -> str:
         if matched:
             continue
         if ch in _SEPARATORS:
-            out.append(ch)
+            # '[' and ']' are java.time optional-section metacharacters
+            # and silently vanish unless quoted (r9 review finding)
+            out.append(java_quote(ch) if ch in "[]" else ch)
             i += 1
             continue
         if ch == "'":
@@ -148,13 +172,15 @@ def pg_datetime_format_to_spark(pattern: str) -> str:
 # still take the single date_format fast path in the registry dispatch.
 # ---------------------------------------------------------------------
 
-# ISO day-of-week (Mon=1..Sun=7) and ISO week-year (year of the week's
-# Thursday) over Spark's dayofweek (Sun=1..Sat=7)
-_IDOW = "((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)"
-_ISOY = (
-    "year(date_add(CAST({x} AS DATE), "
-    "4 - ((dayofweek(CAST({x} AS DATE)) + 5) % 7 + 1)))"
+# ISO day-of-week / week-year formulas and the Java-literal quoting
+# rules are shared across the three datetime-format compilers
+from calcite_spark.functions.dt_compile import (  # noqa: E402
+    ISO_DOW as _IDOW,
+    ISO_YEAR as _ISOY,
+    RenderComposer,
+    java_quote,
 )
+
 _ROMAN = "'I','II','III','IV','V','VI','VII','VIII','IX','X','XI','XII'"
 
 # token → Spark SQL expression template ({x} = input). Semantics and
@@ -232,26 +258,13 @@ def pg_to_char_expr(x: str, template: str) -> str:
     date_format runs; the rest become per-token JVM expressions, all
     concat()ed. Raises ValueError for genuinely unsupported tokens
     (TZ/OF session-zone rendering, TH/th ordinal suffixes)."""
-    frags: list[str] = []  # SQL expression fragments
-    java_buf: list[str] = []  # pending Java-pattern content
-    java_has_token = False
-
-    def flush():
-        nonlocal java_has_token
-        if not java_buf:
-            return
-        # a token-less run (separators / quoted literals) still goes
-        # through date_format — Java renders pattern literals verbatim,
-        # which sidesteps re-unescaping the buffered Java quoting
-        pat = "".join(java_buf).replace("'", "''")  # SQL-literal escaping
-        frags.append(f"date_format({x}, '{pat}')")
-        java_buf.clear()
-        java_has_token = False
+    comp = RenderComposer(x)
+    started = False
 
     i, n = 0, len(template)
     while i < n:
         ch = template[i]
-        if template.startswith(("TH", "th"), i) and (frags or java_buf):
+        if template.startswith(("TH", "th"), i) and started:
             raise ValueError(
                 "TO_CHAR template: ordinal suffix TH/th is not supported"
             )
@@ -259,29 +272,31 @@ def pg_to_char_expr(x: str, template: str) -> str:
             j = template.find('"', i + 1)
             if j < 0:
                 raise ValueError("TO_CHAR template: unterminated quoted literal")
-            java_buf.append("'" + template[i + 1 : j].replace("'", "''") + "'")
+            comp.literal(template[i + 1 : j])
+            started = True
             i = j + 1
             continue
         matched = False
         for tok in _ALL_TOKENS:
             if template.startswith(tok, i):
                 if tok in _EXPR_TOKENS:
-                    flush()
-                    frags.append(_EXPR_TOKENS[tok].replace("{x}", x))
+                    comp.expr(_EXPR_TOKENS[tok])
                 else:
-                    java_buf.append(_JAVA[tok])
-                    java_has_token = True
+                    comp.java(_JAVA[tok])
+                started = True
                 i += len(tok)
                 matched = True
                 break
         if matched:
             continue
         if ch in _SEPARATORS:
-            java_buf.append(ch)
+            comp.literal(ch)
+            started = True
             i += 1
             continue
         if ch == "'":
-            java_buf.append("''")
+            comp.java("''")
+            started = True
             i += 1
             continue
         raise ValueError(
@@ -289,9 +304,4 @@ def pg_to_char_expr(x: str, template: str) -> str:
             f"({template[i:i + 4]!r}) — session-zone tokens (TZ/OF) and "
             "ordinal suffixes (TH/th) have no plan-time lowering"
         )
-    flush()
-    if not frags:
-        return "''"
-    if len(frags) == 1:
-        return frags[0]
-    return f"concat({', '.join(frags)})"
+    return comp.result()

@@ -1012,8 +1012,13 @@ _reg(
 # Divergences (documented, tested): parse failure raises under Spark
 # ANSI (matching PG) but yields NULL under non-ANSI sessions; month/
 # day NAMES parse exact-case.
-_reg("TO_DATE", "", (2,), libs=(POSTGRESQL, ORACLE, REDSHIFT, HIVE), variant_of="TO_DATE")
-_reg("TO_TIMESTAMP", "", (2,), libs=(POSTGRESQL, ORACLE, REDSHIFT), variant_of="TO_TIMESTAMP")
+# arity (1, 2): the 1-arg forms keep their pre-r9 Spark-native
+# passthrough (Hive's TO_DATE(ts), default-format TO_TIMESTAMP(s)) —
+# the template conversion applies only to the 2-arg templated calls.
+# PG's 1-arg TO_TIMESTAMP(epoch DOUBLE) is NOT modeled (the reference
+# registers only the 2-arg STRING_STRING operator).
+_reg("TO_DATE", "", (1, 2), libs=(POSTGRESQL, ORACLE, REDSHIFT, HIVE), variant_of="TO_DATE")
+_reg("TO_TIMESTAMP", "", (1, 2), libs=(POSTGRESQL, ORACLE, REDSHIFT), variant_of="TO_TIMESTAMP")
 # CALCITE library: AGGREGATE(m) — the measure-rollup function
 # (SqlLibraryOperators.java:101). It has no scalar lowering: the
 # measure layer (plans/builder.py, measure.iq tier) expands it at
@@ -1294,8 +1299,14 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         and not fn.template
         and POSTGRESQL in fn.libraries
     ):
+        spark_fn = "to_date" if fn.name == "TO_DATE" else "to_timestamp"
+        if len(args) == 1:
+            # 1-arg forms stay Spark-native (Hive TO_DATE(ts), default
+            # ISO parse) — no template to convert
+            return f"{spark_fn}({args[0]})"
         import re as _re
 
+        from calcite_spark.functions.dt_compile import check_parse_pattern
         from calcite_spark.functions.pg_format import (
             pg_datetime_format_to_spark,
         )
@@ -1307,8 +1318,13 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 "(PG/Oracle templates are converted to Spark parse "
                 "patterns at plan time; a column-valued template cannot be)"
             )
-        java = pg_datetime_format_to_spark(m.group(1).replace("''", "'"))
-        spark_fn = "to_date" if fn.name == "TO_DATE" else "to_timestamp"
+        java = pg_datetime_format_to_spark(
+            m.group(1).replace("''", "'"), parse=True
+        )
+        # the shared token map is render-oriented; tokens mapping to
+        # Java letters Spark rejects in PARSE patterns (Dy->E, Q, TZ
+        # names) must refuse at plan time, not die at runtime
+        check_parse_pattern(java, fn.name)
         return f"{spark_fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"

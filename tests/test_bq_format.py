@@ -121,6 +121,15 @@ def test_parse_lockstep_vs_duckdb_strptime(spark, duck):
         assert str(got) == str(native), (fmt, s, got, native)
 
 
+def test_bracket_literals_and_parse_only_q(spark):
+    """r9 review: '[' ']' are java.time metacharacters that silently
+    vanish unless quoted; %Q maps to the parse-illegal letter Q."""
+    got = _fmt(spark, "FORMAT_DATE", "[%m]", "DATE '2020-11-05'")
+    assert got == "[11]"
+    with pytest.raises(ValueError, match="parse"):
+        translate("PARSE_DATE", "'%Y-%Q'", "'2020-3'", library="BIG_QUERY")
+
+
 def test_refusals(spark):
     # unknown element refuses loudly
     with pytest.raises(ValueError, match="no\\s+Spark lowering|format model"):

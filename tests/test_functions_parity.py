@@ -207,6 +207,23 @@ def test_to_date_to_timestamp_pg_template_parse(spark):
     expr = translate("TO_DATE", "'not-a-date'", "'YYYY-MM-DD'", library="POSTGRESQL")
     with pytest.raises(Exception, match="CANNOT_PARSE|not-a-date"):
         spark.sql(f"SELECT {expr} AS v").collect()
+    # r9 review: render-only tokens (Dy->E, Q) refuse at PLAN time —
+    # Spark rejects those letters in parse patterns, and the old code
+    # emitted them into an opaque runtime error
+    for bad in ("'Dy DD YYYY'", "'YYYY-Q'"):
+        with pytest.raises(ValueError, match="format-only"):
+            translate("TO_DATE", "x", bad, library="POSTGRESQL")
+    # r9 review: the 1-arg forms keep their pre-variant passthrough
+    assert translate("TO_DATE", "ts_col", library="HIVE") == "to_date(ts_col)"
+    assert (
+        translate("TO_TIMESTAMP", "s_col", library="ORACLE")
+        == "to_timestamp(s_col)"
+    )
+    # month-name parse is case-insensitive NATIVELY (Spark's parser is
+    # built case-insensitive — no input rewriting involved)
+    expr = translate("TO_DATE", "'25 DEC 2008'", "'DD MON YYYY'", library="POSTGRESQL")
+    assert "initcap" not in expr
+    assert str(spark.sql(f"SELECT {expr} AS v").collect()[0].v) == "2008-12-25"
 
 
 # -- r7: PG string_to_array (babel postgresql.iq tier) ----------------

@@ -141,6 +141,19 @@ def test_reference_formatter_pinned_edges(spark):
         assert got == expected, (template, expr, got, expected)
 
 
+def test_bracket_separators_render_literally(spark):
+    """r9 review: '[' and ']' are java.time optional-section
+    metacharacters — unquoted they silently VANISH from output. Both
+    the fast path and the composed compiler must quote them."""
+    expr = translate("TO_CHAR", A, "'DD[MM]'")
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert got == "03[06]"
+    # composed path (expression token forces the compiler)
+    expr = translate("TO_CHAR", A, "'J[DD]'")
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    assert got == "2459734[03]"
+
+
 def test_unsupported_tokens_still_refuse():
     for template in ("TZ", "OF", "DDTH"):
         with pytest.raises(ValueError):

@@ -265,7 +265,7 @@ def test_cast_format_refuses_inexact_elements(fe):
             fe.parse(f"SELECT CAST(x AS VARCHAR FORMAT '{fmt}') FROM t")
     # parse-side refusals (render-only expressions can't run backwards;
     # Spark's parser rejects weekday-name letters)
-    for fmt in ("SSSSS", "RR-MM-DD", "YYYY-DAY-MM", "IYYY/IW/ID"):
+    for fmt in ("SSSSS", "RR-MM-DD", "YYYY-DAY-MM", "IYYY/IW/ID", "YYYY-Q"):
         with _pytest.raises(UnsupportedFormatElement):
             fe.parse(f"SELECT CAST(x AS TIMESTAMP FORMAT '{fmt}') FROM t")
     # numeric format models refuse too
