@@ -646,6 +646,192 @@ CORPUS3 = [
 ]
 
 
+# Batch 4 (r9 second wave): 40 shapes in classes batches 1-3 leave
+# untouched — GROUP BY ALL, join USING / NATURAL, lateral subqueries,
+# HAVING without GROUP BY, null-only-group aggregates, VALUES inline
+# tables, type-coercing set ops, IGNORE NULLS windows, correlated
+# HAVING, EXISTS inside CASE, explicit NULLS FIRST/LAST.
+CORPUS4 = [
+    # 118 GROUP BY ALL
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""",
+    # 119 join USING
+    """SELECT n_name, COUNT(*) AS n
+       FROM nation JOIN region USING (r_regionkey_alias)
+       GROUP BY n_name ORDER BY n_name""".replace(
+        "JOIN region USING (r_regionkey_alias)",
+        "JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region) r USING (n_regionkey)",
+    ),
+    # 120 NATURAL JOIN (shared column renamed to collide on purpose)
+    """SELECT COUNT(*) AS n FROM
+         (SELECT n_regionkey AS k, n_nationkey FROM nation) a
+       NATURAL JOIN
+         (SELECT r_regionkey AS k, r_name FROM region) b""",
+    # 121 HAVING without GROUP BY (global group)
+    """SELECT COUNT(*) AS n FROM orders HAVING COUNT(*) > 10""",
+    # 122 aggregates over a NULL-only group: SUM -> NULL, COUNT -> 0
+    """SELECT SUM(v) AS s, COUNT(v) AS c, COUNT(*) AS star FROM (
+         SELECT CASE WHEN o_orderkey < 0 THEN o_totalprice END AS v
+         FROM orders) t""",
+    # 123 global aggregate over an empty relation
+    """SELECT COUNT(*) AS n, SUM(o_totalprice) AS s
+       FROM orders WHERE o_orderkey < 0""",
+    # 124 VALUES inline table joined to data
+    """SELECT v.label, COUNT(*) AS n
+       FROM (VALUES (0, 'africa'), (1, 'america'), (2, 'asia')) AS v(rk, label)
+       JOIN nation ON n_regionkey = v.rk
+       GROUP BY v.label ORDER BY v.label""",
+    # 125 UNION with int/double type coercion
+    """SELECT x FROM (
+         SELECT 1 AS x UNION SELECT 2.5 AS x UNION SELECT 2 AS x) t
+       ORDER BY x""",
+    # 126 LAG with offset 2 and an explicit default (IGNORE NULLS was
+    # the first draft, but Spark spells it `f(x) IGNORE NULLS OVER` and
+    # DuckDB `f(x IGNORE NULLS) OVER` — no shared text, so no twin)
+    """SELECT y, n, LAG(n, 2, -1) OVER (ORDER BY y) AS n_2back
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t
+       ORDER BY y""",
+    # 127 correlated subquery in HAVING
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+       GROUP BY c_nationkey
+       HAVING COUNT(*) > (SELECT COUNT(*) FROM nation) ORDER BY c_nationkey""",
+    # 128 EXISTS inside CASE
+    """SELECT n_name,
+              CASE WHEN EXISTS (SELECT 1 FROM customer
+                                WHERE c_nationkey = n_nationkey
+                                  AND c_acctbal > 9995)
+                   THEN 'rich' ELSE 'plain' END AS tag
+       FROM nation ORDER BY n_name""",
+    # 129 explicit NULLS FIRST / NULLS LAST
+    """SELECT v FROM (
+         SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                     ELSE n_nationkey END AS v FROM nation) t
+       ORDER BY v DESC NULLS LAST""",
+    # 130 lateral subquery (top-1 per nation)
+    """SELECT n_name, t.bal
+       FROM nation, LATERAL (
+         SELECT MAX(c_acctbal) AS bal FROM customer
+         WHERE c_nationkey = n_nationkey) t
+       ORDER BY n_name""",
+    # 131 DISTINCT + ORDER BY selected column + LIMIT
+    """SELECT DISTINCT o_orderpriority FROM orders
+       ORDER BY o_orderpriority LIMIT 3""",
+    # 132 position() and string predicates in group keys
+    """SELECT POSITION('-' IN o_orderpriority) AS dash_at, COUNT(*) AS n
+       FROM orders GROUP BY POSITION('-' IN o_orderpriority)
+       ORDER BY dash_at""",
+    # 133 grouping by a boolean expression
+    """SELECT (o_totalprice > 250000) AS big, COUNT(*) AS n
+       FROM orders GROUP BY (o_totalprice > 250000) ORDER BY big""",
+    # 134 INTERSECT ALL duplicates preserved
+    """SELECT x FROM (
+         SELECT o_custkey % 3 AS x FROM orders WHERE o_orderkey <= 40
+         INTERSECT ALL
+         SELECT o_custkey % 3 AS x FROM orders WHERE o_orderkey <= 80) t
+       ORDER BY x""",
+    # 135 EXCEPT ALL bag difference
+    """SELECT COUNT(*) AS n FROM (
+         SELECT o_orderstatus FROM orders
+         EXCEPT ALL
+         SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000) t""",
+    # 136 scalar subquery returning NULL when empty
+    """SELECT (SELECT MAX(o_totalprice) FROM orders WHERE o_orderkey < 0)
+              AS none_val""",
+    # 137 LIMIT inside a derived table, aggregated outside
+    """SELECT COUNT(*) AS n, ROUND(SUM(p), 2) AS s FROM (
+         SELECT o_totalprice AS p FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25) t""",
+    # 138 join keys wrapped in COALESCE
+    """SELECT COUNT(*) AS n
+       FROM nation a JOIN nation b
+         ON COALESCE(a.n_regionkey, -1) = COALESCE(b.n_regionkey, -1)""",
+    # 139 NOT EXISTS with OR'd correlated conditions
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND (o_totalprice > 450000
+                                OR o_orderpriority = '1-URGENT'))""",
+    # 140 aggregate FILTER combined with GROUPING SETS
+    """SELECT o_orderstatus,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000) AS big
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+       ORDER BY o_orderstatus NULLS FIRST""",
+    # 141 window rank over a grouping-sets aggregate
+    """SELECT o_orderstatus, n, RANK() OVER (ORDER BY n DESC) AS r FROM (
+         SELECT o_orderstatus, COUNT(*) AS n FROM orders
+         GROUP BY o_orderstatus) t
+       ORDER BY o_orderstatus""",
+    # 142 nested set ops with parentheses
+    """SELECT x FROM (
+         (SELECT 1 AS x UNION SELECT 2 AS x)
+         EXCEPT
+         (SELECT 2 AS x UNION SELECT 3 AS x)) t""",
+    # 143 correlated scalar subquery with COALESCE default
+    """SELECT r_name,
+              COALESCE((SELECT MAX(n_nationkey) FROM nation
+                        WHERE n_regionkey = r_regionkey AND n_nationkey > 98),
+                       -1) AS top_k
+       FROM region ORDER BY r_name""",
+    # 144 BETWEEN SYMMETRIC-style reversed bounds via LEAST/GREATEST
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_totalprice BETWEEN LEAST(100000, 300000)
+                              AND GREATEST(100000, 300000)""",
+    # 145 CASE branches producing different numeric types (coercion)
+    """SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0.5 END) AS w
+       FROM orders""",
+    # 146 self-anti-join: keys present exactly once
+    """SELECT COUNT(*) AS n FROM (
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = 1) t""",
+    # 147 two-level HAVING chain (HAVING over an aggregated derived table)
+    """SELECT rk, COUNT(*) AS nations FROM (
+         SELECT n_regionkey AS rk, n_nationkey, COUNT(c_custkey) AS custs
+         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY n_regionkey, n_nationkey HAVING COUNT(c_custkey) >= 0) t
+       GROUP BY rk HAVING COUNT(*) >= 4 ORDER BY rk""",
+    # 148 string min/max + length() measures
+    """SELECT o_orderstatus, MIN(o_orderpriority) AS first_prio,
+              MAX(LENGTH(o_orderpriority)) AS prio_len
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 149 modulo bucketing with negative-safe abs()
+    """SELECT ABS(o_orderkey % 4) AS b, COUNT(*) AS n
+       FROM orders GROUP BY ABS(o_orderkey % 4) ORDER BY b""",
+    # 150 dates: min/max + datediff-free span via EXTRACT
+    """SELECT EXTRACT(YEAR FROM MIN(o_orderdate)) AS first_y,
+              EXTRACT(YEAR FROM MAX(o_orderdate)) AS last_y
+       FROM orders""",
+    # 151 IN over a UNION subquery
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+                             UNION
+                             SELECT n_nationkey FROM nation WHERE n_regionkey = 4)""",
+    # 152 window SUM partitioned by an expression
+    """SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_custkey % 10) AS part_sum
+       FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    # 153 COUNT DISTINCT over an expression
+    """SELECT COUNT(DISTINCT o_custkey % 100) AS buckets FROM orders""",
+    # 154 anti-join against a VALUES list
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE n_regionkey NOT IN (SELECT rk FROM (VALUES (0), (4)) AS v(rk))""",
+    # 155 chained CASE/COALESCE/NULLIF scalar pipeline
+    """SELECT n_name,
+              COALESCE(NULLIF(CAST(n_regionkey AS STRING), '0'), 'zero') AS tag
+       FROM nation ORDER BY n_name""",
+    # 156 subquery in both SELECT and WHERE referencing different tables
+    """SELECT o_orderkey,
+              (SELECT r_name FROM region JOIN nation ON r_regionkey = n_regionkey
+               JOIN customer ON n_nationkey = c_nationkey
+               WHERE c_custkey = o_custkey) AS region_name
+       FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2.4 FROM orders)
+       ORDER BY o_orderkey""",
+    # 157 aggregated self-union totals reconcile
+    """SELECT half, COUNT(*) AS n FROM (
+         SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS half
+         FROM orders) t GROUP BY half ORDER BY half""",
+]
+
+
 @pytest.fixture(scope="module")
 def fe(spark):
     return SqlFrontend(catalog_for(spark, SF_DIR))
@@ -666,4 +852,10 @@ def test_breadth_shape_batch2(fe, duck, i):
 @pytest.mark.parametrize("i", range(len(CORPUS3)))
 def test_breadth_shape_batch3(fe, duck, i):
     sql = CORPUS3[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS4)))
+def test_breadth_shape_batch4(fe, duck, i):
+    sql = CORPUS4[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
