@@ -252,15 +252,21 @@ _reg(
     "(clean + error-on-unmapped-letter); SOUNDEX@SPARK keeps the "
     "return-input-unchanged behavior",
 )
-_reg("FROM_BASE64", "unbase64({0})", (1,), libs=(HIVE, MYSQL))
-_reg("TO_BASE64", "base64({0})", (1,), libs=(HIVE, MYSQL))
+# r9 audit: Hive spells these base64()/unbase64() (the BASE64 entry
+# below); FROM_BASE64/TO_BASE64 are the MySQL (+BigQuery) names —
+# SqlLibraryOperators gates FROM_BASE64 {BIG_QUERY, MYSQL}
+_reg("FROM_BASE64", "unbase64({0})", (1,), libs=(BIG_QUERY, MYSQL))
+_reg("TO_BASE64", "base64({0})", (1,), libs=(BIG_QUERY, MYSQL), note="BQ lib is an engine-true extension (reference gates MYSQL only)")
 _reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
 _reg("TO_HEX", "hex({0})", (1,), libs=(BIG_QUERY,))
 _reg("HEX", "hex({0})", (1,), libs=(MYSQL, HIVE))
 _reg("BIN", "bin({0})", (1,), libs=(MYSQL, HIVE))
 _reg("BIT_LENGTH", "bit_length({0})", (1,))
 _reg("OCTET_LENGTH", "octet_length({0})", (1,))
-_passthrough("MD5 SHA1 SHA2 CRC32", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
+# r9 lib-list audit vs @LibraryOperator: BQ has MD5/SHA1 but spells the
+# others SHA256/FARM_FINGERPRINT — SHA2/CRC32 are not BQ names
+_passthrough("MD5 SHA1", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
+_passthrough("SHA2 CRC32", libs=(HIVE, MYSQL, SPARK))
 _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg(
@@ -313,8 +319,10 @@ _reg(
     "AUTHORITY USERINFO) agree with the reference URI parse, fixtures "
     "from SqlOperatorTest.java:5246 in tests/test_functions_parity.py",
 )
-_reg("URL_ENCODE", "url_encode({0})", (1,), libs=(BIG_QUERY,))
-_reg("URL_DECODE", "url_decode({0})", (1,), libs=(BIG_QUERY,))
+# r9 audit: SPARK-gated per SqlLibraryOperators.java:735 (BQ has no
+# URL_ENCODE/URL_DECODE — its equivalents live in the NET.* namespace)
+_reg("URL_ENCODE", "url_encode({0})", (1,), libs=(SPARK,))
+_reg("URL_DECODE", "url_decode({0})", (1,), libs=(SPARK,))
 _reg("REGEXP_CONTAINS", "{0} RLIKE {1}", (2,), libs=(BIG_QUERY,), kind="predicate")
 # REGEXP_EXTRACT: for HIVE/SPARK the 3rd argument is a GROUP INDEX
 # (Spark's own builtin — passthrough). The BigQuery operator takes
@@ -498,8 +506,10 @@ _reg("TIMESTAMP_SECONDS", "timestamp_seconds({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY,))
 _reg(
-    "CONVERT_TIMEZONE", "", (2, 3), libs=(POSTGRESQL,),
-    note="passthrough: Spark accepts both (tz, ts) and (src, dst, ts)",
+    "CONVERT_TIMEZONE", "", (2, 3), libs=(REDSHIFT,),
+    note="REDSHIFT-gated per SqlLibraryOperators.java:110 (PG has no "
+    "convert_timezone — it uses AT TIME ZONE); passthrough: Spark "
+    "accepts both (tz, ts) and (src, dst, ts)",
 )
 _reg("SYSDATE", "current_timestamp()", (0,), libs=(ORACLE,))
 def _age_template() -> str:
@@ -545,19 +555,31 @@ _reg(
 # ---------------------------------------------------------------------
 # Array / map / collection (§2.6 + MULTISET std :143-178)
 # ---------------------------------------------------------------------
+# r9 lib-list audit vs @LibraryOperator: the old blanket
+# (BIG_QUERY, HIVE, SPARK) over-accepted — BigQuery has NONE of these
+# names (its array surface is ARRAY_LENGTH/ARRAY_CONCAT/OFFSET, below)
+# and Hive only a subset; lists now mirror the reference's annotations
 _passthrough(
-    "ARRAY MAP ARRAY_APPEND ARRAY_COMPACT ARRAY_CONTAINS ARRAY_DISTINCT "
-    "ARRAY_EXCEPT ARRAY_INSERT ARRAY_INTERSECT ARRAY_JOIN ARRAY_MAX ARRAY_MIN "
-    "ARRAY_POSITION ARRAY_PREPEND ARRAY_REMOVE ARRAY_REPEAT ARRAY_SIZE "
-    "ARRAY_UNION ARRAYS_OVERLAP ARRAYS_ZIP SORT_ARRAY MAP_CONCAT MAP_ENTRIES "
+    "ARRAY ARRAY_DISTINCT ARRAY_EXCEPT ARRAY_INTERSECT ARRAY_JOIN "
+    "ARRAY_MAX ARRAY_MIN ARRAY_REMOVE ARRAY_UNION",
+    libs=(HIVE, SPARK),
+)
+_passthrough(
+    "MAP ARRAY_APPEND ARRAY_COMPACT ARRAY_CONTAINS ARRAY_INSERT "
+    "ARRAY_POSITION ARRAY_PREPEND ARRAY_REPEAT ARRAY_SIZE "
+    "ARRAYS_OVERLAP ARRAYS_ZIP SORT_ARRAY MAP_CONCAT MAP_ENTRIES "
     "MAP_KEYS MAP_VALUES MAP_CONTAINS_KEY MAP_FROM_ARRAYS MAP_FROM_ENTRIES "
     "STR_TO_MAP ELEMENT_AT FLATTEN SLICE SEQUENCE SHUFFLE",
-    libs=(BIG_QUERY, HIVE, SPARK),
+    libs=(SPARK,),
 )
 _reg("ARRAY_CONCAT", "concat({0}, {1})", (), libs=(BIG_QUERY,))
 _reg("ARRAY_LENGTH", "size({0})", (1,), libs=(BIG_QUERY,))
 _reg("ARRAY_REVERSE", "reverse({0})", (1,), libs=(BIG_QUERY,))
-_reg("ARRAY_SLICE", "slice({0}, {1}, {2})", (3,), libs=(BIG_QUERY,))
+_reg(
+    "ARRAY_SLICE", "slice({0}, {1}, {2})", (3,), libs=(HIVE,),
+    note="HIVE-gated per SqlLibraryOperators.java:1696 (BQ has no "
+    "ARRAY_SLICE); Spark slice semantics (1-based start, length)",
+)
 _reg(
     "ARRAY_TO_STRING",
     {2: "array_join({0}, {1})", 3: "array_join({0}, {1}, {2})"},
@@ -735,7 +757,7 @@ _reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHO
 _reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHOUSE), kind="predicate")
 _reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
 _reg("CODE_POINTS_TO_STRING", "concat_ws('', transform({0}, c -> char(c)))", (1,), libs=(BIG_QUERY,))
-_reg("BASE64", "base64({0})", (1,), libs=(MYSQL,))
+_reg("BASE64", "base64({0})", (1,), libs=(HIVE,), note="HIVE-gated per SqlLibraryOperators.java:1930 (MySQL spells it TO_BASE64)")
 _reg("UN_BASE64", "unbase64({0})", (1,), libs=(MYSQL,))
 # predicates / operators
 # SqlLibraryOperators.java:707-711: REGEXP is {SPARK, HIVE} in the
@@ -750,7 +772,10 @@ _reg("BIT_GET", "getbit({0}, {1})", (2,))
 _reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL,))
 # datetime batch (MSSQL/Redshift DATEADD/DATEPART; BigQuery *_ADD/_SUB/
 # _DIFF/_TRUNC families over the unified timestamp type)
-_reg("DATEADD", "timestampadd({0}, {1}, {2})", (3,), libs=(MYSQL, ORACLE))
+# r9 audit: neither MySQL nor Oracle has DATEADD — the reference gates
+# it {MSSQL, REDSHIFT, SNOWFLAKE} (:132), whose library lookups all hit
+# the canonical-unit variants; this base serves library-less calls
+_reg("DATEADD", "timestampadd({0}, {1}, {2})", (3,), libs=(MSSQL, REDSHIFT, SNOWFLAKE))
 _reg(
     "DATEPART", "date_part('{0}', {1})", (2,), libs=(MSSQL,),
     note="MSSQL-gated per SqlLibraryOperators.java:237 (was mis-gated "
