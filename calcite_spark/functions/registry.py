@@ -160,6 +160,15 @@ _reg(
     defaults=("2.718281828459045",),
     defaults_prepend=True,
 )
+_reg(
+    "LOG",
+    {1: "log10({0})", 2: "log({0}, {1})"},
+    (1, 2),
+    libs=(POSTGRESQL,),
+    variant_of="LOG",
+    note="Calcite LOG_POSTGRES (SqlLibraryOperators.java:2669): PG's "
+    "1-arg LOG(x) is BASE-10 (not ln); LOG(b, x) = log_b(x)",
+)
 _reg("LOG1P", "log1p({0})", (1,), libs=(SPARK,))
 _reg("POW", "pow({0}, {1})", (2,), libs=(BIG_QUERY, SPARK))
 
@@ -191,7 +200,7 @@ _reg("CHAR_LENGTH", "length({0})", (1,))
 _reg("CHARACTER_LENGTH", "length({0})", (1,))
 _reg("POSITION", "instr({1}, {0})", (2,), note="POSITION(x IN y) arg order")
 _reg("OVERLAY", "concat(substring({0}, 1, {2} - 1), {1}, substring({0}, {2} + {3}))", (4,))
-_reg("STRPOS", "instr({0}, {1})", (2,), libs=(POSTGRESQL, BIG_QUERY))
+_reg("STRPOS", "instr({0}, {1})", (2,), libs=(POSTGRESQL, BIG_QUERY, REDSHIFT))
 # PG SPLIT_PART: the delimiter is a LITERAL string (Spark's split is a
 # REGEX — the old passthrough returned '' for split_part('abc.def','.',1),
 # a silent wrong value; babel postgresql.iq:69-104 sweep, r8). Runtime
@@ -222,7 +231,7 @@ _reg(
     "aggregate(sequence(1, 4), 0, (acc, i) -> acc + "
     "IF(substr(soundex({0}), i, 1) = substr(soundex({1}), i, 1), 1, 0))",
     (2,),
-    libs=(POSTGRESQL,),
+    libs=(POSTGRESQL, REDSHIFT),
     note="exact PG fuzzystrmatch semantics: count of agreeing positions "
     "(0-4) between the two 4-char soundex codes",
 )
@@ -259,18 +268,18 @@ _reg("FROM_BASE64", "unbase64({0})", (1,), libs=(BIG_QUERY, MYSQL))
 _reg("TO_BASE64", "base64({0})", (1,), libs=(BIG_QUERY, MYSQL), note="BQ lib is an engine-true extension (reference gates MYSQL only)")
 _reg("FROM_HEX", "unhex({0})", (1,), libs=(BIG_QUERY,))
 _reg("TO_HEX", "hex({0})", (1,), libs=(BIG_QUERY,))
-_reg("HEX", "hex({0})", (1,), libs=(MYSQL, HIVE))
-_reg("BIN", "bin({0})", (1,), libs=(MYSQL, HIVE))
+_reg("HEX", "hex({0})", (1,), libs=(MYSQL, HIVE, SPARK))
+_reg("BIN", "bin({0})", (1,), libs=(MYSQL, HIVE, SPARK))
 _reg("BIT_LENGTH", "bit_length({0})", (1,))
 _reg("OCTET_LENGTH", "octet_length({0})", (1,))
 # r9 lib-list audit vs @LibraryOperator: BQ has MD5/SHA1 but spells the
 # others SHA256/FARM_FINGERPRINT — SHA2/CRC32 are not BQ names
-_passthrough("MD5 SHA1", libs=(BIG_QUERY, HIVE, MYSQL, SPARK))
+_passthrough("MD5 SHA1", libs=(BIG_QUERY, HIVE, MYSQL, POSTGRESQL, REDSHIFT, SPARK))
 _passthrough("SHA2 CRC32", libs=(HIVE, MYSQL, SPARK))
 _reg("SHA256", "sha2({0}, 256)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg("SHA512", "sha2({0}, 512)", (1,), libs=(BIG_QUERY, POSTGRESQL))
 _reg(
-    "TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE),
+    "TO_CHAR", "date_format({0}, {1})", (2,), libs=(POSTGRESQL, ORACLE, MYSQL, REDSHIFT),
     note="datetime form; the PG/Oracle TEMPLATE is converted to a Java "
     "pattern at plan time (functions/pg_format.py ≈ the reference's "
     "PostgresqlDateTimeFormatter) — passing it through verbatim is "
@@ -295,7 +304,7 @@ _reg(
     "'([.^$|?*+()\\\\[\\\\]{}\\\\\\\\])', '\\\\\\\\$1'), -1) END, "
     "__sta -> CASE WHEN ({2}) IS NOT NULL AND __sta = ({2}) "
     "THEN NULL ELSE __sta END) END",
-    (2, 3), libs=(POSTGRESQL,), defaults=("NULL",),
+    (2, 3), libs=(POSTGRESQL, REDSHIFT), defaults=("NULL",),
     note="PG semantics replayed exactly (reference babel "
     "postgresql.iq): literal delimiter, ''-delim keeps the whole "
     "string, NULL-delim splits per character, '' input yields [], "
@@ -414,9 +423,9 @@ _reg("REGEXP_SUBSTR", "", (2,), libs=(BIG_QUERY,))
 # SqlLibraryOperators.java:713-718: {SPARK, MYSQL, POSTGRESQL, ORACLE},
 # STRING_STRING_OPTIONAL_STRING — the 3-arg matchType form routes
 # through std_regex.regexp_like (makeRegexpFlags → inline-flag prefix)
-_reg("REGEXP_LIKE", "{0} RLIKE {1}", (2, 3), libs=(MYSQL, ORACLE, SPARK, POSTGRESQL), kind="predicate")
+_reg("REGEXP_LIKE", "{0} RLIKE {1}", (2, 3), libs=(MYSQL, ORACLE, SPARK, POSTGRESQL, REDSHIFT), kind="predicate")
 _reg("CONTAINS_SUBSTR", "contains({0}, {1})", (2,), libs=(BIG_QUERY,))
-_reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL))
+_reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL, BIG_QUERY, REDSHIFT, SPARK))
 
 # ---------------------------------------------------------------------
 # Date/time (std CURRENT_* EXTRACT FLOOR/CEIL TIMESTAMP_ADD/DIFF
@@ -498,13 +507,13 @@ _reg(
     "PARSE_TIME", "", (2,), libs=(BIG_QUERY,),
     note="TIME type unsupported (SURVEY §1.2) — translate() refuses loudly",
 )
-_reg("UNIX_SECONDS", "unix_seconds({0})", (1,), libs=(BIG_QUERY,))
-_reg("UNIX_MILLIS", "unix_millis({0})", (1,), libs=(BIG_QUERY,))
-_reg("UNIX_MICROS", "unix_micros({0})", (1,), libs=(BIG_QUERY,))
-_reg("UNIX_DATE", "unix_date({0})", (1,), libs=(BIG_QUERY,))
-_reg("TIMESTAMP_SECONDS", "timestamp_seconds({0})", (1,), libs=(BIG_QUERY,))
-_reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY,))
-_reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY,))
+_reg("UNIX_SECONDS", "unix_seconds({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("UNIX_MILLIS", "unix_millis({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("UNIX_MICROS", "unix_micros({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("UNIX_DATE", "unix_date({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("TIMESTAMP_SECONDS", "timestamp_seconds({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("TIMESTAMP_MILLIS", "timestamp_millis({0})", (1,), libs=(BIG_QUERY, SPARK))
+_reg("TIMESTAMP_MICROS", "timestamp_micros({0})", (1,), libs=(BIG_QUERY, SPARK))
 _reg(
     "CONVERT_TIMEZONE", "", (2, 3), libs=(REDSHIFT,),
     note="REDSHIFT-gated per SqlLibraryOperators.java:110 (PG has no "
@@ -707,7 +716,7 @@ _reg("IS JSON VALUE", "get_json_object({0}, '$') IS NOT NULL OR from_json({0}, '
 # Casts / special (CASE COALESCE NULLIF GREATEST LEAST DECODE NVL IF ...)
 # ---------------------------------------------------------------------
 _passthrough("COALESCE NULLIF GREATEST LEAST NVL NVL2 IF IFNULL ISNULL")
-_reg("DECODE", "", (), libs=(ORACLE, SPARK), note="variadic passthrough; Spark decode implements the Oracle chain incl. NULL==NULL")
+_reg("DECODE", "", (), libs=(ORACLE, SPARK, HIVE, REDSHIFT), note="variadic passthrough; Spark decode implements the Oracle chain incl. NULL==NULL")
 _reg("CAST", "CAST({0} AS {1})", (2,))
 _reg("FORMAT", "format_string({0}, {1})", (), libs=(MYSQL,))
 
@@ -741,12 +750,12 @@ _reg(
     libs=(BIG_QUERY,),
     kind="predicate",
 )
-_reg("RANDOM", "rand()", (0,), libs=(POSTGRESQL,))
-_reg("TRUNC", _TRUNCATE_TEMPLATE, (1, 2), libs=(POSTGRESQL, ORACLE), defaults=("0",), note="numeric TRUNC alias of TRUNCATE (shared template)")
+_reg("RANDOM", "rand()", (0,), libs=(POSTGRESQL, REDSHIFT))
+_reg("TRUNC", _TRUNCATE_TEMPLATE, (1, 2), libs=(POSTGRESQL, ORACLE, BIG_QUERY), defaults=("0",), note="numeric TRUNC alias of TRUNCATE (shared template)")
 # string batch
 _reg("LEN", "length({0})", (1,), libs=(REDSHIFT, SNOWFLAKE, SPARK))
-_reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, SNOWFLAKE, SPARK))
-_reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORACLE), defaults=("2147483647",))
+_reg("LENGTH", "length({0})", (1,), libs=(BIG_QUERY, POSTGRESQL, HIVE, REDSHIFT, SNOWFLAKE, SPARK))
+_reg("SUBSTR", "substr({0}, {1}, {2})", (2, 3), libs=(BIG_QUERY, POSTGRESQL, ORACLE, HIVE, MYSQL), defaults=("2147483647",))
 _reg("CHAR", "char({0})", (1,), libs=(MYSQL, SPARK), note="code point → string")
 _reg("FIND_IN_SET", "find_in_set({0}, {1})", (2,), libs=(MYSQL, HIVE, SPARK))
 _reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPARK))
@@ -769,7 +778,7 @@ _reg("NOT_ILIKE", "NOT ({0} ILIKE {1})", (2,), libs=(POSTGRESQL,), kind="predica
 _reg("NULL_SAFE_EQUAL", "{0} <=> {1}", (2,), libs=(MYSQL,), kind="predicate")
 _reg("GETBIT", "getbit({0}, {1})", (2,))
 _reg("BIT_GET", "getbit({0}, {1})", (2,))
-_reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL,))
+_reg("BIT_COUNT", "bit_count({0})", (1,), libs=(MYSQL, BIG_QUERY, SPARK))
 # datetime batch (MSSQL/Redshift DATEADD/DATEPART; BigQuery *_ADD/_SUB/
 # _DIFF/_TRUNC families over the unified timestamp type)
 # r9 audit: neither MySQL nor Oracle has DATEADD — the reference gates
@@ -784,13 +793,18 @@ _reg(
 )
 _reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
+# BigQuery DATE_ADD/DATE_SUB take (date, INTERVAL) — a different
+# operator from the Spark/Hive int-days base entry (SqlLibraryOperators
+# DATE_ADD:320/DATE_SUB:260 gate BIG_QUERY); variant keys win there
+_reg("DATE_ADD", "CAST({0} + {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of="DATE_ADD")
+_reg("DATE_SUB", "CAST({0} - {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of="DATE_SUB")
 _reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_DIFF", "timestampdiff({2}, {1}, {0})", (3,), libs=(BIG_QUERY,), note="BigQuery arg order: (a, b, part) = a - b")
 _reg("TIMESTAMP_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier (native BigQuery form); template quotes it")
 _reg("DATETIME_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier; template quotes it")
 _reg("CURRENT_DATETIME", "current_timestamp()", (0,), libs=(BIG_QUERY,))
 _reg("SYSTIMESTAMP", "current_timestamp()", (0,), libs=(ORACLE,))
-_reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY,))
+_reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY, SPARK))
 _reg("DATETIME", "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})", (6,), libs=(BIG_QUERY,))
 # XML (MySQL ExtractValue / Oracle EXISTSNODE → Spark xpath builtins)
 _reg("EXTRACT_VALUE", "xpath_string({0}, {1})", (2,), libs=(MYSQL,))
@@ -1080,7 +1094,7 @@ _reg("LISTAGG", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), kind="a
 _reg("STRING_AGG", "concat_ws({1}, array_sort(collect_list({0})))", (2,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
 _reg("GROUP_CONCAT", "concat_ws({1}, array_sort(collect_list({0})))", (1, 2), libs=(MYSQL,), kind="aggregate", defaults=("','",))
 _reg("ARRAY_AGG", "collect_list({0})", (1,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
-_reg("ARRAY_CONCAT_AGG", "flatten(collect_list({0}))", (1,), libs=(BIG_QUERY,), kind="aggregate")
+_reg("ARRAY_CONCAT_AGG", "flatten(collect_list({0}))", (1,), libs=(BIG_QUERY, POSTGRESQL), kind="aggregate")
 _reg("COUNTIF", "count_if({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
 _reg("LOGICAL_AND", "bool_and({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")
 _reg("LOGICAL_OR", "bool_or({0})", (1,), libs=(BIG_QUERY,), kind="aggregate")

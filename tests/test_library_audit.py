@@ -110,6 +110,68 @@ def test_lib_lists_match_reference_annotations():
     )
 
 
+# (name, lib) pairs the parser attributes to an operator because a
+# NEIGHBORING declaration's withName(...) falls inside its lookahead
+# window — each verified against the actual annotation and documented:
+# ENDSWITH/STARTSWITH pick up the BQ ENDS_WITH/STARTS_WITH neighbors,
+# MONTHNAME {MYSQL} only (:1081), PARSE_URL {HIVE, SPARK} (:479),
+# REGEXP_CONTAINS {BIG_QUERY} (:582), DIFFERENCE {POSTGRESQL} (:1140),
+# BIT_COUNT_BIG_QUERY {BIG_QUERY, SPARK} (:1168)
+_PARSER_NOISE = {
+    ("ENDSWITH", "BIG_QUERY"),
+    ("STARTSWITH", "BIG_QUERY"),
+    ("STARTSWITH", "POSTGRESQL"),
+    ("MONTHNAME", "BIG_QUERY"),
+    ("PARSE_URL", "POSTGRESQL"),
+    ("PARSE_URL", "REDSHIFT"),
+    ("REGEXP_CONTAINS", "MYSQL"),
+    ("DIFFERENCE", "SPARK"),
+    ("BIT_COUNT", "HIVE"),
+}
+
+
+def test_no_under_acceptance_vs_reference():
+    """The inverse direction: a lib the reference grants that we refuse
+    is an under-acceptance (a dialect user hits a refusal where the
+    reference would accept). The r9 sweep granted 20+ of these
+    (REDSHIFT's PG inheritance, the Spark-native UNIX_*/TIMESTAMP_*
+    converters, BQ interval DATE_ADD/DATE_SUB variants, the PG
+    log10-for-1-arg LOG variant, MariaDB TO_CHAR, ...)."""
+    ref = _reference_lib_map()
+    ours_by_name: dict[str, set] = {}
+    for fn in registry.FUNCTIONS.values():
+        bucket = ours_by_name.setdefault(fn.name.upper(), set())
+        bucket.update(set(fn.libraries) - STD)
+        if "STANDARD" in fn.libraries:
+            bucket.add("*")
+    missing = []
+    for name, rlibs in ref.items():
+        ours = ours_by_name.get(name)
+        if ours is None or "*" in ours:
+            continue
+        lack = {l for l in rlibs - ours if (name, l) not in _PARSER_NOISE}
+        if lack:
+            missing.append((name, sorted(lack)))
+    assert not missing, f"reference grants libs we refuse: {sorted(missing)}"
+
+
+def test_pg_log_and_bq_date_add_variants(spark):
+    """Semantic spot checks for the two grants that needed VARIANTS
+    rather than a lib-list edit: PG's 1-arg LOG is base-10 (not ln),
+    and BigQuery's DATE_ADD takes an INTERVAL."""
+    e = registry.translate("LOG", "100", library="POSTGRESQL")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0].v == 2.0
+    e = registry.translate("LOG", "2", "8", library="POSTGRESQL")
+    assert spark.sql(f"SELECT {e} AS v").collect()[0].v == 3.0
+    e = registry.translate(
+        "DATE_ADD", "DATE '2020-01-31'", "INTERVAL '1' MONTH", library="BIG_QUERY"
+    )
+    assert str(spark.sql(f"SELECT {e} AS v").collect()[0].v) == "2020-02-29"
+    # the Spark/Hive int-days base form is untouched
+    e = registry.translate("DATE_ADD", "DATE '2020-01-01'", "30", library="SPARK")
+    assert str(spark.sql(f"SELECT {e} AS v").collect()[0].v) == "2020-01-31"
+
+
 def test_regated_nonexistent_names_refuse():
     """The r9 audit's fix class: lookups under engines that do NOT have
     the function must miss (the pre-audit blanket granted them)."""
