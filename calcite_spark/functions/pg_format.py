@@ -251,6 +251,61 @@ _ALL_TOKENS = sorted(
 )
 _JAVA = {t: j for t, j in _TOKENS if j is not None}
 
+# numeric value of each token, for the TH/th ordinal suffix
+# (PostgresqlDateTimeFormatterTest: '1001ST', '86399TH', '0TH' — the
+# suffix derives from the RENDERED number, so YY uses year % 100)
+_US_IN_SECOND = "(unix_micros(CAST({x} AS TIMESTAMP)) % 1000000)"
+_NUMERIC_OF: dict[str, str] = {
+    "YYYY": "year({x})",
+    "YYY": "(year({x}) % 1000)",
+    "YY": "(year({x}) % 100)",
+    "Y": "(year({x}) % 10)",
+    "IYYY": _ISOY,
+    "IYY": f"({_ISOY} % 1000)",
+    "IY": f"({_ISOY} % 100)",
+    "I": f"({_ISOY} % 10)",
+    "IW": "weekofyear({x})",
+    "IDDD": f"((weekofyear({{x}}) - 1) * 7 + {_IDOW})",
+    "ID": _IDOW,
+    "MM": "month({x})",
+    "DDD": "dayofyear({x})",
+    "DD": "day({x})",
+    "D": "dayofweek(CAST({x} AS DATE))",
+    "HH24": "hour({x})",
+    "HH12": "((hour({x}) + 11) % 12 + 1)",
+    "HH": "((hour({x}) + 11) % 12 + 1)",
+    "MI": "minute({x})",
+    "SSSSS": "(hour({x}) * 3600 + minute({x}) * 60 + second({x}))",
+    "SSSS": "(hour({x}) * 3600 + minute({x}) * 60 + second({x}))",
+    "SS": "second({x})",
+    "MS": f"({_US_IN_SECOND} DIV 1000)",
+    "US": _US_IN_SECOND,
+    "FF1": f"({_US_IN_SECOND} DIV 100000)",
+    "FF2": f"({_US_IN_SECOND} DIV 10000)",
+    "FF3": f"({_US_IN_SECOND} DIV 1000)",
+    "FF4": f"({_US_IN_SECOND} DIV 100)",
+    "FF5": f"({_US_IN_SECOND} DIV 10)",
+    "FF6": _US_IN_SECOND,
+    "W": "((day({x}) - 1) DIV 7 + 1)",
+    "WW": "((dayofyear({x}) - 1) DIV 7 + 1)",
+    "CC": "((year({x}) + 99) DIV 100)",
+    "J": "(datediff(CAST({x} AS DATE), DATE '2000-01-01') + 2451545)",
+    "Q": "quarter({x})",
+}
+
+
+def _ordinal_suffix(numeric: str, upper: bool) -> str:
+    th, st, nd, rd = (
+        ("'TH'", "'ST'", "'ND'", "'RD'") if upper else ("'th'", "'st'", "'nd'", "'rd'")
+    )
+    n = numeric
+    return (
+        f"CASE WHEN ({n}) % 100 BETWEEN 11 AND 13 THEN {th} "
+        f"WHEN ({n}) % 10 = 1 THEN {st} "
+        f"WHEN ({n}) % 10 = 2 THEN {nd} "
+        f"WHEN ({n}) % 10 = 3 THEN {rd} ELSE {th} END"
+    )
+
 
 def pg_to_char_expr(x: str, template: str) -> str:
     """Compile a PG TO_CHAR datetime template into a composed Spark SQL
@@ -264,10 +319,6 @@ def pg_to_char_expr(x: str, template: str) -> str:
     i, n = 0, len(template)
     while i < n:
         ch = template[i]
-        if template.startswith(("TH", "th"), i) and started:
-            raise ValueError(
-                "TO_CHAR template: ordinal suffix TH/th is not supported"
-            )
         if ch == '"':
             j = template.find('"', i + 1)
             if j < 0:
@@ -285,6 +336,22 @@ def pg_to_char_expr(x: str, template: str) -> str:
                     comp.java(_JAVA[tok])
                 started = True
                 i += len(tok)
+                # TH/th ordinal suffix: computed from the token's
+                # RENDERED numeric value ('1001ST', '0TH' — suffix
+                # case follows the SUFFIX token's case, per the
+                # reference formatter's pinned expectations)
+                if template.startswith(("TH", "th"), i):
+                    if tok not in _NUMERIC_OF:
+                        raise ValueError(
+                            f"TO_CHAR template: TH/th after {tok!r} — "
+                            "ordinal suffixes apply to numeric tokens only"
+                        )
+                    comp.expr(
+                        _ordinal_suffix(
+                            _NUMERIC_OF[tok], template[i : i + 2] == "TH"
+                        )
+                    )
+                    i += 2
                 matched = True
                 break
         if matched:

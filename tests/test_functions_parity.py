@@ -165,7 +165,7 @@ def test_to_char_pg_template_refusals():
                    "'J'", "'CC'", "'D'"):
         expr = translate("TO_CHAR", TO_CHAR_TS, now_ok, library="POSTGRESQL")
         assert "date_format" in expr or "CAST" in expr or "rpad" in expr
-    for bad in ("'TZ'", "'OF'", "'DDth'"):
+    for bad in ("'TZ'", "'OF'"):
         with pytest.raises(ValueError):
             translate("TO_CHAR", TO_CHAR_TS, bad, library="POSTGRESQL")
     with pytest.raises(ValueError, match="literal"):

@@ -154,8 +154,34 @@ def test_bracket_separators_render_literally(spark):
     assert got == "2459734[03]"
 
 
+def test_ordinal_suffixes(spark):
+    """TH/th ordinal suffixes (PostgresqlDateTimeFormatterTest
+    testSSSSS block: '0TH', '1001ST', '86399TH', lowercase '1001st';
+    suffix case follows the SUFFIX token's case)."""
+    cases = [
+        ("TIMESTAMP '2024-01-01 00:00:00'", "SSSSTH", "0TH"),
+        ("TIMESTAMP '2024-01-01 00:16:41'", "SSSSTH", "1001ST"),
+        ("TIMESTAMP '2024-01-01 23:59:59'", "SSSSth", "86399th"),
+        ("TIMESTAMP '2024-01-01 00:16:41'", "SSSSSth", "1001st"),
+        (A, "DDth Mon", "03rd Jun"),
+        (A, "DDTH", "03RD"),
+        (A, "YYYYth", "2022nd"),
+        (A, "Jth", "2459734th"),
+        ("TIMESTAMP '2024-01-11 00:00:00'", "DDTH", "11TH"),
+        ("TIMESTAMP '2024-01-22 00:00:00'", "DDth", "22nd"),
+        ("TIMESTAMP '2024-01-13 00:00:00'", "DDTH", "13TH"),
+    ]
+    for arg, template, expected in cases:
+        expr = translate("TO_CHAR", arg, f"'{template}'")
+        got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        assert got == expected, (template, expr, got, expected)
+    # TH after a NAME token stays a loud refusal
+    with pytest.raises(ValueError, match="numeric tokens"):
+        translate("TO_CHAR", A, "'MonTH'")
+
+
 def test_unsupported_tokens_still_refuse():
-    for template in ("TZ", "OF", "DDTH"):
+    for template in ("TZ", "OF"):
         with pytest.raises(ValueError):
             translate("TO_CHAR", A, f"'{template}'")
     # non-literal template still refuses (plan-time conversion contract)
