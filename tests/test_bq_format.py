@@ -146,6 +146,18 @@ def test_refusals(spark):
             translate(name, "'%H'", "'10:00:00'", library="BIG_QUERY")
 
 
+def test_e_s_fraction_family(spark):
+    """%EnS renders SECONDS WITH n fractional digits ("12.345"), per
+    the BigQuery docs — the reference's FormatElementEnum maps these to
+    fraction-only FFn, a lossy mapping we deliberately do not follow
+    (documented divergence in favor of the engine's real output)."""
+    ts = "TIMESTAMP '2008-12-25 15:30:12.345678'"
+    assert _fmt(spark, "FORMAT_TIMESTAMP", "%E3S", ts) == "12.345"
+    assert _fmt(spark, "FORMAT_TIMESTAMP", "%E1S", ts) == "12.3"
+    assert _fmt(spark, "FORMAT_TIMESTAMP", "%E*S", ts) == "12.345678"
+    assert _fmt(spark, "FORMAT_TIMESTAMP", "%H:%M:%E2S", ts) == "15:30:12.34"
+
+
 def test_literal_and_escape_elements(spark):
     assert _fmt(spark, "FORMAT_DATE", "%Y%%%m", "DATE '2020-03-01'") == "2020%03"
     got = _fmt(spark, "FORMAT_DATE", "%Y%n%m", "DATE '2020-03-01'")
