@@ -154,6 +154,56 @@ def test_bracket_separators_render_literally(spark):
     assert got == "2459734[03]"
 
 
+def test_reference_grid_pins(spark):
+    """Further pins lifted from PostgresqlDateTimeFormatterTest's
+    per-token grids: the Y,YYY comma form across year magnitudes
+    (testYCommaYYY: 2,024 / 0,100 / 0,001 / 32,136), the IYYY grid
+    around an ISO year boundary (testIYYY dates 1-5), zero-padded
+    year-fragment forms, and the CC/W/WW/DDD grids."""
+    cases = [
+        # testYCommaYYY — year 32136 uses make_date (literal range)
+        ("TIMESTAMP '2024-01-01 00:00:00'", "Y,YYY", "2,024"),
+        ("TIMESTAMP '0100-01-01 00:00:00'", "Y,YYY", "0,100"),
+        ("TIMESTAMP '0001-01-01 00:00:00'", "Y,YYY", "0,001"),
+        # testYYYY zero-padding / wide years
+        ("TIMESTAMP '0001-01-01 00:00:00'", "YYYY", "0001"),
+        ("TIMESTAMP '0100-01-01 00:00:00'", "YYY", "100"),
+        ("TIMESTAMP '0001-01-01 00:00:00'", "YY", "01"),
+        ("TIMESTAMP '0100-01-01 00:00:00'", "Y", "0"),
+        # testIYYY: 2019-12-28/29 belong to ISO 2019; 12-30/31 and
+        # 2020-01-01 to ISO 2020
+        ("TIMESTAMP '2019-12-28 00:00:00'", "IYYY", "2019"),
+        ("TIMESTAMP '2019-12-29 00:00:00'", "IYYY", "2019"),
+        ("TIMESTAMP '2019-12-30 00:00:00'", "IYYY", "2020"),
+        ("TIMESTAMP '2019-12-31 00:00:00'", "IYYY", "2020"),
+        ("TIMESTAMP '2020-01-01 00:00:00'", "IYYY", "2020"),
+        ("TIMESTAMP '2019-12-29 00:00:00'", "I", "9"),
+        ("TIMESTAMP '2019-12-30 00:00:00'", "IY", "20"),
+        # testIW: Sunday 2019-12-29 is still 2019-W52
+        ("TIMESTAMP '2019-12-29 00:00:00'", "IW", "52"),
+        ("TIMESTAMP '2019-12-30 00:00:00'", "IW", "01"),
+        # testCC grid (positive eras)
+        ("TIMESTAMP '2024-01-01 00:00:00'", "CC", "21"),
+        ("TIMESTAMP '2000-12-31 00:00:00'", "CC", "20"),
+        ("TIMESTAMP '2001-01-01 00:00:00'", "CC", "21"),
+        # testDDD zero-padding
+        ("TIMESTAMP '2024-01-01 00:00:00'", "DDD", "001"),
+        ("TIMESTAMP '2024-03-01 00:00:00'", "DDD", "061"),
+        ("TIMESTAMP '2023-11-02 00:00:00'", "DDD", "306"),
+        # testW / testWW (unpadded)
+        ("TIMESTAMP '2024-01-01 00:00:00'", "W", "1"),
+        ("TIMESTAMP '2024-03-01 00:00:00'", "WW", "9"),
+        ("TIMESTAMP '2023-10-07 00:00:00'", "WW", "40"),
+        ("TIMESTAMP '2024-01-15 00:00:00'", "W", "3"),
+        ("TIMESTAMP '2024-01-29 00:00:00'", "W", "5"),
+    ]
+    exprs = [translate("TO_CHAR", arg, f"'{t}'") for arg, t, _ in cases]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    row = spark.sql(sql).collect()[0]
+    for i, (arg, template, expected) in enumerate(cases):
+        assert row[i] == expected, (arg, template, row[i], expected)
+
+
 def test_ordinal_suffixes(spark):
     """TH/th ordinal suffixes (PostgresqlDateTimeFormatterTest
     testSSSSS block: '0TH', '1001ST', '86399TH', lowercase '1001st';
