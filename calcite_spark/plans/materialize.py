@@ -181,6 +181,34 @@ _ISO_CANON_RE = re.compile(
 )
 
 
+_KEY_ALIAS_RE = re.compile(r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$")
+
+
+def _key_alias(key: str) -> str:
+    """Output column name of a group key: ``expr AS alias`` → alias,
+    plain column → itself. Greedy prefix so the TRAILING AS wins
+    (``CAST(a AS INT) AS b`` → b)."""
+    m = _KEY_ALIAS_RE.match(key)
+    return m.group(2) if m else key
+
+
+def _plain_key(key: str) -> bool:
+    return re.fullmatch(r"[A-Za-z_]\w*", key.strip()) is not None
+
+
+def _valid_group_key(key: str) -> bool:
+    """A group key the tile layer can store AND substitute: a plain
+    column, or ``expr AS alias`` (balanced expr, identifier alias) —
+    the expression-key unification of plan/SubstitutionVisitor.java
+    (it unifies expression group keys by matching the view's projected
+    expression and re-referencing its output column; we match on
+    normalized text and re-reference the tile's alias column)."""
+    if _plain_key(key):
+        return True
+    m = _KEY_ALIAS_RE.match(key)
+    return m is not None and _paren_balanced(m.group(1))
+
+
 def _parse_lit(text: str):
     """→ (kind, comparable_value, sql_text) or None. ISO date/timestamp
     and plain ASCII strings compare lexically = their SQL order; numbers
@@ -410,6 +438,24 @@ class MaterializationRegistry:
         table, still answering the historical query via union with a
         base scan of only the COLD residual range."""
         catalog.mv_registry = self
+        # group keys: plain columns or `expr AS alias` (r10, verdict
+        # item 1 — define() used to accept ANY string and the
+        # substitution then crashed every query the tile was built to
+        # serve with UNRESOLVED_COLUMN; ≈ SubstitutionVisitor's
+        # expression-group-key unification). Bare expressions WITHOUT
+        # an alias refuse loudly: the tile column would carry Spark's
+        # generated name and no query could ever match it.
+        bad_keys = [k for k in group_keys if not _valid_group_key(k)]
+        if bad_keys:
+            raise ValueError(
+                "define: group keys must be plain columns or "
+                f"'expr AS alias'; got {bad_keys[0]!r}"
+            )
+        out_names = [_key_alias(k) for k in group_keys]
+        if len(set(out_names)) != len(out_names):
+            raise ValueError(
+                f"define: duplicate group-key output names {out_names}"
+            )
         if filter_condition is not None:
             region = _parse_region(filter_condition)
             if region is None:
@@ -432,6 +478,11 @@ class MaterializationRegistry:
             if p is None:
                 raise ValueError(f"not a rewritable aggregate call: {call}")
             fn, arg, alias = p
+            if alias in out_names:
+                raise ValueError(
+                    f"define: aggregate alias {alias!r} collides with a "
+                    "group-key output name"
+                )
             parsed[alias] = (fn, arg)
         base: ir.RelNode = ir.Scan(table)
         if filter_condition is not None:
@@ -567,6 +618,19 @@ class MaterializationRegistry:
                 "define_join: the aggregate's input must be an INNER "
                 "equi-join tree of bare table scans (use define() for "
                 "single-table MVs)"
+            )
+        # join tiles keep plain-column keys only (r10): the join
+        # matcher, FK peel, drill-across compensation, and delta
+        # refresh all classify keys by owning table — an expression
+        # key has no single owner. Expression keys are the
+        # single-table define() tier; refuse loudly here rather than
+        # let a later substitution or refresh misclassify.
+        bad_keys = [k for k in plan.group_keys if not _plain_key(k)]
+        if bad_keys:
+            raise ValueError(
+                "define_join: group keys must be plain columns "
+                f"(expression keys are single-table define() only); "
+                f"got {bad_keys[0]!r}"
             )
         tables, edges = ext
         if filter_condition is not None:
@@ -1293,7 +1357,10 @@ class MaterializationRegistry:
             "NULL", "TRUE", "FALSE", "CAST", "AS", "DOUBLE", "BIGINT",
             "INT", "COALESCE", "GREATEST", "LEAST", "SQRT", "ABS", "ROUND",
         }
-        allowed = set(query_keys)
+        # expression group keys (r10): the key's ALIAS is a legal
+        # identifier in a sibling aggregate expression — it names the
+        # tile column the key maps to
+        allowed = set(query_keys) | {_key_alias(k) for k in query_keys}
         if not all(
             i in allowed or i.upper() in sql_words or i.isdigit()
             for i in idents
@@ -1345,15 +1412,33 @@ class MaterializationRegistry:
         return new_calls
 
     def _try_rewrite(self, agg: ir.Aggregate, filt, mv: Materialization, catalog=None):
-        # group keys must be a subset of the tile's keys
-        if not set(agg.group_keys) <= set(mv.group_keys):
-            return None
-        # filter may only reference tile group keys (identifier check)
+        # group keys must be a subset of the tile's keys, matched by
+        # normalized text — an expression key matches only when the
+        # query writes the SAME expression AND the SAME alias (a
+        # different alias would rename the output column; no match,
+        # never a crash — ≈ SubstitutionVisitor expression-group-key
+        # unification, r10 verdict item 1). Every matched key is then
+        # re-referenced as the TILE'S stored column (its alias): the
+        # raw expression's inputs were aggregated away at build time.
+        tile_by_norm = {_norm(k): k for k in mv.group_keys}
+        q_out = []  # the tile column serving each query key, in order
+        for k in agg.group_keys:
+            hit = tile_by_norm.get(_norm(k))
+            if hit is None:
+                return None
+            q_out.append(_key_alias(hit))
+        # filter may only reference PLAIN tile group keys (identifier
+        # check; an expression key's alias does not exist below the
+        # query's aggregate, and its base columns are gone from the tile)
         if filt is not None and not self._filter_refs_ok(
-            filt.condition, set(mv.group_keys)
+            filt.condition, {k for k in mv.group_keys if _plain_key(k)}
         ):
             return None
-        exact = tuple(agg.group_keys) == tuple(mv.group_keys) and filt is None
+        exact = (
+            tuple(_norm(k) for k in agg.group_keys)
+            == tuple(_norm(k) for k in mv.group_keys)
+            and filt is None
+        )
         new_calls = self._map_rollup_calls(
             agg.agg_calls, mv, exact, catalog, agg.group_keys
         )
@@ -1361,10 +1446,10 @@ class MaterializationRegistry:
             return None
         scan = ir.Scan(mv.name)
         if exact:
-            # identity projection over the tile
-            return ir.Project(tuple(list(agg.group_keys) + new_calls), inputs=(scan,))
+            # identity projection over the tile (by stored column name)
+            return ir.Project(tuple(q_out + new_calls), inputs=(scan,))
         base = ir.Filter(filt.condition, inputs=(scan,)) if filt is not None else scan
-        return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(base,))
+        return ir.Aggregate(tuple(q_out), tuple(new_calls), inputs=(base,))
 
     def _join_compensate(self, agg, filt, mv, q_tables, q_edges, catalog):
         """Query joins a SUPERSET of the MV's tables → scan the tile,
@@ -1512,7 +1597,8 @@ class MaterializationRegistry:
             return None
         if mv.tables and not exact_join:
             return None  # FK-peeled join tiles are contained-only
-        if not set(agg.group_keys) <= set(mv.group_keys):
+        tile_norms = {_norm(k) for k in mv.group_keys}
+        if not {_norm(k) for k in agg.group_keys} <= tile_norms:
             return None
         merged_calls = self._map_rollup_calls(
             agg.agg_calls, mv, False, catalog, agg.group_keys
@@ -1520,8 +1606,13 @@ class MaterializationRegistry:
         if merged_calls is None:
             return None
         # both branches project the tile's canonical column list so the
-        # UNION ALL aligns positionally and by name
-        branch_cols = tuple(list(mv.group_keys) + list(mv.agg_calls))
+        # UNION ALL aligns positionally and by name; expression keys
+        # (r10) are referenced by their STORED alias — the base branch
+        # re-computes the expression (raw key over the base scan names
+        # its output with the same alias), the tile branch reads it
+        branch_cols = tuple(
+            [_key_alias(k) for k in mv.group_keys] + list(mv.agg_calls)
+        )
         tile_branch = ir.Project(
             branch_cols,
             inputs=(
@@ -1549,7 +1640,9 @@ class MaterializationRegistry:
         )
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
         return ir.Aggregate(
-            tuple(agg.group_keys), tuple(merged_calls), inputs=(union,)
+            tuple(_key_alias(k) for k in agg.group_keys),
+            tuple(merged_calls),
+            inputs=(union,),
         )
 
     def _region_contained_substitute(self, agg, filt, mv, catalog):

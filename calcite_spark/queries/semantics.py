@@ -1408,3 +1408,83 @@ def qx45_mv_join_refresh(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "qx46_mv_expr_key",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS mo,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate) ORDER BY mo
+    """,
+    tags=("materialize", "rewrite", "mv", "expression-key"),
+)
+def qx46_mv_expr_key(spark, sf_dir):
+    """Expression-group-key MV tile (r10, verdict item 1; ≈
+    plan/SubstitutionVisitor.java unifying expression group keys +
+    rel/rules/materialize/MaterializedViewAggregateRule rolling up over
+    them): `GROUP BY date_trunc('month', o_orderdate) AS mo` — THE most
+    common warehouse tile key — matches by normalized key text and
+    re-references the tile's stored alias column. The tile carries an
+    extra plain key (o_orderstatus), so this query exercises the ROLLUP
+    tier (re-group by the alias) with an AVG decomposed onto the tile's
+    SUM/COUNT; r9's engine crashed here with UNRESOLVED_COLUMN. The
+    oracle is the plain aggregate over the fact table; the plan asserts
+    the tile scan. 100 TB: the month rollup reads a tile ~5 orders of
+    magnitude smaller than the order history."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx46_tile",
+        table="orders",
+        group_keys=["date_trunc('month', o_orderdate) AS mo", "o_orderstatus"],
+        agg_calls=[
+            "SUM(o_totalprice) AS s_price",
+            "COUNT(o_totalprice) AS c_price",
+        ],
+        path=tempfile.mkdtemp(prefix="qx46_mv_") + "/qx46_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            [
+                "SUM(o_totalprice) AS sum_price",
+                "AVG(o_totalprice) AS avg_price",
+                "COUNT(o_totalprice) AS n_orders",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("expression-key MV substitution did not fire")
+    # negative half of the driver row: the same expression under a
+    # DIFFERENT alias must fall back to the base (no match), not crash
+    neg = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS month_start"],
+            ["SUM(o_totalprice) AS sum_price"],
+        )
+        .to_df()
+    )
+    if any(mv.name in f for f in neg.inputFiles()):
+        raise RuntimeError("different-alias query wrongly bound the tile")
+    return df.selectExpr(
+        "mo",
+        "ROUND(sum_price, 3) AS sum_price",
+        "ROUND(avg_price, 6) AS avg_price",
+        "n_orders",
+    ).orderBy("mo")
