@@ -1852,12 +1852,17 @@ def _column_nulls(catalog, table: str, col: str):
 
 @dataclass
 class _ShapeStat:
-    """One observed aggregate query shape (table, keys, agg calls)."""
+    """One observed aggregate query shape: single-table (table, keys,
+    calls) or star-join (tables, edges, keys, calls — r10, the
+    hypergraph LatticeSuggester.java builds from observed query
+    joins)."""
 
     table: str
     group_keys: tuple
     agg_calls: tuple
     count: int = 0
+    tables: tuple = ()  # () = single-table shape
+    join_edges: frozenset = frozenset()
 
 
 class LatticeSuggester:
@@ -1885,6 +1890,30 @@ class LatticeSuggester:
 
     # -- recording -----------------------------------------------------
 
+    @staticmethod
+    def _record_calls(agg_calls) -> tuple:
+        """Normalize observed aggregate calls for recording: liftable
+        calls verbatim; derived aggregates (AVG/VAR/STDDEV) as their
+        SUFFICIENT STATISTICS (r9) — a corpus full of AVG queries then
+        suggests a SUM+COUNT tile the derived mapper can serve."""
+        norm_calls = []
+        for c in agg_calls:
+            if parse_agg_call(c):
+                norm_calls.append(c)
+                continue
+            dm = _DERIVED_RE.match(c)
+            if dm is None:
+                continue  # unrecordable call: skip it, keep the rest
+            fn = dm.group(1).upper()
+            arg = re.sub(r"\s+", " ", dm.group(2))
+            if arg.upper().startswith("DISTINCT") or not _paren_balanced(arg):
+                continue
+            norm_calls.append(f"SUM({arg}) AS s")
+            norm_calls.append(f"COUNT({arg}) AS c")
+            if fn != "AVG":
+                norm_calls.append(f"SUM({_square_arg(arg)}) AS q")
+        return tuple(sorted(set(norm_calls)))
+
     def observe(self, plan: ir.RelNode) -> None:
         stack = [plan]
         while stack:
@@ -1895,52 +1924,55 @@ class LatticeSuggester:
             child = n.inputs[0]
             if isinstance(child, ir.Filter):
                 child = child.inputs[0]
-            if not isinstance(child, ir.Scan):
-                continue
             keys = tuple(sorted(n.group_keys))
             # plain-column keys only (an expression key would need the
             # expression materialized in the tile — out of scope, bail)
             if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
                 continue
-            norm_calls = []
-            for c in n.agg_calls:
-                if parse_agg_call(c):
-                    norm_calls.append(c)
-                    continue
-                dm = _DERIVED_RE.match(c)
-                if dm is None:
-                    continue  # unrecordable call: skip it, keep the rest
-                # derived aggregates record as their SUFFICIENT
-                # STATISTICS (r9): a corpus full of AVG queries then
-                # suggests a SUM+COUNT tile the derived mapper can
-                # serve — the self-tuning loop closes end-to-end
-                fn = dm.group(1).upper()
-                arg = re.sub(r"\s+", " ", dm.group(2))
-                if arg.upper().startswith("DISTINCT") or not _paren_balanced(arg):
-                    continue
-                norm_calls.append(f"SUM({arg}) AS s")
-                norm_calls.append(f"COUNT({arg}) AS c")
-                if fn != "AVG":
-                    norm_calls.append(f"SUM({_square_arg(arg)}) AS q")
-            calls = tuple(sorted(set(norm_calls)))
+            calls = self._record_calls(n.agg_calls)
             if not keys or not calls:
                 continue
-            key = (child.table, keys, calls)
-            st = self.shapes.setdefault(key, _ShapeStat(child.table, keys, calls))
+            if isinstance(child, ir.Scan):
+                key = (child.table, keys, calls)
+                st = self.shapes.setdefault(
+                    key, _ShapeStat(child.table, keys, calls)
+                )
+                st.count += 1
+                continue
+            # star-join shapes (r10, verdict item 3 ≈ the hypergraph
+            # materialize/LatticeSuggester.java grows from observed
+            # query JOIN graphs): an aggregate over an INNER equi-join
+            # tree records (table set, edge set, keys, calls) so
+            # auto_build can propose the join tiles the substitution
+            # tier (qx36/qx44) already knows how to serve
+            ext = extract_join_subtree(child)
+            if ext is None or not ext[1]:
+                continue
+            tables, edges = ext
+            key = (tuple(sorted(tables)), edges, keys, calls)
+            st = self.shapes.setdefault(
+                key,
+                _ShapeStat(
+                    "", keys, calls,
+                    tables=tuple(sorted(tables)), join_edges=edges,
+                ),
+            )
             st.count += 1
 
     # -- proposing -----------------------------------------------------
 
     def suggest(self, min_count: int = 2, max_tiles: int = 3) -> list[dict]:
-        """Per-table proposals, most-observed tables first. group_keys =
-        union of observed keys; agg_calls = union of observed aggregate
-        (fn, arg) pairs with canonical aliases (the rewrite matches on
-        (fn, normalized arg), not alias)."""
-        by_table: dict[str, list[_ShapeStat]] = {}
+        """Proposals grouped per table (single-table shapes) or per
+        (table set, edge set) star (join shapes, r10), most-observed
+        first. group_keys = union of observed keys; agg_calls = union of
+        observed aggregate (fn, arg) pairs with canonical aliases (the
+        rewrite matches on (fn, normalized arg), not alias)."""
+        grouped: dict[tuple, list[_ShapeStat]] = {}
         for st in self.shapes.values():
-            by_table.setdefault(st.table, []).append(st)
+            g = (st.tables, st.join_edges) if st.tables else (st.table,)
+            grouped.setdefault(g, []).append(st)
         proposals = []
-        for table, stats in by_table.items():
+        for g, stats in grouped.items():
             total = sum(s.count for s in stats)
             if total < min_count:
                 continue
@@ -1953,18 +1985,72 @@ class LatticeSuggester:
             calls = [
                 f"{sql} AS m{i}" for i, sql in enumerate(sorted(seen_calls.values()))
             ]
-            proposals.append(
-                {
-                    "table": table,
-                    "group_keys": keys,
-                    "agg_calls": calls,
-                    "observations": total,
-                }
-            )
+            p = {
+                "group_keys": keys,
+                "agg_calls": calls,
+                "observations": total,
+            }
+            if len(g) == 2:
+                p["tables"], p["join_edges"] = list(g[0]), sorted(g[1])
+                p["table"] = None
+            else:
+                p["table"] = g[0]
+            proposals.append(p)
         proposals.sort(key=lambda p: -p["observations"])
         return proposals[:max_tiles]
 
     # -- building ------------------------------------------------------
+
+    @staticmethod
+    def _join_plan_for(catalog, proposal):
+        """Reconstruct a left-deep defining plan for a join proposal:
+        anchor at the table owning the most edges (the star hub), then
+        attach each remaining table through the edges whose other side
+        is already placed (≈ Lattice.Builder walking the hypergraph's
+        spanning tree). Returns (plan, fact) or None when a table
+        cannot attach (disconnected edge set) or column ownership is
+        ambiguous."""
+        from calcite_spark.plans.builder import RelBuilder
+
+        tables, edges = proposal["tables"], list(proposal["join_edges"])
+        owner = {}
+        for t in tables:
+            for c in catalog.table(t).columns:
+                if c in owner:
+                    return None  # ambiguous namespace
+                owner[c] = t
+
+        def edge_count(t):
+            return sum(1 for a, b in edges if owner.get(a) == t or owner.get(b) == t)
+
+        fact = max(sorted(tables), key=edge_count)
+        placed, pending = {fact}, [t for t in sorted(tables) if t != fact]
+        pending_e = list(edges)
+        b = RelBuilder(catalog)
+        b.scan(fact)
+        while pending:
+            progress = False
+            for t in list(pending):
+                usable = [
+                    e for e in pending_e
+                    if (owner.get(e[0]) == t and owner.get(e[1]) in placed)
+                    or (owner.get(e[1]) == t and owner.get(e[0]) in placed)
+                ]
+                if not usable:
+                    continue
+                b.scan(t)
+                b.join(" AND ".join(f"{a} = {c}" for a, c in usable))
+                for e in usable:
+                    pending_e.remove(e)
+                placed.add(t)
+                pending.remove(t)
+                progress = True
+            if not progress:
+                return None  # disconnected: would need a cross join
+        if pending_e:
+            return None  # leftover edge between placed tables missed
+        b.aggregate(list(proposal["group_keys"]), list(proposal["agg_calls"]))
+        return b.build(), fact
 
     def auto_build(
         self,
@@ -1978,6 +2064,25 @@ class LatticeSuggester:
 
         out = []
         for p in self.suggest(min_count=min_count, max_tiles=max_tiles):
+            if p["table"] is None:
+                # star-join proposal (r10): materialize via define_join
+                # so the join matcher / FK peel / drill-across tiers
+                # serve it
+                fact_hint = "_".join(s[:2] for s in p["tables"])
+                name = f"lattice_join_{fact_hint}_{len(p['group_keys'])}d"
+                if name in registry.mvs:
+                    continue
+                built = self._join_plan_for(catalog, p)
+                if built is None:
+                    continue  # unbuildable shape: skip, never crash
+                plan, fact = built
+                out.append(
+                    registry.define_join(
+                        catalog, name, plan,
+                        os.path.join(warehouse, name), fact=fact,
+                    )
+                )
+                continue
             name = f"lattice_{p['table']}_{len(p['group_keys'])}d"
             if name in registry.mvs:
                 continue
