@@ -1578,11 +1578,17 @@ class MaterializationRegistry:
             or parsed_q[0] != parsed_m[0]
             or parsed_q[1] != parsed_m[1]
         ):
-            # multi-column conjunctive regions (r9): containment-only —
-            # per-column interval containment proves the tile covers
-            # the query; the residual of a box difference is not a box,
-            # so union compensation stays single-column
-            return self._region_contained_substitute(agg, filt, mv, catalog)
+            # multi-column conjunctive regions: containment first (r9),
+            # then the general union tier (r10, verdict item 5 ≈
+            # generateUnionRewriting's general residual) — the box
+            # difference decomposes into ≤2 disjoint boxes per
+            # constrained column
+            rewritten = self._region_contained_substitute(agg, filt, mv, catalog)
+            if rewritten is not None:
+                return rewritten
+            return self._region_union_substitute(
+                agg, filt, mv, catalog, exact_join
+            )
         (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
         if m_col not in mv.group_keys:
             return None
@@ -1665,6 +1671,122 @@ class MaterializationRegistry:
             if q is None or q[0] != kind or not _interval_contains(m_iv, q[1]):
                 return None
         return self._try_rewrite(agg, filt, mv, catalog)
+
+    def _region_union_substitute(self, agg, filt, mv, catalog, exact_join):
+        """Multi-column UNION compensation (r10, verdict item 5; ≈
+        MaterializedViewAggregateRule.generateUnionRewriting's general
+        residual): the query's conjunctive box OVERLAPS the tile's
+        multi-column slice — serve the intersection box from tile
+        partials and the residual `Q − M` from the base, decomposed
+        into DISJOINT boxes (for slice column i: columns j<i pinned to
+        the intersection, column i in Q_i − M_i (≤2 intervals), columns
+        j>i at the query's own range), then merge above.
+
+        Refusal gates, each the wrong-value class this layer must never
+        emit: every tile-slice column must be CONSTRAINED by the query
+        (an unconstrained column's NULL rows belong to the query but to
+        NEITHER branch — comparisons are NULL-false); kinds must match
+        per column; all filter columns must be plain tile group keys;
+        join tiles require the exact join (the residual branch re-joins
+        the query's own subtree); disjoint boxes (empty intersection on
+        any column) contribute nothing — refuse."""
+        if mv.tables and not exact_join:
+            return None  # FK-peeled join tiles are contained-only
+        region_m = _parse_region(mv.filter_condition)
+        region_q = _parse_region(filt.condition)
+        if region_m is None or region_q is None:
+            return None
+        plain_keys = {k for k in mv.group_keys if _plain_key(k)}
+        if not set(region_m) <= plain_keys or not set(region_q) <= plain_keys:
+            return None
+        tile_norms = {_norm(k) for k in mv.group_keys}
+        if not {_norm(k) for k in agg.group_keys} <= tile_norms:
+            return None
+        merged_calls = self._map_rollup_calls(
+            agg.agg_calls, mv, False, catalog, agg.group_keys
+        )
+        if merged_calls is None:
+            return None
+        mcols = sorted(region_m)
+        covered: dict = {}
+        for c in mcols:
+            kind, m_iv = region_m[c]
+            q = region_q.get(c)
+            if q is None or q[0] != kind:
+                return None
+            cov = _interval_intersect(q[1], m_iv)
+            if cov.is_empty():
+                return None  # disjoint: the tile contributes nothing
+            covered[c] = cov
+        boxes = []
+        for i, c in enumerate(mcols):
+            _kind, m_iv = region_m[c]
+            for part in _interval_diff(region_q[c][1], m_iv):
+                box = {}
+                for j, cj in enumerate(mcols):
+                    if j < i:
+                        box[cj] = covered[cj]
+                    elif j == i:
+                        box[cj] = part
+                    else:
+                        box[cj] = region_q[cj][1]
+                boxes.append(box)
+        if not boxes:
+            return None  # fully contained: the containment tier owns it
+        extra_sql = [
+            _interval_sql(c, region_q[c][1])
+            for c in sorted(region_q)
+            if c not in region_m
+        ]
+
+        def _box_sql(box):
+            parts = [
+                _interval_sql(c, iv)
+                for c, iv in box.items()
+                if _interval_sql(c, iv) != "TRUE"
+            ]
+            return " AND ".join(parts) if parts else "TRUE"
+
+        covered_parts = [
+            _interval_sql(c, covered[c]) for c in mcols
+        ] + extra_sql
+        covered_sql = (
+            " AND ".join(p for p in covered_parts if p != "TRUE") or "TRUE"
+        )
+        residual_sql = " OR ".join(f"({_box_sql(b)})" for b in boxes)
+        residual_sql = f"({residual_sql})"
+        if extra_sql:
+            residual_sql += " AND " + " AND ".join(extra_sql)
+        branch_cols = tuple(
+            [_key_alias(k) for k in mv.group_keys] + list(mv.agg_calls)
+        )
+        tile_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Filter(covered_sql, inputs=(ir.Scan(mv.name),)),
+            ),
+        )
+        base_calls = tuple(
+            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+        )
+        base_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Aggregate(
+                    mv.group_keys,
+                    base_calls,
+                    inputs=(
+                        ir.Filter(residual_sql, inputs=(filt.inputs[0],)),
+                    ),
+                ),
+            ),
+        )
+        union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
+        return ir.Aggregate(
+            tuple(_key_alias(k) for k in agg.group_keys),
+            tuple(merged_calls),
+            inputs=(union,),
+        )
 
     # -- SPF (raw-row slice) tiers -------------------------------------
 

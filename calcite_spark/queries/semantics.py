@@ -1564,3 +1564,73 @@ def qx47_lattice_auto_join(spark, sf_dir):
         "ROUND(rev, 3) AS rev",
         "ROUND(avg_price, 6) AS avg_price",
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "qx48_mv_union_multicol",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 3) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_totalprice >= 20000.0 AND o_totalprice < 200000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "rewrite", "mv", "slice", "union"),
+)
+def qx48_mv_union_multicol(spark, sf_dir):
+    """Multi-column union compensation (r10, verdict item 5; ≈
+    MaterializedViewAggregateRule.generateUnionRewriting's general
+    residual): a tile sliced on TWO columns (o_orderdate ≥ 1997-01-01
+    AND o_totalprice ≥ 50000) answers a query box that escapes on BOTH
+    — the intersection box reads tile partials, the residual Q − M
+    decomposes into three DISJOINT boxes over the base, and the merge
+    re-aggregates above the UNION ALL. r9 refused this shape
+    ("box differences are not boxes" — they are, piecewise). The
+    oracle is the plain filtered aggregate; the plan asserts both the
+    tile scan and the base scan. 100 TB: the hot 2-D slice (recent +
+    high-value) serves its box from the tile; the residual boxes are
+    partition-prunable slivers of the fact table."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx48_tile",
+        table="orders",
+        group_keys=["o_orderdate", "o_totalprice", "o_orderpriority"],
+        agg_calls=["COUNT(*) AS n", "SUM(o_totalprice) AS s"],
+        path=tempfile.mkdtemp(prefix="qx48_mv_") + "/qx48_tile",
+        filter_condition=(
+            "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_totalprice >= 50000.0"
+        ),
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+            "AND o_totalprice >= 20000.0 AND o_totalprice < 200000.0"
+        )
+        .aggregate(
+            ["o_orderpriority"],
+            ["COUNT(*) AS n_orders", "SUM(o_totalprice) AS sum_price"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("orders.parquet" in f for f in files)
+    ):
+        raise RuntimeError("multi-column union compensation did not fire")
+    return df.selectExpr(
+        "o_orderpriority", "n_orders", "ROUND(sum_price, 3) AS sum_price"
+    ).orderBy("o_orderpriority")

@@ -2804,3 +2804,155 @@ def test_suggester_unbuildable_join_proposal_skipped(spark, tmp_path):
         join_edges=frozenset(p["join_edges"]),
     )
     assert sug.auto_build(cat, reg, str(tmp_path), min_count=2) == []
+
+
+# -- multi-column union compensation (r10, verdict item 5) -------------
+# ≈ MaterializedViewAggregateRule.generateUnionRewriting's general
+# residual: the box difference Q − M decomposes into ≤2 disjoint boxes
+# per slice column; before r10 multi-column regions were containment-
+# only ("box differences are not boxes" — now they are, piecewise).
+
+
+@pytest.fixture(scope="module")
+def box_catalog(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mv_box_")
+    reg.define(
+        cat, "mv_box", "orders",
+        group_keys=["o_orderdate", "o_totalprice", "o_orderpriority"],
+        agg_calls=[
+            "COUNT(*) AS n",
+            "SUM(o_totalprice) AS s",
+            "COUNT(o_totalprice) AS c",
+        ],
+        path=f"{tmp}/mv_box",
+        filter_condition=(
+            "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_totalprice >= 50000.0"
+        ),
+    )
+    return cat, reg
+
+
+def test_multicol_union_both_columns_escape(spark, box_catalog):
+    """The query box escapes the slice on BOTH columns: covered box from
+    the tile, three disjoint residual boxes from the base, merged."""
+    cat, reg = box_catalog
+    cond = (
+        "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+        "AND o_totalprice >= 20000.0 AND o_totalprice < 200000.0"
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n", "AVG(o_totalprice) AS a"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any("mv_box" in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("COUNT(*) AS n"), F.expr("AVG(o_totalprice) AS a"))
+    )
+    got = {r["o_orderpriority"]: (r["n"], round(r["a"], 6)) for r in df.collect()}
+    want = {
+        r["o_orderpriority"]: (r["n"], round(r["a"], 6)) for r in direct.collect()
+    }
+    assert got == want
+
+
+def test_multicol_union_one_column_contained(spark, box_catalog):
+    """One slice column contained, the other overlapping — residual
+    boxes come from the overlapping column only, pinned to the
+    intersection on the contained one."""
+    cat, reg = box_catalog
+    cond = (
+        "o_orderdate >= TIMESTAMP '1997-06-01 00:00:00' "
+        "AND o_totalprice >= 30000.0"
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any("mv_box" in f for f in files) and any(
+        "orders.parquet" in f for f in files
+    ), files
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+    )
+    got = {r["o_orderpriority"]: round(r["s"], 3) for r in df.collect()}
+    want = {r["o_orderpriority"]: round(r["s"], 3) for r in direct.collect()}
+    assert got == want
+
+
+def test_multicol_union_extra_query_column(spark, box_catalog):
+    """A query conjunct over a NON-slice group key applies to both
+    branches."""
+    cat, reg = box_catalog
+    cond = (
+        "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+        "AND o_totalprice >= 20000.0 "
+        "AND o_orderpriority = '1-URGENT'"
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any("mv_box" in f for f in files) and any(
+        "orders.parquet" in f for f in files
+    ), files
+    want = cat.table("orders").filter(cond).count()
+    assert {r["n"] for r in df.collect()} == {want}
+
+
+def test_multicol_union_refusal_gates(spark, box_catalog):
+    cat, reg = box_catalog
+    # (a) a slice column left UNCONSTRAINED refuses: its NULL rows
+    # belong to the query but to neither branch
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+    # (b) non-box (disjunctive) filter refuses
+    plan2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+            "OR o_totalprice >= 20000.0"
+        )
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute(plan2, cat) is None
+    # (c) disjoint on one column refuses (tile contributes nothing)
+    plan3 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_totalprice >= 20000.0"
+        )
+        .aggregate(["o_orderpriority"], ["COUNT(*) AS n"])
+        .build()
+    )
+    assert reg.substitute(plan3, cat) is None
