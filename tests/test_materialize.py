@@ -2032,8 +2032,9 @@ def test_ddl_decomposed_mv_generic_fallback(spark, tmp_path):
 
 def test_multi_column_slice_containment(spark, tmp_path):
     """A tile sliced on TWO columns answers queries contained in both
-    intervals; any dimension escaping the slice refuses (containment-
-    only — the residual of a box difference is not a box)."""
+    intervals from the tile alone; a dimension escaping the slice gets
+    union compensation (r10 — the box difference decomposes into
+    disjoint boxes); an UNCONSTRAINED slice dimension still refuses."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
     reg.define(
@@ -2076,15 +2077,26 @@ def test_multi_column_slice_containment(spark, tmp_path):
     want = {(r[0], round(r[1], 3), r[2]) for r in _rows(direct)}
     assert got == want
 
-    # one dimension escapes the slice: refuse
-    assert (
-        reg.substitute(
-            q("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
-              "AND o_orderstatus = 'O'").build(),
-            cat,
-        )
-        is None
+    # one dimension escapes the slice: UNION-compensated since r10
+    # (was a refusal when containment was the only multi-column tier)
+    cond2 = (
+        "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+        "AND o_orderstatus = 'O'"
     )
+    df2 = q(cond2).to_df()
+    files2 = df2.inputFiles()
+    assert any("mv_box" in f for f in files2), files2
+    assert any("orders.parquet" in f for f in files2), files2
+    direct2 = (
+        cat.table("orders")
+        .filter(cond2)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("SUM(o_totalprice)").alias("sp"),
+             F.expr("COUNT(*)").alias("n"))
+    )
+    got2 = {(r[0], round(r[1], 3), r[2]) for r in _rows(df2.select("o_orderpriority", "sp", "n"))}
+    want2 = {(r[0], round(r[1], 3), r[2]) for r in _rows(direct2)}
+    assert got2 == want2
     # a slice dimension entirely unconstrained in the query: refuse
     assert (
         reg.substitute(
