@@ -829,11 +829,14 @@ class MaterializationRegistry:
         the partials merge onto the stored tile (SUM/$SUM0/MIN/MAX).
 
         Contract, enforced not assumed:
-        - dims are STATIC between refreshes — any dim-side file change
-          (append, delete, rewrite) refuses loudly: new fact rows would
-          join a dim state the stored tile never saw, and old tile rows
-          can silently disagree with the new dim (the reference
-          rebuilds in this case; so must the caller via define_join);
+        - dim DELETES/REWRITES refuse loudly (old tile rows can
+          silently disagree with the new dim; the reference rebuilds in
+          this case, so must the caller via define_join). Dim APPENDS
+          (r10, verdict item 4) refresh when provably safe — the dim
+          join key is a unique key RE-VERIFIED over the current dim and
+          the referencing side declares an FK to it, so appended keys
+          are new keys no existing row can match; otherwise refuse
+          loudly;
         - a REWRITTEN fact (vanished files — the copy-on-write DML
           swap) full-rebuilds from the stored defining plan, exactly
           like the single-table path;
@@ -866,14 +869,80 @@ class MaterializationRegistry:
         for t in mv.tables:
             catalog._dfs.pop(t, None)
             current_by_table[t] = tuple(sorted(catalog.table(t).inputFiles()))
+        dim_appends = 0
         for t in mv.tables:
-            if t != mv.table and current_by_table[t] != snaps.get(t):
+            if t == mv.table or current_by_table[t] == snaps.get(t):
+                continue
+            seen_t, cur_t = set(snaps.get(t, ())), set(current_by_table[t])
+            if seen_t - cur_t:
                 raise ValueError(
-                    f"MV {name}: dimension table {t!r} changed since the "
-                    "tile was built — the static-dims contract is broken "
-                    "and a delta merge would silently disagree with the "
-                    "stored rows; rebuild with define_join()"
+                    f"MV {name}: dimension table {t!r} had files deleted "
+                    "or rewritten since the tile was built — old tile "
+                    "rows can silently disagree with the new dim; "
+                    "rebuild with define_join()"
                 )
+            # dim APPEND (r10, verdict item 4): provably safe when the
+            # joining dim column is a unique key RE-VERIFIED over the
+            # current (post-append) dim and the referencing side holds
+            # a declared FK to it. Then (a) uniqueness across ALL
+            # current rows means appended keys are NEW keys, so no
+            # existing fact/dim row on the other side gains a match —
+            # old tile rows are untouched; (b) the FK means every
+            # non-null referencing value matched at build time, so no
+            # dropped old row resurrects; (c) delta facts join the
+            # CURRENT dims and see the new rows. NULL-keyed referencing
+            # rows match nothing before AND after — consistently absent
+            # from tile and delta alike, so no null-evidence gate is
+            # needed here (unlike the FK peel, which changes row
+            # counts). ≈ the refresh contract of
+            # materialize/MaterializationService.java, extended with
+            # the lake-engine append analysis.
+            t_cols = set(catalog.table(t).columns)
+            incident = [
+                e for e in mv.join_edges if e[0] in t_cols or e[1] in t_cols
+            ]
+            for e in incident:
+                t_col, o_col = (e[0], e[1]) if e[0] in t_cols else (e[1], e[0])
+                o_tab = next(
+                    (
+                        tt
+                        for tt in mv.tables
+                        if tt != t and o_col in set(catalog.table(tt).columns)
+                    ),
+                    None,
+                )
+                if o_tab is None:
+                    raise ValueError(
+                        f"MV {name}: cannot resolve the owner of join "
+                        f"column {o_col!r} — rebuild with define_join()"
+                    )
+                if not catalog.is_unique_key(t, t_col) or not (
+                    catalog.has_foreign_key(o_tab, o_col, t, t_col)
+                ):
+                    raise ValueError(
+                        f"MV {name}: dimension table {t!r} grew new files "
+                        f"but {t}.{t_col} is not a declared unique key "
+                        f"with a declared FK from {o_tab}.{o_col} — "
+                        "append safety cannot be proven; rebuild with "
+                        "define_join()"
+                    )
+                dup = (
+                    catalog.table(t)
+                    .selectExpr(
+                        f"count({t_col}) AS n",
+                        f"count(DISTINCT {t_col}) AS d",
+                    )
+                    .collect()[0]
+                )
+                if dup["n"] != dup["d"]:
+                    raise ValueError(
+                        f"MV {name}: dimension append broke the "
+                        f"uniqueness of {t}.{t_col} (an appended row "
+                        "duplicates an existing key, so old fact rows "
+                        "would now match twice) — rebuild with "
+                        "define_join()"
+                    )
+            dim_appends += 1
         fact_seen = set(snaps.get(mv.table, ()))
         fact_current = current_by_table[mv.table]
         new_by_table = tuple(
@@ -902,6 +971,19 @@ class MaterializationRegistry:
             }
         delta = [f for f in fact_current if f not in fact_seen]
         if not delta:
+            if dim_appends:
+                # proven-safe dim appends with no fact delta: the tile
+                # VALUES are unchanged (new dim keys match only future
+                # facts), but the snapshot must advance or the
+                # freshness gate would refuse to serve a correct tile
+                self.mvs[name] = replace(
+                    mv, base_files=new_flat, base_files_by_table=new_by_table
+                )
+                return {
+                    "refreshed": True,
+                    "delta_files": 0,
+                    "dim_appends": dim_appends,
+                }
             return {"refreshed": False, "delta_files": 0}
         # the fact must scan exactly once in the defining plan, or the
         # delta substitution would under-join the self-join sides
@@ -953,7 +1035,11 @@ class MaterializationRegistry:
         self.mvs[name] = replace(
             mv, base_files=new_flat, base_files_by_table=new_by_table
         )
-        return {"refreshed": True, "delta_files": len(delta)}
+        return {
+            "refreshed": True,
+            "delta_files": len(delta),
+            "dim_appends": dim_appends,
+        }
 
     def _spf_incremental_refresh(self, catalog, mv: Materialization) -> dict:
         """Raw-row slices maintain by APPEND: filter/project the files

@@ -2968,3 +2968,113 @@ def test_multicol_union_refusal_gates(spark, box_catalog):
         .build()
     )
     assert reg.substitute(plan3, cat) is None
+
+
+# -- dim-append-safe join-MV refresh (r10, verdict item 4) --------------
+# ≈ materialize/MaterializationService.java's refresh contract extended
+# with the lake-engine append analysis: a dim APPEND is provably safe
+# when the dim join key is unique (re-verified post-append) and the
+# referencing side declares an FK to it — appended keys are then NEW
+# keys no existing row can match, so old tile rows are untouched and
+# delta facts join the current dims.
+
+
+def _dim_append_setup(spark, tmp_path, reg):
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    cat.analyze_deep("dim_customer", ["c_custkey"])
+    cat.declare_foreign_key("fact_orders", "o_custkey", "dim_customer", "c_custkey")
+    return cat, full, fact_dir, mv
+
+
+def test_join_mv_dim_append_safe_refresh(spark, tmp_path):
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _dim_append_setup(spark, tmp_path, reg)
+    # genuinely NEW customers (fresh keys) land as appended dim files
+    new_dim = full.table("customer").limit(7).withColumn(
+        "c_custkey", F.expr("c_custkey + 10000000")
+    )
+    new_dim.write.mode("append").parquet(cat.tables["dim_customer"].path)
+    # delta facts referencing both OLD and NEW customers
+    old_facts = full.table("orders").filter("o_orderkey % 3 = 1").limit(40)
+    new_facts = old_facts.limit(9).withColumn(
+        "o_custkey", F.expr("o_custkey % 7 + 10000001")
+    )
+    old_facts.unionByName(new_facts).write.mode("append").parquet(fact_dir)
+    cat._dfs.pop("fact_orders", None)
+    cat._dfs.pop("dim_customer", None)
+    stats = reg.incremental_refresh(cat, "mv_star_inc")
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+    assert stats["dim_appends"] == 1 and not stats.get("rebuilt")
+    assert _rows(cat.table("mv_star_inc")) == _join_mv_direct(cat)
+
+
+def test_join_mv_dim_append_without_declarations_refuses(spark, tmp_path):
+    """The same physical append WITHOUT unique-key/FK declarations
+    refuses loudly (this is the pre-r10 test, now hitting the gate)."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    full.table("customer").limit(5).withColumn(
+        "c_custkey", F.expr("c_custkey + 10000000")
+    ).write.mode("append").parquet(cat.tables["dim_customer"].path)
+    cat._dfs.pop("dim_customer", None)
+    with pytest.raises(ValueError, match="not a declared unique key"):
+        reg.incremental_refresh(cat, "mv_star_inc")
+
+
+def test_join_mv_dim_append_duplicate_key_refuses(spark, tmp_path):
+    """Declarations present but the append DUPLICATES existing keys:
+    the live post-append uniqueness re-verification catches it (old
+    fact rows would match twice)."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _dim_append_setup(spark, tmp_path, reg)
+    full.table("customer").limit(5).write.mode("append").parquet(
+        cat.tables["dim_customer"].path
+    )
+    cat._dfs.pop("dim_customer", None)
+    with pytest.raises(ValueError, match="uniqueness"):
+        reg.incremental_refresh(cat, "mv_star_inc")
+
+
+def test_join_mv_dim_append_only_advances_snapshot(spark, tmp_path):
+    """A safe dim append with NO fact delta leaves tile values alone
+    but advances the snapshot, so the freshness gate keeps serving the
+    (still correct) tile."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _dim_append_setup(spark, tmp_path, reg)
+    before = _rows(cat.table("mv_star_inc"))
+    full.table("customer").limit(3).withColumn(
+        "c_custkey", F.expr("c_custkey + 20000000")
+    ).write.mode("append").parquet(cat.tables["dim_customer"].path)
+    cat._dfs.pop("dim_customer", None)
+    stats = reg.incremental_refresh(cat, "mv_star_inc")
+    assert stats == {"refreshed": True, "delta_files": 0, "dim_appends": 1}
+    assert _rows(cat.table("mv_star_inc")) == before
+    # the freshness gate accepts the advanced snapshot: substitution fires
+    df = (
+        RelBuilder(cat)
+        .scan("fact_orders")
+        .scan("dim_customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(["c_mktsegment"], ["SUM(o_totalprice) AS sp"])
+        .to_df()
+    )
+    assert all("mv_star_inc" in f for f in df.inputFiles())
+
+
+def test_join_mv_dim_rewrite_still_refuses(spark, tmp_path):
+    """Dim file DELETES/REWRITES keep the loud refusal even with full
+    declarations — old tile rows can silently disagree with the new
+    dim."""
+    import shutil
+
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _dim_append_setup(spark, tmp_path, reg)
+    dim_path = cat.tables["dim_customer"].path
+    rewritten = full.table("customer").filter("c_custkey % 2 = 0")
+    tmp_dim = str(tmp_path / "dim_rewrite_tmp")
+    rewritten.write.parquet(tmp_dim)
+    shutil.rmtree(dim_path)
+    shutil.move(tmp_dim, dim_path)
+    cat._dfs.pop("dim_customer", None)
+    with pytest.raises(ValueError, match="deleted or rewritten"):
+        reg.incremental_refresh(cat, "mv_star_inc")
