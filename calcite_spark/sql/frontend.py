@@ -2082,7 +2082,36 @@ class SqlFrontend:
                 liftable_agg_call(c) for c in calls
             ):
                 return None
-            b.aggregate(keys, calls)
+            # raw aggregates in HAVING (r10, verdict item 7): splice
+            # each FN(...) call into a HIDDEN aggregate column
+            # (HAVING COUNT(*) > 20 → __h0 > 20 with COUNT(*) AS __h0
+            # added to the call list), filter above the aggregate, and
+            # project the hidden columns away — a perfect tile then
+            # serves the aggregate AND the HAVING instead of the
+            # statement rescanning the fact verbatim (≈ the reference
+            # planner seeing HAVING as Filter-over-Aggregate, which
+            # MaterializedViewAggregateRule unifies below)
+            from calcite_spark.plans.materialize import _AGG_IN_EXPR_RE
+
+            hv = m.group("hv")
+            hidden: list = []
+            hv_expr = None
+            if hv is not None:
+                hv_expr = hv.strip()
+                spliced, last = [], 0
+                for mt in _AGG_IN_EXPR_RE.finditer(hv_expr):
+                    if hv_expr.count("'", 0, mt.start()) % 2 == 1:
+                        continue  # call-shaped text inside a literal
+                    call = f"{mt.group(1)}{mt.group(2)} AS __h{len(hidden)}"
+                    if not liftable_agg_call(call):
+                        return None  # unliftable HAVING call: verbatim
+                    hidden.append(call)
+                    spliced.append(hv_expr[last : mt.start()])
+                    spliced.append(f"__h{len(hidden) - 1}")
+                    last = mt.end()
+                spliced.append(hv_expr[last:])
+                hv_expr = "".join(spliced)
+            b.aggregate(keys, calls + hidden)
             # the IR Aggregate emits keys-then-calls; restore the
             # statement's SELECT-list order so a substituted query
             # returns the same columns in the same positions as
@@ -2098,26 +2127,28 @@ class SqlFrontend:
                         # differs from the IR's — fall back verbatim
                         return None
                     out_order.append(am.group(1))
-            hv = m.group("hv")
-            if hv is not None:
-                # HAVING over OUTPUT names only (aliases + keys): a
-                # raw aggregate in HAVING (COUNT(*) > 5) has no output
-                # name here — its idents fail this check and the
-                # statement falls back verbatim (r9)
+            if hv_expr is not None:
+                # after splicing, every remaining identifier must be an
+                # OUTPUT name (alias/key), a hidden call column, or a
+                # SQL word — anything else falls back verbatim
                 hv_idents = {
                     i.lower()
                     for i in re.findall(
-                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", hv)
+                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", hv_expr)
                     )
                 }
-                allowed = {n.lower() for n in out_order} | {
-                    "and", "or", "not", "in", "between", "like", "is",
-                    "null", "true", "false",
-                }
+                allowed = (
+                    {n.lower() for n in out_order}
+                    | {f"__h{i}" for i in range(len(hidden))}
+                    | {
+                        "and", "or", "not", "in", "between", "like", "is",
+                        "null", "true", "false",
+                    }
+                )
                 if not hv_idents <= allowed:
                     return None
-                b.filter(hv.strip())
-            if out_order != list(keys) + [
+                b.filter(hv_expr)
+            if hidden or out_order != list(keys) + [
                 o for s, o in zip(sel, out_order) if s not in keys
             ]:
                 b.project(*out_order)
