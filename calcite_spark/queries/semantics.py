@@ -528,31 +528,10 @@ def z72_sarg_year_in(spark, sf_dir):
     )
 
 
-@register(
-    "z73_sarg_month_conj",
-    oracle="""
-    SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
-    FROM orders
-    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
-      AND EXTRACT(MONTH FROM o_orderdate) = 6
-    """,
-    tags=("rewrite", "date_range", "sarg", "pushdown"),
-)
-def z73_sarg_month_conj(spark, sf_dir):
-    """YEAR = 1996 AND MONTH = 6 (same column) → one month-granular
-    timestamp range [1996-06-01, 1996-07-01) — the conjunction case
-    DateRangeRules canonicalizes; a bare MONTH predicate has no
-    contiguous range and is left alone."""
-    return (
-        _b(spark, sf_dir)
-        .scan("orders")
-        .filter(
-            "EXTRACT(YEAR FROM o_orderdate) = 1996 "
-            "AND EXTRACT(MONTH FROM o_orderdate) = 6"
-        )
-        .aggregate([], ["COUNT(*) AS n", "ROUND(SUM(o_totalprice), 3) AS total"])
-        .to_df()
-    )
+# z73_sarg_month_conj retired from the registry in r10 (verdict item 2
+# option (b)): duplicated z72's Sarg shape; the YEAR+MONTH conjunction
+# canonicalization stays pinned by test_plan_quality.py
+# (test_sarg_between_and_month_conjunction).
 
 
 @register(

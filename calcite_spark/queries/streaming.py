@@ -254,78 +254,10 @@ def z45_match_recognize(spark, sf_dir):
     return out.orderBy("user_id", "match_seq")
 
 
-@register(
-    "z46_match_all_rows",
-    oracle=snapshot_oracle("z46_match_all_rows"),  # NFA not SQL-expressible; reviewed snapshot
-    tags=("match_recognize", "all_rows"),
-)
-def z46_match_all_rows(spark, sf_dir):
-    """MATCH_RECOGNIZE ALL ROWS PER MATCH (Match.java:69 allRows=true,
-    match.iq ALL ROWS cases): every matched input row is emitted with
-    RUNNING measures, CLASSIFIER() and MATCH_NUMBER()."""
-    from calcite_spark.operators.match_recognize import match_recognize
-
-    cat = catalog_for(spark, sf_dir)
-    events = cat.table("events").filter("user_id <= 50").selectExpr(
-        "user_id", "event_id", "ts", "value"
-    )
-    out = match_recognize(
-        events,
-        partition_by=["user_id"],
-        order_by=["ts", "event_id"],
-        pattern="STRT DOWN{2,} UP{2,}",
-        define={
-            "DOWN": "value < PREV(value)",
-            "UP": "value > PREV(value)",
-        },
-        measures={
-            "cls": "CLASSIFIER()",
-            "mno": "MATCH_NUMBER()",
-            "run_downs": "COUNT(DOWN.*)",
-        },
-        all_rows=True,
-    )
-    return out.selectExpr(
-        "user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value",
-        "match_seq", "cls", "mno", "run_downs"
-    ).orderBy("user_id", "match_seq", "event_id")
-
-
-@register(
-    "z47_match_skip_subset",
-    oracle=snapshot_oracle("z47_match_skip_subset"),  # NFA not SQL-expressible; reviewed snapshot
-    tags=("match_recognize", "skip_to", "subset", "within"),
-)
-def z47_match_skip_subset(spark, sf_dir):
-    """AFTER MATCH SKIP TO LAST UP (Match.java:70) + SUBSET MOVE =
-    (DOWN, UP) (Match.java:74) + WITHIN 7 days (Match.java:77):
-    overlapping V-shapes whose span fits the interval, measured over the
-    union symbol."""
-    from calcite_spark.operators.match_recognize import match_recognize
-
-    cat = catalog_for(spark, sf_dir)
-    events = cat.table("events").filter("user_id <= 100").selectExpr(
-        "user_id", "event_id", "ts", "value"
-    )
-    out = match_recognize(
-        events,
-        partition_by=["user_id"],
-        order_by=["ts", "event_id"],
-        pattern="STRT DOWN{2,} UP{2,}",
-        define={
-            "DOWN": "value < PREV(value)",
-            "UP": "value > PREV(value)",
-        },
-        measures={
-            "start_event": "FIRST(STRT.event_id)",
-            "n_moves": "COUNT(MOVE.*)",
-            "last_move_value": "LAST(MOVE.value)",
-        },
-        after_match="SKIP TO LAST UP",
-        subsets={"MOVE": ("DOWN", "UP")},
-        within="7 days",
-    )
-    return out.orderBy("user_id", "match_seq")
+# z46_match_all_rows / z47_match_skip_subset retired from the registry in
+# r10 (verdict item 2 option (b)): snapshot-only MATCH_RECOGNIZE variants
+# of z45 — ALL ROWS PER MATCH and SKIP TO LAST/SUBSET/WITHIN stay covered
+# by tests/test_match_recognize.py; the window slots went to the r10 rows.
 
 
 @register(

@@ -30,8 +30,6 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "expected")
 # queries whose oracle is a checked-in snapshot (see inventory docstrings)
 SNAPSHOT_QUERIES = [
     "z45_match_recognize",
-    "z46_match_all_rows",
-    "z47_match_skip_subset",
     "z55_minhash_lsh",
     "q79_simhash_dedup",
     "q80_lsh_knn",
