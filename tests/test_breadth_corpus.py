@@ -859,3 +859,281 @@ def test_breadth_shape_batch3(fe, duck, i):
 def test_breadth_shape_batch4(fe, duck, i):
     sql = CORPUS4[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 5 (r10, verdict item 6): FoodMartQuerySet classes not yet
+# sampled — calculated-member arithmetic over grouping sets, nested
+# top-N, semi-additive measures (latest-per-entity then aggregate),
+# ratio-to-parent / share-of-total shapes. As ever: OUR shapes over the
+# TPC-H-ish testdata, Spark and DuckDB on IDENTICAL text.
+CORPUS5 = [
+    # 1 calculated member over ROLLUP with GROUPING guards
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_extendedprice) - SUM(l_quantity), 2) AS net,
+              GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    # 2 calculated member over explicit GROUPING SETS
+    """SELECT o_orderstatus, o_orderpriority,
+              ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_calc,
+              GROUPING(o_orderstatus) AS gs, GROUPING(o_orderpriority) AS gp
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    # 3 CUBE with a two-measure arithmetic member
+    """SELECT l_returnflag, l_shipdate IS NOT NULL AS has_date,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS px_range
+       FROM lineitem WHERE l_quantity > 45
+       GROUP BY CUBE (l_returnflag, l_shipdate IS NOT NULL)""",
+    # 4 share-of-total (ratio to grand total) via window over aggregate
+    """SELECT o_orderpriority,
+              ROUND(SUM(o_totalprice) * 100.0 /
+                    SUM(SUM(o_totalprice)) OVER (), 4) AS pct_of_total
+       FROM orders GROUP BY o_orderpriority""",
+    # 5 ratio-to-parent: nation revenue as share of its region
+    """SELECT r_name, n_name,
+              ROUND(SUM(o_totalprice) /
+                    SUM(SUM(o_totalprice)) OVER (PARTITION BY r_name), 6) AS share
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+    # 6 nested top-N: top 2 customers inside each of the top 3 nations
+    """SELECT n_name, c_name, spent FROM (
+         SELECT n_name, c_name, spent,
+                ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spent DESC, c_name) AS rc
+         FROM (
+           SELECT n_name, c_name, ROUND(SUM(o_totalprice), 2) AS spent,
+                  SUM(SUM(o_totalprice)) OVER (PARTITION BY n_name) AS nation_total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, c_name) x
+         WHERE nation_total >= (
+           SELECT MIN(nt) FROM (
+             SELECT SUM(o_totalprice) AS nt
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY nt DESC LIMIT 3) tt)) y
+       WHERE rc <= 2""",
+    # 7 semi-additive: LATEST order per customer, then SUM by segment
+    """SELECT c_mktsegment, ROUND(SUM(last_price), 2) AS closing_sum
+       FROM (
+         SELECT c_mktsegment, o_totalprice AS last_price,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders JOIN customer ON o_custkey = c_custkey) t
+       WHERE rn = 1 GROUP BY c_mktsegment""",
+    # 8 semi-additive: FIRST order value per customer, averaged by nation
+    """SELECT n_name, ROUND(AVG(first_price), 4) AS avg_opening
+       FROM (
+         SELECT c_nationkey, o_totalprice AS first_price,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders JOIN customer ON o_custkey = c_custkey) t
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE rn = 1 GROUP BY n_name""",
+    # 9 members-above-parent-average (calculated-member comparison)
+    """SELECT n_name, ROUND(bal, 2) AS bal FROM (
+         SELECT n_name, AVG(c_acctbal) AS bal,
+                AVG(AVG(c_acctbal)) OVER () AS global_avg
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name) t
+       WHERE bal > global_avg""",
+    # 10 top-N by a calculated member with deterministic tie-break
+    """SELECT o_custkey,
+              ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_order
+       FROM orders GROUP BY o_custkey
+       ORDER BY avg_order DESC, o_custkey LIMIT 5""",
+    # 11 grouping-sets arithmetic consumed by an outer query
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              ROUND(SUM(s) / SUM(n), 4) AS weighted_avg
+       FROM (
+         SELECT o_orderstatus, SUM(o_totalprice) AS s, COUNT(*) AS n
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus))) t
+       GROUP BY o_orderstatus""",
+    # 12 period-over-period via self-joined yearly aggregates
+    """SELECT cur.yr, ROUND(cur.rev - prev.rev, 2) AS delta
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, SUM(o_totalprice) AS rev
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) cur
+       JOIN (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, SUM(o_totalprice) AS rev
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) prev
+         ON cur.yr = prev.yr + 1""",
+    # 13 period-over-period via LAG over the aggregate
+    """SELECT yr, ROUND(rev - LAG(rev) OVER (ORDER BY yr), 2) AS delta
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+                    SUM(o_totalprice) AS rev
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t""",
+    # 14 running share of cumulative total
+    """SELECT yr,
+              ROUND(SUM(rev) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) / SUM(rev) OVER (), 6) AS cum_share
+       FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, SUM(o_totalprice) AS rev
+             FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t""",
+    # 15 nested top-N with anti-join exclusion of the global top
+    """SELECT o_custkey, n FROM (
+         SELECT o_custkey, COUNT(*) AS n,
+                ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_custkey) AS r
+         FROM orders GROUP BY o_custkey) t
+       WHERE r BETWEEN 2 AND 4""",
+    # 16 semi-additive MIN-over-time then MAX across entities
+    """SELECT c_mktsegment, MAX(min_bal) AS max_of_min
+       FROM (SELECT c_mktsegment, c_nationkey, MIN(c_acctbal) AS min_bal
+             FROM customer GROUP BY c_mktsegment, c_nationkey) t
+       GROUP BY c_mktsegment""",
+    # 17 calculated member referencing two grouping levels (join of rollup slices)
+    """SELECT d.o_orderstatus,
+              ROUND(d.rev / tot.rev, 6) AS status_share
+       FROM (SELECT o_orderstatus, SUM(o_totalprice) AS rev
+             FROM orders GROUP BY o_orderstatus) d
+       CROSS JOIN (SELECT SUM(o_totalprice) AS rev FROM orders) tot""",
+    # 18 HAVING over a calculated member of two aggregates
+    """SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS px_per_unit
+       FROM lineitem GROUP BY l_returnflag
+       HAVING SUM(l_extendedprice) / SUM(l_quantity) > 1000""",
+    # 19 conditional calculated member (CASE over GROUPING in rollup)
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'TOTAL'
+                   ELSE o_orderstatus END AS status_label,
+              COUNT(*) AS n
+       FROM orders GROUP BY ROLLUP (o_orderstatus)""",
+    # 20 two-level rollup arithmetic with a filtered measure
+    """SELECT o_orderstatus, o_orderpriority,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000) AS big,
+              COUNT(*) AS all_n,
+              ROUND(COUNT(*) FILTER (WHERE o_totalprice > 200000) * 1.0
+                    / COUNT(*), 6) AS big_ratio
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    # 21 top-N within top-N via two window ranks
+    """SELECT p_brand, p_type, p_retailprice FROM (
+         SELECT p_brand, p_type, p_retailprice,
+                ROW_NUMBER() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice DESC, p_partkey) AS r_in,
+                DENSE_RANK() OVER (ORDER BY p_brand) AS brand_rank
+         FROM part) t
+       WHERE r_in = 1 AND brand_rank <= 4""",
+    # 22 semi-additive balance: latest acctbal per nation summed by region
+    """SELECT r_name, ROUND(SUM(c_acctbal), 2) AS latest_bal_sum
+       FROM (
+         SELECT c_nationkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_custkey DESC) AS rn
+         FROM customer) t
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE rn = 1 GROUP BY r_name""",
+    # 23 grouped EXCEPT between two aggregate frames
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       GROUP BY o_custkey HAVING COUNT(*) >= 3
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+    # 24 INTERSECT of top spenders and frequent buyers
+    """SELECT o_custkey FROM orders GROUP BY o_custkey
+       HAVING SUM(o_totalprice) > 1500000
+       INTERSECT
+       SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""",
+    # 25 measure defined over a windowed subtotal (avg of per-month sums)
+    """SELECT ROUND(AVG(mrev), 2) AS avg_monthly_rev FROM (
+         SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                EXTRACT(MONTH FROM o_orderdate) AS m,
+                SUM(o_totalprice) AS mrev
+         FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate),
+                              EXTRACT(MONTH FROM o_orderdate)) t""",
+    # 26 calculated member with NULLIF guard (divide-by-zero safe ratio)
+    """SELECT l_returnflag,
+              ROUND(SUM(l_discount * l_extendedprice)
+                    / NULLIF(SUM(l_extendedprice), 0), 6) AS eff_discount
+       FROM lineitem GROUP BY l_returnflag""",
+    # 27 percent-rank of a grouped measure
+    """SELECT n_name,
+              ROUND(PERCENT_RANK() OVER (ORDER BY cnt), 6) AS pr
+       FROM (SELECT n_name, COUNT(*) AS cnt
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name) t""",
+    # 28 NTILE buckets over a grouped measure, re-aggregated
+    """SELECT bucket, COUNT(*) AS members, ROUND(SUM(spent), 2) AS bucket_rev
+       FROM (
+         SELECT o_custkey, SUM(o_totalprice) AS spent,
+                NTILE(4) OVER (ORDER BY SUM(o_totalprice), o_custkey) AS bucket
+         FROM orders GROUP BY o_custkey) t
+       GROUP BY bucket""",
+    # 29 nested derived tables three levels deep
+    """SELECT status, ROUND(avg_n, 4) AS avg_n FROM (
+         SELECT status, AVG(n) AS avg_n FROM (
+           SELECT o_orderstatus AS status, o_custkey, COUNT(*) AS n
+           FROM orders GROUP BY o_orderstatus, o_custkey) a
+         GROUP BY status) b
+       WHERE avg_n > 1""",
+    # 30 correlated aggregate threshold per group (above own-nation average)
+    """SELECT COUNT(*) AS rich_customers FROM customer c
+       WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey)""",
+    # 31 semi-additive with a calendar edge: last shipped line per order, summed by flag
+    """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS closing_rev
+       FROM (
+         SELECT l_returnflag, l_extendedprice,
+                ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+         FROM lineitem) t
+       WHERE rn = 1 GROUP BY l_returnflag""",
+    # 32 cross-dimensional calculated member (brand avg vs type avg)
+    """SELECT p_brand,
+              ROUND(AVG(p_retailprice), 4) AS brand_avg,
+              ROUND(AVG(AVG(p_retailprice)) OVER (), 4) AS overall_avg_of_brands
+       FROM part GROUP BY p_brand""",
+    # 33 grouping-sets + HAVING on one branch's measure
+    """SELECT o_orderpriority, COUNT(*) AS n
+       FROM orders GROUP BY GROUPING SETS ((o_orderpriority))
+       HAVING COUNT(*) > 100""",
+    # 34 windowed top-N inside a join, aggregated outside
+    """SELECT c_mktsegment, COUNT(*) AS top_orders
+       FROM (
+         SELECT o_custkey, o_totalprice,
+                ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+         FROM orders) t
+       JOIN customer ON o_custkey = c_custkey
+       WHERE r <= 100 GROUP BY c_mktsegment""",
+    # 35 measure arithmetic across two separately filtered subqueries
+    """SELECT ROUND(f.rev - o.rev, 2) AS finished_minus_open FROM
+         (SELECT SUM(o_totalprice) AS rev FROM orders WHERE o_orderstatus = 'F') f
+       CROSS JOIN
+         (SELECT SUM(o_totalprice) AS rev FROM orders WHERE o_orderstatus = 'O') o""",
+    # 36 rollup over a join with a filtered calculated member
+    """SELECT r_name, n_name,
+              ROUND(SUM(c_acctbal) FILTER (WHERE c_acctbal > 0), 2) AS pos_bal,
+              COUNT(*) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+    # 37 quartile spread of a grouped measure (calculated from two percentiles)
+    """SELECT ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY spent)
+                    - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY spent), 2) AS iqr
+       FROM (SELECT o_custkey, SUM(o_totalprice) AS spent
+             FROM orders GROUP BY o_custkey) t""",
+    # 38 dense-ranked calculated member with gaps filter
+    """SELECT yr, rev_rank FROM (
+         SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+                DENSE_RANK() OVER (ORDER BY SUM(o_totalprice) DESC) AS rev_rank
+         FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) t
+       WHERE rev_rank <= 3""",
+    # 39 conditional aggregation matrix (pivot-style calculated members)
+    """SELECT n_name,
+              COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+              COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery,
+              COUNT(*) FILTER (WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')) AS other
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+    # 40 top segment per nation by a ratio member (argmax-style)
+    """SELECT n_name, c_mktsegment FROM (
+         SELECT n_name, c_mktsegment,
+                ROW_NUMBER() OVER (PARTITION BY n_name
+                                   ORDER BY AVG(c_acctbal) DESC, c_mktsegment) AS r
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_mktsegment) t
+       WHERE r = 1""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS5)))
+def test_breadth_shape_batch5(fe, duck, i):
+    sql = CORPUS5[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
