@@ -2133,19 +2133,26 @@ class LatticeSuggester:
             if isinstance(child, ir.Filter):
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
-            # plain-column keys only (an expression key would need the
-            # expression materialized in the tile — out of scope, bail)
-            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
-                continue
             calls = self._record_calls(n.agg_calls)
             if not keys or not calls:
                 continue
             if isinstance(child, ir.Scan):
+                # single-table shapes record plain-column AND
+                # `expr AS alias` keys (r10 — the tile layer now stores
+                # and substitutes expression keys, so a corpus of
+                # date_trunc month rollups suggests the month tile);
+                # anything else (bare expressions) bails
+                if not all(_valid_group_key(k) for k in keys):
+                    continue
                 key = (child.table, keys, calls)
                 st = self.shapes.setdefault(
                     key, _ShapeStat(child.table, keys, calls)
                 )
                 st.count += 1
+                continue
+            # join shapes keep plain-column keys only (define_join
+            # refuses expression keys — owner-classified)
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
                 continue
             # star-join shapes (r10, verdict item 3 ≈ the hypergraph
             # materialize/LatticeSuggester.java grows from observed
@@ -2184,7 +2191,19 @@ class LatticeSuggester:
             total = sum(s.count for s in stats)
             if total < min_count:
                 continue
-            keys = sorted(set().union(*[set(s.group_keys) for s in stats]))
+            # union keys by NORMALIZED text (expression keys differing
+            # only in whitespace/case fuse); if two shapes bind the
+            # same alias to DIFFERENT expressions the fused tile would
+            # have duplicate output names — refuse the proposal, never
+            # let auto_build crash in define()
+            seen_keys: dict[str, str] = {}
+            for s in stats:
+                for k in s.group_keys:
+                    seen_keys.setdefault(_norm(k), k)
+            keys = sorted(seen_keys.values())
+            aliases = [_key_alias(k) for k in keys]
+            if len(set(aliases)) != len(aliases):
+                continue
             seen_calls: dict[tuple, str] = {}
             for s in stats:
                 for call in s.agg_calls:

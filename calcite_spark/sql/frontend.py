@@ -2070,9 +2070,37 @@ class SqlFrontend:
         if m.group("w"):
             b.filter(m.group("w").strip())
         if m.group("gb"):
-            keys = [k.strip() for k in m.group("gb").split(",")]
-            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
-                return None  # expression/ordinal keys: not liftable
+            from calcite_spark.plans.materialize import _key_alias
+
+            raw_keys = [
+                k.strip() for k in self._split_top_commas(m.group("gb"))
+            ]
+            keys = []  # IR group keys: 'col' or 'expr AS alias'
+            for k in raw_keys:
+                if re.fullmatch(r"[A-Za-z_]\w*", k):
+                    keys.append(k)
+                    continue
+                if re.fullmatch(r"\d+", k):
+                    return None  # ordinal keys: verbatim path
+                # expression group key (r10, with the expression-key MV
+                # tier): liftable only when the SELECT list carries the
+                # SAME expression under an alias — the IR key becomes
+                # 'expr AS alias', exactly the tile-defining form
+                knorm = re.sub(r"\s+", "", k).lower()
+                hit = next(
+                    (
+                        s
+                        for s in sel
+                        if (am := re.match(
+                            r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", s
+                        ))
+                        and re.sub(r"\s+", "", am.group(1)).lower() == knorm
+                    ),
+                    None,
+                )
+                if hit is None:
+                    return None  # unaliased/unselected expression key
+                keys.append(hit)
             calls = [s for s in sel if s not in keys]
             if not calls:
                 # zero aggregate calls (pure-DISTINCT GROUP BY): the IR
@@ -2119,7 +2147,8 @@ class SqlFrontend:
             out_order = []
             for s in sel:
                 if s in keys:
-                    out_order.append(s)
+                    # expression keys output their ALIAS column
+                    out_order.append(_key_alias(s))
                 else:
                     am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", s)
                     if am is None:
@@ -2148,7 +2177,7 @@ class SqlFrontend:
                 if not hv_idents <= allowed:
                     return None
                 b.filter(hv_expr)
-            if hidden or out_order != list(keys) + [
+            if hidden or out_order != [_key_alias(k) for k in keys] + [
                 o for s, o in zip(sel, out_order) if s not in keys
             ]:
                 b.project(*out_order)

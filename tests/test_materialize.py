@@ -3137,3 +3137,119 @@ def test_frontend_lift_having_raw_aggregate(spark, tmp_path):
     assert sorted((r[0], round(r[1], 3)) for r in df3.collect()) == sorted(
         (r[0], round(r[1], 3)) for r in verbatim3.collect()
     )
+
+
+def test_frontend_lift_expression_group_key(spark, tmp_path):
+    """SQL-level expression group keys (r10): GROUP BY
+    date_trunc('month', d) lifts when the SELECT aliases the same
+    expression, so the month tile is reachable from plain SQL — alone,
+    composed with raw-aggregate HAVING, and ORDER BY the alias. An
+    unaliased expression key falls back verbatim."""
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_sqlmo", "orders",
+        group_keys=["date_trunc('month', o_orderdate) AS mo", "o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS s", "COUNT(o_totalprice) AS c"],
+        path=str(tmp_path / "mv_sqlmo"),
+    )
+    fe = SqlFrontend(cat)
+    sql = (
+        "SELECT date_trunc('month', o_orderdate) AS mo, "
+        "SUM(o_totalprice) AS rev, AVG(o_totalprice) AS avg_rev "
+        "FROM orders GROUP BY date_trunc('month', o_orderdate) ORDER BY mo"
+    )
+    df = fe.sql(sql)
+    assert all("mv_sqlmo" in f for f in df.inputFiles()), df.inputFiles()
+    assert df.columns == ["mo", "rev", "avg_rev"]
+    verbatim = spark.sql(
+        sql.replace("FROM orders", f"FROM parquet.`{SF_DIR}/orders.parquet`")
+    )
+    assert [(r[0], round(r[1], 3), round(r[2], 6)) for r in df.collect()] == [
+        (r[0], round(r[1], 3), round(r[2], 6)) for r in verbatim.collect()
+    ]
+    # composed with a raw-aggregate HAVING (items 1+7)
+    sql2 = (
+        "SELECT date_trunc('month', o_orderdate) AS mo, "
+        "SUM(o_totalprice) AS rev FROM orders "
+        "GROUP BY date_trunc('month', o_orderdate) "
+        "HAVING COUNT(o_totalprice) > 10 ORDER BY mo"
+    )
+    df2 = fe.sql(sql2)
+    assert all("mv_sqlmo" in f for f in df2.inputFiles())
+    verbatim2 = spark.sql(
+        sql2.replace("FROM orders", f"FROM parquet.`{SF_DIR}/orders.parquet`")
+    )
+    assert [(r[0], round(r[1], 3)) for r in df2.collect()] == [
+        (r[0], round(r[1], 3)) for r in verbatim2.collect()
+    ]
+    # unaliased expression key: verbatim path, never a crash
+    sql3 = (
+        "SELECT date_trunc('month', o_orderdate), SUM(o_totalprice) AS rev "
+        "FROM orders GROUP BY date_trunc('month', o_orderdate)"
+    )
+    df3 = fe.sql(sql3)
+    assert not any("mv_sqlmo" in f for f in df3.inputFiles())
+    assert df3.count() > 0
+
+
+def test_suggester_observes_expression_keys(spark, tmp_path):
+    """Single-table shapes with `expr AS alias` keys record and
+    auto-build (r10 — the tile layer stores expression keys): a corpus
+    of date_trunc month rollups suggests THE month tile, which then
+    serves a fresh query with AVG decomposition. Same-alias/different-
+    expression unions refuse the proposal rather than crashing
+    define()."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for calls in (["SUM(o_totalprice) AS rev"], ["AVG(o_totalprice) AS a"]):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(["date_trunc('month', o_orderdate) AS mo"], calls)
+            .to_df()
+            .count()
+        )
+    props = sug.suggest(min_count=2)
+    assert props and props[0]["group_keys"] == [
+        "date_trunc('month', o_orderdate) AS mo"
+    ]
+    built = sug.auto_build(cat, reg, str(tmp_path), min_count=2)
+    assert len(built) == 1
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS rev", "AVG(o_totalprice) AS a"],
+        )
+        .to_df()
+    )
+    assert all(built[0].name in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .groupBy(F.expr("date_trunc('month', o_orderdate) AS mo"))
+        .agg(F.expr("SUM(o_totalprice) AS rev"), F.expr("AVG(o_totalprice) AS a"))
+    )
+    got = {r["mo"]: (round(r["rev"], 3), round(r["a"], 6)) for r in df.collect()}
+    want = {r["mo"]: (round(r["rev"], 3), round(r["a"], 6)) for r in direct.collect()}
+    assert got == want
+    # alias collision across shapes: proposal refused, no crash
+    sug2 = LatticeSuggester()
+    for expr in (
+        "date_trunc('month', o_orderdate) AS mo",
+        "date_trunc('year', o_orderdate) AS mo",
+    ):
+        for _ in range(2):
+            sug2.observe(
+                ir.Aggregate(
+                    (expr,), ("SUM(o_totalprice) AS s",),
+                    inputs=(ir.Scan("orders"),),
+                )
+            )
+    assert sug2.suggest(min_count=2) == []
