@@ -619,20 +619,34 @@ class MaterializationRegistry:
                 "equi-join tree of bare table scans (use define() for "
                 "single-table MVs)"
             )
-        # join tiles keep plain-column keys only (r10): the join
-        # matcher, FK peel, drill-across compensation, and delta
-        # refresh all classify keys by owning table — an expression
-        # key has no single owner. Expression keys are the
-        # single-table define() tier; refuse loudly here rather than
-        # let a later substitution or refresh misclassify.
-        bad_keys = [k for k in plan.group_keys if not _plain_key(k)]
+        # group keys: plain columns or `expr AS alias` (r10 — the
+        # month-grain star tile, date_trunc(month) × dims, is THE
+        # warehouse tile). An expression key's alias must not shadow a
+        # real column of any joined table: the tile column would then
+        # be AMBIGUOUS to the drill-across/compensation tiers (is
+        # `o_orderdate` the raw column or the expression?) — refuse.
+        bad_keys = [k for k in plan.group_keys if not _valid_group_key(k)]
         if bad_keys:
             raise ValueError(
-                "define_join: group keys must be plain columns "
-                f"(expression keys are single-table define() only); "
-                f"got {bad_keys[0]!r}"
+                "define_join: group keys must be plain columns or "
+                f"'expr AS alias'; got {bad_keys[0]!r}"
             )
         tables, edges = ext
+        base_cols = {
+            c for t in tables for c in catalog.table(t).columns
+        }
+        key_out = [_key_alias(k) for k in plan.group_keys]
+        if len(set(key_out)) != len(key_out):
+            raise ValueError(
+                f"define_join: duplicate group-key output names {key_out}"
+            )
+        for k in plan.group_keys:
+            if not _plain_key(k) and _key_alias(k) in base_cols:
+                raise ValueError(
+                    f"define_join: expression-key alias {_key_alias(k)!r} "
+                    "shadows a base-table column — the tile column would "
+                    "be ambiguous to the compensation tiers"
+                )
         if filter_condition is not None:
             region = _parse_region(filter_condition)
             if region is None:
@@ -659,6 +673,11 @@ class MaterializationRegistry:
             if p is None:
                 raise ValueError(f"not a rewritable aggregate call: {call}")
             fn, arg, alias = p
+            if alias in key_out:
+                raise ValueError(
+                    f"define_join: aggregate alias {alias!r} collides "
+                    "with a group-key output name"
+                )
             parsed[alias] = (fn, arg)
         df = plan.to_df(catalog)
         df.write.mode("overwrite").parquet(path)
@@ -731,11 +750,6 @@ class MaterializationRegistry:
                     f"MV {name}: {fn}(DISTINCT ...) is not incrementally "
                     "maintainable — redefine with define() to rebuild"
                 )
-        if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in mv.group_keys):
-            raise ValueError(
-                f"MV {name}: incremental refresh needs plain column group "
-                f"keys, got {mv.group_keys}"
-            )
         if not mv.base_files:
             raise ValueError(
                 f"MV {name}: base table {mv.table} has no file listing — "
@@ -799,10 +813,14 @@ class MaterializationRegistry:
                 _F.expr(f"{_REAGG[fn]}({alias})").alias(alias)
                 for alias, (fn, _) in mv.agg_calls.items()
             ]
+            # the merge re-groups the tile∪delta by the tile's STORED
+            # key columns — expression keys (r10) merge by their alias
+            # (both sides already carry the computed column; the raw
+            # expression's inputs no longer exist here)
             merged = (
                 catalog.table(name)
                 .unionByName(delta_agg)
-                .groupBy(*mv.group_keys)
+                .groupBy(*[_key_alias(k) for k in mv.group_keys])
                 .agg(*merge_calls)
             )
             # pin results BEFORE overwriting the parquet being read
@@ -840,8 +858,10 @@ class MaterializationRegistry:
         - a REWRITTEN fact (vanished files — the copy-on-write DML
           swap) full-rebuilds from the stored defining plan, exactly
           like the single-table path;
-        - DISTINCT aggregates and expression group keys refuse (not
-          additive / not re-groupable), same as the single-table tier.
+        - DISTINCT aggregates refuse (not additive), same as the
+          single-table tier; expression group keys merge by their
+          stored ALIAS column (r10 — both the tile and the delta
+          partials carry the computed column).
 
         100 TB: refresh reads ONLY the delta fact files plus the dims
         (broadcast-sized by the star contract) and shuffles tile-sized
@@ -859,11 +879,6 @@ class MaterializationRegistry:
                     f"MV {name}: {fn}(DISTINCT ...) is not incrementally "
                     "maintainable — redefine with define_join() to rebuild"
                 )
-        if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in mv.group_keys):
-            raise ValueError(
-                f"MV {name}: incremental refresh needs plain column group "
-                f"keys, got {mv.group_keys}"
-            )
         snaps = dict(mv.base_files_by_table)
         current_by_table = {}
         for t in mv.tables:
@@ -1022,7 +1037,7 @@ class MaterializationRegistry:
             merged = (
                 catalog.table(name)
                 .unionByName(delta_agg)
-                .groupBy(*mv.group_keys)
+                .groupBy(*[_key_alias(k) for k in mv.group_keys])
                 .agg(*merge_calls)
             )
             merged = merged.localCheckpoint(eager=True)
@@ -1586,7 +1601,12 @@ class MaterializationRegistry:
         # must never bind a join edge (and an extra table whose column
         # collides with an alias would make the join output ambiguous —
         # refuse).
-        avail = set(mv.group_keys)
+        avail = {k for k in mv.group_keys if _plain_key(k)}
+        expr_by_norm = {
+            _norm(k): _key_alias(k)
+            for k in mv.group_keys
+            if not _plain_key(k)
+        }
         node: ir.RelNode = ir.Scan(mv.name)
         pending_t = sorted(q_tables - mv_tables)
         pending_e = list(extra_edges)
@@ -1594,7 +1614,7 @@ class MaterializationRegistry:
             progress = False
             for t in list(pending_t):
                 t_cols = set(catalog.table(t).columns)
-                if t_cols & set(mv.agg_calls):
+                if t_cols & (set(mv.agg_calls) | set(expr_by_norm.values())):
                     return None
                 usable = [
                     e
@@ -1615,8 +1635,17 @@ class MaterializationRegistry:
                 return None
         if pending_e:
             return None  # e.g. a same-table "edge" the extractor let through
-        if not set(agg.group_keys) <= avail:
-            return None
+        # query keys: a real column already available, or (r10) the
+        # tile's expression key matched by normalized text and
+        # re-referenced as its stored ALIAS column
+        out_keys = []
+        for k in agg.group_keys:
+            if k in avail:
+                out_keys.append(k)
+            elif _norm(k) in expr_by_norm:
+                out_keys.append(expr_by_norm[_norm(k)])
+            else:
+                return None
         if filt is not None and not self._filter_refs_ok(filt.condition, avail):
             return None
         new_calls = self._map_rollup_calls(
@@ -1626,7 +1655,7 @@ class MaterializationRegistry:
             return None
         if filt is not None:
             node = ir.Filter(filt.condition, inputs=(node,))
-        return ir.Aggregate(tuple(agg.group_keys), tuple(new_calls), inputs=(node,))
+        return ir.Aggregate(tuple(out_keys), tuple(new_calls), inputs=(node,))
 
     def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges, catalog=None):
         """Substitution against a SLICED tile (define(...,

@@ -2607,10 +2607,10 @@ def test_expr_key_filter_on_consumed_column_refuses(spark, expr_key_catalog):
 
 def test_expr_key_define_refusals(spark, tmp_path):
     """Bare expressions without an alias refuse at define (the tile
-    column would carry a generated name no query could match);
-    define_join refuses expression keys outright (join matcher/refresh
-    classify keys by owning table); the single-table incremental
-    refresh keeps its loud refusal."""
+    column would carry a generated name no query could match); aliases
+    may not collide with aggregate aliases; define_join additionally
+    refuses an expression-key alias that SHADOWS a base-table column
+    (the tile column would be ambiguous to the compensation tiers)."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
     with pytest.raises(ValueError, match="plain columns or"):
@@ -2627,27 +2627,132 @@ def test_expr_key_define_refusals(spark, tmp_path):
             ["SUM(o_totalprice) AS s"],
             str(tmp_path / "mv_bad2"),
         )
+    shadow_plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS o_orderdate"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .build()
+    )
+    with pytest.raises(ValueError, match="shadows"):
+        reg.define_join(cat, "mv_badj", shadow_plan, str(tmp_path / "mv_badj"))
+
+
+def test_expr_key_incremental_refresh(spark, tmp_path):
+    """Expression-key tiles refresh incrementally (r10): the delta
+    aggregates with the raw key over the new files, and the merge
+    re-groups tile∪delta by the stored ALIAS column. Single-table and
+    fact-append join tiers both maintain the month tile equal to a
+    from-scratch build."""
+    full = Catalog(spark).register_parquet_dir(SF_DIR)
+    fact_dir = str(tmp_path / "orders_a")
+    _copy_parquet_subset(
+        spark, full.table("orders"), fact_dir, "o_orderkey % 2 = 0"
+    )
+    cat = Catalog(spark)
+    cat.register("orders_a", fact_dir)
+    cat.register("customer", f"{SF_DIR}/customer.parquet")
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mo_tile", "orders_a",
+        ["date_trunc('month', o_orderdate) AS mo"],
+        ["SUM(o_totalprice) AS s", "COUNT(o_totalprice) AS c",
+         "MIN(o_totalprice) AS mn"],
+        str(tmp_path / "mo_tile"),
+    )
+    star_plan = (
+        RelBuilder(cat)
+        .scan("orders_a")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "c_mktsegment"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .build()
+    )
+    reg.define_join(
+        cat, "star_mo", star_plan, str(tmp_path / "star_mo"), fact="orders_a"
+    )
+    full.table("orders").filter("o_orderkey % 2 = 1").write.mode(
+        "append"
+    ).parquet(fact_dir)
+    cat._dfs.pop("orders_a", None)
+    stats = reg.incremental_refresh(cat, "mo_tile")
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+    stats2 = reg.incremental_refresh(cat, "star_mo")
+    assert stats2["refreshed"] and stats2["delta_files"] >= 1
+    direct = (
+        cat.table("orders_a")
+        .groupBy(F.expr("date_trunc('month', o_orderdate) AS mo"))
+        .agg(F.expr("SUM(o_totalprice) AS s"),
+             F.expr("COUNT(o_totalprice) AS c"),
+             F.expr("MIN(o_totalprice) AS mn"))
+    )
+    assert _rows(cat.table("mo_tile").select("mo", "s", "c", "mn")) == _rows(
+        direct.select("mo", "s", "c", "mn")
+    )
+    direct2 = (
+        cat.table("orders_a")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .groupBy(F.expr("date_trunc('month', o_orderdate) AS mo"),
+                 "c_mktsegment")
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+    )
+    assert _rows(
+        cat.table("star_mo").select("mo", "c_mktsegment", "s")
+    ) == _rows(direct2.select("mo", "c_mktsegment", "s"))
+
+
+def test_expr_key_join_tile_drill_across(spark, tmp_path):
+    """Month-grain star tile (r10): define_join with an expression key
+    serves exact, rollup, AND drill-across queries — the compensation
+    re-aggregate references the tile's alias column, never the raw
+    expression."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
     plan = (
         RelBuilder(cat)
         .scan("orders")
         .scan("customer")
         .join("o_custkey = c_custkey")
         .aggregate(
-            ["date_trunc('month', o_orderdate) AS mo"],
+            ["date_trunc('month', o_orderdate) AS mo", "c_nationkey"],
             ["SUM(o_totalprice) AS s"],
         )
         .build()
     )
-    with pytest.raises(ValueError, match="plain columns"):
-        reg.define_join(cat, "mv_badj", plan, str(tmp_path / "mv_badj"))
-    mv = reg.define(
-        cat, "mv_expr_refresh", "orders",
-        ["date_trunc('month', o_orderdate) AS mo"],
-        ["SUM(o_totalprice) AS s"],
-        str(tmp_path / "mv_expr_refresh"),
+    mv = reg.define_join(cat, "star_dx", plan, str(tmp_path / "star_dx"))
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("customer")
+        .join("o_custkey = c_custkey")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
     )
-    with pytest.raises(ValueError, match="plain column group"):
-        reg.incremental_refresh(cat, "mv_expr_refresh")
+    files = df.inputFiles()
+    assert any("star_dx" in f for f in files), files
+    assert not any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .join(cat.table("nation"), F.expr("c_nationkey = n_nationkey"))
+        .groupBy(F.expr("date_trunc('month', o_orderdate) AS mo"))
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+    )
+    got = {r["mo"]: round(r["s"], 3) for r in df.collect()}
+    want = {r["mo"]: round(r["s"], 3) for r in direct.collect()}
+    assert got == want
 
 
 def test_expr_key_sliced_tile_union_compensation(spark, tmp_path):
