@@ -1175,8 +1175,17 @@ class MaterializationRegistry:
         (review r8): a blind full-column slice rewrite at Filter(Scan)
         must not preempt a 3-6-orders-smaller aggregate tile serving
         the Aggregate above — aggregate tiers get first claim, SPF
-        serves whatever shapes remain."""
-        if not isinstance(node, ir.Aggregate) or node.group_type != "SIMPLE":
+        serves whatever shapes remain.
+
+        ROLLUP/CUBE/GROUPING SETS queries (r10, ≈
+        MaterializedViewAggregateRule rolling up a groupSets aggregate
+        from the view): every grouping set is a coarsening of the
+        tile's grain, so the SAME group_type re-aggregates the tile's
+        partials — restricted to the plain tier (unfiltered tile or
+        containment); the union/drill-across tiers stay SIMPLE-only."""
+        if not isinstance(node, ir.Aggregate) or node.group_type not in (
+            "SIMPLE", "ROLLUP", "CUBE", "GROUPING_SETS"
+        ):
             return None
         child = node.inputs[0]
         filt = None
@@ -1503,6 +1512,29 @@ class MaterializationRegistry:
                     )
                     if sub is not None:
                         mapped = f"{sub} AS {dm.group(3)}"
+            if mapped is None and not exact:
+                # GROUPING/GROUPING_ID over query keys (r10, the
+                # groupSets tier): each argument must be a tile group
+                # key — re-reference it by the tile's stored column so
+                # the re-aggregate computes the indicator itself
+                gm = re.match(
+                    r"(?is)^\s*(GROUPING|GROUPING_ID)\s*\((.*)\)\s+AS\s+(\w+)\s*$",
+                    call,
+                )
+                if gm is not None:
+                    tile_by_norm = {_norm(k): k for k in mv.group_keys}
+                    args, ok = [], True
+                    for a in re.split(r",(?![^()]*\))", gm.group(2)):
+                        hit = tile_by_norm.get(_norm(a.strip()))
+                        if hit is None:
+                            ok = False
+                            break
+                        args.append(_key_alias(hit))
+                    if ok and args:
+                        mapped = (
+                            f"{gm.group(1).upper()}({', '.join(args)}) "
+                            f"AS {gm.group(3)}"
+                        )
             if mapped is None:
                 mapped = MaterializationRegistry._map_expression_call(
                     call, mv, exact, catalog, query_keys
@@ -1536,7 +1568,8 @@ class MaterializationRegistry:
         ):
             return None
         exact = (
-            tuple(_norm(k) for k in agg.group_keys)
+            agg.group_type == "SIMPLE"
+            and tuple(_norm(k) for k in agg.group_keys)
             == tuple(_norm(k) for k in mv.group_keys)
             and filt is None
         )
@@ -1550,6 +1583,28 @@ class MaterializationRegistry:
             # identity projection over the tile (by stored column name)
             return ir.Project(tuple(q_out + new_calls), inputs=(scan,))
         base = ir.Filter(filt.condition, inputs=(scan,)) if filt is not None else scan
+        if agg.group_type != "SIMPLE":
+            # re-aggregate the tile partials with the SAME grouping
+            # structure: each grouping set coarsens the tile grain, so
+            # SUM/$SUM0/MIN/MAX merge per set is exact (r10)
+            key_map = {
+                _norm(k): _key_alias(tile_by_norm[_norm(k)])
+                for k in agg.group_keys
+            }
+            sets = tuple(
+                tuple(key_map.get(_norm(c), c) for c in s)
+                for s in agg.grouping_sets
+            )
+            for s in sets:
+                if not set(s) <= set(q_out):
+                    return None  # a set references a non-key column
+            return ir.Aggregate(
+                tuple(q_out),
+                tuple(new_calls),
+                group_type=agg.group_type,
+                grouping_sets=sets,
+                inputs=(base,),
+            )
         return ir.Aggregate(tuple(q_out), tuple(new_calls), inputs=(base,))
 
     def _join_compensate(self, agg, filt, mv, q_tables, q_edges, catalog):
@@ -1570,6 +1625,8 @@ class MaterializationRegistry:
         100 TB: this is the drill-across query — tile ⋈ small dims —
         and the compensating joins are exactly the broadcast-able kind
         (BroadcastSmallDimensions runs after this rule)."""
+        if agg.group_type != "SIMPLE":
+            return None  # drill-across re-aggregation is SIMPLE-only
         mv_tables = set(mv.tables)
         if not (mv_tables and mv_tables < q_tables):
             return None
@@ -1710,6 +1767,8 @@ class MaterializationRegistry:
         if _interval_contains(m_iv, q_iv):
             # the slice covers the query → plain compensation on the tile
             return self._try_rewrite(agg, filt, mv, catalog)
+        if agg.group_type != "SIMPLE":
+            return None  # union merge is SIMPLE-only (r10)
         covered = _interval_intersect(q_iv, m_iv)
         if covered.is_empty():
             return None  # disjoint: the tile contributes nothing
@@ -1805,6 +1864,8 @@ class MaterializationRegistry:
         join tiles require the exact join (the residual branch re-joins
         the query's own subtree); disjoint boxes (empty intersection on
         any column) contribute nothing — refuse."""
+        if agg.group_type != "SIMPLE":
+            return None  # union merge is SIMPLE-only (r10)
         if mv.tables and not exact_join:
             return None  # FK-peeled join tiles are contained-only
         region_m = _parse_region(mv.filter_condition)

@@ -2072,8 +2072,43 @@ class SqlFrontend:
         if m.group("gb"):
             from calcite_spark.plans.materialize import _key_alias
 
+            gb = m.group("gb").strip()
+            # GROUP BY ROLLUP/CUBE/GROUPING SETS (r10): lift with the
+            # matching IR group_type so the groupSets-from-tile
+            # substitution tier can serve it; GROUPING SETS keys stay
+            # plain columns (the IR lowers them through SQL text where
+            # an 'expr AS alias' key would be invalid GROUP BY syntax)
+            group_type, grouping_sets = "SIMPLE", ()
+            rc = re.match(r"(?is)^(ROLLUP|CUBE)\s*\((.*)\)\s*$", gb)
+            gs = re.match(r"(?is)^GROUPING\s+SETS\s*\((.*)\)\s*$", gb)
+            if rc is not None:
+                group_type, key_text = rc.group(1).upper(), rc.group(2)
+            elif gs is not None:
+                group_type = "GROUPING_SETS"
+                sets, ordered = [], []
+                for item in self._split_top_commas(gs.group(1)):
+                    item = item.strip()
+                    if not (item.startswith("(") and item.endswith(")")):
+                        item = f"({item})"  # bare column = singleton set
+                    members = [
+                        c.strip()
+                        for c in item[1:-1].split(",")
+                        if c.strip()
+                    ]
+                    if not all(
+                        re.fullmatch(r"[A-Za-z_]\w*", c) for c in members
+                    ):
+                        return None
+                    sets.append(tuple(members))
+                    for c in members:
+                        if c not in ordered:
+                            ordered.append(c)
+                grouping_sets = tuple(sets)
+                key_text = ", ".join(ordered)
+            else:
+                key_text = gb
             raw_keys = [
-                k.strip() for k in self._split_top_commas(m.group("gb"))
+                k.strip() for k in self._split_top_commas(key_text)
             ]
             keys = []  # IR group keys: 'col' or 'expr AS alias'
             for k in raw_keys:
@@ -2106,8 +2141,19 @@ class SqlFrontend:
                 # zero aggregate calls (pure-DISTINCT GROUP BY): the IR
                 # Aggregate can't lower an empty call list (review r8)
                 return None
+            def _call_ok(c):
+                if liftable_agg_call(c):
+                    return True
+                # GROUPING/GROUPING_ID indicators lift with groupSets
+                # queries — the substitution tier re-references them
+                # against the tile's key columns
+                return group_type != "SIMPLE" and re.match(
+                    r"(?is)^\s*(GROUPING|GROUPING_ID)\s*\(.*\)\s+AS\s+\w+\s*$",
+                    c,
+                ) is not None
+
             if [s for s in sel if s in keys] != keys or not all(
-                liftable_agg_call(c) for c in calls
+                _call_ok(c) for c in calls
             ):
                 return None
             # raw aggregates in HAVING (r10, verdict item 7): splice
@@ -2124,6 +2170,8 @@ class SqlFrontend:
             hv = m.group("hv")
             hidden: list = []
             hv_expr = None
+            if hv is not None and group_type != "SIMPLE":
+                return None  # HAVING over groupSets: verbatim path
             if hv is not None:
                 hv_expr = hv.strip()
                 spliced, last = [], 0
@@ -2139,7 +2187,10 @@ class SqlFrontend:
                     last = mt.end()
                 spliced.append(hv_expr[last:])
                 hv_expr = "".join(spliced)
-            b.aggregate(keys, calls + hidden)
+            b.aggregate(
+                keys, calls + hidden,
+                group_type=group_type, grouping_sets=grouping_sets,
+            )
             # the IR Aggregate emits keys-then-calls; restore the
             # statement's SELECT-list order so a substituted query
             # returns the same columns in the same positions as

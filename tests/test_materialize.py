@@ -3358,3 +3358,205 @@ def test_suggester_observes_expression_keys(spark, tmp_path):
                 )
             )
     assert sug2.suggest(min_count=2) == []
+
+
+# -- ROLLUP/CUBE/GROUPING SETS from tiles (r10) -------------------------
+# ≈ MaterializedViewAggregateRule rolling up a groupSets Aggregate from
+# the view: every grouping set coarsens the tile's grain, so the SAME
+# group_type re-aggregates the tile partials; GROUPING()/GROUPING_ID()
+# re-reference the tile's stored key columns. Union/drill-across tiers
+# stay SIMPLE-only.
+
+
+@pytest.fixture(scope="module")
+def gs_catalog(spark):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="mv_gs_")
+    reg.define(
+        cat, "mv_gs", "lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "SUM(l_quantity) AS s",
+            "COUNT(l_quantity) AS c",
+            "MAX(l_discount) AS mx",
+        ],
+        path=f"{tmp}/mv_gs",
+    )
+    return cat, reg
+
+
+def _gs_plan(cat, gt, keys, calls, sets=()):
+    from calcite_spark.plans.rewrite import default_program
+
+    plan = ir.Aggregate(
+        tuple(keys), tuple(calls), group_type=gt,
+        grouping_sets=tuple(tuple(s) for s in sets),
+        inputs=(ir.Scan("lineitem"),),
+    )
+    out = default_program(cat).run(plan)
+    return out.to_df(cat)
+
+
+def test_rollup_from_tile(spark, gs_catalog):
+    cat, reg = gs_catalog
+    df = _gs_plan(
+        cat, "ROLLUP", ["l_returnflag", "l_linestatus"],
+        ["SUM(l_quantity) AS s", "AVG(l_quantity) AS a",
+         "GROUPING(l_returnflag) AS g"],
+    )
+    assert all("mv_gs" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.expr("SUM(l_quantity) AS s"), F.expr("AVG(l_quantity) AS a"),
+             F.expr("GROUPING(l_returnflag) AS g"))
+    )
+    got = sorted(
+        (str(r[0]), str(r[1]), round(r[2], 3), round(r[3], 6), r[4])
+        for r in df.collect()
+    )
+    want = sorted(
+        (str(r[0]), str(r[1]), round(r[2], 3), round(r[3], 6), r[4])
+        for r in direct.collect()
+    )
+    assert got == want
+
+
+def test_cube_and_grouping_sets_from_tile(spark, gs_catalog):
+    cat, reg = gs_catalog
+    df = _gs_plan(
+        cat, "CUBE", ["l_returnflag", "l_linestatus"],
+        ["MAX(l_discount) AS mx"],
+    )
+    assert all("mv_gs" in f for f in df.inputFiles())
+    direct = (
+        cat.table("lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(F.expr("MAX(l_discount) AS mx"))
+    )
+    assert sorted(
+        (str(r[0]), str(r[1]), round(r[2], 2)) for r in df.collect()
+    ) == sorted(
+        (str(r[0]), str(r[1]), round(r[2], 2)) for r in direct.collect()
+    )
+    df2 = _gs_plan(
+        cat, "GROUPING_SETS", ["l_returnflag", "l_linestatus"],
+        ["SUM(l_quantity) AS s"],
+        sets=[["l_returnflag"], ["l_linestatus"], []],
+    )
+    assert all("mv_gs" in f for f in df2.inputFiles())
+    cat.table("lineitem").createOrReplaceTempView("__gs_li")
+    direct2 = spark.sql(
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s "
+        "FROM __gs_li GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+    assert sorted(
+        (str(r[0]), str(r[1]), round(r[2], 3)) for r in df2.collect()
+    ) == sorted(
+        (str(r[0]), str(r[1]), round(r[2], 3)) for r in direct2.collect()
+    )
+
+
+def test_rollup_from_expression_key_tile(spark, tmp_path):
+    """Composing the r10 features: ROLLUP over the month expression key
+    re-aggregates the month tile by its alias with the same grouping
+    structure."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_gsmo", "orders",
+        group_keys=["date_trunc('month', o_orderdate) AS mo", "o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_gsmo"),
+    )
+    from calcite_spark.plans.rewrite import default_program
+
+    plan = ir.Aggregate(
+        ("date_trunc('month', o_orderdate) AS mo", "o_orderstatus"),
+        ("SUM(o_totalprice) AS s",),
+        group_type="ROLLUP",
+        inputs=(ir.Scan("orders"),),
+    )
+    df = default_program(cat).run(plan).to_df(cat)
+    assert all("mv_gsmo" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .rollup(F.expr("date_trunc('month', o_orderdate) AS mo"),
+                F.col("o_orderstatus"))
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+    )
+    got = sorted((str(r[0]), str(r[1]), round(r[2], 3)) for r in df.collect())
+    want = sorted(
+        (str(r[0]), str(r[1]), round(r[2], 3)) for r in direct.collect()
+    )
+    assert got == want
+
+
+def test_groupsets_union_tier_refuses(spark, tmp_path):
+    """Sliced tiles stay SIMPLE-only past containment: an overlapping
+    ROLLUP query refuses (the union merge would need per-set handling)
+    — never a wrong slice."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_gsl", "orders",
+        group_keys=["o_orderdate", "o_orderstatus"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_gsl"),
+        filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    plan = ir.Aggregate(
+        ("o_orderstatus",),
+        ("SUM(o_totalprice) AS s",),
+        group_type="ROLLUP",
+        inputs=(
+            ir.Filter(
+                "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'",
+                inputs=(ir.Scan("orders"),),
+            ),
+        ),
+    )
+    assert reg.substitute(plan, cat) is None
+
+
+def test_frontend_lift_groupsets_from_tile(spark, tmp_path):
+    """SQL GROUP BY ROLLUP/CUBE/GROUPING SETS lifts with the matching
+    IR group_type and serves from the tile (r10); GROUPING indicators
+    lift as calls; values equal the verbatim statement."""
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_gq", "lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=["SUM(l_quantity) AS s", "COUNT(l_quantity) AS c"],
+        path=str(tmp_path / "mv_gq"),
+    )
+    fe = SqlFrontend(cat)
+    verb_from = f"FROM parquet.`{SF_DIR}/lineitem.parquet`"
+    cases = [
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s, "
+        "GROUPING(l_returnflag) AS g "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        "SELECT l_returnflag, l_linestatus, AVG(l_quantity) AS a "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag), (l_linestatus), ())",
+    ]
+    for sql in cases:
+        df = fe.sql(sql)
+        assert all("mv_gq" in f for f in df.inputFiles()), (sql, df.inputFiles())
+        verb = spark.sql(sql.replace("FROM lineitem", verb_from))
+
+        def canon(rows):
+            return sorted(
+                tuple(
+                    round(x, 4) if isinstance(x, float) else str(x)
+                    for x in r
+                )
+                for r in rows
+            )
+
+        assert canon(df.collect()) == canon(verb.collect()), sql
