@@ -1613,3 +1613,159 @@ def qx48_mv_union_multicol(spark, sf_dir):
     return df.selectExpr(
         "o_orderpriority", "n_orders", "ROUND(sum_price, 3) AS sum_price"
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx49_mv_groupsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("materialize", "rewrite", "mv", "groupsets"),
+)
+def qx49_mv_groupsets(spark, sf_dir):
+    """ROLLUP served from a tile (r10; ≈ rel/rules/materialize/
+    MaterializedViewAggregateRule rolling up a groupSets Aggregate from
+    the view): every grouping set coarsens the tile's grain, so the
+    SAME group_type re-aggregates the tile's SUM/COUNT partials — the
+    AVG decomposes through the derived mapper and GROUPING() is
+    re-referenced against the tile's key column. The oracle is DuckDB's
+    native ROLLUP over the fact table; the plan asserts the tile scan.
+    100 TB: the drill-down family (detail + subtotals + grand total)
+    reads one tile instead of three fact scans."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans import ir
+    from calcite_spark.plans.materialize import MaterializationRegistry
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx49_tile",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=["SUM(l_quantity) AS s_qty", "COUNT(l_quantity) AS c_qty"],
+        path=tempfile.mkdtemp(prefix="qx49_mv_") + "/qx49_tile",
+    )
+    plan = ir.Aggregate(
+        ("l_returnflag", "l_linestatus"),
+        (
+            "SUM(l_quantity) AS sum_qty",
+            "AVG(l_quantity) AS avg_qty",
+            "GROUPING(l_returnflag) AS g_flag",
+        ),
+        group_type="ROLLUP",
+        inputs=(ir.Scan("lineitem"),),
+    )
+    df = default_program(cat).run(plan).to_df(cat)
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("ROLLUP-from-tile substitution did not fire")
+    return df.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "ROUND(sum_qty, 3) AS sum_qty",
+        "ROUND(avg_qty, 6) AS avg_qty",
+        "CAST(g_flag AS BIGINT) AS g_flag",
+    ).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+    )
+
+
+@register(
+    "qx50_mv_dim_append",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("materialize", "join", "refresh", "mv", "dim-append"),
+)
+def qx50_mv_dim_append(spark, sf_dir):
+    """Dim-append-safe join-MV refresh (r10, verdict item 4; ≈
+    materialize/MaterializationService.java's refresh contract extended
+    with the lake append analysis): a star tile built over half the
+    fact and a FULL-key-coverage dim prefix is refreshed after BOTH
+    sides grow — the dim by appended files (safe because c_custkey is a
+    live-re-verified unique key with a declared FK from the fact), the
+    fact by delta files joining the CURRENT dim. The oracle is the
+    plain join-aggregate over the final state; the row raises unless
+    the refresh took the delta path WITH a dim append (a full rebuild
+    or a refusal would not produce dim_appends=1)."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from calcite_spark.catalog import Catalog, open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    full = open_catalog(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="qx50_")
+    fact_dir, dim_dir = f"{scratch}/fact_orders", f"{scratch}/dim_customer"
+    # the FK must genuinely HOLD at build time (the gate trusts the
+    # declaration): the initial fact half references ONLY dim-prefix
+    # keys; the delta brings the rest, including rows that join the
+    # APPENDED dim keys
+    full.table("orders").filter(
+        "o_orderkey % 2 = 0 AND o_custkey % 10 < 8"
+    ).write.parquet(fact_dir)
+    full.table("customer").filter("c_custkey % 10 < 8").write.parquet(dim_dir)
+    cat = Catalog(spark)
+    cat.register("fact_orders", fact_dir)
+    cat.register("dim_customer", dim_dir)
+    reg = MaterializationRegistry()
+    tile_plan = (
+        RelBuilder(cat)
+        .scan("fact_orders")
+        .scan("dim_customer")
+        .join("o_custkey = c_custkey")
+        .aggregate(
+            ["c_mktsegment"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_rows"],
+        )
+        .build()
+    )
+    cat.analyze_deep("dim_customer", ["c_custkey"])
+    cat.declare_foreign_key("fact_orders", "o_custkey", "dim_customer", "c_custkey")
+    reg.define_join(
+        cat, "qx50_tile", tile_plan, f"{scratch}/qx50_tile",
+        fact="fact_orders",
+    )
+    # the dim grows by APPENDED files (new keys), the fact by delta rows
+    full.table("customer").filter("c_custkey % 10 >= 8").write.mode(
+        "append"
+    ).parquet(dim_dir)
+    full.table("orders").filter(
+        "NOT (o_orderkey % 2 = 0 AND o_custkey % 10 < 8)"
+    ).write.mode("append").parquet(fact_dir)
+    cat._dfs.pop("fact_orders", None)
+    cat._dfs.pop("dim_customer", None)
+    stats = reg.incremental_refresh(cat, "qx50_tile")
+    if not (
+        stats["refreshed"]
+        and stats["delta_files"] >= 1
+        and stats.get("dim_appends") == 1
+        and not stats.get("rebuilt")
+    ):
+        raise RuntimeError(f"dim-append delta refresh did not fire: {stats}")
+    # oracle equivalence needs the SAME final state as the sf tables:
+    # fact = all orders; dim = all customers (modulo inner-join nulls)
+    return (
+        cat.table("qx50_tile")
+        .selectExpr(
+            "c_mktsegment",
+            "ROUND(sum_price, 3) AS sum_price",
+            "n_rows",
+        )
+        .orderBy("c_mktsegment")
+    )
