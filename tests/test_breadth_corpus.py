@@ -1137,3 +1137,156 @@ CORPUS5 = [
 def test_breadth_shape_batch5(fe, duck, i):
     sql = CORPUS5[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 6 (r10): NULL-edge semantics, subquery variety, window frames —
+# the shapes real users hit after the calculated-member tier. Same
+# contract: OUR shapes, identical text on Spark and DuckDB.
+CORPUS6 = [
+    # 1 NOT IN against a subquery that cannot produce NULLs
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""",
+    # 2 LEFT JOIN ... IS NULL as anti-join
+    """SELECT COUNT(*) AS n FROM nation
+       LEFT JOIN customer ON n_nationkey = c_nationkey AND c_acctbal > 9900
+       WHERE c_custkey IS NULL""",
+    # 3 correlated NOT EXISTS
+    """SELECT COUNT(*) AS lazy_custs FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    # 4 EXISTS with correlated inequality
+    """SELECT COUNT(*) AS n FROM supplier s
+       WHERE EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_nationkey = s.s_nationkey
+                       AND c.c_acctbal > s.s_acctbal)""",
+    # 5 scalar subquery inside CASE
+    """SELECT o_orderpriority,
+              CASE WHEN COUNT(*) > (SELECT COUNT(*) FROM orders) / 10
+                   THEN 'common' ELSE 'rare' END AS freq
+       FROM orders GROUP BY o_orderpriority""",
+    # 6 RANGE frame over numeric ordering
+    """SELECT c_custkey, c_acctbal,
+              COUNT(*) OVER (ORDER BY c_acctbal
+                             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS near
+       FROM customer WHERE c_custkey <= 200""",
+    # 7 first/last value with explicit full frame
+    """SELECT DISTINCT c_nationkey,
+              FIRST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+              LAST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+       FROM customer""",
+    # 8 LAG with default + NULL handling
+    """SELECT o_orderkey, LAG(o_totalprice, 1, 0.0) OVER (ORDER BY o_orderkey) AS prev_price
+       FROM orders WHERE o_orderkey <= 200""",
+    # 9 two different window partitions in one SELECT
+    """SELECT o_orderkey,
+              RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS r_status,
+              RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS r_prio
+       FROM orders WHERE o_orderkey <= 300""",
+    # 10 COALESCE chain across two outer joins
+    """SELECT n_name,
+              COALESCE(big.cnt, small.cnt, 0) AS pick
+       FROM nation
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+                  WHERE c_acctbal > 9000 GROUP BY c_nationkey) big
+         ON n_nationkey = big.c_nationkey
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+                  GROUP BY c_nationkey) small
+         ON n_nationkey = small.c_nationkey""",
+    # 11 IN + correlated EXISTS + NOT IN conjunction
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderstatus IN ('F', 'O')
+         AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -999)
+         AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)""",
+    # 12 POSITION + SUBSTR + LENGTH composition
+    """SELECT COUNT(*) AS n FROM part
+       WHERE POSITION('green' IN p_name) > 0
+         AND LENGTH(SUBSTR(p_name, 1, 10)) = 10""",
+    # 13 numeric edges: negative modulo and integer division stay consistent
+    """SELECT o_orderkey % 7 AS m, COUNT(*) AS n
+       FROM orders WHERE o_orderkey <= 500 GROUP BY o_orderkey % 7""",
+    # 14 HAVING with a correlated scalar subquery comparison
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+       GROUP BY c_nationkey
+       HAVING COUNT(*) > (SELECT COUNT(*) FROM customer) / 50""",
+    # 15 windowed aggregate of a windowed aggregate (two layers)
+    """SELECT MAX(share) AS max_share FROM (
+         SELECT o_custkey,
+                SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER () AS share
+         FROM orders GROUP BY o_custkey) t""",
+    # 16 UNION with type widening (int + double measures)
+    """SELECT 'cnt' AS metric, CAST(COUNT(*) AS DOUBLE) AS v FROM orders
+       UNION ALL
+       SELECT 'avg' AS metric, AVG(o_totalprice) AS v FROM orders""",
+    # 17 BETWEEN over strings (lexical range)
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_mktsegment BETWEEN 'AUTOMOBILE' AND 'seg_zz'""",
+    # 18 nested CASE with boolean aggregation
+    """SELECT SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS huge,
+              SUM(CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 1 ELSE 0 END) AS mid,
+              SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS small
+       FROM orders""",
+    # 19 DISTINCT over an expression
+    """SELECT COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS years FROM orders""",
+    # 20 self-anti pattern via EXCEPT on expressions
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS y FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT EXTRACT(YEAR FROM o_orderdate) AS y FROM orders WHERE o_orderstatus = 'P'""",
+    # 21 GREATEST/LEAST inside aggregates
+    """SELECT l_returnflag,
+              ROUND(SUM(GREATEST(l_extendedprice - 1000, 0.0)), 2) AS clipped,
+              ROUND(MAX(LEAST(l_discount, l_tax)), 2) AS min_rate
+       FROM lineitem GROUP BY l_returnflag""",
+    # 22 correlated subquery referencing two outer columns
+    """SELECT COUNT(*) AS n FROM orders o
+       WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey
+                               AND o2.o_orderstatus = o.o_orderstatus)""",
+    # 23 derived table with window, filtered outside, re-aggregated
+    """SELECT o_orderstatus, COUNT(*) AS top_half FROM (
+         SELECT o_orderstatus,
+                NTILE(2) OVER (ORDER BY o_totalprice, o_orderkey) AS half
+         FROM orders) t
+       WHERE half = 2 GROUP BY o_orderstatus""",
+    # 24 aggregate FILTER with a subquery-free correlated-style condition
+    """SELECT n_name,
+              COUNT(*) FILTER (WHERE c_acctbal > 5000) AS rich,
+              COUNT(*) FILTER (WHERE c_acctbal < 0) AS debt
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name HAVING COUNT(*) > 20""",
+    # 25 three-way join with two derived sides
+    """SELECT r_name, ROUND(SUM(t.rev), 2) AS rev
+       FROM region
+       JOIN nation ON r_regionkey = n_regionkey
+       JOIN (SELECT c_nationkey, SUM(o_totalprice) AS rev
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_nationkey) t
+         ON n_nationkey = t.c_nationkey
+       GROUP BY r_name""",
+    # 26 IN-list with mixed literals + expression member
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE EXTRACT(MONTH FROM o_orderdate) IN (1, 2, 12)""",
+    # 27 cascaded CTE-free derived tables with LIMIT inside
+    """SELECT ROUND(AVG(o_totalprice), 2) AS avg_top
+       FROM (SELECT o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t""",
+    # 28 cross-type comparison: date vs timestamp literal
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00'""",
+    # 29 anti-join via NOT IN on a joined projection
+    """SELECT COUNT(*) AS n FROM supplier
+       WHERE s_nationkey NOT IN (
+         SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE')""",
+    # 30 percent contribution with NULLIF guard and HAVING on the ratio
+    """SELECT o_custkey,
+              ROUND(SUM(o_totalprice) / NULLIF((SELECT SUM(o_totalprice) FROM orders), 0), 8) AS share
+       FROM orders GROUP BY o_custkey
+       HAVING SUM(o_totalprice) / NULLIF((SELECT SUM(o_totalprice) FROM orders), 0) > 0.002""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS6)))
+def test_breadth_shape_batch6(fe, duck, i):
+    sql = CORPUS6[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
