@@ -100,6 +100,12 @@ class Materialization:
     # re-register the view so it never reads a swapped-out tile file.
     view_name: str = ""
     view_exprs: tuple = ()
+    # FK declarations snapshotted AT BUILD TIME (r10 review): the
+    # dim-append refresh proof needs "every old fact row matched at
+    # build", which only a declaration that EXISTED at build supports —
+    # a declaration added after the append could be made true BY the
+    # append and proves nothing about the build-time join.
+    build_fks: tuple = ()  # ((table, col, ref_table, ref_col), ...)
 
 
 def _paren_balanced(text: str) -> bool:
@@ -708,6 +714,12 @@ class MaterializationRegistry:
             snapshot = tuple(sorted({f for _, fs in by_table for f in fs}))
         except Exception:
             by_table, snapshot = (), ()  # non-file base: no anchor
+        build_fks = tuple(
+            (t, c, rt, rc)
+            for t in sorted(tables)
+            for (c, rt, rc) in catalog.tables[t].foreign_keys
+            if rt in tables
+        )
         mv = Materialization(
             name, fact, tuple(plan.group_keys), parsed, path,
             filter_condition,
@@ -715,6 +727,7 @@ class MaterializationRegistry:
             tables=tuple(sorted(tables)), join_edges=frozenset(edges),
             base_files_by_table=by_table,
             defining_plan=plan,
+            build_fks=build_fks,
         )
         self.mvs[name] = mv
         return mv
@@ -931,15 +944,19 @@ class MaterializationRegistry:
                         f"MV {name}: cannot resolve the owner of join "
                         f"column {o_col!r} — rebuild with define_join()"
                     )
-                if not catalog.is_unique_key(t, t_col) or not (
-                    catalog.has_foreign_key(o_tab, o_col, t, t_col)
+                # the FK must have been declared AT BUILD TIME (review
+                # r10): a declaration added after the fact could be
+                # made true BY the very append being gated, proving
+                # nothing about what the build-time INNER join dropped
+                if not catalog.is_unique_key(t, t_col) or (
+                    (o_tab, o_col, t, t_col) not in mv.build_fks
                 ):
                     raise ValueError(
                         f"MV {name}: dimension table {t!r} grew new files "
                         f"but {t}.{t_col} is not a declared unique key "
-                        f"with a declared FK from {o_tab}.{o_col} — "
-                        "append safety cannot be proven; rebuild with "
-                        "define_join()"
+                        f"with an FK from {o_tab}.{o_col} declared at "
+                        "tile-build time — append safety cannot be "
+                        "proven; rebuild with define_join()"
                     )
                 dup = (
                     catalog.table(t)
@@ -2106,7 +2123,16 @@ class MaterializationRegistry:
 
 
 def _norm(expr: str) -> str:
-    return re.sub(r"\s+", "", expr).lower()
+    """Whitespace/case-insensitive normalization OUTSIDE single-quoted
+    string literals; literal content is DATA and compares verbatim
+    (review r10: folding inside literals false-matched
+    date_format(d, 'yyyyMM') with date_format(d, 'yyyymm') — two
+    different grains — and the tile silently served the wrong one)."""
+    parts = re.split(r"('(?:[^']|'')*')", expr)
+    return "".join(
+        p if i % 2 else re.sub(r"\s+", "", p).lower()
+        for i, p in enumerate(parts)
+    )
 
 
 _SQL_WORDS = {
@@ -2340,7 +2366,20 @@ class LatticeSuggester:
         def edge_count(t):
             return sum(1 for a, b in edges if owner.get(a) == t or owner.get(b) == t)
 
-        fact = max(sorted(tables), key=edge_count)
+        def row_count(t):
+            # grounded tie-break (review r10): the fact anchor decides
+            # which side's appends the refresh can delta-join, so pick
+            # the LARGER table — ANALYZE stats when present, else one
+            # count() (an auto_build already scans every table to build
+            # the tile, so this adds no asymptotic cost)
+            entry = catalog.tables.get(t)
+            if entry is not None and entry.row_count:
+                return entry.row_count
+            return catalog.table(t).count()
+
+        fact = max(
+            sorted(tables), key=lambda t: (edge_count(t), row_count(t))
+        )
         placed, pending = {fact}, [t for t in sorted(tables) if t != fact]
         pending_e = list(edges)
         b = RelBuilder(catalog)

@@ -1392,7 +1392,7 @@ def qx45_mv_join_refresh(spark, sf_dir):
 @register(
     "qx46_mv_expr_key",
     oracle="""
-    SELECT date_trunc('month', o_orderdate) AS mo,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
            ROUND(SUM(o_totalprice), 3) AS sum_price,
            ROUND(AVG(o_totalprice), 6) AS avg_price,
            CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders

@@ -1189,6 +1189,13 @@ class DdlExecutor:
                 # r8: raising here refused a DDL the reference accepts)
                 return None
             keys = [k.strip() for k in group_by.split(",")]
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+                # expression group keys in DDL go to the generic path
+                # (review r10: define() now REFUSES bare expressions,
+                # and the naive comma split above mangles
+                # comma-bearing expressions — neither may crash a
+                # valid CREATE MATERIALIZED VIEW)
+                return None
             calls = []
             for item in _split_top_level(select_list):
                 item = item.strip()

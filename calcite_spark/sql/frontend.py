@@ -2121,7 +2121,13 @@ class SqlFrontend:
                 # tier): liftable only when the SELECT list carries the
                 # SAME expression under an alias — the IR key becomes
                 # 'expr AS alias', exactly the tile-defining form
-                knorm = re.sub(r"\s+", "", k).lower()
+                # literal-aware normalization (review r10): folding
+                # case inside quoted literals would bind GROUP BY
+                # date_format(d,'yyyymm') to a SELECT 'yyyyMM' item —
+                # a silently different grouping
+                from calcite_spark.plans.materialize import _norm as _expr_norm
+
+                knorm = _expr_norm(k)
                 hit = next(
                     (
                         s
@@ -2129,7 +2135,7 @@ class SqlFrontend:
                         if (am := re.match(
                             r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", s
                         ))
-                        and re.sub(r"\s+", "", am.group(1)).lower() == knorm
+                        and _expr_norm(am.group(1)) == knorm
                     ),
                     None,
                 )

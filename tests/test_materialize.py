@@ -3088,6 +3088,11 @@ def _dim_append_setup(spark, tmp_path, reg):
     cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
     cat.analyze_deep("dim_customer", ["c_custkey"])
     cat.declare_foreign_key("fact_orders", "o_custkey", "dim_customer", "c_custkey")
+    # the append gate requires the FK declared AT BUILD TIME (r10
+    # review) — re-define so the build snapshot records it
+    mv = reg.define_join(
+        cat, "mv_star_inc", mv.defining_plan, mv.path, fact="fact_orders"
+    )
     return cat, full, fact_dir, mv
 
 
@@ -3560,3 +3565,96 @@ def test_frontend_lift_groupsets_from_tile(spark, tmp_path):
             )
 
         assert canon(df.collect()) == canon(verb.collect()), sql
+
+
+def test_join_mv_dim_append_retroactive_fk_refuses(spark, tmp_path):
+    """An FK declared AFTER the tile build proves nothing about what
+    the build-time INNER join dropped (the append itself could be what
+    makes the declaration true) — the gate requires the build-time
+    snapshot and refuses (r10 review finding)."""
+    reg = MaterializationRegistry()
+    cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
+    # declarations arrive only AFTER the tile was built
+    cat.analyze_deep("dim_customer", ["c_custkey"])
+    cat.declare_foreign_key(
+        "fact_orders", "o_custkey", "dim_customer", "c_custkey"
+    )
+    full.table("customer").limit(3).withColumn(
+        "c_custkey", F.expr("c_custkey + 30000000")
+    ).write.mode("append").parquet(cat.tables["dim_customer"].path)
+    cat._dfs.pop("dim_customer", None)
+    with pytest.raises(ValueError, match="tile-build time"):
+        reg.incremental_refresh(cat, "mv_star_inc")
+
+
+def test_norm_preserves_literal_case(spark, tmp_path):
+    """Review r10 wrong-value pin: key/call normalization must not fold
+    case inside string literals — date_format 'yyyyMM' (month) and
+    'yyyymm' (minute) are DIFFERENT grains and must not unify."""
+    from calcite_spark.plans.materialize import _norm
+
+    assert _norm("date_format(d, 'yyyyMM')") != _norm("date_format(d, 'yyyymm')")
+    assert _norm("SUM( x )  AS  s") == _norm("sum(x) as s")
+    assert _norm("CASE WHEN s='F' THEN 1 END") != _norm("CASE WHEN s='f' THEN 1 END")
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_lit", "orders",
+        group_keys=["date_format(o_orderdate, 'yyyyMM') AS m"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_lit"),
+    )
+    # the minute-grain query must NOT bind the month tile
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_format(o_orderdate, 'yyyymm') AS m"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
+    # whitespace-only variation still matches
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_format( o_orderdate , 'yyyyMM' ) AS m"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    assert all("mv_lit" in f for f in df.inputFiles())
+
+
+def test_ddl_mv_expression_key_goes_generic(spark, tmp_path):
+    """Review r10: CREATE MATERIALIZED VIEW ... GROUP BY <expression>
+    must route to the generic (non-substitutable) path, not crash in
+    define() — including comma-bearing expressions the naive split
+    would mangle."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW mv_ddl_expr AS "
+        "SELECT year(o_orderdate), SUM(o_totalprice) AS s "
+        "FROM orders GROUP BY year(o_orderdate)"
+    )
+    assert r["substitutable"] is False
+    got = {
+        (r2[0], round(r2[1], 2)) for r2 in cat.table("mv_ddl_expr").collect()
+    }
+    want = {
+        (r2[0], round(r2[1], 2))
+        for r2 in cat.table("orders")
+        .groupBy(F.expr("year(o_orderdate)"))
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+        .collect()
+    }
+    assert got == want
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW mv_ddl_expr2 AS "
+        "SELECT concat(o_orderstatus, o_orderpriority), COUNT(*) AS n "
+        "FROM orders GROUP BY concat(o_orderstatus, o_orderpriority)"
+    )
+    assert r["substitutable"] is False
+    assert cat.table("mv_ddl_expr2").count() > 0
