@@ -28,10 +28,37 @@ from pyspark.sql import functions as _F
 
 from calcite_spark.plans import ir
 
-_AGG_RE = re.compile(r"^\s*(SUM|COUNT|MIN|MAX)\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$", re.I)
+_AGG_RE = re.compile(
+    r"^\s*(SUM|COUNT|MIN|MAX|APPROX_COUNT_DISTINCT)"
+    r"\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$",
+    re.I,
+)
 
-# re-aggregation function when rolling a tile up to coarser keys
-_REAGG = {"SUM": "SUM", "COUNT": "SUM", "MIN": "MIN", "MAX": "MAX"}
+# re-aggregation function when rolling a tile up to coarser keys.
+# APPROX_COUNT_DISTINCT tiles (r10) store a DataSketches HLL sketch
+# (hll_sketch_agg) and merge by sketch union — distinct counts are the
+# ONE non-additive measure a lattice can still roll up, exactly why
+# Calcite gates it behind approximateDistinctCount
+# (CalciteConnectionConfig) and Lattice's approximate measures.
+_REAGG = {
+    "SUM": "SUM",
+    "COUNT": "SUM",
+    "MIN": "MIN",
+    "MAX": "MAX",
+    "APPROX_COUNT_DISTINCT": "hll_union_agg",
+}
+
+
+def _tile_call_sql(fn: str, arg: str, alias: str) -> str:
+    """The PHYSICAL tile column for a declared measure: identity for
+    additive calls; APPROX_COUNT_DISTINCT stores the mergeable sketch
+    (declaring it on a tile is the opt-in to sketch-served estimates —
+    the estimate is DataSketches HLL, deterministic but not bit-equal
+    to Spark's native HLL++; both sides are approximate by contract,
+    ≈ approximateDistinctCount)."""
+    if fn.upper() == "APPROX_COUNT_DISTINCT":
+        return f"hll_sketch_agg({arg}) AS {alias}"
+    return f"{fn}({arg}) AS {alias}"
 
 # Derived aggregates decomposable onto a SUM/COUNT(/SUM-of-squares)
 # tile ≈ rel/rules/AggregateReduceFunctionsRule.java (the reference
@@ -479,6 +506,7 @@ class MaterializationRegistry:
                     "column it aggregated away"
                 )
         parsed = {}
+        lowered = []
         for call in agg_calls:
             p = parse_agg_call(call)
             if p is None:
@@ -489,12 +517,17 @@ class MaterializationRegistry:
                     f"define: aggregate alias {alias!r} collides with a "
                     "group-key output name"
                 )
+            if fn == "APPROX_COUNT_DISTINCT" and arg.upper().startswith(
+                "DISTINCT"
+            ):
+                raise ValueError(f"define: DISTINCT inside {call!r}")
             parsed[alias] = (fn, arg)
+            lowered.append(_tile_call_sql(fn, arg, alias))
         base: ir.RelNode = ir.Scan(table)
         if filter_condition is not None:
             base = ir.Filter(filter_condition, inputs=(base,))
         df = (
-            ir.Aggregate(tuple(group_keys), tuple(agg_calls), inputs=(base,))
+            ir.Aggregate(tuple(group_keys), tuple(lowered), inputs=(base,))
         ).to_df(catalog)
         df.write.mode("overwrite").parquet(path)
         catalog.register(name, path)
@@ -674,6 +707,7 @@ class MaterializationRegistry:
                 inputs=(ir.Filter(filter_condition, inputs=(plan.inputs[0],)),),
             )
         parsed = {}
+        lowered = []
         for call in plan.agg_calls:
             p = parse_agg_call(call)
             if p is None:
@@ -685,6 +719,15 @@ class MaterializationRegistry:
                     "with a group-key output name"
                 )
             parsed[alias] = (fn, arg)
+            lowered.append(_tile_call_sql(fn, arg, alias))
+        if tuple(lowered) != tuple(plan.agg_calls):
+            # APPROX_COUNT_DISTINCT measures store their mergeable
+            # sketch — the DEFINING plan is rewritten so the build AND
+            # every refresh re-run produce sketch columns
+            plan = ir.Aggregate(
+                plan.group_keys, tuple(lowered),
+                inputs=plan.inputs,
+            )
         df = plan.to_df(catalog)
         df.write.mode("overwrite").parquet(path)
         catalog.register(name, path)
@@ -782,7 +825,7 @@ class MaterializationRegistry:
             # stale tile — silent double counting (ADVICE r8). Full
             # rebuild from the current base instead.
             calls = tuple(
-                f"{fn}({arg}) AS {alias}"
+                _tile_call_sql(fn, arg, alias)
                 for alias, (fn, arg) in mv.agg_calls.items()
             )
             base: ir.RelNode = ir.Scan(mv.table)
@@ -809,7 +852,8 @@ class MaterializationRegistry:
         spark = catalog.spark
         delta_df = spark.read.parquet(*delta)
         calls = tuple(
-            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+            _tile_call_sql(fn, arg, alias)
+            for alias, (fn, arg) in mv.agg_calls.items()
         )
         tmp = f"__mv_delta_{name}"
         catalog.register_df(tmp, delta_df)
@@ -1363,6 +1407,15 @@ class MaterializationRegistry:
         src = MaterializationRegistry._tile_col(mv, fn, arg)
         if src is None:
             return None
+        if fn == "APPROX_COUNT_DISTINCT":
+            # the tile column is a DataSketches HLL sketch: estimate it
+            # (exact tier) or union-then-estimate (rollup tier) —
+            # approximate-for-approximate, the approximateDistinctCount
+            # contract (the estimate is deterministic but not bit-equal
+            # to Spark's native HLL++ implementation)
+            if exact:
+                return f"hll_sketch_estimate({src})"
+            return f"hll_sketch_estimate(hll_union_agg({src}))"
         if exact:
             return src
         if fn == "COUNT":
@@ -1817,8 +1870,11 @@ class MaterializationRegistry:
             ),
         )
         residual_sql = " OR ".join(f"({_interval_sql(m_col, r)})" for r in residual)
+        # residual partials must match the TILE's physical columns
+        # (sketches for APPROX_COUNT_DISTINCT measures)
         base_calls = tuple(
-            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+            _tile_call_sql(fn, arg, alias)
+            for alias, (fn, arg) in mv.agg_calls.items()
         )
         # residual base: the query's own (exact-matched) subtree — for
         # single-table tiles this IS Scan(mv.table); for join tiles it
@@ -1959,8 +2015,11 @@ class MaterializationRegistry:
                 ir.Filter(covered_sql, inputs=(ir.Scan(mv.name),)),
             ),
         )
+        # residual partials must match the TILE's physical columns
+        # (sketches for APPROX_COUNT_DISTINCT measures)
         base_calls = tuple(
-            f"{fn}({arg}) AS {alias}" for alias, (fn, arg) in mv.agg_calls.items()
+            _tile_call_sql(fn, arg, alias)
+            for alias, (fn, arg) in mv.agg_calls.items()
         )
         base_branch = ir.Project(
             branch_cols,

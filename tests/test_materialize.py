@@ -3658,3 +3658,94 @@ def test_ddl_mv_expression_key_goes_generic(spark, tmp_path):
     )
     assert r["substitutable"] is False
     assert cat.table("mv_ddl_expr2").count() > 0
+
+
+# -- approximate-distinct tiles (r10) -----------------------------------
+# ≈ CalciteConnectionConfig.approximateDistinctCount + Lattice's
+# approximate measures: distinct counts are the one non-additive measure
+# a lattice can still roll up — by storing a mergeable sketch. Declaring
+# APPROX_COUNT_DISTINCT on a tile is the opt-in; the estimate is
+# DataSketches HLL (deterministic, not bit-equal to Spark's native
+# HLL++ — approximate-for-approximate by contract).
+
+
+def test_approx_distinct_tile(spark, tmp_path):
+    full = Catalog(spark).register_parquet_dir(SF_DIR)
+    fact_dir = str(tmp_path / "orders_a")
+    _copy_parquet_subset(
+        spark, full.table("orders"), fact_dir, "o_orderkey % 2 = 0"
+    )
+    cat = Catalog(spark)
+    cat.register("orders_a", fact_dir)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "acd_tile", "orders_a",
+        ["o_orderstatus", "o_orderpriority"],
+        ["APPROX_COUNT_DISTINCT(o_custkey) AS nd_cust",
+         "SUM(o_totalprice) AS s"],
+        str(tmp_path / "acd_tile"),
+    )
+    assert dict(cat.table("acd_tile").dtypes)["nd_cust"] == "binary"
+    # exact tier: estimate the stored sketch
+    d1 = (
+        RelBuilder(cat)
+        .scan("orders_a")
+        .aggregate(
+            ["o_orderstatus", "o_orderpriority"],
+            ["APPROX_COUNT_DISTINCT(o_custkey) AS nd_cust"],
+        )
+        .to_df()
+    )
+    assert all("acd_tile" in f for f in d1.inputFiles())
+    assert dict(d1.dtypes)["nd_cust"] == "bigint"
+    # rollup tier: union sketches to coarser keys, bounded error
+    d2 = (
+        RelBuilder(cat)
+        .scan("orders_a")
+        .aggregate(
+            ["o_orderstatus"],
+            ["APPROX_COUNT_DISTINCT(o_custkey) AS nd_cust",
+             "SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    assert all("acd_tile" in f for f in d2.inputFiles())
+    est = {r["o_orderstatus"]: r["nd_cust"] for r in d2.collect()}
+    truth = {
+        r["o_orderstatus"]: r["n"]
+        for r in cat.table("orders_a")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("COUNT(DISTINCT o_custkey) AS n"))
+        .collect()
+    }
+    for k in truth:
+        assert abs(est[k] - truth[k]) <= max(0.05 * truth[k], 2), (k, est, truth)
+    # incremental refresh merges sketches (union, never re-count)
+    full.table("orders").filter("o_orderkey % 2 = 1").write.mode(
+        "append"
+    ).parquet(fact_dir)
+    cat._dfs.pop("orders_a", None)
+    stats = reg.incremental_refresh(cat, "acd_tile")
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+    d3 = (
+        RelBuilder(cat)
+        .scan("orders_a")
+        .aggregate([], ["APPROX_COUNT_DISTINCT(o_custkey) AS nd"])
+        .to_df()
+    )
+    assert all("acd_tile" in f for f in d3.inputFiles())
+    nd = d3.collect()[0]["nd"]
+    truth_all = (
+        cat.table("orders_a")
+        .selectExpr("COUNT(DISTINCT o_custkey) AS n")
+        .collect()[0]["n"]
+    )
+    assert abs(nd - truth_all) <= max(0.05 * truth_all, 2)
+    # the EXACT COUNT(DISTINCT) form is NEVER served by a sketch tile
+    plan = (
+        RelBuilder(cat)
+        .scan("orders_a")
+        .aggregate(["o_orderstatus"], ["COUNT(DISTINCT o_custkey) AS n"])
+        .build()
+    )
+    assert reg.substitute(plan, cat) is None
