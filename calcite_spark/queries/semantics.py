@@ -1769,3 +1769,71 @@ def qx50_mv_dim_append(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "qx51_mv_approx_distinct",
+    oracle=snapshot_oracle("qx51_mv_approx_distinct"),  # deterministic sketch estimates; reviewed snapshot
+    tags=("materialize", "mv", "approx", "sketch"),
+)
+def qx51_mv_approx_distinct(spark, sf_dir):
+    """Approximate-distinct tile (r10; ≈ Lattice's approximate measures
+    + CalciteConnectionConfig.approximateDistinctCount): the tile
+    stores a mergeable DataSketches HLL sketch per group
+    (hll_sketch_agg), and an APPROX_COUNT_DISTINCT rollup to coarser
+    keys unions-then-estimates the sketches — the one non-additive
+    measure a lattice can still roll up. The row plan-asserts the tile
+    scan AND self-verifies the estimates within 5% of the exact
+    distinct counts; the driver oracle is the reviewed snapshot (the
+    estimate is deterministic DataSketches HLL, not SQL-expressible in
+    DuckDB). 100 TB: distinct-user/distinct-doc rollups read tile-sized
+    sketches instead of re-shuffling the fact for every grain."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx51_tile",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "APPROX_COUNT_DISTINCT(l_suppkey) AS nd_supp",
+            "SUM(l_quantity) AS s_qty",
+        ],
+        path=tempfile.mkdtemp(prefix="qx51_mv_") + "/qx51_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "APPROX_COUNT_DISTINCT(l_suppkey) AS nd_supp",
+                "SUM(l_quantity) AS sum_qty",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("approx-distinct tile substitution did not fire")
+    est = {r["l_returnflag"]: r["nd_supp"] for r in df.collect()}
+    truth = {
+        r["l_returnflag"]: r["n"]
+        for r in cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("COUNT(DISTINCT l_suppkey) AS n"))
+        .collect()
+    }
+    for k, t in truth.items():
+        if abs(est[k] - t) > max(0.05 * t, 2):
+            raise RuntimeError(
+                f"sketch estimate out of bounds: {k} est={est[k]} exact={t}"
+            )
+    return df.selectExpr(
+        "l_returnflag", "nd_supp", "ROUND(sum_qty, 3) AS sum_qty"
+    ).orderBy("l_returnflag")

@@ -41,6 +41,7 @@ SNAPSHOT_QUERIES = [
     # engine, so a reviewed snapshot pins them (VERDICT r5 missing #1)
     "z65_sample",
     "z69_approx_aggs",
+    "qx51_mv_approx_distinct",
 ]
 
 
