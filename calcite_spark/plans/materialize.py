@@ -1242,8 +1242,10 @@ class MaterializationRegistry:
         MaterializedViewAggregateRule rolling up a groupSets aggregate
         from the view): every grouping set is a coarsening of the
         tile's grain, so the SAME group_type re-aggregates the tile's
-        partials — restricted to the plain tier (unfiltered tile or
-        containment); the union/drill-across tiers stay SIMPLE-only."""
+        partials — in the plain tier, under containment, AND above the
+        union tiers (both branches emit finest-grain partials the merge
+        aggregate then rolls up); only drill-across stays SIMPLE-only
+        (its re-join changes the grain)."""
         if not isinstance(node, ir.Aggregate) or node.group_type not in (
             "SIMPLE", "ROLLUP", "CUBE", "GROUPING_SETS"
         ):
@@ -1837,8 +1839,6 @@ class MaterializationRegistry:
         if _interval_contains(m_iv, q_iv):
             # the slice covers the query → plain compensation on the tile
             return self._try_rewrite(agg, filt, mv, catalog)
-        if agg.group_type != "SIMPLE":
-            return None  # union merge is SIMPLE-only (r10)
         covered = _interval_intersect(q_iv, m_iv)
         if covered.is_empty():
             return None  # disjoint: the tile contributes nothing
@@ -1892,9 +1892,33 @@ class MaterializationRegistry:
             ),
         )
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
+        return self._merge_aggregate(agg, merged_calls, union)
+
+    @staticmethod
+    def _merge_aggregate(agg, merged_calls, union):
+        """The merge aggregate above a UNION of partials: re-group by
+        the query keys' STORED aliases with the query's own grouping
+        structure. groupSets merges are exact (r10): both branches emit
+        partials at the tile's FINEST grain, which every grouping set
+        coarsens — the grand-total row sums tile partials for the
+        covered range plus base partials for the residual, exactly the
+        query's range."""
+        keys = tuple(_key_alias(k) for k in agg.group_keys)
+        if agg.group_type == "SIMPLE":
+            return ir.Aggregate(keys, tuple(merged_calls), inputs=(union,))
+        key_map = {_norm(k): _key_alias(k) for k in agg.group_keys}
+        sets = tuple(
+            tuple(key_map.get(_norm(c), c) for c in s)
+            for s in agg.grouping_sets
+        )
+        for st in sets:
+            if not set(st) <= set(keys):
+                return None  # a set references a non-key column
         return ir.Aggregate(
-            tuple(_key_alias(k) for k in agg.group_keys),
+            keys,
             tuple(merged_calls),
+            group_type=agg.group_type,
+            grouping_sets=sets,
             inputs=(union,),
         )
 
@@ -1937,8 +1961,6 @@ class MaterializationRegistry:
         join tiles require the exact join (the residual branch re-joins
         the query's own subtree); disjoint boxes (empty intersection on
         any column) contribute nothing — refuse."""
-        if agg.group_type != "SIMPLE":
-            return None  # union merge is SIMPLE-only (r10)
         if mv.tables and not exact_join:
             return None  # FK-peeled join tiles are contained-only
         region_m = _parse_region(mv.filter_condition)
@@ -2034,11 +2056,7 @@ class MaterializationRegistry:
             ),
         )
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
-        return ir.Aggregate(
-            tuple(_key_alias(k) for k in agg.group_keys),
-            tuple(merged_calls),
-            inputs=(union,),
-        )
+        return self._merge_aggregate(agg, merged_calls, union)
 
     # -- SPF (raw-row slice) tiers -------------------------------------
 

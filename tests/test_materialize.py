@@ -3497,10 +3497,14 @@ def test_rollup_from_expression_key_tile(spark, tmp_path):
     assert got == want
 
 
-def test_groupsets_union_tier_refuses(spark, tmp_path):
-    """Sliced tiles stay SIMPLE-only past containment: an overlapping
-    ROLLUP query refuses (the union merge would need per-set handling)
-    — never a wrong slice."""
+def test_groupsets_union_compensation(spark, tmp_path):
+    """An overlapping ROLLUP query over a SLICED tile merges tile
+    partials (covered range) with base partials (residual) and rolls
+    the union up with the query's own grouping structure (r10 — both
+    branches emit finest-grain partials, so every set's total is exact,
+    including the grand total)."""
+    from calcite_spark.plans.rewrite import default_program
+
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
     reg.define(
@@ -3512,7 +3516,7 @@ def test_groupsets_union_tier_refuses(spark, tmp_path):
     )
     plan = ir.Aggregate(
         ("o_orderstatus",),
-        ("SUM(o_totalprice) AS s",),
+        ("SUM(o_totalprice) AS s", "GROUPING(o_orderstatus) AS g"),
         group_type="ROLLUP",
         inputs=(
             ir.Filter(
@@ -3521,7 +3525,20 @@ def test_groupsets_union_tier_refuses(spark, tmp_path):
             ),
         ),
     )
-    assert reg.substitute(plan, cat) is None
+    df = default_program(cat).run(plan).to_df(cat)
+    files = df.inputFiles()
+    assert any("mv_gsl" in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .rollup("o_orderstatus")
+        .agg(F.expr("SUM(o_totalprice) AS s"),
+             F.expr("GROUPING(o_orderstatus) AS g"))
+    )
+    got = sorted((str(r[0]), round(r[1], 3), r[2]) for r in df.collect())
+    want = sorted((str(r[0]), round(r[1], 3), r[2]) for r in direct.collect())
+    assert got == want
 
 
 def test_frontend_lift_groupsets_from_tile(spark, tmp_path):
