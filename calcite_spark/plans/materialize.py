@@ -1264,7 +1264,8 @@ class MaterializationRegistry:
         if ext is None:
             return None
         q_tables, q_edges = ext
-        for mv in self.mvs.values():
+        candidates = []  # (tile_bytes, insertion_order, rewritten)
+        for order, mv in enumerate(self.mvs.values()):
             if mv.spf:
                 continue  # handled at the Filter/Project nodes above
             if mv.filter_condition is not None:
@@ -1292,8 +1293,17 @@ class MaterializationRegistry:
                 # planning-time I/O over tables the query never touches)
                 if not self._base_current(mv, catalog):
                     continue  # stale tile (base mutated): refuse
-                return rewritten
-        return None
+                candidates.append((_tile_bytes(mv.path), order, rewritten))
+        if not candidates:
+            return None
+        # cost-based tile choice (r10, ≈ the reference planner costing
+        # competing materializations in the Volcano search): when
+        # several tiles serve the same query, read the SMALLEST — at
+        # 100 TB the single-dimension tile is orders of magnitude
+        # smaller than the finest lattice tile that also matches.
+        # Ties (including unknown sizes) keep registration order.
+        candidates.sort(key=lambda c: (c[0], c[1]))
+        return candidates[0][2]
 
     def substitute_spf(self, node, catalog):
         """SPF tiers fire at the Filter/Project nodes themselves — a
@@ -2197,6 +2207,23 @@ class MaterializationRegistry:
                     continue  # stale slice: refuse, serve from base
                 return node.with_inputs((repl,))
         return None
+
+
+def _tile_bytes(path: str) -> int:
+    """On-disk size of a tile's parquet directory — the cost signal for
+    choosing among competing matching tiles. Unknown/missing paths cost
+    MAX so a registration-order tie-break still wins over them."""
+    import os
+
+    try:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total if total > 0 else 2**62
+    except OSError:
+        return 2**62
 
 
 def _norm(expr: str) -> str:

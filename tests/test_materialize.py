@@ -3766,3 +3766,50 @@ def test_approx_distinct_tile(spark, tmp_path):
         .build()
     )
     assert reg.substitute(plan, cat) is None
+
+
+def test_smallest_matching_tile_wins(spark, tmp_path):
+    """Cost-based tile choice (r10 ≈ the reference planner costing
+    competing materializations): when both the finest lattice tile and
+    a single-dimension tile answer a query, the SMALLER tile serves it
+    — regardless of registration order."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    # register the BIG (finest) tile FIRST — order must not win
+    reg.define(
+        cat, "mv_fine", "lineitem",
+        group_keys=["l_returnflag", "l_linestatus", "l_shipdate"],
+        agg_calls=["SUM(l_quantity) AS s"],
+        path=str(tmp_path / "mv_fine"),
+    )
+    reg.define(
+        cat, "mv_coarse", "lineitem",
+        group_keys=["l_returnflag"],
+        agg_calls=["SUM(l_quantity) AS s"],
+        path=str(tmp_path / "mv_coarse"),
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(["l_returnflag"], ["SUM(l_quantity) AS s"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert files and all("mv_coarse" in f for f in files), files
+    direct = (
+        cat.table("lineitem").groupBy("l_returnflag")
+        .agg(F.expr("SUM(l_quantity) AS s"))
+    )
+    got = {(r[0], round(r[1], 3)) for r in df.collect()}
+    want = {(r[0], round(r[1], 3)) for r in direct.collect()}
+    assert got == want
+    # a query only the fine tile can answer still gets the fine tile
+    df2 = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag", "l_linestatus"], ["SUM(l_quantity) AS s"]
+        )
+        .to_df()
+    )
+    assert all("mv_fine" in f for f in df2.inputFiles())
