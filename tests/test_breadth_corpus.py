@@ -1290,3 +1290,116 @@ CORPUS6 = [
 def test_breadth_shape_batch6(fe, duck, i):
     sql = CORPUS6[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 7 (r10): portable date/interval arithmetic, string functions,
+# nested set-ops, stacked subqueries. Same contract as every batch.
+CORPUS7 = [
+    # 1 INTERVAL arithmetic in WHERE
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1998-08-01 00:00:00'""",
+    # 2 date difference bucketing via EXTRACT
+    """SELECT EXTRACT(YEAR FROM o_orderdate) - 1995 AS yrs_since, COUNT(*) AS n
+       FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1995
+       GROUP BY EXTRACT(YEAR FROM o_orderdate) - 1995""",
+    # 3 string pipeline: TRIM/UPPER/REPLACE composition
+    """SELECT COUNT(*) AS n FROM part
+       WHERE UPPER(REPLACE(p_type, ' ', '_')) LIKE '%BRUSHED%'""",
+    # 4 LIKE with explicit ESCAPE (non-default escape char, exercised
+    # on a literal underscore that must NOT act as a wildcard)
+    """SELECT COUNT(*) AS steel, COUNT(*) FILTER (WHERE p_type LIKE '%!_%' ESCAPE '!') AS with_underscore
+       FROM part WHERE p_type LIKE '%STEEL' ESCAPE '!'""",
+    # 5 || concatenation with a computed key
+    """SELECT o_orderstatus || '-' || o_orderpriority AS k, COUNT(*) AS n
+       FROM orders GROUP BY o_orderstatus || '-' || o_orderpriority""",
+    # 6 LPAD/LOWER in a projection compared in WHERE
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE LENGTH(LPAD(LOWER(n_name), 12, '.')) = 12""",
+    # 7 parenthesized set-op nesting
+    """(SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 10
+        UNION SELECT r_regionkey AS k FROM region)
+       INTERSECT
+       SELECT n_regionkey AS k FROM nation WHERE n_nationkey >= 3""",
+    # 8 EXISTS nested inside EXISTS
+    """SELECT COUNT(*) AS n FROM region r
+       WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey
+                     AND EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_nationkey = n.n_nationkey
+                                   AND c.c_acctbal > 9990))""",
+    # 9 window over a UNION ALL
+    """SELECT src, v, RANK() OVER (ORDER BY v DESC, src) AS r FROM (
+         SELECT 'max_cust' AS src, MAX(c_acctbal) AS v FROM customer
+         UNION ALL
+         SELECT 'max_supp' AS src, MAX(s_acctbal) AS v FROM supplier) u""",
+    # 10 median and p90 via PERCENTILE_CONT
+    """SELECT ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS med,
+              ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90
+       FROM orders""",
+    # 11 several scalar subqueries in one projection
+    """SELECT (SELECT COUNT(*) FROM customer) AS custs,
+              (SELECT COUNT(*) FROM supplier) AS supps,
+              (SELECT ROUND(AVG(o_totalprice), 2) FROM orders) AS avg_price""",
+    # 12 IN over an expression projection
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_custkey IN (SELECT c_custkey + 0 FROM customer WHERE c_acctbal > 9000)""",
+    # 13 CASE ladder over percent thresholds, grouped
+    """SELECT CASE WHEN o_totalprice >= 400000 THEN 'XL'
+                   WHEN o_totalprice >= 200000 THEN 'L'
+                   WHEN o_totalprice >= 100000 THEN 'M'
+                   ELSE 'S' END AS bucket, COUNT(*) AS n
+       FROM orders GROUP BY 1""",
+    # 14 aggregate of a CASE over a join flag
+    """SELECT ROUND(SUM(CASE WHEN c_acctbal > 0 THEN o_totalprice ELSE 0 END), 2) AS pos_rev
+       FROM orders JOIN customer ON o_custkey = c_custkey""",
+    # 15 BETWEEN SYMMETRIC-free inverted bounds handled by AND
+    """SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount >= 0.02
+         AND l_discount <= 0.06""",
+    # 16 three-branch UNION with per-branch filters, outer aggregate
+    """SELECT COUNT(*) AS n FROM (
+         SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') u""",
+    # 17 HAVING referencing a different aggregate than SELECT
+    """SELECT l_returnflag, ROUND(AVG(l_discount), 6) AS avg_disc
+       FROM lineitem GROUP BY l_returnflag HAVING SUM(l_quantity) > 100000""",
+    # 18 anti-correlated: suppliers with no same-nation customer
+    """SELECT COUNT(*) AS n FROM supplier s
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_nationkey = s.s_nationkey)""",
+    # 19 GROUP BY two expressions
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS y, o_orderkey % 2 AS parity,
+              COUNT(*) AS n
+       FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate), o_orderkey % 2""",
+    # 20 scalar subquery with its own join
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_totalprice > (
+         SELECT AVG(o_totalprice) FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING')""",
+    # 21 coalesced division with zero guard over groups
+    """SELECT l_linestatus,
+              ROUND(COALESCE(SUM(l_extendedprice) / NULLIF(SUM(l_quantity), 0), 0), 4) AS rate
+       FROM lineitem GROUP BY l_linestatus""",
+    # 22 IN-list of strings + NOT LIKE conjunction
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+         AND c_name NOT LIKE '%0000%'""",
+    # 23 window LEAD across group boundaries with partition
+    """SELECT o_orderstatus, o_orderkey,
+              LEAD(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS next_key
+       FROM orders WHERE o_orderkey <= 120""",
+    # 24 aggregate over DISTINCT derived table
+    """SELECT COUNT(*) AS n FROM (
+         SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t""",
+    # 25 arithmetic on aggregates of different tables via cross join
+    """SELECT ROUND(o.avg_o / c.avg_c, 6) AS ratio FROM
+         (SELECT AVG(o_totalprice) AS avg_o FROM orders) o
+       CROSS JOIN
+         (SELECT AVG(c_acctbal) AS avg_c FROM customer WHERE c_acctbal > 0) c""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS7)))
+def test_breadth_shape_batch7(fe, duck, i):
+    sql = CORPUS7[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
