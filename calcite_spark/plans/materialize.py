@@ -1242,10 +1242,11 @@ class MaterializationRegistry:
         MaterializedViewAggregateRule rolling up a groupSets aggregate
         from the view): every grouping set is a coarsening of the
         tile's grain, so the SAME group_type re-aggregates the tile's
-        partials — in the plain tier, under containment, AND above the
+        partials — in the plain tier, under containment, above the
         union tiers (both branches emit finest-grain partials the merge
-        aggregate then rolls up); only drill-across stays SIMPLE-only
-        (its re-join changes the grain)."""
+        aggregate then rolls up), and across the drill-across re-join
+        (the join's duplication factor scales each set exactly as it
+        scales the query's own joined base)."""
         if not isinstance(node, ir.Aggregate) or node.group_type not in (
             "SIMPLE", "ROLLUP", "CUBE", "GROUPING_SETS"
         ):
@@ -1707,8 +1708,6 @@ class MaterializationRegistry:
         100 TB: this is the drill-across query — tile ⋈ small dims —
         and the compensating joins are exactly the broadcast-able kind
         (BroadcastSmallDimensions runs after this rule)."""
-        if agg.group_type != "SIMPLE":
-            return None  # drill-across re-aggregation is SIMPLE-only
         mv_tables = set(mv.tables)
         if not (mv_tables and mv_tables < q_tables):
             return None
@@ -1777,12 +1776,14 @@ class MaterializationRegistry:
         # query keys: a real column already available, or (r10) the
         # tile's expression key matched by normalized text and
         # re-referenced as its stored ALIAS column
-        out_keys = []
+        out_keys, key_map = [], {}
         for k in agg.group_keys:
             if k in avail:
                 out_keys.append(k)
+                key_map[_norm(k)] = k
             elif _norm(k) in expr_by_norm:
                 out_keys.append(expr_by_norm[_norm(k)])
+                key_map[_norm(k)] = expr_by_norm[_norm(k)]
             else:
                 return None
         if filt is not None and not self._filter_refs_ok(filt.condition, avail):
@@ -1794,6 +1795,26 @@ class MaterializationRegistry:
             return None
         if filt is not None:
             node = ir.Filter(filt.condition, inputs=(node,))
+        if agg.group_type != "SIMPLE":
+            # groupSets drill-across (r10): the per-row duplication
+            # factor of the compensating join scales each grouping
+            # set's SUM/COUNT exactly as it scales the query's own
+            # joined base, and MIN/MAX are duplication-invariant — the
+            # SIMPLE-tier argument holds per set
+            sets = tuple(
+                tuple(key_map.get(_norm(c), c) for c in s)
+                for s in agg.grouping_sets
+            )
+            for st in sets:
+                if not set(st) <= set(out_keys):
+                    return None
+            return ir.Aggregate(
+                tuple(out_keys),
+                tuple(new_calls),
+                group_type=agg.group_type,
+                grouping_sets=sets,
+                inputs=(node,),
+            )
         return ir.Aggregate(tuple(out_keys), tuple(new_calls), inputs=(node,))
 
     def _filtered_substitute(self, agg, filt, mv, q_tables, q_edges, catalog=None):

@@ -3813,3 +3813,64 @@ def test_smallest_matching_tile_wins(spark, tmp_path):
         .to_df()
     )
     assert all("mv_fine" in f for f in df2.inputFiles())
+
+
+def test_groupsets_drill_across(spark, tmp_path):
+    """ROLLUP over a drill-across query (r10): the tile joins the extra
+    dimension, then the query's own grouping structure re-aggregates —
+    the compensating join's duplication factor scales each set exactly
+    as it scales the query's own joined base."""
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    plan_def = (
+        RelBuilder(cat)
+        .scan("customer")
+        .scan("nation")
+        .join("c_nationkey = n_nationkey")
+        .aggregate(
+            ["n_name", "n_regionkey", "c_mktsegment"],
+            ["SUM(c_acctbal) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    reg.define_join(cat, "mv_dx_gs", plan_def, str(tmp_path / "mv_dx_gs"))
+    # the query drills across to region and rolls up
+    q = ir.Aggregate(
+        ("r_name", "c_mktsegment"),
+        ("SUM(c_acctbal) AS s", "COUNT(*) AS n"),
+        group_type="ROLLUP",
+        inputs=(
+            ir.Join(
+                "n_regionkey = r_regionkey",
+                "INNER",
+                inputs=(
+                    ir.Join(
+                        "c_nationkey = n_nationkey",
+                        "INNER",
+                        inputs=(ir.Scan("customer"), ir.Scan("nation")),
+                    ),
+                    ir.Scan("region"),
+                ),
+            ),
+        ),
+    )
+    df = default_program(cat).run(q).to_df(cat)
+    files = df.inputFiles()
+    assert any("mv_dx_gs" in f for f in files), files
+    assert not any("customer.parquet" in f for f in files), files
+    direct = (
+        cat.table("customer")
+        .join(cat.table("nation"), F.expr("c_nationkey = n_nationkey"))
+        .join(cat.table("region"), F.expr("n_regionkey = r_regionkey"))
+        .rollup("r_name", "c_mktsegment")
+        .agg(F.expr("SUM(c_acctbal) AS s"), F.expr("COUNT(*) AS n"))
+    )
+    got = sorted(
+        (str(r[0]), str(r[1]), round(r[2], 2), r[3]) for r in df.collect()
+    )
+    want = sorted(
+        (str(r[0]), str(r[1]), round(r[2], 2), r[3]) for r in direct.collect()
+    )
+    assert got == want
