@@ -3874,3 +3874,44 @@ def test_groupsets_drill_across(spark, tmp_path):
         (str(r[0]), str(r[1]), round(r[2], 2), r[3]) for r in direct.collect()
     )
     assert got == want
+
+
+def test_tile_serves_aggregate_under_window(spark, tmp_path):
+    """The substitution rule fires wherever the Aggregate sits — a
+    share-of-total window ABOVE the aggregate still reads the tile
+    (the warehouse percent-of-parent pattern)."""
+    from calcite_spark.plans.rewrite import default_program
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    reg.define(
+        cat, "mv_w", "orders",
+        group_keys=["o_orderpriority"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_w"),
+    )
+    plan = ir.Window(
+        ("ROUND(s * 100.0 / SUM(s) OVER (), 6) AS pct",),
+        ("o_orderpriority",),
+        inputs=(
+            ir.Aggregate(
+                ("o_orderpriority",),
+                ("SUM(o_totalprice) AS s",),
+                inputs=(ir.Scan("orders"),),
+            ),
+        ),
+    )
+    df = default_program(cat).run(plan).to_df(cat)
+    assert all("mv_w" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+        .selectExpr(
+            "o_orderpriority",
+            "ROUND(s * 100.0 / SUM(s) OVER (), 6) AS pct",
+        )
+    )
+    got = {(r[0], r[1]) for r in df.select("o_orderpriority", "pct").collect()}
+    want = {(r[0], r[1]) for r in direct.collect()}
+    assert got == want
