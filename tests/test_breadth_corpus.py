@@ -1403,3 +1403,117 @@ CORPUS7 = [
 def test_breadth_shape_batch7(fe, duck, i):
     sql = CORPUS7[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 8 (r10): deep join chains, CASE/COALESCE group keys, windows
+# feeding aggregates, LIMIT/ORDER interplay.
+CORPUS8 = [
+    # 1 five-table chain with mixed filters
+    """SELECT r_name, COUNT(*) AS n
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE l_quantity > 45 AND o_orderstatus = 'F'
+       GROUP BY r_name""",
+    # 2 CASE expression as a group key
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                   WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS tier,
+              COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal
+       FROM customer
+       GROUP BY CASE WHEN c_acctbal < 0 THEN 'debt'
+                     WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END""",
+    # 3 COALESCE group key over an outer join
+    """SELECT COALESCE(t.seg, 'NONE') AS seg, COUNT(*) AS n
+       FROM nation LEFT JOIN (
+         SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer
+         WHERE c_acctbal > 9500) t ON n_nationkey = t.c_nationkey
+       GROUP BY COALESCE(t.seg, 'NONE')""",
+    # 4 aggregate of a window difference
+    """SELECT ROUND(AVG(gap), 4) AS avg_gap FROM (
+         SELECT o_totalprice - LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS gap
+         FROM orders WHERE o_orderkey <= 400) t
+       WHERE gap IS NOT NULL""",
+    # 5 top-1-per-group joined back to detail
+    """SELECT o.o_orderstatus, o.o_orderkey
+       FROM orders o
+       JOIN (SELECT o_orderstatus, MAX(o_totalprice) AS mx
+             FROM orders GROUP BY o_orderstatus) m
+         ON o.o_orderstatus = m.o_orderstatus AND o.o_totalprice = m.mx""",
+    # 6 ORDER BY an unselected expression via subquery, then LIMIT
+    """SELECT c_name FROM (
+         SELECT c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 5) t""",
+    # 7 two-level HAVING chain (inner HAVING feeds outer WHERE)
+    """SELECT COUNT(*) AS busy_nations FROM (
+         SELECT c_nationkey FROM customer GROUP BY c_nationkey
+         HAVING COUNT(*) >= 20) t""",
+    # 8 sum of per-group maxima vs max of per-group sums
+    """SELECT ROUND(SUM(mx), 2) AS sum_of_max, ROUND(MAX(sm), 2) AS max_of_sum
+       FROM (SELECT o_custkey, MAX(o_totalprice) AS mx, SUM(o_totalprice) AS sm
+             FROM orders GROUP BY o_custkey) t""",
+    # 9 join on an expression
+    """SELECT COUNT(*) AS n
+       FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey + 1""",
+    # 10 grouped aggregate filtered by a window percentile cut
+    """SELECT COUNT(*) AS top_decile FROM (
+         SELECT o_custkey, SUM(o_totalprice) AS spent,
+                CUME_DIST() OVER (ORDER BY SUM(o_totalprice)) AS cd
+         FROM orders GROUP BY o_custkey) t
+       WHERE cd > 0.9""",
+    # 11 self-join aggregate: pairs of same-priority orders per status
+    """SELECT a.o_orderstatus, COUNT(*) AS pairs
+       FROM orders a JOIN orders b
+         ON a.o_orderstatus = b.o_orderstatus
+        AND a.o_orderpriority = b.o_orderpriority
+        AND a.o_orderkey < b.o_orderkey
+       WHERE a.o_orderkey <= 100 AND b.o_orderkey <= 100
+       GROUP BY a.o_orderstatus""",
+    # 12 UNION dedup vs UNION ALL count difference
+    """SELECT (SELECT COUNT(*) FROM (
+                 SELECT o_orderstatus FROM orders
+                 UNION SELECT o_orderstatus FROM orders) u) AS dedup,
+              (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS d""",
+    # 13 arithmetic precision: weighted average two ways
+    """SELECT ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4) AS w1,
+              ROUND(AVG(l_extendedprice), 4) AS plain
+       FROM lineitem WHERE l_discount > 0""",
+    # 14 EXISTS against a windowed derived table
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE EXISTS (
+         SELECT 1 FROM (
+           SELECT c_nationkey,
+                  ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS r
+           FROM customer) t
+         WHERE t.r <= 25 AND t.c_nationkey = n_nationkey)""",
+    # 15 grouped string min/max (lexical extremes)
+    """SELECT c_mktsegment, MIN(c_name) AS first_name, MAX(c_name) AS last_name
+       FROM customer GROUP BY c_mktsegment""",
+    # 16 conditional join side via CASE in projection after join
+    """SELECT SUM(CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END) AS matched
+       FROM nation CROSS JOIN region WHERE r_name = 'ASIA'""",
+    # 17 aggregate over values produced by set-op of aggregates
+    """SELECT ROUND(AVG(v), 4) AS avg_extreme FROM (
+         SELECT MAX(o_totalprice) AS v FROM orders
+         UNION ALL SELECT MIN(o_totalprice) AS v FROM orders) t""",
+    # 18 subquery in both WHERE and HAVING
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+       GROUP BY o_orderpriority
+       HAVING COUNT(*) > (SELECT COUNT(*) FROM region)""",
+    # 19 cross-column inequality filter with aggregates
+    """SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+       FROM lineitem WHERE l_tax > l_discount""",
+    # 20 dense window over two-key ordering with expression
+    """SELECT l_orderkey, l_linenumber,
+              SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber) AS running_qty
+       FROM lineitem WHERE l_orderkey <= 70""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS8)))
+def test_breadth_shape_batch8(fe, duck, i):
+    sql = CORPUS8[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
