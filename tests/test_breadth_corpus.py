@@ -1517,3 +1517,83 @@ CORPUS8 = [
 def test_breadth_shape_batch8(fe, duck, i):
     sql = CORPUS8[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 9 (r10): boundary values, empty-group edges, join-key nulls,
+# literal typing.
+CORPUS9 = [
+    # 1 aggregate over an empty filter result (no GROUP BY: one row)
+    """SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders
+       WHERE o_totalprice < 0""",
+    # 2 grouped aggregate over an empty input (zero rows out)
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+       WHERE o_totalprice < 0 GROUP BY o_orderstatus""",
+    # 3 MIN/MAX of an empty set inside a scalar subquery
+    """SELECT (SELECT MAX(o_totalprice) FROM orders WHERE o_totalprice < 0) AS mx,
+              COUNT(*) AS n FROM region""",
+    # 4 HAVING eliminating every group
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+       GROUP BY o_orderstatus HAVING COUNT(*) > 1000000""",
+    # 5 arithmetic with negative literals and precedence
+    """SELECT COUNT(*) AS n FROM lineitem
+       WHERE -l_discount + l_tax * 2 > 0.05""",
+    # 6 integer boundary bucketing with negative modulo input
+    """SELECT (o_orderkey - 500) % 3 AS m, COUNT(*) AS n
+       FROM orders WHERE o_orderkey <= 400 GROUP BY (o_orderkey - 500) % 3""",
+    # 7 string comparison against concatenated bound
+    """SELECT COUNT(*) AS n FROM customer
+       WHERE c_name > 'Customer#' || '000000100'""",
+    # 8 IS DISTINCT FROM (null-safe inequality)
+    """SELECT COUNT(*) AS n FROM nation a JOIN nation b
+         ON a.n_regionkey = b.n_regionkey
+       WHERE a.n_nationkey IS DISTINCT FROM b.n_nationkey""",
+    # 9 NULLIF producing NULL keys grouped together
+    """SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS n
+       FROM orders GROUP BY NULLIF(o_orderstatus, 'O')""",
+    # 10 LEAST/GREATEST with mixed literal and column
+    """SELECT ROUND(SUM(LEAST(o_totalprice, 100000.0)), 2) AS capped
+       FROM orders""",
+    # 11 double-negated predicate
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE NOT (NOT (o_orderstatus = 'F'))""",
+    # 12 scalar subquery equal to zero rows via LIMIT 0 semantics
+    """SELECT COUNT(*) AS n FROM region
+       WHERE r_regionkey IN (SELECT n_regionkey FROM nation WHERE 1 = 0)""",
+    # 13 division result typing: int/int stays fractional
+    """SELECT ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_manual,
+              ROUND(AVG(l_quantity), 6) AS avg_native
+       FROM lineitem""",
+    # 14 BETWEEN on a computed expression
+    """SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_extendedprice * (1 - l_discount) BETWEEN 10000 AND 20000""",
+    # 15 ORDER BY with NULLS in the key through a left join, re-sorted by harness
+    """SELECT n_name, t.mx
+       FROM nation LEFT JOIN (
+         SELECT c_nationkey, MAX(c_acctbal) AS mx FROM customer
+         WHERE c_acctbal > 9990 GROUP BY c_nationkey) t
+         ON n_nationkey = t.c_nationkey""",
+    # 16 COUNT(col) vs COUNT(*) over the null-extended side
+    """SELECT COUNT(*) AS stars, COUNT(t.mx) AS vals
+       FROM nation LEFT JOIN (
+         SELECT c_nationkey, MAX(c_acctbal) AS mx FROM customer
+         WHERE c_acctbal > 9990 GROUP BY c_nationkey) t
+         ON n_nationkey = t.c_nationkey""",
+    # 17 CASE with no ELSE producing NULLs that aggregate away
+    """SELECT SUM(CASE WHEN o_totalprice > 400000 THEN 1 END) AS xl
+       FROM orders""",
+    # 18 boolean expression as a projected value
+    """SELECT o_orderstatus = 'F' AS finished, COUNT(*) AS n
+       FROM orders GROUP BY o_orderstatus = 'F'""",
+    # 19 nested COALESCE with typed NULL
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE COALESCE(NULLIF(o_orderpriority, '1-URGENT'),
+                      CAST(NULL AS STRING), 'fallback') = 'fallback'""",
+    # 20 aggregate distinct over a computed bucket
+    """SELECT COUNT(DISTINCT o_orderkey % 97) AS buckets FROM orders""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS9)))
+def test_breadth_shape_batch9(fe, duck, i):
+    sql = CORPUS9[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
