@@ -1294,7 +1294,14 @@ class MaterializationRegistry:
                 # planning-time I/O over tables the query never touches)
                 if not self._base_current(mv, catalog):
                     continue  # stale tile (base mutated): refuse
-                candidates.append((_tile_bytes(mv.path), order, rewritten))
+                candidates.append(
+                    (
+                        0 if _tile_only(rewritten, mv) else 1,
+                        _tile_bytes(mv.path),
+                        order,
+                        rewritten,
+                    )
+                )
         if not candidates:
             return None
         # cost-based tile choice (r10, ≈ the reference planner costing
@@ -1302,9 +1309,14 @@ class MaterializationRegistry:
         # several tiles serve the same query, read the SMALLEST — at
         # 100 TB the single-dimension tile is orders of magnitude
         # smaller than the finest lattice tile that also matches.
+        # Pure tile-only rewrites rank ahead of union/join-compensated
+        # ones BEFORE bytes compare (ADVICE r10: a compensated rewrite
+        # also scans the base residual or re-joins dims — a smaller
+        # sliced tile plus a full fact rescan must not outrank a
+        # containment-only read of a marginally larger tile).
         # Ties (including unknown sizes) keep registration order.
-        candidates.sort(key=lambda c: (c[0], c[1]))
-        return candidates[0][2]
+        candidates.sort(key=lambda c: (c[0], c[1], c[2]))
+        return candidates[0][3]
 
     def substitute_spf(self, node, catalog):
         """SPF tiers fire at the Filter/Project nodes themselves — a
@@ -2247,6 +2259,21 @@ def _tile_bytes(path: str) -> int:
         return 2**62
 
 
+def _tile_only(rewritten, mv) -> bool:
+    """True when every Scan in a rewritten subtree reads the tile
+    itself — the containment/exact tiers. Union compensation scans the
+    base fact residual and drill-across re-joins dim tables; both cost
+    more than their tile bytes alone (ADVICE r10), so the candidate
+    sort ranks them behind pure tile reads."""
+    stack = [rewritten]
+    while stack:
+        n = stack.pop()
+        stack.extend(n.inputs)
+        if isinstance(n, ir.Scan) and n.table != mv.name:
+            return False
+    return True
+
+
 def _norm(expr: str) -> str:
     """Whitespace/case-insensitive normalization OUTSIDE single-quoted
     string literals; literal content is DATA and compares verbatim
@@ -2548,9 +2575,24 @@ class LatticeSuggester:
             if p["table"] is None:
                 # star-join proposal (r10): materialize via define_join
                 # so the join matcher / FK peel / drill-across tiers
-                # serve it
+                # serve it. The name carries a stable content hash
+                # (ADVICE r10: two-letter prefixes collide across
+                # distinct stars or key sets over the same tables, and
+                # the name-exists check then silently skipped the later
+                # proposal)
+                import hashlib
+
                 fact_hint = "_".join(s[:2] for s in p["tables"])
-                name = f"lattice_join_{fact_hint}_{len(p['group_keys'])}d"
+                sig = hashlib.md5(
+                    repr(
+                        (
+                            tuple(p["tables"]),
+                            tuple(sorted(p["join_edges"])),
+                            tuple(sorted(p["group_keys"])),
+                        )
+                    ).encode()
+                ).hexdigest()[:8]
+                name = f"lattice_join_{fact_hint}_{sig}"
                 if name in registry.mvs:
                     continue
                 built = self._join_plan_for(catalog, p)

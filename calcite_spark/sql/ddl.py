@@ -1133,9 +1133,13 @@ class DdlExecutor:
             if fn is None:
                 exprs.append(alias)
                 continue
-            body = MaterializationRegistry._map_derived(
-                fn, arg, mv, True, self.catalog
-            )
+            if fn == "APPROX_COUNT_DISTINCT":
+                # exact tier over the sketch column: estimate it
+                body = MaterializationRegistry._map_simple(fn, arg, mv, True)
+            else:
+                body = MaterializationRegistry._map_derived(
+                    fn, arg, mv, True, self.catalog
+                )
             if body is None:
                 # e.g. decimal stats columns: tear the tile down and
                 # fall back to the generic path rather than serve a
@@ -1209,10 +1213,22 @@ class DdlExecutor:
                 return None
             if where is not None and _parse_interval(where)[0] not in keys:
                 return None  # slice column aggregated away: generic path
-            if any(parse_agg_call(c) is None for c in calls):
+            def _is_approx(c):
+                p = parse_agg_call(c)
+                return p is not None and p[0] == "APPROX_COUNT_DISTINCT"
+
+            if any(parse_agg_call(c) is None for c in calls) or any(
+                _is_approx(c) for c in calls
+            ):
                 # derived aggregates (AVG/VAR/STDDEV): decompose into a
                 # substitutable stats tile + a user-shaped view (r9) —
-                # anything else goes to the generic path
+                # anything else goes to the generic path.
+                # APPROX_COUNT_DISTINCT also decomposes (ADVICE r10):
+                # define() physically stores a binary HLL sketch, so a
+                # direct SELECT * FROM the MV would return sketch bytes
+                # where the defining query declares a BIGINT count — the
+                # stats tile keeps the mergeable sketch, the companion
+                # view projects hll_sketch_estimate(...) AS the alias
                 return self._create_decomposed_mv(
                     name, table, keys, calls, where
                 )
@@ -1274,6 +1290,13 @@ def _find_decomposition(calls):
         p = parse_agg_call(c)
         if p is not None:
             fn, arg, alias = p
+            if fn == "APPROX_COUNT_DISTINCT":
+                # stored as a mergeable HLL sketch under an INTERNAL
+                # alias; the companion view estimates it (ADVICE r10 —
+                # the user column is a BIGINT count, never sketch bytes)
+                derived.append((alias, fn, arg))
+                outputs.append(derived[-1])
+                continue
             have[(fn, norm(arg))] = alias
             stats_calls.append(c)
             outputs.append((alias, None, None))
@@ -1293,6 +1316,9 @@ def _find_decomposition(calls):
         if not _paren_balanced(arg):
             return None  # lazy-regex mis-capture (AVG(a) + AVG(b)):
             # generic path, never a garbage stat
+        if fn == "APPROX_COUNT_DISTINCT":
+            ensure(fn, arg)
+            continue
         ensure("SUM", arg)
         ensure("COUNT", arg)
         if fn != "AVG":

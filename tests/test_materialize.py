@@ -3915,3 +3915,123 @@ def test_tile_serves_aggregate_under_window(spark, tmp_path):
     got = {(r[0], r[1]) for r in df.select("o_orderpriority", "pct").collect()}
     want = {(r[0], r[1]) for r in direct.collect()}
     assert got == want
+
+
+# -- r11 ADVICE fixes ---------------------------------------------------
+
+
+def test_ddl_approx_distinct_mv_user_shape(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW with APPROX_COUNT_DISTINCT (ADVICE r10):
+    the MV must present the BIGINT count the defining query declares —
+    never raw sketch bytes. The sketch lives in the decomposed stats
+    tile; the companion view estimates it; base-table queries still
+    substitute onto the tile."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    r = ddl.execute(
+        "CREATE MATERIALIZED VIEW acd_mv AS SELECT o_orderpriority, "
+        "APPROX_COUNT_DISTINCT(o_custkey) AS nd_cust, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    assert r.get("decomposed") is True and r["stats_tile"] == "acd_mv__stats"
+    view = fe.sql("SELECT * FROM acd_mv")
+    assert view.columns == ["o_orderpriority", "nd_cust", "n"]
+    dtypes = dict(view.dtypes)
+    assert dtypes["nd_cust"] == "bigint", dtypes  # estimate, not binary sketch
+    exact = {
+        (r_[0], r_[1])
+        for r_ in cat.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    got = {(r_[0], r_[1]) for r_ in view.select("o_orderpriority", "nd_cust").collect()}
+    assert {k for k, _ in got} == {k for k, _ in exact}
+    exact_by = dict(exact)
+    for k, est in got:
+        assert abs(est - exact_by[k]) <= max(1, 0.05 * exact_by[k]), (k, est, exact_by[k])
+    # a base-table APPROX query substitutes onto the stats tile
+    q = fe.sql(
+        "SELECT o_orderpriority, APPROX_COUNT_DISTINCT(o_custkey) AS nd_cust "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    assert any("acd_mv__stats" in f for f in q.inputFiles()), q.inputFiles()
+    # DROP removes both faces
+    ddl.execute("DROP MATERIALIZED VIEW acd_mv")
+    assert "acd_mv" not in cat.tables and "acd_mv__stats" not in cat.tables
+
+
+def test_compensated_rewrite_ranks_behind_tile_only(spark, tmp_path):
+    """Cost-based tile choice (ADVICE r10): a SMALLER sliced tile whose
+    rewrite needs union compensation (tile + base fact residual) must
+    not outrank a larger unsliced tile that answers the query from the
+    tile alone — the residual fact scan dwarfs the byte difference."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    # the SLICED (tiny) tile registers FIRST — order must not win either
+    reg.define(
+        cat, "mv_hot_slice", "orders",
+        group_keys=["o_orderdate", "o_orderpriority"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_hot_slice"),
+        filter_condition="o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'",
+    )
+    reg.define(
+        cat, "mv_full", "orders",
+        group_keys=["o_orderdate", "o_orderpriority"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=str(tmp_path / "mv_full"),
+    )
+    from calcite_spark.plans.materialize import _tile_bytes
+
+    assert _tile_bytes(str(tmp_path / "mv_hot_slice")) < _tile_bytes(
+        str(tmp_path / "mv_full")
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    # tile-only rewrite from the full tile, no base fact scan
+    assert files and all("mv_full" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("SUM(o_totalprice) AS s"))
+    )
+    got = {(r[0], round(r[1], 2)) for r in df.collect()}
+    want = {(r[0], round(r[1], 2)) for r in direct.collect()}
+    assert got == want
+
+
+def test_auto_build_join_names_do_not_collide(spark, tmp_path):
+    """Auto-built join-tile names carry a content hash (ADVICE r10):
+    two distinct stars over the same table pair (different edge sets)
+    must BOTH build — the old 2-letter-prefix name collided and the
+    name-exists check silently skipped the second proposal."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    shapes = [
+        ("c_nationkey = n_nationkey", ["n_name"], ["SUM(c_acctbal) AS m0"]),
+        ("c_custkey = n_nationkey", ["n_name"], ["SUM(c_acctbal) AS m0"]),
+    ]
+    for cond, keys, calls in shapes:
+        for _ in range(2):
+            (
+                RelBuilder(cat)
+                .scan("customer")
+                .scan("nation")
+                .join(cond)
+                .aggregate(keys, calls)
+                .to_df()
+                .count()
+            )
+    built = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2, max_tiles=4)
+    assert len(built) == 2, [b.name for b in built]
+    assert len({b.name for b in built}) == 2, [b.name for b in built]
