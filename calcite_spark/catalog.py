@@ -117,14 +117,102 @@ class Catalog:
 
     def load_model(self, model_path: str) -> "Catalog":
         """JSON model file ≈ model/ModelHandler.java: {"tables": [{name, path,
-        format?, options?}], "materializations": [{name, path, sql}]}."""
+        format?, options?}], "materializations": [{name, path, sql}],
+        "lattices": [...]} — the lattices entry (r11) mirrors
+        model/JsonLattice.java:40 (star sql or fact+joins, tiles with
+        dimensions/measures) and mounts each tile as a substitutable
+        join MV, so a declarative model file stands up the whole
+        star-plus-tiles stack without Python against the registry."""
         with open(model_path) as f:
             model = json.load(f)
         for t in model.get("tables", []):
             self.register(t["name"], t["path"], t.get("format", "parquet"), **t.get("options", {}))
         for mv in model.get("materializations", []):
             self.register_materialization(mv["name"], mv["path"], mv.get("sql", ""))
+        for lat in model.get("lattices", []):
+            self._mount_lattice(lat, model.get("warehouse"))
         return self
+
+    def _mount_lattice(self, lat: dict, default_warehouse: str | None) -> None:
+        """Mount one JsonLattice-style entry: resolve the star (either
+        the reference's `sql` form — `SELECT * FROM fact JOIN dim ON
+        f = d ...` parsed like Lattice.Builder walks JsonLattice's
+        joins — or structured {fact, joins:[{dim, fact_col, dim_col}]})
+        and materialize each tile via the MV registry so the
+        substitution tiers serve it. Dimension-poor models are cheap:
+        the tile build is the only fact scan."""
+        import re
+
+        from calcite_spark.plans.builder import RelBuilder
+        from calcite_spark.plans.materialize import MaterializationRegistry
+
+        reg = getattr(self, "mv_registry", None)
+        if reg is None:
+            reg = MaterializationRegistry()
+            self.mv_registry = reg
+        warehouse = lat.get("warehouse") or default_warehouse
+        if not warehouse:
+            raise ValueError(
+                "lattice entry needs a 'warehouse' directory for its tiles"
+            )
+        if "sql" in lat:
+            sql = lat["sql"].strip().rstrip(";")
+            m = re.match(
+                r"(?is)^SELECT\s+\*\s+FROM\s+(\w+)\s*(.*)$", sql
+            )
+            if m is None:
+                raise ValueError(
+                    f"lattice sql must be SELECT * FROM fact JOIN ...: {sql!r}"
+                )
+            fact, rest = m.group(1), m.group(2)
+            joins = []
+            for jm in re.finditer(
+                r"(?is)\bJOIN\s+(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)", rest
+            ):
+                dim, a, b = jm.groups()
+                dim_cols = set(self.table(dim).columns)
+                fc, dc = (b, a) if a in dim_cols else (a, b)
+                joins.append((dim, fc, dc))
+        else:
+            fact = lat["fact"]
+            joins = [
+                (j["dim"], j["fact_col"], j["dim_col"])
+                for j in lat.get("joins", [])
+            ]
+        for dim, fc, dc in joins:
+            self.declare_foreign_key(fact, fc, dim, dc)
+        for i, tile in enumerate(lat.get("tiles", [])):
+            name = tile.get("name") or f"{lat.get('name', 'lattice')}_tile{i}"
+            measures = []
+            for c in tile["measures"]:
+                if isinstance(c, str):
+                    measures.append(c)
+                    continue
+                # JsonTile measure objects: {"agg": "sum", "args": "x",
+                # "name"?: alias} (model/JsonLattice.java's defaultMeasures)
+                alias = c.get("name", "m{}_{}".format(i, c["agg"]))
+                measures.append(
+                    f"{c['agg'].upper()}({c.get('args', '*')}) AS {alias}"
+                )
+            dims = list(tile.get("dimensions") or tile.get("dims") or [])
+            if not dims:
+                raise ValueError(f"lattice tile {name!r} declares no dimensions")
+            if joins:
+                b = RelBuilder(self)
+                b.scan(fact)
+                for dim, fc, dc in joins:
+                    b.scan(dim)
+                    b.join(f"{fc} = {dc}")
+                b.aggregate(dims, measures)
+                reg.define_join(
+                    self, name, b.build(),
+                    os.path.join(warehouse, name), fact=fact,
+                )
+            else:
+                reg.define(
+                    self, name, fact, dims, measures,
+                    os.path.join(warehouse, name),
+                )
 
     def register_materialization(self, name: str, path: str, sql: str) -> None:
         """≈ materialize/MaterializationService.defineMaterialization."""

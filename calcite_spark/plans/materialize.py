@@ -1339,24 +1339,35 @@ class MaterializationRegistry:
 
     def _join_match(self, mv, q_tables, q_edges, catalog) -> bool:
         """Does the query's join subtree unify with mv's? Exact: same
-        tables + same edges. FK tier: the query covers a SUBSET of the
-        MV's tables, and every MV-only table peels — it hangs off ONE
-        remaining-table edge whose MV-side column is a unique key of
-        that table AND is the target of a declared foreign key from the
-        remaining side AND the referencing column has ANALYZE-grounded
-        zero NULLs (SQL FKs are vacuous for NULLs — without the null
-        evidence the MV's INNER join may have dropped NULL-keyed fact
-        rows), so the extra join neither dropped nor duplicated the
-        rows the query aggregates."""
+        tables + same edges. FK tier: delegates to _peel_sequence."""
+        return self._peel_sequence(mv, q_tables, q_edges, catalog) is not None
+
+    def _peel_sequence(self, mv, q_tables, q_edges, catalog):
+        """FK-peel proof as a SEQUENCE (r11 refactor of the r9 boolean):
+        exact match → []; peelable subset → the ordered list of
+        (table, edge) peels; no match → None. The query covers a
+        SUBSET of the MV's tables, and every MV-only table peels — it
+        hangs off ONE remaining-table edge whose MV-side column is a
+        unique key of that table AND is the target of a declared
+        foreign key from the remaining side AND the referencing column
+        has ANALYZE-grounded zero NULLs (SQL FKs are vacuous for NULLs
+        — without the null evidence the MV's INNER join may have
+        dropped NULL-keyed fact rows), so the extra join neither
+        dropped nor duplicated the rows the query aggregates. The
+        sequence lets the union tier REPLAY the peels in reverse —
+        re-joining the peeled dims onto the query's own subtree
+        reconstructs the tile's exact join row-for-row, which is what
+        the residual branch must aggregate."""
         mv_tables, mv_edges = set(mv.tables), set(mv.join_edges)
         if q_tables == mv_tables:
-            return q_edges == mv_edges
+            return [] if q_edges == mv_edges else None
         if not q_tables < mv_tables:
-            return False
+            return None
         owner = {}
         for t in mv_tables:
             for c in catalog.table(t).columns:
                 owner[c] = t
+        peels = []
         remaining_t, remaining_e = mv_tables, mv_edges
         while remaining_t != set(q_tables):
             peeled = None
@@ -1388,10 +1399,29 @@ class MaterializationRegistry:
                 peeled = (t, incident[0])
                 break
             if peeled is None:
-                return False
+                return None
+            peels.append(peeled)
             remaining_t = remaining_t - {peeled[0]}
             remaining_e = remaining_e - {peeled[1]}
-        return remaining_e == set(q_edges)
+        return peels if remaining_e == set(q_edges) else None
+
+    @staticmethod
+    def _rejoin_peeled(node, peels):
+        """Re-attach peeled dimension tables onto the query's join
+        subtree, REVERSE peel order (each peel's edge lands on a table
+        still present at that point, so the reverse replay always has
+        its other side placed). The FK-peel proof obligations
+        (_peel_sequence) guarantee the re-join neither drops nor
+        duplicates rows — it reconstructs exactly the tile's defining
+        join. Dims broadcast: at 100 TB the residual branch stays a
+        fact-scan with map-side joins, never a dim shuffle."""
+        for t, (a, b) in reversed(peels):
+            node = ir.Join(
+                f"{a} = {b}",
+                inputs=(node, ir.Scan(t)),
+                broadcast_right=True,
+            )
+        return node
 
     @staticmethod
     def _filter_refs_ok(cond: str, allowed: set) -> bool:
@@ -1838,20 +1868,20 @@ class MaterializationRegistry:
         for the covered range UNION ALL freshly-aggregated partials
         over the base's residual range, merged above — the reference's
         union rewriting, here over the same partial/merge decomposition
-        as the r7/r8 transposes). For JOIN tiles (r9) the base of the
-        residual branch is the query's own join subtree; the union
-        tier therefore requires an EXACT join match (an FK-peeled
-        query's subtree lacks the peeled dims' group-key columns —
-        peel is contained-only). Disjoint or unprovable → no rewrite,
-        never a wrong slice."""
-        exact_join = False
+        as the r7/r8 transposes). For JOIN tiles the base of the
+        residual branch is the query's own join subtree; FK-PEELED
+        queries (r11) first re-join the peeled dims in reverse peel
+        order — the peel proof (unique key + declared FK + zero-NULL
+        referencing column) guarantees the re-join reconstructs the
+        tile's defining join row-for-row, so peeled+overlapping
+        queries now get union compensation instead of a fact rescan
+        (≈ MaterializedViewAggregateRule.java:238-309 composing union
+        rewriting with join unification). Disjoint or unprovable → no
+        rewrite, never a wrong slice."""
+        peels: list | None = []
         if mv.tables:
-            exact_join = q_tables == set(mv.tables) and q_edges == set(
-                mv.join_edges
-            )
-            if not exact_join and not self._join_match(
-                mv, q_tables, q_edges, catalog
-            ):
+            peels = self._peel_sequence(mv, q_tables, q_edges, catalog)
+            if peels is None:
                 return None
         elif q_edges or q_tables != frozenset([mv.table]):
             return None
@@ -1874,7 +1904,7 @@ class MaterializationRegistry:
             if rewritten is not None:
                 return rewritten
             return self._region_union_substitute(
-                agg, filt, mv, catalog, exact_join
+                agg, filt, mv, catalog, peels
             )
         (m_col, m_kind, m_iv), (q_col, q_kind, q_iv) = parsed_m, parsed_q
         if m_col not in mv.group_keys:
@@ -1888,8 +1918,6 @@ class MaterializationRegistry:
         residual = _interval_diff(q_iv, m_iv)
         if not residual:
             return None
-        if mv.tables and not exact_join:
-            return None  # FK-peeled join tiles are contained-only
         tile_norms = {_norm(k) for k in mv.group_keys}
         if not {_norm(k) for k in agg.group_keys} <= tile_norms:
             return None
@@ -1919,9 +1947,14 @@ class MaterializationRegistry:
             _tile_call_sql(fn, arg, alias)
             for alias, (fn, arg) in mv.agg_calls.items()
         )
-        # residual base: the query's own (exact-matched) subtree — for
-        # single-table tiles this IS Scan(mv.table); for join tiles it
-        # is the same join the tile was defined over
+        # residual base: the query's own subtree — for single-table
+        # tiles this IS Scan(mv.table); for exact-join tiles it is the
+        # same join the tile was defined over; for FK-PEELED queries
+        # (r11, ≈ MaterializedViewAggregateRule.java:238-309 composing
+        # union rewriting with join unification) the peeled dims are
+        # re-joined first, reconstructing the tile's defining join
+        # row-for-row under the peel proof's obligations
+        base_input = self._rejoin_peeled(filt.inputs[0], peels or [])
         base_branch = ir.Project(
             branch_cols,
             inputs=(
@@ -1929,7 +1962,7 @@ class MaterializationRegistry:
                     mv.group_keys,
                     base_calls,
                     inputs=(
-                        ir.Filter(residual_sql, inputs=(filt.inputs[0],)),
+                        ir.Filter(residual_sql, inputs=(base_input,)),
                     ),
                 ),
             ),
@@ -1986,7 +2019,7 @@ class MaterializationRegistry:
                 return None
         return self._try_rewrite(agg, filt, mv, catalog)
 
-    def _region_union_substitute(self, agg, filt, mv, catalog, exact_join):
+    def _region_union_substitute(self, agg, filt, mv, catalog, peels):
         """Multi-column UNION compensation (r10, verdict item 5; ≈
         MaterializedViewAggregateRule.generateUnionRewriting's general
         residual): the query's conjunctive box OVERLAPS the tile's
@@ -2001,11 +2034,13 @@ class MaterializationRegistry:
         (an unconstrained column's NULL rows belong to the query but to
         NEITHER branch — comparisons are NULL-false); kinds must match
         per column; all filter columns must be plain tile group keys;
-        join tiles require the exact join (the residual branch re-joins
-        the query's own subtree); disjoint boxes (empty intersection on
-        any column) contribute nothing — refuse."""
-        if mv.tables and not exact_join:
-            return None  # FK-peeled join tiles are contained-only
+        the residual branch is the query's own subtree with any PEELED
+        dims re-joined (r11, ≈ MaterializedViewAggregateRule.java:
+        238-309 composing union rewriting with join unification —
+        before, join tiles required the exact join and a
+        peeled+overlapping query rescanned the fact); disjoint boxes
+        (empty intersection on any column) contribute nothing —
+        refuse."""
         region_m = _parse_region(mv.filter_condition)
         region_q = _parse_region(filt.condition)
         if region_m is None or region_q is None:
@@ -2086,6 +2121,7 @@ class MaterializationRegistry:
             _tile_call_sql(fn, arg, alias)
             for alias, (fn, arg) in mv.agg_calls.items()
         )
+        base_input = self._rejoin_peeled(filt.inputs[0], peels or [])
         base_branch = ir.Project(
             branch_cols,
             inputs=(
@@ -2093,7 +2129,7 @@ class MaterializationRegistry:
                     mv.group_keys,
                     base_calls,
                     inputs=(
-                        ir.Filter(residual_sql, inputs=(filt.inputs[0],)),
+                        ir.Filter(residual_sql, inputs=(base_input,)),
                     ),
                 ),
             ),
@@ -2359,6 +2395,11 @@ class LatticeSuggester:
 
     def __init__(self):
         self.shapes: dict[tuple, _ShapeStat] = {}
+        # benefit-gate audit trail (r11): one dict per auto_build
+        # proposal — built or declined, with the row estimates that
+        # decided it (≈ the Lattice.tiles the TileSuggester's
+        # cost-based algorithm accepted vs declined)
+        self.decisions: list[dict] = []
 
     def attach(self, catalog) -> "LatticeSuggester":
         catalog.lattice_suggester = self
@@ -2418,9 +2459,15 @@ class LatticeSuggester:
                 )
                 st.count += 1
                 continue
-            # join shapes keep plain-column keys only (define_join
-            # refuses expression keys — owner-classified)
-            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+            # join shapes accept the same keys the single-table branch
+            # does — plain columns or `expr AS alias` (r11, ≈ the
+            # DerivedColumn members Lattice.java:751 registers so a
+            # corpus of date_trunc star queries suggests the
+            # month-grain star tile); define_join stores and serves
+            # expression keys since r10, so the only remaining gate is
+            # validity (alias-shadow refusal lives in _join_plan_for,
+            # where the table set is known)
+            if not all(_valid_group_key(k) for k in keys):
                 continue
             # star-join shapes (r10, verdict item 3 ≈ the hypergraph
             # materialize/LatticeSuggester.java grows from observed
@@ -2514,6 +2561,14 @@ class LatticeSuggester:
                 if c in owner:
                     return None  # ambiguous namespace
                 owner[c] = t
+        for k in proposal["group_keys"]:
+            # expression keys (r11): the alias must not shadow a base
+            # column of any joined table — define_join refuses that
+            # shape (ambiguous to the compensation tiers), so the
+            # suggester skips the proposal instead of crashing
+            # auto_build
+            if not _plain_key(k) and _key_alias(k) in owner:
+                return None
 
         def edge_count(t):
             return sum(1 for a, b in edges if owner.get(a) == t or owner.get(b) == t)
@@ -2560,6 +2615,76 @@ class LatticeSuggester:
         b.aggregate(list(proposal["group_keys"]), list(proposal["agg_calls"]))
         return b.build(), fact
 
+    # -- benefit estimation (r11, ≈ materialize/TileSuggester.java's
+    # cost-based algorithm over a StatisticsProvider: decline tiles
+    # whose grain is nearly the fact's — all build cost, no read
+    # benefit) ----------------------------------------------------------
+
+    @staticmethod
+    def _key_ndv(catalog, key: str, tables) -> int | None:
+        """Grounded NDV estimate for one group key: ANALYZE stats for
+        plain columns when present, else one approx_count_distinct over
+        the OWNING table (expression keys evaluate the expression on
+        the single table that owns every referenced column). None =
+        cannot ground (multi-table expression) — the caller treats
+        that as fact grain and declines, the same refuse-over-guess
+        posture as the transpose NDV gates."""
+        if _plain_key(key):
+            expr, idents = key, {key}
+        else:
+            expr = _KEY_ALIAS_RE.match(key).group(1)
+            idents = _expr_cols(expr)
+            if not idents:
+                return 1  # constant expression: one group
+        owners = [
+            t for t in tables if idents <= set(catalog.table(t).columns)
+        ]
+        if not owners:
+            return None
+        t = owners[0]
+        if _plain_key(key):
+            entry = catalog.tables.get(t)
+            if entry is not None and entry.stats:
+                c = entry.stats.get("columns", {}).get(key)
+                if c is not None and c.get("ndv"):
+                    return c["ndv"]
+        return (
+            catalog.table(t)
+            .selectExpr(f"approx_count_distinct({expr}) AS n")
+            .collect()[0]["n"]
+        )
+
+    def _estimate_benefit(self, catalog, proposal) -> tuple:
+        """(estimated_tile_rows, fact_rows): tile rows = product of
+        per-key NDVs capped at fact rows (the key-tuple NDV can never
+        exceed either bound); fact rows = the largest joined table
+        (the star hub anchors the grain). None tile rows = a key
+        could not be grounded."""
+        tables = (
+            proposal["tables"]
+            if proposal["table"] is None
+            else [proposal["table"]]
+        )
+
+        def rows(t):
+            entry = catalog.tables.get(t)
+            if entry is not None and entry.row_count:
+                return entry.row_count
+            if entry is not None and entry.stats and entry.stats.get("rows"):
+                return entry.stats["rows"]
+            return catalog.row_count(t)
+
+        fact_rows = max(rows(t) for t in tables)
+        est = 1
+        for k in proposal["group_keys"]:
+            ndv = self._key_ndv(catalog, k, tables)
+            if ndv is None:
+                return None, fact_rows
+            est *= max(ndv, 1)
+            if est >= fact_rows:
+                return fact_rows, fact_rows
+        return min(est, fact_rows), fact_rows
+
     def auto_build(
         self,
         catalog,
@@ -2567,11 +2692,33 @@ class LatticeSuggester:
         warehouse: str,
         min_count: int = 2,
         max_tiles: int = 3,
+        benefit_threshold: float | None = 0.5,
     ) -> list[Materialization]:
         import os
 
         out = []
         for p in self.suggest(min_count=min_count, max_tiles=max_tiles):
+            if benefit_threshold is not None:
+                # benefit gate (r11, verdict item 3 ≈
+                # TileSuggester.java:47-60 declining near-fact-grain
+                # tiles): estimated tile rows must be a documented
+                # fraction of the fact's or the proposal is declined —
+                # a tile with NDV(keys) ≈ fact rows is all cost, no
+                # benefit. Ungroundable keys read as fact grain.
+                est, fact_rows = self._estimate_benefit(catalog, p)
+                ratio = 1.0 if est is None else est / max(fact_rows, 1)
+                decision = {
+                    "proposal_keys": list(p["group_keys"]),
+                    "tables": p["tables"] if p["table"] is None else [p["table"]],
+                    "estimated_tile_rows": est,
+                    "fact_rows": fact_rows,
+                    "ratio": ratio,
+                    "threshold": benefit_threshold,
+                    "built": ratio <= benefit_threshold,
+                }
+                self.decisions.append(decision)
+                if not decision["built"]:
+                    continue
             if p["table"] is None:
                 # star-join proposal (r10): materialize via define_join
                 # so the join matcher / FK peel / drill-across tiers

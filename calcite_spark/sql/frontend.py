@@ -2173,11 +2173,17 @@ class SqlFrontend:
             # MaterializedViewAggregateRule unifies below)
             from calcite_spark.plans.materialize import _AGG_IN_EXPR_RE
 
+            # HAVING over groupSets lifts too (r11, verdict item 6):
+            # SQL HAVING filters each output group row — subtotal and
+            # grand-total rows included — which is exactly Filter above
+            # the groupSets Aggregate, so the same hidden-column splice
+            # applies and the groupSets-from-tile tier serves the
+            # rollup report WITH its HAVING (a GROUPING(...) call in
+            # HAVING is not a liftable aggregate and falls back
+            # verbatim through the identifier check below)
             hv = m.group("hv")
             hidden: list = []
             hv_expr = None
-            if hv is not None and group_type != "SIMPLE":
-                return None  # HAVING over groupSets: verbatim path
             if hv is not None:
                 hv_expr = hv.strip()
                 spliced, last = [], 0

@@ -4035,3 +4035,515 @@ def test_auto_build_join_names_do_not_collide(spark, tmp_path):
     built = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2, max_tiles=4)
     assert len(built) == 2, [b.name for b in built]
     assert len({b.name for b in built}) == 2, [b.name for b in built]
+
+
+# ---------------------------------------------------------------------
+# r11: union compensation for FK-peeled join tiles (verdict item 5,
+# ≈ MaterializedViewAggregateRule.java:238-309 composing union
+# rewriting with join unification)
+# ---------------------------------------------------------------------
+
+
+def _peel_proof(cat):
+    """The full FK-peel evidence chain for orders→customer."""
+    cat.analyze_deep("customer", ["c_custkey"])
+    cat.declare_foreign_key("orders", "o_custkey", "customer", "c_custkey")
+    cat.analyze("orders", ["o_custkey"])
+
+
+def _sliced_star(cat, reg, tmp, name, slice_cond, keys=None):
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(
+            keys or ["o_orderdate", "o_orderpriority", "c_mktsegment"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    return reg.define_join(
+        cat, name, plan, f"{tmp}/{name}",
+        filter_condition=slice_cond, fact="orders",
+    )
+
+
+def test_peeled_union_compensation_values(spark, tmp_path):
+    """A query over the PEELED subset (orders alone) whose range
+    overlaps the join tile's slice gets union compensation: tile
+    partials for the covered range + residual partials over the
+    query's subtree with the peeled dim RE-JOINED — values identical
+    to the direct aggregate."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), "peel_u_tile",
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
+def test_peeled_union_requires_peel_proof(spark, tmp_path):
+    """Without the FK-peel evidence chain the overlapping peeled query
+    must NOT be union-compensated (the re-join could drop or duplicate
+    rows) — base-only plan."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), "peel_u_noproof",
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df.inputFiles())
+
+
+def test_peeled_union_dim_side_slice_refuses(spark, tmp_path):
+    """A tile sliced on a DIM-side column the peeled query cannot
+    constrain must refuse — unconstrained slice columns mis-attribute
+    rows between the branches."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), "peel_u_dimslice",
+        "c_acctbal >= 0.0",
+        keys=["c_acctbal", "o_orderpriority"],
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df.inputFiles())
+
+
+def test_peeled_union_multicol_region(spark, tmp_path):
+    """The multi-column box-decomposition union tier also composes
+    with the peel (both fact-side slice columns constrained by the
+    peeled query)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), "peel_u_2d",
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_totalprice >= 50000.0",
+        keys=["o_orderdate", "o_totalprice", "o_orderpriority", "c_mktsegment"],
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+            "AND o_totalprice >= 20000.0 AND o_totalprice < 200000.0"
+        )
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+            "AND o_totalprice >= 20000.0 AND o_totalprice < 200000.0"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# r11: expression keys in the join-shape suggester (verdict item 2,
+# ≈ materialize/Lattice.java:751 DerivedColumn)
+# ---------------------------------------------------------------------
+
+
+def test_join_suggester_expression_keys(spark, tmp_path):
+    """A corpus of month-grain star queries auto-builds a define_join
+    tile with the expression key; substitution then serves a fresh
+    month query from it, value-identical."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for keys in (
+        ["date_trunc('month', o_orderdate) AS mo"],
+        ["date_trunc('month', o_orderdate) AS mo", "c_mktsegment"],
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders").scan("customer").join("o_custkey = c_custkey")
+            .aggregate(keys, ["SUM(o_totalprice) AS rev"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2)
+    assert len(built) == 1
+    assert any("date_trunc" in k for k in built[0].group_keys)
+    df = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS rev"],
+        )
+        .to_df()
+    )
+    assert all(built[0].name in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mo"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    got = {(r.mo, round(r.rev, 3)) for r in df.collect()}
+    want = {(r.mo, round(r.rev, 3)) for r in direct.collect()}
+    assert got == want
+
+
+def test_join_suggester_alias_collision_refuses(spark, tmp_path):
+    """Two join shapes binding the SAME alias to DIFFERENT expressions
+    would fuse into a duplicate-column tile — suggest() must refuse the
+    proposal, never crash auto_build."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for keys in (
+        ["date_trunc('month', o_orderdate) AS mo"],
+        ["date_trunc('year', o_orderdate) AS mo"],
+    ):
+        for _ in range(2):
+            (
+                RelBuilder(cat)
+                .scan("orders").scan("customer").join("o_custkey = c_custkey")
+                .aggregate(keys, ["SUM(o_totalprice) AS rev"])
+                .to_df()
+                .count()
+            )
+    assert sug.suggest(min_count=2) == []
+    assert (
+        sug.auto_build(cat, MaterializationRegistry(), str(tmp_path / "wh"),
+                       min_count=2)
+        == []
+    )
+
+
+def test_join_suggester_alias_shadow_skipped(spark, tmp_path):
+    """An expression-key alias that shadows a base-table column is
+    refused by define_join — the suggester must SKIP the proposal (via
+    _join_plan_for) instead of crashing."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders").scan("customer").join("o_custkey = c_custkey")
+            .aggregate(
+                ["date_trunc('month', o_orderdate) AS o_orderdate"],
+                ["SUM(o_totalprice) AS rev"],
+            )
+            .to_df()
+            .count()
+        )
+    assert (
+        sug.auto_build(cat, MaterializationRegistry(), str(tmp_path / "wh"),
+                       min_count=2)
+        == []
+    )
+
+
+# ---------------------------------------------------------------------
+# r11: benefit-gated tile proposals (verdict item 3, ≈
+# materialize/TileSuggester.java:47-60 declining near-fact-grain tiles)
+# ---------------------------------------------------------------------
+
+
+def test_benefit_gate_declines_fact_grain(spark, tmp_path):
+    """A proposal keyed on a near-unique column (NDV ≈ fact rows) is
+    declined with the estimate recorded in the decision log."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(["o_orderkey"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(cat, MaterializationRegistry(), str(tmp_path / "wh"),
+                           min_count=2)
+    assert built == []
+    (d,) = sug.decisions
+    assert not d["built"] and d["ratio"] > 0.5
+    assert d["estimated_tile_rows"] is not None and d["fact_rows"] > 0
+
+
+def test_benefit_gate_accepts_and_disables(spark, tmp_path):
+    """Low-grain proposals build (ratio recorded); threshold=None
+    disables the gate entirely (old behavior)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(["o_orderstatus"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(cat, MaterializationRegistry(), str(tmp_path / "a"),
+                           min_count=2)
+    assert len(built) == 1
+    (d,) = sug.decisions
+    assert d["built"] and d["ratio"] <= 0.5
+    # threshold=None: even the fact-grain proposal builds
+    sug2 = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(["o_orderkey"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built2 = sug2.auto_build(
+        cat, MaterializationRegistry(), str(tmp_path / "b"),
+        min_count=2, benefit_threshold=None,
+    )
+    assert len(built2) == 1 and sug2.decisions == []
+
+
+def test_benefit_gate_uses_analyze_ndv(spark, tmp_path):
+    """ANALYZE-grounded NDVs feed the estimate without a fresh scan
+    (the stats path, ≈ TileSuggester's StatisticsProvider)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.analyze("orders", ["o_orderkey", "o_orderstatus"])
+    sug = LatticeSuggester()
+    est, fact_rows = sug._estimate_benefit(
+        cat,
+        {"table": "orders", "tables": None, "group_keys": ["o_orderkey"]},
+    )
+    assert est / fact_rows > 0.5  # ≈ fact grain (HLL noise tolerated)
+    est2, _ = sug._estimate_benefit(
+        cat,
+        {"table": "orders", "tables": None, "group_keys": ["o_orderstatus"]},
+    )
+    assert est2 <= 5
+
+
+# ---------------------------------------------------------------------
+# r11: JSON model lattices (verdict item 4, ≈ model/JsonLattice.java:40)
+# ---------------------------------------------------------------------
+
+
+def _write_model(tmp_path, model):
+    import json
+
+    mpath = tmp_path / "model.json"
+    mpath.write_text(json.dumps(model))
+    return str(mpath)
+
+
+def test_model_lattice_structured_form(spark, tmp_path):
+    """Structured {fact, joins, tiles} lattice entry mounts the star,
+    materializes the tile, and the first star query is served from it."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "sales",
+                "fact": "orders",
+                "joins": [
+                    {"dim": "customer", "fact_col": "o_custkey",
+                     "dim_col": "c_custkey"}
+                ],
+                "tiles": [
+                    {
+                        "dimensions": ["c_mktsegment"],
+                        "measures": ["SUM(o_totalprice) AS rev",
+                                     {"agg": "count", "args": "*", "name": "n"}],
+                    }
+                ],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    df = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(["c_mktsegment"],
+                   ["SUM(o_totalprice) AS rev", "COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("sales_tile0" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    got = {(r.c_mktsegment, round(r.rev, 3), r.n) for r in df.collect()}
+    want = {(r.c_mktsegment, round(r.rev, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
+def test_model_lattice_single_table(spark, tmp_path):
+    """A lattice with no joins routes to a single-table define()."""
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "ord",
+                "fact": "orders",
+                "tiles": [
+                    {"name": "ord_status",
+                     "dims": ["o_orderstatus"],
+                     "measures": ["COUNT(*) AS n"]}
+                ],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderstatus"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("ord_status" in f for f in df.inputFiles())
+
+
+def test_model_lattice_requires_warehouse(spark, tmp_path):
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "lattices": [{"name": "x", "fact": "orders",
+                      "tiles": [{"dims": ["o_orderstatus"],
+                                 "measures": ["COUNT(*) AS n"]}]}],
+    }
+    with pytest.raises(ValueError, match="warehouse"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+def test_model_lattice_bad_sql_refuses(spark, tmp_path):
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{"name": "x", "sql": "SELECT o_orderkey FROM orders",
+                      "tiles": [{"dims": ["o_orderstatus"],
+                                 "measures": ["COUNT(*) AS n"]}]}],
+    }
+    with pytest.raises(ValueError, match="lattice sql"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+# ---------------------------------------------------------------------
+# r11: HAVING over groupSets lifts through the frontend and is served
+# from a tile (verdict item 6)
+# ---------------------------------------------------------------------
+
+
+def test_frontend_rollup_having_from_tile(spark, tmp_path):
+    """GROUP BY ROLLUP + HAVING SUM(x) > n lifts (the r10 hidden-column
+    splice composes with the groupSets lift) and the groupSets-from-tile
+    tier serves it — plan asserts the tile scan, values match verbatim
+    Spark including subtotal and grand-total rows."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "rh_tile", "lineitem",
+        ["l_returnflag", "l_linestatus"],
+        ["SUM(l_quantity) AS s_qty", "COUNT(*) AS c_rows"],
+        str(tmp_path / "rh_tile"),
+    )
+    stmt = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "HAVING SUM(l_quantity) > 100"
+    )
+    df = fe.sql(stmt)
+    assert df.inputFiles() and all(mv.name in f for f in df.inputFiles())
+    cat.register_all_views()
+    verb = spark.sql(stmt)
+    k = lambda t: (t[0] or "~", t[1] or "~")
+    got = sorted(
+        ((r.l_returnflag, r.l_linestatus, round(r.sum_qty, 3)) for r in df.collect()),
+        key=k,
+    )
+    want = sorted(
+        ((r.l_returnflag, r.l_linestatus, round(r.sum_qty, 3)) for r in verb.collect()),
+        key=k,
+    )
+    assert got == want
+
+
+def test_frontend_rollup_having_grouping_falls_back(spark, tmp_path):
+    """GROUPING(...) inside HAVING is not a liftable aggregate: the
+    statement must fall back verbatim (no tile) and stay correct."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "rh_tile2", "lineitem",
+        ["l_returnflag", "l_linestatus"],
+        ["SUM(l_quantity) AS s_qty"],
+        str(tmp_path / "rh_tile2"),
+    )
+    stmt = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "HAVING GROUPING(l_linestatus) = 0"
+    )
+    df = fe.sql(stmt)
+    assert not any(mv.name in f for f in df.inputFiles())
+    cat.register_all_views()
+    verb = spark.sql(stmt)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, verb.collect()))
