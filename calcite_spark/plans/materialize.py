@@ -29,7 +29,7 @@ from pyspark.sql import functions as _F
 from calcite_spark.plans import ir
 
 _AGG_RE = re.compile(
-    r"^\s*(SUM|COUNT|MIN|MAX|APPROX_COUNT_DISTINCT)"
+    r"^\s*(SUM|COUNT|MIN|MAX|APPROX_COUNT_DISTINCT|APPROX_PERCENTILE)"
     r"\s*\(\s*(.*?)\s*\)\s+AS\s+(\w+)\s*$",
     re.I,
 )
@@ -40,24 +40,77 @@ _AGG_RE = re.compile(
 # ONE non-additive measure a lattice can still roll up, exactly why
 # Calcite gates it behind approximateDistinctCount
 # (CalciteConnectionConfig) and Lattice's approximate measures.
+# APPROX_PERCENTILE tiles (r11, verdict item 8) store a DataSketches
+# KLL sketch (kll_sketch_agg_double) and merge by kll_merge_agg_double
+# — Spark's native approx_percentile accumulator (QuantileSummaries)
+# is not exposed as a mergeable column, but the KLL family is, which
+# makes percentiles the SECOND non-additive measure a tile can roll up.
 _REAGG = {
     "SUM": "SUM",
     "COUNT": "SUM",
     "MIN": "MIN",
     "MAX": "MAX",
     "APPROX_COUNT_DISTINCT": "hll_union_agg",
+    "APPROX_PERCENTILE": "kll_merge_agg_double",
 }
+
+
+def _split_top_commas(text: str) -> list:
+    """Split on commas outside parens/quotes (an argument-list split)."""
+    parts, depth, in_str, last = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(text[last:i])
+                last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
+def _percentile_parts(arg: str):
+    """APPROX_PERCENTILE argument list → (value_expr, percentile_text)
+    or None. Exactly two arguments, the percentile a plain literal in
+    [0, 1] — the optional third (accuracy) argument refuses: the KLL
+    tile has its own fixed accuracy and silently honoring a requested
+    one would be a lie."""
+    parts = [p.strip() for p in _split_top_commas(arg)]
+    if len(parts) != 2 or parts[0].upper().startswith("DISTINCT"):
+        return None
+    try:
+        p = float(parts[1])
+    except ValueError:
+        return None
+    if not 0.0 <= p <= 1.0:
+        return None
+    return parts[0], parts[1]
 
 
 def _tile_call_sql(fn: str, arg: str, alias: str) -> str:
     """The PHYSICAL tile column for a declared measure: identity for
-    additive calls; APPROX_COUNT_DISTINCT stores the mergeable sketch
-    (declaring it on a tile is the opt-in to sketch-served estimates —
-    the estimate is DataSketches HLL, deterministic but not bit-equal
-    to Spark's native HLL++; both sides are approximate by contract,
-    ≈ approximateDistinctCount)."""
+    additive calls; APPROX_COUNT_DISTINCT stores the mergeable HLL
+    sketch and APPROX_PERCENTILE the mergeable KLL sketch (declaring
+    one on a tile is the opt-in to sketch-served estimates — the
+    estimates are DataSketches, deterministic but not bit-equal to
+    Spark's native HLL++/QuantileSummaries; both sides are approximate
+    by contract, ≈ approximateDistinctCount / Lattice's approximate
+    measures)."""
     if fn.upper() == "APPROX_COUNT_DISTINCT":
         return f"hll_sketch_agg({arg}) AS {alias}"
+    if fn.upper() == "APPROX_PERCENTILE":
+        pp = _percentile_parts(arg)
+        if pp is None:
+            raise ValueError(
+                f"APPROX_PERCENTILE(value, percentile) expected; got ({arg})"
+            )
+        # the sketch is over the VALUE column only — any percentile is
+        # servable from it, so the declared p is just the view default
+        return f"kll_sketch_agg_double(CAST({pp[0]} AS DOUBLE)) AS {alias}"
     return f"{fn}({arg}) AS {alias}"
 
 # Derived aggregates decomposable onto a SUM/COUNT(/SUM-of-squares)
@@ -1459,6 +1512,36 @@ class MaterializationRegistry:
         per-group distinct counts overcounts)."""
         if arg.upper().startswith("DISTINCT") and not exact:
             return None
+        if fn == "APPROX_PERCENTILE":
+            # the tile column is a DataSketches KLL sketch over the
+            # VALUE expression — ANY percentile is servable from it
+            # (match on the value expression only, not the declared p):
+            # read the quantile (exact tier) or merge-then-read (rollup
+            # tier). Approximate-for-approximate by the same contract
+            # as the HLL tier; a 3-argument call (explicit accuracy)
+            # refused at parse.
+            pp = _percentile_parts(arg)
+            if pp is None:
+                return None
+            val, p = pp
+            src = next(
+                (
+                    a
+                    for a, (mfn, marg) in mv.agg_calls.items()
+                    if mfn == "APPROX_PERCENTILE"
+                    and (m2 := _percentile_parts(marg)) is not None
+                    and _norm(m2[0]) == _norm(val)
+                ),
+                None,
+            )
+            if src is None:
+                return None
+            if exact:
+                return f"kll_sketch_get_quantile_double({src}, {p})"
+            return (
+                "kll_sketch_get_quantile_double("
+                f"kll_merge_agg_double({src}), {p})"
+            )
         src = MaterializationRegistry._tile_col(mv, fn, arg)
         if src is None:
             return None

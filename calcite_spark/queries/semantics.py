@@ -2177,3 +2177,88 @@ def qx55_having_groupsets_tile(spark, sf_dir):
         F.col("l_returnflag").asc_nulls_first(),
         F.col("l_linestatus").asc_nulls_first(),
     )
+
+
+@register(
+    "qx56_mv_percentile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 3) AS p50_exact,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           TRUE AS sketch_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("materialize", "rewrite", "mv", "sketch", "percentile"),
+)
+def qx56_mv_percentile_sketch(spark, sf_dir):
+    """Mergeable-percentile tile (r11, verdict item 8; ≈ Lattice's
+    approximate measures extended beyond distinct-count): the tile
+    stores a DataSketches KLL sketch per group
+    (kll_sketch_agg_double), and an APPROX_PERCENTILE rollup to
+    coarser keys merges-then-reads (kll_merge_agg_double →
+    kll_sketch_get_quantile_double) — percentiles join distinct counts
+    as the non-additive measures a tile can still roll up; Spark's
+    native approx_percentile accumulator is NOT mergeable, which is
+    exactly why the KLL family exists. KLL is randomized run-to-run,
+    so the row returns DETERMINISTIC columns: the exact percentile and
+    SUM anchor values plus a bound verdict the row itself enforces
+    (sketch estimate within max(5%, 2.0) of exact — raise on
+    violation, so a broken sketch path can never pass silently). The
+    plan asserts the tile scan. 100 TB: p50/p99 latency-style rollups
+    read tile-sized sketches instead of re-shuffling the fact per
+    grain."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx56_tile",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "APPROX_PERCENTILE(l_quantity, 0.5) AS p50_qty",
+            "SUM(l_quantity) AS s_qty",
+        ],
+        path=tempfile.mkdtemp(prefix="qx56_mv_") + "/qx56_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "APPROX_PERCENTILE(l_quantity, 0.5) AS p50_est",
+                "SUM(l_quantity) AS sum_qty",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("percentile-sketch tile substitution did not fire")
+    est = {r["l_returnflag"]: (r["p50_est"], r["sum_qty"]) for r in df.collect()}
+    exact = {
+        r["l_returnflag"]: r["p"]
+        for r in cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5) AS p"))
+        .collect()
+    }
+    for k, want in exact.items():
+        got = est[k][0]
+        if abs(got - want) > max(0.05 * want, 2.0):
+            raise RuntimeError(
+                f"KLL estimate out of bounds: {k} est={got} exact={want}"
+            )
+    rows = [
+        (k, round(exact[k], 3), round(est[k][1], 3), True) for k in sorted(est)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, p50_exact double, sum_qty double, "
+        "sketch_within_bound boolean",
+    ).orderBy("l_returnflag")

@@ -1133,8 +1133,9 @@ class DdlExecutor:
             if fn is None:
                 exprs.append(alias)
                 continue
-            if fn == "APPROX_COUNT_DISTINCT":
-                # exact tier over the sketch column: estimate it
+            if fn in ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE"):
+                # exact tier over the sketch column: estimate it (HLL)
+                # or read the declared quantile (KLL, r11)
                 body = MaterializationRegistry._map_simple(fn, arg, mv, True)
             else:
                 body = MaterializationRegistry._map_derived(
@@ -1215,7 +1216,9 @@ class DdlExecutor:
                 return None  # slice column aggregated away: generic path
             def _is_approx(c):
                 p = parse_agg_call(c)
-                return p is not None and p[0] == "APPROX_COUNT_DISTINCT"
+                return p is not None and p[0] in (
+                    "APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE"
+                )
 
             if any(parse_agg_call(c) is None for c in calls) or any(
                 _is_approx(c) for c in calls
@@ -1290,10 +1293,11 @@ def _find_decomposition(calls):
         p = parse_agg_call(c)
         if p is not None:
             fn, arg, alias = p
-            if fn == "APPROX_COUNT_DISTINCT":
-                # stored as a mergeable HLL sketch under an INTERNAL
+            if fn in ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE"):
+                # stored as a mergeable HLL/KLL sketch under an INTERNAL
                 # alias; the companion view estimates it (ADVICE r10 —
-                # the user column is a BIGINT count, never sketch bytes)
+                # the user column is the declared count/quantile, never
+                # sketch bytes)
                 derived.append((alias, fn, arg))
                 outputs.append(derived[-1])
                 continue
@@ -1316,7 +1320,7 @@ def _find_decomposition(calls):
         if not _paren_balanced(arg):
             return None  # lazy-regex mis-capture (AVG(a) + AVG(b)):
             # generic path, never a garbage stat
-        if fn == "APPROX_COUNT_DISTINCT":
+        if fn in ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE"):
             ensure(fn, arg)
             continue
         ensure("SUM", arg)
