@@ -1597,3 +1597,235 @@ CORPUS9 = [
 def test_breadth_shape_batch9(fe, duck, i):
     sql = CORPUS9[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 10 (r11, verdict item 7): three FoodMart classes batches 1-9
+# leave unexplored — PARAMETERIZED CALCULATED MEMBERS (the same derived
+# measure re-instantiated with different literal parameters, MDX's
+# calculated members with arguments), NESTED-SET ARITHMETIC (set
+# operators composed inside set operators, arithmetic over the
+# membership results), and VIRTUAL-CUBE UNIONS OVER DIFFERING GRAINS
+# (UNION ALL of aggregates at different group-bys conformed to one
+# schema with NULL-padded dimensions, re-aggregated above — how MDX
+# virtual cubes splice cubes of different dimensionality). Same
+# contract as every batch: identical text on Spark and DuckDB.
+CORPUS10 = [
+    # -- parameterized calculated members --------------------------------
+    # 1 the same margin member at three parameter values side by side
+    """SELECT l_returnflag,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)) - 0.5 * SUM(l_quantity), 2) AS m_05,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)) - 1.0 * SUM(l_quantity), 2) AS m_10,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)) - 2.0 * SUM(l_quantity), 2) AS m_20
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 2 parameterized threshold member: share of orders above K, for two K
+    """SELECT o_orderstatus,
+              ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*), 6) AS share_100k,
+              ROUND(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*), 6) AS share_300k
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 3 calculated member referencing another calculated member (nested CTE)
+    """WITH base AS (
+         SELECT l_returnflag, SUM(l_extendedprice) AS gross,
+                SUM(l_extendedprice * l_discount) AS disc
+         FROM lineitem GROUP BY l_returnflag),
+       derived AS (
+         SELECT l_returnflag, gross - disc AS net, disc / gross AS disc_rate
+         FROM base)
+       SELECT l_returnflag, ROUND(net, 2) AS net,
+              ROUND(disc_rate * 100, 6) AS disc_pct
+       FROM derived ORDER BY l_returnflag""",
+    # 4 parameterized date-window member: same measure over 2 ranges
+    """SELECT o_orderpriority,
+              COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 1 END) AS n_recent,
+              COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS n_3yr
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 5 ratio-of-parameterized-members (composition of two CASE slices)
+    """SELECT l_linestatus,
+              ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END)
+                    / SUM(CASE WHEN l_quantity <= 25 THEN l_extendedprice ELSE 1 END), 6) AS hi_lo_ratio
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    # 6 member parameterized by a scalar subquery (global mean as the parameter)
+    """SELECT o_orderstatus,
+              ROUND(AVG(o_totalprice) - (SELECT AVG(o_totalprice) FROM orders), 4) AS dev_from_global
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 7 linear member over three measures with integer coefficients
+    """SELECT l_returnflag,
+              ROUND(3 * SUM(l_quantity) + 2 * SUM(l_discount * 100) - COUNT(*), 3) AS score
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 8 the same member at two grains in one statement (detail + total row)
+    """SELECT 'by_flag' AS grain, l_returnflag AS k,
+              ROUND(SUM(l_extendedprice) / SUM(l_quantity), 6) AS unit_price
+       FROM lineitem GROUP BY l_returnflag
+       UNION ALL
+       SELECT 'total' AS grain, NULL AS k,
+              ROUND(SUM(l_extendedprice) / SUM(l_quantity), 6) AS unit_price
+       FROM lineitem
+       ORDER BY grain, k NULLS FIRST""",
+    # 9 clamped member (GREATEST/LEAST as MDX-style bounds)
+    """SELECT o_orderpriority,
+              ROUND(SUM(LEAST(o_totalprice, 200000)), 2) AS capped_sales,
+              ROUND(SUM(GREATEST(o_totalprice, 50000)), 2) AS floored_sales
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 10 conditional member with a NULL parameter branch that aggregates away
+    """SELECT l_linestatus,
+              ROUND(AVG(CASE WHEN l_discount BETWEEN 0.02 AND 0.08
+                             THEN l_extendedprice END), 4) AS mid_disc_avg
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    # -- nested-set arithmetic -------------------------------------------
+    # 11 INTERSECT inside UNION (set tree two levels deep)
+    """SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+       UNION
+       (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+        INTERSECT
+        SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 2))
+       ORDER BY n_nationkey""",
+    # 12 EXCEPT of two UNIONs
+    """(SELECT n_regionkey FROM nation WHERE n_nationkey < 10
+        UNION SELECT r_regionkey FROM region)
+       EXCEPT
+       (SELECT n_regionkey FROM nation WHERE n_nationkey >= 20
+        UNION SELECT 99 AS k)
+       ORDER BY n_regionkey""",
+    # 13 arithmetic over set-membership counts (cardinality of a set expression)
+    """SELECT (SELECT COUNT(*) FROM (
+                 SELECT c_nationkey FROM customer WHERE c_acctbal > 9500
+                 INTERSECT
+                 SELECT n_nationkey FROM nation) t)
+              - (SELECT COUNT(*) FROM (
+                 SELECT c_nationkey FROM customer WHERE c_acctbal > 9500
+                 EXCEPT
+                 SELECT n_nationkey FROM nation WHERE n_regionkey = 3) t)
+              AS member_delta""",
+    # 14 INTERSECT chain (three-way) with an aggregate above
+    """SELECT COUNT(*) AS n FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 0) t""",
+    # 15 EXCEPT feeding a join (the set result used as a dimension filter)
+    """SELECT n_name, COUNT(*) AS n_cust
+       FROM customer JOIN (
+         SELECT n_nationkey, n_name FROM nation
+         WHERE n_nationkey IN (SELECT n_nationkey FROM nation
+                               EXCEPT
+                               SELECT c_nationkey FROM customer WHERE c_acctbal < 0)) d
+         ON c_nationkey = d.n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    # 16 UNION inside IN-subquery (set algebra in the predicate position)
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+                           UNION
+                           SELECT c_custkey FROM customer WHERE c_acctbal < -900)""",
+    # 17 set difference of aggregates' key-sets at two thresholds
+    """SELECT COUNT(*) AS lost_buckets FROM (
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+         EXCEPT
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15) t""",
+    # 18 symmetric difference via mirrored EXCEPTs unioned
+    """SELECT COUNT(*) AS sym_diff FROM (
+         (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+          EXCEPT SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 2)
+         UNION ALL
+         (SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 2
+          EXCEPT SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000)) t""",
+    # 19 INTERSECT of expression sets (computed members, not raw columns)
+    """SELECT bucket FROM (
+         SELECT o_orderkey % 7 AS bucket FROM orders WHERE o_totalprice > 350000
+         INTERSECT
+         SELECT o_orderkey % 7 AS bucket FROM orders WHERE o_totalprice < 5000) t
+       ORDER BY bucket""",
+    # 20 NOT IN over an EXCEPT result (negated set algebra, no NULLs by filter)
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE n_nationkey NOT IN (
+         SELECT c_nationkey FROM customer WHERE c_acctbal IS NOT NULL
+         EXCEPT
+         SELECT n_nationkey FROM nation WHERE n_regionkey = 4)""",
+    # -- virtual-cube unions over differing grains ------------------------
+    # 21 two cubes (customer-grain, order-grain) conformed and re-aggregated
+    """SELECT src, ROUND(SUM(v), 2) AS total FROM (
+         SELECT 'acct' AS src, c_acctbal AS v FROM customer
+         UNION ALL
+         SELECT 'sales' AS src, o_totalprice AS v FROM orders) t
+       GROUP BY src ORDER BY src""",
+    # 22 differing grains NULL-padded to a common dimensionality
+    """SELECT region_k, status_k, ROUND(SUM(m), 2) AS m FROM (
+         SELECT n_regionkey AS region_k, CAST(NULL AS STRING) AS status_k,
+                SUM(c_acctbal) AS m
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_regionkey
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT) AS region_k, o_orderstatus AS status_k,
+                SUM(o_totalprice) AS m
+         FROM orders GROUP BY o_orderstatus) v
+       GROUP BY region_k, status_k
+       ORDER BY region_k NULLS FIRST, status_k NULLS FIRST""",
+    # 23 virtual cube re-aggregated ABOVE the union (outer rollup of both)
+    """SELECT ROUND(SUM(m), 2) AS grand FROM (
+         SELECT SUM(l_extendedprice) AS m FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT SUM(o_totalprice) AS m FROM orders GROUP BY o_orderstatus) t""",
+    # 24 conformed dimension join after the union (shared time axis)
+    """SELECT y, ROUND(SUM(m), 2) AS m FROM (
+         SELECT EXTRACT(YEAR FROM o_orderdate) AS y, SUM(o_totalprice) AS m
+         FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)
+         UNION ALL
+         SELECT EXTRACT(YEAR FROM l_shipdate) AS y, SUM(l_extendedprice) AS m
+         FROM lineitem GROUP BY EXTRACT(YEAR FROM l_shipdate)) t
+       GROUP BY y ORDER BY y""",
+    # 25 measure-count asymmetry: one branch contributes zeros for a measure
+    """SELECT k, ROUND(SUM(m1), 2) AS m1, SUM(m2) AS m2 FROM (
+         SELECT o_orderstatus AS k, SUM(o_totalprice) AS m1, 0 AS m2
+         FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT o_orderstatus AS k, 0.0 AS m1, COUNT(*) AS m2
+         FROM orders GROUP BY o_orderstatus) t
+       GROUP BY k ORDER BY k""",
+    # 26 grain mismatch detected by COUNT vs COUNT DISTINCT above the union
+    """SELECT COUNT(*) AS branch_rows, COUNT(DISTINCT k) AS distinct_keys FROM (
+         SELECT o_orderstatus AS k FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT l_linestatus AS k FROM lineitem GROUP BY l_linestatus) t""",
+    # 27 weighted splice: each cube weighted before the union
+    """SELECT k, ROUND(SUM(m), 4) AS m FROM (
+         SELECT n_regionkey AS k, SUM(c_acctbal) * 0.25 AS m
+         FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_regionkey
+         UNION ALL
+         SELECT r_regionkey AS k, COUNT(*) * 1000.0 AS m
+         FROM region GROUP BY r_regionkey) t
+       GROUP BY k ORDER BY k""",
+    # 28 virtual cube sliced AFTER splicing (outer WHERE over both grains)
+    """SELECT k, ROUND(SUM(m), 2) AS m FROM (
+         SELECT o_orderpriority AS k, SUM(o_totalprice) AS m
+         FROM orders GROUP BY o_orderpriority
+         UNION ALL
+         SELECT o_orderpriority AS k, SUM(o_totalprice) * -0.5 AS m
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority) t
+       WHERE k IN ('1-URGENT', '5-LOW')
+       GROUP BY k ORDER BY k""",
+    # 29 three-cube splice with a source tag kept as a dimension
+    """SELECT src, COUNT(*) AS groups, ROUND(SUM(m), 2) AS m FROM (
+         SELECT 'cust' AS src, SUM(c_acctbal) AS m FROM customer GROUP BY c_nationkey
+         UNION ALL
+         SELECT 'ord' AS src, SUM(o_totalprice) AS m FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT 'line' AS src, SUM(l_extendedprice) AS m FROM lineitem GROUP BY l_returnflag) t
+       GROUP BY src ORDER BY src""",
+    # 30 union of differing grains under a window (percent within source)
+    """SELECT src, k,
+              ROUND(m * 100.0 / SUM(m) OVER (PARTITION BY src), 6) AS pct
+       FROM (
+         SELECT 'status' AS src, o_orderstatus AS k, SUM(o_totalprice) AS m
+         FROM orders GROUP BY o_orderstatus
+         UNION ALL
+         SELECT 'prio' AS src, o_orderpriority AS k, SUM(o_totalprice) AS m
+         FROM orders GROUP BY o_orderpriority) t
+       ORDER BY src, k""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS10)))
+def test_breadth_shape_batch10(fe, duck, i):
+    sql = CORPUS10[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
