@@ -129,6 +129,18 @@ class Catalog:
             self.register(t["name"], t["path"], t.get("format", "parquet"), **t.get("options", {}))
         for mv in model.get("materializations", []):
             self.register_materialization(mv["name"], mv["path"], mv.get("sql", ""))
+        if model.get("functions"):
+            # ≈ JsonFunction loaded by ModelHandler.addFunctions — same
+            # loader the DDL CREATE FUNCTION statement uses
+            from calcite_spark.functions.udf import load_functions_from_model
+
+            load_functions_from_model(self, model["functions"])
+        for v in model.get("views", []):
+            # ≈ JsonView (a named SQL view over the model's tables):
+            # referenced tables must be mounted as temp views first
+            for t in model.get("tables", []):
+                self.table(t["name"])
+            self.register_df(v["name"], self.spark.sql(v["sql"]))
         for lat in model.get("lattices", []):
             self._mount_lattice(lat, model.get("warehouse"))
         return self

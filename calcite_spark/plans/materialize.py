@@ -1466,14 +1466,13 @@ class MaterializationRegistry:
         its other side placed). The FK-peel proof obligations
         (_peel_sequence) guarantee the re-join neither drops nor
         duplicates rows — it reconstructs exactly the tile's defining
-        join. Dims broadcast: at 100 TB the residual branch stays a
-        fact-scan with map-side joins, never a dim shuffle."""
+        join. No forced broadcast: a peeled FK target can be another
+        FACT-sized table (lineitem⋈orders peeling orders), so the
+        physical strategy is left to Catalyst/AQE, which broadcasts
+        genuinely small dims on its own — same posture as the
+        drill-across re-join."""
         for t, (a, b) in reversed(peels):
-            node = ir.Join(
-                f"{a} = {b}",
-                inputs=(node, ir.Scan(t)),
-                broadcast_right=True,
-            )
+            node = ir.Join(f"{a} = {b}", inputs=(node, ir.Scan(t)))
         return node
 
     @staticmethod

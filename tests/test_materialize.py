@@ -4694,3 +4694,95 @@ def test_ddl_percentile_mv_decomposes(spark, tmp_path):
         want = exact[(row.l_returnflag,)]
         assert isinstance(row.p50, float)
         assert abs(row.p50 - want) <= max(2.0, 0.05 * want)
+
+
+def test_model_views_and_functions(spark, tmp_path):
+    """JSON-model `views` (≈ JsonView) and `functions` (≈ JsonFunction
+    via ModelHandler.addFunctions) entries load alongside tables."""
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "views": [
+            {"name": "big_orders",
+             "sql": "SELECT * FROM orders WHERE o_totalprice > 300000"}
+        ],
+        "functions": [
+            {"name": "model_double",
+             "callable": "calcite_spark.functions.udf:sample_double",
+             "returnType": "double"}
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    n = cat.table("big_orders").count()
+    direct = cat.table("orders").filter("o_totalprice > 300000").count()
+    assert n == direct > 0
+    got = spark.sql("SELECT model_double(o_totalprice) AS d, o_totalprice "
+                    "FROM big_orders LIMIT 5").collect()
+    for r in got:
+        assert r.d == r.o_totalprice * 2
+
+
+def test_exact_percentile_never_sketch_served(spark, tmp_path):
+    """EXACT percentile calls (PERCENTILE / PERCENTILE_CONT) must never
+    be served from a KLL sketch tile — approximate answers only for
+    approximate questions (the same pin as exact-COUNT(DISTINCT)-never-
+    HLL-served in r10)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _pct_tile(cat, reg, str(tmp_path), name="pct_exact_pin")
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"], ["PERCENTILE(l_quantity, 0.5) AS p"]
+        )
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df.inputFiles())
+
+
+def test_peeled_union_three_table_star(spark, tmp_path):
+    """A 3-table sliced star tile (lineitem⋈orders⋈customer) serves an
+    overlapping query over the 2-table subset (lineitem⋈orders): one
+    peel replays in the residual branch, values identical."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    cat.analyze_deep("customer", ["c_custkey"])
+    cat.declare_foreign_key("orders", "o_custkey", "customer", "c_custkey")
+    cat.analyze("orders", ["o_custkey"])
+    plan = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .scan("orders").join("l_orderkey = o_orderkey")
+        .scan("customer").join("o_custkey = c_custkey")
+        .aggregate(
+            ["o_orderdate", "l_returnflag", "c_mktsegment"],
+            ["SUM(l_quantity) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "peel3_tile", plan, str(tmp_path / "peel3_tile"),
+        filter_condition="o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'",
+        fact="lineitem",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .scan("orders").join("l_orderkey = o_orderkey")
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .aggregate(["l_returnflag"], ["SUM(l_quantity) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("lineitem.parquet" in f for f in files), files
+    direct = (
+        cat.table("lineitem")
+        .join(cat.table("orders"), F.expr("l_orderkey = o_orderkey"))
+        .filter("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.l_returnflag, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.l_returnflag, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
