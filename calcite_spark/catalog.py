@@ -193,7 +193,43 @@ class Catalog:
             ]
         for dim, fc, dc in joins:
             self.declare_foreign_key(fact, fc, dim, dc)
-        for i, tile in enumerate(lat.get("tiles", [])):
+        tiles = list(lat.get("tiles", []))
+        if not tiles and lat.get("algorithm"):
+            # ≈ JsonLattice.algorithm: true — when the model declares no
+            # tiles, run the tile-suggestion algorithm over the lattice's
+            # dimensions/defaultMeasures (TileSuggester invoked by
+            # Lattice.Builder). Heuristic mirrors suggest_tiles: the
+            # finest all-dims tile (the drill-down base) plus the
+            # lowest-NDV single dims (biggest compression first), NDVs
+            # grounded per owning table (ANALYZE stats when present).
+            dims = list(lat.get("dimensions") or [])
+            measures = list(lat.get("defaultMeasures") or lat.get("measures") or [])
+            if not dims or not measures:
+                raise ValueError(
+                    "lattice algorithm mode needs 'dimensions' and "
+                    "'defaultMeasures' to suggest tiles from"
+                )
+            from calcite_spark.plans.materialize import LatticeSuggester
+
+            owners = [fact] + [d for d, _, _ in joins]
+            ndvs = {
+                d: LatticeSuggester._key_ndv(self, d, owners) for d in dims
+            }
+            if any(v is None for v in ndvs.values()):
+                bad = [d for d, v in ndvs.items() if v is None]
+                raise ValueError(
+                    f"lattice algorithm mode: dimension {bad[0]!r} not "
+                    "found on any joined table"
+                )
+            ranked = sorted(dims, key=lambda d: ndvs[d])
+            max_tiles = int(lat.get("maxTiles", 3))
+            picked = [tuple(ranked)] + [
+                (d,) for d in ranked[: max(0, max_tiles - 1)] if len(dims) > 1
+            ]
+            tiles = [
+                {"dimensions": list(t), "measures": measures} for t in picked
+            ]
+        for i, tile in enumerate(tiles):
             name = tile.get("name") or f"{lat.get('name', 'lattice')}_tile{i}"
             measures = []
             for c in tile["measures"]:

@@ -1829,3 +1829,132 @@ CORPUS10 = [
 def test_breadth_shape_batch10(fe, duck, i):
     sql = CORPUS10[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 11 (r11 second wave): classes batches 1-10 still leave thin —
+# correlated aggregates inside HAVING, standard LATERAL subqueries in
+# FROM, windows computed in subqueries and consumed above, EXISTS/IN
+# used as VALUES (expression position, not predicate position), and
+# multi-level correlation. Same contract: identical text on both.
+CORPUS11 = [
+    # 1 correlated scalar aggregate inside HAVING
+    """SELECT o_custkey, COUNT(*) AS n FROM orders o GROUP BY o_custkey
+       HAVING COUNT(*) > (SELECT AVG(c_acctbal) / 2000 FROM customer
+                          WHERE c_custkey = o_custkey)
+       ORDER BY o_custkey LIMIT 20""",
+    # 2 LATERAL subquery referencing the left table
+    """SELECT n_name, t.cnt FROM nation,
+       LATERAL (SELECT COUNT(*) AS cnt FROM customer
+                WHERE c_nationkey = n_nationkey) t
+       ORDER BY n_name""",
+    # 3 LATERAL with an aggregate + filter over the correlation
+    """SELECT r_name, t.mx FROM region,
+       LATERAL (SELECT MAX(n_nationkey) AS mx FROM nation
+                WHERE n_regionkey = r_regionkey) t
+       ORDER BY r_name""",
+    # 4 window computed in a subquery, filtered above (manual QUALIFY)
+    """SELECT o_orderpriority, n FROM (
+         SELECT o_orderpriority, COUNT(*) AS n,
+                rank() OVER (ORDER BY COUNT(*) DESC) AS rk
+         FROM orders GROUP BY o_orderpriority) t
+       WHERE rk <= 2 ORDER BY n DESC, o_orderpriority""",
+    # 5 window over a window (rank of a running sum)
+    """SELECT k, rank() OVER (ORDER BY rs DESC) AS rk FROM (
+         SELECT o_orderstatus AS k,
+                SUM(COUNT(*)) OVER (ORDER BY o_orderstatus) AS rs
+         FROM orders GROUP BY o_orderstatus) t
+       ORDER BY rk, k""",
+    # 6 EXISTS as a projected value (boolean expression position)
+    """SELECT n_name,
+              EXISTS (SELECT 1 FROM customer
+                      WHERE c_nationkey = n_nationkey AND c_acctbal > 9990) AS has_rich
+       FROM nation ORDER BY n_name""",
+    # 7 IN-subquery as a CASE scrutinee
+    """SELECT o_orderstatus,
+              SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+                                          WHERE c_acctbal > 9000)
+                       THEN 1 ELSE 0 END) AS rich_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 8 nested correlation. DIVERGENCE PINNED BY THIS BATCH: the inner
+    # subquery may only reference the IMMEDIATELY enclosing query in
+    # Spark (o.o_custkey); referencing the outermost table two levels
+    # up (c_custkey) raises UNRESOLVED_COLUMN where DuckDB resolves it.
+    # The middle filter enforces o_custkey = c_custkey, so the
+    # one-level form is semantically identical — the portable spelling.
+    """SELECT c_custkey FROM customer c
+       WHERE c_acctbal > 9990
+         AND EXISTS (SELECT 1 FROM orders o
+                     WHERE o_custkey = c_custkey
+                       AND o_totalprice > (SELECT AVG(o2.o_totalprice)
+                                           FROM orders o2
+                                           WHERE o2.o_custkey = o.o_custkey))
+       ORDER BY c_custkey""",
+    # 9 correlated NOT EXISTS conjoined with correlated EXISTS
+    """SELECT COUNT(*) AS n FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    # 10 LATERAL feeding an aggregate above
+    """SELECT ROUND(AVG(t.cnt), 6) AS avg_cust_per_nation FROM nation,
+       LATERAL (SELECT COUNT(*) AS cnt FROM customer
+                WHERE c_nationkey = n_nationkey) t""",
+    # 11 HAVING comparing two aggregates of the same group
+    """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+       GROUP BY l_returnflag
+       HAVING MAX(l_extendedprice) > 1000 * MIN(l_quantity)
+       ORDER BY l_returnflag""",
+    # 12 windowed deviation from group mean (window + GROUP BY interplay)
+    """SELECT o_orderstatus,
+              ROUND(SUM(o_totalprice) - AVG(SUM(o_totalprice)) OVER (), 2) AS dev
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 13 subquery in both SELECT and WHERE referencing different tables
+    """SELECT n_name,
+              (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS sups
+       FROM nation
+       WHERE n_regionkey = (SELECT MIN(r_regionkey) FROM region)
+       ORDER BY n_name""",
+    # 14 dense_rank ties broken inside a derived table, top slice joined back
+    """SELECT c.c_custkey, c.c_acctbal FROM customer c JOIN (
+         SELECT c_nationkey, MAX(c_acctbal) AS mx FROM customer
+         GROUP BY c_nationkey) t
+         ON c.c_nationkey = t.c_nationkey AND c.c_acctbal = t.mx
+       ORDER BY c.c_custkey LIMIT 10""",
+    # 15 scalar subquery arithmetic in ORDER BY position (via alias)
+    """SELECT o_orderpriority,
+              ROUND(SUM(o_totalprice) / (SELECT SUM(o_totalprice) FROM orders), 8) AS share
+       FROM orders GROUP BY o_orderpriority ORDER BY share DESC, o_orderpriority""",
+    # 16 UNION under LATERAL-free correlation: subquery union correlated on both branches
+    """SELECT n_name,
+              (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > 5000)
+              + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS combined
+       FROM nation ORDER BY n_name""",
+    # 17 aggregate FILTER + window in one statement
+    """SELECT o_orderstatus,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000) AS big,
+              ROUND(100.0 * COUNT(*) FILTER (WHERE o_totalprice > 200000)
+                    / SUM(COUNT(*)) OVER (), 6) AS big_share_pct
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 18 EXISTS over a set-op subquery
+    """SELECT COUNT(*) AS n FROM nation n
+       WHERE EXISTS (
+         SELECT c_nationkey FROM customer WHERE c_acctbal > 9995
+         INTERSECT
+         SELECT n2.n_nationkey FROM nation n2 WHERE n2.n_nationkey = n.n_nationkey)""",
+    # 19 lateral row expansion bounded by the left row's value
+    """SELECT r_regionkey, t.n FROM region,
+       LATERAL (SELECT COUNT(*) AS n FROM nation
+                WHERE n_regionkey <= r_regionkey) t
+       ORDER BY r_regionkey""",
+    # 20 deeply nested derived tables (3 levels) with re-aggregation
+    """SELECT ROUND(AVG(m), 4) AS grand FROM (
+         SELECT k, MAX(s) AS m FROM (
+           SELECT o_orderstatus AS k, o_orderpriority AS p, SUM(o_totalprice) AS s
+           FROM orders GROUP BY o_orderstatus, o_orderpriority) x
+         GROUP BY k) y""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS11)))
+def test_breadth_shape_batch11(fe, duck, i):
+    sql = CORPUS11[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)

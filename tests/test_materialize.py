@@ -4786,3 +4786,59 @@ def test_peeled_union_three_table_star(spark, tmp_path):
     got = {(r.l_returnflag, round(r.s, 3), r.n) for r in df.collect()}
     want = {(r.l_returnflag, round(r.s, 3), r.n) for r in direct.collect()}
     assert got == want
+
+
+def test_model_lattice_algorithm_mode(spark, tmp_path):
+    """`algorithm: true` with no declared tiles ≈ JsonLattice.algorithm
+    invoking the TileSuggester: the loader picks the finest all-dims
+    tile plus the lowest-NDV single-dim tiles and materializes each;
+    queries at both grains are tile-served."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "auto",
+                "fact": "orders",
+                "joins": [{"dim": "customer", "fact_col": "o_custkey",
+                           "dim_col": "c_custkey"}],
+                "algorithm": True,
+                "dimensions": ["c_mktsegment", "o_orderpriority"],
+                "defaultMeasures": ["SUM(o_totalprice) AS rev"],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    assert len(cat.mv_registry.mvs) == 3  # finest + 2 single-dim
+    df = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(["c_mktsegment", "o_orderpriority"],
+                   ["SUM(o_totalprice) AS rev"])
+        .to_df()
+    )
+    assert df.inputFiles() and all("auto_tile" in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    got = {(r.c_mktsegment, r.o_orderpriority, round(r.rev, 3)) for r in df.collect()}
+    want = {(r.c_mktsegment, r.o_orderpriority, round(r.rev, 3)) for r in direct.collect()}
+    assert got == want
+
+
+def test_model_lattice_algorithm_missing_dim_errors(spark, tmp_path):
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{"name": "x", "fact": "orders", "algorithm": True,
+                      "dimensions": ["no_such_col"],
+                      "defaultMeasures": ["COUNT(*) AS n"]}],
+    }
+    with pytest.raises(ValueError, match="no_such_col"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
