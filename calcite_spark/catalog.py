@@ -178,9 +178,25 @@ class Catalog:
                 )
             fact, rest = m.group(1), m.group(2)
             joins = []
-            for jm in re.finditer(
-                r"(?is)\bJOIN\s+(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)", rest
-            ):
+            # each JOIN segment must be a SINGLE equality — a compound
+            # ON (AND conjuncts, non-equi terms) must refuse loudly: a
+            # regex that kept only the first equality would build a
+            # tile over a DIFFERENT join (more rows) and serve wrong
+            # values ever after
+            segs = re.split(r"(?i)\bJOIN\s+", rest)
+            if segs[0].strip():
+                raise ValueError(
+                    f"lattice sql: unparsed text before first JOIN: {segs[0]!r}"
+                )
+            for seg in segs[1:]:
+                jm = re.fullmatch(
+                    r"(?is)(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)\s*", seg
+                )
+                if jm is None:
+                    raise ValueError(
+                        "lattice sql joins must each be 'JOIN dim ON "
+                        f"col = col' (single equality); got: JOIN {seg.strip()!r}"
+                    )
                 dim, a, b = jm.groups()
                 dim_cols = set(self.table(dim).columns)
                 fc, dc = (b, a) if a in dim_cols else (a, b)

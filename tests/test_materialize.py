@@ -4842,3 +4842,71 @@ def test_model_lattice_algorithm_missing_dim_errors(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="no_such_col"):
         Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+def test_model_lattice_compound_on_refuses(spark, tmp_path):
+    """A lattice sql JOIN with a compound ON must refuse loudly — a
+    parser that kept only the first equality would build a tile over a
+    DIFFERENT join and serve wrong values (r11 self-review)."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "bad",
+            "sql": ("SELECT * FROM orders JOIN customer "
+                    "ON o_custkey = c_custkey AND o_orderkey = c_custkey"),
+            "tiles": [{"dimensions": ["c_mktsegment"],
+                       "measures": ["COUNT(*) AS n"]}],
+        }],
+    }
+    with pytest.raises(ValueError, match="single equality"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+def test_frontend_rollup_having_empty_result(spark, tmp_path):
+    """A HAVING no row survives: the tile-served groupSets plan returns
+    the SAME empty result as verbatim Spark (no spurious grand-total
+    row, no NULL-vs-zero confusion)."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "rh_tile3", "lineitem",
+        ["l_returnflag", "l_linestatus"],
+        ["SUM(l_quantity) AS s_qty"],
+        str(tmp_path / "rh_tile3"),
+    )
+    stmt = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "HAVING SUM(l_quantity) > 999999999"
+    )
+    df = fe.sql(stmt)
+    assert df.inputFiles() and all(mv.name in f for f in df.inputFiles())
+    assert df.count() == 0
+    cat.register_all_views()
+    assert spark.sql(stmt).count() == 0
+
+
+def test_peeled_contained_still_tile_only(spark, tmp_path):
+    """A peeled query whose range is CONTAINED in the slice stays on
+    the contained tier: tile-only plan, no base scan (the union tier
+    must not fire when containment suffices)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), "peel_cont_tile",
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert files and all(mv.name in f for f in files), files
