@@ -666,3 +666,91 @@ def qx29_stratified_sample(spark, sf_dir):
         fractions={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1},
         seed="r5",
     ).selectExpr("doc_id", "lang").orderBy("doc_id")
+
+
+def _pipeline_oracle() -> str:
+    """DuckDB oracle replaying training_pipeline's exact logic: quality
+    gate, stopword-vote argmax, md5 keep-first dedup, per-language
+    report. Generated from _LANG_MARKERS so both sides stay lock-step
+    (same pattern as _lang_id_oracle)."""
+    from calcite_spark.llm.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    votes = {
+        lang: " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    vote_cols = ",\n             ".join(
+        f"({v}) AS votes_{lang}" for lang, v in votes.items()
+    )
+    all_votes = ", ".join(f"votes_{lang}" for lang in langs)
+    argmax = " ".join(
+        f"WHEN {' AND '.join(f'votes_{a} >= votes_{b}' for b in langs[i + 1:]) or 'TRUE'}"
+        f" THEN '{a}'"
+        for i, a in enumerate(langs[:-1])
+    )
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, text,
+             ROUND(LEAST(1.0, length(text) / 500.0) *
+                   (1.0 - LEAST(1.0, 2.0 * length(regexp_replace(text,
+                        '[^!?#*=<>{{}}|\\\\]', '', 'g')) /
+                        CAST(GREATEST(length(text), 1) AS DOUBLE))), 6)
+               AS quality,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens_ws
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, quality, n_tokens_ws,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash,
+             string_split_regex(lower(text), '[^a-z]+') AS toks
+      FROM gated WHERE quality >= 0.2
+    ), v AS (
+      SELECT doc_id, quality, n_tokens_ws, content_hash,
+             {vote_cols}
+      FROM kept
+    ), p AS (
+      SELECT doc_id, quality, n_tokens_ws, content_hash,
+             CASE WHEN GREATEST({all_votes}) = 0 THEN 'und'
+                  {argmax}
+                  ELSE '{langs[-1]}' END AS lang_pred,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+               AS rn
+      FROM v
+    )
+    SELECT lang_pred,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dupes_dropped,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens_ws ELSE 0 END) AS BIGINT)
+             AS tokens_ws,
+           ROUND(AVG(CASE WHEN rn = 1 THEN quality END), 6) AS mean_quality
+    FROM p GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+@register(
+    "qx57_llm_pipeline",
+    oracle=_pipeline_oracle(),
+    tags=("llm", "pipeline", "dedup", "quality", "langid"),
+)
+def qx57_llm_pipeline(spark, sf_dir):
+    """Composed training-data pipeline — llm/pipeline.training_pipeline:
+    quality gate → stopword-vote language ID → exact keep-first dedup →
+    per-language corpus report, chained as ONE DataFrame DAG. The point
+    of the row is COMPOSITION: the standalone ops (z50/z52/z53) verify
+    each stage; this verifies that fusing them keeps the same values
+    with a two-shuffle plan (one digest window, one report aggregate —
+    narrow maps in between fuse into one codegen stage). The oracle
+    replays the identical logic in DuckDB, generated from the same
+    marker lists. 100 TB: this is the nightly corpus-build shape — the
+    whole card costs two compact-key shuffles, no self-joins."""
+    from calcite_spark.llm.pipeline import training_pipeline
+
+    cat = catalog_for(spark, sf_dir)
+    return training_pipeline(cat.table("documents"), min_quality=0.2)
