@@ -619,76 +619,22 @@ def _fe(spark, sf_dir):
     return SqlFrontend(catalog_for(spark, sf_dir))
 
 
-@register(
-    "qx31_quantified_some_all",
-    oracle="""
-    SELECT
-      (SELECT COUNT(*) FROM orders
-       WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 370)) AS n_gt_all,
-      (SELECT COUNT(*) FROM orders
-       WHERE o_totalprice > SOME (SELECT o_totalprice FROM orders WHERE o_custkey = 370)) AS n_gt_some,
-      (SELECT COUNT(*) FROM customer
-       WHERE c_nationkey <> ALL (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')) AS n_ne_all,
-      (SELECT COUNT(*) FROM customer
-       WHERE c_acctbal <= ANY (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_le_any
-    """,
-    tags=("subquery", "quantified", "sql_surface"),
-)
-def qx31_quantified_some_all(spark, sf_dir):
-    """Quantified comparisons through the SQL FRONTEND surface (r6 —
-    some.iq tier; contrast q73, which pre-dates the macro and hand-
-    writes the MAX form): `op SOME/ANY/ALL (subquery)` lowers to ONE
-    MIN/MAX/COUNT single-row aggregate of the subquery + a 3-valued
-    CASE (SubQueryRemoveRule's shape; sql/frontend.py:_expand_
-    quantified), with every CASE branch sharing the identical subquery
-    text so Spark's ReuseSubquery executes it once. The oracle runs the
-    SAME quantifiers natively in DuckDB — the strongest cross-engine
-    check the driver can make of the lowering."""
-    return _fe(spark, sf_dir).sql(
-        """
-        SELECT
-          (SELECT COUNT(*) FROM orders
-           WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 370)) AS n_gt_all,
-          (SELECT COUNT(*) FROM orders
-           WHERE o_totalprice > SOME (SELECT o_totalprice FROM orders WHERE o_custkey = 370)) AS n_gt_some,
-          (SELECT COUNT(*) FROM customer
-           WHERE c_nationkey <> ALL (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')) AS n_ne_all,
-          (SELECT COUNT(*) FROM customer
-           WHERE c_acctbal <= ANY (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_le_any
-        """
-    )
+# qx31_quantified_some_all retired from the registry in r11 (the r10
+# verdict's option (b), applied to make the r12 rotation arithmetic
+# close: 50 r9-green names + the owed qx56/qx57 rows needed 52 of 50
+# slots). Receipts: the quantifier macro's cross-engine check survives
+# STRONGER in tests/test_fuzz_quantified.py (randomized operands/NULL
+# grids vs DuckDB's NATIVE SOME/ANY/ALL every round), the some.iq
+# mirror replays the reference fixtures, the 2-scan membership shape is
+# plan-pinned in test_plan_quality.py, and q73_quantified_all remains
+# the driver row for quantified-ALL values.
 
-
-@register(
-    "qx32_within_distinct_sql",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_dates,
-           CAST(SUM(yr) AS BIGINT) AS sum_years
-    FROM (
-      SELECT DISTINCT o_orderstatus, o_orderdate, year(o_orderdate) AS yr
-      FROM orders
-    )
-    GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    tags=("aggregate", "within_distinct", "sql_surface"),
-)
-def qx32_within_distinct_sql(spark, sf_dir):
-    """WITHIN DISTINCT through the SQL surface (r6 — within-distinct.iq
-    tier; q82 covers the builder path): AGG(x) WITHIN DISTINCT (d)
-    lowers to AggregateExpandWithinDistinctRule's two-level aggregate
-    with the uniformity raise_error (frontend._expand_within_distinct).
-    DuckDB has no WITHIN DISTINCT syntax, so the oracle states the
-    defining semantics directly: one value of x per distinct (group, d)
-    pair."""
-    return _fe(spark, sf_dir).sql(
-        """
-        SELECT o_orderstatus,
-               COUNT(*) WITHIN DISTINCT (o_orderdate) AS n_dates,
-               SUM(year(o_orderdate)) WITHIN DISTINCT (o_orderdate) AS sum_years
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-        """
-    )
+# qx32_within_distinct_sql retired from the registry in r11 (same slot
+# arithmetic). Receipts: within-distinct.iq replays the reference
+# fixtures through the SAME frontend lowering every round, the
+# uniformity raise_error and two-level aggregate are pinned in the
+# frontend tests, and q82_within_distinct remains the driver row for
+# the operator itself (builder path).
 
 
 @register(
