@@ -2737,11 +2737,17 @@ class LatticeSuggester:
         )
 
     def _estimate_benefit(self, catalog, proposal) -> tuple:
-        """(estimated_tile_rows, fact_rows): tile rows = product of
-        per-key NDVs capped at fact rows (the key-tuple NDV can never
-        exceed either bound); fact rows = the largest joined table
-        (the star hub anchors the grain). None tile rows = a key
-        could not be grounded."""
+        """(estimated_tile_rows, fact_rows): when every group key lives
+        on ONE table, tile rows = the JOINT key-tuple NDV measured with
+        a single approx_count_distinct(struct(...)) scan — correlated
+        keys (year + month of the same date) estimate correctly, the
+        sampling-free analog of the reference's MonteCarloAlgorithm
+        over a StatisticsProvider. Keys spread across tables fall back
+        to the product of per-key NDVs capped at fact rows (an upper
+        bound — overestimates correlated cross-table keys, declining a
+        good tile at worst, never building a bad one). fact rows = the
+        largest joined table (the star hub anchors the grain). None
+        tile rows = a key could not be grounded."""
         tables = (
             proposal["tables"]
             if proposal["table"] is None
@@ -2757,6 +2763,31 @@ class LatticeSuggester:
             return catalog.row_count(t)
 
         fact_rows = max(rows(t) for t in tables)
+        key_exprs, key_idents = [], []
+        for k in proposal["group_keys"]:
+            if _plain_key(k):
+                key_exprs.append(k)
+                key_idents.append({k})
+            else:
+                expr = _KEY_ALIAS_RE.match(k).group(1)
+                key_exprs.append(expr)
+                key_idents.append(_expr_cols(expr))
+        all_idents = set().union(*key_idents) if key_idents else set()
+        joint_owner = [
+            t for t in tables
+            if all_idents and all_idents <= set(catalog.table(t).columns)
+        ]
+        if joint_owner:
+            joint = (
+                catalog.table(joint_owner[0])
+                .selectExpr(
+                    "approx_count_distinct(struct("
+                    + ", ".join(key_exprs)
+                    + ")) AS n"
+                )
+                .collect()[0]["n"]
+            )
+            return min(max(joint, 1), fact_rows), fact_rows
         est = 1
         for k in proposal["group_keys"]:
             ndv = self._key_ndv(catalog, k, tables)

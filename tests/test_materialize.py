@@ -4910,3 +4910,54 @@ def test_peeled_contained_still_tile_only(spark, tmp_path):
     )
     files = df.inputFiles()
     assert files and all(mv.name in f for f in files), files
+
+
+def test_benefit_gate_joint_ndv_correlated_keys(spark):
+    """Single-owner proposals measure the JOINT key-tuple NDV (one
+    struct sketch scan), so perfectly correlated keys do not
+    overestimate the way a per-key product would (the disclosed
+    independence bias, closed for the single-table case)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester()
+    est, fact_rows = sug._estimate_benefit(
+        cat,
+        {
+            "table": "orders",
+            "tables": None,
+            "group_keys": ["o_orderpriority",
+                           "upper(o_orderpriority) AS up"],
+        },
+    )
+    # product would say 25; the joint count knows it's 5
+    assert est <= 6, est
+    assert fact_rows >= 1000
+
+
+def test_benefit_gate_joint_ndv_in_auto_build(spark, tmp_path):
+    """End-to-end: a correlated-expression-key corpus that the product
+    estimate would DECLINE (5 x 5 x 90 > half the fact) builds under
+    the joint estimate (true grain 5 x 90)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(
+                ["o_orderpriority", "upper(o_orderpriority) AS up",
+                 "date_trunc('month', o_orderdate) AS mo"],
+                ["SUM(o_totalprice) AS s"],
+            )
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(
+        cat, MaterializationRegistry(), str(tmp_path / "wh"), min_count=2
+    )
+    assert len(built) == 1, sug.decisions
+    (d,) = sug.decisions
+    assert d["built"] and d["ratio"] <= 0.5, d
