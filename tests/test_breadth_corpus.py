@@ -1958,3 +1958,111 @@ CORPUS11 = [
 def test_breadth_shape_batch11(fe, duck, i):
     sql = CORPUS11[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 12 (r11 closing wave): portable-surface parity classes —
+# date/interval arithmetic, shared string/math function grids, VALUES
+# derived tables, JOIN USING, IS DISTINCT FROM — the everyday SQL a
+# migrating user types first. Same contract: identical text, both
+# engines.
+CORPUS12 = [
+    # 1 interval arithmetic in a predicate
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderdate + INTERVAL 90 DAY < TIMESTAMP '1995-01-01 00:00:00'""",
+    # 2 interval month arithmetic in a projection
+    """SELECT o_orderkey, o_orderdate + INTERVAL 3 MONTH AS due
+       FROM orders WHERE o_orderkey <= 32 ORDER BY o_orderkey""",
+    # 3 EXTRACT grid over one date
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+              EXTRACT(QUARTER FROM o_orderdate) AS q,
+              EXTRACT(MONTH FROM o_orderdate) AS m,
+              EXTRACT(DAY FROM o_orderdate) AS d,
+              COUNT(*) AS n
+       FROM orders WHERE o_orderkey < 200
+       GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    # 4 date_trunc grains agree. DIVERGENCE PINNED: DuckDB's
+    # date_trunc('quarter'|'month'|..., ts) returns DATE while Spark
+    # returns TIMESTAMP - the portable spelling CASTs the result
+    # explicitly (same pin the qx46/qx52 oracles carry)
+    """SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qs,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY qs""",
+    # 5 string function grid
+    """SELECT upper(left(c_name, 8)) AS u, lower(right(c_name, 5)) AS l,
+              length(c_name) AS len, reverse(substring(c_name, 1, 6)) AS rev
+       FROM customer WHERE c_custkey <= 10 ORDER BY c_custkey""",
+    # 6 pad/repeat/replace grid
+    # (CAST AS STRING, not VARCHAR: Spark requires a length on VARCHAR)
+    """SELECT lpad(CAST(n_nationkey AS STRING), 4, '0') AS padded,
+              repeat('ab', n_regionkey + 1) AS rep,
+              replace(n_name, 'A', '_') AS repl
+       FROM nation ORDER BY n_nationkey LIMIT 10""",
+    # 7 concat_ws + trim
+    """SELECT concat_ws('|', r_name, trim('  x  '), 'z') AS joined
+       FROM region ORDER BY r_regionkey""",
+    # 8 position and instr-free portable search
+    """SELECT n_name, position('AN' IN n_name) AS p
+       FROM nation WHERE position('AN' IN n_name) > 0 ORDER BY n_name""",
+    # 9 math grid
+    """SELECT abs(-o_totalprice) AS a, ceil(o_totalprice / 1000) AS c,
+              floor(o_totalprice / 1000) AS f, round(sqrt(o_totalprice), 6) AS s,
+              sign(o_totalprice - 200000) AS sg
+       FROM orders WHERE o_orderkey <= 7 ORDER BY o_orderkey""",
+    # 10 mod/power/greatest/least
+    """SELECT mod(o_orderkey, 7) AS m, round(power(2, mod(o_orderkey, 10)), 1) AS p,
+              greatest(o_orderkey, 100) AS g, least(o_orderkey, 100) AS l
+       FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    # 11 VALUES derived table joined to a real table
+    """SELECT t.tag, COUNT(*) AS n
+       FROM orders JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+            AS t(st, tag) ON o_orderstatus = t.st
+       GROUP BY t.tag ORDER BY t.tag""",
+    # 12 JOIN USING emits one coalesced copy of the key
+    """SELECT n_regionkey, COUNT(*) AS n
+       FROM nation AS a JOIN nation AS b USING (n_regionkey)
+       GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 13 IS DISTINCT FROM three-valued grid
+    """SELECT COUNT(*) FILTER (WHERE NULLIF(o_orderstatus, 'F')
+                               IS DISTINCT FROM 'O') AS distinct_cnt,
+              COUNT(*) FILTER (WHERE NULLIF(o_orderstatus, 'F')
+                               IS NOT DISTINCT FROM NULL) AS null_cnt
+       FROM orders""",
+    # 14 BETWEEN SYMMETRIC-free portable range with reversed bounds guarded
+    """SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_quantity BETWEEN LEAST(10, 20) AND GREATEST(10, 20)""",
+    # 15 chained CASE with date predicates
+    """SELECT CASE WHEN o_orderdate < TIMESTAMP '1994-01-01 00:00:00' THEN 'early'
+                   WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 'mid'
+                   ELSE 'late' END AS era,
+              COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+       FROM orders GROUP BY 1 ORDER BY era""",
+    # 16 nested scalar functions (string of math of string)
+    """SELECT length(CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS STRING)) AS digits,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY digits""",
+    # 17 COALESCE typing across int/double
+    """SELECT ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.005)), 4) AS s
+       FROM lineitem WHERE l_orderkey < 100""",
+    # 18 multiple FILTER clauses sharing one scan
+    """SELECT l_returnflag,
+              COUNT(*) FILTER (WHERE l_quantity > 25) AS hi,
+              COUNT(*) FILTER (WHERE l_quantity <= 25) AS lo,
+              ROUND(AVG(l_discount) FILTER (WHERE l_quantity > 25), 6) AS hi_disc
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 19 cast grid round-trips. DIVERGENCE PINNED: CAST(double AS
+    # BIGINT) TRUNCATES in Spark (Hive lineage) but ROUNDS in DuckDB -
+    # the portable spelling goes through FLOOR first so both engines
+    # agree; the raw cast is a documented cross-engine trap
+    """SELECT CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS DOUBLE) AS d,
+              CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts
+       FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey""",
+    # 20 grouping by a boolean expression of two columns
+    """SELECT (l_quantity > 25 AND l_discount > 0.05) AS hot, COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY hot NULLS FIRST""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS12)))
+def test_breadth_shape_batch12(fe, duck, i):
+    sql = CORPUS12[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
