@@ -4961,3 +4961,80 @@ def test_benefit_gate_joint_ndv_in_auto_build(spark, tmp_path):
     assert len(built) == 1, sug.decisions
     (d,) = sug.decisions
     assert d["built"] and d["ratio"] <= 0.5, d
+
+
+def test_percentile_tile_union_compensation(spark, tmp_path):
+    """KLL sketches flow through union compensation: the covered range
+    reads tile sketches, the residual builds fresh sketches over the
+    base, and the merge unions both before reading the quantile —
+    in-bound vs the exact percentile of the full query range."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "pct_union_tile", "lineitem",
+        ["l_shipdate", "l_returnflag"],
+        ["APPROX_PERCENTILE(l_quantity, 0.5) AS p50",
+         "COUNT(*) AS c"],
+        str(tmp_path / "pct_union_tile"),
+        filter_condition="l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .filter("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'")
+        .aggregate(
+            ["l_returnflag"],
+            ["APPROX_PERCENTILE(l_quantity, 0.5) AS p50", "COUNT(*) AS c"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("lineitem.parquet" in f for f in files), files
+    base = cat.table("lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    )
+    exact = {
+        r.l_returnflag: (r.p, r.n)
+        for r in base.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5) AS p"),
+             F.expr("COUNT(*) AS n"))
+        .collect()
+    }
+    for r in df.collect():
+        want_p, want_n = exact[r.l_returnflag]
+        assert r.c == want_n  # counts are exact through the union
+        assert abs(r.p50 - want_p) <= max(2.0, 0.05 * want_p)
+
+
+def test_percentile_tile_groupsets(spark, tmp_path):
+    """ROLLUP served from a KLL tile: every grouping set merges the
+    group sketches before reading the quantile — subtotal and
+    grand-total rows in-bound vs exact."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _pct_tile(cat, reg, str(tmp_path), name="pct_gs_tile")
+    plan = ir.Aggregate(
+        ("l_returnflag", "l_linestatus"),
+        ("APPROX_PERCENTILE(l_quantity, 0.5) AS p50",),
+        group_type="ROLLUP",
+        inputs=(ir.Scan("lineitem"),),
+    )
+    from calcite_spark.plans.rewrite import default_program
+
+    df = default_program(cat).run(plan).to_df(cat)
+    assert df.inputFiles() and all(mv.name in f for f in df.inputFiles())
+    verb = (
+        cat.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.expr("percentile(l_quantity, 0.5) AS p"))
+    )
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r.p for r in verb.collect()
+    }
+    got = {
+        (r.l_returnflag, r.l_linestatus): r.p50 for r in df.collect()
+    }
+    assert set(got) == set(exact)
+    for k, want in exact.items():
+        assert abs(got[k] - want) <= max(2.0, 0.05 * want), (k, got[k], want)
