@@ -1341,6 +1341,13 @@ class MaterializationRegistry:
                 rewritten = None
                 if not q_edges and q_tables == frozenset([mv.table]):
                     rewritten = self._try_rewrite(node, filt, mv, catalog)
+            if rewritten is None and filt is not None and not mv.spf:
+                # grain-edge tier (r11): raw-column date range over a
+                # date_trunc-keyed tile — whole periods from the tile,
+                # edge slivers from the base
+                rewritten = self._grain_edge_substitute(
+                    node, filt, mv, q_tables, q_edges, catalog
+                )
             if rewritten is not None:
                 # freshness gate LAST (review r9: running it before the
                 # shape match listed every registered MV's base files —
@@ -2219,6 +2226,126 @@ class MaterializationRegistry:
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
         return self._merge_aggregate(agg, merged_calls, union)
 
+    def _grain_edge_substitute(self, agg, filt, mv, q_tables, q_edges, catalog):
+        """Grain-aligned EDGE-PARTIAL rewrite (r11): an UNSLICED tile
+        keyed on `date_trunc('<grain>', col) AS alias` answers a query
+        that filters a RANGE over the RAW column — whole grain periods
+        read from the tile (date_trunc(g, col) >= B ⟺ col >= B when B
+        is g-aligned), and the ≤2 partial-period slivers at the range's
+        edges aggregate fresh partials over the base, merged above with
+        the same $SUM0 machinery as the union tiers. THE classic BI
+        shape: "March 3 to November 20" costs a tile read plus two
+        day-sliver scans instead of a fact rescan. Composes with the
+        FK peel (the sliver branch re-joins peeled dims).
+
+        Proof obligations, each refusing when unprovable:
+        - the filter is a single-column 'date'-kind region over exactly
+          the truncation's input column, with inclusive lower and
+          exclusive upper bounds (>= / < — the half-open form where
+          boundary alignment is exact; other inclusivities refuse
+          rather than reason about successor values on a continuous
+          domain);
+        - NULL col rows belong to NEITHER branch AND NOT to the query
+          (comparisons are NULL-false on both sides of the
+          equivalence);
+        - group keys / calls pass the same rollup mapping as every
+          other tier."""
+        if mv.filter_condition is not None:
+            return None  # sliced tiles own their own tiers
+        peels: list | None = []
+        if mv.tables:
+            peels = self._peel_sequence(mv, q_tables, q_edges, catalog)
+            if peels is None:
+                return None
+        elif q_edges or q_tables != frozenset([mv.table]):
+            return None
+        region = _parse_region(filt.condition)
+        if region is None or len(region) != 1:
+            return None
+        (col, (kind, iv)), = region.items()
+        if kind != "date":
+            return None
+        # half-open form only (unbounded sides allowed)
+        if iv.lo is not None and not iv.lo_incl:
+            return None
+        if iv.hi is not None and iv.hi_incl:
+            return None
+        if iv.lo is None and iv.hi is None:
+            return None
+        # the tile's matching truncation key over this column
+        grain = alias = None
+        for k in mv.group_keys:
+            m = _TRUNC_KEY_RE.match(k)
+            if m and m.group(2).strip() == col:
+                grain, alias = m.group(1).lower(), _key_alias(k)
+                break
+        if grain is None or grain not in _GRAIN_SNAP:
+            return None
+        # query keys must be tile keys (the raw column itself is FINER
+        # than the tile and must not appear)
+        tile_norms = {_norm(k) for k in mv.group_keys}
+        if not {_norm(k) for k in agg.group_keys} <= tile_norms:
+            return None
+        merged_calls = self._map_rollup_calls(
+            agg.agg_calls, mv, False, catalog, agg.group_keys
+        )
+        if merged_calls is None:
+            return None
+        lo = _parse_ts(iv.lo[0]) if iv.lo is not None else None
+        hi = _parse_ts(iv.hi[0]) if iv.hi is not None else None
+        if lo is None and iv.lo is not None:
+            return None
+        if hi is None and iv.hi is not None:
+            return None
+        c_lo = _grain_ceil(grain, lo) if lo is not None else None
+        c_hi = _grain_floor(grain, hi) if hi is not None else None
+        if c_lo is not None and c_hi is not None and c_lo >= c_hi:
+            return None  # no whole period inside: tile contributes nothing
+        tile_conds, slivers = [], []
+        if lo is not None:
+            tile_conds.append(f"{alias} >= {_ts_sql(c_lo)}")
+            if lo < c_lo:
+                slivers.append(
+                    f"({col} >= {_ts_sql(lo)} AND {col} < {_ts_sql(c_lo)})"
+                )
+        if hi is not None:
+            tile_conds.append(f"{alias} < {_ts_sql(c_hi)}")
+            if c_hi < hi:
+                slivers.append(
+                    f"({col} >= {_ts_sql(c_hi)} AND {col} < {_ts_sql(hi)})"
+                )
+        branch_cols = tuple(
+            [_key_alias(k) for k in mv.group_keys] + list(mv.agg_calls)
+        )
+        tile_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Filter(" AND ".join(tile_conds), inputs=(ir.Scan(mv.name),)),
+            ),
+        )
+        if not slivers:
+            # grain-ALIGNED range: the whole query is servable from the
+            # tile — the filter translates verbatim into alias space
+            return self._merge_aggregate(agg, merged_calls, tile_branch)
+        base_calls = tuple(
+            _tile_call_sql(fn, arg, a) for a, (fn, arg) in mv.agg_calls.items()
+        )
+        base_input = self._rejoin_peeled(filt.inputs[0], peels or [])
+        base_branch = ir.Project(
+            branch_cols,
+            inputs=(
+                ir.Aggregate(
+                    mv.group_keys,
+                    base_calls,
+                    inputs=(
+                        ir.Filter(" OR ".join(slivers), inputs=(base_input,)),
+                    ),
+                ),
+            ),
+        )
+        union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
+        return self._merge_aggregate(agg, merged_calls, union)
+
     # -- SPF (raw-row slice) tiers -------------------------------------
 
     def _spf_scan(self, mv: Materialization):
@@ -2390,6 +2517,66 @@ def _tile_only(rewritten, mv) -> bool:
         if isinstance(n, ir.Scan) and n.table != mv.name:
             return False
     return True
+
+
+# grain-edge tier (r11): a tile key of this shape makes raw-column
+# ranges servable with edge partials. Input column must be PLAIN (a
+# nested expression's alignment equivalence would need its own proof).
+_TRUNC_KEY_RE = re.compile(
+    r"(?is)^\s*date_trunc\s*\(\s*'(\w+)'\s*,\s*([A-Za-z_]\w*)\s*\)"
+    r"\s+AS\s+[A-Za-z_]\w*\s*$"
+)
+
+
+def _parse_ts(iso: str):
+    """Canonical ISO text (the _parse_lit 'date' kind) → datetime, or
+    None. Fractional seconds refuse: the half-open boundary arithmetic
+    below renders whole-second literals."""
+    from datetime import datetime
+
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(iso, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _ts_sql(dt) -> str:
+    return f"TIMESTAMP '{dt.strftime('%Y-%m-%d %H:%M:%S')}'"
+
+
+def _grain_floor(grain: str, dt):
+    """Largest grain boundary <= dt."""
+    if grain == "year":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    if grain == "quarter":
+        return dt.replace(
+            month=dt.month - (dt.month - 1) % 3,
+            day=1, hour=0, minute=0, second=0, microsecond=0,
+        )
+    if grain == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if grain == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    raise ValueError(grain)
+
+
+_GRAIN_SNAP = {"year", "quarter", "month", "day"}
+
+
+def _grain_ceil(grain: str, dt):
+    """Smallest grain boundary >= dt."""
+    from datetime import timedelta
+
+    f = _grain_floor(grain, dt)
+    if f == dt:
+        return dt
+    if grain == "day":
+        return f + timedelta(days=1)
+    step = {"year": 12, "quarter": 3, "month": 1}[grain]
+    m = f.month - 1 + step
+    return f.replace(year=f.year + m // 12, month=m % 12 + 1)
 
 
 def _norm(expr: str) -> str:

@@ -2208,3 +2208,91 @@ def qx56_mv_percentile_sketch(spark, sf_dir):
         "l_returnflag string, p50_exact double, sum_qty double, "
         "sketch_within_bound boolean",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "qx58_mv_grain_edge",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-11-20 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "rewrite", "mv", "grain-edge", "expression-key"),
+)
+def qx58_mv_grain_edge(spark, sf_dir):
+    """Grain-aligned EDGE-PARTIAL rewrite (r11): a month-keyed tile
+    (`date_trunc('month', o_orderdate) AS g` × priority) answers an
+    ARBITRARY raw-date-range query — "March 15 to November 20" — by
+    reading whole months from the tile (the alignment equivalence:
+    date_trunc(m, col) >= B ⟺ col >= B for month-aligned B) and
+    aggregating only the two partial-month slivers from the base,
+    merged with the $SUM0 union machinery. THE classic BI query shape;
+    the reference's Sarg composition stops at aligned ranges. The
+    negative half: an exclusive lower bound (>) must refuse — the
+    alignment equivalence does not hold there. The oracle is the plain
+    filtered aggregate. 100 TB: the dominant date-range dashboard costs
+    a ~100-row tile read plus two day-sliver scans (partition-prunable)
+    instead of a multi-year fact rescan."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx58_tile",
+        table="orders",
+        group_keys=["date_trunc('month', o_orderdate) AS g", "o_orderpriority"],
+        agg_calls=[
+            "SUM(o_totalprice) AS s",
+            "COUNT(*) AS n",
+            "MIN(o_totalprice) AS mn",
+        ],
+        path=tempfile.mkdtemp(prefix="qx58_mv_") + "/qx58_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'"
+        )
+        .aggregate(
+            ["o_orderpriority"],
+            [
+                "SUM(o_totalprice) AS sum_price",
+                "COUNT(*) AS n_orders",
+                "MIN(o_totalprice) AS min_price",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("orders.parquet" in f for f in files)
+    ):
+        raise RuntimeError("grain-edge substitution did not fire")
+    neg = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate > TIMESTAMP '1995-03-15 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    if any(mv.name in f for f in neg.inputFiles()):
+        raise RuntimeError("exclusive lower bound wrongly served from the tile")
+    return df.selectExpr(
+        "o_orderpriority",
+        "ROUND(sum_price, 3) AS sum_price",
+        "n_orders",
+        "min_price",
+    ).orderBy("o_orderpriority")

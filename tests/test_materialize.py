@@ -5038,3 +5038,214 @@ def test_percentile_tile_groupsets(spark, tmp_path):
     assert set(got) == set(exact)
     for k, want in exact.items():
         assert abs(got[k] - want) <= max(2.0, 0.05 * want), (k, got[k], want)
+
+
+@pytest.mark.parametrize(
+    "slice_lo,q_lo,q_hi",
+    [
+        # query escapes below the slice
+        ("1997-01-01", "1996-07-01", None),
+        # query escapes below, bounded above inside the slice
+        ("1997-01-01", "1995-01-01", "1997-06-01"),
+        # query starts exactly at the slice boundary (contained)
+        ("1996-01-01", "1996-01-01", None),
+        # query bounded on both sides straddling the boundary
+        ("1996-06-01", "1995-06-01", "1997-01-01"),
+        # query entirely below the slice (disjoint: no tile)
+        ("1998-01-01", "1992-01-01", "1993-01-01"),
+    ],
+)
+def test_peeled_union_range_grid(spark, tmp_path, slice_lo, q_lo, q_hi):
+    """Range grid over the peeled union tier: escaping-below, partially
+    covered, boundary-exact, straddling, and disjoint query ranges all
+    return values identical to the direct aggregate — the
+    inclusive/exclusive bound arithmetic of the box decomposition is
+    where a silent off-by-one would live."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    mv = _sliced_star(
+        cat, reg, str(tmp_path), f"grid_{slice_lo[:4]}_{q_lo[:4]}",
+        f"o_orderdate >= TIMESTAMP '{slice_lo} 00:00:00'",
+    )
+    cond = f"o_orderdate >= TIMESTAMP '{q_lo} 00:00:00'"
+    if q_hi:
+        cond += f" AND o_orderdate < TIMESTAMP '{q_hi} 00:00:00'"
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n",
+             "MIN(o_totalprice) AS mn", "MAX(o_totalprice) AS mx"],
+        )
+        .to_df()
+    )
+    direct = (
+        cat.table("orders")
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("s"),
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    got = {
+        (r.o_orderpriority, round(r.s, 3), r.n, r.mn, r.mx)
+        for r in df.collect()
+    }
+    want = {
+        (r.o_orderpriority, round(r.s, 3), r.n, r.mn, r.mx)
+        for r in direct.collect()
+    }
+    assert got == want, (slice_lo, q_lo, q_hi)
+
+
+# ---------------------------------------------------------------------
+# r11: grain-aligned edge-partial rewrite — a date_trunc-keyed tile
+# answers raw-column date ranges (whole periods from the tile, edge
+# slivers from the base)
+# ---------------------------------------------------------------------
+
+
+def _grain_tile(cat, reg, tmp, grain="month", name=None):
+    name = name or f"ge_{grain}_tile"
+    return reg.define(
+        cat, name, "orders",
+        [f"date_trunc('{grain}', o_orderdate) AS g", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n",
+         "MIN(o_totalprice) AS mn"],
+        f"{tmp}/{name}",
+    )
+
+
+def _range_query(cat, cond):
+    return (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n",
+             "MIN(o_totalprice) AS mn"],
+        )
+        .to_df()
+    )
+
+
+def _direct(cat, cond):
+    return (
+        cat.table("orders")
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"),
+             F.min("o_totalprice").alias("mn"))
+    )
+
+
+def _vals(df):
+    return sorted(
+        (r.o_orderpriority, round(r.s, 3), r.n, r.mn) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("grain,cond,tile,base", [
+    # unaligned both ends: tile + two slivers
+    ("month", "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+              "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'", True, True),
+    # aligned both ends: tile only
+    ("month", "o_orderdate >= TIMESTAMP '1995-03-01 00:00:00' "
+              "AND o_orderdate < TIMESTAMP '1997-11-01 00:00:00'", True, False),
+    # unbounded above
+    ("month", "o_orderdate >= TIMESTAMP '1996-06-10 12:30:00'", True, True),
+    # unbounded below
+    ("month", "o_orderdate < TIMESTAMP '1994-02-17 00:00:00'", True, True),
+    # range inside one period: no whole month — refuse, base only
+    ("month", "o_orderdate >= TIMESTAMP '1995-03-10 00:00:00' "
+              "AND o_orderdate < TIMESTAMP '1995-03-20 00:00:00'", False, True),
+    # coarser grains snap at their own boundaries
+    ("year", "o_orderdate >= TIMESTAMP '1994-07-01 00:00:00' "
+             "AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'", True, True),
+    ("quarter", "o_orderdate >= TIMESTAMP '1995-02-15 00:00:00' "
+                "AND o_orderdate < TIMESTAMP '1996-11-01 00:00:00'", True, True),
+    ("day", "o_orderdate >= TIMESTAMP '1995-03-15 06:00:00' "
+            "AND o_orderdate < TIMESTAMP '1995-04-02 18:00:00'", True, True),
+])
+def test_grain_edge_ranges(spark, tmp_path, grain, cond, tile, base):
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _grain_tile(cat, reg, str(tmp_path), grain)
+    df = _range_query(cat, cond)
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files) == tile, (grain, cond, files)
+    assert any("orders.parquet" in f for f in files) == base, (grain, cond, files)
+    assert _vals(df) == _vals(_direct(cat, cond)), (grain, cond)
+
+
+def test_grain_edge_refusals(spark, tmp_path):
+    """Non-half-open bounds, raw-column grouping, and >-style lower
+    bounds refuse (base-only plan, correct values)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _grain_tile(cat, reg, str(tmp_path))
+    # exclusive lower bound: the alignment equivalence does not hold
+    df = _range_query(cat, "o_orderdate > TIMESTAMP '1995-03-15 00:00:00'")
+    assert not any(mv.name in f for f in df.inputFiles())
+    # inclusive upper bound
+    df2 = _range_query(cat, "o_orderdate <= TIMESTAMP '1997-11-20 00:00:00'")
+    assert not any(mv.name in f for f in df2.inputFiles())
+    # query grouping by the RAW column is finer than the tile
+    df3 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'")
+        .aggregate(["o_orderdate"], ["COUNT(*) AS n"])
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df3.inputFiles())
+
+
+def test_grain_edge_with_fk_peel(spark, tmp_path):
+    """The sliver branch composes with the FK peel: a month-keyed STAR
+    tile answers a raw-range query over the fact alone, re-joining the
+    peeled dim in the sliver aggregate."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS g", "o_orderpriority",
+             "c_mktsegment"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "ge_star_tile", plan, str(tmp_path / "ge_star_tile"),
+        fact="orders",
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"],
+                   ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
