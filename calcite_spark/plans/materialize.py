@@ -2644,6 +2644,10 @@ class _ShapeStat:
     count: int = 0
     tables: tuple = ()  # () = single-table shape
     join_edges: frozenset = frozenset()
+    # raw date columns the observed queries RANGE-filter on (r11): the
+    # suggester adds a month-truncation key for them so the auto-built
+    # tile serves the filtered corpus through the grain-edge tier
+    filter_cols: set = field(default_factory=set)
 
 
 class LatticeSuggester:
@@ -2708,7 +2712,16 @@ class LatticeSuggester:
             if not (isinstance(n, ir.Aggregate) and n.group_type == "SIMPLE"):
                 continue
             child = n.inputs[0]
+            fcols: set = set()
             if isinstance(child, ir.Filter):
+                # single-column DATE ranges are the grain-edge-servable
+                # shape — record the column so suggest() can add its
+                # month key to the proposal (r11)
+                region = _parse_region(child.condition)
+                if region is not None and len(region) == 1:
+                    fcols = {
+                        c for c, (kind, _iv) in region.items() if kind == "date"
+                    }
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
             calls = self._record_calls(n.agg_calls)
@@ -2727,6 +2740,7 @@ class LatticeSuggester:
                     key, _ShapeStat(child.table, keys, calls)
                 )
                 st.count += 1
+                st.filter_cols |= fcols
                 continue
             # join shapes accept the same keys the single-table branch
             # does — plain columns or `expr AS alias` (r11, ≈ the
@@ -2757,6 +2771,7 @@ class LatticeSuggester:
                 ),
             )
             st.count += 1
+            st.filter_cols |= fcols
 
     # -- proposing -----------------------------------------------------
 
@@ -2785,6 +2800,25 @@ class LatticeSuggester:
                 for k in s.group_keys:
                     seen_keys.setdefault(_norm(k), k)
             keys = sorted(seen_keys.values())
+            # month keys for observed DATE-range filter columns (r11):
+            # the auto-built tile then serves the FILTERED corpus too,
+            # through the grain-edge tier — whole months from the tile,
+            # edge slivers from the base. Month is the canonical BI
+            # grain; the benefit gate still measures the enlarged
+            # grain's joint NDV and declines when it nears the fact's.
+            # Skip a column any observed key already references (the
+            # corpus's own truncation wins), and skip alias collisions.
+            referenced = set()
+            for k in keys:
+                referenced |= {k} if _plain_key(k) else _expr_cols(k)
+            for c in sorted({c for s2 in stats for c in s2.filter_cols}):
+                derived = f"date_trunc('month', {c}) AS {c}_month"
+                if c in referenced or f"{c}_month" in {
+                    _key_alias(k) for k in keys
+                }:
+                    continue
+                keys.append(derived)
+            keys = sorted(keys)
             aliases = [_key_alias(k) for k in keys]
             if len(set(aliases)) != len(aliases):
                 continue
@@ -3056,6 +3090,12 @@ class LatticeSuggester:
             name = f"lattice_{p['table']}_{len(p['group_keys'])}d"
             if name in registry.mvs:
                 continue
+            base_cols = set(catalog.table(p["table"]).columns)
+            if any(
+                not _plain_key(k) and _key_alias(k) in base_cols
+                for k in p["group_keys"]
+            ):
+                continue  # derived alias shadows a base column: skip
             out.append(
                 registry.define(
                     catalog,

@@ -5249,3 +5249,105 @@ def test_grain_edge_with_fk_peel(spark, tmp_path):
     got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
     want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
     assert got == want
+
+
+def test_grain_edge_from_sql_frontend(spark, tmp_path):
+    """The grain-edge tier is reachable from plain SQL: a WHERE range
+    over the raw date column lifts into Aggregate(Filter(Scan)) and the
+    month tile serves it with edge slivers."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    reg = MaterializationRegistry()
+    mv = _grain_tile(cat, reg, str(tmp_path), "month", name="ge_sql_tile")
+    stmt = (
+        "SELECT o_orderpriority, SUM(o_totalprice) AS s, COUNT(*) AS n "
+        "FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    df = fe.sql(stmt)
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    cat.register_all_views()
+    verb = spark.sql(stmt)
+    got = [(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()]
+    want = [(r.o_orderpriority, round(r.s, 3), r.n) for r in verb.collect()]
+    assert got == want
+
+
+def test_suggester_month_key_from_filtered_corpus(spark, tmp_path):
+    """The self-tuning loop closes for THE dashboard shape: a corpus of
+    raw-date-RANGE-filtered star queries suggests a tile with an added
+    month key, and a fresh range query is then served from the
+    auto-built tile through the grain-edge tier (tile + edge
+    slivers)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-01-10 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-06-20 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2)
+    assert len(built) == 1, sug.decisions
+    assert any("o_orderdate_month" in k for k in built[0].group_keys), (
+        built[0].group_keys
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1994-02-10 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-25 00:00:00'"
+        )
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(built[0].name in f for f in files), files
+    direct = (
+        cat.table("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1994-02-10 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-25 00:00:00'"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
+    assert got == want
+
+
+def test_suggester_month_key_skips_covered_column(spark, tmp_path):
+    """A corpus whose keys ALREADY truncate the filter column keeps the
+    corpus's own grain — no redundant derived key is added."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    for _ in range(2):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'")
+            .aggregate(
+                ["date_trunc('year', o_orderdate) AS yr"],
+                ["SUM(o_totalprice) AS s"],
+            )
+            .to_df()
+            .count()
+        )
+    (p,) = sug.suggest(min_count=2)
+    assert not any("o_orderdate_month" in k for k in p["group_keys"]), p
