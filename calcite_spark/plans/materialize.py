@@ -2260,26 +2260,43 @@ class MaterializationRegistry:
         elif q_edges or q_tables != frozenset([mv.table]):
             return None
         region = _parse_region(filt.condition)
-        if region is None or len(region) != 1:
+        if region is None:
             return None
-        (col, (kind, iv)), = region.items()
-        if kind != "date":
+        # the ONE grain-servable column: 'date' kind with a matching
+        # truncation key in the tile
+        grain = alias = col = None
+        for c, (kind, _iv) in sorted(region.items()):
+            if kind != "date":
+                continue
+            for k in mv.group_keys:
+                m = _TRUNC_KEY_RE.match(k)
+                if m and m.group(2).strip() == c:
+                    grain, alias, col = m.group(1).lower(), _key_alias(k), c
+                    break
+            if grain is not None:
+                break
+        if grain is None or grain not in _GRAIN_SNAP:
             return None
+        iv = region[col][1]
+        # EXTRA conjuncts (r11 second pass — the real dashboard filter
+        # is "date range AND segment"): every other region column must
+        # be a PLAIN tile group key; its interval then compensates
+        # identically on both branches (tile rows carry the key value
+        # verbatim, so filtering groups equals filtering base rows)
+        plain_keys = {k for k in mv.group_keys if _plain_key(k)}
+        others = {c: v for c, v in region.items() if c != col}
+        if not set(others) <= plain_keys:
+            return None
+        other_sql = [
+            _interval_sql(c, v[1]) for c, v in sorted(others.items())
+        ]
+        other_sql = [s for s in other_sql if s != "TRUE"]
         # half-open form only (unbounded sides allowed)
         if iv.lo is not None and not iv.lo_incl:
             return None
         if iv.hi is not None and iv.hi_incl:
             return None
         if iv.lo is None and iv.hi is None:
-            return None
-        # the tile's matching truncation key over this column
-        grain = alias = None
-        for k in mv.group_keys:
-            m = _TRUNC_KEY_RE.match(k)
-            if m and m.group(2).strip() == col:
-                grain, alias = m.group(1).lower(), _key_alias(k)
-                break
-        if grain is None or grain not in _GRAIN_SNAP:
             return None
         # query keys must be tile keys (the raw column itself is FINER
         # than the tile and must not appear)
@@ -2301,7 +2318,7 @@ class MaterializationRegistry:
         c_hi = _grain_floor(grain, hi) if hi is not None else None
         if c_lo is not None and c_hi is not None and c_lo >= c_hi:
             return None  # no whole period inside: tile contributes nothing
-        tile_conds, slivers = [], []
+        tile_conds, slivers = list(other_sql), []
         if lo is not None:
             tile_conds.append(f"{alias} >= {_ts_sql(c_lo)}")
             if lo < c_lo:
@@ -2331,6 +2348,9 @@ class MaterializationRegistry:
             _tile_call_sql(fn, arg, a) for a, (fn, arg) in mv.agg_calls.items()
         )
         base_input = self._rejoin_peeled(filt.inputs[0], peels or [])
+        sliver_sql = "(" + " OR ".join(slivers) + ")"
+        if other_sql:
+            sliver_sql += " AND " + " AND ".join(other_sql)
         base_branch = ir.Project(
             branch_cols,
             inputs=(
@@ -2338,7 +2358,7 @@ class MaterializationRegistry:
                     mv.group_keys,
                     base_calls,
                     inputs=(
-                        ir.Filter(" OR ".join(slivers), inputs=(base_input,)),
+                        ir.Filter(sliver_sql, inputs=(base_input,)),
                     ),
                 ),
             ),
@@ -2714,11 +2734,12 @@ class LatticeSuggester:
             child = n.inputs[0]
             fcols: set = set()
             if isinstance(child, ir.Filter):
-                # single-column DATE ranges are the grain-edge-servable
-                # shape — record the column so suggest() can add its
-                # month key to the proposal (r11)
+                # DATE columns in a conjunctive region are the
+                # grain-edge-servable shape — record them so suggest()
+                # can add their month key to the proposal (r11; extra
+                # non-date conjuncts compensate as plain tile keys)
                 region = _parse_region(child.condition)
-                if region is not None and len(region) == 1:
+                if region is not None:
                     fcols = {
                         c for c, (kind, _iv) in region.items() if kind == "date"
                     }

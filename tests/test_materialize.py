@@ -5351,3 +5351,54 @@ def test_suggester_month_key_skips_covered_column(spark, tmp_path):
         )
     (p,) = sug.suggest(min_count=2)
     assert not any("o_orderdate_month" in k for k in p["group_keys"]), p
+
+
+def test_grain_edge_with_extra_conjunct(spark, tmp_path):
+    """The real dashboard filter — date range AND a segment predicate —
+    serves from the month tile: the extra conjunct compensates on the
+    tile's key column in the tile branch and on the raw column in the
+    sliver branch."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _grain_tile(cat, reg, str(tmp_path))
+    cond = (
+        "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00' "
+        "AND o_orderpriority = '1-URGENT'"
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"],
+                   ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
+def test_grain_edge_extra_conjunct_non_key_refuses(spark, tmp_path):
+    """An extra conjunct over a column the tile aggregated AWAY cannot
+    compensate — refuse (base-only plan)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _grain_tile(cat, reg, str(tmp_path))
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_totalprice >= 50000.0"
+        )
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df.inputFiles())
