@@ -199,12 +199,28 @@ class SqlFrontend:
             if op == "!=":
                 op = "<>"
             sub, close = self._balanced_span(text, m.end())
-            if not re.match(r"\s*SELECT\b", sub, re.I):
-                raise ValueError(
-                    f"{quant} requires a subquery operand, got: {sub[:60]!r}"
-                )
             if quant == "ANY":
                 quant = "SOME"  # ANY is the SQL-standard synonym
+            if not re.match(r"\s*SELECT\b", sub, re.I):
+                # PG's ARRAY form (babel r11): `x = ANY(arr)` /
+                # `x <> ALL(arr)` over an array VALUE (the ARRAY[...]
+                # literal was already lowered to array(...)) map to
+                # array_contains, whose three-valued contract matches
+                # PG exactly — NULL operand → NULL, no match but NULLs
+                # present → NULL, empty array → FALSE/TRUE. Ordering
+                # operators over arrays stay unsupported loudly.
+                if op == "=" and quant == "SOME":
+                    rep = f"(array_contains(({sub}), ({x})))"
+                elif op == "<>" and quant == "ALL":
+                    rep = f"(NOT array_contains(({sub}), ({x})))"
+                else:
+                    raise ValueError(
+                        f"{quant} requires a subquery operand (or "
+                        f"= ANY / <> ALL over an array value), got: "
+                        f"{sub[:60]!r}"
+                    )
+                text = text[: m.start()] + rep + text[close + 1 :]
+                continue
             if (op == "=" and quant == "SOME") or (
                 op == "<>" and quant == "ALL"
             ):

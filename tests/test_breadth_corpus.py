@@ -2066,3 +2066,126 @@ CORPUS12 = [
 def test_breadth_shape_batch12(fe, duck, i):
     sql = CORPUS12[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 13 (r11 third wave): window-function varieties (value-RANGE
+# frames, ntile, percent_rank/cume_dist, named windows) and the babel
+# PG surface that BOTH engines accept natively or via the frontend's
+# babel tier with identical text (:: casts, DISTINCT ON, ARRAY
+# literals, ~ regex operators, GROUP BY ALL).
+CORPUS13 = [
+    # 1 value-RANGE frame (moving sum over a numeric range)
+    """SELECT o_orderkey, o_totalprice,
+              ROUND(SUM(o_totalprice) OVER (
+                ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2) AS nbr
+       FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    # 2 ntile buckets
+    """SELECT b, COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo FROM (
+         SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+         FROM orders WHERE o_orderkey <= 400) t
+       GROUP BY b ORDER BY b""",
+    # 3 percent_rank / cume_dist agree
+    """SELECT o_orderkey,
+              ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+              ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+       FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    # 4 named WINDOW clause reused by three functions
+    """SELECT o_orderkey,
+              rank() OVER w AS rk, dense_rank() OVER w AS drk,
+              row_number() OVER w AS rn
+       FROM orders WHERE o_orderkey <= 40
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey""",
+    # 5 frame exclusion-free running extremes
+    """SELECT o_orderkey,
+              MAX(o_totalprice) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mx5,
+              MIN(o_totalprice) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS mn5
+       FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    # 6 GROUP BY ALL
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""",
+    # 7 :: cast shorthand (babel tier on Spark, native on DuckDB).
+    # FLOOR first: CAST(double AS INT) truncates in Spark, rounds in
+    # DuckDB (the batch-12 pinned divergence)
+    """SELECT FLOOR(o_totalprice / 1000)::INT AS k, COUNT(*) AS n
+       FROM orders WHERE o_orderkey <= 500 GROUP BY 1 ORDER BY k""",
+    # 8 DISTINCT ON keeps the first row per group (babel tier)
+    """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey, o_totalprice
+       FROM orders ORDER BY o_orderstatus, o_orderkey""",
+    # 9 ARRAY literal membership
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE o_orderpriority = ANY(ARRAY['1-URGENT', '5-LOW'])""",
+    # 10 regex predicate, portable spelling. DIVERGENCE PINNED: the
+    # `~` operator is PARTIAL match in PostgreSQL (and our babel tier)
+    # but FULL match (regexp_full_match) in DuckDB — identical text
+    # silently disagrees, so the portable predicate is
+    # regexp_extract(x, pat) <> '' which both engines define as
+    # empty-string-on-no-match
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE regexp_extract(n_name, '([0-9])', 1) <> ''""",
+    # 11 negated regex, portable spelling (same `~` pin as #10)
+    """SELECT COUNT(*) AS n FROM nation
+       WHERE regexp_extract(n_name, '(ZZZ)', 1) = ''""",
+    # 12 lead/lag defaults at partition edges
+    """SELECT o_orderkey,
+              lag(o_totalprice, 1, 0.0) OVER (ORDER BY o_orderkey) AS prev,
+              lead(o_totalprice, 2, -1.0) OVER (ORDER BY o_orderkey) AS nxt2
+       FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""",
+    # 13 first_value / last_value with explicit full frame
+    """SELECT o_orderstatus, o_orderkey,
+              first_value(o_totalprice) OVER w AS fst,
+              last_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst
+       FROM orders WHERE o_orderkey <= 60
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+       ORDER BY o_orderstatus, o_orderkey""",
+    # 14 window over an aggregate over a window (3 levels)
+    """SELECT k, ROUND(AVG(rs), 4) AS a FROM (
+         SELECT o_orderstatus AS k,
+                SUM(o_totalprice) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey) AS rs
+         FROM orders WHERE o_orderkey <= 200) t
+       GROUP BY k ORDER BY k""",
+    # 15 RANGE frame over a timestamp ORDER BY with interval bounds
+    """SELECT o_orderkey,
+              COUNT(*) OVER (ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n30
+       FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
+    # 16 dense ranking ties verified against a self-computed count
+    """SELECT x.n_regionkey, x.drk, y.expected FROM (
+         SELECT n_regionkey,
+                dense_rank() OVER (ORDER BY n_regionkey) AS drk
+         FROM nation) x
+       JOIN (SELECT n_regionkey, n_regionkey + 1 AS expected
+             FROM nation GROUP BY n_regionkey) y
+         ON x.n_regionkey = y.n_regionkey
+       GROUP BY x.n_regionkey, x.drk, y.expected
+       ORDER BY x.n_regionkey""",
+    # 17 windows with different partitions in one SELECT
+    """SELECT o_orderkey,
+              COUNT(*) OVER (PARTITION BY o_orderstatus) AS per_status,
+              COUNT(*) OVER (PARTITION BY o_orderpriority) AS per_prio
+       FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""",
+    # 18 ILIKE (babel/native both)
+    """SELECT COUNT(*) AS n FROM nation WHERE n_name ILIKE '%an%'""",
+    # 19 :: chained casts (FLOOR first — the truncate-vs-round pin)
+    """SELECT (FLOOR(o_totalprice)::BIGINT)::STRING AS s
+       FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey""",
+    # 20 array_agg deterministic via within-group style subquery ordering
+    """SELECT n_regionkey, COUNT(*) AS n,
+              ROUND(SUM(n_nationkey), 1) AS s
+       FROM nation GROUP BY n_regionkey
+       HAVING COUNT(*) = (SELECT MAX(c) FROM (
+         SELECT COUNT(*) AS c FROM nation GROUP BY n_regionkey) t)
+       ORDER BY n_regionkey""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS13)))
+def test_breadth_shape_batch13(fe, duck, i):
+    sql = CORPUS13[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)

@@ -1095,3 +1095,28 @@ def test_insert_unparseable_forms_fall_back(fe, spark, tmp_path):
     ddl.execute("create table modded (a int, b int default 9)")
     with _pt.raises(ValueError, match="column modifiers"):
         fe.sql("INSERT INTO modded (SELECT CAST(1 AS INT), CAST(2 AS INT))")
+
+
+def test_quantified_array_value_forms(fe):
+    """PG's array quantifiers (babel r11): `x = ANY(arr)` / `x <> ALL
+    (arr)` over an array VALUE lower to array_contains with PG's exact
+    three-valued contract; ordering operators over arrays refuse
+    loudly (only subqueries carry MIN/MAX witnesses)."""
+    row = fe.sql(
+        "SELECT 2 = ANY(ARRAY[1, 2, 3]) AS hit,"
+        "       5 = ANY(ARRAY[1, 2, 3]) AS miss,"
+        "       5 = ANY(ARRAY[1, NULL, 3]) AS unk,"
+        "       CAST(NULL AS INT) = ANY(ARRAY[1]) AS null_x,"
+        "       5 = SOME(ARRAY[]) AS empty,"
+        "       2 <> ALL(ARRAY[3, 4]) AS all_hit,"
+        "       2 <> ALL(ARRAY[2, 4]) AS all_miss,"
+        "       2 <> ALL(ARRAY[NULL, 4]) AS all_unk,"
+        "       2 <> ALL(ARRAY[]) AS all_empty"
+    ).collect()[0]
+    assert row.hit is True and row.miss is False
+    assert row.unk is None and row.null_x is None
+    assert row.empty is False
+    assert row.all_hit is True and row.all_miss is False
+    assert row.all_unk is None and row.all_empty is True
+    with pytest.raises(ValueError, match="subquery operand"):
+        fe.sql("SELECT 2 > ANY(ARRAY[1, 2]) AS bad")
