@@ -2589,8 +2589,12 @@ def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
 
 
 def test_expr_key_filter_on_consumed_column_refuses(spark, expr_key_catalog):
-    """A filter on the expression's BASE column cannot be answered by
-    the tile (the column was aggregated away) — substitution refuses."""
+    """r10 pinned this shape as a refusal ("the base column was
+    aggregated away"); the r11 grain-edge tier PROVES it servable via
+    the alignment equivalence — a month-ALIGNED bound translates
+    verbatim into alias space (tile-only plan, value-checked by the
+    grain-edge battery). What still refuses is the form the
+    equivalence cannot prove: an EXCLUSIVE lower bound."""
     cat, reg = expr_key_catalog
     plan = (
         RelBuilder(cat)
@@ -2602,7 +2606,18 @@ def test_expr_key_filter_on_consumed_column_refuses(spark, expr_key_catalog):
         )
         .build()
     )
-    assert reg.substitute(plan, cat) is None
+    assert reg.substitute(plan, cat) is not None  # grain-edge serves it
+    bad = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate > TIMESTAMP '1997-01-01 00:00:00'")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s_price"],
+        )
+        .build()
+    )
+    assert reg.substitute(bad, cat) is None
 
 
 def test_expr_key_define_refusals(spark, tmp_path):
