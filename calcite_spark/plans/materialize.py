@@ -551,11 +551,16 @@ class MaterializationRegistry:
                     "containment prover's unifiable form); got: "
                     f"{filter_condition}"
                 )
-            bad = [c for c in region if c not in set(group_keys)]
+            bad = [
+                c for c in region
+                if c not in set(group_keys)
+                and not _grain_slice_ok((c, region[c]), group_keys)
+            ]
             if bad:
                 raise ValueError(
                     f"define: filter_condition column {bad[0]} must "
-                    "be a group key — the tile cannot be sliced by a "
+                    "be a group key (or the grain-ALIGNED input of a "
+                    "date_trunc key) — the tile cannot be sliced by a "
                     "column it aggregated away"
                 )
         parsed = {}
@@ -748,11 +753,16 @@ class MaterializationRegistry:
                     "(the containment prover's unifiable form); got: "
                     f"{filter_condition}"
                 )
-            bad = [c for c in region if c not in set(plan.group_keys)]
+            bad = [
+                c for c in region
+                if c not in set(plan.group_keys)
+                and not _grain_slice_ok((c, region[c]), plan.group_keys)
+            ]
             if bad:
                 raise ValueError(
                     f"define_join: filter_condition column {bad[0]} "
-                    "must be a group key — the tile cannot be sliced by "
+                    "must be a group key (or the grain-ALIGNED input of "
+                    "a date_trunc key) — the tile cannot be sliced by "
                     "a column it aggregated away"
                 )
             plan = ir.Aggregate(
@@ -2250,8 +2260,18 @@ class MaterializationRegistry:
           equivalence);
         - group keys / calls pass the same rollup mapping as every
           other tier."""
+        sregion = None
         if mv.filter_condition is not None:
-            return None  # sliced tiles own their own tiers
+            # SLICED grain tiles (r11 second pass — the hot-months
+            # tile): the slice was validated at define to be a
+            # conjunctive region whose non-key columns are
+            # grain-ALIGNED half-open ranges over the truncation
+            # input; the aligned core below intersects with it, and
+            # the slice-escaped (still aligned) ranges join the
+            # slivers served from the base
+            sregion = _parse_region(mv.filter_condition)
+            if sregion is None:
+                return None
         peels: list | None = []
         if mv.tables:
             peels = self._peel_sequence(mv, q_tables, q_edges, catalog)
@@ -2318,19 +2338,61 @@ class MaterializationRegistry:
         c_hi = _grain_floor(grain, hi) if hi is not None else None
         if c_lo is not None and c_hi is not None and c_lo >= c_hi:
             return None  # no whole period inside: tile contributes nothing
+        # slice accounting (sliced grain tiles): intersect the aligned
+        # core with the slice's range over the grain column; every
+        # OTHER slice column must be constrained by the query WITHIN
+        # the slice (else tile rows are missing for the query's range)
+        t_lo, t_hi = c_lo, c_hi
+        if sregion is not None:
+            for sc, (skind, siv) in sregion.items():
+                if sc == col:
+                    s_lo = _parse_ts(siv.lo[0]) if siv.lo is not None else None
+                    s_hi = _parse_ts(siv.hi[0]) if siv.hi is not None else None
+                    if (siv.lo is not None and s_lo is None) or (
+                        siv.hi is not None and s_hi is None
+                    ):
+                        return None
+                    if s_lo is not None and (t_lo is None or s_lo > t_lo):
+                        t_lo = s_lo
+                    if s_hi is not None and (t_hi is None or s_hi < t_hi):
+                        t_hi = s_hi
+                    continue
+                q = region.get(sc)
+                if q is None or q[0] != skind or not _interval_contains(
+                    siv, q[1]
+                ):
+                    return None
+            if t_lo is not None and t_hi is not None and t_lo >= t_hi:
+                return None  # aligned core entirely outside the slice
         tile_conds, slivers = list(other_sql), []
         if lo is not None:
-            tile_conds.append(f"{alias} >= {_ts_sql(c_lo)}")
             if lo < c_lo:
                 slivers.append(
                     f"({col} >= {_ts_sql(lo)} AND {col} < {_ts_sql(c_lo)})"
                 )
         if hi is not None:
-            tile_conds.append(f"{alias} < {_ts_sql(c_hi)}")
             if c_hi < hi:
                 slivers.append(
                     f"({col} >= {_ts_sql(c_hi)} AND {col} < {_ts_sql(hi)})"
                 )
+        # slice ESCAPES: aligned core ranges the slice does not hold —
+        # still grain-aligned, so they translate verbatim to raw space
+        if t_lo is not None:
+            tile_conds.append(f"{alias} >= {_ts_sql(t_lo)}")
+            if c_lo is not None and c_lo < t_lo:
+                slivers.append(
+                    f"({col} >= {_ts_sql(c_lo)} AND {col} < {_ts_sql(t_lo)})"
+                )
+            elif c_lo is None:
+                slivers.append(f"({col} < {_ts_sql(t_lo)})")
+        if t_hi is not None:
+            tile_conds.append(f"{alias} < {_ts_sql(t_hi)}")
+            if c_hi is not None and t_hi < c_hi:
+                slivers.append(
+                    f"({col} >= {_ts_sql(t_hi)} AND {col} < {_ts_sql(c_hi)})"
+                )
+            elif c_hi is None:
+                slivers.append(f"({col} >= {_ts_sql(t_hi)})")
         branch_cols = tuple(
             [_key_alias(k) for k in mv.group_keys] + list(mv.agg_calls)
         )
@@ -2597,6 +2659,37 @@ def _grain_ceil(grain: str, dt):
     step = {"year": 12, "quarter": 3, "month": 1}[grain]
     m = f.month - 1 + step
     return f.replace(year=f.year + m // 12, month=m % 12 + 1)
+
+
+def _grain_slice_ok(region_entry, group_keys) -> bool:
+    """May this filter_condition column slice a tile even though it is
+    NOT a group key? Yes iff it is the INPUT of a date_trunc group key
+    and its interval bounds are GRAIN-ALIGNED and half-open — then the
+    alignment equivalence (date_trunc(g, col) >= B ⟺ col >= B) makes
+    the slice expressible in the tile's own key space, and the
+    grain-edge tier can prove containment/escape against it (r11: the
+    hot-months tile). Unaligned or closed bounds refuse — the tile
+    would hold partial periods no prover could reason about."""
+    col, (kind, iv) = region_entry
+    if kind != "date":
+        return False
+    grain = None
+    for k in group_keys:
+        m = _TRUNC_KEY_RE.match(k)
+        if m and m.group(2).strip() == col:
+            grain = m.group(1).lower()
+            break
+    if grain is None or grain not in _GRAIN_SNAP:
+        return False
+    if iv.lo is not None:
+        lo = _parse_ts(iv.lo[0])
+        if lo is None or not iv.lo_incl or _grain_floor(grain, lo) != lo:
+            return False
+    if iv.hi is not None:
+        hi = _parse_ts(iv.hi[0])
+        if hi is None or iv.hi_incl or _grain_floor(grain, hi) != hi:
+            return False
+    return iv.lo is not None or iv.hi is not None
 
 
 def _norm(expr: str) -> str:

@@ -5417,3 +5417,79 @@ def test_grain_edge_extra_conjunct_non_key_refuses(spark, tmp_path):
         .to_df()
     )
     assert not any(mv.name in f for f in df.inputFiles())
+
+
+# ---------------------------------------------------------------------
+# r11: SLICED grain tiles — the hot-months tile (slice in RAW-column
+# space with grain-ALIGNED bounds, served exclusively via grain-edge)
+# ---------------------------------------------------------------------
+
+
+def _hot_tile(cat, reg, tmp, slice_cond="o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"):
+    return reg.define(
+        cat, "hot_months", "orders",
+        ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n",
+         "MIN(o_totalprice) AS mn"],
+        f"{tmp}/hot_months",
+        filter_condition=slice_cond,
+    )
+
+
+@pytest.mark.parametrize("cond,tile,base", [
+    # contained + aligned: tile only
+    ("o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "
+     "AND o_orderdate < TIMESTAMP '1997-05-01 00:00:00'", True, False),
+    # contained + unaligned: tile + partial-month slivers
+    ("o_orderdate >= TIMESTAMP '1996-03-10 00:00:00' "
+     "AND o_orderdate < TIMESTAMP '1997-05-20 00:00:00'", True, True),
+    # straddles the slice start: tile + escape months + partial sliver
+    ("o_orderdate >= TIMESTAMP '1995-06-15 00:00:00' "
+     "AND o_orderdate < TIMESTAMP '1996-08-10 00:00:00'", True, True),
+    # unbounded below: tile + everything-before-slice sliver
+    ("o_orderdate < TIMESTAMP '1996-07-05 00:00:00'", True, True),
+    # entirely before the slice: refuse (base only)
+    ("o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' "
+     "AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'", False, True),
+])
+def test_hot_months_tile(spark, tmp_path, cond, tile, base):
+    """A month tile holding ONLY the hot slice (raw-space aligned
+    filter_condition) serves raw date ranges: covered months from the
+    tile, slice escapes and partial months from the base — at 100 TB
+    the tile materializes a year of months, not the full history."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _hot_tile(cat, reg, str(tmp_path))
+    df = _range_query(cat, cond)
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files) == tile, (cond, files)
+    assert any("orders.parquet" in f for f in files) == base, (cond, files)
+    got = sorted((r.o_orderpriority, round(r.s, 3), r.n)
+                 for r in df.selectExpr("o_orderpriority", "s", "n").collect())
+    want = sorted(
+        (r.o_orderpriority, round(r.s, 3), r.n)
+        for r in cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want, cond
+
+
+def test_hot_months_define_refusals(spark, tmp_path):
+    """Raw-column slices must be grain-ALIGNED and half-open; columns
+    with no truncation key keep refusing."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    with pytest.raises(ValueError, match="must be a group key"):
+        _hot_tile(cat, reg, str(tmp_path),
+                  "o_orderdate >= TIMESTAMP '1996-01-15 00:00:00'")
+    with pytest.raises(ValueError, match="must be a group key"):
+        _hot_tile(cat, reg, str(tmp_path),
+                  "o_orderdate > TIMESTAMP '1996-01-01 00:00:00'")
+    with pytest.raises(ValueError, match="must be a group key"):
+        reg.define(
+            cat, "bad_hot", "orders",
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["COUNT(*) AS n"], str(tmp_path / "bad_hot"),
+            filter_condition="o_totalprice >= 1000.0",
+        )
