@@ -5493,3 +5493,49 @@ def test_hot_months_define_refusals(spark, tmp_path):
             ["COUNT(*) AS n"], str(tmp_path / "bad_hot"),
             filter_condition="o_totalprice >= 1000.0",
         )
+
+
+def test_hot_months_star_with_peel(spark, tmp_path):
+    """All three r11 proofs compose: a month-keyed STAR tile sliced to
+    the hot months (raw-space aligned slice) answers a raw-range query
+    over the FACT ALONE — FK peel for the join, slice intersection for
+    the tile range, edge slivers + slice escapes re-joined from the
+    base."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    _peel_proof(cat)
+    plan = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority",
+             "c_mktsegment"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "hot_star", plan, str(tmp_path / "hot_star"),
+        filter_condition="o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+        fact="orders",
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-06-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-10 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"],
+                   ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
