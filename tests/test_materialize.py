@@ -5539,3 +5539,35 @@ def test_hot_months_star_with_peel(spark, tmp_path):
     got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
     want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
     assert got == want
+
+
+def test_hot_months_incremental_refresh(spark, tmp_path):
+    """A hot-months tile (raw-space aligned slice) refreshes
+    incrementally: the delta scan applies the SAME raw filter (that is
+    why the slice is stored in raw space), and the refreshed tile
+    still serves ranges with slivers, values exact."""
+    base_dir = str(tmp_path / "orders_base")
+    full = Catalog(spark).register_parquet_dir(SF_DIR).table("orders")
+    full.filter("o_orderkey % 2 = 0").write.mode("append").parquet(base_dir)
+    cat = Catalog(spark)
+    cat.register("orders", base_dir)
+    reg = MaterializationRegistry()
+    mv = _hot_tile(cat, reg, str(tmp_path))
+    full.filter("o_orderkey % 2 = 1").write.mode("append").parquet(base_dir)
+    cat._dfs.pop("orders", None)
+    stats = reg.incremental_refresh(cat, "hot_months")
+    assert stats["refreshed"] and stats["delta_files"] >= 1
+    cond = ("o_orderdate >= TIMESTAMP '1996-03-10 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-05-20 00:00:00'")
+    df = _range_query(cat, cond)
+    assert any(mv.name in f for f in df.inputFiles())
+    got = sorted((r.o_orderpriority, round(r.s, 3), r.n)
+                 for r in df.selectExpr("o_orderpriority", "s", "n").collect())
+    want = sorted(
+        (r.o_orderpriority, round(r.s, 3), r.n)
+        for r in cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want
+
