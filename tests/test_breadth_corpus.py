@@ -2189,3 +2189,113 @@ CORPUS13 = [
 def test_breadth_shape_batch13(fe, duck, i):
     sql = CORPUS13[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 14 (r11 final wave): statistical-aggregate parity — the
+# numeric-analytics surface (corr/covar, the regr_* family, higher
+# moments, median, bit/bool aggregates, count_if, levenshtein) where
+# definition mismatches (sample vs population, excess vs raw kurtosis)
+# would silently diverge. Probed first: both engines agree on all of
+# these definitions; the grid pins that agreement.
+CORPUS14 = [
+    # 1 correlation and both covariances per group
+    """SELECT l_returnflag,
+              ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+              ROUND(covar_pop(l_quantity, l_extendedprice), 3) AS cp,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS cs
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 2 regression family (slope/intercept/count/r2)
+    """SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS m,
+              ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS b,
+              regr_count(l_extendedprice, l_quantity) AS n,
+              ROUND(regr_r2(l_extendedprice, l_quantity), 8) AS r2
+       FROM lineitem""",
+    # 3 regr averages and sums of squares
+    """SELECT ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
+              ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS ay,
+              ROUND(regr_sxx(l_extendedprice, l_quantity), 3) AS sxx
+       FROM lineitem""",
+    # 4 higher moments. DIVERGENCE PINNED: Spark's skewness/kurtosis
+    # are the POPULATION moment formulas (g1, g2) while DuckDB's are
+    # the BIAS-ADJUSTED sample statistics (G1, G2 - factors like
+    # sqrt(n(n-1))/(n-2)); at n=4 they differ by 1.73x (probed), at
+    # n=30k they agree to ~4 significant decimals. This shape pins the
+    # asymptotic agreement at 3 decimals on a large group; small-n
+    # moments are NOT portable between the engines.
+    """SELECT l_linestatus,
+              ROUND(skewness(l_quantity), 3) AS sk,
+              ROUND(kurtosis(l_quantity), 3) AS ku
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    # 5 median over groups (exact interpolating median both)
+    """SELECT l_returnflag, median(l_quantity) AS med
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 6 bool aggregates over predicates
+    """SELECT o_orderstatus,
+              bool_and(o_totalprice > 0) AS all_pos,
+              bool_or(o_totalprice > 400000) AS any_xl
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 7 bit aggregates over int keys
+    """SELECT n_regionkey,
+              bit_and(n_nationkey) AS ba, bit_or(n_nationkey) AS bo,
+              bit_xor(n_nationkey) AS bx
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 8 count_if
+    """SELECT count_if(o_totalprice > 200000) AS big,
+              count_if(o_orderstatus = 'F') AS fin
+       FROM orders""",
+    # 9 levenshtein distance grid
+    """SELECT r_name, levenshtein(r_name, 'EUROPE') AS d
+       FROM region ORDER BY r_regionkey""",
+    # 10 variance family grid in one statement
+    """SELECT ROUND(var_pop(l_discount), 8) AS vp,
+              ROUND(var_samp(l_discount), 8) AS vs,
+              ROUND(stddev_pop(l_discount), 8) AS sp,
+              ROUND(stddev_samp(l_discount), 8) AS ss
+       FROM lineitem WHERE l_orderkey < 1000""",
+    # 11 corr of a column with itself is exactly 1
+    """SELECT ROUND(corr(l_quantity, l_quantity), 6) AS self_r
+       FROM lineitem""",
+    # 12 single-row group: samp variants NULL, pop variants 0
+    """SELECT var_samp(x) AS vs, ROUND(var_pop(x), 1) AS vp FROM (
+         SELECT CAST(42 AS DOUBLE) AS x) t""",
+    # 13 regr on a constant x: slope NULL (zero variance)
+    """SELECT regr_slope(o_totalprice, 1.0) AS m FROM orders""",
+    # 14 median of even count. DIVERGENCE PINNED: DuckDB's median
+    # over DECIMAL input is DISCRETE (lower median, 2.0) while Spark
+    # always interpolates (2.5); over DOUBLE both interpolate - the
+    # portable spelling casts to DOUBLE first
+    """SELECT median(CAST(x AS DOUBLE)) AS m
+       FROM (VALUES (1.0), (2.0), (3.0), (4.0)) t(x)""",
+    # 15 correlation of a tiny explicit set IS portable (population
+    # and sample correlation are identical - the bias factors cancel
+    # in the ratio), unlike the small-n moments pinned in #4
+    """SELECT ROUND(corr(x, y), 6) AS r FROM
+       (VALUES (1.0, 2.0), (2.0, 4.1), (3.0, 7.0)) t(x, y)""",
+    # 16 aggregate FILTER composes with the stats family
+    """SELECT ROUND(corr(l_quantity, l_extendedprice)
+                FILTER (WHERE l_returnflag = 'R'), 6) AS r_returned
+       FROM lineitem""",
+    # 17 bool aggregates over empty groups via FILTER: NULL both
+    """SELECT bool_and(o_totalprice > 0)
+                FILTER (WHERE o_orderstatus = 'Z') AS none_seen
+       FROM orders""",
+    # 18 covar_samp of single pair is NULL, covar_pop is 0
+    """SELECT covar_samp(a, b) AS cs, ROUND(covar_pop(a, b), 1) AS cp
+       FROM (VALUES (1.0, 2.0)) t(a, b)""",
+    # 19 grouped regression: per-flag slopes
+    """SELECT l_returnflag,
+              ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS m
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # 20 mixed stats + plain aggregates in one pass
+    """SELECT l_linestatus, COUNT(*) AS n,
+              ROUND(AVG(l_quantity), 6) AS avg_q,
+              ROUND(stddev_samp(l_quantity), 6) AS sd_q,
+              ROUND(corr(l_quantity, l_discount), 6) AS r_qd
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS14)))
+def test_breadth_shape_batch14(fe, duck, i):
+    sql = CORPUS14[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
