@@ -2629,7 +2629,10 @@ def _ts_sql(dt) -> str:
 
 
 def _grain_floor(grain: str, dt):
-    """Largest grain boundary <= dt."""
+    """Largest grain boundary <= dt. Week = Monday start, matching
+    Spark's date_trunc('week')."""
+    from datetime import timedelta
+
     if grain == "year":
         return dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
     if grain == "quarter":
@@ -2639,12 +2642,18 @@ def _grain_floor(grain: str, dt):
         )
     if grain == "month":
         return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if grain == "week":
+        return dt.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        ) - timedelta(days=dt.weekday())
     if grain == "day":
         return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if grain == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
     raise ValueError(grain)
 
 
-_GRAIN_SNAP = {"year", "quarter", "month", "day"}
+_GRAIN_SNAP = {"year", "quarter", "month", "week", "day", "hour"}
 
 
 def _grain_ceil(grain: str, dt):
@@ -2654,8 +2663,12 @@ def _grain_ceil(grain: str, dt):
     f = _grain_floor(grain, dt)
     if f == dt:
         return dt
+    if grain == "hour":
+        return f + timedelta(hours=1)
     if grain == "day":
         return f + timedelta(days=1)
+    if grain == "week":
+        return f + timedelta(days=7)
     step = {"year": 12, "quarter": 3, "month": 1}[grain]
     m = f.month - 1 + step
     return f.replace(year=f.year + m // 12, month=m % 12 + 1)

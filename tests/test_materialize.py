@@ -5571,3 +5571,42 @@ def test_hot_months_incremental_refresh(spark, tmp_path):
     )
     assert got == want
 
+
+
+def test_grain_edge_week_and_hour(spark, tmp_path):
+    """Week (Monday-start, matching Spark's date_trunc) and hour grains
+    snap at their own boundaries — hour over the EVENTS stream is the
+    event-analytics shape (hourly rollup tile + sub-hour slivers)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    wk = _grain_tile(cat, reg, str(tmp_path), "week")
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1995-09-20 00:00:00'")
+    df = _range_query(cat, cond)
+    assert any(wk.name in f for f in df.inputFiles())
+    assert _vals(df) == _vals(_direct(cat, cond))
+    hr = reg.define(
+        cat, "ge_hour_tile", "events",
+        ["date_trunc('hour', ts) AS h", "event_type"],
+        ["SUM(value) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "ge_hour_tile"),
+    )
+    econd = ("ts >= TIMESTAMP '2024-01-05 10:30:00' "
+             "AND ts < TIMESTAMP '2024-01-20 17:45:00'")
+    edf = (
+        RelBuilder(cat)
+        .scan("events")
+        .filter(econd)
+        .aggregate(["event_type"], ["SUM(value) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = edf.inputFiles()
+    assert any(hr.name in f for f in files), files
+    assert any("events.parquet" in f for f in files), files
+    direct = (
+        cat.table("events").filter(econd).groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.event_type, round(r.s, 3), r.n) for r in edf.collect()}
+    want = {(r.event_type, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
