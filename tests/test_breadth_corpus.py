@@ -2299,3 +2299,107 @@ CORPUS14 = [
 def test_breadth_shape_batch14(fe, duck, i):
     sql = CORPUS14[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# Batch 15 (r11 last wave): OUTER-JOIN AGGREGATION classes — grouping
+# on the null-extended side, aggregates that must not count padding,
+# COALESCE keys, full-outer reconciliation, anti-join-via-aggregate —
+# the report shapes where null-extension bugs hide.
+CORPUS15 = [
+    # 1 group on the null-extended side: NULL group collects unmatched
+    """SELECT t.mx AS bucket, COUNT(*) AS n
+       FROM nation LEFT JOIN (
+         SELECT c_nationkey, MAX(c_acctbal) > 9999 AS mx FROM customer
+         GROUP BY c_nationkey) t ON n_nationkey = t.c_nationkey
+       GROUP BY t.mx ORDER BY bucket NULLS FIRST""",
+    # 2 SUM over the padded side ignores NULLs; COUNT(*) does not
+    """SELECT n_regionkey, COUNT(*) AS rows_incl_pad,
+              COUNT(o.o_orderkey) AS real_orders,
+              ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS s
+       FROM nation LEFT JOIN customer c ON n_nationkey = c.c_nationkey
+       LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                             AND o.o_totalprice > 450000
+       GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 3 FULL OUTER reconciliation of two aggregates
+    """SELECT COALESCE(a.k, b.k) AS k,
+              COALESCE(a.n, 0) AS from_orders, COALESCE(b.n, 0) AS from_lineitem
+       FROM (SELECT o_orderstatus AS k, COUNT(*) AS n FROM orders GROUP BY 1) a
+       FULL OUTER JOIN
+            (SELECT l_linestatus AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) b
+         ON a.k = b.k
+       ORDER BY k""",
+    # 4 anti-join via LEFT JOIN ... IS NULL, then aggregated
+    """SELECT c_mktsegment, COUNT(*) AS inactive
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       WHERE o_orderkey IS NULL
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # 5 aggregate of an expression mixing both sides under LEFT JOIN
+    """SELECT n_name,
+              ROUND(SUM(COALESCE(c_acctbal, 0) + n_regionkey), 2) AS s
+       FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+                                         AND c_acctbal > 9995
+       GROUP BY n_name ORDER BY n_name""",
+    # 6 HAVING over a left-join aggregate referencing the padded side
+    """SELECT n_name, COUNT(c_custkey) AS n_cust
+       FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+       GROUP BY n_name HAVING COUNT(c_custkey) = 0 ORDER BY n_name""",
+    # 7 join condition vs WHERE condition on the padded side differ
+    """SELECT
+         (SELECT COUNT(*) FROM nation LEFT JOIN customer
+            ON n_nationkey = c_nationkey AND c_acctbal > 9999) AS cond_in_on,
+         (SELECT COUNT(*) FROM nation LEFT JOIN customer
+            ON n_nationkey = c_nationkey WHERE c_acctbal > 9999) AS cond_in_where""",
+    # 8 RIGHT JOIN spelled both ways agrees
+    """SELECT COUNT(*) AS n FROM customer RIGHT JOIN nation
+       ON c_nationkey = n_nationkey WHERE c_custkey IS NULL""",
+    # 9 aggregates of aggregates across an outer join
+    """SELECT ROUND(AVG(per_nation), 4) AS avg_cust FROM (
+         SELECT n_nationkey, COUNT(c_custkey) AS per_nation
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_nationkey) t""",
+    # 10 left join to a windowed derived table
+    """SELECT n_name, t.rk FROM nation LEFT JOIN (
+         SELECT c_nationkey, MAX(c_acctbal) AS mx,
+                rank() OVER (ORDER BY MAX(c_acctbal) DESC) AS rk
+         FROM customer GROUP BY c_nationkey) t
+         ON n_nationkey = t.c_nationkey
+       WHERE t.rk <= 3 OR t.rk IS NULL ORDER BY n_name""",
+    # 11 chained LEFT JOINs where the middle is empty-filtered
+    """SELECT COUNT(*) AS n, COUNT(c.c_custkey) AS mid, COUNT(o.o_orderkey) AS last
+       FROM nation
+       LEFT JOIN customer c ON n_nationkey = c.c_nationkey AND c.c_custkey < 0
+       LEFT JOIN orders o ON c.c_custkey = o.o_custkey""",
+    # 12 distinct-count over the padded side excludes NULLs
+    """SELECT n_regionkey, COUNT(DISTINCT c_mktsegment) AS segs
+       FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+                                         AND c_acctbal > 9990
+       GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 13 CASE over the null-extended side inside an aggregate
+    """SELECT n_regionkey,
+              SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS padded_rows
+       FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+                                         AND c_acctbal > 9998
+       GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 14 outer join of two grouped derived tables, grouped again
+    """SELECT g, COUNT(*) AS n FROM (
+         SELECT COALESCE(a.n_regionkey, b.reg) AS g
+         FROM (SELECT DISTINCT n_regionkey FROM nation WHERE n_nationkey < 10) a
+         FULL OUTER JOIN
+              (SELECT n_regionkey AS reg FROM nation WHERE n_nationkey >= 20
+               GROUP BY n_regionkey) b
+           ON a.n_regionkey = b.reg) t
+       GROUP BY g ORDER BY g""",
+    # 15 left-join aggregate under a scalar subquery comparison
+    """SELECT COUNT(*) AS n FROM (
+         SELECT n_nationkey, COUNT(c_custkey) AS nc
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_nationkey) t
+       WHERE nc > (SELECT AVG(cnt) FROM (
+         SELECT COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) u)""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS15)))
+def test_breadth_shape_batch15(fe, duck, i):
+    sql = CORPUS15[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
