@@ -148,11 +148,15 @@ class Catalog:
     def _mount_lattice(self, lat: dict, default_warehouse: str | None) -> None:
         """Mount one JsonLattice-style entry: resolve the star (either
         the reference's `sql` form — `SELECT * FROM fact JOIN dim ON
-        f = d ...` parsed like Lattice.Builder walks JsonLattice's
-        joins — or structured {fact, joins:[{dim, fact_col, dim_col}]})
-        and materialize each tile via the MV registry so the
-        substitution tiers serve it. Dimension-poor models are cheap:
-        the tile build is the only fact scan."""
+        f = d [AND f2 = d2 ...] ...` parsed like Lattice.Builder walks
+        JsonLattice's joins, accepting AND-of-equalities per JOIN the
+        way Lattice.java:201 iterates RelOptUtil.conjunctions — or
+        structured {fact, joins:[{dim, fact_col, dim_col}]} where
+        fact_col/dim_col are a column or an equal-length list of
+        columns (composite FK)) and materialize each tile via the MV
+        registry so the substitution tiers serve it. Non-equi join
+        terms refuse loudly. Dimension-poor models are cheap: the tile
+        build is the only fact scan."""
         import re
 
         from calcite_spark.plans.builder import RelBuilder
@@ -178,37 +182,77 @@ class Catalog:
                 )
             fact, rest = m.group(1), m.group(2)
             joins = []
-            # each JOIN segment must be a SINGLE equality — a compound
-            # ON (AND conjuncts, non-equi terms) must refuse loudly: a
-            # regex that kept only the first equality would build a
-            # tile over a DIFFERENT join (more rows) and serve wrong
-            # values ever after
+            # each JOIN segment is an AND of equalities (composite FKs
+            # are routine in warehouses — Lattice.java:201 iterates
+            # RelOptUtil.conjunctions of the ON); any NON-equi term
+            # must refuse loudly: a parser that kept only the
+            # equalities would build a tile over a DIFFERENT join
+            # (more rows) and serve wrong values ever after
             segs = re.split(r"(?i)\bJOIN\s+", rest)
             if segs[0].strip():
                 raise ValueError(
                     f"lattice sql: unparsed text before first JOIN: {segs[0]!r}"
                 )
             for seg in segs[1:]:
-                jm = re.fullmatch(
-                    r"(?is)(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)\s*", seg
-                )
+                jm = re.fullmatch(r"(?is)(\w+)\s+ON\s+(.+?)\s*", seg)
                 if jm is None:
                     raise ValueError(
                         "lattice sql joins must each be 'JOIN dim ON "
-                        f"col = col' (single equality); got: JOIN {seg.strip()!r}"
+                        f"...'; got: JOIN {seg.strip()!r}"
                     )
-                dim, a, b = jm.groups()
-                dim_cols = set(self.table(dim).columns)
-                fc, dc = (b, a) if a in dim_cols else (a, b)
-                joins.append((dim, fc, dc))
+                dim, cond = jm.groups()
+                pairs = []
+                for term in re.split(r"(?i)\s+AND\s+", cond):
+                    em = re.fullmatch(r"(?s)\s*(\w+)\s*=\s*(\w+)\s*", term)
+                    if em is None:
+                        raise ValueError(
+                            "lattice sql join conditions must be "
+                            "equalities (optionally AND-ed); got "
+                            f"non-equi term {term.strip()!r} in JOIN {dim}"
+                        )
+                    pairs.append(
+                        self._resolve_join_sides(fact, dim, *em.groups())
+                    )
+                joins.append((dim, pairs))
         else:
             fact = lat["fact"]
-            joins = [
-                (j["dim"], j["fact_col"], j["dim_col"])
-                for j in lat.get("joins", [])
-            ]
-        for dim, fc, dc in joins:
-            self.declare_foreign_key(fact, fc, dim, dc)
+            joins = []
+            for j in lat.get("joins", []):
+                fcs, dcs = j["fact_col"], j["dim_col"]
+                if isinstance(fcs, str) != isinstance(dcs, str):
+                    raise ValueError(
+                        f"lattice join to {j['dim']!r}: fact_col and "
+                        "dim_col must both be strings or equal-length lists"
+                    )
+                if isinstance(fcs, str):
+                    fcs, dcs = [fcs], [dcs]
+                if len(fcs) != len(dcs) or not fcs:
+                    raise ValueError(
+                        f"lattice join to {j['dim']!r}: fact_col and "
+                        "dim_col lists must be non-empty and equal length"
+                    )
+                fact_cols = set(self.table(fact).columns)
+                dim_cols = set(self.table(j["dim"]).columns)
+                for fc, dc in zip(fcs, dcs):
+                    if fc not in fact_cols:
+                        raise ValueError(
+                            f"lattice join: {fc!r} is not a column of "
+                            f"fact table {fact!r}"
+                        )
+                    if dc not in dim_cols:
+                        raise ValueError(
+                            f"lattice join: {dc!r} is not a column of "
+                            f"dimension table {j['dim']!r}"
+                        )
+                joins.append((j["dim"], list(zip(fcs, dcs))))
+        for dim, pairs in joins:
+            # a per-column FK is a STRONGER claim than a composite-key
+            # join constraint (each column alone need not hit the dim),
+            # so only single-equality joins auto-declare one; composite
+            # joins still build and serve tiles — they just don't feed
+            # the FK-peel prover
+            if len(pairs) == 1:
+                self.declare_foreign_key(fact, pairs[0][0], dim, pairs[0][1])
         tiles = list(lat.get("tiles", []))
         if not tiles and lat.get("algorithm"):
             # ≈ JsonLattice.algorithm: true — when the model declares no
@@ -227,7 +271,7 @@ class Catalog:
                 )
             from calcite_spark.plans.materialize import LatticeSuggester
 
-            owners = [fact] + [d for d, _, _ in joins]
+            owners = [fact] + [d for d, _ in joins]
             ndvs = {
                 d: LatticeSuggester._key_ndv(self, d, owners) for d in dims
             }
@@ -248,13 +292,24 @@ class Catalog:
         for i, tile in enumerate(tiles):
             name = tile.get("name") or f"{lat.get('name', 'lattice')}_tile{i}"
             measures = []
-            for c in tile["measures"]:
+            aliases = []
+            for j, c in enumerate(tile["measures"]):
                 if isinstance(c, str):
                     measures.append(c)
                     continue
                 # JsonTile measure objects: {"agg": "sum", "args": "x",
-                # "name"?: alias} (model/JsonLattice.java's defaultMeasures)
-                alias = c.get("name", "m{}_{}".format(i, c["agg"]))
+                # "name"?: alias} (model/JsonLattice.java's
+                # defaultMeasures). The default alias carries the
+                # per-measure index (ADVICE r11: two unnamed measures
+                # with the same agg — SUM(a), SUM(b) — collided on one
+                # output column)
+                alias = c.get("name", "m{}_{}_{}".format(i, j, c["agg"]))
+                if alias in aliases:
+                    raise ValueError(
+                        f"lattice tile {name!r}: duplicate measure "
+                        f"alias {alias!r} — name the measures distinctly"
+                    )
+                aliases.append(alias)
                 measures.append(
                     f"{c['agg'].upper()}({c.get('args', '*')}) AS {alias}"
                 )
@@ -264,9 +319,9 @@ class Catalog:
             if joins:
                 b = RelBuilder(self)
                 b.scan(fact)
-                for dim, fc, dc in joins:
+                for dim, pairs in joins:
                     b.scan(dim)
-                    b.join(f"{fc} = {dc}")
+                    b.join(" AND ".join(f"{fc} = {dc}" for fc, dc in pairs))
                 b.aggregate(dims, measures)
                 reg.define_join(
                     self, name, b.build(),
@@ -277,6 +332,40 @@ class Catalog:
                     self, name, fact, dims, measures,
                     os.path.join(warehouse, name),
                 )
+
+    def _resolve_join_sides(
+        self, fact: str, dim: str, a: str, b: str
+    ) -> tuple[str, str]:
+        """Orient one lattice-join equality as (fact_col, dim_col),
+        requiring each identifier to belong to EXACTLY one of the two
+        tables (ADVICE r11: a typo'd name was silently treated as the
+        fact column and declared a bogus FK; a name on both tables was
+        resolved arbitrarily). Refuse-over-guess, like the rest of the
+        model loader."""
+        fact_cols = set(self.table(fact).columns)
+        dim_cols = set(self.table(dim).columns)
+        sides = {}
+        for ident in (a, b):
+            in_f, in_d = ident in fact_cols, ident in dim_cols
+            if not in_f and not in_d:
+                raise ValueError(
+                    f"lattice join: {ident!r} is a column of neither "
+                    f"fact table {fact!r} nor dimension {dim!r}"
+                )
+            if in_f and in_d:
+                raise ValueError(
+                    f"lattice join: {ident!r} exists on BOTH {fact!r} "
+                    f"and {dim!r} — qualify the model with distinct "
+                    "column names; refusing to guess the side"
+                )
+            sides[ident] = "fact" if in_f else "dim"
+        if sides[a] == sides[b]:
+            raise ValueError(
+                f"lattice join: {a!r} and {b!r} are both columns of "
+                f"the {sides[a]} table — each equality must link the "
+                "fact to the dimension"
+            )
+        return (a, b) if sides[a] == "fact" else (b, a)
 
     def register_materialization(self, name: str, path: str, sql: str) -> None:
         """≈ materialize/MaterializationService.defineMaterialization."""

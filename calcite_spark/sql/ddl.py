@@ -1281,7 +1281,19 @@ def _find_decomposition(calls):
         return re.sub(r"\s+", "", a).lower()
 
     def ensure(fn, arg):
-        key = (fn, norm(arg))
+        if fn == "APPROX_PERCENTILE":
+            # the physical tile column is a KLL sketch over the VALUE
+            # expression alone — any percentile reads from it, and the
+            # per-call p stays in the companion-view read (_map_simple)
+            # — so key on the value expression (ADVICE r11: keying on
+            # the full argument text stored one identical sketch per
+            # distinct percentile literal)
+            from calcite_spark.plans.materialize import _percentile_parts
+
+            pp = _percentile_parts(arg)
+            key = (fn, norm(pp[0]) if pp else norm(arg))
+        else:
+            key = (fn, norm(arg))
         if key not in have:
             alias = f"__{fn[:1].lower()}{len(have)}"
             have[key] = alias

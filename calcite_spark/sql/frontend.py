@@ -205,14 +205,25 @@ class SqlFrontend:
                 # PG's ARRAY form (babel r11): `x = ANY(arr)` /
                 # `x <> ALL(arr)` over an array VALUE (the ARRAY[...]
                 # literal was already lowered to array(...)) map to
-                # array_contains, whose three-valued contract matches
-                # PG exactly — NULL operand → NULL, no match but NULLs
-                # present → NULL, empty array → FALSE/TRUE. Ordering
+                # array_contains with an empty-array guard. PG's 3VL:
+                # empty array → FALSE (= ANY) / TRUE (<> ALL) EVEN for
+                # a NULL operand (no elements, so the quantifier is
+                # decided), while Spark's array_contains returns NULL
+                # whenever the value is NULL (ADVICE r11: the guard
+                # must test size() FIRST). A NULL array stays NULL on
+                # both engines: size(NULL) is NULL, so the CASE falls
+                # through to array_contains(NULL, x) → NULL. Ordering
                 # operators over arrays stay unsupported loudly.
                 if op == "=" and quant == "SOME":
-                    rep = f"(array_contains(({sub}), ({x})))"
+                    rep = (
+                        f"(CASE WHEN size(({sub})) = 0 THEN FALSE "
+                        f"ELSE array_contains(({sub}), ({x})) END)"
+                    )
                 elif op == "<>" and quant == "ALL":
-                    rep = f"(NOT array_contains(({sub}), ({x})))"
+                    rep = (
+                        f"(CASE WHEN size(({sub})) = 0 THEN TRUE "
+                        f"ELSE NOT array_contains(({sub}), ({x})) END)"
+                    )
                 else:
                     raise ValueError(
                         f"{quant} requires a subquery operand (or "

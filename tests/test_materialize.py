@@ -4711,6 +4711,35 @@ def test_ddl_percentile_mv_decomposes(spark, tmp_path):
         assert abs(row.p50 - want) <= max(2.0, 0.05 * want)
 
 
+def test_ddl_percentile_mv_dedupes_sketch(spark, tmp_path):
+    """ADVICE r11: APPROX_PERCENTILE(x, 0.5) and APPROX_PERCENTILE(x,
+    0.99) in one CREATE MATERIALIZED VIEW share ONE physical KLL sketch
+    column (the sketch depends on the value expression alone); each
+    view column still reads its own percentile. A different VALUE
+    expression still gets its own sketch."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW pq2 AS SELECT l_returnflag, "
+        "APPROX_PERCENTILE(l_quantity, 0.5) AS p50, "
+        "APPROX_PERCENTILE(l_quantity, 0.99) AS p99, "
+        "APPROX_PERCENTILE(l_extendedprice, 0.5) AS p50_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    tile_cols = [
+        c for c in spark.read.parquet(str(tmp_path / "wh" / "pq2__stats")).columns
+        if c != "l_returnflag"
+    ]
+    # one sketch for l_quantity (shared by p50/p99) + one for price
+    assert len(tile_cols) == 2, tile_cols
+    rows = {r.l_returnflag: r for r in fe.sql("SELECT * FROM pq2").collect()}
+    e50 = _exact_pcts(cat, ["l_returnflag"], 0.5)
+    e99 = _exact_pcts(cat, ["l_returnflag"], 0.99)
+    for flag, r in rows.items():
+        assert r.p99 >= r.p50  # distinct percentiles, not one value
+        assert abs(r.p50 - e50[(flag,)]) <= max(2.0, 0.05 * e50[(flag,)])
+        assert abs(r.p99 - e99[(flag,)]) <= max(2.0, 0.05 * e99[(flag,)])
+
+
 def test_model_views_and_functions(spark, tmp_path):
     """JSON-model `views` (≈ JsonView) and `functions` (≈ JsonFunction
     via ModelHandler.addFunctions) entries load alongside tables."""
@@ -4859,10 +4888,105 @@ def test_model_lattice_algorithm_missing_dim_errors(spark, tmp_path):
         Catalog(spark).load_model(_write_model(tmp_path, model))
 
 
-def test_model_lattice_compound_on_refuses(spark, tmp_path):
-    """A lattice sql JOIN with a compound ON must refuse loudly — a
-    parser that kept only the first equality would build a tile over a
-    DIFFERENT join and serve wrong values (r11 self-review)."""
+def _composite_dim(spark, tmp_path):
+    """A 2-column-key dimension derived from orders: one row per
+    (priority, status) pair with a label attribute, written to parquet
+    so a model file can mount it."""
+    p = str(tmp_path / "prio_status_dim.parquet")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            F.col("o_orderpriority").alias("d_prio"),
+            F.col("o_orderstatus").alias("d_status"),
+        )
+        .distinct()
+        .withColumn("d_label", F.concat_ws("/", "d_prio", "d_status"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def _assert_composite_tile_serves(cat, tile_name):
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("prio_status")
+        .join("o_orderpriority = d_prio AND o_orderstatus = d_status")
+        .aggregate(["d_label"], ["SUM(o_totalprice) AS rev"])
+        .to_df()
+    )
+    assert df.inputFiles() and all(
+        tile_name in f for f in df.inputFiles()
+    ), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .join(
+            cat.table("prio_status"),
+            F.expr("o_orderpriority = d_prio AND o_orderstatus = d_status"),
+        )
+        .groupBy("d_label")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    got = {(r.d_label, round(r.rev, 3)) for r in df.collect()}
+    want = {(r.d_label, round(r.rev, 3)) for r in direct.collect()}
+    assert got == want
+
+
+def test_model_lattice_composite_key_sql(spark, tmp_path):
+    """r12 (verdict item 2, ≈ Lattice.java:201 RelOptUtil.conjunctions):
+    a lattice sql JOIN with an AND-of-equalities ON mounts a
+    composite-key star, the tile builds over the composite join, and a
+    composite-join query is served from it with correct values."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "prio_status", "path": _composite_dim(spark, tmp_path)},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "ps",
+            "sql": ("SELECT * FROM orders JOIN prio_status "
+                    "ON o_orderpriority = d_prio "
+                    "AND o_orderstatus = d_status"),
+            "tiles": [{"name": "ps_tile_sql",
+                       "dimensions": ["d_label"],
+                       "measures": ["SUM(o_totalprice) AS rev"]}],
+        }],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    _assert_composite_tile_serves(cat, "ps_tile_sql")
+
+
+def test_model_lattice_composite_key_structured(spark, tmp_path):
+    """The structured form takes equal-length fact_col/dim_col lists
+    for a composite FK and routes to the same define_join support."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "prio_status", "path": _composite_dim(spark, tmp_path)},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "ps",
+            "fact": "orders",
+            "joins": [{"dim": "prio_status",
+                       "fact_col": ["o_orderpriority", "o_orderstatus"],
+                       "dim_col": ["d_prio", "d_status"]}],
+            "tiles": [{"name": "ps_tile_struct",
+                       "dimensions": ["d_label"],
+                       "measures": ["SUM(o_totalprice) AS rev"]}],
+        }],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    _assert_composite_tile_serves(cat, "ps_tile_struct")
+
+
+def test_model_lattice_non_equi_refuses(spark, tmp_path):
+    """A NON-equi term in a lattice sql ON must still refuse loudly —
+    a parser that kept only the equalities would build a tile over a
+    DIFFERENT join and serve wrong values ever after."""
     model = {
         "tables": [
             {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
@@ -4872,12 +4996,86 @@ def test_model_lattice_compound_on_refuses(spark, tmp_path):
         "lattices": [{
             "name": "bad",
             "sql": ("SELECT * FROM orders JOIN customer "
-                    "ON o_custkey = c_custkey AND o_orderkey = c_custkey"),
+                    "ON o_custkey = c_custkey AND o_custkey < c_nationkey"),
             "tiles": [{"dimensions": ["c_mktsegment"],
                        "measures": ["COUNT(*) AS n"]}],
         }],
     }
-    with pytest.raises(ValueError, match="single equality"):
+    with pytest.raises(ValueError, match="non-equi"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+def test_model_lattice_join_side_validation(spark, tmp_path):
+    """ADVICE r11: join identifiers must belong to exactly one side —
+    a typo'd column (previously silently treated as the fact column,
+    declaring a bogus FK) and a both-tables ambiguity both raise."""
+    def mk(on):
+        return {
+            "tables": [
+                {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+                {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+            ],
+            "warehouse": str(tmp_path / "wh"),
+            "lattices": [{
+                "name": "bad",
+                "sql": f"SELECT * FROM orders JOIN customer ON {on}",
+                "tiles": [{"dimensions": ["c_mktsegment"],
+                           "measures": ["COUNT(*) AS n"]}],
+            }],
+        }
+    with pytest.raises(ValueError, match="neither"):
+        Catalog(spark).load_model(
+            _write_model(tmp_path, mk("o_custkye = c_custkey")))
+    # both identifiers on the same table is caught too
+    with pytest.raises(ValueError, match="both columns of"):
+        Catalog(spark).load_model(
+            _write_model(tmp_path, mk("o_custkey = o_orderkey")))
+    # structured form validates sides explicitly
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "bad", "fact": "orders",
+            "joins": [{"dim": "customer",
+                       "fact_col": "o_custkye", "dim_col": "c_custkey"}],
+            "tiles": [{"dimensions": ["c_mktsegment"],
+                       "measures": ["COUNT(*) AS n"]}],
+        }],
+    }
+    with pytest.raises(ValueError, match="not a column of"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
+def test_model_lattice_duplicate_measure_alias(spark, tmp_path):
+    """ADVICE r11: two unnamed measure objects with the same agg no
+    longer collide (per-measure index in the default alias), and an
+    EXPLICIT duplicate alias raises before the tile builds."""
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "ord", "fact": "orders",
+            "tiles": [{"name": "two_sums",
+                       "dims": ["o_orderstatus"],
+                       "measures": [
+                           {"agg": "sum", "args": "o_totalprice"},
+                           {"agg": "sum", "args": "o_custkey"},
+                       ]}],
+        }],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    tile = cat.mv_registry.mvs["two_sums"]
+    cols = set(cat.spark.read.parquet(tile.path).columns)
+    assert {"m0_0_sum", "m0_1_sum"} <= cols, cols
+    model["lattices"][0]["tiles"][0]["name"] = "dup_alias"
+    model["lattices"][0]["tiles"][0]["measures"] = [
+        {"agg": "sum", "args": "o_totalprice", "name": "m"},
+        {"agg": "sum", "args": "o_custkey", "name": "m"},
+    ]
+    with pytest.raises(ValueError, match="duplicate measure alias"):
         Catalog(spark).load_model(_write_model(tmp_path, model))
 
 

@@ -1111,12 +1111,22 @@ def test_quantified_array_value_forms(fe):
         "       2 <> ALL(ARRAY[3, 4]) AS all_hit,"
         "       2 <> ALL(ARRAY[2, 4]) AS all_miss,"
         "       2 <> ALL(ARRAY[NULL, 4]) AS all_unk,"
-        "       2 <> ALL(ARRAY[]) AS all_empty"
+        "       2 <> ALL(ARRAY[]) AS all_empty,"
+        # ADVICE r11: NULL operand + EMPTY array COMBINED — PG decides
+        # the quantifier from the (absent) elements before looking at
+        # the operand: FALSE for = ANY, TRUE for <> ALL, never NULL
+        "       CAST(NULL AS INT) = ANY(ARRAY[]) AS null_x_empty,"
+        "       CAST(NULL AS INT) <> ALL(ARRAY[]) AS null_all_empty,"
+        # and a NULL ARRAY stays NULL on both engines, operand or not
+        "       2 = ANY(CAST(NULL AS ARRAY<INT>)) AS null_arr,"
+        "       2 <> ALL(CAST(NULL AS ARRAY<INT>)) AS null_arr_all"
     ).collect()[0]
     assert row.hit is True and row.miss is False
     assert row.unk is None and row.null_x is None
     assert row.empty is False
     assert row.all_hit is True and row.all_miss is False
     assert row.all_unk is None and row.all_empty is True
+    assert row.null_x_empty is False and row.null_all_empty is True
+    assert row.null_arr is None and row.null_arr_all is None
     with pytest.raises(ValueError, match="subquery operand"):
         fe.sql("SELECT 2 > ANY(ARRAY[1, 2]) AS bad")
