@@ -2236,6 +2236,52 @@ class MaterializationRegistry:
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
         return self._merge_aggregate(agg, merged_calls, union)
 
+    @staticmethod
+    def _canon_half_open(iv, col, mv, catalog):
+        """Closed/exclusive bounds → half-open successor form, exact
+        ONLY on a discrete domain (r12, ≈ rel/rules/DateRangeRules.java:91
+        canonicalizing comparisons into Sargs): on a DATE column every
+        value is a midnight point, so `col <= D ⟺ col < day_floor(D) +
+        1 day` and `col > D ⟺ col >= day_floor(D) + 1 day` — this makes
+        `BETWEEN '1995-03-15' AND '1995-11-20'`, THE most common
+        dashboard spelling, grain-edge-servable. TIMESTAMP columns keep
+        refusing: on a continuous domain a closed bound has no
+        successor. Returns the (possibly unchanged) interval, or None
+        to refuse."""
+        need_lo = iv.lo is not None and not iv.lo_incl
+        need_hi = iv.hi is not None and iv.hi_incl
+        if not (need_lo or need_hi):
+            return iv
+        owners = mv.tables or (mv.table,)
+        dtype = None
+        for t in owners:
+            dtype = dict(catalog.table(t).dtypes).get(col)
+            if dtype is not None:
+                break
+        if dtype != "date":
+            return None
+        from datetime import timedelta
+
+        def succ(bound):
+            d = _parse_ts(bound[0])
+            if d is None:
+                return None
+            s = _grain_floor("day", d) + timedelta(days=1)
+            return (s.strftime("%Y-%m-%d %H:%M:%S"), _ts_sql(s))
+
+        lo, lo_incl, hi, hi_incl = iv.lo, iv.lo_incl, iv.hi, iv.hi_incl
+        if need_lo:
+            lo = succ(lo)
+            if lo is None:
+                return None
+            lo_incl = True
+        if need_hi:
+            hi = succ(hi)
+            if hi is None:
+                return None
+            hi_incl = False
+        return _Interval(lo, lo_incl, hi, hi_incl)
+
     def _grain_edge_substitute(self, agg, filt, mv, q_tables, q_edges, catalog):
         """Grain-aligned EDGE-PARTIAL rewrite (r11): an UNSLICED tile
         keyed on `date_trunc('<grain>', col) AS alias` answers a query
@@ -2252,9 +2298,11 @@ class MaterializationRegistry:
         - the filter is a single-column 'date'-kind region over exactly
           the truncation's input column, with inclusive lower and
           exclusive upper bounds (>= / < — the half-open form where
-          boundary alignment is exact; other inclusivities refuse
-          rather than reason about successor values on a continuous
-          domain);
+          boundary alignment is exact). Closed/exclusive bounds
+          (BETWEEN, <=, >) canonicalize to that form via day-successor
+          arithmetic when the column is DATE-typed — a discrete domain,
+          r12 — and refuse on TIMESTAMP columns (continuous: no
+          successor to reason about);
         - NULL col rows belong to NEITHER branch AND NOT to the query
           (comparisons are NULL-false on both sides of the
           equivalence);
@@ -2311,10 +2359,10 @@ class MaterializationRegistry:
             _interval_sql(c, v[1]) for c, v in sorted(others.items())
         ]
         other_sql = [s for s in other_sql if s != "TRUE"]
-        # half-open form only (unbounded sides allowed)
-        if iv.lo is not None and not iv.lo_incl:
-            return None
-        if iv.hi is not None and iv.hi_incl:
+        # half-open form (unbounded sides allowed); closed/exclusive
+        # bounds canonicalize to it on a discrete DATE column (r12)
+        iv = self._canon_half_open(iv, col, mv, catalog)
+        if iv is None:
             return None
         if iv.lo is None and iv.hi is None:
             return None
@@ -2774,6 +2822,11 @@ class _ShapeStat:
     # suggester adds a month-truncation key for them so the auto-built
     # tile serves the filtered corpus through the grain-edge tier
     filter_cols: set = field(default_factory=set)
+    # per-column LOWEST observed lower bound (r12, hot-months slices):
+    # col -> datetime of the smallest lo any observation requested, or
+    # None once ANY observation ranged unbounded-below — then no slice
+    # can cover the corpus and the proposal stays unsliced
+    filter_lo: dict = field(default_factory=dict)
 
 
 class LatticeSuggester:
@@ -2839,16 +2892,24 @@ class LatticeSuggester:
                 continue
             child = n.inputs[0]
             fcols: set = set()
+            flos: dict = {}
             if isinstance(child, ir.Filter):
                 # DATE columns in a conjunctive region are the
                 # grain-edge-servable shape — record them so suggest()
                 # can add their month key to the proposal (r11; extra
-                # non-date conjuncts compensate as plain tile keys)
+                # non-date conjuncts compensate as plain tile keys).
+                # Their observed LOWER bounds feed the hot-months slice
+                # proposal (r12): None = this query ranged
+                # unbounded-below, poisoning the slice
                 region = _parse_region(child.condition)
                 if region is not None:
-                    fcols = {
-                        c for c, (kind, _iv) in region.items() if kind == "date"
-                    }
+                    for c, (kind, iv) in region.items():
+                        if kind != "date":
+                            continue
+                        fcols.add(c)
+                        flos[c] = (
+                            _parse_ts(iv.lo[0]) if iv.lo is not None else None
+                        )
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
             calls = self._record_calls(n.agg_calls)
@@ -2868,6 +2929,7 @@ class LatticeSuggester:
                 )
                 st.count += 1
                 st.filter_cols |= fcols
+                self._merge_filter_lo(st, flos)
                 continue
             # join shapes accept the same keys the single-table branch
             # does — plain columns or `expr AS alias` (r11, ≈ the
@@ -2899,6 +2961,17 @@ class LatticeSuggester:
             )
             st.count += 1
             st.filter_cols |= fcols
+            self._merge_filter_lo(st, flos)
+
+    @staticmethod
+    def _merge_filter_lo(st: _ShapeStat, flos: dict) -> None:
+        for c, lo in flos.items():
+            if c not in st.filter_lo:
+                st.filter_lo[c] = lo
+            elif st.filter_lo[c] is not None:
+                st.filter_lo[c] = (
+                    None if lo is None else min(st.filter_lo[c], lo)
+                )
 
     # -- proposing -----------------------------------------------------
 
@@ -2938,6 +3011,7 @@ class LatticeSuggester:
             referenced = set()
             for k in keys:
                 referenced |= {k} if _plain_key(k) else _expr_cols(k)
+            month_cols = []
             for c in sorted({c for s2 in stats for c in s2.filter_cols}):
                 derived = f"date_trunc('month', {c}) AS {c}_month"
                 if c in referenced or f"{c}_month" in {
@@ -2945,7 +3019,28 @@ class LatticeSuggester:
                 }:
                     continue
                 keys.append(derived)
+                month_cols.append(c)
             keys = sorted(keys)
+            # hot-months SLICE proposal (r12, verdict item 3 — the
+            # "materialize one year, not the history" economics,
+            # beyond-reference): when EVERY shape in the group
+            # range-filters a month-keyed column and every observed
+            # range has a lower bound, the corpus's own evidence bounds
+            # the tile — slice at the month floor of the lowest
+            # observed lo. Queries below the slice still answer via the
+            # grain-edge slice-escape path (base scan of the cold
+            # range). One observation ranging unbounded-below, or one
+            # shape not filtering the column, keeps the tile unsliced:
+            # a slice that cannot serve the whole corpus is no
+            # self-tuning at all.
+            slice_conds = []
+            for c in month_cols:
+                los = [s2.filter_lo.get(c) for s2 in stats]
+                if any(lo is None for lo in los):
+                    continue
+                slice_lo = _grain_floor("month", min(los))
+                slice_conds.append(f"{c} >= {_ts_sql(slice_lo)}")
+            filter_condition = " AND ".join(slice_conds) or None
             aliases = [_key_alias(k) for k in keys]
             if len(set(aliases)) != len(aliases):
                 continue
@@ -2961,6 +3056,7 @@ class LatticeSuggester:
                 "group_keys": keys,
                 "agg_calls": calls,
                 "observations": total,
+                "filter_condition": filter_condition,
             }
             if len(g) == 2:
                 p["tables"], p["join_edges"] = list(g[0]), sorted(g[1])
@@ -3176,6 +3272,7 @@ class LatticeSuggester:
                     "ratio": ratio,
                     "threshold": benefit_threshold,
                     "built": ratio <= benefit_threshold,
+                    "filter_condition": p.get("filter_condition"),
                 }
                 self.decisions.append(decision)
                 if not decision["built"]:
@@ -3197,6 +3294,7 @@ class LatticeSuggester:
                             tuple(p["tables"]),
                             tuple(sorted(p["join_edges"])),
                             tuple(sorted(p["group_keys"])),
+                            p.get("filter_condition"),
                         )
                     ).encode()
                 ).hexdigest()[:8]
@@ -3211,10 +3309,13 @@ class LatticeSuggester:
                     registry.define_join(
                         catalog, name, plan,
                         os.path.join(warehouse, name), fact=fact,
+                        filter_condition=p.get("filter_condition"),
                     )
                 )
                 continue
             name = f"lattice_{p['table']}_{len(p['group_keys'])}d"
+            if p.get("filter_condition"):
+                name += "_hot"
             if name in registry.mvs:
                 continue
             base_cols = set(catalog.table(p["table"]).columns)
@@ -3231,6 +3332,7 @@ class LatticeSuggester:
                     p["group_keys"],
                     p["agg_calls"],
                     os.path.join(warehouse, name),
+                    filter_condition=p.get("filter_condition"),
                 )
             )
         return out
