@@ -286,8 +286,41 @@ class Catalog:
             picked = [tuple(ranked)] + [
                 (d,) for d in ranked[: max(0, max_tiles - 1)] if len(dims) > 1
             ]
+            # benefit gate (r12, verdict item 8): algorithm-mode picks
+            # go through the same joint-NDV gate as suggester proposals
+            # (≈ TileSuggester's cost-based algorithm declining
+            # near-fact-grain tiles) — a model declaring a unique-key
+            # dimension must not build an all-cost-no-benefit tile the
+            # suggester path would decline. Decisions are recorded on
+            # the catalog's suggester for audit.
+            sug = getattr(self, "lattice_suggester", None)
+            if sug is None:
+                sug = LatticeSuggester().attach(self)
+            threshold = float(lat.get("benefitThreshold", 0.5))
+            kept = []
+            for t in picked:
+                proposal = {
+                    "group_keys": list(t),
+                    "table": None if joins else fact,
+                    "tables": owners if joins else None,
+                }
+                est, fact_rows = sug._estimate_benefit(self, proposal)
+                ratio = 1.0 if est is None else est / max(fact_rows, 1)
+                decision = {
+                    "source": f"model_lattice:{lat.get('name', 'lattice')}",
+                    "proposal_keys": list(t),
+                    "tables": owners,
+                    "estimated_tile_rows": est,
+                    "fact_rows": fact_rows,
+                    "ratio": ratio,
+                    "threshold": threshold,
+                    "built": ratio <= threshold,
+                }
+                sug.decisions.append(decision)
+                if decision["built"]:
+                    kept.append(t)
             tiles = [
-                {"dimensions": list(t), "measures": measures} for t in picked
+                {"dimensions": list(t), "measures": measures} for t in kept
             ]
         for i, tile in enumerate(tiles):
             name = tile.get("name") or f"{lat.get('name', 'lattice')}_tile{i}"

@@ -76,18 +76,24 @@ def _split_top_commas(text: str) -> list:
 def _percentile_parts(arg: str):
     """APPROX_PERCENTILE argument list → (value_expr, percentile_text)
     or None. Exactly two arguments, the percentile a plain literal in
-    [0, 1] — the optional third (accuracy) argument refuses: the KLL
-    tile has its own fixed accuracy and silently honoring a requested
-    one would be a lie."""
+    [0, 1] OR an array(...) of such literals (r12 — one KLL sketch
+    serves many quantiles; kll_sketch_get_quantile_double accepts the
+    array form directly, matching Spark's approx_percentile) — the
+    optional third (accuracy) argument refuses: the KLL tile has its
+    own fixed accuracy and silently honoring a requested one would be
+    a lie."""
     parts = [p.strip() for p in _split_top_commas(arg)]
     if len(parts) != 2 or parts[0].upper().startswith("DISTINCT"):
         return None
-    try:
-        p = float(parts[1])
-    except ValueError:
-        return None
-    if not 0.0 <= p <= 1.0:
-        return None
+    m = re.fullmatch(r"(?is)array\s*\((.*)\)", parts[1])
+    lits = _split_top_commas(m.group(1)) if m else [parts[1]]
+    for lit in lits:
+        try:
+            p = float(lit)
+        except ValueError:
+            return None
+        if not 0.0 <= p <= 1.0:
+            return None
     return parts[0], parts[1]
 
 

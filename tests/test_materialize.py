@@ -4631,6 +4631,72 @@ def test_percentile_tile_exact_and_rollup(spark, tmp_path):
         assert abs(r.p90_qty - want) <= max(2.0, 0.05 * want)
 
 
+def test_percentile_tile_array_of_percentiles(spark, tmp_path):
+    """r12 (verdict item 7): APPROX_PERCENTILE(x, array(0.25,0.5,0.75))
+    serves MANY quantiles from the ONE stored KLL sketch —
+    kll_sketch_get_quantile_double takes the array directly — on both
+    the exact tier and the merge-then-read rollup tier, each quantile
+    within the in-row error bound of its exact counterpart."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = _pct_tile(cat, reg, str(tmp_path))
+    ps = (0.25, 0.5, 0.75)
+    # exact tier: same keys as the tile
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag", "l_linestatus"],
+            ["APPROX_PERCENTILE(l_quantity, array(0.25, 0.5, 0.75)) AS qs"],
+        )
+        .to_df()
+    )
+    assert all(mv.name in f for f in df.inputFiles())
+    exacts = {p: _exact_pcts(cat, ["l_returnflag", "l_linestatus"], p) for p in ps}
+    for r in df.collect():
+        assert len(r.qs) == 3
+        assert list(r.qs) == sorted(r.qs)
+        for p, got in zip(ps, r.qs):
+            want = exacts[p][(r.l_returnflag, r.l_linestatus)]
+            assert abs(got - want) <= max(2.0, 0.05 * want), (p, got, want)
+    # rollup tier: coarser keys, sketches merge before the array read
+    df2 = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            ["APPROX_PERCENTILE(l_quantity, array(0.1, 0.9)) AS qs"],
+        )
+        .to_df()
+    )
+    assert all(mv.name in f for f in df2.inputFiles())
+    e10 = _exact_pcts(cat, ["l_returnflag"], 0.1)
+    e90 = _exact_pcts(cat, ["l_returnflag"], 0.9)
+    for r in df2.collect():
+        assert abs(r.qs[0] - e10[(r.l_returnflag,)]) <= max(
+            2.0, 0.05 * e10[(r.l_returnflag,)]
+        )
+        assert abs(r.qs[1] - e90[(r.l_returnflag,)]) <= max(
+            2.0, 0.05 * e90[(r.l_returnflag,)]
+        )
+    # an out-of-range element refuses at define (Spark would reject a
+    # non-foldable or out-of-range percentage itself, so the define
+    # gate is where the engine's own validation lives)
+    with pytest.raises(ValueError):
+        reg.define(
+            cat, "pct_badr", "lineitem", ["l_returnflag"],
+            ["APPROX_PERCENTILE(l_quantity, array(0.5, 1.5)) AS p"],
+            str(tmp_path / "pct_badr"),
+        )
+    # DISTINCT with the array form refuses at define like the scalar
+    with pytest.raises(ValueError):
+        reg.define(
+            cat, "pct_badda", "lineitem", ["l_returnflag"],
+            ["APPROX_PERCENTILE(DISTINCT l_quantity, array(0.5)) AS p"],
+            str(tmp_path / "pct_badda"),
+        )
+
+
 def test_percentile_tile_refusals(spark, tmp_path):
     """3-argument (accuracy) and DISTINCT forms refuse at define; a
     query whose value expression is not in the tile falls back."""
@@ -4874,6 +4940,46 @@ def test_model_lattice_algorithm_mode(spark, tmp_path):
     got = {(r.c_mktsegment, r.o_orderpriority, round(r.rev, 3)) for r in df.collect()}
     want = {(r.c_mktsegment, r.o_orderpriority, round(r.rev, 3)) for r in direct.collect()}
     assert got == want
+
+
+def test_model_lattice_algorithm_benefit_gate(spark, tmp_path):
+    """r12 (verdict item 8): algorithm-mode picks route through the
+    suggester's joint-NDV benefit gate — a model declaring a UNIQUE-KEY
+    dimension (o_orderkey) has its near-fact-grain tiles declined with
+    recorded decisions, while the low-NDV dimension still builds."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "gated",
+                "fact": "orders",
+                "joins": [{"dim": "customer", "fact_col": "o_custkey",
+                           "dim_col": "c_custkey"}],
+                "algorithm": True,
+                "dimensions": ["o_orderkey", "o_orderstatus"],
+                "defaultMeasures": ["SUM(o_totalprice) AS rev"],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    # only the o_orderstatus single-dim tile survives the gate: the
+    # all-dims tile and the o_orderkey tile are fact-grain
+    assert len(cat.mv_registry.mvs) == 1, list(cat.mv_registry.mvs)
+    (mv,) = cat.mv_registry.mvs.values()
+    assert tuple(mv.group_keys) == ("o_orderstatus",)
+    decisions = [
+        d for d in cat.lattice_suggester.decisions
+        if d.get("source") == "model_lattice:gated"
+    ]
+    assert len(decisions) == 3
+    declined = [d for d in decisions if not d["built"]]
+    assert len(declined) == 2
+    assert all("o_orderkey" in d["proposal_keys"] for d in declined)
+    assert all(d["ratio"] > d["threshold"] for d in declined)
 
 
 def test_model_lattice_algorithm_missing_dim_errors(spark, tmp_path):
