@@ -2403,3 +2403,255 @@ CORPUS15 = [
 def test_breadth_shape_batch15(fe, duck, i):
     sql = CORPUS15[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# ---------------------------------------------------------------------
+# batch 16 (r12, VERDICT r11 item 5): the three still-unexplored
+# FoodMart classes — multi-level RAGGED hierarchies (region→nation→
+# customer→orders with missing branches), SEMI-ADDITIVE measures over
+# snapshots (balance-style values summed across entities but
+# first/last-along-time), and PERCENT-OF-PARENT calculations
+# (ratio-to-parent/grand-total through window sums). Identical text on
+# both engines; ties broken deterministically where "last" is picked.
+CORPUS16 = [
+    # -- ragged hierarchies -------------------------------------------
+    # 1 three-level rollup with GROUPING labels (ragged: subtotal rows)
+    """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS lvl_region,
+              CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS lvl_nation,
+              COUNT(*) AS n
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+    # 2 ragged drill: level counts survive empty branches
+    """SELECT r_name, COUNT(DISTINCT n_nationkey) AS nations,
+              COUNT(c_custkey) AS custs
+       FROM region
+       LEFT JOIN nation ON r_regionkey = n_regionkey
+       LEFT JOIN customer ON n_nationkey = c_nationkey AND c_acctbal > 9000
+       GROUP BY r_name ORDER BY r_name""",
+    # 3 nearest-ancestor label when the leaf level is missing
+    """SELECT COALESCE(t.seg, n_name) AS label, COUNT(*) AS n FROM nation
+       LEFT JOIN (SELECT c_nationkey, c_mktsegment AS seg FROM customer
+                  WHERE c_acctbal > 9980) t ON n_nationkey = t.c_nationkey
+       GROUP BY COALESCE(t.seg, n_name) ORDER BY label""",
+    # 4 child level joined to its parent's aggregate (two grains met)
+    """SELECT n_name, c.cnt AS nation_custs, r.cnt AS region_custs
+       FROM nation
+       JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+             GROUP BY c_nationkey) c ON n_nationkey = c.c_nationkey
+       JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt
+             FROM nation JOIN customer ON n_nationkey = c_nationkey
+             GROUP BY n_regionkey) r ON n_regionkey = r.rk
+       ORDER BY n_name""",
+    # 5 leaf→nation→region: shares compose through two levels
+    """SELECT n_name,
+              ROUND(100.0 * nat_bal / SUM(nat_bal) OVER (PARTITION BY n_regionkey), 4)
+                AS pct_of_region,
+              ROUND(100.0 * nat_bal / SUM(nat_bal) OVER (), 4) AS pct_of_all
+       FROM (SELECT n_name, n_regionkey, SUM(c_acctbal) AS nat_bal
+             FROM nation JOIN customer ON n_nationkey = c_nationkey
+             GROUP BY n_name, n_regionkey) t
+       ORDER BY n_name""",
+    # 6 HAVING prunes subtotal rows out of a ragged rollup
+    """SELECT r_name, n_name, COUNT(*) AS n
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       HAVING GROUPING(n_name) = 0 ORDER BY r_name, n_name""",
+    # 7 zero-branch nations keep a row with a zero count
+    """SELECT n_name, COALESCE(o.cnt, 0) AS orders_beneath FROM nation
+       LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt
+                  FROM customer JOIN orders ON c_custkey = o_custkey
+                  WHERE o_totalprice > 400000
+                  GROUP BY c_nationkey) o ON n_nationkey = o.c_nationkey
+       ORDER BY n_name""",
+    # 8 level-skipping union re-grouped with level tags
+    """SELECT lvl, COUNT(*) AS members, ROUND(SUM(bal), 2) AS bal FROM (
+         SELECT 'region' AS lvl, r_name AS k, SUM(c_acctbal) AS bal
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+                     JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY r_name
+         UNION ALL
+         SELECT 'nation' AS lvl, n_name AS k, SUM(c_acctbal) AS bal
+         FROM nation JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_name) u
+       GROUP BY lvl ORDER BY lvl""",
+    # 9 subtree aggregate per ancestor via one correlated subquery
+    """SELECT r_name,
+              (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS subtree
+       FROM region ORDER BY r_name""",
+    # 10 depth-aware classification: size rank within the parent
+    """SELECT n_name,
+              CASE WHEN rk = 1 THEN 'largest' WHEN rk <= 3 THEN 'top3'
+                   ELSE 'rest' END AS class
+       FROM (SELECT n_name,
+                    rank() OVER (PARTITION BY n_regionkey
+                                 ORDER BY cnt DESC, n_name) AS rk
+             FROM (SELECT n_name, n_regionkey, COUNT(c_custkey) AS cnt
+                   FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+                   GROUP BY n_name, n_regionkey) a) b
+       ORDER BY n_name""",
+    # -- semi-additive measures over snapshots ------------------------
+    # 11 closing balance: LAST order value per customer, summed across
+    #    customers (additive across entities, last-along-time)
+    """SELECT ROUND(SUM(last_price), 2) AS closing_total FROM (
+         SELECT o_custkey, o_totalprice AS last_price,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) t WHERE rn = 1""",
+    # 12 opening vs closing per customer, aggregated per status of close
+    """SELECT ROUND(AVG(close_p - open_p), 4) AS avg_drift FROM (
+         SELECT o_custkey,
+                MIN(o_totalprice) FILTER (WHERE rn_asc = 1) AS open_p,
+                MIN(o_totalprice) FILTER (WHERE rn_desc = 1) AS close_p
+         FROM (SELECT o_custkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS rn_asc,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_desc
+               FROM orders) w
+         GROUP BY o_custkey) t""",
+    # 13 snapshot-date join-back: total booked on each customer's
+    #    latest order DATE (ties included — date-grain snapshot)
+    """SELECT ROUND(SUM(o_totalprice), 2) AS snapshot_total,
+              COUNT(*) AS snapshot_rows
+       FROM orders o JOIN (
+         SELECT o_custkey AS ck, MAX(o_orderdate) AS md FROM orders
+         GROUP BY o_custkey) m ON o.o_custkey = m.ck AND o.o_orderdate = m.md""",
+    # 14 distribution of customers by the month of their last activity
+    """SELECT CAST(date_trunc('month', md) AS DATE) AS last_month,
+              COUNT(*) AS custs
+       FROM (SELECT o_custkey, MAX(o_orderdate) AS md FROM orders
+             GROUP BY o_custkey) t
+       GROUP BY CAST(date_trunc('month', md) AS DATE)
+       ORDER BY last_month""",
+    # 15 average-daily-total: additive within a day, averaged over days
+    """SELECT ROUND(AVG(day_total), 2) AS avg_daily FROM (
+         SELECT o_orderdate, SUM(o_totalprice) AS day_total FROM orders
+         GROUP BY o_orderdate) d""",
+    # 16 per-entity MAX rolled up the hierarchy (semi-additive up, not
+    #    across time)
+    """SELECT n_name, ROUND(SUM(peak), 2) AS sum_of_peaks
+       FROM (SELECT c_nationkey, MAX(o_totalprice) AS peak
+             FROM customer JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey, c_nationkey) p
+       JOIN nation ON n_nationkey = p.c_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    # 17 LAST_VALUE with a full-partition frame equals the rn=1 pick
+    """SELECT COUNT(DISTINCT lv) AS distinct_closings FROM (
+         SELECT last_value(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+         FROM orders) t""",
+    # 18 status of the latest order decides the customer's bucket
+    """SELECT last_status, COUNT(*) AS custs FROM (
+         SELECT o_custkey, o_orderstatus AS last_status,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) t WHERE rn = 1 GROUP BY last_status ORDER BY last_status""",
+    # 19 point-in-time outstanding vs lifetime (two FILTER aggregates)
+    """SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS open_orders,
+              COUNT(*) AS all_orders,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+                AS open_value
+       FROM orders""",
+    # 20 snapshot balance per segment: last order value per customer,
+    #    summed per segment through the dimension
+    """SELECT c_mktsegment, ROUND(SUM(last_price), 2) AS seg_closing FROM (
+         SELECT o_custkey, o_totalprice AS last_price,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) t
+       JOIN customer ON c_custkey = t.o_custkey
+       WHERE rn = 1 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # -- percent-of-parent --------------------------------------------
+    # 21 classic ratio-to-parent over the hierarchy edge
+    """SELECT n_name,
+              ROUND(100.0 * COUNT(c_custkey) /
+                    SUM(COUNT(c_custkey)) OVER (PARTITION BY n_regionkey), 4)
+                AS pct_of_region
+       FROM nation JOIN customer ON n_nationkey = c_nationkey
+       GROUP BY n_name, n_regionkey ORDER BY n_name""",
+    # 22 percent of grand total via nested aggregate-in-window
+    """SELECT o_orderpriority,
+              ROUND(100.0 * SUM(o_totalprice) / SUM(SUM(o_totalprice)) OVER (), 4)
+                AS pct_total
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 23 shares compose: leaf-of-nation × nation-of-region =
+    #    leaf-of-region (both computed, difference pinned ~0)
+    """SELECT MAX(ABS(direct_pct - composed_pct)) < 0.0000001 AS composes FROM (
+         SELECT 100.0 * seg_bal / SUM(seg_bal) OVER (PARTITION BY rk) AS direct_pct,
+                (100.0 * seg_bal / nat_bal) *
+                (nat_bal / SUM(seg_bal) OVER (PARTITION BY rk)) AS composed_pct
+         FROM (SELECT n_regionkey AS rk, n_nationkey AS nk, c_mktsegment,
+                      SUM(c_acctbal) AS seg_bal,
+                      SUM(SUM(c_acctbal)) OVER (PARTITION BY n_nationkey) AS nat_bal
+               FROM nation JOIN customer ON n_nationkey = c_nationkey
+               GROUP BY n_regionkey, n_nationkey, c_mktsegment) x) y""",
+    # 24 dominant-child share per parent
+    """SELECT r_name,
+              ROUND(MAX(100.0 * cnt / tot), 4) AS top_child_pct
+       FROM (SELECT n_regionkey, n_name, COUNT(c_custkey) AS cnt,
+                    SUM(COUNT(c_custkey)) OVER (PARTITION BY n_regionkey) AS tot
+             FROM nation JOIN customer ON n_nationkey = c_nationkey
+             GROUP BY n_regionkey, n_name) t
+       JOIN region ON r_regionkey = t.n_regionkey
+       GROUP BY r_name ORDER BY r_name""",
+    # 25 percent-of-parent on a ROLLUP: subtotal rows show 100
+    """SELECT o_orderstatus,
+              CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                   ELSE o_orderpriority END AS prio,
+              ROUND(100.0 * SUM(o_totalprice) /
+                    SUM(SUM(o_totalprice)) OVER (PARTITION BY o_orderstatus,
+                                                 GROUPING(o_orderpriority)), 4)
+                AS pct_in_status
+       FROM orders GROUP BY o_orderstatus, ROLLUP (o_orderpriority)""",
+    # 26 cumulative (Pareto) share ordered by contribution
+    """SELECT o_orderpriority,
+              ROUND(100.0 * SUM(SUM(o_totalprice)) OVER (
+                      ORDER BY SUM(o_totalprice) DESC, o_orderpriority
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+                    SUM(SUM(o_totalprice)) OVER (), 4) AS cum_pct
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 27 share within a FILTERed parent only
+    """SELECT o_orderpriority,
+              ROUND(100.0 * SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F') /
+                    SUM(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'))
+                      OVER (), 4) AS pct_of_finished
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 28 one row, two parents: share within status AND within priority
+    """SELECT o_orderstatus, o_orderpriority,
+              ROUND(100.0 * SUM(o_totalprice) /
+                    SUM(SUM(o_totalprice)) OVER (PARTITION BY o_orderstatus), 4)
+                AS pct_of_status,
+              ROUND(100.0 * SUM(o_totalprice) /
+                    SUM(SUM(o_totalprice)) OVER (PARTITION BY o_orderpriority), 4)
+                AS pct_of_priority
+       FROM orders GROUP BY o_orderstatus, o_orderpriority
+       ORDER BY o_orderstatus, o_orderpriority""",
+    # 29 ratio of ratios: group average over global average
+    """SELECT c_mktsegment,
+              ROUND(AVG(c_acctbal) / (SELECT AVG(c_acctbal) FROM customer), 6)
+                AS index_vs_global
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # 30 children needed to reach half the parent (nested windows then
+    #    aggregate)
+    """SELECT rk AS region, MIN(rnk) AS nations_to_half FROM (
+         SELECT rk, rnk, cum, tot FROM (
+           SELECT n_regionkey AS rk, COUNT(c_custkey) AS cnt,
+                  row_number() OVER (PARTITION BY n_regionkey
+                                     ORDER BY COUNT(c_custkey) DESC, n_name) AS rnk,
+                  SUM(COUNT(c_custkey)) OVER (PARTITION BY n_regionkey
+                                              ORDER BY COUNT(c_custkey) DESC, n_name
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum,
+                  SUM(COUNT(c_custkey)) OVER (PARTITION BY n_regionkey) AS tot
+           FROM nation JOIN customer ON n_nationkey = c_nationkey
+           GROUP BY n_regionkey, n_name) w) v
+       WHERE cum * 2 >= tot GROUP BY rk ORDER BY rk""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS16)))
+def test_breadth_shape_batch16(fe, duck, i):
+    sql = CORPUS16[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
