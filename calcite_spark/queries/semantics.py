@@ -2242,3 +2242,381 @@ def qx58_mv_grain_edge(spark, sf_dir):
         "n_orders",
         "min_price",
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx59_model_composite_lattice",
+    oracle="""
+    SELECT d_label, ROUND(SUM(o_totalprice), 3) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN (
+      SELECT DISTINCT o_orderpriority AS d_prio, o_orderstatus AS d_status,
+             o_orderpriority || '/' || o_orderstatus AS d_label
+      FROM orders) d
+      ON o_orderpriority = d_prio AND o_orderstatus = d_status
+    GROUP BY d_label ORDER BY d_label
+    """,
+    tags=("model", "lattice", "composite-key", "materialize"),
+)
+def qx59_model_composite_lattice(spark, sf_dir):
+    """Composite-key joins in the JSON model-lattice loader (r12,
+    verdict item 2; ≈ model/JsonLattice.java:40 star sql walked by
+    Lattice.java:201 iterating RelOptUtil.conjunctions of each ON): a
+    model file whose lattice sql joins the fact to a dimension on an
+    AND of TWO equalities mounts the star, builds the tile over the
+    composite join, and a composite-join query is served from it. The
+    dimension is derived (one row per (priority, status) pair with a
+    label) and the oracle recomputes it inline, so values prove the
+    composite join semantics, not just the plumbing. Non-equi terms
+    still refuse loudly (pinned in pytest). 100 TB: composite FKs are
+    routine in warehouses — date+site keys, tenant+entity keys — and
+    the tile collapses the same fact shuffle as any star tile."""
+    import json
+    import os
+    import tempfile
+
+    from calcite_spark.catalog import Catalog
+
+    tmp = tempfile.mkdtemp(prefix="qx59_model_")
+    dim_path = os.path.join(tmp, "prio_status.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            F.col("o_orderpriority").alias("d_prio"),
+            F.col("o_orderstatus").alias("d_status"),
+        )
+        .distinct()
+        .withColumn("d_label", F.concat_ws("/", "d_prio", "d_status"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    model = {
+        "tables": [
+            {"name": "orders", "path": os.path.join(sf_dir, "orders.parquet")},
+            {"name": "prio_status", "path": dim_path},
+        ],
+        "warehouse": os.path.join(tmp, "tiles"),
+        "lattices": [
+            {
+                "name": "ps",
+                "sql": (
+                    "SELECT * FROM orders JOIN prio_status "
+                    "ON o_orderpriority = d_prio "
+                    "AND o_orderstatus = d_status"
+                ),
+                "tiles": [
+                    {
+                        "name": "qx59_ps_tile",
+                        "dimensions": ["d_label"],
+                        "measures": [
+                            "SUM(o_totalprice) AS rev",
+                            {"agg": "count", "args": "*", "name": "n_orders"},
+                        ],
+                    }
+                ],
+            }
+        ],
+    }
+    mp = os.path.join(tmp, "model.json")
+    with open(mp, "w") as f:
+        json.dump(model, f)
+    cat = Catalog(spark).load_model(mp)
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("prio_status")
+        .join("o_orderpriority = d_prio AND o_orderstatus = d_status")
+        .aggregate(
+            ["d_label"],
+            ["SUM(o_totalprice) AS rev", "COUNT(*) AS n_orders"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all("qx59_ps_tile" in f for f in files):
+        raise RuntimeError("composite-key model tile did not serve")
+    return df.selectExpr(
+        "d_label", "ROUND(rev, 3) AS rev", "n_orders"
+    ).orderBy("d_label")
+
+
+@register(
+    "qx60_mv_grain_between",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+            BETWEEN DATE '1995-03-15' AND DATE '1995-11-20'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "rewrite", "mv", "grain-edge", "date-successor"),
+)
+def qx60_mv_grain_between(spark, sf_dir):
+    """Closed/BETWEEN date bounds served through the grain-edge tier
+    (r12, verdict item 3; ≈ rel/rules/DateRangeRules.java:91
+    canonicalizing comparisons into Sargs): on a DATE column — a
+    DISCRETE domain where every value is a midnight point — `col <= D`
+    is exactly `col < day_floor(D) + 1 day`, so THE most common
+    dashboard spelling, BETWEEN, canonicalizes into half-open form and
+    a month tile answers it: whole months from the tile, day slivers
+    from the base. The negative half: the same BETWEEN over the
+    TIMESTAMP-typed base column must refuse (continuous domain — no
+    successor). The fact here is a DATE-cast copy of orders; the
+    oracle applies the same cast. 100 TB: BETWEEN dashboards stop
+    rescanning the fact the day the tile exists — no query rewrite
+    asked of the user."""
+    import os
+    import tempfile
+
+    from calcite_spark.catalog import Catalog, open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    tmp = tempfile.mkdtemp(prefix="qx60_mv_")
+    d_path = os.path.join(tmp, "orders_d.parquet")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .withColumn("o_orderdate", F.to_date("o_orderdate"))
+        .write.mode("overwrite")
+        .parquet(d_path)
+    )
+    cat = Catalog(spark)
+    cat.register("orders_d", d_path, "parquet")
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx60_tile",
+        table="orders_d",
+        group_keys=["date_trunc('month', o_orderdate) AS g", "o_orderpriority"],
+        agg_calls=["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        path=os.path.join(tmp, "qx60_tile"),
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders_d")
+        .filter(
+            "o_orderdate BETWEEN DATE '1995-03-15' AND DATE '1995-11-20'"
+        )
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_orders"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(mv.name in f for f in files)
+        and any("orders_d.parquet" in f for f in files)
+    ):
+        raise RuntimeError("BETWEEN grain-edge substitution did not fire")
+    # negative: the TIMESTAMP-typed base column keeps refusing
+    tcat = open_catalog(spark, sf_dir)
+    treg = MaterializationRegistry()
+    tmv = treg.define(
+        tcat,
+        name="qx60_ts_tile",
+        table="orders",
+        group_keys=["date_trunc('month', o_orderdate) AS g", "o_orderpriority"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=os.path.join(tmp, "qx60_ts_tile"),
+    )
+    neg = (
+        RelBuilder(tcat)
+        .scan("orders")
+        .filter(
+            "o_orderdate BETWEEN TIMESTAMP '1995-03-15 00:00:00' "
+            "AND TIMESTAMP '1995-11-20 00:00:00'"
+        )
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    if any(tmv.name in f for f in neg.inputFiles()):
+        raise RuntimeError(
+            "closed TIMESTAMP bounds wrongly served from the tile"
+        )
+    return df.selectExpr(
+        "o_orderpriority",
+        "ROUND(sum_price, 3) AS sum_price",
+        "n_orders",
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx61_hot_slice_suggest",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-02-10 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-08-25 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "lattice", "suggester", "hot-months", "slice"),
+)
+def qx61_hot_slice_suggest(spark, sf_dir):
+    """Auto-suggested hot-months SLICES (r12, verdict item 4 —
+    beyond-reference: Calcite's TileSuggester does not propose
+    filtered MVs): every observed range filter in the corpus is
+    bounded below, so the suggester proposes a grain-aligned
+    filter_condition slice (month floor of the lowest observed lo)
+    alongside the month key, the benefit gate signs off, and
+    auto_build materializes a tile holding ONLY the hot months. The
+    verification query dips BELOW the slice: the grain-edge
+    slice-escape path reads the cold range from the base and the hot
+    range from the tile — asserted on the plan, proven by values. This
+    closes the last manual step of the self-tuning loop: observed
+    workload → sliced month tile → arbitrary-range dashboard. 100 TB:
+    the tile covers the months users actually query, not the decade of
+    history."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import (
+        LatticeSuggester,
+        MaterializationRegistry,
+    )
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-01-10 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-06-20 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(
+                ["o_orderpriority"],
+                ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+            )
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(
+        cat, reg, tempfile.mkdtemp(prefix="qx61_lat_"), min_count=2
+    )
+    if len(built) != 1 or built[0].filter_condition != (
+        "o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'"
+    ):
+        raise RuntimeError(
+            f"hot-months slice was not proposed: {built} "
+            f"{sug.decisions}"
+        )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1994-02-10 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-25 00:00:00'"
+        )
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_orders"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not (
+        files
+        and any(built[0].name in f for f in files)
+        and any("orders.parquet" in f for f in files)
+    ):
+        raise RuntimeError("sliced tile + escape path did not fire")
+    return df.selectExpr(
+        "o_orderpriority",
+        "ROUND(sum_price, 3) AS sum_price",
+        "n_orders",
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "qx62_mv_percentile_array",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 3) AS p25_exact,
+           ROUND(quantile_cont(l_quantity, 0.5), 3) AS p50_exact,
+           ROUND(quantile_cont(l_quantity, 0.75), 3) AS p75_exact,
+           TRUE AS sketch_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("materialize", "rewrite", "mv", "sketch", "percentile", "array"),
+)
+def qx62_mv_percentile_array(spark, sf_dir):
+    """Percentile ARRAYS from one KLL sketch (r12, verdict item 7):
+    APPROX_PERCENTILE(x, array(0.25, 0.5, 0.75)) rolls up from the
+    tile's single stored sketch — kll_sketch_get_quantile_double takes
+    the array directly, so a dashboard's whole quantile band costs one
+    sketch merge instead of three. Values are checked in-row against
+    the EXACT percentiles within the KLL bound (approximate for
+    approximate, deterministic refusal for exact PERCENTILE pinned in
+    pytest); the row returns the exact values + the bound verdict so
+    the DuckDB oracle can replay it. 100 TB: one mergeable sketch
+    column serves p25/p50/p99 alike — no per-percentile fact
+    shuffles."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat,
+        name="qx62_tile",
+        table="lineitem",
+        group_keys=["l_returnflag", "l_linestatus"],
+        agg_calls=[
+            "APPROX_PERCENTILE(l_quantity, 0.5) AS p50_qty",
+            "SUM(l_quantity) AS s_qty",
+        ],
+        path=tempfile.mkdtemp(prefix="qx62_mv_") + "/qx62_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"],
+            [
+                "APPROX_PERCENTILE(l_quantity, array(0.25, 0.5, 0.75))"
+                " AS qs",
+            ],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("percentile-array tile substitution did not fire")
+    est = {r["l_returnflag"]: list(r["qs"]) for r in df.collect()}
+    exact = {
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"]]
+        for r in cat.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25) AS p25"),
+            F.expr("percentile(l_quantity, 0.5) AS p50"),
+            F.expr("percentile(l_quantity, 0.75) AS p75"),
+        )
+        .collect()
+    }
+    for k, wants in exact.items():
+        for got, want in zip(est[k], wants):
+            if abs(got - want) > max(0.05 * want, 2.0):
+                raise RuntimeError(
+                    f"KLL array estimate out of bounds: {k} "
+                    f"est={est[k]} exact={wants}"
+                )
+    rows = [
+        (k, *(round(v, 3) for v in exact[k]), True) for k in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, p25_exact double, p50_exact double, "
+        "p75_exact double, sketch_within_bound boolean",
+    ).orderBy("l_returnflag")
