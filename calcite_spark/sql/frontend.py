@@ -327,6 +327,26 @@ class SqlFrontend:
         r"\s*::\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
     )
 
+    # PG type names normalized to their Spark spellings (r12 — found
+    # via the batch-17 corpus: Spark rejects a bare VARCHAR/TEXT in
+    # CAST, so `x::text`, PG's single most common cast, crashed). Names
+    # WITH a length/precision suffix pass through (VARCHAR(20) and
+    # NUMERIC(8,2) are valid on both engines after the name mapping).
+    _PG_TYPE_ALIASES = {
+        "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
+        "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT",
+        "float4": "FLOAT", "float8": "DOUBLE", "bool": "BOOLEAN",
+        "numeric": "DECIMAL",
+    }
+
+    def _pg_type(self, t: str) -> str:
+        m = re.match(r"(\w+)(.*)", t, re.S)
+        name = self._PG_TYPE_ALIASES.get(m.group(1).lower(), m.group(1))
+        if name == "STRING" and m.group(2).strip():
+            # varchar(n) keeps its length-checked Spark form
+            name = m.group(1)
+        return name + m.group(2)
+
     def _expand_pg_casts(self, text: str) -> str:
         while True:
             m = None
@@ -338,7 +358,7 @@ class SqlFrontend:
                 return text
             text = (
                 text[: m.start()]
-                + f"CAST({m.group(1)} AS {m.group(2)})"
+                + f"CAST({m.group(1)} AS {self._pg_type(m.group(2))})"
                 + text[m.end() :]
             )
 

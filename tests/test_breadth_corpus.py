@@ -2655,3 +2655,91 @@ CORPUS16 = [
 def test_breadth_shape_batch16(fe, duck, i):
     sql = CORPUS16[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# ---------------------------------------------------------------------
+# batch 17 (r12): scalar-function edge semantics — string function
+# boundary behavior, date_part/EXTRACT field grids, interval
+# arithmetic clamping, numeric sign rules, NULL propagation through
+# GREATEST/CASE/||. The corpus classes where engines drift quietest;
+# identical text on both engines.
+CORPUS17 = [
+    # 1 split_part out-of-range index returns empty, both directions
+    """SELECT split_part('a,b,c', ',', 2) AS mid,
+              split_part('a,b,c', ',', 9) AS past,
+              split_part('abc', ',', 1) AS whole""",
+    # 2 translate with dup/short maps
+    """SELECT translate('abcabc', 'abc', 'xy') AS shrinks,
+              translate('banana', 'an', 'na') AS swaps""",
+    # 3 lpad/rpad truncate when the target is shorter
+    """SELECT lpad('hello', 3, '*') AS l3, rpad('hello', 8, 'ab') AS r8,
+              lpad('x', 0, 'y') AS l0""",
+    # 4 position/instr family agrees on 1-based and missing
+    """SELECT position('b' IN 'abc') AS pos, instr('abc', 'z') AS missing,
+              instr('abcabc', 'bc') AS first_hit""",
+    # 5 trim specific characters (BOTH/LEADING/TRAILING forms)
+    """SELECT trim(BOTH 'x' FROM 'xxaxx') AS b,
+              trim(LEADING 'x' FROM 'xxaxx') AS l,
+              trim(TRAILING 'x' FROM 'xxaxx') AS t""",
+    # 6 || NULL propagation vs concat()'s NULL-skipping is a known
+    #   split — the PORTABLE operator form propagates on both
+    """SELECT 'a' || NULL AS op_null, 'a' || 'b' || 'c' AS chained""",
+    # 7 GREATEST/LEAST skip NULLs on both engines (PG semantics)
+    """SELECT greatest(1, NULL, 3) AS g, least(NULL, 2, NULL) AS l,
+              greatest(c_acctbal, 0) > 0 AS pos
+       FROM customer WHERE c_custkey = 1""",
+    # 8 repeat/reverse/md5 stability
+    """SELECT repeat('ab', 3) AS r3, repeat('x', 0) AS r0,
+              reverse('abc') AS rev, md5('') AS empty_digest""",
+    # 9 EXTRACT field grid on a fixed timestamp
+    """SELECT EXTRACT(YEAR FROM TIMESTAMP '1996-02-29 13:45:30') AS y,
+              EXTRACT(QUARTER FROM TIMESTAMP '1996-02-29 13:45:30') AS q,
+              EXTRACT(MONTH FROM TIMESTAMP '1996-02-29 13:45:30') AS mo,
+              EXTRACT(DAY FROM TIMESTAMP '1996-02-29 13:45:30') AS d,
+              EXTRACT(HOUR FROM TIMESTAMP '1996-02-29 13:45:30') AS h,
+              EXTRACT(MINUTE FROM TIMESTAMP '1996-02-29 13:45:30') AS mi""",
+    # 10 ISO week fields across a year boundary (1996-01-01 is ISO
+    #    week 1 of 1996; 1995-01-01 is ISO week 52 of 1994)
+    """SELECT EXTRACT(WEEK FROM DATE '1996-01-01') AS w96,
+              EXTRACT(WEEK FROM DATE '1995-01-01') AS w95""",
+    # 11 month arithmetic clamps at month end on both engines
+    """SELECT CAST(DATE '1996-01-31' + INTERVAL 1 MONTH AS DATE) AS feb,
+              CAST(DATE '1996-02-29' + INTERVAL 1 YEAR AS DATE) AS nonleap""",
+    # 12 day arithmetic across DST-free UTC stays exact
+    """SELECT CAST(TIMESTAMP '1996-03-15 23:30:00' + INTERVAL 90 MINUTE
+                   AS TIMESTAMP) AS rolled""",
+    # 13 last_day / first-of-month round trip
+    """SELECT last_day(DATE '1996-02-10') AS eom,
+              CAST(date_trunc('month', DATE '1996-02-10') AS DATE) AS som""",
+    # 14 MOD sign follows the dividend on both engines
+    """SELECT MOD(7, 3) AS a, MOD(-7, 3) AS b, MOD(7, -3) AS c,
+              MOD(-7, -3) AS d""",
+    # 15 floor/ceil/round on negative halves
+    """SELECT floor(-1.5) AS f, ceil(-1.5) AS c, round(-2.5, 0) AS r,
+              round(2.675, 2) AS bankers_probe""",
+    # 16 power/sqrt/ln edge values
+    """SELECT power(2, -2) AS p, sqrt(0) AS s, ln(1) AS l,
+              ROUND(exp(1), 9) AS e""",
+    # 17 CASE branch type unification int→double
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2.5 END AS v,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1 ORDER BY v""",
+    # 18 NULLIF + COALESCE chain over aggregates
+    """SELECT COALESCE(NULLIF(COUNT(*), 0), -1) AS n,
+              COALESCE(NULLIF(SUM(CASE WHEN FALSE THEN 1 END), NULL), 0)
+                AS forced
+       FROM orders WHERE o_totalprice < 0""",
+    # 19 LIKE with ESCAPE and literal percent
+    """SELECT COUNT(*) AS n FROM part
+       WHERE p_type LIKE '%BRASS' OR p_type LIKE '%!%%' ESCAPE '!'""",
+    # 20 string-number implicit compare via explicit CAST both ways
+    """SELECT COUNT(*) AS n FROM orders
+       WHERE CAST(o_orderkey AS VARCHAR(20)) = '7'
+          OR o_orderkey = CAST('11' AS BIGINT)""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS17)))
+def test_breadth_shape_batch17(fe, duck, i):
+    sql = CORPUS17[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)

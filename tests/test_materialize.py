@@ -5607,6 +5607,51 @@ def test_grain_edge_date_successor_bounds(spark, tmp_path, cond, tile, base):
     assert got == want, cond
 
 
+def test_grain_edge_percentile_sketch_union(spark, tmp_path):
+    """r12 composition pin: a month tile carrying a KLL percentile
+    sketch serves a raw-date-range query through the grain-edge UNION —
+    the tile branch contributes stored sketches, the sliver branch
+    builds fresh ones over the edge days, and the merge aggregate
+    kll_merge's them before the quantile read. Checked against the
+    exact percentile of the same filtered base within the KLL bound."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "ge_pct_tile", "orders",
+        ["date_trunc('month', o_orderdate) AS g", "o_orderpriority"],
+        ["APPROX_PERCENTILE(o_totalprice, 0.5) AS p50", "COUNT(*) AS n"],
+        str(tmp_path / "ge_pct_tile"),
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["o_orderpriority"],
+            ["APPROX_PERCENTILE(o_totalprice, 0.5) AS p50", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    exact = {
+        r.o_orderpriority: (r.p, r.n)
+        for r in cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    for r in df.collect():
+        want_p, want_n = exact[r.o_orderpriority]
+        assert r.n == want_n
+        assert abs(r.p50 - want_p) <= max(2.0, 0.05 * want_p), (
+            r.o_orderpriority, r.p50, want_p,
+        )
+
+
 def test_grain_edge_timestamp_closed_bounds_still_refuse(spark, tmp_path):
     """The canonicalization is DATE-only: BETWEEN over the TIMESTAMP
     o_orderdate column refuses (continuous domain — `col <= D` has no

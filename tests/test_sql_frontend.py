@@ -682,6 +682,25 @@ def test_pg_cast_shorthand(fe):
     t, _ = fe.parse("SELECT (1 + 2)::string AS s")
     assert t == "SELECT CAST((1 + 2) AS string) AS s"
     assert fe.sql("SELECT -1::int AS v").collect()[0].v == -1
+    # r12 (batch-17 find): PG type names Spark lacks normalize —
+    # `::text`, PG's most common cast, previously produced
+    # CAST(x AS text) which Spark's parser rejects outright
+    t, _ = fe.parse("SELECT 5::text AS s")
+    assert t == "SELECT CAST(5 AS STRING) AS s"
+    t, _ = fe.parse("SELECT '7'::int8 AS v, 1::float8 AS f, 't'::bool AS b")
+    assert t == (
+        "SELECT CAST('7' AS BIGINT) AS v, CAST(1 AS DOUBLE) AS f, "
+        "CAST('t' AS BOOLEAN) AS b"
+    )
+    t, _ = fe.parse("SELECT 1.5::numeric(8,2) AS d, 'x'::varchar(5) AS vc")
+    assert t == (
+        "SELECT CAST(1.5 AS DECIMAL(8,2)) AS d, "
+        "CAST('x' AS varchar(5)) AS vc"
+    )
+    row = fe.sql(
+        "SELECT 5::text AS s, '7'::int8 AS v, 2.5::numeric(8,2) AS d"
+    ).collect()[0]
+    assert row.s == "5" and row.v == 7 and float(row.d) == 2.5
 
 
 def test_pg_regex_operators(fe):
