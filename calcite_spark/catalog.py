@@ -246,13 +246,18 @@ class Catalog:
                         )
                 joins.append((j["dim"], list(zip(fcs, dcs))))
         for dim, pairs in joins:
-            # a per-column FK is a STRONGER claim than a composite-key
-            # join constraint (each column alone need not hit the dim),
-            # so only single-equality joins auto-declare one; composite
-            # joins still build and serve tiles — they just don't feed
-            # the FK-peel prover
-            if len(pairs) == 1:
-                self.declare_foreign_key(fact, pairs[0][0], dim, pairs[0][1])
+            # single-equality joins declare the scalar FK; composite
+            # joins declare a COMPOSITE FK (r12) — a per-column FK
+            # would be a STRONGER, unvouched claim (each column alone
+            # need not hit the dim). The composite FK feeds the peel
+            # prover once analyze_deep verifies the dim's composite
+            # unique key and ANALYZE grounds the fact columns' NULLs.
+            self.declare_foreign_key(
+                fact,
+                [fc for fc, _ in pairs],
+                dim,
+                [dc for _, dc in pairs],
+            )
         tiles = list(lat.get("tiles", []))
         if not tiles and lat.get("algorithm"):
             # ≈ JsonLattice.algorithm: true — when the model declares no
@@ -552,8 +557,18 @@ class Catalog:
         entry = self.tables.get(name)
         return entry is not None and (col,) in entry.unique_keys
 
+    def is_composite_unique_key(self, name: str, cols) -> bool:
+        """Is the column SET a (discovered via analyze_deep) unique
+        key? Order-insensitive — uniqueness is a property of the set
+        (r12, the composite-FK peel prover)."""
+        entry = self.tables.get(name)
+        if entry is None:
+            return False
+        want = frozenset(cols)
+        return any(frozenset(k) == want for k in entry.unique_keys)
+
     def declare_foreign_key(
-        self, table: str, column: str, ref_table: str, ref_column: str
+        self, table: str, column, ref_table: str, ref_column
     ) -> None:
         """Declare a referential constraint ≈ Statistic.java
         getReferentialConstraints() / RelReferentialConstraint: every
@@ -566,7 +581,28 @@ class Catalog:
         join to the referenced dimension neither drops nor duplicates
         fact rows, so an MV joining extra FK-dimensions can still
         answer a query that never mentions them
-        (MaterializedViewJoinRule's referential-constraint walk)."""
+        (MaterializedViewJoinRule's referential-constraint walk).
+
+        column/ref_column may be equal-length LISTS for a COMPOSITE FK
+        (r12): every row whose columns are ALL non-NULL has a matching
+        ref tuple — stored as one tuple-valued entry, paired
+        positionally. A composite FK is a strictly different claim
+        than its per-column parts (each column alone need not hit the
+        dim), so neither form implies the other."""
+        if not isinstance(column, str):
+            if (
+                isinstance(ref_column, str)
+                or len(column) != len(ref_column)
+                or not column
+            ):
+                raise ValueError(
+                    "composite foreign key needs equal-length non-empty "
+                    "column lists"
+                )
+            if len(column) == 1:
+                column, ref_column = column[0], ref_column[0]
+            else:
+                column, ref_column = tuple(column), tuple(ref_column)
         fks = self.tables[table].foreign_keys
         if (column, ref_table, ref_column) not in fks:
             fks.append((column, ref_table, ref_column))
@@ -578,6 +614,23 @@ class Catalog:
         return entry is not None and (
             (column, ref_table, ref_column) in entry.foreign_keys
         )
+
+    def has_composite_foreign_key(
+        self, table: str, columns, ref_table: str, ref_columns
+    ) -> bool:
+        """Composite-FK membership, insensitive to the ORDER the
+        column pairs are listed in (the pairing itself is what the
+        declaration fixes)."""
+        entry = self.tables.get(table)
+        if entry is None:
+            return False
+        want = frozenset(zip(columns, ref_columns))
+        for c, rt, rc in entry.foreign_keys:
+            if rt != ref_table or isinstance(c, str):
+                continue
+            if frozenset(zip(c, rc)) == want:
+                return True
+        return False
 
     def functional_deps(self, name: str) -> list[tuple]:
         entry = self.tables.get(name)

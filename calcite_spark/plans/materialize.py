@@ -1452,33 +1452,60 @@ class MaterializationRegistry:
                     e for e in remaining_e
                     if owner.get(e[0]) == t or owner.get(e[1]) == t
                 ]
-                if len(incident) != 1:
-                    continue  # snowflake chains peel outward-in
-                a, b = incident[0]
-                t_col, o_col = (a, b) if owner.get(a) == t else (b, a)
-                o_tab = owner.get(o_col)
+                if not incident:
+                    continue
+                # every incident edge must link t to the SAME other
+                # table — multiple edges to one table are a COMPOSITE
+                # key (r12); edges to several tables are a snowflake
+                # mid-node, which peels outward-in
+                pairs, o_tabs = [], set()
+                for a, b in incident:
+                    t_col, o_col = (a, b) if owner.get(a) == t else (b, a)
+                    o_tabs.add(owner.get(o_col))
+                    pairs.append((t_col, o_col))
+                if len(o_tabs) != 1:
+                    continue
+                o_tab = next(iter(o_tabs))
                 if o_tab is None or o_tab not in remaining_t or o_tab == t:
                     continue
-                if not catalog.is_unique_key(t, t_col):
-                    continue
-                if not catalog.has_foreign_key(o_tab, o_col, t, t_col):
-                    continue
+                t_cols = tuple(p[0] for p in pairs)
+                o_cols = tuple(p[1] for p in pairs)
+                if len(pairs) == 1:
+                    if not catalog.is_unique_key(t, t_cols[0]):
+                        continue
+                    if not catalog.has_foreign_key(
+                        o_tab, o_cols[0], t, t_cols[0]
+                    ):
+                        continue
+                else:
+                    # composite edge set: the column SET must be a
+                    # verified composite unique key of t, and the
+                    # composite FK (pairing-exact) must be declared —
+                    # per-column FKs do NOT compose into this proof
+                    if not catalog.is_composite_unique_key(t, t_cols):
+                        continue
+                    if not catalog.has_composite_foreign_key(
+                        o_tab, o_cols, t, t_cols
+                    ):
+                        continue
                 # SQL foreign keys are vacuous for NULL values, so a
                 # declared FK alone does NOT prove the INNER join kept
                 # every fact row — a NULL o_col row silently drops
-                # (review r8). Require grounded ANALYZE evidence of
-                # zero NULLs in the referencing column; no stats → no
+                # (review r8; for a composite FK the MATCH SIMPLE
+                # semantics make ANY NULL column vacuous, so EVERY
+                # referencing column needs the evidence). Require
+                # grounded ANALYZE zero-NULL counts; no stats → no
                 # peel (the same refuse-over-guess posture as the
                 # transpose NDV gates).
-                if _column_nulls(catalog, o_tab, o_col) != 0:
+                if any(_column_nulls(catalog, o_tab, c) != 0 for c in o_cols):
                     continue
-                peeled = (t, incident[0])
+                peeled = (t, tuple(incident))
                 break
             if peeled is None:
                 return None
             peels.append(peeled)
             remaining_t = remaining_t - {peeled[0]}
-            remaining_e = remaining_e - {peeled[1]}
+            remaining_e = remaining_e - set(peeled[1])
         return peels if remaining_e == set(q_edges) else None
 
     @staticmethod
@@ -1494,8 +1521,9 @@ class MaterializationRegistry:
         physical strategy is left to Catalyst/AQE, which broadcasts
         genuinely small dims on its own — same posture as the
         drill-across re-join."""
-        for t, (a, b) in reversed(peels):
-            node = ir.Join(f"{a} = {b}", inputs=(node, ir.Scan(t)))
+        for t, edges in reversed(peels):
+            cond = " AND ".join(f"{a} = {b}" for a, b in edges)
+            node = ir.Join(cond, inputs=(node, ir.Scan(t)))
         return node
 
     @staticmethod

@@ -5089,6 +5089,77 @@ def test_model_lattice_composite_key_structured(spark, tmp_path):
     _assert_composite_tile_serves(cat, "ps_tile_struct")
 
 
+def test_composite_fk_peel(spark, tmp_path):
+    """r12: the FK-peel prover handles COMPOSITE keys — a star tile
+    joining the fact to a dim on TWO equalities serves a fact-only
+    query once (a) the dim's column SET is a verified composite unique
+    key (analyze_deep), (b) the composite FK is declared
+    pairing-exact, and (c) ANALYZE grounds zero NULLs on EVERY
+    referencing column. Without the composite declaration — even with
+    both per-column FKs declared, which are DIFFERENT claims — the
+    peel refuses."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.register("prio_status", _composite_dim(spark, tmp_path), "parquet")
+    reg = MaterializationRegistry()
+
+    def star_tile(name):
+        plan = (
+            RelBuilder(cat)
+            .scan("orders")
+            .scan("prio_status")
+            .join("o_orderpriority = d_prio AND o_orderstatus = d_status")
+            .aggregate(
+                ["o_orderpriority"],
+                ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+            )
+            .build()
+        )
+        return reg.define_join(
+            cat, name, plan, str(tmp_path / name), fact="orders"
+        )
+
+    def fact_only_query():
+        return (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate(
+                ["o_orderpriority"],
+                ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+            )
+            .to_df()
+        )
+
+    # negative first: per-column FKs are NOT the composite claim
+    cat.declare_foreign_key("orders", "o_orderpriority", "prio_status", "d_prio")
+    cat.declare_foreign_key("orders", "o_orderstatus", "prio_status", "d_status")
+    cat.analyze("orders")
+    cat.analyze_deep("prio_status")
+    assert cat.is_composite_unique_key("prio_status", ("d_prio", "d_status"))
+    mv_neg = star_tile("cfk_neg_tile")
+    assert not any(mv_neg.name in f for f in fact_only_query().inputFiles())
+
+    # the composite declaration completes the proof
+    cat.declare_foreign_key(
+        "orders",
+        ["o_orderpriority", "o_orderstatus"],
+        "prio_status",
+        ["d_prio", "d_status"],
+    )
+    mv = star_tile("cfk_tile")
+    df = fact_only_query()
+    assert df.inputFiles() and all(
+        mv.name in f or mv_neg.name in f for f in df.inputFiles()
+    ), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
 def test_model_lattice_non_equi_refuses(spark, tmp_path):
     """A NON-equi term in a lattice sql ON must still refuse loudly —
     a parser that kept only the equalities would build a tile over a
