@@ -5160,6 +5160,62 @@ def test_composite_fk_peel(spark, tmp_path):
     assert got == want
 
 
+def test_composite_peel_through_grain_edge(spark, tmp_path):
+    """r12 composition: a month-keyed star tile whose dim joins on a
+    COMPOSITE key serves a raw-date-range fact query — the composite
+    peel proves the tile's extra join row-preserving, the grain-edge
+    union reads whole months from the tile, and the sliver branch
+    re-joins the peeled dim with the full two-column conjunction."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    cat.register("prio_status", _composite_dim(spark, tmp_path), "parquet")
+    cat.declare_foreign_key(
+        "orders",
+        ["o_orderpriority", "o_orderstatus"],
+        "prio_status",
+        ["d_prio", "d_status"],
+    )
+    cat.analyze("orders")
+    cat.analyze_deep("prio_status")
+    reg = MaterializationRegistry()
+    plan = (
+        RelBuilder(cat)
+        .scan("orders")
+        .scan("prio_status")
+        .join("o_orderpriority = d_prio AND o_orderstatus = d_status")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS g", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .build()
+    )
+    mv = reg.define_join(
+        cat, "cfk_ge_tile", plan, str(tmp_path / "cfk_ge_tile"),
+        fact="orders",
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
 def test_model_lattice_non_equi_refuses(spark, tmp_path):
     """A NON-equi term in a lattice sql ON must still refuse loudly —
     a parser that kept only the equalities would build a tile over a
