@@ -2743,3 +2743,76 @@ CORPUS17 = [
 def test_breadth_shape_batch17(fe, duck, i):
     sql = CORPUS17[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# ---------------------------------------------------------------------
+# batch 18 (r12): shared array/higher-order surface. Probed first over
+# 31 candidate spellings; the shapes below are the agreeing core. THREE
+# new divergences pinned by the probe (see
+# test_array_divergences_pinned): [] subscripts are 0-based on Spark
+# and 1-based on DuckDB (the biggest silent-portability trap of the
+# whole corpus so far), and array_distinct / array_intersect return
+# engine-ORDER results (Spark first-seen, DuckDB hash order) — the
+# portable spelling wraps them in array_sort, as these shapes do.
+CORPUS18 = [
+    # 1 membership + 1-based position agree
+    """SELECT array_contains(ARRAY[1,2,3], 2) AS hit,
+              array_contains(ARRAY[1,2,3], 9) AS miss,
+              array_position(ARRAY[10,20,30], 30) AS pos""",
+    # 2 sort + flatten compose
+    """SELECT array_sort(flatten(ARRAY[ARRAY[3,1],ARRAY[2]])) AS s""",
+    # 3 lambda filter agrees (shared higher-order surface)
+    """SELECT filter(ARRAY[1,2,3,4,5], x -> x % 2 = 0) AS evens,
+              filter(ARRAY[1,2], x -> x > 9) AS none""",
+    # 4 portable distinct: array_sort(array_distinct(...)) — the bare
+    #   form returns engine-order (divergence pinned separately)
+    """SELECT array_sort(array_distinct(ARRAY[3,1,2,3,1])) AS d""",
+    # 5 portable intersection, same reasoning
+    """SELECT array_sort(array_intersect(ARRAY[1,2,3,4], ARRAY[4,2,9])) AS i""",
+    # 6 array built from a correlated aggregate, sorted for stability
+    """SELECT r_name, array_sort(array_agg(n_name)) AS nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY r_name""",
+    # 7 contains over a grouped array column end-to-end
+    """SELECT COUNT(*) AS n FROM (
+         SELECT n_regionkey, array_agg(n_name) AS names
+         FROM nation GROUP BY n_regionkey) t
+       WHERE array_contains(names, 'FRANCE')""",
+    # 8 filter lambda over an aggregated array
+    """SELECT n_regionkey,
+              array_sort(filter(array_agg(n_nationkey), x -> x % 2 = 0))
+                AS even_keys
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 9 nested flatten of grouped singleton arrays
+    """SELECT array_sort(flatten(array_agg(ARRAY[n_nationkey]))) AS all_keys
+       FROM nation WHERE n_regionkey = 2""",
+    # 10 position MISS agreement: both engines return 0 (not NULL) —
+    #    probed explicitly since PG returns NULL here
+    """SELECT array_position(ARRAY[1,2,3], 9) AS miss_pos""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS18)))
+def test_breadth_shape_batch18(fe, duck, i):
+    sql = CORPUS18[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+def test_array_divergences_pinned(fe, duck):
+    """The batch-18 probe's divergences, pinned against EACH engine's
+    own behavior so a silent change on either side fails loudly:
+    (1) [] subscripts: Spark indexes arrays from 0, DuckDB from 1 —
+        identical text reads DIFFERENT elements; portable code must
+        not use bare subscripts across engines;
+    (2) array_distinct / array_intersect element ORDER: Spark keeps
+        first-seen order, DuckDB returns hash order — only the
+        array_sort-wrapped spelling is portable."""
+    q = "SELECT (ARRAY[10,20,30])[1] AS v"
+    assert fe.sql(q).collect()[0].v == 20     # Spark: 0-based → 2nd
+    assert duck.sql(q).fetchall()[0][0] == 10  # DuckDB: 1-based → 1st
+    q2 = "SELECT array_distinct(ARRAY[3,1,2]) AS d"
+    assert list(fe.sql(q2).collect()[0].d) == [3, 1, 2]  # first-seen
+    # DuckDB's order is an implementation detail — assert only that it
+    # is a permutation, which is exactly why the bare form is not
+    # portable
+    assert sorted(duck.sql(q2).fetchall()[0][0]) == [1, 2, 3]
