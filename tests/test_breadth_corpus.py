@@ -2816,3 +2816,78 @@ def test_array_divergences_pinned(fe, duck):
     # is a permutation, which is exactly why the bare form is not
     # portable
     assert sorted(duck.sql(q2).fetchall()[0][0]) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------
+# batch 19 (r12): regexp / string-position / date-construction shared
+# surface, probed over 38 candidate spellings first. TWO more
+# divergences pinned below (test_regexp_dow_divergences_pinned):
+# regexp_replace replaces ALL matches on Spark but only the FIRST on
+# DuckDB (PG semantics — the classic silent data-mangler), and
+# day-of-week numbering is off by one (Spark Sunday=1 via dayofweek /
+# DOW Sunday-as-6-vs-5 grid; DuckDB Sunday=0).
+CORPUS19 = [
+    # 1 regexp_extract agrees, including group selection and whole-match
+    """SELECT regexp_extract('foo123bar', '[0-9]+', 0) AS whole,
+              regexp_extract('a1b2', '([a-z])([0-9])', 2) AS grp,
+              regexp_extract('abc', '[0-9]+', 0) AS miss""",
+    # 2 LIKE / ILIKE over data
+    """SELECT COUNT(*) FILTER (WHERE p_type LIKE '%BRASS') AS brass,
+              COUNT(*) FILTER (WHERE p_name ILIKE '%BLUE%') AS blue
+       FROM part""",
+    # 3 substring FROM/FOR + negative start
+    """SELECT substring('abcdef' FROM 2 FOR 3) AS mid,
+              substring('abcdef', -2) AS tail_2,
+              substring(r_name, 1, 3) AS pre
+       FROM region ORDER BY r_name""",
+    # 4 left/right/ascii/chr round trips
+    """SELECT left(n_name, 2) AS l2, right(n_name, 2) AS r2,
+              chr(ascii(n_name)) AS first_ch
+       FROM nation ORDER BY n_name LIMIT 5""",
+    # 5 bit_length vs character data
+    """SELECT bit_length('ab') AS bl, bit_length('') AS empty""",
+    # 6 printf formatting grid
+    """SELECT printf('%d-%s', 7, 'x') AS pf,
+              printf('%05d', 42) AS pad,
+              printf('%.3f', CAST(2.5 AS DOUBLE)) AS fixed""",
+    # 7 date construction agrees including leap day
+    """SELECT make_date(1996, 2, 29) AS leap,
+              make_timestamp(1996, 2, 29, 12, 30, 45.0) AS ts""",
+    # 8 date_add positional form
+    """SELECT date_add(DATE '1996-01-01', 30) AS plus30,
+              date_add(DATE '1996-01-01', -1) AS minus1""",
+    # 9 regexp_extract applied per-row with grouping
+    """SELECT regexp_extract(p_type, '^[A-Z]+', 0) AS first_word,
+              COUNT(*) AS n
+       FROM part GROUP BY regexp_extract(p_type, '^[A-Z]+', 0)
+       ORDER BY first_word""",
+    # 10 md5 digests agree byte-for-byte
+    """SELECT md5('') AS empty, md5('abc') AS abc,
+              COUNT(DISTINCT md5(p_name)) = COUNT(DISTINCT p_name) AS injective
+       FROM part""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS19)))
+def test_breadth_shape_batch19(fe, duck, i):
+    sql = CORPUS19[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+def test_regexp_dow_divergences_pinned(fe, duck):
+    """Batch-19 probe divergences, pinned against each engine's own
+    behavior:
+    (1) regexp_replace: Spark replaces EVERY match (Java semantics),
+        DuckDB replaces only the FIRST (PG semantics, 'g' flag needed)
+        — identical text silently mangles data differently;
+    (2) day-of-week: Spark's dayofweek()/EXTRACT(DOW) count Sunday=1
+        (so 1996-03-15, a Friday, is 6), DuckDB counts Sunday=0 (so
+        the same Friday is 5). EXTRACT(ISODOW)/date_part('isodow') is
+        DuckDB-only; Spark's portable ISO spelling is
+        weekday(d) + 1."""
+    q = "SELECT regexp_replace('aaa', 'a', 'b') AS r"
+    assert fe.sql(q).collect()[0].r == "bbb"          # Spark: global
+    assert duck.sql(q).fetchall()[0][0] == "baa"       # DuckDB: first
+    q2 = "SELECT EXTRACT(DOW FROM DATE '1996-03-15') AS d"
+    assert fe.sql(q2).collect()[0].d == 6              # Sunday=1 grid
+    assert duck.sql(q2).fetchall()[0][0] == 5          # Sunday=0 grid
