@@ -2891,3 +2891,96 @@ def test_regexp_dow_divergences_pinned(fe, duck):
     q2 = "SELECT EXTRACT(DOW FROM DATE '1996-03-15') AS d"
     assert fe.sql(q2).collect()[0].d == 6              # Sunday=1 grid
     assert duck.sql(q2).fetchall()[0][0] == 5          # Sunday=0 grid
+
+
+# ---------------------------------------------------------------------
+# batch 20 (r12): window-function edge semantics over data, probed
+# first. The probe's headline divergence: the DEFAULT null position in
+# window ORDER BY differs (Spark ascending = NULLS FIRST, DuckDB
+# ascending = NULLS LAST), so rank/percent_rank/cume_dist/dense_rank
+# over a nullable key silently disagree — pinned in
+# test_window_null_order_divergence_pinned; every ranking shape below
+# spells the null position explicitly, which is the portable form.
+# EXCLUDE / GROUPS frames and IGNORE NULLS remain engine-specific
+# syntax (the repo emulates EXCLUDE; z37/q68 are the driver rows).
+CORPUS20 = [
+    # 1 ranking family with explicit NULLS ordering over a nullable key
+    """SELECT c_custkey,
+              dense_rank() OVER (ORDER BY c_mktsegment NULLS FIRST) AS dr,
+              ROUND(percent_rank() OVER (ORDER BY c_acctbal NULLS FIRST), 6)
+                AS pr
+       FROM customer WHERE c_custkey <= 20 ORDER BY c_custkey""",
+    # 2 ntile bucket boundaries
+    """SELECT bucket, COUNT(*) AS n, MIN(o_orderkey) AS lo FROM (
+         SELECT o_orderkey, ntile(7) OVER (ORDER BY o_orderkey) AS bucket
+         FROM orders) t GROUP BY bucket ORDER BY bucket""",
+    # 3 lead/lag with defaults and offsets across a partition edge
+    """SELECT o_custkey, o_orderkey,
+              lag(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderkey) AS prev_ok,
+              lead(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) AS next2
+       FROM orders WHERE o_custkey <= 10 ORDER BY o_custkey, o_orderkey""",
+    # 4 sliding ROWS frame with both edges bounded
+    """SELECT o_orderkey,
+              ROUND(AVG(o_totalprice) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS ma5
+       FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
+    # 5 RANGE frame over a numeric key (peers by value distance)
+    """SELECT o_orderkey,
+              COUNT(*) OVER (ORDER BY o_totalprice
+                    RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+                AS near_peers
+       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""",
+    # 6 nth_value within a running frame + first_value on a bounded one
+    """SELECT o_orderkey,
+              nth_value(o_totalprice, 3) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third,
+              first_value(o_totalprice) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+    # 7 named WINDOW clause reused by two calls
+    """SELECT o_orderkey,
+              ROUND(SUM(o_totalprice) OVER w, 2) AS run_sum,
+              COUNT(*) OVER w AS run_n
+       FROM orders WHERE o_orderkey < 100
+       WINDOW w AS (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_orderkey""",
+    # 8 window over a grouped aggregate (two evaluation levels)
+    """SELECT o_orderpriority,
+              rank() OVER (ORDER BY SUM(o_totalprice) DESC NULLS LAST) AS rk
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 9 cume_dist with the explicit-NULLS portable spelling
+    """SELECT n_name,
+              ROUND(cume_dist() OVER (ORDER BY n_regionkey NULLS LAST,
+                                      n_name), 6) AS cd
+       FROM nation ORDER BY n_name""",
+    # 10 partition pruned to a single row: frames degenerate cleanly
+    """SELECT o_orderkey,
+              SUM(o_totalprice) OVER (PARTITION BY o_orderkey) AS self_sum,
+              row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY o_orderkey) AS rn1
+       FROM orders WHERE o_orderkey IN (7, 32) ORDER BY o_orderkey""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS20)))
+def test_breadth_shape_batch20(fe, duck, i):
+    sql = CORPUS20[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+def test_window_null_order_divergence_pinned(fe, duck):
+    """Batch-20 probe divergence: the DEFAULT null position in window
+    ORDER BY — Spark ascending sorts NULLS FIRST, DuckDB NULLS LAST —
+    so identical unqualified ranking text disagrees whenever the sort
+    key is nullable. Pinned against each engine's own result; the
+    portable spelling adds NULLS FIRST/LAST explicitly (as every
+    ranking shape in CORPUS20 does)."""
+    q = ("SELECT i, dense_rank() OVER (ORDER BY v) AS dr FROM (SELECT "
+         "* FROM (VALUES (1, 10.0), (2, NULL)) AS t(i, v)) t")
+    s = {r.i: r.dr for r in fe.sql(q).collect()}
+    d = dict(duck.sql(q).fetchall())
+    assert s == {1: 2, 2: 1}   # Spark: NULL ranks first
+    assert d == {1: 1, 2: 2}   # DuckDB: NULL ranks last

@@ -5734,6 +5734,69 @@ def test_grain_edge_date_successor_bounds(spark, tmp_path, cond, tile, base):
     assert got == want, cond
 
 
+def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
+    """Seeded fuzz of the r12 successor canonicalization: 24 random
+    bound combinations over the DATE-cast orders table — open/closed/
+    unbounded/point, aligned and not, month and day grains — every one
+    must match the direct computation EXACTLY (the successor arithmetic
+    claims exactness, not approximation), whether or not the tile
+    served it."""
+    import random
+    from datetime import date, timedelta
+
+    rng = random.Random(120)
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    _date_orders(spark, cat, tmp_path)
+    reg = MaterializationRegistry()
+    for grain, tname in (("month", "fz_m_tile"), ("day", "fz_d_tile")):
+        reg.define(
+            cat, tname, "orders_d",
+            [f"date_trunc('{grain}', o_orderdate) AS g_{grain}",
+             "o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+            str(tmp_path / tname),
+        )
+    lo_base = date(1993, 6, 1)
+    served = 0
+    for trial in range(24):
+        a = lo_base + timedelta(days=rng.randrange(0, 1500))
+        b = a + timedelta(days=rng.randrange(0, 900))
+        lo_op = rng.choice([">=", ">", None])
+        hi_op = rng.choice(["<", "<=", None])
+        conds = []
+        if trial == 0:
+            conds = [f"o_orderdate = DATE '{a}'"]  # point query
+        else:
+            if lo_op:
+                conds.append(f"o_orderdate {lo_op} DATE '{a}'")
+            if hi_op:
+                conds.append(f"o_orderdate {hi_op} DATE '{b}'")
+            if not conds:
+                conds = [f"o_orderdate >= DATE '{a}'"]
+        cond = " AND ".join(conds)
+        df = (
+            RelBuilder(cat)
+            .scan("orders_d")
+            .filter(cond)
+            .aggregate(["o_orderpriority"],
+                       ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+            .to_df()
+        )
+        if any("tile" in f for f in df.inputFiles()):
+            served += 1
+        direct = (
+            cat.table("orders_d").filter(cond).groupBy("o_orderpriority")
+            .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+        )
+        got = sorted((r.o_orderpriority, round(r.s, 3), r.n)
+                     for r in df.collect())
+        want = sorted((r.o_orderpriority, round(r.s, 3), r.n)
+                      for r in direct.collect())
+        assert got == want, (trial, cond)
+    # the fuzz must actually exercise the tier, not just fall back
+    assert served >= 10, served
+
+
 def test_grain_edge_percentile_sketch_union(spark, tmp_path):
     """r12 composition pin: a month tile carrying a KLL percentile
     sketch serves a raw-date-range query through the grain-edge UNION —
