@@ -3082,7 +3082,17 @@ class LatticeSuggester:
             for s in stats:
                 for call in s.agg_calls:
                     fn, arg, _alias = parse_agg_call(call)
-                    seen_calls.setdefault((fn, _norm(arg)), f"{fn}({arg})")
+                    if fn == "APPROX_PERCENTILE":
+                        # one KLL sketch serves every percentile of a
+                        # value expression — key the union on the value
+                        # alone (r12, same class as the ADVICE-r11 DDL
+                        # dedup: a p50+p99 corpus used to propose two
+                        # identical physical sketches)
+                        pp = _percentile_parts(arg)
+                        key = (fn, _norm(pp[0]) if pp else _norm(arg))
+                    else:
+                        key = (fn, _norm(arg))
+                    seen_calls.setdefault(key, f"{fn}({arg})")
             calls = [
                 f"{sql} AS m{i}" for i, sql in enumerate(sorted(seen_calls.values()))
             ]

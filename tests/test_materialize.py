@@ -6042,6 +6042,46 @@ def test_suggester_avg_loop_no_analyze_needed(spark, tmp_path):
     assert got == want
 
 
+def test_suggester_percentile_corpus_one_sketch(spark, tmp_path):
+    """r12: a corpus asking p50 AND p99 of the same value proposes ONE
+    sketch call (the KLL serves any percentile), and the auto-built
+    tile serves a THIRD percentile the corpus never asked for."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for p in ("0.5", "0.99"):
+        (
+            RelBuilder(cat)
+            .scan("lineitem")
+            .aggregate(
+                ["l_returnflag"],
+                [f"APPROX_PERCENTILE(l_quantity, {p}) AS pq"],
+            )
+            .to_df()
+            .count()
+        )
+    (prop,) = sug.suggest(min_count=2)
+    pct_calls = [c for c in prop["agg_calls"] if "APPROX_PERCENTILE" in c]
+    assert len(pct_calls) == 1, prop["agg_calls"]
+    built = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2)
+    assert len(built) == 1
+    df = (
+        RelBuilder(cat)
+        .scan("lineitem")
+        .aggregate(
+            ["l_returnflag"], ["APPROX_PERCENTILE(l_quantity, 0.25) AS p25"]
+        )
+        .to_df()
+    )
+    assert all(built[0].name in f for f in df.inputFiles())
+    exact = _exact_pcts(cat, ["l_returnflag"], 0.25)
+    for r in df.collect():
+        want = exact[(r.l_returnflag,)]
+        assert abs(r.p25 - want) <= max(2.0, 0.05 * want)
+
+
 def test_suggester_unbounded_corpus_stays_unsliced(spark, tmp_path):
     """One observation ranging unbounded-below poisons the slice: the
     month key is still proposed, but the tile covers the full history
