@@ -1904,6 +1904,20 @@ class SqlFrontend:
         # calls — `x::int > ALL (...)` must reach the quantifier pass
         # as `CAST(x AS int) > ALL (...)` (review r6: the quantifier's
         # operand grammar cannot parse ::)
+        if re.search(r"\bGROUP\s+BY\s*\(\s*\)", text, re.I):
+            # standard empty grouping set — `GROUP BY ()` computes one
+            # grand-total group (SQL:1999; DuckDB/PG accept it, Spark's
+            # parser does not) → the GROUPING SETS spelling Spark takes
+            # (r12, batch-21 probe). Quote-parity guarded like every
+            # text rewrite.
+            def _gb_empty(m):
+                if text.count("'", 0, m.start()) % 2 == 1:
+                    return m.group(0)
+                return "GROUP BY GROUPING SETS (())"
+
+            text = re.sub(
+                r"(?i)\bGROUP\s+BY\s*\(\s*\)", _gb_empty, text
+            )
         if re.search(r"\bDISTINCT\s+ON\s*\(", text, re.I):
             text = self._expand_distinct_on(text)
         if re.search(r"\*\s*EXCLUDE\s*\(", text, re.I):

@@ -2984,3 +2984,72 @@ def test_window_null_order_divergence_pinned(fe, duck):
     d = dict(duck.sql(q).fetchall())
     assert s == {1: 2, 2: 1}   # Spark: NULL ranks first
     assert d == {1: 1, 2: 2}   # DuckDB: NULL ranks last
+
+
+# ---------------------------------------------------------------------
+# batch 21 (r12): query-structure edges — GROUP BY ALL, star
+# EXCLUDE/REPLACE through the frontend vs DuckDB's native forms,
+# chained/recursive CTEs, set-op type coercion and LIMIT binding,
+# scalar-subquery arithmetic, DISTINCT ON, quantified HAVING, the
+# standard empty grouping set (GROUP BY () — Spark's parser lacks it;
+# the frontend now lowers it to GROUPING SETS (())), and TRY_CAST.
+# Probed over 20 candidates; everything below agrees engine-to-engine.
+CORPUS21 = [
+    # 1 GROUP BY ALL infers the grouping keys from the select list
+    """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY ALL
+       ORDER BY n_regionkey""",
+    # 2 star EXCLUDE drops a column on both engines
+    """SELECT * EXCLUDE (r_regionkey) FROM region ORDER BY r_name""",
+    # 3 star REPLACE rewrites in place, keeping position and name
+    """SELECT * REPLACE (upper(r_name) AS r_name) FROM region
+       ORDER BY r_name""",
+    # 4 chained CTEs referencing earlier CTEs
+    """WITH t AS (SELECT n_regionkey AS k FROM nation),
+            u AS (SELECT k FROM t WHERE k > 2)
+       SELECT k, COUNT(*) AS n FROM u GROUP BY k ORDER BY k""",
+    # 5 WITH RECURSIVE arithmetic series
+    """WITH RECURSIVE s(x) AS (
+         SELECT 1 UNION ALL SELECT x + 1 FROM s WHERE x < 10)
+       SELECT SUM(x) AS tot, COUNT(*) AS n FROM s""",
+    # 6 UNION coerces int with decimal identically
+    """SELECT 1 AS a UNION SELECT 1.5 ORDER BY a""",
+    # 7 LIMIT/OFFSET inside vs outside parenthesized set ops
+    """(SELECT r_name FROM region ORDER BY r_name LIMIT 2)
+       UNION ALL
+       (SELECT r_name FROM region ORDER BY r_name DESC LIMIT 1)
+       ORDER BY r_name""",
+    # 8 scalar subqueries compose arithmetically
+    """SELECT (SELECT COUNT(*) FROM nation) +
+              (SELECT COUNT(*) FROM region) AS tot,
+              (SELECT MAX(r_name) FROM region) AS last_region""",
+    # 9 standard EMPTY grouping set: one grand-total group
+    """SELECT COUNT(*) AS n, ROUND(SUM(n_regionkey), 1) AS s
+       FROM nation GROUP BY ()""",
+    # 10 DISTINCT ON picks the first row per group under the sort
+    """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
+       FROM nation ORDER BY n_regionkey, n_name""",
+    # 11 quantified comparison in HAVING over grouped counts
+    """SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
+       HAVING COUNT(*) >= ALL (SELECT COUNT(*) FROM nation
+                               GROUP BY n_regionkey)
+       ORDER BY n_regionkey""",
+    # 12 TRY_CAST degrades to NULL identically
+    """SELECT TRY_CAST('abc' AS INT) AS bad, TRY_CAST('7' AS INT) AS ok,
+              TRY_CAST('1996-02-30' AS DATE) AS bad_date""",
+    # 13 VALUES with an alias list (the DEFAULT column names diverge:
+    #    Spark col1/col2, DuckDB col0/col1 — aliasing is the portable
+    #    spelling)
+    """SELECT * FROM (VALUES (2, 'b'), (1, 'a')) AS t(k, v)
+       ORDER BY k""",
+    # 14 simple CASE (value-match form) with fallthrough
+    """SELECT r_name,
+              CASE r_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
+                   ELSE 'rest' END AS tag
+       FROM region ORDER BY r_name""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS21)))
+def test_breadth_shape_batch21(fe, duck, i):
+    sql = CORPUS21[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
