@@ -296,20 +296,38 @@ class Catalog:
             # (≈ TileSuggester's cost-based algorithm declining
             # near-fact-grain tiles) — a model declaring a unique-key
             # dimension must not build an all-cost-no-benefit tile the
-            # suggester path would decline. Decisions are recorded on
-            # the catalog's suggester for audit.
-            sug = getattr(self, "lattice_suggester", None)
-            if sug is None:
-                sug = LatticeSuggester().attach(self)
-            threshold = float(lat.get("benefitThreshold", 0.5))
+            # suggester path would decline. Decisions land on
+            # catalog.model_decisions (and on an already-attached
+            # suggester's trail) — the gate must NOT attach a suggester
+            # itself, which would silently turn on per-query corpus
+            # recording for the rest of the session (r12 review).
+            # benefitThreshold: null in the model disables the gate,
+            # mirroring auto_build(benefit_threshold=None).
+            attached = getattr(self, "lattice_suggester", None)
+            gate = attached if attached is not None else LatticeSuggester()
+            if not hasattr(self, "model_decisions"):
+                self.model_decisions = []
+            threshold = lat.get("benefitThreshold", 0.5)
             kept = []
             for t in picked:
-                proposal = {
-                    "group_keys": list(t),
-                    "table": None if joins else fact,
-                    "tables": owners if joins else None,
-                }
-                est, fact_rows = sug._estimate_benefit(self, proposal)
+                if threshold is None:
+                    kept.append(t)
+                    continue
+                if len(t) == 1:
+                    # single-dim picks reuse the NDV measured for the
+                    # ranking two lines above — no second table scan
+                    est = ndvs[t[0]]
+                    fact_rows = max(
+                        self.row_count(tb) for tb in ([fact] if not joins
+                                                      else owners)
+                    )
+                else:
+                    proposal = {
+                        "group_keys": list(t),
+                        "table": None if joins else fact,
+                        "tables": owners if joins else None,
+                    }
+                    est, fact_rows = gate._estimate_benefit(self, proposal)
                 ratio = 1.0 if est is None else est / max(fact_rows, 1)
                 decision = {
                     "source": f"model_lattice:{lat.get('name', 'lattice')}",
@@ -318,10 +336,12 @@ class Catalog:
                     "estimated_tile_rows": est,
                     "fact_rows": fact_rows,
                     "ratio": ratio,
-                    "threshold": threshold,
-                    "built": ratio <= threshold,
+                    "threshold": float(threshold),
+                    "built": ratio <= float(threshold),
                 }
-                sug.decisions.append(decision)
+                self.model_decisions.append(decision)
+                if attached is not None:
+                    attached.decisions.append(decision)
                 if decision["built"]:
                     kept.append(t)
             tiles = [
@@ -333,6 +353,19 @@ class Catalog:
             aliases = []
             for j, c in enumerate(tile["measures"]):
                 if isinstance(c, str):
+                    # string-form measures join the collision set too
+                    # (r12 review: "SUM(a) AS rev" + {..., name: rev}
+                    # used to slip past the guard and die later with
+                    # an opaque duplicate-column error)
+                    sm = re.search(r"(?is)\bAS\s+(\w+)\s*$", c)
+                    if sm is not None:
+                        if sm.group(1) in aliases:
+                            raise ValueError(
+                                f"lattice tile {name!r}: duplicate "
+                                f"measure alias {sm.group(1)!r} — name "
+                                "the measures distinctly"
+                            )
+                        aliases.append(sm.group(1))
                     measures.append(c)
                     continue
                 # JsonTile measure objects: {"agg": "sum", "args": "x",
@@ -589,12 +622,16 @@ class Catalog:
         positionally. A composite FK is a strictly different claim
         than its per-column parts (each column alone need not hit the
         dim), so neither form implies the other."""
+        if isinstance(column, str) != isinstance(ref_column, str):
+            # mirror guard (r12 review): a scalar column paired with a
+            # list ref_column used to store a malformed entry neither
+            # membership check could ever match — a silent no-op FK
+            raise ValueError(
+                "foreign key columns must both be strings or both be "
+                "equal-length lists"
+            )
         if not isinstance(column, str):
-            if (
-                isinstance(ref_column, str)
-                or len(column) != len(ref_column)
-                or not column
-            ):
+            if len(column) != len(ref_column) or not column:
                 raise ValueError(
                     "composite foreign key needs equal-length non-empty "
                     "column lists"

@@ -2856,10 +2856,14 @@ class _ShapeStat:
     # suggester adds a month-truncation key for them so the auto-built
     # tile serves the filtered corpus through the grain-edge tier
     filter_cols: set = field(default_factory=set)
-    # per-column LOWEST observed lower bound (r12, hot-months slices):
-    # col -> datetime of the smallest lo any observation requested, or
-    # None once ANY observation ranged unbounded-below — then no slice
-    # can cover the corpus and the proposal stays unsliced
+    # per-column slice evidence (r12, hot-months slices): col ->
+    # [lowest observed lower bound (datetime) or None once any
+    # observation ranged unbounded-below, count of observations that
+    # DID bound the column]. suggest() proposes a slice only when the
+    # bounded count equals the shape's TOTAL observation count — an
+    # unfiltered (or unparseable-filter) observation of the same shape
+    # must poison the slice exactly like an unbounded one, or the tile
+    # could not serve part of its own corpus (r12 review)
     filter_lo: dict = field(default_factory=dict)
 
 
@@ -3000,12 +3004,13 @@ class LatticeSuggester:
     @staticmethod
     def _merge_filter_lo(st: _ShapeStat, flos: dict) -> None:
         for c, lo in flos.items():
-            if c not in st.filter_lo:
-                st.filter_lo[c] = lo
-            elif st.filter_lo[c] is not None:
-                st.filter_lo[c] = (
-                    None if lo is None else min(st.filter_lo[c], lo)
-                )
+            cur = st.filter_lo.setdefault(c, [lo, 0])
+            if lo is None or cur[0] is None:
+                cur[0] = None
+            else:
+                cur[0] = min(cur[0], lo)
+            if lo is not None:
+                cur[1] += 1
 
     # -- proposing -----------------------------------------------------
 
@@ -3069,8 +3074,20 @@ class LatticeSuggester:
             # self-tuning at all.
             slice_conds = []
             for c in month_cols:
-                los = [s2.filter_lo.get(c) for s2 in stats]
-                if any(lo is None for lo in los):
+                los = []
+                for s2 in stats:
+                    e = s2.filter_lo.get(c)
+                    # every observation of every shape must have
+                    # BOUNDED the column: e is None (shape never
+                    # filtered c), e[0] is None (some observation
+                    # unbounded-below), and e[1] < count (some
+                    # observation of this shape didn't filter c, or
+                    # its filter didn't parse) all poison the slice
+                    if e is None or e[0] is None or e[1] < s2.count:
+                        los = None
+                        break
+                    los.append(e[0])
+                if los is None:
                     continue
                 slice_lo = _grain_floor("month", min(los))
                 slice_conds.append(f"{c} >= {_ts_sql(slice_lo)}")

@@ -341,10 +341,15 @@ class SqlFrontend:
 
     def _pg_type(self, t: str) -> str:
         m = re.match(r"(\w+)(.*)", t, re.S)
-        name = self._PG_TYPE_ALIASES.get(m.group(1).lower(), m.group(1))
+        base = m.group(1).lower()
+        name = self._PG_TYPE_ALIASES.get(base, m.group(1))
         if name == "STRING" and m.group(2).strip():
-            # varchar(n) keeps its length-checked Spark form
-            name = m.group(1)
+            # length-suffixed character types: varchar(n) is valid
+            # Spark as-is; bpchar(n) (PG's CHAR(n) storage name) maps
+            # to CHAR(n) — reverting to the PG spelling would crash
+            # Spark's parser, the exact class this mapping fixes
+            # (r12 review)
+            name = "CHAR" if base == "bpchar" else m.group(1)
         return name + m.group(2)
 
     def _expand_pg_casts(self, text: str) -> str:

@@ -4972,7 +4972,7 @@ def test_model_lattice_algorithm_benefit_gate(spark, tmp_path):
     (mv,) = cat.mv_registry.mvs.values()
     assert tuple(mv.group_keys) == ("o_orderstatus",)
     decisions = [
-        d for d in cat.lattice_suggester.decisions
+        d for d in cat.model_decisions
         if d.get("source") == "model_lattice:gated"
     ]
     assert len(decisions) == 3
@@ -4980,6 +4980,31 @@ def test_model_lattice_algorithm_benefit_gate(spark, tmp_path):
     assert len(declined) == 2
     assert all("o_orderkey" in d["proposal_keys"] for d in declined)
     assert all(d["ratio"] > d["threshold"] for d in declined)
+    # the gate must NOT have attached a suggester — that would turn on
+    # per-query corpus recording for the rest of the session
+    assert getattr(cat, "lattice_suggester", None) is None
+
+
+def test_model_lattice_algorithm_threshold_null_disables(spark, tmp_path):
+    """`"benefitThreshold": null` in the model disables the gate
+    (mirroring auto_build(benefit_threshold=None)) — every pick builds,
+    even the fact-grain ones."""
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "ungated",
+                "fact": "orders",
+                "algorithm": True,
+                "benefitThreshold": None,
+                "dimensions": ["o_orderkey", "o_orderstatus"],
+                "defaultMeasures": ["SUM(o_totalprice) AS rev"],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    assert len(cat.mv_registry.mvs) == 3, list(cat.mv_registry.mvs)
 
 
 def test_model_lattice_algorithm_missing_dim_errors(spark, tmp_path):
@@ -5158,6 +5183,44 @@ def test_composite_fk_peel(spark, tmp_path):
     got = {(r.o_orderpriority, round(r.s, 3), r.n) for r in df.collect()}
     want = {(r.o_orderpriority, round(r.s, 3), r.n) for r in direct.collect()}
     assert got == want
+
+
+def test_composite_fk_arg_validation(spark):
+    """r12 review: a scalar column paired with a list ref_column used
+    to store a malformed FK entry no membership check could match — a
+    silent no-op declaration. Both mixed forms now raise."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    with pytest.raises(ValueError, match="both"):
+        cat.declare_foreign_key("orders", "o_custkey", "customer",
+                                ["c_custkey"])
+    with pytest.raises(ValueError, match="both"):
+        cat.declare_foreign_key("orders", ["o_custkey"], "customer",
+                                "c_custkey")
+    with pytest.raises(ValueError, match="equal-length"):
+        cat.declare_foreign_key("orders", ["o_custkey", "o_orderkey"],
+                                "customer", ["c_custkey"])
+
+
+def test_model_lattice_mixed_measure_alias_collision(spark, tmp_path):
+    """r12 review: a STRING measure's alias colliding with a measure
+    OBJECT's name used to slip past the duplicate guard and die later
+    with an opaque Spark duplicate-column error."""
+    model = {
+        "tables": [{"name": "orders", "path": f"{SF_DIR}/orders.parquet"}],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [{
+            "name": "ord", "fact": "orders",
+            "tiles": [{"name": "mixed_dup",
+                       "dims": ["o_orderstatus"],
+                       "measures": [
+                           "SUM(o_totalprice) AS rev",
+                           {"agg": "sum", "args": "o_custkey",
+                            "name": "rev"},
+                       ]}],
+        }],
+    }
+    with pytest.raises(ValueError, match="duplicate measure alias"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
 
 
 def test_composite_peel_through_grain_edge(spark, tmp_path):
@@ -6104,6 +6167,37 @@ def test_suggester_unbounded_corpus_stays_unsliced(spark, tmp_path):
         )
     (p,) = sug.suggest(min_count=2)
     assert any("o_orderdate_month" in k for k in p["group_keys"]), p
+    assert p["filter_condition"] is None, p
+
+
+def test_suggester_same_shape_unfiltered_poisons_slice(spark, tmp_path):
+    """r12 review: an UNFILTERED observation of the SAME shape (same
+    table/keys/calls, no WHERE) must poison the slice exactly like an
+    unbounded one — the per-column bounded-count must equal the
+    shape's total observations. Before the fix the unfiltered corpus
+    query, which an unsliced month tile served via rollup, fell back
+    to a full fact scan against a tile that excluded its rows."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester().attach(cat)
+    (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1996-01-10 00:00:00'")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+        .count()
+    )
+    # identical shape, no filter at all
+    (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+        .count()
+    )
+    (p,) = sug.suggest(min_count=2)
     assert p["filter_condition"] is None, p
 
 

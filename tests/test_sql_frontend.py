@@ -697,10 +697,18 @@ def test_pg_cast_shorthand(fe):
         "SELECT CAST(1.5 AS DECIMAL(8,2)) AS d, "
         "CAST('x' AS varchar(5)) AS vc"
     )
+    # bpchar maps bare→STRING and length-suffixed→CHAR(n) (r12 review:
+    # reverting bpchar(5) to the PG spelling crashed Spark's parser)
+    t, _ = fe.parse("SELECT 'ab'::bpchar AS b, 'ab'::bpchar(5) AS b5")
+    assert t == (
+        "SELECT CAST('ab' AS STRING) AS b, CAST('ab' AS CHAR(5)) AS b5"
+    )
     row = fe.sql(
-        "SELECT 5::text AS s, '7'::int8 AS v, 2.5::numeric(8,2) AS d"
+        "SELECT 5::text AS s, '7'::int8 AS v, 2.5::numeric(8,2) AS d, "
+        "'xy'::bpchar(4) AS bp"
     ).collect()[0]
     assert row.s == "5" and row.v == 7 and float(row.d) == 2.5
+    assert row.bp.rstrip() == "xy"
 
 
 def test_pg_regex_operators(fe):
