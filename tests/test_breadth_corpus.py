@@ -3053,3 +3053,109 @@ CORPUS21 = [
 def test_breadth_shape_batch21(fe, duck, i):
     sql = CORPUS21[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# ---------------------------------------------------------------------
+# batch 22 (r12): arithmetic / comparison / correlation edges. The
+# probe's divergences are pinned in test_arith_divergences_pinned —
+# headlined by `^`, which is bitwise XOR on Spark but POWER on DuckDB
+# (2 ^ 3 = 1 vs 8.0: silently different values from identical text,
+# the nastiest class in the corpus so far), plus the ANSI split on
+# division by zero (Spark 4 raises, DuckDB returns NULL) and
+# DATE − DATE typing (INTERVAL vs integer days). The shapes below are
+# the probed agreeing core.
+CORPUS22 = [
+    # 1 decimal vs double equality typing — BOTH engines make the
+    #   decimal sum exact and the double sum inexact
+    """SELECT 0.1 + 0.2 = 0.3 AS dec_eq,
+              CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+                = CAST(0.3 AS DOUBLE) AS dbl_eq""",
+    # 2 string-number comparison coerces numerically (leading zeros;
+    #   a DECIMAL-looking string like '10.0' is a pinned divergence —
+    #   Spark's ANSI cast to BIGINT raises, DuckDB compares TRUE)
+    """SELECT '10' = 10 AS s10, '0010' = 10 AS padded""",
+    # 3 portable division guards: NULLIF denominator
+    """SELECT o_orderstatus,
+              ROUND(SUM(o_totalprice) /
+                    NULLIF(COUNT(*) - COUNT(*), 0), 2) AS div_guarded
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 4 empty-set aggregates: SUM NULL, COUNT 0, aggregate HAVING
+    """SELECT SUM(x) AS s, COUNT(x) AS n, MAX(x) AS mx
+       FROM (SELECT 1 AS x WHERE FALSE) t""",
+    # 5 HAVING without GROUP BY = one conditional grand-total row
+    """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+       FROM orders HAVING COUNT(*) > 0""",
+    # 6 binary (case-sensitive) string comparison and MIN/MAX
+    """SELECT 'a' < 'B' AS lower_after_upper,
+              MAX(r_name) AS mx, MIN(r_name) AS mn FROM region""",
+    # 7 three-valued IS [NOT] DISTINCT FROM grid
+    """SELECT NULL = NULL AS eq_null,
+              NULL IS NOT DISTINCT FROM NULL AS both_null,
+              1 IS DISTINCT FROM NULL AS one_vs_null,
+              1 IS NOT DISTINCT FROM 1 AS same""",
+    # 8 correlated EXISTS against the hierarchy
+    """SELECT r_name FROM region
+       WHERE EXISTS (SELECT 1 FROM nation
+                     WHERE n_regionkey = r_regionkey AND n_nationkey > 20)
+       ORDER BY r_name""",
+    # 9 scalar subquery inside HAVING
+    """SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS s
+       FROM orders GROUP BY o_orderstatus
+       HAVING SUM(o_totalprice) > (SELECT 0.2 * SUM(o_totalprice)
+                                   FROM orders)
+       ORDER BY o_orderstatus""",
+    # 10 correlated scalar subquery in WHERE (the decorrelation shape)
+    """SELECT c_name FROM customer c
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                          WHERE c_nationkey = c.c_nationkey)
+         AND c_custkey <= 20
+       ORDER BY c_name""",
+    # 11 interval comparison + special double values
+    """SELECT INTERVAL 2 DAY > INTERVAL 1 DAY AS iv,
+              CAST('inf' AS DOUBLE) > 1e308 AS is_inf,
+              abs(-0.0) = 0.0 AS negzero""",
+    # 12 bit shifts agree (unlike ^, which is pinned as divergent)
+    """SELECT 1 << 3 AS shl, 16 >> 2 AS shr, 1 << 0 AS ident""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS22)))
+def test_breadth_shape_batch22(fe, duck, i):
+    sql = CORPUS22[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+def test_arith_divergences_pinned(fe, duck):
+    """Batch-22 probe divergences, pinned against each engine's own
+    behavior:
+    (1) `^` is BITWISE XOR on Spark and POWER on DuckDB — identical
+        text computes different VALUES with no error anywhere;
+    (2) division/modulo by zero: Spark 4 (ANSI) raises, DuckDB
+        returns NULL — portable code guards with NULLIF/try_divide;
+    (3) DATE − DATE returns an INTERVAL on Spark and an integer day
+        count on DuckDB (the portable spelling is datediff/date_diff
+        per engine, or EXTRACT over the difference);
+    (4) sqrt(-1): Spark NaN, DuckDB raises; ln(0): Spark NULL,
+        DuckDB raises."""
+    import math
+    import pytest as _pytest
+
+    q = "SELECT 2 ^ 3 AS v"
+    assert fe.sql(q).collect()[0].v == 1          # XOR
+    assert duck.sql(q).fetchall()[0][0] == 8.0    # POWER
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        fe.sql("SELECT 1 / 0 AS d").collect()
+    assert duck.sql("SELECT 1 / 0 AS d").fetchall()[0][0] is None
+    import datetime
+
+    q3 = "SELECT DATE '1996-03-15' - DATE '1996-03-10' AS d"
+    assert fe.sql(q3).collect()[0].d == datetime.timedelta(days=5)
+    assert duck.sql(q3).fetchall()[0][0] == 5
+    assert math.isnan(fe.sql("SELECT sqrt(-1) AS s").collect()[0].s)
+    with _pytest.raises(Exception):
+        duck.sql("SELECT sqrt(-1) AS s").fetchall()
+    # (5) decimal-looking string vs integer: Spark's ANSI cast to
+    # BIGINT raises on '10.0', DuckDB coerces and compares TRUE
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        fe.sql("SELECT '10.0' = 10 AS x").collect()
+    assert duck.sql("SELECT '10.0' = 10 AS x").fetchall()[0][0] is True
