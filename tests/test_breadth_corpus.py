@@ -3159,3 +3159,55 @@ def test_arith_divergences_pinned(fe, duck):
     with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         fe.sql("SELECT '10.0' = 10 AS x").collect()
     assert duck.sql("SELECT '10.0' = 10 AS x").fetchall()[0][0] is True
+
+
+# ---------------------------------------------------------------------
+# batch 23 (r12): aggregate/scalar NULL-handling tails. Shared core:
+# concat_ws skips NULLs on both engines, max_by/min_by and
+# mode() WITHIN GROUP agree over data, coalesce unifies mixed numeric
+# types identically. Pinned divergence: variadic concat() PROPAGATES a
+# NULL argument on Spark but SKIPS it on DuckDB ('a'||NULL||'b' is the
+# agreeing propagating spelling — batch 17 pinned it). Name gaps (not
+# value divergences): ordered string aggregation is string_agg(x, sep
+# ORDER BY ...) on DuckDB vs listagg(x, sep) WITHIN GROUP on Spark —
+# the frontend's LISTAGG lowering owns the Spark side (z62 driver row).
+CORPUS23 = [
+    # 1 concat_ws: separator-joined, NULLs skipped, on both engines
+    """SELECT concat_ws('-', 'a', NULL, 'b') AS cw,
+              concat_ws('/', NULL, NULL) AS all_null""",
+    # 2 coalesce type unification across int/decimal
+    """SELECT coalesce(NULL, 2, 3.5) AS co, nullif(3, 3.0) AS nf,
+              greatest(NULL, NULL) AS g_all_null""",
+    # 3 max_by/min_by over the hierarchy
+    """SELECT n_regionkey,
+              max_by(n_name, n_nationkey) AS newest,
+              min_by(n_name, n_nationkey) AS oldest
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    # 4 mode() WITHIN GROUP (ORDER BY ...) — the inverse-distribution
+    #   spelling both engines take
+    """SELECT o_orderstatus,
+              mode() WITHIN GROUP (ORDER BY o_orderpriority) AS common_prio
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 5 max_by ties broken by the ordering value, not row order:
+    #   aggregate over a deterministic single-winner grid
+    """SELECT max_by(n_name, n_nationkey * 2) AS doubled_winner,
+              max_by(n_nationkey, n_name) AS by_name
+       FROM nation""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS23)))
+def test_breadth_shape_batch23(fe, duck, i):
+    sql = CORPUS23[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+def test_concat_null_divergence_pinned(fe, duck):
+    """Batch-23 probe divergence: variadic concat() PROPAGATES NULL on
+    Spark (SQL-standard ||-like) but SKIPS NULLs on DuckDB (PG's
+    concat) — identical text, different values. concat_ws and the ||
+    operator are the portable spellings (each agrees with itself
+    across engines)."""
+    q = "SELECT concat('a', NULL, 'b') AS c"
+    assert fe.sql(q).collect()[0].c is None
+    assert duck.sql(q).fetchall()[0][0] == "ab"
