@@ -2865,6 +2865,14 @@ class _ShapeStat:
     # must poison the slice exactly like an unbounded one, or the tile
     # could not serve part of its own corpus (r12 review)
     filter_lo: dict = field(default_factory=dict)
+    # per-column NARROWEST observed fully-bounded range width (r12,
+    # grain selection): a "last 7 days" dashboard can never be served
+    # by a month tile (no whole period inside the range), so suggest()
+    # drops to a day-grain key when the corpus's narrowest range is
+    # under ~2 months — day grain serves every range month grain can
+    # (month boundaries are day-aligned), at more tile rows, which the
+    # benefit gate still bounds
+    filter_span: dict = field(default_factory=dict)
 
 
 class LatticeSuggester:
@@ -2931,6 +2939,7 @@ class LatticeSuggester:
             child = n.inputs[0]
             fcols: set = set()
             flos: dict = {}
+            fspans: dict = {}
             if isinstance(child, ir.Filter):
                 # DATE columns in a conjunctive region are the
                 # grain-edge-servable shape — record them so suggest()
@@ -2945,9 +2954,11 @@ class LatticeSuggester:
                         if kind != "date":
                             continue
                         fcols.add(c)
-                        flos[c] = (
-                            _parse_ts(iv.lo[0]) if iv.lo is not None else None
-                        )
+                        lo = _parse_ts(iv.lo[0]) if iv.lo is not None else None
+                        hi = _parse_ts(iv.hi[0]) if iv.hi is not None else None
+                        flos[c] = lo
+                        if lo is not None and hi is not None:
+                            fspans[c] = hi - lo
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
             calls = self._record_calls(n.agg_calls)
@@ -2968,6 +2979,7 @@ class LatticeSuggester:
                 st.count += 1
                 st.filter_cols |= fcols
                 self._merge_filter_lo(st, flos)
+                self._merge_filter_span(st, fspans)
                 continue
             # join shapes accept the same keys the single-table branch
             # does — plain columns or `expr AS alias` (r11, ≈ the
@@ -3000,6 +3012,13 @@ class LatticeSuggester:
             st.count += 1
             st.filter_cols |= fcols
             self._merge_filter_lo(st, flos)
+            self._merge_filter_span(st, fspans)
+
+    @staticmethod
+    def _merge_filter_span(st: _ShapeStat, fspans: dict) -> None:
+        for c, span in fspans.items():
+            cur = st.filter_span.get(c)
+            st.filter_span[c] = span if cur is None else min(cur, span)
 
     @staticmethod
     def _merge_filter_lo(st: _ShapeStat, flos: dict) -> None:
@@ -3052,8 +3071,26 @@ class LatticeSuggester:
                 referenced |= {k} if _plain_key(k) else _expr_cols(k)
             month_cols = []
             for c in sorted({c for s2 in stats for c in s2.filter_cols}):
-                derived = f"date_trunc('month', {c}) AS {c}_month"
-                if c in referenced or f"{c}_month" in {
+                # grain selection (r12): month is the canonical BI
+                # grain, but a corpus whose NARROWEST fully-bounded
+                # range is under ~2 months ("last 7 days" dashboards)
+                # could never be served by a month tile — no whole
+                # period fits inside the range. Day grain serves every
+                # range month grain can (month boundaries are
+                # day-aligned), at more tile rows, still bounded by
+                # the benefit gate.
+                spans = [
+                    s2.filter_span[c] for s2 in stats
+                    if s2.filter_span.get(c) is not None
+                ]
+                grain = (
+                    "day"
+                    if spans and min(spans).days < 62
+                    else "month"
+                )
+                alias = f"{c}_{grain}"
+                derived = f"date_trunc('{grain}', {c}) AS {alias}"
+                if c in referenced or alias in {
                     _key_alias(k) for k in keys
                 }:
                     continue

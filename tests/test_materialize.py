@@ -6170,6 +6170,69 @@ def test_suggester_unbounded_corpus_stays_unsliced(spark, tmp_path):
     assert p["filter_condition"] is None, p
 
 
+def test_suggester_narrow_ranges_pick_day_grain(spark, tmp_path):
+    """r12 grain selection: a corpus of NARROW date ranges ("last 7
+    days" dashboards) proposes a DAY-grain key — a month tile could
+    never serve them (no whole month inside the range). The auto-built
+    day tile + slice then serves a fresh narrow range the corpus never
+    asked, through the grain-edge tier."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-08 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-05-10 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-20 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    # at sf0.001 a day×priority tile is near fact grain BY CONSTRUCTION
+    # (1.5k orders over ~2.4k days) — the default benefit gate
+    # correctly declines it, which is itself worth pinning; a raised
+    # threshold stands in for production scale, where a day tile is
+    # orders of magnitude below the fact
+    declined = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2)
+    assert declined == [] and not sug.decisions[-1]["built"]
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1, sug.decisions
+    assert any("o_orderdate_day" in k for k in built[0].group_keys), (
+        built[0].group_keys
+    )
+    # slice floor: month floor of the lowest observed lo (Mar 1),
+    # day-aligned so the day-grain tile accepts it
+    assert built[0].filter_condition == (
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'"
+    ), built[0].filter_condition
+    cond = ("o_orderdate >= TIMESTAMP '1996-04-03 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-12 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert any(built[0].name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
+    assert got == want
+
+
 def test_suggester_same_shape_unfiltered_poisons_slice(spark, tmp_path):
     """r12 review: an UNFILTERED observation of the SAME shape (same
     table/keys/calls, no WHERE) must poison the slice exactly like an
