@@ -3211,3 +3211,52 @@ def test_concat_null_divergence_pinned(fe, duck):
     q = "SELECT concat('a', NULL, 'b') AS c"
     assert fe.sql(q).collect()[0].c is None
     assert duck.sql(q).fetchall()[0][0] == "ab"
+
+
+# ---------------------------------------------------------------------
+# batch 24 (r12): grouping-sets fine structure + set-op NULL identity
+# — correctness-critical for the repo's groupSets-from-tiles tier, so
+# the cross-engine agreement is pinned over data: GROUPING_ID bit
+# ORDER (leftmost argument = most significant bit on both engines),
+# duplicate grouping sets produce duplicate result rows (bag
+# semantics, both), and set-op NULL identity (NULLs are equal for
+# UNION/INTERSECT/EXCEPT dedup, unlike in comparisons).
+CORPUS24 = [
+    # 1 GROUPING_ID bit order across the full CUBE lattice
+    """SELECT GROUPING_ID(n_regionkey, n_name) AS gid,
+              GROUPING(n_regionkey) AS g_hi, GROUPING(n_name) AS g_lo,
+              COUNT(*) AS n
+       FROM nation GROUP BY CUBE (n_regionkey, n_name)
+       ORDER BY gid, n""",
+    # 2 explicit GROUPING SETS incl. the empty set, labeled
+    """SELECT GROUPING(n_regionkey) AS g1, GROUPING(n_name) AS g2,
+              COUNT(*) AS n
+       FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_name), ())
+       ORDER BY g1, g2, n""",
+    # 3 DUPLICATE grouping sets double their rows (bag semantics)
+    """SELECT n_regionkey, COUNT(*) AS n FROM nation
+       GROUP BY GROUPING SETS ((n_regionkey), (n_regionkey))
+       ORDER BY n_regionkey""",
+    # 4 ROLLUP over an expression key plus a plain key
+    """SELECT n_regionkey % 2 AS par, COUNT(*) AS n FROM nation
+       GROUP BY ROLLUP (n_regionkey % 2)
+       ORDER BY par NULLS FIRST""",
+    # 5 NULL identity in set-op dedup: one NULL row survives UNION,
+    #   INTERSECT keeps it, EXCEPT removes it
+    """SELECT COUNT(*) AS union_rows FROM (
+         SELECT CAST(NULL AS INT) AS x UNION SELECT NULL UNION SELECT 1) t""",
+    # 6 INTERSECT/EXCEPT treat NULL = NULL for membership
+    """SELECT
+         (SELECT COUNT(*) FROM (
+            SELECT CAST(NULL AS INT) AS x INTERSECT
+            SELECT CAST(NULL AS INT)) a) AS i_null,
+         (SELECT COUNT(*) FROM (
+            SELECT CAST(NULL AS INT) AS x EXCEPT
+            SELECT CAST(NULL AS INT)) b) AS e_null""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS24)))
+def test_breadth_shape_batch24(fe, duck, i):
+    sql = CORPUS24[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)
