@@ -3069,25 +3069,28 @@ class LatticeSuggester:
             referenced = set()
             for k in keys:
                 referenced |= {k} if _plain_key(k) else _expr_cols(k)
-            month_cols = []
+            trunc_cols = []  # (col, chosen grain) — slice candidates
             for c in sorted({c for s2 in stats for c in s2.filter_cols}):
-                # grain selection (r12): month is the canonical BI
-                # grain, but a corpus whose NARROWEST fully-bounded
-                # range is under ~2 months ("last 7 days" dashboards)
-                # could never be served by a month tile — no whole
-                # period fits inside the range. Day grain serves every
-                # range month grain can (month boundaries are
-                # day-aligned), at more tile rows, still bounded by
-                # the benefit gate.
+                # grain selection (r12): the LARGEST grain whose whole
+                # period fits inside the corpus's narrowest
+                # fully-bounded range — a tile can only serve ranges
+                # that contain at least one whole period, so month (the
+                # canonical BI grain) drops to day for "last 7 days"
+                # corpora and to hour for intraday ones. Finer grains
+                # serve every range a coarser one can (period
+                # boundaries nest), at more tile rows, still bounded
+                # by the benefit gate.
                 spans = [
                     s2.filter_span[c] for s2 in stats
                     if s2.filter_span.get(c) is not None
                 ]
-                grain = (
-                    "day"
-                    if spans and min(spans).days < 62
-                    else "month"
-                )
+                narrowest = min(spans) if spans else None
+                if narrowest is None or narrowest.days >= 62:
+                    grain = "month"
+                elif narrowest.total_seconds() >= 2 * 86400:
+                    grain = "day"
+                else:
+                    grain = "hour"
                 alias = f"{c}_{grain}"
                 derived = f"date_trunc('{grain}', {c}) AS {alias}"
                 if c in referenced or alias in {
@@ -3095,38 +3098,35 @@ class LatticeSuggester:
                 }:
                     continue
                 keys.append(derived)
-                month_cols.append(c)
+                trunc_cols.append((c, grain))
             keys = sorted(keys)
-            # hot-months SLICE proposal (r12, verdict item 3 — the
+            # hot SLICE proposal (r12, verdict item 3 — the
             # "materialize one year, not the history" economics,
-            # beyond-reference): when EVERY shape in the group
-            # range-filters a month-keyed column and every observed
-            # range has a lower bound, the corpus's own evidence bounds
-            # the tile — slice at the month floor of the lowest
-            # observed lo. Queries below the slice still answer via the
-            # grain-edge slice-escape path (base scan of the cold
-            # range). One observation ranging unbounded-below, or one
-            # shape not filtering the column, keeps the tile unsliced:
-            # a slice that cannot serve the whole corpus is no
-            # self-tuning at all.
+            # beyond-reference): when every observation of EVERY shape
+            # in the group bounded the truncation column below, the
+            # corpus's own evidence bounds the tile — slice at the
+            # tile-grain floor of the lowest observed lo. Queries
+            # below the slice still answer via the grain-edge
+            # slice-escape path (base scan of the cold range). One
+            # observation ranging unbounded-below, one shape never
+            # filtering the column, or one filter that didn't parse
+            # all keep the tile unsliced: a slice that cannot serve
+            # the whole corpus is no self-tuning at all.
             slice_conds = []
-            for c in month_cols:
+            for c, grain in trunc_cols:
                 los = []
                 for s2 in stats:
                     e = s2.filter_lo.get(c)
-                    # every observation of every shape must have
-                    # BOUNDED the column: e is None (shape never
-                    # filtered c), e[0] is None (some observation
-                    # unbounded-below), and e[1] < count (some
-                    # observation of this shape didn't filter c, or
-                    # its filter didn't parse) all poison the slice
                     if e is None or e[0] is None or e[1] < s2.count:
                         los = None
                         break
                     los.append(e[0])
                 if los is None:
                     continue
-                slice_lo = _grain_floor("month", min(los))
+                # floor at the TILE's grain (r12 review: a day tile
+                # month-floored its slice, storing up to ~30 cold days
+                # per dimension combination the corpus never asked for)
+                slice_lo = _grain_floor(grain, min(los))
                 slice_conds.append(f"{c} >= {_ts_sql(slice_lo)}")
             filter_condition = " AND ".join(slice_conds) or None
             aliases = [_key_alias(k) for k in keys]
@@ -3415,7 +3415,23 @@ class LatticeSuggester:
             if p.get("filter_condition"):
                 name += "_hot"
             if name in registry.mvs:
-                continue
+                # same name, same KEY SET: the tile already exists.
+                # Different key set (r12 review: a month→day grain
+                # flip swaps one key for another WITHOUT changing the
+                # count, the first same-name-different-keys case) —
+                # disambiguate with a content hash instead of silently
+                # skipping the build the new corpus needs
+                if {_norm(k) for k in registry.mvs[name].group_keys} == {
+                    _norm(k) for k in p["group_keys"]
+                }:
+                    continue
+                import hashlib
+
+                name += "_" + hashlib.md5(
+                    repr(tuple(sorted(p["group_keys"]))).encode()
+                ).hexdigest()[:6]
+                if name in registry.mvs:
+                    continue
             base_cols = set(catalog.table(p["table"]).columns)
             if any(
                 not _plain_key(k) and _key_alias(k) in base_cols

@@ -6233,6 +6233,121 @@ def test_suggester_narrow_ranges_pick_day_grain(spark, tmp_path):
     assert got == want
 
 
+def test_suggester_grain_flip_builds_second_tile(spark, tmp_path):
+    """r12 review: a month→day grain flip swaps one key for another
+    WITHOUT changing the key count, so the length-based tile name
+    collides with the already-built month tile — auto_build must
+    disambiguate and build the day tile the narrow corpus needs, not
+    silently skip it."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+
+    def observe(cond):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+
+    # wide corpus → month tile
+    observe("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-09-20 00:00:00'")
+    observe("o_orderdate >= TIMESTAMP '1996-01-10 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-06-20 00:00:00'")
+    first = sug.auto_build(cat, reg, str(tmp_path / "wh"), min_count=2)
+    assert len(first) == 1
+    assert any("_month" in k for k in first[0].group_keys)
+    # narrow observations drop the group's min span below the day line
+    observe("o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-03-08 00:00:00'")
+    second = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(second) == 1, sug.decisions[-1]
+    assert any("_day" in k for k in second[0].group_keys)
+    assert second[0].name != first[0].name
+    # the narrow query is served by the NEW day tile
+    cond = ("o_orderdate >= TIMESTAMP '1996-04-03 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-12 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert any(second[0].name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
+    assert got == want
+
+
+def test_suggester_intraday_corpus_picks_hour_grain(spark, tmp_path):
+    """r12 review: a SUB-DAY corpus picks the hour grain (a day tile
+    could never serve an intraday range — the exact defect the grain
+    selection fixes for month, one grain down), the slice floors at
+    the HOUR of the lowest observed lo, and the hour tile serves an
+    aligned intraday range tile-only."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-05 09:30:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-05 17:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-06-10 08:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-10 12:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p,) = sug.suggest(min_count=2)
+    assert any("o_orderdate_hour" in k for k in p["group_keys"]), p
+    # slice floors at the tile's own grain: 09:30 → 09:00, not Mar 1
+    assert p["filter_condition"] == (
+        "o_orderdate >= TIMESTAMP '1996-03-05 09:00:00'"
+    ), p["filter_condition"]
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1, sug.decisions[-1]
+    cond = ("o_orderdate >= TIMESTAMP '1996-07-04 10:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-07-04 15:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert df.inputFiles() and all(
+        built[0].name in f for f in df.inputFiles()
+    ), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
+    assert got == want
+
+
 def test_suggester_same_shape_unfiltered_poisons_slice(spark, tmp_path):
     """r12 review: an UNFILTERED observation of the SAME shape (same
     table/keys/calls, no WHERE) must poison the slice exactly like an
