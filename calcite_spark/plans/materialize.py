@@ -1815,9 +1815,21 @@ class MaterializationRegistry:
         q_out = []  # the tile column serving each query key, in order
         for k in agg.group_keys:
             hit = tile_by_norm.get(_norm(k))
-            if hit is None:
+            if hit is not None:
+                q_out.append(_key_alias(hit))
+                continue
+            # grain-hierarchy rollup (r12, ≈ Lattice's time-unit
+            # rollup): a COARSER truncation of a column the tile keys
+            # at a finer, NESTING grain re-truncates the stored key —
+            # date_trunc('month', day_key) == date_trunc('month', col)
+            # because every month boundary is a day boundary. Monthly
+            # reports served from the day tile, the classic OLAP
+            # hierarchy walk. groupSets stay refused here (the set
+            # machinery below re-references plain aliases).
+            sub = self._grain_hierarchy_key(k, mv)
+            if sub is None or agg.group_type != "SIMPLE":
                 return None
-            q_out.append(_key_alias(hit))
+            q_out.append(sub)
         # filter may only reference PLAIN tile group keys (identifier
         # check; an expression key's alias does not exist below the
         # query's aggregate, and its base columns are gone from the tile)
@@ -1864,6 +1876,41 @@ class MaterializationRegistry:
                 inputs=(base,),
             )
         return ir.Aggregate(tuple(q_out), tuple(new_calls), inputs=(base,))
+
+    @staticmethod
+    def _grain_hierarchy_key(query_key: str, mv: Materialization):
+        """`date_trunc('G', col) AS a` served by a tile keying
+        `date_trunc('g', col) AS b` when every G-boundary is a
+        g-boundary (then trunc(G, trunc(g, x)) == trunc(G, x)) →
+        `date_trunc('G', b) AS a`, or None. Week nests NOTHING above
+        day (month starts are not week-aligned) — the partial order is
+        hour < day < {week, month < quarter < year}."""
+        qm = _TRUNC_KEY_RE.match(query_key)
+        if qm is None:
+            return None
+        q_grain, q_col = qm.group(1).lower(), qm.group(2).strip()
+        coarser_of = {
+            "hour": {"day", "week", "month", "quarter", "year"},
+            "day": {"week", "month", "quarter", "year"},
+            "month": {"quarter", "year"},
+            "quarter": {"year"},
+            "week": set(),
+        }
+        for k in mv.group_keys:
+            tm = _TRUNC_KEY_RE.match(k)
+            if tm is None or tm.group(2).strip() != q_col:
+                continue
+            t_grain = tm.group(1).lower()
+            # STRICTLY coarser only: the same grain under a different
+            # alias stays refused — that is the pinned expression-key
+            # contract (qx46/qx52 negatives: same expression, different
+            # alias → no match), and this tier must not relitigate it
+            if q_grain in coarser_of.get(t_grain, ()):
+                alias = _key_alias(query_key)
+                return (
+                    f"date_trunc('{q_grain}', {_key_alias(k)}) AS {alias}"
+                )
+        return None
 
     def _join_compensate(self, agg, filt, mv, q_tables, q_edges, catalog):
         """Query joins a SUPERSET of the MV's tables → scan the tile,

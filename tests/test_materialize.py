@@ -7,6 +7,7 @@ direct computation, (b) the physical plan actually scans the MV parquet
 
 from __future__ import annotations
 
+import re
 import tempfile
 
 import pytest
@@ -2572,9 +2573,26 @@ def test_expr_key_different_alias_no_match_no_crash(spark, expr_key_catalog):
 
 def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
     """A different expression under the SAME alias must not bind to the
-    tile column (silent wrong grain)."""
+    tile column. The r10 pin used date_trunc('year', ...) as its
+    example — the r12 grain-hierarchy tier now legitimately SERVES
+    that by re-truncating the month key (value-checked below), so the
+    pin moves to a genuinely underivable expression (EXTRACT is not a
+    truncation) — the same pin-migration precedent as the r11
+    grain-edge update."""
     cat, reg = expr_key_catalog
     df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["EXTRACT(YEAR FROM o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s_price"],
+        )
+        .to_df()
+    )
+    assert not any("mv_month_tile" in f for f in df.inputFiles())
+    # the hierarchy serve of the ORIGINAL shape: year-from-month tile,
+    # correct values, far fewer groups than the monthly tile
+    df2 = (
         RelBuilder(cat)
         .scan("orders")
         .aggregate(
@@ -2583,9 +2601,16 @@ def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
         )
         .to_df()
     )
-    assert not any("mv_month_tile" in f for f in df.inputFiles())
-    # yearly grain: far fewer groups than the monthly tile
-    assert df.count() < cat.table("mv_month_tile").count()
+    assert all("mv_month_tile" in f for f in df2.inputFiles())
+    direct = (
+        cat.table("orders")
+        .groupBy(F.date_trunc("year", "o_orderdate").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("s_price"))
+    )
+    got = sorted((r.mo, round(r.s_price, 3)) for r in df2.collect())
+    want = sorted((r.mo, round(r.s_price, 3)) for r in direct.collect())
+    assert got == want
+    assert df2.count() < cat.table("mv_month_tile").count()
 
 
 def test_expr_key_filter_on_consumed_column_refuses(spark, expr_key_catalog):
@@ -5795,6 +5820,127 @@ def test_grain_edge_date_successor_bounds(spark, tmp_path, cond, tile, base):
     assert any("orders_d.parquet" in f for f in files) == base, (cond, files)
     got, want = _vals_d(cat, df, cond)
     assert got == want, cond
+
+
+def test_grain_hierarchy_rollup(spark, tmp_path):
+    """r12 (≈ Lattice's time-unit rollup): a COARSER truncation of the
+    tile's date_trunc key is served by re-truncating the stored key —
+    monthly/quarterly/yearly reports from the day tile — because every
+    coarser-grain boundary is a finer-grain boundary. Checked for
+    month-from-day, quarter-from-month, and week-from-day; values
+    equal the direct plan, scans read only the tile."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    day_mv = reg.define(
+        cat, "gh_day_tile", "orders",
+        ["date_trunc('day', o_orderdate) AS d", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "gh_day_tile"),
+    )
+    month_mv = reg.define(
+        cat, "gh_month_tile", "lineitem",
+        ["date_trunc('month', l_shipdate) AS m"],
+        ["SUM(l_quantity) AS s"],
+        str(tmp_path / "gh_month_tile"),
+    )
+    cases = [
+        ("orders", "date_trunc('month', o_orderdate) AS mo",
+         "SUM(o_totalprice) AS s", day_mv, "mo"),
+        ("orders", "date_trunc('week', o_orderdate) AS wk",
+         "COUNT(*) AS n", day_mv, "wk"),
+        ("lineitem", "date_trunc('quarter', l_shipdate) AS q",
+         "SUM(l_quantity) AS s", month_mv, "q"),
+        ("lineitem", "date_trunc('year', l_shipdate) AS y",
+         "SUM(l_quantity) AS s", month_mv, "y"),
+    ]
+    for table, key, call, mv, alias in cases:
+        df = RelBuilder(cat).scan(table).aggregate([key], [call]).to_df()
+        assert df.inputFiles() and all(
+            mv.name in f for f in df.inputFiles()
+        ), (key, df.inputFiles())
+        raw = re.search(r"\('(\w+)', (\w+)\)", key)
+        direct = (
+            cat.table(table)
+            .groupBy(F.date_trunc(raw.group(1), raw.group(2)).alias(alias))
+            .agg(F.expr(call.split(" AS ")[0]).alias(call.split(" AS ")[1]))
+        )
+        vcol = call.split(" AS ")[1]
+        got = sorted((r[alias], round(float(r[vcol]), 3)) for r in df.collect())
+        want = sorted(
+            (r[alias], round(float(r[vcol]), 3)) for r in direct.collect()
+        )
+        assert got == want, key
+    # AVG decomposes onto the tile's SUM/COUNT(*) through the
+    # hierarchy — the COUNT(*) substitution needs the documented
+    # ANALYZE zero-NULL evidence, same as every derived tier
+    cat.analyze("orders")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["AVG(o_totalprice) AS a"],
+        )
+        .to_df()
+    )
+    assert all(day_mv.name in f for f in df.inputFiles())
+    direct = (
+        cat.table("orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(F.avg("o_totalprice").alias("a"))
+    )
+    got = sorted((r.mo, round(r.a, 6)) for r in df.collect())
+    want = sorted((r.mo, round(r.a, 6)) for r in direct.collect())
+    assert got == want
+
+
+def test_grain_hierarchy_refusals(spark, tmp_path):
+    """The hierarchy walk refuses exactly where it must: month from a
+    WEEK tile (month starts are not week-aligned), COUNT(DISTINCT)
+    through the non-exact tier, a different column, and the
+    same-grain-different-alias case the expression-key contract pins."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    week_mv = reg.define(
+        cat, "gh_week_tile", "orders",
+        ["date_trunc('week', o_orderdate) AS w"],
+        ["SUM(o_totalprice) AS s"],
+        str(tmp_path / "gh_week_tile"),
+    )
+    day_mv = reg.define(
+        cat, "gh_day_tile2", "orders",
+        ["date_trunc('day', o_orderdate) AS d"],
+        ["SUM(o_totalprice) AS s", "COUNT(DISTINCT o_custkey) AS cd"],
+        str(tmp_path / "gh_day_tile2"),
+    )
+
+    def q(key, call):
+        return (
+            RelBuilder(cat).scan("orders").aggregate([key], [call]).to_df()
+        )
+
+    # month from week: not nested, refuse
+    df = q("date_trunc('month', o_orderdate) AS mo", "SUM(o_totalprice) AS s")
+    assert not any(week_mv.name in f for f in df.inputFiles())
+    # COUNT(DISTINCT) through the non-exact hierarchy tier: refuse
+    # (per-day distinct counts do not merge into monthly ones)
+    df2 = q("date_trunc('month', o_orderdate) AS mo",
+            "COUNT(DISTINCT o_custkey) AS cd")
+    assert not any(day_mv.name in f for f in df2.inputFiles())
+    # a different column never binds
+    df3 = q("date_trunc('month', o_orderdate) AS mo", "SUM(o_custkey) AS s")
+    direct = (
+        cat.table("orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(F.sum("o_custkey").alias("s"))
+    )
+    got = sorted((r.mo, r.s) for r in df3.collect())
+    want = sorted((r.mo, r.s) for r in direct.collect())
+    assert got == want
+    # same grain, different alias: the pinned expression-key refusal
+    df4 = q("date_trunc('day', o_orderdate) AS day_start",
+            "SUM(o_totalprice) AS s")
+    assert not any(day_mv.name in f for f in df4.inputFiles())
 
 
 def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
