@@ -2620,3 +2620,92 @@ def qx62_mv_percentile_array(spark, sf_dir):
         "l_returnflag string, p25_exact double, p50_exact double, "
         "p75_exact double, sketch_within_bound boolean",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "qx63_mv_grain_hierarchy",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY date_trunc('month', o_orderdate) ORDER BY mo
+    """,
+    tags=("materialize", "rewrite", "mv", "grain-hierarchy"),
+)
+def qx63_mv_grain_hierarchy(spark, sf_dir):
+    """Grain-HIERARCHY rollup (r12; ≈ Lattice's time-unit rollup —
+    materialize/Lattice.java derives coarser TimeUnits from a stored
+    finer one): a monthly report is served from the DAY tile by
+    re-truncating the stored key — date_trunc('month', day_key) ==
+    date_trunc('month', col) because every month boundary is a day
+    boundary. One day-grain tile therefore serves the whole
+    day/week/month/quarter/year report family. The negative half:
+    month from a WEEK tile must refuse (month starts are not
+    week-aligned — a silent serve would shift boundary days between
+    months). The oracle is the plain monthly aggregate; the plan
+    asserts the day-tile scan. 100 TB: the day tile is days ×
+    dimensions rows — fixed, not fact-sized — and one build serves
+    every grain above it."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="qx63_mv_")
+    mv = reg.define(
+        cat,
+        name="qx63_day_tile",
+        table="orders",
+        group_keys=["date_trunc('day', o_orderdate) AS d"],
+        agg_calls=["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        path=tmp + "/qx63_day_tile",
+    )
+    wk = reg.define(
+        cat,
+        name="qx63_week_tile",
+        table="orders",
+        group_keys=["date_trunc('week', o_orderdate) AS w"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=tmp + "/qx63_week_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_orders"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError("grain-hierarchy substitution did not fire")
+    # negative: a WEEK tile must never serve the month grouping (the
+    # day tile exists too, so assert the week tile is absent from the
+    # chosen plan AND that a week-tile-only registry refuses)
+    reg2 = MaterializationRegistry()
+    cat2 = open_catalog(spark, sf_dir)
+    wk2 = reg2.define(
+        cat2, name="qx63_week_only", table="orders",
+        group_keys=["date_trunc('week', o_orderdate) AS w"],
+        agg_calls=["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        path=tmp + "/qx63_week_only",
+    )
+    neg = (
+        RelBuilder(cat2)
+        .scan("orders")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    if any(wk2.name in f for f in neg.inputFiles()):
+        raise RuntimeError("week tile wrongly served a month grouping")
+    return df.selectExpr(
+        "mo",
+        "ROUND(sum_price, 3) AS sum_price",
+        "n_orders",
+    ).orderBy("mo")
