@@ -2151,15 +2151,21 @@ class MaterializationRegistry:
         return self._merge_aggregate(agg, merged_calls, union)
 
     @staticmethod
-    def _merge_aggregate(agg, merged_calls, union):
+    def _merge_aggregate(agg, merged_calls, union, merge_keys=None):
         """The merge aggregate above a UNION of partials: re-group by
         the query keys' STORED aliases with the query's own grouping
-        structure. groupSets merges are exact (r10): both branches emit
-        partials at the tile's FINEST grain, which every grouping set
-        coarsens — the grand-total row sums tile partials for the
+        structure — or by the caller's merge_keys override (r12 grain
+        hierarchy: a coarser re-truncation of a stored key, SIMPLE
+        grouping only). groupSets merges are exact (r10): both branches
+        emit partials at the tile's FINEST grain, which every grouping
+        set coarsens — the grand-total row sums tile partials for the
         covered range plus base partials for the residual, exactly the
         query's range."""
-        keys = tuple(_key_alias(k) for k in agg.group_keys)
+        keys = (
+            tuple(merge_keys)
+            if merge_keys is not None
+            else tuple(_key_alias(k) for k in agg.group_keys)
+        )
         if agg.group_type == "SIMPLE":
             return ir.Aggregate(keys, tuple(merged_calls), inputs=(union,))
         key_map = {_norm(k): _key_alias(k) for k in agg.group_keys}
@@ -2448,10 +2454,22 @@ class MaterializationRegistry:
         if iv.lo is None and iv.hi is None:
             return None
         # query keys must be tile keys (the raw column itself is FINER
-        # than the tile and must not appear)
-        tile_norms = {_norm(k) for k in mv.group_keys}
-        if not {_norm(k) for k in agg.group_keys} <= tile_norms:
-            return None
+        # than the tile and must not appear) OR a COARSER nesting
+        # truncation of one (r12 grain hierarchy: the range dashboard's
+        # "March 15 – Nov 20 monthly trend" groups by month over a day
+        # tile — both branches emit day partials, the merge aggregate
+        # re-truncates them; SIMPLE grouping only, like _try_rewrite)
+        tile_by_norm = {_norm(k): k for k in mv.group_keys}
+        merge_keys = []
+        for k in agg.group_keys:
+            hit = tile_by_norm.get(_norm(k))
+            if hit is not None:
+                merge_keys.append(_key_alias(hit))
+                continue
+            sub = self._grain_hierarchy_key(k, mv)
+            if sub is None or agg.group_type != "SIMPLE":
+                return None
+            merge_keys.append(sub)
         merged_calls = self._map_rollup_calls(
             agg.agg_calls, mv, False, catalog, agg.group_keys
         )
@@ -2534,7 +2552,9 @@ class MaterializationRegistry:
         if not slivers:
             # grain-ALIGNED range: the whole query is servable from the
             # tile — the filter translates verbatim into alias space
-            return self._merge_aggregate(agg, merged_calls, tile_branch)
+            return self._merge_aggregate(
+                agg, merged_calls, tile_branch, merge_keys
+            )
         base_calls = tuple(
             _tile_call_sql(fn, arg, a) for a, (fn, arg) in mv.agg_calls.items()
         )
@@ -2555,7 +2575,7 @@ class MaterializationRegistry:
             ),
         )
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
-        return self._merge_aggregate(agg, merged_calls, union)
+        return self._merge_aggregate(agg, merged_calls, union, merge_keys)
 
     # -- SPF (raw-row slice) tiers -------------------------------------
 

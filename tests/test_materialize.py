@@ -5943,6 +5943,70 @@ def test_grain_hierarchy_refusals(spark, tmp_path):
     assert not any(day_mv.name in f for f in df4.inputFiles())
 
 
+def test_grain_edge_with_hierarchy_grouping(spark, tmp_path):
+    """r12 composition: THE dashboard query — an arbitrary raw-date
+    RANGE with a MONTHLY trend grouping — served from one day tile:
+    the grain-edge union reads whole days from the tile plus two
+    sub-day... (midnight data: zero-row) slivers from the base, and
+    the merge aggregate re-truncates the day key to months. A month
+    grouping over a WEEK tile still refuses through this tier."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "geh_day_tile", "orders",
+        ["date_trunc('day', o_orderdate) AS d", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "geh_day_tile"),
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 06:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-11-20 18:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    direct = (
+        cat.table("orders").filter(cond)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = sorted((r.mo, r.o_orderpriority, round(r.s, 3), r.n)
+                 for r in df.collect())
+    want = sorted((r.mo, r.o_orderpriority, round(r.s, 3), r.n)
+                  for r in direct.collect())
+    assert got == want
+    # week tile: month grouping refuses through grain-edge too
+    reg2 = MaterializationRegistry()
+    cat2 = Catalog(spark).register_parquet_dir(SF_DIR)
+    wk = reg2.define(
+        cat2, "geh_week_tile", "orders",
+        ["date_trunc('week', o_orderdate) AS w", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s"],
+        str(tmp_path / "geh_week_tile"),
+    )
+    neg = (
+        RelBuilder(cat2)
+        .scan("orders")
+        .filter("o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'")
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    assert not any(wk.name in f for f in neg.inputFiles())
+
+
 def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
     """Seeded fuzz of the r12 successor canonicalization: 24 random
     bound combinations over the DATE-cast orders table — open/closed/
