@@ -6007,6 +6007,66 @@ def test_grain_edge_with_hierarchy_grouping(spark, tmp_path):
     assert not any(wk.name in f for f in neg.inputFiles())
 
 
+def test_hot_slice_day_tile_serves_month_trend(spark, tmp_path):
+    """r12 triple composition: the suggester's auto-built SLICED
+    day-grain tile (narrow corpus) serves a fresh MONTHLY-trend query
+    over a raw range inside the slice — hot slice × grain-edge union ×
+    grain-hierarchy re-truncation, the complete self-tuning loop for
+    the operational dashboard family."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-08 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-05-10 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-20 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1 and built[0].filter_condition is not None
+    assert any("_day" in k for k in built[0].group_keys)
+    # fresh shape the corpus never asked: month trend over an in-slice
+    # range — hierarchy re-truncates the day key above the union
+    cond = ("o_orderdate >= TIMESTAMP '1996-04-03 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-17 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    assert any(built[0].name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted((r.mo, r.o_orderpriority, round(r.s, 3))
+                 for r in df.collect())
+    want = sorted((r.mo, r.o_orderpriority, round(r.s, 3))
+                  for r in direct.collect())
+    assert got == want
+
+
 def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
     """Seeded fuzz of the r12 successor canonicalization: 24 random
     bound combinations over the DATE-cast orders table — open/closed/
