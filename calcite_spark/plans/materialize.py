@@ -1811,25 +1811,17 @@ class MaterializationRegistry:
         # unification, r10 verdict item 1). Every matched key is then
         # re-referenced as the TILE'S stored column (its alias): the
         # raw expression's inputs were aggregated away at build time.
+        # each query key resolves to the tile's stored alias, or (r12,
+        # ≈ Lattice's time-unit rollup) to a COARSER nesting
+        # re-truncation of it — date_trunc('month', day_key) ==
+        # date_trunc('month', col) because every month boundary is a
+        # day boundary: monthly reports served from the day tile, the
+        # classic OLAP hierarchy walk (groupSets refuse the derived
+        # form; the set machinery below re-references plain aliases)
         tile_by_norm = {_norm(k): k for k in mv.group_keys}
-        q_out = []  # the tile column serving each query key, in order
-        for k in agg.group_keys:
-            hit = tile_by_norm.get(_norm(k))
-            if hit is not None:
-                q_out.append(_key_alias(hit))
-                continue
-            # grain-hierarchy rollup (r12, ≈ Lattice's time-unit
-            # rollup): a COARSER truncation of a column the tile keys
-            # at a finer, NESTING grain re-truncates the stored key —
-            # date_trunc('month', day_key) == date_trunc('month', col)
-            # because every month boundary is a day boundary. Monthly
-            # reports served from the day tile, the classic OLAP
-            # hierarchy walk. groupSets stay refused here (the set
-            # machinery below re-references plain aliases).
-            sub = self._grain_hierarchy_key(k, mv)
-            if sub is None or agg.group_type != "SIMPLE":
-                return None
-            q_out.append(sub)
+        q_out = self._resolve_merge_keys(agg, mv)
+        if q_out is None:
+            return None
         # filter may only reference PLAIN tile group keys (identifier
         # check; an expression key's alias does not exist below the
         # query's aggregate, and its base columns are gone from the tile)
@@ -1877,6 +1869,28 @@ class MaterializationRegistry:
             )
         return ir.Aggregate(tuple(q_out), tuple(new_calls), inputs=(base,))
 
+    def _resolve_merge_keys(self, agg, mv: Materialization):
+        """Map each query group key to the tile column serving it:
+        exact normalized-text match → the stored alias; else a COARSER
+        nesting truncation (grain hierarchy) → a re-truncation of the
+        stored alias, SIMPLE grouping only. None when any key resolves
+        neither way. Shared by the plain rollup tier and the grain-edge
+        union (r12 review: the two copies would have drifted)."""
+        tile_by_norm = {_norm(k): k for k in mv.group_keys}
+        out = []
+        for k in agg.group_keys:
+            hit = tile_by_norm.get(_norm(k))
+            if hit is not None:
+                out.append(_key_alias(hit))
+                continue
+            if agg.group_type != "SIMPLE":
+                return None
+            sub = self._grain_hierarchy_key(k, mv)
+            if sub is None:
+                return None
+            out.append(sub)
+        return out
+
     @staticmethod
     def _grain_hierarchy_key(query_key: str, mv: Materialization):
         """`date_trunc('G', col) AS a` served by a tile keying
@@ -1888,24 +1902,21 @@ class MaterializationRegistry:
         qm = _TRUNC_KEY_RE.match(query_key)
         if qm is None:
             return None
-        q_grain, q_col = qm.group(1).lower(), qm.group(2).strip()
-        coarser_of = {
-            "hour": {"day", "week", "month", "quarter", "year"},
-            "day": {"week", "month", "quarter", "year"},
-            "month": {"quarter", "year"},
-            "quarter": {"year"},
-            "week": set(),
-        }
+        # column names compare case-insensitively like every other
+        # key-matching path (r12 review: Spark resolves identifiers
+        # case-insensitively, so a raw compare refused queries that
+        # run fine directly)
+        q_grain, q_col = qm.group(1).lower(), _norm(qm.group(2))
         for k in mv.group_keys:
             tm = _TRUNC_KEY_RE.match(k)
-            if tm is None or tm.group(2).strip() != q_col:
+            if tm is None or _norm(tm.group(2)) != q_col:
                 continue
             t_grain = tm.group(1).lower()
             # STRICTLY coarser only: the same grain under a different
             # alias stays refused — that is the pinned expression-key
             # contract (qx46/qx52 negatives: same expression, different
             # alias → no match), and this tier must not relitigate it
-            if q_grain in coarser_of.get(t_grain, ()):
+            if q_grain in _GRAIN_COARSER_OF.get(t_grain, ()):
                 alias = _key_alias(query_key)
                 return (
                     f"date_trunc('{q_grain}', {_key_alias(k)}) AS {alias}"
@@ -2459,17 +2470,9 @@ class MaterializationRegistry:
         # "March 15 – Nov 20 monthly trend" groups by month over a day
         # tile — both branches emit day partials, the merge aggregate
         # re-truncates them; SIMPLE grouping only, like _try_rewrite)
-        tile_by_norm = {_norm(k): k for k in mv.group_keys}
-        merge_keys = []
-        for k in agg.group_keys:
-            hit = tile_by_norm.get(_norm(k))
-            if hit is not None:
-                merge_keys.append(_key_alias(hit))
-                continue
-            sub = self._grain_hierarchy_key(k, mv)
-            if sub is None or agg.group_type != "SIMPLE":
-                return None
-            merge_keys.append(sub)
+        merge_keys = self._resolve_merge_keys(agg, mv)
+        if merge_keys is None:
+            return None
         merged_calls = self._map_rollup_calls(
             agg.agg_calls, mv, False, catalog, agg.group_keys
         )
@@ -2803,6 +2806,16 @@ def _grain_floor(grain: str, dt):
 
 
 _GRAIN_SNAP = {"year", "quarter", "month", "week", "day", "hour"}
+
+# grain-hierarchy nesting (r12): G is servable from g iff every
+# G-boundary is a g-boundary — week nests nothing above day
+_GRAIN_COARSER_OF = {
+    "hour": {"day", "week", "month", "quarter", "year"},
+    "day": {"week", "month", "quarter", "year"},
+    "month": {"quarter", "year"},
+    "quarter": {"year"},
+    "week": set(),
+}
 
 
 def _grain_ceil(grain: str, dt):

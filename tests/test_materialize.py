@@ -2601,7 +2601,9 @@ def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
         )
         .to_df()
     )
-    assert all("mv_month_tile" in f for f in df2.inputFiles())
+    assert df2.inputFiles() and all(
+        "mv_month_tile" in f for f in df2.inputFiles()
+    )
     direct = (
         cat.table("orders")
         .groupBy(F.date_trunc("year", "o_orderdate").alias("mo"))
@@ -5883,7 +5885,7 @@ def test_grain_hierarchy_rollup(spark, tmp_path):
         )
         .to_df()
     )
-    assert all(day_mv.name in f for f in df.inputFiles())
+    assert df.inputFiles() and all(day_mv.name in f for f in df.inputFiles())
     direct = (
         cat.table("orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
