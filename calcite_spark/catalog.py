@@ -182,6 +182,7 @@ class Catalog:
                 )
             fact, rest = m.group(1), m.group(2)
             joins = []
+            mounted = [fact]
             # each JOIN segment is an AND of equalities (composite FKs
             # are routine in warehouses — Lattice.java:201 iterates
             # RelOptUtil.conjunctions of the ON); any NON-equi term
@@ -202,6 +203,7 @@ class Catalog:
                     )
                 dim, cond = jm.groups()
                 pairs = []
+                owners_here = set()
                 for term in re.split(r"(?i)\s+AND\s+", cond):
                     em = re.fullmatch(r"(?s)\s*(\w+)\s*=\s*(\w+)\s*", term)
                     if em is None:
@@ -210,10 +212,23 @@ class Catalog:
                             "equalities (optionally AND-ed); got "
                             f"non-equi term {term.strip()!r} in JOIN {dim}"
                         )
-                    pairs.append(
-                        self._resolve_join_sides(fact, dim, *em.groups())
+                    owner, lc, dc = self._resolve_join_sides(
+                        mounted, dim, *em.groups()
                     )
-                joins.append((dim, pairs))
+                    owners_here.add(owner)
+                    pairs.append((lc, dc))
+                if len(owners_here) > 1:
+                    # one FK has ONE owning table; a join whose
+                    # equalities span two left tables has no composite
+                    # FK to declare and no peel proof — refuse loudly
+                    raise ValueError(
+                        f"lattice join to {dim!r}: equalities reference "
+                        f"multiple left tables {sorted(owners_here)!r} — "
+                        "each JOIN must link the dimension to exactly "
+                        "one previously joined table"
+                    )
+                joins.append((dim, pairs, owners_here.pop()))
+                mounted.append(dim)
         else:
             fact = lat["fact"]
             joins = []
@@ -244,16 +259,18 @@ class Catalog:
                             f"lattice join: {dc!r} is not a column of "
                             f"dimension table {j['dim']!r}"
                         )
-                joins.append((j["dim"], list(zip(fcs, dcs))))
-        for dim, pairs in joins:
+                joins.append((j["dim"], list(zip(fcs, dcs)), fact))
+        for dim, pairs, owner in joins:
             # single-equality joins declare the scalar FK; composite
             # joins declare a COMPOSITE FK (r12) — a per-column FK
             # would be a STRONGER, unvouched claim (each column alone
             # need not hit the dim). The composite FK feeds the peel
             # prover once analyze_deep verifies the dim's composite
             # unique key and ANALYZE grounds the fact columns' NULLs.
+            # The FK's owner is the join's LEFT table — the fact for
+            # star joins, an earlier dimension for snowflake chains.
             self.declare_foreign_key(
-                fact,
+                owner,
                 [fc for fc, _ in pairs],
                 dim,
                 [dc for _, dc in pairs],
@@ -276,7 +293,7 @@ class Catalog:
                 )
             from calcite_spark.plans.materialize import LatticeSuggester
 
-            owners = [fact] + [d for d, _ in joins]
+            owners = [fact] + [d for d, _, _ in joins]
             ndvs = {
                 d: LatticeSuggester._key_ndv(self, d, owners) for d in dims
             }
@@ -315,11 +332,27 @@ class Catalog:
                     continue
                 if len(t) == 1:
                     # single-dim picks reuse the NDV measured for the
-                    # ranking two lines above — no second table scan
+                    # ranking two lines above — no second table scan;
+                    # fact_rows reads ANALYZE stats / cached counts
+                    # first (ADVICE r12: calling catalog.row_count
+                    # directly triggered full fact scans at model-mount
+                    # time that _estimate_benefit's rows() avoids)
+                    def _rows(tb):
+                        entry = self.tables.get(tb)
+                        if entry is not None and entry.row_count:
+                            return entry.row_count
+                        if (
+                            entry is not None
+                            and entry.stats
+                            and entry.stats.get("rows")
+                        ):
+                            return entry.stats["rows"]
+                        return self.row_count(tb)
+
                     est = ndvs[t[0]]
                     fact_rows = max(
-                        self.row_count(tb) for tb in ([fact] if not joins
-                                                      else owners)
+                        _rows(tb) for tb in ([fact] if not joins
+                                             else owners)
                     )
                 else:
                     proposal = {
@@ -390,7 +423,12 @@ class Catalog:
             if joins:
                 b = RelBuilder(self)
                 b.scan(fact)
-                for dim, pairs in joins:
+                for dim, pairs, _owner in joins:
+                    # snowflake chains compose naturally here: the
+                    # accumulated left tree already carries the owner
+                    # dimension's columns, so the same equality text
+                    # resolves whether the owner is the fact or an
+                    # earlier dim (join order follows the model's)
                     b.scan(dim)
                     b.join(" AND ".join(f"{fc} = {dc}" for fc, dc in pairs))
                 b.aggregate(dims, measures)
@@ -405,38 +443,49 @@ class Catalog:
                 )
 
     def _resolve_join_sides(
-        self, fact: str, dim: str, a: str, b: str
-    ) -> tuple[str, str]:
-        """Orient one lattice-join equality as (fact_col, dim_col),
-        requiring each identifier to belong to EXACTLY one of the two
-        tables (ADVICE r11: a typo'd name was silently treated as the
-        fact column and declared a bogus FK; a name on both tables was
-        resolved arbitrarily). Refuse-over-guess, like the rest of the
-        model loader."""
-        fact_cols = set(self.table(fact).columns)
+        self, mounted: list, dim: str, a: str, b: str
+    ) -> tuple[str, str, str]:
+        """Orient one lattice-join equality as (owner, owner_col,
+        dim_col), where owner is the SINGLE previously mounted table
+        (the fact, or — snowflake chains, ADVICE r12 — an earlier
+        dimension; the reference's Lattice.Builder accepts a JOIN
+        whose ON references a previously joined dim) the left side
+        belongs to. Each identifier must resolve to EXACTLY one table
+        across {mounted tables} ∪ {dim} (ADVICE r11: a typo'd name was
+        silently treated as the fact column and declared a bogus FK; a
+        name on two tables was resolved arbitrarily).
+        Refuse-over-guess, like the rest of the model loader."""
         dim_cols = set(self.table(dim).columns)
         sides = {}
         for ident in (a, b):
-            in_f, in_d = ident in fact_cols, ident in dim_cols
-            if not in_f and not in_d:
+            owners = [
+                t for t in mounted if ident in set(self.table(t).columns)
+            ]
+            in_d = ident in dim_cols
+            if not owners and not in_d:
                 raise ValueError(
                     f"lattice join: {ident!r} is a column of neither "
-                    f"fact table {fact!r} nor dimension {dim!r}"
+                    f"dimension {dim!r} nor any previously joined "
+                    f"table {mounted!r}"
                 )
-            if in_f and in_d:
+            if (owners and in_d) or len(owners) > 1:
+                both = owners + ([dim] if in_d else [])
                 raise ValueError(
-                    f"lattice join: {ident!r} exists on BOTH {fact!r} "
-                    f"and {dim!r} — qualify the model with distinct "
-                    "column names; refusing to guess the side"
+                    f"lattice join: {ident!r} exists on more than one "
+                    f"table ({both!r}) — qualify the model with "
+                    "distinct column names; refusing to guess the side"
                 )
-            sides[ident] = "fact" if in_f else "dim"
-        if sides[a] == sides[b]:
+            sides[ident] = dim if in_d else owners[0]
+        if (sides[a] == dim) == (sides[b] == dim):
             raise ValueError(
-                f"lattice join: {a!r} and {b!r} are both columns of "
-                f"the {sides[a]} table — each equality must link the "
-                "fact to the dimension"
+                f"lattice join: {a!r} and {b!r} resolve to "
+                f"{sides[a]!r} and {sides[b]!r} — each equality must "
+                f"link the new dimension {dim!r} to exactly one "
+                "previously joined table"
             )
-        return (a, b) if sides[a] == "fact" else (b, a)
+        if sides[a] == dim:
+            return (sides[b], b, a)
+        return (sides[a], a, b)
 
     def register_materialization(self, name: str, path: str, sql: str) -> None:
         """≈ materialize/MaterializationService.defineMaterialization."""

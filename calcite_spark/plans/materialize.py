@@ -1901,6 +1901,38 @@ class MaterializationRegistry:
         hour < day < {week, month < quarter < year}."""
         qm = _TRUNC_KEY_RE.match(query_key)
         if qm is None:
+            # EXTRACT-form time groupings (r13, verdict item 3 ≈
+            # materialize/Lattice.java:751 DerivedColumn):
+            # `YEAR(col)` / `EXTRACT(YEAR FROM col)` — the other
+            # universal BI spelling — derives from any month-or-finer
+            # tile key because f(date_trunc(g, x)) == f(x) whenever g
+            # preserves the field f (year from month keys, month from
+            # day keys, never WEEK from month keys). The query's OWN
+            # spelling is re-applied to the stored alias, so indexing
+            # conventions (dayofweek Sunday-vs-Monday base) carry over
+            # verbatim.
+            em = _EXTRACT_KEY_RE.match(query_key)
+            if em is None:
+                return None
+            if em.group(1) is not None:  # EXTRACT(FIELD FROM col)
+                field_txt, q_col = em.group(1), em.group(2)
+                rebuild = "EXTRACT({f} FROM {a})".format
+            else:  # field_fn(col)
+                field_txt, q_col = em.group(3), em.group(4)
+                rebuild = "{f}({a})".format
+            canon = _EXTRACT_FIELD_CANON.get(field_txt.lower())
+            if canon is None:
+                return None  # not a date-field function: refuse
+            q_col, alias = _norm(q_col), em.group(5)
+            for k in mv.group_keys:
+                tm = _TRUNC_KEY_RE.match(k)
+                if tm is None or _norm(tm.group(2)) != q_col:
+                    continue
+                if tm.group(1).lower() in _EXTRACT_SAFE_GRAINS[canon]:
+                    return (
+                        rebuild(f=field_txt, a=_key_alias(k))
+                        + f" AS {alias}"
+                    )
             return None
         # column names compare case-insensitively like every other
         # key-matching path (r12 review: Spark resolves identifiers
@@ -2436,7 +2468,11 @@ class MaterializationRegistry:
                 continue
             for k in mv.group_keys:
                 m = _TRUNC_KEY_RE.match(k)
-                if m and m.group(2).strip() == c:
+                # case-insensitive like Spark's identifier resolution
+                # (ADVICE r12: the raw compare silently lost grain-edge
+                # serving on mixed-case columns — mirror
+                # _grain_hierarchy_key's _norm)
+                if m and _norm(m.group(2)) == _norm(c):
                     grain, alias, col = m.group(1).lower(), _key_alias(k), c
                     break
             if grain is not None:
@@ -2761,6 +2797,49 @@ _TRUNC_KEY_RE = re.compile(
     r"\s+AS\s+[A-Za-z_]\w*\s*$"
 )
 
+# EXTRACT-form grouping keys (r13): `EXTRACT(YEAR FROM col) AS a` or
+# `year(col) AS a` — groups 1/2 for the EXTRACT spelling, 3/4 for the
+# function spelling, 5 the alias.
+_EXTRACT_KEY_RE = re.compile(
+    r"(?is)^\s*(?:EXTRACT\s*\(\s*(\w+)\s+FROM\s+([A-Za-z_]\w*)\s*\)"
+    r"|(\w+)\s*\(\s*([A-Za-z_]\w*)\s*\))"
+    r"\s+AS\s+([A-Za-z_]\w*)\s*$"
+)
+
+# Spellings → canonical field. Covers Spark's EXTRACT field names and
+# the standalone function names; anything else refuses (the function
+# whitelist IS the proof obligation — an unknown f(col) has no
+# f(date_trunc(g, x)) == f(x) guarantee).
+_EXTRACT_FIELD_CANON = {
+    "year": "year", "years": "year", "yr": "year", "yrs": "year",
+    "yearofweek": "yearofweek", "isoyear": "yearofweek",
+    "quarter": "quarter", "qtr": "quarter",
+    "month": "month", "months": "month", "mon": "month", "mons": "month",
+    "week": "week", "weeks": "week", "weekofyear": "week", "w": "week",
+    "day": "day", "days": "day", "d": "day", "dayofmonth": "day",
+    "dayofweek": "dayofweek", "dayofweek_iso": "dayofweek",
+    "dow": "dayofweek", "dow_iso": "dayofweek", "weekday": "dayofweek",
+    "dayofyear": "dayofyear", "doy": "dayofyear",
+    "hour": "hour", "hours": "hour",
+}
+
+# Field → tile grains that PRESERVE it: f(date_trunc(g, x)) == f(x).
+# year/quarter/month exclude week tiles (a week straddles month and
+# year boundaries); day-level fields need day-or-finer keys; week and
+# yearofweek survive the week truncation (ISO weeks run Mon–Sun and
+# Spark's date_trunc('week') is the Monday).
+_EXTRACT_SAFE_GRAINS = {
+    "year": {"year", "quarter", "month", "day", "hour"},
+    "quarter": {"quarter", "month", "day", "hour"},
+    "month": {"month", "day", "hour"},
+    "week": {"week", "day", "hour"},
+    "yearofweek": {"week", "day", "hour"},
+    "day": {"day", "hour"},
+    "dayofweek": {"day", "hour"},
+    "dayofyear": {"day", "hour"},
+    "hour": {"hour"},
+}
+
 
 def _parse_ts(iso: str):
     """Canonical ISO text (the _parse_lit 'date' kind) → datetime, or
@@ -2851,7 +2930,8 @@ def _grain_slice_ok(region_entry, group_keys) -> bool:
     grain = None
     for k in group_keys:
         m = _TRUNC_KEY_RE.match(k)
-        if m and m.group(2).strip() == col:
+        # case-insensitive column compare (ADVICE r12, same as above)
+        if m and _norm(m.group(2)) == _norm(col):
             grain = m.group(1).lower()
             break
     if grain is None or grain not in _GRAIN_SNAP:
@@ -3495,20 +3575,32 @@ class LatticeSuggester:
             if p.get("filter_condition"):
                 name += "_hot"
             if name in registry.mvs:
-                # same name, same KEY SET: the tile already exists.
-                # Different key set (r12 review: a month→day grain
-                # flip swaps one key for another WITHOUT changing the
-                # count, the first same-name-different-keys case) —
-                # disambiguate with a content hash instead of silently
-                # skipping the build the new corpus needs
-                if {_norm(k) for k in registry.mvs[name].group_keys} == {
+                # same name, same KEY SET, same SLICE: the tile already
+                # exists. Different key set (r12 review: a month→day
+                # grain flip swaps one key for another WITHOUT changing
+                # the count) or different slice filter (ADVICE r12: a
+                # later corpus whose observed lows extend BELOW an
+                # existing _hot slice must not be silently skipped —
+                # queries stayed correct via the slice-escape base
+                # scan, but the self-tuning benefit stalled) —
+                # disambiguate with a content hash over keys AND slice
+                # instead of skipping the build the new corpus needs
+                ex = registry.mvs[name]
+                if {_norm(k) for k in ex.group_keys} == {
                     _norm(k) for k in p["group_keys"]
-                }:
+                } and _norm(ex.filter_condition or "") == _norm(
+                    p.get("filter_condition") or ""
+                ):
                     continue
                 import hashlib
 
                 name += "_" + hashlib.md5(
-                    repr(tuple(sorted(p["group_keys"]))).encode()
+                    repr(
+                        (
+                            tuple(sorted(p["group_keys"])),
+                            p.get("filter_condition"),
+                        )
+                    ).encode()
                 ).hexdigest()[:6]
                 if name in registry.mvs:
                     continue

@@ -1035,56 +1035,17 @@ def qx24_hilbert_index(spark, sf_dir):
     )
 
 
-@register(
-    "qx26_hilbert_dwithin",
-    oracle="""
-    SELECT c_custkey AS pid
-    FROM (
-      SELECT c_custkey,
-             CAST(c_custkey % 64 AS BIGINT) + 0.5 AS x,
-             CAST((c_custkey // 64) % 64 AS BIGINT) + 0.5 AS y
-      FROM customer
-    )
-    WHERE sqrt(pow(x - 22.0, 2) + pow(y - 6.0, 2)) <= 9.0
-    ORDER BY pid
-    """,
-    tags=("spatial", "hilbert", "rewrite"),
-)
-def qx26_hilbert_dwithin(spark, sf_dir):
-    """FilterHilbertRule end-to-end ≈ rel/rules/SpatialRules.java: the
-    compact ST_DWITHIN predicate over a table carrying the
-    CHECK (h = Hilbert(order, x, y)) constraint is rewritten by
-    default_program into pushable `h BETWEEN` ranges AND the exact
-    predicate; the oracle replays ONLY the exact distance filter — a
-    value match proves the range cover lost no rows and admitted no
-    extras on real data."""
-    from calcite_spark.functions.hilbert import hilbert_sql
-    from calcite_spark.plans.builder import RelBuilder
-    from calcite_spark.plans.rewrite import default_program
-
-    cat = catalog_for(spark, sf_dir)
-    pts = cat.table("customer").selectExpr(
-        "c_custkey AS pid",
-        "CAST(c_custkey % 64 AS DOUBLE) + 0.5 AS x",
-        "CAST(CAST(c_custkey / 64 AS BIGINT) % 64 AS DOUBLE) + 0.5 AS y",
-    )
-    pts = pts.selectExpr(
-        "pid", "x", "y",
-        f"{hilbert_sql('x', 'y', 6, (0.0, 64.0, 0.0, 64.0))} AS h",
-    )
-    cat.register_df("hilbert_pts", pts)
-    cat.register_hilbert_constraint(
-        "hilbert_pts", "h", "x", "y", 6, (0.0, 64.0, 0.0, 64.0)
-    )
-    plan = (
-        RelBuilder(cat)
-        .scan("hilbert_pts")
-        .filter("ST_DWITHIN(ST_MAKEPOINT(22.0, 6.0), ST_MAKEPOINT(x, y), 9.0)")
-        .build()
-    )
-    rewritten = default_program(cat).run(plan)
-    assert "BETWEEN" in rewritten.condition  # the ranges actually fired
-    return rewritten.to_df(cat).selectExpr("pid").orderBy("pid")
+# qx26_hilbert_dwithin retired from the registry in r13 (the r12
+# verdict's rotation arithmetic: 50 r10-green + owed qx59..qx63 = 55
+# claims on 50 slots — pre-receipted candidate #3 at inventory.py's
+# r13 window plan). Receipts, re-verified before removal:
+# qx24_hilbert_index remains the driver row for the Hilbert curve
+# itself (in the r13 window), the FilterHilbertRule DWITHIN rewrite —
+# range-cover firing, exact-predicate retention, negative-distance
+# refusal — is plan-pinned in tests/test_hilbert.py (the _dwithin_plan
+# battery asserts "BETWEEN" ranges fire and values match the exact
+# distance filter on real data), and qx25_spatial_join (r13 window)
+# keeps the distributed spatial-predicate path driver-green.
 
 
 @register(

@@ -83,36 +83,17 @@ def z31_window_running_sum(spark, sf_dir):
     )
 
 
-@register(
-    "z32_window_sliding_frame",
-    oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
-    FROM lineitem WHERE l_suppkey <= 20
-    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
-    """,
-    tags=("window", "frame", "sliding"),
-)
-def z32_window_sliding_frame(spark, sf_dir):
-    """Bounded ROWS frame (3-row moving average)."""
-    return (
-        _b(spark, sf_dir)
-        .scan("lineitem")
-        .filter("l_suppkey <= 20")
-        .window(
-            [
-                "ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey "
-                "ORDER BY l_shipdate, l_orderkey, l_linenumber "
-                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3",
-            ],
-            keep=("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"),
-        )
-        .sort("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
-        .project("l_suppkey", "l_orderkey", "l_linenumber", "ma3")
-        .to_df()
-    )
+# z32_window_sliding_frame retired from the registry in r13 (the r12
+# verdict's rotation arithmetic: 50 r10-green + owed qx59..qx63 = 55
+# claims on 50 slots — pre-receipted candidate #2 at inventory.py's
+# r13 window plan). Receipts, re-verified before removal:
+# z31_window_running_sum (UNBOUNDED PRECEDING ROWS frame) and
+# z33_window_range_frame (RANGE frame) remain driver rows in the r13
+# window through the SAME .window() builder lowering, the bounded
+# ROWS-frame grid (k PRECEDING .. CURRENT ROW and both-sides frames)
+# is pinned in the frontend window tests (tests/test_sql_frontend.py)
+# and replayed in winagg.iq and the breadth corpus's moving-average
+# shapes vs DuckDB every round.
 
 
 @register(

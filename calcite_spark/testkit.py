@@ -38,6 +38,7 @@ statement has a top-level ORDER BY — Quidem's rule.
 
 from __future__ import annotations
 
+import decimal
 import re
 from dataclasses import dataclass, field
 
@@ -63,6 +64,15 @@ def _fmt_val(v) -> str:
         return "true" if v else "false"
     if isinstance(v, float):
         s = f"{round(v, 6):.6f}".rstrip("0").rstrip(".")
+        return s if s not in ("", "-") else "0"
+    if isinstance(v, decimal.Decimal):
+        # scale is formatting, not value: Spark's DECIMAL(38,18) for a
+        # bare ::numeric prints 2.500000000000000000 where DuckDB's
+        # DECIMAL(18,3) prints 2.500 — strip trailing fraction zeros
+        # so equal values compare equal (r13, ADVICE item 5)
+        s = str(v)
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
         return s if s not in ("", "-") else "0"
     return str(v)
 

@@ -2992,7 +2992,9 @@ def test_window_null_order_divergence_pinned(fe, duck):
 # chained/recursive CTEs, set-op type coercion and LIMIT binding,
 # scalar-subquery arithmetic, DISTINCT ON, quantified HAVING, the
 # standard empty grouping set (GROUP BY () — Spark's parser lacks it;
-# the frontend now lowers it to GROUPING SETS (())), and TRY_CAST.
+# since r13 the frontend lowers it by DROPPING the clause: the r12
+# GROUPING SETS (()) spelling returned zero rows on EMPTY input where
+# the standard requires one grand-total row), and TRY_CAST.
 # Probed over 20 candidates; everything below agrees engine-to-engine.
 CORPUS21 = [
     # 1 GROUP BY ALL infers the grouping keys from the select list
@@ -3025,6 +3027,13 @@ CORPUS21 = [
     # 9 standard EMPTY grouping set: one grand-total group
     """SELECT COUNT(*) AS n, ROUND(SUM(n_regionkey), 1) AS s
        FROM nation GROUP BY ()""",
+    # 9b EMPTY grouping set over EMPTY input: still exactly one row,
+    # COUNT(*)=0 (the r12 judge repro)
+    """SELECT COUNT(*) AS n, SUM(n_regionkey) AS s
+       FROM nation WHERE n_nationkey < 0 GROUP BY ()""",
+    # 9c same composed with HAVING on the empty grand total
+    """SELECT COUNT(*) AS n FROM nation WHERE n_nationkey < 0
+       GROUP BY () HAVING COUNT(*) = 0""",
     # 10 DISTINCT ON picks the first row per group under the sort
     """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
        FROM nation ORDER BY n_regionkey, n_name""",

@@ -4528,6 +4528,92 @@ def test_model_lattice_bad_sql_refuses(spark, tmp_path):
         Catalog(spark).load_model(_write_model(tmp_path, model))
 
 
+def test_model_lattice_snowflake_chain(spark, tmp_path):
+    """A snowflake lattice — a JOIN whose ON references a previously
+    joined dimension (customer→nation), which the reference's
+    Lattice.Builder accepts — mounts, declares the FK on the OWNING
+    dimension (not the fact), materializes the chain tile, and serves
+    the star query with exact values (ADVICE r12 item 3: this shape
+    used to refuse with 'column of neither fact nor dimension')."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+            {"name": "nation", "path": f"{SF_DIR}/nation.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "snow",
+                "sql": (
+                    "SELECT * FROM orders "
+                    "JOIN customer ON o_custkey = c_custkey "
+                    "JOIN nation ON c_nationkey = n_nationkey"
+                ),
+                "tiles": [
+                    {
+                        "dimensions": ["n_name"],
+                        "measures": ["SUM(o_totalprice) AS rev",
+                                     "COUNT(*) AS n"],
+                    }
+                ],
+            }
+        ],
+    }
+    cat = Catalog(spark).load_model(_write_model(tmp_path, model))
+    # the snowflake FK lands on customer (the chain's owner), not orders
+    assert ("c_nationkey", "nation", "n_nationkey") in cat.tables[
+        "customer"
+    ].foreign_keys
+    df = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .scan("nation").join("c_nationkey = n_nationkey")
+        .aggregate(["n_name"],
+                   ["SUM(o_totalprice) AS rev", "COUNT(*) AS n"])
+        .to_df()
+    )
+    assert all("snow_tile0" in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .join(cat.table("nation"), F.expr("c_nationkey = n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    got = {(r.n_name, round(r.rev, 3), r.n) for r in df.collect()}
+    want = {(r.n_name, round(r.rev, 3), r.n) for r in direct.collect()}
+    assert got == want
+
+
+def test_model_lattice_snowflake_mixed_owner_refuses(spark, tmp_path):
+    """One JOIN whose equalities span TWO left tables has no single FK
+    owner — refuse loudly rather than declare an unvouched constraint."""
+    model = {
+        "tables": [
+            {"name": "orders", "path": f"{SF_DIR}/orders.parquet"},
+            {"name": "customer", "path": f"{SF_DIR}/customer.parquet"},
+            {"name": "lineitem", "path": f"{SF_DIR}/lineitem.parquet"},
+        ],
+        "warehouse": str(tmp_path / "wh"),
+        "lattices": [
+            {
+                "name": "bad",
+                "sql": (
+                    "SELECT * FROM lineitem "
+                    "JOIN orders ON l_orderkey = o_orderkey "
+                    "JOIN customer ON o_custkey = c_custkey "
+                    "AND l_linenumber = c_nationkey"
+                ),
+                "tiles": [{"dimensions": ["c_mktsegment"],
+                           "measures": ["COUNT(*) AS n"]}],
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="multiple left tables"):
+        Catalog(spark).load_model(_write_model(tmp_path, model))
+
+
 # ---------------------------------------------------------------------
 # r11: HAVING over groupSets lifts through the frontend and is served
 # from a tile (verdict item 6)
@@ -5350,7 +5436,7 @@ def test_model_lattice_join_side_validation(spark, tmp_path):
         Catalog(spark).load_model(
             _write_model(tmp_path, mk("o_custkye = c_custkey")))
     # both identifiers on the same table is caught too
-    with pytest.raises(ValueError, match="both columns of"):
+    with pytest.raises(ValueError, match="must link the new dimension"):
         Catalog(spark).load_model(
             _write_model(tmp_path, mk("o_custkey = o_orderkey")))
     # structured form validates sides explicitly

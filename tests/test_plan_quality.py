@@ -61,7 +61,11 @@ def test_asof_single_shuffle(spark):
 
 
 def test_semi_join_stays_semi(spark):
-    rep = plan_report(QS["z04_semi_join"](spark, SF_DIR))
+    # z04 retired from the driver registry in r13 (receipts at
+    # queries/tpch.py); the plan pin calls the function directly.
+    from calcite_spark.queries.tpch import z04_semi_join
+
+    rep = plan_report(z04_semi_join(spark, SF_DIR))
     assert re.search(r"LeftSemi", rep["text"]), "EXISTS must plan as a semi join"
 
 
