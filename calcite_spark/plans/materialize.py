@@ -3033,6 +3033,13 @@ class _ShapeStat:
     # (month boundaries are day-aligned), at more tile rows, which the
     # benefit gate still bounds
     filter_span: dict = field(default_factory=dict)
+    # per-column week-alignment evidence (r13, verdict item 6): True
+    # while EVERY observed bound on the column is a Monday midnight —
+    # a weekly-dashboard corpus (7–61-day week-aligned ranges) then
+    # gets a WEEK tile, ~7× smaller than the day tile it got before.
+    # One unaligned bound poisons the pick back to day (day serves
+    # every week-aligned range too; the reverse does not hold).
+    filter_wk: dict = field(default_factory=dict)
 
 
 class LatticeSuggester:
@@ -3100,6 +3107,7 @@ class LatticeSuggester:
             fcols: set = set()
             flos: dict = {}
             fspans: dict = {}
+            fwks: dict = {}
             if isinstance(child, ir.Filter):
                 # DATE columns in a conjunctive region are the
                 # grain-edge-servable shape — record them so suggest()
@@ -3119,6 +3127,11 @@ class LatticeSuggester:
                         flos[c] = lo
                         if lo is not None and hi is not None:
                             fspans[c] = hi - lo
+                        fwks[c] = all(
+                            _grain_floor("week", b) == b
+                            for b in (lo, hi)
+                            if b is not None
+                        )
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
             calls = self._record_calls(n.agg_calls)
@@ -3140,6 +3153,7 @@ class LatticeSuggester:
                 st.filter_cols |= fcols
                 self._merge_filter_lo(st, flos)
                 self._merge_filter_span(st, fspans)
+                self._merge_filter_wk(st, fwks)
                 continue
             # join shapes accept the same keys the single-table branch
             # does — plain columns or `expr AS alias` (r11, ≈ the
@@ -3173,12 +3187,18 @@ class LatticeSuggester:
             st.filter_cols |= fcols
             self._merge_filter_lo(st, flos)
             self._merge_filter_span(st, fspans)
+            self._merge_filter_wk(st, fwks)
 
     @staticmethod
     def _merge_filter_span(st: _ShapeStat, fspans: dict) -> None:
         for c, span in fspans.items():
             cur = st.filter_span.get(c)
             st.filter_span[c] = span if cur is None else min(cur, span)
+
+    @staticmethod
+    def _merge_filter_wk(st: _ShapeStat, fwks: dict) -> None:
+        for c, ok in fwks.items():
+            st.filter_wk[c] = st.filter_wk.get(c, True) and ok
 
     @staticmethod
     def _merge_filter_lo(st: _ShapeStat, flos: dict) -> None:
@@ -3245,8 +3265,21 @@ class LatticeSuggester:
                     if s2.filter_span.get(c) is not None
                 ]
                 narrowest = min(spans) if spans else None
+                wk_ok = all(
+                    s2.filter_wk.get(c, True) for s2 in stats
+                )
                 if narrowest is None or narrowest.days >= 62:
                     grain = "month"
+                elif narrowest.days >= 7 and wk_ok:
+                    # weekly-dashboard corpus (r13, verdict item 6):
+                    # every observed bound is a Monday midnight and the
+                    # narrowest range holds at least one whole week —
+                    # the week tile is ~7× smaller than the day tile
+                    # and the week grain-edge tier (r11) serves it.
+                    # Any unaligned bound falls back to day, which
+                    # serves week-aligned ranges too (the reverse does
+                    # not hold: week tiles cannot split a week).
+                    grain = "week"
                 elif narrowest.total_seconds() >= 2 * 86400:
                     grain = "day"
                 else:

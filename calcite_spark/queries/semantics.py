@@ -2709,3 +2709,95 @@ def qx63_mv_grain_hierarchy(spark, sf_dir):
         "ROUND(sum_price, 3) AS sum_price",
         "n_orders",
     ).orderBy("mo")
+
+
+@register(
+    "qx64_mv_extract_grouping",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           o_orderpriority,
+           ROUND(SUM(o_totalprice), 3) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-03-15 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'
+    GROUP BY EXTRACT(YEAR FROM o_orderdate), o_orderpriority
+    ORDER BY yr, o_orderpriority
+    """,
+    tags=("materialize", "rewrite", "mv", "extract", "grain-edge"),
+)
+def qx64_mv_extract_grouping(spark, sf_dir):
+    """EXTRACT-form time groupings served from date_trunc tiles (r13;
+    ≈ materialize/Lattice.java:751 DerivedColumn — the lattice derives
+    YEAR/MONTH columns from a stored finer time unit; the filter-side
+    twin is DateRangeRules.java:73, mirrored by q81): the OTHER
+    universal BI spelling — EXTRACT(YEAR FROM col) / YEAR(col) — is
+    exactly derivable from any month-or-finer tile key because
+    f(date_trunc(g, x)) == f(x) whenever grain g preserves field f.
+    Composed here with the grain-edge union over a raw, non-aligned
+    date RANGE: whole days come from the day tile, the edge residue
+    from the base, and the merge aggregate re-derives the year from
+    the stored day key. In-row negative: EXTRACT(WEEK) from a
+    month-keyed tile refuses (a week straddles month boundaries — a
+    silent serve would misassign boundary days). 100 TB: the day tile
+    is days × priorities rows regardless of fact size; the yearly
+    report never rescans the fact."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="qx64_mv_")
+    mv = reg.define(
+        cat,
+        name="qx64_day_tile",
+        table="orders",
+        group_keys=[
+            "date_trunc('day', o_orderdate) AS d", "o_orderpriority"
+        ],
+        agg_calls=["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        path=tmp + "/qx64_day_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1994-03-15 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 00:00:00'"
+        )
+        .aggregate(
+            ["EXTRACT(YEAR FROM o_orderdate) AS yr", "o_orderpriority"],
+            ["SUM(o_totalprice) AS sum_price", "COUNT(*) AS n_orders"],
+        )
+        .to_df()
+    )
+    if not any(mv.name in f for f in df.inputFiles()):
+        raise RuntimeError("EXTRACT grouping was not served from the tile")
+    # in-row negative: WEEK is not preserved by a month truncation
+    reg2 = MaterializationRegistry()
+    cat2 = open_catalog(spark, sf_dir)
+    mon = reg2.define(
+        cat2, name="qx64_month_only", table="orders",
+        group_keys=["date_trunc('month', o_orderdate) AS m"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=tmp + "/qx64_month_only",
+    )
+    neg = (
+        RelBuilder(cat2)
+        .scan("orders")
+        .aggregate(
+            ["EXTRACT(WEEK FROM o_orderdate) AS w"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    if any(mon.name in f for f in neg.inputFiles()):
+        raise RuntimeError("month tile wrongly served an EXTRACT(WEEK)")
+    return df.selectExpr(
+        "CAST(yr AS BIGINT) AS yr",
+        "o_orderpriority",
+        "ROUND(sum_price, 3) AS sum_price",
+        "n_orders",
+    ).orderBy("yr", "o_orderpriority")

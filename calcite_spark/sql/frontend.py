@@ -322,9 +322,16 @@ class SqlFrontend:
     # iterating. Semantics note: the rewrite maps to Spark CAST, which
     # TRUNCATES float→int where PostgreSQL rounds — CAST's own
     # documented divergence (Hive lineage), not the shorthand's.
+    # the type side accepts trailing [] pairs — PG array types (r13:
+    # `x::int[]`, `ARRAY[]::INT[]` — PG's only spelling of a typed
+    # empty array — crashed Spark's parser before)
+    # operand calls allow ONE paren nesting level (r13: the expanded
+    # ARRAY[ARRAY[1]] literal is array(array(1)) — the flat pattern
+    # left its ::type unapplied and Spark crashed on the dangling [])
     _PG_CAST_RE = re.compile(
-        r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
-        r"\s*::\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+        r"((?:-\s*)?\w+\((?:[^()]|\([^()]*\))*\)|(?:-\s*)?[\w.]+"
+        r"|'[^']*'|\([^()]*\))"
+        r"\s*::\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*\[\s*\])*)",
     )
 
     # PG type names normalized to their Spark spellings (r12 — found
@@ -340,6 +347,24 @@ class SqlFrontend:
     }
 
     def _pg_type(self, t: str) -> str:
+        # PG array types: strip trailing [] pairs, map the element
+        # type, wrap in Spark's ARRAY<...> (int[] → ARRAY<INT>,
+        # text[] → ARRAY<STRING>, int[][] → ARRAY<ARRAY<INT>> — PG
+        # itself ignores declared dimensionality, but nested casts are
+        # the intuitive reading and Spark honors them)
+        depth = 0
+        t = t.strip()
+        while t.endswith("]"):
+            inner = t[:-1].rstrip()
+            if not inner.endswith("["):
+                break
+            t = inner[:-1].rstrip()
+            depth += 1
+        if depth:
+            elem = self._pg_type(t)
+            for _ in range(depth):
+                elem = f"ARRAY<{elem}>"
+            return elem
         m = re.match(r"(\w+)(.*)", t, re.S)
         base = m.group(1).lower()
         name = self._PG_TYPE_ALIASES.get(base, m.group(1))

@@ -6155,6 +6155,174 @@ def test_hot_slice_day_tile_serves_month_trend(spark, tmp_path):
     assert got == want
 
 
+def test_extract_groupings_from_tiles(spark, tmp_path):
+    """r13 (verdict item 3 ≈ Lattice.java:751 DerivedColumn):
+    EXTRACT-form time groupings — YEAR(col), EXTRACT(YEAR FROM col),
+    quarter/month/dayofweek — are served from date_trunc tiles by
+    re-applying the query's own field spelling to the stored key,
+    exact because f(date_trunc(g, x)) == f(x) whenever grain g
+    preserves field f. Refusals: WEEK/DOY from month keys (a week
+    straddles months), HOUR from day keys, unknown functions."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    month_mv = reg.define(
+        cat, "exg_month_tile", "orders",
+        ["date_trunc('month', o_orderdate) AS m", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "exg_month_tile"),
+    )
+    day_mv = reg.define(
+        cat, "exg_day_tile", "lineitem",
+        ["date_trunc('day', l_shipdate) AS d"],
+        ["SUM(l_quantity) AS s"],
+        str(tmp_path / "exg_day_tile"),
+    )
+    cases = [
+        ("orders", "year(o_orderdate) AS yr", month_mv, "yr"),
+        ("orders", "EXTRACT(YEAR FROM o_orderdate) AS yr", month_mv, "yr"),
+        ("orders", "EXTRACT(MONTH FROM o_orderdate) AS mo", month_mv, "mo"),
+        ("orders", "quarter(o_orderdate) AS q", month_mv, "q"),
+        ("lineitem", "dayofweek(l_shipdate) AS dw", day_mv, "dw"),
+        ("lineitem", "weekofyear(l_shipdate) AS wk", day_mv, "wk"),
+        ("lineitem", "EXTRACT(DOY FROM l_shipdate) AS dy", day_mv, "dy"),
+    ]
+    for table, key, mv, alias in cases:
+        call = ("SUM(o_totalprice) AS s" if table == "orders"
+                else "SUM(l_quantity) AS s")
+        df = RelBuilder(cat).scan(table).aggregate([key], [call]).to_df()
+        assert df.inputFiles() and all(
+            mv.name in f for f in df.inputFiles()
+        ), (key, df.inputFiles())
+        direct = (
+            cat.table(table)
+            .groupBy(F.expr(key.split(" AS ")[0]).alias(alias))
+            .agg(F.expr(call.split(" AS ")[0]).alias("s"))
+        )
+        got = sorted((r[alias], round(float(r.s), 3)) for r in df.collect())
+        want = sorted(
+            (r[alias], round(float(r.s), 3)) for r in direct.collect()
+        )
+        assert got == want, key
+    # refusal grid: field not preserved by the tile grain → base scan
+    # (values still exact via the direct plan)
+    refusals = [
+        ("orders", "EXTRACT(WEEK FROM o_orderdate) AS w", month_mv),
+        ("orders", "dayofyear(o_orderdate) AS dy", month_mv),
+        ("orders", "dayofweek(o_orderdate) AS dw", month_mv),
+        ("lineitem", "hour(l_shipdate) AS h", day_mv),
+        ("orders", "upper(o_orderpriority) AS u", month_mv),
+    ]
+    for table, key, mv in refusals:
+        df = (
+            RelBuilder(cat)
+            .scan(table)
+            .aggregate([key], ["COUNT(*) AS n"])
+            .to_df()
+        )
+        assert not any(mv.name in f for f in df.inputFiles()), key
+
+
+def test_extract_grouping_over_grain_edge_range(spark, tmp_path):
+    """r13 composition: a YEARLY trend spelled EXTRACT(YEAR ...) over
+    an arbitrary raw-date range — the grain-edge union reads whole
+    days from the tile plus edge slivers from the base, and the merge
+    aggregate re-derives the year from the day key."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "exge_day_tile", "orders",
+        ["date_trunc('day', o_orderdate) AS d", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "exge_day_tile"),
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1994-03-15 06:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-11-20 18:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["EXTRACT(YEAR FROM o_orderdate) AS yr", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        )
+        .to_df()
+    )
+    assert any(mv.name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond)
+        .groupBy(F.expr("EXTRACT(YEAR FROM o_orderdate)").alias("yr"),
+                 "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    got = sorted((r.yr, r.o_orderpriority, round(r.s, 3), r.n)
+                 for r in df.collect())
+    want = sorted((r.yr, r.o_orderpriority, round(r.s, 3), r.n)
+                  for r in direct.collect())
+    assert got == want
+
+
+def test_hot_slice_escape_composition(spark, tmp_path):
+    """r13 (verdict item 7): the one composition r12 left untested — a
+    HOT-SLICED day tile serving a MONTHLY grouping over a range that
+    ESCAPES the slice: slice-escape slivers (read from the base) plus
+    the in-slice tile read merge under the hierarchy re-truncation in
+    ONE plan, and values are exact."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-08 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-05-10 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-20 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1 and built[0].filter_condition is not None
+    # the query's range starts BEFORE the slice (1996-03-01 floor) —
+    # the pre-slice span must come from the base scan, the in-slice
+    # whole days from the tile, and the month merge re-truncates both
+    cond = ("o_orderdate >= TIMESTAMP '1995-11-20 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-08-17 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(built[0].name in f for f in files), files  # tile read
+    assert any(built[0].name not in f for f in files), files  # escape
+    direct = (
+        cat.table("orders").filter(cond)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted((r.mo, r.o_orderpriority, round(r.s, 3))
+                 for r in df.collect())
+    want = sorted((r.mo, r.o_orderpriority, round(r.s, 3))
+                  for r in direct.collect())
+    assert got == want
+
+
 def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
     """Seeded fuzz of the r12 successor canonicalization: 24 random
     bound combinations over the DATE-cast orders table — open/closed/
@@ -6589,6 +6757,84 @@ def test_suggester_narrow_ranges_pick_day_grain(spark, tmp_path):
     got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
     want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
     assert got == want
+
+
+def test_suggester_week_grain_for_weekly_corpus(spark, tmp_path):
+    """r13 (verdict item 6): a WEEKLY-dashboard corpus — every observed
+    bound a Monday midnight, narrowest range exactly one week — picks
+    the WEEK grain (~7× fewer tile rows than the day grain it got
+    before), slices at the week floor, and serves a fresh week-aligned
+    range through the week grain-edge tier. One unaligned bound in a
+    second corpus poisons the pick back to day."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        # 1996-03-04 / 1996-03-11 / 1996-05-06 / 1996-06-03: Mondays
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-11 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-05-06 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-03 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p,) = sug.suggest(min_count=2)
+    assert any("o_orderdate_week" in k for k in p["group_keys"]), p
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1, sug.decisions
+    assert any("_week" in k for k in built[0].group_keys)
+    # slice floor at the WEEK grain of the lowest observed lo
+    assert built[0].filter_condition == (
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00'"
+    ), built[0].filter_condition
+    # fresh week-aligned range the corpus never asked — served
+    cond = ("o_orderdate >= TIMESTAMP '1996-04-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-29 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert any(built[0].name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond).groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = {(r.o_orderpriority, round(r.s, 3)) for r in df.collect()}
+    want = {(r.o_orderpriority, round(r.s, 3)) for r in direct.collect()}
+    assert got == want
+    # an UNALIGNED bound (Friday) in an otherwise 7-day corpus poisons
+    # the week pick: day grain
+    cat2 = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug2 = LatticeSuggester().attach(cat2)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-11 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' "  # Friday
+        "AND o_orderdate < TIMESTAMP '1996-03-08 00:00:00'",
+    ):
+        (
+            RelBuilder(cat2)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p2,) = sug2.suggest(min_count=2)
+    assert any("o_orderdate_day" in k for k in p2["group_keys"]), p2
 
 
 def test_suggester_grain_flip_builds_second_tile(spark, tmp_path):
