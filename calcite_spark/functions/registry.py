@@ -181,10 +181,27 @@ _reg("BITCOUNT", "bit_count({0})", (1,))
 
 # BigQuery SAFE_* checked arithmetic (SqlLibraryOperators SAFE_ADD..):
 # NULL on overflow/invalid — Spark's try_* family is the exact analog
-_reg("SAFE_ADD", "try_add({0}, {1})", (2,), libs=(BIG_QUERY,))
-_reg("SAFE_SUBTRACT", "try_subtract({0}, {1})", (2,), libs=(BIG_QUERY,))
-_reg("SAFE_MULTIPLY", "try_multiply({0}, {1})", (2,), libs=(BIG_QUERY,))
-_reg("SAFE_DIVIDE", "try_divide({0}, {1})", (2,), libs=(BIG_QUERY,))
+# DOUBLE overflow must also yield NULL (big-query.iq:701,762,846,963:
+# SAFE_ADD(1.7e308, 1.7e308) is NULL, not Infinity — r13, found by the
+# batch-25 corpus replay): a ±Infinity RESULT from finite inputs is the
+# overflow; an Infinity INPUT passes through, and NaN passes through
+# both guards (Spark orders NaN above Infinity, so NaN = Infinity is
+# false and the CASE falls to the raw result).
+def _safe_ovf(op: str) -> str:
+    raw = f"{op}({{0}}, {{1}})"
+    inf = "CAST('Infinity' AS DOUBLE)"
+    return (
+        f"CASE WHEN abs(CAST({raw} AS DOUBLE)) = {inf} "
+        f"AND abs(CAST({{0}} AS DOUBLE)) <> {inf} "
+        f"AND abs(CAST({{1}} AS DOUBLE)) <> {inf} "
+        f"THEN NULL ELSE {raw} END"
+    )
+
+
+_reg("SAFE_ADD", _safe_ovf("try_add"), (2,), libs=(BIG_QUERY,))
+_reg("SAFE_SUBTRACT", _safe_ovf("try_subtract"), (2,), libs=(BIG_QUERY,))
+_reg("SAFE_MULTIPLY", _safe_ovf("try_multiply"), (2,), libs=(BIG_QUERY,))
+_reg("SAFE_DIVIDE", _safe_ovf("try_divide"), (2,), libs=(BIG_QUERY,))
 _reg("SAFE_NEGATE", "try_multiply({0}, -1)", (1,), libs=(BIG_QUERY,))
 
 # ---------------------------------------------------------------------
@@ -424,7 +441,17 @@ _reg("REGEXP_SUBSTR", "", (2,), libs=(BIG_QUERY,))
 # STRING_STRING_OPTIONAL_STRING — the 3-arg matchType form routes
 # through std_regex.regexp_like (makeRegexpFlags → inline-flag prefix)
 _reg("REGEXP_LIKE", "{0} RLIKE {1}", (2, 3), libs=(MYSQL, ORACLE, SPARK, POSTGRESQL, REDSHIFT), kind="predicate")
-_reg("CONTAINS_SUBSTR", "contains({0}, {1})", (2,), libs=(BIG_QUERY,))
+# CASE-INSENSITIVE containment (big-query.iq:2117: 'the blue house'
+# CONTAINS_SUBSTR 'Blue house' is TRUE — r13, found by the batch-25
+# corpus replay; the old case-sensitive contains() returned FALSE).
+# BigQuery also NFKC-normalizes ('Ⅸ' matches 'IX') — not done here;
+# documented delta, lower() covers the case fold that real predicates
+# hit.
+_reg(
+    "CONTAINS_SUBSTR", "contains(lower({0}), lower({1}))", (2,),
+    libs=(BIG_QUERY,),
+    note="case-insensitive per BigQuery; NFKC normalization not applied",
+)
 _reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL, BIG_QUERY, REDSHIFT, SPARK))
 
 # ---------------------------------------------------------------------
@@ -472,6 +499,16 @@ _reg("TIMESTAMPADD", "timestampadd({0}, {1}, {2})", (3,))
 _reg("TIMESTAMPDIFF", "timestampdiff({0}, {1}, {2})", (3,))
 _reg("DATE_ADD", "date_add({0}, {1})", (2,), libs=(SPARK, HIVE), note="Calcite DATE_ADD_SPARK models exactly this")
 _reg("DATE_SUB", "date_sub({0}, {1})", (2,), libs=(SPARK, HIVE))
+# BigQuery spells DATE_ADD(date, INTERVAL n unit) and returns DATE
+# (big-query.iq:3137,3373) — interval arithmetic, cast back to DATE
+_reg(
+    "DATE_ADD", "CAST(({0} + {1}) AS DATE)", (2,), libs=(BIG_QUERY,),
+    variant_of="DATE_ADD",
+)
+_reg(
+    "DATE_SUB", "CAST(({0} - {1}) AS DATE)", (2,), libs=(BIG_QUERY,),
+    variant_of="DATE_SUB",
+)
 _reg("DATEDIFF", "datediff({0}, {1})", (2,), libs=(SPARK, HIVE, MYSQL))
 _reg(
     "DATE_DIFF",
@@ -482,7 +519,25 @@ _reg(
     "timestampdiff counts full periods where BigQuery counts boundary "
     "crossings for YEAR/MONTH — documented delta",
 )
-_reg("DATE_TRUNC", "date_trunc({0}, {1})", (2,), libs=(BIG_QUERY, POSTGRESQL))
+_reg(
+    "TIMESTAMP_DIFF",
+    "timestampdiff({2}, {1}, {0})",
+    (3,),
+    libs=(BIG_QUERY,),
+    note="BigQuery TIMESTAMP_DIFF(a, b, part) = a - b in `part` units "
+    "(big-query.iq:3776-3799), same shape as DATE_DIFF",
+)
+# PG spells date_trunc('unit', expr); BigQuery spells
+# DATE_TRUNC(expr, unit) with a bare-keyword unit and returns DATE for
+# DATE input — a library-specific variant flips the args, quotes the
+# unit, accepts WEEK(MONDAY) (Spark weeks start Monday; other anchors
+# refuse in translate()), and casts back to DATE (r13, batch 25;
+# big-query.iq:3887)
+_reg("DATE_TRUNC", "date_trunc({0}, {1})", (2,), libs=(POSTGRESQL,))
+_reg(
+    "DATE_TRUNC", "", (2,), libs=(BIG_QUERY,), variant_of="DATE_TRUNC",
+    note="BigQuery arg order; handled in translate()",
+)
 _reg("DATE_PART", "date_part({0}, {1})", (2,), libs=(POSTGRESQL,))
 _reg("MONTHNAME", "date_format({0}, 'MMMM')", (1,), libs=(MYSQL,))
 _reg("DAYNAME", "date_format({0}, 'EEEE')", (1,), libs=(MYSQL,))
@@ -764,8 +819,30 @@ _reg("SUBSTRING_INDEX", "substring_index({0}, {1}, {2})", (3,), libs=(MYSQL, SPA
 # plain \\Q..\\E split form it replaces lacked those branches)
 _reg("STARTSWITH", "startswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHOUSE), kind="predicate")
 _reg("ENDSWITH", "endswith({0}, {1})", (2,), libs=(SNOWFLAKE, SPARK, CLICKHOUSE), kind="predicate")
-_reg("TO_CODE_POINTS", "transform(split({0}, ''), c -> ascii(c))", (1,), libs=(BIG_QUERY,), note="BMP code points (ascii() per char)")
-_reg("CODE_POINTS_TO_STRING", "concat_ws('', transform({0}, c -> char(c)))", (1,), libs=(BIG_QUERY,))
+# empty string → NULL, matching the reference fixture
+# (big-query.iq:2433 — the bare split('','') produced [0]; r13 batch 25)
+_reg(
+    "TO_CODE_POINTS",
+    "CASE WHEN length({0}) = 0 THEN NULL "
+    "ELSE transform(split({0}, ''), c -> ascii(c)) END",
+    (1,),
+    libs=(BIG_QUERY,),
+    note="BMP code points (ascii() per char)",
+)
+# NULL input and NULL elements → NULL (big-query.iq:2340,2350 — the
+# bare concat_ws SKIPPED nulls, returning '' for a NULL array and 'A'
+# for [65, NULL]; r13 batch 25). The CAST types a bare NULL literal so
+# the lambda analyzes; >0xFF code points remain a documented delta
+# (Spark chr() wraps at 256).
+_reg(
+    "CODE_POINTS_TO_STRING",
+    "CASE WHEN CAST({0} AS ARRAY<INT>) IS NULL "
+    "OR exists(CAST({0} AS ARRAY<INT>), c -> c IS NULL) THEN NULL "
+    "ELSE concat_ws('', transform(CAST({0} AS ARRAY<INT>), "
+    "c -> char(c))) END",
+    (1,),
+    libs=(BIG_QUERY,),
+)
 _reg("BASE64", "base64({0})", (1,), libs=(HIVE,), note="HIVE-gated per SqlLibraryOperators.java:1930 (MySQL spells it TO_BASE64)")
 _reg("UN_BASE64", "unbase64({0})", (1,), libs=(MYSQL,))
 # predicates / operators
@@ -1253,6 +1330,22 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 f"regexp_extract_all({args[0]}, {_sql_str(pat)}, {groups})"
             )
         return f"regexp_extract_all({args[0]}, {args[1]})"
+    if fn.name == "DATE_TRUNC" and fn.libraries == (BIG_QUERY,):
+        import re as _re
+
+        unit = args[1].strip().strip("'\"`")
+        m = _re.match(r"(?i)^week\s*\(\s*(\w+)\s*\)$", unit)
+        if m:
+            if m.group(1).upper() != "MONDAY":
+                raise ValueError(
+                    "DATE_TRUNC: only WEEK(MONDAY) is supported — "
+                    "Spark's date_trunc('week') starts weeks on Monday; "
+                    f"WEEK({m.group(1)}) has no exact lowering"
+                )
+            unit = "WEEK"
+        if not _re.fullmatch(r"(?i)\w+", unit):
+            raise ValueError(f"DATE_TRUNC: malformed unit {args[1]!r}")
+        return f"CAST(date_trunc('{unit}', {args[0]}) AS DATE)"
     if (
         fn.name in ("DATEADD", "DATEDIFF", "DATE_PART")
         and not fn.template

@@ -1,0 +1,281 @@
+"""Babel corpus sampling, batch 25 (r13, VERDICT r12 item 5): the
+unmined big-query.iq classes — SAFE_* checked arithmetic's full
+overflow/NaN envelope, the unix-epoch converter family, BigQuery
+DATE_ADD/DATE_SUB/DATE_DIFF/TIMESTAMP_DIFF, DATE_TRUNC(date, unit)
+with the WEEK(MONDAY) anchor, STRPOS/CONTAINS_SUBSTR, code-point
+converters, and IS_INF/IS_NAN — replayed through the library
+mechanism against the corpus' own expected values and, where
+expressible, DuckDB native twins.
+
+Three divergences found by this batch and fixed in registry.py:
+  * SAFE_ADD/SUBTRACT/MULTIPLY/DIVIDE returned Infinity on DOUBLE
+    overflow where BigQuery returns NULL (big-query.iq:701,762,846,
+    963) — now guarded (finite inputs + infinite result → NULL; an
+    Infinity INPUT still passes through, NaN passes through).
+  * CONTAINS_SUBSTR was case-SENSITIVE where BigQuery is
+    case-insensitive (big-query.iq:2117) — now lower()-folded (NFKC
+    normalization remains a documented delta: the 'Ⅸ'→'IX'
+    fixture).
+  * TIMESTAMP_DIFF / BigQuery-order DATE_TRUNC / INTERVAL-form
+    DATE_ADD/DATE_SUB were not registered at all.
+
+Fixture lines cite babel/src/test/resources/sql/big-query.iq.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from calcite_spark.functions import registry
+
+
+def _bq(spark, name, *args):
+    expr = registry.translate(name, *args, library="BIG_QUERY")
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+# -- SAFE_* checked arithmetic (big-query.iq:669-997) ------------------
+
+I64_MAX = "9223372036854775807"
+
+
+def test_bq_safe_add_envelope(spark):
+    assert _bq(spark, "SAFE_ADD", "5", "4") == 9                 # :669
+    assert _bq(spark, "SAFE_ADD", I64_MAX, "2") is None          # :680
+    assert _bq(spark, "SAFE_ADD", "-9223372036854775806", "-3") is None
+    # DOUBLE overflow → NULL, not Infinity (:701 — the r13 fix)
+    assert _bq(
+        spark, "SAFE_ADD",
+        "CAST(1.7e308 AS DOUBLE)", "CAST(1.7e308 AS DOUBLE)",
+    ) is None
+    # DECIMAL overflow → NULL (:712, the calcite6328-gated fixture;
+    # the sum's precision exceeds DECIMAL(38,0))
+    assert _bq(
+        spark, "SAFE_ADD",
+        "CAST(9.9e37 AS DECIMAL(38, 0))",
+        "CAST(9.9e37 AS DECIMAL(38, 0))",
+    ) is None
+    # NaN passes through (:724)
+    assert math.isnan(
+        _bq(spark, "SAFE_ADD", "CAST('NaN' AS DOUBLE)", "3")
+    )
+
+
+def test_bq_safe_divide_envelope(spark):
+    assert _bq(spark, "SAFE_DIVIDE", "20", "4") == 5.0           # :741
+    assert _bq(
+        spark, "SAFE_DIVIDE", "-9223372036854775806", "0"
+    ) is None                                                    # :752
+    assert _bq(
+        spark, "SAFE_DIVIDE",
+        "CAST(1.7e308 AS DOUBLE)", "CAST(1.7e-308 AS DOUBLE)",
+    ) is None                                                    # :762
+    assert math.isnan(
+        _bq(spark, "SAFE_DIVIDE", "CAST('NaN' AS DOUBLE)", "3")
+    )                                                            # :787
+    # :798 — a finite huge quotient stays finite
+    got = _bq(
+        spark, "SAFE_DIVIDE",
+        "1", f"CAST(1 AS DOUBLE) / CAST({I64_MAX} AS DOUBLE)",
+    )
+    assert got == pytest.approx(9.223372036854776e18)
+    # an Infinity INPUT is not an overflow: result passes through
+    assert _bq(
+        spark, "SAFE_DIVIDE", "CAST('Infinity' AS DOUBLE)", "2"
+    ) == float("inf")
+
+
+def test_bq_safe_multiply_negate_subtract(spark):
+    assert _bq(spark, "SAFE_MULTIPLY", "5", "4") == 20           # :814
+    assert _bq(spark, "SAFE_MULTIPLY", I64_MAX, "2") is None     # :825
+    assert _bq(
+        spark, "SAFE_MULTIPLY",
+        "CAST(1.7e308 AS DOUBLE)", "CAST(3 AS BIGINT)",
+    ) is None                                                    # :846
+    assert math.isnan(
+        _bq(spark, "SAFE_MULTIPLY", "CAST('NaN' AS DOUBLE)", "3")
+    )                                                            # :869
+    assert _bq(spark, "SAFE_NEGATE", "5") == -5                  # :885
+    assert _bq(spark, "SAFE_NEGATE", "-5") == 5                  # :895
+    assert _bq(
+        spark, "SAFE_NEGATE", "-9223372036854775808"
+    ) is None                                                    # :905
+    assert _bq(spark, "SAFE_NEGATE", "1 + 2 + 3 + 4") == -10     # :915
+    assert _bq(spark, "SAFE_SUBTRACT", "5", "4") == 1            # :931
+    assert _bq(spark, "SAFE_SUBTRACT", I64_MAX, "-2") is None    # :942
+    assert _bq(
+        spark, "SAFE_SUBTRACT",
+        "CAST(1.7e308 AS DOUBLE)", "CAST(-1.7e308 AS DOUBLE)",
+    ) is None                                                    # :963
+    assert _bq(spark, "SAFE_SUBTRACT", "1 + 2 + 3", "5") == 1    # :997
+
+
+# -- IS_INF / IS_NAN / LOG family (big-query.iq:1784-1902) -------------
+
+
+def test_bq_is_inf_is_nan_log(spark, duck):
+    assert _bq(spark, "IS_INF", "3") is False                    # :1784
+    assert _bq(spark, "IS_INF", "CAST('Infinity' AS DOUBLE)") is True
+    assert _bq(spark, "IS_INF", "CAST('NaN' AS DOUBLE)") is False
+    assert _bq(spark, "IS_NAN", "3") is False                    # :1820
+    assert _bq(spark, "IS_NAN", "CAST('Infinity' AS DOUBLE)") is False
+    assert _bq(spark, "IS_NAN", "CAST('NaN' AS DOUBLE)") is True
+    # LN(100) (:1858); BQ LOG(x) = natural log (:1885); LOG(64, 8) = 2
+    want_ln = duck.execute("SELECT ln(100)").fetchone()[0]
+    assert _bq(spark, "LN", "100") == pytest.approx(want_ln)
+    assert _bq(spark, "LOG", "100") == pytest.approx(want_ln)
+    assert _bq(spark, "LOG", "64", "8") == pytest.approx(2.0)    # :1875
+    assert _bq(spark, "LOG10", "100") == pytest.approx(2.0)      # :1902
+
+
+# -- STRPOS / CONTAINS_SUBSTR (big-query.iq:2079-2127) -----------------
+
+
+def test_bq_strpos_contains_substr(spark, duck):
+    cases = [("'abc'", "'a'", 1), ("'abc'", "'d'", 0),
+             ("'abcabc'", "'bc'", 2)]                            # :2079
+    for a, b, want in cases:
+        assert _bq(spark, "STRPOS", a, b) == want
+        native = duck.execute(
+            f"SELECT strpos({a}, {b})"
+        ).fetchone()[0]
+        assert want == native
+    # case-INSENSITIVE containment (:2117 — the r13 fix)
+    assert _bq(
+        spark, "CONTAINS_SUBSTR", "'the blue house'", "'Blue house'"
+    ) is True
+    assert _bq(
+        spark, "CONTAINS_SUBSTR", "'the red house'", "'blue'"
+    ) is False                                                   # :2127
+    # NFKC normalization ('Ⅸ' vs 'IX', :2137) is a documented delta —
+    # pin the DIVERGENCE so a silent behavior change is caught
+    assert _bq(
+        spark, "CONTAINS_SUBSTR", "'Ⅸ day'", "'IX'"
+    ) is False  # BigQuery: TRUE (NFKC); lower()-fold only here
+
+
+# -- code points (big-query.iq:2310-2453) ------------------------------
+
+
+def test_bq_code_points(spark):
+    assert _bq(
+        spark, "CODE_POINTS_TO_STRING", "array(65, 66, 67, 68)"
+    ) == "ABCD"                                                  # :2310
+    assert _bq(
+        spark, "CODE_POINTS_TO_STRING", "array(1+2, 3)"
+    ) == "\x03\x03"                                              # :2330
+    assert _bq(spark, "CODE_POINTS_TO_STRING", "NULL") is None   # :2340
+    assert _bq(
+        spark, "CODE_POINTS_TO_STRING", "array(65, CAST(NULL AS INT))"
+    ) is None                                                    # :2350
+    assert _bq(spark, "TO_CODE_POINTS", "'ABCD'") == [65, 66, 67, 68]
+    assert _bq(spark, "TO_CODE_POINTS", "CAST(NULL AS STRING)") is None
+    assert _bq(spark, "TO_CODE_POINTS", "''") is None            # :2433
+    # >0xFF code points: Spark's chr() wraps at 256 — pin the
+    # documented delta (big-query.iq:2320 expects 'ÿþЀ𑅰')
+    assert _bq(
+        spark, "CODE_POINTS_TO_STRING", "array(65, 256 + 66)"
+    ) == "AB"  # BigQuery: 'AĂ'
+
+
+# -- unix epoch converters (big-query.iq:2839-3105) --------------------
+
+
+def test_bq_unix_converters(spark, duck):
+    xmas = "TIMESTAMP '2008-12-25 15:30:00'"
+    assert str(_bq(spark, "TIMESTAMP_SECONDS", "1230219000")).startswith(
+        "2008-12-25 15:30:00"
+    )                                                            # :2839
+    assert str(
+        _bq(spark, "TIMESTAMP_MILLIS", "1230219000000")
+    ).startswith("2008-12-25 15:30:00")                          # :2864
+    assert str(
+        _bq(spark, "TIMESTAMP_MICROS", "1230219000000000")
+    ).startswith("2008-12-25 15:30:00")                          # :2886
+    assert _bq(spark, "UNIX_SECONDS", xmas) == 1230219000        # :2956
+    assert _bq(spark, "UNIX_MILLIS", xmas) == 1230219000000      # :2974
+    assert _bq(spark, "UNIX_MICROS", xmas) == 1230219000000000   # :2992
+    # round-trip through DuckDB's native epoch math
+    want = duck.execute(
+        "SELECT epoch(TIMESTAMP '2008-12-25 15:30:00')"
+    ).fetchone()[0]
+    assert _bq(spark, "UNIX_SECONDS", xmas) == int(want)
+    assert str(
+        _bq(spark, "TIMESTAMP_SECONDS", "1234567890")
+    ).startswith("2009-02-13 23:31:30")                          # :2917
+    # DATE_FROM_UNIX_DATE / UNIX_DATE (:3055-3105)
+    assert str(_bq(spark, "DATE_FROM_UNIX_DATE", "14238")) == "2008-12-25"
+    assert str(_bq(spark, "DATE_FROM_UNIX_DATE", "0")) == "1970-01-01"
+    assert _bq(spark, "UNIX_DATE", "DATE '2008-12-25'") == 14238
+    assert _bq(spark, "UNIX_DATE", "DATE '1970-01-01'") == 0
+    assert _bq(spark, "UNIX_DATE", "DATE '1931-12-25'") < 0
+    assert _bq(spark, "UNIX_DATE", "CAST(NULL AS DATE)") is None
+
+
+# -- date/timestamp arithmetic (big-query.iq:3137-3887) ----------------
+
+
+def test_bq_date_add_sub_diff(spark, duck):
+    # DATE_ADD/DATE_SUB take INTERVAL args and return DATE (:3137,:3373)
+    got = _bq(
+        spark, "DATE_ADD", "DATE '2008-12-25'", "INTERVAL 5 DAY"
+    )
+    assert str(got) == "2008-12-30"
+    got = _bq(
+        spark, "DATE_SUB", "DATE '2008-12-25'", "INTERVAL 5 DAY"
+    )
+    assert str(got) == "2008-12-20"
+    got = _bq(
+        spark, "DATE_ADD", "DATE '2008-12-25'", "INTERVAL 2 MONTH"
+    )
+    assert str(got) == "2009-02-25"
+    # DATE_DIFF(a, b, part) = a - b (:3523)
+    assert _bq(
+        spark, "DATE_DIFF",
+        "DATE '2010-07-07'", "DATE '2008-12-25'", "DAY",
+    ) == 559
+    native = duck.execute(
+        "SELECT date_diff('day', DATE '2008-12-25', DATE '2010-07-07')"
+    ).fetchone()[0]
+    assert native == 559
+    # TIMESTAMP_DIFF negative + quarter (:3776,:3799)
+    assert _bq(
+        spark, "TIMESTAMP_DIFF",
+        "TIMESTAMP '2018-08-14 00:00:00'",
+        "TIMESTAMP '2018-10-14 00:00:00'", "DAY",
+    ) == -61
+    assert _bq(
+        spark, "TIMESTAMP_DIFF",
+        "TIMESTAMP '2008-12-25 00:00:00'",
+        "TIMESTAMP '2008-09-25 00:00:00'", "QUARTER",
+    ) == 1
+
+
+def test_bq_date_trunc_week_anchor(spark, duck):
+    # BigQuery arg order (date, unit), DATE return type (:3887)
+    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "WEEK")
+    assert str(got) == "2013-12-23"  # the Monday
+    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "WEEK(MONDAY)")
+    assert str(got) == "2013-12-23"
+    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "MONTH")
+    assert str(got) == "2013-12-01"
+    native = duck.execute(
+        "SELECT CAST(date_trunc('week', DATE '2013-12-25') AS DATE)"
+    ).fetchone()[0]
+    assert str(got if False else native) == "2013-12-23"
+    # non-Monday anchors have no exact Spark lowering: refuse loudly
+    with pytest.raises(ValueError, match="WEEK\\(MONDAY\\)"):
+        registry.translate(
+            "DATE_TRUNC", "DATE '2013-12-25'", "WEEK(SUNDAY)",
+            library="BIG_QUERY",
+        )
+    # the PG spelling (unit first) is untouched by the BQ variant
+    e = registry.translate(
+        "DATE_TRUNC", "'month'", "DATE '2013-12-25'",
+        library="POSTGRESQL",
+    )
+    assert str(
+        spark.sql(f"SELECT {e} AS v").collect()[0].v
+    ).startswith("2013-12-01")
