@@ -464,6 +464,21 @@ _passthrough(
     "SECOND DAYOFWEEK DAYOFYEAR WEEKOFYEAR DAYOFMONTH"
 )
 _reg("WEEK", "weekofyear({0})", (1,), libs=(MYSQL,))
+# Oracle/Redshift ADD_MONTHS snaps month-END to month-END
+# (redshift.iq:1014: add_months(date '2008-04-30', 1) is 2008-05-31;
+# Spark's builtin clamps day-of-month and returns 2008-05-30 — r13,
+# found by the batch-25 replay). Snap when the input's date part is
+# its month's last day. Return type follows Spark (DATE); Redshift
+# formats the same value as a midnight TIMESTAMP — documented delta.
+_reg(
+    "ADD_MONTHS",
+    "CASE WHEN CAST({0} AS DATE) = last_day({0}) "
+    "THEN last_day(add_months({0}, {1})) "
+    "ELSE add_months({0}, {1}) END",
+    (2,),
+    libs=(ORACLE, REDSHIFT),
+    variant_of="ADD_MONTHS",
+)
 _reg("LOCALTIME", "current_timestamp()", (0,), note="no TIME type (SURVEY §1.2)")
 # FLOOR/CEIL(dt TO unit): 2-arg form takes the unit as a quoted string
 # ('MONTH'). CEIL rounds UP to the next boundary unless already on one;

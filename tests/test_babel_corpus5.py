@@ -253,6 +253,47 @@ def test_bq_date_add_sub_diff(spark, duck):
     ) == 1
 
 
+def _rs(spark, name, *args):
+    expr = registry.translate(name, *args, library="REDSHIFT")
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+# -- Redshift ADD_MONTHS month-end snap (redshift.iq:1004-1023) --------
+
+
+def test_rs_add_months_month_end_snap(spark):
+    """Redshift (and Oracle) ADD_MONTHS snaps a month-END input to the
+    result month's END: add_months('2008-04-30', 1) = 2008-05-31 —
+    Spark's builtin clamps day-of-month (2008-05-30). The r13 library
+    variant snaps; non-end days keep Spark's clamp semantics."""
+    assert str(_rs(
+        spark, "ADD_MONTHS", "DATE '2008-03-31'", "1"
+    )) == "2008-04-30"                                           # :1009
+    assert str(_rs(
+        spark, "ADD_MONTHS", "DATE '2008-04-30'", "1"
+    )) == "2008-05-31"                                           # :1014
+    assert str(_rs(
+        spark, "ADD_MONTHS", "DATE '2008-03-31'", "-1"
+    )) == "2008-02-29"                                           # :1018
+    # timestamp input: the snap keys on the DATE part (:1022)
+    assert str(_rs(
+        spark, "ADD_MONTHS", "TIMESTAMP '2008-03-31 12:23:34'", "1"
+    )) == "2008-04-30"
+    # mid-month stays plain Spark arithmetic
+    assert str(_rs(
+        spark, "ADD_MONTHS", "DATE '2008-02-15'", "1"
+    )) == "2008-03-15"
+    # leap-year end-of-Feb snaps forward to end-of-March
+    assert str(_rs(
+        spark, "ADD_MONTHS", "DATE '2008-02-29'", "1"
+    )) == "2008-03-31"
+    # the plain (STANDARD/SPARK) name keeps the builtin clamp
+    e = registry.translate("ADD_MONTHS", "DATE '2008-04-30'", "1")
+    assert str(
+        spark.sql(f"SELECT {e} AS v").collect()[0].v
+    ) == "2008-05-30"
+
+
 def test_bq_date_trunc_week_anchor(spark, duck):
     # BigQuery arg order (date, unit), DATE return type (:3887)
     got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "WEEK")

@@ -64,6 +64,11 @@ ALLOWED_EXTRA = {
     # has TO_BASE64 (the reference gates only MYSQL)
     "SYSDATE": {"REDSHIFT"},
     "TO_BASE64": {"BIG_QUERY"},
+    # corpus-pinned: redshift.iq:1004-1023 exercises ADD_MONTHS with
+    # the month-end snap (native Redshift has it; the reference gates
+    # the operator ORACLE+SPARK only) — the r13 snap variant carries
+    # REDSHIFT so the redshift corpus gets the snap semantics too
+    "ADD_MONTHS": {"REDSHIFT"},
 }
 
 STD = {"STANDARD", "ALL"}
