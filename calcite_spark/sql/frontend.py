@@ -775,6 +775,80 @@ class SqlFrontend:
                 )
             text = text[: m.start()] + rep + text[m.end() :]
 
+    # PG reads a BARE-NUMBER interval string as SECONDS
+    # (babel postgresql.iq:22-42: CAST('3723' AS INTERVAL HOUR TO
+    # SECOND) is +01:02:03, CAST('2' AS INTERVAL) is 2 seconds) —
+    # Spark rejects the multi-field and field-less spellings outright.
+    # Only digit-only literals rewrite, and only for the field-less
+    # form and ranges ENDING in SECOND (where the PG seconds reading
+    # is exact); single-field forms stay with Spark (CAST('3721' AS
+    # INTERVAL SECOND) already parses), and anything else still
+    # refuses loudly in Spark's parser.
+    _PG_IVL_CAST_RE = re.compile(
+        r"(?i)\bCAST\s*\(\s*'([+-]?\d+)'\s+AS\s+INTERVAL"
+        r"(\s+\w+\s+TO\s+SECOND)?\s*\)"
+    )
+
+    def _expand_pg_interval_cast(self, text: str) -> str:
+        def _sub(m):
+            if text.count("'", 0, m.start()) % 2 == 1:
+                return m.group(0)
+            return f"CAST('{m.group(1)}' AS INTERVAL SECOND)"
+
+        return self._PG_IVL_CAST_RE.sub(_sub, text)
+
+    # PG coerces a '{...}' string literal to an array when compared
+    # against one (babel postgresql.iq:43-58: array[0,1,2] = '{0,1,2}')
+    # — Spark refuses the type mix. Rewrites the literal next to an
+    # =/<>/!= against an (expanded) array(...) constructor into an
+    # array literal: unquoted numeric elements stay numeric, quoted or
+    # textual elements become string literals, {} is the empty array.
+    _PG_ARRTXT_L = re.compile(
+        r"(?is)(array\s*\((?:[^()]|\([^()]*\))*\))\s*(=|<>|!=)\s*"
+        r"'(\{[^']*\})'"
+    )
+    _PG_ARRTXT_R = re.compile(
+        r"(?is)'(\{[^']*\})'\s*(=|<>|!=)\s*"
+        r"(array\s*\((?:[^()]|\([^()]*\))*\))"
+    )
+
+    @staticmethod
+    def _pg_array_text_to_sql(txt: str, other: str = "") -> str:
+        # PG compares the pair as the CONSTRUCTOR's element type (text
+        # vs int never error there — '{1,2}' against a text[] compares
+        # as text): when the constructor side holds string literals,
+        # parsed numeric elements stringify so Spark's strict array
+        # typing coerces the same way
+        force_str = bool(re.match(r"(?is)^array\s*\(\s*'", other))
+        body = txt.strip()[1:-1].strip()
+        if not body:
+            return "array()"
+        out = []
+        for el in body.split(","):
+            el = el.strip()
+            if el.startswith('"') and el.endswith('"') and len(el) >= 2:
+                out.append("'" + el[1:-1].replace("'", "''") + "'")
+            elif re.fullmatch(r"[+-]?\d+(\.\d+)?", el) and not force_str:
+                out.append(el)
+            elif el.upper() == "NULL":
+                out.append("NULL")
+            else:
+                out.append("'" + el.replace("'", "''") + "'")
+        return "array(" + ", ".join(out) + ")"
+
+    def _expand_pg_array_text_cmp(self, text: str) -> str:
+        op = {"!=": "<>"}
+        text = self._PG_ARRTXT_L.sub(
+            lambda m: f"{m.group(1)} {op.get(m.group(2), m.group(2))} "
+            f"{self._pg_array_text_to_sql(m.group(3), m.group(1))}",
+            text,
+        )
+        return self._PG_ARRTXT_R.sub(
+            lambda m: f"{self._pg_array_text_to_sql(m.group(1), m.group(3))} "
+            f"{op.get(m.group(2), m.group(2))} {m.group(3)}",
+            text,
+        )
+
     # 4-arg REGEXP_REPLACE whose 4th operand is a string LITERAL is the
     # PG flags form (REGEXP_REPLACE_PG_4, SqlLibraryOperators.java:690-
     # 700): the STANDARD 4-arg operator puts an INTEGER position there
@@ -1974,6 +2048,10 @@ class SqlFrontend:
             text = self._expand_array_literal(text)
         if "::" in text:
             text = self._expand_pg_casts(text)
+        if re.search(r"(?i)AS\s+INTERVAL", text):
+            text = self._expand_pg_interval_cast(text)
+        if "{" in text and re.search(r"(?i)\barray\s*\(", text):
+            text = self._expand_pg_array_text_cmp(text)
         if "~" in text:
             text = self._expand_pg_regex_ops(text)
         if self._PG_RR_RE.search(text):

@@ -320,3 +320,58 @@ def test_bq_date_trunc_week_anchor(spark, duck):
     assert str(
         spark.sql(f"SELECT {e} AS v").collect()[0].v
     ).startswith("2013-12-01")
+
+
+# -- PG frontend classes (babel postgresql.iq:22-58) -------------------
+
+
+def test_pg_interval_cast_and_array_text_compare(spark):
+    """postgresql.iq:22-42: PG reads a bare-number interval string as
+    SECONDS — CAST('3723' AS INTERVAL HOUR TO SECOND) is +01:02:03 —
+    where Spark rejects the multi-field spelling outright; and
+    :43-58: a '{...}' string literal compared against an array
+    constructor coerces to an array, element type following the
+    constructor side (PG compares the pair as the constructor's
+    type)."""
+    import datetime
+
+    from calcite_spark.queries.inventory import catalog_for
+    from calcite_spark.sql.frontend import SqlFrontend
+    from tests.conftest import SF_DIR
+
+    fe = SqlFrontend(catalog_for(spark, SF_DIR))
+
+    def one(sql):
+        return fe.sql(sql).collect()[0].v
+
+    assert one(
+        "SELECT CAST('3723' AS INTERVAL HOUR TO SECOND) AS v"
+    ) == datetime.timedelta(seconds=3723)                        # :22
+    assert one(
+        "SELECT CAST('3721' AS INTERVAL SECOND) AS v"
+    ) == datetime.timedelta(seconds=3721)                        # :27
+    assert one(
+        "SELECT CAST('2' AS INTERVAL) AS v"
+    ) == datetime.timedelta(seconds=2)                           # :32
+    assert one(
+        "SELECT CAST('-3723' AS INTERVAL) AS v"
+    ) == datetime.timedelta(seconds=-3723)                       # :37
+    # non-bare interval strings keep Spark's own multi-field parse
+    assert one(
+        "SELECT CAST('1 01:02:03' AS INTERVAL DAY TO SECOND) AS v"
+    ) == datetime.timedelta(days=1, seconds=3723)
+    # array-vs-text comparisons (:43-58)
+    assert one("SELECT ARRAY[0,1,2] = '{0,1,2}' AS v") is True
+    assert one("SELECT ARRAY[0,1,2] = '{3,1,2}' AS v") is False
+    assert one(
+        "SELECT ARRAY['hello', 'world'] = '{\"hello\", \"world\"}' AS v"
+    ) is True
+    # int-looking text against a string array compares as text (PG
+    # semantics): false, never a type error
+    assert one("SELECT ARRAY['hello', 'world'] = '{1,2}' AS v") is False
+    # reversed operand order, <> spelling, unquoted text elements
+    assert one("SELECT '{0,1,2}' = ARRAY[0,1,2] AS v") is True
+    assert one("SELECT ARRAY[1] != '{1}' AS v") is False
+    assert one("SELECT '{a,b}' = ARRAY['a','b'] AS v") is True
+    # a brace string NOT next to a comparison stays data
+    assert one("SELECT 'literal {1} text' AS v") == "literal {1} text"
