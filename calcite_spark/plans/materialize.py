@@ -3238,6 +3238,46 @@ class LatticeSuggester:
                 for k in s.group_keys:
                     seen_keys.setdefault(_norm(k), k)
             keys = sorted(seen_keys.values())
+            # EXTRACT-form observed keys (r13): a corpus grouping by
+            # YEAR(col) / EXTRACT(MONTH FROM col) proposes the
+            # date_trunc key at the finest grain the observed fields
+            # need (year/quarter/month → month; week → week;
+            # day-level fields → day; hour → hour) — the tile then
+            # serves the WHOLE field family through the r13
+            # derivation tier (year(month_key) == year(col)), not just
+            # the one observed spelling. The derived key replaces the
+            # extract key (keeping both would store redundant columns:
+            # the trunc key determines every coarser field). Non-date
+            # expressions and unknown functions pass through unchanged.
+            ex_grain = {
+                "year": "month", "quarter": "month", "month": "month",
+                "week": "week", "yearofweek": "week",
+                "day": "day", "dayofweek": "day", "dayofyear": "day",
+                "hour": "hour",
+            }
+            mapped = []
+            for k in keys:
+                em = _EXTRACT_KEY_RE.match(k)
+                canon = (
+                    _EXTRACT_FIELD_CANON.get(
+                        (em.group(1) or em.group(3)).lower()
+                    )
+                    if em is not None
+                    else None
+                )
+                if canon is None or canon not in ex_grain:
+                    mapped.append(k)
+                    continue
+                col = (em.group(2) or em.group(4)).strip()
+                exg = ex_grain[canon]
+                derived = f"date_trunc('{exg}', {col}) AS {col}_{exg}"
+                if not any(
+                    _norm(derived) == _norm(m2) for m2 in mapped + keys
+                ):
+                    mapped.append(derived)
+            # dedup after mapping (two extract fields of one column
+            # collapse onto one trunc key)
+            keys = sorted({_norm(k): k for k in mapped}.values())
             # month keys for observed DATE-range filter columns (r11):
             # the auto-built tile then serves the FILTERED corpus too,
             # through the grain-edge tier — whole months from the tile,

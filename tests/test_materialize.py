@@ -6759,6 +6759,68 @@ def test_suggester_narrow_ranges_pick_day_grain(spark, tmp_path):
     assert got == want
 
 
+def test_suggester_extract_keys_propose_trunc_tile(spark, tmp_path):
+    """r13: a corpus grouping by YEAR(col) / EXTRACT(QUARTER FROM col)
+    proposes ONE month-trunc key (the finest grain the observed fields
+    need) instead of storing each extract expression — the built tile
+    then serves the whole field family through the derivation tier,
+    including a spelling the corpus never used."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for key in ("year(o_orderdate) AS yr",
+                "EXTRACT(QUARTER FROM o_orderdate) AS q"):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate([key, "o_orderpriority"],
+                       ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p,) = sug.suggest(min_count=2)
+    # both extract fields collapse onto ONE month key
+    trunc_keys = [k for k in p["group_keys"] if "date_trunc" in k]
+    assert trunc_keys == [
+        "date_trunc('month', o_orderdate) AS o_orderdate_month"
+    ], p["group_keys"]
+    assert not any("year(" in k or "EXTRACT" in k for k in p["group_keys"])
+    built = sug.auto_build(
+        cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
+    )
+    assert len(built) == 1
+    # the corpus's own spelling is served from the tile...
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["year(o_orderdate) AS yr", "o_orderpriority"],
+                   ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert any(built[0].name in f for f in df.inputFiles()), df.inputFiles()
+    # ...and so is a NEVER-OBSERVED sibling spelling (month)
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["EXTRACT(MONTH FROM o_orderdate) AS mo"],
+                   ["SUM(o_totalprice) AS s"])
+        .to_df()
+    )
+    assert any(built[0].name in f for f in df2.inputFiles())
+    direct = (
+        cat.table("orders")
+        .groupBy(F.expr("year(o_orderdate)").alias("yr"), "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted((r.yr, r.o_orderpriority, round(r.s, 3))
+                 for r in df.collect())
+    want = sorted((r.yr, r.o_orderpriority, round(r.s, 3))
+                  for r in direct.collect())
+    assert got == want
+
+
 def test_suggester_week_grain_for_weekly_corpus(spark, tmp_path):
     """r13 (verdict item 6): a WEEKLY-dashboard corpus — every observed
     bound a Monday midnight, narrowest range exactly one week — picks
