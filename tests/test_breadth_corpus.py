@@ -3269,3 +3269,75 @@ CORPUS24 = [
 def test_breadth_shape_batch24(fe, duck, i):
     sql = CORPUS24[i]
     assert_matches_oracle(fe.sql(sql), duck, sql)
+
+
+# batch 26 (r13): EXTRACT-family time groupings — the grouping-side
+# twin of the r13 tile-derivation tier, run as plain frontend
+# lowerings vs DuckDB. Both spellings (EXTRACT(F FROM col) and
+# f(col)), composition with range filters / HAVING / ROLLUP /
+# arithmetic, and the field functions that agree engine-to-engine
+# (dayofweek is EXCLUDED: Spark is 1=Sunday, DuckDB/PG 0=Sunday —
+# the known indexing divergence the derivation tier sidesteps by
+# re-applying the query's own spelling).
+CORPUS26 = [
+    # 1 EXTRACT(YEAR) grouping
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, COUNT(*) AS n
+       FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY yr""",
+    # 2 function spelling, same grouping
+    """SELECT year(o_orderdate) AS yr, ROUND(SUM(o_totalprice), 2) AS s
+       FROM orders GROUP BY year(o_orderdate) ORDER BY yr""",
+    # 3 two fields of one column group together
+    """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS q,
+              COUNT(*) AS n
+       FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)
+       ORDER BY yr, q""",
+    # 4 EXTRACT composed with a raw date range filter
+    """SELECT EXTRACT(MONTH FROM o_orderdate) AS mo, COUNT(*) AS n
+       FROM orders
+       WHERE o_orderdate >= DATE '1995-03-15' AND o_orderdate < DATE '1996-11-20'
+       GROUP BY EXTRACT(MONTH FROM o_orderdate) ORDER BY mo""",
+    # 5 EXTRACT in WHERE (the Sarg side), trunc-free grouping
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+       WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    # 6 HAVING over an EXTRACT grouping
+    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n
+       FROM orders GROUP BY year(o_orderdate)
+       HAVING COUNT(*) > 200 ORDER BY yr""",
+    # 7 ROLLUP over a year key
+    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n
+       FROM orders GROUP BY ROLLUP (year(o_orderdate))
+       ORDER BY yr NULLS FIRST""",
+    # 8 arithmetic on the extracted field
+    """SELECT year(o_orderdate) - 1990 AS offs, COUNT(*) AS n
+       FROM orders GROUP BY year(o_orderdate) - 1990 ORDER BY offs""",
+    # 9 dayofyear / weekofyear agree engine-to-engine
+    """SELECT dayofyear(o_orderdate) AS dy, COUNT(*) AS n
+       FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+         AND o_orderdate < DATE '1997-02-01'
+       GROUP BY dayofyear(o_orderdate) ORDER BY dy""",
+    # 10 ISO week numbers
+    """SELECT weekofyear(o_orderdate) AS wk, COUNT(*) AS n
+       FROM orders WHERE o_orderdate >= DATE '1996-06-01'
+         AND o_orderdate < DATE '1996-09-01'
+       GROUP BY weekofyear(o_orderdate) ORDER BY wk""",
+    # 11 EXTRACT inside CASE inside an aggregate
+    """SELECT o_orderstatus,
+              SUM(CASE WHEN EXTRACT(QUARTER FROM o_orderdate) = 4
+                       THEN 1 ELSE 0 END) AS q4_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    # 12 year-month pair via both spellings joined in one query
+    """SELECT a.yr, a.n AS n_extract, b.n AS n_fn FROM
+         (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, COUNT(*) AS n
+          FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)) a
+       JOIN
+         (SELECT year(o_orderdate) AS yr, COUNT(*) AS n
+          FROM orders GROUP BY year(o_orderdate)) b
+       ON a.yr = b.yr ORDER BY a.yr""",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CORPUS26)))
+def test_breadth_shape_batch26(fe, duck, i):
+    sql = CORPUS26[i]
+    assert_matches_oracle(fe.sql(sql), duck, sql)

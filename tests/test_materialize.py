@@ -2574,13 +2574,26 @@ def test_expr_key_different_alias_no_match_no_crash(spark, expr_key_catalog):
 def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
     """A different expression under the SAME alias must not bind to the
     tile column. The r10 pin used date_trunc('year', ...) as its
-    example — the r12 grain-hierarchy tier now legitimately SERVES
-    that by re-truncating the month key (value-checked below), so the
-    pin moves to a genuinely underivable expression (EXTRACT is not a
-    truncation) — the same pin-migration precedent as the r11
-    grain-edge update."""
+    example — the r12 grain-hierarchy tier legitimately SERVES that by
+    re-truncating the month key (value-checked below) — and the r12
+    pin used EXTRACT(YEAR ...), which the r13 derivation tier now
+    legitimately serves too (year(month_key) == year(col); value-
+    checked). The pin moves to a field a month key genuinely cannot
+    derive: EXTRACT(WEEK ...) (a week straddles month boundaries) —
+    the third pin migration, same precedent as r11/r12."""
     cat, reg = expr_key_catalog
     df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["EXTRACT(WEEK FROM o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s_price"],
+        )
+        .to_df()
+    )
+    assert not any("mv_month_tile" in f for f in df.inputFiles())
+    # the r13 derivation serve of the r12 pin's shape: exact values
+    dfy = (
         RelBuilder(cat)
         .scan("orders")
         .aggregate(
@@ -2589,7 +2602,17 @@ def test_expr_key_different_expression_no_match(spark, expr_key_catalog):
         )
         .to_df()
     )
-    assert not any("mv_month_tile" in f for f in df.inputFiles())
+    assert dfy.inputFiles() and all(
+        "mv_month_tile" in f for f in dfy.inputFiles()
+    )
+    directy = (
+        cat.table("orders")
+        .groupBy(F.expr("EXTRACT(YEAR FROM o_orderdate)").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("s_price"))
+    )
+    goty = sorted((r.mo, round(r.s_price, 3)) for r in dfy.collect())
+    wanty = sorted((r.mo, round(r.s_price, 3)) for r in directy.collect())
+    assert goty == wanty
     # the hierarchy serve of the ORIGINAL shape: year-from-month tile,
     # correct values, far fewer groups than the monthly tile
     df2 = (
