@@ -407,6 +407,29 @@ def _parse_region(cond: str):
     of a box difference is not a box — refusal, never a wrong slice)."""
     from calcite_spark.plans.rewrite import _split_conjuncts
 
+    # strip FULL-SPAN balanced outer parens (r13: DateRangeCanonicalize
+    # emits `(col >= A AND col < B)` — the parens made this parser
+    # refuse, so an EXTRACT(YEAR)=k filter sargified on pass 1 never
+    # reached the tile tiers on pass 2; conservative refusal, but a
+    # missed serve for THE canonical BI filter)
+    cond = cond.strip()
+    while cond.startswith("(") and cond.endswith(")"):
+        depth, in_str = 0, False
+        full = True
+        for i, ch in enumerate(cond):
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ch == "(":
+                depth += 1
+            elif not in_str and ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(cond) - 1:
+                    full = False
+                    break
+        if not full or depth != 0:
+            break
+        cond = cond[1:-1].strip()
+
     if re.search(r"(?i)\bNOT\s+BETWEEN\b", cond):
         return None
     _orig = cond

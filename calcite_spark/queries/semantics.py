@@ -2801,3 +2801,93 @@ def qx64_mv_extract_grouping(spark, sf_dir):
         "ROUND(sum_price, 3) AS sum_price",
         "n_orders",
     ).orderBy("yr", "o_orderpriority")
+
+
+@register(
+    "qx65_mv_sarg_tile",
+    oracle="""
+    SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+           ROUND(SUM(o_totalprice), 3) AS sum_price
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY EXTRACT(MONTH FROM o_orderdate)
+    ORDER BY mo
+    """,
+    tags=("materialize", "rewrite", "mv", "sarg", "extract"),
+)
+def qx65_mv_sarg_tile(spark, sf_dir):
+    """THE canonical BI query served as a PURE tile read (r13 triple
+    composition ≈ DateRangeRules.java:73 × SubstitutionVisitor ×
+    Lattice.java:751): `WHERE EXTRACT(YEAR FROM d) = 1995 GROUP BY
+    EXTRACT(MONTH FROM d)` — the Sarg rewrite canonicalizes the
+    EXTRACT filter into a half-open date range on pass 1, the
+    grain-edge tier proves the range month-aligned on pass 2 (no edge
+    slivers), and the derivation tier re-derives the month from the
+    stored date_trunc key. The plan asserts the fact table is NOT
+    read at all. In-row negative: EXTRACT(YEAR) = 1995 AND a
+    NON-aligned extra raw bound must still produce exact values (the
+    sliver path). 100 TB: a year-of-months report reads ~12 × dims
+    tile rows; the fact is untouched."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import MaterializationRegistry
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    tmp = tempfile.mkdtemp(prefix="qx65_mv_")
+    mv = reg.define(
+        cat,
+        name="qx65_month_tile",
+        table="orders",
+        group_keys=["date_trunc('month', o_orderdate) AS m"],
+        agg_calls=["SUM(o_totalprice) AS s"],
+        path=tmp + "/qx65_month_tile",
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("EXTRACT(YEAR FROM o_orderdate) = 1995")
+        .aggregate(
+            ["EXTRACT(MONTH FROM o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS sum_price"],
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(mv.name in f for f in files):
+        raise RuntimeError(
+            "Sarg x grain-edge x EXTRACT composition did not produce a "
+            f"pure tile read: {files}"
+        )
+    # in-row negative: an unaligned extra bound forces the sliver path
+    # (tile AND base read) — values must still be exact vs the direct
+    # plan on a quick count probe
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "EXTRACT(YEAR FROM o_orderdate) = 1995 "
+            "AND o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'"
+        )
+        .aggregate(["EXTRACT(MONTH FROM o_orderdate) AS mo"],
+                   ["COUNT(*) AS n"])
+        .to_df()
+    )
+    direct2 = (
+        cat.table("orders")
+        .filter(
+            "year(o_orderdate) = 1995 "
+            "AND o_orderdate >= TIMESTAMP '1995-03-15 00:00:00'"
+        )
+        .groupBy(F.expr("month(o_orderdate)").alias("mo"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = sorted((r.mo, r.n) for r in df2.collect())
+    want = sorted((r.mo, r.n) for r in direct2.collect())
+    if got != want:
+        raise RuntimeError(f"sliver-path values diverged: {got} vs {want}")
+    return df.selectExpr(
+        "CAST(mo AS BIGINT) AS mo",
+        "ROUND(sum_price, 3) AS sum_price",
+    ).orderBy("mo")

@@ -6284,6 +6284,47 @@ def test_extract_grouping_over_grain_edge_range(spark, tmp_path):
     assert got == want
 
 
+def test_extract_filter_and_grouping_served_from_tile(spark, tmp_path):
+    """r13 triple composition — THE canonical BI query:
+    `WHERE EXTRACT(YEAR FROM d) = 1995 GROUP BY EXTRACT(MONTH FROM d)`
+    served ENTIRELY from the month tile: DateRangeCanonicalize
+    sargifies the EXTRACT filter into a half-open range (pass 1), the
+    grain-edge tier proves the range month-aligned (pure tile read, no
+    slivers), and the derivation tier re-derives the month from the
+    stored key (pass 2). Before r13 the Sarg rewrite's parenthesized
+    output made _parse_region refuse, so the passes never composed."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "bi_month_tile", "orders",
+        ["date_trunc('month', o_orderdate) AS m"],
+        ["SUM(o_totalprice) AS s"],
+        str(tmp_path / "bi_month_tile"),
+    )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter("EXTRACT(YEAR FROM o_orderdate) = 1995")
+        .aggregate(
+            ["EXTRACT(MONTH FROM o_orderdate) AS mo"],
+            ["SUM(o_totalprice) AS s"],
+        )
+        .to_df()
+    )
+    assert df.inputFiles() and all(
+        mv.name in f for f in df.inputFiles()
+    ), df.inputFiles()  # PURE tile read — no base slivers
+    direct = (
+        cat.table("orders")
+        .filter("year(o_orderdate) = 1995")
+        .groupBy(F.expr("month(o_orderdate)").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted((r.mo, round(r.s, 3)) for r in df.collect())
+    want = sorted((r.mo, round(r.s, 3)) for r in direct.collect())
+    assert got == want and len(got) == 12
+
+
 def test_hot_slice_escape_composition(spark, tmp_path):
     """r13 (verdict item 7): the one composition r12 left untested — a
     HOT-SLICED day tile serving a MONTHLY grouping over a range that
