@@ -4607,6 +4607,31 @@ def test_model_lattice_snowflake_chain(spark, tmp_path):
     got = {(r.n_name, round(r.rev, 3), r.n) for r in df.collect()}
     want = {(r.n_name, round(r.rev, 3), r.n) for r in direct.collect()}
     assert got == want
+    # snowflake PEEL composition: with the chain's keys/NULLs grounded,
+    # a query over orders ⋈ customer alone (no nation) is served by
+    # peeling the snowflake dim off the tile via customer's FK — the
+    # chain FK landing on the OWNING dim is what makes this provable
+    cat.analyze_deep("nation")
+    cat.analyze("customer")  # zero-NULL evidence on c_nationkey
+    cat.analyze_deep("customer")
+    cat.analyze("orders")
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders").scan("customer").join("o_custkey = c_custkey")
+        .aggregate([], ["SUM(o_totalprice) AS rev"])
+        .to_df()
+    )
+    assert df2.inputFiles() and all(
+        "snow_tile0" in f for f in df2.inputFiles()
+    ), df2.inputFiles()
+    direct2 = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.expr("o_custkey = c_custkey"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    assert round(df2.collect()[0].rev, 3) == round(
+        direct2.collect()[0].rev, 3
+    )
 
 
 def test_model_lattice_snowflake_mixed_owner_refuses(spark, tmp_path):
