@@ -1870,18 +1870,37 @@ class MaterializationRegistry:
         base = ir.Filter(filt.condition, inputs=(scan,)) if filt is not None else scan
         if agg.group_type != "SIMPLE":
             # re-aggregate the tile partials with the SAME grouping
-            # structure: each grouping set coarsens the tile grain, so
-            # SUM/$SUM0/MIN/MAX merge per set is exact (r10)
-            key_map = {
-                _norm(k): _key_alias(tile_by_norm[_norm(k)])
-                for k in agg.group_keys
-            }
+            # structure: each grouping set coarsens the tile grain —
+            # plain keys ARE tile keys, and derived keys (r13: the
+            # hierarchy/EXTRACT tiers — "ROLLUP over year(d)" from the
+            # month tile) are functions of tile keys — so SUM/$SUM0/
+            # MIN/MAX merge per set is exact (r10, extended r13).
+            # GROUPING()/GROUPING_ID()/GROUP_ID() calls refuse when any
+            # key is derived: their key arguments would need a textual
+            # remap this tier does not attempt.
+            key_map, derived_any = {}, False
+            for k in agg.group_keys:
+                hit = tile_by_norm.get(_norm(k))
+                if hit is not None:
+                    key_map[_norm(k)] = _key_alias(hit)
+                    continue
+                sub = self._grain_hierarchy_key(k, mv)
+                if sub is None:
+                    return None
+                derived_any = True
+                key_map[_norm(k)] = _KEY_ALIAS_RE.match(sub).group(1)
+            if derived_any and any(
+                re.search(r"(?i)\bGROUPING(_ID)?\s*\(|\bGROUP_ID\s*\(", c)
+                for c in agg.agg_calls
+            ):
+                return None
             sets = tuple(
                 tuple(key_map.get(_norm(c), c) for c in s)
                 for s in agg.grouping_sets
             )
+            allowed = set(key_map.values())
             for s in sets:
-                if not set(s) <= set(q_out):
+                if not set(s) <= allowed:
                     return None  # a set references a non-key column
             return ir.Aggregate(
                 tuple(q_out),
@@ -1895,10 +1914,16 @@ class MaterializationRegistry:
     def _resolve_merge_keys(self, agg, mv: Materialization):
         """Map each query group key to the tile column serving it:
         exact normalized-text match → the stored alias; else a COARSER
-        nesting truncation (grain hierarchy) → a re-truncation of the
-        stored alias, SIMPLE grouping only. None when any key resolves
-        neither way. Shared by the plain rollup tier and the grain-edge
-        union (r12 review: the two copies would have drifted)."""
+        nesting truncation (grain hierarchy) or a derivable EXTRACT
+        field (r13) → a re-derivation of the stored alias. None when
+        any key resolves neither way. Shared by the plain rollup tier
+        and the grain-edge union (r12 review: the two copies would
+        have drifted). Since r13 derived keys are allowed under
+        non-SIMPLE grouping too — the plain tier's groupSets branch
+        remaps sets itself, and the grain-edge _merge_aggregate still
+        refuses derived keys in sets (its alias-based set mapping
+        cannot reference them), so nothing downstream serves a shape
+        it cannot prove."""
         tile_by_norm = {_norm(k): k for k in mv.group_keys}
         out = []
         for k in agg.group_keys:
@@ -1906,8 +1931,6 @@ class MaterializationRegistry:
             if hit is not None:
                 out.append(_key_alias(hit))
                 continue
-            if agg.group_type != "SIMPLE":
-                return None
             sub = self._grain_hierarchy_key(k, mv)
             if sub is None:
                 return None

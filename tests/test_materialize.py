@@ -6309,6 +6309,103 @@ def test_extract_grouping_over_grain_edge_range(spark, tmp_path):
     assert got == want
 
 
+def test_groupsets_over_derived_keys_from_tile(spark, tmp_path):
+    """r13: ROLLUP/CUBE/GROUPING SETS over HIERARCHY- or
+    EXTRACT-derived keys are served from the tile — every grouping set
+    coarsens the tile grain whether its keys are stored or derived
+    (functions of stored keys), so the partial merge stays exact.
+    GROUPING()/GROUPING_ID() calls refuse when any key is derived
+    (their key arguments would need a textual remap)."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "gsd_month_tile", "orders",
+        ["date_trunc('month', o_orderdate) AS m", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "gsd_month_tile"),
+    )
+    # ROLLUP over an EXTRACT-derived year + a plain tile key
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["year(o_orderdate) AS yr", "o_orderpriority"],
+                   ["SUM(o_totalprice) AS s"], group_type="ROLLUP")
+        .to_df()
+    )
+    assert df.inputFiles() and all(
+        mv.name in f for f in df.inputFiles()
+    ), df.inputFiles()
+    direct = (
+        cat.table("orders")
+        .rollup(F.expr("year(o_orderdate)").alias("yr"), "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted(((r.yr, r.o_orderpriority, round(r.s, 3))
+                  for r in df.collect()), key=str)
+    want = sorted(((r.yr, r.o_orderpriority, round(r.s, 3))
+                   for r in direct.collect()), key=str)
+    assert got == want
+    # CUBE over a hierarchy-derived quarter truncation
+    df2 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(["date_trunc('quarter', o_orderdate) AS q",
+                    "o_orderpriority"],
+                   ["SUM(o_totalprice) AS s"], group_type="CUBE")
+        .to_df()
+    )
+    assert df2.inputFiles() and all(mv.name in f for f in df2.inputFiles())
+    direct2 = (
+        cat.table("orders")
+        .cube(F.date_trunc("quarter", "o_orderdate").alias("q"),
+              "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got2 = sorted(((r.q, r.o_orderpriority, round(r.s, 3))
+                   for r in df2.collect()), key=str)
+    want2 = sorted(((r.q, r.o_orderpriority, round(r.s, 3))
+                    for r in direct2.collect()), key=str)
+    assert got2 == want2
+    # explicit GROUPING SETS mixing a derived key with () grand total
+    df3 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["year(o_orderdate) AS yr", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s"],
+            group_type="GROUPING_SETS",
+            grouping_sets=[("year(o_orderdate) AS yr",),
+                           ("o_orderpriority",), ()],
+        )
+        .to_df()
+    )
+    assert df3.inputFiles() and all(mv.name in f for f in df3.inputFiles())
+    direct3 = spark.sql(
+        f"""SELECT year(o_orderdate) AS yr, o_orderpriority,
+                   SUM(o_totalprice) AS s
+            FROM parquet.`{SF_DIR}/orders.parquet`
+            GROUP BY GROUPING SETS ((year(o_orderdate)),
+                                    (o_orderpriority), ())"""
+    )
+    got3 = sorted(((r.yr, r.o_orderpriority, round(r.s, 3))
+                   for r in df3.collect()), key=str)
+    want3 = sorted(((r.yr, r.o_orderpriority, round(r.s, 3))
+                    for r in direct3.collect()), key=str)
+    assert got3 == want3
+    # GROUPING() call + derived key: refuse (values via base scan)
+    df4 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["year(o_orderdate) AS yr", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s", "GROUPING(o_orderpriority) AS g"],
+            group_type="ROLLUP",
+        )
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df4.inputFiles())
+
+
 def test_extract_filter_and_grouping_served_from_tile(spark, tmp_path):
     """r13 triple composition — THE canonical BI query:
     `WHERE EXTRACT(YEAR FROM d) = 1995 GROUP BY EXTRACT(MONTH FROM d)`
