@@ -988,6 +988,38 @@ class SqlFrontend:
             )
             text = text[: m.start()] + rep + text[spec_close + 1 :]
 
+    # SQL multiset emptiness predicate `x IS [NOT] EMPTY` (r13;
+    # spark.iq:492-512 runs it over the COMPLEX fixture) — Spark has
+    # no such syntax; lowered through the registry's IS_EMPTY /
+    # IS_NOT_EMPTY templates (COALESCE'd size() compare — the corpus
+    # pins NULL input to FALSE/TRUE, not UNKNOWN).
+    _IS_EMPTY_RE = re.compile(
+        r"((?:-\s*)?\w+\((?:[^()]|\([^()]*\))*\)|'[^']*'"
+        r"|(?:-\s*)?[\w.]+|\([^()]*\))"
+        r"\s+IS\s+(NOT\s+)?EMPTY\b",
+        re.I,
+    )
+
+    def _expand_is_empty(self, text: str) -> str:
+        from calcite_spark.functions import registry as freg
+
+        while True:
+            m = None
+            for cand in self._IS_EMPTY_RE.finditer(text):
+                if text.count("'", 0, cand.start()) % 2 == 0:
+                    m = cand
+                    break
+            if m is None:
+                return text
+            if self._lhs_is_compound(text, m.start(1), m.group(1)):
+                raise ValueError(
+                    f"IS [NOT] EMPTY has a compound operand ending at "
+                    f"{m.group(1)!r}: parenthesize the full operand"
+                )
+            op = "IS_NOT_EMPTY" if m.group(2) else "IS_EMPTY"
+            rep = "(" + freg.translate(op, m.group(1)) + ")"
+            text = text[: m.start()] + rep + text[m.end() :]
+
     # PG postfix null tests `x ISNULL` / `x NOTNULL` (babel tier) →
     # IS [NOT] NULL. The (?!\s*\() guard keeps call-shaped ISNULL(x)
     # (a function in other dialects) out of scope.
@@ -2068,6 +2100,8 @@ class SqlFrontend:
             text = self._expand_containment(text)
         if re.search(r"\b(ISNULL|NOTNULL)\b", text, re.I):
             text = self._expand_null_postfix(text)
+        if re.search(r"\bIS\s+(NOT\s+)?EMPTY\b", text, re.I):
+            text = self._expand_is_empty(text)
         if re.search(r"\b(SOME|ANY|ALL)\s*\(", text, re.I):
             text = self._expand_quantified(text)
         text = self._expand_within_distinct(text)

@@ -375,3 +375,37 @@ def test_pg_interval_cast_and_array_text_compare(spark):
     assert one("SELECT '{a,b}' = ARRAY['a','b'] AS v") is True
     # a brace string NOT next to a comparison stays data
     assert one("SELECT 'literal {1} text' AS v") == "literal {1} text"
+
+
+# -- SQL multiset emptiness predicate (babel spark.iq:492-512) ---------
+
+
+def test_is_empty_predicate(spark):
+    """`x IS [NOT] EMPTY` — the SQL multiset predicate the reference
+    runs over its COMPLEX fixture — lowers through the registry's
+    COALESCE'd size() templates (NULL input pins to FALSE/TRUE per the
+    corpus, not UNKNOWN)."""
+    from calcite_spark.queries.inventory import catalog_for
+    from calcite_spark.sql.frontend import SqlFrontend
+    from tests.conftest import SF_DIR
+
+    fe = SqlFrontend(catalog_for(spark, SF_DIR))
+
+    def one(sql):
+        return fe.sql(sql).collect()[0]
+
+    r = one("SELECT ARRAY[1,2] IS EMPTY AS e, ARRAY[] IS EMPTY AS e2")
+    assert r.e is False and r.e2 is True
+    r = one(
+        "SELECT ARRAY[1] IS NOT EMPTY AS ne, "
+        "CAST(NULL AS ARRAY<INT>) IS EMPTY AS n_e, "
+        "CAST(NULL AS ARRAY<INT>) IS NOT EMPTY AS n_ne"
+    )
+    assert r.ne is True and r.n_e is False and r.n_ne is True
+    # usable in WHERE; a string literal mentioning IS EMPTY stays data
+    r = one(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE ARRAY[o_orderkey] IS NOT EMPTY AND o_orderkey < 5"
+    )
+    assert r.n == 5
+    assert one("SELECT 'IS EMPTY stays' AS s").s == "IS EMPTY stays"
