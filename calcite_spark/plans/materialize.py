@@ -2244,12 +2244,14 @@ class MaterializationRegistry:
         """The merge aggregate above a UNION of partials: re-group by
         the query keys' STORED aliases with the query's own grouping
         structure — or by the caller's merge_keys override (r12 grain
-        hierarchy: a coarser re-truncation of a stored key, SIMPLE
-        grouping only). groupSets merges are exact (r10): both branches
-        emit partials at the tile's FINEST grain, which every grouping
-        set coarsens — the grand-total row sums tile partials for the
+        hierarchy / r13 EXTRACT derivation: a re-derivation of a
+        stored key). groupSets merges are exact (r10, derived keys
+        r13): both branches emit partials at the tile's FINEST grain,
+        which every grouping set coarsens whether its keys are stored
+        or derived — the grand-total row sums tile partials for the
         covered range plus base partials for the residual, exactly the
-        query's range."""
+        query's range. GROUPING-family calls refuse when any key is
+        derived (same contract as the plain tier)."""
         keys = (
             tuple(merge_keys)
             if merge_keys is not None
@@ -2257,13 +2259,32 @@ class MaterializationRegistry:
         )
         if agg.group_type == "SIMPLE":
             return ir.Aggregate(keys, tuple(merged_calls), inputs=(union,))
-        key_map = {_norm(k): _key_alias(k) for k in agg.group_keys}
+        if merge_keys is not None:
+            # positional pairing with agg.group_keys (the
+            # _resolve_merge_keys contract): derived entries carry
+            # "expr AS alias" — sets reference the bare expression
+            key_map, derived_any = {}, False
+            for qk, mk in zip(agg.group_keys, merge_keys):
+                am = _KEY_ALIAS_RE.match(mk)
+                if am is not None:
+                    derived_any = True
+                    key_map[_norm(qk)] = am.group(1)
+                else:
+                    key_map[_norm(qk)] = mk
+            if derived_any and any(
+                re.search(r"(?i)\bGROUPING(_ID)?\s*\(|\bGROUP_ID\s*\(", c)
+                for c in agg.agg_calls
+            ):
+                return None
+        else:
+            key_map = {_norm(k): _key_alias(k) for k in agg.group_keys}
         sets = tuple(
             tuple(key_map.get(_norm(c), c) for c in s)
             for s in agg.grouping_sets
         )
+        allowed = set(key_map.values())
         for st in sets:
-            if not set(st) <= set(keys):
+            if not set(st) <= allowed:
                 return None  # a set references a non-key column
         return ir.Aggregate(
             keys,

@@ -6406,6 +6406,47 @@ def test_groupsets_over_derived_keys_from_tile(spark, tmp_path):
     assert not any(mv.name in f for f in df4.inputFiles())
 
 
+def test_grain_edge_union_rollup_over_derived_keys(spark, tmp_path):
+    """r13 quadruple composition: an arbitrary raw-date RANGE with a
+    ROLLUP over a month-derived key — whole days from the tile, edge
+    slivers from the base, partials merged under the query's OWN
+    grouping-set structure with the month re-derived above the union.
+    Exact vs the direct plan across all rollup levels."""
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "geu_day_tile", "orders",
+        ["date_trunc('day', o_orderdate) AS d", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "geu_day_tile"),
+    )
+    cond = ("o_orderdate >= TIMESTAMP '1995-03-15 06:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-11-20 18:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(
+            ["date_trunc('month', o_orderdate) AS mo", "o_orderpriority"],
+            ["SUM(o_totalprice) AS s"],
+            group_type="ROLLUP",
+        )
+        .to_df()
+    )
+    assert any(mv.name in f for f in df.inputFiles()), df.inputFiles()
+    direct = (
+        cat.table("orders").filter(cond)
+        .rollup(F.date_trunc("month", "o_orderdate").alias("mo"),
+                "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    got = sorted(((str(r.mo), r.o_orderpriority, round(r.s, 3))
+                  for r in df.collect()), key=str)
+    want = sorted(((str(r.mo), r.o_orderpriority, round(r.s, 3))
+                   for r in direct.collect()), key=str)
+    assert got == want and len(got) > 100
+
+
 def test_extract_filter_and_grouping_served_from_tile(spark, tmp_path):
     """r13 triple composition — THE canonical BI query:
     `WHERE EXTRACT(YEAR FROM d) = 1995 GROUP BY EXTRACT(MONTH FROM d)`
