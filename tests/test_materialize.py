@@ -6550,6 +6550,64 @@ def test_hot_slice_escape_composition(spark, tmp_path):
     assert got == want
 
 
+def test_extract_derivation_fuzz(spark, tmp_path):
+    """Seeded fuzz of the r13 field/grain safety matrix: every
+    (field spelling × tile grain) pair both VALUE-matches the direct
+    plan and serves exactly when _EXTRACT_SAFE_GRAINS says the grain
+    preserves the field — the matrix claims exactness, and a serve
+    outside it would be a wrong-value bug, not a missed optimization."""
+    import random
+
+    from calcite_spark.plans.materialize import _EXTRACT_SAFE_GRAINS
+
+    rng = random.Random(131)
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    tiles = {}
+    for grain in ("year", "quarter", "month", "week", "day"):
+        tiles[grain] = reg.define(
+            cat, f"exf_{grain}_tile", "orders",
+            [f"date_trunc('{grain}', o_orderdate) AS g_{grain}"],
+            ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+            str(tmp_path / f"exf_{grain}_tile"),
+        )
+    spellings = [
+        ("year", "year({c})"), ("year", "EXTRACT(YEAR FROM {c})"),
+        ("quarter", "quarter({c})"),
+        ("month", "month({c})"), ("month", "EXTRACT(MONTH FROM {c})"),
+        ("week", "weekofyear({c})"),
+        ("day", "dayofmonth({c})"), ("day", "EXTRACT(DAY FROM {c})"),
+        ("dayofweek", "dayofweek({c})"),
+        ("dayofyear", "dayofyear({c})"),
+    ]
+    cases = [(f, s, g) for f, s in spellings for g in tiles]
+    rng.shuffle(cases)
+    for field, spell, grain in cases[:24]:
+        expr = spell.format(c="o_orderdate")
+        df = (
+            RelBuilder(cat)
+            .scan("orders")
+            .aggregate([f"{expr} AS k"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+        )
+        files = df.inputFiles()
+        served_by = {g for g in tiles if any(tiles[g].name in f for f in files)}
+        safe = _EXTRACT_SAFE_GRAINS[field]
+        # never served by an UNSAFE grain (would be wrong values)
+        assert served_by <= safe, (expr, served_by)
+        direct = (
+            cat.table("orders")
+            .groupBy(F.expr(expr).alias("k"))
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        got = sorted((r.k, round(r.s, 3)) for r in df.collect())
+        want = sorted((r.k, round(r.s, 3)) for r in direct.collect())
+        assert got == want, expr
+        # when SOME registered tile grain is safe, the query must serve
+        if safe & set(tiles):
+            assert served_by, (expr, "no serve despite safe grains")
+
+
 def test_grain_edge_date_bounds_fuzz(spark, tmp_path):
     """Seeded fuzz of the r12 successor canonicalization: 24 random
     bound combinations over the DATE-cast orders table — open/closed/
