@@ -332,27 +332,19 @@ class Catalog:
                     continue
                 if len(t) == 1:
                     # single-dim picks reuse the NDV measured for the
-                    # ranking two lines above — no second table scan;
-                    # fact_rows reads ANALYZE stats / cached counts
-                    # first (ADVICE r12: calling catalog.row_count
-                    # directly triggered full fact scans at model-mount
-                    # time that _estimate_benefit's rows() avoids)
-                    def _rows(tb):
-                        entry = self.tables.get(tb)
-                        if entry is not None and entry.row_count:
-                            return entry.row_count
-                        if (
-                            entry is not None
-                            and entry.stats
-                            and entry.stats.get("rows")
-                        ):
-                            return entry.stats["rows"]
-                        return self.row_count(tb)
-
+                    # ranking two lines above — no second table scan.
+                    # row_count() itself is cached, and ANALYZE fills
+                    # that same cache (entry.stats is never set without
+                    # entry.row_count), so an analyzed or previously
+                    # counted fact costs nothing here; only a fact with
+                    # NO stats of any kind pays one count, once
+                    # (ADVICE r12 scoped down in the r13 review: a
+                    # stats-first helper was a dead copy of
+                    # _estimate_benefit.rows()).
                     est = ndvs[t[0]]
                     fact_rows = max(
-                        _rows(tb) for tb in ([fact] if not joins
-                                             else owners)
+                        self.row_count(tb)
+                        for tb in ([fact] if not joins else owners)
                     )
                 else:
                     proposal = {

@@ -1346,21 +1346,54 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
             )
         return f"regexp_extract_all({args[0]}, {args[1]})"
     if fn.name == "DATE_TRUNC" and fn.libraries == (BIG_QUERY,):
+        # BigQuery's full unit grammar, per the reference's EXECUTED
+        # fixture (big-query.iq:3853-3871): bare WEEK ≡ WEEK(SUNDAY)
+        # (r13 review fix — the first cut silently lowered it to
+        # Spark's Monday week), WEEK(<weekday>) floors to that
+        # weekday, ISOWEEK is the Monday week, ISOYEAR is the Monday
+        # of the week containing Jan 4 (the ISO-8601 year start).
+        # Anything else refuses loudly — an unknown unit reaching
+        # Spark's date_trunc fmt evaluates to NULL silently.
         import re as _re
 
+        d = args[0]
         unit = args[1].strip().strip("'\"`")
-        m = _re.match(r"(?i)^week\s*\(\s*(\w+)\s*\)$", unit)
+        m = _re.fullmatch(r"(?is)week\s*(?:\(\s*(\w+)\s*\))?", unit)
         if m:
-            if m.group(1).upper() != "MONDAY":
+            offs = {
+                "MONDAY": 0, "TUESDAY": 1, "WEDNESDAY": 2,
+                "THURSDAY": 3, "FRIDAY": 4, "SATURDAY": 5, "SUNDAY": 6,
+            }
+            day = (m.group(1) or "SUNDAY").upper()
+            if day not in offs:
                 raise ValueError(
-                    "DATE_TRUNC: only WEEK(MONDAY) is supported — "
-                    "Spark's date_trunc('week') starts weeks on Monday; "
-                    f"WEEK({m.group(1)}) has no exact lowering"
+                    f"DATE_TRUNC: WEEK({m.group(1)}) is not a weekday"
                 )
-            unit = "WEEK"
-        if not _re.fullmatch(r"(?i)\w+", unit):
-            raise ValueError(f"DATE_TRUNC: malformed unit {args[1]!r}")
-        return f"CAST(date_trunc('{unit}', {args[0]}) AS DATE)"
+            k = offs[day]
+            if k == 0:
+                return f"CAST(date_trunc('WEEK', {d}) AS DATE)"
+            # floor to the previous <day>: shift forward so the Monday
+            # floor lands on it, then shift back (pure date arithmetic)
+            s = 7 - k
+            return (
+                f"date_sub(CAST(date_trunc('WEEK', "
+                f"date_add(CAST({d} AS DATE), {s})) AS DATE), {s})"
+            )
+        u = unit.upper()
+        if u == "ISOWEEK":
+            return f"CAST(date_trunc('WEEK', {d}) AS DATE)"
+        if u == "ISOYEAR":
+            return (
+                f"CAST(date_trunc('WEEK', make_date("
+                f"extract(YEAROFWEEK FROM {d}), 1, 4)) AS DATE)"
+            )
+        if u not in ("YEAR", "QUARTER", "MONTH", "DAY"):
+            raise ValueError(
+                f"DATE_TRUNC: unsupported unit {args[1]!r} (YEAR, "
+                "QUARTER, MONTH, WEEK[(<weekday>)], ISOWEEK, ISOYEAR, "
+                "DAY)"
+            )
+        return f"CAST(date_trunc('{u}', {d}) AS DATE)"
     if (
         fn.name in ("DATEADD", "DATEDIFF", "DATE_PART")
         and not fn.template

@@ -1874,34 +1874,13 @@ class MaterializationRegistry:
             # plain keys ARE tile keys, and derived keys (r13: the
             # hierarchy/EXTRACT tiers — "ROLLUP over year(d)" from the
             # month tile) are functions of tile keys — so SUM/$SUM0/
-            # MIN/MAX merge per set is exact (r10, extended r13).
-            # GROUPING()/GROUPING_ID()/GROUP_ID() calls refuse when any
-            # key is derived: their key arguments would need a textual
-            # remap this tier does not attempt.
-            key_map, derived_any = {}, False
-            for k in agg.group_keys:
-                hit = tile_by_norm.get(_norm(k))
-                if hit is not None:
-                    key_map[_norm(k)] = _key_alias(hit)
-                    continue
-                sub = self._grain_hierarchy_key(k, mv)
-                if sub is None:
-                    return None
-                derived_any = True
-                key_map[_norm(k)] = _KEY_ALIAS_RE.match(sub).group(1)
-            if derived_any and any(
-                re.search(r"(?i)\bGROUPING(_ID)?\s*\(|\bGROUP_ID\s*\(", c)
-                for c in agg.agg_calls
-            ):
+            # MIN/MAX merge per set is exact (r10, extended r13). Set
+            # mapping + the GROUPING-call refusal live in ONE helper
+            # shared with _merge_aggregate (r13 review: the first cut
+            # duplicated them — the drift the r12 note warns about).
+            sets = self._map_grouping_sets(agg, q_out)
+            if sets is None:
                 return None
-            sets = tuple(
-                tuple(key_map.get(_norm(c), c) for c in s)
-                for s in agg.grouping_sets
-            )
-            allowed = set(key_map.values())
-            for s in sets:
-                if not set(s) <= allowed:
-                    return None  # a set references a non-key column
             return ir.Aggregate(
                 tuple(q_out),
                 tuple(new_calls),
@@ -1911,6 +1890,42 @@ class MaterializationRegistry:
             )
         return ir.Aggregate(tuple(q_out), tuple(new_calls), inputs=(base,))
 
+    @staticmethod
+    def _map_grouping_sets(agg, resolved):
+        """Map the query's grouping sets into resolved-key space —
+        ONE implementation for the plain tile tier and the grain-edge
+        _merge_aggregate (r13 review: two copies had already appeared).
+        `resolved` pairs positionally with agg.group_keys (the
+        _resolve_merge_keys contract): a bare name is the stored tile
+        alias; an "expr AS alias" entry is a DERIVED key, whose sets
+        reference the bare expression. Returns the mapped sets, or
+        None to refuse — when a set references a non-key column, or
+        when any key is derived and a GROUPING()/GROUPING_ID()/
+        GROUP_ID() call is present (their key arguments would need a
+        textual remap this tier does not attempt)."""
+        key_map, derived_any = {}, False
+        for qk, mk in zip(agg.group_keys, resolved):
+            am = _KEY_ALIAS_RE.match(mk)
+            if am is not None:
+                derived_any = True
+                key_map[_norm(qk)] = am.group(1)
+            else:
+                key_map[_norm(qk)] = mk
+        if derived_any and any(
+            re.search(r"(?i)\bGROUPING(_ID)?\s*\(|\bGROUP_ID\s*\(", c)
+            for c in agg.agg_calls
+        ):
+            return None
+        sets = tuple(
+            tuple(key_map.get(_norm(c), c) for c in s)
+            for s in agg.grouping_sets
+        )
+        allowed = set(key_map.values())
+        for st in sets:
+            if not set(st) <= allowed:
+                return None  # a set references a non-key column
+        return sets
+
     def _resolve_merge_keys(self, agg, mv: Materialization):
         """Map each query group key to the tile column serving it:
         exact normalized-text match → the stored alias; else a COARSER
@@ -1918,12 +1933,9 @@ class MaterializationRegistry:
         field (r13) → a re-derivation of the stored alias. None when
         any key resolves neither way. Shared by the plain rollup tier
         and the grain-edge union (r12 review: the two copies would
-        have drifted). Since r13 derived keys are allowed under
-        non-SIMPLE grouping too — the plain tier's groupSets branch
-        remaps sets itself, and the grain-edge _merge_aggregate still
-        refuses derived keys in sets (its alias-based set mapping
-        cannot reference them), so nothing downstream serves a shape
-        it cannot prove."""
+        have drifted); both map grouping sets through
+        _map_grouping_sets, which refuses GROUPING-family calls over
+        derived keys."""
         tile_by_norm = {_norm(k): k for k in mv.group_keys}
         out = []
         for k in agg.group_keys:
@@ -2239,8 +2251,8 @@ class MaterializationRegistry:
         union = ir.SetOp("UNION_ALL", inputs=(tile_branch, base_branch))
         return self._merge_aggregate(agg, merged_calls, union)
 
-    @staticmethod
-    def _merge_aggregate(agg, merged_calls, union, merge_keys=None):
+    @classmethod
+    def _merge_aggregate(cls, agg, merged_calls, union, merge_keys=None):
         """The merge aggregate above a UNION of partials: re-group by
         the query keys' STORED aliases with the query's own grouping
         structure — or by the caller's merge_keys override (r12 grain
@@ -2250,8 +2262,8 @@ class MaterializationRegistry:
         which every grouping set coarsens whether its keys are stored
         or derived — the grand-total row sums tile partials for the
         covered range plus base partials for the residual, exactly the
-        query's range. GROUPING-family calls refuse when any key is
-        derived (same contract as the plain tier)."""
+        query's range. Set mapping + the GROUPING-call refusal are
+        shared with the plain tier via _map_grouping_sets."""
         keys = (
             tuple(merge_keys)
             if merge_keys is not None
@@ -2259,33 +2271,9 @@ class MaterializationRegistry:
         )
         if agg.group_type == "SIMPLE":
             return ir.Aggregate(keys, tuple(merged_calls), inputs=(union,))
-        if merge_keys is not None:
-            # positional pairing with agg.group_keys (the
-            # _resolve_merge_keys contract): derived entries carry
-            # "expr AS alias" — sets reference the bare expression
-            key_map, derived_any = {}, False
-            for qk, mk in zip(agg.group_keys, merge_keys):
-                am = _KEY_ALIAS_RE.match(mk)
-                if am is not None:
-                    derived_any = True
-                    key_map[_norm(qk)] = am.group(1)
-                else:
-                    key_map[_norm(qk)] = mk
-            if derived_any and any(
-                re.search(r"(?i)\bGROUPING(_ID)?\s*\(|\bGROUP_ID\s*\(", c)
-                for c in agg.agg_calls
-            ):
-                return None
-        else:
-            key_map = {_norm(k): _key_alias(k) for k in agg.group_keys}
-        sets = tuple(
-            tuple(key_map.get(_norm(c), c) for c in s)
-            for s in agg.grouping_sets
-        )
-        allowed = set(key_map.values())
-        for st in sets:
-            if not set(st) <= allowed:
-                return None  # a set references a non-key column
+        sets = cls._map_grouping_sets(agg, keys)
+        if sets is None:
+            return None
         return ir.Aggregate(
             keys,
             tuple(merged_calls),
@@ -3338,8 +3326,18 @@ class LatticeSuggester:
                 col = (em.group(2) or em.group(4)).strip()
                 exg = ex_grain[canon]
                 derived = f"date_trunc('{exg}', {col}) AS {col}_{exg}"
+
+                # dedup on the EXPRESSION, not the full key text (r13
+                # review: an observed `date_trunc('month', d) AS mo`
+                # norm-differs from the derived `... AS d_month` only
+                # by alias — storing both would duplicate the column)
+                def _expr_of(k):
+                    m2 = _KEY_ALIAS_RE.match(k)
+                    return _norm(m2.group(1) if m2 else k)
+
                 if not any(
-                    _norm(derived) == _norm(m2) for m2 in mapped + keys
+                    _expr_of(derived) == _expr_of(m2)
+                    for m2 in mapped + keys
                 ):
                     mapped.append(derived)
             # dedup after mapping (two extract fields of one column

@@ -813,18 +813,37 @@ class SqlFrontend:
     )
 
     @staticmethod
-    def _pg_array_text_to_sql(txt: str, other: str = "") -> str:
+    def _pg_array_text_to_sql(txt: str, other: str = "") -> str | None:
         # PG compares the pair as the CONSTRUCTOR's element type (text
         # vs int never error there — '{1,2}' against a text[] compares
         # as text): when the constructor side holds string literals,
         # parsed numeric elements stringify so Spark's strict array
-        # typing coerces the same way
+        # typing coerces the same way. Elements split on commas
+        # OUTSIDE double quotes (r13 review: a raw split mangled
+        # '{"a,b"}' into two garbage elements — a silently-wrong
+        # comparison); nested '{...}' elements return None (the caller
+        # leaves the text untouched and Spark refuses loudly).
         force_str = bool(re.match(r"(?is)^array\s*\(\s*'", other))
         body = txt.strip()[1:-1].strip()
         if not body:
             return "array()"
+        els, cur, in_q = [], [], False
+        for ch in body:
+            if ch == '"':
+                in_q = not in_q
+                cur.append(ch)
+            elif ch == "," and not in_q:
+                els.append("".join(cur))
+                cur = []
+            elif ch == "{" or ch == "}":
+                return None  # nested array literal: refuse-over-guess
+            else:
+                cur.append(ch)
+        if in_q:
+            return None  # unbalanced quote: refuse
+        els.append("".join(cur))
         out = []
-        for el in body.split(","):
+        for el in els:
             el = el.strip()
             if el.startswith('"') and el.endswith('"') and len(el) >= 2:
                 out.append("'" + el[1:-1].replace("'", "''") + "'")
@@ -838,16 +857,21 @@ class SqlFrontend:
 
     def _expand_pg_array_text_cmp(self, text: str) -> str:
         op = {"!=": "<>"}
-        text = self._PG_ARRTXT_L.sub(
-            lambda m: f"{m.group(1)} {op.get(m.group(2), m.group(2))} "
-            f"{self._pg_array_text_to_sql(m.group(3), m.group(1))}",
-            text,
-        )
-        return self._PG_ARRTXT_R.sub(
-            lambda m: f"{self._pg_array_text_to_sql(m.group(1), m.group(3))} "
-            f"{op.get(m.group(2), m.group(2))} {m.group(3)}",
-            text,
-        )
+
+        def _left(m):
+            arr = self._pg_array_text_to_sql(m.group(3), m.group(1))
+            if arr is None:
+                return m.group(0)
+            return f"{m.group(1)} {op.get(m.group(2), m.group(2))} {arr}"
+
+        def _right(m):
+            arr = self._pg_array_text_to_sql(m.group(1), m.group(3))
+            if arr is None:
+                return m.group(0)
+            return f"{arr} {op.get(m.group(2), m.group(2))} {m.group(3)}"
+
+        text = self._PG_ARRTXT_L.sub(_left, text)
+        return self._PG_ARRTXT_R.sub(_right, text)
 
     # 4-arg REGEXP_REPLACE whose 4th operand is a string LITERAL is the
     # PG flags form (REGEXP_REPLACE_PG_4, SqlLibraryOperators.java:690-

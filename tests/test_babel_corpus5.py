@@ -294,22 +294,45 @@ def test_rs_add_months_month_end_snap(spark):
     ) == "2008-05-30"
 
 
-def test_bq_date_trunc_week_anchor(spark, duck):
-    # BigQuery arg order (date, unit), DATE return type (:3887)
-    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "WEEK")
-    assert str(got) == "2013-12-23"  # the Monday
-    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "WEEK(MONDAY)")
-    assert str(got) == "2013-12-23"
-    got = _bq(spark, "DATE_TRUNC", "DATE '2013-12-25'", "MONTH")
-    assert str(got) == "2013-12-01"
-    native = duck.execute(
-        "SELECT CAST(date_trunc('week', DATE '2013-12-25') AS DATE)"
-    ).fetchone()[0]
-    assert str(got if False else native) == "2013-12-23"
-    # non-Monday anchors have no exact Spark lowering: refuse loudly
-    with pytest.raises(ValueError, match="WEEK\\(MONDAY\\)"):
+def test_bq_date_trunc_unit_grid(spark, duck):
+    """The reference's EXECUTED unit grid for 2008-12-25
+    (big-query.iq:3853-3871): bare WEEK ≡ WEEK(SUNDAY) — the r13
+    review caught the first cut silently lowering it to Spark's
+    Monday week — plus every WEEK(<weekday>) anchor, ISOWEEK, and
+    ISOYEAR (the Monday of the week containing Jan 4)."""
+    xmas = "DATE '2008-12-25'"
+    grid = [
+        ("YEAR", "2008-01-01"),
+        ("ISOYEAR", "2007-12-31"),
+        ("QUARTER", "2008-10-01"),
+        ("MONTH", "2008-12-01"),
+        ("WEEK", "2008-12-21"),
+        ("WEEK(SUNDAY)", "2008-12-21"),
+        ("WEEK(MONDAY)", "2008-12-22"),
+        ("WEEK(TUESDAY)", "2008-12-23"),
+        ("ISOWEEK", "2008-12-22"),
+        ("DAY", "2008-12-25"),
+    ]
+    for unit, want in grid:
+        assert str(_bq(spark, "DATE_TRUNC", xmas, unit)) == want, unit
+    # anchors floor to the PRECEDING anchor day even when the date IS
+    # later in that week (2017-11-05 is a Sunday; :3887 comment)
+    assert str(_bq(
+        spark, "DATE_TRUNC", "DATE '2017-11-05'", "WEEK(MONDAY)"
+    )) == "2017-10-30"
+    # ISO year 2015 begins 2014-12-29 (:3905 comment)
+    assert str(_bq(
+        spark, "DATE_TRUNC", "DATE '2015-06-15'", "ISOYEAR"
+    )) == "2014-12-29"
+    # unknown units refuse loudly (Spark would silently return NULL)
+    with pytest.raises(ValueError, match="unsupported unit"):
         registry.translate(
-            "DATE_TRUNC", "DATE '2013-12-25'", "WEEK(SUNDAY)",
+            "DATE_TRUNC", "DATE '2013-12-25'", "FORTNIGHT",
+            library="BIG_QUERY",
+        )
+    with pytest.raises(ValueError, match="not a weekday"):
+        registry.translate(
+            "DATE_TRUNC", "DATE '2013-12-25'", "WEEK(NOODLE)",
             library="BIG_QUERY",
         )
     # the PG spelling (unit first) is untouched by the BQ variant
@@ -320,6 +343,10 @@ def test_bq_date_trunc_week_anchor(spark, duck):
     assert str(
         spark.sql(f"SELECT {e} AS v").collect()[0].v
     ).startswith("2013-12-01")
+    native = duck.execute(
+        "SELECT CAST(date_trunc('month', DATE '2013-12-25') AS DATE)"
+    ).fetchone()[0]
+    assert str(native) == "2013-12-01"
 
 
 # -- PG frontend classes (babel postgresql.iq:22-58) -------------------
@@ -373,6 +400,15 @@ def test_pg_interval_cast_and_array_text_compare(spark):
     assert one("SELECT '{0,1,2}' = ARRAY[0,1,2] AS v") is True
     assert one("SELECT ARRAY[1] != '{1}' AS v") is False
     assert one("SELECT '{a,b}' = ARRAY['a','b'] AS v") is True
+    # a quoted element CONTAINING a comma is one element (r13 review:
+    # the raw comma split mangled it into two, silently FALSE)
+    assert one("SELECT ARRAY['a,b'] = '{\"a,b\"}' AS v") is True
+    # nested '{...}' literals refuse loudly (Spark's type error), never
+    # a silently-wrong element list
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DATATYPE_MISMATCH"):
+        one("SELECT ARRAY[ARRAY[1]] = '{{1}}' AS v")
     # a brace string NOT next to a comparison stays data
     assert one("SELECT 'literal {1} text' AS v") == "literal {1} text"
 

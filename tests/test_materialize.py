@@ -7072,6 +7072,25 @@ def test_suggester_extract_keys_propose_trunc_tile(spark, tmp_path):
         "date_trunc('month', o_orderdate) AS o_orderdate_month"
     ], p["group_keys"]
     assert not any("year(" in k or "EXTRACT" in k for k in p["group_keys"])
+    # an explicitly observed SAME-expression trunc key under its own
+    # alias absorbs the extract mapping — never two identical columns
+    # (r13 review)
+    cat3 = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug3 = LatticeSuggester().attach(cat3)
+    for key in ("date_trunc('month', o_orderdate) AS mo",
+                "year(o_orderdate) AS yr"):
+        (
+            RelBuilder(cat3)
+            .scan("orders")
+            .aggregate([key], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p3,) = sug3.suggest(min_count=2)
+    truncs = [k for k in p3["group_keys"] if "date_trunc" in k]
+    assert truncs == ["date_trunc('month', o_orderdate) AS mo"], (
+        p3["group_keys"]
+    )
     built = sug.auto_build(
         cat, reg, str(tmp_path / "wh"), min_count=2, benefit_threshold=0.95
     )
