@@ -892,8 +892,13 @@ _reg("DATE_ADD", "CAST({0} + {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of=
 _reg("DATE_SUB", "CAST({0} - {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of="DATE_SUB")
 _reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 _reg("DATETIME_DIFF", "timestampdiff({2}, {1}, {0})", (3,), libs=(BIG_QUERY,), note="BigQuery arg order: (a, b, part) = a - b")
-_reg("TIMESTAMP_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier (native BigQuery form); template quotes it")
-_reg("DATETIME_TRUNC", "date_trunc('{1}', {0})", (2,), libs=(BIG_QUERY,), note="unit as BARE identifier; template quotes it")
+# full BigQuery unit grammar shared with DATE_TRUNC via the
+# translate() dispatch (r13: bare WEEK is SUNDAY-start, WEEK(<day>)
+# anchors, ISOWEEK/ISOYEAR; unknown units refuse instead of Spark's
+# silent NULL); these keep their TIMESTAMP return type and add the
+# sub-day units BigQuery allows on timestamps
+_reg("TIMESTAMP_TRUNC", "", (2,), libs=(BIG_QUERY,), note="dispatch")
+_reg("DATETIME_TRUNC", "", (2,), libs=(BIG_QUERY,), note="dispatch")
 _reg("CURRENT_DATETIME", "current_timestamp()", (0,), libs=(BIG_QUERY,))
 _reg("SYSTIMESTAMP", "current_timestamp()", (0,), libs=(ORACLE,))
 _reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY, SPARK))
@@ -1345,7 +1350,9 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 f"regexp_extract_all({args[0]}, {_sql_str(pat)}, {groups})"
             )
         return f"regexp_extract_all({args[0]}, {args[1]})"
-    if fn.name == "DATE_TRUNC" and fn.libraries == (BIG_QUERY,):
+    if fn.name in (
+        "DATE_TRUNC", "DATETIME_TRUNC", "TIMESTAMP_TRUNC"
+    ) and fn.libraries == (BIG_QUERY,):
         # BigQuery's full unit grammar, per the reference's EXECUTED
         # fixture (big-query.iq:3853-3871): bare WEEK ≡ WEEK(SUNDAY)
         # (r13 review fix — the first cut silently lowered it to
@@ -1354,9 +1361,18 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         # of the week containing Jan 4 (the ISO-8601 year start).
         # Anything else refuses loudly — an unknown unit reaching
         # Spark's date_trunc fmt evaluates to NULL silently.
+        # DATE_TRUNC casts back to DATE; the DATETIME/TIMESTAMP
+        # siblings keep TIMESTAMP and add BigQuery's sub-day units.
         import re as _re
 
         d = args[0]
+        is_date = fn.name == "DATE_TRUNC"
+
+        def _fin(expr, from_date=False):
+            if is_date:
+                return f"CAST({expr} AS DATE)"
+            return f"CAST({expr} AS TIMESTAMP)" if from_date else expr
+
         unit = args[1].strip().strip("'\"`")
         m = _re.fullmatch(r"(?is)week\s*(?:\(\s*(\w+)\s*\))?", unit)
         if m:
@@ -1367,33 +1383,39 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
             day = (m.group(1) or "SUNDAY").upper()
             if day not in offs:
                 raise ValueError(
-                    f"DATE_TRUNC: WEEK({m.group(1)}) is not a weekday"
+                    f"{fn.name}: WEEK({m.group(1)}) is not a weekday"
                 )
             k = offs[day]
             if k == 0:
-                return f"CAST(date_trunc('WEEK', {d}) AS DATE)"
+                return _fin(f"date_trunc('WEEK', {d})")
             # floor to the previous <day>: shift forward so the Monday
-            # floor lands on it, then shift back (pure date arithmetic)
+            # floor lands on it, then shift back (pure date arithmetic;
+            # the result is that day's midnight either way)
             s = 7 - k
-            return (
+            return _fin(
                 f"date_sub(CAST(date_trunc('WEEK', "
-                f"date_add(CAST({d} AS DATE), {s})) AS DATE), {s})"
+                f"date_add(CAST({d} AS DATE), {s})) AS DATE), {s})",
+                from_date=True,
             )
         u = unit.upper()
         if u == "ISOWEEK":
-            return f"CAST(date_trunc('WEEK', {d}) AS DATE)"
+            return _fin(f"date_trunc('WEEK', {d})")
         if u == "ISOYEAR":
-            return (
+            return _fin(
                 f"CAST(date_trunc('WEEK', make_date("
-                f"extract(YEAROFWEEK FROM {d}), 1, 4)) AS DATE)"
+                f"extract(YEAROFWEEK FROM {d}), 1, 4)) AS DATE)",
+                from_date=True,
             )
-        if u not in ("YEAR", "QUARTER", "MONTH", "DAY"):
-            raise ValueError(
-                f"DATE_TRUNC: unsupported unit {args[1]!r} (YEAR, "
-                "QUARTER, MONTH, WEEK[(<weekday>)], ISOWEEK, ISOYEAR, "
-                "DAY)"
-            )
-        return f"CAST(date_trunc('{u}', {d}) AS DATE)"
+        day_units = ("YEAR", "QUARTER", "MONTH", "DAY")
+        sub_day = ("HOUR", "MINUTE", "SECOND", "MILLISECOND",
+                   "MICROSECOND")
+        if u in day_units or (not is_date and u in sub_day):
+            return _fin(f"date_trunc('{u}', {d})")
+        raise ValueError(
+            f"{fn.name}: unsupported unit {args[1]!r} (YEAR, QUARTER, "
+            "MONTH, WEEK[(<weekday>)], ISOWEEK, ISOYEAR, DAY"
+            + (")" if is_date else ", HOUR..MICROSECOND)")
+        )
     if (
         fn.name in ("DATEADD", "DATEDIFF", "DATE_PART")
         and not fn.template

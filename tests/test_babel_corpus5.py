@@ -445,3 +445,34 @@ def test_is_empty_predicate(spark):
     )
     assert r.n == 5
     assert one("SELECT 'IS EMPTY stays' AS s").s == "IS EMPTY stays"
+
+
+def test_bq_timestamp_datetime_trunc_units(spark):
+    """TIMESTAMP_TRUNC / DATETIME_TRUNC share DATE_TRUNC's full unit
+    grammar (big-query.iq:3918+ documents bare WEEK ≡ WEEK(SUNDAY) for
+    them too), keep the TIMESTAMP return type, and add BigQuery's
+    sub-day units; unknown units refuse; DATE_TRUNC refuses sub-day
+    units (a DATE has none)."""
+    ts = "TIMESTAMP '2008-12-25 15:30:00'"
+    grid = [
+        ("DAY", "2008-12-25 00:00:00"),
+        ("WEEK", "2008-12-21 00:00:00"),          # Sunday
+        ("WEEK(MONDAY)", "2008-12-22 00:00:00"),
+        ("ISOWEEK", "2008-12-22 00:00:00"),
+        ("ISOYEAR", "2007-12-31 00:00:00"),
+        ("HOUR", "2008-12-25 15:00:00"),
+        ("MINUTE", "2008-12-25 15:30:00"),
+        ("MONTH", "2008-12-01 00:00:00"),
+    ]
+    for unit, want in grid:
+        for name in ("TIMESTAMP_TRUNC", "DATETIME_TRUNC"):
+            assert str(_bq(spark, name, ts, unit)) == want, (name, unit)
+    with pytest.raises(ValueError, match="unsupported unit"):
+        registry.translate(
+            "TIMESTAMP_TRUNC", ts, "FORTNIGHT", library="BIG_QUERY"
+        )
+    with pytest.raises(ValueError, match="unsupported unit"):
+        registry.translate(
+            "DATE_TRUNC", "DATE '2008-12-25'", "HOUR",
+            library="BIG_QUERY",
+        )
