@@ -884,6 +884,8 @@ _reg(
     "quotes it",
 )
 _reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
+_reg("TIMESTAMP_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,),
+     note="BigQuery TIMESTAMP_ADD(ts, INTERVAL n unit) — big-query.iq:3232")
 _reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
 # BigQuery DATE_ADD/DATE_SUB take (date, INTERVAL) — a different
 # operator from the Spark/Hive int-days base entry (SqlLibraryOperators
@@ -1350,6 +1352,60 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 f"regexp_extract_all({args[0]}, {_sql_str(pat)}, {groups})"
             )
         return f"regexp_extract_all({args[0]}, {args[1]})"
+    if fn.name == "LAST_DAY" and len(args) == 2:
+        # BigQuery's 2-arg LAST_DAY(x, date_part) (big-query.iq:4181):
+        # the last day of the containing YEAR / QUARTER / MONTH /
+        # WEEK[(anchor)] / ISOWEEK / ISOYEAR, always a DATE. The 1-arg
+        # form stays Spark's builtin (last day of month).
+        import re as _re
+
+        d = args[0]
+        unit = args[1].strip().strip("'\"`")
+        m = _re.fullmatch(r"(?is)week\s*(?:\(\s*(\w+)\s*\))?", unit)
+        if m:
+            offs = {
+                "MONDAY": 0, "TUESDAY": 1, "WEDNESDAY": 2,
+                "THURSDAY": 3, "FRIDAY": 4, "SATURDAY": 5, "SUNDAY": 6,
+            }
+            day = (m.group(1) or "SUNDAY").upper()
+            if day not in offs:
+                raise ValueError(
+                    f"LAST_DAY: WEEK({m.group(1)}) is not a weekday"
+                )
+            k = offs[day]
+            if k == 0:
+                floor = f"CAST(date_trunc('WEEK', {d}) AS DATE)"
+            else:
+                s = 7 - k
+                floor = (
+                    f"date_sub(CAST(date_trunc('WEEK', "
+                    f"date_add(CAST({d} AS DATE), {s})) AS DATE), {s})"
+                )
+            return f"date_add({floor}, 6)"
+        u = unit.upper()
+        if u == "MONTH":
+            return f"last_day({d})"
+        if u == "YEAR":
+            return f"make_date(year({d}), 12, 31)"
+        if u == "QUARTER":
+            # last day of the quarter's third month
+            return (
+                f"last_day(add_months(CAST(date_trunc('QUARTER', {d}) "
+                f"AS DATE), 2))"
+            )
+        if u == "ISOWEEK":
+            return f"date_add(CAST(date_trunc('WEEK', {d}) AS DATE), 6)"
+        if u == "ISOYEAR":
+            # the Sunday before the NEXT ISO year's start (the Monday
+            # of the week containing Jan 4)
+            return (
+                f"date_sub(CAST(date_trunc('WEEK', make_date("
+                f"extract(YEAROFWEEK FROM {d}) + 1, 1, 4)) AS DATE), 1)"
+            )
+        raise ValueError(
+            f"LAST_DAY: unsupported date_part {args[1]!r} (YEAR, "
+            "QUARTER, MONTH, WEEK[(<weekday>)], ISOWEEK, ISOYEAR)"
+        )
     if fn.name in (
         "DATE_TRUNC", "DATETIME_TRUNC", "TIMESTAMP_TRUNC"
     ) and fn.libraries == (BIG_QUERY,):

@@ -476,3 +476,33 @@ def test_bq_timestamp_datetime_trunc_units(spark):
             "DATE_TRUNC", "DATE '2008-12-25'", "HOUR",
             library="BIG_QUERY",
         )
+
+
+def test_bq_last_day_units_and_timestamp_add(spark):
+    """BigQuery's 2-arg LAST_DAY(x, date_part) (big-query.iq:4181) —
+    the fixtures' WEEK(SUNDAY)/WEEK(MONDAY) values replayed — plus
+    TIMESTAMP_ADD's INTERVAL form (:3232). 1-arg LAST_DAY stays
+    Spark's builtin."""
+    d = "DATE '2008-11-25'"
+    grid = [
+        ((d, "MONTH"), "2008-11-30"),
+        (("TIMESTAMP '2008-11-25 15:30:00'", "YEAR"), "2008-12-31"),
+        ((d, "QUARTER"), "2008-12-31"),
+        (("TIMESTAMP '2008-11-10 15:30:00'", "WEEK(SUNDAY)"),
+         "2008-11-15"),                                          # :4225
+        (("TIMESTAMP '2008-11-10 15:30:00'", "WEEK(MONDAY)"),
+         "2008-11-16"),                                          # :4234
+        ((d, "ISOWEEK"), "2008-11-30"),
+        ((d, "ISOYEAR"), "2008-12-28"),  # ISO 2008 ends Sun Dec 28
+    ]
+    for args, want in grid:
+        assert str(_bq(spark, "LAST_DAY", *args)) == want, args
+    assert str(_bq(spark, "LAST_DAY", d)) == "2008-11-30"  # 1-arg
+    with pytest.raises(ValueError, match="unsupported date_part"):
+        registry.translate(
+            "LAST_DAY", d, "FORTNIGHT", library="BIG_QUERY"
+        )
+    assert str(_bq(
+        spark, "TIMESTAMP_ADD",
+        "TIMESTAMP '2008-12-25 15:30:00'", "INTERVAL 10 MINUTE",
+    )) == "2008-12-25 15:40:00"
