@@ -1193,17 +1193,40 @@ class DdlExecutor:
                 # toDF(*aliases); it just isn't substitutable (review
                 # r8: raising here refused a DDL the reference accepts)
                 return None
-            keys = [k.strip() for k in group_by.split(",")]
-            if not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
-                # expression group keys in DDL go to the generic path
-                # (review r10: define() now REFUSES bare expressions,
-                # and the naive comma split above mangles
-                # comma-bearing expressions — neither may crash a
-                # valid CREATE MATERIALIZED VIEW)
-                return None
+            from calcite_spark.plans.materialize import _norm as _expr_norm
+
+            sel_items = [i.strip() for i in _split_top_level(select_list)]
+            keys = []
+            for k in _split_top_level(group_by):
+                k = k.strip()
+                if re.fullmatch(r"[A-Za-z_]\w*", k):
+                    keys.append(k)
+                    continue
+                # expression group key (r13, mirroring the frontend
+                # lift): substitutable when the SELECT list carries the
+                # SAME expression under an alias — the stored key
+                # becomes 'expr AS alias', define()'s expression-key
+                # form — so `CREATE MATERIALIZED VIEW ... GROUP BY
+                # date_trunc('month', d)` feeds the whole tile stack
+                # (rollup, grain hierarchy, grain edge, EXTRACT
+                # derivation) instead of the generic path
+                knorm = _expr_norm(k)
+                hit = next(
+                    (
+                        s
+                        for s in sel_items
+                        if (am := re.match(
+                            r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", s
+                        ))
+                        and _expr_norm(am.group(1)) == knorm
+                    ),
+                    None,
+                )
+                if hit is None:
+                    return None  # unaliased expression key: generic
+                keys.append(hit)
             calls = []
-            for item in _split_top_level(select_list):
-                item = item.strip()
+            for item in sel_items:
                 if item in keys:
                     continue
                 calls.append(item)

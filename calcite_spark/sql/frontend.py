@@ -2259,14 +2259,48 @@ class SqlFrontend:
     # spark.sql(expanded) verbatim — zero behavior change for
     # registries-off sessions or non-matching statements.
 
-    _SIMPLE_STMT_RE = re.compile(
-        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<from>.*?)"
+    # tail of the statement AFTER the top-level FROM (located by
+    # _top_level_from_split — the old single regex stopped at the
+    # FIRST 'FROM', so `EXTRACT(MONTH FROM d)` in the SELECT list
+    # truncated the select and the lift refused; r13)
+    _STMT_TAIL_RE = re.compile(
+        r"(?is)^\s*(?P<from>.*?)"
         r"(?:\s+WHERE\s+(?P<w>.*?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
         r"(?:\s+HAVING\s+(?P<hv>.*?))?"
         r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
         r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$"
     )
+
+    @staticmethod
+    def _top_level_from_split(text: str):
+        """(select_list, tail_after_FROM) split at the first FROM at
+        paren depth 0 outside string literals, or (None, None)."""
+        sm = re.match(r"(?is)^\s*SELECT\s+", text)
+        if sm is None:
+            return None, None
+        depth, in_str = 0, False
+        up = text.upper()
+        for i in range(sm.end(), len(text)):
+            ch = text[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and up.startswith("FROM", i)
+                    and text[i - 1].isspace()
+                    and (
+                        i + 4 >= len(text)
+                        or not (text[i + 4].isalnum() or text[i + 4] == "_")
+                    )
+                ):
+                    return text[sm.end(): i], text[i + 4:]
+        return None, None
     _ORDER_KEY_RE = re.compile(
         r"(?i)^[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?$"
     )
@@ -2285,7 +2319,10 @@ class SqlFrontend:
             text,
         ):
             return None
-        m = self._SIMPLE_STMT_RE.match(text)
+        sel_txt, tail = self._top_level_from_split(text)
+        if sel_txt is None:
+            return None
+        m = self._STMT_TAIL_RE.match(tail)
         if m is None:
             return None
         if m.group("hv") is not None and not m.group("gb"):
@@ -2295,7 +2332,7 @@ class SqlFrontend:
         from calcite_spark.plans.materialize import liftable_agg_call
         from calcite_spark.plans.rewrite import default_program
 
-        sel = [s.strip() for s in self._split_top_commas(m.group("sel"))]
+        sel = [s.strip() for s in self._split_top_commas(sel_txt)]
         b = RelBuilder(self.catalog)
         fr = m.group("from").strip()
         if "'" in fr or "(" in fr:

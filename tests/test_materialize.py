@@ -1222,6 +1222,46 @@ def test_frontend_lift_fidelity(spark, tmp_path):
     assert df.count() == cat.table("cust_tile").count()
 
 
+def test_frontend_lift_extract_groupings(spark, tmp_path):
+    """r13: EXTRACT(F FROM col) in the SELECT list used to truncate the
+    lift's statement split at the INNER 'FROM', so SQL-spelled EXTRACT
+    groupings never reached the tile tiers — the split is now
+    paren-depth-aware, and the full SQL-level canonical BI query
+    (EXTRACT filter + EXTRACT grouping) serves from the month tile."""
+    cat, fe, ddl = _surface(spark, tmp_path)
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW ord_month_tile AS SELECT "
+        "date_trunc('month', o_orderdate) AS m, "
+        "SUM(o_totalprice) AS s, COUNT(*) AS n "
+        "FROM orders GROUP BY date_trunc('month', o_orderdate)"
+    )
+    for sql in (
+        "SELECT EXTRACT(MONTH FROM o_orderdate) AS mo, "
+        "SUM(o_totalprice) AS s FROM orders "
+        "GROUP BY EXTRACT(MONTH FROM o_orderdate)",
+        "SELECT EXTRACT(MONTH FROM o_orderdate) AS mo, "
+        "SUM(o_totalprice) AS s FROM orders "
+        "WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 "
+        "GROUP BY EXTRACT(MONTH FROM o_orderdate)",
+        "SELECT year(o_orderdate) AS yr, SUM(o_totalprice) AS s "
+        "FROM orders GROUP BY year(o_orderdate)",
+    ):
+        df = fe.sql(sql)
+        assert df.inputFiles() and all(
+            "ord_month_tile" in f for f in df.inputFiles()
+        ), (sql, df.inputFiles())
+        direct = spark.sql(
+            sql.replace("FROM orders", f"FROM parquet.`{SF_DIR}/orders.parquet`")
+        )
+        got = sorted(
+            ((r[0], round(r[1], 3)) for r in df.collect()), key=str
+        )
+        want = sorted(
+            ((r[0], round(r[1], 3)) for r in direct.collect()), key=str
+        )
+        assert got == want, sql
+
+
 def test_spf_does_not_preempt_aggregate_tile(spark, tmp_path):
     """A blind full-column SPF slice must not claim the Filter under an
     Aggregate a far smaller aggregate tile can serve: the aggregate
