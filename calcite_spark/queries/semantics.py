@@ -2537,6 +2537,100 @@ def qx61_hot_slice_suggest(spark, sf_dir):
 
 
 @register(
+    "qx66_week_grain_suggest",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 3) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-29 00:00:00'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("materialize", "lattice", "suggester", "week-grain"),
+)
+def qx66_week_grain_suggest(spark, sf_dir):
+    """WEEK grain selection (r13, verdict item 6 — beyond-reference
+    like the rest of the self-tuning loop): a weekly-dashboard corpus
+    — every observed bound a Monday midnight, narrowest range exactly
+    one week — makes the suggester pick the WEEK grain (~7× fewer
+    tile rows than the day grain such corpora got before) and slice at
+    the week floor of the lowest observed lo; the verification query
+    is a FRESH week-aligned in-slice range the corpus never asked,
+    served tile-only through the week grain-edge tier. In-row
+    negatives: the picked key IS week-grain, and the slice is the
+    Monday floor. benefit_threshold=0.95 stands in for production
+    scale (at sf0.001 a week×priority tile nears the toy fact's grain
+    — the same documented inversion as the day-grain pytest; at 100 TB
+    the ratio is ~1e-5). 100 TB: weeks × priorities rows, fixed."""
+    import tempfile
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.plans.materialize import (
+        LatticeSuggester,
+        MaterializationRegistry,
+    )
+
+    cat = open_catalog(spark, sf_dir)
+    reg = MaterializationRegistry()
+    sug = LatticeSuggester().attach(cat)
+    for cond in (
+        # 1996-03-04 / 03-11 / 05-06 / 06-03 are Mondays
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-11 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-05-06 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-06-03 00:00:00'",
+    ):
+        (
+            RelBuilder(cat)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(
+                ["o_orderpriority"], ["SUM(o_totalprice) AS s"]
+            )
+            .to_df()
+            .count()
+        )
+    built = sug.auto_build(
+        cat, reg, tempfile.mkdtemp(prefix="qx66_lat_"),
+        min_count=2, benefit_threshold=0.95,
+    )
+    if len(built) != 1 or not any(
+        "_week" in k for k in built[0].group_keys
+    ):
+        raise RuntimeError(
+            f"week grain was not picked: {built and built[0].group_keys} "
+            f"{sug.decisions}"
+        )
+    if built[0].filter_condition != (
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00'"
+    ):
+        raise RuntimeError(
+            f"slice is not the week floor: {built[0].filter_condition}"
+        )
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(
+            "o_orderdate >= TIMESTAMP '1996-04-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-29 00:00:00'"
+        )
+        .aggregate(
+            ["o_orderpriority"], ["SUM(o_totalprice) AS sum_price"]
+        )
+        .to_df()
+    )
+    files = df.inputFiles()
+    if not files or not all(built[0].name in f for f in files):
+        raise RuntimeError(
+            f"fresh week-aligned range was not tile-only: {files}"
+        )
+    return df.selectExpr(
+        "o_orderpriority",
+        "ROUND(sum_price, 3) AS sum_price",
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "qx62_mv_percentile_array",
     oracle="""
     SELECT l_returnflag,
