@@ -200,18 +200,19 @@ def qx04_federation(spark, sf_dir):
 _LATTICE_CACHE: dict[tuple, object] = {}
 
 
-@register(
-    "qx09_lattice_suggest",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 3) AS total
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-    tags=("materialized_view", "lattice", "suggester"),
-)
+# qx09_lattice_suggest retired from the registry in r14 (rotation
+# arithmetic recomputed from CORRECTNESS_r11..r13: 50 r11-green +
+# owed qx64..qx66 = 53 claims on 50 slots — three receipted
+# retirements forced; see the r14 window plan at inventory.py).
+# Receipts, re-verified before removal: the suggester's
+# observe→propose→auto_build→serve loop is driver-exercised on a
+# strictly wider shape by qx47_lattice_auto_join (JOIN-shape corpus,
+# pass r13) and qx61_hot_slice_suggest (grain selection, pass r13);
+# the single-table corpus path this row covered is pinned by
+# tests/test_materialize.py::test_lattice_suggester_corpus_to_mv,
+# ::test_lattice_suggester_below_threshold_silent and
+# ::test_suggester_single_table_behavior_unchanged, which exercise the
+# same LatticeSuggester observe/auto_build machinery directly.
 def qx09_lattice_suggest(spark, sf_dir):
     """Query-corpus lattice suggester end-to-end (plans/materialize.py
     LatticeSuggester ≈ materialize/LatticeSuggester.java): a replayed

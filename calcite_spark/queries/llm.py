@@ -232,11 +232,18 @@ def z55_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dups(cat.table("documents")).orderBy("a_id", "b_id")
 
 
-@register(
-    "qx07_simhash_neardup",
-    oracle=snapshot_oracle("qx07_simhash_neardup"),  # xxhash64 simhash; reviewed snapshot
-    tags=("llm", "dedup", "simhash", "hamming"),
-)
+# qx07_simhash_neardup retired from the registry in r14 (rotation
+# arithmetic recomputed from CORRECTNESS_r11..r13: the green sets are
+# pairwise disjoint, so 50 names are latest-green r11 — not the 45 the
+# r13 verdict carried — and 50 r11-green + the owed qx64..qx66 rows =
+# 53 claims on 50 slots, forcing three receipted retirements).
+# Receipts, re-verified before removal: q79_simhash_dedup is the
+# driver row for the SAME llm/dedup.py simhash path (pass r13 —
+# CORRECTNESS_r13 green, hash vs reviewed snapshot), and
+# tests/test_llm_quality.py::test_simhash_near_dups_planted pins the
+# banding against the brute-force popcount(XOR) answer EXACTLY on
+# planted docs every round (it exercises llm/dedup.simhash_near_dups,
+# the same callable this row wrapped).
 def qx07_simhash_neardup(spark, sf_dir):
     """SimHash near-dups within Hamming distance 3 via bit-flip banding —
     llm/dedup.simhash_near_dups: 64-bit simhash split into k+1=4 bands,
@@ -247,11 +254,14 @@ def qx07_simhash_neardup(spark, sf_dir):
     return simhash_near_dups(cat.table("documents"), k=3).orderBy("a_id", "b_id")
 
 
-@register(
-    "qx08_cosine_dups",
-    oracle=snapshot_oracle("qx08_cosine_dups"),  # our plane family; reviewed snapshot
-    tags=("llm", "dedup", "embedding", "lsh"),
-)
+# qx08_cosine_dups retired from the registry in r14 (same rotation
+# arithmetic as qx07 above — three receipted retirements forced).
+# Receipts, re-verified before removal: q80_lsh_knn is the driver row
+# for the SAME llm/similarity.py hyperplane-LSH family (pass r13), and
+# tests/test_llm_quality.py::test_embedding_cosine_dups_planted pins
+# recall on a planted near-identical pair AND the exact=True quadratic
+# oracle against brute force every round (it exercises
+# llm/dedup.embedding_cosine_dups, the same callable this row wrapped).
 def qx08_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.45) via 8 independent
     3-plane hyperplane-LSH tables — llm/dedup.embedding_cosine_dups.
