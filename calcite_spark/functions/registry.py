@@ -514,16 +514,9 @@ _reg("TIMESTAMPADD", "timestampadd({0}, {1}, {2})", (3,))
 _reg("TIMESTAMPDIFF", "timestampdiff({0}, {1}, {2})", (3,))
 _reg("DATE_ADD", "date_add({0}, {1})", (2,), libs=(SPARK, HIVE), note="Calcite DATE_ADD_SPARK models exactly this")
 _reg("DATE_SUB", "date_sub({0}, {1})", (2,), libs=(SPARK, HIVE))
-# BigQuery spells DATE_ADD(date, INTERVAL n unit) and returns DATE
-# (big-query.iq:3137,3373) — interval arithmetic, cast back to DATE
-_reg(
-    "DATE_ADD", "CAST(({0} + {1}) AS DATE)", (2,), libs=(BIG_QUERY,),
-    variant_of="DATE_ADD",
-)
-_reg(
-    "DATE_SUB", "CAST(({0} - {1}) AS DATE)", (2,), libs=(BIG_QUERY,),
-    variant_of="DATE_SUB",
-)
+# (the BigQuery DATE_ADD/DATE_SUB interval variants are registered
+# once, further down with the other BQ datetime arithmetic — ADVICE
+# r13: a second registration here silently overwrote them)
 _reg("DATEDIFF", "datediff({0}, {1})", (2,), libs=(SPARK, HIVE, MYSQL))
 _reg(
     "DATE_DIFF",
@@ -887,9 +880,11 @@ _reg("DATETIME_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,))
 _reg("TIMESTAMP_ADD", "{0} + {1}", (2,), libs=(BIG_QUERY,),
      note="BigQuery TIMESTAMP_ADD(ts, INTERVAL n unit) — big-query.iq:3232")
 _reg("DATETIME_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))
-# BigQuery DATE_ADD/DATE_SUB take (date, INTERVAL) — a different
-# operator from the Spark/Hive int-days base entry (SqlLibraryOperators
-# DATE_ADD:320/DATE_SUB:260 gate BIG_QUERY); variant keys win there
+# BigQuery DATE_ADD/DATE_SUB take (date, INTERVAL) and return DATE
+# (big-query.iq:3137,3373) — a different operator from the Spark/Hive
+# int-days base entry (SqlLibraryOperators DATE_ADD:320/DATE_SUB:260
+# gate BIG_QUERY); variant keys win there. Sole registration (ADVICE
+# r13: an earlier duplicate pair near DATEDIFF was deleted).
 _reg("DATE_ADD", "CAST({0} + {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of="DATE_ADD")
 _reg("DATE_SUB", "CAST({0} - {1} AS DATE)", (2,), libs=(BIG_QUERY,), variant_of="DATE_SUB")
 _reg("TIMESTAMP_SUB", "{0} - {1}", (2,), libs=(BIG_QUERY,))

@@ -858,20 +858,31 @@ class SqlFrontend:
     def _expand_pg_array_text_cmp(self, text: str) -> str:
         op = {"!=": "<>"}
 
-        def _left(m):
-            arr = self._pg_array_text_to_sql(m.group(3), m.group(1))
-            if arr is None:
-                return m.group(0)
-            return f"{m.group(1)} {op.get(m.group(2), m.group(2))} {arr}"
+        def _pass1(cur):
+            def _left(m):
+                # quote-parity guard, like every other frontend text
+                # rewrite (ADVICE r13): never rewrite inside a literal
+                if cur.count("'", 0, m.start()) % 2 == 1:
+                    return m.group(0)
+                arr = self._pg_array_text_to_sql(m.group(3), m.group(1))
+                if arr is None:
+                    return m.group(0)
+                return f"{m.group(1)} {op.get(m.group(2), m.group(2))} {arr}"
 
-        def _right(m):
-            arr = self._pg_array_text_to_sql(m.group(1), m.group(3))
-            if arr is None:
-                return m.group(0)
-            return f"{arr} {op.get(m.group(2), m.group(2))} {m.group(3)}"
+            return self._PG_ARRTXT_L.sub(_left, cur)
 
-        text = self._PG_ARRTXT_L.sub(_left, text)
-        return self._PG_ARRTXT_R.sub(_right, text)
+        def _pass2(cur):
+            def _right(m):
+                if cur.count("'", 0, m.start()) % 2 == 1:
+                    return m.group(0)
+                arr = self._pg_array_text_to_sql(m.group(1), m.group(3))
+                if arr is None:
+                    return m.group(0)
+                return f"{arr} {op.get(m.group(2), m.group(2))} {m.group(3)}"
+
+            return self._PG_ARRTXT_R.sub(_right, cur)
+
+        return _pass2(_pass1(text))
 
     # 4-arg REGEXP_REPLACE whose 4th operand is a string LITERAL is the
     # PG flags form (REGEXP_REPLACE_PG_4, SqlLibraryOperators.java:690-
@@ -2051,6 +2062,124 @@ class SqlFrontend:
         text = re.sub(r"\bAGGREGATE\s*\(\s*([A-Za-z_]\w*)\s*\)", sub, text)
         return text
 
+    # aggregate-call heads recognized by the GROUP BY () guard — the
+    # names Spark accepts ungrouped. Scalar-only names are deliberately
+    # absent: an item that is not provably an aggregate keeps the
+    # clause, and Spark rejects the raw `GROUP BY ()` loudly.
+    _GB_EMPTY_AGGS = frozenset(
+        """count sum min max avg mean stddev stddev_pop stddev_samp
+        var_pop var_samp variance any_value some every bool_and bool_or
+        first first_value last last_value collect_list collect_set
+        array_agg listagg string_agg group_concat bit_and bit_or
+        bit_xor approx_count_distinct approx_percentile percentile
+        percentile_cont percentile_disc median mode arg_max arg_min
+        max_by min_by corr covar_pop covar_samp skewness kurtosis
+        count_if json_objectagg json_arrayagg hll_sketch_agg
+        kll_sketch_agg_double grouping grouping_id""".split()
+    )
+
+    def _gb_empty_select_is_aggregate(self, text: str, gb_pos: int) -> bool:
+        """True iff the SELECT list owning the GROUP BY () at gb_pos is
+        provably all-aggregate (every top-level item contains a known
+        aggregate call or is a bare literal, and at least one aggregate
+        call exists) — the only shape where dropping the clause is the
+        exact SQL:1999 lowering. ADVICE r13: anything else keeps the
+        clause so Spark rejects it loudly instead of silently running
+        an ungrouped SELECT."""
+        # walk back to the owning SELECT: nearest SELECT at the same
+        # paren depth as the GROUP BY (depth measured walking backward:
+        # ')' opens, '(' closes)
+        depth = 0
+        sel = -1
+        i = gb_pos - 1
+        while i >= 0:
+            c = text[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth < 0:
+                    break  # left the subquery that holds the GROUP BY
+            elif depth == 0 and c in "tT" and i >= 5:
+                frag = text[i - 5 : i + 1]
+                if frag.lower() == "select" and (
+                    i == 5 or not (text[i - 6].isalnum() or text[i - 6] == "_")
+                ):
+                    sel = i + 1
+                    break
+            i -= 1
+        if sel < 0:
+            return False
+        # select list = [sel .. FROM at depth 0]
+        j = sel
+        depth = 0
+        frm = -1
+        while j < gb_pos:
+            c = text[j]
+            if c == "'":
+                j = text.find("'", j + 1)
+                if j < 0:
+                    return False
+                j += 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "fF" and text[j : j + 4].lower() == "from":
+                before_ok = j == 0 or not (text[j - 1].isalnum() or text[j - 1] == "_")
+                after = text[j + 4 : j + 5]
+                if before_ok and (after == "" or not (after.isalnum() or after == "_")):
+                    frm = j
+                    break
+            j += 1
+        if frm < 0:
+            return False
+        items, buf, depth, k = [], [], 0, 0
+        body = text[sel:frm]
+        while k < len(body):
+            c = body[k]
+            if c == "'":
+                end = body.find("'", k + 1)
+                if end < 0:
+                    return False
+                buf.append(body[k : end + 1])
+                k = end + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c)
+            k += 1
+        items.append("".join(buf))
+        saw_agg = False
+        lit_re = re.compile(
+            r"^\s*(?:DISTINCT\s+)?(?:-?\d+(?:\.\d+)?|'[^']*'|NULL|TRUE|FALSE)\s*"
+            r"(?:AS\s+\w+\s*|\w+\s*)?$",
+            re.I,
+        )
+        call_re = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
+        for it in items:
+            if not it.strip():
+                return False
+            if re.search(r"(?i)\bselect\b", it):
+                # a scalar subquery is NOT an aggregate of this query —
+                # its inner COUNT() must not legalize the drop
+                return False
+            heads = [h.lower() for h in call_re.findall(it)]
+            if any(h in self._GB_EMPTY_AGGS for h in heads):
+                saw_agg = True
+                continue
+            if lit_re.match(it):
+                continue
+            return False
+        return saw_agg
+
     def parse(self, text: str) -> tuple[str, bool]:
         """Macro-expand; returns (spark_sql_text, is_stream)."""
         is_stream = bool(self._STREAM_RE.search(text))
@@ -2083,11 +2212,18 @@ class SqlFrontend:
             # where the standard (and DuckDB) require one grand-total
             # row with COUNT(*)=0 (r12 judge finding; pinned in
             # pg-compat2.iq and the batch-25 corpus). Only the
-            # whole-clause form is dropped; `GROUP BY (), a` is left for
-            # Spark to reject loudly. Quote-parity guarded like every
+            # whole-clause form is dropped, and ONLY when the owning
+            # SELECT list is provably all-aggregate (ADVICE r13:
+            # unconditional dropping silently legalized
+            # `SELECT col FROM t GROUP BY ()`, which PG/DuckDB reject —
+            # now the clause is left in place and Spark rejects it
+            # loudly, refuse-over-guess). `GROUP BY (), a` is likewise
+            # left for Spark to reject. Quote-parity guarded like every
             # text rewrite.
             def _gb_empty(m):
                 if text.count("'", 0, m.start()) % 2 == 1:
+                    return m.group(0)
+                if not self._gb_empty_select_is_aggregate(text, m.start()):
                     return m.group(0)
                 return " "
 

@@ -506,3 +506,22 @@ def test_bq_last_day_units_and_timestamp_add(spark):
         spark, "TIMESTAMP_ADD",
         "TIMESTAMP '2008-12-25 15:30:00'", "INTERVAL 10 MINUTE",
     )) == "2008-12-25 15:40:00"
+
+
+def test_array_text_cmp_quote_parity_guard(spark):
+    """ADVICE r13: an `array(...) = '{...}'`-shaped fragment inside (or
+    straddling) a string LITERAL must never be rewritten — the guard
+    mirrors every other frontend text rewrite's quote-parity skip."""
+    from calcite_spark.queries.inventory import catalog_for
+    from calcite_spark.sql.frontend import SqlFrontend
+    from tests.conftest import SF_DIR
+
+    fe = SqlFrontend(catalog_for(spark, SF_DIR))
+    # literal content `array(2) = '{2}` — the regex CAN match across
+    # the doubled-quote escape, starting at odd parity; untouched
+    row = fe.sql("SELECT 'array(2) = ''{2}' AS v").collect()[0]
+    assert row.v == "array(2) = '{2}"
+    # a genuine compare PRECEDED by a literal (even parity) still
+    # rewrites — the guard only skips in-literal starts
+    row = fe.sql("SELECT 'tag' AS t, ARRAY[1,2] = '{1,2}' AS v").collect()[0]
+    assert row.t == "tag" and row.v is True

@@ -1157,3 +1157,34 @@ def test_quantified_array_value_forms(fe):
     assert row.null_arr is None and row.null_arr_all is None
     with pytest.raises(ValueError, match="subquery operand"):
         fe.sql("SELECT 2 > ANY(ARRAY[1, 2]) AS bad")
+
+
+def test_gb_empty_requires_all_aggregate_select(fe):
+    """ADVICE r13: `GROUP BY ()` is dropped (SQL:1999 empty grouping
+    set = ungrouped aggregate) ONLY when the owning SELECT list is
+    provably all-aggregate. A non-aggregated column keeps the clause
+    so Spark rejects the raw text loudly — PG/DuckDB error on that
+    shape too (refuse-over-guess, never silently return every row)."""
+    # aggregate-only: lowered, one grand-total row even on empty input
+    row = fe.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey < 0 GROUP BY ()"
+    ).collect()
+    assert len(row) == 1 and row[0].n == 0
+    # mixed literal + aggregate still qualifies (PG accepts it)
+    row = fe.sql(
+        "SELECT 1 AS one, COUNT(*) AS n FROM nation GROUP BY ()"
+    ).collect()[0]
+    assert row.one == 1 and row.n == 25
+    # non-aggregate select item: the clause is left in place and the
+    # whole statement fails loudly (Spark's parser lacks GROUP BY ())
+    with pytest.raises(Exception):
+        fe.sql("SELECT o_orderkey FROM orders GROUP BY ()").collect()
+    # a bare literal alone is NOT legalized either (dropping would
+    # return one row per input row where PG returns exactly one)
+    with pytest.raises(Exception):
+        fe.sql("SELECT 1 FROM orders GROUP BY ()").collect()
+    # an aggregate inside a scalar subquery does not count
+    with pytest.raises(Exception):
+        fe.sql(
+            "SELECT (SELECT COUNT(*) FROM nation) FROM orders GROUP BY ()"
+        ).collect()
