@@ -3213,11 +3213,28 @@ class LatticeSuggester:
                         flos[c] = lo
                         if lo is not None and hi is not None:
                             fspans[c] = hi - lo
-                        fwks[c] = all(
-                            _grain_floor("week", b) == b
-                            for b in (lo, hi)
-                            if b is not None
-                        )
+                        # week-alignment evidence (r13 verdict item 6:
+                        # the vacuous all() marked every bound-free
+                        # query "aligned"; the span gate masked it, but
+                        # the two lived apart and could drift): a bound
+                        # that exists and parses votes on alignment; a
+                        # bound that exists but does NOT parse votes
+                        # False (alignment unverifiable — never guess
+                        # a 7x-coarser tile); a genuinely unbounded
+                        # side contributes no vote.
+                        votes = []
+                        if iv.lo is not None:
+                            votes.append(
+                                lo is not None
+                                and _grain_floor("week", lo) == lo
+                            )
+                        if iv.hi is not None:
+                            votes.append(
+                                hi is not None
+                                and _grain_floor("week", hi) == hi
+                            )
+                        if votes:
+                            fwks[c] = all(votes)
                 child = child.inputs[0]
             keys = tuple(sorted(n.group_keys))
             calls = self._record_calls(n.agg_calls)

@@ -149,11 +149,22 @@ def test_bq_strpos_contains_substr(spark, duck):
     assert _bq(
         spark, "CONTAINS_SUBSTR", "'the red house'", "'blue'"
     ) is False                                                   # :2127
-    # NFKC normalization ('Ⅸ' vs 'IX', :2137) is a documented delta —
-    # pin the DIVERGENCE so a silent behavior change is caught
+    # NFKC normalization ('Ⅸ' vs 'IX', :2137) — CLOSED r14 (verdict
+    # item 5): the common-plane compatibility subset (Roman numerals,
+    # ligatures, number forms, fullwidth forms, ideographic space)
+    # folds JVM-side via a replace chain + translate built from
+    # unicodedata at import; both operands fold, so the match works in
+    # either direction
+    assert _bq(spark, "CONTAINS_SUBSTR", "'Ⅸ day'", "'IX'") is True
+    assert _bq(spark, "CONTAINS_SUBSTR", "'the IX legion'", "'Ⅸ'") is True
     assert _bq(
-        spark, "CONTAINS_SUBSTR", "'Ⅸ day'", "'IX'"
-    ) is False  # BigQuery: TRUE (NFKC); lower()-fold only here
+        spark, "CONTAINS_SUBSTR", "'say ｈｅｌｌｏ ＷＯＲＬＤ'", "'hello world'"
+    ) is True
+    assert _bq(spark, "CONTAINS_SUBSTR", "'oﬃce'", "'office'") is True
+    assert _bq(spark, "CONTAINS_SUBSTR", "'a　b'", "'a b'") is True
+    # outside the covered ranges stays a documented delta (squared
+    # units: BigQuery folds ㎞ to km; pinned so a silent change shows)
+    assert _bq(spark, "CONTAINS_SUBSTR", "'5㎞ run'", "'km'") is False
 
 
 # -- code points (big-query.iq:2310-2453) ------------------------------

@@ -7277,6 +7277,30 @@ def test_suggester_week_grain_for_weekly_corpus(spark, tmp_path):
         )
     (p2,) = sug2.suggest(min_count=2)
     assert any("o_orderdate_day" in k for k in p2["group_keys"]), p2
+    # r14 (verdict item 6): a bound that EXISTS but cannot be parsed
+    # (fractional seconds refuse _parse_ts) votes UNALIGNED — before,
+    # the vacuous all() recorded it "aligned" and only the span gate
+    # (computed elsewhere) kept the week pick away; the two could
+    # drift. The corpus below has a clean Monday week AND a
+    # fractional-second bound: day grain, never week.
+    cat3 = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug3 = LatticeSuggester().attach(cat3)
+    for cond in (
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-03-11 00:00:00'",
+        "o_orderdate >= TIMESTAMP '1996-03-04 00:00:00.500' "
+        "AND o_orderdate < TIMESTAMP '1996-03-11 00:00:00'",
+    ):
+        (
+            RelBuilder(cat3)
+            .scan("orders")
+            .filter(cond)
+            .aggregate(["o_orderpriority"], ["SUM(o_totalprice) AS s"])
+            .to_df()
+            .count()
+        )
+    (p3,) = sug3.suggest(min_count=2)
+    assert any("o_orderdate_day" in k for k in p3["group_keys"]), p3
 
 
 def test_suggester_grain_flip_builds_second_tile(spark, tmp_path):
@@ -7716,3 +7740,52 @@ def test_grain_edge_week_and_hour(spark, tmp_path):
     got = {(r.event_type, round(r.s, 3), r.n) for r in edf.collect()}
     want = {(r.event_type, round(r.s, 3), r.n) for r in direct.collect()}
     assert got == want
+
+
+def test_week_tile_extract_slice_escape(spark, tmp_path):
+    """r14 (verdict item 7): the one grid cell r13 left unprobed — a
+    SLICED week tile serving a WEEKOFYEAR() grouping over a
+    week-aligned range that ESCAPES the slice. Three tiers compose in
+    one plan: the EXTRACT derivation (weekofyear from the stored week
+    key — constant within a Monday-start week), the week grain-edge
+    merge, and the slice-escape sliver union (tile rows inside the
+    slice + base rows below it)."""
+    import duckdb
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "wk_slice_tile", "orders",
+        ["date_trunc('week', o_orderdate) AS w", "o_orderpriority"],
+        ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
+        str(tmp_path / "wk_slice_tile"),
+        filter_condition="o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+    )
+    # 1995-11-06 is a Monday; the range starts BELOW the slice
+    cond = ("o_orderdate >= TIMESTAMP '1995-11-06 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-03-04 00:00:00'")
+    df = (
+        RelBuilder(cat)
+        .scan("orders")
+        .filter(cond)
+        .aggregate(["weekofyear(o_orderdate) AS wk"],
+                   ["SUM(o_totalprice) AS s", "COUNT(*) AS n"])
+        .to_df()
+    )
+    files = df.inputFiles()
+    assert any(mv.name in f for f in files), files
+    assert any("orders.parquet" in f for f in files), files
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = con.execute(
+        f"""SELECT weekofyear(o_orderdate) AS wk, SUM(o_totalprice) AS s,
+            COUNT(*) AS n FROM orders WHERE {cond}
+            GROUP BY weekofyear(o_orderdate)"""
+    ).fetchall()
+    got = sorted(((r.wk, round(float(r.s), 3), r.n)
+                  for r in df.collect()), key=str)
+    wn = sorted(((r[0], round(float(r[1]), 3), r[2])
+                 for r in want), key=str)
+    assert got == wn and len(got) == 17
