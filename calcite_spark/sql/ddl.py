@@ -131,6 +131,31 @@ _SQL_TO_SPARK_TYPE = {
 
 def _spark_type(sql_type: str) -> str:
     t = sql_type.strip()
+    # SQL-standard collection suffix: `int array` → array<int>,
+    # `varchar array array` → array<array<string>> (r14 — the
+    # postgresql.iq INSERT-coercion class declares columns this way;
+    # Spark's parser only takes the ARRAY<...> spelling)
+    am = re.match(r"(?is)^(.*\S)\s+(ARRAY|MULTISET)$", t)
+    if am:
+        # MULTISET values are arrays in this engine (bag algebra over
+        # array columns — spark.iq's COMPLEX fixture declares
+        # `INT MULTISET`)
+        return f"array<{_spark_type(am.group(1))}>"
+    mm = re.match(r"(?is)^MAP\s*<(.*)>$", t)
+    if mm:
+        depth, split = 0, -1
+        for i, ch in enumerate(mm.group(1)):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = i
+                break
+        if split > 0:
+            k = _spark_type(mm.group(1)[:split])
+            v = _spark_type(mm.group(1)[split + 1 :])
+            return f"map<{k},{v}>"
     m = re.match(r"(\w+)\s*\(([^)]*)\)", t)
     if m and m.group(1).upper() == "DECIMAL":
         return f"decimal({m.group(2)})"
@@ -319,9 +344,37 @@ class DdlExecutor:
             return self._create_table_cols(
                 m.group(2), m.group(3), bool(m.group(1))
             )
+        # Calcite's parenthesized-query INSERT (`INSERT INTO t (VALUES
+        # ...)`, spark.iq COMPLEX fixture): the standard allows parens
+        # around the source query — strip them so _INSERT sees the
+        # VALUES/SELECT head
+        pm = re.match(
+            r"(?is)^\s*(INSERT\s+INTO\s+\w+(?:\.\w+)?)\s*"
+            r"\(\s*((?:VALUES|SELECT)\b.*)\)\s*$",
+            sql,
+        )
+        if pm:
+            sql = pm.group(1) + " " + pm.group(2)
         m = _INSERT.match(sql)
         if m:
-            return self._insert_into(m.group(1), m.group(2), m.group(3))
+            body = m.group(3)
+            # Calcite constructor/infix spellings inside VALUES
+            # (multiset[...], MAP[...], MULTISET UNION/EXCEPT... —
+            # spark.iq's COMPLEX fixture seeds rows this way) expand
+            # exactly as on the query surface before the cells parse
+            if self.fe._MS_KW_RE.search(body):
+                body = self.fe._expand_multiset_ctor(body)
+            if self.fe._MAP_KW_RE.search(body):
+                body = self.fe._expand_map_literal(body)
+            if re.search(r"(?i)\bARRAY\s*\[", body):
+                body = self.fe._expand_array_literal(body)
+            if re.search(
+                r"(?i)\bMULTISET\s+(UNION|INTERSECT|EXCEPT)\b"
+                r"|\bSUBMULTISET\s+OF\b|\bIS\s+(NOT\s+)?A\s+SET\b",
+                body,
+            ):
+                body = self.fe._expand_multiset_ops(body)
+            return self._insert_into(m.group(1), m.group(2), body)
         m = _MERGE.match(sql)
         if m:
             return self._merge(*m.groups())
@@ -658,7 +711,22 @@ class DdlExecutor:
                         raise ValueError(
                             f"Cannot INSERT into generated column '{c}'"
                         )
-                    provided[c] = el.strip()
+                    el = el.strip()
+                    # PG coerces a '{...}' string literal to the array
+                    # column's type (postgresql.iq:160 — r14): parse
+                    # the text (recursing into nested braces) and CAST
+                    # to the declared type; unparseable text stays a
+                    # string and Spark refuses loudly at the write
+                    ctype = types.get(c, "")
+                    if (
+                        ctype.lower().startswith("array<")
+                        and el.startswith("'{")
+                        and el.endswith("}'")
+                    ):
+                        arr = self.fe._pg_array_text_nested(el[1:-1])
+                        if arr is not None:
+                            el = f"CAST({arr} AS {ctype})"
+                    provided[c] = el
                 cells = []
                 for c in phys:
                     if c in generated:
@@ -673,11 +741,28 @@ class DdlExecutor:
                         )
                     else:
                         cells.append(f"CAST(NULL AS {types.get(c, 'string')})")
-                out_rows.append("(" + ", ".join(cells) + ")")
-            df = spark.sql(
-                f"SELECT * FROM (VALUES {', '.join(out_rows)}) AS "
-                f"__ins({', '.join(phys)})"
-            )
+                out_rows.append(cells)
+            values = ", ".join("(" + ", ".join(r) + ")" for r in out_rows)
+            try:
+                df = spark.sql(
+                    f"SELECT * FROM (VALUES {values}) AS "
+                    f"__ins({', '.join(phys)})"
+                )
+                df.schema  # force analysis inside the try
+            except Exception:
+                # Spark inline tables only take foldable expressions —
+                # a lambda-bearing cell (the expanded MULTISET ops,
+                # r14) refuses INVALID_INLINE_TABLE; the UNION ALL of
+                # single-row SELECTs evaluates anything
+                df = spark.sql(
+                    " UNION ALL ".join(
+                        "SELECT "
+                        + ", ".join(
+                            f"{c} AS {n}" for c, n in zip(r, phys)
+                        )
+                        for r in out_rows
+                    )
+                )
         else:
             src = self.fe.sql(body)
             if len(src.columns) != len(named):
@@ -1398,10 +1483,14 @@ def _split_where(text: str):
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on top-level commas; parens nest and string-literal
-    contents are opaque (review r8: `SET s = 'a,b'` must not split
-    inside the literal)."""
-    out, depth, in_str, cur = [], 0, False, []
+    """Split on top-level commas; parens nest, string-literal contents
+    are opaque (review r8: `SET s = 'a,b'` must not split inside the
+    literal), and angle brackets nest when they open a type-parameter
+    list (`MAP<VARCHAR, INT>` — r14; `<` counts only right after a
+    word character, so `x < 2` comparisons stay flat; an unmatched
+    type-style `<` would suppress later splits — parenthesize
+    comparison-bearing DEFAULT expressions)."""
+    out, depth, adepth, in_str, cur, prev = [], 0, 0, False, [], ""
     for ch in text:
         if ch == "'":
             in_str = not in_str
@@ -1410,11 +1499,17 @@ def _split_top_level(text: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-        if ch == "," and depth == 0 and not in_str:
+            elif ch == "<" and depth == 0 and re.match(r"\w", prev or " "):
+                adepth += 1
+            elif ch == ">" and adepth > 0:
+                adepth -= 1  # also nets out a `<>` operator pair
+        if ch == "," and depth == 0 and adepth == 0 and not in_str:
             out.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
+        if not ch.isspace():
+            prev = ch
     if cur:
         out.append("".join(cur))
     return out

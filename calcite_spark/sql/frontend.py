@@ -399,16 +399,16 @@ class SqlFrontend:
             # PG array-literal string casts: '{1,2}'::int[] builds an
             # array VALUE from the text (postgresql.iq array classes;
             # r13 verdict Missing #1 — Spark cannot cast STRING to
-            # ARRAY<T>, so the raw CAST below crashed). Reuse the
-            # '{...}'-text parser the =/<> compare path already has;
-            # nested '{{...}}' returns None there and keeps the raw
-            # CAST so Spark refuses loudly (never a guessed flatten).
+            # ARRAY<T>, so the raw CAST below crashed). The parser
+            # recurses into nested '{{...}}' for int[][]-style targets;
+            # unparseable text keeps the raw CAST so Spark refuses
+            # loudly (never a guessed flatten).
             if (
                 ty.upper().startswith("ARRAY<")
                 and operand.startswith("'{")
                 and operand.endswith("}'")
             ):
-                arr = self._pg_array_text_to_sql(operand[1:-1])
+                arr = self._pg_array_text_nested(operand[1:-1])
                 if arr is not None:
                     operand = arr
             text = (
@@ -425,15 +425,28 @@ class SqlFrontend:
     # r7 babel batch 2 adds the LIKE-operator aliases `~~` / `~~*` /
     # `!~~` / `!~~*` (PG's operator names for [NOT] [I]LIKE) — longest
     # alternatives first so `~~` never half-matches as `~`.
+    # the RHS is a string LITERAL or the NULL keyword (r14,
+    # postgresql.iq:1291 — `'abcd' !~ null` is NULL in PG/Calcite;
+    # before, the unexpanded `!~` reached Spark and crashed its parser)
     _PG_REGEX_RE = re.compile(
         r"((?:-\s*)?\w+\([^()]*\)|(?:-\s*)?[\w.]+|'[^']*'|\([^()]*\))"
-        r"\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*'([^']*)'",
+        r"\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~)\s*('[^']*'|(?i:NULL)\b)",
     )
 
     def _expand_pg_regex_ops(self, text: str) -> str:
         def sub(m):
-            lhs, op, pat = m.group(1), m.group(2), m.group(3)
+            lhs, op, rhs = m.group(1), m.group(2), m.group(3)
             neg = "NOT " if op.startswith("!") else ""
+            if rhs.upper() == "NULL":
+                # PG: a NULL pattern makes the whole predicate NULL —
+                # Spark's [I]LIKE/RLIKE propagate the typed NULL the
+                # same way (NOT NULL is still NULL)
+                null_s = "CAST(NULL AS STRING)"
+                if "~~" in op:
+                    kw = "ILIKE" if op.endswith("*") else "LIKE"
+                    return f"{neg}({lhs} {kw} {null_s})"
+                return f"{neg}({lhs} RLIKE {null_s})"
+            pat = rhs[1:-1]
             if "~~" in op:
                 kw = "ILIKE" if op.endswith("*") else "LIKE"
                 return f"{neg}({lhs} {kw} '{pat}')"
@@ -829,6 +842,70 @@ class SqlFrontend:
         r"(array\s*\((?:[^()]|\([^()]*\))*\))"
     )
 
+    @classmethod
+    def _pg_array_text_nested(cls, txt: str) -> str | None:
+        """'{...}' array text → array(...) SQL, RECURSIVE — nested
+        '{{...},{...}}' becomes array(array(...), ...) (r14, the
+        postgresql.iq INSERT coercion class: a varchar array array
+        column takes '{{"meeting","lunch"},...}'). Elements split on
+        top-level commas outside double quotes; mixing scalar and
+        array elements at one level returns None (refuse). Used by
+        the CAST and INSERT value-coercion paths, where the target
+        type disambiguates element typing; the =/<> compare path keeps
+        the flat parser (its element type follows the constructor
+        side)."""
+        body = txt.strip()
+        if not (body.startswith("{") and body.endswith("}")):
+            return None
+        inner = body[1:-1].strip()
+        if not inner:
+            return "array()"
+        els, cur, in_q, depth = [], [], False, 0
+        for ch in inner:
+            if ch == '"' and depth == 0:
+                in_q = not in_q
+                cur.append(ch)
+            elif ch == "{" and not in_q:
+                depth += 1
+                cur.append(ch)
+            elif ch == "}" and not in_q:
+                depth -= 1
+                if depth < 0:
+                    return None
+                cur.append(ch)
+            elif ch == "," and not in_q and depth == 0:
+                els.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if in_q or depth != 0:
+            return None
+        els.append("".join(cur))
+        out, kinds = [], set()
+        for el in els:
+            el = el.strip()
+            if el.startswith("{"):
+                sub = cls._pg_array_text_nested(el)
+                if sub is None:
+                    return None
+                out.append(sub)
+                kinds.add("array")
+                continue
+            kinds.add("scalar")
+            if el.startswith('"') and el.endswith('"') and len(el) >= 2:
+                out.append("'" + el[1:-1].replace("'", "''") + "'")
+            elif re.fullmatch(r"[+-]?\d+(\.\d+)?", el):
+                out.append(el)
+            elif el.upper() == "NULL":
+                out.append("NULL")
+            elif el:
+                out.append("'" + el.replace("'", "''") + "'")
+            else:
+                out.append("''")
+        if len(kinds) > 1:
+            return None  # ragged scalar/array mix: refuse
+        return "array(" + ", ".join(out) + ")"
+
     @staticmethod
     def _pg_array_text_to_sql(txt: str, other: str = "") -> str | None:
         # PG compares the pair as the CONSTRUCTOR's element type (text
@@ -928,6 +1005,169 @@ class SqlFrontend:
             args[0] = self._expand_pg_regexp_replace(args[0])
             res.append(text[i : m.start()])
             res.append(pg_regexp_replace(args))
+            i = close + 1
+        res.append(text[i:])
+        return "".join(res)
+
+    # PG STRING_TO_ARRAY reaches the SQL surface (r14, verdict item 4 —
+    # postgresql.iq:109-158; the registry's full-PG-semantics lowering
+    # existed since r10 but was translate()-only, so the plain SQL
+    # spelling crashed UNRESOLVED_ROUTINE). Spark has no function of
+    # this name, so the expansion can never shadow a builtin.
+    _STA_RE = re.compile(r"\bSTRING_TO_ARRAY\s*\(", re.I)
+
+    def _expand_string_to_array(self, text: str) -> str:
+        from calcite_spark.functions import registry as freg
+
+        res, i = [], 0
+        for m in self._STA_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            args_txt, close = self._balanced_span(text, m.end())
+            args = [a.strip() for a in self._split_top_commas(args_txt)]
+            if len(args) not in (2, 3):
+                continue
+            res.append(text[i : m.start()])
+            res.append(
+                freg.translate("STRING_TO_ARRAY", *args, library="POSTGRESQL")
+            )
+            i = close + 1
+        res.append(text[i:])
+        return "".join(res)
+
+    # PG TO_CHAR datetime templates on the SQL surface (r14, verdict
+    # item 4 — postgresql.iq:180-1280 token battery): Spark's native
+    # to_char reads Java datetime patterns, so PG templates crash or
+    # silently render wrong fields. Expand through the PG template
+    # compiler ONLY when the call is provably datetime: the template
+    # literal carries an unambiguous datetime token, or the operand is
+    # a TIMESTAMP/DATE literal. Numeric templates ('9,999.99') and the
+    # ambiguous-alone tokens (MI = minutes OR numeric minus) fall
+    # through to Spark untouched — refuse-over-guess; PG resolves those
+    # by operand TYPE, which plan-time text cannot see.
+    _TO_CHAR_RE = re.compile(r"\bTO_CHAR\s*\(", re.I)
+    _PG_DT_TOKEN_RE = re.compile(
+        r"(?i)Y,YYY|YYYY|IYYY|MONTH|MON\b|DAY\b|DY\b|DDD|DD\b|HH24|HH12"
+        r"|HH\b|SSSSS?|MS\b|US\b|FF[1-6]|A\.M\.|P\.M\.|AM\b|PM\b"
+        r"|B\.C\.|A\.D\.|BC\b|AD\b|IW\b|WW\b|CC\b|RM\b|J\b|Q\b"
+    )
+
+    def _expand_pg_to_char(self, text: str) -> str:
+        from calcite_spark.functions import registry as freg
+
+        res, i = [], 0
+        for m in self._TO_CHAR_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            args_txt, close = self._balanced_span(text, m.end())
+            args = [a.strip() for a in self._split_top_commas(args_txt)]
+            if len(args) != 2:
+                continue
+            tm = re.match(r"^'((?:[^']|'')*)'$", args[1])
+            if tm is None:
+                continue  # runtime template: leave for Spark
+            datetimeish = bool(
+                self._PG_DT_TOKEN_RE.search(tm.group(1))
+            ) or bool(
+                re.match(r"(?i)^\s*(TIMESTAMP|DATE)\s*'", args[0])
+            )
+            if not datetimeish:
+                continue
+            try:
+                lowered = freg.translate(
+                    "TO_CHAR", *args, library="POSTGRESQL"
+                )
+            except ValueError:
+                continue  # genuinely unsupported tokens: loud later
+            res.append(text[i : m.start()])
+            res.append(lowered)
+            i = close + 1
+        res.append(text[i:])
+        return "".join(res)
+
+    # PG/Calcite DATE_PART / EXTRACT fields Spark lacks (r14, verdict
+    # item 4 — postgresql.iq:1254-1284 date_part class): Spark's
+    # date_part/extract refuse MICROSECOND / MILLISECOND / EPOCH /
+    # ISODOW / CENTURY / DECADE / MILLENNIUM, and Calcite's BARE unit
+    # identifier spelling (`date_part(MINUTE, ts)`) reads as a column
+    # reference. Each derived field is exact arithmetic over a field
+    # Spark does have; unsupported fields ('foo') stay untouched so
+    # Spark refuses loudly, matching the reference's !error.
+    # MICROSECOND = 48678000 for :48.678 (seconds-within-minute scaled,
+    # the reference fixture's value); CENTURY/DECADE/MILLENNIUM follow
+    # PG (ceil/floor of the year); EPOCH is PG's float8 seconds.
+    _DP_DERIVED = {
+        "microsecond": "CAST(extract(SECOND FROM {e}) * 1000000 AS BIGINT)",
+        "microseconds": "CAST(extract(SECOND FROM {e}) * 1000000 AS BIGINT)",
+        "millisecond": "CAST(extract(SECOND FROM {e}) * 1000 AS BIGINT)",
+        "milliseconds": "CAST(extract(SECOND FROM {e}) * 1000 AS BIGINT)",
+        "epoch": (
+            "CAST(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0 "
+            "AS DOUBLE)"
+        ),
+        "isodow": "CAST(weekday({e}) + 1 AS BIGINT)",
+        "isoyear": "extract(YEAROFWEEK FROM {e})",
+        "century": "CAST(ceil(year({e}) / 100.0) AS BIGINT)",
+        "decade": "CAST(floor(year({e}) / 10.0) AS BIGINT)",
+        "millennium": "CAST(ceil(year({e}) / 1000.0) AS BIGINT)",
+    }
+    # Spark's own field zoo (date_part first arg) — bare identifiers
+    # for these are quoted; anything else bare is left alone (it may
+    # genuinely be a column holding a field name)
+    _DP_NATIVE = {
+        "year", "yearofweek", "quarter", "month", "week", "day", "dow",
+        "dayofweek", "doy", "hour", "minute", "second", "seconds",
+        "sec", "yr", "years", "mon", "mons", "months", "days", "hours",
+        "mins", "minutes", "secs",
+    }
+    _DP_RE = re.compile(r"\bDATE_PART\s*\(", re.I)
+    _EXTRACT_DP_RE = re.compile(r"\bEXTRACT\s*\(", re.I)
+
+    def _expand_date_part_fields(self, text: str) -> str:
+        for _ in range(4):  # nested operands: expand to fixpoint
+            out = self._expand_date_part_once(text)
+            if out == text:
+                return out
+            text = out
+        return text
+
+    def _expand_date_part_once(self, text: str) -> str:
+        res, i = [], 0
+        for m in self._DP_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            args_txt, close = self._balanced_span(text, m.end())
+            args = [a.strip() for a in self._split_top_commas(args_txt)]
+            if len(args) != 2:
+                continue
+            qm = re.match(r"^'(\w+)'$", args[0])
+            bare = re.fullmatch(r"\w+", args[0]) is not None
+            unit = (qm.group(1) if qm else args[0]).lower()
+            if unit in self._DP_DERIVED:
+                lowered = self._DP_DERIVED[unit].format(e=args[1])
+            elif bare and unit in self._DP_NATIVE:
+                lowered = f"date_part('{args[0]}', {args[1]})"
+            else:
+                continue
+            res.append(text[i : m.start()])
+            res.append(lowered)
+            i = close + 1
+        res.append(text[i:])
+        text = "".join(res)
+        res, i = [], 0
+        for m in self._EXTRACT_DP_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            args_txt, close = self._balanced_span(text, m.end())
+            em = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", args_txt)
+            if not em or em.group(1).lower() not in self._DP_DERIVED:
+                continue
+            res.append(text[i : m.start()])
+            res.append(
+                self._DP_DERIVED[em.group(1).lower()].format(
+                    e=em.group(2).strip()
+                )
+            )
             i = close + 1
         res.append(text[i:])
         return "".join(res)
@@ -1071,6 +1311,137 @@ class SqlFrontend:
             op = "IS_NOT_EMPTY" if m.group(2) else "IS_EMPTY"
             rep = "(" + freg.translate(op, m.group(1)) + ")"
             text = text[: m.start()] + rep + text[m.end() :]
+
+    # Standard-SQL MULTISET surface (r14, verdict item 4 —
+    # spark.iq:537-635 runs the whole family over the COMPLEX
+    # fixture; SqlStdOperatorTable.java:140-178): the infix set-ops
+    # `x MULTISET UNION [ALL|DISTINCT] y` (ALL is the parse default),
+    # the predicates `x SUBMULTISET OF y` / `x IS [NOT] A SET`, and
+    # the `multiset[...]` constructor. Spark has none of these
+    # spellings; each lowers through the registry's bag-algebra
+    # templates (qx42's HOF lowerings — JVM-side, zero Python).
+    # Operand grammar matches the IS EMPTY tier: call with one paren
+    # nesting, double-quoted or dotted identifier, or paren group.
+    _MS_OPD = (
+        r"(?:\w+\s*\((?:[^()]|\([^()]*\))*\)"
+        r"|\"[^\"]+\"|[\w.]+|\((?:[^()]|\([^()]*\))*\))"
+    )
+    _MS_KW_RE = re.compile(r"(?is)\bMULTISET\s*\[")
+    _MS_BIN_RE = re.compile(
+        rf"({_MS_OPD})\s+MULTISET\s+(UNION|INTERSECT|EXCEPT)"
+        rf"(?:\s+(ALL|DISTINCT))?\s+({_MS_OPD})",
+        re.I,
+    )
+    _MS_SUB_RE = re.compile(
+        rf"({_MS_OPD})\s+(NOT\s+)?SUBMULTISET\s+OF\s+({_MS_OPD})", re.I
+    )
+    _MS_SET_RE = re.compile(
+        rf"({_MS_OPD})\s+IS\s+(NOT\s+)?A\s+SET\b", re.I
+    )
+
+    # Calcite MAP['k1', v1, 'k2', v2] constructor (spark.iq COMPLEX
+    # fixture) → Spark map(...); same bracket walk as ARRAY[...]
+    _MAP_KW_RE = re.compile(r"(?is)\bMAP\s*\[")
+
+    def _expand_map_literal(self, text: str) -> str:
+        while True:
+            m = next(
+                (
+                    c
+                    for c in self._MAP_KW_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is None:
+                return text
+            depth, i, in_str = 1, m.end(), False
+            while i < len(text):
+                ch = text[i]
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "[":
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i += 1
+            if depth != 0:
+                raise ValueError("unterminated MAP[ constructor")
+            inner = self._expand_map_literal(text[m.end() : i])
+            text = text[: m.start()] + f"map({inner})" + text[i + 1 :]
+
+    def _expand_multiset_ctor(self, text: str) -> str:
+        # multiset[...] constructs the same array value ARRAY[...]
+        # does (bag values ARE arrays in this engine) — rewrite the
+        # keyword and let the ARRAY[...] expansion (which runs later
+        # in the dispatch) do the bracket walk
+        while True:
+            m = next(
+                (
+                    c
+                    for c in self._MS_KW_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is None:
+                return text
+            text = text[: m.start()] + "ARRAY [" + text[m.end() :]
+
+    def _expand_multiset_ops(self, text: str) -> str:
+        from calcite_spark.functions import registry as freg
+
+        for _ in range(8):  # chained ops: expand to fixpoint
+            prev = text
+            m = next(
+                (
+                    c
+                    for c in self._MS_BIN_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is not None:
+                op = m.group(2).upper()
+                name = f"MULTISET_{op}" + (
+                    "_DISTINCT"
+                    if (m.group(3) or "").upper() == "DISTINCT"
+                    else ""
+                )
+                rep = "(" + freg.translate(name, m.group(1), m.group(4)) + ")"
+                text = text[: m.start()] + rep + text[m.end() :]
+            m = next(
+                (
+                    c
+                    for c in self._MS_SUB_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is not None:
+                name = (
+                    "NOT_SUBMULTISET_OF" if m.group(2) else "SUBMULTISET_OF"
+                )
+                rep = "(" + freg.translate(name, m.group(1), m.group(3)) + ")"
+                text = text[: m.start()] + rep + text[m.end() :]
+            m = next(
+                (
+                    c
+                    for c in self._MS_SET_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is not None:
+                body = freg.translate("IS_A_SET", m.group(1))
+                rep = f"(NOT ({body}))" if m.group(2) else f"({body})"
+                text = text[: m.start()] + rep + text[m.end() :]
+            if text == prev:
+                return text
+        return text
 
     # PG postfix null tests `x ISNULL` / `x NOTNULL` (babel tier) →
     # IS [NOT] NULL. The (?!\s*\() guard keeps call-shaped ISNULL(x)
@@ -2253,8 +2624,18 @@ class SqlFrontend:
             text = self._expand_star_exclude(text)
         if re.search(r"\*\s*REPLACE\s*\(", text, re.I):
             text = self._expand_star_replace(text)
+        if self._MS_KW_RE.search(text):
+            text = self._expand_multiset_ctor(text)
+        if self._MAP_KW_RE.search(text):
+            text = self._expand_map_literal(text)
         if re.search(r"\bARRAY\s*\[", text, re.I):
             text = self._expand_array_literal(text)
+        if re.search(
+            r"(?i)\bMULTISET\s+(UNION|INTERSECT|EXCEPT)\b"
+            r"|\bSUBMULTISET\s+OF\b|\bIS\s+(NOT\s+)?A\s+SET\b",
+            text,
+        ):
+            text = self._expand_multiset_ops(text)
         if "::" in text:
             text = self._expand_pg_casts(text)
         if re.search(r"(?i)AS\s+INTERVAL", text):
@@ -2265,6 +2646,12 @@ class SqlFrontend:
             text = self._expand_pg_regex_ops(text)
         if self._PG_RR_RE.search(text):
             text = self._expand_pg_regexp_replace(text)
+        if self._STA_RE.search(text):
+            text = self._expand_string_to_array(text)
+        if self._TO_CHAR_RE.search(text):
+            text = self._expand_pg_to_char(text)
+        if self._DP_RE.search(text) or self._EXTRACT_DP_RE.search(text):
+            text = self._expand_date_part_fields(text)
         if re.search(r"\bAPPROXIMATE\b", text, re.I):
             text = self._expand_approximate(text)
         if self._RATIO_RE.search(text):
