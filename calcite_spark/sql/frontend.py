@@ -1339,6 +1339,168 @@ class SqlFrontend:
         rf"({_MS_OPD})\s+IS\s+(NOT\s+)?A\s+SET\b", re.I
     )
 
+    # Calcite SELECT ... BY clause (r14 — babel select.iq:162-235;
+    # SqlByRewriter.java:38 + SqlValidatorImpl.java:516): `SELECT a, b
+    # BY k` is sugar for `SELECT k, ANY_VALUE(a), ANY_VALUE(b) ...
+    # GROUP BY k ORDER BY k` — the BY items are prepended to the
+    # select list, become the grouping AND the ordering (AS aliases
+    # stripped from both, ASC/DESC kept on the ordering only), and
+    # every non-aggregated plain column left in the select wraps in
+    # ANY_VALUE (the validator's non-strict-group-by path). Calcite
+    # refuses BY alongside an explicit GROUP BY / ORDER BY — so do we.
+    # Non-column, non-aggregate select items refuse loudly (Calcite's
+    # validator only implicitly aggregates COLUMNS; wrapping an
+    # arbitrary expression would guess). Top-level SELECT only —
+    # a BY inside a subquery keeps its text and fails loudly in Spark.
+    _AGG_HEAD_RE = re.compile(
+        r"(?i)^\s*(SUM|COUNT|MIN|MAX|AVG|ANY_VALUE|FIRST|LAST|"
+        r"FIRST_VALUE|LAST_VALUE|COLLECT_LIST|COLLECT_SET|LISTAGG|"
+        r"STRING_AGG|ARRAY_AGG|STDDEV\w*|VAR\w*|CORR|COVAR\w*|MODE|"
+        r"MEDIAN|PERCENTILE\w*|APPROX\w+|BIT_\w+|BOOL_\w+|EVERY|"
+        r"GROUPING(_ID)?|COUNT_IF|MAX_BY|MIN_BY|ARG_MAX|ARG_MIN|"
+        r"HISTOGRAM\w*|KURTOSIS|SKEWNESS)\s*\("
+    )
+
+    def _expand_select_by(self, text: str) -> str:
+        head = re.match(r"(?is)^(\s*SELECT\s+)(DISTINCT\s+)?", text)
+        if head is None:
+            return text
+        # walk to the top-level FROM (quote- and paren-aware)
+        i, depth, in_str, frm = head.end(), 0, False, None
+        while i < len(text):
+            ch = text[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and text[i : i + 5].upper() == "FROM " and (
+                    i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+                ):
+                    frm = i
+                    break
+            i += 1
+        if frm is None:
+            return text
+        sel_list = text[head.end() : frm]
+        # find the top-level bare BY inside the select list
+        j, depth, in_str, by_at = 0, 0, False, None
+        while j < len(sel_list) - 2:
+            ch = sel_list[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and sel_list[j : j + 2].upper() == "BY"
+                    and (j == 0 or sel_list[j - 1].isspace())
+                    and j + 2 < len(sel_list)
+                    and sel_list[j + 2].isspace()
+                ):
+                    by_at = j
+                    break
+            j += 1
+        if by_at is None:
+            return text
+        tail = text[frm:]
+        if re.search(r"(?i)\b(GROUP|ORDER)\s+BY\b", self._strip_parens(tail)):
+            raise ValueError(
+                "SELECT ... BY cannot be combined with GROUP BY or "
+                "ORDER BY (SqlByRewriter contract)"
+            )
+        items = [
+            s.strip() for s in self._split_top_commas(sel_list[:by_at])
+        ]
+        by_items = [
+            s.strip()
+            for s in self._split_top_commas(sel_list[by_at + 2 :])
+        ]
+        sel_keys, group_keys, order_keys = [], [], []
+        for b in by_items:
+            bm = re.match(
+                r"(?is)^(.*?)(?:\s+AS\s+(\w+))?(?:\s+(ASC|DESC))?\s*$", b
+            )
+            expr = bm.group(1).strip()
+            sel_keys.append(
+                f"{expr} AS {bm.group(2)}" if bm.group(2) else expr
+            )
+            group_keys.append(expr)
+            order_keys.append(
+                f"{expr} {bm.group(3).upper()}" if bm.group(3) else expr
+            )
+        wrapped = []
+        for it in items:
+            if self._AGG_HEAD_RE.match(it):
+                wrapped.append(it)
+                continue
+            am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", it)
+            expr = (am.group(1) if am else it).strip()
+            name = am.group(2) if am else None
+            if re.fullmatch(r"[\w.]+", expr):
+                name = name or expr.rsplit(".", 1)[-1]
+                wrapped.append(f"any_value({expr}) AS {name}")
+                continue
+            raise ValueError(
+                f"SELECT ... BY: select item {it!r} is neither a plain "
+                "column nor an aggregate — alias it through an "
+                "aggregate explicitly"
+            )
+        # GROUP BY / ORDER BY go before any top-level LIMIT/OFFSET/FETCH
+        lm = None
+        k, depth, in_str = 0, 0, False
+        while k < len(tail):
+            ch = tail[k]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0:
+                    mm = re.match(r"(?i)\b(LIMIT|OFFSET|FETCH)\b", tail[k:])
+                    if mm and (k == 0 or not (
+                        tail[k - 1].isalnum() or tail[k - 1] == "_"
+                    )):
+                        lm = k
+                        break
+            k += 1
+        body, limit = (tail[:lm], tail[lm:]) if lm is not None else (tail, "")
+        return (
+            head.group(0)
+            + ", ".join(sel_keys + wrapped)
+            + " "
+            + body.rstrip()
+            + " GROUP BY "
+            + ", ".join(group_keys)
+            + " ORDER BY "
+            + ", ".join(order_keys)
+            + (" " + limit if limit else "")
+        )
+
+    @staticmethod
+    def _strip_parens(text: str) -> str:
+        out, depth, in_str = [], 0, False
+        for ch in text:
+            if ch == "'":
+                in_str = not in_str
+            if not in_str:
+                if ch == "(":
+                    depth += 1
+                    continue
+                if ch == ")":
+                    depth -= 1
+                    continue
+            if depth == 0:
+                out.append(ch)
+        return "".join(out)
+
     # Calcite MAP['k1', v1, 'k2', v2] constructor (spark.iq COMPLEX
     # fixture) → Spark map(...); same bracket walk as ARRAY[...]
     _MAP_KW_RE = re.compile(r"(?is)\bMAP\s*\[")
@@ -2624,6 +2786,11 @@ class SqlFrontend:
             text = self._expand_star_exclude(text)
         if re.search(r"\*\s*REPLACE\s*\(", text, re.I):
             text = self._expand_star_replace(text)
+        if re.search(
+            r"(?i)\bBY\b",
+            re.sub(r"(?i)\b(GROUP|ORDER|PARTITION)\s+BY\b", "", text),
+        ):
+            text = self._expand_select_by(text)
         if self._MS_KW_RE.search(text):
             text = self._expand_multiset_ctor(text)
         if self._MAP_KW_RE.search(text):

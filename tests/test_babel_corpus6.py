@@ -398,3 +398,68 @@ def test_spark_iq_complex_multiset_battery(fe, spark, tmp_path):
                "ORDER BY key")
     assert [n for _, n in got] == [True, False, False, False, False,
                                    False]
+
+
+def test_select_by_clause(fe):
+    """select.iq:162-235 — the SELECT ... BY clause
+    (SqlByRewriter.java:38): `SELECT a, b BY k` prepends k, groups and
+    orders by it, and wraps plain columns in ANY_VALUE (the
+    validator's non-strict path, SqlValidatorImpl.java:516). The
+    reference fixtures' picked values are ANY_VALUE-nondeterministic,
+    so value checks here use singleton groups and aggregates; the
+    column ORDER (keys first), ordering direction, alias handling, and
+    the refuse-with-GROUP BY/ORDER BY contract are the pinned
+    behaviors."""
+    df = fe.sql("SELECT n_name, n_nationkey BY n_regionkey FROM nation")
+    assert df.columns == ["n_regionkey", "n_name", "n_nationkey"]
+    assert [r.n_regionkey for r in df.collect()] == [0, 1, 2, 3, 4]
+    # DESC modifier + AS alias (stripped from grouping, kept on order)
+    df = fe.sql("SELECT n_name BY n_regionkey AS rk DESC FROM nation")
+    assert df.columns == ["rk", "n_name"]
+    assert [r.rk for r in df.collect()] == [4, 3, 2, 1, 0]
+    # singleton groups: ANY_VALUE is deterministic, replayable exactly
+    df = fe.sql(
+        "SELECT n_regionkey BY n_name FROM nation WHERE n_name IN "
+        "('NATION_0', 'NATION_12')"
+    )
+    rows = [(r.n_name, r.n_regionkey) for r in df.collect()]
+    assert rows == [("NATION_0", 0), ("NATION_12", 2)]
+    # aggregates pass through unwrapped
+    df = fe.sql("SELECT COUNT(*) AS n BY n_regionkey FROM nation")
+    assert sorted((r.n_regionkey, r.n) for r in df.collect()) == [
+        (0, 5), (1, 5), (2, 5), (3, 5), (4, 5)]
+    # multi-key BY, qualified keys, join, WHERE — the select.iq:222
+    # proposal shape
+    df = fe.sql(
+        "SELECT c.c_custkey BY n.n_name AS nation DESC, "
+        "c.c_mktsegment AS seg FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    assert df.columns == ["nation", "seg", "c_custkey"]
+    nations = [r.nation for r in df.collect()]
+    assert nations == sorted(nations, reverse=True)
+    # Calcite refuses BY alongside explicit GROUP BY / ORDER BY
+    for bad in (
+        "SELECT n_name BY n_regionkey FROM nation GROUP BY n_name",
+        "SELECT n_name BY n_regionkey FROM nation ORDER BY n_name",
+    ):
+        with pytest.raises(ValueError):
+            fe.sql(bad)
+
+
+def test_select_star_except_alias(fe):
+    """select.iq:237-290 (CALCITE-7331) — `* EXCEPT(cols)` as the
+    EXCLUDE alias; Spark supports the star form natively, and the
+    set-op reading of `EXCEPT (SELECT ...)` is preserved."""
+    df = fe.sql("SELECT * EXCEPT (n_regionkey) FROM nation LIMIT 1")
+    assert df.columns == ["n_nationkey", "n_name"]
+    df = fe.sql(
+        "SELECT n.* EXCEPT (n.n_regionkey, n.n_name) FROM nation n"
+    )
+    assert df.columns == ["n_nationkey"]
+    # EXCEPT followed by a query stays a set operation
+    df = fe.sql(
+        "SELECT n_nationkey FROM nation EXCEPT "
+        "(SELECT n_nationkey FROM nation WHERE n_nationkey > 2)"
+    )
+    assert sorted(r.n_nationkey for r in df.collect()) == [0, 1, 2]
