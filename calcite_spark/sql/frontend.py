@@ -1120,6 +1120,23 @@ class SqlFrontend:
         "sec", "yr", "years", "mon", "mons", "months", "days", "hours",
         "mins", "minutes", "secs",
     }
+    # date_part fields with an EXACTLY equivalent named function —
+    # canonicalized so the Sarg/tile tiers (which recognize the
+    # year(x)/month(x)/EXTRACT spellings, qx64/qx65) serve this THIRD
+    # universal BI spelling too. SECOND is deliberately absent: Spark's
+    # date_part('SECOND') keeps the fraction, second(x) truncates.
+    _DP_CANON_FN = {
+        "year": "year", "yr": "year", "years": "year",
+        "quarter": "quarter",
+        "month": "month", "mon": "month", "mons": "month",
+        "months": "month",
+        "week": "weekofyear",
+        "day": "day", "days": "day",
+        "dow": "dayofweek", "dayofweek": "dayofweek",
+        "doy": "dayofyear",
+        "hour": "hour", "hours": "hour",
+        "minute": "minute", "mins": "minute", "minutes": "minute",
+    }
     _DP_RE = re.compile(r"\bDATE_PART\s*\(", re.I)
     _EXTRACT_DP_RE = re.compile(r"\bEXTRACT\s*\(", re.I)
 
@@ -1145,6 +1162,8 @@ class SqlFrontend:
             unit = (qm.group(1) if qm else args[0]).lower()
             if unit in self._DP_DERIVED:
                 lowered = self._DP_DERIVED[unit].format(e=args[1])
+            elif unit in self._DP_CANON_FN and (bare or qm):
+                lowered = f"{self._DP_CANON_FN[unit]}({args[1]})"
             elif bare and unit in self._DP_NATIVE:
                 lowered = f"date_part('{args[0]}', {args[1]})"
             else:

@@ -463,3 +463,25 @@ def test_select_star_except_alias(fe):
         "(SELECT n_nationkey FROM nation WHERE n_nationkey > 2)"
     )
     assert sorted(r.n_nationkey for r in df.collect()) == [0, 1, 2]
+
+
+def test_date_part_canonicalization(fe, duck):
+    """date_part('year'/'month'/..., x) canonicalizes to the named
+    functions (year(x)/month(x)) the Sarg/tile tiers recognize — the
+    THIRD universal BI spelling after EXTRACT and year() (r14).
+    Values replay exactly against DuckDB's native date_part on real
+    rows; SECOND is deliberately NOT canonicalized (Spark's
+    date_part('SECOND') keeps the fraction, second(x) truncates)."""
+    fields = ["year", "quarter", "month", "week", "day", "doy",
+              "hour", "minute", "isodow", "century", "decade",
+              "millennium", "isoyear", "microsecond", "millisecond"]
+    for f in fields:
+        sql = (f"SELECT o_orderkey, date_part('{f}', o_orderdate) AS v "
+               "FROM orders ORDER BY o_orderkey LIMIT 50")
+        got = [(r.o_orderkey, float(r.v)) for r in fe.sql(sql).collect()]
+        want = [(k, float(v)) for k, v in duck.execute(sql).fetchall()]
+        assert got == want, f
+    # fraction-preserving SECOND stays on Spark's native date_part
+    r = fe.sql("SELECT date_part('second', timestamp "
+               "'2022-06-03 12:15:48.678') AS v").collect()[0][0]
+    assert abs(float(r) - 48.678) < 1e-9

@@ -7789,3 +7789,39 @@ def test_week_tile_extract_slice_escape(spark, tmp_path):
     wn = sorted(((r[0], round(float(r[1]), 3), r[2])
                  for r in want), key=str)
     assert got == wn and len(got) == 17
+
+
+def test_date_part_spelling_tile_served(spark, tmp_path):
+    """The date_part('year'/'month', d) spelling of the canonical BI
+    query — the THIRD universal spelling after EXTRACT(YEAR FROM d)
+    (qx65) and year(d) — is a PURE tile read through the frontend
+    (r14): the surface canonicalizes date_part native fields to the
+    named functions the Sarg × grain-edge × derivation tiers
+    recognize. Values exact vs the direct plan."""
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    reg = MaterializationRegistry()
+    mv = reg.define(
+        cat, "dps_month_tile", "orders",
+        ["date_trunc('month', o_orderdate) AS m"],
+        ["SUM(o_totalprice) AS s"],
+        str(tmp_path / "dps_month_tile"),
+    )
+    fe = SqlFrontend(cat)
+    df = fe.sql(
+        "SELECT date_part('month', o_orderdate) AS mo, "
+        "ROUND(SUM(o_totalprice), 3) AS sp FROM orders "
+        "WHERE date_part('year', o_orderdate) = 1995 "
+        "GROUP BY date_part('month', o_orderdate) ORDER BY mo"
+    )
+    files = df.inputFiles()
+    assert files and all(mv.name in f for f in files)
+    direct = spark.sql(
+        f"""SELECT month(o_orderdate) AS mo,
+                   ROUND(SUM(o_totalprice), 3) AS sp
+            FROM parquet.`{SF_DIR}/orders.parquet`
+            WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"""
+    )
+    assert [(r.mo, r.sp) for r in df.collect()] == \
+        [(r.mo, r.sp) for r in direct.collect()]
