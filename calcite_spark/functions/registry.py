@@ -1605,10 +1605,7 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
             return f"{spark_fn}({args[0]})"
         import re as _re
 
-        from calcite_spark.functions.dt_compile import check_parse_pattern
-        from calcite_spark.functions.pg_format import (
-            pg_datetime_format_to_spark,
-        )
+        from calcite_spark.functions.pg_parse import compile_pg_parse
 
         m = _re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
         if not m:
@@ -1617,14 +1614,18 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
                 "(PG/Oracle templates are converted to Spark parse "
                 "patterns at plan time; a column-valued template cannot be)"
             )
-        java = pg_datetime_format_to_spark(
-            m.group(1).replace("''", "'"), parse=True
+        # r14: compiled field-extraction parse (pg_parse.py) replaces
+        # the Java-pattern conversion — the babel battery
+        # (postgresql.iq:529-1250) pins PG semantics Java patterns
+        # cannot express: 0001 defaults for missing fields, lenient
+        # 1-digit numbers, short-year completion, ISO week dates,
+        # Julian days, Roman months. Mismatched input still RAISES
+        # (PG errors; NULL input stays NULL).
+        return compile_pg_parse(
+            args[0],
+            m.group(1).replace("''", "'"),
+            to_date=fn.name == "TO_DATE",
         )
-        # the shared token map is render-oriented; tokens mapping to
-        # Java letters Spark rejects in PARSE patterns (Dy->E, Q, TZ
-        # names) must refuse at plan time, not die at runtime
-        check_parse_pattern(java, fn.name)
-        return f"{spark_fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
     if not fn.template:
         return f"{name.lower()}({', '.join(args)})"
     if isinstance(fn.template, dict):

@@ -173,14 +173,16 @@ def test_to_char_pg_template_refusals():
 
 
 def test_to_date_to_timestamp_pg_template_parse(spark):
-    """r9: TO_DATE/TO_TIMESTAMP under PG/Oracle/Redshift/Hive convert
-    the template at plan time (SqlLibraryOperators.java:2015-2046 —
-    TO_DATE_PG / TO_TIMESTAMP_PG). The old passthrough handed the PG
-    template to Spark's Java-pattern parser, where 'YYYY' is the banned
-    week-based year and 'DD' means day-of-YEAR."""
+    """r9 (rebuilt r14): TO_DATE/TO_TIMESTAMP under PG/Oracle/Redshift/
+    Hive compile the template at plan time. Since r14 the lowering is
+    the pg_parse field-extraction compiler (regexp_extract →
+    make_timestamp), which the postgresql.iq:529-1250 battery pins
+    exactly: PG's 0001 defaults for missing fields, lenient digit
+    widths, short-year completion, ISO week dates — semantics the
+    previous Java-pattern conversion could not express (it defaulted
+    to 1970 and required padded digits)."""
     for lib in ("POSTGRESQL", "ORACLE", "REDSHIFT", "HIVE"):
         expr = translate("TO_DATE", "'2022-06-03'", "'YYYY-MM-DD'", library=lib)
-        assert expr == "to_date('2022-06-03', 'yyyy-MM-dd')"
         got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
         assert str(got) == "2022-06-03"
     expr = translate(
@@ -201,28 +203,29 @@ def test_to_date_to_timestamp_pg_template_parse(spark):
     # non-literal template refuses (plan-time conversion contract)
     with pytest.raises(ValueError, match="literal"):
         translate("TO_DATE", "x", "fmt_col", library="POSTGRESQL")
-    # malformed input RAISES under Spark ANSI (the session default),
-    # matching PG's error behavior; non-ANSI sessions would yield NULL
-    # instead (documented divergence, not silent-wrong)
+    # malformed input RAISES (PG errors; the compiled parser emits
+    # raise_error on the anchored-regex mismatch)
     expr = translate("TO_DATE", "'not-a-date'", "'YYYY-MM-DD'", library="POSTGRESQL")
-    with pytest.raises(Exception, match="CANNOT_PARSE|not-a-date"):
+    with pytest.raises(Exception, match="does not match template|not-a-date"):
         spark.sql(f"SELECT {expr} AS v").collect()
-    # r9 review: render-only tokens (Dy->E, Q) refuse at PLAN time —
-    # Spark rejects those letters in parse patterns, and the old code
-    # emitted them into an opaque runtime error
-    for bad in ("'Dy DD YYYY'", "'YYYY-Q'"):
-        with pytest.raises(ValueError, match="format-only"):
-            translate("TO_DATE", "x", bad, library="POSTGRESQL")
+    # r14: Dy and Q now PARSE (PG accepts both on input — Dy matches a
+    # day name it then ignores outside ISO mode, Q is consumed and
+    # ignored); the r9 plan-time refusal applied to the retired
+    # Java-pattern path, which had no lowering for them
+    expr = translate("TO_DATE", "'Wed 17 2024'", "'Dy DD YYYY'", library="POSTGRESQL")
+    assert str(spark.sql(f"SELECT {expr} AS v").collect()[0].v) == "2024-01-17"
+    # genuinely unparseable tokens still refuse at plan time
+    with pytest.raises(ValueError):
+        translate("TO_DATE", "x", "'YYYY-MM-DDTZ'", library="POSTGRESQL")
     # r9 review: the 1-arg forms keep their pre-variant passthrough
     assert translate("TO_DATE", "ts_col", library="HIVE") == "to_date(ts_col)"
     assert (
         translate("TO_TIMESTAMP", "s_col", library="ORACLE")
         == "to_timestamp(s_col)"
     )
-    # month-name parse is case-insensitive NATIVELY (Spark's parser is
-    # built case-insensitive — no input rewriting involved)
+    # month-name parse is case-insensitive (the compiled CASE matches
+    # on lower())
     expr = translate("TO_DATE", "'25 DEC 2008'", "'DD MON YYYY'", library="POSTGRESQL")
-    assert "initcap" not in expr
     assert str(spark.sql(f"SELECT {expr} AS v").collect()[0].v) == "2008-12-25"
 
 
