@@ -3179,3 +3179,39 @@ def qx69_pg_to_char_surface(spark, sf_dir):
         ORDER BY ym
         """
     )
+
+
+@register(
+    "qx70_pg_template_roundtrip",
+    oracle="""
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY CAST(o_orderdate AS DATE)
+    ORDER BY d
+    """,
+    tags=("babel", "pg", "sql_surface", "to_char", "to_date", "parse"),
+)
+def qx70_pg_template_roundtrip(spark, sf_dir):
+    """PG datetime templates BOTH directions on the SQL surface (r14
+    ≈ babel postgresql.iq:180-1280 render battery × :529-1250 parse
+    battery): each order date renders through the PG TO_CHAR template
+    compiler ('DD Mon YYYY' — month NAME, so any format-convention
+    slip breaks it) and parses back through the r14 field-extraction
+    TO_DATE compiler; the round trip must be the identity, which the
+    oracle states directly. Both compilers are plan-time: the executed
+    plan is date_format + regexp_extract/make_date compositions —
+    zero Python UDFs, scan-speed at 100 TB."""
+    return _fe(spark, sf_dir).sql(
+        """
+        SELECT CAST(to_date(to_char(o_orderdate, 'DD Mon YYYY'),
+                            'DD Mon YYYY') AS TIMESTAMP) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        GROUP BY to_date(to_char(o_orderdate, 'DD Mon YYYY'),
+                         'DD Mon YYYY')
+        ORDER BY d
+        """
+    )

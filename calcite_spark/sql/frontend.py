@@ -1952,6 +1952,42 @@ class SqlFrontend:
                 out.append(ch)
         return "".join(out)
 
+    # SQL-standard collection types in CAST position (spark.iq:34 —
+    # `CAST(x AS VARCHAR ARRAY)`): Spark's parser only takes the
+    # ARRAY<...> spelling. Runs to fixpoint so `INT ARRAY ARRAY`
+    # nests.
+    _STD_ARRAY_TYPE_RE = re.compile(
+        r"(?i)\bAS\s+((?:ARRAY\s*<.*?>|\w+)(?:\([^()]*\))?)\s+ARRAY\b"
+        r"(?!\s*\[)"
+    )
+
+    def _expand_std_array_type(self, text: str) -> str:
+        from calcite_spark.sql.ddl import _spark_type
+
+        for _ in range(4):
+            m = next(
+                (
+                    c
+                    for c in self._STD_ARRAY_TYPE_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is None:
+                return text
+            inner = m.group(1)
+            mapped = (
+                inner
+                if inner.upper().startswith("ARRAY")
+                else _spark_type(inner)
+            )
+            text = (
+                text[: m.start()]
+                + f"AS ARRAY<{mapped}>"
+                + text[m.end() :]
+            )
+        return text
+
     # Calcite MAP['k1', v1, 'k2', v2] constructor (spark.iq COMPLEX
     # fixture) → Spark map(...); same bracket walk as ARRAY[...]
     _MAP_KW_RE = re.compile(r"(?is)\bMAP\s*\[")
@@ -3246,6 +3282,8 @@ class SqlFrontend:
             text = self._expand_multiset_ctor(text)
         if self._MAP_KW_RE.search(text):
             text = self._expand_map_literal(text)
+        if self._STD_ARRAY_TYPE_RE.search(text):
+            text = self._expand_std_array_type(text)
         if re.search(r"\bARRAY\s*\[", text, re.I):
             text = self._expand_array_literal(text)
         if re.search(

@@ -137,3 +137,24 @@ def test_bigquery_regexp_extended(fe):
     # Spark-runnable spellings keep Spark semantics (group 1)
     assert _one(fe, "SELECT regexp_extract('100-200', '(\\\\d+)-(\\\\d+)', 1) "
                     "AS x") == "100"
+
+
+def test_std_collection_type_in_cast(fe):
+    """spark.iq:34 (CALCITE-7347) — the SQL-standard `VARCHAR ARRAY`
+    collection-type spelling in CAST position, nesting included;
+    ARRAY[...] constructors are untouched."""
+    assert _one(fe, "SELECT CAST(ARRAY['by'] AS VARCHAR ARRAY) AS x") \
+        == ["by"]
+    assert _one(fe, "SELECT REVERSE(cast(NULL as integer array)) AS x") \
+        is None
+    assert _one(fe, "SELECT CAST(ARRAY[ARRAY[1]] AS INT ARRAY ARRAY) "
+                    "AS x") == [[1]]
+    assert [str(v) for v in _one(
+        fe, "SELECT CAST(ARRAY['1.5'] AS DECIMAL(5,2) ARRAY) AS x"
+    )] == ["1.50"]
+    row = fe.sql(
+        "SELECT DISTINCT t.f1, t.f2, CAST(t.f3 AS VARCHAR ARRAY) AS f3,"
+        " t.f4 FROM (VALUES ('a', 1, ARRAY['by'], true)) "
+        "AS t(f1, f2, f3, f4)"
+    ).collect()[0]
+    assert (row.f1, row.f2, row.f3, row.f4) == ("a", 1, ["by"], True)
