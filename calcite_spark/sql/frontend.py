@@ -1887,7 +1887,17 @@ class SqlFrontend:
             )
         wrapped = []
         for it in items:
-            if self._AGG_HEAD_RE.match(it):
+            # an item CONTAINING an aggregate call anywhere passes
+            # through unwrapped (CAST(COUNT(*) AS BIGINT) AS n, or
+            # SUM(a)/SUM(b)); a non-grouped column inside such an
+            # expression still fails loudly in Spark
+            if self._AGG_HEAD_RE.match(it) or re.search(
+                r"(?i)\b(SUM|COUNT|MIN|MAX|AVG|ANY_VALUE|COLLECT_LIST"
+                r"|COLLECT_SET|LISTAGG|STRING_AGG|ARRAY_AGG|MODE|MEDIAN"
+                r"|STDDEV\w*|VAR\w*|PERCENTILE\w*|APPROX\w+|COUNT_IF"
+                r"|MAX_BY|MIN_BY|BOOL_\w+|BIT_\w+|EVERY)\s*\(",
+                it,
+            ):
                 wrapped.append(it)
                 continue
             am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", it)

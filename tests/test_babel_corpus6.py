@@ -438,6 +438,13 @@ def test_select_by_clause(fe):
     assert df.columns == ["nation", "seg", "c_custkey"]
     nations = [r.nation for r in df.collect()]
     assert nations == sorted(nations, reverse=True)
+    # aggregate-CONTAINING items pass through unwrapped (r14 probe:
+    # CAST(COUNT(*) AS BIGINT) used to refuse)
+    df = fe.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n BY n_regionkey FROM nation"
+    )
+    assert sorted((r.n_regionkey, r.n) for r in df.collect()) == [
+        (0, 5), (1, 5), (2, 5), (3, 5), (4, 5)]
     # Calcite refuses BY alongside explicit GROUP BY / ORDER BY
     for bad in (
         "SELECT n_name BY n_regionkey FROM nation GROUP BY n_name",
