@@ -1634,6 +1634,35 @@ class SqlFrontend:
         r"\bCURRENT_DATE\s*\(\s*('[^']*'|\"[^\"]*\"|NULL)\s*\)", re.I
     )
 
+    # TIMESTAMP WITH TIME ZONE literals (big-query.iq / redshift.iq):
+    # Spark's TIMESTAMP is an instant, so a zoned literal maps to the
+    # same instant — named zones through to_utc_timestamp, numeric
+    # offsets through Spark's native cast (which parses them).
+    _TSTZ_LIT_RE = re.compile(
+        r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\s+'([^']*)'", re.I
+    )
+
+    def _expand_tstz_literal(self, text: str) -> str:
+        res, i = [], 0
+        for m in self._TSTZ_LIT_RE.finditer(text):
+            if m.start() < i or text.count("'", 0, m.start()) % 2:
+                continue
+            body = m.group(1).strip()
+            zm = re.match(
+                r"^(.*?)\s+([A-Za-z_]+(?:/[A-Za-z_+-]+)+|UTC|GMT)$", body
+            )
+            res.append(text[i : m.start()])
+            if zm:
+                ts, zone = zm.group(1), zm.group(2)
+                res.append(f"to_utc_timestamp('{ts}', '{zone}')")
+            else:
+                # trailing numeric offset (-05, +05:30) or none:
+                # Spark's cast parses it
+                res.append(f"CAST('{body}' AS TIMESTAMP)")
+            i = m.end()
+        res.append(text[i:])
+        return "".join(res)
+
     def _expand_bq_datetime(self, text: str) -> str:
         res, i = [], 0
         for m in self._BQ_DATETIME_LIT_RE.finditer(text):
@@ -3322,6 +3351,8 @@ class SqlFrontend:
             text = self._expand_date_part_fields(text)
         if self._DATEADD_RE.search(text):
             text = self._expand_dateadd_units(text)
+        if self._TSTZ_LIT_RE.search(text):
+            text = self._expand_tstz_literal(text)
         if (
             self._BQ_DATETIME_LIT_RE.search(text)
             or self._BQ_CURDATE_RE.search(text)

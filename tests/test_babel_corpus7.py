@@ -158,3 +158,31 @@ def test_std_collection_type_in_cast(fe):
         "AS t(f1, f2, f3, f4)"
     ).collect()[0]
     assert (row.f1, row.f2, row.f3, row.f4) == ("a", 1, ["by"], True)
+
+
+def test_timestamp_with_time_zone_literal(fe):
+    """big-query.iq / redshift.iq — TIMESTAMP WITH TIME ZONE literals
+    map to the same instant (named zones via to_utc_timestamp, numeric
+    offsets via Spark's native cast); an unknown zone fails loudly."""
+    assert _one(
+        fe,
+        "SELECT TIMESTAMP WITH TIME ZONE "
+        "'2020-01-01 08:10:10 America/New_York' = TIMESTAMP WITH TIME "
+        "ZONE '2020-01-01 13:10:10 UTC' AS x",
+    ) is True
+    assert _one(
+        fe,
+        "SELECT TIMESTAMP WITH TIME ZONE "
+        "'2020-01-01 08:10:10 America/New_York' <> TIMESTAMP WITH TIME "
+        "ZONE '2020-01-01 08:10:10 UTC' AS x",
+    ) is True
+    assert str(_one(
+        fe,
+        "SELECT CAST(TIMESTAMP WITH TIME ZONE "
+        "'2020-01-01 00:00:00 America/New_York' AS STRING) AS x",
+    )) == "2020-01-01 05:00:00"
+    assert _one(
+        fe,
+        "SELECT TIMESTAMP WITH TIME ZONE '2001-02-16 20:38:40-05' "
+        "IS NOT NULL AS x",
+    ) is True

@@ -7825,3 +7825,49 @@ def test_date_part_spelling_tile_served(spark, tmp_path):
     )
     assert [(r.mo, r.sp) for r in df.collect()] == \
         [(r.mo, r.sp) for r in direct.collect()]
+
+
+def test_rollup_grouping_three_spellings_tile_served(spark, tmp_path):
+    """r14 composition grid: the yearly-rollup-with-subtotal-flags
+    dashboard in ALL THREE universal spellings — year(d),
+    EXTRACT(YEAR FROM d), date_part('year', d) — through the PLAIN SQL
+    frontend with a DDL-registered month tile: every spelling is a
+    pure tile read (GROUPING() arguments remapped like the keys) and
+    exact against the base scan across all rollup levels."""
+    import tempfile
+
+    from calcite_spark.sql.ddl import DdlExecutor
+    from calcite_spark.sql.frontend import SqlFrontend
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    fe = SqlFrontend(cat)
+    ddl = DdlExecutor(fe, str(tmp_path / "wh"))
+    ddl.execute(
+        "CREATE MATERIALIZED VIEW g3_tile AS "
+        "SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority,"
+        " SUM(o_totalprice) AS s, COUNT(*) AS n FROM orders "
+        "GROUP BY date_trunc('month', o_orderdate), o_orderpriority"
+    )
+    direct = spark.sql(
+        f"""SELECT year(o_orderdate) AS yr, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 3) AS sp,
+                   GROUPING(o_orderpriority) AS gp
+            FROM parquet.`{SF_DIR}/orders.parquet`
+            GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"""
+    )
+    want = sorted(((r.yr, r.o_orderpriority, r.sp, r.gp)
+                   for r in direct.collect()), key=str)
+    for spelling in ("year(o_orderdate)",
+                     "EXTRACT(YEAR FROM o_orderdate)",
+                     "date_part('year', o_orderdate)"):
+        df = fe.sql(
+            f"SELECT {spelling} AS yr, o_orderpriority, "
+            "ROUND(SUM(o_totalprice), 3) AS sp, "
+            "GROUPING(o_orderpriority) AS gp FROM orders "
+            f"GROUP BY ROLLUP({spelling}, o_orderpriority)"
+        )
+        files = df.inputFiles()
+        assert files and all("g3_tile" in f for f in files), spelling
+        got = sorted(((r.yr, r.o_orderpriority, r.sp, r.gp)
+                      for r in df.collect()), key=str)
+        assert got == want, spelling
