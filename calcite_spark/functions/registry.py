@@ -499,6 +499,20 @@ _reg(
     ),
 )
 _reg("TRANSLATE3", "translate({0}, {1}, {2})", (3,), libs=(ORACLE, POSTGRESQL, BIG_QUERY, REDSHIFT, SPARK))
+# BQ CODE_POINTS_TO_BYTES (big-query.iq:2252-2287): ints 0-255 →
+# BINARY via hex framing (lpad keeps the byte boundary); a NULL
+# element is NULL, an out-of-byte-range value errors like BigQuery
+_reg(
+    "CODE_POINTS_TO_BYTES",
+    "CASE WHEN {0} IS NULL OR exists({0}, x -> x IS NULL) THEN "
+    "CAST(NULL AS BINARY) WHEN exists({0}, x -> x < 0 OR x > 255) "
+    "THEN CAST(raise_error('CODE_POINTS_TO_BYTES: code point out of "
+    "byte range') AS BINARY) ELSE "
+    "unhex(array_join(transform({0}, x -> lpad(hex(x), 2, '0')), '')) "
+    "END",
+    (1,),
+    libs=(BIG_QUERY,),
+)
 
 # ---------------------------------------------------------------------
 # Date/time (std CURRENT_* EXTRACT FLOOR/CEIL TIMESTAMP_ADD/DIFF
@@ -1307,6 +1321,53 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         raise KeyError(f"unknown function {name!r}")
     if fn.name in _JSON_PATH_DISPATCH and len(args) == 2 and _path_needs_engine(args[1]):
         return f"{_JSON_PATH_DISPATCH[fn.name]}({args[0]}, {args[1]})"
+    if fn.name == "CONTAINS_SUBSTR" and len(args) == 2:
+        import re as _re
+
+        sm = _re.match(
+            r"(?is)^\s*(named_struct|struct)\s*\((.*)\)\s*$", args[0]
+        ) or _re.match(r"(?is)^\s*(\()((?:.*,.*))\)\s*$", args[0])
+        if sm:
+            # BQ scans every STRUCT field (big-query.iq:2147-2182):
+            # found in any field → TRUE; not found with a NULL field →
+            # NULL; else FALSE. The tuple literal arrives as the ROW
+            # constructor's named_struct lowering.
+            els, cur, depth, in_q = [], [], 0, False
+            for ch in sm.group(2):
+                if ch == "'":
+                    in_q = not in_q
+                elif not in_q:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                if ch == "," and depth == 0 and not in_q:
+                    els.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            els.append("".join(cur).strip())
+            fields = (
+                els[1::2] if sm.group(1).lower() == "named_struct" else els
+            )
+            if sm.group(1) == "(" and len(els) < 2:
+                fields = None  # a parenthesized scalar, not a tuple
+            if fields is not None:
+                per = [
+                    translate(
+                        "CONTAINS_SUBSTR",
+                        f"CAST({f} AS STRING)",
+                        args[1],
+                        library=BIG_QUERY,
+                    )
+                    for f in fields
+                ]
+                found = " OR ".join(f"({p})" for p in per)
+                anynull = " OR ".join(f"({f}) IS NULL" for f in fields)
+                return (
+                    f"(CASE WHEN {found} THEN TRUE WHEN {anynull} "
+                    "THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+                )
     if fn.name == "REGEXP_REPLACE" and fn.libraries == (POSTGRESQL,):
         from calcite_spark.functions.pg_regex import pg_regexp_replace
 

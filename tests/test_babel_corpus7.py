@@ -186,3 +186,32 @@ def test_timestamp_with_time_zone_literal(fe):
         "SELECT TIMESTAMP WITH TIME ZONE '2001-02-16 20:38:40-05' "
         "IS NOT NULL AS x",
     ) is True
+
+
+def test_contains_substr_struct_and_code_points_bytes(fe):
+    """big-query.iq:2147-2287 — CONTAINS_SUBSTR over a tuple scans
+    every field (found → TRUE; miss with a NULL field → NULL; miss →
+    FALSE); CODE_POINTS_TO_BYTES frames bytes via hex (NULL element →
+    NULL, out-of-byte-range errors)."""
+    assert _one(fe, "SELECT CONTAINS_SUBSTR((23, 35, 41), '35') AS r") \
+        is True
+    assert _one(fe, "SELECT CONTAINS_SUBSTR((23, NULL, 41), '41') AS r") \
+        is True
+    assert _one(fe, "SELECT CONTAINS_SUBSTR((23, NULL, 41), '35') AS r") \
+        is None
+    assert _one(fe, "SELECT CONTAINS_SUBSTR((23, 35, 41), '50') AS r") \
+        is False
+    # column tuples work too (the Recipes fixture shape)
+    row = fe.sql(
+        "SELECT CONTAINS_SUBSTR((Lunch, Dinner), 'potato') AS r FROM "
+        "(SELECT 'Egg salad' AS Lunch, 'Potato dumplings' AS Dinner)"
+    ).collect()[0]
+    assert row.r is True
+    assert _one(fe, "SELECT hex(CODE_POINTS_TO_BYTES("
+                    "array[65, 66, 67, 68])) AS r") == "41424344"
+    assert _one(fe, "SELECT hex(CODE_POINTS_TO_BYTES("
+                    "array[255, 254, 65, 64])) AS r") == "FFFE4140"
+    assert _one(fe, "SELECT CODE_POINTS_TO_BYTES(array[65, null]) AS r") \
+        is None
+    with pytest.raises(Exception):
+        fe.sql("SELECT CODE_POINTS_TO_BYTES(array[300]) AS r").collect()
