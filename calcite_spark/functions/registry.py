@@ -959,7 +959,19 @@ _reg("DATETIME_TRUNC", "", (2,), libs=(BIG_QUERY,), note="dispatch")
 _reg("CURRENT_DATETIME", "current_timestamp()", (0,), libs=(BIG_QUERY,))
 _reg("SYSTIMESTAMP", "current_timestamp()", (0,), libs=(ORACLE,))
 _reg("DATE_FROM_UNIX_DATE", "date_from_unix_date({0})", (1,), libs=(BIG_QUERY, SPARK))
-_reg("DATETIME", "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})", (6,), libs=(BIG_QUERY,))
+_reg(
+    "DATETIME",
+    {
+        # civil constructor / instant→civil conversions (BQ DATETIME
+        # is Spark's TIMESTAMP_NTZ): 1-arg drops the zone, 2-arg reads
+        # the instant's civil time in the named zone
+        1: "CAST({0} AS TIMESTAMP_NTZ)",
+        2: "CAST(convert_timezone({1}, {0}) AS TIMESTAMP_NTZ)",
+        6: "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})",
+    },
+    (1, 2, 6),
+    libs=(BIG_QUERY,),
+)
 # XML (MySQL ExtractValue / Oracle EXISTSNODE → Spark xpath builtins)
 _reg("EXTRACT_VALUE", "xpath_string({0}, {1})", (2,), libs=(MYSQL,))
 _reg("EXISTS_NODE", "CASE WHEN xpath_boolean({0}, {1}) THEN 1 ELSE 0 END", (2,), libs=(ORACLE,))

@@ -215,3 +215,15 @@ def test_contains_substr_struct_and_code_points_bytes(fe):
         is None
     with pytest.raises(Exception):
         fe.sql("SELECT CODE_POINTS_TO_BYTES(array[300]) AS r").collect()
+
+
+def test_bq_datetime_arities(fe):
+    """BQ DATETIME(ts) drops the zone, DATETIME(ts, tz) reads the
+    instant's civil time in tz, DATETIME(y,m,d,h,mi,s) constructs."""
+    assert str(_one(fe, "SELECT datetime(timestamp "
+                        "'2008-01-01 01:03:05') AS r")) \
+        == "2008-01-01 01:03:05"
+    assert str(_one(fe, "SELECT datetime(TIMESTAMP "
+                        "'2017-11-05 00:00:00+00', "
+                        "'America/New_York') AS r")) \
+        == "2017-11-04 20:00:00"
