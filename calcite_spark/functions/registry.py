@@ -1663,6 +1663,17 @@ def translate(name: str, *args: str, library: str | None = None) -> str:
         fmt = m.group(1).replace("''", "'")
         if fn.name.startswith("FORMAT_"):
             return bq_format_expr(args[1], fmt)
+        if "%c" in fmt and fmt.strip() == "%c":
+            # %c = 'Dy Mon DD HH24:MI:SS YYYY' — Java parse patterns
+            # reject weekday names (E is render-only in Spark), but
+            # the pg_parse field-extraction compiler matches and
+            # ignores them (big-query.iq:4756)
+            from calcite_spark.functions.pg_parse import compile_pg_parse
+
+            return compile_pg_parse(
+                args[1], "Dy Mon DD HH24:MI:SS YYYY",
+                to_date=fn.name == "PARSE_DATE",
+            )
         java = bq_parse_pattern(fmt).replace("'", "''")
         spark_fn = "to_date" if fn.name == "PARSE_DATE" else "to_timestamp"
         return f"{spark_fn}({args[1]}, '{java}')"

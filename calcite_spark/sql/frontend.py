@@ -1356,6 +1356,28 @@ class SqlFrontend:
             if m.start() < i or text.count("'", 0, m.start()) % 2:
                 continue
             args_txt, close = self._balanced_span(text, m.end())
+            # BQ weekday-anchored week number: EXTRACT(WEEK(SUNDAY)
+            # FROM d) — weeks begin on the named weekday, days before
+            # the year's first such weekday are week 0 (big-query.iq:
+            # 515-531; 2017-11-05 → week_sunday 45, week_monday 44)
+            wm = re.match(
+                r"(?is)^\s*WEEK\s*\(\s*(\w+)\s*\)\s+FROM\s+(.*)$",
+                args_txt,
+            )
+            if wm:
+                day, e = wm.group(1).upper(), wm.group(2).strip()
+                first = (
+                    f"next_day(date_add(date_trunc('YEAR', {e}), -1), "
+                    f"'{day}')"
+                )
+                res.append(text[i : m.start()])
+                res.append(
+                    f"(CASE WHEN CAST({e} AS DATE) < {first} THEN 0 "
+                    f"ELSE CAST(floor(datediff(CAST({e} AS DATE), "
+                    f"{first}) / 7) AS INT) + 1 END)"
+                )
+                i = close + 1
+                continue
             em = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", args_txt)
             if not em or em.group(1).lower() not in self._DP_DERIVED:
                 continue

@@ -227,3 +227,24 @@ def test_bq_datetime_arities(fe):
                         "'2017-11-05 00:00:00+00', "
                         "'America/New_York') AS r")) \
         == "2017-11-04 20:00:00"
+
+
+def test_bq_week_weekday_extract_and_parse_c(fe):
+    """big-query.iq:515-531 — EXTRACT(WEEK(<weekday>)): weeks begin on
+    the named weekday, days before the year's first such weekday are
+    week 0 (2017-11-05 → Sunday-weeks 45, Monday-weeks 44); and
+    big-query.iq:4756 — PARSE_TIMESTAMP('%c') parses the weekday-name
+    composite through the pg_parse compiler (Java patterns reject
+    weekday names on input)."""
+    assert _one(fe, "SELECT EXTRACT(WEEK(SUNDAY) FROM "
+                    "DATE '2017-11-05') AS r") == 45
+    assert _one(fe, "SELECT EXTRACT(WEEK(MONDAY) FROM "
+                    "DATE '2017-11-05') AS r") == 44
+    assert _one(fe, "SELECT EXTRACT(WEEK(SUNDAY) FROM "
+                    "DATE '2017-01-01') AS r") == 1
+    assert _one(fe, "SELECT EXTRACT(WEEK(MONDAY) FROM "
+                    "DATE '2017-01-01') AS r") == 0
+    assert str(_one(
+        fe,
+        "SELECT PARSE_TIMESTAMP('%c', 'Thu Dec 25 07:30:00 2008') AS r"
+    )) == "2008-12-25 07:30:00"
