@@ -1664,6 +1664,48 @@ class SqlFrontend:
         r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\s+'([^']*)'", re.I
     )
 
+    # `expr AT TIME ZONE 'z'` (PG/standard; redshift.iq:1028): a
+    # zoneless operand is read as civil time IN z and becomes the
+    # instant (to_utc_timestamp) — PG's timestamp-without-tz reading;
+    # the result is the same instant PG renders. Operand grammar
+    # matches the other postfix tiers: call, literal-with-type-prefix,
+    # identifier, or paren group.
+    _AT_TZ_RE = re.compile(
+        r"((?:TIMESTAMP|DATE)?\s*'[^']*'|\w+\s*\((?:[^()]|\([^()]*\))*\)"
+        r"|[\w.]+|\((?:[^()]|\([^()]*\))*\))"
+        r"\s+AT\s+TIME\s+ZONE\s+('[^']*')",
+        re.I,
+    )
+
+    def _expand_at_time_zone(self, text: str) -> str:
+        while True:
+            m = next(
+                (
+                    c
+                    for c in self._AT_TZ_RE.finditer(text)
+                    if text.count("'", 0, c.start()) % 2 == 0
+                ),
+                None,
+            )
+            if m is None:
+                return text
+            opd = m.group(1).strip()
+            if re.match(r"(?i)^to_utc_timestamp\s*\(", opd) or re.match(
+                r"(?i)^CAST\s*\(\s*'[^']*[+-]\d{2}(:?\d{2})?'\s+AS\s+"
+                r"TIMESTAMP\s*\)$",
+                opd,
+            ):
+                # zone-aware operand (a TIMESTAMP WITH TIME ZONE
+                # literal, already lowered): PG's tstz AT TIME ZONE z
+                # = the civil time of that instant in z
+                rep = (
+                    f"CAST(convert_timezone({m.group(2)}, {opd}) "
+                    "AS TIMESTAMP_NTZ)"
+                )
+            else:
+                rep = f"to_utc_timestamp({opd}, {m.group(2)})"
+            text = text[: m.start()] + rep + text[m.end() :]
+
     def _expand_tstz_literal(self, text: str) -> str:
         res, i = [], 0
         for m in self._TSTZ_LIT_RE.finditer(text):
@@ -3375,6 +3417,8 @@ class SqlFrontend:
             text = self._expand_dateadd_units(text)
         if self._TSTZ_LIT_RE.search(text):
             text = self._expand_tstz_literal(text)
+        if re.search(r"(?i)\bAT\s+TIME\s+ZONE\b", text):
+            text = self._expand_at_time_zone(text)
         if (
             self._BQ_DATETIME_LIT_RE.search(text)
             or self._BQ_CURDATE_RE.search(text)

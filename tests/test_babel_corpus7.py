@@ -248,3 +248,23 @@ def test_bq_week_weekday_extract_and_parse_c(fe):
         fe,
         "SELECT PARSE_TIMESTAMP('%c', 'Thu Dec 25 07:30:00 2008') AS r"
     )) == "2008-12-25 07:30:00"
+
+
+def test_at_time_zone(fe):
+    """redshift.iq:1028-1038 — `x AT TIME ZONE z` both directions: a
+    zoneless operand is civil time IN z (becomes that instant); a
+    zoned operand converts to its civil time in z (PG's two readings
+    of the operator). Values are the reference's instants."""
+    assert str(_one(
+        fe, "SELECT CAST(TIMESTAMP '2001-02-16 20:38:40' AT TIME ZONE "
+            "'MST' AS STRING) AS r"
+    )) == "2001-02-17 03:38:40"  # = 19:38:40-08, the PG row's instant
+    assert str(_one(
+        fe, "SELECT CAST(TIMESTAMP WITH TIME ZONE "
+            "'2001-02-16 20:38:40-05' AT TIME ZONE 'MST' AS STRING) AS r"
+    )) == "2001-02-16 18:38:40"
+    assert str(_one(
+        fe, "SELECT CAST(TIMESTAMP WITH TIME ZONE "
+            "'2020-01-01 08:10:10 America/New_York' AT TIME ZONE 'UTC' "
+            "AS STRING) AS r"
+    )) == "2020-01-01 13:10:10"
