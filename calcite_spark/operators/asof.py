@@ -38,6 +38,7 @@ def asof_join(
     strict: bool = False,  # True → strict inequality
     join_type: str = "ASOF",  # ASOF (inner) | LEFT_ASOF
     right_prefix: str = "",
+    right_order: tuple = (),
 ) -> DataFrame:
     """DataFrame-level ASOF join (see module docstring for the plan shape).
 
@@ -93,8 +94,20 @@ def asof_join(
     unioned = left.selectExpr(*lsel).unionByName(right.selectExpr(*rsel))
 
     ts_dir = "DESC" if direction == "forward" else "ASC"
+    # right_order: right-side payload columns appended to the window sort
+    # (after the side tiebreak) so that among EQUAL-ts right rows the one
+    # sorting LAST (ascending) is the row `last(...)` carries — i.e. a
+    # "keep the max-X right row per (key, ts)" dedup folded into the one
+    # asof window pass instead of a separate row_number()=1 pre-pass
+    # (which costs its own Exchange + two Sorts on the full right side;
+    # r14 before-plan plans/r14/z43_asof_join_before.txt). Left rows hold
+    # NULL in these columns, but they only tie among themselves (the side
+    # rank differs from every right row), where order is irrelevant.
+    tie = "".join(
+        f", {q(out_names[c])} ASC" for c in right_order
+    )
     win = (
-        f"PARTITION BY {', '.join(KEY)} ORDER BY {TS} {ts_dir}, {SIDE} ASC "
+        f"PARTITION BY {', '.join(KEY)} ORDER BY {TS} {ts_dir}, {SIDE} ASC{tie} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     marker = "__matched"

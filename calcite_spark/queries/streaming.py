@@ -156,19 +156,19 @@ def z43_asof_join(spark, sf_dir):
 
     cat = catalog_for(spark, sf_dir)
     events = cat.table("events").filter("user_id <= 300")
-    orders = (
-        cat.table("orders")
-        .selectExpr(
-            "o_custkey",
-            "o_orderdate",
-            "o_orderkey",
-            "o_totalprice",
-            "row_number() OVER (PARTITION BY o_custkey, o_orderdate "
-            "ORDER BY o_orderkey DESC) AS rn",
-        )
-        .filter("rn = 1")
-        .drop("rn")
-    )
+    # r14 optimization, results unchanged (driver_sim-verified):
+    #  * the (custkey, orderdate)-dedup-to-max-orderkey pre-pass is folded
+    #    into the asof window via right_order — among equal-orderdate
+    #    orders the carried row is the max-orderkey one, which IS the
+    #    row_number()=1 row the pre-pass kept (saves one Exchange + two
+    #    Sorts over the whole orders table, see plans/r14/z43_*):
+    #  * the left side's user_id <= 300 filter transfers to the equi key
+    #    o_custkey (JoinPushTransitivePredicates semantics, applied by
+    #    hand — Spark cannot see through the union lowering), so the
+    #    pruning reaches the orders parquet scan.
+    orders = cat.table("orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    ).filter("o_custkey <= 300")
     return (
         asof_join(
             events,
@@ -179,6 +179,7 @@ def z43_asof_join(spark, sf_dir):
             direction="backward",
             strict=False,
             join_type="LEFT_ASOF",
+            right_order=("o_orderkey",),
         )
         .selectExpr("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
         .orderBy("event_id")

@@ -30,15 +30,22 @@ def _b(spark, sf_dir) -> RelBuilder:
 def z30_window_rank_topn(spark, sf_dir):
     """Top-N per group: row_number OVER partition — ProjectToWindowRule
     (RexOver → Window) then filter ≈ the classic top-K-per-key pattern."""
+    # r14: rename BEFORE the window and partition by the alias — with the
+    # rename inside the window projection the filter's c_custkey <= 200
+    # was a different attribute than the window's o_custkey partition
+    # key, so Catalyst could not push it below the Window and the rank
+    # ran over ALL customers (before-plan: no custkey in PushedFilters);
+    # partitioning on the alias itself lets the predicate reach the scan.
     return (
         _b(spark, sf_dir)
         .scan("orders")
+        .project("o_custkey AS c_custkey", "o_orderkey", "o_totalprice")
         .window(
             [
-                "CAST(row_number() OVER (PARTITION BY o_custkey "
+                "CAST(row_number() OVER (PARTITION BY c_custkey "
                 "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk"
             ],
-            keep=("o_custkey AS c_custkey", "o_orderkey", "o_totalprice"),
+            keep=("c_custkey", "o_orderkey", "o_totalprice"),
         )
         .filter("rk <= 3 AND c_custkey <= 200")
         .sort("c_custkey", "rk")

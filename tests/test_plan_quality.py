@@ -60,6 +60,63 @@ def test_asof_single_shuffle(spark):
     assert "Window" in rep["text"]
 
 
+def test_asof_right_order_folds_dedup(spark):
+    """r14: the right_order tiebreak must give EXACTLY the rows of the
+    old shape (row_number()=1 dedup pre-pass, then asof) — the pre-pass
+    cost a second Exchange + two Sorts over the whole right side."""
+    from calcite_spark.operators.asof import asof_join
+
+    cat = catalog_for(spark, SF_DIR)
+    events = cat.table("events").filter("user_id <= 50")
+    base = cat.table("orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    ).filter("o_custkey <= 50")
+    deduped = (
+        base.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY o_custkey, o_orderdate "
+            "ORDER BY o_orderkey DESC) AS rn",
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    kw = dict(
+        on=[("user_id", "o_custkey")],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="backward",
+        strict=False,
+        join_type="LEFT_ASOF",
+    )
+    cols = ["event_id", "o_orderkey", "o_totalprice"]
+    old = asof_join(events, deduped, **kw).select(*cols)
+    new = asof_join(events, base, right_order=("o_orderkey",), **kw).select(*cols)
+    assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
+    assert old.count() == new.count() > 0
+
+
+def test_asof_equikey_predicate_reaches_right_scan(spark):
+    """r14: z43's user_id <= 300 transfers to o_custkey on the right
+    side (manual JoinPushTransitivePredicates) and must stay in the
+    orders scan's PushedFilters; the dedup pre-pass window must be gone
+    (exactly one Window: the asof carry itself)."""
+    rep = plan_report(QS["z43_asof_join"](spark, SF_DIR))
+    pushed = " ".join(rep["pushed_filters"])
+    assert "o_custkey" in pushed, rep["pushed_filters"]
+    assert rep["text"].count("Window") - rep["text"].count("WindowGroupLimit") <= 2
+
+
+def test_window_topn_partition_filter_pushed(spark):
+    """r14: z30's c_custkey <= 200 is a partition-key predicate and must
+    reach the orders parquet scan (it did not while the rename happened
+    inside the window projection — the filter then referenced a different
+    attribute than the partition spec and Catalyst left it above the
+    Window, ranking ALL customers)."""
+    rep = plan_report(QS["z30_window_rank_topn"](spark, SF_DIR))
+    pushed = " ".join(rep["pushed_filters"])
+    assert "o_custkey" in pushed and "200" in pushed, rep["pushed_filters"]
+
+
 def test_semi_join_stays_semi(spark):
     # z04 retired from the driver registry in r13 (receipts at
     # queries/tpch.py); the plan pin calls the function directly.
