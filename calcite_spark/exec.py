@@ -21,6 +21,31 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
+def parallelize_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism before a
+    CPU-heavy narrow stage — ONLY when the input would otherwise run on
+    fewer tasks than cores. Small inputs often arrive as ONE file → ONE
+    scan partition, serializing the expensive map (r14 measured qx03's
+    four JSON-path UDF calls over single-file lineitem at 12 s wall ≈
+    the single-threaded cost; at 100 TB the scan gives natural
+    parallelism and this is a no-op). The guard is a driver-side
+    metadata probe (df.inputFiles), not a getNumPartitions RDD
+    conversion; non-file sources pay the RDD probe once rather than an
+    unconditional shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files == 0:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    if n_files < target:
+        return df.repartition(target)
+    return df
+
+
 def plan_report(df: DataFrame) -> dict:
     """Parse the formatted physical plan into the facts that matter for
     scale: pushed filters, read schema, join strategies, shuffle count."""

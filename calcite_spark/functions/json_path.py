@@ -148,13 +148,37 @@ def eval_path(doc, path: str) -> list:
 # ---------------------------------------------------------------------
 
 
-def _loads(doc):
-    if doc is None:
-        return None, False
+@lru_cache(maxsize=1 << 15)
+def _loads_cached(doc: str):
     try:
         return json.loads(doc), True
     except (ValueError, TypeError):
         return None, False
+
+
+def _loads(doc, mutable: bool = False):
+    """Parse with a worker-local cache: when several cs_json_* UDFs sit in
+    one projection (the common JSON_VALUE + JSON_EXISTS + JSON_DEPTH
+    dashboard shape), Spark evaluates them in the SAME ArrowEvalPython
+    node over the same batch, so every doc was json.loads'd once PER
+    UDF — the r14 profile of qx03 showed the redundant parses dominating.
+    The cache is transient per Python worker (plain memoization inside
+    one run, nothing persisted). mutable=True hands the caller a private
+    deep copy (json_remove_one mutates the tree in place).
+    """
+    if doc is None:
+        return None, False
+    if not isinstance(doc, str):
+        try:
+            return json.loads(doc), True
+        except (ValueError, TypeError):
+            return None, False
+    parsed, ok = _loads_cached(doc)
+    if mutable and ok:
+        import copy
+
+        return copy.deepcopy(parsed), True
+    return parsed, ok
 
 
 def _scalar_to_str(v):
@@ -262,7 +286,7 @@ def json_pretty_one(doc):
 def json_remove_one(doc, *paths):
     """MySQL JSON_REMOVE(doc, path, ...): paths applied left-to-right;
     wildcards and '$' itself are errors → NULL."""
-    parsed, ok = _loads(doc)
+    parsed, ok = _loads(doc, mutable=True)
     if not ok:
         return None
     for path in paths:

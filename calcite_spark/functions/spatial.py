@@ -91,6 +91,10 @@ def _edge_b(g: str, i: str) -> str:
 def st_length(g: str, closed: bool = False) -> str:
     """Sum of segment lengths; closed=True adds the implicit ring edge
     (ST_Perimeter). NULL for points."""
+    return _bind(g, lambda v: _st_length_body(v, closed))
+
+
+def _st_length_body(g: str, closed: bool) -> str:
     i = "i"
     a, b = _pt(g, i), _edge_b(g, i)
     seg = f"sqrt(pow({b}.x - {a}.x, 2) + pow({b}.y - {a}.y, 2))"
@@ -101,8 +105,30 @@ def st_length(g: str, closed: bool = False) -> str:
     )
 
 
+def _bind(g: str, body_fn) -> str:
+    """Let-bind a COMPOUND operand before a body that references it more
+    than once (r14): measure macros over constructive results —
+    ST_Area(ST_Intersection(a, b)) — otherwise copy the whole inner
+    expression once per textual reference (~190 KB SQL for the qx33
+    shape; 11 s to parse + 10 s to optimize for 25 rows). Simple
+    column/field references are interpolated directly as before."""
+    import itertools
+    import re
+
+    if re.match(r"^[A-Za-z_][A-Za-z_0-9]*(\.[A-Za-z_][A-Za-z_0-9]*)*$", g):
+        return body_fn(g)
+    if not hasattr(_bind, "_n"):
+        _bind._n = itertools.count()
+    var = f"cs_bnd{next(_bind._n)}"
+    return _let1(g, var, body_fn(var))
+
+
 def st_area(g: str) -> str:
     """Shoelace formula over the (implicitly closed) outer ring."""
+    return _bind(g, _st_area_body)
+
+
+def _st_area_body(g: str) -> str:
     i = "i"
     a, b = _pt(g, i), _edge_b(g, i)
     cross = f"({a}.x * {b}.y - {b}.x * {a}.y)"
@@ -116,6 +142,10 @@ def st_area(g: str) -> str:
 def st_centroid(g: str) -> str:
     """Vertex-mean centroid for POINT/LINESTRING; area-weighted shoelace
     centroid for POLYGON."""
+    return _bind(g, _st_centroid_body)
+
+
+def _st_centroid_body(g: str) -> str:
     n = _n(g)
     mean_x = f"aggregate({g}.pts, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.x) / {n}"
     mean_y = f"aggregate({g}.pts, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.y) / {n}"
@@ -139,6 +169,10 @@ def st_centroid(g: str) -> str:
 
 def st_envelope(g: str) -> str:
     """Bounding box as a POLYGON (xmin ymin, xmax ymin, xmax ymax, xmin ymax)."""
+    return _bind(g, _st_envelope_body)
+
+
+def _st_envelope_body(g: str) -> str:
     lo_x = f"array_min(transform({g}.pts, p -> p.x))"
     hi_x = f"array_max(transform({g}.pts, p -> p.x))"
     lo_y = f"array_min(transform({g}.pts, p -> p.y))"

@@ -63,11 +63,16 @@ def ngram_decontaminate(
     count reaches `min_overlap`. Documents with no overlapping n-grams
     are kept (flag false, n_overlap 0) via the left join — filtering is
     the caller's `.filter(~contaminated)`."""
+    from calcite_spark.exec import parallelize_input
+
     bench_grams = (
         benchmark.selectExpr(f"explode({_gram_expr(text_col, n, digest)}) AS g")
         .distinct()
     )
-    doc_grams = docs.selectExpr(
+    # r14: tokenization + n-gram hashing is the expensive narrow map —
+    # parallelism insurance for single-file local inputs (no-op when the
+    # scan reads >= cores files, the 100 TB case)
+    doc_grams = parallelize_input(docs).selectExpr(
         id_col,
         f"explode_outer(array_distinct({_gram_expr(text_col, n, digest)})) AS g",
     )

@@ -32,29 +32,14 @@ DEFAULT_BANDS = 4
 
 def _parallelize(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism before a
-    CPU-heavy narrow stage. Small inputs often arrive as ONE file → ONE
-    partition, serializing the expensive map (at 100 TB the scan gives
-    natural parallelism, but a salvaged single-file dimension wouldn't).
-    Cheap insurance: only fires when the input reads fewer FILES than the
-    session's default parallelism — a driver-side metadata probe
-    (df.inputFiles), not the df.rdd.getNumPartitions() conversion that
-    triggered RDD plan translation per call (r1/r2 review note)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files == 0:
-        # non-file source (in-memory, post-shuffle): the file probe says
-        # nothing, so pay the accurate RDD partition-count probe ONCE
-        # rather than inserting an unconditional full shuffle — an
-        # upstream-repartitioned input must not be reshuffled.
-        if df.rdd.getNumPartitions() >= target:
-            return df
-        return df.repartition(target)
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    CPU-heavy narrow stage; guarded so it only fires when the input
+    reads fewer FILES than cores. Shared with the IR Exchange
+    ROUND_ROBIN lowering since r14 — logic lives in
+    exec.parallelize_input (this alias keeps the historical call sites
+    and tests stable)."""
+    from calcite_spark.exec import parallelize_input
+
+    return parallelize_input(df)
 
 
 def normalize_text(col: str = "text"):

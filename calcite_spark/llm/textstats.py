@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from calcite_spark.exec import parallelize_input
+
 # Whitespace tokens + a BPE-ish heuristic: ~chars/4 is the common rule of
 # thumb for subword token counts over English-like text.
 TOKENS = "size(split(trim(text), '\\\\s+'))"
@@ -16,7 +18,7 @@ WORDS_PER_DOC = TOKENS
 
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document stats projection (narrow map, no shuffle)."""
-    return docs.selectExpr(
+    return parallelize_input(docs).selectExpr(
         "doc_id",
         "lang",
         "source",
@@ -34,7 +36,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punctuation/symbol density, low mean word length (public-rule-based
     filtering in the Gopher/C4 style, SQL-only)."""
     toks = "split(trim(text), '\\\\s+')"
-    return docs.selectExpr(
+    return parallelize_input(docs).selectExpr(
         "doc_id",
         "lang",
         f"CAST(size({toks}) AS INT) AS n_words",
@@ -75,7 +77,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     arr = "array(" + ", ".join(f"votes_{lang}" for lang in langs) + ")"
     names = "array(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
     return (
-        docs.selectExpr("doc_id", "lang AS lang_true", "split(lower(text), '[^a-z]+') AS __toks")
+        parallelize_input(docs).selectExpr("doc_id", "lang AS lang_true", "split(lower(text), '[^a-z]+') AS __toks")
         .selectExpr("doc_id", "lang_true", *vote_cols)
         .selectExpr(
             "doc_id",
@@ -96,7 +98,7 @@ def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
         f"ELSE transform(sequence(0, size({toks}) - {window}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {window}))) END"
     )
-    return docs.selectExpr(
+    return parallelize_input(docs).selectExpr(
         "doc_id",
         f"array_min(transform({grams}, g -> xxhash64(g))) AS fp_min",
         f"array_max(transform({grams}, g -> xxhash64(g))) AS fp_max",
@@ -166,7 +168,7 @@ def repetition_stats(docs: DataFrame, ngram: int = 2) -> DataFrame:
         f"array_max(transform(array_distinct({grams}), "
         f"d -> CAST(size(filter({grams}, x -> x = d)) * length(d) AS BIGINT))) END"
     )
-    return docs.selectExpr(
+    return parallelize_input(docs).selectExpr(
         "doc_id",
         f"CAST(size({lines}) AS INT) AS n_lines",
         f"ROUND((size({lines}) - size(array_distinct({lines}))) / "
@@ -186,7 +188,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     narrow map in whole-stage codegen, zero Python, zero shuffle —
     at 100 TB this runs at scan speed. Adds has_<kind> detection flags
     (computed BEFORE scrubbing) and the redacted text column."""
-    out = docs
+    out = parallelize_input(docs)
     for kind, pat in PII_PATTERNS:
         out = out.withColumn(
             f"has_{kind}", F.expr(f"{text_col} RLIKE '{pat}'")

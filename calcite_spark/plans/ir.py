@@ -76,16 +76,70 @@ class Scan(RelNode):
         return ctx.table(self.table)
 
 
+def _split_schema_fields(schema: str) -> list:
+    """Split a DDL schema on top-level commas only (decimal(10,2),
+    array<...>, struct<...> carry nested commas)."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i].strip())
+            start = i + 1
+    fields.append(schema[start:].strip())
+    return [f for f in fields if f]
+
+
 @dataclass(repr=False)
 class Values(RelNode):
-    """≈ rel/core/Values.java:51 → spark.createDataFrame."""
+    """≈ rel/core/Values.java:51 → an inline VALUES table (LocalRelation).
+
+    r14: lowered via spark.sql("SELECT * FROM VALUES ...") instead of
+    spark.createDataFrame — the latter ships a pickled RDD that plans as
+    `Scan ExistingRDD` (an extra job per broadcast build, rows pickled
+    per run, no codegen'd LocalTableScan); an inline table folds to a
+    LocalTableScan whose rows live in the plan itself. Every cell is
+    CAST('literal' AS declared-type) so values are bit-identical to the
+    createDataFrame path (string→double parse is correctly rounded).
+    Non-scalar cells (arrays/maps/rows) fall back to createDataFrame.
+    """
 
     rows: list
     schema: str  # e.g. "a int, b string"
     inputs: tuple = ()
 
     def to_df(self, ctx) -> DataFrame:
+        fields = [f.split(None, 1) for f in _split_schema_fields(self.schema)]
+        if self.rows and all(len(f) == 2 for f in fields):
+            try:
+                rows_sql = ", ".join(
+                    "(" + ", ".join(self._cell(v, t) for v, (_, t) in zip(r, fields, strict=True)) + ")"
+                    for r in self.rows
+                )
+                names = ", ".join(n for n, _ in fields)
+                return ctx.spark.sql(
+                    f"SELECT * FROM (VALUES {rows_sql}) AS __values__({names})"
+                )
+            except TypeError:
+                pass  # non-scalar cell → createDataFrame fallback below
         return ctx.spark.createDataFrame(self.rows, schema=self.schema)
+
+    @staticmethod
+    def _cell(v, typ: str) -> str:
+        import datetime
+
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, bool):
+            return f"CAST({'true' if v else 'false'} AS {typ})"
+        if isinstance(v, (int, float, datetime.date, datetime.datetime)):
+            return f"CAST('{v!r}' AS {typ})" if isinstance(v, (int, float)) else f"CAST('{v}' AS {typ})"
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"CAST('{esc}' AS {typ})"
+        raise TypeError(f"non-scalar VALUES cell: {type(v)}")
 
 
 # ---------------------------------------------------------------------
@@ -371,6 +425,19 @@ class Exchange(RelNode):
             return F.broadcast(df)
         if self.distribution == "singleton":
             return df.coalesce(1)
+        if self.distribution == "roundrobin":
+            # ≈ RelDistribution.Type.ROUND_ROBIN_DISTRIBUTED. With no
+            # explicit partition count this is parallelism INSURANCE for
+            # a following CPU-heavy narrow stage: it only shuffles when
+            # the input reads fewer files than cores (single-file local
+            # scans serialize the map otherwise; a 100 TB scan has
+            # natural parallelism and this no-ops) — same guard the LLM
+            # dedup operators use (exec.parallelize_input).
+            if self.num_partitions:
+                return df.repartition(self.num_partitions)
+            from calcite_spark.exec import parallelize_input
+
+            return parallelize_input(df)
         raise ValueError(self.distribution)
 
 

@@ -748,6 +748,12 @@ def qx03_json_path(spark, sf_dir):
     return (
         _b(spark, sf_dir)
         .scan("lineitem")
+        # r14: ROUND_ROBIN insurance before the Python-UDF projection —
+        # the single-file local scan otherwise runs the whole UDF stage
+        # on ONE task (measured 12 s ≈ the single-threaded cost of the
+        # four path evaluations; 32-way it is scan-parallel). No-op when
+        # the scan already reads >= cores files (the 100 TB case).
+        .exchange("roundrobin")
         .project(
             "l_returnflag",
             "to_json(struct(l_quantity AS qty, l_returnflag AS ret, "
