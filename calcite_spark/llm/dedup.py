@@ -268,12 +268,20 @@ def embedding_cosine_dups(
 
     Output: (a_id, b_id, cosine_sim) with a_id < b_id.
     """
-    from calcite_spark.llm.similarity import _cos, hyperplane_bucket_expr
+    from calcite_spark.llm.similarity import _cos_pre, _norm, hyperplane_bucket_expr
 
-    cos = f"ROUND({_cos('a_vec', 'b_vec')}, 6)"
+    # norms hoisted to a per-row projection (r14): _cos re-ran both norm
+    # folds per PAIR; hoisting is bit-identical (same folds, same
+    # multiply/divide order) and the 8-byte norm rides the exchange
+    # instead of two 64-element folds per candidate pair
+    cos = f"ROUND({_cos_pre('a_vec', 'b_vec', 'a_nrm', 'b_nrm')}, 6)"
     if exact:
-        a = vectors.selectExpr(f"{id_col} AS a_id", f"{vec_col} AS a_vec")
-        b = vectors.selectExpr(f"{id_col} AS b_id", f"{vec_col} AS b_vec")
+        a = vectors.selectExpr(
+            f"{id_col} AS a_id", f"{vec_col} AS a_vec", f"{_norm(vec_col)} AS a_nrm"
+        )
+        b = vectors.selectExpr(
+            f"{id_col} AS b_id", f"{vec_col} AS b_vec", f"{_norm(vec_col)} AS b_nrm"
+        )
         return (
             a.join(b, F.expr("a_id < b_id"))
             .selectExpr("a_id", "b_id", f"{cos} AS cosine_sim")
@@ -289,11 +297,12 @@ def embedding_cosine_dups(
     bucketed = _parallelize(vectors).selectExpr(
         f"{id_col} AS __id",
         f"{vec_col} AS __vec",
+        f"{_norm(vec_col)} AS __nrm",
         f"explode(sequence(0, {n_tables - 1})) AS tbl",
-    ).selectExpr("__id", "__vec", "tbl", f"{bexpr} AS bucket")
+    ).selectExpr("__id", "__vec", "__nrm", "tbl", f"{bexpr} AS bucket")
     bucketed = bucketed.repartition("tbl", "bucket")  # ReuseExchange
-    a = bucketed.toDF("a_id", "a_vec", "tbl", "bucket")
-    b = bucketed.toDF("b_id", "b_vec", "tbl", "bucket")
+    a = bucketed.toDF("a_id", "a_vec", "a_nrm", "tbl", "bucket")
+    b = bucketed.toDF("b_id", "b_vec", "b_nrm", "tbl", "bucket")
     return (
         a.join(b, on=["tbl", "bucket"])
         .filter("a_id < b_id")

@@ -29,12 +29,16 @@ def brute_force_topk(
     query_vec: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity."""
+    corpus = corpus.selectExpr(
+        corpus_id, corpus_vec, f"{_norm(corpus_vec)} AS __cn"
+    )
+    queries = queries.selectExpr(query_id, query_vec, f"{_norm(query_vec)} AS __qn")
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .selectExpr(
             query_id,
             corpus_id,
-            f"ROUND({_cos(corpus_vec, query_vec)}, 6) AS cosine_sim",
+            f"ROUND({_cos_pre(corpus_vec, query_vec, '__cn', '__qn')}, 6) AS cosine_sim",
         )
         .selectExpr(
             query_id,
@@ -48,11 +52,33 @@ def brute_force_topk(
     return scored
 
 
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        f"SQRT(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def _cos(a: str, b: str) -> str:
-    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    na = f"SQRT(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    nb = f"SQRT(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    return f"({dot} / ({na} * {nb}))"
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def _cos_pre(a: str, b: str, a_norm: str, b_norm: str) -> str:
+    """Cosine with PRE-COMPUTED norms (r14): the higher-order-function
+    folds are interpreted per element, and _cos paid both norm folds per
+    PAIR — ~2/3 of the per-pair work for values that depend on one side
+    only. Hoisting them to a per-row projection before the join keeps
+    the arithmetic bit-identical (same folds, same multiply/divide
+    order — snapshot oracles unaffected) and leaves only the dot per
+    pair."""
+    return f"({_dot(a, b)} / ({a_norm} * {b_norm}))"
 
 
 def hyperplane_bucket_expr(
@@ -91,11 +117,19 @@ def lsh_bucketed_topk(
     equi-join on bucket, exact cosine rerank within bucket."""
     bexpr = hyperplane_bucket_expr("embedding", n_planes, dim)
     qexpr = hyperplane_bucket_expr("q_vec", n_planes, dim)
-    c = corpus.selectExpr("vec_id", "embedding", f"{bexpr} AS bucket")
-    q = queries.selectExpr("q_id", "q_vec", f"{qexpr} AS bucket")
+    c = corpus.selectExpr(
+        "vec_id", "embedding", f"{bexpr} AS bucket", f"{_norm('embedding')} AS __cn"
+    )
+    q = queries.selectExpr(
+        "q_id", "q_vec", f"{qexpr} AS bucket", f"{_norm('q_vec')} AS __qn"
+    )
     return (
         c.join(F.broadcast(q), on="bucket")
-        .selectExpr("q_id", "vec_id", f"ROUND({_cos('embedding', 'q_vec')}, 6) AS cosine_sim")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            f"ROUND({_cos_pre('embedding', 'q_vec', '__cn', '__qn')}, 6) AS cosine_sim",
+        )
         .selectExpr(
             "q_id",
             "vec_id",
@@ -199,9 +233,15 @@ def ivf_topk(
     probes = spark.createDataFrame(
         probe_rows, "q_id bigint, cluster int, q_vec array<double>"
     )
+    assigned = assigned.selectExpr("*", f"{_norm('embedding')} AS __cn")
+    probes = probes.selectExpr("*", f"{_norm('q_vec')} AS __qn")
     return (
         assigned.join(F.broadcast(probes), on="cluster")
-        .selectExpr("q_id", "vec_id", f"ROUND({_cos('embedding', 'q_vec')}, 6) AS cosine_sim")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            f"ROUND({_cos_pre('embedding', 'q_vec', '__cn', '__qn')}, 6) AS cosine_sim",
+        )
         .selectExpr(
             "q_id",
             "vec_id",
