@@ -46,6 +46,31 @@ def parallelize_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def parallelize_grouped_input(df: DataFrame, keys: list) -> DataFrame:
+    """Keyed sibling of parallelize_input for Python-heavy GROUPED stages
+    (window + applyInPandas): hash-repartition on the grouping keys to the
+    cluster's parallelism — ONLY when the input reads fewer files than
+    cores.
+
+    Why not round-robin: a window/groupBy downstream requires
+    ClusteredDistribution(keys); an explicit hash repartition on the same
+    keys SATISFIES it, so this replaces the stage's own exchange instead
+    of adding one — and, being user-specified, AQE will not coalesce it.
+    Without it, AQE sizes the shuffle by BYTES (advisory 64m), and a
+    kilobyte-sized but Python-expensive grouped stage collapses to one
+    task (r14 measured z45's NFA: every post-shuffle stage ran 0+1/1).
+    At 100 TB the scan reads many files and this is a no-op, so the
+    byte-based coalescing keeps working where it is right."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
+        return df.repartition(target, *keys)
+    return df
+
+
 def plan_report(df: DataFrame) -> dict:
     """Parse the formatted physical plan into the facts that matter for
     scale: pushed filters, read schema, join strategies, shuffle count."""

@@ -203,7 +203,13 @@ def decode_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.select("media_id", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    from calcite_spark.exec import parallelize_input
+
+    # single-file media inputs otherwise decode on ONE task (§5 guard;
+    # no-op when the scan already reads >= cores files)
+    return parallelize_input(media.select("media_id", "content")).mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
 
 
 def decode_audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
@@ -242,7 +248,11 @@ def decode_audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return media.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    from calcite_spark.exec import parallelize_input
+
+    return parallelize_input(media.select("media_id", "content")).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -262,25 +262,43 @@ def _eps_closure(nfa: _NFA, states: set) -> set:
     return out
 
 
-def _longest_match(nfa: _NFA, rows_syms, start: int):
-    """Greedy: longest match starting at `start`; returns (end_exclusive,
-    classifier list) or None. rows_syms[i] = set of symbols true on row i."""
-    states = _eps_closure(nfa, {nfa.start})
+def _state_closures(nfa: _NFA) -> dict:
+    """Per-state epsilon closures, memoized on the NFA (a compiled pattern
+    is immutable after construction; the walk below hits closures once per
+    transition per row, so computing them once per pattern instead is a
+    pure-Python hot-loop saving — guide §4)."""
+    cl = getattr(nfa, "_closures", None)
+    if cl is None:
+        cl = {s: tuple(_eps_closure(nfa, {s})) for s in nfa.transitions}
+        nfa._closures = cl
+    return cl
+
+
+def _longest_match(nfa: _NFA, rows_syms, start: int, end: int | None = None):
+    """Greedy: longest match starting at `start`, scanning rows
+    [start, end) (end=None ⇒ len(rows_syms) — the explicit bound lets
+    WITHIN callers avoid re-slicing the row list per start position);
+    returns (end_exclusive, classifier list) or None.
+    rows_syms[i] = set of symbols true on row i."""
+    closures = _state_closures(nfa)
+    states = set(closures[nfa.start])
     best = None
-    path: list[str] = []
     # track per-state the classifier path (first-come wins — adequate for
     # deterministic DEFINE predicates)
     state_paths = {s: [] for s in states}
     if nfa.accept in states and best is None:
         best = (start, [])
     i = start
-    while i < len(rows_syms) and states:
+    n = len(rows_syms) if end is None else end
+    trans = nfa.transitions
+    while i < n and states:
+        row = rows_syms[i]
         nxt_paths: dict[int, list] = {}
         for s in states:
-            for sym, nxt in nfa.transitions.get(s, ()):
-                if sym is not None and sym in rows_syms[i]:
+            for sym, nxt in trans.get(s, ()):
+                if sym is not None and sym in row:
                     cand = state_paths[s] + [sym]
-                    for t in _eps_closure(nfa, {nxt}):
+                    for t in closures[nxt]:
                         if t not in nxt_paths:
                             nxt_paths[t] = cand
         states = set(nxt_paths)
@@ -355,6 +373,15 @@ def match_recognize(
 
     sym_exprs = {s.upper(): rewrite(c) for s, c in define.items()}
     work = df
+    if partition_by:
+        # single-file inputs collapse the window/apply shuffle to ONE
+        # AQE-coalesced task (bytes are tiny, the Python NFA is not);
+        # hash-repartitioning on the partition keys feeds BOTH the
+        # helper-column window and the groupBy below without any extra
+        # exchange, and no-ops at scale (exec.parallelize_grouped_input)
+        from calcite_spark.exec import parallelize_grouped_input
+
+        work = parallelize_grouped_input(work, partition_by)
     for name, expr in helper_cols.items():
         work = work.selectExpr("*", f"{expr} AS {name}")
     for s in symbols:
@@ -422,66 +449,86 @@ def match_recognize(
         """SUBSET-aware symbol set (Match.java:74)."""
         return set(subsets.get(sym, (sym,)))
 
-    def measure_value(fn, sym, col, rows, classifiers, upto, seq):
-        """Evaluate one measure over match rows [0, upto); RUNNING
-        semantics when upto < len(rows) (ALL ROWS PER MATCH default)."""
-        if fn == "CLASSIFIER":
-            return classifiers[upto - 1]
-        if fn == "MATCH_NUMBER":
-            return seq
-        members = expand_sym(sym) if sym else None
-        idxs = [
-            j
-            for j in range(upto)
-            if members is None or classifiers[j] in members
-        ]
-        if fn == "COUNT":
-            return len(idxs)
-        if not idxs:
-            return None
-        if fn == "FIRST":
-            return rows.iloc[idxs[0]][col]
-        return rows.iloc[idxs[-1]][col]  # LAST / bare
+    # columns whose VALUES the output needs (measure args + passthrough +
+    # the WITHIN time column) — materialized once per group as numpy
+    # arrays; per-row pandas .iloc/.iterrows access dominated the walk
+    # (guide §4: shrink the per-row Python work, not just the boundary)
+    value_cols = set(passthrough)
+    for _out_name, _fn, _sym, _col in parsed:
+        if _col and _col != "*":
+            value_cols.add(_col)
+    if within is not None:
+        value_cols.add(time_col)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        col_arr = {c: pdf[c].to_numpy() for c in value_cols}
+        sym_masks = [pdf[f"__sym_{s}"].to_numpy() for s in symbols]
         syms_per_row = [
-            {s for s in symbols if row[f"__sym_{s}"]} for _, row in pdf.iterrows()
+            {s for s, flag in zip(symbols, flags) if flag}
+            for flags in zip(*sym_masks)
         ]
+        time_vals = col_arr[time_col] if within_td is not None else None
+        within_np = (
+            within_td.to_timedelta64() if within_td is not None else None
+        )
+
+        def measure_value(fn, sym, col, start, classifiers, upto, seq):
+            """Evaluate one measure over match rows [0, upto) (absolute row
+            start+j); RUNNING semantics when upto < match length (ALL ROWS
+            PER MATCH default)."""
+            if fn == "CLASSIFIER":
+                return classifiers[upto - 1]
+            if fn == "MATCH_NUMBER":
+                return seq
+            members = expand_sym(sym) if sym else None
+            idxs = [
+                j
+                for j in range(upto)
+                if members is None or classifiers[j] in members
+            ]
+            if fn == "COUNT":
+                return len(idxs)
+            if not idxs:
+                return None
+            if fn == "FIRST":
+                return col_arr[col][start + idxs[0]]
+            return col_arr[col][start + idxs[-1]]  # LAST / bare
+
         out_rows = []
         i, seq = 0, 0
-        n = len(pdf)
         while i < n:
             end_limit = n
             if within_td is not None:
-                t0 = pdf.iloc[i][time_col]
-                while (
-                    end_limit > i
-                    and pdf.iloc[end_limit - 1][time_col] - t0 > within_td
-                ):
-                    end_limit -= 1
-            hit = _longest_match(nfa, syms_per_row[:end_limit], i)
+                # rows are sorted by (time_col, ...) so the WITHIN horizon
+                # is a binary search, not a per-start backward scan; the
+                # bound is inclusive (orig: trim while diff > within)
+                end_limit = int(
+                    time_vals.searchsorted(time_vals[i] + within_np, side="right")
+                )
+            hit = _longest_match(nfa, syms_per_row, i, end_limit)
             if hit is None or hit[0] == i:  # no/empty match here
                 i += 1
                 continue
             end, classifiers = hit
             seq += 1
-            rows = pdf.iloc[i:end]
+            match_len = end - i
             if all_rows:
-                for j in range(len(rows)):
-                    rec = {c: rows.iloc[j][c] for c in passthrough}
+                for j in range(match_len):
+                    rec = {c: col_arr[c][i + j] for c in passthrough}
                     rec["match_seq"] = seq
                     for out_name, fn, sym, col in parsed:
                         rec[out_name] = measure_value(
-                            fn, sym, col, rows, classifiers, j + 1, seq
+                            fn, sym, col, i, classifiers, j + 1, seq
                         )
                     out_rows.append(rec)
             else:
-                rec = {k: pdf.iloc[i][k] for k in passthrough}
+                rec = {k: col_arr[k][i] for k in passthrough}
                 rec["match_seq"] = seq
                 for out_name, fn, sym, col in parsed:
                     rec[out_name] = measure_value(
-                        fn, sym, col, rows, classifiers, len(rows), seq
+                        fn, sym, col, i, classifiers, match_len, seq
                     )
                 out_rows.append(rec)
             # resume position (Match.java:70)

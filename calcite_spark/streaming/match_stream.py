@@ -182,7 +182,7 @@ def match_recognize_stream(
             end_limit = n
             while end_limit > i and buf[end_limit - 1]["__epoch"] - t0 > within:
                 end_limit -= 1
-            hit = _longest_match(nfa, syms_per_row[:end_limit], i)
+            hit = _longest_match(nfa, syms_per_row, i, end_limit)
             if hit is None or hit[0] == i:
                 i += 1
                 continue

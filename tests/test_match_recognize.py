@@ -267,3 +267,45 @@ def test_match_recognize_permute(spark):
     )
     got = [(r.grp, r.n) for r in out.collect()]
     assert got == [("g", 3)]
+
+
+# -- r14 optimization internals ----------------------------------------
+
+
+def test_longest_match_end_param_equals_slice():
+    """_longest_match(nfa, rows, i, end) must equal the historical
+    _longest_match(nfa, rows[:end], i) for every (i, end) — the WITHIN
+    path switched from per-start slicing to the explicit bound (r14)."""
+    nfa, _ = compile_pattern("A B+ C?")
+    rows = [{"A"}, {"B"}, {"B"}, {"C"}, {"A"}, {"B"}, set(), {"A"}]
+    for start in range(len(rows)):
+        for end in range(start, len(rows) + 1):
+            assert _longest_match(nfa, rows, start, end) == _longest_match(
+                nfa, rows[:end], start
+            )
+
+
+def test_match_recognize_single_file_input_parallelizes(spark, tmp_path):
+    """A single-file input must NOT collapse the NFA stage to one task:
+    the keyed repartition (exec.parallelize_grouped_input) pins the
+    group shuffle at defaultParallelism and AQE may not coalesce it
+    (r14: z45 ran every post-shuffle stage 0+1/1 before this)."""
+    rows = [(u, t, float((u * 7 + t * 3) % 11)) for u in range(40) for t in range(20)]
+    p = str(tmp_path / "one_file.parquet")
+    spark.createDataFrame(
+        rows, "ticker int, t int, price double"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    out = match_recognize(
+        df,
+        partition_by=["ticker"],
+        order_by=["t"],
+        pattern="STRT DOWN+ UP+",
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures={"n_rows": "COUNT(*)"},
+    )
+    from calcite_spark.exec import explain_str
+
+    plan = explain_str(out)
+    assert "REPARTITION_BY_NUM" in plan, plan
