@@ -75,7 +75,16 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    sym = fwd.union(rev).where("u IS NOT NULL AND v IS NOT NULL")
+    # checkpoint the symmetrized edge list ONCE: without this every
+    # round's join re-executes the caller's whole edge-generation
+    # pipeline (scan + self-joins + distinct) — r14 measured qx18
+    # recomputing its two 40-char-window self-joins per round. Lazy:
+    # the labels-init materialization below computes it in the same job.
+    sym = (
+        fwd.union(rev)
+        .where("u IS NOT NULL AND v IS NOT NULL")
+        .localCheckpoint(eager=False)
+    )
 
     labels = (
         sym.select(F.col("u").alias("id"))
@@ -99,7 +108,9 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint probe below materializes the checkpoint
+            # in the SAME job — one action per round instead of two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]  # 1-row probe
         if cur_sum == prev_sum:
@@ -175,7 +186,9 @@ def _connected_components_star(
     rounds = 0
     converged = False
     for rounds in range(1, max_iter + 1):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature probe materializes it in the
+        # same job (one action per alternation instead of two — r14)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         sig = tuple(
             e.select(
                 F.count(F.lit(1)),

@@ -560,7 +560,9 @@ class RepeatUnion(RelNode):
             delta = self.step(current, ctx)
             if not self.all:
                 delta = delta.subtract(result)
-            delta = delta.localCheckpoint(eager=True)
+            # lazy checkpoint: the isEmpty probe materializes it in the
+            # same job — one action per iteration instead of two (r14)
+            delta = delta.localCheckpoint(eager=False)
             if delta.isEmpty():
                 break
             result = result.unionAll(delta)

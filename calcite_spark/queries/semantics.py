@@ -2688,15 +2688,15 @@ def qx62_mv_percentile_array(spark, sf_dir):
     if not files or not all(mv.name in f for f in files):
         raise RuntimeError("percentile-array tile substitution did not fire")
     est = {r["l_returnflag"]: list(r["qs"]) for r in df.collect()}
+    # one array-form exact percentile: the same deterministic
+    # sort-based aggregate, but ONE value buffer per group instead of
+    # three (r14, guide §5 — three scalar percentile() calls each kept
+    # a private copy of every l_quantity); values are bit-identical
     exact = {
-        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"]]
+        r["l_returnflag"]: list(r["ps"])
         for r in cat.table("lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_quantity, 0.25) AS p25"),
-            F.expr("percentile(l_quantity, 0.5) AS p50"),
-            F.expr("percentile(l_quantity, 0.75) AS p75"),
-        )
+        .agg(F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75)) AS ps"))
         .collect()
     }
     for k, wants in exact.items():

@@ -376,3 +376,33 @@ def test_agg_join_transpose_matches_plain(spark, lrows, rrows, agg_i, group_both
     plain, trans = plan.to_df(cat), out.to_df(cat)
     assert dict(plain.dtypes) == dict(trans.dtypes)
     assert canon(plain) == canon(trans)
+
+
+def test_within_distinct_operator_in_plan_assertion(spark):
+    """The OPERATOR path's uniformity check is embedded in the plan
+    (r14: the eager filter/count probe executed the input twice per
+    run): uniform input aggregates one value per distinct key; a
+    violating group raises Calcite's THROW at execution, wording
+    preserved."""
+    from calcite_spark.operators.within_distinct import (
+        aggregate_within_distinct,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 5.0), (1, 20, 7.0), (2, 10, 5.0)],
+        "g int, d int, x double",
+    )
+    out = aggregate_within_distinct(
+        ok, ["g"], [("SUM", "x", "d", "s")], assert_uniform=True
+    )
+    got = {(r.g, r.s) for r in out.collect()}
+    assert got == {(1, 12.0), (2, 5.0)}
+
+    bad = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 6.0)], "g int, d int, x double"
+    )
+    out_bad = aggregate_within_distinct(
+        bad, ["g"], [("SUM", "x", "d", "s")], assert_uniform=True
+    )
+    with pytest.raises(Exception, match="functionally dependent"):
+        out_bad.collect()
