@@ -3635,12 +3635,29 @@ class LatticeSuggester:
         bound — overestimates correlated cross-table keys, declining a
         good tile at worst, never building a bad one). fact rows = the
         largest joined table (the star hub anchors the grain). None
-        tile rows = a key could not be grounded."""
+        tile rows = a key could not be grounded.
+
+        Probe batching (r14, guide §1.2 "don't compute things twice" /
+        §2.4 fewer passes): all NDV probes that land on one table run
+        as ONE approx_count_distinct scan of that table (HLL sketches
+        are independent aggregates — batched values are identical to
+        solo probes), and that scan also carries count(1) when the
+        table's row count is not yet grounded, so the separate count()
+        job disappears. Per auto_build proposal this folds up to
+        (keys + tables) jobs into one job per owning table; at scale,
+        one pass per table instead of one per key."""
         tables = (
             proposal["tables"]
             if proposal["table"] is None
             else [proposal["table"]]
         )
+
+        def rows_known(t):
+            entry = catalog.tables.get(t)
+            return entry is not None and bool(
+                entry.row_count
+                or (entry.stats and entry.stats.get("rows"))
+            )
 
         def rows(t):
             entry = catalog.tables.get(t)
@@ -3650,7 +3667,22 @@ class LatticeSuggester:
                 return entry.stats["rows"]
             return catalog.row_count(t)
 
-        fact_rows = max(rows(t) for t in tables)
+        def probe(t, items):
+            """One scan of t computing every pending NDV for it; piggy-
+            backs count(1) when t's row count is ungrounded and caches
+            it on the TableEntry (same in-run memo catalog.row_count
+            keeps)."""
+            exprs = [
+                f"approx_count_distinct({expr}) AS n{i}" for i, expr in items
+            ]
+            carry_rows = not rows_known(t) and catalog.tables.get(t) is not None
+            if carry_rows:
+                exprs.append("count(1) AS __rows")
+            row = catalog.table(t).selectExpr(*exprs).collect()[0]
+            if carry_rows:
+                catalog.tables[t].row_count = row["__rows"]
+            return {i: row[f"n{i}"] for i, _ in items}
+
         key_exprs, key_idents = [], []
         for k in proposal["group_keys"]:
             if _plain_key(k):
@@ -3666,21 +3698,44 @@ class LatticeSuggester:
             if all_idents and all_idents <= set(catalog.table(t).columns)
         ]
         if joint_owner:
-            joint = (
-                catalog.table(joint_owner[0])
-                .selectExpr(
-                    "approx_count_distinct(struct("
-                    + ", ".join(key_exprs)
-                    + ")) AS n"
-                )
-                .collect()[0]["n"]
-            )
+            joint = probe(
+                joint_owner[0],
+                [(0, "struct(" + ", ".join(key_exprs) + ")")],
+            )[0]
+            fact_rows = max(rows(t) for t in tables)
             return min(max(joint, 1), fact_rows), fact_rows
+        # fallback: per-key NDVs, probes batched per owning table.
+        # Grounding rules are _key_ndv's verbatim: constant expression
+        # -> 1; ANALYZE ndv for plain columns; no owning table -> None
+        # (refuse-over-guess); owner = first owning table in proposal
+        # order.
+        ndvs: list = [None] * len(proposal["group_keys"])
+        pending: dict = {}
+        for i, k in enumerate(proposal["group_keys"]):
+            idents = key_idents[i]
+            if not _plain_key(k) and not idents:
+                ndvs[i] = 1
+                continue
+            owners = [
+                t for t in tables if idents <= set(catalog.table(t).columns)
+            ]
+            if not owners:
+                return None, max(rows(t) for t in tables)
+            t = owners[0]
+            if _plain_key(k):
+                entry = catalog.tables.get(t)
+                if entry is not None and entry.stats:
+                    c = entry.stats.get("columns", {}).get(k)
+                    if c is not None and c.get("ndv"):
+                        ndvs[i] = c["ndv"]
+                        continue
+            pending.setdefault(t, []).append((i, key_exprs[i]))
+        for t, items in pending.items():
+            for i, n in probe(t, items).items():
+                ndvs[i] = n
+        fact_rows = max(rows(t) for t in tables)
         est = 1
-        for k in proposal["group_keys"]:
-            ndv = self._key_ndv(catalog, k, tables)
-            if ndv is None:
-                return None, fact_rows
+        for ndv in ndvs:
             est *= max(ndv, 1)
             if est >= fact_rows:
                 return fact_rows, fact_rows

@@ -5673,6 +5673,51 @@ def test_benefit_gate_joint_ndv_in_auto_build(spark, tmp_path):
     assert d["built"] and d["ratio"] <= 0.5, d
 
 
+def test_benefit_gate_batches_probes_per_table(spark, monkeypatch):
+    """r14 probe batching: a cross-table proposal (no joint owner) runs
+    exactly ONE approx_count_distinct scan per owning table — the
+    table's ungrounded row count rides the same scan, so no separate
+    count() job fires — and the batched estimate equals the solo-probe
+    product (HLL sketches are independent aggregates)."""
+    from calcite_spark.plans.materialize import LatticeSuggester
+
+    cat = Catalog(spark).register_parquet_dir(SF_DIR)
+    sug = LatticeSuggester()
+    proposal = {
+        "table": None,
+        "tables": ["customer", "orders"],
+        "group_keys": ["c_mktsegment", "o_orderpriority"],
+    }
+    # solo reference values via the untouched per-key helper
+    ndv_c = sug._key_ndv(cat, "c_mktsegment", proposal["tables"])
+    ndv_o = sug._key_ndv(cat, "o_orderpriority", proposal["tables"])
+
+    cat2 = Catalog(spark).register_parquet_dir(SF_DIR)  # fresh: no memo
+    # patch the CONCRETE DataFrame class (pyspark 4's pyspark.sql.
+    # DataFrame is an ABC whose subclass overrides collect/count)
+    DataFrame = type(cat2.table("customer"))
+    calls = {"collect": 0, "count": 0}
+    real_collect, real_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: calls.__setitem__("collect", calls["collect"] + 1)
+        or real_collect(self),
+    )
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: calls.__setitem__("count", calls["count"] + 1)
+        or real_count(self),
+    )
+    est, fact_rows = sug._estimate_benefit(cat2, proposal)
+    assert calls["collect"] == 2, calls  # one batched probe per table
+    assert calls["count"] == 0, calls  # row counts rode the probes
+    assert est == min(ndv_c * ndv_o, fact_rows)
+    # the piggybacked count(1) landed in the in-run memo
+    assert cat2.tables["customer"].row_count == real_count(
+        cat2.table("customer")
+    )
+
+
 def test_percentile_tile_union_compensation(spark, tmp_path):
     """KLL sketches flow through union compensation: the covered range
     reads tile sketches, the residual builds fresh sketches over the
