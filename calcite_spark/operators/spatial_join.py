@@ -33,10 +33,20 @@ from calcite_spark.functions import spatial as S
 def envelope_cells(g: str, cell: float, expand: float = 0.0) -> str:
     """SQL expr: array<struct<ix,iy>> of grid cells covered by the
     envelope of `g` (grown by `expand` — the ST_DWithin radius)."""
-    lo_x = f"floor(({S._xacc(g, 'min', 'x')} - {expand!r}) / {cell!r})"
-    hi_x = f"floor(({S._xacc(g, 'max', 'x')} + {expand!r}) / {cell!r})"
-    lo_y = f"floor(({S._xacc(g, 'min', 'y')} - {expand!r}) / {cell!r})"
-    hi_y = f"floor(({S._xacc(g, 'max', 'y')} + {expand!r}) / {cell!r})"
+    return _cells_from_bounds(
+        S._xacc(g, "min", "x"), S._xacc(g, "max", "x"),
+        S._xacc(g, "min", "y"), S._xacc(g, "max", "y"),
+        cell, expand,
+    )
+
+
+def _cells_from_bounds(
+    minx: str, maxx: str, miny: str, maxy: str, cell: float, expand: float
+) -> str:
+    lo_x = f"floor(({minx} - {expand!r}) / {cell!r})"
+    hi_x = f"floor(({maxx} + {expand!r}) / {cell!r})"
+    lo_y = f"floor(({miny} - {expand!r}) / {cell!r})"
+    hi_y = f"floor(({maxy} + {expand!r}) / {cell!r})"
     return (
         f"flatten(transform(sequence({lo_x}, {hi_x}), ix -> "
         f"transform(sequence({lo_y}, {hi_y}), iy -> "
@@ -86,25 +96,57 @@ def spatial_join(
     else:
         raise ValueError(f"unknown predicate {predicate!r}")
 
+    # Envelope bounds are hoisted to per-ROW columns before the join
+    # (r14, guide §2.3 "shuffle keys and metadata" / the same
+    # per-pair→per-row argument as the cosine-norm hoist): the bbox
+    # prefilter and the reference-point dedup below used to re-run
+    # array_min/array_max(transform(pts, ...)) HOFs PER CANDIDATE PAIR
+    # even though each bound depends on one side only. Same arithmetic,
+    # evaluated once per row; candidate pairs ≫ rows at scale. The
+    # 4×8-byte bounds ride the one cell-key shuffle.
+    def bounds(g):
+        return {
+            f"{g}minx": S._xacc(g, "min", "x"),
+            f"{g}maxx": S._xacc(g, "max", "x"),
+            f"{g}miny": S._xacc(g, "min", "y"),
+            f"{g}maxy": S._xacc(g, "max", "y"),
+        }
+
     bbox = (
-        f"({S._xacc('__lg', 'min', 'x')} - {expand!r} <= {S._xacc('__rg', 'max', 'x')} AND "
-        f"{S._xacc('__rg', 'min', 'x')} <= {S._xacc('__lg', 'max', 'x')} + {expand!r} AND "
-        f"{S._xacc('__lg', 'min', 'y')} - {expand!r} <= {S._xacc('__rg', 'max', 'y')} AND "
-        f"{S._xacc('__rg', 'min', 'y')} <= {S._xacc('__lg', 'max', 'y')} + {expand!r})"
+        f"(__lgminx - {expand!r} <= __rgmaxx AND "
+        f"__rgminx <= __lgmaxx + {expand!r} AND "
+        f"__lgminy - {expand!r} <= __rgmaxy AND "
+        f"__rgminy <= __lgmaxy + {expand!r})"
+    )
+    canonical = (
+        f"(__cell.ix = floor(greatest(__lgminx - {expand!r}, __rgminx) / {cell_size!r}) AND "
+        f"__cell.iy = floor(greatest(__lgminy - {expand!r}, __rgminy) / {cell_size!r}))"
     )
 
-    lc = (
-        left.withColumnRenamed(left_geom, "__lg")
-        .withColumn("__cell", F.explode(F.expr(envelope_cells("__lg", cell_size, expand))))
+    lc = left.withColumnRenamed(left_geom, "__lg")
+    for name, expr in bounds("__lg").items():
+        lc = lc.withColumn(name, F.expr(expr))
+    lc = lc.withColumn(
+        "__cell",
+        F.explode(F.expr(_cells_from_bounds(
+            "__lgminx", "__lgmaxx", "__lgminy", "__lgmaxy",
+            cell_size, expand,
+        ))),
     )
-    rc = (
-        right.withColumnRenamed(right_geom, "__rg")
-        .withColumn("__cell", F.explode(F.expr(envelope_cells("__rg", cell_size))))
+    rc = right.withColumnRenamed(right_geom, "__rg")
+    for name, expr in bounds("__rg").items():
+        rc = rc.withColumn(name, F.expr(expr))
+    rc = rc.withColumn(
+        "__cell",
+        F.explode(F.expr(_cells_from_bounds(
+            "__rgminx", "__rgmaxx", "__rgminy", "__rgmaxy",
+            cell_size, 0.0,
+        ))),
     )
     joined = lc.join(rc, on="__cell")
     return (
-        joined.where(F.expr(_canonical_cell_filter("__lg", "__rg", cell_size, expand)))
+        joined.where(F.expr(canonical))
         .where(F.expr(bbox))
         .where(F.expr(exact))
-        .drop("__cell")
+        .drop("__cell", *bounds("__lg"), *bounds("__rg"))
     )
