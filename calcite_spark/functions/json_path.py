@@ -148,12 +148,35 @@ def eval_path(doc, path: str) -> list:
 # ---------------------------------------------------------------------
 
 
-@lru_cache(maxsize=1 << 15)
+# Worker-local parse cache, bounded by RAW DOC BYTES, not entry count
+# (ADVICE r14: Python workers are reused across tasks, so an
+# entry-count LRU could pin multi-GB parsed trees for the executor's
+# lifetime when documents are large). The win targeted is repeated
+# parses of the SAME doc across the several cs_json_* UDFs of one
+# projection batch — a 16 MB budget covers any realistic Arrow batch of
+# docs (10k rows × ~1.6 KB) while capping worst-case worker memory at a
+# small multiple of 16 MB; on overflow the whole cache clears (cheap,
+# and at most one extra parse per doc per boundary).
+_PARSE_CACHE: dict = {}
+_PARSE_CACHE_CHARS = 0
+_PARSE_CACHE_BUDGET = 16 << 20
+
+
 def _loads_cached(doc: str):
+    global _PARSE_CACHE_CHARS
+    hit = _PARSE_CACHE.get(doc)
+    if hit is not None:
+        return hit
     try:
-        return json.loads(doc), True
+        val = (json.loads(doc), True)
     except (ValueError, TypeError):
-        return None, False
+        val = (None, False)
+    if _PARSE_CACHE_CHARS + len(doc) > _PARSE_CACHE_BUDGET or len(_PARSE_CACHE) >= (1 << 15):
+        _PARSE_CACHE.clear()
+        _PARSE_CACHE_CHARS = 0
+    _PARSE_CACHE[doc] = val
+    _PARSE_CACHE_CHARS += len(doc)
+    return val
 
 
 def _loads(doc, mutable: bool = False):

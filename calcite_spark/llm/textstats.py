@@ -17,8 +17,14 @@ WORDS_PER_DOC = TOKENS
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Per-document stats projection (narrow map, no shuffle)."""
-    return parallelize_input(docs).selectExpr(
+    """Per-document stats projection (narrow map, no shuffle).
+
+    No parallelize_input here: the map is pure cheap built-ins
+    (size/split/length/regexp_replace on short docs), so the RR
+    insurance exchange costs more than the CPU it spreads — r14's
+    driver bench clocked z51 at 0.59× with the guard and the plan
+    pair showed the added Exchange (VERDICT r14 item 3)."""
+    return docs.selectExpr(
         "doc_id",
         "lang",
         "source",
@@ -36,7 +42,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punctuation/symbol density, low mean word length (public-rule-based
     filtering in the Gopher/C4 style, SQL-only)."""
     toks = "split(trim(text), '\\\\s+')"
-    return parallelize_input(docs).selectExpr(
+    # Same trivial-map argument as text_stats: no RR insurance.
+    return docs.selectExpr(
         "doc_id",
         "lang",
         f"CAST(size({toks}) AS INT) AS n_words",

@@ -111,20 +111,41 @@ def asof_join(
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     marker = "__matched"
-    carried = [
-        f"last({q(out_names[c])}, true) OVER ({win}) AS {q(out_names[c])}"
-        for c in right_payload
-    ] + [
-        f"last(IF({SIDE} <> 1, 1, CAST(NULL AS INT)), true) "
-        f"OVER ({win}) AS {marker}"
-    ]
+    if right_payload:
+        # Carry ALL right payload columns as ONE struct (ADVICE r14):
+        # per-column last(col, ignorenulls=true) could stitch values from
+        # DIFFERENT right rows when several equal-ts right rows are
+        # retained and the selected (max-right_order) row holds a NULL in
+        # one payload column — the struct is NULL only on left rows, so
+        # the carried values always come from a single right row. The
+        # struct's nullness doubles as the match marker, so this is also
+        # one window expression instead of len(payload)+1.
+        payload_struct = "struct(" + ", ".join(
+            f"{q(out_names[c])}" for c in right_payload
+        ) + ")"
+        carried = [
+            f"last(IF({SIDE} <> 1, {payload_struct}, NULL), true) "
+            f"OVER ({win}) AS {marker}"
+        ]
+        unpack = [
+            f"{marker}.{q(out_names[c])} AS {q(out_names[c])}"
+            for c in right_payload
+        ]
+    else:
+        carried = [
+            f"last(IF({SIDE} <> 1, 1, CAST(NULL AS INT)), true) "
+            f"OVER ({win}) AS {marker}"
+        ]
+        unpack = []
     result = unioned.selectExpr(
         *KEY, TS, SIDE, *[q(c) for c in left_cols], *carried
     ).filter(F.col(SIDE) == 1)
     if join_type == "ASOF":
         # inner ASOF: require a match (null-safe marker, not a payload col)
         result = result.filter(F.col(marker).isNotNull())
-    return result.drop(*KEY, TS, SIDE, marker)
+    return result.selectExpr(
+        *[q(c) for c in left_cols], *unpack
+    )
 
 
 @dataclass(repr=False)

@@ -118,12 +118,20 @@ class Values(RelNode):
                     "(" + ", ".join(self._cell(v, t) for v, (_, t) in zip(r, fields, strict=True)) + ")"
                     for r in self.rows
                 )
-                names = ", ".join(n for n, _ in fields)
+                # column names backquoted (ADVICE r14): a name needing
+                # quoting must not fail a path createDataFrame accepted
+                names = ", ".join(f"`{n}`" for n, _ in fields)
                 return ctx.spark.sql(
                     f"SELECT * FROM (VALUES {rows_sql}) AS __values__({names})"
                 )
             except TypeError:
                 pass  # non-scalar cell → createDataFrame fallback below
+            except Exception:
+                # ADVICE r14: a schema whose type text is not CAST-able
+                # (e.g. "a int not null") or any other parse/analysis
+                # error must fall back, not break a shape that worked
+                # before the inline-VALUES lowering
+                pass
         return ctx.spark.createDataFrame(self.rows, schema=self.schema)
 
     @staticmethod

@@ -297,30 +297,37 @@ def qx10_match_stream(spark, sf_dir):
     # r14: the rig feeds single-digit-row control batches, but every
     # stateful micro-batch pays one state-store task PER SHUFFLE
     # PARTITION — at the session's 32 that was ~3× the whole run's cost
-    # (13 s → 5.4 s measured). 4 partitions pin the checkpoint small; the
-    # session value is restored before returning. A production stream
-    # sizes this to its key cardinality, not to a control fixture.
+    # (13 s → 5.4 s measured). r15: the pin is DERIVED from the control
+    # feed's key cardinality (a production stream sizes state-store
+    # parallelism to its key count, not to a local constant), bounded by
+    # the cluster parallelism; the session value is restored in finally,
+    # whose span now also covers the conf.set and start() (ADVICE r14:
+    # a start() failure used to leak the pin into the session).
+    batches = [
+        [
+            {"ts": "2024-01-01 10:00:00", "k": "a", "v": 5.0},
+            {"ts": "2024-01-01 10:00:10", "k": "a", "v": 15.0},
+            {"ts": "2024-01-01 10:00:20", "k": "a", "v": 18.0},
+        ],
+        # two more control batches: the finalization frontier is the
+        # GLOBAL watermark, which lags one micro-batch behind event time
+        [{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}],
+        [{"ts": "2024-01-01 10:10:00", "k": "a", "v": 2.0}],
+    ]
+    n_keys = len({r["k"] for b in batches for r in b})
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_keys))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    q = out.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    q = None
     try:
-        src.add_batch(
-            [
-                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 5.0},
-                {"ts": "2024-01-01 10:00:10", "k": "a", "v": 15.0},
-                {"ts": "2024-01-01 10:00:20", "k": "a", "v": 18.0},
-            ]
-        )
-        q.processAllAvailable()
-        # two control batches: the finalization frontier is the GLOBAL
-        # watermark, which lags one micro-batch behind event time
-        src.add_batch([{"ts": "2024-01-01 10:05:00", "k": "a", "v": 3.0}])
-        q.processAllAvailable()
-        src.add_batch([{"ts": "2024-01-01 10:10:00", "k": "a", "v": 2.0}])
-        q.processAllAvailable()
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        q = out.writeStream.outputMode("append").format("memory").queryName(sink).start()
+        for batch in batches:
+            src.add_batch(batch)
+            q.processAllAvailable()
         rows = [r.asDict() for r in spark.sql(f"SELECT * FROM {sink}").collect()]
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         src.close()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(

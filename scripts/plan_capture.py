@@ -1,15 +1,18 @@
-"""Capture .explain("formatted") + noop-sink timings for every bench
-headline query (guide §1.1/§1.4): the measure-first step of the r14
-optimization round.
+"""Capture .explain("formatted") + noop-sink timings for bench headline
+queries (guide §1.1/§1.4): the measure-first step of the optimization
+rounds.
 
 Usage:
     python scripts/plan_capture.py <tag>          # e.g. before / after
-    python scripts/plan_capture.py <tag> z55 z03  # subset
+    python scripts/plan_capture.py <tag> z55 z03  # subset (any registered
+                                                  # query name, not just
+                                                  # headliners)
 
-Writes plans/r14/<query>_<tag>.txt (the formatted plan, executed, so AQE
-final plans are visible) and plans/r14/noop_<tag>.json with min-of-3
-noop-sink wall times per query. Runs on the same tuned session as
-bench.py so plan shapes match what the driver measures.
+Writes plans/$PLAN_ROUND/<query>_<tag>.txt (the formatted plan, executed,
+so AQE final plans are visible) and plans/$PLAN_ROUND/noop_<tag>.json with
+min-of-3 noop-sink wall times per query (PLAN_ROUND defaults to r15).
+Runs on the same tuned session as bench.py so plan shapes match what the
+driver measures.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r14")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("PLAN_ROUND", "r15"))
 
 HEADLINE = [
     "z01_pricing_summary",
@@ -86,7 +89,14 @@ def main() -> None:
 
         qs["z18_in_subquery"] = z18_in_subquery
 
-    names = [n for n in HEADLINE if not subset or n in subset]
+    if subset:
+        # any registered query, headliner or not, in listed order
+        names = [n for n in sys.argv[2:] if n in qs]
+        missing = subset - set(names)
+        if missing:
+            print(f"UNKNOWN QUERIES skipped: {sorted(missing)}")
+    else:
+        names = list(HEADLINE)
 
     # warmup: footers + codegen (same posture as bench.py)
     cat = catalog_for(spark, SF_DIR)

@@ -62,6 +62,21 @@ STRIDES = {
     "user_id": 10**7,
 }
 
+# r15 (VERDICT r14 item 5): coordinate-derived workloads (qx25/qx11
+# build planar points with x = acctbal/1000, y = key % 100). Key strides
+# are ≡ 0 mod 100, so replicas used to densify the SAME plane region and
+# the spatial-join output grew quadratically BY CONSTRUCTION (SCALE.md
+# r14 documents the artifact: 100× pairs at 10× points). Shifting the
+# coordinate-feeding continuous column per replica (x moves by k*25 —
+# far beyond the 5.0 grid cell and any dwithin radius) puts each replica
+# in a disjoint band, so spatial pair counts scale linearly like a real
+# growing dataset. Filters on acctbal elsewhere see mildly different
+# selectivity per replica; work still scales linearly.
+COORD_SHIFTS = {
+    "s_acctbal": 25_000,
+    "c_acctbal": 25_000,
+}
+
 REPLICATED = [
     "customer", "orders", "lineitem", "supplier", "part",
     "events", "documents", "embeddings",
@@ -75,7 +90,7 @@ def _shift(table: pa.Table, k: int) -> pa.Table:
     if k == 0:
         return table
     for name in table.column_names:
-        stride = STRIDES.get(name)
+        stride = STRIDES.get(name) or COORD_SHIFTS.get(name)
         if stride:
             i = table.column_names.index(name)
             col = table.column(i)

@@ -97,3 +97,42 @@ def test_star_keeper_semantics(spark):
     )
     got = _cc_map(connected_components(edges, algorithm="star"))
     assert got == {9: 4, 4: 4, 13: 4, 40: 40, 41: 40}
+
+
+def test_repeat_union_stable_over_roundrobin_input(spark):
+    """r15 (VERDICT r14 item 7): RepeatUnion's per-iteration
+    localCheckpoint(eager=False) is materialized partition-by-partition
+    (the isEmpty probe may compute only a subset; the rest recomputes
+    from lineage on the next action). With a round-robin-repartitioned
+    input in the same lineage — the Exchange ROUND_ROBIN IR now shares
+    a module with RepeatUnion — partial re-evaluation must still see
+    the same ROWS across actions. Spark guarantees this via
+    sortBeforeRepartition (SPARK-23207: rows are locally sorted before
+    the round-robin assignment, so retries/recomputes reproduce the
+    same row-to-partition map); this test pins that the combination
+    stays deterministic across repeated full actions."""
+    from calcite_spark.plans import ir
+
+    class Ctx:
+        def __init__(self, s):
+            self.spark = s
+
+        def register_all_views(self):
+            pass
+
+    seed = ir.Values(rows=[(0,), (1,), (2,), (3,)], schema="n int")
+
+    def step(cur, ctx):
+        # next delta THROUGH a round-robin repartition (nondeterministic
+        # partitioning, deterministic rows): n -> n + 4 while n < 16
+        return (
+            cur.repartition(8)
+            .selectExpr("n + 4 AS n")
+            .filter("n < 16")
+        )
+
+    node = ir.RepeatUnion(seed=seed, step=step, all=True, max_iterations=10)
+    df = node.to_df(Ctx(spark))
+    runs = [tuple(sorted(r.n for r in df.collect())) for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
+    assert runs[0] == tuple(sorted(range(16)))

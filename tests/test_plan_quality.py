@@ -95,6 +95,37 @@ def test_asof_right_order_folds_dedup(spark):
     assert old.count() == new.count() > 0
 
 
+def test_asof_carry_is_atomic_per_row(spark):
+    """r15 (ADVICE r14, medium): among equal-ts right rows, the carried
+    payload must all come from ONE right row. With per-column
+    last(col, ignorenulls=true) a NULL in one payload column of the
+    selected (max-right_order) row pulled that column from a DIFFERENT
+    right row; the struct carry makes the row atomic."""
+    from calcite_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    # two right rows at the same (k, ts); the max-ord row (ord=2) has a
+    # NULL payload column v — the correct ASOF result carries (2, NULL),
+    # never the stitched (2, 'a') mixing ord=2's ord with ord=1's v
+    right = spark.createDataFrame(
+        [(1, 5, 1, "a"), (1, 5, 2, None)], "k int, ts int, ord int, v string"
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        strict=False,
+        join_type="ASOF",
+        right_order=("ord",),
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["ord"] == 2 and row["v"] is None, row
+
+
 def test_asof_equikey_predicate_reaches_right_scan(spark):
     """r14: z43's user_id <= 300 transfers to o_custkey on the right
     side (manual JoinPushTransitivePredicates) and must stay in the
