@@ -1401,6 +1401,12 @@ def qx47_lattice_auto_join(spark, sf_dir):
         (["o_orderpriority"], ["AVG(o_totalprice) AS avg_price"]),
         (["c_mktsegment", "o_orderpriority"], ["SUM(o_totalprice) AS rev"]),
     ]
+    # r15 (guide §1.2 "don't compute things you throw away"): the
+    # suggester observes at PLAN time (BoundProgram.run fires on
+    # to_df()), so executing each corpus query only to discard its
+    # result paid ~16 Spark jobs per run for nothing. to_df() alone
+    # records the identical shapes; suggester state, proposals and the
+    # final served rows are bit-identical (oracle-checked).
     for keys, calls in corpus:
         (
             RelBuilder(cat)
@@ -1409,7 +1415,6 @@ def qx47_lattice_auto_join(spark, sf_dir):
             .join("o_custkey = c_custkey")
             .aggregate(keys, calls)
             .to_df()
-            .count()
         )
     built = sug.auto_build(
         cat, reg, tempfile.mkdtemp(prefix="qx47_lat_"), min_count=2
@@ -1777,6 +1782,8 @@ def qx52_lattice_expr_suggest(spark, sf_dir):
             ["SUM(o_totalprice) AS rev"],
         ),
     ]
+    # r15 (guide §1.2): observation is plan-time — to_df() records the
+    # shape; the .count() execution was discarded work (see qx47).
     for keys, calls in corpus:
         (
             RelBuilder(cat)
@@ -1785,7 +1792,6 @@ def qx52_lattice_expr_suggest(spark, sf_dir):
             .join("o_custkey = c_custkey")
             .aggregate(keys, calls)
             .to_df()
-            .count()
         )
     built = sug.auto_build(
         cat, reg, tempfile.mkdtemp(prefix="qx52_lat_"), min_count=2
@@ -2496,8 +2502,9 @@ def qx61_hot_slice_suggest(spark, sf_dir):
                 ["o_orderpriority"],
                 ["SUM(o_totalprice) AS s", "COUNT(*) AS n"],
             )
+            # r15 (guide §1.2): plan-time observation — no discarded
+            # execution (see qx47)
             .to_df()
-            .count()
         )
     built = sug.auto_build(
         cat, reg, tempfile.mkdtemp(prefix="qx61_lat_"), min_count=2
@@ -2587,8 +2594,9 @@ def qx66_week_grain_suggest(spark, sf_dir):
             .aggregate(
                 ["o_orderpriority"], ["SUM(o_totalprice) AS s"]
             )
+            # r15 (guide §1.2): plan-time observation — no discarded
+            # execution (see qx47)
             .to_df()
-            .count()
         )
     built = sug.auto_build(
         cat, reg, tempfile.mkdtemp(prefix="qx66_lat_"),
