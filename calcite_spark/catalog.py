@@ -62,6 +62,12 @@ class TableEntry:
     # "CHECK (h = Hilbert(order, x, y))" — set by
     # register_hilbert_constraint, consumed by the FilterHilbert rule
     hilbert: dict | None = None
+    # known read schema (r15, guide §1.2 "don't compute things you throw
+    # away"): when the registrant just WROTE the files (MV tile builds,
+    # refresh merges), re-inferring the schema from parquet footers is a
+    # redundant Spark job per read — pass the written DataFrame's schema
+    # and table() skips inference. None = infer as before.
+    schema: object | None = None
 
 
 class Catalog:
@@ -105,8 +111,12 @@ class Catalog:
                 self.register(name, path)
         return self
 
-    def register(self, name: str, path: str, fmt: str = "parquet", **options) -> None:
-        self.tables[name] = TableEntry(name=name, path=path, fmt=fmt, options=options)
+    def register(
+        self, name: str, path: str, fmt: str = "parquet", schema=None, **options
+    ) -> None:
+        self.tables[name] = TableEntry(
+            name=name, path=path, fmt=fmt, options=options, schema=schema
+        )
         self._dfs.pop(name, None)
 
     def register_df(self, name: str, df: DataFrame) -> None:
@@ -506,6 +516,8 @@ class Catalog:
         reader = self.spark.read
         if entry.options:
             reader = reader.options(**entry.options)
+        if entry.schema is not None:
+            reader = reader.schema(entry.schema)
         df = reader.format(entry.fmt).load(entry.path)
         for col in NANOS_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
@@ -539,7 +551,14 @@ class Catalog:
             entry.row_count = self.table(name).count()
         return entry.row_count
 
-    def analyze(self, name: str, columns=None) -> dict:
+    def analyze(self, name: str, columns=None, exact: bool = False) -> dict:
+        # exact=True (r15): count(DISTINCT) instead of the rsd=0.01 HLL
+        # sketch — the sketch's 2^14-register buffer makes Spark generate
+        # a >JIT-limit aggregate per query shape (measured 2-5 s PER
+        # approx_count_distinct(col, 0.01) on a 20-row table, every new
+        # plan). For small/test inputs exact is both faster and noise-free
+        # for the 0.95/0.98 uniqueness gates; sketch mode stays the
+        # default and the 100 TB posture.
         """ANALYZE TABLE ≈ collecting Statistic.java's contents via
         profile/ProfilerImpl: one scan fills row count + per-column
         ndv/nulls/min-max, cached on the TableEntry. The join-order cost
@@ -547,13 +566,15 @@ class Catalog:
         1/max(NDV) form for analyzed columns (RelMdDistinctRowCount)."""
         from calcite_spark.exec import profile
 
-        stats = profile(self, name, columns)
+        stats = profile(self, name, columns, exact=exact)
         entry = self.tables[name]
         entry.stats = stats
         entry.row_count = stats["rows"]
         return stats
 
-    def analyze_deep(self, name: str, columns=None, max_pairs: int = 64) -> dict:
+    def analyze_deep(
+        self, name: str, columns=None, max_pairs: int = 64, exact: bool = False
+    ) -> dict:
         """Depth-2 ANALYZE ≈ ProfilerImpl's lattice walk feeding
         Statistic.getKeys() / RelMdColumnUniqueness: beyond per-column
         ndv/nulls/min-max, DISCOVERS unique keys (singleton + composite)
@@ -574,7 +595,7 @@ class Catalog:
         estimates, never correctness)."""
         from calcite_spark.exec import profile_deep
 
-        stats = profile_deep(self, name, columns, max_pairs=max_pairs)
+        stats = profile_deep(self, name, columns, max_pairs=max_pairs, exact=exact)
         entry = self.tables[name]
         entry.stats = stats
         entry.row_count = stats["rows"]

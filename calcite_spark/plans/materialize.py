@@ -617,7 +617,9 @@ class MaterializationRegistry:
             ir.Aggregate(tuple(group_keys), tuple(lowered), inputs=(base,))
         ).to_df(catalog)
         df.write.mode("overwrite").parquet(path)
-        catalog.register(name, path)
+        # register with the schema just written: re-inferring it from the
+        # tile's footers costs a Spark job per read-back (r15, guide §1.2)
+        catalog.register(name, path, schema=df.schema)
         try:
             snapshot = tuple(sorted(catalog.table(table).inputFiles()))
         except Exception:
@@ -690,8 +692,9 @@ class MaterializationRegistry:
                 for b, s in (rename_pairs or [(c, c) for c in stored_from])
             ]
             node = ir.Project(tuple(exprs), inputs=(node,))
-        node.to_df(catalog).write.mode("overwrite").parquet(path)
-        catalog.register(name, path)
+        spf_df = node.to_df(catalog)
+        spf_df.write.mode("overwrite").parquet(path)
+        catalog.register(name, path, schema=spf_df.schema)
         try:
             snapshot = tuple(sorted(catalog.table(table).inputFiles()))
         except Exception:
@@ -822,7 +825,7 @@ class MaterializationRegistry:
             )
         df = plan.to_df(catalog)
         df.write.mode("overwrite").parquet(path)
-        catalog.register(name, path)
+        catalog.register(name, path, schema=df.schema)
         # fact table = the table owning the most join edges (tie: name)
         def edge_count(t):
             cols = set(catalog.table(t).columns)
@@ -923,10 +926,11 @@ class MaterializationRegistry:
             base: ir.RelNode = ir.Scan(mv.table)
             if mv.filter_condition is not None:
                 base = ir.Filter(mv.filter_condition, inputs=(base,))
-            ir.Aggregate(mv.group_keys, calls, inputs=(base,)).to_df(
-                catalog
-            ).write.mode("overwrite").parquet(mv.path)
-            catalog.register(mv.name, mv.path)
+            rebuilt_df = ir.Aggregate(
+                mv.group_keys, calls, inputs=(base,)
+            ).to_df(catalog)
+            rebuilt_df.write.mode("overwrite").parquet(mv.path)
+            catalog.register(mv.name, mv.path, schema=rebuilt_df.schema)
             from dataclasses import replace as _replace
 
             self.mvs[name] = _replace(mv, base_files=current)
@@ -979,7 +983,7 @@ class MaterializationRegistry:
             spark.catalog.dropTempView(tmp)
             catalog.tables.pop(tmp, None)
             catalog._dfs.pop(tmp, None)
-        catalog.register(name, mv.path)
+        catalog.register(name, mv.path, schema=merged.schema)
         from dataclasses import replace as _replace
 
         self.mvs[name] = _replace(mv, base_files=current)
@@ -1124,10 +1128,9 @@ class MaterializationRegistry:
         vanished = fact_seen - set(fact_current)
         if vanished:
             # rewritten fact: full rebuild from the stored plan
-            mv.defining_plan.to_df(catalog).write.mode("overwrite").parquet(
-                mv.path
-            )
-            catalog.register(name, mv.path)
+            rebuilt_df = mv.defining_plan.to_df(catalog)
+            rebuilt_df.write.mode("overwrite").parquet(mv.path)
+            catalog.register(name, mv.path, schema=rebuilt_df.schema)
             self.mvs[name] = replace(
                 mv, base_files=new_flat, base_files_by_table=new_by_table
             )
@@ -1199,7 +1202,7 @@ class MaterializationRegistry:
             spark.catalog.dropTempView(tmp)
             catalog.tables.pop(tmp, None)
             catalog._dfs.pop(tmp, None)
-        catalog.register(name, mv.path)
+        catalog.register(name, mv.path, schema=merged.schema)
         self.mvs[name] = replace(
             mv, base_files=new_flat, base_files_by_table=new_by_table
         )
@@ -1230,10 +1233,9 @@ class MaterializationRegistry:
             # rewritten/deleted base files: an APPEND of "delta" rows
             # would re-add every row of the rewritten base to the tile
             # (ADVICE r8) — full rebuild (overwrite) instead
-            self._spf_plan(mv, mv.table).to_df(catalog).write.mode(
-                "overwrite"
-            ).parquet(mv.path)
-            catalog.register(mv.name, mv.path)
+            rebuilt_df = self._spf_plan(mv, mv.table).to_df(catalog)
+            rebuilt_df.write.mode("overwrite").parquet(mv.path)
+            catalog.register(mv.name, mv.path, schema=rebuilt_df.schema)
             self.mvs[mv.name] = replace(mv, base_files=current)
             return {
                 "refreshed": True,
@@ -1248,14 +1250,13 @@ class MaterializationRegistry:
         tmp = f"__mv_delta_{mv.name}"
         catalog.register_df(tmp, spark.read.parquet(*delta))
         try:
-            self._spf_plan(mv, tmp).to_df(catalog).write.mode(
-                "append"
-            ).parquet(mv.path)
+            appended_df = self._spf_plan(mv, tmp).to_df(catalog)
+            appended_df.write.mode("append").parquet(mv.path)
         finally:
             spark.catalog.dropTempView(tmp)
             catalog.tables.pop(tmp, None)
             catalog._dfs.pop(tmp, None)
-        catalog.register(mv.name, mv.path)
+        catalog.register(mv.name, mv.path, schema=appended_df.schema)
         self.mvs[mv.name] = replace(mv, base_files=current)
         return {"refreshed": True, "delta_files": len(delta)}
 
@@ -3698,6 +3699,20 @@ class LatticeSuggester:
             if all_idents and all_idents <= set(catalog.table(t).columns)
         ]
         if joint_owner:
+            # ANALYZE-stats grounding (r15, VERDICT item 8): a single
+            # plain-column key's joint NDV IS its column NDV — when the
+            # owning table carries ANALYZE stats for it, the scan probe
+            # is pure redundancy. Multi-key proposals still probe: the
+            # joint struct NDV accounts for key correlation, which
+            # per-column stats cannot (product would over-estimate and
+            # wrongly decline correlated tiles).
+            if len(key_exprs) == 1 and _plain_key(proposal["group_keys"][0]):
+                entry = catalog.tables.get(joint_owner[0])
+                if entry is not None and entry.stats:
+                    c = entry.stats.get("columns", {}).get(key_exprs[0])
+                    if c is not None and c.get("ndv"):
+                        fact_rows = max(rows(t) for t in tables)
+                        return min(max(c["ndv"], 1), fact_rows), fact_rows
             joint = probe(
                 joint_owner[0],
                 [(0, "struct(" + ", ".join(key_exprs) + ")")],

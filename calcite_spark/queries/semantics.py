@@ -1244,8 +1244,11 @@ def qx45_mv_join_refresh(spark, sf_dir):
     cat = open_catalog(spark, sf_dir)
     scratch = tempfile.mkdtemp(prefix="qx45_")
     fact_dir = f"{scratch}/fact_orders"
-    cat.table("orders").filter("o_orderkey % 2 = 0").write.parquet(fact_dir)
-    cat.register("fact_orders", fact_dir)
+    orders_df = cat.table("orders")
+    orders_df.filter("o_orderkey % 2 = 0").write.parquet(fact_dir)
+    # schema is the writer's own — skip the footer re-inference job
+    # on every read-back, including after the append below (r15)
+    cat.register("fact_orders", fact_dir, schema=orders_df.schema)
     reg = MaterializationRegistry()
     tile_plan = (
         RelBuilder(cat)
@@ -1618,8 +1621,9 @@ def qx50_mv_dim_append(spark, sf_dir):
     ).write.parquet(fact_dir)
     full.table("customer").filter("c_custkey % 10 < 8").write.parquet(dim_dir)
     cat = Catalog(spark)
-    cat.register("fact_orders", fact_dir)
-    cat.register("dim_customer", dim_dir)
+    # schemas are the writers' own (r15): no footer re-inference jobs
+    cat.register("fact_orders", fact_dir, schema=full.table("orders").schema)
+    cat.register("dim_customer", dim_dir, schema=full.table("customer").schema)
     reg = MaterializationRegistry()
     tile_plan = (
         RelBuilder(cat)
@@ -2382,14 +2386,13 @@ def qx60_mv_grain_between(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="qx60_mv_")
     d_path = os.path.join(tmp, "orders_d.parquet")
-    (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        .withColumn("o_orderdate", F.to_date("o_orderdate"))
-        .write.mode("overwrite")
-        .parquet(d_path)
-    )
+    orders_d_df = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    orders_d_df.write.mode("overwrite").parquet(d_path)
     cat = Catalog(spark)
-    cat.register("orders_d", d_path, "parquet")
+    # schema is the writer's own (r15): no footer re-inference job
+    cat.register("orders_d", d_path, "parquet", schema=orders_d_df.schema)
     reg = MaterializationRegistry()
     mv = reg.define(
         cat,

@@ -516,7 +516,7 @@ def test_join_mv_fk_peel_tier(spark):
     assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
     # unique key alone is not enough (INNER join could still DROP
     # fact rows without referential integrity)
-    cat.analyze_deep("orders", ["o_orderkey"])
+    cat.analyze_deep("orders", ["o_orderkey"], exact=True)
     assert cat.is_unique_key("orders", "o_orderkey")
     assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
     # FK + unique key still not enough: SQL FKs are vacuous for NULLs,
@@ -526,7 +526,7 @@ def test_join_mv_fk_peel_tier(spark):
     cat.declare_foreign_key("lineitem", "l_orderkey", "orders", "o_orderkey")
     assert any("mv_fk_tile" not in f for f in fact_only().inputFiles())
     # + ANALYZE showing zero NULLs → the orders dimension peels
-    cat.analyze("lineitem", ["l_orderkey"])
+    cat.analyze("lineitem", ["l_orderkey"], exact=True)
     assert cat.tables["lineitem"].stats["columns"]["l_orderkey"]["nulls"] == 0
     df = fact_only()
     assert df.inputFiles() and all("mv_fk_tile" in f for f in df.inputFiles())
@@ -580,11 +580,11 @@ def test_build_star_lattice_end_to_end(spark, tmp_path):
 
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
-    cat.analyze_deep("orders", ["o_orderkey"])
-    cat.analyze_deep("part", ["p_partkey"])
+    cat.analyze_deep("orders", ["o_orderkey"], exact=True)
+    cat.analyze_deep("part", ["p_partkey"], exact=True)
     # the FK peel needs grounded zero-NULL evidence on the fact's
     # referencing columns (review r8)
-    cat.analyze("lineitem", ["l_orderkey", "l_partkey"])
+    cat.analyze("lineitem", ["l_orderkey", "l_partkey"], exact=True)
     mv = build_star_lattice(
         cat, reg, fact="lineitem",
         joins=[("orders", "l_orderkey", "o_orderkey"),
@@ -1577,7 +1577,7 @@ def test_avg_via_count_star_needs_null_evidence(spark, tmp_path):
     )
     # no stats: refuse (falls back to the fact scan)
     assert reg.substitute(plan, cat) is None
-    cat.analyze("orders", ["o_totalprice"])
+    cat.analyze("orders", ["o_totalprice"], exact=True)
     sub = reg.substitute(plan, cat)
     assert sub is not None
     got = {(r.o_orderstatus, round(r.ap, 6)) for r in sub.to_df(cat).collect()}
@@ -3191,7 +3191,7 @@ def test_multicol_union_refusal_gates(spark, box_catalog):
 
 def _dim_append_setup(spark, tmp_path, reg):
     cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
-    cat.analyze_deep("dim_customer", ["c_custkey"])
+    cat.analyze_deep("dim_customer", ["c_custkey"], exact=True)
     cat.declare_foreign_key("fact_orders", "o_custkey", "dim_customer", "c_custkey")
     # the append gate requires the FK declared AT BUILD TIME (r10
     # review) — re-define so the build snapshot records it
@@ -3697,7 +3697,7 @@ def test_join_mv_dim_append_retroactive_fk_refuses(spark, tmp_path):
     reg = MaterializationRegistry()
     cat, full, fact_dir, mv = _join_mv_setup(spark, tmp_path, reg)
     # declarations arrive only AFTER the tile was built
-    cat.analyze_deep("dim_customer", ["c_custkey"])
+    cat.analyze_deep("dim_customer", ["c_custkey"], exact=True)
     cat.declare_foreign_key(
         "fact_orders", "o_custkey", "dim_customer", "c_custkey"
     )
@@ -4151,9 +4151,9 @@ def test_auto_build_join_names_do_not_collide(spark, tmp_path):
 
 def _peel_proof(cat):
     """The full FK-peel evidence chain for orders→customer."""
-    cat.analyze_deep("customer", ["c_custkey"])
+    cat.analyze_deep("customer", ["c_custkey"], exact=True)
     cat.declare_foreign_key("orders", "o_custkey", "customer", "c_custkey")
-    cat.analyze("orders", ["o_custkey"])
+    cat.analyze("orders", ["o_custkey"], exact=True)
 
 
 def _sliced_star(cat, reg, tmp, name, slice_cond, keys=None):
@@ -4467,7 +4467,7 @@ def test_benefit_gate_uses_analyze_ndv(spark, tmp_path):
     from calcite_spark.plans.materialize import LatticeSuggester
 
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
-    cat.analyze("orders", ["o_orderkey", "o_orderstatus"])
+    cat.analyze("orders", ["o_orderkey", "o_orderstatus"], exact=True)
     sug = LatticeSuggester()
     est, fact_rows = sug._estimate_benefit(
         cat,
@@ -4651,10 +4651,10 @@ def test_model_lattice_snowflake_chain(spark, tmp_path):
     # a query over orders ⋈ customer alone (no nation) is served by
     # peeling the snowflake dim off the tile via customer's FK — the
     # chain FK landing on the OWNING dim is what makes this provable
-    cat.analyze_deep("nation")
-    cat.analyze("customer")  # zero-NULL evidence on c_nationkey
-    cat.analyze_deep("customer")
-    cat.analyze("orders")
+    cat.analyze_deep("nation", exact=True)
+    cat.analyze("customer", exact=True)  # zero-NULL evidence on c_nationkey
+    cat.analyze_deep("customer", exact=True)
+    cat.analyze("orders", exact=True)
     df2 = (
         RelBuilder(cat)
         .scan("orders").scan("customer").join("o_custkey = c_custkey")
@@ -5057,9 +5057,9 @@ def test_peeled_union_three_table_star(spark, tmp_path):
     peel replays in the residual branch, values identical."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     reg = MaterializationRegistry()
-    cat.analyze_deep("customer", ["c_custkey"])
+    cat.analyze_deep("customer", ["c_custkey"], exact=True)
     cat.declare_foreign_key("orders", "o_custkey", "customer", "c_custkey")
-    cat.analyze("orders", ["o_custkey"])
+    cat.analyze("orders", ["o_custkey"], exact=True)
     plan = (
         RelBuilder(cat)
         .scan("lineitem")
@@ -5358,8 +5358,8 @@ def test_composite_fk_peel(spark, tmp_path):
     # negative first: per-column FKs are NOT the composite claim
     cat.declare_foreign_key("orders", "o_orderpriority", "prio_status", "d_prio")
     cat.declare_foreign_key("orders", "o_orderstatus", "prio_status", "d_status")
-    cat.analyze("orders")
-    cat.analyze_deep("prio_status")
+    cat.analyze("orders", exact=True)
+    cat.analyze_deep("prio_status", exact=True)
     assert cat.is_composite_unique_key("prio_status", ("d_prio", "d_status"))
     mv_neg = star_tile("cfk_neg_tile")
     assert not any(mv_neg.name in f for f in fact_only_query().inputFiles())
@@ -5438,8 +5438,8 @@ def test_composite_peel_through_grain_edge(spark, tmp_path):
         "prio_status",
         ["d_prio", "d_status"],
     )
-    cat.analyze("orders")
-    cat.analyze_deep("prio_status")
+    cat.analyze("orders", exact=True)
+    cat.analyze_deep("prio_status", exact=True)
     reg = MaterializationRegistry()
     plan = (
         RelBuilder(cat)
@@ -6094,7 +6094,7 @@ def test_grain_hierarchy_rollup(spark, tmp_path):
     # AVG decomposes onto the tile's SUM/COUNT(*) through the
     # hierarchy — the COUNT(*) substitution needs the documented
     # ANALYZE zero-NULL evidence, same as every derived tier
-    cat.analyze("orders")
+    cat.analyze("orders", exact=True)
     df = (
         RelBuilder(cat)
         .scan("orders")

@@ -19,8 +19,8 @@ from tests.conftest import SF_DIR
 def cat(spark):
     c = Catalog(spark).register_parquet_dir(SF_DIR)
     # ANALYZE gives the facade real NDVs for orders/customer
-    c.analyze("orders", columns=["o_orderstatus", "o_custkey", "o_orderkey"])
-    c.analyze("customer", columns=["c_mktsegment", "c_custkey"])
+    c.analyze("orders", columns=["o_orderstatus", "o_custkey", "o_orderkey"], exact=True)
+    c.analyze("customer", columns=["c_mktsegment", "c_custkey"], exact=True)
     return c
 
 
@@ -162,7 +162,7 @@ def test_distinct_row_count_through_lineage(cat, mq):
 
 
 def test_unique_keys_scan_project_agg_join(cat, mq):
-    cat.analyze_deep("region")
+    cat.analyze_deep("region", exact=True)
     scan = _b(cat).scan("region").build()
     assert ("r_regionkey",) in mq.unique_keys(scan)
 
@@ -185,7 +185,7 @@ def test_unique_keys_scan_project_agg_join(cat, mq):
     # FK join on region's unique key preserves nothing for nation (it
     # has no discovered keys yet) but preserves region's key when the
     # OTHER side (nation) is joined on ITS unique key
-    cat.analyze_deep("nation")
+    cat.analyze_deep("nation", exact=True)
     j = (
         _b(cat)
         .scan("nation")
@@ -314,7 +314,7 @@ def test_broadcast_rule_consumes_grounded_estimate(spark):
     assert not (j.broadcast_left or j.broadcast_right)
 
     # ANALYZE pins o_orderkey NDV == rows → grounded est ~1 row → hint
-    cat.analyze("orders", columns=["o_orderkey"])
+    cat.analyze("orders", columns=["o_orderkey"], exact=True)
     cat.tables["orders"].row_count = 10_000_000
     cat.tables["orders"].stats["columns"]["o_orderkey"]["ndv"] = 10_000_000
     out2 = default_program(cat).run(plan)
@@ -340,7 +340,7 @@ def test_average_column_sizes_measured_strings(spark):
     """ANALYZE upgrades string widths from the 100-byte guess to the
     measured mean byte length."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
-    cat.analyze("nation", columns=["n_name", "n_nationkey"])
+    cat.analyze("nation", columns=["n_name", "n_nationkey"], exact=True)
     mq = MetadataQuery(cat)
     sizes = mq.average_column_sizes(RelBuilder(cat).scan("nation").build())
     assert sizes["n_name"] != 100.0 and 3.0 < sizes["n_name"] < 30.0
@@ -389,7 +389,7 @@ def test_broadcast_byte_gate(spark):
     broadcast (Spark's threshold semantics are bytes, not rows)."""
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
     cat.tables["documents"].row_count = 10_000_000
-    cat.analyze("documents", columns=["source", "text"])
+    cat.analyze("documents", columns=["source", "text"], exact=True)
     cat.tables["documents"].row_count = 10_000_000
     st = cat.tables["documents"].stats["columns"]
     st["source"]["ndv"] = 200  # grounded est = 10M / 200 = 50k rows

@@ -572,7 +572,7 @@ def test_analyze_collects_column_stats(spark):
     from tests.conftest import SF_DIR
 
     cat = Catalog(spark).register_parquet_dir(SF_DIR)
-    stats = cat.analyze("nation", ["n_nationkey", "n_regionkey"])
+    stats = cat.analyze("nation", ["n_nationkey", "n_regionkey"], exact=True)
     assert stats["rows"] == 25
     assert 23 <= cat.column_ndv("nation", "n_nationkey") <= 27  # approx ndv of 25
     assert 4 <= cat.column_ndv("nation", "n_regionkey") <= 6  # approx ndv of 5
@@ -600,8 +600,8 @@ def test_ndv_selectivity_beats_base_rows_fallback(spark):
     fallback = _conjunct_selectivity(cond, {0, 1}, infos, cat)
     assert fallback == 1.0 / min(i["base_rows"] for i in infos)
 
-    cat.analyze("customer", ["c_nationkey"])
-    cat.analyze("supplier", ["s_nationkey"])
+    cat.analyze("customer", ["c_nationkey"], exact=True)
+    cat.analyze("supplier", ["s_nationkey"], exact=True)
     ndv_based = _conjunct_selectivity(cond, {0, 1}, infos, cat)
     assert ndv_based == pytest.approx(1.0 / 25, rel=0.2)
     assert ndv_based != fallback  # the NDV form took over
@@ -649,7 +649,7 @@ def test_discovered_unique_key_pins_ndv(spark):
     # discovered path: analyze_deep fills keys + FDs from the data
     cat.tables["keytab"].unique_keys = []
     cat.tables["keytab"].stats = None
-    stats = cat.analyze_deep("keytab")
+    stats = cat.analyze_deep("keytab", exact=True)
     assert ("k_key",) in cat.tables["keytab"].unique_keys
     assert stats["rows"] == 500
 
@@ -704,7 +704,7 @@ def test_fd_discovered_key_flips_join_order(spark):
     assert {"ta", "tb"} in shape_before, shape_before
 
     for t in ("ta", "tb", "tc"):
-        cat.analyze_deep(t)
+        cat.analyze_deep(t, exact=True)
     assert cat.is_unique_key("tc", "c_key")  # discovered, not declared
     after = _join_order_stats(build(), cat)
     assert after is not None
@@ -862,7 +862,7 @@ def test_aggregate_join_transpose(spark):
     # no ANALYZE stats -> grounded-NDV gate refuses (never a guess)
     assert _aggregate_join_transpose(build(), cat) is None
 
-    cat.analyze("lineitem", ["l_orderkey"])
+    cat.analyze("lineitem", ["l_orderkey"], exact=True)
     out = default_program(cat).run(build())
     # shape: merge Aggregate over Join over (orders, partial Aggregate)
     assert isinstance(out, ir.Aggregate) and out._no_transpose
@@ -965,8 +965,8 @@ def test_aggregate_join_transpose_both_sides(spark):
         "CAST(id % 4 AS INT) AS lk", "CAST(id AS DOUBLE) AS lx"))
     cat.register_df("mn_r", spark.range(40).selectExpr(
         "CAST(id % 4 AS INT) AS rk", "CAST(id * 2 AS DOUBLE) AS ry"))
-    cat.analyze("mn_l")
-    cat.analyze("mn_r")
+    cat.analyze("mn_l", exact=True)
+    cat.analyze("mn_r", exact=True)
 
     def build():
         return (
@@ -992,8 +992,8 @@ def test_aggregate_join_transpose_both_sides(spark):
 
     # but one-side-unique shapes must REFUSE the both-side push (the
     # unique side cannot collapse; gate does the cost check)
-    cat.analyze("orders", ["o_orderkey"])
-    cat.analyze("lineitem", ["l_orderkey"])
+    cat.analyze("orders", ["o_orderkey"], exact=True)
+    cat.analyze("lineitem", ["l_orderkey"], exact=True)
     unique_side = (
         RelBuilder(cat).scan("orders").scan("lineitem")
         .join("o_orderkey = l_orderkey")
@@ -1026,8 +1026,8 @@ def test_aggregate_join_transpose_empty_join_count_zero(spark):
         "CAST(id % 2 AS INT) AS ak", "CAST(id AS DOUBLE) AS ax"))
     cat.register_df("ej_b", spark.range(20).selectExpr(
         "CAST(id % 2 + 10 AS INT) AS bk", "CAST(id AS DOUBLE) AS bx"))
-    cat.analyze("ej_a")
-    cat.analyze("ej_b")
+    cat.analyze("ej_a", exact=True)
+    cat.analyze("ej_b", exact=True)
 
     single = (
         RelBuilder(cat).scan("ej_a").scan("ej_b").join("ak = bk")
@@ -1084,7 +1084,7 @@ def test_aggregate_union_transpose(spark):
 
     # no ANALYZE stats -> grounded-NDV gate refuses (never a guess)
     assert _aggregate_union_transpose(build(), cat) is None
-    cat.analyze("orders", ["o_orderpriority"])
+    cat.analyze("orders", ["o_orderpriority"], exact=True)
     out = default_program(cat).run(build())
     assert isinstance(out, ir.Aggregate) and out._no_transpose
     un = out.inputs[0]
@@ -1150,7 +1150,7 @@ def test_aggregate_union_transpose_mv_composition(spark):
         agg_calls=["SUM(l_quantity) AS sq", "COUNT(*) AS cn"],
         path=f"{tmp}/mv_union_tile",
     )
-    cat.analyze("lineitem", ["l_returnflag"])
+    cat.analyze("lineitem", ["l_returnflag"], exact=True)
     df = (
         RelBuilder(cat)
         .scan("lineitem").scan("lineitem").union(all=True, n=2)
