@@ -70,6 +70,50 @@ class TableEntry:
     schema: object | None = None
 
 
+# In-process parquet schema memo (r15, guide §1.2): every fresh Catalog
+# re-infers the schema of the same immutable parquet dir with one Spark
+# job per table — ~2 jobs per catalog-opening query in the registry
+# sweep. The memo is metadata-only (a StructType, never rows), lives
+# only for the process, and its key embeds the directory mtime + file
+# listing, so ANY file change (append, overwrite, compaction)
+# invalidates it and the schema is re-inferred. entry.schema (set by
+# writers that know what they wrote) takes precedence and bypasses this.
+_SCHEMA_MEMO: dict = {}
+
+
+def _schema_memo_key(entry):
+    if entry.fmt != "parquet" or not entry.path:
+        return None  # only parquet dirs; other formats infer as before
+    try:
+        st = os.stat(entry.path)
+        names = (
+            tuple(sorted(os.listdir(entry.path)))
+            if os.path.isdir(entry.path)
+            else ()
+        )
+    except OSError:
+        return None
+    return (
+        entry.path,
+        tuple(sorted(entry.options.items())),
+        st.st_mtime_ns,
+        names,
+    )
+
+
+def _schema_memo_get(entry):
+    key = _schema_memo_key(entry)
+    return _SCHEMA_MEMO.get(key) if key is not None else None
+
+
+def _schema_memo_put(entry, schema) -> None:
+    key = _schema_memo_key(entry)
+    if key is not None:
+        if len(_SCHEMA_MEMO) > 512:
+            _SCHEMA_MEMO.clear()  # bound driver memory; refill on demand
+        _SCHEMA_MEMO[key] = schema
+
+
 class Catalog:
     """Named map of tables ≈ SchemaPlus; mounts parquet dirs as views."""
 
@@ -516,9 +560,12 @@ class Catalog:
         reader = self.spark.read
         if entry.options:
             reader = reader.options(**entry.options)
-        if entry.schema is not None:
-            reader = reader.schema(entry.schema)
+        known = entry.schema if entry.schema is not None else _schema_memo_get(entry)
+        if known is not None:
+            reader = reader.schema(known)
         df = reader.format(entry.fmt).load(entry.path)
+        if known is None:
+            _schema_memo_put(entry, df.schema)
         for col in NANOS_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
