@@ -290,10 +290,16 @@ def test_age_matches_duckdb_lockstep(spark, duck):
         for m1 in (1, 6, 12)
         for d1 in (1, 15, 28)
     ]
+    # all cases ride ONE projection per engine (r15: a spark.sql collect
+    # per case cost 13 s of per-query overhead; the comparison per case
+    # is unchanged — same exprs, same canonical-string equality)
+    sel = []
+    wants = []
     for a, b in cases:
         want = duck.sql(
             f"SELECT CAST(age(TIMESTAMP '{a}', TIMESTAMP '{b}') AS VARCHAR)"
         ).fetchall()[0][0]
+        wants.append(want)
         y, mo, d, t = _parse_pg_interval(want)
         neg = "-" in t
         hh, mm, ss = (abs(int(x)) for x in t.replace("-", "").split(":"))
@@ -304,11 +310,15 @@ def test_age_matches_duckdb_lockstep(spark, duck):
         expected = (
             f"make_interval({y}, {mo}, 0, {d}, {sign * hh}, {sign * mm}, {sign * ss})"
         )
+        i = len(sel)
         # CalendarInterval has no '=' in Spark — compare canonical strings
-        got = spark.sql(
-            f"SELECT CAST(({expr}) AS STRING) AS s, CAST({expected} AS STRING) AS e"
-        ).collect()[0]
-        assert got.s == got.e, f"age({a}, {b}): spark={got.s} duck={want} ({got.e})"
+        sel.append(f"CAST(({expr}) AS STRING) AS s{i}")
+        sel.append(f"CAST({expected} AS STRING) AS e{i}")
+    row = spark.sql("SELECT " + ", ".join(sel)).collect()[0]
+    for i, ((a, b), want) in enumerate(zip(cases, wants)):
+        assert row[2 * i] == row[2 * i + 1], (
+            f"age({a}, {b}): spark={row[2 * i]} duck={want} ({row[2 * i + 1]})"
+        )
 
 
 def test_log_dialect_arg_order(spark, duck):
