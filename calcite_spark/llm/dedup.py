@@ -60,12 +60,20 @@ def exact_dedup(
     (z50); digest="xxhash64" is the production path — 8-byte longs on
     the shuffle instead of 32-char hex strings. NOTE: a 64-bit digest
     has birthday collisions around ~4B distinct documents; at that
-    corpus size prefer md5 (128-bit) or rerank within groups."""
+    corpus size prefer md5 (128-bit) or rerank within groups.
+
+    No RR parallelize-insurance here (unlike the HOF-heavy minhash /
+    simhash stages): the map is one md5 + one regexp pass — plain
+    cheap built-ins, the z51 class. r15 A/B at sf0.1
+    (scripts/dedup_rr_ab.py, interleaved, noop min-of-7): with RR
+    0.879 s vs without 0.317 s — the insurance shuffle is 2.8× pure
+    cost; the same probe measured RR 8-10× FASTER for the minhash
+    signature and simhash folds, so those keep it."""
     if digest not in ("md5", "xxhash64"):
         raise ValueError(f"unknown digest {digest!r}")
     digest = f"{digest}({normalize_text(text_col)})"
     return (
-        _parallelize(docs).selectExpr(f"{digest} AS content_hash", id_col)
+        docs.selectExpr(f"{digest} AS content_hash", id_col)
         .groupBy("content_hash")
         .agg(
             F.expr(f"MIN({id_col})").alias("keep_id"),
