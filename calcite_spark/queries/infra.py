@@ -129,7 +129,9 @@ def q92_merge_upsert(spark, sf_dir):
     scratch = tempfile.mkdtemp(prefix="q92_")
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     nation.write.mode("overwrite").parquet(os.path.join(scratch, "nation"))
-    cat.register("q92_nation", os.path.join(scratch, "nation"))
+    # write-site schema registration: skip re-inferring the schema of
+    # the copy just written (same pattern as the MV tile registrations)
+    cat.register("q92_nation", os.path.join(scratch, "nation"), schema=nation.schema)
     source = nation.filter("n_nationkey < 5").selectExpr(
         "n_nationkey + 100 AS src_key", "'NEW_' || n_name AS src_name"
     ).unionAll(

@@ -53,7 +53,10 @@ def _rewrite(catalog, table: str, df: DataFrame) -> None:
     # the write below EXECUTES the read of old_path (eager action), so
     # after it returns the previous sibling is dead weight
     df.write.mode("overwrite").parquet(new_path)
-    catalog.register(table, new_path)
+    # register with the schema just written — the next table() call
+    # skips the parquet schema-inference job (same write-site pattern
+    # as the MV tile registrations)
+    catalog.register(table, new_path, schema=df.schema)
     owned.add(new_path)
     if old_path != new_path and old_path in owned:
         shutil.rmtree(old_path, ignore_errors=True)
@@ -82,12 +85,18 @@ def insert_into(
 
 
 def delete_where(catalog, table: str, condition: str) -> int:
-    """DELETE FROM t WHERE cond → keep the complement. Returns #deleted."""
+    """DELETE FROM t WHERE cond → keep the complement. Returns #deleted.
+
+    One count action: #deleted = #rows where cond IS TRUE, the exact
+    complement of the kept set (NOT cond OR cond IS NULL), so the old
+    count-before + re-read-the-new-table-and-count-after pair (two
+    actions, one of them re-reading the just-written files) collapses
+    into a single filtered count over the original table."""
     df = catalog.table(table)
-    n_before = df.count()
     kept = df.filter(f"NOT ({condition}) OR ({condition}) IS NULL")
+    n_deleted = df.filter(condition).count()
     _rewrite(catalog, table, kept)
-    return n_before - catalog.table(table).count()
+    return n_deleted
 
 
 def update_set(
@@ -156,7 +165,34 @@ def merge_into(
     """
     tdf = catalog.table(target)
     cond = F.expr(on)
-    n_matched = tdf.join(source, cond, "left_semi").count()
+
+    # Every count the statement needs rides ONE probe action (guide
+    # §1.2, fewer passes — was three separate .count() actions): the
+    # semi / inner / anti arms are unioned with a tag column and
+    # aggregated in a single pass. The arms are the SAME joins the old
+    # counts ran, so every value is unchanged.
+    #   matched  — target rows with >=1 source match (left_semi)
+    #   pairs    — (target, source) match pairs (inner), for the MERGE
+    #              precondition below; only when an update/delete arm
+    #              makes it observable
+    #   inserted — source rows with no target match (left_anti)
+    arms = [tdf.join(source, cond, "left_semi").select(F.lit("matched").alias("__arm__"))]
+    if when_matched_update or when_matched_delete:
+        arms.append(
+            tdf.join(source, cond, "inner").select(F.lit("pairs").alias("__arm__"))
+        )
+    if when_not_matched_insert:
+        arms.append(
+            source.join(tdf, cond, "left_anti").select(F.lit("inserted").alias("__arm__"))
+        )
+    probe = arms[0]
+    for arm in arms[1:]:
+        probe = probe.unionAll(arm)
+    counts = {
+        r["__arm__"]: r["n"]
+        for r in probe.groupBy("__arm__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_matched = counts.get("matched", 0)
     # MERGE precondition: no target row may match MULTIPLE source rows
     # (Delta throws DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET). The
     # pair-count vs matched-target-count comparison is CONDITION-
@@ -164,8 +200,7 @@ def merge_into(
     # compound or reversed-operand conditions (review r8: matched>0
     # reported while nothing updated).
     if when_matched_update or when_matched_delete:
-        n_pairs = tdf.join(source, cond, "inner").count()
-        if n_pairs > n_matched:
+        if counts.get("pairs", 0) > n_matched:
             raise ValueError(
                 "MERGE: multiple source rows match the same key"
             )
@@ -192,7 +227,6 @@ def merge_into(
                 out_cols.append(F.col(c))
         updated = joined.select(*out_cols)
 
-    inserts = None
     n_inserted = 0
     if when_not_matched_insert:
         # WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): explicit
@@ -207,7 +241,7 @@ def merge_into(
                 for c in tdf.columns
             ]
         )
-        n_inserted = inserts.count()
+        n_inserted = counts.get("inserted", 0)
         updated = updated.unionByName(inserts)
 
     _rewrite(catalog, target, updated)

@@ -206,6 +206,57 @@ def test_merge_insert_only_rows_modified(spark, scratch):
     assert stats["rows_modified"] == 1 and stats["inserted"] == 1
 
 
+def test_merge_probe_is_one_action(spark, scratch, monkeypatch):
+    """r15: merge_into's matched/pairs/inserted counts ride ONE collect
+    (the semi/inner/anti arms unioned with a tag column) instead of
+    three separate .count() actions — and the stats are unchanged."""
+    source = spark.createDataFrame(
+        [(0, "RENAMED#0", 9), (91, "NEWLAND", 9)],
+        "src_key int, src_name string, src_region int",
+    )
+    DataFrame = type(scratch.table("nation"))
+    calls = {"collect": 0, "count": 0}
+    real_collect, real_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: calls.__setitem__("collect", calls["collect"] + 1)
+        or real_collect(self),
+    )
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: calls.__setitem__("count", calls["count"] + 1)
+        or real_count(self),
+    )
+    stats = merge_into(
+        scratch,
+        "nation",
+        source,
+        on="n_nationkey = src_key",
+        when_matched_update={"n_name": "src_name", "n_regionkey": "src_region"},
+    )
+    assert calls["collect"] == 1, calls
+    assert calls["count"] == 0, calls
+    assert stats == {"matched": 1, "inserted": 1, "rows_modified": 2}
+
+
+def test_delete_where_is_one_count(spark, scratch, monkeypatch):
+    """r15: DELETE's #deleted is one filtered count over the original
+    table (the exact complement of the kept set), not count-before plus
+    a re-read of the just-written table."""
+    DataFrame = type(scratch.table("nation"))
+    calls = {"count": 0}
+    real_count = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: calls.__setitem__("count", calls["count"] + 1)
+        or real_count(self),
+    )
+    deleted = delete_where(scratch, "nation", "n_regionkey = 0")
+    assert calls["count"] == 1, calls
+    assert deleted == 5
+    assert scratch.table("nation").filter("n_regionkey = 0").count() == 0
+
+
 def test_repeated_dml_path_bounded(spark, scratch, tmp_path):
     """Copy-on-write siblings alternate between two fixed paths and the
     superseded one is deleted — repeated DML must not grow the path
