@@ -117,11 +117,25 @@ def lsh_bucketed_topk(
     equi-join on bucket, exact cosine rerank within bucket."""
     bexpr = hyperplane_bucket_expr("embedding", n_planes, dim)
     qexpr = hyperplane_bucket_expr("q_vec", n_planes, dim)
+    # DISTINCT per-side null sentinels (-1 corpus, -2 query): a NULL
+    # bucket (null/short vector) used to be dropped by the inner join's
+    # null semantics; a sentinel that exists on only ONE side matches
+    # nothing, so the result is identical for every input — and the
+    # now provably non-null key stops the optimizer pushing an
+    # isnotnull(bucket) filter below the projection, which re-evaluated
+    # the whole 8-plane bucket fold per row on BOTH sides (r15 plan
+    # check: q80 had the duplicated fold in both scan-side Filters).
     c = corpus.selectExpr(
-        "vec_id", "embedding", f"{bexpr} AS bucket", f"{_norm('embedding')} AS __cn"
+        "vec_id",
+        "embedding",
+        f"coalesce({bexpr}, -1) AS bucket",
+        f"{_norm('embedding')} AS __cn",
     )
     q = queries.selectExpr(
-        "q_id", "q_vec", f"{qexpr} AS bucket", f"{_norm('q_vec')} AS __qn"
+        "q_id",
+        "q_vec",
+        f"coalesce({qexpr}, -2) AS bucket",
+        f"{_norm('q_vec')} AS __qn",
     )
     return (
         c.join(F.broadcast(q), on="bucket")
@@ -140,24 +154,49 @@ def lsh_bucketed_topk(
     )
 
 
-def _centroid_argmax_expr(vec: str, centroids: list) -> str:
+def _centroid_argmax_expr(vec: str, centroids: list, vec_norm: str | None = None) -> str:
     """SQL expression assigning a row's vector to its nearest centroid by
     cosine — a pure narrow map (centroids inlined as literals), so IVF
     assignment costs ZERO shuffle at any scale. Ties break to the lowest
-    cluster index (strict > keeps the first maximum)."""
-    arr = (
-        "array("
-        + ",".join(
-            "named_struct('i', %d, 'v', array(%s))"
-            % (i, ",".join(f"CAST({x} AS DOUBLE)" for x in c))
-            for i, c in enumerate(centroids)
+    cluster index (strict > keeps the first maximum).
+
+    r15 shape (scripts/ivf_argmax_ab.py, assignments asserted identical
+    per row): each centroid's sim is computed ONCE (the old fold
+    evaluated the full cosine twice per centroid — IF condition + result),
+    each centroid's norm is a Python-computed literal (bit-identical:
+    the same left-fold over the same doubles + IEEE sqrt — the same
+    argument as ivf_topk's driver-side probe ranking), and the row norm
+    is read from `vec_norm` when the caller pre-projects it. The sims
+    are an UNROLLED array literal, not a transform over a centroid
+    array: with `vec_norm` referenced once per centroid (16×),
+    CollapseProject keeps the norm fold in its own projection instead
+    of inlining it into a lambda evaluated per centroid. A(old) 0.527 s
+    → 0.315 s noop min-of-7 at sf0.1."""
+    import math
+
+    nvec = vec_norm if vec_norm is not None else _norm(vec)
+    cells = []
+    for i, c in enumerate(centroids):
+        v = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
+        n = math.sqrt(sum(float(x) * float(x) for x in c))
+        cells.append(
+            f"named_struct('i', {i}, 's', "
+            f"({_dot(vec, v)} / ({nvec} * CAST({n!r} AS DOUBLE))))"
         )
-        + ")"
-    )
-    sim = _cos(vec, "c.v")
+    arr = "array(" + ",".join(cells) + ")"
+    # coalesce(..., -1): the argmax is null only for a NULL vector, and
+    # -1 is already the unassignable marker (an all-NaN sim row keeps
+    # the init struct's i = -1), so folding NULL into -1 is the same
+    # contract — and a provably NON-NULL cluster means the downstream
+    # equi-join no longer pushes an isnotnull(cluster) filter below
+    # this projection. That filter DUPLICATED the whole argmax
+    # (16 dot folds + 16 re-inlined norm folds) per row — the r15
+    # qx17 plan pair shows the Filter gone; -1 never equals a probe's
+    # centroid index, so join results are unchanged either way.
     return (
-        f"aggregate({arr}, named_struct('i', -1, 's', CAST(-2.0 AS DOUBLE)), "
-        f"(acc, c) -> IF({sim} > acc.s, named_struct('i', c.i, 's', {sim}), acc)).i"
+        f"coalesce(aggregate({arr}, "
+        f"named_struct('i', -1, 's', CAST(-2.0 AS DOUBLE)), "
+        f"(acc, c) -> IF(c.s > acc.s, c, acc)).i, -1)"
     )
 
 
@@ -180,8 +219,13 @@ def ivf_build_deterministic(
     # silently yield an undersized or empty centroid list
     seeds = corpus.orderBy(corpus_id).limit(n_clusters).collect()
     centroids = [list(map(float, r[corpus_vec])) for r in seeds]  # bounded: n_clusters rows
-    assigned = corpus.selectExpr(
-        corpus_id, corpus_vec, f"{_centroid_argmax_expr(corpus_vec, centroids)} AS cluster"
+    # row norm pre-projected once; the argmax references it per centroid
+    # (see _centroid_argmax_expr on why that keeps the fold hoisted)
+    pre = corpus.selectExpr(corpus_id, corpus_vec, f"{_norm(corpus_vec)} AS __vn")
+    assigned = pre.selectExpr(
+        corpus_id,
+        corpus_vec,
+        f"{_centroid_argmax_expr(corpus_vec, centroids, vec_norm='__vn')} AS cluster",
     )
     return assigned, centroids
 
