@@ -230,6 +230,13 @@ def simhash_near_dups(
     )
     # band b = bits [b*width, (b+1)*width); the LAST band absorbs the
     # 64 % n_bands remainder so every bit is covered by some band
+    # coalesce(-1): band_val is null only when __sim is (null text). A
+    # provably non-null join key stops the optimizer pushing an
+    # isnotnull(band_val) filter below the projection, which re-inlined
+    # and re-evaluated the ENTIRE 64-step simhash fold per row (r15
+    # plan check). Two null-text rows now meet at band_val -1, but
+    # their hamming = bit_count(NULL ^ NULL) is NULL, which the
+    # `hamming <= k` rerank drops — output identical for every input.
     banded = sigs.selectExpr(
         "__id",
         "__sim",
@@ -238,17 +245,23 @@ def simhash_near_dups(
         "__id",
         "__sim",
         "band_id",
-        f"CASE WHEN band_id = {n_bands - 1} THEN shiftright(__sim, band_id * {width}) "
-        f"ELSE shiftright(__sim, band_id * {width}) & {(1 << width) - 1} END AS band_val",
+        f"coalesce(CASE WHEN band_id = {n_bands - 1} THEN shiftright(__sim, band_id * {width}) "
+        f"ELSE shiftright(__sim, band_id * {width}) & {(1 << width) - 1} END, -1) AS band_val",
     )
     banded = banded.repartition("band_id", "band_val")  # ReuseExchange
     a = banded.toDF("a_id", "a_sim", "band_id", "band_val")
     b = banded.toDF("b_id", "b_sim", "band_id", "band_val")
+    # the rerank keeps hamming <= k; spelled with a coalesce so a NULL
+    # hamming (null-text pair meeting at the -1 sentinel band) is
+    # dropped WITHOUT letting InferFiltersFromConstraints derive
+    # isnotnull(__sim) — that inferred filter re-evaluated the whole
+    # 64-step simhash fold per row below the join (r15 plan check;
+    # survivors always have non-null hamming, so output is identical)
     return (
         a.join(b, on=["band_id", "band_val"])
         .filter("a_id < b_id")
         .select("a_id", "b_id", F.expr("bit_count(a_sim ^ b_sim)").alias("hamming"))
-        .filter(f"hamming <= {k}")
+        .filter(f"coalesce(hamming, {k + 1}) <= {k}")
         .distinct()
     )
 
@@ -302,12 +315,17 @@ def embedding_cosine_dups(
     bexpr = hyperplane_bucket_expr(
         "__vec", n_planes, dim, plane_expr=f"tbl * {n_planes} + p"
     )
+    # coalesce(-1): same argument as simhash_near_dups' band_val — the
+    # non-null key removes the pushed isnotnull(bucket) filter that
+    # re-evaluated the whole hyperplane fold per row; null-vector rows
+    # meeting at bucket -1 produce a NULL cosine, which the
+    # `cosine_sim >= threshold` rerank drops — output identical.
     bucketed = _parallelize(vectors).selectExpr(
         f"{id_col} AS __id",
         f"{vec_col} AS __vec",
         f"{_norm(vec_col)} AS __nrm",
         f"explode(sequence(0, {n_tables - 1})) AS tbl",
-    ).selectExpr("__id", "__vec", "__nrm", "tbl", f"{bexpr} AS bucket")
+    ).selectExpr("__id", "__vec", "__nrm", "tbl", f"coalesce({bexpr}, -1) AS bucket")
     bucketed = bucketed.repartition("tbl", "bucket")  # ReuseExchange
     a = bucketed.toDF("a_id", "a_vec", "a_nrm", "tbl", "bucket")
     b = bucketed.toDF("b_id", "b_vec", "b_nrm", "tbl", "bucket")
