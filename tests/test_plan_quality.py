@@ -1260,3 +1260,54 @@ def test_committed_plan_dumps_stay_python_and_cartesian_free():
             f"{f}: cross product appeared in a committed plan"
         )
     assert checked >= 60, f"expected the committed plan corpus, found {checked}"
+
+
+def test_derived_join_keys_do_not_duplicate_folds_into_filters(spark):
+    """r15: equi-joins on expression-derived keys used to push an
+    isnotnull(key) filter below the defining projection, re-inlining and
+    re-evaluating the ENTIRE interpreted fold per row (qx17 paid the
+    16-centroid argmax twice; simhash_near_dups re-ran the 64-step
+    simhash fold via a constraint inferred from its rerank predicate).
+    Fixed with null sentinels / null-neutral rerank predicates; this
+    pins the grade: no Filter in any of these operators' optimized
+    plans may contain a higher-order fold. (qx25's exact-distance
+    rerank lives in a Join CONDITION by design and is not a Filter.)"""
+    import re as _re
+
+    from calcite_spark.catalog import open_catalog
+    from calcite_spark.llm.dedup import (
+        embedding_cosine_dups,
+        minhash_lsh_dups,
+        simhash_near_dups,
+    )
+    from calcite_spark.llm.similarity import (
+        ivf_build_deterministic,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    cat = open_catalog(spark, SF_DIR)
+    docs = cat.table("documents")
+    emb = cat.table("embeddings")
+    queries_df = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    assigned, centroids = ivf_build_deterministic(emb, n_clusters=4)
+    cases = {
+        "ivf_topk": ivf_topk(assigned, centroids, queries_df, k=3, n_probe=2),
+        "lsh_bucketed_topk": lsh_bucketed_topk(emb, queries_df, k=3),
+        "simhash_near_dups": simhash_near_dups(docs, k=3),
+        "embedding_cosine_dups": embedding_cosine_dups(emb),
+        "minhash_lsh_dups": minhash_lsh_dups(docs),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.split("\n"):
+            if _re.match(r"^[:+\- ]*Filter ", line.strip()):
+                n_folds = len(
+                    _re.findall(r"\baggregate\(|\bzip_with\(|\btransform\(", line)
+                )
+                assert n_folds == 0, (
+                    f"{name}: a Filter re-evaluates {n_folds} fold(s) — a "
+                    f"derived join key went nullable again?\n{line.strip()[:200]}"
+                )
